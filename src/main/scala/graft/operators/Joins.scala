@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import graft.functions.Exact._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Join / set-operation surface. The reference has zero joins (SURVEY.md
+  * §2.6 — its two latent joins are driver-side dict lookups,
+  * Dataset.py:291-294, 297-312); this module supplies the star-schema
+  * equi-join surface the BASELINE contract requires, Spark-first:
+  *
+  *  - dimension tables (region/nation/customer at fixture scale; at 100 TB
+  *    region+nation always, customer usually) are broadcast — an explicit
+  *    `broadcast()` hint removes the shuffle entirely for the small sides;
+  *  - the lineitem⋈orders fact-fact join shuffles on the join key and is
+  *    AQE-managed (skew split + partition coalescing at runtime);
+  *  - semi/anti joins never materialize the probe side's payload columns.
+  */
+object Joins extends QueryModule {
+
+  /** q18 — star join: revenue per (region, nation) across
+    * lineitem⋈orders⋈customer⋈nation⋈region. Dimensions broadcast; only
+    * the fact-fact edge shuffles.
+    */
+  val starJoinRevenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q19 — left-semi join (EXISTS): customers with >= 1 urgent order. The
+    * semi join carries no payload from the orders side and short-circuits
+    * per key.
+    */
+  val semiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q20 — left-anti join (NOT EXISTS): customers with no urgent order. */
+  val antiJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q21 — left outer join + aggregate: lineitem count/quantity per order,
+    * keeping item-less orders as zeros.
+    */
+  val leftJoinAgg: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy(o("o_orderkey"))
+      .agg(
+        count(li("l_orderkey")).as("n_items"),
+        coalesce(sum(dec2(col("l_quantity"))), lit(0)).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q18_star_join_revenue" -> starJoinRevenue,
+    "q19_semi_join" -> semiJoin,
+    "q20_anti_join" -> antiJoin,
+    "q21_left_join_agg" -> leftJoinAgg)
+
+  def oracles: Map[String, String] = Map(
+    "q18_star_join_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin,
+    "q19_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q20_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q21_left_join_agg" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        | CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin)
+}

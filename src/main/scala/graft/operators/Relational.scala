@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import graft.functions.Exact._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / scalar-expression / aggregation / window operators
+  * — the reference's core analytic surface (SURVEY.md §2.2–§2.5), transposed
+  * from the Chicago Crimes table to the fixture star schema per FIXTURES.md.
+  *
+  * Scale notes (100 TB posture):
+  *  - every query is a declarative DataFrame plan: filters and projections
+  *    reach the parquet scan (PushedFilters/ReadSchema), group-bys get
+  *    partial+final hash aggregation (map-side combine) from Catalyst;
+  *  - top-k = orderBy+limit planned as TakeOrderedAndProject (no full sort);
+  *  - the one unpartitioned window (q16) runs over an already-aggregated
+  *    ~1 row/month frame, never over raw rows.
+  */
+object Relational extends QueryModule {
+
+  /** q01 — flagship: TPC-H-Q1-shaped pricing summary. Reference shape:
+    * group-count + multi-aggregate (Dataset.py:214, 272-276) widened to the
+    * canonical returnflag/linestatus rollup.
+    */
+  val pricingSummary: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02 — per-column null tally in one pass (Dataset.py:79, §2.2 P6). */
+  val nullCounts: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.select(li.columns.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+  }
+
+  /** q03 — cleaning pipeline: na.drop + dropDuplicates + count
+    * (Dataset.py:83-85, §2.2 P4/P5). dropDuplicates shuffles on all columns;
+    * at scale prefer the md5-keyed dedup in Text.exactDedup (hash key, not
+    * full-row compare).
+    */
+  val cleanDedupCount: Q = (s, d) =>
+    Tables.lineitem(s, d).na.drop().dropDuplicates()
+      .agg(count(lit(1)).as("n"))
+
+  /** q04 — regex clean of a text column (Dataset.py:87, §2.2 P7). */
+  val regexClean: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_replace(lower(col("p_name")), "[-/:]", " ").as("p_name_clean"))
+      .orderBy("p_partkey")
+
+  /** q05 — date-part derivation (Dataset.py:95-99, §2.2 P9).
+    * Spark dayofweek is 1=Sunday; oracle uses dayofweek()+1 (0=Sunday).
+    */
+  val dateParts: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      hour(col("o_orderdate")).as("h"),
+      dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy("o_orderkey")
+
+  /** q06 — CASE WHEN season bucketing (Dataset.py:123-129, §2.2 P10),
+    * month(o_orderdate) standing in for the crime month.
+    */
+  val seasonBucket: Q = (s, d) => {
+    val m = month(col("o_orderdate"))
+    Tables.orders(s, d)
+      .withColumn("season",
+        when(m.isin(12, 1, 2), "Winter")
+          .when(m.isin(3, 4, 5), "Spring")
+          .when(m.isin(6, 7, 8), "Summer")
+          .otherwise("Autumn"))
+      .groupBy("season").agg(count(lit(1)).as("cnt"))
+      .orderBy("season")
+  }
+
+  /** q07 — modulo + range + IN filters (Dataset.py:101-103, 507;
+    * §2.2 P13/P14/P15): the reference's leap-year sample over order years.
+    */
+  val filterSample: Q = (s, d) => {
+    val y = year(col("o_orderdate"))
+    Tables.orders(s, d)
+      .filter(y % 4 === 0 && y > 1995 && y < 2001 &&
+        col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderkey"), col("o_orderstatus"), y.cast("int").as("y"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q08 — global conditional aggregate: percentage of 'F' orders
+    * (arrest-percentage shape, Dataset.py:463-465, §2.3 A5).
+    */
+  val statusPct: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      (sum(when(col("o_orderstatus") === "F", 1).otherwise(0)) * 100.0 /
+        count(lit(1))).as("pct_f"))
+
+  /** q09 — NOT IN filter + top-k group-count (Dataset.py:143-145, 477;
+    * §2.2 P15 + §2.5 O3). orderBy+limit plans as TakeOrderedAndProject.
+    */
+  val notinTopk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+      .limit(10)
+
+  /** q10 — multi-key group-count per (year, month) (Dataset.py:521, §2.3 A2). */
+  val multikeyCount: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("y", "m")
+
+  /** q11 — two-level aggregate: max-of-count per priority
+    * (Dataset.py:180-181, §2.3 A3). Both levels are hash aggregates; the
+    * second reuses the first's shuffle partitioning on the prefix key.
+    */
+  val maxOfCount: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderpriority").agg(max("cnt").as("max_cnt"))
+      .orderBy("o_orderpriority")
+
+  /** q12 — multi-aggregate per group (avg/avg/count — Dataset.py:272-276,
+    * §2.3 A4), with deterministic decimal-backed averages.
+    */
+  val multiAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q13 — pivot with explicit values + fill(0) (Dataset.py:382-390,
+    * §2.3 A6). Explicit value list skips the extra distinct job the
+    * reference pays for (SURVEY.md §4).
+    */
+  val pivotQuarters: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("q", concat(lit("Q"), quarter(col("o_orderdate"))))
+      .groupBy("y")
+      .pivot("q", Seq("Q1", "Q2", "Q3", "Q4"))
+      .count()
+      .na.fill(0)
+      .orderBy("y")
+
+  /** q14 — DISTINCT (Dataset.py:210, §2.3 A7). */
+  val distinctPriorities: Q = (s, d) =>
+    Tables.orders(s, d).select("o_orderpriority").distinct()
+      .orderBy("o_orderpriority")
+
+  /** q15 — avg-of-counts: daily counts → monthly average
+    * (Dataset.py:443-448, §2.3 A8).
+    */
+  val avgOfCounts: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("y", "m").agg(avg("cnt").as("avg_daily"))
+      .orderBy("y", "m")
+
+  /** q16 — frame-bounded trailing moving average (Dataset.py:516-524,
+    * §2.4 W1) with the *intended* semantics: a trailing 3-month window over
+    * the monthly series (the reference's partitionBy(year,month) makes every
+    * partition a single row — documented divergence, SURVEY.md §2.4).
+    * The unpartitioned window is safe: it runs on the ~dozens-of-rows
+    * monthly aggregate, not on raw data.
+    */
+  val movingAvg: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("y", "m").rowsBetween(-2, 0)
+    monthly.withColumn("mavg", avg("cnt").over(w)).orderBy("y", "m")
+  }
+
+  /** q17 — top-k per group via row_number, the dual formulation of q11's
+    * max-of-count (SURVEY.md §2.4): top-3 suppliers per returnflag,
+    * tie-broken on suppkey for determinism.
+    */
+  val topkPerGroup: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_suppkey").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_null_counts" -> nullCounts,
+    "q03_clean_dedup_count" -> cleanDedupCount,
+    "q04_regex_clean" -> regexClean,
+    "q05_date_parts" -> dateParts,
+    "q06_season_bucket" -> seasonBucket,
+    "q07_filter_sample" -> filterSample,
+    "q08_status_pct" -> statusPct,
+    "q09_notin_topk" -> notinTopk,
+    "q10_multikey_count" -> multikeyCount,
+    "q11_max_of_count" -> maxOfCount,
+    "q12_multi_agg" -> multiAgg,
+    "q13_pivot_quarters" -> pivotQuarters,
+    "q14_distinct_priorities" -> distinctPriorities,
+    "q15_avg_of_counts" -> avgOfCounts,
+    "q16_moving_avg" -> movingAvg,
+    "q17_topk_per_group" -> topkPerGroup)
+
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_null_counts" ->
+      lineitemCols.map(c => s"CAST(count(*) - count($c) AS BIGINT) AS $c")
+        .mkString("SELECT ", ", ", " FROM lineitem"),
+    "q03_clean_dedup_count" ->
+      ("SELECT count(*) AS n FROM (SELECT DISTINCT * FROM lineitem WHERE " +
+        lineitemCols.map(c => s"$c IS NOT NULL").mkString(" AND ") + ")"),
+    "q04_regex_clean" ->
+      """SELECT p_partkey, regexp_replace(lower(p_name), '[-/:]', ' ', 'g') AS p_name_clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q05_date_parts" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS dom,
+        | CAST(hour(o_orderdate) AS INT) AS h,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q06_season_bucket" ->
+      """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
+        |            WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
+        |            WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
+        |            ELSE 'Autumn' END AS season,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY season""".stripMargin,
+    "q07_filter_sample" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(year(o_orderdate) AS INT) AS y
+        |FROM orders
+        |WHERE year(o_orderdate) % 4 = 0 AND year(o_orderdate) > 1995
+        |  AND year(o_orderdate) < 2001 AND o_orderstatus IN ('F','O')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_status_pct" ->
+      """SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0
+        |       / count(*) AS pct_f
+        |FROM orders""".stripMargin,
+    "q09_notin_topk" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |GROUP BY 1 ORDER BY cnt DESC, o_orderpriority LIMIT 10""".stripMargin,
+    "q10_multikey_count" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q11_max_of_count" ->
+      """SELECT o_orderpriority, max(cnt) AS max_cnt FROM (
+        |  SELECT o_orderpriority, year(o_orderdate) AS y, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |) GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q12_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_pivot_quarters" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        | count(CASE WHEN quarter(o_orderdate) = 1 THEN 1 END) AS Q1,
+        | count(CASE WHEN quarter(o_orderdate) = 2 THEN 1 END) AS Q2,
+        | count(CASE WHEN quarter(o_orderdate) = 3 THEN 1 END) AS Q3,
+        | count(CASE WHEN quarter(o_orderdate) = 4 THEN 1 END) AS Q4
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+    "q14_distinct_priorities" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "q15_avg_of_counts" ->
+      """SELECT y, m, avg(cnt) AS avg_daily FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(month(o_orderdate) AS INT) AS m,
+        |         day(o_orderdate) AS dom, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2, 3
+        |) GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "q16_moving_avg" ->
+      """SELECT y, m, cnt,
+        |  avg(cnt) OVER (ORDER BY y, m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |) ORDER BY y, m""".stripMargin,
+    "q17_topk_per_group" ->
+      """SELECT l_returnflag, l_suppkey, cnt, CAST(rn AS INT) AS rn FROM (
+        |  SELECT l_returnflag, l_suppkey, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, l_suppkey) AS rn
+        |  FROM lineitem GROUP BY 1, 2
+        |) WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin)
+}
