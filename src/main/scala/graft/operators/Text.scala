@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators over the `documents` table — the
+  * beyond-reference extension slice (SURVEY.md §7 M5): exact dedup, text
+  * stats / quality scoring, token counting (whitespace + BPE-ish regex),
+  * language-ID heuristic, document fingerprinting (md5 / shingle / rolling
+  * hash), n-gram Jaccard near-dup, and a 16-bit SimHash — every one of them
+  * a pure codegen'd Column expression (no UDFs), so each scales as an
+  * embarrassingly-parallel projection plus at most one hash aggregate.
+  */
+object Text extends QueryModule {
+
+  private val stopEn = Seq("the", "a", "and", "of")
+  private val stopEs = Seq("el", "la", "de", "que")
+
+  /** Whitespace tokens. */
+  private def toks = split(col("text"), "\\s+")
+
+  /** q25 — exact dedup via content hash: unique-text counts per language.
+    * At 100 TB you dedup on md5(text) (16-byte shuffle key), never on the
+    * full row like the reference's dropDuplicates (Dataset.py:85).
+    */
+  val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        countDistinct(md5(col("text"))).as("n_unique"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** q26 — per-document text stats / quality scoring: char length,
+    * whitespace token count, BPE-ish regex token count (letter runs /
+    * digit runs / single non-space symbols), stopword ratio.
+    */
+  val textStats: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      size(toks).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .as("n_bpe_tokens"),
+      (size(filter(toks, t => t.isin(stopEn: _*))).cast("double") / size(toks))
+        .as("stop_ratio"))
+      .orderBy("doc_id")
+
+  /** q27 — corpus profile per language: doc counts + average length/tokens
+    * (integer averages are order-independent in double — deterministic).
+    */
+  val langProfile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("n_chars")).as("avg_chars"),
+        avg(size(toks)).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** q28 — document fingerprints: truncated md5, leading-5-token shingle
+    * md5, and a polynomial rolling hash over characters (mod 1e9+7).
+    * The rolling hash is a left-fold `aggregate` — codegen'd, one pass.
+    */
+  val fingerprint: Q = (s, d) => {
+    // Spark split("", -1) keeps a trailing empty token that DuckDB's
+    // string_split drops — filter empties for parity.
+    val chars = filter(split(col("text"), ""), c => length(c) > 0)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(md5(col("text")), 1, 16).as("fp_md5"),
+      md5(array_join(slice(toks, 1, 5), " ")).as("fp_shingle"),
+      aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+        .as("fp_roll"))
+      .orderBy("doc_id")
+  }
+
+  /** q29 — language-ID heuristic: stopword-hit vote between English and
+    * Spanish function words (the deterministic n-gram-style heuristic the
+    * pipeline mandate asks for; a production version swaps in a bigger
+    * profile table, same plan shape).
+    */
+  val langId: Q = (s, d) => {
+    val en = size(filter(toks, t => t.isin(stopEn: _*)))
+    val es = size(filter(toks, t => t.isin(stopEs: _*)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(en > es, "en").when(es > en, "es").otherwise("und").as("lang_guess"),
+      col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** q30 — n-gram (token-set) Jaccard near-dup over blocked candidate
+    * pairs. Blocking key = (lang, n_chars within ±2): at 100 TB the
+    * candidate join is an equi-join on the block key, never an n² cross
+    * join; here the band predicate rides on the lang equi-join.
+    */
+  val jaccardPairs: Q = (s, d) => {
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      array_distinct(toks).as("tokset"))
+    val a = t.alias("a")
+    val b = t.alias("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 2)
+      .select(
+        col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        (size(array_intersect(col("a.tokset"), col("b.tokset"))).cast("double") /
+          size(array_union(col("a.tokset"), col("b.tokset")))).as("jaccard"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** q38 — 16-bit SimHash near-dup signature. Token hash = first 4 md5 hex
+    * digits; each bit is the sign of the per-bit ±1 vote sum. Pure
+    * expressions: one `transform` for token hashes, 16 `aggregate` votes.
+    */
+  val simhash16: Q = (s, d) => {
+    val withHashes = Tables.documents(s, d).withColumn("hs",
+      expr("transform(split(text, '\\\\s+'), t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as int))"))
+    val bits = (0 until 16).map { i =>
+      s"(case when aggregate(hs, 0, (acc, h) -> acc + (case when (shiftright(h, $i) & 1) = 1 then 1 else -1 end)) > 0 then ${1 << i} else 0 end)"
+    }.mkString(" + ")
+    withHashes
+      .select(col("doc_id"), expr(s"cast($bits as int)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q25_dedup_exact" -> dedupExact,
+    "q26_text_stats" -> textStats,
+    "q27_lang_profile" -> langProfile,
+    "q28_fingerprint" -> fingerprint,
+    "q29_lang_id" -> langId,
+    "q30_jaccard_pairs" -> jaccardPairs,
+    "q38_simhash16" -> simhash16)
+
+  private val duckToks = raw"string_split_regex(text, '\s+')"
+
+  def oracles: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT lang, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q26_text_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS len_chars,
+         | CAST(len($duckToks) AS INT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
+         | CAST(len(list_filter($duckToks, t -> t IN ('the','a','and','of'))) AS DOUBLE)
+         |   / len($duckToks) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_lang_profile" ->
+      s"""SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,
+         | avg(len($duckToks)) AS avg_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q28_fingerprint" ->
+      s"""SELECT doc_id, substr(md5(text), 1, 16) AS fp_md5,
+         | md5(array_to_string($duckToks[1:5], ' ')) AS fp_shingle,
+         | list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_lang_id" ->
+      s"""SELECT doc_id,
+         | CASE WHEN len(list_filter($duckToks, t -> t IN ('the','a','and','of')))
+         |        > len(list_filter($duckToks, t -> t IN ('el','la','de','que'))) THEN 'en'
+         |      WHEN len(list_filter($duckToks, t -> t IN ('el','la','de','que')))
+         |        > len(list_filter($duckToks, t -> t IN ('the','a','and','of'))) THEN 'es'
+         |      ELSE 'und' END AS lang_guess,
+         | lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+         |  list_distinct($duckToks) AS tokset FROM documents)
+         |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |  CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+         |    / len(list_distinct(a.tokset || b.tokset)) AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  AND abs(a.n_chars - b.n_chars) <= 2
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "q38_simhash16" -> {
+      val hs = raw"list_transform(string_split_regex(text, '\s+'), t -> ('0x' || substr(md5(t), 1, 4))::INT)"
+      val bits = (0 until 16).map { i =>
+        s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT doc_id, CAST($bits AS INT) AS simhash FROM documents ORDER BY doc_id"
+    })
+}
