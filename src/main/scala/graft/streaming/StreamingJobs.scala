@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{Q, QueryModule}
+import graft.functions.Exact._
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming slice (SURVEY.md §2.9 — absent from the reference;
+  * reserved by the build plan M5). q39 runs the SAME tumbling-window
+  * aggregate as the batch q22 through `readStream` → `writeStream`, so it
+  * shares q22's DuckDB oracle: batch/stream parity is itself the check.
+  *
+  * Complete output mode + memory sink drive the static parquet as one
+  * micro-batch; the production shape swaps the source for Kafka/files and
+  * the sink for parquet/Delta, adds `withWatermark` + append mode (covered
+  * in StreamingSpec along with session windows), and the state store
+  * partitions by the grouping key exactly like the batch shuffle does.
+  */
+object StreamingJobs extends QueryModule {
+
+  private val runId = new AtomicInteger()
+
+  /** q39 — tumbling 1-hour event-time window over a streaming read of the
+    * events table; result identical to the batch q22.
+    */
+  val streamTumbling: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema // ts arrives as long (nanos)
+    // the file source requires a directory: stream the sf dir, filtered to
+    // the events file
+    val agg = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    val name = s"stream_tumbling_${runId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
+  def queries: Map[String, Q] = Map("q39_stream_tumbling" -> streamTumbling)
+
+  def oracles: Map[String, String] = Map(
+    // identical semantics to q22 — same oracle
+    "q39_stream_tumbling" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+}

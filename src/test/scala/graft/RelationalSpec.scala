@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pivot row sums equal pre-pivot group counts (algebraic law)") {
+    val pivoted = q("q13_pivot_quarters")
+      .withColumn("row_total", col("Q1") + col("Q2") + col("Q3") + col("Q4"))
+      .select("y", "row_total")
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("y")).count()
+    val joined = pivoted.join(direct, "y")
+      .filter(col("row_total") =!= col("count"))
+    assert(joined.count() === 0)
+  }
+
+  test("NOT-IN via !isin drops nulls like SQL NOT IN (quirk pinned)") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("v")
+    val kept = df.filter(!col("v").isin("a")).collect().map(_.getString(0))
+    assert(kept.toSeq === Seq("b")) // null row filtered out, matching DuckDB
+  }
+
+  test("moving average over a constant series is the identity") {
+    val df = (1 to 10).map(i => (i, 7L)).toDF("t", "cnt")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("t").rowsBetween(-2, 0)
+    val bad = df.withColumn("mavg", avg("cnt").over(w))
+      .filter(col("mavg") =!= 7.0)
+    assert(bad.count() === 0)
+  }
+
+  test("dayofweek numbering: 1 = Sunday (2024-01-07 was a Sunday)") {
+    val dow = Seq("2024-01-07").toDF("d")
+      .select(dayofweek(to_timestamp(col("d"))).as("dow"))
+      .head().getInt(0)
+    assert(dow === 1)
+  }
+
+  test("to_timestamp parses the reference's 12-hour AM/PM pattern") {
+    val ts = Seq("01/15/2019 03:30:00 PM").toDF("s")
+      .select(to_timestamp(col("s"), "MM/dd/yyyy hh:mm:ss a").as("ts"))
+      .head().getTimestamp(0)
+    assert(ts.toString.startsWith("2019-01-15 15:30:00"))
+  }
+
+  test("boolean encode derives each column from itself (reference bug fixed)") {
+    // Dataset.py:114 encodes Domestic from Arrest; ours must not.
+    val df = Seq((true, false), (false, true)).toDF("arrest", "domestic")
+      .withColumn("arrest_i", when(col("arrest"), 1).otherwise(0))
+      .withColumn("domestic_i", when(col("domestic"), 1).otherwise(0))
+    val rows = df.select("arrest_i", "domestic_i").as[(Int, Int)].collect().toSet
+    assert(rows === Set((1, 0), (0, 1)))
+  }
+
+  test("flagship q01 returns the 6 flag/status groups with exact counts") {
+    val rows = q("q01_pricing_summary").collect()
+    assert(rows.length === 6)
+    val expected = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") < lit("2001-01-01").cast("timestamp")).count()
+    assert(rows.map(_.getAs[Long]("count_order")).sum === expected)
+  }
+
+  test("q17 top-k per group yields at most 3 rows per returnflag") {
+    val per = q("q17_topk_per_group").groupBy("l_returnflag").count().collect()
+    assert(per.forall(_.getAs[Long]("count") <= 3))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.Vectors._
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f), 1.0),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(1f, 2f, 3f), Array(-1f, -2f, -3f), -1.0))
+      .toDF("a", "b", "want")
+    val bad = df.withColumn("got", cosineD(col("a"), col("b")))
+      .filter(abs(col("got") - col("want")) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("knn: 5 neighbors per query, self excluded, sims non-increasing") {
+    val rows = q("q31_knn_brute").collect()
+    assert(rows.length === 25) // 5 queries × 5 neighbors
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.forall(_.getLong(1) != qid), s"query $qid returned itself")
+      val sims = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN neighbor similarity never beats the brute-force best (recall sanity)") {
+    val brute = q("q31_knn_brute").filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lsh = q("q32_lsh_ann").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    brute.keys.filter(lsh.contains).foreach { k =>
+      assert(lsh(k) <= brute(k) + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "t", 43L),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "t", 43L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", "t", 43L), // near dup of 1
+    (4L, "el perro de la casa que ladra mucho hoy aqui", "es", "t", 44L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def onPlanted(name: String) = {
+    planted.createOrReplaceTempView("ignored") // not used; queries read parquet
+    planted
+  }
+
+  test("identical texts share md5, rolling hash, and simhash; near-dups have close simhash") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = SparkEntry.queries("q28_fingerprint")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(fp(1L) === fp(2L))
+    val sh = SparkEntry.queries("q38_simhash16")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sh(1L) === sh(2L))
+    val hamming13 = Integer.bitCount(sh(1L) ^ sh(3L))
+    val hamming14 = Integer.bitCount(sh(1L) ^ sh(4L))
+    assert(hamming13 < hamming14, s"near-dup hamming $hamming13 !< unrelated $hamming14")
+
+    val jac = SparkEntry.queries("q30_jaccard_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) === 1.0) // exact dup pair
+    assert(jac((1L, 3L)) > 0.7 && jac((1L, 3L)) < 1.0) // near dup pair
+    assert(!jac.contains((1L, 4L))) // different lang block — never a candidate
+
+    val dedup = SparkEntry.queries("q25_dedup_exact")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dedup("en") === ((2L, 3L))) // 3 docs, 2 unique texts
+
+    val mh = SparkEntry.queries("q37_minhash_neardup")(spark, dir).head()
+    assert(mh.getAs[Long]("n_pairs") >= 2L) // (1,2) exact + (1,3)/(2,3) near
+    assert(mh.getAs[Double]("min_dist") === 0.0)
+  }
+
+  test("language-ID heuristic votes en/es on the planted docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlang").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val guesses = SparkEntry.queries("q29_lang_id")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(guesses(1L) === "en")
+    assert(guesses(4L) === "es")
+  }
+
+  test("text stats: token counts and stop ratio on a known string") {
+    val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q26_text_stats")(spark, dir)
+      .filter(col("doc_id") === 1L).head()
+    assert(r.getAs[Int]("n_tokens") === 9)
+    assert(r.getAs[Double]("stop_ratio") === 2.0 / 9) // two 'the'
+  }
+}
