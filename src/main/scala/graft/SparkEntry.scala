@@ -18,11 +18,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Flatten module maps, failing loudly on duplicate query names — a
+    * silent last-wins merge would drop a query (and its oracle) from the
+    * correctness gate without any error.
+    */
+  private def distinctByName[V](kvs: Seq[(String, V)]): Map[String, V] = {
+    val dups = kvs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(", ")}")
+    kvs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, Q] = modules.flatMap(_.queries).toMap
+  def queries: Map[String, Q] = distinctByName(modules.flatMap(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = modules.flatMap(_.oracles).toMap
+  def oracleSql: Map[String, String] = distinctByName(modules.flatMap(_.oracles))
 }

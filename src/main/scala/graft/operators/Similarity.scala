@@ -36,7 +36,11 @@ object Similarity extends QueryModule {
       when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** q31 — brute-force cosine top-5 for query vectors vec_id < 5. */
+  /** q31 — brute-force cosine top-5 for query vectors vec_id < 5.
+    * Ranking keys round the raw cosine to 9 dp first: Spark's left-fold
+    * aggregate and DuckDB's list kernel can differ at ulp level, and a raw
+    * double rank would let near-ties order differently per engine.
+    */
   val knnBrute: Q = (s, d) => {
     val corpus = base(s, d)
     val queries = corpus.filter(col("vec_id") < 5).select(
@@ -46,13 +50,13 @@ object Similarity extends QueryModule {
     val sim = cosineWithNorms(
       dotD(col("q_emb"), col("embedding")), col("q_sq"), col("sq"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(col("sim9").desc, col("vec_id"))
     corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", sim)
+      .withColumn("sim9", round(sim, 9))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rn"),
-        round(col("sim"), 4).as("sim"))
+        round(col("sim9"), 4).as("sim"))
       .orderBy("query_id", "rn")
   }
 
@@ -67,14 +71,14 @@ object Similarity extends QueryModule {
     val sim = cosineWithNorms(
       dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
     val w = Window.partitionBy(col("l.vec_id"))
-      .orderBy(col("sim").desc, col("r.vec_id"))
+      .orderBy(col("sim9").desc, col("r.vec_id"))
     l.join(r,
         col("l.bucket") === col("r.bucket") && col("l.vec_id") =!= col("r.vec_id"))
-      .withColumn("sim", sim)
+      .withColumn("sim9", round(sim, 9))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("l.vec_id").as("vec_id"), col("r.vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("l.bucket").cast("int").as("bucket"))
+        round(col("sim9"), 4).as("sim"), col("l.bucket").cast("int").as("bucket"))
       .orderBy("vec_id")
   }
 
@@ -88,10 +92,10 @@ object Similarity extends QueryModule {
     val sim = cosineWithNorms(
       dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
     l.join(r, col("l.vec_id") < col("r.vec_id"))
-      .withColumn("sim", sim)
-      .filter(col("sim") >= 0.4)
+      .withColumn("sim9", round(sim, 9))
+      .filter(col("sim9") >= 0.4)
       .select(col("l.vec_id").as("vec_id_1"), col("r.vec_id").as("vec_id_2"),
-        round(col("sim"), 4).as("sim"))
+        round(col("sim9"), 4).as("sim"))
       .orderBy("vec_id_1", "vec_id_2")
   }
 
@@ -109,29 +113,29 @@ object Similarity extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q31_knn_brute" ->
-      s"""SELECT query_id, neighbor_id, CAST(rn AS INT) AS rn, round(sim, 4) AS sim
+      s"""SELECT query_id, neighbor_id, CAST(rn AS INT) AS rn, round(sim9, 4) AS sim
          |FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${duckCos.format("q", "c")} AS sim,
+         |    round(${duckCos.format("q", "c")}, 9) AS sim9,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${duckCos.format("q", "c")} DESC, c.vec_id) AS rn
+         |      ORDER BY round(${duckCos.format("q", "c")}, 9) DESC, c.vec_id) AS rn
          |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 5
          |) WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q32_lsh_ann" ->
       s"""WITH b AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
-         |SELECT vec_id, neighbor_id, round(sim, 4) AS sim, CAST(bucket AS INT) AS bucket
+         |SELECT vec_id, neighbor_id, round(sim9, 4) AS sim, CAST(bucket AS INT) AS bucket
          |FROM (
          |  SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id, l.bucket AS bucket,
-         |    ${duckCos.format("l", "r")} AS sim,
+         |    round(${duckCos.format("l", "r")}, 9) AS sim9,
          |    row_number() OVER (PARTITION BY l.vec_id
-         |      ORDER BY ${duckCos.format("l", "r")} DESC, r.vec_id) AS rn
+         |      ORDER BY round(${duckCos.format("l", "r")}, 9) DESC, r.vec_id) AS rn
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
          |) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q36_embed_neardup" ->
       s"""SELECT l.vec_id AS vec_id_1, r.vec_id AS vec_id_2,
-         |  round(${duckCos.format("l", "r")}, 4) AS sim
+         |  round(round(${duckCos.format("l", "r")}, 9), 4) AS sim
          |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
-         |WHERE ${duckCos.format("l", "r")} >= 0.4
+         |WHERE round(${duckCos.format("l", "r")}, 9) >= 0.4
          |ORDER BY vec_id_1, vec_id_2""".stripMargin)
 }

@@ -26,9 +26,17 @@ object Tables {
     * type for — read it as a long (nanos since epoch) and truncate to a
     * micros timestamp. Integer `div` keeps full precision (a double division
     * would lose bits above 2^53).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once in the
+    * session builders (Verify/Bench/SparkSpec) — a reader must not mutate
+    * session-global conf as a side effect, because the flag would silently
+    * change how every other TIMESTAMP(NANOS) parquet in the session is read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession builder")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

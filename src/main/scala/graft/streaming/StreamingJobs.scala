@@ -25,7 +25,6 @@ object StreamingJobs extends QueryModule {
     * events table; result identical to the batch q22.
     */
   val streamTumbling: Q = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     val schema = s.read.parquet(path).schema // ts arrives as long (nanos)
     // the file source requires a directory: stream the sf dir, filtered to
@@ -42,7 +41,14 @@ object StreamingJobs extends QueryModule {
       .format("memory").queryName(name).start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(name).orderBy("window_start", "event_type")
+    // Materialize into a local DataFrame and drop the memory-sink view so
+    // repeated runs in one session (bench loops, test reruns) don't
+    // accumulate result copies in driver memory.
+    val sink = s.table(name).orderBy("window_start", "event_type")
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = s.createDataFrame(rows, sink.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   def queries: Map[String, Q] = Map("q39_stream_tumbling" -> streamTumbling)

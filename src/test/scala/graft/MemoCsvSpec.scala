@@ -22,6 +22,21 @@ class MemoCsvSpec extends SparkSpec {
     assert(computations === 2)
   }
 
+  test("memoize distrusts a partial cache dir (no _SUCCESS marker)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmemo").toString
+    val path = s"$dir/partial.parquet"
+    // Simulate an interrupted write: data file present, no _SUCCESS commit
+    // marker — round 1 served this silently; now it must recompute.
+    Seq((1, "stale")).toDF("k", "v")
+      .write.mode("overwrite").parquet(path)
+    new java.io.File(s"$path/_SUCCESS").delete()
+    var computations = 0
+    def fresh = { computations += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val out = Memo.memoize(spark, path)(fresh)
+    assert(computations === 1)
+    assert(out.count() === 2) // the fresh result, not the stale partial
+  }
+
   test("csv read with explicit schema (no inference pass)") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     Seq((1, "x", 2.5), (2, "y", 3.5)).toDF("id", "name", "score")
