@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.{FloatVecDot, FloatVecSqNorm}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native Catalyst expressions
+  * (SURVEY.md §7, "custom Catalyst work"): enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * public `SparkSessionExtensions` injection point, no private Spark API.
+  * The functions are then reachable from SQL and from the Column API via
+  * `functions.call_function("vec_dot", a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(arrayOfFloat, arrayOfFloat)")
+        FloatVecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sqnorm"),
+      new ExpressionInfo(classOf[FloatVecSqNorm].getName, "vec_sqnorm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_sqnorm(arrayOfFloat)")
+        FloatVecSqNorm(args.head)
+      }))
+  }
+}

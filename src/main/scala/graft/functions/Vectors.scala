@@ -3,27 +3,43 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ArrayType(FloatType) embedding columns, built from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`) —
-  * no UDF, no driver-side math, so the expressions stay inside whole-stage
-  * codegen and distribute trivially.
+/** Vector math over ArrayType(FloatType) embedding columns.
+  *
+  * The hot-path entry points ([[dotD]], [[sqNormD]]) resolve to the native
+  * codegen'd Catalyst expressions [[FloatVecDot]]/[[FloatVecSqNorm]]
+  * registered by [[graft.GraftExtensions]] — a tight primitive loop inside
+  * whole-stage codegen. The higher-order-function formulations are kept as
+  * [[dotSlow]]/[[sqNormSlow]]: they are the executable specification (same
+  * left-to-right double accumulation, bit-identical results — see
+  * SimilaritySpec's parity test) and need no session extension.
   *
   * Precision contract: float inputs are widened to double before any
-  * multiply (float*float is exact in double), and accumulation is the
-  * left-to-right order both Spark's `aggregate` and DuckDB's list kernels
-  * use, so cosine scores agree with the oracle to the last few ulps; query
-  * outputs round to 4 dp on both sides.
+  * multiply (float*float is exact in double), and accumulation is
+  * left-to-right in index order in both formulations and in DuckDB's list
+  * kernels, so cosine scores agree with the oracle to the last few ulps;
+  * query outputs round to 4 dp on both sides.
   */
 object Vectors {
-  /** Σ a_i * b_i in double precision. */
-  def dotD(a: Column, b: Column): Column =
+  /** Σ a_i * b_i in double precision (native codegen expression;
+    * requires `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def dotD(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Σ a_i² in double precision (native codegen expression). */
+  def sqNormD(a: Column): Column = call_function("vec_sqnorm", a)
+
+  /** HOF reference implementation of [[dotD]] — interpreted, allocation
+    * per pair; used only as the parity spec and where the extension is
+    * not registered.
+    */
+  def dotSlow(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Σ a_i^2 in double precision. */
-  def sqNormD(a: Column): Column =
+  /** HOF reference implementation of [[sqNormD]]. */
+  def sqNormSlow(a: Column): Column =
     aggregate(
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0),

@@ -17,6 +17,34 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("native vec_dot/vec_sqnorm are bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+        .filter(col("id2") < 20))
+    val bad = pairs.select(
+      dotD(col("e1"), col("e2")).as("fast"),
+      dotSlow(col("e1"), col("e2")).as("slow"),
+      sqNormD(col("e1")).as("nfast"),
+      sqNormSlow(col("e1")).as("nslow"))
+      .filter(col("fast") =!= col("slow") || col("nfast") =!= col("nslow"))
+    assert(bad.count() === 0) // exact ==, not a tolerance: same fold order
+  }
+
+  test("vec_dot null semantics match zip_with+aggregate: mismatched length and null element → null") {
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)), // length mismatch
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f))) // clean
+      .toDF("a", "b")
+      .union(Seq((Array(1f, 2f), Array(1f, 2f)))
+        .toDF("a", "b")
+        .select(transform(col("a"), x => when(x === 1f, x)).as("a"), col("b"))) // null element
+    val got = df.select(dotD(col("a"), col("b")).as("fast"),
+      dotSlow(col("a"), col("b")).as("slow")).collect()
+    got.foreach { r => assert(r.isNullAt(0) === r.isNullAt(1)) }
+    assert(got.count(_.isNullAt(0)) === 2)
+  }
+
   test("knn: 5 neighbors per query, self excluded, sims non-increasing") {
     val rows = q("q31_knn_brute").collect()
     assert(rows.length === 25) // 5 queries × 5 neighbors

@@ -11,6 +11,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet is TIMESTAMP(NANOS); see Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // native vec_dot/vec_sqnorm expressions (graft.functions.VecExprs)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -40,9 +40,11 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(dedup("en") === ((2L, 3L))) // 3 docs, 2 unique texts
 
-    val mh = SparkEntry.queries("q37_minhash_neardup")(spark, dir).head()
-    assert(mh.getAs[Long]("n_pairs") >= 2L) // (1,2) exact + (1,3)/(2,3) near
-    assert(mh.getAs[Double]("min_dist") === 0.0)
+    val mh = SparkEntry.queries("q37_minhash_neardup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mh(1L)._1 >= 1L && mh(1L)._2 === 1L) // 1 has dup 2; canon = itself
+    assert(mh(2L) === ((1L, 1L))) // exact dup of 1 → canon 1
+    assert(mh(4L) === ((0L, 4L))) // the Spanish doc has no near-dups
   }
 
   test("language-ID heuristic votes en/es on the planted docs") {
