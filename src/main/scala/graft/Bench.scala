@@ -15,6 +15,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT, codegen compiler, parquet reader and spark.ml
+    // (breeze/BLAS) initialization would otherwise all be attributed to
+    // whichever query happens to iterate first (measured ~5s on the first
+    // query of a cold session).
+    SparkEntry.entry(spark).count();
+    {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.VectorAssembler
+      import spark.implicits._
+      val tiny = new VectorAssembler().setInputCols(Array("x")).setOutputCol("features")
+        .transform((0 until 64).map(i => (i.toDouble, i % 2)).toDF("x", "label"))
+      new LogisticRegression().setMaxIter(2).fit(tiny).transform(tiny).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -68,10 +68,17 @@ object Pipelines extends QueryModule {
     * train/test are cached across the pipeline's fit passes (indexer count,
     * scaler stats, L-BFGS sweeps each trigger an action; uncached they'd
     * re-read parquet and re-sample the split every time) and unpersisted
-    * before returning.
+    * before returning. The cached splits are repartitioned to the core
+    * count AFTER the split (membership unchanged): the sf0.1 fixture is a
+    * single 10.8MB row group, i.e. ONE scan partition, which would leave
+    * every iterative fit pass single-threaded — the same sizing rule that
+    * matters on a 1000-executor cluster reading coarse files.
     */
   val lrAuc: Q = (s, d) => {
-    val Array(train, test) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    val p = s.sparkContext.defaultParallelism
+    val Array(train0, test0) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    val train = train0.repartition(p)
+    val test = test0.repartition(p)
     train.cache(); test.cache()
     try {
       val pipe = new Pipeline().setStages(featurePipeline :+
@@ -91,7 +98,12 @@ object Pipelines extends QueryModule {
     * unchanged, so the model is identical.
     */
   val rfAuc: Q = (s, d) => {
-    val Array(train, test) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    val p = s.sparkContext.defaultParallelism
+    val Array(train0, test0) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    // repartition after the split (membership unchanged; see lrAuc) — the
+    // per-level stats aggregation then runs p-wide instead of 1-wide
+    val train = train0.repartition(p)
+    val test = test0.repartition(p)
     train.cache(); test.cache()
     try {
       val pipe = new Pipeline().setStages(featurePipeline :+
@@ -126,6 +138,14 @@ object Pipelines extends QueryModule {
     // training set by orders of magnitude — sizing partitions to the
     // post-agg data, not the raw scan, is the point.)
     val small = counts.coalesce(1).cache()
+    // GBT's 100 sequential rounds grow the prediction-error RDD's lineage;
+    // without a checkpoint dir Spark never truncates it, so late-round task
+    // binaries balloon (observed 1.4→2.6MB broadcasts) and every job pays
+    // serialization for the whole chain. A checkpoint dir activates the
+    // estimator's checkpointInterval=10 default and keeps lineage flat.
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     try {
       val Array(train, test) = small.randomSplit(Array(0.7, 0.3), seed = 42)
       val pipe = new Pipeline().setStages(Array(
