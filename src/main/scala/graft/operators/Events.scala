@@ -46,10 +46,67 @@ object Events extends QueryModule {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** q45 — gap-based sessionization via the built-in `session_window`
+    * (30-minute inactivity gap per user). Window end = last event + gap,
+    * new session when the gap is ≥ 30 min (session intervals are
+    * half-open, so an event at exactly prev+gap starts a new session).
+    * Oracle: classic gaps-and-islands SQL (lag → island id → group).
+    */
+  val sessionWindows: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** q46 — the same sessionization through the typed custom-state API
+    * (`KeyValueGroupedDataset.flatMapGroups`): per-user event times are
+    * folded into sessions imperatively — the batch twin of a streaming
+    * `flatMapGroupsWithState` sessionizer (StreamingSpec exercises the
+    * GroupState form). Timestamps travel as epoch-micros longs so the
+    * typed encoders stay primitive. Scale shape: state is per-user and
+    * the shuffle is on user_id; the in-group sort is bounded by a single
+    * user's event count (secondary sort / mapGroupsWithState at 100 TB if
+    * a single key's history outgrows memory).
+    */
+  val statefulSessions: Q = (s, d) => {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long)]) =>
+        val ts = it.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ts(0)
+        var prev = ts(0)
+        var n = 1L
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - prev >= gapUs) {
+            out += ((uid, start, prev + gapUs, n)); start = ts(i); n = 0L
+          }
+          prev = ts(i); n += 1; i += 1
+        }
+        out += ((uid, start, prev + gapUs, n))
+        out.iterator
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   def queries: Map[String, Q] = Map(
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
-    "q24_json_extract" -> jsonExtract)
+    "q24_json_extract" -> jsonExtract,
+    "q45_session_windows" -> sessionWindows,
+    "q46_stateful_sessions" -> statefulSessions)
 
   def oracles: Map[String, String] = Map(
     "q22_window_tumbling" ->
@@ -69,5 +126,29 @@ object Events extends QueryModule {
         |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q24_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q45_session_windows" -> sessionOracle,
+    // q46 computes the same sessions through the typed state API — same oracle
+    "q46_stateful_sessions" -> sessionOracle)
+
+  /** Gaps-and-islands sessionization, DuckDB side: new-session marker via
+    * lag, island id via running sum (ROWS frame; ties on ts share a
+    * session either way), session end = last event + gap.
+    */
+  private val sessionOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }

@@ -99,10 +99,53 @@ object Similarity extends QueryModule {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
+  /** q47 — IVF-style approximate NN (the second scale path besides q32's
+    * sign-LSH): a small set of coarse centroids partitions the corpus into
+    * cells; each vector is assigned to its nearest centroid (broadcast
+    * cross-join against the 16 pivots — O(n·C), no shuffle of the corpus),
+    * then neighbor search is an equi-join on cell_id. Centroids here are
+    * the first 16 vectors by vec_id — deterministic, so the whole index is
+    * DuckDB-reproducible; a production build swaps in k-means centroids
+    * (graft.ml) without changing the plan shape, and multi-probe = top-P
+    * cells per query instead of top-1.
+    */
+  val ivfAnn: Q = (s, d) => {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 16).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"))
+    val l = assigned.alias("l")
+    val r = assigned.alias("r")
+    val sim = cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
+    val w = Window.partitionBy(col("l.vec_id"))
+      .orderBy(col("sim9").desc, col("r.vec_id"))
+    l.join(r,
+        col("l.cell_id") === col("r.cell_id") && col("l.vec_id") =!= col("r.vec_id"))
+      .withColumn("sim9", round(sim, 9))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l.vec_id").as("vec_id"),
+        col("l.cell_id").cast("int").as("cell_id"),
+        col("r.vec_id").as("neighbor_id"), round(col("sim9"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q31_knn_brute" -> knnBrute,
     "q32_lsh_ann" -> lshAnn,
-    "q36_embed_neardup" -> embedNearDup)
+    "q36_embed_neardup" -> embedNearDup,
+    "q47_ivf_ann" -> ivfAnn)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
@@ -137,5 +180,24 @@ object Similarity extends QueryModule {
          |  round(round(${duckCos.format("l", "r")}, 9), 4) AS sim
          |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
          |WHERE round(${duckCos.format("l", "r")}, 9) >= 0.4
-         |ORDER BY vec_id_1, vec_id_2""".stripMargin)
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+    "q47_ivf_ann" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC, p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) p
+         |  ) WHERE arn = 1)
+         |SELECT vec_id, CAST(cell_id AS INT) AS cell_id, neighbor_id,
+         |  round(sim9, 4) AS sim
+         |FROM (
+         |  SELECT l.vec_id AS vec_id, l.cell_id AS cell_id,
+         |    r.vec_id AS neighbor_id,
+         |    round(${duckCos.format("l", "r")}, 9) AS sim9,
+         |    row_number() OVER (PARTITION BY l.vec_id
+         |      ORDER BY round(${duckCos.format("l", "r")}, 9) DESC, r.vec_id) AS rn
+         |  FROM assigned l JOIN assigned r
+         |  ON l.cell_id = r.cell_id AND l.vec_id <> r.vec_id
+         |) WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

@@ -30,6 +30,42 @@ class StreamingSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= total)
   }
 
+  test("built-in session_window (q45) and typed flatMapGroups sessionizer (q46) agree") {
+    val a = q("q45_session_windows").collect().map(_.toSeq).toSet
+    val b = q("q46_stateful_sessions").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("mapGroupsWithState: streaming per-user running counts match batch counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graftstate").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val counts = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (uid, n)
+      }
+    val qy = counts.toDF("user_id", "n").writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName("state_out")
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination()
+    // Update mode re-emits a key on every batch; the LAST emission per key
+    // is the final running count
+    val got = spark.table("state_out").groupBy("user_id")
+      .agg(max("n").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("state_out")
+    assert(got === want)
+  }
+
   test("session windows: 30-minute-gap sessionization per user") {
     val sessions = graft.sources.Tables.events(spark, sf)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
