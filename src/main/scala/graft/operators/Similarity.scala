@@ -30,11 +30,17 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"),
         sqNormD(col("embedding")).as("sq"))
 
-  /** Sign-of-leading-dims LSH bucket id (8 planes → 256 buckets). */
-  private def bucketCol: org.apache.spark.sql.Column =
+  /** Sign-LSH bucket id for band `band`: 8 planes (dims 8·band+1 ..
+    * 8·band+8) → 256 buckets. Band 0 is q32's single-band key; q36 uses
+    * all 8 bands so every dimension contributes to some band.
+    */
+  private def bandBucket(band: Int): org.apache.spark.sql.Column =
     (0 until 8).map { i =>
-      when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(element_at(col("embedding"), band * 8 + i + 1) >= 0, lit(1 << i))
+        .otherwise(lit(0))
     }.reduce(_ + _)
+
+  private def bucketCol: org.apache.spark.sql.Column = bandBucket(0)
 
   /** q31 — brute-force cosine top-5 for query vectors vec_id < 5.
     * Ranking keys round the raw cosine to 9 dp first: Spark's left-fold
@@ -82,19 +88,45 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
-  /** q36 — embedding-cosine near-dup pairs (threshold 0.4 on this corpus).
-    * Brute all-pairs here (the corpus is small); the 100 TB path runs the
-    * same predicate inside q32's bucket join.
+  /** q36 — embedding-cosine near-dup pairs (threshold 0.4), LSH-blocked:
+    * the scale path, not an all-pairs join. Each vector explodes into 8
+    * (band, bucket) keys — band b hashes dims 8b+1..8b+8 by sign, so every
+    * dimension contributes to exactly one band — candidates are a self
+    * EQUI-join on (band, bucket) (shuffle-partitioned by key, never n²),
+    * deduped, then verified against the exact cosine threshold.
+    *
+    * Candidate volume is ~3% of all pairs (8 bands × 2⁻⁸ random collision
+    * rate), linear in corpus size for a fixed density. Recall at a 0.40
+    * threshold on this corpus (true pairs sit at 0.40–0.51, barely above
+    * random) is partial by construction — sign-LSH recall rises steeply
+    * with similarity, so planted high-sim duplicates are caught while
+    * borderline pairs need more bands; the band count is the explicit
+    * recall/cost knob. The DuckDB oracle runs the identical blocked
+    * algorithm, so the check is exact.
     */
   val embedNearDup: Q = (s, d) => {
-    val l = base(s, d).alias("l")
-    val r = base(s, d).alias("r")
-    val sim = cosineWithNorms(
-      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
-    l.join(r, col("l.vec_id") < col("r.vec_id"))
+    val b = base(s, d)
+    val bandCols = (0 until 8).map { band =>
+      struct(lit(band).as("band"), bandBucket(band).as("bucket"))
+    }
+    val banded = b
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.alias("cl").join(banded.alias("cr"),
+        col("cl.band") === col("cr.band") &&
+          col("cl.bucket") === col("cr.bucket") &&
+          col("cl.vec_id") < col("cr.vec_id"))
+      .select(col("cl.vec_id").as("v1"), col("cr.vec_id").as("v2"))
+      .distinct()
+    val e1 = b.select(col("vec_id").as("v1"),
+      col("embedding").as("emb1"), col("sq").as("sq1"))
+    val e2 = b.select(col("vec_id").as("v2"),
+      col("embedding").as("emb2"), col("sq").as("sq2"))
+    val sim = cosineWithNorms(dotD(col("emb1"), col("emb2")), col("sq1"), col("sq2"))
+    cand.join(e1, "v1").join(e2, "v2")
       .withColumn("sim9", round(sim, 9))
       .filter(col("sim9") >= 0.4)
-      .select(col("l.vec_id").as("vec_id_1"), col("r.vec_id").as("vec_id_2"),
+      .select(col("v1").as("vec_id_1"), col("v2").as("vec_id_2"),
         round(col("sim9"), 4).as("sim"))
       .orderBy("vec_id_1", "vec_id_2")
   }
@@ -102,30 +134,41 @@ object Similarity extends QueryModule {
   /** q47 — IVF-style approximate NN (the second scale path besides q32's
     * sign-LSH): a small set of coarse centroids partitions the corpus into
     * cells; each vector is assigned to its nearest centroid (broadcast
-    * cross-join against the 16 pivots — O(n·C), no shuffle of the corpus),
+    * cross-join against the 64 pivots — O(n·C), no shuffle of the corpus),
     * then neighbor search is an equi-join on cell_id. Centroids here are
-    * the first 16 vectors by vec_id — deterministic, so the whole index is
+    * the first 64 vectors by vec_id — deterministic, so the whole index is
     * DuckDB-reproducible; a production build swaps in k-means centroids
-    * (graft.ml) without changing the plan shape, and multi-probe = top-P
-    * cells per query instead of top-1.
+    * (graft.ml) without changing the plan shape.
+    *
+    * Skew hardening vs the 16-pivot top-1 original: 64 cells cut the
+    * worst-case Σ|cell|² join volume ~4×, and the QUERY side multi-probes
+    * its top-2 cells (the corpus side stays home-cell-only, so a pair can
+    * never surface twice) — recall recovers from probing, cost stays
+    * linear in Σ|cell_q|·|cell|. The reported cell_id is the probed cell
+    * where the winning neighbor lives.
     */
   val ivfAnn: Q = (s, d) => {
+    val nPivots = 64
     val corpus = base(s, d)
-    val pivots = corpus.filter(col("vec_id") < 16).select(
+    val pivots = corpus.filter(col("vec_id") < nPivots).select(
       col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
       col("sq").as("p_sq"))
     val psim = cosineWithNorms(
       dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("psim9").desc, col("pivot_id"))
+    // arn=1 → home cell (corpus side); arn≤2 → probed cells (query side).
+    // The assignment subtree is recomputed on each side of the self-join —
+    // it is O(n·C) map-side work against a broadcast pivot table, cheaper
+    // than persisting n·(dim+ids) through a cache at scale.
     val assigned = corpus.crossJoin(broadcast(pivots))
       .withColumn("psim9", round(psim, 9))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+      .filter(col("arn") <= 2)
       .select(col("vec_id"), col("embedding"), col("sq"),
-        col("pivot_id").as("cell_id"))
+        col("pivot_id").as("cell_id"), col("arn"))
     val l = assigned.alias("l")
-    val r = assigned.alias("r")
+    val r = assigned.filter(col("arn") === 1).alias("r")
     val sim = cosineWithNorms(
       dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
     val w = Window.partitionBy(col("l.vec_id"))
@@ -150,9 +193,11 @@ object Similarity extends QueryModule {
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
 
-  private val duckBucket = (0 until 8).map { i =>
-    s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
+  private def duckBandBucket(band: Int) = (0 until 8).map { i =>
+    s"(CASE WHEN embedding[${band * 8 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
   }.mkString(" + ")
+
+  private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
     "q31_knn_brute" ->
@@ -175,20 +220,31 @@ object Similarity extends QueryModule {
          |      ORDER BY round(${duckCos.format("l", "r")}, 9) DESC, r.vec_id) AS rn
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
          |) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-    "q36_embed_neardup" ->
-      s"""SELECT l.vec_id AS vec_id_1, r.vec_id AS vec_id_2,
-         |  round(round(${duckCos.format("l", "r")}, 9), 4) AS sim
-         |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
-         |WHERE round(${duckCos.format("l", "r")}, 9) >= 0.4
-         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+    "q36_embed_neardup" -> {
+      val banded = (0 until 8).map { b =>
+        s"SELECT vec_id, $b AS band, ${duckBandBucket(b)} AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH banded AS (
+         |  $banded),
+         |cand AS (
+         |  SELECT DISTINCT cl.vec_id AS v1, cr.vec_id AS v2
+         |  FROM banded cl JOIN banded cr
+         |  ON cl.band = cr.band AND cl.bucket = cr.bucket AND cl.vec_id < cr.vec_id)
+         |SELECT v1 AS vec_id_1, v2 AS vec_id_2,
+         |  round(round(${duckCos.format("e1", "e2")}, 9), 4) AS sim
+         |FROM cand JOIN embeddings e1 ON v1 = e1.vec_id
+         |          JOIN embeddings e2 ON v2 = e2.vec_id
+         |WHERE round(${duckCos.format("e1", "e2")}, 9) >= 0.4
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin
+    },
     "q47_ivf_ann" ->
       s"""WITH assigned AS (
-         |  SELECT vec_id, embedding, cell_id FROM (
+         |  SELECT vec_id, embedding, cell_id, arn FROM (
          |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC, p.vec_id) AS arn
-         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) p
-         |  ) WHERE arn = 1)
+         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 64) p
+         |  ) WHERE arn <= 2)
          |SELECT vec_id, CAST(cell_id AS INT) AS cell_id, neighbor_id,
          |  round(sim9, 4) AS sim
          |FROM (
@@ -197,7 +253,7 @@ object Similarity extends QueryModule {
          |    round(${duckCos.format("l", "r")}, 9) AS sim9,
          |    row_number() OVER (PARTITION BY l.vec_id
          |      ORDER BY round(${duckCos.format("l", "r")}, 9) DESC, r.vec_id) AS rn
-         |  FROM assigned l JOIN assigned r
+         |  FROM assigned l JOIN (SELECT * FROM assigned WHERE arn = 1) r
          |  ON l.cell_id = r.cell_id AND l.vec_id <> r.vec_id
          |) WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

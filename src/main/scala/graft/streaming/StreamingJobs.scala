@@ -27,19 +27,24 @@ object StreamingJobs extends QueryModule {
   val streamTumbling: Q = (s, d) => {
     val path = s"$d/events.parquet"
     val schema = s.read.parquet(path).schema // ts arrives as long (nanos)
-    // the file source requires a directory: stream the sf dir, filtered to
-    // the events file
-    val agg = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // Stream the events file directly via a glob pattern — the round-2
+    // `pathGlobFilter` over the whole sf dir re-listed every sibling table
+    // on each micro-batch for nothing. The pattern must be a real glob:
+    // FileStreamSource passes a non-glob path through as `basePath`, which
+    // must be a directory (a bare file path throws in getBatch).
+    val agg = s.readStream.schema(schema).parquet(s"$d/events.*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
     val name = s"stream_tumbling_${runId.incrementAndGet()}"
+    // AvailableNow drains the whole backlog in bounded micro-batches and
+    // stops itself — the batch-parity trigger for a static input.
     val q = agg.writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(name).start()
-    try q.processAllAvailable()
+    try q.awaitTermination()
     finally q.stop()
     // Materialize into a local DataFrame and drop the memory-sink view so
     // repeated runs in one session (bench loops, test reruns) don't
