@@ -30,14 +30,23 @@ import org.apache.spark.sql.functions._
 object Pipelines extends QueryModule {
 
   /** lineitem with binary label + the arrest-shaped feature prep:
-    * exclude-list feature selection, categorical indexing, assembly.
+    * dtype-driven drop, categorical indexing, assembly.
+    *
+    * The timestamp drop is schema-driven (§2.2 P2, Dataset.py:580: the
+    * reference scans dtypes and drops date/timestamp columns before ML),
+    * not an explicit name list — after the needed date part is derived,
+    * every TimestampType column goes, whatever the input schema.
     */
-  private def labeled(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
-      (col("l_returnflag") === "R").cast("double").as("label"),
-      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-      col("l_tax"), month(col("l_shipdate")).cast("double").as("ship_month"),
-      col("l_linestatus"))
+  private def labeled(s: SparkSession, d: String): DataFrame = {
+    val withDerived = Tables.lineitem(s, d)
+      .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+      .withColumn("ship_month", month(col("l_shipdate")).cast("double"))
+    val tsCols = withDerived.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampType).map(_.name)
+    withDerived.drop(tsCols: _*).select(
+      col("label"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("ship_month"), col("l_linestatus"))
+  }
 
   /** StringIndexer → VectorAssembler → StandardScaler(withMean=false), the
     * reference's shared preamble (Dataset.py:582-608) with its parameters
@@ -188,6 +197,44 @@ object Pipelines extends QueryModule {
       val rows = java.util.Arrays.asList(sizes.collect(): _*)
       s.createDataFrame(rows, sizes.schema)
     } finally { assembled.unpersist() }
+  }
+
+  /** M14 — the reference's designed-but-disabled grid search
+    * (CrossValidator/ParamGridBuilder, commented out at Dataset.py:615-642
+    * and 745-760): LR regParam grid under seeded k-fold CV, best model
+    * re-evaluated on the held-out test split. Kept off the bench/oracle
+    * path exactly as the reference keeps it disabled — MlSpec smoke-fits a
+    * 2-point grid × 2 folds. CV parallelism is the number of grid cells:
+    * the candidate fits per fold are independent jobs.
+    */
+  def crossValidatedLr(s: SparkSession, d: String,
+      regParams: Array[Double] = Array(0.01, 0.1), folds: Int = 2): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val Array(train, test) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    train.cache()
+    try {
+      val lr = new LogisticRegression().setMaxIter(10)
+        .setLabelCol("label").setFeaturesCol("features")
+      val grid = new ParamGridBuilder().addGrid(lr.regParam, regParams).build()
+      val cv = new CrossValidator()
+        .setEstimator(new Pipeline().setStages(featurePipeline :+ lr))
+        .setEvaluator(new BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC"))
+        .setEstimatorParamMaps(grid)
+        .setNumFolds(folds)
+        .setParallelism(regParams.length)
+        .setSeed(42)
+      val model = cv.fit(train)
+      val bestReg = model.bestModel
+        .asInstanceOf[org.apache.spark.ml.PipelineModel]
+        .stages.last
+        .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+        .getRegParam
+      val auc = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").evaluate(model.transform(test))
+      import s.implicits._
+      Seq(("cv_lr_best_reg", bestReg), ("cv_lr_auc", auc)).toDF("metric", "value")
+    } finally train.unpersist()
   }
 
   private val corrCols = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -210,8 +210,28 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag", "rn")
   }
 
+  /** q49 — the flagship behind the [[Memo]] combinator: the reference's
+    * central architectural idea (existence-gated parquet materialization,
+    * Dataset.py:50-56 with 12 call sites) exercised on a real query path.
+    * First call computes q01 and publishes it atomically; subsequent calls
+    * (re-runs, other sessions on the same host) serve the parquet. The
+    * cache key fingerprints the input file (length + mtime), so a changed
+    * fixture can never be served a stale result. Row order is re-imposed
+    * after the read — a multi-file parquet read has no order guarantee.
+    */
+  val memoPricing: Q = (s, d) => {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val cache = s"${System.getProperty("java.io.tmpdir")}/graft_memo/" +
+      s"pricing_${st.getLen}_${st.getModificationTime}"
+    Memo.memoize(s, cache)(pricingSummary(s, d))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
+    "q49_memo_pricing" -> memoPricing,
     "q02_null_counts" -> nullCounts,
     "q03_clean_dedup_count" -> cleanDedupCount,
     "q04_regex_clean" -> regexClean,
@@ -234,9 +254,8 @@ object Relational extends QueryModule {
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
     "l_shipdate")
 
-  def oracles: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+  private val pricingSql =
+    """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
@@ -246,7 +265,12 @@ object Relational extends QueryModule {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> pricingSql,
+    // q49 is q01 behind the memo cache — identical semantics, same oracle
+    "q49_memo_pricing" -> pricingSql,
     "q02_null_counts" ->
       lineitemCols.map(c => s"CAST(count(*) - count($c) AS BIGINT) AS $c")
         .mkString("SELECT ", ", ", " FROM lineitem"),

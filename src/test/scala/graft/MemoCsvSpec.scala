@@ -37,6 +37,17 @@ class MemoCsvSpec extends SparkSpec {
     assert(out.count() === 2) // the fresh result, not the stale partial
   }
 
+  test("q49 memo query path: warm call plans as a pure scan, no aggregate") {
+    // First call computes q01 and publishes the cache; the warm call's plan
+    // must be a parquet relation + sort — the aggregation never re-runs.
+    val cold = q("q49_memo_pricing")
+    val n = cold.count()
+    val warm = q("q49_memo_pricing")
+    assert(warm.count() === n)
+    val plan = warm.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"warm memo plan re-aggregates:\n$plan")
+  }
+
   test("csv read with explicit schema (no inference pass)") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     Seq((1, "x", 2.5), (2, "y", 3.5)).toDF("id", "name", "score")

@@ -23,6 +23,14 @@ class MlSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_nations")).sum === 25L)
   }
 
+  test("M14: CrossValidator + ParamGridBuilder smoke (2-point grid, 2 folds, seeded)") {
+    val m = graft.ml.Pipelines.crossValidatedLr(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(Set(0.01, 0.1).contains(m("cv_lr_best_reg")),
+      s"best regParam ${m("cv_lr_best_reg")} not from the grid")
+    assert(m("cv_lr_auc") >= 0.0 && m("cv_lr_auc") <= 1.0)
+  }
+
   test("correlation matrix: unit diagonal, symmetric") {
     val m = q("q44_ml_corr_matrix").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
