@@ -4,59 +4,130 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import graft.{Q, QueryModule}
 import graft.functions.Exact._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming slice (SURVEY.md §2.9 — absent from the reference;
-  * reserved by the build plan M5). q39 runs the SAME tumbling-window
-  * aggregate as the batch q22 through `readStream` → `writeStream`, so it
-  * shares q22's DuckDB oracle: batch/stream parity is itself the check.
+  * reserved by the build plan M5). Each job runs a batch-equivalent
+  * computation through `readStream` → `writeStream`, so it shares the batch
+  * twin's DuckDB oracle: batch/stream parity is itself the check.
   *
-  * Complete output mode + memory sink drive the static parquet as one
-  * micro-batch; the production shape swaps the source for Kafka/files and
-  * the sink for parquet/Delta, adds `withWatermark` + append mode (covered
-  * in StreamingSpec along with session windows), and the state store
-  * partitions by the grouping key exactly like the batch shuffle does.
+  * Coverage: q39 stateful windowed aggregation (complete mode, memory
+  * sink); q50 streaming deduplication with watermark-bounded state and a
+  * DURABLE parquet sink in append mode (the production persistence shape);
+  * q51 stream-static enrichment join (the canonical "enrich events with a
+  * broadcast dimension" topology). Session windows + typed custom state
+  * live in operators/Events (q45/q46) with StreamingSpec coverage.
+  *
+  * At scale the source swaps for Kafka/file-directory streams and the
+  * state store partitions by the grouping/dedup key exactly like the batch
+  * shuffle does; `Trigger.AvailableNow` drains a bounded backlog and stops,
+  * which is also the recommended backfill pattern.
   */
 object StreamingJobs extends QueryModule {
 
   private val runId = new AtomicInteger()
 
-  /** q39 — tumbling 1-hour event-time window over a streaming read of the
-    * events table; result identical to the batch q22.
+  /** Streaming read of the events table with the ns→µs timestamp
+    * conversion. The file is streamed directly via a glob pattern — a
+    * `pathGlobFilter` over the whole sf dir would re-list every sibling
+    * table on each micro-batch. The pattern must be a real glob:
+    * FileStreamSource passes a non-glob path through as `basePath`, which
+    * must be a directory (a bare file path throws in getBatch).
     */
-  val streamTumbling: Q = (s, d) => {
-    val path = s"$d/events.parquet"
-    val schema = s.read.parquet(path).schema // ts arrives as long (nanos)
-    // Stream the events file directly via a glob pattern — the round-2
-    // `pathGlobFilter` over the whole sf dir re-listed every sibling table
-    // on each micro-batch for nothing. The pattern must be a real glob:
-    // FileStreamSource passes a non-glob path through as `basePath`, which
-    // must be a directory (a bare file path throws in getBatch).
-    val agg = s.readStream.schema(schema).parquet(s"$d/events.*")
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema // ts = long nanos
+    s.readStream.schema(schema).parquet(s"$d/events.*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("total"))
-    val name = s"stream_tumbling_${runId.incrementAndGet()}"
+  }
+
+  /** Run a streaming aggregate to completion through the memory sink and
+    * return its final table, dropping the temp view so repeated runs in
+    * one session (bench loops, test reruns) don't accumulate result
+    * copies in driver memory.
+    */
+  private def drainToLocal(s: SparkSession, agg: DataFrame, tag: String,
+      order: Seq[String]): DataFrame = {
+    val name = s"stream_${tag}_${runId.incrementAndGet()}"
     // AvailableNow drains the whole backlog in bounded micro-batches and
     // stops itself — the batch-parity trigger for a static input.
     val q = agg.writeStream.outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(Trigger.AvailableNow())
       .format("memory").queryName(name).start()
     try q.awaitTermination()
     finally q.stop()
-    // Materialize into a local DataFrame and drop the memory-sink view so
-    // repeated runs in one session (bench loops, test reruns) don't
-    // accumulate result copies in driver memory.
-    val sink = s.table(name).orderBy("window_start", "event_type")
+    val sink = s.table(name).orderBy(order.map(col): _*)
     val rows = java.util.Arrays.asList(sink.collect(): _*)
     val out = s.createDataFrame(rows, sink.schema)
     s.catalog.dropTempView(name)
     out
   }
 
-  def queries: Map[String, Q] = Map("q39_stream_tumbling" -> streamTumbling)
+  /** q39 — tumbling 1-hour event-time window over a streaming read of the
+    * events table; result identical to the batch q22.
+    */
+  val streamTumbling: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    drainToLocal(s, agg, "tumbling", Seq("window_start", "event_type"))
+  }
+
+  /** q50 — streaming deduplication with watermark-bounded state, written
+    * through a DURABLE parquet sink in append mode and read back — the
+    * full production persistence path (checkpointed file sink), not the
+    * test-only memory sink.
+    *
+    * `dropDuplicatesWithinWatermark` keys state by (user_id, event_type)
+    * and evicts entries once the event-time watermark passes them — the
+    * state store stays bounded no matter how long the stream runs, which
+    * is the property that matters at 100 TB. The delay here exceeds the
+    * fixture's whole time span, so the result is the exact distinct set
+    * and the oracle is plain SELECT DISTINCT. Only the dedup keys are
+    * projected: "first occurrence" of non-key columns is micro-batch-
+    * order-dependent and has no place in a deterministic result.
+    */
+  val streamDedup: Q = (s, d) => {
+    val dedup = eventsStream(s, d)
+      .withWatermark("ts", "400 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    val q = dedup.writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.read.parquet(s"$tmp/data").orderBy("user_id", "event_type")
+  }
+
+  /** q51 — stream-static enrichment join: the event stream joins a static
+    * broadcast dimension (customer, keyed by user_id) and aggregates per
+    * (nation, event_type). The static side is planned as a broadcast hash
+    * join inside every micro-batch — no shuffle of the stream, the
+    * canonical enrichment topology for event pipelines.
+    */
+  val streamStaticJoin: Q = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = eventsStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    drainToLocal(s, agg, "static_join", Seq("c_nationkey", "event_type"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q39_stream_tumbling" -> streamTumbling,
+    "q50_stream_dedup" -> streamDedup,
+    "q51_stream_static_join" -> streamStaticJoin)
 
   def oracles: Map[String, String] = Map(
     // identical semantics to q22 — same oracle
@@ -64,5 +135,13 @@ object StreamingJobs extends QueryModule {
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q50_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q51_stream_static_join" ->
+      """SELECT c_nationkey, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_nationkey, event_type""".stripMargin)
 }
