@@ -75,11 +75,52 @@ object Joins extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Skew-buster combinator: inner equi-join for pathological hot keys.
+    *
+    * AQE's skew-join split handles moderate skew at runtime, but a single
+    * key-group larger than one executor's memory still lands on one
+    * reducer. Salting fixes that structurally: every LEFT row gets a
+    * deterministic salt (hash of the whole row, mod `salts`), the RIGHT
+    * side is replicated once per salt value, and the shuffle key becomes
+    * (key, salt) — a hot key's rows now spread across `salts` reducers.
+    * Equivalent to the plain inner join: each left row matches exactly the
+    * right copies carrying its salt. Cost: `salts`× replication of the
+    * right side — use with a small dimension-ish right side and the skewed
+    * fact on the left.
+    */
+  def saltedJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String, salts: Int): org.apache.spark.sql.DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val l = left.withColumn("__lsalt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val r = right.withColumn("__rsalt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__lsalt") === r("__rsalt"))
+      .drop("__lsalt", "__rsalt")
+  }
+
+  /** q52 — the lineitem⋈orders fact join through [[saltedJoin]] (8 salts):
+    * revenue per order priority. Result identical to the unsalted join —
+    * the oracle is the plain SQL join, which is exactly the equivalence
+    * that makes salting safe to drop into a skewed pipeline.
+    */
+  val saltedJoinRevenue: Q = (s, d) => {
+    saltedJoin(Tables.lineitem(s, d), Tables.orders(s, d),
+        "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   def queries: Map[String, Q] = Map(
     "q18_star_join_revenue" -> starJoinRevenue,
     "q19_semi_join" -> semiJoin,
     "q20_anti_join" -> antiJoin,
-    "q21_left_join_agg" -> leftJoinAgg)
+    "q21_left_join_agg" -> leftJoinAgg,
+    "q52_salted_join" -> saltedJoinRevenue)
 
   def oracles: Map[String, String] = Map(
     "q18_star_join_revenue" ->
@@ -106,5 +147,12 @@ object Joins extends QueryModule {
       """SELECT o_orderkey, count(l_orderkey) AS n_items,
         | CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    // the salted join must be indistinguishable from the plain join
+    "q52_salted_join" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
 }

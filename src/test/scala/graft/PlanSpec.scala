@@ -1,0 +1,78 @@
+package graft
+
+/** Pins the scale-critical PHYSICAL PLAN shapes, not just results — the
+  * properties that decide whether a query survives a 100× scale-up: no
+  * accidental cartesian products, filters pushed to the parquet scan,
+  * columns pruned, map-side partial aggregation, broadcast dimension
+  * joins, top-k as TakeOrderedAndProject. A refactor that silently turns
+  * an equi-join back into a nested loop fails here before it ever reaches
+  * a benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("q36 banded near-dup plans equi-joins only — no cartesian, no nested loop") {
+    val p = plan("q36_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q47 IVF: only the broadcast pivot assignment may nest-loop; neighbor join is equi") {
+    val p = plan("q47_ivf_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    // The deliberate exception: the O(n·64) assignment cross against the
+    // broadcast constant-size pivot table, once per self-join side.
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 2, p)
+    // Neighbor search must join on the cell key, not filter a cross.
+    assert(p.contains("Join [cell_id") || p.contains("Join [coalesce(cell_id"), p)
+  }
+
+  test("q30 Jaccard and q37 minhash candidate joins are blocked equi-joins") {
+    for (name <- Seq("q30_jaccard_pairs", "q37_minhash_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("q01 scan pushes the shipdate filter and prunes to the 6 needed columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), p) // untouched columns never reach the scan
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    // exactly one data shuffle (the group-by); the sort exchange is on the
+    // 6-row aggregate
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q18 star join broadcasts all four dimensions; the fact side never shuffles") {
+    val p = plan("q18_star_join_revenue")
+    assert(count(p, "BroadcastHashJoin") === 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q09 top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_notin_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rank-filter windows get the WindowGroupLimit pushdown") {
+    // row_number()<=k filters must prune per-partition before the shuffle
+    // (Spark's WindowGroupLimit), or every window carries all rows.
+    for (name <- Seq("q17_topk_per_group", "q47_ivf_ann")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"), s"$name:\n$p")
+    }
+  }
+}
