@@ -74,21 +74,23 @@ object Pipelines extends QueryModule {
   /** q40 — logistic regression (Dataset.py:563-682): maxIter=100,
     * regParam=0.1, 80/20 split seed 42, areaUnderROC.
     *
-    * train/test are cached across the pipeline's fit passes (indexer count,
+    * TRAIN is cached across the pipeline's fit passes (indexer count,
     * scaler stats, L-BFGS sweeps each trigger an action; uncached they'd
     * re-read parquet and re-sample the split every time) and unpersisted
-    * before returning. The cached splits are repartitioned to the core
-    * count AFTER the split (membership unchanged): the sf0.1 fixture is a
-    * single 10.8MB row group, i.e. ONE scan partition, which would leave
-    * every iterative fit pass single-threaded — the same sizing rule that
-    * matters on a 1000-executor cluster reading coarse files.
+    * before returning, and is repartitioned to the core count AFTER the
+    * split (membership unchanged): the sf0.1 fixture is a single 10.8MB
+    * row group, i.e. ONE scan partition, which would leave every iterative
+    * fit pass single-threaded — the same sizing rule that matters on a
+    * 1000-executor cluster reading coarse files. TEST is deliberately left
+    * alone: it is scanned only twice (predict + AUC), and measured
+    * end-to-end the shuffle+cache of the test split costs more than the
+    * two passes it would save.
     */
   val lrAuc: Q = (s, d) => {
     val p = s.sparkContext.defaultParallelism
-    val Array(train0, test0) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    val Array(train0, test) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
     val train = train0.repartition(p)
-    val test = test0.repartition(p)
-    train.cache(); test.cache()
+    train.cache()
     try {
       val pipe = new Pipeline().setStages(featurePipeline :+
         new LogisticRegression().setMaxIter(100).setRegParam(0.1)
@@ -97,7 +99,7 @@ object Pipelines extends QueryModule {
       val auc = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").evaluate(pred)
       metricDf(s, "lr_roc_auc", auc)
-    } finally { train.unpersist(); test.unpersist() }
+    } finally train.unpersist()
   }
 
   /** q41 — random forest (Dataset.py:685-789): numTrees=20, maxDepth=10,
@@ -108,12 +110,12 @@ object Pipelines extends QueryModule {
     */
   val rfAuc: Q = (s, d) => {
     val p = s.sparkContext.defaultParallelism
-    val Array(train0, test0) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
+    val Array(train0, test) = labeled(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
     // repartition after the split (membership unchanged; see lrAuc) — the
-    // per-level stats aggregation then runs p-wide instead of 1-wide
+    // per-level stats aggregation then runs p-wide instead of 1-wide; test
+    // is scanned only twice, not worth a shuffle+cache (see lrAuc)
     val train = train0.repartition(p)
-    val test = test0.repartition(p)
-    train.cache(); test.cache()
+    train.cache()
     try {
       val pipe = new Pipeline().setStages(featurePipeline :+
         new RandomForestClassifier().setNumTrees(20).setMaxDepth(10).setSeed(42)
@@ -123,7 +125,7 @@ object Pipelines extends QueryModule {
       val auc = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").evaluate(pred)
       metricDf(s, "rf_roc_auc", auc)
-    } finally { train.unpersist(); test.unpersist() }
+    } finally train.unpersist()
   }
 
   /** q42 — GBT count regression (Dataset.py:792-863): pre-aggregate to
