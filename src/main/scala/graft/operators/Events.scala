@@ -67,8 +67,8 @@ object Events extends QueryModule {
     * GroupState form). Timestamps travel as epoch-micros longs so the
     * typed encoders stay primitive. Scale shape: state is per-user and
     * the shuffle is on user_id; the in-group sort is bounded by a single
-    * user's event count (secondary sort / mapGroupsWithState at 100 TB if
-    * a single key's history outgrows memory).
+    * user's event count — q53 is the secondary-sort variant that removes
+    * even that bound.
     */
   val statefulSessions: Q = (s, d) => {
     import s.implicits._
@@ -101,12 +101,56 @@ object Events extends QueryModule {
       .orderBy("user_id", "session_start")
   }
 
+  /** q53 — the same sessionization via SECONDARY SORT: repartition on
+    * user_id, sortWithinPartitions(user_id, ts), then one forward pass per
+    * partition with O(1) state. q46's flatMapGroups must buffer and sort a
+    * user's entire history in memory; here the shuffle delivers rows
+    * already ordered and no history is ever materialized — the shape that
+    * survives a single hot user with a billion events. Same oracle as
+    * q45/q46: three implementations, one semantics.
+    */
+  val sortedSessions: Q = (s, d) => {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        // each next() consumes exactly one session's rows — no buffering
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Long, Long) = {
+            val (uid, first) = rows.next()
+            val start = first
+            var prev = first
+            var n = 1L
+            var open = true
+            while (open && rows.hasNext) {
+              val (u2, t2) = rows.head
+              if (u2 != uid || t2 - prev >= gapUs) open = false
+              else { rows.next(); prev = t2; n += 1 }
+            }
+            (uid, start, prev + gapUs, n)
+          }
+        }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   def queries: Map[String, Q] = Map(
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
     "q24_json_extract" -> jsonExtract,
     "q45_session_windows" -> sessionWindows,
-    "q46_stateful_sessions" -> statefulSessions)
+    "q46_stateful_sessions" -> statefulSessions,
+    "q53_sorted_sessions" -> sortedSessions)
 
   def oracles: Map[String, String] = Map(
     "q22_window_tumbling" ->
@@ -128,8 +172,10 @@ object Events extends QueryModule {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "q45_session_windows" -> sessionOracle,
-    // q46 computes the same sessions through the typed state API — same oracle
-    "q46_stateful_sessions" -> sessionOracle)
+    // q46/q53 compute the same sessions through the typed state API and a
+    // secondary sort respectively — same oracle
+    "q46_stateful_sessions" -> sessionOracle,
+    "q53_sorted_sessions" -> sessionOracle)
 
   /** Gaps-and-islands sessionization, DuckDB side: new-session marker via
     * lag, island id via running sum (ROWS frame; ties on ts share a
