@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *    Σ|bucket|², not n². The (B=3, R=6) choice keeps ~90% recall at
   *    Jaccard ≥ 0.9 while pruning the sub-threshold mass (measured on the
   *    fixtures: 3.8M candidates of 12.5M possible pairs at sf0.1);
-  *  - candidate verification joins token sets back BY doc_id (broadcast
-  *    here; at scale a shuffle join on the id — never carried through the
-  *    band explode, which would multiply the shuffled payload by B);
+  *  - candidate verification joins token sets back BY doc_id, with no
+  *    join-strategy hint: AQE broadcasts at fixture scale and shuffles on
+  *    the id once the corpus outgrows the threshold. Token sets are never
+  *    carried through the band explode, which would multiply the shuffled
+  *    payload by B;
   *  - output is per-DOCUMENT (a dedup verdict: neighbor degree + canonical
   *    id = least doc_id in the verified neighborhood), so the result stays
   *    linear in corpus size even when the pair count is quadratic — this
@@ -71,15 +73,19 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact-Jaccard verification: token sets joined back by id
+    // exact-Jaccard verification: token sets joined back by id. No
+    // broadcast hint — the token-set table is corpus-sized, so the hint
+    // would force a full-corpus broadcast at 100 TB; AQE picks broadcast
+    // at fixture scale and a shuffle join once the side outgrows the
+    // threshold.
     val x = t.select(col("doc_id").as("d1"), col("tokset").as("ts1"))
     val y = t.select(col("doc_id").as("d2"), col("tokset").as("ts2"))
     val dist = lit(1.0) -
       size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
         size(array_union(col("ts1"), col("ts2")))
     val pairs = cand
-      .join(broadcast(x), "d1")
-      .join(broadcast(y), "d2")
+      .join(x, "d1")
+      .join(y, "d2")
       .filter(dist <= maxDist)
       .select("d1", "d2")
     val degrees = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))

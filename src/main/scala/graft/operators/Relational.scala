@@ -229,9 +229,55 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q54 — exact percentiles per group: Spark's `percentile` aggregate
+    * (exact, linear interpolation — the same definition as DuckDB's
+    * quantile_cont, unlike the sketch-based percentile_approx, which no
+    * other engine reproduces). Exact percentile sorts per group; at 100 TB
+    * switch to percentile_approx and band the check — the query shape is
+    * unchanged.
+    */
+  val percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+      .orderBy("l_returnflag")
+
+  /** q55 — ROLLUP subtotals: per (flag, status), per flag, and grand
+    * total in one pass (Catalyst expands to a single Expand + hash
+    * aggregate — one shuffle, not three queries). Subtotal NULLs are
+    * coalesced to a sentinel so ordering is total and engine-agnostic.
+    */
+  val rollupRevenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** q56 — set operations on key sets: customers that placed BOTH an
+    * urgent and a low-priority order (INTERSECT), with EXCEPT/UNION
+    * covered by the same distinct-set machinery (hash aggregate + shuffle
+    * on the key, no row payload carried).
+    */
+  val setOps: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val low = o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+    urgent.intersect(low).orderBy("o_custkey")
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q49_memo_pricing" -> memoPricing,
+    "q54_percentiles" -> percentiles,
+    "q55_rollup" -> rollupRevenue,
+    "q56_setops" -> setOps,
     "q02_null_counts" -> nullCounts,
     "q03_clean_dedup_count" -> cleanDedupCount,
     "q04_regex_clean" -> regexClean,
@@ -271,6 +317,24 @@ object Relational extends QueryModule {
     "q01_pricing_summary" -> pricingSql,
     // q49 is q01 behind the memo cache — identical semantics, same oracle
     "q49_memo_pricing" -> pricingSql,
+    "q54_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q55_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q56_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
     "q02_null_counts" ->
       lineitemCols.map(c => s"CAST(count(*) - count($c) AS BIGINT) AS $c")
         .mkString("SELECT ", ", ", " FROM lineitem"),
