@@ -131,40 +131,33 @@ object Similarity extends QueryModule {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
-  /** q47 — IVF-style approximate NN (the second scale path besides q32's
-    * sign-LSH): a small set of coarse centroids partitions the corpus into
-    * cells; each vector is assigned to its nearest centroid (broadcast
-    * cross-join against the 64 pivots — O(n·C), no shuffle of the corpus),
-    * then neighbor search is an equi-join on cell_id. Centroids here are
-    * the first 64 vectors by vec_id — deterministic, so the whole index is
-    * DuckDB-reproducible; a production build swaps in k-means centroids
-    * (graft.ml) without changing the plan shape.
-    *
-    * Skew hardening vs the 16-pivot top-1 original: 64 cells cut the
-    * worst-case Σ|cell|² join volume ~4×, and the QUERY side multi-probes
-    * its top-2 cells (the corpus side stays home-cell-only, so a pair can
-    * never surface twice) — recall recovers from probing, cost stays
-    * linear in Σ|cell_q|·|cell|. The reported cell_id is the probed cell
-    * where the winning neighbor lives.
+  /** IVF core, pivot-source-agnostic: `pivots` is any (pivot_id, p_emb,
+    * p_sq) table — the deterministic head-of-corpus pivots q47 uses, or
+    * k-means centroids from graft.ml (SimilaritySpec exercises that swap)
+    * — and the plan shape is identical either way: broadcast O(n·C)
+    * assignment, equi-join on cell_id, per-query top-1 with
+    * WindowGroupLimit pushdown. `probes` is the multi-probe width on the
+    * query side; the corpus side stays home-cell-only so a pair can never
+    * surface twice. Skew posture: more pivots shrink worst-case Σ|cell|²
+    * join volume; probing recovers the recall that harder partitioning
+    * costs. The reported cell_id is the probed cell where the winning
+    * neighbor lives.
     */
-  val ivfAnn: Q = (s, d) => {
-    val nPivots = 64
-    val corpus = base(s, d)
-    val pivots = corpus.filter(col("vec_id") < nPivots).select(
-      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
-      col("sq").as("p_sq"))
+  def ivfIndex(corpus: org.apache.spark.sql.DataFrame,
+      pivots: org.apache.spark.sql.DataFrame,
+      probes: Int): org.apache.spark.sql.DataFrame = {
     val psim = cosineWithNorms(
       dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("psim9").desc, col("pivot_id"))
-    // arn=1 → home cell (corpus side); arn≤2 → probed cells (query side).
-    // The assignment subtree is recomputed on each side of the self-join —
-    // it is O(n·C) map-side work against a broadcast pivot table, cheaper
-    // than persisting n·(dim+ids) through a cache at scale.
+    // arn=1 → home cell (corpus side); arn≤probes → probed cells (query
+    // side). The assignment subtree is recomputed on each side of the
+    // self-join — it is O(n·C) map-side work against a broadcast pivot
+    // table, cheaper than persisting n·(dim+ids) through a cache at scale.
     val assigned = corpus.crossJoin(broadcast(pivots))
       .withColumn("psim9", round(psim, 9))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 2)
+      .filter(col("arn") <= probes)
       .select(col("vec_id"), col("embedding"), col("sq"),
         col("pivot_id").as("cell_id"), col("arn"))
     val l = assigned.alias("l")
@@ -182,6 +175,19 @@ object Similarity extends QueryModule {
         col("l.cell_id").cast("int").as("cell_id"),
         col("r.vec_id").as("neighbor_id"), round(col("sim9"), 4).as("sim"))
       .orderBy("vec_id")
+  }
+
+  /** q47 — IVF-style approximate NN (the second scale path besides q32's
+    * sign-LSH) through [[ivfIndex]]: 64 coarse cells, top-2 multi-probe.
+    * Pivots are the first 64 vectors by vec_id — deterministic, so the
+    * whole index is DuckDB-reproducible.
+    */
+  val ivfAnn: Q = (s, d) => {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    ivfIndex(corpus, pivots, probes = 2)
   }
 
   def queries: Map[String, Q] = Map(

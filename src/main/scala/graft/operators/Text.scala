@@ -34,7 +34,8 @@ object Text extends QueryModule {
 
   /** q26 — per-document text stats / quality scoring: char length,
     * whitespace token count, BPE-ish regex token count (letter runs /
-    * digit runs / single non-space symbols), stopword ratio.
+    * digit runs / single non-space symbols), stopword ratio, punctuation
+    * ratio.
     */
   val textStats: Q = (s, d) =>
     Tables.documents(s, d).select(
@@ -44,7 +45,9 @@ object Text extends QueryModule {
       size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
         .as("n_bpe_tokens"),
       (size(filter(toks, t => t.isin(stopEn: _*))).cast("double") / size(toks))
-        .as("stop_ratio"))
+        .as("stop_ratio"),
+      (size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+        / length(col("text"))).as("punct_ratio"))
       .orderBy("doc_id")
 
   /** q27 — corpus profile per language: doc counts + average length/tokens
@@ -150,7 +153,9 @@ object Text extends QueryModule {
          | CAST(len($duckToks) AS INT) AS n_tokens,
          | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
          | CAST(len(list_filter($duckToks, t -> t IN ('the','a','and','of'))) AS DOUBLE)
-         |   / len($duckToks) AS stop_ratio
+         |   / len($duckToks) AS stop_ratio,
+         | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |   / length(text) AS punct_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_lang_profile" ->
       s"""SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,

@@ -45,6 +45,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count(_.isNullAt(0)) === 2)
   }
 
+  test("ivfIndex swaps in k-means centroids without changing result shape") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.linalg.Vector
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vectors.sqNormD(col("embedding")).as("sq"))
+    // centroids from an actual k-means fit over the embeddings
+    val assembled = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("arr"))
+      .select(col("vec_id"),
+        org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"))
+    val model = new KMeans().setK(8).setSeed(7).fit(assembled)
+    val pivots = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("pivot_id", "p_emb")
+      .select(col("pivot_id"), col("p_emb"),
+        graft.functions.Vectors.sqNormD(col("p_emb")).as("p_sq"))
+    val out = graft.operators.Similarity.ivfIndex(corpus, pivots, probes = 2)
+    // one row per vector, neighbor differs from self, same schema as q47
+    assert(out.count() === corpus.count())
+    assert(out.filter(col("vec_id") === col("neighbor_id")).count() === 0)
+    assert(out.columns.toSeq === Seq("vec_id", "cell_id", "neighbor_id", "sim"))
+  }
+
   test("knn: 5 neighbors per query, self excluded, sims non-increasing") {
     val rows = q("q31_knn_brute").collect()
     assert(rows.length === 25) // 5 queries × 5 neighbors
