@@ -30,10 +30,33 @@ class StreamingSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= total)
   }
 
-  test("built-in session_window (q45) and typed flatMapGroups sessionizer (q46) agree") {
+  test("built-in session_window (q45), typed flatMapGroups (q46) and secondary sort (q53) agree") {
     val a = q("q45_session_windows").collect().map(_.toSeq).toSet
     val b = q("q46_stateful_sessions").collect().map(_.toSeq).toSet
+    val c = q("q53_sorted_sessions").collect().map(_.toSeq).toSet
     assert(a === b)
+    assert(a === c)
+  }
+
+  test("streaming dedup (q50) equals batch DISTINCT (parity)") {
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    val stream = q("q50_stream_dedup").collect().map(_.toSeq).toSet
+    assert(stream === batch)
+  }
+
+  test("stream-static enrichment join (q51) equals the batch join-aggregate (parity)") {
+    import graft.functions.Exact._
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .collect().map(_.toSeq).toSet
+    val stream = q("q51_stream_static_join").collect().map(_.toSeq).toSet
+    assert(stream === batch)
   }
 
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
