@@ -272,12 +272,35 @@ object Relational extends QueryModule {
     urgent.intersect(low).orderBy("o_custkey")
   }
 
+  /** q57 — lag/lead analytics over the monthly series: month-over-month
+    * delta and percent change, next month's count, and revenue quartile
+    * via ntile. The window runs over the ~dozens-of-rows monthly
+    * aggregate, never over raw rows (same posture as q16); at scale,
+    * partition the window by a coarser key (year) if the series itself
+    * grows unbounded.
+    */
+  val monthOverMonth: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("y", "m")
+    monthly
+      .withColumn("prev_cnt", lag("cnt", 1).over(w))
+      .withColumn("next_cnt", lead("cnt", 1).over(w))
+      .withColumn("delta", col("cnt") - col("prev_cnt"))
+      .withColumn("pct_change",
+        round((col("cnt") - col("prev_cnt")) * 100.0 / col("prev_cnt"), 4))
+      .withColumn("quartile", ntile(4).over(Window.orderBy(col("cnt"), col("y"), col("m"))))
+      .orderBy("y", "m")
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q49_memo_pricing" -> memoPricing,
     "q54_percentiles" -> percentiles,
     "q55_rollup" -> rollupRevenue,
     "q56_setops" -> setOps,
+    "q57_month_over_month" -> monthOverMonth,
     "q02_null_counts" -> nullCounts,
     "q03_clean_dedup_count" -> cleanDedupCount,
     "q04_regex_clean" -> regexClean,
@@ -335,6 +358,19 @@ object Relational extends QueryModule {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY o_custkey""".stripMargin,
+    "q57_month_over_month" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |    CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, cnt,
+        |  lag(cnt, 1) OVER w AS prev_cnt,
+        |  lead(cnt, 1) OVER w AS next_cnt,
+        |  cnt - lag(cnt, 1) OVER w AS delta,
+        |  round((cnt - lag(cnt, 1) OVER w) * 100.0 / lag(cnt, 1) OVER w, 4) AS pct_change,
+        |  CAST(ntile(4) OVER (ORDER BY cnt, y, m) AS INT) AS quartile
+        |FROM monthly WINDOW w AS (ORDER BY y, m)
+        |ORDER BY y, m""".stripMargin,
     "q02_null_counts" ->
       lineitemCols.map(c => s"CAST(count(*) - count($c) AS BIGINT) AS $c")
         .mkString("SELECT ", ", ", " FROM lineitem"),

@@ -66,4 +66,15 @@ class RelationalSpec extends SparkSpec {
     val per = q("q17_topk_per_group").groupBy("l_returnflag").count().collect()
     assert(per.forall(_.getAs[Long]("count") <= 3))
   }
+
+  test("approx_count_distinct (HLL++) lands within its rsd band of the exact count") {
+    // the sketch path for cardinality at 100 TB, where exact distinct is a
+    // full shuffle; no oracle (DuckDB's HLL differs) — banded instead
+    val o = graft.sources.Tables.orders(spark, sf)
+    val exact = o.select(countDistinct("o_custkey")).head().getLong(0)
+    val approx = o.select(approx_count_distinct("o_custkey", rsd = 0.02))
+      .head().getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.06, s"approx=$approx exact=$exact err=$err")
+  }
 }
