@@ -70,6 +70,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("vec_id", "cell_id", "neighbor_id", "sim"))
   }
 
+  test("topK aggregator matches the window row_number formulation exactly") {
+    import graft.functions.TopK
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        sqNormD(col("embedding")).as("sq"))
+    val queries = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim9",
+        round(dotD(col("q_emb"), col("embedding"))
+          / (sqrt(col("q_sq")) * sqrt(col("sq"))), 9))
+    // aggregator: one hash-aggregate pass, O(groups·k) shuffled
+    val viaAgg = scored.groupBy("query_id")
+      .agg(TopK.topK(5)(col("sim9"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), (col("i") + 1).as("rn"),
+        col("p._2").as("neighbor_id"), col("p._1").as("sim9"))
+      .collect().map(_.toSeq).toSet
+    // window: full shuffle of all scored rows, then rank filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim9").desc, col("vec_id"))
+    val viaWindow = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn").cast("int"),
+        col("vec_id").as("neighbor_id"), col("sim9"))
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("knn: 5 neighbors per query, self excluded, sims non-increasing") {
     val rows = q("q31_knn_brute").collect()
     assert(rows.length === 25) // 5 queries × 5 neighbors
