@@ -124,6 +124,65 @@ object StreamingJobs extends QueryModule {
     drainToLocal(s, agg, "static_join", Seq("c_nationkey", "event_type"))
   }
 
+  /** Streaming sessionizer via `flatMapGroupsWithState` — the custom-state
+    * API whose batch twin is q46. Honest streaming semantics: a session
+    * can only be emitted once it is CLOSED (a later event proved the gap);
+    * each user's open tail session lives in [[org.apache.spark.sql.streaming.GroupState]]
+    * across micro-batches and is never emitted on a finite input — no
+    * stream can know the last session ended. StreamingSpec pins exactly
+    * that contract: emitted == q45's sessions minus each user's final one.
+    * Production adds an event-time timeout to flush tails once the
+    * watermark passes session_end. Returns the closed sessions as a local
+    * DataFrame.
+    */
+  def streamingSessionize(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000000
+    // state: the open tail session (start, lastEventTs, count)
+    val closed = eventsStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var open = state.getOption
+          ts.foreach { t =>
+            open match {
+              case Some((start, prev, n)) if t - prev < gapUs =>
+                open = Some((start, t, n + 1))
+              case Some((start, prev, n)) =>
+                out += ((uid, start, prev + gapUs, n)) // gap proven: close it
+                open = Some((t, t, 1L))
+              case None =>
+                open = Some((t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+    val name = s"stream_sessions_${runId.incrementAndGet()}"
+    val q = closed.toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name).start()
+    try q.awaitTermination()
+    finally q.stop()
+    val sink = s.table(name)
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = s.createDataFrame(rows, sink.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   def queries: Map[String, Q] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q50_stream_dedup" -> streamDedup,

@@ -38,6 +38,17 @@ class StreamingSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("flatMapGroupsWithState sessionizer emits exactly the closed sessions") {
+    // closed = every q45 session except each user's final (still-open) one
+    val all = q("q45_session_windows").collect().map(_.toSeq)
+    val lastPerUser = all.groupBy(_.head).view.mapValues(_.maxBy(
+      r => r(1).asInstanceOf[java.sql.Timestamp].getTime)).toMap
+    val wantClosed = all.filterNot(r => lastPerUser(r.head) == r).toSet
+    val got = graft.streaming.StreamingJobs.streamingSessionize(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got === wantClosed)
+  }
+
   test("streaming dedup (q50) equals batch DISTINCT (parity)") {
     val batch = graft.sources.Tables.events(spark, sf)
       .select("user_id", "event_type").distinct()
