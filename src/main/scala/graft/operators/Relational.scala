@@ -294,9 +294,29 @@ object Relational extends QueryModule {
       .orderBy("y", "m")
   }
 
+  /** q58 — q17's top-3-per-group through the bounded [[graft.functions.TopK]]
+    * aggregator instead of window+row_number: partial buffers cap at k
+    * per group map-side, so the shuffle carries O(groups·k) rows — the
+    * formulation that wins when groups are huge and k small. Flattened to
+    * plain rows; the oracle is the window SQL, pinning the equivalence of
+    * the two formulations on the gate itself.
+    */
+  val topkViaAgg: Q = (s, d) => {
+    import graft.functions.TopK
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_suppkey").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(TopK.topK(3)(col("cnt").cast("double"), col("l_suppkey")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("l_returnflag"), (col("i") + 1).cast("int").as("rn"),
+        col("p._2").as("l_suppkey"), col("p._1").cast("long").as("cnt"))
+      .orderBy("l_returnflag", "rn")
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q49_memo_pricing" -> memoPricing,
+    "q58_topk_agg" -> topkViaAgg,
     "q54_percentiles" -> percentiles,
     "q55_rollup" -> rollupRevenue,
     "q56_setops" -> setOps,
@@ -358,6 +378,14 @@ object Relational extends QueryModule {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY o_custkey""".stripMargin,
+    "q58_topk_agg" ->
+      """SELECT l_returnflag, CAST(rn AS INT) AS rn, l_suppkey, cnt FROM (
+        |  SELECT l_returnflag, l_suppkey, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_suppkey) AS rn
+        |  FROM (SELECT l_returnflag, l_suppkey, count(*) AS cnt
+        |        FROM lineitem GROUP BY 1, 2)
+        |) WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
     "q57_month_over_month" ->
       """WITH monthly AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS y,
