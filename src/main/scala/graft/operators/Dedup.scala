@@ -48,11 +48,11 @@ object Dedup extends QueryModule {
     array_min(transform(col("tokset"),
       t => conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")))
 
-  /** q37 — per-document near-dup verdict: how many verified neighbors at
-    * Jaccard ≥ 0.9, and the canonical (least) doc_id of the neighborhood —
-    * `doc_id == canon_id` is the "keep" decision of a dedup pass.
+  /** Verified near-dup edges (d1 < d2): minhash → band → bucket equi-join
+    * candidates, then exact-Jaccard verification. Shared by the per-document
+    * verdict (q37) and the transitive clustering (q59).
     */
-  val minhashNearDup: Q = (s, d) => {
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(split(col("text"), "\\s+")).as("tokset"))
     val withMh = t.select(col("doc_id") +:
@@ -83,11 +83,19 @@ object Dedup extends QueryModule {
     val dist = lit(1.0) -
       size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
         size(array_union(col("ts1"), col("ts2")))
-    val pairs = cand
+    cand
       .join(x, "d1")
       .join(y, "d2")
       .filter(dist <= maxDist)
       .select("d1", "d2")
+  }
+
+  /** q37 — per-document near-dup verdict: how many verified neighbors at
+    * Jaccard ≥ 0.9, and the canonical (least) doc_id of the neighborhood —
+    * `doc_id == canon_id` is the "keep" decision of a dedup pass.
+    */
+  val minhashNearDup: Q = (s, d) => {
+    val pairs = verifiedPairs(s, d)
     val degrees = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
       .union(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
       .groupBy("doc_id")
@@ -100,41 +108,105 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  def queries: Map[String, Q] = Map("q37_minhash_neardup" -> minhashNearDup)
+  /** q59 — transitive near-dup CLUSTERS: connected components over the
+    * verified pair graph, the production dedup decision (a "keep exactly
+    * one document per duplicate cluster" pass needs the TRANSITIVE closure:
+    * q37's per-neighborhood canon_id is not cluster-stable when A~B~C but
+    * A≁C).
+    *
+    * Algorithm: iterative min-label propagation — every doc starts labeled
+    * with its own id; each round every node takes the min of its own label
+    * and its neighbors' labels; fixpoint = component minimum. Each round is
+    * one equi-join of the (cached) edge list against the current labels
+    * plus a hash aggregate — all shuffle-partitioned by id, nothing
+    * driver-side except the (scalar) convergence probe. Rounds needed =
+    * graph diameter; near-dup clusters are dense (diameter ≤ ~3), so this
+    * converges in a handful of passes, and the same loop is how
+    * large-scale dedup pipelines (and GraphX's own connectedComponents)
+    * run it on thousands of executors. Labels only ever decrease, so the
+    * label SUM is a convergence certificate: unchanged sum ⟺ fixpoint.
+    */
+  val dupClusters: Q = (s, d) => {
+    val pairs = verifiedPairs(s, d).cache()
+    val ue = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = ue.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min("label").as("nb_min"))
+      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .cache()
+      val sumNow = next.agg(sum("label")).head.getLong(0) // materializes next
+      labels.unpersist()
+      labels = next
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    pairs.unpersist() // final labels are materialized; edges no longer needed
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    // the final `labels` cache backs the returned plan; the ContextCleaner
+    // reclaims it once the consumer drops the DataFrame
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
 
-  /** Same pipeline in DuckDB — md5-based hash family keeps both engines on
-    * identical candidates; all output columns are integers, so the compare
-    * is exact.
+  def queries: Map[String, Q] = Map(
+    "q37_minhash_neardup" -> minhashNearDup,
+    "q59_dup_clusters" -> dupClusters)
+
+  /** Shared CTE chain ending in `pairs(d1, d2)` — the DuckDB mirror of
+    * [[verifiedPairs]]; the md5-based hash family keeps both engines on
+    * identical candidates.
+    */
+  private def pairsCte: String = {
+    val mh = (0 until numHashes).map { i =>
+      s"list_min(list_transform(tokset, t -> ('0x' || substr(md5('$i:' || t), 1, 8))::BIGINT)) AS mh$i"
+    }.mkString(",\n  ")
+    val sigCols = (0 until numBands).map { b =>
+      "(" + (0 until rowsPerBand)
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '-' || ") + s") AS sig$b"
+    }.mkString(",\n  ")
+    val unions = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band, sig$b AS sig FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""t AS (SELECT doc_id,
+       |  list_distinct(string_split_regex(text, '\\s+')) AS tokset FROM documents),
+       |h AS (SELECT doc_id, tokset,
+       |  $mh
+       |FROM t),
+       |sigs AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h),
+       |e AS ($unions),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM e a JOIN e b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT d1, d2 FROM cand
+       |  JOIN t x ON x.doc_id = d1 JOIN t y ON y.doc_id = d2
+       |  WHERE 1.0 - CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE)
+       |          / len(list_distinct(x.tokset || y.tokset)) <= $maxDist)""".stripMargin
+  }
+
+  /** All output columns are integers/booleans, so the compare is exact.
+    * q59's oracle computes the same fixpoint by a different route —
+    * recursive label reachability (closure) + min — which is exactly why
+    * it is a strong check: any label the iterative loop leaves un-propagated
+    * mismatches the closure.
     */
   def oracles: Map[String, String] = Map(
-    "q37_minhash_neardup" -> {
-      val mh = (0 until numHashes).map { i =>
-        s"list_min(list_transform(tokset, t -> ('0x' || substr(md5('$i:' || t), 1, 8))::BIGINT)) AS mh$i"
-      }.mkString(",\n  ")
-      val sigCols = (0 until numBands).map { b =>
-        "(" + (0 until rowsPerBand)
-          .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
-          .mkString(" || '-' || ") + s") AS sig$b"
-      }.mkString(",\n  ")
-      val unions = (0 until numBands)
-        .map(b => s"SELECT doc_id, $b AS band, sig$b AS sig FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH t AS (SELECT doc_id,
-         |  list_distinct(string_split_regex(text, '\\s+')) AS tokset FROM documents),
-         |h AS (SELECT doc_id, tokset,
-         |  $mh
-         |FROM t),
-         |sigs AS (SELECT doc_id,
-         |  $sigCols
-         |FROM h),
-         |e AS ($unions),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM e a JOIN e b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT d1, d2 FROM cand
-         |  JOIN t x ON x.doc_id = d1 JOIN t y ON y.doc_id = d2
-         |  WHERE 1.0 - CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE)
-         |          / len(list_distinct(x.tokset || y.tokset)) <= $maxDist),
+    "q37_minhash_neardup" ->
+      s"""WITH $pairsCte,
          |deg AS (SELECT doc_id, count(*) AS n_neardup, min(nb) AS min_nb FROM
          |  (SELECT d1 AS doc_id, d2 AS nb FROM pairs
          |   UNION ALL SELECT d2 AS doc_id, d1 AS nb FROM pairs)
@@ -142,6 +214,19 @@ object Dedup extends QueryModule {
          |SELECT d.doc_id AS doc_id, COALESCE(deg.n_neardup, 0) AS n_neardup,
          |  least(d.doc_id, COALESCE(deg.min_nb, d.doc_id)) AS canon_id
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
-         |ORDER BY doc_id""".stripMargin
-    })
+         |ORDER BY doc_id""".stripMargin,
+    "q59_dup_clusters" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM final GROUP BY cluster_id)
+         |SELECT f.doc_id, f.cluster_id, s.cluster_size,
+         |  (f.doc_id = f.cluster_id) AS is_canonical
+         |FROM final f JOIN sizes s USING (cluster_id)
+         |ORDER BY f.doc_id""".stripMargin)
 }

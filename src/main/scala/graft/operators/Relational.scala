@@ -260,6 +260,23 @@ object Relational extends QueryModule {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** q62 — CUBE: all four grouping combinations of (status, priority) in
+    * one pass — like q55's ROLLUP, Catalyst plans a single Expand + hash
+    * aggregate (one shuffle for all 2ᵏ grouping sets). `grouping_id`
+    * disambiguates a subtotal row from a genuine NULL key, which the
+    * coalesce sentinel alone cannot.
+    */
+  val cubeOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "status", "priority")
+
   /** q56 — set operations on key sets: customers that placed BOTH an
     * urgent and a low-priority order (INTERSECT), with EXCEPT/UNION
     * covered by the same distinct-set machinery (hash aggregate + shuffle
@@ -319,6 +336,7 @@ object Relational extends QueryModule {
     "q58_topk_agg" -> topkViaAgg,
     "q54_percentiles" -> percentiles,
     "q55_rollup" -> rollupRevenue,
+    "q62_cube" -> cubeOrders,
     "q56_setops" -> setOps,
     "q57_month_over_month" -> monthOverMonth,
     "q02_null_counts" -> nullCounts,
@@ -373,6 +391,14 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q62_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "q56_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT

@@ -190,8 +190,45 @@ object Similarity extends QueryModule {
     ivfIndex(corpus, pivots, probes = 2)
   }
 
+  /** q63 — symmetric int8 scalar quantization of the embedding column (the
+    * standard vector-index compression: 4× smaller than float32, dot
+    * products stay SIMD-able): per-vector scale = max|x|/127, qᵢ =
+    * round(xᵢ/scale). Pure higher-order-function expressions — stateless
+    * map-side projection, no shuffle, no UDF — with summary columns
+    * (sum/min/max of the quantized ints, L1 reconstruction error) instead
+    * of the raw int array so the compare is engine-exact. Math is forced
+    * to double BEFORE any arithmetic (float32 division would round
+    * differently per engine) and both engines round half-away-from-zero.
+    */
+  val embedQuantize: Q = (s, d) => {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, d)
+      .withColumn("v", v)
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", col("max_abs") / 127)
+      .withColumn("q", transform(col("v"), x => round(x / col("scale")).cast("int")))
+      // l1_err must be computed BEFORE the select that aliases
+      // round(scale, 9) to the same name "scale": Spark's lateral column
+      // alias resolution would otherwise bind col("scale") inside the
+      // zip_with to the ROUNDED alias defined earlier in that select list,
+      // shifting every error term by q·Δscale.
+      .withColumn("l1_err",
+        round(aggregate(zip_with(col("v"), col("q"),
+          (x, qi) => abs(x - qi * col("scale"))), lit(0.0d), (acc, e) => acc + e), 6))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("n_dims"),
+        round(col("scale"), 9).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        col("l1_err"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q31_knn_brute" -> knnBrute,
+    "q63_embed_quantize" -> embedQuantize,
     "q32_lsh_ann" -> lshAnn,
     "q36_embed_neardup" -> embedNearDup,
     "q47_ivf_ann" -> ivfAnn)
@@ -206,6 +243,21 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    "q63_embed_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM b),
+        |qd AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(round(x / scale) AS INT)) AS q FROM s)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INT) AS n_dims,
+        |  round(scale, 9) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min,
+        |  list_max(q) AS q_max,
+        |  round(list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - q[i] * scale))), 6) AS l1_err
+        |FROM qd ORDER BY vec_id""".stripMargin,
     "q31_knn_brute" ->
       s"""SELECT query_id, neighbor_id, CAST(rn AS INT) AS rn, round(sim9, 4) AS sim
          |FROM (

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline text operators over the `documents` table — the
@@ -132,8 +133,36 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q61 — top-3 TF-IDF terms per document. Term frequencies and document
+    * frequencies are two hash aggregates over the exploded token stream
+    * (shuffle-partitioned by term); the corpus size joins in as a broadcast
+    * scalar; ranking is a per-document window with WindowGroupLimit
+    * pushdown. At 100 TB the same plan holds: the token explode is
+    * map-side, both aggregates combine partially before shuffling, and
+    * nothing materializes per-document vocabulary on the driver. Scores
+    * are ranked on a 9-dp rounding (ulp parity, as q31) with the term as
+    * tiebreak.
+    */
+  val tfidfTop: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(filter(toks, t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf9",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf9").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        round(col("tfidf9"), 4).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
   def queries: Map[String, Q] = Map(
     "q25_dedup_exact" -> dedupExact,
+    "q61_tfidf_top" -> tfidfTop,
     "q26_text_stats" -> textStats,
     "q27_lang_profile" -> langProfile,
     "q28_fingerprint" -> fingerprint,
@@ -144,6 +173,20 @@ object Text extends QueryModule {
   private val duckToks = raw"string_split_regex(text, '\s+')"
 
   def oracles: Map[String, String] = Map(
+    "q61_tfidf_top" ->
+      s"""WITH terms AS (SELECT doc_id,
+         |  unnest(list_filter($duckToks, t -> len(t) > 0)) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf9,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) DESC, term) AS rn
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+         |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df,
+         |  round(tfidf9, 4) AS tfidf
+         |FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q25_dedup_exact" ->
       """SELECT lang, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
         | count(*) AS n_docs

@@ -77,4 +77,15 @@ class RelationalSpec extends SparkSpec {
     val err = math.abs(approx - exact).toDouble / exact
     assert(err <= 0.06, s"approx=$approx exact=$exact err=$err")
   }
+
+  test("q62 cube: grouping sets are consistent (subtotals sum to the grand total)") {
+    val rows = q("q62_cube").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val grand = rows.collect { case (("ALL", "ALL", 3), n) => n }.sum
+    val byStatus = rows.collect { case ((s, "ALL", 1), n) if s != "ALL" => n }.sum
+    val byPriority = rows.collect { case (("ALL", p, 2), n) if p != "ALL" => n }.sum
+    val cells = rows.collect { case ((s, p, 0), n) if s != "ALL" && p != "ALL" => n }.sum
+    assert(Seq(byStatus, byPriority, cells).forall(_ === grand),
+      s"grand=$grand status=$byStatus priority=$byPriority cells=$cells")
+  }
 }

@@ -118,4 +118,15 @@ class SimilaritySpec extends SparkSpec {
       assert(lsh(k) <= brute(k) + 1e-9)
     }
   }
+
+  test("q63 int8 quantization: codes bounded, reconstruction within half-step per dim") {
+    q("q63_embed_quantize").collect().foreach { r =>
+      val nDims = r.getAs[Int]("n_dims")
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127)
+      // each |x - q·scale| <= scale/2 (+rounding slack), so L1 <= n·scale/2
+      assert(r.getAs[Double]("l1_err") <= nDims * scale / 2 + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")} l1 too large")
+    }
+  }
 }

@@ -56,6 +56,46 @@ class TextDedupSpec extends SparkSpec {
     assert(guesses(4L) === "es")
   }
 
+  test("q59 clusters are transitive where q37 neighborhoods are not") {
+    // chain: 10~11 and 11~12 pass the 0.9-Jaccard bar, 10~12 does not
+    // (20/24 = 0.83) — one cluster must still cover all three.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val chain = Seq(
+      (10L, base, "en", "t", 100L),
+      (11L, base + " extraA extraB", "en", "t", 114L), // j(10,11) = 20/22
+      (12L, base + " extraA extraB extraC extraD", "en", "t", 128L), // j(11,12) = 22/24
+      (13L, "completely different tokens here nothing shared at all today", "en", "t", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftcc").toString
+    chain.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val nb = SparkEntry.queries("q37_minhash_neardup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb(11L) === 2L, "middle doc links both ways")
+    assert(nb(10L) === 1L && nb(12L) === 1L, "ends link only to the middle")
+
+    val cc = SparkEntry.queries("q59_dup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(cc(10L) === ((10L, 3L, true)), "cluster canon is the min id")
+    assert(cc(11L) === ((10L, 3L, false)))
+    assert(cc(12L) === ((10L, 3L, false)), "transitive closure reaches 12")
+    assert(cc(13L) === ((13L, 1L, true)), "singleton keeps itself")
+  }
+
+  test("q61 tf-idf ranks are 1..3 per doc with non-increasing scores") {
+    val rows = q("q61_tfidf_top").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc scores not non-increasing: ${scores.mkString(",")}")
+    }
+    // a term present in every document has idf 0 → never outranks rarer terms
+    assert(rows.forall(_.getDouble(5) >= 0.0))
+  }
+
   test("text stats: token counts and stop ratio on a known string") {
     val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
