@@ -277,6 +277,31 @@ object Relational extends QueryModule {
         col("gid"), col("n"), col("total"))
       .orderBy("gid", "status", "priority")
 
+  /** q64 — ranking-function pack over a partitioned window: ntile
+    * quartiles, percent_rank, cume_dist, and first/last order key of each
+    * priority class by (price, key). One shuffle on the partition key,
+    * one per-partition sort, all five functions evaluated in a single
+    * Window operator — adding functions to a frame is free once the sort
+    * is paid, which is why a scale-minded pipeline batches them. The
+    * first/last frame is pinned to the WHOLE partition explicitly:
+    * the default frame stops at the current row, which makes last_value
+    * a no-op — standard SQL footgun, same in DuckDB, so both engines get
+    * the explicit frame.
+    */
+  val windowPack: Q = (s, d) => {
+    val order = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val whole = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        ntile(4).over(order).as("quartile"),
+        round(percent_rank().over(order), 9).as("pct_rank"),
+        round(cume_dist().over(order), 9).as("cdist"),
+        first(col("o_orderkey")).over(whole).as("cheapest_key"),
+        last(col("o_orderkey")).over(whole).as("priciest_key"))
+      .orderBy("o_orderkey")
+  }
+
   /** q56 — set operations on key sets: customers that placed BOTH an
     * urgent and a low-priority order (INTERSECT), with EXCEPT/UNION
     * covered by the same distinct-set machinery (hash aggregate + shuffle
@@ -337,6 +362,7 @@ object Relational extends QueryModule {
     "q54_percentiles" -> percentiles,
     "q55_rollup" -> rollupRevenue,
     "q62_cube" -> cubeOrders,
+    "q64_window_pack" -> windowPack,
     "q56_setops" -> setOps,
     "q57_month_over_month" -> monthOverMonth,
     "q02_null_counts" -> nullCounts,
@@ -399,6 +425,18 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
+    "q64_window_pack" ->
+      """SELECT o_orderkey, o_orderpriority AS priority,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 9) AS pct_rank,
+        | round(cume_dist() OVER w, 9) AS cdist,
+        | first_value(o_orderkey) OVER wf AS cheapest_key,
+        | last_value(o_orderkey) OVER wf AS priciest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        | wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q56_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT

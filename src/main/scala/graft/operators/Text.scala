@@ -118,19 +118,54 @@ object Text extends QueryModule {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
-  /** q38 — 16-bit SimHash near-dup signature. Token hash = first 4 md5 hex
-    * digits; each bit is the sign of the per-bit ±1 vote sum. Pure
-    * expressions: one `transform` for token hashes, 16 `aggregate` votes.
+  /** (doc_id, simhash) — 16-bit SimHash signature table shared by q38 and
+    * q65. Token hash = first 4 md5 hex digits; each bit is the sign of the
+    * per-bit ±1 vote sum. Pure expressions: one `transform` for token
+    * hashes, 16 `aggregate` votes.
     */
-  val simhash16: Q = (s, d) => {
+  private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
     val withHashes = Tables.documents(s, d).withColumn("hs",
       expr("transform(split(text, '\\\\s+'), t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as int))"))
     val bits = (0 until 16).map { i =>
       s"(case when aggregate(hs, 0, (acc, h) -> acc + (case when (shiftright(h, $i) & 1) = 1 then 1 else -1 end)) > 0 then ${1 << i} else 0 end)"
     }.mkString(" + ")
-    withHashes
-      .select(col("doc_id"), expr(s"cast($bits as int)").as("simhash"))
-      .orderBy("doc_id")
+    withHashes.select(col("doc_id"), expr(s"cast($bits as int)").as("simhash"))
+  }
+
+  /** q38 — the SimHash signature itself, one row per document. */
+  val simhash16: Q = (s, d) => simhashes(s, d).orderBy("doc_id")
+
+  /** q65 — SimHash near-dup pairs at Hamming distance ≤ 2, banded: the
+    * 16-bit signature splits into 4 nibble bands; candidates are a self
+    * EQUI-join on (band, nibble) — by pigeonhole, two signatures within
+    * Hamming 2 differ in at most 2 bands, so at least 2 bands still match
+    * and recall at the threshold is EXACT (unlike minhash banding's
+    * probabilistic recall). Verification is one codegen'd
+    * `bit_count(s1 XOR s2)` per candidate. Per (band, nibble) bucket the
+    * join is local after one shuffle on the band key — never n². The
+    * nibble width is the skew knob: wider bands → fewer, cheaper
+    * collisions but a lower guaranteed-recall threshold.
+    */
+  val simhashNearDup: Q = (s, d) => {
+    val sh = simhashes(s, d)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15)).as("nib"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.nib").as("nib"))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
+        col("b.doc_id").as("d2"), col("b.simhash").as("s2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
+      .filter(col("hamming") <= 2)
+      .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"), col("hamming"))
+      .orderBy("doc_id_1", "doc_id_2")
   }
 
   /** q61 — top-3 TF-IDF terms per document. Term frequencies and document
@@ -168,9 +203,18 @@ object Text extends QueryModule {
     "q28_fingerprint" -> fingerprint,
     "q29_lang_id" -> langId,
     "q30_jaccard_pairs" -> jaccardPairs,
-    "q38_simhash16" -> simhash16)
+    "q38_simhash16" -> simhash16,
+    "q65_simhash_neardup" -> simhashNearDup)
 
   private val duckToks = raw"string_split_regex(text, '\s+')"
+
+  /** DuckDB mirror of [[simhashes]]'s bit expression (shared by q38/q65). */
+  private val duckSimhashBits: String = {
+    val hs = raw"list_transform(string_split_regex(text, '\s+'), t -> ('0x' || substr(md5(t), 1, 4))::INT)"
+    (0 until 16).map { i =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
 
   def oracles: Map[String, String] = Map(
     "q61_tfidf_top" ->
@@ -228,11 +272,19 @@ object Text extends QueryModule {
          |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |  AND abs(a.n_chars - b.n_chars) <= 2
          |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "q65_simhash_neardup" ->
+      s"""WITH sh AS (SELECT doc_id, CAST($duckSimhashBits AS INT) AS simhash FROM documents),
+         |bands AS (SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS nib
+         |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+         |    b.doc_id AS d2, b.simhash AS s2
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+         |SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+         |  CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 2
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "q38_simhash16" -> {
-      val hs = raw"list_transform(string_split_regex(text, '\s+'), t -> ('0x' || substr(md5(t), 1, 4))::INT)"
-      val bits = (0 until 16).map { i =>
-        s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT doc_id, CAST($bits AS INT) AS simhash FROM documents ORDER BY doc_id"
+      s"SELECT doc_id, CAST($duckSimhashBits AS INT) AS simhash FROM documents ORDER BY doc_id"
     })
 }

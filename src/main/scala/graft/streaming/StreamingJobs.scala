@@ -49,11 +49,11 @@ object StreamingJobs extends QueryModule {
     * copies in driver memory.
     */
   private def drainToLocal(s: SparkSession, agg: DataFrame, tag: String,
-      order: Seq[String]): DataFrame = {
+      order: Seq[String], mode: String = "complete"): DataFrame = {
     val name = s"stream_${tag}_${runId.incrementAndGet()}"
     // AvailableNow drains the whole backlog in bounded micro-batches and
     // stops itself — the batch-parity trigger for a static input.
-    val q = agg.writeStream.outputMode("complete")
+    val q = agg.writeStream.outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .format("memory").queryName(name).start()
     try q.awaitTermination()
@@ -124,6 +124,42 @@ object StreamingJobs extends QueryModule {
     drainToLocal(s, agg, "static_join", Seq("c_nationkey", "event_type"))
   }
 
+  /** q68 — stream-stream inner join: each view event joined to the same
+    * user's purchase events within the following hour. BOTH sides are
+    * unbounded streams, so the state store must buffer rows until no
+    * future match is possible — that is exactly what the two watermarks
+    * plus the time-range join condition give the planner: it derives a
+    * state eviction bound (a view older than watermark − 1 h can never
+    * match again) and keeps state finite forever, the property that
+    * separates a production stream-stream join from an OOM. State
+    * partitions by user_id, same as the batch shuffle would.
+    *
+    * The batch twin is the same time-range join in DuckDB — matched rows
+    * of an inner stream-stream join are emitted as soon as both sides
+    * arrive, so on a drained finite input the result set is exactly the
+    * batch join.
+    */
+  val streamStreamJoin: Q = (s, d) => {
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    drainToLocal(s, joined, "ss_join", Seq("view_id", "purchase_id"),
+      mode = "append")
+  }
+
   /** Streaming sessionizer via `flatMapGroupsWithState` — the custom-state
     * API whose batch twin is q46. Honest streaming semantics: a session
     * can only be emitted once it is CLOSED (a later event proved the gap);
@@ -186,7 +222,8 @@ object StreamingJobs extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q39_stream_tumbling" -> streamTumbling,
     "q50_stream_dedup" -> streamDedup,
-    "q51_stream_static_join" -> streamStaticJoin)
+    "q51_stream_static_join" -> streamStaticJoin,
+    "q68_stream_stream_join" -> streamStreamJoin)
 
   def oracles: Map[String, String] = Map(
     // identical semantics to q22 — same oracle
@@ -202,5 +239,15 @@ object StreamingJobs extends QueryModule {
       """SELECT c_nationkey, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2 ORDER BY c_nationkey, event_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY c_nationkey, event_type""".stripMargin,
+    // the batch twin of the stream-stream join: inner join ⇒ identical rows
+    "q68_stream_stream_join" ->
+      """SELECT l.event_id AS view_id, r.event_id AS purchase_id,
+        | l.user_id AS user_id,
+        | date_diff('microsecond', l.ts, r.ts) AS gap_us
+        |FROM events l JOIN events r
+        |ON l.user_id = r.user_id
+        | AND l.event_type = 'view' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin)
 }

@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q66 bucketed join: sort-merge join with NO exchange on either fact side") {
+    val p = plan("q66_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the only shuffle is the tiny per-priority aggregate — the join reads
+    // bucket-aligned inputs directly
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("q67 partitioned layout: the status filter prunes partitions, not rows") {
+    val p = plan("q67_partition_prune")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"), p)
+    // the filter is resolved against the listing — no data-filter remains
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p)
+  }
+
   test("rank-filter windows get the WindowGroupLimit pushdown") {
     // row_number()<=k filters must prune per-partition before the shuffle
     // (Spark's WindowGroupLimit), or every window carries all rows.

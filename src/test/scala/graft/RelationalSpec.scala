@@ -78,6 +78,22 @@ class RelationalSpec extends SparkSpec {
     assert(err <= 0.06, s"approx=$approx exact=$exact err=$err")
   }
 
+  test("q64 window pack: ranks, quartiles and partition extremes are consistent") {
+    val rows = q("q64_window_pack").collect()
+    val byPriority = rows.groupBy(_.getString(1))
+    byPriority.foreach { case (p, rs) =>
+      assert(rs.map(_.getInt(2)).toSet === Set(1, 2, 3, 4), s"$p quartiles")
+      assert(rs.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+      assert(rs.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+      // the whole-partition frame makes first/last constants per partition
+      assert(rs.map(_.getLong(5)).toSet.size === 1, s"$p cheapest not constant")
+      assert(rs.map(_.getLong(6)).toSet.size === 1, s"$p priciest not constant")
+      // quartile boundaries respect the rank order: pct_rank 0 row is in q1
+      val zero = rs.filter(_.getDouble(3) == 0.0)
+      assert(zero.nonEmpty && zero.forall(_.getInt(2) === 1))
+    }
+  }
+
   test("q62 cube: grouping sets are consistent (subtotals sum to the grand total)") {
     val rows = q("q62_cube").collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap

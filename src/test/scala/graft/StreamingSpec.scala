@@ -70,6 +70,24 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stream-stream join (q68) equals the batch time-range join (parity)") {
+    val e = graft.sources.Tables.events(spark, sf)
+    val l = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid2"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val batch = l.join(r,
+        col("user_id") === col("uid2") && col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us"))
+      .collect().map(_.toSeq).toSet
+    val stream = q("q68_stream_stream_join").collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._

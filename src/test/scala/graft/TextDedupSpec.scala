@@ -96,6 +96,24 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(5) >= 0.0))
   }
 
+  test("q65 simhash near-dup: identical docs collide at hamming 0, unrelated ones don't pair") {
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (20L, base, "en", "t", 200L),
+      (21L, base, "en", "t", 200L), // exact dup of 20 → hamming 0
+      (22L, base + " tail", "en", "t", 205L), // near dup → low hamming
+      (23L, "entirely other vocabulary nothing shared whatsoever still longer text", "en", "t", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftsh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q65_simhash_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((20L, 21L)) === 0, "identical text ⇒ identical simhash")
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(pairs.values.forall(_ <= 2))
+    assert(!pairs.contains((20L, 23L)) && !pairs.contains((21L, 23L)))
+  }
+
   test("text stats: token counts and stop ratio on a known string") {
     val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
