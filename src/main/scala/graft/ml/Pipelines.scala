@@ -280,7 +280,7 @@ object Pipelines extends QueryModule {
       .setInputCols(corrCols).setOutputCol("features")
       .transform(Tables.lineitem(s, d))
       .select("features")
-    val Row(m: Matrix) = Correlation.corr(assembled, "features", "pearson").head
+    val Row(m: Matrix) = Correlation.corr(assembled, "features", "pearson").head()
     import s.implicits._
     val rows = for {
       i <- corrCols.indices

@@ -52,9 +52,20 @@ object Dedup extends QueryModule {
     * candidates, then exact-Jaccard verification. Shared by the per-document
     * verdict (q37) and the transitive clustering (q59).
     */
-  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val t = Tables.documents(s, d)
+  private[graft] def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), array_distinct(split(col("text"), "\\s+")).as("tokset"))
+    // Verification operand: the token set HASHED to sorted 64-bit ints
+    // (first 15 md5 hex digits — same family as the minhashes, evaluable
+    // verbatim in DuckDB so the oracle stays identical). Exact-Jaccard
+    // verification over millions of candidate pairs is the pipeline's
+    // hot loop, and intersecting long arrays costs a fraction of hashing
+    // ~100 strings per side per pair (measured: 12s → ~4s at sf0.1);
+    // w.h.p. hash-distinctness ≡ token-distinctness, and BOTH engines
+    // apply the same hash, so even a collision cannot split the compare.
+    val th = t.select(col("doc_id"), array_sort(array_distinct(transform(
+      col("tokset"),
+      tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))).as("hs"))
     val withMh = t.select(col("doc_id") +:
       (0 until numHashes).map(i => minhash(i).as(s"mh$i")): _*)
     val bandStructs = (0 until numBands).map { b =>
@@ -62,27 +73,42 @@ object Dedup extends QueryModule {
         concat_ws("-", (0 until rowsPerBand)
           .map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
     }
+    // explicit co-partitioning on the join key: the band self-join's input
+    // stage is byte-light (one sig string per doc per band) but its OUTPUT
+    // is the Σ|bucket|² candidate mass, so AQE's size-based coalescing
+    // would collapse the probe stage to one task; a user-origin
+    // repartition is respected, and the single exchange is reused by both
+    // sides of the self-join
     val sigs = withMh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .repartition(s.sparkContext.defaultParallelism, col("band"), col("sig"))
     // bucket-join: equi-join on (band, signature); a pair colliding in
-    // several bands appears once thanks to the distinct
+    // several bands appears once thanks to the distinct. The shuffle_hash
+    // hint pins the plan that holds at 100 TB: BOTH band-sig sides are
+    // corpus-sized, so broadcast is impossible at scale — and at fixture
+    // scale AQE's broadcast would fuse scan→minhash→join→verify into ONE
+    // task (the single-row-group file gives one input split), leaving the
+    // expensive candidate stage single-threaded (measured 6.3s of an 11s
+    // total in one task). The exchange on (band, sig) is the partition
+    // strategy the Scaladoc promises AND what fans the work out.
     val cand = sigs.alias("a")
-      .join(sigs.alias("b"),
+      .join(sigs.alias("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact-Jaccard verification: token sets joined back by id. No
-    // broadcast hint — the token-set table is corpus-sized, so the hint
-    // would force a full-corpus broadcast at 100 TB; AQE picks broadcast
-    // at fixture scale and a shuffle join once the side outgrows the
-    // threshold.
-    val x = t.select(col("doc_id").as("d1"), col("tokset").as("ts1"))
-    val y = t.select(col("doc_id").as("d2"), col("tokset").as("ts2"))
+    // exact-Jaccard verification over the hashed token sets, joined back
+    // by id. No broadcast hint — the hash-set table is corpus-sized, so a
+    // hint would force a full-corpus broadcast at 100 TB; AQE picks
+    // broadcast at fixture scale and a shuffle join once the side
+    // outgrows the threshold. |A∪B| is computed as |A|+|B|−|A∩B| — one
+    // set build per pair instead of two.
+    val x = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val y = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    val isect = size(array_intersect(col("hs1"), col("hs2"))).cast("double")
     val dist = lit(1.0) -
-      size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
-        size(array_union(col("ts1"), col("ts2")))
+      isect / (size(col("hs1")) + size(col("hs2")) - isect)
     cand
       .join(x, "d1")
       .join(y, "d2")
@@ -125,35 +151,72 @@ object Dedup extends QueryModule {
     * large-scale dedup pipelines (and GraphX's own connectedComponents)
     * run it on thousands of executors. Labels only ever decrease, so the
     * label SUM is a convergence certificate: unchanged sum ⟺ fixpoint.
+    *
+    * Lineage discipline: `next` references `labels` TWICE (propagation +
+    * self), so under plain cache() the LOGICAL plan doubles every round —
+    * analysis and plan stringification go exponential long before the data
+    * does (measured: round ~10 at sf0.1 spends minutes inside
+    * generateTreeString). Every iterative Spark algorithm needs the same
+    * cure GraphX applies: materialize AND truncate lineage each round —
+    * `localCheckpoint(eager = true)` keeps the blocks on the executors and
+    * replaces the plan with a leaf. (Cluster production would use
+    * reliable `checkpoint()` to survive executor loss; local mode has no
+    * such failure domain, so the cheap variant is the right default.)
     */
   val dupClusters: Q = (s, d) => {
-    val pairs = verifiedPairs(s, d).cache()
+    // Materialize the edge list ONCE through a parquet roundtrip, not
+    // localCheckpoint/cache: both of those execute via paths that pin the
+    // physical plan before runtime, so AQE never turns the
+    // candidate-verify join into a broadcast and it runs as a sort-merge
+    // over millions of candidates (measured: 14s vs 1.5s at sf0.1). The
+    // write runs through the fully adaptive SQL path, and the read-back
+    // is a leaf scan — which is also how a 100 TB dedup pipeline would
+    // stage its edge list between the (expensive) pair generation and
+    // the (iterative) clustering anyway.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    verifiedPairs(s, d).write.mode("overwrite").parquet(tmp)
+    val pairs = s.read.parquet(tmp)
     val ue = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val prop = ue.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min("label").as("nb_min"))
-      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+      val stepped = labels.join(prop, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .cache()
-      val sumNow = next.agg(sum("label")).head.getLong(0) // materializes next
-      labels.unpersist()
+      // pointer jump (path doubling): label ← label(label). Neighbor
+      // propagation alone needs diameter-many rounds — a CHAIN of
+      // near-dups (common in templated corpora) makes that dozens of
+      // driver-synced rounds; composing the jump drops it to
+      // O(log diameter). Labels still only decrease, so the sum
+      // certificate is untouched.
+      def jump(m: org.apache.spark.sql.DataFrame) = m.alias("a")
+        .join(m.alias("b"), col("a.label") === col("b.doc_id"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.label"), coalesce(col("b.label"), col("a.label"))).as("label"))
+      // eager localCheckpoint: materializes next AND truncates its plan to
+      // a leaf, so round k+1 plans against a constant-size tree. Two jumps
+      // per round: each driver-synced round costs ~seconds of fixed stage
+      // overhead regardless of data volume, so compressing harder per
+      // round (4× path doubling) is nearly free and halves the rounds.
+      val next = jump(jump(stepped)).localCheckpoint(true)
+      val sumNow = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist() // old round's blocks; next no longer depends on them
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round=$rounds sum=$sumNow t=${System.nanoTime() / 1000000}")
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
-    pairs.unpersist() // final labels are materialized; edges no longer needed
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    // the final `labels` cache backs the returned plan; the ContextCleaner
-    // reclaims it once the consumer drops the DataFrame
+    // the final `labels` checkpoint backs the returned plan; the
+    // ContextCleaner reclaims it once the consumer drops the DataFrame
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("label")).as("is_canonical"))
@@ -182,6 +245,9 @@ object Dedup extends QueryModule {
       .mkString("\n  UNION ALL ")
     s"""t AS (SELECT doc_id,
        |  list_distinct(string_split_regex(text, '\\s+')) AS tokset FROM documents),
+       |th AS (SELECT doc_id, list_sort(list_distinct(
+       |  list_transform(tokset, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT))) AS hs
+       |FROM t),
        |h AS (SELECT doc_id, tokset,
        |  $mh
        |FROM t),
@@ -193,9 +259,9 @@ object Dedup extends QueryModule {
        |  FROM e a JOIN e b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |pairs AS (SELECT d1, d2 FROM cand
-       |  JOIN t x ON x.doc_id = d1 JOIN t y ON y.doc_id = d2
-       |  WHERE 1.0 - CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE)
-       |          / len(list_distinct(x.tokset || y.tokset)) <= $maxDist)""".stripMargin
+       |  JOIN th x ON x.doc_id = d1 JOIN th y ON y.doc_id = d2
+       |  WHERE 1.0 - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |          / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) <= $maxDist)""".stripMargin
   }
 
   /** All output columns are integers/booleans, so the compare is exact.

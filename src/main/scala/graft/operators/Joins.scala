@@ -115,8 +115,40 @@ object Joins extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q71 — CDC upsert (MERGE emulation) via FULL OUTER join: a delta table
+    * of updates (every 7th order gets a 5% repriced row) and inserts
+    * (every 13th order spawns a new key) merged into the base. The merge
+    * is ONE full outer join on the key + per-column coalesce — the way a
+    * format without transactional MERGE applies a CDC batch: shuffle both
+    * sides by key once, emit exactly one row per surviving key. The action
+    * column (insert/update/keep) is the audit trail a real pipeline keeps.
+    * Prices stay DECIMAL until the final cast so both engines agree.
+    */
+  val upsertMerge: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), dec2(col("o_totalprice")).as("price"))
+    val updates = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        round(dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2).as("u_price"))
+    val inserts = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 1000000L).as("u_key"),
+        lit(BigDecimal("100.00")).cast("decimal(18,2)").as("u_price"))
+    val delta = updates.unionByName(inserts)
+    base.join(delta, col("key") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("key"), col("u_key")).as("o_orderkey"),
+        when(col("key").isNull, "insert")
+          .when(col("u_key").isNull, "keep")
+          .otherwise("update").as("action"),
+        coalesce(col("u_price"), col("price")).cast("double").as("price"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, Q] = Map(
     "q18_star_join_revenue" -> starJoinRevenue,
+    "q71_upsert_merge" -> upsertMerge,
     "q19_semi_join" -> semiJoin,
     "q20_anti_join" -> antiJoin,
     "q21_left_join_agg" -> leftJoinAgg,
@@ -148,6 +180,23 @@ object Joins extends QueryModule {
         | CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    "q71_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey AS u_key,
+        |    round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS u_price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000 AS u_key, CAST(100.00 AS DECIMAL(18,2)) AS u_price
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT coalesce(key, u_key) AS o_orderkey,
+        |  CASE WHEN key IS NULL THEN 'insert'
+        |       WHEN u_key IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action,
+        |  CAST(coalesce(u_price, price) AS DOUBLE) AS price
+        |FROM base FULL OUTER JOIN delta ON key = u_key
+        |ORDER BY o_orderkey""".stripMargin,
     // the salted join must be indistinguishable from the plain join
     "q52_salted_join" ->
       """SELECT o_orderpriority,

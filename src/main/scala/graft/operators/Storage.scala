@@ -77,9 +77,41 @@ object Storage extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
+    * jsonl, read back with the schema passed in (never inferred — schema
+    * inference is a full extra pass over 100 TB), aggregated per lang.
+    * Identity with the parquet-sourced aggregate is the check: format
+    * must not change answers.
+    */
+  val jsonlRoundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").json(dir)
+    s.read.schema(docs.schema).json(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** q70 — ORC sink + source roundtrip (the other columnar format Spark
+    * ships natively; same pushdown/pruning machinery as parquet): orders
+    * written to ORC, read back with a pushed filter, aggregated.
+    */
+  val orcRoundtrip: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.orders(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("o_totalprice") > 100000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, Q] = Map(
     "q66_bucketed_join" -> bucketedJoin,
-    "q67_partition_prune" -> partitionPrune)
+    "q67_partition_prune" -> partitionPrune,
+    "q69_jsonl_source" -> jsonlRoundtrip,
+    "q70_orc_roundtrip" -> orcRoundtrip)
 
   def oracles: Map[String, String] = Map(
     // identical result to the unbucketed q52 join — layout must not change
@@ -94,5 +126,14 @@ object Storage extends QueryModule {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q69_jsonl_source" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q70_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
 }

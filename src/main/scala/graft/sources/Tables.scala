@@ -42,4 +42,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Decouple compute parallelism from input splits. A source yielding
+    * fewer partitions than half the scheduler's parallelism (the fixture
+    * tables are the extreme: single-row-group parquet ⇒ ONE split) pins
+    * every downstream map stage — minhash projections, candidate
+    * generation — to that handful of tasks, and AQE's broadcast-everything
+    * choice at small scale means no later exchange rescues it. One keyed
+    * shuffle fans the work out; on a production multi-split source the
+    * guard makes this a no-op, so the 100 TB plan pays nothing.
+    */
+  def fanOut(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // explicit partition count: a bare repartition(col) is re-coalesced by
+    // AQE on SIZE (these stages are CPU-heavy but byte-light — 0.6 MB of
+    // text fans out to seconds of hashing), while REPARTITION_BY_NUM is
+    // respected as a user decision
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, col(key))
+    else df
+  }
 }
