@@ -21,7 +21,7 @@ object DevCc {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
-        if (dur > 0.3) println(f"[stage] id=${si.stageId} tasks=${si.numTasks} dur=$dur%.2fs ${si.name.take(60)}")
+        if (dur > 1.0) println(f"[stage] id=${si.stageId} tasks=${si.numTasks} dur=$dur%.2fs ${si.name.take(60)}")
       }
     })
     def time[T](tag: String)(f: => T): T = {
@@ -29,15 +29,9 @@ object DevCc {
       println(f"[devcc] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     import org.apache.spark.sql.functions._
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(split(col("text"), "\\s+")).as("tokset"))
-    time("tokset_only") { docs.select(sum(size(col("tokset")))).head() }
-    val withMh = docs.select(col("doc_id") +:
-      (0 until 18).map(i => expr(s"array_min(transform(tokset, t -> cast(conv(substring(md5(concat('$i:', t)), 1, 8), 16, 10) as bigint)))").as(s"mh$i")): _*)
-    time("minhash_proj") { withMh.select(sum(col("mh0") + col("mh17"))).head() }
-    val vp = graft.operators.Dedup.verifiedPairs(spark, sfDir)
-    val n = time("verified_pairs_full") { vp.count() }
-    println(s"[devcc] pairs=$n")
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries("q59_dup_clusters")(spark, sfDir).count()
+    println(f"[devcc] q59: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     spark.stop()
   }
 }

@@ -26,7 +26,7 @@ object Similarity extends QueryModule {
 
   /** vec_id, embedding, precomputed squared norm. */
   private def base(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.embeddings(s, d)
+    Tables.fanOut(Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), col("embedding"),
         sqNormD(col("embedding")).as("sq"))
 
@@ -226,12 +226,40 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q72 — recall audit of the IVF index: every 10th vector's IVF top-1
+    * similarity compared against its brute-force top-1 (a hit = the index
+    * found a neighbor at least as similar, at 4 dp). Index-quality
+    * evaluation is itself a pipeline operator: you re-run it after every
+    * re-pivot/re-quantization. The brute side is O(sample·n) against a
+    * broadcast sample — in production the audit samples a FIXED count, so
+    * the cost stays linear in corpus size no matter how big n gets.
+    */
+  val annRecall: Q = (s, d) => {
+    val corpus = base(s, d)
+    val sample = corpus.filter(col("vec_id") % 10 === 0).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("sq").as("q_sq"))
+    val sim = cosineWithNorms(
+      dotD(col("q_emb"), col("embedding")), col("q_sq"), col("sq"))
+    val brute = corpus.join(broadcast(sample), col("vec_id") =!= col("q_id"))
+      .groupBy("q_id").agg(max(round(sim, 9)).as("bsim9"))
+    val ivf = ivfAnn(s, d).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("sim").as("ivf_sim"))
+    ivf.join(brute, "q_id")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("ivf_sim") >= round(col("bsim9"), 4), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("n_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_eval"), 4).as("recall"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q31_knn_brute" -> knnBrute,
     "q63_embed_quantize" -> embedQuantize,
     "q32_lsh_ann" -> lshAnn,
     "q36_embed_neardup" -> embedNearDup,
-    "q47_ivf_ann" -> ivfAnn)
+    "q47_ivf_ann" -> ivfAnn,
+    "q72_ann_recall" -> annRecall)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"

@@ -101,7 +101,7 @@ object Text extends QueryModule {
     * join; here the band predicate rides on the lang equi-join.
     */
   val jaccardPairs: Q = (s, d) => {
-    val t = Tables.documents(s, d).select(
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id").select(
       col("doc_id"), col("lang"), col("n_chars"),
       array_distinct(toks).as("tokset"))
     val a = t.alias("a")
@@ -124,7 +124,9 @@ object Text extends QueryModule {
     * hashes, 16 `aggregate` votes.
     */
   private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val withHashes = Tables.documents(s, d).withColumn("hs",
+    // fanOut: 16 aggregate-votes per doc over the token hashes is the
+    // CPU-heavy/byte-light shape a single-split source serializes
+    val withHashes = Tables.fanOut(Tables.documents(s, d), "doc_id").withColumn("hs",
       expr("transform(split(text, '\\\\s+'), t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as int))"))
     val bits = (0 until 16).map { i =>
       s"(case when aggregate(hs, 0, (acc, h) -> acc + (case when (shiftright(h, $i) & 1) = 1 then 1 else -1 end)) > 0 then ${1 << i} else 0 end)"
@@ -179,7 +181,7 @@ object Text extends QueryModule {
     * tiebreak.
     */
   val tfidfTop: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
     val terms = docs.select(col("doc_id"),
       explode(filter(toks, t => length(t) > 0)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -195,9 +197,87 @@ object Text extends QueryModule {
       .orderBy("doc_id", "rn")
   }
 
+  /** q73 — C4-style quality FILTER verdict: the keep/drop decision (plus
+    * the first failing rule as the audit reason) a cleaning pass applies
+    * before training. Stateless codegen'd projection — the cheapest
+    * operator in the pipeline and the one that discards the most bytes,
+    * which is why production pipelines run it FIRST, before any
+    * dedup/embedding work touches the discarded mass.
+    */
+  val qualityFilter: Q = (s, d) => {
+    val nTok = size(toks)
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / length(col("text"))
+    val stop = size(filter(toks, t => t.isin(stopEn ++ stopEs: _*)))
+      .cast("double") / nTok
+    val reason = when(length(col("text")) < 50, "too_short")
+      .when(length(col("text")) > 5000, "too_long")
+      .when(nTok < 10, "too_few_tokens")
+      .when(punct > 0.2, "too_much_punct")
+      .when(stop < 0.01, "no_stopwords")
+      .otherwise("ok")
+    Tables.documents(s, d)
+      .select(col("doc_id"), reason.as("reason"), (reason === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q74 — decontamination: flag corpus documents sharing any 8-token
+    * shingle with the benchmark set (here: doc_id < 10 stands in for an
+    * eval benchmark). Shingles are md5-hashed map-side, the collision
+    * check is an equi-join on the hash against the (small, broadcast)
+    * benchmark shingle set, and the verdict aggregates per document —
+    * the standard n-gram-overlap contamination pass, linear in corpus
+    * size. Window of 8 tokens ≈ the 8–13-gram range used in practice.
+    */
+  val decontaminate: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    // guard: sequence(1, n) DESCENDS for n < 1 ([1, 0]), it is not empty —
+    // a document with < 8 tokens must yield zero shingles, not garbage
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val shingled = t.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 10)
+      .select(col("sh")).distinct()
+    val hits = shingled.filter(col("doc_id") >= 10).alias("c")
+      .join(broadcast(bench).alias("b"), col("c.sh") === col("b.sh"))
+      .groupBy(col("c.doc_id").as("doc_id"))
+      .agg(countDistinct(col("c.sh")).as("n_hits"))
+    Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") >= 10)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** q75 — deterministic hash split: reproducible train/val/test
+    * assignment from a content-independent key hash (md5 of the doc id,
+    * 80/10/10). No RNG, no seed coordination across executors, stable
+    * under repartitioning and re-runs — the only split discipline that
+    * survives a distributed pipeline; counts per (lang, split) audit the
+    * balance.
+    */
+  val hashSplit: Q = (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
   def queries: Map[String, Q] = Map(
     "q25_dedup_exact" -> dedupExact,
     "q61_tfidf_top" -> tfidfTop,
+    "q73_quality_filter" -> qualityFilter,
+    "q74_decontaminate" -> decontaminate,
+    "q75_hash_split" -> hashSplit,
     "q26_text_stats" -> textStats,
     "q27_lang_profile" -> langProfile,
     "q28_fingerprint" -> fingerprint,
@@ -217,6 +297,43 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q73_quality_filter" ->
+      s"""WITH v AS (SELECT doc_id,
+         |  CASE WHEN length(text) < 50 THEN 'too_short'
+         |       WHEN length(text) > 5000 THEN 'too_long'
+         |       WHEN len($duckToks) < 10 THEN 'too_few_tokens'
+         |       WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |            / length(text) > 0.2 THEN 'too_much_punct'
+         |       WHEN CAST(len(list_filter($duckToks,
+         |            t -> t IN ('the','a','and','of','el','la','de','que'))) AS DOUBLE)
+         |            / len($duckToks) < 0.01 THEN 'no_stopwords'
+         |       ELSE 'ok' END AS reason
+         |  FROM documents)
+         |SELECT doc_id, reason, (reason = 'ok') AS keep FROM v
+         |ORDER BY doc_id""".stripMargin,
+    "q74_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter($duckToks, t -> len(t) > 0) AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |hits AS (SELECT c.doc_id, CAST(count(DISTINCT c.sh) AS BIGINT) AS n_hits
+         |  FROM sh c JOIN bench b ON c.sh = b.sh
+         |  WHERE c.doc_id >= 10 GROUP BY c.doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) > 0) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id >= 10
+         |ORDER BY d.doc_id""".stripMargin,
+    "q75_hash_split" ->
+      """WITH v AS (SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |    FROM documents))
+        |SELECT lang, split, count(*) AS n FROM v
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q61_tfidf_top" ->
       s"""WITH terms AS (SELECT doc_id,
          |  unnest(list_filter($duckToks, t -> len(t) > 0)) AS term FROM documents),

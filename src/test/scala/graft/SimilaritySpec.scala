@@ -119,6 +119,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q72 recall audit: sane sample size, hits bounded, IVF never beats brute force") {
+    val r = q("q72_ann_recall").collect()
+    assert(r.length === 1)
+    val (nEval, nHits, recall) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2))
+    val expected = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(nEval === expected)
+    assert(nHits <= nEval && recall >= 0.0 && recall <= 1.0)
+    assert(recall > 0.3, s"multi-probe IVF should find most true top-1s, got $recall")
+  }
+
   test("q63 int8 quantization: codes bounded, reconstruction within half-step per dim") {
     q("q63_embed_quantize").collect().foreach { r =>
       val nDims = r.getAs[Int]("n_dims")

@@ -114,6 +114,55 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((20L, 23L)) && !pairs.contains((21L, 23L)))
   }
 
+  test("q73 quality filter flags each planted defect with the right reason") {
+    val longText = ("the quick brown fox jumps over the lazy dog and keeps " * 8).trim
+    val docs = Seq(
+      (30L, longText, "en", "t", longText.length.toLong), // ok
+      (31L, "tiny", "en", "t", 4L), // too_short
+      (32L, "x " * 3000, "en", "t", 6000L), // too_long
+      (33L, "one two three four five six seven eight nine eleven", "en", "t", 52L), // >=50 chars, 10 tokens, no stopwords
+      (34L, "!@# $%^ &*( )!@ #$% ^&* ()! @#$ %^& *()" + " the and of a la de" * 2, "en", "t", 70L)) // punct-heavy
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftqf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q73_quality_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(30L) === (("ok", true)))
+    assert(out(31L) === (("too_short", false)))
+    assert(out(32L) === (("too_long", false)))
+    assert(out(33L) === (("no_stopwords", false)))
+    assert(out(34L) === (("too_much_punct", false)))
+  }
+
+  test("q74 decontamination flags only docs sharing an 8-token shingle with the benchmark") {
+    val run = (1 to 12).map(i => s"bench$i").mkString(" ") // 12 tokens
+    val docs = Seq(
+      (5L, run, "en", "t", 100L), // benchmark doc (id < 10)
+      (15L, s"prefix words here $run suffix", "en", "t", 120L), // contains the run
+      (16L, (1 to 20).map(i => s"clean$i").mkString(" "), "en", "t", 130L), // clean
+      (17L, "too few tokens to shingle", "en", "t", 25L)) // < 8 tokens
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftdc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q74_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(15L)._2 === true)
+    assert(out(15L)._1 >= 1L)
+    assert(out(16L) === ((0L, false)))
+    assert(out(17L) === ((0L, false)), "sub-8-token doc yields no shingles")
+    assert(!out.contains(5L), "benchmark docs are not audited")
+  }
+
+  test("q75 hash split is deterministic and partitions every document") {
+    val a = q("q75_hash_split").collect().map(_.toSeq)
+    val b = q("q75_hash_split").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "identical across runs — no RNG")
+    val total = a.map(_(2).asInstanceOf[Long]).sum
+    assert(total === graft.sources.Tables.documents(spark, sf).count())
+    val bySplit = a.groupBy(_(1)).view.mapValues(_.map(_(2).asInstanceOf[Long]).sum)
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("text stats: token counts and stop ratio on a known string") {
     val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
