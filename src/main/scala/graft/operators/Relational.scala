@@ -302,6 +302,75 @@ object Relational extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** q76 — time-series gap fill + forward fill: daily event revenue
+    * re-gridded onto a complete date spine (a `sequence` between min and
+    * max date, exploded — generated distributed, never on the driver),
+    * missing days carry the last seen value forward via
+    * `last(ignoreNulls)` over an unbounded-preceding frame. The spine join
+    * is a broadcast (a date spine is bounded by the time range, not the
+    * data volume) and the fill is one window pass — the canonical
+    * resampling shape for feature pipelines.
+    */
+  val gapFill: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("revenue"), count(lit(1)).as("n"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("filled_revenue",
+        last(col("revenue"), ignoreNulls = true).over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        col("revenue"), col("filled_revenue"))
+      .orderBy("day")
+  }
+
+  /** q77 — equal-width histogram of order totals: 10 buckets between the
+    * global min/max, one aggregation after a broadcast of the two-value
+    * bounds row; empty buckets materialize as zeros via the same spine
+    * trick as q76. Bucket arithmetic stays in plain DOUBLE on both
+    * engines: IEEE ops are bit-identical, while decimal division rounds
+    * differently per engine and a boundary value would flip buckets.
+    */
+  val histogram: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("p"))
+    val b = o.agg(min("p").as("lo"), max("p").as("hi"))
+    val binned = o.crossJoin(broadcast(b))
+      .select(least(floor((col("p") - col("lo")) * 10 / (col("hi") - col("lo"))), lit(9L))
+        .cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val spine = s.range(0, 10).select(col("id").cast("int").as("bucket"))
+    spine.join(binned, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** q78 — RANGE-frame trailing window: revenue in the trailing 7 DAYS
+    * (not 7 rows) per day of the daily series — the frame is defined on
+    * the ORDER-BY value axis, so gaps in the series shrink the window
+    * instead of silently widening it like a rows frame would. Ordered on
+    * integer days-since-epoch with rangeBetween(-6, 0); one shuffle to
+    * the (coarse) day grain, one window pass.
+    */
+  val trailing7d: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("revenue"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    daily
+      .select(col("day"),
+        col("revenue"),
+        round(sum(col("revenue")).over(w), 2).as("rev_7d"),
+        count(lit(1)).over(w).cast("int").as("days_present_7d"))
+      .orderBy("day")
+  }
+
   /** q56 — set operations on key sets: customers that placed BOTH an
     * urgent and a low-priority order (INTERSECT), with EXCEPT/UNION
     * covered by the same distinct-set machinery (hash aggregate + shuffle
@@ -363,6 +432,9 @@ object Relational extends QueryModule {
     "q55_rollup" -> rollupRevenue,
     "q62_cube" -> cubeOrders,
     "q64_window_pack" -> windowPack,
+    "q76_gap_fill" -> gapFill,
+    "q77_histogram" -> histogram,
+    "q78_trailing_7d" -> trailing7d,
     "q56_setops" -> setOps,
     "q57_month_over_month" -> monthOverMonth,
     "q02_null_counts" -> nullCounts,
@@ -425,6 +497,40 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
+    "q76_gap_fill" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(
+        |  (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |  INTERVAL 1 DAY))::DATE AS day)
+        |SELECT s.day, COALESCE(d.n, 0) AS n, d.revenue,
+        |  last_value(d.revenue IGNORE NULLS) OVER (ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY day""".stripMargin,
+    "q77_histogram" ->
+      """WITH o AS (SELECT o_totalprice AS p FROM orders),
+        |b AS (SELECT min(p) AS lo, max(p) AS hi FROM o),
+        |binned AS (SELECT CAST(least(floor((p - lo) * 10 / (hi - lo)), 9) AS INT) AS bucket
+        |  FROM o, b),
+        |cnt AS (SELECT bucket, count(*) AS n FROM binned GROUP BY 1)
+        |SELECT r.bucket, COALESCE(cnt.n, 0) AS n
+        |FROM (SELECT unnest(range(0, 10))::INT AS bucket) r
+        |LEFT JOIN cnt ON r.bucket = cnt.bucket
+        |ORDER BY r.bucket""".stripMargin,
+    "q78_trailing_7d" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day, revenue,
+        |  round(sum(revenue) OVER win, 2) AS rev_7d,
+        |  CAST(count(*) OVER win AS INT) AS days_present_7d
+        |FROM daily
+        |WINDOW win AS (ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q64_window_pack" ->
       """SELECT o_orderkey, o_orderpriority AS priority,
         | CAST(ntile(4) OVER w AS INT) AS quartile,

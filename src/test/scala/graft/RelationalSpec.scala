@@ -94,6 +94,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q76 gap fill: spine is contiguous and forward fill never leaves a null after the first value") {
+    val rows = q("q76_gap_fill").collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.zip(days.tail).foreach { case (a, b) =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) === 1L, s"gap $a→$b")
+    }
+    val firstFilled = rows.indexWhere(!_.isNullAt(3))
+    assert(rows.drop(firstFilled).forall(!_.isNullAt(3)), "fill carries forward")
+    // on observed days the fill equals the observation
+    rows.filter(!_.isNullAt(2)).foreach(r => assert(r.getDouble(2) === r.getDouble(3)))
+  }
+
+  test("q77 histogram: 10 buckets, counts sum to row count, extremes non-empty") {
+    val rows = q("q77_histogram").collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq === (0 until 10))
+    assert(rows.map(_._2).sum === graft.sources.Tables.orders(spark, sf).count())
+    assert(rows.head._2 > 0 && rows.last._2 > 0, "min and max rows land in the edge buckets")
+  }
+
+  test("q78 trailing 7d window: frame sum matches a hand-rolled recompute") {
+    val rows = q("q78_trailing_7d").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    rows.foreach { case (day, _, rev7, present) =>
+      val frame = rows.filter { case (d2, _, _, _) =>
+        !d2.isAfter(day) && java.time.temporal.ChronoUnit.DAYS.between(d2, day) <= 6
+      }
+      assert(frame.length === present)
+      assert(math.abs(BigDecimal(frame.map(_._2).sum).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - rev7) < 0.02, s"$day")
+    }
+  }
+
   test("q62 cube: grouping sets are consistent (subtotals sum to the grand total)") {
     val rows = q("q62_cube").collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
