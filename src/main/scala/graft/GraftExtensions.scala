@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, FloatVecSqNorm}
+import graft.functions.{FloatVecDot, FloatVecSqNorm, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(arrayOfFloat, arrayOfFloat)")
         FloatVecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_size(arrayOfLong, arrayOfLong)")
+        SortedIntersectSize(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_sqnorm"),

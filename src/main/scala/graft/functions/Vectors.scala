@@ -28,6 +28,13 @@ object Vectors {
   /** Σ a_i² in double precision (native codegen expression). */
   def sqNormD(a: Column): Column = call_function("vec_sqnorm", a)
 
+  /** |a ∩ b| of two SORTED DISTINCT long arrays — allocation-free merge
+    * walk (native codegen expression, [[SortedIntersectSize]]); the spec
+    * twin is `size(array_intersect(a, b))`.
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
+
   /** HOF reference implementation of [[dotD]] — interpreted, allocation
     * per pair; used only as the parity spec and where the extension is
     * not registered.

@@ -106,7 +106,10 @@ object Dedup extends QueryModule {
     // set build per pair instead of two.
     val x = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
     val y = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
-    val isect = size(array_intersect(col("hs1"), col("hs2"))).cast("double")
+    // native merge-walk intersect count (SetExprs) — array_intersect
+    // builds a hash set AND materializes the intersection per pair
+    val isect = graft.functions.Vectors
+      .sortedIntersectSize(col("hs1"), col("hs2")).cast("double")
     val dist = lit(1.0) -
       isect / (size(col("hs1")) + size(col("hs2")) - isect)
     cand

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("sorted_intersect_size matches size(array_intersect) on sorted distinct arrays") {
+    val cases = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)), // partial overlap
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)), // identical
+      (Array(1L, 2L), Array(5L, 6L)), // disjoint
+      (Array.empty[Long], Array(1L, 2L)), // empty side
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(Long.MinValue, -1L, 0L, Long.MaxValue), Array(-1L, 0L)) // extremes
+    ).toDF("a", "b")
+    val got = cases.select(
+      graft.functions.Vectors.sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("spec")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // and on real fixture token-hash arrays, pairwise across 20 docs
+    val th = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), array_sort(array_distinct(transform(
+        split(col("text"), "\\s+"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))).as("hs"))
+    val pairs = th.alias("x").crossJoin(th.alias("y"))
+      .select(
+        graft.functions.Vectors
+          .sortedIntersectSize(col("x.hs"), col("y.hs")).as("fast"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).as("spec"))
+    assert(pairs.filter(col("fast") =!= col("spec")).count() === 0)
+  }
+
   test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
     val df = Seq(
       (Array(1f, 0f, 2f), Array(1f, 0f, 2f), 1.0),
