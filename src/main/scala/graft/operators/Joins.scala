@@ -146,9 +146,33 @@ object Joins extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** q79 — fuzzy entity match: customer pairs within a nation whose names
+    * are within Levenshtein distance 2 — the core of entity resolution /
+    * record linkage. Blocking discipline as everywhere: candidates come
+    * from the nation equi-join (at 100 TB the block key would be coarser —
+    * name prefix + nation), and only blocked pairs pay the O(len²)
+    * edit-distance; an unblocked fuzzy join is the n² trap.
+    */
+  val fuzzyMatch: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    a.join(b,
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+      .filter(col("dist") <= 2)
+      .select(col("a.c_custkey").as("key_1"), col("b.c_custkey").as("key_2"),
+        col("a.c_name").as("name_1"), col("b.c_name").as("name_2"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("key_1", "key_2")
+  }
+
   def queries: Map[String, Q] = Map(
     "q18_star_join_revenue" -> starJoinRevenue,
     "q71_upsert_merge" -> upsertMerge,
+    "q79_fuzzy_match" -> fuzzyMatch,
     "q19_semi_join" -> semiJoin,
     "q20_anti_join" -> antiJoin,
     "q21_left_join_agg" -> leftJoinAgg,
@@ -180,6 +204,14 @@ object Joins extends QueryModule {
         | CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    "q79_fuzzy_match" ->
+      """SELECT a.c_custkey AS key_1, b.c_custkey AS key_2,
+        | a.c_name AS name_1, b.c_name AS name_2,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY key_1, key_2""".stripMargin,
     "q71_upsert_merge" ->
       """WITH base AS (SELECT o_orderkey AS key,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),

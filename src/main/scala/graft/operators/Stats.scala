@@ -21,9 +21,75 @@ object Stats extends QueryModule {
       round(corr("l_extendedprice", "l_discount"), 4).as("corr_price_disc"),
       round(corr("l_quantity", "l_tax"), 4).as("corr_qty_tax"))
 
-  def queries: Map[String, Q] = Map("q33_corr_pairs" -> corrPairs)
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+
+  /** q80 — count-min sketch of customer order frequencies: depth 4 ×
+    * width 256 with an md5 hash family (deterministic, DuckDB-evaluable —
+    * a real deployment swaps in xxhash, same plan). The sketch is ONE
+    * hash aggregate over (row, bucket) — 4·width cells total no matter
+    * how many keys stream through, the whole point of sketching at
+    * 100 TB — probed here for customers 1–10: estimate = min over rows
+    * of the probed cell, compared against the exact count (CMS
+    * guarantees estimate ≥ truth; the spec pins it).
+    */
+  val countMin: Q = (s, d) => {
+    def bucket(j: Int, key: org.apache.spark.sql.Column) = pmod(
+      conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(cmsWidth.toLong))
+    val o = Tables.orders(s, d)
+    val cellRows = (0 until cmsDepth).map { j =>
+      o.select(lit(j).as("row"), bucket(j, col("o_custkey")).as("cell"))
+    }.reduce(_ unionByName _)
+    val sketch = cellRows.groupBy("row", "cell").agg(count(lit(1)).as("n"))
+    val probes = s.range(1, 11).select(col("id").as("key"))
+    val probeCells = probes.select(col("key") +: (0 until cmsDepth).map(j =>
+      bucket(j, col("key")).as(s"c$j")): _*)
+    val est = (0 until cmsDepth).map { j =>
+      probeCells.alias("p").join(
+          sketch.filter(col("row") === j).alias("s"),
+          col(s"p.c$j") === col("s.cell"), "left")
+        .select(col("p.key").as("key"), coalesce(col("s.n"), lit(0L)).as("est"))
+    }.reduce(_ unionByName _)
+      .groupBy("key").agg(min("est").as("est_n"))
+    val truth = o.groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("true_n"))
+    est.join(truth, Seq("key"), "left")
+      .select(col("key"), coalesce(col("true_n"), lit(0L)).as("true_n"),
+        col("est_n"))
+      .orderBy("key")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q33_corr_pairs" -> corrPairs,
+    "q80_countmin" -> countMin)
+
+  private def duckBucket(j: Int, key: String) =
+    s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
 
   def oracles: Map[String, String] = Map(
+    "q80_countmin" -> {
+      val cellUnion = (0 until cmsDepth)
+        .map(j => s"SELECT $j AS row, ${duckBucket(j, "o_custkey")} AS cell FROM orders")
+        .mkString("\n  UNION ALL ")
+      val estUnion = (0 until cmsDepth)
+        .map(j => s"""SELECT p.key, COALESCE(s.n, 0) AS est FROM probes p
+                     |  LEFT JOIN (SELECT cell, n FROM sketch WHERE row = $j) s
+                     |  ON ${duckBucket(j, "p.key")} = s.cell""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH cells AS (
+         |  $cellUnion),
+         |sketch AS (SELECT row, cell, count(*) AS n FROM cells GROUP BY 1, 2),
+         |probes AS (SELECT unnest(range(1, 11)) AS key),
+         |ests AS (
+         |  $estUnion),
+         |est AS (SELECT key, min(est) AS est_n FROM ests GROUP BY key),
+         |truth AS (SELECT o_custkey AS key, count(*) AS true_n FROM orders GROUP BY 1)
+         |SELECT e.key, COALESCE(t.true_n, 0) AS true_n, e.est_n
+         |FROM est e LEFT JOIN truth t ON e.key = t.key
+         |ORDER BY e.key""".stripMargin
+    },
     "q33_corr_pairs" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,

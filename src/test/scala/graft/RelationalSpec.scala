@@ -94,6 +94,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q80 count-min sketch never underestimates (CMS guarantee)") {
+    val rows = q("q80_countmin").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"key ${r.getLong(0)}: est ${r.getLong(2)} < true ${r.getLong(1)}")
+    }
+  }
+
+  test("q79 fuzzy match: pairs are ordered, within-block, and within distance 2") {
+    val rows = q("q79_fuzzy_match").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(4) <= 2)
+    }
+  }
+
   test("q76 gap fill: spine is contiguous and forward fill never leaves a null after the first value") {
     val rows = q("q76_gap_fill").collect()
     val days = rows.map(_.getDate(0).toLocalDate)
