@@ -107,11 +107,59 @@ object Storage extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** q81 — small-file compaction: the events table sprayed into 64 tiny
+    * files (every long-running ingestion's pathology — per-trigger sink
+    * output), then compacted to size-targeted files with a single
+    * `repartition` write. Listing cost and scan task count at 100 TB are
+    * governed by file count, so compaction is a first-class maintenance
+    * operator; the aggregate over the compacted copy proves the rewrite
+    * changed bytes-on-disk layout, not data. StorageSpec pins the file
+    * counts.
+    */
+  val compact: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Tables.events(s, d).repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/small")
+    s.read.parquet(s"$dir/small")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/compacted")
+    s.read.parquet(s"$dir/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** q82 — schema evolution on read: two ingestion batches, the newer one
+    * carrying an extra column, unioned by `mergeSchema` — the standard
+    * additive-evolution path for long-lived parquet datasets (older files
+    * surface the new column as null; nothing is rewritten). The aggregate
+    * sees both batches and the null-backfilled column.
+    */
+  val schemaEvolution: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year")) // the evolved column
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_year")).as("n_with_year"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, Q] = Map(
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
     "q69_jsonl_source" -> jsonlRoundtrip,
-    "q70_orc_roundtrip" -> orcRoundtrip)
+    "q70_orc_roundtrip" -> orcRoundtrip,
+    "q81_compact" -> compact,
+    "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
     // identical result to the unbucketed q52 join — layout must not change
@@ -135,5 +183,17 @@ object Storage extends QueryModule {
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice > 100000
-        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // compaction must preserve the data exactly
+    "q81_compact" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // older batch surfaces the evolved column as null → count(o_year)
+    // sees only odd keys
+    "q82_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_year,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
 }
