@@ -23,8 +23,10 @@ object DevProbe {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      // noop sink, as in Bench: count() would let the optimizer delete
+      // cardinality-neutral joins and time a hollowed-out plan
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

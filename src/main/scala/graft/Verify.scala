@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native vec_dot/vec_sqnorm expressions (graft.functions.VecExprs)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // see Bench: reclaim dead broadcasts/shuffles across 80+ queries
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -176,11 +176,26 @@ object Dedup extends QueryModule {
     // is a leaf scan — which is also how a 100 TB dedup pipeline would
     // stage its edge list between the (expensive) pair generation and
     // the (iterative) clustering anyway.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    val tmp = graft.Scratch.dir("graft_cc") // reaped at JVM exit
     verifiedPairs(s, d).write.mode("overwrite").parquet(tmp)
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] pairs written t=${System.nanoTime() / 1000000}")
     val pairs = s.read.parquet(tmp)
+    // Edge layout, decided ONCE before the loop: hash-partitioned by src,
+    // sorted within partitions on src, and cached. Every propagation round
+    // joins edges⋈labels on src = doc_id; the cached layout satisfies BOTH
+    // the merge join's partitioning and its ordering requirement, so each
+    // round shuffles and sorts only the (small) label table while the
+    // (large) edge side streams straight out of the cache — the
+    // edges-stay-put / labels-move layout GraphX's Pregel runs on a
+    // thousand executors. Without it, every round re-shuffled AND re-sorted
+    // the full edge list (the dominant per-round cost, measured
+    // ~1.5-2s/round at sf0.1; the loop executes through localCheckpoint's
+    // RDD path, which bypasses AQE, so no runtime rescue applies).
     val ue = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
+      .sortWithinPartitions("src")
+      .cache()
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
     var prevSum = labels.agg(sum("label")).head().getLong(0)
@@ -209,7 +224,9 @@ object Dedup extends QueryModule {
       // round (4× path doubling) is nearly free and halves the rounds.
       val next = jump(jump(stepped)).localCheckpoint(true)
       val sumNow = next.agg(sum("label")).head().getLong(0)
-      labels.unpersist() // old round's blocks; next no longer depends on them
+      // the previous round's checkpoint blocks are RDD-persisted (not in the
+      // CacheManager, so Dataset.unpersist would be a no-op); the
+      // ContextCleaner reclaims them once this reference drops
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
@@ -217,6 +234,7 @@ object Dedup extends QueryModule {
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round=$rounds sum=$sumNow t=${System.nanoTime() / 1000000}")
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
+    ue.unpersist() // the returned plan depends only on the final labels
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     // the final `labels` checkpoint backs the returned plan; the
     // ContextCleaner reclaims it once the consumer drops the DataFrame

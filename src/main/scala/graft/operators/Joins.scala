@@ -131,9 +131,13 @@ object Joins extends QueryModule {
       .filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey").as("u_key"),
         round(dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2).as("u_price"))
+    // insert keys are NEGATED source keys: orderkeys are strictly positive
+    // at every scale factor, so the synthetic key space can never collide
+    // with a real key (a fixed offset would, once orderkeys outgrow it —
+    // silently turning inserts into updates)
     val inserts = Tables.orders(s, d)
       .filter(col("o_orderkey") % 13 === 0)
-      .select((col("o_orderkey") + 1000000L).as("u_key"),
+      .select((-col("o_orderkey")).as("u_key"),
         lit(BigDecimal("100.00")).cast("decimal(18,2)").as("u_price"))
     val delta = updates.unionByName(inserts)
     base.join(delta, col("key") === col("u_key"), "full_outer")
@@ -150,19 +154,36 @@ object Joins extends QueryModule {
     * are within Levenshtein distance 2 — the core of entity resolution /
     * record linkage. Blocking discipline as everywhere: candidates come
     * from the nation equi-join (at 100 TB the block key would be coarser —
-    * name prefix + nation), and only blocked pairs pay the O(len²)
-    * edit-distance; an unblocked fuzzy join is the n² trap.
+    * name prefix + nation), and only blocked pairs pay the edit-distance;
+    * an unblocked fuzzy join is the n² trap.
+    *
+    * Two verify-loop decisions carry the cost:
+    *  - the THRESHOLD form `levenshtein(a, b, 2)` computes a banded
+    *    O(k·len) distance with early exit instead of the full O(len²)
+    *    matrix — with k=2 that is ~5 cells per row, an order of magnitude
+    *    less work per pair, and the kept rows' distances are exact;
+    *  - the PROBE side is fanned out round-robin and the build side
+    *    broadcast: pair enumeration and the distance verify then run in
+    *    ONE core-wide stage with no shuffle of the Σ|block|² candidate
+    *    mass at all. The block key has only #nations distinct values, so
+    *    any key-partitioned plan caps parallelism at 25 tasks (and AQE,
+    *    seeing byte-light inputs, coalesces further — measured: the whole
+    *    n²/25 verify in a single task); broadcasting the build side makes
+    *    the verify width independent of block-key cardinality. At 100 TB
+    *    the build side no longer broadcasts — there the fix is a
+    *    higher-cardinality block key (name prefix × nation), which is the
+    *    same knob every blocked matcher here exposes.
     */
   val fuzzyMatch: Q = (s, d) => {
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val a = c.alias("a")
+    val a = c.repartition(s.sparkContext.defaultParallelism).alias("a")
     val b = c.alias("b")
-    a.join(b,
+    a.join(broadcast(b),
         col("a.c_nationkey") === col("b.c_nationkey") &&
           col("a.c_custkey") < col("b.c_custkey"))
-      .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
-      .filter(col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name"), 2))
+      .filter(col("dist") >= 0) // threshold form marks >2 as -1
       .select(col("a.c_custkey").as("key_1"), col("b.c_custkey").as("key_2"),
         col("a.c_name").as("name_1"), col("b.c_name").as("name_2"),
         col("dist").cast("int").as("dist"))
@@ -220,7 +241,7 @@ object Joins extends QueryModule {
         |    round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS u_price
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000 AS u_key, CAST(100.00 AS DECIMAL(18,2)) AS u_price
+        |  SELECT -o_orderkey AS u_key, CAST(100.00 AS DECIMAL(18,2)) AS u_price
         |  FROM orders WHERE o_orderkey % 13 = 0)
         |SELECT coalesce(key, u_key) AS o_orderkey,
         |  CASE WHEN key IS NULL THEN 'insert'

@@ -232,7 +232,9 @@ object Similarity extends QueryModule {
     * evaluation is itself a pipeline operator: you re-run it after every
     * re-pivot/re-quantization. The brute side is O(sample·n) against a
     * broadcast sample — in production the audit samples a FIXED count, so
-    * the cost stays linear in corpus size no matter how big n gets.
+    * the cost stays linear in corpus size no matter how big n gets. The
+    * whole audit (IVF side + brute side + hit comparison) is deterministic
+    * SQL, so it carries a full DuckDB oracle like every other query here.
     */
   val annRecall: Q = (s, d) => {
     val corpus = base(s, d)
@@ -323,6 +325,34 @@ object Similarity extends QueryModule {
          |WHERE round(${duckCos.format("e1", "e2")}, 9) >= 0.4
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
     },
+    "q72_ann_recall" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, cell_id, arn FROM (
+         |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC, p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 64) p
+         |  ) WHERE arn <= 2),
+         |ivf AS (
+         |  SELECT vec_id AS q_id, round(sim9, 4) AS ivf_sim
+         |  FROM (
+         |    SELECT l.vec_id AS vec_id,
+         |      round(${duckCos.format("l", "r")}, 9) AS sim9,
+         |      row_number() OVER (PARTITION BY l.vec_id
+         |        ORDER BY round(${duckCos.format("l", "r")}, 9) DESC, r.vec_id) AS rn
+         |    FROM assigned l JOIN (SELECT * FROM assigned WHERE arn = 1) r
+         |    ON l.cell_id = r.cell_id AND l.vec_id <> r.vec_id
+         |  ) WHERE rn = 1 AND vec_id % 10 = 0),
+         |brute AS (
+         |  SELECT q.vec_id AS q_id, max(round(${duckCos.format("q", "c")}, 9)) AS bsim9
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 10 = 0 GROUP BY 1),
+         |hits AS (
+         |  SELECT count(*) AS n_eval,
+         |    CAST(sum(CASE WHEN ivf_sim >= round(bsim9, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM ivf JOIN brute USING (q_id))
+         |SELECT n_eval, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_eval, 4) AS recall FROM hits""".stripMargin,
     "q47_ivf_ann" ->
       s"""WITH assigned AS (
          |  SELECT vec_id, embedding, cell_id, arn FROM (

@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions._
   */
 object Storage extends QueryModule {
 
+  private val runId = new java.util.concurrent.atomic.AtomicInteger()
+
   private def bucketedTable(s: org.apache.spark.sql.SparkSession,
       df: DataFrame, key: String, name: String, dir: String): DataFrame = {
     df.write.mode("overwrite")
@@ -47,17 +49,51 @@ object Storage extends QueryModule {
     * join even when one side would fit a broadcast at fixture scale — at
     * 100 TB neither side broadcasts, and the bucketed SMJ is the plan that
     * survives.
+    *
+    * Only the columns the downstream join/aggregate needs are bucketed —
+    * a real layout job clusters the projection its consumers read, and
+    * column pruning cannot happen at read time for bytes already written.
+    * Table names are run-unique and dropped (with their scratch dir) after
+    * the aggregate materializes, so repeated rounds and concurrent
+    * sessions sharing a warehouse never collide or accumulate copies.
+    *
+    * This is the lazy join over freshly-written bucketed tables plus the
+    * cleanup that unregisters them — split out so PlanSpec can pin the
+    * exchange-free plan before materialization.
     */
-  val bucketedJoin: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-    val o = bucketedTable(s, Tables.orders(s, d), "o_orderkey", "graft_b_orders", dir)
-    val li = bucketedTable(s, Tables.lineitem(s, d), "l_orderkey", "graft_b_lineitem", dir)
-    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+  private[graft] def bucketedJoinLazy(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, () => Unit) = {
+    val dir = graft.Scratch.dir("graft_bucketed")
+    val id = runId.incrementAndGet()
+    val oName = s"graft_b_orders_$id"
+    val liName = s"graft_b_lineitem_$id"
+    val o = bucketedTable(s,
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", oName, dir)
+    val li = bucketedTable(s,
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", liName, dir)
+    val agg = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("o_orderpriority")
+    (agg, () => {
+      s.sql(s"DROP TABLE IF EXISTS $oName")
+      s.sql(s"DROP TABLE IF EXISTS $liName")
+      graft.Scratch.drop(dir)
+    })
+  }
+
+  val bucketedJoin: Q = (s, d) => {
+    val (agg, cleanup) = bucketedJoinLazy(s, d)
+    // materialize the (5-row) aggregate, then drop the tables + scratch dir:
+    // the returned plan must not reference a table that no longer exists
+    try {
+      val rows = java.util.Arrays.asList(agg.collect(): _*)
+      s.createDataFrame(rows, agg.schema)
+    } finally cleanup()
   }
 
   /** q67 — orders re-laid-out as a directory partition per o_orderstatus,
@@ -67,7 +103,7 @@ object Storage extends QueryModule {
     * o_orderstatus=F files.
     */
   val partitionPrune: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = graft.Scratch.dir("graft_part")
     Tables.orders(s, d).write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(dir)
     s.read.parquet(dir)
@@ -84,7 +120,7 @@ object Storage extends QueryModule {
     * must not change answers.
     */
   val jsonlRoundtrip: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val dir = graft.Scratch.dir("graft_jsonl")
     val docs = Tables.documents(s, d)
     docs.write.mode("overwrite").json(dir)
     s.read.schema(docs.schema).json(dir)
@@ -98,7 +134,7 @@ object Storage extends QueryModule {
     * written to ORC, read back with a pushed filter, aggregated.
     */
   val orcRoundtrip: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val dir = graft.Scratch.dir("graft_orc")
     Tables.orders(s, d).write.mode("overwrite").orc(dir)
     s.read.orc(dir)
       .filter(col("o_totalprice") > 100000)
@@ -117,7 +153,7 @@ object Storage extends QueryModule {
     * counts.
     */
   val compact: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = graft.Scratch.dir("graft_compact")
     Tables.events(s, d).repartition(64)
       .write.mode("overwrite").parquet(s"$dir/small")
     s.read.parquet(s"$dir/small")
@@ -136,7 +172,7 @@ object Storage extends QueryModule {
     * sees both batches and the null-backfilled column.
     */
   val schemaEvolution: Q = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val dir = graft.Scratch.dir("graft_evolve")
     val o = Tables.orders(s, d)
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

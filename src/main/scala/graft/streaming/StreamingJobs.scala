@@ -137,7 +137,14 @@ object StreamingJobs extends QueryModule {
     * The batch twin is the same time-range join in DuckDB — matched rows
     * of an inner stream-stream join are emitted as soon as both sides
     * arrive, so on a drained finite input the result set is exactly the
-    * batch join.
+    * batch join. One caveat makes that exact: the fixture is a single
+    * parquet file, so AvailableNow drains it in ONE micro-batch and the
+    * 1-hour watermarks never evict state mid-drain. A multi-file backfill
+    * whose files are NOT event-time-clustered could advance the watermark
+    * past a view before its cross-batch purchase arrives and drop the
+    * match — exactly as a production stream would for data arriving later
+    * than the declared bound. Backfills must either cluster input files by
+    * event time or widen the watermark to their disorder bound.
     */
   val streamStreamJoin: Q = (s, d) => {
     val views = eventsStream(s, d)

@@ -68,12 +68,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q66 bucketed join: sort-merge join with NO exchange on either fact side") {
-    val p = plan("q66_bucketed_join")
-    assert(p.contains("SortMergeJoin"), p)
-    // the only shuffle is the tiny per-priority aggregate — the join reads
-    // bucket-aligned inputs directly
-    assert(count(p, "Exchange hashpartitioning") === 1, p)
-    assert(p.contains("SelectedBucketsCount"), p)
+    // q66 itself materializes-then-cleans-up; pin the plan of the lazy join
+    val (agg, cleanup) = graft.operators.Storage.bucketedJoinLazy(spark, sf)
+    try {
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // the only shuffle is the tiny per-priority aggregate — the join reads
+      // bucket-aligned inputs directly
+      assert(count(p, "Exchange hashpartitioning") === 1, p)
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally cleanup()
   }
 
   test("q67 partitioned layout: the status filter prunes partitions, not rows") {
