@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, Joins, Events, Text, Similarity, Stats, Multimodal,
-    Dedup, Geo, AsOf, Storage, graft.streaming.StreamingJobs, graft.ml.Pipelines)
+    Dedup, Geo, AsOf, Storage, Pipeline,
+    graft.streaming.StreamingJobs, graft.ml.Pipelines)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

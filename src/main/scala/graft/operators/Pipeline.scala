@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import graft.functions.Exact._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between ingestion and training — the slice of the mandate (SURVEY.md §7
+  * M5) that curates WHAT goes into a training mix rather than finding
+  * near-duplicates: PII redaction, per-source quota capping, token-budget
+  * sequence packing, common-token quality scoring, n-gram repetition
+  * scoring, deterministic stratified sampling, and fixed-size chunking.
+  *
+  * All of them are stateless projections, windows, or two-pass
+  * (aggregate-then-join) plans over the `documents` table: no UDFs, no
+  * driver-side loops, every shuffle keyed on a real partition key (lang /
+  * source / term), so each holds its shape at 100 TB. Every query has a
+  * DuckDB oracle.
+  */
+object Pipeline extends QueryModule {
+
+  private def toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+  private val duckToks = raw"list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"
+
+  /** The fixture corpus is synthetic lowercase prose with no contact info,
+    * so the redaction input appends a deterministic PII-ish tail (an email
+    * and a phone-shaped number derived from the row) — the operator's
+    * regexes then have real matches to count and mask. Both engines build
+    * the identical string.
+    */
+  private def withPii = concat(col("text"),
+    lit(" contact user"), col("doc_id"), lit("@mail.example or +1-555-"),
+    col("n_chars"), lit(" now"))
+  private val duckWithPii =
+    "text || ' contact user' || doc_id || '@mail.example or +1-555-' || n_chars || ' now'"
+
+  private val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  private val numRe = "[0-9]{3,}"
+
+  /** q83 — PII redaction: mask emails then long digit runs, count what was
+    * masked, fingerprint the redacted text. One codegen'd projection — the
+    * shape of every regex-scrub pass (PII, boilerplate, markup): linear
+    * scan, no shuffle, safe to run before anything else touches the bytes.
+    */
+  val piiRedact: Q = (s, d) => {
+    val redacted = regexp_replace(
+      regexp_replace(withPii, emailRe, "<EMAIL>"), numRe, "<NUM>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(withPii, lit(emailRe), lit(0))).as("n_emails"),
+      // digit-run count AFTER email masking — an address's digits must not
+      // double-count
+      size(regexp_extract_all(
+        regexp_replace(withPii, emailRe, "<EMAIL>"), lit(numRe), lit(0))).as("n_nums"),
+      md5(redacted).as("redacted_fp"),
+      (length(withPii) - length(redacted)).cast("int").as("len_delta"))
+      .orderBy("doc_id")
+  }
+
+  /** q84 — per-source quota cap: keep at most 5 documents per source (by
+    * doc_id — deterministic, not "first seen"). The dominance cap every
+    * web-scale mix applies so one crawl domain cannot swamp the corpus;
+    * row_number + filter plans with the WindowGroupLimit pushdown, so each
+    * source's excess rows are dropped before the final shuffle.
+    */
+  val sourceCap: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"), col("rn").cast("int").as("rn"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** q85 — token-budget sequence packing: documents are packed into
+    * 2048-token bins in doc_id order WITHIN each language (the
+    * pack-per-shard discipline — a global packing order would serialize
+    * the corpus through one sort; per-partition packing is what training
+    * pipelines actually do). bin = (running total before this doc) / 2048:
+    * a document straddling a boundary starts the next bin, computed from
+    * one cumulative-sum window. Output is per-bin occupancy — the
+    * padding-efficiency audit of the packed dataset.
+    */
+  val packBudget: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 2048"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** q86 — common-token ratio: the fraction of each document's tokens that
+    * fall in the corpus's top-100 token list (by total frequency, term as
+    * tiebreak). The integer-exact cousin of a unigram-LM quality score — a
+    * low ratio flags gibberish exactly as high perplexity would, but every
+    * number here is a count or an exact rational, so the cross-engine
+    * compare is bit-stable. Two hash aggregates over the exploded token
+    * stream + one broadcast join of the (fixed-size) top list: the same
+    * plan at any corpus size.
+    */
+  val commonTokenRatio: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val tokens = docs.select(col("doc_id"), explode(toks).as("term"))
+    // TakeOrderedAndProject, not a global row_number window: a window with
+    // no PARTITION BY funnels the whole vocabulary through one task
+    val top = tokens.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(100)
+      .select("term")
+    val perDoc = tokens.join(broadcast(top), Seq("term"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("common_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q87 — n-gram repetition score: how much of the document is repeated
+    * word-trigrams (1 − distinct/total). The standard repetition filter
+    * (templated/spam text scores high); trigram generation is the same
+    * windowed-slice expression as q74's shingles, fully map-side.
+    */
+  val repetitionScore: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), toks.as("tk"))
+    val idx = when(size(col("tk")) >= 3, sequence(lit(1), size(col("tk")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idx, i => concat_ws(" ", slice(col("tk"), i, lit(3))))
+    t.select(col("doc_id"),
+        size(grams).as("n_trigrams"),
+        size(array_distinct(grams)).as("n_distinct"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        when(col("n_trigrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q88 — z-score outlier audit over order totals per priority: mean and
+    * variance from EXACT decimal sums (Σx, Σx² — one pass, map-side
+    * combinable), then per-row standardization against the broadcast
+    * per-group stats. Two-pass outlier flagging is the scale shape: no
+    * window over the whole fact table, just one aggregate + one broadcast
+    * join. Output aggregates the flags, so the result is small and exact.
+    */
+  val zscoreOutliers: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"), dec2(col("o_totalprice")).as("x"))
+    val stats = o.groupBy("prio").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    // identical double formula in both engines over identical decimal sums
+    val mean = col("sx").cast("double") / col("n")
+    val variance = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n")) / (col("n") - 1)
+    val z = (col("x").cast("double") - mean) / sqrt(variance)
+    o.join(broadcast(stats), "prio")
+      .select(col("prio"), round(z, 4).as("z"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_outliers"),
+        min("z").as("min_z"), max("z").as("max_z"))
+      .orderBy("prio")
+  }
+
+  /** q89 — deterministic stratified downsample: an exact 10% hash slice
+    * WITHIN each language (the md5 bucket reused from q75's split). The
+    * audit output (per-lang before/after counts) is how a mix designer
+    * verifies the sample preserved strata — and the hash gate makes the
+    * sample reproducible under any repartitioning, which seeded `sample()`
+    * is not.
+    */
+  val stratifiedSample: Q = (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10L))
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(bucket === 0, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** q90 — fixed-size chunking: every document split into 500-char chunks
+    * (context-window preparation). posexplode of a computed chunk index —
+    * purely map-side, output linear in total characters; each chunk
+    * carries its md5 so a downstream exact-dedup can run per-chunk.
+    */
+  val chunk500: Q = (s, d) => {
+    val nChunks = expr("(n_chars + 499) div 500")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(expr("substring(text, cast(chunk_idx * 500 + 1 as int), 500)"))
+          .as("chunk_len"),
+        md5(expr("substring(text, cast(chunk_idx * 500 + 1 as int), 500)"))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q83_pii_redact" -> piiRedact,
+    "q84_source_cap" -> sourceCap,
+    "q85_pack_budget" -> packBudget,
+    "q86_common_token_ratio" -> commonTokenRatio,
+    "q87_repetition" -> repetitionScore,
+    "q88_zscore_outliers" -> zscoreOutliers,
+    "q89_stratified_sample" -> stratifiedSample,
+    "q90_chunk500" -> chunk500)
+
+  def oracles: Map[String, String] = Map(
+    "q83_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $duckWithPii AS t FROM documents),
+         |m AS (SELECT doc_id, t,
+         |  regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1 FROM p),
+         |r AS (SELECT doc_id, t, t1,
+         |  regexp_replace(t1, '$numRe', '<NUM>', 'g') AS t2 FROM m)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '$numRe')) AS INT) AS n_nums,
+         |  md5(t2) AS redacted_fp,
+         |  CAST(length(t) - length(t2) AS INT) AS len_delta
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q84_source_cap" ->
+      """SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    "q85_pack_budget" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT lang, doc_id, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t)
+         |SELECT lang, (cum - n_tok) // 2048 AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "q86_common_token_ratio" ->
+      s"""WITH tokens AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |freqs AS (SELECT term, count(*) AS freq FROM tokens GROUP BY 1),
+         |top AS (SELECT term FROM (
+         |  SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS rk FROM freqs)
+         |  WHERE rk <= 100),
+         |per_doc AS (SELECT doc_id, count(*) AS n_common FROM tokens
+         |  WHERE term IN (SELECT term FROM top) GROUP BY 1)
+         |SELECT d.doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  COALESCE(p.n_common, 0) AS n_common,
+         |  round(CAST(COALESCE(p.n_common, 0) AS DOUBLE) / len($duckToks), 6)
+         |    AS common_ratio
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q87_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> array_to_string(tk[i:i+2], ' ')) AS grams FROM t)
+         |SELECT doc_id,
+         |  CAST(len(grams) AS INT) AS n_trigrams,
+         |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+         |  CASE WHEN len(grams) > 0
+         |    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "q88_zscore_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders),
+        |stats AS (SELECT prio, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM o GROUP BY 1),
+        |z AS (SELECT o.prio,
+        |  round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+        |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |           / (n - 1)), 4) AS z
+        |  FROM o JOIN stats USING (prio))
+        |SELECT prio, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(z) AS min_z, max(z) AS max_z
+        |FROM z GROUP BY 1 ORDER BY prio""".stripMargin,
+    "q89_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q90_chunk500" ->
+      """SELECT doc_id, chunk_idx,
+        |  CAST(length(substr(text, CAST(chunk_idx * 500 + 1 AS INT), 500)) AS INT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(chunk_idx * 500 + 1 AS INT), 500)) AS chunk_fp
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(0, (n_chars + 499) // 500)) AS chunk_idx FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the corpus-preparation operators (operators/Pipeline):
+  * invariants that must hold on ANY input, checked on the sf0.001 fixtures.
+  * Value-level parity with DuckDB is the Verify gate's job.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("q84 source cap: never more than 5 docs per source, rn dense from 1") {
+    val rows = q("q84_source_cap").collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 5, src)
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length), src)
+    }
+  }
+
+  test("q85 packing: bins partition each lang's docs; no bin starts beyond budget") {
+    val rows = q("q85_pack_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc counts per lang must sum to the corpus per-lang counts
+    val packed = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(packed === corpus)
+    // every bin except possibly a lang's last holds >= 2048 cumulative
+    // tokens by construction of the running-total bin id, so bin ids are
+    // contiguous from 0
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val bins = rs.map(_._2).sorted
+      assert(bins.toSeq === (0L until bins.length).toSeq, lang)
+    }
+  }
+
+  test("q87 repetition: ratio in [0,1); distinct <= total trigrams") {
+    q("q87_repetition").collect().foreach { r =>
+      val (total, distinct, ratio) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(distinct <= total)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      if (total > 0)
+        assert(math.abs(ratio - (1.0 - distinct.toDouble / total)) < 1e-6)
+    }
+  }
+
+  test("q88 z-scores: outliers are a small minority and bounds bracket zero") {
+    q("q88_zscore_outliers").collect().foreach { r =>
+      val (n, out, minZ, maxZ) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(out < n / 4, "more than a quarter outliers")
+      assert(minZ < 0 && maxZ > 0, "both tails present")
+    }
+  }
+
+  test("q89 stratified sample keeps roughly 10% per stratum") {
+    q("q89_stratified_sample").collect().foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= n)
+      // md5 buckets: binomial(n, 0.1) — very loose band, just not 0% or 50%
+      if (n >= 50) assert(kept > 0 && kept < n / 2, s"kept=$kept of $n")
+    }
+  }
+
+  test("q90 chunks: lengths reassemble to n_chars; all but last chunk are 500") {
+    val byDoc = q("q90_chunk500").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._3.toLong).sum === lens(doc), s"doc $doc")
+      sorted.init.foreach(c => assert(c._3 === 500, s"doc $doc chunk ${c._2}"))
+    }
+  }
+
+  test("q83 redaction: every doc's synthetic email and phone digits are masked") {
+    q("q83_pii_redact").collect().foreach { r =>
+      assert(r.getInt(1) >= 1, "email seen")  // n_emails
+      assert(r.getInt(2) >= 1, "digit run seen") // n_nums
+      assert(r.getInt(4) > 0, "redaction shortened the text") // len_delta
+    }
+  }
+
+  test("q86 common-token ratio bounded by 1 and monotone with n_common") {
+    q("q86_common_token_ratio").collect().foreach { r =>
+      val (n, common, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(common <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+}
