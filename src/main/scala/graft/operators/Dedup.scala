@@ -191,9 +191,16 @@ object Dedup extends QueryModule {
     // the full edge list (the dominant per-round cost, measured
     // ~1.5-2s/round at sf0.1; the loop executes through localCheckpoint's
     // RDD path, which bypasses AQE, so no runtime rescue applies).
+    // The loop frames are a few MB; its stages are fixed-overhead-bound,
+    // not data-bound, so the whole loop runs at a narrow shuffle width (8)
+    // — per round that is ~6 small stages whose task count would otherwise
+    // be the session's full core count for 5000-row frames. At real corpus
+    // sizes the width scales with label-table volume, same knob.
+    val loopP = math.min(8, s.sparkContext.defaultParallelism)
+    graft.withShufflePartitions(s, loopP) {
     val ue = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(s.sparkContext.defaultParallelism, col("src"))
+      .repartition(loopP, col("src"))
       .sortWithinPartitions("src")
       .cache()
     var labels = Tables.documents(s, d)
@@ -242,6 +249,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
+    } // withShufflePartitions(loopP)
   }
 
   def queries: Map[String, Q] = Map(

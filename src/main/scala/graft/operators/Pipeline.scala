@@ -209,7 +209,52 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q91 — latest record per key: each (user_id, event_type)'s most recent
+    * event — CDC/log compaction as a query (the read-side of every
+    * upsert-log table format). row_number over (key, ts DESC) + filter
+    * plans with the WindowGroupLimit pushdown, so per-key history is
+    * pruned before the final shuffle; ties on ts break by event_id for a
+    * deterministic winner on both engines.
+    */
+  val latestPerKey: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("latest_ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q92 — data-quality audit (the Deequ-style constraint gate a pipeline
+    * runs before accepting a batch): null checks, key uniqueness, a value
+    * range, a domain check, and referential integrity of orders→customer —
+    * each constraint one aggregate or anti-join, unioned into a
+    * (constraint, violations, pass) report. Scale shape: every check is a
+    * scan-local aggregate or a broadcast/shuffle anti-join keyed on the
+    * constraint's column; nothing is row-expanded.
+    */
+  val dqAudit: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val checks = Seq(
+      ("orderkey_not_null", o.filter(col("o_orderkey").isNull)),
+      ("orderkey_unique", o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)),
+      ("totalprice_positive", o.filter(col("o_totalprice") <= 0)),
+      ("status_in_domain", o.filter(!col("o_orderstatus").isin("F", "O", "P"))),
+      ("custkey_in_customer", o.join(Tables.customer(s, d),
+        o("o_custkey") === col("c_custkey"), "left_anti")))
+    checks.map { case (name, viol) =>
+      viol.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("rule"), col("violations"),
+          (col("violations") === 0).as("pass"))
+    }.reduce(_.unionByName(_)).orderBy("rule")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q91_latest_per_key" -> latestPerKey,
+    "q92_dq_audit" -> dqAudit,
     "q83_pii_redact" -> piiRedact,
     "q84_source_cap" -> sourceCap,
     "q85_pack_budget" -> packBudget,
@@ -220,6 +265,30 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    "q91_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, ts AS latest_ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q92_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orderkey_not_null' AS rule, count(*) AS violations,
+        |    count(*) = 0 AS pass FROM orders WHERE o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT 'orderkey_unique', count(*), count(*) = 0 FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'totalprice_positive', count(*), count(*) = 0
+        |  FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'status_in_domain', count(*), count(*) = 0
+        |  FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+        |  UNION ALL
+        |  SELECT 'custkey_in_customer', count(*), count(*) = 0
+        |  FROM orders WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |) ORDER BY rule""".stripMargin,
     "q83_pii_redact" ->
       s"""WITH p AS (SELECT doc_id, $duckWithPii AS t FROM documents),
          |m AS (SELECT doc_id, t,

@@ -30,6 +30,17 @@ object StreamingJobs extends QueryModule {
 
   private val runId = new AtomicInteger()
 
+  /** State-store width for the bounded fixture drains: the shuffle-partition
+    * count fixes the number of state-store instances a stateful streaming
+    * query creates, and should track STATE SIZE, not the batch session's
+    * CPU count — every stateful operator materializes, commits, and
+    * snapshots one store per partition per micro-batch, so a query whose
+    * state fits in a handful of stores pays pure fixed overhead for each
+    * extra partition. At production state volumes the same knob goes UP —
+    * the decision is explicit either way (see [[graft.withShufflePartitions]]).
+    */
+  private val statePartitions = 8
+
   /** Streaming read of the events table with the ns→µs timestamp
     * conversion. The file is streamed directly via a glob pattern — a
     * `pathGlobFilter` over the whole sf dir would re-list every sibling
@@ -53,11 +64,13 @@ object StreamingJobs extends QueryModule {
     val name = s"stream_${tag}_${runId.incrementAndGet()}"
     // AvailableNow drains the whole backlog in bounded micro-batches and
     // stops itself — the batch-parity trigger for a static input.
-    val q = agg.writeStream.outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .format("memory").queryName(name).start()
-    try q.awaitTermination()
-    finally q.stop()
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = agg.writeStream.outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
     val sink = s.table(name).orderBy(order.map(col): _*)
     val rows = java.util.Arrays.asList(sink.collect(): _*)
     val out = s.createDataFrame(rows, sink.schema)
@@ -96,15 +109,17 @@ object StreamingJobs extends QueryModule {
       .withWatermark("ts", "400 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-    val q = dedup.writeStream.outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .option("path", s"$tmp/data")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    val tmp = graft.Scratch.dir("graft_stream_dedup")
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = dedup.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/data")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
     s.read.parquet(s"$tmp/data").orderBy("user_id", "event_type")
   }
 
@@ -209,12 +224,14 @@ object StreamingJobs extends QueryModule {
           out.iterator
       }
     val name = s"stream_sessions_${runId.incrementAndGet()}"
-    val q = closed.toDF("user_id", "start_us", "end_us", "n_events")
-      .writeStream.outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .format("memory").queryName(name).start()
-    try q.awaitTermination()
-    finally q.stop()
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = closed.toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
     val sink = s.table(name)
       .select(col("user_id"),
         expr("timestamp_micros(start_us)").as("session_start"),

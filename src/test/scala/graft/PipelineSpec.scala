@@ -85,6 +85,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q91 latest per key: one row per (user, type); ts is the key's max") {
+    val rows = q("q91_latest_per_key").collect()
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").agg(max("ts").as("m")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    rows.foreach(r =>
+      assert(r.getTimestamp(3) === maxTs((r.getLong(0), r.getString(1)))))
+  }
+
+  test("q92 dq audit: fixture batch passes every constraint") {
+    val rows = q("q92_dq_audit").collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getBoolean(2), r.getString(0)))
+  }
+
   test("q86 common-token ratio bounded by 1 and monotone with n_common") {
     q("q86_common_token_ratio").collect().foreach { r =>
       val (n, common, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
