@@ -143,6 +143,25 @@ object Storage extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** q93 — CSV sink + source roundtrip with an EXPLICIT schema on read
+    * (the reference's S1 entry point, Dataset.py:77, minus its
+    * double-scan `inferSchema`): orders written as headered CSV, read
+    * back through graft.sources.Csv, filtered and aggregated. Identity
+    * with the parquet-sourced aggregate is the check — text staging must
+    * not change answers (doubles round-trip via shortest-repr printing).
+    */
+  val csvRoundtrip: Q = (s, d) => {
+    val dir = graft.Scratch.dir("graft_csv")
+    val cols = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    cols.write.mode("overwrite").option("header", "true").csv(dir)
+    graft.sources.Csv.read(s, dir, cols.schema)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q81 — small-file compaction: the events table sprayed into 64 tiny
     * files (every long-running ingestion's pathology — per-trigger sink
     * output), then compacted to size-targeted files with a single
@@ -194,6 +213,7 @@ object Storage extends QueryModule {
     "q67_partition_prune" -> partitionPrune,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
+    "q93_csv_roundtrip" -> csvRoundtrip,
     "q81_compact" -> compact,
     "q82_schema_evolution" -> schemaEvolution)
 
@@ -215,6 +235,11 @@ object Storage extends QueryModule {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q93_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q70_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

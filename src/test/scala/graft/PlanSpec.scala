@@ -91,7 +91,8 @@ class PlanSpec extends SparkSpec {
   test("rank-filter windows get the WindowGroupLimit pushdown") {
     // row_number()<=k filters must prune per-partition before the shuffle
     // (Spark's WindowGroupLimit), or every window carries all rows.
-    for (name <- Seq("q17_topk_per_group", "q47_ivf_ann")) {
+    for (name <- Seq("q17_topk_per_group", "q47_ivf_ann", "q91_latest_per_key",
+        "q84_source_cap")) {
       val p = plan(name)
       assert(p.contains("WindowGroupLimit"), s"$name:\n$p")
     }
