@@ -42,6 +42,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q79 fuzzy match verifies through a broadcast equi-join, never a nested loop") {
+    val p = plan("q79_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q01 scan pushes the shipdate filter and prunes to the 6 needed columns") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
