@@ -23,12 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val defaultHeap: String = {
+  val memGb = try {
+    scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong / (1024 * 1024) }
+  } catch { case _: Throwable => None }
+  s"${memGb.map(g => math.max(4L, math.min(24L, g / 2))).getOrElse(8L)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in ONE JVM: unified memory must
   // cover 32 × (join build sides + sort buffers + cached train sets), and
   // a too-small heap shows up not as OOM but as GC churn that inflates
-  // every query late in a long session. The CI box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // every query late in a long session. Default to half of physical RAM
+  // capped at 24g (the bench box has 128 GiB) so a small dev machine
+  // isn't pushed into swap; SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

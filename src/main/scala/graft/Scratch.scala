@@ -22,13 +22,19 @@ object Scratch {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(f => try Files.delete(f) catch { case _: java.io.IOException => () })
-      finally walk.close()
-    }
+    // best-effort by contract: the walk itself can throw UncheckedIOException
+    // when racing a concurrent delete (exit hook vs an early drop()) — that
+    // must not abort the hook's cleanup of the REMAINING dirs, nor mask a
+    // caller's own result when invoked from a finally block
+    try {
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(f => try Files.delete(f) catch { case _: java.io.IOException => () })
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
 
   /** A fresh temp directory, deleted (recursively) at JVM exit. */
   def dir(prefix: String): String = {

@@ -208,6 +208,7 @@ object Dedup extends QueryModule {
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var rounds = 0
+    try {
     while (!converged && rounds < 50) {
       val prop = ue.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min("label").as("nb_min"))
@@ -241,7 +242,10 @@ object Dedup extends QueryModule {
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round=$rounds sum=$sumNow t=${System.nanoTime() / 1000000}")
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
-    ue.unpersist() // the returned plan depends only on the final labels
+    // finally, not fall-through: a non-converged require (or a failed
+    // round) must still release the CacheManager-pinned edge list, or it
+    // stays on the heap for every later query in the session
+    } finally ue.unpersist()
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     // the final `labels` checkpoint backs the returned plan; the
     // ContextCleaner reclaims it once the consumer drops the DataFrame

@@ -78,10 +78,11 @@ object Pipeline extends QueryModule {
     * 2048-token bins in doc_id order WITHIN each language (the
     * pack-per-shard discipline — a global packing order would serialize
     * the corpus through one sort; per-partition packing is what training
-    * pipelines actually do). bin = (running total before this doc) / 2048:
-    * a document straddling a boundary starts the next bin, computed from
-    * one cumulative-sum window. Output is per-bin occupancy — the
-    * padding-efficiency audit of the packed dataset.
+    * pipelines actually do). bin = (running total before this doc) / 2048,
+    * from one cumulative-sum window: a document straddling a boundary
+    * STAYS in the bin it starts in, so a bin may exceed the budget by at
+    * most one document's tokens — exactly the overshoot the per-bin
+    * occupancy output exists to audit (padding efficiency vs truncation).
     */
   val packBudget: Q = (s, d) => {
     val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -181,9 +182,7 @@ object Pipeline extends QueryModule {
     * is not.
     */
   val stratifiedSample: Q = (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(10L))
+    val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 10)
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -198,9 +197,13 @@ object Pipeline extends QueryModule {
     */
   val chunk500: Q = (s, d) => {
     val nChunks = expr("(n_chars + 499) div 500")
+    // guard: sequence(0, n-1) for n = 0 DESCENDS to [0, -1] (default step
+    // -1 when start > stop) — an empty document must yield zero chunks,
+    // matching the oracle's empty range(0, 0)
+    val idx = when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+      .otherwise(array().cast("array<bigint>"))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("text"), explode(idx).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         length(expr("substring(text, cast(chunk_idx * 500 + 1 as int), 500)"))
           .as("chunk_len"),
@@ -358,10 +361,10 @@ object Pipeline extends QueryModule {
         |  min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1 ORDER BY prio""".stripMargin,
     "q89_stratified_sample" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ${graft.functions.Hashing.duckMd5Bucket("doc_id", 10)} = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q90_chunk500" ->
       """SELECT doc_id, chunk_idx,
         |  CAST(length(substr(text, CAST(chunk_idx * 500 + 1 AS INT), 500)) AS INT)

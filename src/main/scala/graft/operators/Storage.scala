@@ -33,6 +33,13 @@ object Storage extends QueryModule {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Process+run-unique suffix for metastore table names: the counter alone
+    * only disambiguates runs WITHIN one JVM; concurrent processes sharing a
+    * warehouse each start their counter at 1 and would collide.
+    */
+  private def uniqueSuffix(): String =
+    s"${java.lang.ProcessHandle.current.pid}_${runId.incrementAndGet()}"
+
   private def bucketedTable(s: org.apache.spark.sql.SparkSession,
       df: DataFrame, key: String, name: String, dir: String): DataFrame = {
     df.write.mode("overwrite")
@@ -64,7 +71,7 @@ object Storage extends QueryModule {
   private[graft] def bucketedJoinLazy(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, () => Unit) = {
     val dir = graft.Scratch.dir("graft_bucketed")
-    val id = runId.incrementAndGet()
+    val id = uniqueSuffix()
     val oName = s"graft_b_orders_$id"
     val liName = s"graft_b_lineitem_$id"
     val o = bucketedTable(s,

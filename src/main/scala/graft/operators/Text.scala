@@ -261,9 +261,7 @@ object Text extends QueryModule {
     * balance.
     */
   val hashSplit: Q = (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
     Tables.documents(s, d)
       .select(col("lang"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -327,13 +325,13 @@ object Text extends QueryModule {
          |WHERE d.doc_id >= 10
          |ORDER BY d.doc_id""".stripMargin,
     "q75_hash_split" ->
-      """WITH v AS (SELECT lang,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT lang,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
-        |    FROM documents))
-        |SELECT lang, split, count(*) AS n FROM v
-        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      s"""WITH v AS (SELECT lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT lang,
+         |    ${graft.functions.Hashing.duckMd5Bucket("doc_id", 100)} AS b
+         |    FROM documents))
+         |SELECT lang, split, count(*) AS n FROM v
+         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q61_tfidf_top" ->
       s"""WITH terms AS (SELECT doc_id,
          |  unnest(list_filter($duckToks, t -> len(t) > 0)) AS term FROM documents),

@@ -77,6 +77,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q90 chunking yields zero chunks for an empty document") {
+    // sequence(0, n-1) descends to [0, -1] when n = 0 — the guard must
+    // make an empty doc produce NO chunks (oracle range(0, 0) is empty)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdocs90").toString
+    Seq((1L, "", "en", "t", 0L), (2L, "abc", "en", "t", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q90_chunk500")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(rows.head.getInt(2) === 3)
+  }
+
   test("q83 redaction: every doc's synthetic email and phone digits are masked") {
     q("q83_pii_redact").collect().foreach { r =>
       assert(r.getInt(1) >= 1, "email seen")  // n_emails
