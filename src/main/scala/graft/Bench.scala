@@ -44,7 +44,13 @@ object Bench {
     // time of a bare table count. The noop sink evaluates every output row
     // and column and discards them — the cost of the real query, minus sink
     // I/O.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter (substring match) for
+    // iterating on one query's timing without paying the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
