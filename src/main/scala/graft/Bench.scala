@@ -45,8 +45,11 @@ object Bench {
     // and column and discards them — the cost of the real query, minus sink
     // I/O.
     // Optional comma-separated query-name filter (substring match) for
-    // iterating on one query's timing without paying the full suite.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // iterating on one query's timing without paying the full suite. Blank
+    // tokens (a stray comma) would substring-match EVERY name, silently
+    // disabling the filter — drop them; an all-blank value means no filter.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
@@ -57,14 +60,25 @@ object Bench {
       } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n')) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // ms precision, Locale.ROOT: a wall-clock timing carries no more than
+    // 3 digits, and 9-digit doubles pushed the line past the ~2000-char
+    // output window the harness records (every BENCH_r1..r5 came back
+    // "parsed": null — the line was truncated mid-JSON).
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Short qNN keys for the same reason (the contract example uses "q1");
+    // the full name is the SparkEntry.queries key with that prefix.
+    val qs = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // A failed query must surface as a failure, not as a fast timing line.
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Record the active filter: a filtered run saved as BENCH_rNN.json must
+    // be distinguishable from a full-suite run.
+    val onlyJson = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,12 +41,16 @@ object Dedup extends QueryModule {
   private val maxDist = 0.1
 
   /** i-th minhash over the token set: min over tokens of the first 8 md5
-    * hex digits of "i:token" read as an integer — the same family DuckDB
-    * can evaluate verbatim, so candidates match the oracle exactly.
+    * hex digits of "i:token" — the same family DuckDB can evaluate
+    * verbatim, so candidates match the oracle exactly. The min is taken
+    * over the hex STRINGS: lexicographic order on fixed-width lowercase
+    * hex equals numeric order, so the winner is identical to the former
+    * `conv(_, 16, 10)` form while deleting numHashes base-16 conversions
+    * per token from the pipeline's hottest projection.
     */
   private def minhash(i: Int): Column =
     array_min(transform(col("tokset"),
-      t => conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")))
+      t => substring(md5(concat(lit(s"$i:"), t)), 1, 8)))
 
   /** Verified near-dup edges (d1 < d2): minhash → band → bucket equi-join
     * candidates, then exact-Jaccard verification. Shared by the per-document
@@ -71,7 +75,7 @@ object Dedup extends QueryModule {
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("-", (0 until rowsPerBand)
-          .map(r => col(s"mh${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
+          .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
     }
     // explicit co-partitioning on the join key: the band self-join's input
     // stage is byte-light (one sig string per doc per band) but its OUTPUT
@@ -119,12 +123,31 @@ object Dedup extends QueryModule {
       .select("d1", "d2")
   }
 
+  /** [[verifiedPairs]] materialized ONCE through a parquet roundtrip and
+    * read back as a leaf scan. Both consumers need this, for the same two
+    * reasons:
+    *  - they reference the pair list TWICE (q37's d1/d2 degree union, q59's
+    *    src/dst edge union), and an uncached twice-referenced subtree means
+    *    the whole shingle→minhash→band-join→verify pipeline EXECUTES twice
+    *    (exchange reuse does not survive the differing projections on top) —
+    *    this was q37's 98.9s-vs-q59's-19.8s bench anomaly;
+    *  - the write runs the verify join through the fully adaptive SQL path
+    *    (AQE picks broadcast at fixture scale), and the read-back gives the
+    *    downstream stages honest leaf statistics. A 100 TB dedup pipeline
+    *    stages its edge list between pair generation and consumption anyway.
+    */
+  private def stagedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tmp = graft.Scratch.dir("graft_mh_pairs") // reaped at JVM exit
+    verifiedPairs(s, d).write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+  }
+
   /** q37 — per-document near-dup verdict: how many verified neighbors at
     * Jaccard ≥ 0.9, and the canonical (least) doc_id of the neighborhood —
     * `doc_id == canon_id` is the "keep" decision of a dedup pass.
     */
   val minhashNearDup: Q = (s, d) => {
-    val pairs = verifiedPairs(s, d)
+    val pairs = stagedPairs(s, d)
     val degrees = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
       .union(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
       .groupBy("doc_id")
@@ -167,19 +190,13 @@ object Dedup extends QueryModule {
     * such failure domain, so the cheap variant is the right default.)
     */
   val dupClusters: Q = (s, d) => {
-    // Materialize the edge list ONCE through a parquet roundtrip, not
-    // localCheckpoint/cache: both of those execute via paths that pin the
-    // physical plan before runtime, so AQE never turns the
-    // candidate-verify join into a broadcast and it runs as a sort-merge
-    // over millions of candidates (measured: 14s vs 1.5s at sf0.1). The
-    // write runs through the fully adaptive SQL path, and the read-back
-    // is a leaf scan — which is also how a 100 TB dedup pipeline would
-    // stage its edge list between the (expensive) pair generation and
-    // the (iterative) clustering anyway.
-    val tmp = graft.Scratch.dir("graft_cc") // reaped at JVM exit
-    verifiedPairs(s, d).write.mode("overwrite").parquet(tmp)
-    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] pairs written t=${System.nanoTime() / 1000000}")
-    val pairs = s.read.parquet(tmp)
+    // Parquet roundtrip, not localCheckpoint/cache: both of those execute
+    // via paths that pin the physical plan before runtime, so AQE never
+    // turns the candidate-verify join into a broadcast and it runs as a
+    // sort-merge over millions of candidates (measured: 14s vs 1.5s at
+    // sf0.1). See stagedPairs.
+    val pairs = stagedPairs(s, d)
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] pairs staged t=${System.nanoTime() / 1000000}")
     // Edge layout, decided ONCE before the loop: hash-partitioned by src,
     // sorted within partitions on src, and cached. Every propagation round
     // joins edges⋈labels on src = doc_id; the cached layout satisfies BOTH
@@ -266,11 +283,11 @@ object Dedup extends QueryModule {
     */
   private def pairsCte: String = {
     val mh = (0 until numHashes).map { i =>
-      s"list_min(list_transform(tokset, t -> ('0x' || substr(md5('$i:' || t), 1, 8))::BIGINT)) AS mh$i"
+      s"list_min(list_transform(tokset, t -> substr(md5('$i:' || t), 1, 8))) AS mh$i"
     }.mkString(",\n  ")
     val sigCols = (0 until numBands).map { b =>
       "(" + (0 until rowsPerBand)
-        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .map(r => s"mh${b * rowsPerBand + r}")
         .mkString(" || '-' || ") + s") AS sig$b"
     }.mkString(",\n  ")
     val unions = (0 until numBands)

@@ -226,26 +226,38 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
-  /** q72 — recall audit of the IVF index: every 10th vector's IVF top-1
-    * similarity compared against its brute-force top-1 (a hit = the index
-    * found a neighbor at least as similar, at 4 dp). Index-quality
-    * evaluation is itself a pipeline operator: you re-run it after every
-    * re-pivot/re-quantization. The brute side is O(sample·n) against a
-    * broadcast sample — in production the audit samples a FIXED count, so
-    * the cost stays linear in corpus size no matter how big n gets. The
-    * whole audit (IVF side + brute side + hit comparison) is deterministic
-    * SQL, so it carries a full DuckDB oracle like every other query here.
+  /** Audit sample size — FIXED, not a corpus fraction: the brute side is
+    * O(sampleN·n), linear in corpus size no matter how big n gets (a
+    * `vec_id % 10` predicate would make it O(n²/10) — quadratic at scale).
+    */
+  private[graft] val recallSampleN = 500
+
+  /** q72 — recall audit of the IVF index: a fixed-count deterministic
+    * sample's IVF top-1 similarity compared against its brute-force top-1
+    * (a hit = the index found a neighbor at least as similar, at 4 dp).
+    * Index-quality evaluation is itself a pipeline operator: you re-run it
+    * after every re-pivot/re-quantization. The sample is the first
+    * [[recallSampleN]] vec_ids ranked by md5(vec_id) — a pseudo-random
+    * pick both engines compute identically, selected by one linear
+    * top-k scan (TakeOrderedAndProject) and broadcast everywhere it is
+    * used. The whole audit (IVF side + brute side + hit comparison) is
+    * deterministic SQL, so it carries a full DuckDB oracle like every
+    * other query here.
     */
   val annRecall: Q = (s, d) => {
     val corpus = base(s, d)
-    val sample = corpus.filter(col("vec_id") % 10 === 0).select(
-      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("sq").as("q_sq"))
+    val sampleIds = corpus
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("rk"))
+      .orderBy(col("rk"), col("vec_id")).limit(recallSampleN)
+      .select(col("vec_id").as("q_id"))
+    val sample = corpus.join(broadcast(sampleIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
     val sim = cosineWithNorms(
       dotD(col("q_emb"), col("embedding")), col("q_sq"), col("sq"))
     val brute = corpus.join(broadcast(sample), col("vec_id") =!= col("q_id"))
       .groupBy("q_id").agg(max(round(sim, 9)).as("bsim9"))
-    val ivf = ivfAnn(s, d).filter(col("vec_id") % 10 === 0)
+    val ivf = ivfAnn(s, d)
+      .join(broadcast(sampleIds), col("vec_id") === col("q_id"), "left_semi")
       .select(col("vec_id").as("q_id"), col("sim").as("ivf_sim"))
     ivf.join(brute, "q_id")
       .agg(count(lit(1)).as("n_eval"),
@@ -326,7 +338,10 @@ object Similarity extends QueryModule {
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
     },
     "q72_ann_recall" ->
-      s"""WITH assigned AS (
+      s"""WITH sample AS (
+         |  SELECT vec_id AS q_id FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $recallSampleN),
+         |assigned AS (
          |  SELECT vec_id, embedding, cell_id, arn FROM (
          |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
          |      row_number() OVER (PARTITION BY v.vec_id
@@ -342,11 +357,11 @@ object Similarity extends QueryModule {
          |        ORDER BY round(${duckCos.format("l", "r")}, 9) DESC, r.vec_id) AS rn
          |    FROM assigned l JOIN (SELECT * FROM assigned WHERE arn = 1) r
          |    ON l.cell_id = r.cell_id AND l.vec_id <> r.vec_id
-         |  ) WHERE rn = 1 AND vec_id % 10 = 0),
+         |  ) WHERE rn = 1 AND vec_id IN (SELECT q_id FROM sample)),
          |brute AS (
          |  SELECT q.vec_id AS q_id, max(round(${duckCos.format("q", "c")}, 9)) AS bsim9
          |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 10 = 0 GROUP BY 1),
+         |  WHERE q.vec_id IN (SELECT q_id FROM sample) GROUP BY 1),
          |hits AS (
          |  SELECT count(*) AS n_eval,
          |    CAST(sum(CASE WHEN ivf_sim >= round(bsim9, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits

@@ -39,19 +39,24 @@ object Stats extends QueryModule {
         .cast("long"),
       lit(cmsWidth.toLong))
     val o = Tables.orders(s, d)
-    val cellRows = (0 until cmsDepth).map { j =>
-      o.select(lit(j).as("row"), bucket(j, col("o_custkey")).as("cell"))
-    }.reduce(_ unionByName _)
+    // ONE scan of orders: each order projects its 4 (row, cell) coordinates
+    // as an array and posexplode flattens them — depth-many union'd full
+    // scans would re-read the table per hash row (the round-4 shape). The
+    // aggregate still map-side-combines to ≤ depth·width cells per task.
+    val cellRows = o.select(posexplode(
+      array((0 until cmsDepth).map(j => bucket(j, col("o_custkey"))): _*))
+      .as(Seq("row", "cell")))
     val sketch = cellRows.groupBy("row", "cell").agg(count(lit(1)).as("n"))
     val probes = s.range(1, 11).select(col("id").as("key"))
-    val probeCells = probes.select(col("key") +: (0 until cmsDepth).map(j =>
-      bucket(j, col("key")).as(s"c$j")): _*)
-    val est = (0 until cmsDepth).map { j =>
-      probeCells.alias("p").join(
-          sketch.filter(col("row") === j).alias("s"),
-          col(s"p.c$j") === col("s.cell"), "left")
-        .select(col("p.key").as("key"), coalesce(col("s.n"), lit(0L)).as("est"))
-    }.reduce(_ unionByName _)
+    // probes explode the same way, so the estimate is ONE left join on
+    // (row, cell) — not depth joins against per-row sketch slices
+    val probeCells = probes.select(col("key"), posexplode(
+      array((0 until cmsDepth).map(j => bucket(j, col("key"))): _*))
+      .as(Seq("row", "cell")))
+    val est = probeCells.alias("p")
+      .join(sketch.alias("s"),
+        col("p.row") === col("s.row") && col("p.cell") === col("s.cell"), "left")
+      .select(col("p.key").as("key"), coalesce(col("s.n"), lit(0L)).as("est"))
       .groupBy("key").agg(min("est").as("est_n"))
     val truth = o.groupBy(col("o_custkey").as("key"))
       .agg(count(lit(1)).as("true_n"))

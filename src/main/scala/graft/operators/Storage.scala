@@ -42,7 +42,14 @@ object Storage extends QueryModule {
 
   private def bucketedTable(s: org.apache.spark.sql.SparkSession,
       df: DataFrame, key: String, name: String, dir: String): DataFrame = {
-    df.write.mode("overwrite")
+    // Pre-shuffle into one partition per bucket: repartition(n, key) and
+    // bucketBy(n, key) use the same pmod(murmur3) assignment, so each write
+    // task holds exactly one bucket and emits exactly one file. Without it
+    // every input task writes a file per bucket it touches — tasks×buckets
+    // small files, the write amplification a 100 TB layout job cannot
+    // afford (and the single-split fixture's dual pathology: ONE task
+    // writing all buckets serially).
+    df.repartition(8, col(key)).write.mode("overwrite")
       .bucketBy(8, key).sortBy(key)
       .option("path", s"$dir/$name")
       .saveAsTable(name)
@@ -111,7 +118,13 @@ object Storage extends QueryModule {
     */
   val partitionPrune: Q = (s, d) => {
     val dir = graft.Scratch.dir("graft_part")
-    Tables.orders(s, d).write.mode("overwrite")
+    // Cluster rows by the partition column before the write: otherwise
+    // every write task emits a file into EVERY status directory
+    // (tasks×partitions small files). One shuffle on the column caps the
+    // file count at the partition count; a 100 TB job uses
+    // repartition(n, col) for n files per partition — same knob.
+    Tables.orders(s, d).repartition(col("o_orderstatus"))
+      .write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(dir)
     s.read.parquet(dir)
       .filter(col("o_orderstatus") === "F")

@@ -151,8 +151,11 @@ class SimilaritySpec extends SparkSpec {
     assert(r.length === 1)
     val (nEval, nHits, recall) =
       (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2))
-    val expected = graft.sources.Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 10 === 0).count()
+    // fixed-count sample: recallSampleN queries (or the whole corpus when
+    // it is smaller) — NOT a corpus fraction, which would be O(n²) at scale
+    val expected = math.min(
+      graft.operators.Similarity.recallSampleN.toLong,
+      graft.sources.Tables.embeddings(spark, sf).count())
     assert(nEval === expected)
     assert(nHits <= nEval && recall >= 0.0 && recall <= 1.0)
     assert(recall > 0.3, s"multi-probe IVF should find most true top-1s, got $recall")
