@@ -34,12 +34,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join [cell_id") || p.contains("Join [coalesce(cell_id"), p)
   }
 
-  test("q30 Jaccard and q37 minhash candidate joins are blocked equi-joins") {
-    for (name <- Seq("q30_jaccard_pairs", "q37_minhash_neardup")) {
-      val p = plan(name)
+  test("q30 Jaccard and the minhash candidate joins are blocked equi-joins") {
+    // q37/q59 stage the pair list through parquet, so the candidate join
+    // lives in verifiedPairs' plan, not the returned (post-staging) one —
+    // pin the generator plan directly
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    for ((name, p) <- Seq(
+        "q30_jaccard_pairs" -> plan("q30_jaccard_pairs"),
+        "verifiedPairs" -> pairs)) {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
+  }
+
+  test("q37 consumes the STAGED pair list: one leaf scan, no recomputation") {
+    // the degree union references pairs twice; both references must read
+    // the scratch parquet (two scans of the staged file, zero re-runs of
+    // the minhash pipeline — the round-6 fix for the 98.9s anomaly)
+    val p = plan("q37_minhash_neardup")
+    assert(count(p, "graft_mh_pairs") >= 2, p)
+    // all hashing happened at staging time — none survives in this plan
+    assert(!p.contains("md5("), p)
+  }
+
+  test("q80 sketch builds from ONE orders scan (posexplode), probes with one join") {
+    val p = plan("q80_countmin")
+    // exactly 2 scans of orders total: sketch side + exact-truth side
+    // (the round-4 shape re-read the table once per hash row)
+    assert(count(p, "orders\\.parquet") === 2, p)
+    assert(p.contains("Generate posexplode"), p)
+  }
+
+  test("q72 picks its fixed-count audit sample as a top-k, not a global sort") {
+    val p = plan("q72_ann_recall")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q79 fuzzy match verifies through a broadcast equi-join, never a nested loop") {
