@@ -267,7 +267,50 @@ object Similarity extends QueryModule {
         round(col("n_hits").cast("double") / col("n_eval"), 4).as("recall"))
   }
 
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val projDims = 8
+  private val srcDims = 64 // the fixture embedding dimensionality
+
+  /** ±1 Johnson–Lindenstrauss sign matrix, derived from md5 parity of
+    * "j:i" — a deterministic constant both the Spark plan and the DuckDB
+    * oracle embed as literals, so neither engine hashes anything at run
+    * time (the matrix is row-independent data, not per-row compute).
+    */
+  private[graft] val signMatrix: Seq[Seq[Int]] =
+    (0 until projDims).map { j =>
+      (0 until srcDims).map { i =>
+        if ((Integer.parseInt(md5hex(s"$j:$i").substring(0, 1), 16) & 1) == 0) 1
+        else -1
+      }
+    }
+
+  /** q95 — random-projection (JL) sketch: each embedding compressed
+    * 64 → 8 dims by a fixed ±1 sign matrix. The standard cheap
+    * dimensionality reduction before clustering / coarse ANN at corpus
+    * scale — distances are preserved in expectation while the shuffle
+    * payload shrinks 8×. Pure stateless projection: one zip_with product
+    * + left-fold sum per output dim, codegen'd end to end, no shuffle at
+    * all. Cross-engine exactness: both engines fold the products
+    * left-to-right over the same literal signs in double precision, so
+    * the sums are bit-identical before the 6 dp display rounding.
+    */
+  val randomProjection: Q = (s, d) => {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val outs = (0 until projDims).map { j =>
+      val signs = array(signMatrix(j).map(s0 => lit(s0.toDouble)): _*)
+      round(aggregate(zip_with(v, signs, (x, sg) => x * sg),
+        lit(0.0d), (acc, e) => acc + e), 6).as(s"r$j")
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id") +: outs: _*)
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q95_random_projection" -> randomProjection,
     "q31_knn_brute" -> knnBrute,
     "q63_embed_quantize" -> embedQuantize,
     "q32_lsh_ann" -> lshAnn,
@@ -285,6 +328,18 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    "q95_random_projection" -> {
+      val cols = (0 until projDims).map { j =>
+        val lst = signMatrix(j).mkString("[", ", ", "]")
+        s"""round(list_reduce([CAST(0 AS DOUBLE)] ||
+           |    list_transform(range(1, ${srcDims + 1}),
+           |      i -> (embedding[i]::DOUBLE) * ($lst)[i]),
+           |    (acc, x) -> acc + x), 6) AS r$j""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "q63_embed_quantize" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -270,7 +270,44 @@ object Text extends QueryModule {
       .orderBy("lang", "split")
   }
 
+  /** q94 — unigram cross-entropy quality score: mean −ln p(token) per
+    * document under the corpus's own unigram distribution — the LM-style
+    * cousin of q86's top-100 ratio (gibberish and boilerplate sit at the
+    * distribution's tails; both are flagged by a high/low score). The
+    * corpus model is ONE hash aggregate over the exploded token stream;
+    * scoring joins tokens to their frequencies on the term key (shuffled,
+    * never broadcast — the vocabulary is corpus-sized at 100 TB) and
+    * reduces per document.
+    *
+    * Cross-engine determinism: each token's −ln p is rounded to integer
+    * MICRO-nats and summed as a BIGINT — integer addition is
+    * order-independent where a double sum is not, so the per-doc reduce
+    * is exact in both engines (same discipline as the decimal sums in
+    * graft.functions.Exact).
+    */
+  val unigramLogprob: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(toks, t => length(t) > 0)).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = terms.agg(count(lit(1)).as("t"))
+    val mu = terms.join(freq, "term").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("t").cast("double") / col("cnt")) * 1e6).cast("long")
+          .as("mu"))
+    val per = mu.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("mu").as("sum_mu"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("sum_mu"), lit(0L)).cast("double") / 1e6 /
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q94_unigram_logprob" -> unigramLogprob,
     "q25_dedup_exact" -> dedupExact,
     "q61_tfidf_top" -> tfidfTop,
     "q73_quality_filter" -> qualityFilter,
@@ -295,6 +332,21 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q94_unigram_logprob" ->
+      s"""WITH terms AS (SELECT doc_id,
+         |  unnest(list_filter($duckToks, t -> len(t) > 0)) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM terms),
+         |mu AS (SELECT doc_id,
+         |  CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT) AS mu
+         |  FROM terms JOIN freq USING (term) CROSS JOIN tot),
+         |per AS (SELECT doc_id, count(*) AS n_tokens, sum(mu) AS sum_mu
+         |  FROM mu GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  round(COALESCE(p.sum_mu, 0) / 1000000.0
+         |    / greatest(COALESCE(p.n_tokens, 0), 1), 6) AS cross_entropy
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q73_quality_filter" ->
       s"""WITH v AS (SELECT doc_id,
          |  CASE WHEN length(text) < 50 THEN 'too_short'

@@ -161,6 +161,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"multi-probe IVF should find most true top-1s, got $recall")
   }
 
+  test("q95 random projection matches a driver-side left fold exactly") {
+    val first = graft.sources.Tables.embeddings(spark, sf)
+      .orderBy("vec_id").head()
+    val vecId = first.getAs[Long]("vec_id")
+    val emb = first.getSeq[Float](first.fieldIndex("embedding"))
+    val got = q("q95_random_projection")
+      .filter(col("vec_id") === vecId).head()
+    (0 until 8).foreach { j =>
+      // same fold order, same doubles → exact equality before rounding,
+      // so the 6 dp rounded values must match bit-for-bit
+      val expected = emb.zip(graft.operators.Similarity.signMatrix(j))
+        .foldLeft(0.0d) { case (acc, (x, sg)) => acc + x.toDouble * sg }
+      assert(got.getAs[Double](s"r$j") ===
+        BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("q63 int8 quantization: codes bounded, reconstruction within half-step per dim") {
     q("q63_embed_quantize").collect().foreach { r =>
       val nDims = r.getAs[Int]("n_dims")

@@ -163,6 +163,20 @@ class TextDedupSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("q94 unigram cross-entropy: non-negative, bounded by ln(corpus tokens), repetition scores low") {
+    val rows = q("q94_unigram_logprob").collect()
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val maxNat = math.log(totalTokens.toDouble) + 1e-6 // cnt = 1 worst case
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      assert(ce >= 0.0 && ce <= maxNat, s"doc ${r.getAs[Long]("doc_id")}: $ce")
+    }
+    // a document of one token repeated is maximally predictable given its
+    // own mass — its score must sit below the corpus mean
+    val mean = rows.map(_.getAs[Double]("cross_entropy")).sum / rows.length
+    assert(rows.map(_.getAs[Double]("cross_entropy")).min < mean)
+  }
+
   test("text stats: token counts and stop ratio on a known string") {
     val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
