@@ -103,11 +103,14 @@ object Dedup extends QueryModule {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     // exact-Jaccard verification over the hashed token sets, joined back
-    // by id. No broadcast hint — the hash-set table is corpus-sized, so a
-    // hint would force a full-corpus broadcast at 100 TB; AQE picks
-    // broadcast at fixture scale and a shuffle join once the side
-    // outgrows the threshold. |A∪B| is computed as |A|+|B|−|A∩B| — one
-    // set build per pair instead of two.
+    // by id via SHUFFLED HASH joins (hinted): the hash-set table is
+    // corpus-sized (broadcast is impossible at 100 TB), and the default
+    // sort-merge strategy would SORT the candidate mass — the pipeline's
+    // largest intermediate — twice, once per side. Hash-probing it instead
+    // is what cut the 10×-scale run from 125s to 61s (BENCH_SF1.md); the
+    // build side is one id-partitioned slice of the token table, which is
+    // exactly what grows executor-count-wise on a real cluster. |A∪B| is
+    // computed as |A|+|B|−|A∩B| — one set build per pair instead of two.
     val x = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
     val y = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
     // native merge-walk intersect count (SetExprs) — array_intersect
@@ -117,8 +120,8 @@ object Dedup extends QueryModule {
     val dist = lit(1.0) -
       isect / (size(col("hs1")) + size(col("hs2")) - isect)
     cand
-      .join(x, "d1")
-      .join(y, "d2")
+      .join(x.hint("shuffle_hash"), "d1")
+      .join(y.hint("shuffle_hash"), "d2")
       .filter(dist <= maxDist)
       .select("d1", "d2")
   }

@@ -46,6 +46,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
+    // band self-join + both verify joins hash-probe rather than sort the
+    // candidate mass (the at-scale plan; sorting it twice doubled the
+    // 10x-scale runtime, BENCH_SF1.md)
+    assert(count(pairs, "ShuffledHashJoin") >= 3, pairs)
+    assert(!pairs.contains("SortMergeJoin"), pairs)
   }
 
   test("q37 consumes the STAGED pair list: one leaf scan, no recomputation") {
