@@ -123,7 +123,11 @@ object Similarity extends QueryModule {
     val e2 = b.select(col("vec_id").as("v2"),
       col("embedding").as("emb2"), col("sq").as("sq2"))
     val sim = cosineWithNorms(dotD(col("emb1"), col("emb2")), col("sq1"), col("sq2"))
-    cand.join(e1, "v1").join(e2, "v2")
+    // hash-probe the verify joins (same lesson as Dedup.verifiedPairs,
+    // BENCH_SF1.md): the embedding table is corpus-sized — broadcast dies
+    // at scale, and sort-merge would sort the candidate mass twice; the
+    // SHJ build side is one id-partitioned embedding slice.
+    cand.join(e1.hint("shuffle_hash"), "v1").join(e2.hint("shuffle_hash"), "v2")
       .withColumn("sim9", round(sim, 9))
       .filter(col("sim9") >= 0.4)
       .select(col("v1").as("vec_id_1"), col("v2").as("vec_id_2"),
