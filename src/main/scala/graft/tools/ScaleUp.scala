@@ -28,8 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Per-replica ±1 dimension flips for embedding replication: flipping a
+    * fixed sign pattern across a whole replica preserves every
+    * within-replica inner product (both vectors flip identically) while
+    * decorrelating cross-replica pairs — replicas behave like fresh corpus
+    * mass for LSH/IVF bucketing instead of 10 exact copies whose identical
+    * signatures would inflate every bucket quadratically.
+    */
+  private def signFlips(factor: Int, dims: Int): Seq[Seq[Float]] =
+    (0 until factor).map { r =>
+      (0 until dims).map { i =>
+        if (r == 0) 1.0f // replica 0 stays the original data
+        else if ((Integer.parseInt(md5hex(s"$r:$i").substring(0, 1), 16) & 1) == 0) 1.0f
+        else -1.0f
+      }
+    }
+
   private def replicate(s: SparkSession, df: DataFrame, factor: Int,
-      shiftKeys: Seq[String], tagTextTokens: Boolean = false): DataFrame = {
+      shiftKeys: Seq[String], tagTextTokens: Boolean = false,
+      withRep: DataFrame => DataFrame = identity): DataFrame = {
     val offsets = shiftKeys.map { k =>
       k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
     }.toMap
@@ -46,7 +67,7 @@ object ScaleUp {
             .otherwise(array_join(transform(split(col("text"), "\\s+"),
               t => concat(lit("r"), col("rep"), lit("_"), t)), " ")))
         .withColumn("n_chars", length(col("text")))
-    tagged.drop("rep")
+    withRep(tagged).drop("rep")
   }
 
   def main(args: Array[String]): Unit = {
@@ -71,10 +92,34 @@ object ScaleUp {
       "orders", 16)
     out(replicate(spark, in("lineitem"), factor, Seq("l_orderkey")),
       "lineitem", 32)
-    out(replicate(spark, in("customer"), factor, Seq("c_custkey")),
-      "customer", 8)
+    // customer names get a per-replica tag of the replica digit repeated
+    // 3× — any two tags are Levenshtein ≥ 3 apart, so replicas of the
+    // same name are NOT fuzzy-match pairs at threshold 2 and the match
+    // output scales with the corpus instead of quadratically (same
+    // rationale as the document-token tags; requires factor ≤ 10)
+    require(factor <= 10, "single-digit replica tags need factor <= 10")
+    out(replicate(spark, in("customer"), factor, Seq("c_custkey"),
+      withRep = df => df.withColumn("c_name",
+        when(col("rep") === 0, col("c_name"))
+          .otherwise(concat(repeat(col("rep").cast("string"), 3), lit("_"),
+            col("c_name"))))), "customer", 8)
+    // embeddings: shift vec_id and sign-flip dimensions per replica (the
+    // fixture embeddings are 64-dim float32)
+    val embDims = 64
+    val flips = signFlips(factor, embDims).map(r => array(r.map(lit): _*))
+    out(replicate(spark, in("embeddings"), factor, Seq("vec_id"))
+      // rep is recoverable from the shifted id: vec_id / (max+1) — but the
+      // flip must apply before the rep column drops, so re-derive it here
+      .withColumn("rep",
+        (col("vec_id") / (in("embeddings").agg(max("vec_id")).head().getLong(0) + 1L))
+          .cast("int"))
+      .withColumn("embedding",
+        zip_with(col("embedding"),
+          element_at(array(flips: _*), col("rep") + 1),
+          (x, f) => x * f))
+      .drop("rep"), "embeddings", 8)
     // pass-through for everything a spot-bench query might touch lightly
-    Seq("region", "nation", "supplier", "part", "events", "embeddings")
+    Seq("region", "nation", "supplier", "part", "events")
       .foreach { t =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$inDir/$t.parquet"),
