@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, FloatVecSqNorm, SortedIntersectSize}
+import graft.functions.{FloatVecDot, FloatVecSqNorm, Simhash16, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_size(arrayOfLong, arrayOfLong)")
         SortedIntersectSize(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash16(arrayOfInt)")
+        Simhash16(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_sqnorm"),

@@ -35,6 +35,12 @@ object Vectors {
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
 
+  /** 16-bit SimHash of an `array<int>` of token hashes in one walk
+    * (native codegen expression, [[Simhash16]]); the spec twin is the
+    * 16-aggregate bit formula in graft.operators.Text.
+    */
+  def simhash16(hashes: Column): Column = call_function("simhash16", hashes)
+
   /** HOF reference implementation of [[dotD]] — interpreted, allocation
     * per pair; used only as the parity spec and where the extension is
     * not registered.

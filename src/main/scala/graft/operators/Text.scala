@@ -118,20 +118,33 @@ object Text extends QueryModule {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
-  /** (doc_id, simhash) — 16-bit SimHash signature table shared by q38 and
-    * q65. Token hash = first 4 md5 hex digits; each bit is the sign of the
-    * per-bit ±1 vote sum. Pure expressions: one `transform` for token
-    * hashes, 16 `aggregate` votes.
+  /** Token-hash projection feeding the SimHash: first 4 md5 hex digits of
+    * each whitespace token, as `array<int>`.
     */
-  private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // fanOut: 16 aggregate-votes per doc over the token hashes is the
+  private def simhashInput(s: org.apache.spark.sql.SparkSession, d: String) =
+    // fanOut: the per-doc vote walk over the token hashes is the
     // CPU-heavy/byte-light shape a single-split source serializes
-    val withHashes = Tables.fanOut(Tables.documents(s, d), "doc_id").withColumn("hs",
+    Tables.fanOut(Tables.documents(s, d), "doc_id").withColumn("hs",
       expr("transform(split(text, '\\\\s+'), t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as int))"))
+
+  /** (doc_id, simhash) — 16-bit SimHash signature table shared by q38 and
+    * q65, computed by the native single-walk expression
+    * ([[graft.functions.Simhash16]]); [[simhashesSpec]] is the
+    * 16-aggregate executable specification it is parity-tested against
+    * (and the form the DuckDB oracle mirrors).
+    */
+  private def simhashes(s: org.apache.spark.sql.SparkSession, d: String) =
+    simhashInput(s, d).select(col("doc_id"),
+      graft.functions.Vectors.simhash16(col("hs")).as("simhash"))
+
+  /** Spec twin of [[simhashes]]: each bit is the sign of the per-bit ±1
+    * vote sum, as 16 `aggregate` lambdas re-walking the hash array.
+    */
+  private[graft] def simhashesSpec(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bits = (0 until 16).map { i =>
       s"(case when aggregate(hs, 0, (acc, h) -> acc + (case when (shiftright(h, $i) & 1) = 1 then 1 else -1 end)) > 0 then ${1 << i} else 0 end)"
     }.mkString(" + ")
-    withHashes.select(col("doc_id"), expr(s"cast($bits as int)").as("simhash"))
+    simhashInput(s, d).select(col("doc_id"), expr(s"cast($bits as int)").as("simhash"))
   }
 
   /** q38 — the SimHash signature itself, one row per document. */

@@ -50,9 +50,14 @@ object ScaleUp {
 
   private def replicate(s: SparkSession, df: DataFrame, factor: Int,
       shiftKeys: Seq[String], tagTextTokens: Boolean = false,
-      withRep: DataFrame => DataFrame = identity): DataFrame = {
+      withRep: DataFrame => DataFrame = identity,
+      fixedOffsets: Map[String, Long] = Map.empty): DataFrame = {
+    // fixedOffsets pins a key's shift to ANOTHER table's offset so foreign
+    // keys replicate in lockstep (events.user_id must move by customer's
+    // c_custkey offset, not by its own max — the event stream only touches
+    // a prefix of the customer keys)
     val offsets = shiftKeys.map { k =>
-      k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+      k -> fixedOffsets.getOrElse(k, df.agg(max(col(k))).head().getLong(0) + 1L)
     }.toMap
     val reps = s.range(factor).select(col("id").as("rep"))
     val rep = df.crossJoin(broadcast(reps))
@@ -118,8 +123,17 @@ object ScaleUp {
           element_at(array(flips: _*), col("rep") + 1),
           (x, f) => x * f))
       .drop("rep"), "embeddings", 8)
+    // events: user_id shifts by CUSTOMER's offset (FK lockstep); event
+    // timestamps repeat unchanged — replicas overlay in time, i.e. the
+    // stream gets 10× denser rather than 10× longer, which is how a
+    // bigger deployment actually loads its windows and state stores.
+    // (ts round-trips as INT64 under the session's nanosAsLong flag; the
+    // readers convert ns→µs themselves either way.)
+    val custOffset = in("customer").agg(max("c_custkey")).head().getLong(0) + 1L
+    out(replicate(spark, in("events"), factor, Seq("event_id", "user_id"),
+      fixedOffsets = Map("user_id" -> custOffset)), "events", 16)
     // pass-through for everything a spot-bench query might touch lightly
-    Seq("region", "nation", "supplier", "part", "events")
+    Seq("region", "nation", "supplier", "part")
       .foreach { t =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$inDir/$t.parquet"),

@@ -163,6 +163,15 @@ class TextDedupSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("native simhash16 expression is bit-identical to the 16-aggregate spec") {
+    val native = q("q38_simhash16").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val spec = graft.operators.Text.simhashesSpec(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native === spec)
+    assert(native.nonEmpty)
+  }
+
   test("q94 unigram cross-entropy: non-negative, bounded by ln(corpus tokens), repetition scores low") {
     val rows = q("q94_unigram_logprob").collect()
     val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
