@@ -67,7 +67,12 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Short qNN keys for the same reason (the contract example uses "q1");
-    // the full name is the SparkEntry.queries key with that prefix.
+    // the full name is the SparkEntry.queries key with that prefix. Two
+    // names sharing a prefix would silently emit a duplicate JSON key and
+    // lose a timing — fail instead.
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // A failed query must surface as a failure, not as a fast timing line.
@@ -76,8 +81,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     // Record the active filter: a filtered run saved as BENCH_rNN.json must
-    // be distinguishable from a full-suite run.
-    val onlyJson = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
+    // be distinguishable from a full-suite run. Escaped like the errors
+    // map — a stray quote in the env var must not corrupt the one JSON
+    // line the harness parses.
+    val onlyJson = only.map { o =>
+      val esc = o.mkString(",").replace("\\", "\\\\").replace("\"", "\\\"")
+      s""","only":"$esc""""
+    }.getOrElse("")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson,"sf":"$sfDir"}""")
     spark.stop()
   }

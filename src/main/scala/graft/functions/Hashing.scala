@@ -21,4 +21,20 @@ object Hashing {
   /** DuckDB mirror of [[md5Bucket]] over a SQL expression string. */
   def duckMd5Bucket(e: String, n: Int): String =
     s"('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % $n"
+
+  /** Driver-side md5 hex digest — for deterministic constants computed at
+    * plan-build time (q95's sign matrix, ScaleUp's replica flips), NOT for
+    * per-row expressions (use [[md5Bucket]] / `functions.md5`).
+    */
+  def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 from the parity of the first md5 hex digit of `key` — the shared
+    * derivation behind q95's JL sign matrix and ScaleUp's per-replica
+    * embedding flips (their agreement is load-bearing: the flips must
+    * decorrelate replicas under the SAME hash family the projection uses).
+    */
+  def md5Sign(key: String): Int =
+    if ((Integer.parseInt(md5hex(key).substring(0, 1), 16) & 1) == 0) 1 else -1
 }

@@ -149,7 +149,8 @@ object Similarity extends QueryModule {
     */
   def ivfIndex(corpus: org.apache.spark.sql.DataFrame,
       pivots: org.apache.spark.sql.DataFrame,
-      probes: Int): org.apache.spark.sql.DataFrame = {
+      probes: Int,
+      queryIds: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     val psim = cosineWithNorms(
       dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
     val wAssign = Window.partitionBy("vec_id")
@@ -164,7 +165,16 @@ object Similarity extends QueryModule {
       .filter(col("arn") <= probes)
       .select(col("vec_id"), col("embedding"), col("sq"),
         col("pivot_id").as("cell_id"), col("arn"))
-    val l = assigned.alias("l")
+    // An optional query-side restriction (q72's audit sample) must land
+    // HERE, below the ranking window: no optimizer rule pushes a join
+    // through a Window, so a semi-join placed on the RESULT would rank
+    // the whole corpus first and discard it — the restriction has to
+    // prune the neighbor join itself. The corpus side stays whole (it is
+    // the searched index either way).
+    val l = queryIds.fold(assigned) { q =>
+      assigned.join(broadcast(q.select(col("q_id"))),
+        col("vec_id") === col("q_id"), "left_semi")
+    }.alias("l")
     val r = assigned.filter(col("arn") === 1).alias("r")
     val sim = cosineWithNorms(
       dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
@@ -260,8 +270,13 @@ object Similarity extends QueryModule {
       dotD(col("q_emb"), col("embedding")), col("q_sq"), col("sq"))
     val brute = corpus.join(broadcast(sample), col("vec_id") =!= col("q_id"))
       .groupBy("q_id").agg(max(round(sim, 9)).as("bsim9"))
-    val ivf = ivfAnn(s, d)
-      .join(broadcast(sampleIds), col("vec_id") === col("q_id"), "left_semi")
+    // sample restriction threaded INTO the index below its ranking window
+    // (see ivfIndex) — a semi-join on ivfAnn's output would rank the whole
+    // corpus first
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val ivf = ivfIndex(corpus, pivots, probes = 2, queryIds = Some(sampleIds))
       .select(col("vec_id").as("q_id"), col("sim").as("ivf_sim"))
     ivf.join(brute, "q_id")
       .agg(count(lit(1)).as("n_eval"),
@@ -270,10 +285,6 @@ object Similarity extends QueryModule {
       .select(col("n_eval"), col("n_hits"),
         round(col("n_hits").cast("double") / col("n_eval"), 4).as("recall"))
   }
-
-  private def md5hex(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private val projDims = 8
   private val srcDims = 64 // the fixture embedding dimensionality
@@ -285,10 +296,7 @@ object Similarity extends QueryModule {
     */
   private[graft] val signMatrix: Seq[Seq[Int]] =
     (0 until projDims).map { j =>
-      (0 until srcDims).map { i =>
-        if ((Integer.parseInt(md5hex(s"$j:$i").substring(0, 1), 16) & 1) == 0) 1
-        else -1
-      }
+      (0 until srcDims).map(i => graft.functions.Hashing.md5Sign(s"$j:$i"))
     }
 
   /** q95 — random-projection (JL) sketch: each embedding compressed

@@ -303,7 +303,9 @@ object Text extends QueryModule {
     val terms = docs.select(col("doc_id"),
       explode(filter(toks, t => length(t) > 0)).as("term"))
     val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val tot = terms.agg(count(lit(1)).as("t"))
+    // total tokens = Σ cnt over the (vocabulary-sized) frequency table —
+    // NOT a third tokenization pass over the corpus
+    val tot = freq.agg(sum("cnt").as("t"))
     val mu = terms.join(freq, "term").crossJoin(broadcast(tot))
       .select(col("doc_id"),
         round(log(col("t").cast("double") / col("cnt")) * 1e6).cast("long")

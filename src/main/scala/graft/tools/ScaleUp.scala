@@ -28,23 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private def md5hex(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** Per-replica ±1 dimension flips for embedding replication: flipping a
     * fixed sign pattern across a whole replica preserves every
     * within-replica inner product (both vectors flip identically) while
     * decorrelating cross-replica pairs — replicas behave like fresh corpus
     * mass for LSH/IVF bucketing instead of 10 exact copies whose identical
-    * signatures would inflate every bucket quadratically.
+    * signatures would inflate every bucket quadratically. Sign derivation
+    * shared with q95's JL matrix (graft.functions.Hashing.md5Sign).
     */
   private def signFlips(factor: Int, dims: Int): Seq[Seq[Float]] =
     (0 until factor).map { r =>
       (0 until dims).map { i =>
         if (r == 0) 1.0f // replica 0 stays the original data
-        else if ((Integer.parseInt(md5hex(s"$r:$i").substring(0, 1), 16) & 1) == 0) 1.0f
-        else -1.0f
+        else graft.functions.Hashing.md5Sign(s"$r:$i").toFloat
       }
     }
 
@@ -71,7 +67,9 @@ object ScaleUp {
           when(col("rep") === 0, col("text"))
             .otherwise(array_join(transform(split(col("text"), "\\s+"),
               t => concat(lit("r"), col("rep"), lit("_"), t)), " ")))
-        .withColumn("n_chars", length(col("text")))
+        // cast: length() is int32; the fixture column is int64, and a
+        // narrowed replica schema would break Row.getAs[Long] consumers
+        .withColumn("n_chars", length(col("text")).cast("long"))
     withRep(tagged).drop("rep")
   }
 
@@ -93,10 +91,17 @@ object ScaleUp {
 
     out(replicate(spark, in("documents"), factor, Seq("doc_id"),
       tagTextTokens = true), "documents", 32)
-    out(replicate(spark, in("orders"), factor, Seq("o_orderkey", "o_custkey")),
-      "orders", 16)
-    out(replicate(spark, in("lineitem"), factor, Seq("l_orderkey")),
-      "lineitem", 32)
+    // Foreign keys shift by the REFERENCED table's offset, never by the
+    // referencing column's own max: the fixtures happen to have
+    // max(o_custkey) == max(c_custkey), but a corpus where the top
+    // customer has no orders (TPC-H proper leaves ~1/3 of customers
+    // orderless) would silently rewire every replica's joins.
+    val custOffset = in("customer").agg(max("c_custkey")).head().getLong(0) + 1L
+    val orderOffset = in("orders").agg(max("o_orderkey")).head().getLong(0) + 1L
+    out(replicate(spark, in("orders"), factor, Seq("o_orderkey", "o_custkey"),
+      fixedOffsets = Map("o_custkey" -> custOffset)), "orders", 16)
+    out(replicate(spark, in("lineitem"), factor, Seq("l_orderkey"),
+      fixedOffsets = Map("l_orderkey" -> orderOffset)), "lineitem", 32)
     // customer names get a per-replica tag of the replica digit repeated
     // 3× — any two tags are Levenshtein ≥ 3 apart, so replicas of the
     // same name are NOT fuzzy-match pairs at threshold 2 and the match
@@ -129,7 +134,6 @@ object ScaleUp {
     // bigger deployment actually loads its windows and state stores.
     // (ts round-trips as INT64 under the session's nanosAsLong flag; the
     // readers convert ns→µs themselves either way.)
-    val custOffset = in("customer").agg(max("c_custkey")).head().getLong(0) + 1L
     out(replicate(spark, in("events"), factor, Seq("event_id", "user_id"),
       fixedOffsets = Map("user_id" -> custOffset)), "events", 16)
     // pass-through for everything a spot-bench query might touch lightly
