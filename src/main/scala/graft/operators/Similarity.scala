@@ -321,7 +321,48 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  private val pqSubvecs = 8  // 64 dims → 8 subvectors of 8 dims
+  private val pqCodebook = 16 // centroids per subvector
+
+  /** q96 — product-quantization (PQ) encoding: each embedding split into
+    * 8 subvectors, each subvector assigned to its nearest of 16 per-slot
+    * centroids — the codebook compression under IVF-PQ indexes (8 bytes
+    * per vector instead of 256). Centroids here are the first 16 corpus
+    * vectors' subvectors (deterministic, so the whole encoding is
+    * DuckDB-reproducible; production swaps in k-means codebooks via the
+    * same join, exactly like ivfIndex's pivot swap). Plan shape: one
+    * broadcast of the 128-row codebook, one equi-join on the subvector
+    * slot, one per-(vector, slot) top-1 window with WindowGroupLimit
+    * pushdown — linear in corpus size, no shuffle of the embeddings.
+    * Distances fold left-to-right in double in both engines (q95's
+    * discipline), ranked at 9 dp with the centroid id as tiebreak.
+    */
+  val pqCodes: Q = (s, d) => {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val subs = (0 until pqSubvecs).map { sv =>
+      struct(lit(sv).as("s"), slice(v, sv * (srcDims / pqSubvecs) + 1,
+        srcDims / pqSubvecs).as("sv"))
+    }
+    val sub = Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(array(subs: _*)).as("ss"))
+      .select(col("vec_id"), col("ss.s").as("s"), col("ss.sv").as("sv"))
+    val cents = sub.filter(col("vec_id") < pqCodebook)
+      .select(col("vec_id").as("c_id"), col("s"), col("sv").as("cv"))
+    val d9 = round(aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, e) => acc + e), 9)
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("d9"), col("c_id"))
+    sub.join(broadcast(cents), "s")
+      .withColumn("d9", d9)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s").cast("int").as("subv"),
+        col("c_id").cast("int").as("code"), round(col("d9"), 6).as("err"))
+      .orderBy("vec_id", "subv")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q96_pq_codes" -> pqCodes,
     "q95_random_projection" -> randomProjection,
     "q31_knn_brute" -> knnBrute,
     "q63_embed_quantize" -> embedQuantize,
@@ -340,6 +381,23 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    "q96_pq_codes" -> {
+      val sd = srcDims / pqSubvecs
+      s"""WITH sub AS (
+         |  SELECT vec_id, s,
+         |    list_transform(range(1, ${sd + 1}), i -> embedding[s * $sd + i]::DOUBLE) AS sv
+         |  FROM embeddings, (SELECT unnest(range(0, $pqSubvecs)) AS s)),
+         |cents AS (SELECT vec_id AS c_id, s, sv AS cv FROM sub WHERE vec_id < $pqCodebook),
+         |d AS (SELECT a.vec_id, a.s, c.c_id,
+         |  round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, ${sd + 1}),
+         |    i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])), (acc, x) -> acc + x), 9) AS d9
+         |  FROM sub a JOIN cents c USING (s)),
+         |r AS (SELECT vec_id, s, c_id, d9,
+         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d9, c_id) AS rn FROM d)
+         |SELECT vec_id, CAST(s AS INT) AS subv, CAST(c_id AS INT) AS code,
+         |  round(d9, 6) AS err
+         |FROM r WHERE rn = 1 ORDER BY vec_id, subv""".stripMargin
+    },
     "q95_random_projection" -> {
       val cols = (0 until projDims).map { j =>
         val lst = signMatrix(j).mkString("[", ", ", "]")

@@ -178,6 +178,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q96 PQ codes: one code per (vector, slot), codebook vectors encode themselves exactly") {
+    val rows = q("q96_pq_codes").collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length === n * 8, "8 subvector codes per vector")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("code") >= 0 && r.getAs[Int]("code") < 16)
+      assert(r.getAs[Double]("err") >= 0.0)
+    }
+    // a codebook vector's nearest centroid in every slot is itself, at
+    // distance exactly 0
+    rows.filter(_.getAs[Long]("vec_id") < 16).foreach { r =>
+      assert(r.getAs[Int]("code") === r.getAs[Long]("vec_id").toInt)
+      assert(r.getAs[Double]("err") === 0.0)
+    }
+  }
+
   test("q63 int8 quantization: codes bounded, reconstruction within half-step per dim") {
     q("q63_embed_quantize").collect().foreach { r =>
       val nDims = r.getAs[Int]("n_dims")
