@@ -228,7 +228,33 @@ object Storage extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** q97 — sort-based data skipping: lineitem rewritten range-clustered on
+    * l_shipdate (repartitionByRange + sortWithinPartitions), so every file
+    * covers a narrow, disjoint date slice and parquet's per-rowgroup
+    * min/max statistics let a date-range scan skip whole files/rowgroups
+    * — the third write-time layout technique next to bucketing (q66,
+    * join-key clustering) and directory partitioning (q67,
+    * low-cardinality columns). Range clustering is what you use for
+    * HIGH-cardinality ordered columns (timestamps) where one directory
+    * per value is impossible; it is the same discipline as Delta/Iceberg
+    * ORDER BY table layout. The aggregate over the clustered copy equals
+    * the plain-table oracle — layout must never change answers.
+    */
+  val sortedLayout: Q = (s, d) => {
+    val dir = graft.Scratch.dir("graft_sorted")
+    Tables.lineitem(s, d)
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q97_sorted_layout" -> sortedLayout,
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
     "q69_jsonl_source" -> jsonlRoundtrip,
@@ -238,6 +264,13 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    // the range-clustered copy must aggregate identically to the plain table
+    "q97_sorted_layout" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // identical result to the unbucketed q52 join — layout must not change
     // answers, only plans
     "q66_bucketed_join" ->

@@ -129,6 +129,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p)
   }
 
+  test("q97 range-clustered scan pushes the date filter to the parquet reader") {
+    // the pushed filter is what engages per-rowgroup min/max skipping on
+    // the shipdate-clustered files — the point of the layout
+    val p = plan("q97_sorted_layout")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
   test("rank-filter windows get the WindowGroupLimit pushdown") {
     // row_number()<=k filters must prune per-partition before the shuffle
     // (Spark's WindowGroupLimit), or every window carries all rows.
