@@ -182,6 +182,26 @@ object Storage extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q98 — XML sink + source roundtrip (Spark 4's natively-integrated XML
+    * data source; the remaining interchange format beside CSV q93 / JSONL
+    * q69 / ORC q70): orders written one `<order>` element per row, read
+    * back with an EXPLICIT schema (inference is an extra full pass, as
+    * everywhere), filtered and aggregated. Identity with the
+    * parquet-sourced aggregate is the check — format must not change
+    * answers (doubles round-trip via shortest-repr printing, as q93).
+    */
+  val xmlRoundtrip: Q = (s, d) => {
+    val dir = graft.Scratch.dir("graft_xml")
+    val cols = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    cols.write.mode("overwrite").format("xml").option("rowTag", "order").save(dir)
+    s.read.schema(cols.schema).format("xml").option("rowTag", "order").load(dir)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q81 — small-file compaction: the events table sprayed into 64 tiny
     * files (every long-running ingestion's pathology — per-trigger sink
     * output), then compacted to size-targeted files with a single
@@ -255,6 +275,7 @@ object Storage extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q97_sorted_layout" -> sortedLayout,
+    "q98_xml_roundtrip" -> xmlRoundtrip,
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
     "q69_jsonl_source" -> jsonlRoundtrip,
@@ -264,6 +285,11 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    "q98_xml_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'P'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // the range-clustered copy must aggregate identically to the plain table
     "q97_sorted_layout" ->
       """SELECT l_returnflag, count(*) AS n,
