@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's output through UNDECORATED: the bench contract is
+// one bare JSON line on stdout, and sbt's logger would otherwise prepend
+// "[info] " to it — the line then no longer starts with '{' in the
+// harness's captured output window.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
