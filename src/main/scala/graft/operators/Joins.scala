@@ -190,7 +190,47 @@ object Joins extends QueryModule {
       .orderBy("key_1", "key_2")
   }
 
+  /** q100 — interval (range-overlap) join, binned: lineitems matched to
+    * the 7-day promo windows containing their ship date. A raw
+    * range-predicate join has no equi-key, so Spark would fall back to
+    * BroadcastNestedLoopJoin — n·m comparisons. The scale shape is range
+    * BINNING: both sides project a week-granularity bucket (granularity
+    * chosen ≈ interval length, so an interval spans ≤ 2 buckets), the join
+    * becomes an EQUI-join on the bucket, and the exact BETWEEN predicate
+    * filters the ≤ 2× bucket-collision surplus. Here the interval side is
+    * tiny and broadcast (the common case: calendars, campaigns, maintenance
+    * windows); when both sides are fact-sized the same bucket key becomes
+    * the shuffle partition key and the plan survives unchanged. One
+    * lineitem matches at most one bucket row per promo, so no dedup step
+    * is needed — the left join at the end restores empty windows.
+    */
+  val intervalJoin: Q = (s, d) => {
+    val epoch = to_date(lit("1992-01-01"))
+    def weekBucket(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, epoch) / 7).cast("long")
+    val promos = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        to_date(col("o_orderdate")).as("start_date"))
+      .withColumn("end_date", date_add(col("start_date"), 6))
+    val promoBuckets = promos.withColumn("bucket",
+      explode(sequence(weekBucket(col("start_date")), weekBucket(col("end_date")))))
+    val li = Tables.lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("ship"), col("l_quantity"))
+      .withColumn("bucket", weekBucket(col("ship")))
+    val matched = li.join(broadcast(promoBuckets), Seq("bucket"))
+      .filter(col("ship").between(col("start_date"), col("end_date")))
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+    promos.join(matched, Seq("promo_id"), "left")
+      .select(col("promo_id"), col("start_date"), col("end_date"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"))
+      .orderBy("promo_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q100_interval_join" -> intervalJoin,
     "q18_star_join_revenue" -> starJoinRevenue,
     "q71_upsert_merge" -> upsertMerge,
     "q79_fuzzy_match" -> fuzzyMatch,
@@ -200,6 +240,20 @@ object Joins extends QueryModule {
     "q52_salted_join" -> saltedJoinRevenue)
 
   def oracles: Map[String, String] = Map(
+    "q100_interval_join" ->
+      """WITH promos AS (
+        |  SELECT o_orderkey AS promo_id, CAST(o_orderdate AS DATE) AS start_date,
+        |    CAST(o_orderdate AS DATE) + 6 AS end_date
+        |  FROM orders WHERE o_orderkey % 997 = 0),
+        |m AS (
+        |  SELECT p.promo_id, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM promos p JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) BETWEEN p.start_date AND p.end_date
+        |  GROUP BY 1)
+        |SELECT p.promo_id, p.start_date, p.end_date,
+        |  COALESCE(m.n_lines, 0) AS n_lines, COALESCE(m.sum_qty, 0) AS sum_qty
+        |FROM promos p LEFT JOIN m USING (promo_id) ORDER BY promo_id""".stripMargin,
     "q18_star_join_revenue" ->
       """SELECT r_name, n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

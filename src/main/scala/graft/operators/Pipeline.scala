@@ -190,6 +190,45 @@ object Pipeline extends QueryModule {
       .orderBy("lang")
   }
 
+  private val mixBudget = 200L
+
+  /** q103 — temperature-rebalanced language mix (α = 0.5): per-language
+    * quotas ∝ count^α, the standard upsampling of low-resource languages
+    * in a pretraining mix (α = 1 is proportional, α = 0 uniform). The
+    * budget splits by INTEGER arithmetic end to end — weights are
+    * floor(sqrt(count)) (IEEE sqrt of a bigint is correctly rounded in
+    * both engines, and the nearest integer is never within an ulp, so the
+    * floor is engine-exact), the quota is a bigint multiply + integer
+    * division — because a double Σ√c would be partial-aggregation-order
+    * dependent and could flip a floor at the boundary. Selection within
+    * each language is the md5 rank order (reproducible under any
+    * repartitioning, like q75/q89): one rank window per language, one
+    * broadcast quota join, one filter. Output audits the realized mix:
+    * per-lang quota, sampled count, and an id checksum that pins WHICH
+    * documents were taken, not just how many.
+    */
+  val temperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val weights = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val total = weights.agg(sum("wgt").as("total_wgt"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("quota",
+        least(col("n_docs"), expr(s"($mixBudget * wgt) div total_wgt")))
+      .select("lang", "n_docs", "quota")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+        count(lit(1)).as("n_sampled"), sum("doc_id").as("id_checksum"))
+      .orderBy("lang")
+  }
+
   /** q90 — fixed-size chunking: every document split into 500-char chunks
     * (context-window preparation). posexplode of a computed chunk index —
     * purely map-side, output linear in total characters; each chunk
@@ -265,9 +304,25 @@ object Pipeline extends QueryModule {
     "q87_repetition" -> repetitionScore,
     "q88_zscore_outliers" -> zscoreOutliers,
     "q89_stratified_sample" -> stratifiedSample,
+    "q103_temperature_mix" -> temperatureMix,
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    "q103_temperature_mix" ->
+      s"""WITH w AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(floor(sqrt(count(*))) AS BIGINT) AS wgt FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS total_wgt FROM w),
+         |q AS (SELECT lang, n_docs,
+         |    CAST(least(n_docs, ($mixBudget * wgt) // total_wgt) AS BIGINT) AS quota
+         |  FROM w CROSS JOIN t),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+         |SELECT q.lang, q.n_docs, q.quota,
+         |  count(*) AS n_sampled, CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+         |FROM r JOIN q ON r.lang = q.lang
+         |WHERE r.rk <= q.quota
+         |GROUP BY 1, 2, 3 ORDER BY q.lang""".stripMargin,
     "q91_latest_per_key" ->
       """SELECT user_id, event_type, event_id, ts AS latest_ts, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type

@@ -361,7 +361,61 @@ object Similarity extends QueryModule {
       .orderBy("vec_id", "subv")
   }
 
+  private val semanticTau = 0.4
+
+  /** q101 — semantic (embedding-space) dedup: the cluster-then-compare
+    * discipline SemDeDup-style pipelines run at corpus scale. Every vector
+    * is assigned to its nearest coarse cell (the same deterministic
+    * 64-pivot assignment as q47 — at scale, k-means centroids swap in via
+    * [[ivfIndex]]'s pivot-agnostic contract), pairs are compared only
+    * WITHIN a cell (equi-join on cell_id — Σ|cell|² work, never n²), and a
+    * vector is dropped when a smaller-id cell-mate sits above the cosine
+    * threshold. Greedy min-id semantics: the surviving representative is
+    * the smallest id among a vector's above-threshold cell-mates (q59's
+    * connected components is the transitive alternative when chains
+    * matter). Verdict-per-row output, like q37: downstream mix building
+    * filters on `kept`.
+    */
+  val semanticDedup: Q = (s, d) => {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"))
+    val l = assigned.alias("l")
+    val r = assigned.alias("r")
+    val sim = cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
+    // ONE left-outer pair join carries the whole verdict: the threshold
+    // sits in the join condition so unmatched vectors survive as kept
+    // rows, and no third reference to the assignment subtree is needed
+    // (each reference recomputes the O(n·C) broadcast cross — two sides
+    // is the budget, as in ivfIndex). Hash-probe, not sort-merge: same
+    // lesson as q36's verify joins.
+    r.join(l.hint("shuffle_hash"),
+        col("l.cell_id") === col("r.cell_id") &&
+          col("l.vec_id") < col("r.vec_id") &&
+          round(sim, 9) >= semanticTau,
+        "left")
+      .groupBy(col("r.vec_id").as("vec_id"), col("r.cell_id").as("cell_id"))
+      .agg(min(col("l.vec_id")).as("rep_id"))
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell_id"),
+        col("rep_id").isNull.as("kept"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q101_semantic_dedup" -> semanticDedup,
     "q96_pq_codes" -> pqCodes,
     "q95_random_projection" -> randomProjection,
     "q31_knn_brute" -> knnBrute,
@@ -381,6 +435,25 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    "q101_semantic_dedup" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC, p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 64) p
+         |  ) WHERE arn = 1),
+         |reps AS (
+         |  SELECT r.vec_id, min(l.vec_id) AS rep_id
+         |  FROM assigned l JOIN assigned r
+         |  ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id
+         |  WHERE round(${duckCos.format("l", "r")}, 9) >= $semanticTau
+         |  GROUP BY 1)
+         |SELECT a.vec_id, CAST(a.cell_id AS INT) AS cell_id,
+         |  (rep.rep_id IS NULL) AS kept,
+         |  COALESCE(rep.rep_id, a.vec_id) AS rep_id
+         |FROM assigned a LEFT JOIN reps rep ON a.vec_id = rep.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "q96_pq_codes" -> {
       val sd = srcDims / pqSubvecs
       s"""WITH sub AS (

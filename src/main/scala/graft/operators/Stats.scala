@@ -66,9 +66,34 @@ object Stats extends QueryModule {
       .orderBy("key")
   }
 
+  /** q102 — join-key skew audit: the pre-flight diagnostic a 100 TB join
+    * runs before choosing salted vs plain shuffle (SURVEY.md §7 M5; the
+    * salting itself is q52). One hash aggregate over the fact table's join
+    * key, then two tiny reductions: the global shape (key count, row
+    * count, max/avg multiplicity) and the top-5 heaviest keys — exactly
+    * the numbers that decide whether AQE skew handling or explicit salt
+    * is needed. The per-key aggregate map-side-combines, the summary is
+    * O(distinct keys), and the top-5 is a TakeOrderedAndProject — nothing
+    * here grows with row count beyond the one keyed shuffle.
+    */
+  val skewAudit: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum("n").as("n_rows"), max("n").as("max_n"))
+    counts.orderBy(col("n").desc, col("key")).limit(5)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("n"), col("n_keys"), col("n_rows"), col("max_n"),
+        round(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_n"),
+        round(col("max_n").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
-    "q80_countmin" -> countMin)
+    "q80_countmin" -> countMin,
+    "q102_skew_audit" -> skewAudit)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -99,5 +124,16 @@ object Stats extends QueryModule {
       """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(corr(l_quantity, l_tax), 4) AS corr_qty_tax
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q102_skew_audit" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    max(n) AS max_n FROM counts)
+        |SELECT key, n, n_keys, n_rows, max_n,
+        |  round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_n,
+        |  round(CAST(max_n AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
+        |FROM (SELECT * FROM counts ORDER BY n DESC, key LIMIT 5) CROSS JOIN stats
+        |ORDER BY n DESC, key""".stripMargin)
 }

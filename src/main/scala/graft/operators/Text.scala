@@ -266,6 +266,66 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private val bloomBits = 16384
+  private val bloomK = 4
+
+  /** q99 — Bloom-filter contamination pre-filter: the sketch-sized stand-in
+    * for q74's exact shingle join when the benchmark set is too large to
+    * broadcast as raw hashes. The benchmark's 8-token shingles are folded
+    * into a [[bloomBits]]-bit / [[bloomK]]-hash Bloom filter (here the
+    * distinct-set-bit table, ≤ 16384 rows no matter how many shingles feed
+    * it — the whole point of the sketch); corpus shingles probe it
+    * map-side against the broadcast bit set, flagged only when all
+    * [[bloomK]] positions are present. False positives are bounded and
+    * audited: the exact verdict (q74's join) runs alongside on the same
+    * shingles, so the output exposes per-document n_maybe ≥ n_exact and
+    * the realized false-positive count — the number a pipeline operator
+    * watches before trusting the sketch as a pre-filter at 100 TB.
+    * Hash family is md5-derived like q80's count-min (deterministic,
+    * DuckDB-evaluable; production swaps xxhash, same plan).
+    */
+  val bloomFilter: Q = (s, d) => {
+    import graft.functions.Hashing
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val shingled = t.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+    def positions(sh: org.apache.spark.sql.Column) =
+      array((0 until bloomK).map(j =>
+        Hashing.md5Bucket(concat(lit(s"$j:"), sh), bloomBits)): _*)
+    val bench = shingled.filter(col("doc_id") < 10)
+      .select(col("sh")).distinct()
+    val bits = bench.select(explode(positions(col("sh"))).as("bit")).distinct()
+      .withColumn("present", lit(1))
+    // distinct (doc, shingle) first: a shingle repeated inside one document
+    // must count once, exactly as q74's countDistinct treats it
+    val probe = shingled.filter(col("doc_id") >= 10).distinct()
+    val perShingle = probe
+      .select(col("doc_id"), col("sh"), explode(positions(col("sh"))).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("doc_id", "sh")
+      .agg(sum(coalesce(col("present"), lit(0))).as("k_hit"))
+    val verdict = perShingle
+      .join(broadcast(bench.withColumn("ex", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("k_hit") === bloomK, 1L).otherwise(0L)).as("n_maybe"),
+        sum(coalesce(col("ex"), lit(0)).cast("long")).as("n_exact"))
+    Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") >= 10)
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_maybe"), lit(0L)) - coalesce(col("n_exact"), lit(0L)))
+          .as("n_false_pos"),
+        (coalesce(col("n_maybe"), lit(0L)) > 0).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** q75 — deterministic hash split: reproducible train/val/test
     * assignment from a content-independent key hash (md5 of the doc id,
     * 80/10/10). No RNG, no seed coordination across executors, stable
@@ -327,6 +387,7 @@ object Text extends QueryModule {
     "q61_tfidf_top" -> tfidfTop,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
+    "q99_bloom_filter" -> bloomFilter,
     "q75_hash_split" -> hashSplit,
     "q26_text_stats" -> textStats,
     "q27_lang_profile" -> langProfile,
@@ -391,6 +452,36 @@ object Text extends QueryModule {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |WHERE d.doc_id >= 10
          |ORDER BY d.doc_id""".stripMargin,
+    "q99_bloom_filter" -> {
+      def duckPositions(sh: String) = (0 until bloomK)
+        .map(j => graft.functions.Hashing.duckMd5Bucket(s"'$j:' || $sh", bloomBits))
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter($duckToks, t -> len(t) > 0) AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |bits AS (SELECT DISTINCT unnest(${duckPositions("sh")}) AS bit FROM bench),
+         |probe AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 10),
+         |pb AS (SELECT doc_id, sh, unnest(${duckPositions("sh")}) AS bit FROM probe),
+         |ks AS (SELECT p.doc_id, p.sh,
+         |  CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit
+         |  FROM pb p LEFT JOIN bits b ON p.bit = b.bit GROUP BY 1, 2),
+         |verdict AS (SELECT k.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN k.k_hit = $bloomK THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+         |  CAST(sum(CASE WHEN be.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |  FROM ks k LEFT JOIN bench be ON k.sh = be.sh GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(v.n_shingles, 0) AS n_shingles,
+         |  COALESCE(v.n_maybe, 0) AS n_maybe,
+         |  COALESCE(v.n_exact, 0) AS n_exact,
+         |  COALESCE(v.n_maybe, 0) - COALESCE(v.n_exact, 0) AS n_false_pos,
+         |  (COALESCE(v.n_maybe, 0) > 0) AS flagged
+         |FROM documents d LEFT JOIN verdict v ON d.doc_id = v.doc_id
+         |WHERE d.doc_id >= 10
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q75_hash_split" ->
       s"""WITH v AS (SELECT lang,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

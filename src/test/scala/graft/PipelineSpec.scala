@@ -54,6 +54,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q103 temperature mix: quotas within budget, realized exactly, low-resource upsampled") {
+    val rows = q("q103_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // quota is always realizable and realized exactly (hash rank is total)
+    rows.foreach { case (lang, nDocs, quota, sampled) =>
+      assert(quota <= nDocs, lang)
+      assert(sampled === quota, lang)
+    }
+    // integer-division quotas never exceed the budget
+    assert(rows.map(_._3).sum <= 200L)
+    // α = 0.5 upsamples low-resource languages: the smallest language's
+    // sampling fraction is >= the largest's
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    if (smallest._2 < largest._2)
+      assert(smallest._3.toDouble / smallest._2 >= largest._3.toDouble / largest._2)
+  }
+
   test("q89 stratified sample keeps roughly 10% per stratum") {
     q("q89_stratified_sample").collect().foreach { r =>
       val (n, kept) = (r.getLong(1), r.getLong(2))

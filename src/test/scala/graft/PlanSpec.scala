@@ -34,6 +34,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join [cell_id") || p.contains("Join [coalesce(cell_id"), p)
   }
 
+  test("q100 interval join bins to an equi-join — no nested-loop range join") {
+    val p = plan("q100_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q101 semantic dedup: cell pair join is equi; only pivot assignment nest-loops") {
+    val p = plan("q101_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 2, p)
+  }
+
+  test("q99 bloom probe joins against broadcast bit/bench sets only") {
+    val p = plan("q99_bloom_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q30 Jaccard and the minhash candidate joins are blocked equi-joins") {
     // q37/q59 stage the pair list through parquet, so the candidate join
     // lives in verifiedPairs' plan, not the returned (post-staging) one —

@@ -103,6 +103,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q102 skew audit: summary is self-consistent and top-5 is sorted") {
+    val rows = q("q102_skew_audit").collect()
+    assert(rows.length === 5)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.toSeq === ns.sorted.reverse.toSeq, "top-5 not sorted by n desc")
+    rows.foreach { r =>
+      val (n, nKeys, nRows, maxN, avgN, skew) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))
+      assert(n <= maxN)
+      assert(math.abs(avgN - nRows.toDouble / nKeys) < 1e-3)
+      assert(math.abs(skew - maxN / avgN) < 1e-2)
+    }
+    // the heaviest key's multiplicity IS max_n
+    assert(rows.head.getLong(1) === rows.head.getLong(4))
+  }
+
+  test("q100 interval join matches a brute-force range join") {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        to_date(col("o_orderdate")).as("start_date"))
+      .withColumn("end_date", date_add(col("start_date"), 6))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(to_date(col("l_shipdate")).as("ship"))
+    // brute force: no bucketing, raw range predicate (fixture-sized only)
+    val expected = o.join(li,
+        col("ship").between(col("start_date"), col("end_date")), "left")
+      .groupBy("promo_id")
+      .agg(count(col("ship")).as("n_lines"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = q("q100_interval_join").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+  }
+
   test("q79 fuzzy match: pairs are ordered, within-block, and within distance 2") {
     val rows = q("q79_fuzzy_match").collect()
     assert(rows.nonEmpty)

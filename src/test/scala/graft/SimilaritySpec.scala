@@ -161,6 +161,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"multi-probe IVF should find most true top-1s, got $recall")
   }
 
+  test("q101 semantic dedup: total verdict cover, min-id reps, cell minima kept") {
+    val rows = q("q101_semantic_dedup").collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length === n, "one verdict row per vector")
+    rows.foreach { r =>
+      val (vecId, kept, repId) =
+        (r.getAs[Long]("vec_id"), r.getAs[Boolean]("kept"), r.getAs[Long]("rep_id"))
+      if (kept) assert(repId === vecId)
+      else assert(repId < vecId, "representative must be a smaller id")
+    }
+    // the smallest id in each cell has no smaller cell-mate, so it is
+    // always kept — the greedy rule can never drop a whole cell
+    rows.groupBy(_.getAs[Int]("cell_id")).foreach { case (cell, rs) =>
+      val minRow = rs.minBy(_.getAs[Long]("vec_id"))
+      assert(minRow.getAs[Boolean]("kept"), s"cell $cell dropped its minimum")
+    }
+  }
+
   test("q95 random projection matches a driver-side left fold exactly") {
     val first = graft.sources.Tables.embeddings(spark, sf)
       .orderBy("vec_id").head()

@@ -153,6 +153,21 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.contains(5L), "benchmark docs are not audited")
   }
 
+  test("q99 bloom pre-filter: no false negatives, exact verdict agrees with q74") {
+    val bloom = q("q99_bloom_filter").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_maybe"), r.getAs[Long]("n_exact"))).toMap
+    // Bloom guarantee: every exact hit is also a maybe hit (no false
+    // negatives); false positives are allowed but counted
+    bloom.values.foreach { case (maybe, exact) => assert(maybe >= exact) }
+    // the exact side of the audit is q74's verdict computed on the same
+    // shingles — the two operators must agree document by document
+    val exactQ74 = q("q74_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(bloom.keySet === exactQ74.keySet)
+    bloom.foreach { case (id, (_, exact)) => assert(exact === exactQ74(id), id) }
+  }
+
   test("q75 hash split is deterministic and partitions every document") {
     val a = q("q75_hash_split").collect().map(_.toSeq)
     val b = q("q75_hash_split").collect().map(_.toSeq)
