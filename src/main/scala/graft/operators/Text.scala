@@ -266,7 +266,7 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val bloomBits = 16384
+  private val bloomBits = 65536
   private val bloomK = 4
 
   /** q99 — Bloom-filter contamination pre-filter: the sketch-sized stand-in
@@ -281,11 +281,15 @@ object Text extends QueryModule {
     * shingles, so the output exposes per-document n_maybe ≥ n_exact and
     * the realized false-positive count — the number a pipeline operator
     * watches before trusting the sketch as a pre-filter at 100 TB.
-    * Hash family is md5-derived like q80's count-min (deterministic,
-    * DuckDB-evaluable; production swaps xxhash, same plan).
+    *
+    * Hash family: Kirsch–Mitzenmacher-style slices of the ONE shingle
+    * digest — the shingle's md5 already carries 128 bits, so the k bit
+    * positions are non-overlapping 4-hex-digit substrings of it (16 bits
+    * each = exactly the 65536-bit space, no modulo bias). Zero additional
+    * hashing per probe — re-hashing "j:"+sh per position would cost k
+    * extra md5 walks over every corpus shingle, the dominant CPU term.
     */
   val bloomFilter: Q = (s, d) => {
-    import graft.functions.Hashing
     val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
     val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
@@ -295,7 +299,7 @@ object Text extends QueryModule {
         i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
     def positions(sh: org.apache.spark.sql.Column) =
       array((0 until bloomK).map(j =>
-        Hashing.md5Bucket(concat(lit(s"$j:"), sh), bloomBits)): _*)
+        conv(substring(sh, j * 4 + 1, 4), 16, 10).cast("long")): _*)
     val bench = shingled.filter(col("doc_id") < 10)
       .select(col("sh")).distinct()
     val bits = bench.select(explode(positions(col("sh"))).as("bit")).distinct()
@@ -454,7 +458,7 @@ object Text extends QueryModule {
          |ORDER BY d.doc_id""".stripMargin,
     "q99_bloom_filter" -> {
       def duckPositions(sh: String) = (0 until bloomK)
-        .map(j => graft.functions.Hashing.duckMd5Bucket(s"'$j:' || $sh", bloomBits))
+        .map(j => s"('0x' || substr($sh, ${j * 4 + 1}, 4))::BIGINT")
         .mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id,
          |  list_filter($duckToks, t -> len(t) > 0) AS tk FROM documents),
