@@ -182,6 +182,42 @@ object StreamingJobs extends QueryModule {
       mode = "append")
   }
 
+  /** q104 — stream-stream LEFT OUTER join: q68's topology, plus the
+    * semantics that make outer streaming joins genuinely different from
+    * batch — a view with no purchase can only be emitted (with nulls) once
+    * the watermark proves no future purchase can match it, i.e. when
+    * `watermark > view_ts + 1 h`. Matched rows still emit as soon as both
+    * sides arrive. On a drained finite input the global watermark ends at
+    * `min(max view_ts, max purchase_ts) − 1 h` (two watermarked inputs →
+    * the MIN policy), and the engine's final no-data micro-batch flushes
+    * exactly the unmatched views older than that bound; the last ~2 h of
+    * unmatched views stay buffered in state forever — a stream cannot know
+    * it has ended. The oracle mirrors the bound: batch left join filtered
+    * to `matched OR view_ts + 1 h < final watermark` — engine-exact
+    * because event times are microsecond-precise on both sides.
+    */
+  val streamOuterJoin: Q = (s, d) => {
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    drainToLocal(s, joined, "ss_outer", Seq("view_id", "purchase_id"),
+      mode = "append")
+  }
+
   /** Streaming sessionizer via `flatMapGroupsWithState` — the custom-state
     * API whose batch twin is q46. Honest streaming semantics: a session
     * can only be emitted once it is CLOSED (a later event proved the gap);
@@ -247,7 +283,8 @@ object StreamingJobs extends QueryModule {
     "q39_stream_tumbling" -> streamTumbling,
     "q50_stream_dedup" -> streamDedup,
     "q51_stream_static_join" -> streamStaticJoin,
-    "q68_stream_stream_join" -> streamStreamJoin)
+    "q68_stream_stream_join" -> streamStreamJoin,
+    "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
     // identical semantics to q22 — same oracle
@@ -273,5 +310,26 @@ object StreamingJobs extends QueryModule {
         |ON l.user_id = r.user_id
         | AND l.event_type = 'view' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
-        |ORDER BY view_id, purchase_id""".stripMargin)
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // batch twin + the outer-emission bound: unmatched views appear only
+    // when the final watermark (min of both streams' max ts − 1 h) proved
+    // no future purchase can match
+    "q104_stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 1 HOUR AS w),
+        |j AS (
+        |  SELECT l.event_id AS view_id, r.event_id AS purchase_id,
+        |    l.user_id AS user_id, l.ts AS view_ts,
+        |    date_diff('microsecond', l.ts, r.ts) AS gap_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        |   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR)
+        |SELECT view_id, purchase_id, user_id, gap_us
+        |FROM j CROSS JOIN wm
+        |WHERE purchase_id IS NOT NULL OR view_ts + INTERVAL 1 HOUR < w
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin)
 }

@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("outer stream-stream join (q104): matched rows are q68, nulls only past the watermark") {
+    val rows = q("q104_stream_outer_join").collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(_.toSeq).toSet
+    val inner = q("q68_stream_stream_join").collect().map(_.toSeq).toSet
+    assert(matched === inner, "matched subset must equal the inner join")
+    // unmatched views emit with BOTH purchase_id and gap_us null, and only
+    // once the final watermark proved no future purchase can match
+    val e = graft.sources.Tables.events(spark, sf)
+    val finalWmUs = e.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(_.getLong(1)).min - 3600L * 1000000
+    val viewTs = e.filter(col("event_type") === "view")
+      .select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unmatched = rows.filter(_.isNullAt(1))
+    assert(unmatched.nonEmpty, "fixture must contain expired unmatched views")
+    unmatched.foreach { r =>
+      assert(r.isNullAt(3), "gap must be null when no purchase matched")
+      assert(viewTs(r.getLong(0)) + 3600L * 1000000 < finalWmUs,
+        s"view ${r.getLong(0)} emitted before its state could be evicted")
+    }
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._
