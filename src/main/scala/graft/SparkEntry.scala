@@ -12,7 +12,7 @@ import graft.operators._
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational, Joins, Events, Text, Similarity, Stats, Multimodal,
-    Dedup, Geo, AsOf, Storage, Pipeline,
+    Dedup, Geo, AsOf, Storage, Pipeline, Graph,
     graft.streaming.StreamingJobs, graft.ml.Pipelines)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -59,9 +59,72 @@ object Geo extends QueryModule {
       .orderBy("c_custkey")
   }
 
-  def queries: Map[String, Q] = Map("q48_geo_wkt" -> wktParse)
+  /** q107 — grid-bucketed spatial radius join: "every supplier depot within
+    * distance R of a customer site". The classic spatial-join problem that
+    * a naive formulation writes as a cartesian with a distance filter —
+    * O(n·m) and a nested loop at any scale. Grid bucketing turns it into
+    * an EQUI-join: cell size = R, each right-side point replicated into
+    * its 3×3 neighborhood (a constant ×9 — the standard grid/partition
+    * join of PostGIS/Sedona), so every true pair shares a cell key and the
+    * join shuffles on (cellx, celly) like any other key. The exact
+    * squared-distance predicate then prunes the ≤9-cell candidate surplus.
+    * All-integer coordinates (keys × primes mod 1000) keep both engines
+    * bit-exact — no floating-point distance. The supplier side is a dim
+    * table here so it broadcasts; at two-big-sides scale the same plan
+    * shuffles both sides on the cell key.
+    */
+  val gridJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") * lit(7919L) % 1000L).as("x"),
+      (col("c_custkey") * lit(104729L) % 1000L).as("y"))
+      .withColumn("cx", expr("x div 40"))
+      .withColumn("cy", expr("y div 40"))
+    val supp = Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      (col("s_suppkey") * lit(7577L) % 1000L).as("sx"),
+      (col("s_suppkey") * lit(99991L) % 1000L).as("sy"))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("jx", expr("sx div 40") + col("dx"))
+      .withColumn("jy", expr("sy div 40") + col("dy"))
+    cust.join(broadcast(supp),
+        col("cx") === col("jx") && col("cy") === col("jy"))
+      .withColumn("dist2",
+        (col("x") - col("sx")) * (col("x") - col("sx"))
+          + (col("y") - col("sy")) * (col("y") - col("sy")))
+      .filter(col("dist2") <= 1600L)
+      .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q48_geo_wkt" -> wktParse,
+    "q107_grid_join" -> gridJoin)
 
   def oracles: Map[String, String] = Map(
+    "q107_grid_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919) % 1000 AS x, (c_custkey * 104729) % 1000 AS y
+        |  FROM customer),
+        |c2 AS (SELECT *, x // 40 AS cx, y // 40 AS cy FROM cust),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 7577) % 1000 AS sx, (s_suppkey * 99991) % 1000 AS sy
+        |  FROM supplier),
+        |nb AS (
+        |  SELECT s.*, sx // 40 + dxs.dx AS jx, sy // 40 + dys.dy AS jy
+        |  FROM supp s,
+        |    (SELECT unnest(range(-1, 2)) AS dx) dxs,
+        |    (SELECT unnest(range(-1, 2)) AS dy) dys)
+        |SELECT c.c_custkey, nb.s_suppkey,
+        |  (c.x - nb.sx) * (c.x - nb.sx) + (c.y - nb.sy) * (c.y - nb.sy)
+        |    AS dist2
+        |FROM c2 c JOIN nb ON c.cx = nb.jx AND c.cy = nb.jy
+        |WHERE (c.x - nb.sx) * (c.x - nb.sx) + (c.y - nb.sy) * (c.y - nb.sy)
+        |  <= 1600
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "q48_geo_wkt" ->
       """WITH seeded AS (
         |  SELECT c_custkey,

@@ -460,7 +460,36 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag", "rn")
   }
 
+  /** q109 — SCD Type-2 dimension build from a change log: each customer's
+    * order-status history collapses to versioned validity intervals
+    * (valid_from, valid_to, is_current) — the standard
+    * slowly-changing-dimension shape every warehouse maintains, and a pure
+    * two-window plan: one `lag` to drop no-op changes (consecutive equal
+    * states), one `lead` to close each interval at its successor's start.
+    * Both windows share the SAME partitioning+ordering (o_custkey;
+    * o_orderdate, o_orderkey), so the whole query is ONE shuffle and one
+    * sort — no join of the table to itself, which is the naive SCD2
+    * formulation and doubles the shuffle. Ties are broken by the unique
+    * order key, keeping both engines deterministic.
+    */
+  val scd2: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("prev", lag("o_orderstatus", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q109_scd2" -> scd2,
     "q01_pricing_summary" -> pricingSummary,
     "q49_memo_pricing" -> memoPricing,
     "q58_topk_agg" -> topkViaAgg,
@@ -509,6 +538,25 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q109_scd2" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |      AS prev
+        |  FROM orders),
+        |chg AS (
+        |  SELECT * FROM src WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "q01_pricing_summary" -> pricingSql,
     // q49 is q01 behind the memo cache — identical semantics, same oracle
     "q49_memo_pricing" -> pricingSql,

@@ -90,10 +90,53 @@ object Stats extends QueryModule {
       .orderBy(col("n").desc, col("key"))
   }
 
+  private val hllBuckets = 64
+
+  /** q105 — deterministic HyperLogLog distinct-count sketch (the second
+    * mergeable sketch next to q80's count-min: CMS answers "how often",
+    * HLL answers "how many distinct" in O(m) space no matter how many keys
+    * stream through — THE cardinality primitive at 100 TB, where
+    * count(DISTINCT) is a full shuffle of every key). md5-derived bucket
+    * (6 bits) + 32-bit remainder; register = leading-zero rank via
+    * `length(bin(w))` — an exact integer string op, no transcendental log,
+    * so both engines agree bit-for-bit. The register table merges with
+    * `max` (associative, map-side-combining), and the harmonic-mean
+    * estimate is computed in exact integer arithmetic scaled by 2^33,
+    * with ONE final correctly-rounded double division — IEEE-identical
+    * across engines. The exact distinct count rides along so the output
+    * audits the sketch's error in place (±~13% expected at m=64).
+    */
+  val hllDistinct: Q = (s, d) => {
+    val keyed = Tables.orders(s, d).select(col("o_custkey").cast("string").as("k"))
+    val hashed = keyed.select(
+      pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+        lit(hllBuckets.toLong)).as("bucket"),
+      conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+    val rho = when(col("w") === 0, lit(33))
+      .otherwise(lit(33) - length(bin(col("w"))))
+    val regs = hashed.withColumn("rho", rho)
+      .groupBy("bucket").agg(max("rho").as("m"))
+    // empty buckets carry register 0 — materialize all m of them
+    val full = s.range(0, hllBuckets).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val sketch = full.agg(
+      // sum(2^(33-m)) as exact integers: m ≤ 33 so every term is integral
+      sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_inv"),
+      sum(when(col("m") === 0, 1).otherwise(0)).cast("long").as("n_empty"))
+    val exact = keyed.agg(countDistinct("k").as("n_exact"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("n_exact"), col("n_empty"),
+        // alpha_64 = 0.709; numerator = alpha * m^2 * 2^33
+        floor(lit(0.709) * lit(4096.0) * lit(8589934592.0)
+          / col("s_inv").cast("double")).cast("long").as("hll_est"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
-    "q102_skew_audit" -> skewAudit)
+    "q102_skew_audit" -> skewAudit,
+    "q105_hll_distinct" -> hllDistinct)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -125,6 +168,30 @@ object Stats extends QueryModule {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(corr(l_quantity, l_tax), 4) AS corr_qty_tax
         |FROM lineitem""".stripMargin,
+    "q105_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 64
+        |      AS bucket,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8))::BIGINT AS w
+        |  FROM orders),
+        |r AS (
+        |  SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY 1),
+        |allb AS (
+        |  SELECT COALESCE(r.m, 0) AS m
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN r ON b.bucket = r.bucket),
+        |sk AS (
+        |  SELECT CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT) AS s_inv,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |  FROM allb),
+        |ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+        |SELECT ex.n_exact, sk.n_empty,
+        |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
+        |    AS hll_est
+        |FROM ex CROSS JOIN sk""".stripMargin,
     "q102_skew_audit" ->
       """WITH counts AS (
         |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),

@@ -273,7 +273,42 @@ object Storage extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** q108 — incremental aggregate maintenance via mergeable partial state:
+    * the materialized-view pattern every warehouse runs at 100 TB. A
+    * pre-aggregated BASE (history before the cutoff) and a DELTA batch
+    * (new arrivals) each carry only mergeable state — count, decimal sum,
+    * min, max — and the refreshed view is a re-aggregation of the two
+    * state tables: `merge(base, delta) ≡ recompute(all)` because every
+    * component is associative+commutative. The merge touches O(groups)
+    * rows, not O(history rows) — the whole point: a daily refresh re-reads
+    * one day, never the 100 TB of history. The oracle IS the full
+    * recompute, so the gate checks the algebraic identity itself. (avg is
+    * derived sum/count at read time — never stored, since avg doesn't
+    * merge.)
+    */
+  val mergeAgg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("l_quantity"))).as("sq"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+    val base = partial(li.filter(col("l_shipdate") < "1997-01-01"))
+    val delta = partial(li.filter(col("l_shipdate") >= "1997-01-01"))
+    base.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("cnt").as("n"),
+        sum("sq").cast("double").as("sum_qty"),
+        min("mn").as("min_price"),
+        max("mx").as("max_price"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("n"), 4))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q108_merge_agg" -> mergeAgg,
     "q97_sorted_layout" -> sortedLayout,
     "q98_xml_roundtrip" -> xmlRoundtrip,
     "q66_bucketed_join" -> bucketedJoin,
@@ -285,6 +320,19 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    // merge(base partial-state, delta partial-state) must equal the full
+    // recompute — the oracle is the recompute
+    "q108_merge_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*), 4) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q98_xml_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

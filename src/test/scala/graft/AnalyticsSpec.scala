@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the sketch/graph/warehouse operators added in round 6:
+  * q105 HLL distinct, q106 PageRank, q107 grid spatial join, q108
+  * incremental aggregate merge, q109 SCD Type-2. Each is also on the
+  * DuckDB oracle gate; these tests pin the properties the oracle can't
+  * express (error bands, brute-force equivalence, interval invariants).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q105 HLL estimate lands within the m=64 error band of the exact count") {
+    val r = q("q105_hll_distinct").collect()
+    assert(r.length == 1)
+    val (exact, empty, est) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(est > 0)
+    // 1.04/sqrt(64) = 13% standard error; 35% is ~2.7 sigma — and the
+    // query is deterministic, so this can never flake once green
+    assert(math.abs(est - exact).toDouble / exact < 0.35, s"exact=$exact est=$est")
+    assert(empty >= 0 && empty <= 64)
+  }
+
+  test("q106 PageRank: top-10 descending, floor rank respected, parts dominate") {
+    val rows = q("q106_pagerank").collect()
+    assert(rows.length == 10)
+    val prs = rows.map(_.getLong(1))
+    assert(prs.sameElements(prs.sortBy(-_)))
+    // every node gets at least the teleport mass
+    assert(prs.forall(_ >= 150000L))
+    // part nodes aggregate many order links — the top node must be one
+    assert(rows.head.getLong(0) > 10000000L)
+  }
+
+  test("q107 grid join equals the brute-force distance filter") {
+    import spark.implicits._
+    val got = q("q107_grid_join")
+      .select("c_custkey", "s_suppkey", "dist2")
+      .as[(Long, Long, Long)].collect().toSet
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"),
+        (col("c_custkey") * 7919L % 1000L).as("x"),
+        (col("c_custkey") * 104729L % 1000L).as("y"))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"),
+        (col("s_suppkey") * 7577L % 1000L).as("sx"),
+        (col("s_suppkey") * 99991L % 1000L).as("sy"))
+    val brute = cust.crossJoin(supp)
+      .withColumn("dist2",
+        (col("x") - col("sx")) * (col("x") - col("sx"))
+          + (col("y") - col("sy")) * (col("y") - col("sy")))
+      .filter(col("dist2") <= 1600L)
+      .select("c_custkey", "s_suppkey", "dist2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("q108 merged partial states equal the full recompute") {
+    import spark.implicits._
+    val got = q("q108_merge_agg")
+      .select("l_returnflag", "l_linestatus", "n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, st, n) => (f, st) -> n }.toMap
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, st, n) => (f, st) -> n }.toMap
+    assert(got == full)
+  }
+
+  test("q109 SCD2 intervals: consecutive versions, one current row, no gaps") {
+    import spark.implicits._
+    val rows = q("q109_scd2")
+      .select(col("o_custkey"), col("version"), col("status"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+      .as[(Long, Int, String, String, Option[String], Int)].collect()
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n with no holes
+      assert(sorted.map(_._2).sameElements(1 to sorted.length), s"cust $k")
+      // exactly one open (current) interval, and it is the last version
+      assert(sorted.count(_._5.isEmpty) == 1 && sorted.last._5.isEmpty, s"cust $k")
+      assert(sorted.count(_._6 == 1) == 1 && sorted.last._6 == 1, s"cust $k")
+      // each interval closes exactly where the next opens; status changes
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"cust $k gap/overlap")
+          assert(a._3 != b._3, s"cust $k no-op version")
+        case _ =>
+      }
+    }
+  }
+}

@@ -157,6 +157,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
   }
 
+  test("q107 grid spatial join is a broadcast equi-join on cell keys — never a cross-distance filter") {
+    val p = plan("q107_grid_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q106 PageRank iterations are keyed equi-joins over the staged edge list") {
+    val p = plan("q106_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // top-10 must not globally sort the rank table
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q109 SCD2 runs both windows on ONE shuffle — same partitioning, no join") {
+    val p = plan("q109_scd2")
+    assert(!p.contains("Join"), p)
+    // one exchange for the window partitioning, one for the final sort
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("rank-filter windows get the WindowGroupLimit pushdown") {
     // row_number()<=k filters must prune per-partition before the shuffle
     // (Spark's WindowGroupLimit), or every window carries all rows.
