@@ -150,9 +150,85 @@ object Events extends QueryModule {
     "q24_json_extract" -> jsonExtract,
     "q45_session_windows" -> sessionWindows,
     "q46_stateful_sessions" -> statefulSessions,
-    "q53_sorted_sessions" -> sortedSessions)
+    "q53_sorted_sessions" -> sortedSessions,
+    "q111_funnel" -> funnel,
+    "q112_cohort_retention" -> cohortRetention)
+
+  /** q111 — ordered three-stage funnel (view → click → purchase): the
+    * product-analytics staple. Progressive conditional minima — t1 = first
+    * view; t2 = first click strictly after t1; t3 = first purchase strictly
+    * after t2 — computed as three per-user hash aggregates chained by
+    * broadcast-size equi-joins on user_id (the user dimension is tiny
+    * relative to the event stream; at 100 TB of events the per-user
+    * aggregates still map-side-combine to one row per user before any
+    * join). No window over the full stream, no self-join of events to
+    * events — each stage scans once and reduces immediately.
+    */
+  val funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
+  }
+
+  /** q112 — daily cohort retention: users cohorted by first-active day,
+    * activity counted per (cohort_day, day_offset) as distinct users — the
+    * retention triangle every growth dashboard is built on. One per-user
+    * aggregate for the cohort assignment, one equi-join back to the
+    * stream, one distinct-count aggregate: the join key (user_id) is the
+    * natural shuffle key, and the output is O(days²), independent of
+    * event volume.
+    */
+  val cohortRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 
   def oracles: Map[String, String] = Map(
+    "q111_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT count(*) AS n_view,
+        |  count(t2.t2) AS n_view_click,
+        |  count(t3.t3) AS n_full_funnel
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    "q112_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, e.day) AS INT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q22_window_tumbling" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
         | event_type, count(*) AS n,

@@ -132,11 +132,54 @@ object Stats extends QueryModule {
           / col("s_inv").cast("double")).cast("long").as("hll_est"))
   }
 
+  private val qsBins = 256L
+  private val qsHi = 110000L // covers l_extendedprice's domain
+
+  /** q110 — mergeable equi-width quantile sketch, completing the sketch
+    * trio: CMS (q80, frequency), HLL (q105, cardinality), and this
+    * (distribution). A 256-bin histogram whose counts merge by addition —
+    * the shuffle carries ≤ 256 rows per partial no matter how many values
+    * stream through, where exact percentiles (q54) must sort or
+    * hold-all-values. Quantile estimates read off the cumulative histogram
+    * with INTEGER threshold tests (c·2 ≥ n ⟺ c ≥ 0.5n — no float
+    * comparisons), reporting the bin's upper boundary in exact integer
+    * `div` arithmetic. The bin assignment is one double multiply+divide,
+    * written identically in both engines (IEEE-deterministic). No exact
+    * percentile rides along — that would smuggle q54's hold-all-values
+    * aggregate back in; AnalyticsSpec audits the estimates against the
+    * exact order statistics at fixture scale instead.
+    */
+  val quantileSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val hist = v
+      .select(least(floor(col("v") * lit(256.0) / lit(110000.0)), lit(255.0))
+        .cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    // 256-row cumulative sum: the single-partition window is over the
+    // SKETCH, not the data — constant-size by construction
+    val cum = hist.withColumn("c",
+      sum("n").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = v.agg(count(lit(1)).as("n_total"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max("n_total").as("n_total"),
+        min(when(col("c") * 2 >= col("n_total"), col("b"))).as("b50"),
+        min(when(col("c") * 10 >= col("n_total") * 9, col("b"))).as("b90"),
+        min(when(col("c") * 100 >= col("n_total") * 99, col("b"))).as("b99"))
+      .select(col("n_total"),
+        expr(s"CAST((b50 + 1) * $qsHi div $qsBins AS BIGINT)").as("est_p50"),
+        expr(s"CAST((b90 + 1) * $qsHi div $qsBins AS BIGINT)").as("est_p90"),
+        expr(s"CAST((b99 + 1) * $qsHi div $qsBins AS BIGINT)").as("est_p99"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
     "q102_skew_audit" -> skewAudit,
-    "q105_hll_distinct" -> hllDistinct)
+    "q105_hll_distinct" -> hllDistinct,
+    "q110_quantile_sketch" -> quantileSketch)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -168,6 +211,25 @@ object Stats extends QueryModule {
         | round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
         | round(corr(l_quantity, l_tax), 4) AS corr_qty_tax
         |FROM lineitem""".stripMargin,
+    "q110_quantile_sketch" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |hist AS (
+        |  SELECT CAST(least(floor(v * 256.0 / 110000.0), 255.0) AS BIGINT)
+        |    AS b, count(*) AS n
+        |  FROM v GROUP BY 1),
+        |cum AS (SELECT b, sum(n) OVER (ORDER BY b) AS c FROM hist),
+        |tot AS (SELECT count(*) AS n_total FROM v),
+        |sel AS (
+        |  SELECT max(n_total) AS n_total,
+        |    min(CASE WHEN c * 2 >= n_total THEN b END) AS b50,
+        |    min(CASE WHEN c * 10 >= n_total * 9 THEN b END) AS b90,
+        |    min(CASE WHEN c * 100 >= n_total * 99 THEN b END) AS b99
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_total,
+        |  CAST((b50 + 1) * 110000 // 256 AS BIGINT) AS est_p50,
+        |  CAST((b90 + 1) * 110000 // 256 AS BIGINT) AS est_p90,
+        |  CAST((b99 + 1) * 110000 // 256 AS BIGINT) AS est_p99
+        |FROM sel""".stripMargin,
     "q105_hll_distinct" ->
       """WITH h AS (
         |  SELECT

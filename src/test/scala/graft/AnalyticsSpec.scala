@@ -71,6 +71,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("q110 quantile sketch estimates land within one bin width of the exact order statistics") {
+    val r = q("q110_quantile_sketch").collect()
+    assert(r.length == 1)
+    val n = r(0).getLong(0)
+    val (e50, e90, e99) = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("percentile(l_extendedprice, array(0.5d, 0.9d, 0.99d)) as p")
+      .collect()(0).getSeq[Double](0)
+    val binWidth = 110000.0 / 256
+    assert(n > 0)
+    // the sketch reports the upper boundary of the quantile's bin, so the
+    // exact value sits within one bin below it
+    for ((est, ex) <- Seq(e50 -> exact(0), e90 -> exact(1), e99 -> exact(2))) {
+      assert(ex <= est && ex > est - 2 * binWidth, s"est=$est exact=$ex")
+    }
+    assert(e50 <= e90 && e90 <= e99)
+  }
+
+  test("q111 funnel stages are monotonically non-increasing") {
+    val r = q("q111_funnel").collect()
+    assert(r.length == 1)
+    val (v, vc, full) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(v >= vc && vc >= full, s"$v $vc $full")
+    assert(v > 0)
+  }
+
+  test("q112 cohort retention: offset-0 rows cover every user exactly once") {
+    import spark.implicits._
+    val rows = q("q112_cohort_retention")
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect()
+    assert(rows.forall(_._2 >= 0))
+    assert(rows.forall(_._3 > 0))
+    val day0 = rows.filter(_._2 == 0).map(_._3).sum
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    // every user appears in their own cohort's day-0 cell, never elsewhere
+    assert(day0 == users, s"day0=$day0 users=$users")
+    // retention can never exceed the cohort's size
+    val cohortSize = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(rows.forall(r => r._3 <= cohortSize(r._1)))
+  }
+
   test("q109 SCD2 intervals: consecutive versions, one current row, no gaps") {
     import spark.implicits._
     val rows = q("q109_scd2")
