@@ -52,24 +52,46 @@ object Dedup extends QueryModule {
     array_min(transform(col("tokset"),
       t => substring(md5(concat(lit(s"$i:"), t)), 1, 8)))
 
-  /** Verified near-dup edges (d1 < d2): minhash → band → bucket equi-join
-    * candidates, then exact-Jaccard verification. Shared by the per-document
-    * verdict (q37) and the transitive clustering (q59).
-    */
-  private[graft] def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+  /** Distinct token set per document — the input every minhash stage
+    * shares. */
+  private def tokenSets(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), array_distinct(split(col("text"), "\\s+")).as("tokset"))
-    // Verification operand: the token set HASHED to sorted 64-bit ints
-    // (first 15 md5 hex digits — same family as the minhashes, evaluable
-    // verbatim in DuckDB so the oracle stays identical). Exact-Jaccard
-    // verification over millions of candidate pairs is the pipeline's
-    // hot loop, and intersecting long arrays costs a fraction of hashing
-    // ~100 strings per side per pair (measured: 12s → ~4s at sf0.1);
-    // w.h.p. hash-distinctness ≡ token-distinctness, and BOTH engines
-    // apply the same hash, so even a collision cannot split the compare.
-    val th = t.select(col("doc_id"), array_sort(array_distinct(transform(
+
+  /** Verification operand: the token set HASHED to sorted 64-bit ints
+    * (first 15 md5 hex digits — same family as the minhashes, evaluable
+    * verbatim in DuckDB so the oracle stays identical). Exact-Jaccard
+    * verification over millions of candidate pairs is the pipeline's
+    * hot loop, and intersecting long arrays costs a fraction of hashing
+    * ~100 strings per side per pair (measured: 12s → ~4s at sf0.1);
+    * w.h.p. hash-distinctness ≡ token-distinctness, and BOTH engines
+    * apply the same hash, so even a collision cannot split the compare.
+    */
+  private def hashedSets(t: org.apache.spark.sql.DataFrame) =
+    t.select(col("doc_id"), array_sort(array_distinct(transform(
       col("tokset"),
       tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))).as("hs"))
+
+  /** Exact-Jaccard distance over two hashed token sets ([[hashedSets]]
+    * columns aliased hs1/hs2): |A∪B| from |A|+|B|−|A∩B| — one native
+    * merge-walk intersect (SetExprs) per pair instead of two set builds.
+    */
+  private def jaccardDist: Column = {
+    val isect = graft.functions.Vectors
+      .sortedIntersectSize(col("hs1"), col("hs2")).cast("double")
+    lit(1.0) - isect / (size(col("hs1")) + size(col("hs2")) - isect)
+  }
+
+  /** (doc_id, band, sig) rows — the LSH bucket keys, explicitly
+    * co-partitioned on the join key: a band join's input stage is
+    * byte-light (one sig string per doc per band) but its OUTPUT is the
+    * Σ|bucket|² candidate mass, so AQE's size-based coalescing would
+    * collapse the probe stage to one task; a user-origin repartition is
+    * respected, and the single exchange is reused by both sides of a
+    * self-join.
+    */
+  private def bandSigs(s: org.apache.spark.sql.SparkSession,
+      t: org.apache.spark.sql.DataFrame) = {
     val withMh = t.select(col("doc_id") +:
       (0 until numHashes).map(i => minhash(i).as(s"mh$i")): _*)
     val bandStructs = (0 until numBands).map { b =>
@@ -77,16 +99,20 @@ object Dedup extends QueryModule {
         concat_ws("-", (0 until rowsPerBand)
           .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
     }
-    // explicit co-partitioning on the join key: the band self-join's input
-    // stage is byte-light (one sig string per doc per band) but its OUTPUT
-    // is the Σ|bucket|² candidate mass, so AQE's size-based coalescing
-    // would collapse the probe stage to one task; a user-origin
-    // repartition is respected, and the single exchange is reused by both
-    // sides of the self-join
-    val sigs = withMh
+    withMh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .repartition(s.sparkContext.defaultParallelism, col("band"), col("sig"))
+  }
+
+  /** Verified near-dup edges (d1 < d2): minhash → band → bucket equi-join
+    * candidates, then exact-Jaccard verification. Shared by the per-document
+    * verdict (q37) and the transitive clustering (q59).
+    */
+  private[graft] def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = tokenSets(s, d)
+    val th = hashedSets(t)
+    val sigs = bandSigs(s, t)
     // bucket-join: equi-join on (band, signature); a pair colliding in
     // several bands appears once thanks to the distinct. The shuffle_hash
     // hint pins the plan that holds at 100 TB: BOTH band-sig sides are
@@ -113,16 +139,10 @@ object Dedup extends QueryModule {
     // computed as |A|+|B|−|A∩B| — one set build per pair instead of two.
     val x = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
     val y = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
-    // native merge-walk intersect count (SetExprs) — array_intersect
-    // builds a hash set AND materializes the intersection per pair
-    val isect = graft.functions.Vectors
-      .sortedIntersectSize(col("hs1"), col("hs2")).cast("double")
-    val dist = lit(1.0) -
-      isect / (size(col("hs1")) + size(col("hs2")) - isect)
     cand
       .join(x.hint("shuffle_hash"), "d1")
       .join(y.hint("shuffle_hash"), "d2")
-      .filter(dist <= maxDist)
+      .filter(jaccardDist <= maxDist)
       .select("d1", "d2")
   }
 
@@ -292,15 +312,138 @@ object Dedup extends QueryModule {
     } // withShufflePartitions(loopP)
   }
 
+  private val segLen = 10
+
+  /** q113 — corpus-level repeated-segment removal: CCNet-style line dedup
+    * transposed to the fixtures' unpunctuated prose (the "line" is a
+    * [[segLen]]-token segment). Every segment is keyed by its md5; the
+    * corpus-wide FIRST occurrence (minimum of the doc-major order key
+    * doc_id·10⁶+pos) survives and every later copy is dropped — the
+    * boilerplate/header removal pass every web-scale corpus runs before
+    * document-level dedup.
+    *
+    * Scale shape: segmenting is one stateless projection (posexplode of a
+    * windowed-slice array, linear in total tokens); the first-occurrence
+    * pick is ONE hash aggregate keyed on the 16-byte segment digest; the
+    * keep verdict is one equi-join back on that digest; the per-document
+    * rebuild is one keyed aggregate whose array_sort runs over that
+    * document's kept segments only. Nothing is quadratic, nothing
+    * driver-side; the output (per-doc counts + rebuilt-text fingerprint)
+    * stays linear in corpus size.
+    */
+  val segmentDedup: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => length(x) > 0).as("tk"))
+    val nSeg = expr(s"(size(tk) + ${segLen - 1}) div $segLen").cast("int")
+    val idx = when(nSeg > 0, sequence(lit(0), nSeg - 1))
+      .otherwise(array().cast("array<int>"))
+    val segRows = t.select(col("doc_id"),
+      posexplode(transform(idx,
+        i => concat_ws(" ", slice(col("tk"), i * segLen + 1, lit(segLen)))))
+        .as(Seq("pos", "seg")))
+    // order key encodes (doc, pos) in one bigint so "first occurrence" is
+    // a plain min; pos is bounded by tokens-per-doc ≪ 10⁶
+    val keyed = segRows.select(col("doc_id"), col("pos"), col("seg"),
+      md5(col("seg")).as("h"),
+      (col("doc_id") * 1000000L + col("pos")).as("okey"))
+    val first = keyed.groupBy("h").agg(min("okey").as("first_key"))
+    val flagged = keyed.join(first, "h")
+      .withColumn("keep", col("okey") === col("first_key"))
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      // rebuilt text, position order; collect_list skips the nulls the
+      // when() leaves for dropped segments, array_sort restores pos order
+      md5(concat_ws(" ", transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("seg"))))),
+        st => st.getField("seg")))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Delta-batch membership: every 10th document plays the incoming batch,
+    * the rest are the already-ingested corpus. */
+  private def isDelta: Column = col("doc_id") % 10 === 7
+
+  /** Corpus-side minhash index — band signatures + hashed token sets of
+    * the NON-delta documents, staged to parquet once per input dir per JVM
+    * (same contract as [[stagedPairs]]). This is the artifact an
+    * incremental dedup pipeline keeps between runs: the index is built
+    * when the corpus is ingested, and each new batch only PROBES it —
+    * never re-scans the corpus.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def corpusIndex(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val (sigDir, setDir) = indexCache.computeIfAbsent(d, _ => {
+      val sp = graft.Scratch.dir("graft_mh_index_sigs") // reaped at JVM exit
+      val tp = graft.Scratch.dir("graft_mh_index_sets")
+      val t = tokenSets(s, d).filter(!isDelta)
+      bandSigs(s, t).write.mode("overwrite").parquet(sp)
+      hashedSets(t).write.mode("overwrite").parquet(tp)
+      (sp, tp)
+    })
+    (s.read.parquet(sigDir), s.read.parquet(setDir))
+  }
+
+  /** q114 — INCREMENTAL near-dup: a delta batch checked against the staged
+    * corpus index (the production shape of minhash dedup — q37/q59
+    * deduplicate a corpus against itself once; every run after that is
+    * this query). The delta side computes its own signatures (linear in
+    * batch size), candidates come from the delta-sigs ⋈ index-sigs
+    * equi-join on (band, sig), and only delta-involved candidates pay the
+    * exact-Jaccard verify — at 100 TB the corpus is never re-scanned and
+    * the per-run cost is O(batch + collisions), not O(corpus).
+    *
+    * Verdict per delta document: how many verified corpus near-dups, the
+    * least matching corpus id (`dup_of`, −1 when none — the "drop the
+    * incoming copy, keep the ingested one" decision), and the is_new bit
+    * that admits the document into the corpus.
+    */
+  val deltaNearDup: Q = (s, d) => {
+    val (ixSigs, ixSets) = corpusIndex(s, d)
+    val deltaT = tokenSets(s, d).filter(isDelta)
+    val cand = bandSigs(s, deltaT).alias("a")
+      // shuffle_hash as in verifiedPairs: both sig tables are corpus-scale
+      // in general (broadcast impossible at 100 TB), and sort-merge would
+      // sort the collision mass; the index side hash-builds per partition
+      .join(ixSigs.alias("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("did"), col("b.doc_id").as("cid"))
+      .distinct()
+    val x = hashedSets(deltaT).select(col("doc_id").as("did"), col("hs").as("hs1"))
+    val y = ixSets.select(col("doc_id").as("cid"), col("hs").as("hs2"))
+    val matches = cand
+      .join(x.hint("shuffle_hash"), "did")
+      .join(y.hint("shuffle_hash"), "cid")
+      .filter(jaccardDist <= maxDist)
+      .groupBy("did")
+      .agg(count(lit(1)).as("n_dup"), min("cid").as("dup_of"))
+    Tables.documents(s, d).select(col("doc_id")).filter(isDelta)
+      .join(matches, col("doc_id") === col("did"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (coalesce(col("n_dup"), lit(0L)) === 0).as("is_new"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q37_minhash_neardup" -> minhashNearDup,
-    "q59_dup_clusters" -> dupClusters)
+    "q59_dup_clusters" -> dupClusters,
+    "q113_segment_dedup" -> segmentDedup,
+    "q114_delta_neardup" -> deltaNearDup)
 
   /** Shared CTE chain ending in `pairs(d1, d2)` — the DuckDB mirror of
     * [[verifiedPairs]]; the md5-based hash family keeps both engines on
     * identical candidates.
     */
-  private def pairsCte: String = {
+  /** CTE chain ending in `e(doc_id, band, sig)` + `th(doc_id, hs)` — the
+    * DuckDB mirror of [[bandSigs]]/[[hashedSets]] over the whole corpus.
+    */
+  private def sigCte: String = {
     val mh = (0 until numHashes).map { i =>
       s"list_min(list_transform(tokset, t -> substr(md5('$i:' || t), 1, 8))) AS mh$i"
     }.mkString(",\n  ")
@@ -323,7 +466,11 @@ object Dedup extends QueryModule {
        |sigs AS (SELECT doc_id,
        |  $sigCols
        |FROM h),
-       |e AS ($unions),
+       |e AS ($unions)""".stripMargin
+  }
+
+  private def pairsCte: String =
+    s"""$sigCte,
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM e a JOIN e b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -331,7 +478,6 @@ object Dedup extends QueryModule {
        |  JOIN th x ON x.doc_id = d1 JOIN th y ON y.doc_id = d2
        |  WHERE 1.0 - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
        |          / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) <= $maxDist)""".stripMargin
-  }
 
   /** All output columns are integers/booleans, so the compare is exact.
     * q59's oracle computes the same fixpoint by a different route —
@@ -350,6 +496,42 @@ object Dedup extends QueryModule {
          |  least(d.doc_id, COALESCE(deg.min_nb, d.doc_id)) AS canon_id
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q113_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |seg AS (SELECT doc_id, pos,
+         |    array_to_string(tk[pos*$segLen+1 : pos*$segLen+$segLen], ' ') AS seg
+         |  FROM (SELECT doc_id, tk,
+         |    unnest(range(0, (len(tk) + ${segLen - 1}) // $segLen)) AS pos FROM t)),
+         |k AS (SELECT doc_id, pos, seg, md5(seg) AS h,
+         |  doc_id * 1000000 + pos AS okey FROM seg),
+         |f AS (SELECT h, min(okey) AS first_key FROM k GROUP BY h),
+         |j AS (SELECT k.doc_id, k.pos, k.seg, (k.okey = f.first_key) AS keep
+         |  FROM k JOIN f USING (h))
+         |SELECT doc_id, count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
+         |    AS kept_fp
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q114_delta_neardup" ->
+      s"""WITH $sigCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
+         |  FROM e a JOIN e b
+         |  ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |m AS (SELECT did, count(*) AS n_dup, min(cid) AS dup_of
+         |  FROM cand
+         |  JOIN th x ON x.doc_id = did JOIN th y ON y.doc_id = cid
+         |  WHERE 1.0 - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |          / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) <= $maxDist
+         |  GROUP BY did)
+         |SELECT d.doc_id, COALESCE(m.n_dup, 0) AS n_dup,
+         |  COALESCE(m.dup_of, -1) AS dup_of,
+         |  (COALESCE(m.n_dup, 0) = 0) AS is_new
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.did
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin,
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs

@@ -229,7 +229,62 @@ object Joins extends QueryModule {
       .orderBy("promo_id")
   }
 
+  private val bloomK = 4 // 4 × 16-bit digest slices → 65536-bit space
+
+  /** q115 — Bloom-filter join pre-filter: the sketch semi-join that guards
+    * a 100 TB shuffle join. When the dimension side's key set is too big to
+    * broadcast raw but its BLOOM is not (65536 bits ≈ 8 KB regardless of
+    * key count — the q99 discipline applied to a join), the fact side
+    * probes the broadcast bit set map-side and only probable matches enter
+    * the shuffle — this is exactly what Spark's own runtime bloom-filter
+    * join (spark.sql.optimizer.runtime.bloomFilter) injects, built here
+    * explicitly and deterministically so the oracle can replay it.
+    *
+    * Hash family: Kirsch–Mitzenmacher slices of ONE md5 digest per key
+    * (4 non-overlapping 4-hex-digit substrings = 4 independent 16-bit
+    * positions, no modulo bias, no re-hashing per position — q99's
+    * measured discipline). The exact semi-join verdict rides along, so the
+    * output audits the realized false-positive surplus per group — the
+    * number that tells an operator how much shuffle the pre-filter saved
+    * vs how much FP traffic leaked through.
+    */
+  val bloomJoinPrune: Q = (s, d) => {
+    def positions(key: org.apache.spark.sql.Column) = {
+      val digest = md5(key.cast("string"))
+      array((0 until bloomK).map(j =>
+        conv(substring(digest, j * 4 + 1, 4), 16, 10).cast("long")): _*)
+    }
+    val dim = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val bits = dim.select(explode(positions(col("k"))).as("bit")).distinct()
+      .withColumn("present", lit(1))
+    val o = Tables.orders(s, d)
+    // probe: each order explodes its 4 bit positions, joins the broadcast
+    // bit table, and survives only if all 4 are present — one map-side
+    // broadcast join, zero shuffle of the fact table
+    val probed = o
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        explode(positions(col("o_custkey"))).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+      .agg(sum(coalesce(col("present"), lit(0))).as("k_hit"))
+      .withColumn("bloom_pass", col("k_hit") === bloomK)
+    // exact verdict alongside (the audit; at 100 TB this is the shuffle
+    // join the bloom pass feeds, here a broadcast against the same dim)
+    val exact = probed
+      .join(broadcast(dim.withColumn("ex", lit(1))),
+        col("o_custkey") === col("k"), "left")
+    exact.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(coalesce(col("ex"), lit(0)).cast("long")).as("n_match"),
+        sum(when(col("bloom_pass") && col("ex").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .orderBy("o_orderpriority")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q115_bloom_join" -> bloomJoinPrune,
     "q100_interval_join" -> intervalJoin,
     "q18_star_join_revenue" -> starJoinRevenue,
     "q71_upsert_merge" -> upsertMerge,
@@ -240,6 +295,29 @@ object Joins extends QueryModule {
     "q52_salted_join" -> saltedJoinRevenue)
 
   def oracles: Map[String, String] = Map(
+    "q115_bloom_join" -> {
+      def duckPositions(key: String) = (0 until bloomK)
+        .map(j => s"('0x' || substr(md5(CAST($key AS VARCHAR)), ${j * 4 + 1}, 4))::BIGINT")
+        .mkString("[", ", ", "]")
+      s"""WITH dim AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |bits AS (SELECT DISTINCT unnest(${duckPositions("k")}) AS bit FROM dim),
+         |pb AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+         |  unnest(${duckPositions("o_custkey")}) AS bit FROM orders),
+         |probed AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+         |  CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS k_hit
+         |  FROM pb LEFT JOIN bits b USING (bit) GROUP BY 1, 2, 3),
+         |ex AS (SELECT p.*, (p.k_hit = $bloomK) AS bloom_pass,
+         |  CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END AS ex
+         |  FROM probed p LEFT JOIN dim d ON p.o_custkey = d.k)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(ex) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN bloom_pass AND ex = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_pos
+         |FROM ex GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+    },
     "q100_interval_join" ->
       """WITH promos AS (
         |  SELECT o_orderkey AS promo_id, CAST(o_orderdate AS DATE) AS start_date,

@@ -174,12 +174,58 @@ object Stats extends QueryModule {
         expr(s"CAST((b99 + 1) * $qsHi div $qsBins AS BIGINT)").as("est_p99"))
   }
 
+  /** q118 — GROUPED HyperLogLog: distinct users per event_type, each group
+    * carrying its own m=64 register bank (q105 is the global form). This is
+    * the shape that actually replaces `GROUP BY k, count(DISTINCT u)` at
+    * 100 TB: the keyed shuffle moves ≤ groups×m register rows instead of
+    * every (k, u) pair, and the per-group registers merge with `max` —
+    * associative and map-side-combining, so partial sketches built on each
+    * executor collapse before the exchange. Empty registers are
+    * materialized per group (groups × range(m) left join) exactly as q105
+    * does globally; the exact per-group distinct count rides along as the
+    * in-place error audit. Same deterministic md5 bucket/rank family as
+    * q105, so both engines agree bit-for-bit.
+    */
+  val groupedHll: Q = (s, d) => {
+    val keyed = Tables.events(s, d)
+      .select(col("event_type").as("g"), col("user_id").cast("string").as("k"))
+    val hashed = keyed.select(col("g"),
+      pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+        lit(hllBuckets.toLong)).as("bucket"),
+      conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+    val rho = when(col("w") === 0, lit(33))
+      .otherwise(lit(33) - length(bin(col("w"))))
+    val regs = hashed.withColumn("rho", rho)
+      .groupBy("g", "bucket").agg(max("rho").as("m"))
+    val groups = keyed.select("g").distinct()
+    val full = groups
+      .crossJoin(broadcast(s.range(0, hllBuckets).select(col("id").as("bucket"))))
+      .join(regs, Seq("g", "bucket"), "left")
+      .select(col("g"), coalesce(col("m"), lit(0)).as("m"))
+    val sketch = full.groupBy("g").agg(
+      sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_inv"),
+      sum(when(col("m") === 0, 1).otherwise(0)).cast("long").as("n_empty"))
+    val exact = keyed.groupBy("g").agg(countDistinct("k").as("n_exact"))
+    // n_empty rides along because per-group cardinalities can sit in HLL's
+    // small range (n ≲ 2.5m), where the harmonic estimate is biased and a
+    // consumer applies linear counting m·ln(m/V) — a transcendental the
+    // cross-engine gate can't hash-compare, so the sketch exports the exact
+    // integer state (s_inv via hll_est, V via n_empty) and the correction
+    // lives with the reader (AnalyticsSpec applies and band-checks it)
+    exact.join(sketch, "g")
+      .select(col("g").as("event_type"), col("n_exact"), col("n_empty"),
+        floor(lit(0.709) * lit(4096.0) * lit(8589934592.0)
+          / col("s_inv").cast("double")).cast("long").as("hll_est"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
     "q102_skew_audit" -> skewAudit,
     "q105_hll_distinct" -> hllDistinct,
-    "q110_quantile_sketch" -> quantileSketch)
+    "q110_quantile_sketch" -> quantileSketch,
+    "q118_grouped_hll" -> groupedHll)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -254,6 +300,32 @@ object Stats extends QueryModule {
         |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
         |    AS hll_est
         |FROM ex CROSS JOIN sk""".stripMargin,
+    "q118_grouped_hll" ->
+      """WITH h AS (
+        |  SELECT event_type AS g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64
+        |      AS bucket,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS w
+        |  FROM events),
+        |r AS (
+        |  SELECT g, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |gs AS (SELECT DISTINCT event_type AS g FROM events),
+        |allb AS (
+        |  SELECT gs.g, COALESCE(r.m, 0) AS m
+        |  FROM gs CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN r ON r.g = gs.g AND r.bucket = b.bucket),
+        |sk AS (
+        |  SELECT g, CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT) AS s_inv,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |  FROM allb GROUP BY g),
+        |ex AS (SELECT event_type AS g, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT ex.g AS event_type, ex.n_exact, sk.n_empty,
+        |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
+        |    AS hll_est
+        |FROM ex JOIN sk USING (g) ORDER BY event_type""".stripMargin,
     "q102_skew_audit" ->
       """WITH counts AS (
         |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),

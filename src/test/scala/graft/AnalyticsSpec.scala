@@ -22,6 +22,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(empty >= 0 && empty <= 64)
   }
 
+  test("q118 grouped HLL: every group's corrected estimate within the m=64 error band") {
+    val m = 64.0
+    val rows = q("q118_grouped_hll").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, exact, empty, raw) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // the reader-side small-range correction the query's Scaladoc
+      // documents: linear counting when the harmonic estimate is in the
+      // biased range and empty registers remain
+      val est = if (raw <= 2.5 * m && empty > 0) m * math.log(m / empty) else raw.toDouble
+      assert(est > 0, s"group $g")
+      // same 2.7-sigma band as q105's global sketch; deterministic query
+      assert(math.abs(est - exact) / exact < 0.35,
+        s"group $g exact=$exact raw=$raw corrected=$est")
+    }
+  }
+
+  test("q115 bloom pre-filter: no false negatives, audited false positives") {
+    val rows = q("q115_bloom_join").collect()
+    assert(rows.nonEmpty)
+    var passTot = 0L
+    var matchTot = 0L
+    rows.foreach { r =>
+      val (n, pass, mtch, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // a Bloom filter can only over-approximate the member set
+      assert(mtch <= pass, s"false negative: match=$mtch > pass=$pass")
+      assert(fp == pass - mtch)
+      assert(pass <= n)
+      passTot += pass; matchTot += mtch
+    }
+    // the 65536-bit space over a few hundred keys must actually prune:
+    // a degenerate all-pass filter would also satisfy the invariants
+    val orders = q("q115_bloom_join").agg(sum("n_orders")).head().getLong(0)
+    assert(passTot < orders, s"bloom passed everything ($passTot of $orders)")
+    assert(matchTot > 0)
+  }
+
   test("q106 PageRank: top-10 descending, floor rank respected, parts dominate") {
     val rows = q("q106_pagerank").collect()
     assert(rows.length == 10)

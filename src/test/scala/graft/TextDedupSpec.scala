@@ -201,6 +201,43 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("cross_entropy")).min < mean)
   }
 
+  test("q113 segment dedup: first occurrence survives, later copies drop, kept sum = distinct segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graftseg").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q113_segment_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 2 is byte-identical to doc 1: its only segment is a corpus-wide
+    // repeat, so nothing survives and the rebuilt text is empty
+    assert(rows(1L)._2 === rows(1L)._1, "first occurrence must keep all segments")
+    assert(rows(2L)._2 === 0L, "exact-dup doc must keep nothing")
+    assert(rows(2L)._3 === "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    // each planted doc is ≤ 10 tokens = exactly one segment; docs 1 and 2
+    // share theirs, so the corpus-wide kept total is the 3 distinct texts
+    val keptTotal = rows.values.map(_._2).sum
+    assert(keptTotal === 3L, s"4 docs, one exact dup: 3 distinct segments, got $keptTotal")
+  }
+
+  test("q114 delta near-dup agrees with the full pair list restricted to delta-corpus edges") {
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.flatMap { case (a, b) =>
+      val (aD, bD) = (a % 10 == 7, b % 10 == 7)
+      if (aD && !bD) Some(a -> b) else if (bD && !aD) Some(b -> a) else None
+    }.groupBy(_._1).map { case (did, es) =>
+      did -> (es.length.toLong, es.map(_._2).min)
+    }
+    val got = q("q114_delta_neardup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    expect.foreach { case (did, (n, minCid)) =>
+      assert(got(did)._1 === n, s"doc $did n_dup")
+      assert(got(did)._2 === minCid, s"doc $did dup_of")
+    }
+    got.filter(_._2._1 == 0L).foreach { case (did, (_, dupOf)) =>
+      assert(dupOf === -1L, s"new doc $did must carry the -1 sentinel")
+      assert(!expect.contains(did))
+    }
+  }
+
   test("text stats: token counts and stop ratio on a known string") {
     val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
