@@ -273,6 +273,54 @@ object Storage extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** q116 — Z-ORDER (Morton-curve) multi-column clustering: the write-time
+    * layout for point/range lookups on TWO columns at once, where q97's
+    * range clustering serves one. Each row's (l_partkey, l_suppkey) is
+    * equi-width-quantized to a 3-bit cell per dimension (8×8 grid, bounds
+    * from one tiny min/max aggregate broadcast back) and the two cell
+    * coordinates interleave into a 6-bit Morton code; repartitionByRange +
+    * sortWithinPartitions on that code gives every file a small contiguous
+    * patch of the curve — so BOTH columns' per-rowgroup min/max stats stay
+    * narrow and a conjunctive filter on either or both skips files. This
+    * is Delta/Iceberg `OPTIMIZE ZORDER BY` re-expressed on plain parquet;
+    * the quantize+interleave is pure integer div/mod arithmetic (no bit
+    * ops, engine-exact, IEEE-free). The aggregate over the clustered copy
+    * must equal the plain-table oracle — layout never changes answers.
+    */
+  private[graft] def zorderWrite(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val li = Tables.lineitem(s, d)
+    val ext = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    // spread(b) places b's 3 bits at even positions via div/mod; the part
+    // cell shifts one position left so part/supp bits alternate
+    val withZ = li.crossJoin(broadcast(ext))
+      .withColumn("pb", expr(
+        "CAST(((l_partkey - pmin) * 8) div (pmax - pmin + 1) AS INT)"))
+      .withColumn("sb", expr(
+        "CAST(((l_suppkey - smin) * 8) div (smax - smin + 1) AS INT)"))
+      .withColumn("z", expr(
+        "(pb % 2) * 2 + (pb div 2 % 2) * 8 + (pb div 4 % 2) * 32 + " +
+          "(sb % 2) + (sb div 2 % 2) * 4 + (sb div 4 % 2) * 16"))
+    val dir = graft.Scratch.dir("graft_zorder")
+    withZ
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .select(li.columns.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  val zorderLayout: Q = (s, d) => {
+    s.read.parquet(zorderWrite(s, d))
+      .filter(col("l_partkey").between(50, 150) &&
+        col("l_suppkey").between(5, 15))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy("l_returnflag")
+  }
+
   /** q108 — incremental aggregate maintenance via mergeable partial state:
     * the materialized-view pattern every warehouse runs at 100 TB. A
     * pre-aggregated BASE (history before the cutoff) and a DELTA batch
@@ -310,6 +358,7 @@ object Storage extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q108_merge_agg" -> mergeAgg,
     "q97_sorted_layout" -> sortedLayout,
+    "q116_zorder_layout" -> zorderLayout,
     "q98_xml_roundtrip" -> xmlRoundtrip,
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
@@ -338,6 +387,13 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'P'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the z-ordered copy must aggregate identically to the plain table
+    "q116_zorder_layout" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 5 AND 15
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // the range-clustered copy must aggregate identically to the plain table
     "q97_sorted_layout" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -279,7 +279,77 @@ object StreamingJobs extends QueryModule {
     out
   }
 
+  /** q117 — streaming CDC upsert through `foreachBatch`: the production
+    * sink pattern for "stream into a keyed table" when the target format
+    * has no transactional MERGE — each micro-batch folds its
+    * latest-per-(user_id, event_type) rows into the previous state version
+    * and publishes a NEW immutable state directory (the poor-man's Delta
+    * commit: readers never observe a half-written table, and re-running a
+    * batch re-publishes the same version — idempotent under the
+    * exactly-once contract foreachBatch + checkpoint provides).
+    *
+    * The source is staged into several files and throttled with
+    * maxFilesPerTrigger so AvailableNow genuinely produces MULTIPLE
+    * micro-batches — the cross-batch merge is the thing under test; a
+    * single-batch drain would never exercise the state fold. The converged
+    * state is q91's batch answer by construction (latest-per-key is
+    * associative: fold(latest) over any batch split equals latest over the
+    * union), which is exactly the equivalence the oracle checks.
+    *
+    * Scale shape: each micro-batch costs one keyed shuffle of (state ∪
+    * batch) — state re-read per batch is the price of plain parquet; a
+    * real deployment swaps the state table for Delta/Iceberg MERGE keyed
+    * the same way, or partitions the state dir so only touched partitions
+    * rewrite. The WindowGroupLimit pushdown prunes per-key history before
+    * the shuffle, same as q91.
+    */
+  private[graft] def upsertRun(s: SparkSession, d: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.Scratch.dir("graft_stream_upsert")
+    val src = s"$root/src"
+    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema // ts already µs timestamps
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    var current: Option[String] = None
+    var batches = 0L
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val incoming = latest(batch)
+          val merged = current match {
+            case Some(p) => latest(s.read.parquet(p).unionByName(incoming))
+            case None => incoming
+          }
+          val out = s"$root/state_v$id"
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    val state = s.read.parquet(current.getOrElse(
+      sys.error("stream produced no micro-batches")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("latest_ts"), col("value"))
+      .orderBy("user_id", "event_type")
+    (state, batches)
+  }
+
+  val streamUpsert: Q = (s, d) => upsertRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q117_stream_upsert" -> streamUpsert,
     "q39_stream_tumbling" -> streamTumbling,
     "q50_stream_dedup" -> streamDedup,
     "q51_stream_static_join" -> streamStaticJoin,
@@ -287,6 +357,14 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // the converged upsert state IS the batch latest-per-key (q91's SQL):
+    // folding latest() across micro-batches equals latest() over the union
+    "q117_stream_upsert" ->
+      """SELECT user_id, event_type, event_id, ts AS latest_ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     // identical semantics to q22 — same oracle
     "q39_stream_tumbling" ->
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,

@@ -157,6 +157,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
   }
 
+  test("q116 z-ordered scan pushes BOTH column filters to the parquet reader") {
+    // both range predicates must reach the reader — that is what engages
+    // rowgroup min/max skipping on the two z-clustered columns at once.
+    // The default 100-char metadata truncation would cut the PushedFilters
+    // list mid-predicate; widen it for this assertion only.
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1000")
+    try {
+      val p = plan("q116_zorder_layout")
+      val pushed = p.linesIterator.find(_.contains("PushedFilters")).mkString
+      for (pred <- Seq(
+          "GreaterThanOrEqual(l_partkey,50)", "LessThanOrEqual(l_partkey,150)",
+          "GreaterThanOrEqual(l_suppkey,5)", "LessThanOrEqual(l_suppkey,15)"))
+        assert(pushed.contains(pred), pushed)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q107 grid spatial join is a broadcast equi-join on cell keys — never a cross-distance filter") {
     val p = plan("q107_grid_join")
     assert(!p.contains("CartesianProduct"), p)

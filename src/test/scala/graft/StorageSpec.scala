@@ -25,6 +25,30 @@ class StorageSpec extends SparkSpec {
     assert(withYear > 0 && withYear < n, "only the evolved batch has the column")
   }
 
+  test("z-ordered files keep BOTH clustered columns' per-file spans narrow") {
+    val dir = graft.operators.Storage.zorderWrite(spark, sf)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("pspan"),
+        (max("l_suppkey") - min("l_suppkey")).as("sspan"))
+      .agg(avg("pspan").as("p"), avg("sspan").as("s"),
+        count(lit(1)).as("files"))
+      .head()
+    val (pGlobal, sGlobal) = {
+      val r = graft.sources.Tables.lineitem(spark, sf)
+        .agg(max("l_partkey") - min("l_partkey"),
+          max("l_suppkey") - min("l_suppkey")).head()
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    assert(spans.getLong(2) > 1, "layout must produce multiple files")
+    // a random layout would put ~the full domain in every file; the curve
+    // must keep the average per-file span well under it on BOTH dimensions
+    assert(spans.getDouble(0) < pGlobal * 0.7,
+      s"partkey span ${spans.getDouble(0)} vs global $pGlobal")
+    assert(spans.getDouble(1) < sGlobal * 0.7,
+      s"suppkey span ${spans.getDouble(1)} vs global $sGlobal")
+  }
+
   test("bucketed tables elide the sort too when files align one-per-bucket") {
     // the q66 write (8 buckets from a single-split source) yields one file
     // per bucket, so the merge join can also skip the per-partition Sort

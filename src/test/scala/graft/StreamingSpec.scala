@@ -111,6 +111,17 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch upsert (q117): multi-batch fold converges to batch latest-per-key") {
+    val (state, batches) = graft.streaming.StreamingJobs.upsertRun(spark, sf)
+    // 8 staged files at 2 per trigger: the fold must actually cross batches
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = state.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getTimestamp(3))).toMap
+    val want = q("q91_latest_per_key").collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getTimestamp(3))).toMap
+    assert(got === want)
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._
