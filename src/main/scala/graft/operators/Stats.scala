@@ -219,13 +219,58 @@ object Stats extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q119 — join-cardinality estimation from count-min sketches: the
+    * Cormode–Muthukrishnan inner-product estimate ⟨CMS(A)ⱼ, CMS(B)ⱼ⟩
+    * minimized over depth rows, which upper-bounds (and with width ≫
+    * heavy keys, tightly tracks) |A ⋈ B| = Σₖ cA(k)·cB(k). This is the
+    * pre-flight a 100 TB planner runs before committing to a
+    * many-to-many join: both sketches build in one scan of each side
+    * (O(depth·width) state each, mergeable like q80's), the estimate is a
+    * constant-size cell-aligned product — no key ever shuffles. The exact
+    * join size rides along as the audit (CMS inner product, like the
+    * point estimate, never under-counts). Same deterministic md5 bucket
+    * family as q80, integer arithmetic end to end — but a WIDER sketch
+    * (4096 cells): the inner product's additive error is n_A·n_B/width,
+    * so width must dominate n_A·n_B/|A⋈B| for the estimate to carry
+    * signal (at 256 the error term alone was ~6× the true size). The
+    * sizing rule is the operator's real content: 4·4096 cells is still
+    * ~128 KB of mergeable state per side, nothing at 100 TB.
+    */
+  private val jcWidth = 4096
+
+  val joinCardinality: Q = (s, d) => {
+    def bucket(j: Int, key: org.apache.spark.sql.Column) = pmod(
+      conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(jcWidth.toLong))
+    def cells(df: org.apache.spark.sql.DataFrame, key: String) = df
+      .select(posexplode(
+        array((0 until cmsDepth).map(j => bucket(j, col(key))): _*))
+        .as(Seq("row", "cell")))
+      .groupBy("row", "cell").agg(count(lit(1)).as("n"))
+    val left = Tables.events(s, d).select(col("user_id"))
+    val right = Tables.orders(s, d).select(col("o_custkey"))
+    val prod = cells(left, "user_id").alias("a")
+      .join(cells(right, "o_custkey").alias("b"), Seq("row", "cell"))
+      .groupBy(col("row"))
+      .agg(sum(col("a.n") * col("b.n")).as("ip"))
+      .agg(min("ip").as("est_join_size"))
+    val truth = left.groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ca"))
+      .join(right.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_join_size"))
+    val sizes = left.agg(count(lit(1)).as("n_left"))
+      .crossJoin(right.agg(count(lit(1)).as("n_right")))
+    sizes.crossJoin(broadcast(truth)).crossJoin(broadcast(prod))
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
     "q102_skew_audit" -> skewAudit,
     "q105_hll_distinct" -> hllDistinct,
     "q110_quantile_sketch" -> quantileSketch,
-    "q118_grouped_hll" -> groupedHll)
+    "q118_grouped_hll" -> groupedHll,
+    "q119_join_cardinality" -> joinCardinality)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -300,6 +345,31 @@ object Stats extends QueryModule {
         |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
         |    AS hll_est
         |FROM ex CROSS JOIN sk""".stripMargin,
+    "q119_join_cardinality" -> {
+      def jcBucket(j: Int, key: String) =
+        s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $jcWidth"
+      def cellUnion(tbl: String, key: String) = (0 until cmsDepth)
+        .map(j => s"SELECT $j AS row, ${jcBucket(j, key)} AS cell FROM $tbl")
+        .mkString("\n  UNION ALL ")
+      s"""WITH la AS (
+         |  ${cellUnion("events", "user_id")}),
+         |ca AS (SELECT row, cell, count(*) AS n FROM la GROUP BY 1, 2),
+         |lb AS (
+         |  ${cellUnion("orders", "o_custkey")}),
+         |cb AS (SELECT row, cell, count(*) AS n FROM lb GROUP BY 1, 2),
+         |ip AS (SELECT ca.row, CAST(sum(ca.n * cb.n) AS BIGINT) AS ip
+         |  FROM ca JOIN cb ON ca.row = cb.row AND ca.cell = cb.cell GROUP BY 1),
+         |est AS (SELECT min(ip) AS est_join_size FROM ip),
+         |t AS (SELECT COALESCE(CAST(sum(a.ca * b.cb) AS BIGINT), 0)
+         |    AS true_join_size FROM
+         |  (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1) a
+         |  JOIN (SELECT o_custkey AS k, count(*) AS cb FROM orders GROUP BY 1) b
+         |  USING (k)),
+         |s AS (SELECT (SELECT count(*) FROM events) AS n_left,
+         |  (SELECT count(*) FROM orders) AS n_right)
+         |SELECT s.n_left, s.n_right, t.true_join_size, e.est_join_size
+         |FROM s CROSS JOIN t CROSS JOIN est e""".stripMargin
+    },
     "q118_grouped_hll" ->
       """WITH h AS (
         |  SELECT event_type AS g,

@@ -330,6 +330,75 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q120 — prefix-filter EXACT set-similarity self-join (the filtering
+    * core of PPJoin) over 8-token shingle sets at Jaccard ≥ 0.5: the
+    * exact counterpart to q37's LSH banding. LSH trades recall for speed;
+    * prefix filtering is lossless — sort every document's shingles by a
+    * GLOBAL rarity order (corpus frequency, digest tiebreak) and keep only
+    * the first |r| − ⌈t·|r|⌉ + 1 as the PREFIX: two sets can reach
+    * threshold t only if their prefixes share an element, so the
+    * candidate join keys on prefix shingles alone. Rare shingles make tiny
+    * buckets — the candidate mass collapses to near-dups plus noise,
+    * pruned further by the length filter (t·|r| ≤ |s| ≤ |r|/t) riding on
+    * the join condition.
+    *
+    * Everything is integer-exact end to end: the prefix length is
+    * n − (n+1) div 2 + 1, the length filter is 2·n₂ ≥ n₁ ∧ 2·n₁ ≥ n₂, and
+    * the verify is 3·|∩| ≥ |A| + |B| (⟺ Jaccard ≥ ½) on the native
+    * merge-walk intersect — no float ever, so both engines agree
+    * bit-for-bit. Scale shape: one shingle projection, one frequency
+    * aggregate, per-doc windows (each partition = one document's
+    * shingles), the prefix equi-join, and the hash-probed verify — the
+    * same blocking discipline as every matcher here, but with a PROOF of
+    * completeness instead of an LSH recall bound. Output is the linear
+    * per-document verdict, never the pair list.
+    */
+  val prefixJoin: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val shingles = t.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      .distinct()
+    val freq = shingles.groupBy("sh").agg(count(lit(1)).as("f"))
+    val wN = Window.partitionBy("doc_id")
+    val wRk = Window.partitionBy("doc_id").orderBy(col("f"), col("sh"))
+    val prefix = shingles.join(freq, "sh")
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cand = prefix.select(col("doc_id").as("d1"), col("sh"), col("n").as("n1"))
+      .join(prefix.select(col("doc_id").as("d2"), col("sh"), col("n").as("n2"))
+          .hint("shuffle_hash"),
+        Seq("sh"))
+      .filter(col("d1") < col("d2") &&
+        col("n2") * 2 >= col("n1") && col("n1") * 2 >= col("n2"))
+      .select("d1", "d2").distinct()
+    val th = shingles.groupBy("doc_id").agg(
+      array_sort(collect_list(
+        conv(substring(col("sh"), 1, 15), 16, 10).cast("long"))).as("hs"))
+    val x = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val y = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    val isect = graft.functions.Vectors.sortedIntersectSize(col("hs1"), col("hs2"))
+    val pairs = cand
+      .join(x.hint("shuffle_hash"), "d1")
+      .join(y.hint("shuffle_hash"), "d2")
+      .filter(isect * 3 >= size(col("hs1")) + size(col("hs2")))
+      .select("d1", "d2")
+    val deg = pairs.select(col("d1").as("doc_id"), col("d2").as("nb"))
+      .union(pairs.select(col("d2").as("doc_id"), col("d1").as("nb")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sim"), min("nb").as("min_nb"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_sim"), lit(0L)).as("n_sim"),
+        coalesce(col("min_nb"), lit(-1L)).as("nearest"))
+      .orderBy("doc_id")
+  }
+
   /** q75 — deterministic hash split: reproducible train/val/test
     * assignment from a content-independent key hash (md5 of the doc id,
     * 80/10/10). No RNG, no seed coordination across executors, stable
@@ -387,6 +456,7 @@ object Text extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q94_unigram_logprob" -> unigramLogprob,
+    "q120_prefix_join" -> prefixJoin,
     "q25_dedup_exact" -> dedupExact,
     "q61_tfidf_top" -> tfidfTop,
     "q73_quality_filter" -> qualityFilter,
@@ -456,6 +526,36 @@ object Text extends QueryModule {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |WHERE d.doc_id >= 10
          |ORDER BY d.doc_id""".stripMargin,
+    "q120_prefix_join" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
+         |f AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+         |r AS (SELECT s.doc_id, s.sh,
+         |    count(*) OVER (PARTITION BY s.doc_id) AS n,
+         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.f, s.sh) AS rk
+         |  FROM sh s JOIN f USING (sh)),
+         |p AS (SELECT doc_id, sh, n FROM r WHERE rk <= n - (n + 1) // 2 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |   AND 2 * b.n >= a.n AND 2 * a.n >= b.n),
+         |th AS (SELECT doc_id,
+         |    list_sort(list(('0x' || substr(sh, 1, 15))::BIGINT)) AS hs
+         |  FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT d1, d2 FROM cand
+         |  JOIN th x ON x.doc_id = d1 JOIN th y ON y.doc_id = d2
+         |  WHERE 3 * len(list_intersect(x.hs, y.hs)) >= len(x.hs) + len(y.hs)),
+         |deg AS (SELECT doc_id, count(*) AS n_sim, min(nb) AS min_nb FROM
+         |  (SELECT d1 AS doc_id, d2 AS nb FROM pairs
+         |   UNION ALL SELECT d2 AS doc_id, d1 AS nb FROM pairs)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(deg.n_sim, 0) AS n_sim,
+         |  COALESCE(deg.min_nb, -1) AS nearest
+         |FROM documents d LEFT JOIN deg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q99_bloom_filter" -> {
       def duckPositions(sh: String) = (0 until bloomK)
         .map(j => s"('0x' || substr($sh, ${j * 4 + 1}, 4))::BIGINT")

@@ -61,6 +61,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(matchTot > 0)
   }
 
+  test("q119 CMS join-size estimate upper-bounds truth and carries signal") {
+    val r = q("q119_join_cardinality").collect()
+    assert(r.length == 1)
+    val (nl, nr, truth, est) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // CMS inner product never under-counts (all cell products are sums of
+    // non-negative collision terms over the true products)
+    assert(est >= truth, s"inner-product estimate $est < true $truth")
+    // width sizing must keep the additive n_A·n_B/w error from drowning
+    // the signal: the estimate stays within truth + 2·(n_l·n_r/4096)
+    assert(est <= truth + 2L * nl * nr / 4096,
+      s"estimate $est too loose for truth $truth (n=$nl×$nr)")
+    assert(truth > 0)
+  }
+
   test("q106 PageRank: top-10 descending, floor rank respected, parts dominate") {
     val rows = q("q106_pagerank").collect()
     assert(rows.length == 10)

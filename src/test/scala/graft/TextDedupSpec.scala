@@ -238,6 +238,47 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q120 prefix-filter join is LOSSLESS: degrees equal the brute-force all-pairs verify") {
+    // brute force the exact Jaccard >= 0.5 pair set over the full fixture
+    // corpus driver-side (500 docs) and compare per-doc degrees — the
+    // completeness proof LSH (q37) can't make is exactly what the prefix
+    // filter guarantees
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr(
+        """array_sort(array_distinct(transform(
+          |  case when size(filter(split(text, '\\s+'), x -> length(x) > 0)) >= 8
+          |    then transform(
+          |      sequence(1, size(filter(split(text, '\\s+'), x -> length(x) > 0)) - 7),
+          |      i -> concat_ws(' ',
+          |        slice(filter(split(text, '\\s+'), x -> length(x) > 0), i, 8)))
+          |    else cast(array() as array<string>) end,
+          |  g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))))""".stripMargin).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val ids = sets.keys.toArray.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val (sa, sb) = (sets(a), sets(b))
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val isect = (sa & sb).size
+        if (3L * isect >= sa.size + sb.size) {
+          val (na, ma) = brute.getOrElse(a, (0L, Long.MaxValue))
+          brute(a) = (na + 1, math.min(ma, b))
+          val (nb, mb) = brute.getOrElse(b, (0L, Long.MaxValue))
+          brute(b) = (nb + 1, math.min(mb, a))
+        }
+      }
+    }
+    val got = q("q120_prefix_join").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { id =>
+      val (wantN, wantM) = brute.getOrElse(id, (0L, -1L))
+      assert(got(id)._1 === wantN, s"doc $id degree")
+      assert(got(id)._2 === (if (wantN == 0) -1L else wantM), s"doc $id nearest")
+    }
+    assert(brute.nonEmpty, "fixture must contain at least one similar pair")
+  }
+
   test("text stats: token counts and stop ratio on a known string") {
     val dir = java.nio.file.Files.createTempDirectory("graftstats").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
