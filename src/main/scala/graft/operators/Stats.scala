@@ -263,6 +263,50 @@ object Stats extends QueryModule {
     sizes.crossJoin(broadcast(truth)).crossJoin(broadcast(prod))
   }
 
+  /** q122 — sketch RE-AGGREGATION over time: daily HLL register partials
+    * max-merged into monthly estimates — the "sketch cube" every metrics
+    * warehouse materializes at 100 TB. The daily partial table is the only
+    * thing a pipeline stores (months, quarters, arbitrary ranges all
+    * re-aggregate from it with `max`, never re-touching the events); the
+    * monthly merge here EQUALS the direct monthly sketch because max is
+    * associative — AnalyticsSpec pins that identity, and the per-month
+    * exact distinct count rides along as the error audit. Same md5
+    * register family as q105/q118; n_empty exported for the reader-side
+    * small-range correction as in q118.
+    */
+  val hllRollup: Q = (s, d) => {
+    val e = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"),
+      date_trunc("month", col("ts")).cast("date").as("month"),
+      col("user_id").cast("string").as("k"))
+    val hashed = e.select(col("day"), col("month"),
+      pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+        lit(hllBuckets.toLong)).as("bucket"),
+      conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+    val rho = when(col("w") === 0, lit(33))
+      .otherwise(lit(33) - length(bin(col("w"))))
+    // the stored artifact: one register bank per (month, day)
+    val daily = hashed.withColumn("rho", rho)
+      .groupBy("month", "day", "bucket").agg(max("rho").as("m"))
+    // the rollup: months re-aggregate from daily partials alone
+    val monthly = daily.groupBy("month", "bucket").agg(max("m").as("m"))
+    val months = e.select("month").distinct()
+    val full = months
+      .crossJoin(broadcast(s.range(0, hllBuckets).select(col("id").as("bucket"))))
+      .join(monthly, Seq("month", "bucket"), "left")
+      .select(col("month"), coalesce(col("m"), lit(0)).as("m"))
+    val sketch = full.groupBy("month").agg(
+      sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_inv"),
+      sum(when(col("m") === 0, 1).otherwise(0)).cast("long").as("n_empty"))
+    val exact = e.groupBy("month").agg(
+      countDistinct("day").as("n_days"), countDistinct("k").as("n_exact"))
+    exact.join(sketch, "month")
+      .select(col("month"), col("n_days"), col("n_exact"), col("n_empty"),
+        floor(lit(0.709) * lit(4096.0) * lit(8589934592.0)
+          / col("s_inv").cast("double")).cast("long").as("hll_est"))
+      .orderBy("month")
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
@@ -270,7 +314,8 @@ object Stats extends QueryModule {
     "q105_hll_distinct" -> hllDistinct,
     "q110_quantile_sketch" -> quantileSketch,
     "q118_grouped_hll" -> groupedHll,
-    "q119_join_cardinality" -> joinCardinality)
+    "q119_join_cardinality" -> joinCardinality,
+    "q122_hll_rollup" -> hllRollup)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -345,6 +390,41 @@ object Stats extends QueryModule {
         |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
         |    AS hll_est
         |FROM ex CROSS JOIN sk""".stripMargin,
+    "q122_hll_rollup" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(date_trunc('month', ts) AS DATE) AS month,
+        |    CAST(user_id AS VARCHAR) AS k
+        |  FROM events),
+        |h AS (
+        |  SELECT day, month,
+        |    ('0x' || substr(md5(k), 1, 8))::BIGINT % 64 AS bucket,
+        |    ('0x' || substr(md5(k), 9, 8))::BIGINT AS w
+        |  FROM e),
+        |daily AS (
+        |  SELECT month, day, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY 1, 2, 3),
+        |monthly AS (SELECT month, bucket, max(m) AS m FROM daily GROUP BY 1, 2),
+        |months AS (SELECT DISTINCT month FROM e),
+        |allb AS (
+        |  SELECT months.month, COALESCE(monthly.m, 0) AS m
+        |  FROM months CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN monthly ON monthly.month = months.month
+        |    AND monthly.bucket = b.bucket),
+        |sk AS (
+        |  SELECT month,
+        |    CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT) AS s_inv,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |  FROM allb GROUP BY 1),
+        |ex AS (
+        |  SELECT month, count(DISTINCT day) AS n_days,
+        |    count(DISTINCT k) AS n_exact
+        |  FROM e GROUP BY 1)
+        |SELECT ex.month, ex.n_days, ex.n_exact, sk.n_empty,
+        |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
+        |    AS hll_est
+        |FROM ex JOIN sk USING (month) ORDER BY ex.month""".stripMargin,
     "q119_join_cardinality" -> {
       def jcBucket(j: Int, key: String) =
         s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $jcWidth"

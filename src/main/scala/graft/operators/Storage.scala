@@ -133,6 +133,39 @@ object Storage extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q121 — DYNAMIC partition pruning: the star-join twin of q67's static
+    * prune. The fact table is directory-partitioned on the join key; the
+    * dimension's selective filter (`closed`) is only known at PLAN time on
+    * the dim side — Spark's DPP turns the broadcast dim into a runtime
+    * subquery in the fact scan's PartitionFilters, so only the partitions
+    * whose keys survive the dim filter are ever listed or read. This is
+    * THE mechanism that makes "fact JOIN filtered-dim" read 2 of 1000
+    * partitions at 100 TB without the user repeating the filter on the
+    * fact side; PlanSpec pins the dynamicpruning expression in the scan.
+    * The dim is staged to parquet (a LocalRelation would constant-fold
+    * before DPP could apply) — exactly the real shape: dims are tables.
+    * The dim predicate is a string comparison, not a bare boolean flag:
+    * the optimizer's isLikelySelective gate admits comparisons/IN/LIKE
+    * but not a lone boolean attribute, so `filter(col("flag"))` would
+    * silently disqualify the whole rewrite.
+    */
+  val dynamicPrune: Q = (s, d) => {
+    val factDir = graft.Scratch.dir("graft_dpp_fact")
+    Tables.orders(s, d).repartition(col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(factDir)
+    val dimDir = graft.Scratch.dir("graft_dpp_dim")
+    import s.implicits._
+    Seq(("F", "closed"), ("O", "open"), ("P", "closed"))
+      .toDF("status", "lifecycle")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("lifecycle") === "closed")
+    fact.join(broadcast(dim), fact("o_orderstatus") === dim("status"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
     * jsonl, read back with the schema passed in (never inferred — schema
     * inference is a full extra pass over 100 TB), aggregated per lang.
@@ -362,6 +395,7 @@ object Storage extends QueryModule {
     "q98_xml_roundtrip" -> xmlRoundtrip,
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
+    "q121_dynamic_prune" -> dynamicPrune,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
     "q93_csv_roundtrip" -> csvRoundtrip,
@@ -408,6 +442,12 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // join against the closed-status dim ≡ an IN filter on the fact
+    "q121_dynamic_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q67_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n,

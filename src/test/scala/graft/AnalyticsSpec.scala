@@ -61,6 +61,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(matchTot > 0)
   }
 
+  test("q122 rollup of daily HLL partials equals the direct monthly sketch") {
+    import org.apache.spark.sql.functions._
+    // direct monthly registers, skipping the daily stage entirely — the
+    // merge≡recompute identity that makes the daily partial table the only
+    // artifact worth storing
+    val e = graft.sources.Tables.events(spark, sf).select(
+      date_trunc("month", col("ts")).cast("date").as("month"),
+      col("user_id").cast("string").as("k"))
+    val direct = e.select(col("month"),
+        pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"), lit(64L))
+          .as("bucket"),
+        conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(33))
+        .otherwise(lit(33) - length(bin(col("w")))))
+      .groupBy("month", "bucket").agg(max("rho").as("m"))
+      .groupBy("month").agg(
+        sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_inv_nonempty"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rolled = q("q122_hll_rollup").collect()
+    assert(rolled.nonEmpty)
+    rolled.foreach { r =>
+      val (month, empty, est) =
+        (r.getDate(0).toString, r.getLong(3), r.getLong(4))
+      // reconstruct the rollup's s_inv: empty registers contribute 2^33 each
+      val sInv = direct(month) + empty * 8589934592L
+      val expectEst = math.floor(0.709 * 4096.0 * 8589934592.0 / sInv).toLong
+      assert(est === expectEst, s"month $month: rollup diverged from direct sketch")
+    }
+  }
+
   test("q119 CMS join-size estimate upper-bounds truth and carries signal") {
     val r = q("q119_join_cardinality").collect()
     assert(r.length == 1)

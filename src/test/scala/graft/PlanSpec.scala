@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q121 fact scan carries a DYNAMIC pruning expression from the dim filter") {
+    // the dim's `closed` filter must reach the fact scan as a runtime
+    // partition-pruning subquery — the whole point of DPP
+    val p = plan("q121_dynamic_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q107 grid spatial join is a broadcast equi-join on cell keys — never a cross-distance filter") {
     val p = plan("q107_grid_join")
     assert(!p.contains("CartesianProduct"), p)
