@@ -229,6 +229,35 @@ object Dedup extends QueryModule {
     * such failure domain, so the cheap variant is the right default.)
     */
   val dupClusters: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected-component labels (doc_id, label = component minimum) over
+    * the verified near-dup graph — the CC loop's result, staged to parquet
+    * once per input dir per JVM exactly like [[stagedPairs]]: the label
+    * table is the dedup family's second shared intermediate (q59's
+    * clustering and q123's leakage-safe split both consume it, and a
+    * production pipeline stores it next to the pair list).
+    */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val path = labelCache.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.dir("graft_cc_labels") // reaped at JVM exit
+      computeLabels(s, d).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  private def computeLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     // Parquet roundtrip, not localCheckpoint/cache: both of those execute
     // via paths that pin the physical plan before runtime, so AQE never
     // turns the candidate-verify join into a broadcast and it runs as a
@@ -302,13 +331,10 @@ object Dedup extends QueryModule {
     // round) must still release the CacheManager-pinned edge list, or it
     // stays on the heap for every later query in the session
     } finally ue.unpersist()
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    // the final `labels` checkpoint backs the returned plan; the
-    // ContextCleaner reclaims it once the consumer drops the DataFrame
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
+    // the final `labels` checkpoint backs the returned plan (the caller
+    // stages it to parquet); the ContextCleaner reclaims the blocks once
+    // the reference drops
+    labels
     } // withShufflePartitions(loopP)
   }
 
@@ -430,11 +456,36 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q123 — LEAKAGE-SAFE train/val/test split: the hash split (q75) keyed
+    * by DUP-CLUSTER id instead of doc id, so a document and its near-
+    * duplicates always land in the same split. This is the reason dedup
+    * infrastructure exists in a training pipeline: an id-keyed split puts
+    * one copy of a duplicated document in train and another in test, and
+    * the eval silently measures memorization. Splitting on the component
+    * label makes straddling IMPOSSIBLE by construction (the split is a
+    * function of the cluster), at the cost the pipeline already paid —
+    * the staged label table. Output audits the realized split: per-split
+    * doc/cluster counts and an id checksum pinning WHICH documents landed
+    * where.
+    */
+  val leakageSplit: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val b = graft.functions.Hashing.md5Bucket(col("label"), 100)
+    labels
+      .select(col("doc_id"), col("label"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("label").as("n_clusters"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split")
+  }
+
   def queries: Map[String, Q] = Map(
     "q37_minhash_neardup" -> minhashNearDup,
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
-    "q114_delta_neardup" -> deltaNearDup)
+    "q114_delta_neardup" -> deltaNearDup,
+    "q123_leakage_split" -> leakageSplit)
 
   /** Shared CTE chain ending in `pairs(d1, d2)` — the DuckDB mirror of
     * [[verifiedPairs]]; the md5-based hash family keeps both engines on
@@ -532,6 +583,24 @@ object Dedup extends QueryModule {
          |FROM documents d LEFT JOIN m ON d.doc_id = m.did
          |WHERE d.doc_id % 10 = 7
          |ORDER BY d.doc_id""".stripMargin,
+    "q123_leakage_split" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |v AS (SELECT doc_id, label,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         |    AS split
+         |  FROM (SELECT doc_id, label,
+         |    ${graft.functions.Hashing.duckMd5Bucket("label", 100)} AS b FROM final))
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM v GROUP BY 1 ORDER BY split""".stripMargin,
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs

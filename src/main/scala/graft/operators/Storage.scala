@@ -166,6 +166,45 @@ object Storage extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q124 — manifest-based INCREMENTAL read: the snapshot/changed-files
+    * primitive of every table format (Iceberg incremental scan, Delta
+    * change feed, Hive ACID originals) built explicitly on plain parquet.
+    * Each batch append is followed by a manifest snapshot — a TABLE of the
+    * data files present — and an incremental consumer computes
+    * added = manifest(v2) ∖ manifest(v1) and reads ONLY those files: a
+    * daily consumer of a 100 TB table reads the day's files, never the
+    * table, and needs no data-level predicate to do it (the layout can't
+    * lie the way a `WHERE ingest_date = ...` filter over late data can).
+    * The file list is metadata (bounded by file count, not rows) —
+    * collecting it to the planner is exactly what Iceberg's scan planning
+    * does. Oracle: the second batch's predicate over the plain table —
+    * manifest math must equal the logical delta.
+    */
+  val incrementalRead: Q = (s, d) => {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft_manifest")
+    val dataDir = s"$root/data"
+    val o = Tables.orders(s, d)
+    def snapshot(v: Int): Unit = {
+      val files = new java.io.File(dataDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      files.toDF("path").write.mode("overwrite").parquet(s"$root/manifests/v$v")
+    }
+    o.filter(col("o_orderdate") < "1997-01-01")
+      .write.mode("overwrite").parquet(dataDir)
+    snapshot(1)
+    o.filter(col("o_orderdate") >= "1997-01-01")
+      .write.mode("append").parquet(dataDir)
+    snapshot(2)
+    val added = s.read.parquet(s"$root/manifests/v2")
+      .except(s.read.parquet(s"$root/manifests/v1"))
+      .collect().map(_.getString(0)).sorted
+    s.read.parquet(added: _*)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
     * jsonl, read back with the schema passed in (never inferred — schema
     * inference is a full extra pass over 100 TB), aggregated per lang.
@@ -396,6 +435,7 @@ object Storage extends QueryModule {
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
     "q121_dynamic_prune" -> dynamicPrune,
+    "q124_incremental_read" -> incrementalRead,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
     "q93_csv_roundtrip" -> csvRoundtrip,
@@ -442,6 +482,12 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the manifest diff must equal the second batch's logical predicate
+    "q124_incremental_read" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate >= '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // join against the closed-status dim ≡ an IN filter on the fact
     "q121_dynamic_prune" ->

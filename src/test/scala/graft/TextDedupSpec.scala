@@ -217,6 +217,29 @@ class TextDedupSpec extends SparkSpec {
     assert(keptTotal === 3L, s"4 docs, one exact dup: 3 distinct segments, got $keptTotal")
   }
 
+  test("q123 split never separates a verified near-dup pair (no eval leakage)") {
+    // end-to-end: rebuild each doc's split from the cluster assignment the
+    // query exposes only in aggregate, then check every verified pair
+    val clusters = q("q59_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(label: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(label.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 100).toInt
+    }
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+      assert(split(clusters(a)) === split(clusters(b)))
+    }
+    // and the audit totals cover the whole corpus exactly once
+    val audit = q("q123_leakage_split").collect()
+    assert(audit.map(_.getLong(1)).sum === clusters.size.toLong)
+  }
+
   test("q114 delta near-dup agrees with the full pair list restricted to delta-corpus edges") {
     val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
