@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, FloatVecSqNorm, Simhash16, SortedIntersectSize}
+import graft.functions.{FloatVecDot, FloatVecSqNorm, HllRegisters, Simhash16, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash16(arrayOfInt)")
         Simhash16(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_registers(stringKey)")
+        HllRegisters(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_sqnorm"),

@@ -150,6 +150,39 @@ object Joins extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** q125 — snapshot DIFF (CDC derivation): the inverse of q71's MERGE.
+    * Given two snapshots of a keyed table — yesterday's (no key divisible
+    * by 13) and today's (every 7th key repriced, every 11th key gone) —
+    * derive the change feed: one (key, op ∈ insert/update/delete,
+    * old, new) row per changed key, unchanged keys dropped. This is how a
+    * pipeline without a transactional log reconstructs a change feed
+    * (Delta CDF, Debezium snapshots): ONE full outer join on the key +
+    * per-column compare, shuffling each snapshot once; the emitted feed
+    * is then exactly what q71's upsert consumes and q91 compacts.
+    * Prices stay DECIMAL through the compare so both engines agree on
+    * "changed".
+    */
+  val snapshotDiff: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("key"), dec2(col("o_totalprice")).as("price1"))
+    val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("key2"),
+        when(col("o_orderkey") % 7 === 0,
+          round(dec2(col("o_totalprice")) * lit(BigDecimal("1.05")), 2))
+          .otherwise(dec2(col("o_totalprice"))).as("price2"))
+    v1.join(v2, col("key") === col("key2"), "full_outer")
+      .select(coalesce(col("key"), col("key2")).as("o_orderkey"),
+        when(col("key").isNull, "insert")
+          .when(col("key2").isNull, "delete")
+          .when(col("price1") =!= col("price2"), "update")
+          .otherwise("unchanged").as("op"),
+        col("price1").cast("double").as("old_price"),
+        col("price2").cast("double").as("new_price"))
+      .filter(col("op") =!= "unchanged")
+      .orderBy("o_orderkey")
+  }
+
   /** q79 — fuzzy entity match: customer pairs within a nation whose names
     * are within Levenshtein distance 2 — the core of entity resolution /
     * record linkage. Blocking discipline as everywhere: candidates come
@@ -285,6 +318,7 @@ object Joins extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q115_bloom_join" -> bloomJoinPrune,
+    "q125_snapshot_diff" -> snapshotDiff,
     "q100_interval_join" -> intervalJoin,
     "q18_star_join_revenue" -> starJoinRevenue,
     "q71_upsert_merge" -> upsertMerge,
@@ -318,6 +352,25 @@ object Joins extends QueryModule {
          |    AS n_false_pos
          |FROM ex GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
     },
+    "q125_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS key,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price1
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |v2 AS (SELECT o_orderkey AS key2,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |      THEN round(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(1.05 AS DECIMAL(3,2)), 2)
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price2
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |j AS (SELECT coalesce(key, key2) AS o_orderkey,
+        |    CASE WHEN key IS NULL THEN 'insert'
+        |         WHEN key2 IS NULL THEN 'delete'
+        |         WHEN price1 <> price2 THEN 'update'
+        |         ELSE 'unchanged' END AS op,
+        |    CAST(price1 AS DOUBLE) AS old_price,
+        |    CAST(price2 AS DOUBLE) AS new_price
+        |  FROM v1 FULL OUTER JOIN v2 ON key = key2)
+        |SELECT * FROM j WHERE op <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
     "q100_interval_join" ->
       """WITH promos AS (
         |  SELECT o_orderkey AS promo_id, CAST(o_orderdate AS DATE) AS start_date,

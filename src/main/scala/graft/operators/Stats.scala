@@ -307,6 +307,32 @@ object Stats extends QueryModule {
       .orderBy("month")
   }
 
+  /** q126 — q105's HLL computed through the NATIVE
+    * [[graft.functions.HllRegisters]] `TypedImperativeAggregate` instead
+    * of the groupBy-register formulation: ONE aggregate call whose buffer
+    * IS the 64-int register bank, updated in place per row and max-merged
+    * across partials — the operational shape of a production sketch
+    * library (DataSketches, Spark's own hll_sketch_agg), re-derived on
+    * the public extension API. The hash family is bit-identical to q105's
+    * md5/conv/bin Column chain, so the derived (n_exact, n_empty,
+    * hll_est) row shares q105's DuckDB oracle verbatim — the strongest
+    * possible check on a custom aggregate: a foreign engine reproduces
+    * its output from the algorithm's definition. The estimate arithmetic
+    * uses `shiftleft` (integer-exact 2^(33−r)) over the register array.
+    */
+  val hllNative: Q = (s, d) => {
+    val keyed = Tables.orders(s, d).select(col("o_custkey").cast("string").as("k"))
+    val regs = keyed.agg(call_function("hll_registers", col("k")).as("regs"))
+    val exact = keyed.agg(countDistinct("k").as("n_exact"))
+    exact.crossJoin(broadcast(regs))
+      .select(col("n_exact"),
+        size(filter(col("regs"), r => r === 0)).cast("long").as("n_empty"),
+        floor(lit(0.709) * lit(4096.0) * lit(8589934592.0) /
+          expr("aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, 33 - r))")
+            .cast("double"))
+          .cast("long").as("hll_est"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
@@ -315,7 +341,8 @@ object Stats extends QueryModule {
     "q110_quantile_sketch" -> quantileSketch,
     "q118_grouped_hll" -> groupedHll,
     "q119_join_cardinality" -> joinCardinality,
-    "q122_hll_rollup" -> hllRollup)
+    "q122_hll_rollup" -> hllRollup,
+    "q126_hll_native" -> hllNative)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
@@ -366,6 +393,30 @@ object Stats extends QueryModule {
         |  CAST((b90 + 1) * 110000 // 256 AS BIGINT) AS est_p90,
         |  CAST((b99 + 1) * 110000 // 256 AS BIGINT) AS est_p99
         |FROM sel""".stripMargin,
+    "q126_hll_native" ->
+      """WITH h AS (
+        |  SELECT
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 64
+        |      AS bucket,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8))::BIGINT AS w
+        |  FROM orders),
+        |r AS (
+        |  SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY 1),
+        |allb AS (
+        |  SELECT COALESCE(r.m, 0) AS m
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN r ON b.bucket = r.bucket),
+        |sk AS (
+        |  SELECT CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT) AS s_inv,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |  FROM allb),
+        |ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+        |SELECT ex.n_exact, sk.n_empty,
+        |  CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv) AS BIGINT)
+        |    AS hll_est
+        |FROM ex CROSS JOIN sk""".stripMargin,
     "q105_hll_distinct" ->
       """WITH h AS (
         |  SELECT

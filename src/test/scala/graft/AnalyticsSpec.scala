@@ -91,6 +91,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("native hll_registers: register-identical to the Column formulation, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val keyed = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("string").as("k"))
+    // the Column-level register bank q105 aggregates from
+    val specRegs = {
+      val got = keyed.select(
+          pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"), lit(64L))
+            .as("bucket"),
+          conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("w")))))
+        .groupBy("bucket").agg(max("rho").as("m"))
+        .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+      Array.tabulate(64)(got.getOrElse(_, 0))
+    }
+    def native(parts: Int): Seq[Int] = keyed.repartition(parts)
+      .agg(call_function("hll_registers", col("k"))).head().getSeq[Int](0)
+    // merge must be partition-count-invariant (associativity of max), and
+    // the buffer must equal the Column-level bank register for register
+    assert(native(1) === specRegs.toSeq)
+    assert(native(8) === specRegs.toSeq)
+  }
+
   test("q119 CMS join-size estimate upper-bounds truth and carries signal") {
     val r = q("q119_join_cardinality").collect()
     assert(r.length == 1)
