@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: built-in size(array_intersect(sorted-distinct,
+    // sorted-distinct)) → the native merge walk (IntersectRewrite)
+    ext.injectOptimizerRule(_ => graft.functions.IntersectRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

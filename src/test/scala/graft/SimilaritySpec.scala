@@ -33,6 +33,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.filter(col("fast") =!= col("spec")).count() === 0)
   }
 
+  test("IntersectRewrite swaps the built-in formulation for the native walk — only on the safe shape") {
+    import org.apache.spark.sql.functions._
+    // sequence() yields array<bigint> with containsNull=false — the one
+    // provenance the rule's nullability guard admits
+    val df = spark.range(1, 50).select(
+      expr("array_sort(array_distinct(sequence(1L, id)))").as("a"),
+      expr("array_sort(array_distinct(sequence(id div 2, id + 3)))").as("b"))
+    val rewritten = df.select(
+      expr("size(array_intersect(array_sort(array_distinct(a)), array_sort(array_distinct(b))))")
+        .as("n"))
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_size"), "rule must fire on the safe shape")
+    // the answers must equal the set intersection computed independently:
+    // [1..id] ∩ [id div 2 .. id+3] = [max(1, id div 2) .. id]
+    val expected = (1L until 50L).map(id => (id - math.max(1L, id / 2) + 1).toInt)
+    assert(rewritten.collect().map(_.getInt(0)).toSeq === expected)
+    // unsorted provenance (reverse, not array_sort(array_distinct)) must
+    // stay on the built-in path — the guard is the rule. (The a/b columns
+    // themselves collapse into the eligible shape via CollapseProject,
+    // which is exactly why the rule reaches real query plans.)
+    val unsorted = df.select(
+      expr("size(array_intersect(reverse(a), reverse(b)))").as("n"))
+    assert(!unsorted.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_size"), "rule must not fire on unsorted input")
+    assert(unsorted.collect().map(_.getInt(0)).toSeq === expected)
+  }
+
   test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
     val df = Seq(
       (Array(1f, 0f, 2f), Array(1f, 0f, 2f), 1.0),
