@@ -294,7 +294,90 @@ object Pipeline extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy("rule")
   }
 
+  private val negK = 3
+  private val negOversample = 8
+
+  /** q127 — deterministic NEGATIVE SAMPLING: for every customer, [[negK]]
+    * parts they never ordered — the contrastive-pair generation step of
+    * every recommender / embedding / retrieval training set. Candidates
+    * come from a hash, not an RNG (md5 of customer:i, mod the broadcast
+    * max part key — reproducible under any repartitioning, the same
+    * discipline as q75/q89), oversampled ×[[negOversample]] then
+    * anti-joined against the positive set and ranked by draw index, so a
+    * candidate that collides with a true positive is skipped
+    * deterministically. Scale shape: candidates are customers×8 rows
+    * (linear), the anti join is one hash shuffle on (customer, part), and
+    * the per-customer rank window holds ≤ 8 rows — nothing quadratic,
+    * no rejection loop. Output audits per customer: positive count,
+    * negatives kept, and the id checksum pinning WHICH negatives.
+    */
+  val negativeSampling: Q = (s, d) => {
+    val pos = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val mp = Tables.part(s, d).agg(max("p_partkey").as("mp"))
+    val cand = Tables.customer(s, d).select(col("c_custkey").as("cust"))
+      .crossJoin(broadcast(mp))
+      .select(col("cust"), col("mp"),
+        explode(sequence(lit(0), lit(negOversample - 1))).as("i"))
+      .withColumn("part", pmod(
+        conv(substring(md5(concat(col("cust").cast("string"), lit(":"),
+          col("i").cast("string"))), 1, 8), 16, 10).cast("long"),
+        col("mp")) + 1)
+      // two draws can land on the same part — keep the earliest draw so
+      // the final rank order is draw order, exactly once per candidate
+      .groupBy("cust", "part").agg(min("i").as("i"))
+    val w = Window.partitionBy("cust").orderBy("i")
+    val neg = cand.join(pos, Seq("cust", "part"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= negK)
+    val posCounts = pos.groupBy("cust").agg(count(lit(1)).as("n_pos"))
+    neg.groupBy("cust")
+      .agg(count(lit(1)).as("n_neg"), sum("part").as("neg_checksum"))
+      .join(posCounts, Seq("cust"), "left")
+      .select(col("cust"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        col("n_neg"), col("neg_checksum"))
+      .orderBy("cust")
+  }
+
+  /** q128 — PREFERENCE-PAIR construction (DPO/RLHF-style chosen/rejected
+    * pairing): within each language, documents rank by a deterministic
+    * quality proxy (distinct-token count — integer-exact, doc_id
+    * tiebreak) and rank r pairs with rank r + n/2: top half chosen,
+    * bottom half rejected, monotone alignment so every pair's margin is
+    * non-negative BY CONSTRUCTION (the spec pins it). One window per
+    * language + one self-join on the computed rank key — the pairing
+    * never compares documents pairwise, so it stays O(n log n) per
+    * shard where a quality-delta-threshold pairing would be O(n²).
+    */
+  val preferencePairs: Q = (s, d) => {
+    val scored = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+      size(array_distinct(toks)).cast("long").as("score"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val wn = Window.partitionBy("lang")
+    val ranked = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("half", expr("n div 2"))
+    val top = ranked.filter(col("rk") <= col("half"))
+      .select(col("lang"), col("rk").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val bottom = ranked
+      .select(col("lang"), (col("rk") - col("half")).as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+      .filter(col("pair_rank") >= 1)
+    top.join(bottom, Seq("lang", "pair_rank"))
+      .select(col("lang"), col("pair_rank").cast("int").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+      .orderBy("lang", "pair_rank")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q127_negative_sampling" -> negativeSampling,
+    "q128_preference_pairs" -> preferencePairs,
     "q91_latest_per_key" -> latestPerKey,
     "q92_dq_audit" -> dqAudit,
     "q83_pii_redact" -> piiRedact,
@@ -308,6 +391,48 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    "q127_negative_sampling" ->
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |mp AS (SELECT max(p_partkey) AS mp FROM part),
+         |cand0 AS (SELECT c_custkey AS cust, mp, unnest(range(0, $negOversample)) AS i
+         |  FROM customer CROSS JOIN mp),
+         |cand AS (SELECT cust, part, min(i) AS i FROM (
+         |    SELECT cust, i,
+         |      ('0x' || substr(md5(CAST(cust AS VARCHAR) || ':'
+         |        || CAST(i AS VARCHAR)), 1, 8))::BIGINT % mp + 1 AS part
+         |    FROM cand0) GROUP BY cust, part),
+         |neg AS (SELECT cust, part,
+         |    row_number() OVER (PARTITION BY cust ORDER BY i) AS rk
+         |  FROM cand c WHERE NOT EXISTS (
+         |    SELECT 1 FROM pos p WHERE p.cust = c.cust AND p.part = c.part)),
+         |agg AS (SELECT cust, count(*) AS n_neg,
+         |    CAST(sum(part) AS BIGINT) AS neg_checksum
+         |  FROM neg WHERE rk <= $negK GROUP BY cust),
+         |pc AS (SELECT cust, count(*) AS n_pos FROM pos GROUP BY cust)
+         |SELECT a.cust, COALESCE(pc.n_pos, 0) AS n_pos, a.n_neg, a.neg_checksum
+         |FROM agg a LEFT JOIN pc ON a.cust = pc.cust
+         |ORDER BY a.cust""".stripMargin,
+    "q128_preference_pairs" ->
+      s"""WITH scored AS (SELECT lang, doc_id,
+         |    CAST(len(list_distinct($duckToks)) AS BIGINT) AS score
+         |  FROM documents),
+         |ranked AS (SELECT lang, doc_id, score,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored),
+         |t AS (SELECT lang, rk AS pair_rank, doc_id AS chosen_id,
+         |    score AS chosen_score
+         |  FROM ranked WHERE rk <= n // 2),
+         |b AS (SELECT lang, rk - n // 2 AS pair_rank, doc_id AS rejected_id,
+         |    score AS rejected_score
+         |  FROM ranked WHERE rk - n // 2 >= 1)
+         |SELECT t.lang, CAST(t.pair_rank AS INT) AS pair_rank,
+         |  chosen_id, rejected_id, chosen_score, rejected_score,
+         |  chosen_score - rejected_score AS margin
+         |FROM t JOIN b ON t.lang = b.lang AND t.pair_rank = b.pair_rank
+         |ORDER BY t.lang, pair_rank""".stripMargin,
     "q103_temperature_mix" ->
       s"""WITH w AS (SELECT lang, count(*) AS n_docs,
          |    CAST(floor(sqrt(count(*))) AS BIGINT) AS wgt FROM documents GROUP BY 1),

@@ -133,6 +133,50 @@ class PipelineSpec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(2), r.getString(0)))
   }
 
+  test("q127 negatives are genuinely negative: kept ids never intersect the positive set") {
+    import org.apache.spark.sql.functions._
+    val pos = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = q("q127_negative_sampling").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPos, nNeg) = (r.getLong(1), r.getLong(2))
+      assert(nNeg >= 1 && nNeg <= 3, s"cust ${r.getLong(0)}: n_neg=$nNeg")
+      assert(nPos >= 0)
+    }
+    // the checksum pins WHICH parts were sampled — recompute the draw
+    // chain for one customer and confirm none of its kept parts is a
+    // positive (the anti-join contract, checked independently)
+    val mp = graft.sources.Tables.part(spark, sf)
+      .agg(max("p_partkey")).head().getLong(0)
+    val cust = rows.head.getLong(0)
+    val draws = (0 until 8).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$cust:$i".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      i -> (java.lang.Long.parseLong(hex, 16) % mp + 1)
+    }
+    val kept = draws.groupBy(_._2).map { case (p, ds) => ds.map(_._1).min -> p }
+      .toSeq.sortBy(_._1).map(_._2).filterNot(p => pos((cust, p))).take(3)
+    assert(kept.sum === rows.head.getLong(3), "checksum must pin the draw chain")
+  }
+
+  test("q128 preference pairs: non-negative margins, disjoint chosen/rejected sets") {
+    val rows = q("q128_preference_pairs").collect()
+    assert(rows.nonEmpty)
+    val chosen = rows.map(_.getLong(2)).toSet
+    val rejected = rows.map(_.getLong(3)).toSet
+    assert(chosen.intersect(rejected).isEmpty,
+      "a document must never be both chosen and rejected")
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 0, s"pair ${r.getString(0)}/${r.getInt(1)}: negative margin")
+      assert(r.getLong(4) === r.getLong(5) + r.getLong(6))
+    }
+  }
+
   test("q86 common-token ratio bounded by 1 and monotone with n_common") {
     q("q86_common_token_ratio").collect().foreach { r =>
       val (n, common, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
