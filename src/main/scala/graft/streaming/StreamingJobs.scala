@@ -303,11 +303,15 @@ object StreamingJobs extends QueryModule {
     * rewrite. The WindowGroupLimit pushdown prunes per-key history before
     * the shuffle, same as q91.
     */
-  private[graft] def upsertRun(s: SparkSession, d: String): (DataFrame, Long) = {
+  private[graft] def upsertRun(s: SparkSession, d: String,
+      fixedRoot: Option[String] = None): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
-    val root = graft.Scratch.dir("graft_stream_upsert")
+    val root = fixedRoot.getOrElse(graft.Scratch.dir("graft_stream_upsert"))
     val src = s"$root/src"
-    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    // idempotent restart contract: with a fixed root the source is staged
+    // once and the checkpoint survives — a re-run must replay ZERO batches
+    if (!new java.io.File(src).exists())
+      Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema // ts already µs timestamps
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
@@ -317,7 +321,16 @@ object StreamingJobs extends QueryModule {
       df.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
     }
-    var current: Option[String] = None
+    // recovery: the latest published state version is discoverable from the
+    // directory listing — a restarted job resumes from it, and a re-run
+    // whose checkpoint says "all files processed" publishes nothing new
+    var current: Option[String] = {
+      val fs = new java.io.File(root).listFiles()
+      Option(fs).flatMap(_.filter(f =>
+          f.isDirectory && f.getName.startsWith("state_v"))
+        .sortBy(_.getName.stripPrefix("state_v").toLong)
+        .lastOption.map(_.getAbsolutePath))
+    }
     var batches = 0L
     graft.withShufflePartitions(s, statePartitions) {
       val q = stream.writeStream

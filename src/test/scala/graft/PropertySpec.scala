@@ -73,6 +73,61 @@ class PropertySpec extends SparkSpec {
     }, "moving-average identity")
   }
 
+  private val docGen: Gen[List[String]] = for {
+    n <- Gen.choose(4, 8)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(9, 24)
+      words <- Gen.listOfN(len, Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl"))
+    } yield words.mkString(" "))
+  } yield docs ::: docs.take(1) // force at least one exact duplicate
+
+  private def asDocTable(docs: List[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftprop").toString
+    docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "t", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("segment dedup law: corpus-wide kept total equals the distinct segment count") {
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p, Prop.forAll(docGen) { docs =>
+      val dir = asDocTable(docs)
+      val rows = SparkEntry.queries("q113_segment_dedup")(spark, dir).collect()
+      val distinctSegs = docs.flatMap(_.split(" ").grouped(10).map(_.mkString(" "))).toSet.size
+      val keptTotal = rows.map(_.getLong(2)).sum
+      val segTotal = rows.map(_.getLong(1)).sum
+      val expectedSegs = docs.map(d => (d.split(" ").length + 9) / 10).sum
+      keptTotal == distinctSegs.toLong && segTotal == expectedSegs.toLong
+    })
+    assert(r.passed, s"segment-dedup law: $r")
+  }
+
+  test("prefix-join law: per-doc degrees equal brute-force Jaccard >= 0.5 on any corpus") {
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p, Prop.forAll(docGen) { docs =>
+      val dir = asDocTable(docs)
+      val shingleSets = docs.zipWithIndex.map { case (t, i) =>
+        val tk = t.split(" ").filter(_.nonEmpty)
+        i.toLong -> tk.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      }.toMap
+      val ids = shingleSets.keys.toArray.sorted
+      val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val (sa, sb) = (shingleSets(ids(i)), shingleSets(ids(j)))
+        if (sa.nonEmpty && sb.nonEmpty &&
+            3L * (sa & sb).size >= sa.size + sb.size) {
+          deg(ids(i)) += 1; deg(ids(j)) += 1
+        }
+      }
+      val got = SparkEntry.queries("q120_prefix_join")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.forall(id => got(id) == deg(id))
+    })
+    assert(r.passed, s"prefix-join completeness law: $r")
+  }
+
   test("salted join result equals the plain join result") {
     val factGen = Gen.listOfN(30, for {
       k <- Gen.choose(1, 5); v <- Gen.choose(0, 100)

@@ -122,6 +122,20 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("foreachBatch upsert (q117): restart from checkpoint replays nothing and keeps the state") {
+    val root = java.nio.file.Files.createTempDirectory("graftupsert").toString
+    val (state1, batches1) =
+      graft.streaming.StreamingJobs.upsertRun(spark, sf, Some(root))
+    assert(batches1 >= 2)
+    val snap1 = state1.collect().map(_.toSeq).sortBy(_.toString)
+    // second run, same checkpoint + same source: the exactly-once contract
+    // means ZERO new micro-batches and an unchanged published state
+    val (state2, batches2) =
+      graft.streaming.StreamingJobs.upsertRun(spark, sf, Some(root))
+    assert(batches2 === 0L, s"restart replayed $batches2 batches")
+    assert(state2.collect().map(_.toSeq).sortBy(_.toString) === snap1)
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._
