@@ -91,6 +91,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q125 snapshot diff classifies exactly by the snapshot membership rules") {
+    val rows = q("q125_snapshot_diff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (key, op) = (r.getLong(0), r.getString(1))
+      val (inV1, inV2) = (key % 13 != 0, key % 11 != 0)
+      op match {
+        case "insert" =>
+          assert(!inV1 && inV2, s"key $key"); assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "delete" =>
+          assert(inV1 && !inV2, s"key $key"); assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "update" =>
+          assert(inV1 && inV2 && key % 7 == 0, s"key $key")
+          assert(r.getDouble(3) > r.getDouble(2), s"key $key: reprice must raise")
+        case other => fail(s"unexpected op $other")
+      }
+    }
+    // every changed key must be present: spot-check the three classes exist
+    val ops = rows.map(_.getString(1)).toSet
+    assert(ops === Set("insert", "delete", "update"))
+  }
+
   test("native hll_registers: register-identical to the Column formulation, partition-invariant") {
     import org.apache.spark.sql.functions._
     val keyed = graft.sources.Tables.orders(spark, sf)

@@ -175,6 +175,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q115 bloom probe is a broadcast join — the fact side never shuffles to test membership") {
+    val p = plan("q115_bloom_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both the bit-set probe and the exact-audit join broadcast; the only
+    // shuffles are the per-order k_hit aggregate and the final summary
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+  }
+
   test("q121 fact scan carries a DYNAMIC pruning expression from the dim filter") {
     // the dim's `closed` filter must reach the fact scan as a runtime
     // partition-pruning subquery — the whole point of DPP
