@@ -144,7 +144,48 @@ object Events extends QueryModule {
       .orderBy("user_id", "session_start")
   }
 
+  /** q129 — temporal rate-anomaly detection: each hour's event count
+    * z-scored against its trailing 24-hour baseline (RANGE frame ending
+    * one hour BEFORE the current row — the hour under test never
+    * contaminates its own baseline), flagged at |z| > 2. The monitoring
+    * pass every ingestion pipeline runs on its own throughput. Scale
+    * shape: event volume collapses to the hourly series in ONE map-side-
+    * combining aggregate; the unpartitioned window then runs over hours —
+    * cardinality = wall-clock range, independent of event volume (a year
+    * is 8 760 rows), so the single-partition window is over the SERIES,
+    * never the data. Baseline mean/variance come from exact integer sums
+    * (Σn, Σn²) inside the frame; one double division + sqrt at the end,
+    * identical formula in both engines, rounded to 4 dp. Hours with
+    * fewer than 6 trailing observations are withheld (a z-score against
+    * a 2-point baseline is noise, and the guard is deterministic).
+    */
+  val rateAnomaly: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hr").rangeBetween(-24, -1)
+    val stats = hourly
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("sx", sum("n").over(w))
+      .withColumn("sxx", sum(col("n") * col("n")).over(w))
+      .filter(col("n_prev") >= 6)
+    val mean = col("sx").cast("double") / col("n_prev")
+    val variance = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n_prev")) /
+      (col("n_prev") - 1)
+    val z = when(variance > 0,
+      round((col("n").cast("double") - mean) / sqrt(variance), 4))
+      .otherwise(lit(0.0))
+    stats.select(
+        expr("timestamp_micros(hr * 3600000000)").as("hour"),
+        col("n"), col("n_prev"), z.as("z"),
+        (abs(z) > 2).as("is_anomaly"))
+      .orderBy("hour")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q129_rate_anomaly" -> rateAnomaly,
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
     "q24_json_extract" -> jsonExtract,
@@ -200,6 +241,31 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q129_rate_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT hr, n,
+        |    count(*) OVER w AS n_prev,
+        |    CAST(sum(n) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS sxx
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hr RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT hr, n, n_prev,
+        |    CASE WHEN (CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_prev)
+        |        / (n_prev - 1) > 0
+        |      THEN round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / n_prev)
+        |        / sqrt((CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_prev)
+        |          / (n_prev - 1)), 4)
+        |      ELSE 0.0 END AS z
+        |  FROM st WHERE n_prev >= 6)
+        |SELECT make_timestamp(hr * 3600000000) AS hour, n, n_prev, z,
+        |  (abs(z) > 2) AS is_anomaly
+        |FROM z ORDER BY hour""".stripMargin,
     "q111_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
