@@ -33,8 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  private val numBands = 3
-  private val rowsPerBand = 6
+  /** Banding parameters — THE corpus-size knob the sf1 sweep documents
+    * (BENCH_SF1.md "fixed bucket space" caveat): bucket occupancy grows
+    * with the corpus, so a larger corpus raises rowsPerBand (rarer
+    * collisions per band, recall threshold unchanged at fixed B·R shape)
+    * and/or numBands (recall back up). Env-overridable because the right
+    * value is a property of the DEPLOYMENT's corpus, not of the code —
+    * and every DuckDB oracle below is generated from these same values,
+    * so an override re-derives the oracle with it: the correctness gate
+    * follows the knob instead of pinning its default.
+    */
+  private val numBands =
+    sys.env.get("GRAFT_MH_BANDS").map(_.toInt).getOrElse(3)
+  private val rowsPerBand =
+    sys.env.get("GRAFT_MH_ROWS_PER_BAND").map(_.toInt).getOrElse(6)
   private val numHashes = numBands * rowsPerBand
 
   /** Jaccard-distance acceptance threshold for a verified near-dup. */
