@@ -35,9 +35,10 @@ object Dedup extends QueryModule {
 
   /** Banding parameters — THE corpus-size knob the sf1 sweep documents
     * (BENCH_SF1.md "fixed bucket space" caveat): bucket occupancy grows
-    * with the corpus, so a larger corpus raises rowsPerBand (rarer
-    * collisions per band, recall threshold unchanged at fixed B·R shape)
-    * and/or numBands (recall back up). Env-overridable because the right
+    * with the corpus, so a larger corpus raises rowsPerBand (the band
+    * collision probability is s^R — a higher R sharpens the S-curve and
+    * prunes sub-threshold candidates harder) and then numBands to buy
+    * recall at the threshold back (recall = 1−(1−s^R)^B). Env-overridable because the right
     * value is a property of the DEPLOYMENT's corpus, not of the code —
     * and every DuckDB oracle below is generated from these same values,
     * so an override re-derives the oracle with it: the correctness gate
