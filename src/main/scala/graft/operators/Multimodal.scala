@@ -9,6 +9,10 @@ case class MediaMeta(
     doc_id: Long, n_bytes: Int, width: Int, height: Int,
     format: String, frame_hash: String)
 
+/** Typed output row of the stub frame sampler (q130). */
+case class FrameSample(
+    doc_id: Long, frame_idx: Int, n_frames: Int, frame_md5: String, luma: Int)
+
 /** Multimodal-column plumbing — beyond-reference extension (SURVEY.md §7
   * M5). Media payloads are opaque `binary` columns with typed metadata
   * alongside; the decode step is a clearly-marked deterministic STUB (no
@@ -62,11 +66,72 @@ object Multimodal extends QueryModule {
       }.toDF().orderBy("doc_id")
   }
 
+  private val frameBytes = 64
+  private val samplesPerDoc = 4
+
+  /** q130 — uniform FRAME SAMPLING (STUB): the video-preprocessing shape —
+    * each payload is treated as a sequence of [[frameBytes]]-byte frames
+    * and [[samplesPerDoc]] frames are selected at uniform temporal
+    * positions (idx_j = j·n/4 — the standard uniform clip sampler),
+    * decoded per frame by the same partition-parallel typed mapPartitions
+    * plumbing as q35. Output is one row per SAMPLED frame (doc_id,
+    * frame_idx, per-frame digest + fake luma) — linear in documents ×
+    * samples, never in total frames, which is the property that matters
+    * when the payload is an hour of video. The "decode" is the declared
+    * stub (digest + byte-sum over the frame slice — ASCII fixture text
+    * keeps byte values = code points, so the DuckDB oracle reproduces it
+    * exactly); a real cv/ffmpeg frame extractor drops into the same
+    * iterator without touching the plan.
+    */
+  val frameSampleStub: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val n = (text.length + frameBytes - 1) / frameBytes
+          val picks = (0 until samplesPerDoc).map(j => j * n / samplesPerDoc)
+            .distinct.filter(_ < n)
+          picks.map { idx =>
+            val frame = text.substring(idx * frameBytes,
+              math.min((idx + 1) * frameBytes, text.length))
+            md.reset()
+            val hex = md.digest(frame
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            val luma = frame
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .foldLeft(0L)(_ + _) % 256
+            FrameSample(id, idx, n, hex.substring(0, 16), luma.toInt)
+          }
+        }
+      }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   def queries: Map[String, Q] = Map(
     "q34_multimodal_meta" -> mediaMeta,
-    "q35_multimodal_decode" -> decodeStub)
+    "q35_multimodal_decode" -> decodeStub,
+    "q130_frame_sample" -> frameSampleStub)
 
   def oracles: Map[String, String] = Map(
+    "q130_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    CAST((octet_length(text::BLOB) + ${frameBytes - 1}) // $frameBytes
+         |      AS INT) AS n_frames
+         |  FROM documents),
+         |idx AS (SELECT DISTINCT doc_id, n_frames,
+         |    CAST(j * n_frames // $samplesPerDoc AS INT) AS frame_idx
+         |  FROM f, (SELECT unnest(range(0, $samplesPerDoc)) AS j) js
+         |  WHERE j * n_frames // $samplesPerDoc < n_frames),
+         |fr AS (SELECT i.doc_id, i.frame_idx, i.n_frames,
+         |    substring(f.text, i.frame_idx * $frameBytes + 1, $frameBytes)
+         |      AS frame
+         |  FROM idx i JOIN f ON i.doc_id = f.doc_id)
+         |SELECT doc_id, frame_idx, n_frames,
+         |  substring(md5(frame), 1, 16) AS frame_md5,
+         |  CAST(list_sum(list_transform(string_split(frame, ''),
+         |    c -> CAST(ascii(c) AS BIGINT))) % 256 AS INT) AS luma
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "q35_multimodal_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
