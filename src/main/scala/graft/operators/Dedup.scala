@@ -270,13 +270,23 @@ object Dedup extends QueryModule {
   }
 
   private def computeLabels(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
     // Parquet roundtrip, not localCheckpoint/cache: both of those execute
     // via paths that pin the physical plan before runtime, so AQE never
     // turns the candidate-verify join into a broadcast and it runs as a
     // sort-merge over millions of candidates (measured: 14s vs 1.5s at
     // sf0.1). See stagedPairs.
-    val pairs = stagedPairs(s, d)
+    ccMinLabels(s,
+      Tables.documents(s, d).select(col("doc_id")), stagedPairs(s, d))
+
+  /** Min-label connected components over ANY (d1, d2) edge list and
+    * (doc_id) node set — the loop [[dupClusters]]'s Scaladoc describes,
+    * generalized so other pair-producing operators (q131's fuzzy entity
+    * pairs) reuse the same lineage-disciplined machinery.
+    */
+  private def ccMinLabels(s: org.apache.spark.sql.SparkSession,
+      nodes: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] pairs staged t=${System.nanoTime() / 1000000}")
     // Edge layout, decided ONCE before the loop: hash-partitioned by src,
     // sorted within partitions on src, and cached. Every propagation round
@@ -301,7 +311,7 @@ object Dedup extends QueryModule {
       .repartition(loopP, col("src"))
       .sortWithinPartitions("src")
       .cache()
-    var labels = Tables.documents(s, d)
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
@@ -493,12 +503,35 @@ object Dedup extends QueryModule {
       .orderBy("split")
   }
 
+  /** q131 — ENTITY-RESOLUTION clusters: the transitive closure over q79's
+    * verified fuzzy-match pairs, computed by the same generalized
+    * [[ccMinLabels]] loop q59 runs on near-dup text pairs. This is the
+    * canonicalization step of record linkage — pairwise matching (q79)
+    * says "A≈B and B≈C"; only the closure says they are ONE entity even
+    * when A and C never matched directly, and the cluster minimum becomes
+    * the surviving golden-record id. Same scale shape as q59: edges from
+    * the blocked matcher, O(log diameter) driver-synced rounds, output
+    * one row per customer.
+    */
+  val entityClusters: Q = (s, d) => {
+    val pairs = Joins.fuzzyMatch(s, d)
+      .select(col("key_1").as("d1"), col("key_2").as("d2"))
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("doc_id"))
+    val labels = ccMinLabels(s, nodes, pairs)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id").as("c_custkey"), col("label").as("entity_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("is_golden"))
+      .orderBy("c_custkey")
+  }
+
   def queries: Map[String, Q] = Map(
     "q37_minhash_neardup" -> minhashNearDup,
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
     "q114_delta_neardup" -> deltaNearDup,
-    "q123_leakage_split" -> leakageSplit)
+    "q123_leakage_split" -> leakageSplit,
+    "q131_entity_clusters" -> entityClusters)
 
   /** Shared CTE chain ending in `pairs(d1, d2)` — the DuckDB mirror of
     * [[verifiedPairs]]; the md5-based hash family keeps both engines on
@@ -614,6 +647,25 @@ object Dedup extends QueryModule {
          |  CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
          |FROM v GROUP BY 1 ORDER BY split""".stripMargin,
+    "q131_entity_clusters" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+        |  FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |ue AS (SELECT d1 AS src, d2 AS dst FROM fp
+        |  UNION ALL SELECT d2 AS src, d1 AS dst FROM fp),
+        |reach(id, label) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.id = ue.src),
+        |final AS (SELECT id, min(label) AS entity_id FROM reach GROUP BY id),
+        |sizes AS (SELECT entity_id, count(*) AS cluster_size
+        |  FROM final GROUP BY entity_id)
+        |SELECT f.id AS c_custkey, f.entity_id, s.cluster_size,
+        |  (f.id = f.entity_id) AS is_golden
+        |FROM final f JOIN sizes s USING (entity_id)
+        |ORDER BY c_custkey""".stripMargin,
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
