@@ -514,7 +514,7 @@ object Dedup extends QueryModule {
     * one row per customer.
     */
   val entityClusters: Q = (s, d) => {
-    val pairs = Joins.fuzzyMatch(s, d)
+    val pairs = Joins.fuzzyPairs(s, d)
       .select(col("key_1").as("d1"), col("key_2").as("d2"))
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("doc_id"))
     val labels = ccMinLabels(s, nodes, pairs)

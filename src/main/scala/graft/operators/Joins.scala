@@ -207,7 +207,12 @@ object Joins extends QueryModule {
     *    higher-cardinality block key (name prefix × nation), which is the
     *    same knob every blocked matcher here exposes.
     */
-  val fuzzyMatch: Q = (s, d) => {
+  /** The unordered verified pair set [[fuzzyMatch]] sorts for output —
+    * shared with q131's entity-closure, which must NOT inherit the global
+    * sort (a full sort of the pair list buys nothing for an edge list).
+    */
+  private[operators] def fuzzyPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val a = c.repartition(s.sparkContext.defaultParallelism).alias("a")
@@ -220,8 +225,9 @@ object Joins extends QueryModule {
       .select(col("a.c_custkey").as("key_1"), col("b.c_custkey").as("key_2"),
         col("a.c_name").as("name_1"), col("b.c_name").as("name_2"),
         col("dist").cast("int").as("dist"))
-      .orderBy("key_1", "key_2")
   }
+
+  val fuzzyMatch: Q = (s, d) => fuzzyPairs(s, d).orderBy("key_1", "key_2")
 
   /** q100 — interval (range-overlap) join, binned: lineitems matched to
     * the 7-day promo windows containing their ship date. A raw
