@@ -53,12 +53,28 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
+    // Variance discipline: SPARK_GRAFT_REPEATS=N runs each query N times
+    // and reports the MEDIAN (lower-middle — deterministic for even N) as
+    // the headline number plus the min alongside. A single-shot timing on
+    // a shared host cannot distinguish a 2× regression from a neighbor's
+    // compile job; the median of 5 can. Default stays 1 — the driver's
+    // recorded run is untouched — and the per-query mins map is emitted
+    // only when N > 1 so the one-line JSON stays inside the ~2000-char
+    // window the harness records on full-suite runs.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
-      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n')) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+        } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n')) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val ok = runs.collect { case (t, None) => t }.sorted
+      val median = if (ok.nonEmpty) ok((ok.size - 1) / 2) else runs.head._1
+      val min = if (ok.nonEmpty) ok.head else runs.head._1
+      (name, median, min, runs.collectFirst { case (_, Some(e)) => e })
     }
     // ms precision, Locale.ROOT: a wall-clock timing carries no more than
     // 3 digits, and 9-digit doubles pushed the line past the ~2000-char
@@ -73,13 +89,19 @@ object Bench {
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
-    val qs = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // A failed query must surface as a failure, not as a fast timing line.
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    val minsJson = if (repeats > 1) {
+      val ms = results.map { case (k, _, mn, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(mn)
+      }.mkString("{", ",", "}")
+      s""","repeats":$repeats,"mins":$ms"""
+    } else ""
     // Record the active filter: a filtered run saved as BENCH_rNN.json must
     // be distinguishable from a full-suite run. Escaped like the errors
     // map — a stray quote in the env var must not corrupt the one JSON
@@ -88,7 +110,7 @@ object Bench {
       val esc = o.mkString(",").replace("\\", "\\\\").replace("\"", "\\\"")
       s""","only":"$esc""""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArraySort, Expression, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArraySort, Expression, GreaterThan, If, LambdaFunction, LessThan, Literal, NamedLambdaVariable, Size}
 import org.apache.spark.sql.catalyst.expressions.ArrayIntersect
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -25,6 +25,28 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 object IntersectRewrite extends Rule[LogicalPlan] {
 
+  /** The sort must be Spark's DEFAULT ascending comparator — the merge
+    * walk's order precondition. `array_sort(x, customLambda)` (say, a
+    * descending comparator) still pattern-matches `ArraySort(...)`, so the
+    * comparator itself is checked: rebuild [[ArraySort.comparator]]'s body
+    * over THIS node's bound lambda variables and compare semantically.
+    * Over the non-null elements the type guard admits, the optimizer's
+    * constant folding strips the default body's IsNull branches before
+    * this rule sees it, so the null-free simplification
+    * `if (l < r) -1 else if (l > r) 1 else 0` is accepted as the same
+    * comparator. Anything else — reversed, keyed, null-first — would
+    * silently undercount if rewritten.
+    */
+  private def isDefaultComparator(f: Expression): Boolean = f match {
+    case LambdaFunction(body,
+        Seq(l: NamedLambdaVariable, r: NamedLambdaVariable), _) =>
+      val nullFree = If(LessThan(l, r), Literal(-1),
+        If(GreaterThan(l, r), Literal(1), Literal(0)))
+      body.semanticEquals(ArraySort.comparator(l, r)) ||
+        body.semanticEquals(nullFree)
+    case _ => false
+  }
+
   /** Fires only for `array<bigint>` with containsNull = FALSE: a null
     * element would sort last and the walk would read its slot as a raw
     * long — a silent divergence from the built-in, which treats null as a
@@ -32,7 +54,7 @@ object IntersectRewrite extends Rule[LogicalPlan] {
     * slot-read is safe.
     */
   private def sortedDistinctLongs(e: Expression): Boolean = e match {
-    case ArraySort(ArrayDistinct(inner), _, _) =>
+    case ArraySort(ArrayDistinct(inner), f, _) if isDefaultComparator(f) =>
       inner.dataType match {
         case ArrayType(LongType, false) => true
         case _ => false

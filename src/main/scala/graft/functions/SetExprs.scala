@@ -36,7 +36,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       s"sorted_intersect_size expects (array<bigint>, array<bigint>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = true
+  // Derive from the children (BinaryExpression's null-in → null-out):
+  // hard-coding `true` would WIDEN the analyzed schema's nullability when
+  // the optimizer swaps this in for Size over non-null inputs.
+  override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "sorted_intersect_size"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

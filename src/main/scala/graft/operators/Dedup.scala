@@ -384,6 +384,8 @@ object Dedup extends QueryModule {
     val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => length(x) > 0).as("tk"))
+    // `div` truncates toward zero vs DuckDB `//`'s floor — equivalent here
+    // because size(tk) ≥ 0 makes the numerator ≥ segLen-1 > 0 always.
     val nSeg = expr(s"(size(tk) + ${segLen - 1}) div $segLen").cast("int")
     val idx = when(nSeg > 0, sequence(lit(0), nSeg - 1))
       .otherwise(array().cast("array<int>"))

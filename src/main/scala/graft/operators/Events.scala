@@ -161,8 +161,14 @@ object Events extends QueryModule {
     */
   val rateAnomaly: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // date_trunc floors toward -inf (matching DuckDB's `//` floor
+    // division) where a bare `unix_micros(ts) div 3.6e9` truncates toward
+    // zero — pre-epoch timestamps would land in different hour buckets.
+    // The truncated micros are an exact multiple of the divisor, so the
+    // remaining div is exact, not a rounding.
     val hourly = Tables.events(s, d)
-      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hr"))
       .groupBy("hr").agg(count(lit(1)).as("n"))
     val w = Window.orderBy("hr").rangeBetween(-24, -1)
     val stats = hourly

@@ -70,18 +70,25 @@ object Multimodal extends QueryModule {
   private val samplesPerDoc = 4
 
   /** q130 — uniform FRAME SAMPLING (STUB): the video-preprocessing shape —
-    * each payload is treated as a sequence of [[frameBytes]]-byte frames
+    * each payload is treated as a sequence of [[frameBytes]]-BYTE frames
     * and [[samplesPerDoc]] frames are selected at uniform temporal
     * positions (idx_j = j·n/4 — the standard uniform clip sampler),
     * decoded per frame by the same partition-parallel typed mapPartitions
     * plumbing as q35. Output is one row per SAMPLED frame (doc_id,
     * frame_idx, per-frame digest + fake luma) — linear in documents ×
     * samples, never in total frames, which is the property that matters
-    * when the payload is an hour of video. The "decode" is the declared
-    * stub (digest + byte-sum over the frame slice — ASCII fixture text
-    * keeps byte values = code points, so the DuckDB oracle reproduces it
-    * exactly); a real cv/ffmpeg frame extractor drops into the same
-    * iterator without touching the plan.
+    * when the payload is an hour of video.
+    *
+    * Framing is over the UTF-8 BYTE stream (`getBytes`, sliced as a byte
+    * array), never the char sequence — a real payload is binary, and the
+    * oracle frames the same stream via `hex(encode(text))` 2-chars-per-
+    * byte, so parity holds for ANY fixture content, not just ASCII. The
+    * "decode" is the declared stub: frame digest = md5 of the frame's
+    * UPPERCASE-hex encoding (an ASCII string both engines hash
+    * identically — DuckDB's md5 takes VARCHAR only, so hashing raw bytes
+    * that may not be valid UTF-8 is inexpressible there), luma = unsigned
+    * byte sum mod 256. A real cv/ffmpeg frame extractor drops into the
+    * same iterator without touching the plan.
     */
   val frameSampleStub: Q = (s, d) => {
     import s.implicits._
@@ -89,19 +96,20 @@ object Multimodal extends QueryModule {
       .as[(Long, String)].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val n = (text.length + frameBytes - 1) / frameBytes
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = (bytes.length + frameBytes - 1) / frameBytes
           val picks = (0 until samplesPerDoc).map(j => j * n / samplesPerDoc)
             .distinct.filter(_ < n)
           picks.map { idx =>
-            val frame = text.substring(idx * frameBytes,
-              math.min((idx + 1) * frameBytes, text.length))
+            val frame = java.util.Arrays.copyOfRange(bytes,
+              idx * frameBytes,
+              math.min((idx + 1) * frameBytes, bytes.length))
+            val frameHex = frame.map("%02X".format(_)).mkString
             md.reset()
-            val hex = md.digest(frame
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = md.digest(frameHex
+                .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
               .map("%02x".format(_)).mkString
-            val luma = frame
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              .foldLeft(0L)(_ + _) % 256
+            val luma = frame.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256
             FrameSample(id, idx, n, hex.substring(0, 16), luma.toInt)
           }
         }
@@ -115,8 +123,8 @@ object Multimodal extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q130_frame_sample" ->
-      s"""WITH f AS (SELECT doc_id, text,
-         |    CAST((octet_length(text::BLOB) + ${frameBytes - 1}) // $frameBytes
+      s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST((octet_length(encode(text)) + ${frameBytes - 1}) // $frameBytes
          |      AS INT) AS n_frames
          |  FROM documents),
          |idx AS (SELECT DISTINCT doc_id, n_frames,
@@ -124,13 +132,17 @@ object Multimodal extends QueryModule {
          |  FROM f, (SELECT unnest(range(0, $samplesPerDoc)) AS j) js
          |  WHERE j * n_frames // $samplesPerDoc < n_frames),
          |fr AS (SELECT i.doc_id, i.frame_idx, i.n_frames,
-         |    substring(f.text, i.frame_idx * $frameBytes + 1, $frameBytes)
-         |      AS frame
+         |    substring(f.hx, i.frame_idx * ${frameBytes * 2} + 1,
+         |      ${frameBytes * 2}) AS fhx
          |  FROM idx i JOIN f ON i.doc_id = f.doc_id)
          |SELECT doc_id, frame_idx, n_frames,
-         |  substring(md5(frame), 1, 16) AS frame_md5,
-         |  CAST(list_sum(list_transform(string_split(frame, ''),
-         |    c -> CAST(ascii(c) AS BIGINT))) % 256 AS INT) AS luma
+         |  substring(md5(fhx), 1, 16) AS frame_md5,
+         |  CAST(list_sum(list_transform(range(0, length(fhx) // 2),
+         |    i -> (strpos('0123456789ABCDEF',
+         |            substring(fhx, CAST(i*2+1 AS INT), 1)) - 1) * 16
+         |       + (strpos('0123456789ABCDEF',
+         |            substring(fhx, CAST(i*2+2 AS INT), 1)) - 1)))
+         |    % 256 AS INT) AS luma
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "q35_multimodal_decode" ->
       """SELECT doc_id,

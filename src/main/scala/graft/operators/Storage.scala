@@ -186,8 +186,14 @@ object Storage extends QueryModule {
     val dataDir = s"$root/data"
     val o = Tables.orders(s, d)
     def snapshot(v: Int): Unit = {
-      val files = new java.io.File(dataDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      // Hadoop FileSystem API, not java.io.File — the manifest writer must
+      // list whatever filesystem the table lives on (HDFS/S3/local alike),
+      // same as Memo's existence probe.
+      val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = dataPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(dataPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
       files.toDF("path").write.mode("overwrite").parquet(s"$root/manifests/v$v")
     }
     o.filter(col("o_orderdate") < "1997-01-01")

@@ -309,8 +309,12 @@ object StreamingJobs extends QueryModule {
     val root = fixedRoot.getOrElse(graft.Scratch.dir("graft_stream_upsert"))
     val src = s"$root/src"
     // idempotent restart contract: with a fixed root the source is staged
-    // once and the checkpoint survives — a re-run must replay ZERO batches
-    if (!new java.io.File(src).exists())
+    // once and the checkpoint survives — a re-run must replay ZERO batches.
+    // Hadoop FileSystem, not java.io.File: state/source dirs live on
+    // whatever FS the job runs against (HDFS/S3/local alike).
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(src)))
       Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema // ts already µs timestamps
     val stream = s.readStream.schema(schema)
@@ -325,11 +329,12 @@ object StreamingJobs extends QueryModule {
     // directory listing — a restarted job resumes from it, and a re-run
     // whose checkpoint says "all files processed" publishes nothing new
     var current: Option[String] = {
-      val fs = new java.io.File(root).listFiles()
-      Option(fs).flatMap(_.filter(f =>
-          f.isDirectory && f.getName.startsWith("state_v"))
-        .sortBy(_.getName.stripPrefix("state_v").toLong)
-        .lastOption.map(_.getAbsolutePath))
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      if (!hfs.exists(rootPath)) None
+      else hfs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("state_v"))
+        .sortBy(_.getPath.getName.stripPrefix("state_v").toLong)
+        .lastOption.map(_.getPath.toString)
     }
     var batches = 0L
     graft.withShufflePartitions(s, statePartitions) {

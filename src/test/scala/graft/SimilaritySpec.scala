@@ -58,6 +58,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!unsorted.queryExecution.optimizedPlan.toString
       .contains("sorted_intersect_size"), "rule must not fire on unsorted input")
     assert(unsorted.collect().map(_.getInt(0)).toSeq === expected)
+    // a CUSTOM comparator still pattern-matches ArraySort(ArrayDistinct(_))
+    // syntactically — a descending sort would make the merge walk
+    // undercount, so the comparator guard must keep the rule off
+    val cmp = "(l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END"
+    val customSort = df.select(
+      expr("size(array_intersect(" +
+        s"array_sort(array_distinct(a), $cmp), " +
+        s"array_sort(array_distinct(b), $cmp)))").as("n"))
+    assert(!customSort.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_size"),
+      "rule must not fire on a custom-comparator sort")
+    assert(customSort.collect().map(_.getInt(0)).toSeq === expected)
+  }
+
+  test("SortedIntersectSize nullability derives from its children") {
+    // the rewrite must not WIDEN the analyzed schema: sequence() yields
+    // non-null arrays, so the rewritten size(...) stays non-nullable
+    val df = spark.range(1, 5).select(
+      expr("array_sort(array_distinct(sequence(1L, id)))").as("a"),
+      expr("array_sort(array_distinct(sequence(1L, id + 1)))").as("b"))
+    val out = df.select(expr("size(array_intersect(a, b))").as("n"))
+    assert(out.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_size"), "precondition: rule fired")
+    assert(!out.queryExecution.optimizedPlan.output.head.nullable,
+      "non-null children must yield a non-nullable intersect size")
   }
 
   test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
