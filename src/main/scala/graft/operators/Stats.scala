@@ -174,6 +174,75 @@ object Stats extends QueryModule {
         expr(s"CAST((b99 + 1) * $qsHi div $qsBins AS BIGINT)").as("est_p99"))
   }
 
+  private[graft] val rkK = 1024
+
+  /** Hash-ordered bottom-k: the rank sketch's one primitive, exposed for
+    * the merge-identity spec. `orderBy(hash).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps its local k smallest
+    * hashes and only those survive to the final merge, so the "sort" never
+    * touches more than k rows per partition regardless of input size.
+    */
+  private[graft] def bottomK(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    // (hh, v) total order: fixtures DO repeat the identity key (sf0.1
+    // carries 118k duplicated pairs), so a bare hash order would let the
+    // LIMIT boundary cut a tie group and each engine pick a different
+    // row's value — the value tiebreak makes the cut deterministic, and
+    // rows equal in BOTH are interchangeable by construction
+    df.orderBy("hh", "v").limit(rkK)
+
+  /** q132 — mergeable RANK sketch: quantiles with rank-space error, the
+    * upgrade of q110's equi-width bins (whose error lives in VALUE space
+    * and needs the domain known up front — useless on a skewed or unknown
+    * 100 TB column). Construction: every row gets a deterministic uniform
+    * hash of its IDENTITY (md5 of the orderkey/linenumber primary key —
+    * duplicates of the same value stay distinct sample units); the sketch
+    * is the k = 1024 rows with the smallest hashes (bottom-k / KMV), and
+    * quantile q is read off the sample's order statistics at rank
+    * ceil(q·m) in exact integer arithmetic.
+    *
+    * Why bottom-k rather than a literal KLL compactor chain: KLL's
+    * coin-flip compactions make the sketch content a function of both
+    * randomness and arrival order — irreproducible in a declarative
+    * oracle and only mergeable up to distribution. Bottom-k over a fixed
+    * hash IS a deterministic compaction (keep the k smallest — applied
+    * recursively it is its own merge rule) with the three properties the
+    * engine actually needs at 100 TB: EXACT merge identity
+    * (bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) — associative,
+    * commutative, idempotent, proven in AnalyticsSpec rather than held
+    * w.h.p.), a fixed k-row footprint, and the same O(√(q(1−q)/k))
+    * rank-error envelope a uniform sample gives (the hash plays the
+    * uniform draw; AnalyticsSpec bounds the realized rank error against
+    * the exact order statistics). DuckDB replays the whole construction
+    * as ORDER BY hash LIMIT k.
+    *
+    * Scale shape: one TakeOrderedAndProject (per-partition top-k, k rows
+    * per partition to the merge), one 1024-row local window for the
+    * sample ranks — the window is over the SKETCH, not the data, same
+    * discipline as q110's 256-bin cumsum. The exact n_total count rides
+    * along as the denominator (one map-side-combining agg, also the
+    * audit q110 carries).
+    */
+  val rankSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(s, d).select(
+      col("l_extendedprice").as("v"),
+      md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("hh"))
+    val samp = bottomK(rows).select("v")
+    val tot = Tables.lineitem(s, d).agg(count(lit(1)).as("n_total"))
+    val ranked = samp.withColumn("r",
+      row_number().over(Window.orderBy("v")).cast("long"))
+    // ceil(q·m) as (a·m + a) div b — positive operands, so Spark's
+    // truncating div and DuckDB's floor `//` agree
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("m", least(lit(rkK.toLong), col("n_total")))
+      .agg(
+        max("n_total").as("n_total"),
+        min(when(col("r") === expr("(m + 1) div 2"), col("v"))).as("est_p50"),
+        min(when(col("r") === expr("(m * 9 + 9) div 10"), col("v"))).as("est_p90"),
+        min(when(col("r") === expr("(m * 99 + 99) div 100"), col("v"))).as("est_p99"))
+  }
+
   /** q118 — GROUPED HyperLogLog: distinct users per event_type, each group
     * carrying its own m=64 register bank (q105 is the global form). This is
     * the shape that actually replaces `GROUP BY k, count(DISTINCT u)` at
@@ -340,6 +409,7 @@ object Stats extends QueryModule {
     "q105_hll_distinct" -> hllDistinct,
     "q110_quantile_sketch" -> quantileSketch,
     "q118_grouped_hll" -> groupedHll,
+    "q132_rank_sketch" -> rankSketch,
     "q119_join_cardinality" -> joinCardinality,
     "q122_hll_rollup" -> hllRollup,
     "q126_hll_native" -> hllNative)
@@ -393,6 +463,19 @@ object Stats extends QueryModule {
         |  CAST((b90 + 1) * 110000 // 256 AS BIGINT) AS est_p90,
         |  CAST((b99 + 1) * 110000 // 256 AS BIGINT) AS est_p99
         |FROM sel""".stripMargin,
+    "q132_rank_sketch" ->
+      s"""WITH h AS (SELECT l_extendedprice AS v,
+         |    md5(concat_ws('_', l_orderkey, l_linenumber)) AS hh
+         |  FROM lineitem),
+         |samp AS (SELECT v FROM h ORDER BY hh, v LIMIT $rkK),
+         |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM samp),
+         |tot AS (SELECT count(*) AS n_total FROM lineitem),
+         |mm AS (SELECT least($rkK, n_total) AS m, n_total FROM tot)
+         |SELECT max(mm.n_total) AS n_total,
+         |  min(CASE WHEN r = (mm.m + 1) // 2 THEN v END) AS est_p50,
+         |  min(CASE WHEN r = (mm.m * 9 + 9) // 10 THEN v END) AS est_p90,
+         |  min(CASE WHEN r = (mm.m * 99 + 99) // 100 THEN v END) AS est_p99
+         |FROM ranked CROSS JOIN mm""".stripMargin,
     "q126_hll_native" ->
       """WITH h AS (
         |  SELECT

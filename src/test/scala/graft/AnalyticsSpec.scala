@@ -219,6 +219,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(e50 <= e90 && e90 <= e99)
   }
 
+  test("q132 rank sketch: rank-space error within the k=1024 sampling envelope") {
+    val r = q("q132_rank_sketch").collect()
+    assert(r.length == 1)
+    val n = r(0).getLong(0)
+    val (e50, e90, e99) = (r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(n > 0)
+    assert(e50 <= e90 && e90 <= e99)
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"))
+    // realized rank of each estimate vs its target quantile: the whole
+    // point of a RANK sketch — the guarantee is in rank space, with no
+    // dependence on the value distribution (q110's bins bound value
+    // error instead and need the domain up front)
+    for ((est, qt, sigma) <- Seq(
+        (e50, 0.5, 0.0157), (e90, 0.9, 0.0094), (e99, 0.99, 0.0032))) {
+      val rank = vals.filter(col("v") <= est).count().toDouble / n
+      // 5 sigma of the binomial envelope sqrt(q(1-q)/k); the hash draw is
+      // deterministic, so once green this can never flake
+      assert(math.abs(rank - qt) <= 5 * sigma,
+        s"q=$qt est=$est realized rank=$rank")
+    }
+  }
+
+  test("q132 bottom-k merge is exact: split-union-recompact equals the direct sketch") {
+    import graft.operators.Stats
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet").select(
+      col("l_extendedprice").as("v"),
+      md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("hh"))
+    val direct = Stats.bottomK(rows).collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    // three disjoint "executor partials", each compacted to k rows, then
+    // merged by recompacting the union — bottom-k is its own merge rule
+    val parts = (0 until 3).map(i =>
+      Stats.bottomK(rows.filter(pmod(crc32(col("hh")), lit(3)) === i)))
+    val merged = Stats.bottomK(parts.reduce(_ unionByName _)).collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(merged === direct, "merge of partials must equal the one-shot sketch")
+    assert(direct.size === math.min(graft.operators.Stats.rkK,
+      rows.count()).toInt)
+  }
+
   test("q111 funnel stages are monotonically non-increasing") {
     val r = q("q111_funnel").collect()
     assert(r.length == 1)

@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q132 bottom-k compaction plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q132_rank_sketch")
+    // per-partition top-k then merge — k rows per partition cross the
+    // exchange, never the table
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q01 scan pushes the shipdate filter and prunes to the 6 needed columns") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
