@@ -185,15 +185,34 @@ object Relational extends QueryModule {
     * §2.4 W1) with the *intended* semantics: a trailing 3-month window over
     * the monthly series (the reference's partitionBy(year,month) makes every
     * partition a single row — documented divergence, SURVEY.md §2.4).
-    * The unpartitioned window is safe: it runs on the ~dozens-of-rows
-    * monthly aggregate, not on raw data.
+    *
+    * Partitioned by YEAR with a 2-row halo: each year's last two observed
+    * months are replicated into the next year's partition (picked by
+    * row_number, so within-year sparsity can't desynchronize the trailing
+    * rows-frame from the unpartitioned formulation), the frame is computed
+    * per partition, and the helper rows are dropped. A decades-long series
+    * therefore never serializes into one WindowExec partition — the
+    * halo-exchange formulation SURVEY §2.4 names as the scale variant.
+    * Bound: the frame reaches back 2 rows, so a halo of 2 is exact
+    * whenever consecutive years in the series are adjacent (an entirely
+    * observation-free YEAR would reset the frame — impossible here, and
+    * a wider halo is the general fix).
     */
   val movingAvg: Q = (s, d) => {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("y", "m").rowsBetween(-2, 0)
-    monthly.withColumn("mavg", avg("cnt").over(w)).orderBy("y", "m")
+    val lastTwo = Window.partitionBy("y").orderBy(col("m").desc)
+    val halo = monthly.withColumn("rn", row_number().over(lastTwo))
+      .filter(col("rn") <= 2).drop("rn")
+      .withColumn("py", col("y") + 1).withColumn("helper", lit(true))
+    val own = monthly.withColumn("py", col("y")).withColumn("helper", lit(false))
+    val w = Window.partitionBy("py").orderBy("y", "m").rowsBetween(-2, 0)
+    own.unionByName(halo)
+      .withColumn("mavg", avg("cnt").over(w))
+      .filter(!col("helper"))
+      .select(col("y"), col("m"), col("cnt"), col("mavg"))
+      .orderBy("y", "m")
   }
 
   /** q17 — top-k per group via row_number, the dual formulation of q11's
@@ -345,7 +364,10 @@ object Relational extends QueryModule {
     * `last(ignoreNulls)` over an unbounded-preceding frame. The spine join
     * is a broadcast (a date spine is bounded by the time range, not the
     * data volume) and the fill is one window pass — the canonical
-    * resampling shape for feature pipelines.
+    * resampling shape for feature pipelines. The unpartitioned fill
+    * window runs over the daily SPINE, never the events — wall-clock-
+    * bounded (a decade is 3,653 rows); an unbounded span would partition
+    * by year with q16's halo trick.
     */
   val gapFill: Q = (s, d) => {
     val daily = Tables.events(s, d)
@@ -390,7 +412,10 @@ object Relational extends QueryModule {
     * the ORDER-BY value axis, so gaps in the series shrink the window
     * instead of silently widening it like a rows frame would. Ordered on
     * integer days-since-epoch with rangeBetween(-6, 0); one shuffle to
-    * the (coarse) day grain, one window pass.
+    * the (coarse) day grain, one window pass. The unpartitioned window
+    * runs over the daily SERIES, never the events — wall-clock-bounded
+    * (a decade is 3,653 rows); an unbounded span would partition by year
+    * with a 6-day halo, q16's pattern.
     */
   val trailing7d: Q = (s, d) => {
     val daily = Tables.events(s, d)
@@ -421,10 +446,11 @@ object Relational extends QueryModule {
 
   /** q57 — lag/lead analytics over the monthly series: month-over-month
     * delta and percent change, next month's count, and revenue quartile
-    * via ntile. The window runs over the ~dozens-of-rows monthly
-    * aggregate, never over raw rows (same posture as q16); at scale,
-    * partition the window by a coarser key (year) if the series itself
-    * grows unbounded.
+    * via ntile. The window runs over the monthly SERIES, never raw rows —
+    * wall-clock-bounded (a century is 1,200 rows). lag/lead would take
+    * q16's year-partitioned halo if the series grew unbounded; the ntile
+    * quartile is a GLOBAL rank over the series by definition and stays
+    * series-sized with it.
     */
   val monthOverMonth: Q = (s, d) => {
     val monthly = Tables.orders(s, d)

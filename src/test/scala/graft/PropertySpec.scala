@@ -128,6 +128,37 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, s"prefix-join completeness law: $r")
   }
 
+  test("hll hash-family law: native hll_registers equals the Column bank on ANY keys") {
+    // q126 shares q105's DuckDB oracle ONLY because the two formulations
+    // hash identically — this is the mutation pin: change the md5
+    // bucket/rank family in either HllAgg or the Column formulation and
+    // some random key lands in a different register, breaking the pair
+    // loudly instead of silently forking the sketches.
+    val keyGen: Gen[List[String]] = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.choose(0L, Long.MaxValue).map(_.toString),
+      Gen.identifier.map(_.take(8))))
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p, Prop.forAll(keyGen) { keys =>
+      val df = keys.toDF("k")
+      val colBank = {
+        val got = df.select(
+            pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+              lit(64L)).as("bucket"),
+            conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+          .withColumn("rho", when(col("w") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("w")))))
+          .groupBy("bucket").agg(max("rho").as("m"))
+          .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+        (0 until 64).map(got.getOrElse(_, 0))
+      }
+      val native = df.agg(call_function("hll_registers", col("k")))
+        .head().getSeq[Int](0)
+      native == colBank
+    })
+    assert(r.passed, s"hll hash-family identity: $r")
+  }
+
   test("salted join result equals the plain join result") {
     val factGen = Gen.listOfN(30, for {
       k <- Gen.choose(1, 5); v <- Gen.choose(0, 100)
