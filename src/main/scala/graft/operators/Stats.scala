@@ -243,6 +243,47 @@ object Stats extends QueryModule {
         min(when(col("r") === expr("(m * 99 + 99) div 100"), col("v"))).as("est_p99"))
   }
 
+  private val grkK = 256
+
+  /** q133 — GROUPED rank sketch: per-language n_chars quantiles via a
+    * per-group bottom-k (q132 is the global form; this is the keyed shape
+    * that replaces `GROUP BY k, percentile(v, ..)` at 100 TB — exact
+    * grouped percentiles hold every group's values, this holds k = 256
+    * hash-chosen rows per group, fixed footprint whatever the group
+    * sizes). Same deterministic identity-hash draw and (hash, value)
+    * total order as q132, so every property carries over: exact merge
+    * identity per group, rank-space error √(q(1−q)/k), oracle-replayable.
+    *
+    * Scale shape: the per-group bottom-k is a `row_number ≤ k` filter
+    * that Spark's WindowGroupLimit pushes BELOW the shuffle (PlanSpec
+    * pins it) — each map partition forwards at most k rows per group,
+    * the same discipline TopK's aggregator (q58) buys, expressed in the
+    * window formulation. The quantile read then runs over ≤ k rows per
+    * group, and the exact group count rides along from one map-side-
+    * combining aggregate.
+    */
+  val groupedRankSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.documents(s, d).select(
+      col("lang"),
+      col("n_chars").cast("long").as("v"),
+      md5(concat_ws("_", col("lang"), col("doc_id"))).as("hh"))
+    val samp = rows
+      .withColumn("sn", row_number().over(Window.partitionBy("lang").orderBy("hh", "v")))
+      .filter(col("sn") <= grkK)
+    val ranked = samp.select(col("lang"), col("v"))
+      .withColumn("r",
+        row_number().over(Window.partitionBy("lang").orderBy("v")).cast("long"))
+    val sizes = rows.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    ranked.join(broadcast(sizes), "lang")
+      .withColumn("m", least(lit(grkK.toLong), col("n_docs")))
+      .groupBy("lang").agg(
+        max("n_docs").as("n_docs"),
+        min(when(col("r") === expr("(m + 1) div 2"), col("v"))).as("est_p50"),
+        min(when(col("r") === expr("(m * 9 + 9) div 10"), col("v"))).as("est_p90"))
+      .orderBy("lang")
+  }
+
   /** q118 — GROUPED HyperLogLog: distinct users per event_type, each group
     * carrying its own m=64 register bank (q105 is the global form). This is
     * the shape that actually replaces `GROUP BY k, count(DISTINCT u)` at
@@ -410,6 +451,7 @@ object Stats extends QueryModule {
     "q110_quantile_sketch" -> quantileSketch,
     "q118_grouped_hll" -> groupedHll,
     "q132_rank_sketch" -> rankSketch,
+    "q133_grouped_rank_sketch" -> groupedRankSketch,
     "q119_join_cardinality" -> joinCardinality,
     "q122_hll_rollup" -> hllRollup,
     "q126_hll_native" -> hllNative)
@@ -476,6 +518,25 @@ object Stats extends QueryModule {
          |  min(CASE WHEN r = (mm.m * 9 + 9) // 10 THEN v END) AS est_p90,
          |  min(CASE WHEN r = (mm.m * 99 + 99) // 100 THEN v END) AS est_p99
          |FROM ranked CROSS JOIN mm""".stripMargin,
+    "q133_grouped_rank_sketch" ->
+      s"""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         |    md5(concat_ws('_', lang, doc_id)) AS hh
+         |  FROM documents),
+         |samp AS (SELECT lang, v FROM (
+         |    SELECT lang, v,
+         |      row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS sn
+         |    FROM h) WHERE sn <= $grkK),
+         |ranked AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS r
+         |  FROM samp),
+         |sizes AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |j AS (SELECT r.lang, r.v, r.r, s.n_docs,
+         |    least($grkK, s.n_docs) AS m
+         |  FROM ranked r JOIN sizes s ON r.lang = s.lang)
+         |SELECT lang, max(n_docs) AS n_docs,
+         |  min(CASE WHEN r = (m + 1) // 2 THEN v END) AS est_p50,
+         |  min(CASE WHEN r = (m * 9 + 9) // 10 THEN v END) AS est_p90
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "q126_hll_native" ->
       """WITH h AS (
         |  SELECT

@@ -211,6 +211,105 @@ object Storage extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q134 — manifest-based TIME TRAVEL: q124's snapshot machinery read at
+    * an ARBITRARY past version. Three batch appends each snapshot a
+    * manifest; the consumer reads AS OF v2 — the middle version, not
+    * merely the previous one — by scanning exactly the files manifest v2
+    * lists. "What did the table say then" without a copy of the data:
+    * versions share their unchanged files, the bill every table format
+    * (Iceberg snapshot reads, Delta VERSION AS OF) sells. The manifest
+    * is metadata — bounded by file count — and the oracle checks
+    * version math ≡ the first two batches' logical predicate.
+    */
+  val timeTravel: Q = (s, d) => timeTravelRun(s, d)._1
+
+  /** The q134 body, returning the live data dir too so StorageSpec can
+    * assert the version isolation lives in the manifest, not the layout. */
+  private[graft] def timeTravelRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, String) = {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft_timetravel")
+    val dataDir = s"$root/data"
+    val o = Tables.orders(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def snapshot(v: Int): Unit = {
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      files.toDF("path").write.mode("overwrite").parquet(s"$root/manifests/v$v")
+    }
+    o.filter(col("o_orderdate") < "1996-01-01")
+      .write.mode("overwrite").parquet(dataDir)
+    snapshot(1)
+    o.filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .write.mode("append").parquet(dataDir)
+    snapshot(2)
+    o.filter(col("o_orderdate") >= "1997-01-01")
+      .write.mode("append").parquet(dataDir)
+    snapshot(3)
+    // AS OF v2: the live dir now holds all three batches; the version's
+    // file list IS the isolation (metadata-bounded collect, as q124)
+    val asOf = s.read.parquet(s"$root/manifests/v2")
+      .collect().map(_.getString(0)).sorted
+    val out = s.read.parquet(asOf: _*)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+    (out, dataDir)
+  }
+
+  /** q135 — per-file ZONE-MAP file skipping: the min/max column-stats
+    * pruning every table format performs at scan planning (Iceberg
+    * manifests' per-file column bounds, Delta file stats), made explicit
+    * on plain parquet. The table is written range-clustered on the probe
+    * column (8 files via repartitionByRange), a stats TABLE of per-file
+    * min/max is derived (one aggregate keyed on `_metadata.file_path` —
+    * file count rows, metadata-sized), and the consumer intersects the
+    * query interval with each file's span to read ONLY overlapping files
+    * — a narrow date probe of a 100 TB table opens the files whose zone
+    * intersects, never the table. The residual row filter still applies
+    * (a zone map prunes, it never filters); StorageSpec pins that the
+    * plan really skips files.
+    */
+  val zoneMapSkip: Q = (s, d) => zoneMapRun(s, d)._1
+
+  /** The q135 body, returning the clustered data dir too so StorageSpec
+    * can audit the planner-side stats the operator prunes with. */
+  private[graft] def zoneMapRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, String) = {
+    val root = graft.Scratch.dir("graft_zonemap")
+    val dataDir = s"$root/data"
+    Tables.orders(s, d)
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(dataDir)
+    val stats = s.read.parquet(dataDir)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+    val (qlo, qhi) = ("1995-06-01", "1996-06-01")
+    // metadata-bounded collect: one row per FILE (zone maps live on the
+    // planner, exactly like Iceberg's stats-based scan pruning)
+    val files = stats
+      .filter(col("hi") >= qlo && col("lo") <= qhi)
+      .collect().map(_.getString(0)).sorted
+    val out = s.read.parquet(files: _*)
+      .filter(col("o_orderdate") >= qlo && col("o_orderdate") <= qhi)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+    (out, dataDir)
+  }
+
+  /** The zone-map stats table and the pruned file list for the probe
+    * interval — exposed so StorageSpec can assert real skipping. */
+  private[graft] def zoneMapPlan(s: org.apache.spark.sql.SparkSession,
+      dataDir: String, qlo: String, qhi: String): (Long, Long) = {
+    val stats = s.read.parquet(dataDir)
+      .groupBy(col("_metadata.file_path").as("path"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+    (stats.count(), stats.filter(col("hi") >= qlo && col("lo") <= qhi).count())
+  }
+
   /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
     * jsonl, read back with the schema passed in (never inferred — schema
     * inference is a full extra pass over 100 TB), aggregated per lang.
@@ -442,6 +541,8 @@ object Storage extends QueryModule {
     "q67_partition_prune" -> partitionPrune,
     "q121_dynamic_prune" -> dynamicPrune,
     "q124_incremental_read" -> incrementalRead,
+    "q134_time_travel" -> timeTravel,
+    "q135_zonemap_skip" -> zoneMapSkip,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
     "q93_csv_roundtrip" -> csvRoundtrip,
@@ -494,6 +595,19 @@ object Storage extends QueryModule {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate >= '1997-01-01'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // version-2 manifest math must equal the first two batches' predicate
+    "q134_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // zone-map pruning + residual filter ≡ the plain interval predicate
+    "q135_zonemap_skip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= '1995-06-01' AND o_orderdate <= '1996-06-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // join against the closed-status dim ≡ an IN filter on the fact
     "q121_dynamic_prune" ->

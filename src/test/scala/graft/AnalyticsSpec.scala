@@ -242,6 +242,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q133 grouped rank sketch: per-group rank error within the k=256 envelope") {
+    val rows = q("q133_grouped_rank_sketch").collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("n_chars").cast("long").as("v"))
+    rows.foreach { row =>
+      val (lang, n) = (row.getString(0), row.getLong(1))
+      val (e50, e90) = (row.getLong(2), row.getLong(3))
+      assert(e50 <= e90, s"$lang p50 > p90")
+      val group = docs.filter(col("lang") === lang)
+      assert(group.count() === n)
+      // a group smaller than k holds ALL its values, so resolution is 1/m
+      val m = math.min(n, 256L).toDouble
+      for ((est, qt) <- Seq(e50 -> 0.5, e90 -> 0.9)) {
+        val rank = group.filter(col("v") <= est).count().toDouble / n
+        val bound = math.max(5 * math.sqrt(qt * (1 - qt) / m), 2.0 / m)
+        assert(math.abs(rank - qt) <= bound,
+          s"$lang q=$qt est=$est realized rank=$rank bound=$bound")
+      }
+    }
+  }
+
   test("q132 bottom-k merge is exact: split-union-recompact equals the direct sketch") {
     import graft.operators.Stats
     val rows = spark.read.parquet(s"$sf/lineitem.parquet").select(

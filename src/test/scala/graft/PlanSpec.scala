@@ -225,7 +225,7 @@ class PlanSpec extends SparkSpec {
     // row_number()<=k filters must prune per-partition before the shuffle
     // (Spark's WindowGroupLimit), or every window carries all rows.
     for (name <- Seq("q17_topk_per_group", "q47_ivf_ann", "q91_latest_per_key",
-        "q84_source_cap")) {
+        "q84_source_cap", "q133_grouped_rank_sketch")) {
       val p = plan(name)
       assert(p.contains("WindowGroupLimit"), s"$name:\n$p")
     }

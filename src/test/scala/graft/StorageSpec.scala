@@ -25,6 +25,27 @@ class StorageSpec extends SparkSpec {
     assert(withYear > 0 && withYear < n, "only the evolved batch has the column")
   }
 
+  test("q135 zone map genuinely skips files: pruned list is a proper non-empty subset") {
+    val (out, dataDir) = graft.operators.Storage.zoneMapRun(spark, sf)
+    out.collect() // materialize: the layout write happens eagerly anyway
+    val (total, kept) = graft.operators.Storage
+      .zoneMapPlan(spark, dataDir, "1995-06-01", "1996-06-01")
+    assert(total === 8, s"expected the 8 range-clustered files, got $total")
+    assert(kept > 0, "probe interval must intersect at least one file span")
+    assert(kept < total,
+      s"zone map must SKIP files on a narrow probe ($kept of $total read)")
+  }
+
+  test("q134 time travel: version-2 read sees exactly the first two batches") {
+    val (out, dataDir) = graft.operators.Storage.timeTravelRun(spark, sf)
+    val asOfV2 = out.collect().map(_.getLong(1)).sum
+    val o = graft.sources.Tables.orders(spark, sf)
+    assert(asOfV2 === o.filter(col("o_orderdate") < "1997-01-01").count())
+    // and the LIVE dir holds all three batches — the version isolation is
+    // the manifest, not the data layout
+    assert(spark.read.parquet(dataDir).count() === o.count())
+  }
+
   test("z-ordered files keep BOTH clustered columns' per-file spans narrow") {
     val dir = graft.operators.Storage.zorderWrite(spark, sf)
     val spans = spark.read.parquet(dir)
