@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, FloatVecSqNorm, HllRegisters, Simhash16, SortedIntersectSize}
+import graft.functions.{BottomKSorted, FloatVecDot, FloatVecSqNorm, HllRegisters, Simhash16, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "hll_registers(stringKey)")
         HllRegisters(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bottomk_sorted"),
+      new ExpressionInfo(classOf[BottomKSorted].getName, "bottomk_sorted"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bottomk_sorted(stringHash, doubleValue, kLiteral)")
+        require(args(2).foldable, "bottomk_sorted: k must be a literal")
+        val k = args(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => sys.error(s"bottomk_sorted: integer k expected, got $other")
+        }
+        BottomKSorted(args.head, args(1), k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_sqnorm"),

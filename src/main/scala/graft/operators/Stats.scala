@@ -284,6 +284,33 @@ object Stats extends QueryModule {
       .orderBy("lang")
   }
 
+  /** q137 — q133 through the native [[graft.functions.BottomKSorted]]
+    * aggregate instead of the window formulation: ONE hash aggregate whose
+    * partial buffers cap at k per group per map partition and combine
+    * before the exchange, with the exact count riding in the SAME pass
+    * (the window form needs a second aggregate + broadcast join for it).
+    * The q126↔q105 relationship repeated for the rank-sketch family: the
+    * two formulations share this oracle VERBATIM because the (hash, value)
+    * order is bit-identical, and AnalyticsSpec pins sample-level equality
+    * plus partition-count invariance so they can never silently fork.
+    * Quantiles read as `element_at(sample, ceil(q·m))` — no window at all.
+    */
+  val groupedRankNative: Q = (s, d) => {
+    val rows = Tables.documents(s, d).select(
+      col("lang"),
+      col("n_chars").cast("double").as("v"),
+      md5(concat_ws("_", col("lang"), col("doc_id"))).as("hh"))
+    rows.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        call_function("bottomk_sorted", col("hh"), col("v"), lit(grkK)).as("samp"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("samp"), expr("(size(samp) + 1) div 2").cast("int"))
+          .cast("long").as("est_p50"),
+        element_at(col("samp"), expr("(size(samp) * 9 + 9) div 10").cast("int"))
+          .cast("long").as("est_p90"))
+      .orderBy("lang")
+  }
+
   /** q118 — GROUPED HyperLogLog: distinct users per event_type, each group
     * carrying its own m=64 register bank (q105 is the global form). This is
     * the shape that actually replaces `GROUP BY k, count(DISTINCT u)` at
@@ -452,12 +479,35 @@ object Stats extends QueryModule {
     "q118_grouped_hll" -> groupedHll,
     "q132_rank_sketch" -> rankSketch,
     "q133_grouped_rank_sketch" -> groupedRankSketch,
+    "q137_grouped_rank_native" -> groupedRankNative,
     "q119_join_cardinality" -> joinCardinality,
     "q122_hll_rollup" -> hllRollup,
     "q126_hll_native" -> hllNative)
 
   private def duckBucket(j: Int, key: String) =
     s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 8))::BIGINT % $cmsWidth"
+
+  /** Shared by q133 (window formulation) and q137 (native aggregate): the
+    * two plans must answer identically, so they face one oracle. */
+  private val groupedRankOracle =
+    s"""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+       |    md5(concat_ws('_', lang, doc_id)) AS hh
+       |  FROM documents),
+       |samp AS (SELECT lang, v FROM (
+       |    SELECT lang, v,
+       |      row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS sn
+       |    FROM h) WHERE sn <= $grkK),
+       |ranked AS (SELECT lang, v,
+       |    row_number() OVER (PARTITION BY lang ORDER BY v) AS r
+       |  FROM samp),
+       |sizes AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |j AS (SELECT r.lang, r.v, r.r, s.n_docs,
+       |    least($grkK, s.n_docs) AS m
+       |  FROM ranked r JOIN sizes s ON r.lang = s.lang)
+       |SELECT lang, max(n_docs) AS n_docs,
+       |  min(CASE WHEN r = (m + 1) // 2 THEN v END) AS est_p50,
+       |  min(CASE WHEN r = (m * 9 + 9) // 10 THEN v END) AS est_p90
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q80_countmin" -> {
@@ -518,25 +568,10 @@ object Stats extends QueryModule {
          |  min(CASE WHEN r = (mm.m * 9 + 9) // 10 THEN v END) AS est_p90,
          |  min(CASE WHEN r = (mm.m * 99 + 99) // 100 THEN v END) AS est_p99
          |FROM ranked CROSS JOIN mm""".stripMargin,
-    "q133_grouped_rank_sketch" ->
-      s"""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
-         |    md5(concat_ws('_', lang, doc_id)) AS hh
-         |  FROM documents),
-         |samp AS (SELECT lang, v FROM (
-         |    SELECT lang, v,
-         |      row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS sn
-         |    FROM h) WHERE sn <= $grkK),
-         |ranked AS (SELECT lang, v,
-         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS r
-         |  FROM samp),
-         |sizes AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-         |j AS (SELECT r.lang, r.v, r.r, s.n_docs,
-         |    least($grkK, s.n_docs) AS m
-         |  FROM ranked r JOIN sizes s ON r.lang = s.lang)
-         |SELECT lang, max(n_docs) AS n_docs,
-         |  min(CASE WHEN r = (m + 1) // 2 THEN v END) AS est_p50,
-         |  min(CASE WHEN r = (m * 9 + 9) // 10 THEN v END) AS est_p90
-         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    "q133_grouped_rank_sketch" -> groupedRankOracle,
+    // the native aggregate must reproduce the window formulation exactly
+    // (same identity hash, same total order) — one oracle, two plans
+    "q137_grouped_rank_native" -> groupedRankOracle,
     "q126_hll_native" ->
       """WITH h AS (
         |  SELECT

@@ -366,8 +366,85 @@ object StreamingJobs extends QueryModule {
 
   val streamUpsert: Q = (s, d) => upsertRun(s, d)._1
 
+  private val srkK = 64
+
+  /** q136 — STREAMING rank sketch: per-day `value` quantiles maintained
+    * across micro-batches by folding each batch's per-day bottom-k=64
+    * (q132's deterministic hash-ordered compaction) into the prior state
+    * and RECOMPACTING — which is sound precisely because bottom-k under
+    * the (hash, value) total order has EXACT merge identity: the
+    * converged state equals the batch-mode sketch over the whole table no
+    * matter how the stream was cut into micro-batches, so the query
+    * shares q133's oracle shape verbatim. This is the property that makes
+    * the sketch STREAMABLE — a KLL-style randomized compactor would only
+    * agree in distribution, and batch boundaries would leak into the
+    * answer. Per-day exact counts sum-merge alongside (associative, like
+    * q117's latest-per-key). State footprint: ≤ k rows per day plus one
+    * count row per day, whatever the event volume; each micro-batch costs
+    * one keyed window over (state ∪ batch-partial), both already ≤ k per
+    * day. StreamingSpec pins multi-batch folding and stream≡batch sketch
+    * identity.
+    */
+  private[graft] def streamRankRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.Scratch.dir("graft_stream_rank")
+    val src = s"$root/src"
+    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val w = Window.partitionBy("day").orderBy("hh", "v")
+    def compact(df: DataFrame): DataFrame = df
+      .withColumn("sn", row_number().over(w)).filter(col("sn") <= srkK)
+      .drop("sn")
+    var current: Option[String] = None
+    var batches = 0L
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val incoming = batch.select(
+          to_date(col("ts")).as("day"), col("value").as("v"),
+          md5(col("event_id").cast("string")).as("hh"))
+        val incCounts = incoming.groupBy("day").agg(count(lit(1)).as("n"))
+        val (mergedS, mergedC) = current match {
+          case Some(p) =>
+            (compact(s.read.parquet(s"$p/sample")
+               .unionByName(compact(incoming))),
+             s.read.parquet(s"$p/counts").unionByName(incCounts)
+               .groupBy("day").agg(sum("n").as("n")))
+          case None => (compact(incoming), incCounts)
+        }
+        val out = s"$root/state_v$id"
+        mergedS.write.mode("overwrite").parquet(s"$out/sample")
+        mergedC.write.mode("overwrite").parquet(s"$out/counts")
+        current = Some(out)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val state = current.getOrElse(sys.error("stream produced no micro-batches"))
+    val ranked = s.read.parquet(s"$state/sample")
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("day").orderBy("v")).cast("long"))
+    val out = ranked
+      .join(broadcast(s.read.parquet(s"$state/counts")), "day")
+      .withColumn("m", least(lit(srkK.toLong), col("n")))
+      .groupBy("day").agg(
+        max("n").as("n_events"),
+        min(when(col("r") === expr("(m + 1) div 2"), col("v"))).as("est_p50"),
+        min(when(col("r") === expr("(m * 9 + 9) div 10"), col("v"))).as("est_p90"))
+      .orderBy("day")
+    (out, batches)
+  }
+
+  val streamRankSketch: Q = (s, d) => streamRankRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
     "q117_stream_upsert" -> streamUpsert,
+    "q136_stream_rank_sketch" -> streamRankSketch,
     "q39_stream_tumbling" -> streamTumbling,
     "q50_stream_dedup" -> streamDedup,
     "q51_stream_static_join" -> streamStaticJoin,
@@ -375,6 +452,26 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // the converged stream fold IS the batch-mode sketch (exact merge
+    // identity of hash-ordered bottom-k) — the oracle computes it batch
+    "q136_stream_rank_sketch" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day, value AS v,
+        |    md5(CAST(event_id AS VARCHAR)) AS hh
+        |  FROM events),
+        |samp AS (SELECT day, v FROM (
+        |    SELECT day, v,
+        |      row_number() OVER (PARTITION BY day ORDER BY hh, v) AS sn
+        |    FROM h) WHERE sn <= 64),
+        |ranked AS (SELECT day, v,
+        |    row_number() OVER (PARTITION BY day ORDER BY v) AS r
+        |  FROM samp),
+        |sizes AS (SELECT day, count(*) AS n FROM h GROUP BY 1),
+        |j AS (SELECT r.day, r.v, r.r, s.n, least(64, s.n) AS m
+        |  FROM ranked r JOIN sizes s ON r.day = s.day)
+        |SELECT day, max(n) AS n_events,
+        |  min(CASE WHEN r = (m + 1) // 2 THEN v END) AS est_p50,
+        |  min(CASE WHEN r = (m * 9 + 9) // 10 THEN v END) AS est_p90
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
     // the converged upsert state IS the batch latest-per-key (q91's SQL):
     // folding latest() across micro-batches equals latest() over the union
     "q117_stream_upsert" ->

@@ -264,6 +264,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q137 native bottomk_sorted: sample-identical to the window form, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.parquet(s"$sf/documents.parquet").select(
+      col("lang"), col("n_chars").cast("double").as("v"),
+      md5(concat_ws("_", col("lang"), col("doc_id"))).as("hh"))
+    val windowSamples = rows
+      .withColumn("sn",
+        row_number().over(Window.partitionBy("lang").orderBy("hh", "v")))
+      .filter(col("sn") <= 256)
+      .groupBy("lang").agg(sort_array(collect_list("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    def native(parts: Int) = rows.repartition(parts).groupBy("lang")
+      .agg(call_function("bottomk_sorted", col("hh"), col("v"), lit(256)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    // merge must be partition-count-invariant (the exact merge-identity
+    // law), and the buffer must reproduce the window-form sample exactly
+    assert(native(1) === windowSamples)
+    assert(native(8) === windowSamples)
+  }
+
   test("q132 bottom-k merge is exact: split-union-recompact equals the direct sketch") {
     import graft.operators.Stats
     val rows = spark.read.parquet(s"$sf/lineitem.parquet").select(

@@ -122,6 +122,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming rank sketch (q136): multi-batch fold equals the batch-mode sketch exactly") {
+    val (out, batches) = graft.streaming.StreamingJobs.streamRankRun(spark, sf)
+    // 8 staged files at 2 per trigger: the recompaction must actually
+    // fold state across micro-batches, not see everything at once
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val got = out.collect().map(r =>
+      r.getDate(0).toString -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // batch twin computed directly — merge identity makes the micro-batch
+    // boundaries invisible, so equality is EXACT, not approximate
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.sources.Tables.events(spark, sf).select(
+      to_date(col("ts")).as("day"), col("value").as("v"),
+      md5(col("event_id").cast("string")).as("hh"))
+    val samp = h.withColumn("sn",
+        row_number().over(Window.partitionBy("day").orderBy("hh", "v")))
+      .filter(col("sn") <= 64)
+    val ranked = samp.withColumn("r",
+      row_number().over(Window.partitionBy("day").orderBy("v")).cast("long"))
+    val want = ranked
+      .join(h.groupBy("day").agg(count(lit(1)).as("n")), "day")
+      .withColumn("m", least(lit(64L), col("n")))
+      .groupBy("day").agg(
+        max("n").as("n_events"),
+        min(when(col("r") === expr("(m + 1) div 2"), col("v"))).as("p50"),
+        min(when(col("r") === expr("(m * 9 + 9) div 10"), col("v"))).as("p90"))
+      .collect().map(r =>
+        r.getDate(0).toString -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got === want)
+  }
+
   test("foreachBatch upsert (q117): restart from checkpoint replays nothing and keeps the state") {
     val root = java.nio.file.Files.createTempDirectory("graftupsert").toString
     val (state1, batches1) =
