@@ -65,9 +65,94 @@ object Graph extends QueryModule {
     ranks.orderBy(col("pr").desc, col("node")).limit(10)
   }
 
-  def queries: Map[String, Q] = Map("q106_pagerank" -> pageRank)
+  /** q138 — TRIANGLE COUNT + global clustering coefficient over the
+    * part-co-purchase graph (parts linked when they appear in the same
+    * order — the market-basket graph; ~1.2M canonical edges at sf0.1).
+    * Completes the graph trio: connected components (q59/q131) for
+    * structure, PageRank (q106) for importance, triangles for cohesion.
+    *
+    * Scale shape — the MapReduce-classic DEGREE-ORDERED orientation: every
+    * edge points from its lower-(degree, id) endpoint to the higher, each
+    * triangle is counted exactly once at its minimum vertex, and the wedge
+    * join's mass is Σ out-deg(v)² with out-degrees bounded by O(√m) on any
+    * graph (the arboricity argument) — where a naive by-id orientation
+    * lets one popular hub generate deg² wedges. Wedge generation is one
+    * self-equi-join of the staged oriented edges on the pivot; closure is
+    * one equi-join back to the canonical edge list; wedges for the
+    * coefficient come from exact integer degree math, never enumeration.
+    * Everything integer, hash-exact: the oracle counts the same triangles
+    * by the orientation-free canonical u<v<w join — result invariance
+    * between the two formulations is itself part of the check. cc_ppm =
+    * (3·T·10⁶) div wedges, exact integer arithmetic in both engines.
+    */
+  val triangleCount: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val rawEdges = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    // staged: the canonical edge list is scanned three times (orientation,
+    // closure probe, count) — same lineage discipline as the PR edge list
+    val tmpE = graft.Scratch.dir("graft_tri_edges")
+    rawEdges.write.mode("overwrite").parquet(tmpE)
+    val edges = s.read.parquet(tmpE)
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val dir = edges
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+    val tmpD = graft.Scratch.dir("graft_tri_dir")
+    dir.write.mode("overwrite").parquet(tmpD)
+    val staged = s.read.parquet(tmpD)
+    // wedges at the minimum vertex, unordered pair enforced by id; close
+    // against the canonical list (b < c holds because t-ids came from it)
+    val wedgePairs = staged.alias("e1").join(staged.alias("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("wu"), col("e2.t").as("wv"))
+    val closed = wedgePairs.join(edges,
+      col("wu") === col("u") && col("wv") === col("v"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nW = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val nT = closed.agg(count(lit(1)).as("n_triangles"))
+    nV.crossJoin(nE).crossJoin(nW).crossJoin(nT)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div n_wedges").as("cc_ppm"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q106_pagerank" -> pageRank,
+    "q138_triangle_count" -> triangleCount)
 
   def oracles: Map[String, String] = Map(
+    // orientation-free canonical u<v<w count — result invariance between
+    // the degree-oriented plan and this formulation is part of the check
+    "q138_triangle_count" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, count(*) AS dg FROM (
+        |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |agg AS (SELECT count(*) AS n_vertices,
+        |    CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT count(*) AS n_edges FROM edges)
+        |SELECT a.n_vertices, ne.n_edges, a.n_wedges, t.n_triangles,
+        |  (3 * t.n_triangles * 1000000) // a.n_wedges AS cc_ppm
+        |FROM agg a CROSS JOIN ne CROSS JOIN tri t""".stripMargin,
     "q106_pagerank" -> {
       val iterCtes = (1 to iters).map { i =>
         s"""r$i AS (SELECT n.node,

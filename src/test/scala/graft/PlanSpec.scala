@@ -104,6 +104,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q138 triangle wedges and closure are equi-joins — no cartesian on the edge mass") {
+    val p = plan("q138_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the three single-ROW aggregate combines may nest-loop; the
+    // wedge self-join and the closure probe must stay keyed joins
+    assert(count(p, "BroadcastNestedLoopJoin") === 3, p)
+  }
+
   test("q132 bottom-k compaction plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("q132_rank_sketch")
     // per-partition top-k then merge — k rows per partition cross the
