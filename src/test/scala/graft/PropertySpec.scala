@@ -159,6 +159,69 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, s"hll hash-family identity: $r")
   }
 
+  test("bottom-k merge law: split-recompact equals one-shot on ANY rows, ties included") {
+    // random (hash, value) rows WITH duplicates — the law must survive tie
+    // groups cut at the k boundary, which is exactly where q132's (hh, v)
+    // total order earns its keep
+    val rowGen: Gen[List[(String, Double)]] = Gen.listOfN(60, for {
+      h <- Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb", "cc", "dd")
+      v <- Gen.choose(0, 5).map(_.toDouble)
+    } yield (h, v))
+    val k = 16
+    def bottomK(rows: List[(String, Double)]): List[(String, Double)] =
+      rows.sorted.take(k)
+    check(Prop.forAll(rowGen, Gen.choose(2, 4)) { (rows, parts) =>
+      val direct = bottomK(rows)
+      val split = rows.zipWithIndex.groupBy(_._2 % parts).values
+        .map(ch => bottomK(ch.map(_._1)))
+      bottomK(split.flatten.toList) == direct
+    }, "bottom-k merge identity")
+    // and the Spark aggregate implements the same law: driver-side spec
+    // vs bottomk_sorted on the same rows
+    check(Prop.forAll(rowGen) { rows =>
+      val want = bottomK(rows).map(_._2).sorted
+      val got = rows.toDF("hh", "v")
+        .agg(call_function("bottomk_sorted", col("hh"), col("v"), lit(k)))
+        .head().getSeq[Double](0).toList
+      got == want
+    }, "bottomk_sorted vs driver-side spec")
+  }
+
+  test("triangle count law: degree-oriented count equals brute force on ANY graph") {
+    // random small graphs: the oriented wedge-close count (q138's plan)
+    // must equal the O(n^3) brute force whatever the degree distribution
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(30, for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val r = SCTest.check(p, Prop.forAll(edgeGen) { edges =>
+      val adj = edges.toSet
+      val vs = edges.flatMap(e => List(e._1, e._2)).distinct.sorted
+      val brute = (for {
+        i <- vs.indices; j <- (i + 1) until vs.length; l <- (j + 1) until vs.length
+        if adj((vs(i), vs(j))) && adj((vs(j), vs(l))) && adj((vs(i), vs(l)))
+      } yield 1).size
+      // q138's oriented formulation, driver-side: orient by (degree, id),
+      // wedges at the min vertex, close on the canonical list
+      val deg = edges.flatMap(e => List(e._1, e._2)).groupBy(identity)
+        .map { case (x, xs) => x -> xs.size }
+      def key(x: Long) = (deg(x), x)
+      val dir = edges.map { case (u, v) =>
+        if (Ordering[(Int, Long)].lt(key(u), key(v))) (u, v) else (v, u)
+      }
+      val bySrc = dir.groupBy(_._1)
+      val oriented = bySrc.values.map { out =>
+        val ts = out.map(_._2).sorted
+        (for {
+          i <- ts.indices; j <- (i + 1) until ts.length
+          if adj((math.min(ts(i), ts(j)), math.max(ts(i), ts(j))))
+        } yield 1).size
+      }.sum
+      oriented == brute
+    })
+    assert(r.passed, s"triangle orientation law: $r")
+  }
+
   test("salted join result equals the plain join result") {
     val factGen = Gen.listOfN(30, for {
       k <- Gen.choose(1, 5); v <- Gen.choose(0, 100)
