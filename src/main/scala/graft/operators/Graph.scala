@@ -72,17 +72,19 @@ object Graph extends QueryModule {
     * structure, PageRank (q106) for importance, triangles for cohesion.
     *
     * Scale shape — the MapReduce-classic DEGREE-ORDERED orientation: every
-    * edge points from its lower-(degree, id) endpoint to the higher, each
-    * triangle is counted exactly once at its minimum vertex, and the wedge
-    * join's mass is Σ out-deg(v)² with out-degrees bounded by O(√m) on any
-    * graph (the arboricity argument) — where a naive by-id orientation
-    * lets one popular hub generate deg² wedges. Wedge generation is one
-    * self-equi-join of the staged oriented edges on the pivot; closure is
-    * one equi-join back to the canonical edge list; wedges for the
-    * coefficient come from exact integer degree math, never enumeration.
-    * Everything integer, hash-exact: the oracle counts the same triangles
-    * by the orientation-free canonical u<v<w join — result invariance
-    * between the two formulations is itself part of the check. cc_ppm =
+    * edge points from its lower-(degree, id) endpoint to the higher, so
+    * out-degrees are bounded O(√m) on any graph (the arboricity argument)
+    * where a naive by-id orientation lets one popular hub own its full
+    * degree. The count is then the adjacency-intersection form —
+    * T = Σ over oriented edges (u→v) of |N⁺(u) ∩ N⁺(v)|, one native
+    * sorted-merge walk of two degree-bounded out-lists per EDGE (the same
+    * kernel as the dedup verify and q139's posting intersection) — which
+    * replaces wedge-pair materialization (41M rows at sf0.1) with 1.2M
+    * bounded walks; measured median-of-3 at sf0.1: 7.6s → 3.9s. Wedges for the coefficient come
+    * from exact integer degree math, never enumeration. Everything
+    * integer, hash-exact: the oracle counts the same triangles by the
+    * orientation-free canonical u<v<w join — result invariance between
+    * the two formulations is itself part of the check. cc_ppm =
     * (3·T·10⁶) div wedges, exact integer arithmetic in both engines.
     */
   val triangleCount: Q = (s, d) => {
@@ -109,17 +111,26 @@ object Graph extends QueryModule {
     val tmpD = graft.Scratch.dir("graft_tri_dir")
     dir.write.mode("overwrite").parquet(tmpD)
     val staged = s.read.parquet(tmpD)
-    // wedges at the minimum vertex, unordered pair enforced by id; close
-    // against the canonical list (b < c holds because t-ids came from it)
-    val wedgePairs = staged.alias("e1").join(staged.alias("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.t").as("wu"), col("e2.t").as("wv"))
-    val closed = wedgePairs.join(edges,
-      col("wu") === col("u") && col("wv") === col("v"))
+    // adjacency-intersection form: T = Σ over oriented edges (u→v) of
+    // |N⁺(u) ∩ N⁺(v)| — the orientation is acyclic, so triangle a→b→c is
+    // counted exactly once, at edge (a→b) with c in both out-lists. One
+    // merge walk of two degree-bounded sorted lists per EDGE replaces the
+    // wedge-pair materialization (41M rows at sf0.1 → 1.2M walks), and
+    // the walk is the same native kernel the dedup verify and q139's
+    // posting intersection run.
+    val adj = staged.groupBy("s").agg(sort_array(collect_list("t")).as("nbrs"))
+    val perEdge = staged
+      .join(adj.select(col("s").as("ju"), col("nbrs").as("nu")),
+        col("s") === col("ju"))
+      .join(adj.select(col("s").as("jv"), col("nbrs").as("nv")),
+        col("t") === col("jv"), "left") // sink vertices have no out-list
+      .select(coalesce(
+        call_function("sorted_intersect_size", col("nu"), col("nv")),
+        lit(0)).as("c"))
     val nV = deg.agg(count(lit(1)).as("n_vertices"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     val nW = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    val nT = closed.agg(count(lit(1)).as("n_triangles"))
+    val nT = perEdge.agg(sum("c").cast("long").as("n_triangles"))
     nV.crossJoin(nE).crossJoin(nW).crossJoin(nT)
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
