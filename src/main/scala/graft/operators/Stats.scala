@@ -311,6 +311,44 @@ object Stats extends QueryModule {
       .orderBy("lang")
   }
 
+  /** q140 — sketch-THRESHOLDED filter: the per-group rank sketch driving
+    * an actual pipeline decision — each language's p25 of n_chars is read
+    * off the q133 bottom-k sample and documents BELOW their language's
+    * threshold are dropped (the "cut the shortest quartile" quality pass
+    * every corpus pipeline runs, with the threshold coming from a
+    * fixed-footprint sketch instead of an exact hold-all-values
+    * percentile). Output audits the decision: per-language threshold,
+    * total docs, kept docs. Two scans (one to sketch, one to filter) and
+    * a broadcast of the per-group thresholds — the production shape: at
+    * 100 TB the sketch pass is a cheap aggregate and the filter pass is
+    * map-side against broadcast thresholds, no shuffle of the corpus.
+    */
+  val sketchThresholdFilter: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.documents(s, d).select(
+      col("lang"),
+      col("n_chars").cast("long").as("v"),
+      md5(concat_ws("_", col("lang"), col("doc_id"))).as("hh"))
+    val samp = rows
+      .withColumn("sn", row_number().over(Window.partitionBy("lang").orderBy("hh", "v")))
+      .filter(col("sn") <= grkK)
+    val ranked = samp.select(col("lang"), col("v"))
+      .withColumn("r",
+        row_number().over(Window.partitionBy("lang").orderBy("v")).cast("long"))
+    val sizes = rows.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val thresholds = ranked.join(broadcast(sizes), "lang")
+      .withColumn("m", least(lit(grkK.toLong), col("n_docs")))
+      .groupBy("lang").agg(
+        min(when(col("r") === expr("(m + 3) div 4"), col("v"))).as("p25"))
+    Tables.documents(s, d)
+      .join(broadcast(thresholds), "lang")
+      .groupBy("lang").agg(
+        max("p25").as("p25_threshold"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= col("p25"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** q118 — GROUPED HyperLogLog: distinct users per event_type, each group
     * carrying its own m=64 register bank (q105 is the global form). This is
     * the shape that actually replaces `GROUP BY k, count(DISTINCT u)` at
@@ -480,6 +518,7 @@ object Stats extends QueryModule {
     "q132_rank_sketch" -> rankSketch,
     "q133_grouped_rank_sketch" -> groupedRankSketch,
     "q137_grouped_rank_native" -> groupedRankNative,
+    "q140_sketch_threshold" -> sketchThresholdFilter,
     "q119_join_cardinality" -> joinCardinality,
     "q122_hll_rollup" -> hllRollup,
     "q126_hll_native" -> hllNative)
@@ -572,6 +611,27 @@ object Stats extends QueryModule {
     // the native aggregate must reproduce the window formulation exactly
     // (same identity hash, same total order) — one oracle, two plans
     "q137_grouped_rank_native" -> groupedRankOracle,
+    "q140_sketch_threshold" ->
+      s"""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         |    md5(concat_ws('_', lang, doc_id)) AS hh
+         |  FROM documents),
+         |samp AS (SELECT lang, v FROM (
+         |    SELECT lang, v,
+         |      row_number() OVER (PARTITION BY lang ORDER BY hh, v) AS sn
+         |    FROM h) WHERE sn <= $grkK),
+         |ranked AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS r
+         |  FROM samp),
+         |sizes AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |thr AS (SELECT r.lang,
+         |    min(CASE WHEN r.r = (least($grkK, s.n_docs) + 3) // 4
+         |      THEN r.v END) AS p25
+         |  FROM ranked r JOIN sizes s ON r.lang = s.lang GROUP BY 1)
+         |SELECT d.lang, max(t.p25) AS p25_threshold, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN d.n_chars >= t.p25 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM documents d JOIN thr t ON d.lang = t.lang
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q126_hll_native" ->
       """WITH h AS (
         |  SELECT

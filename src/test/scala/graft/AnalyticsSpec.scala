@@ -264,6 +264,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q140 sketch threshold: every group keeps ~75%, within the sketch's rank envelope") {
+    q("q140_sketch_threshold").collect().foreach { r =>
+      val (lang, thr, n, kept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(thr > 0 && kept > 0 && kept <= n)
+      val frac = kept.toDouble / n
+      // threshold = sketch p25 → keep fraction targets 0.75; the k=256
+      // sample's rank error (5σ ≈ 0.135 at q=0.25) plus tie mass at the
+      // threshold value bounds the deviation
+      assert(math.abs(frac - 0.75) < 0.2, s"$lang kept fraction $frac")
+    }
+  }
+
   test("q137 native bottomk_sorted: sample-identical to the window form, partition-invariant") {
     import org.apache.spark.sql.expressions.Window
     val rows = spark.read.parquet(s"$sf/documents.parquet").select(
