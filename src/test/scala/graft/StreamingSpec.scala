@@ -166,6 +166,18 @@ class StreamingSpec extends SparkSpec {
     assert(state2.collect().map(_.toSeq).sortBy(_.toString) === snap1)
   }
 
+  test("streaming rank sketch (q136): restart from checkpoint replays nothing, sketch unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graftstreamrank").toString
+    val (out1, batches1) =
+      graft.streaming.StreamingJobs.streamRankRun(spark, sf, Some(root))
+    assert(batches1 >= 2)
+    val snap1 = out1.collect().map(_.toSeq).sortBy(_.toString)
+    val (out2, batches2) =
+      graft.streaming.StreamingJobs.streamRankRun(spark, sf, Some(root))
+    assert(batches2 === 0L, s"restart replayed $batches2 batches")
+    assert(out2.collect().map(_.toSeq).sortBy(_.toString) === snap1)
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._
