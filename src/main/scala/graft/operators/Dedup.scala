@@ -527,7 +527,67 @@ object Dedup extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** Shingle width for the repeated-passage miner — the "≥ k-token exact
+    * match" knob of substring-level dedup. */
+  private val spanK = 5
+
+  /** q141 — repeated-PASSAGE spans: substring-LEVEL exact dedup, the
+    * operator MinHash cannot express. MinHash (q37) answers "are these
+    * DOCUMENTS near-identical?"; this answers "which PASSAGES inside a
+    * document also occur verbatim elsewhere?" — the boilerplate/quote/
+    * license-header mass that survives doc-level dedup and that
+    * suffix-array pipelines remove span-by-span. Plan, entirely built-in:
+    * (1) one windowed pass builds every [[spanK]]-token shingle per
+    * document (lead() over the position stream — no self-join, and the
+    * doc_id window reuses [[Tables.fanOut]]'s partitioning, so tokenize →
+    * shingle is shuffle-free); (2) one hash aggregate finds shingles seen
+    * in ≥ 2 distinct documents — the linear term, shuffling one row per
+    * shingle; (3) a semi join marks each document's duplicated positions;
+    * (4) gaps-and-islands (break when the next duplicated start is > spanK
+    * positions away, i.e. the covered token ranges neither touch nor
+    * overlap) merges them into MAXIMAL spans. Output is one row per span —
+    * linear in duplicated text, never in pairs of documents containing it.
+    *
+    * At 100 TB the only change is grouping on a 64-bit hash of the shingle
+    * instead of the string (one line; ~16 bytes/shingle through the
+    * exchange instead of the text itself) — collision odds are the
+    * birthday bound on 2^64 and a collision merely widens a span by one
+    * false position. The string form here keeps the DuckDB oracle
+    * byte-identical.
+    */
+  val dupSpans: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = tok.select(col("doc_id"), col("pos"),
+      concat_ws(" ", col("t") +:
+        (1 until spanK).map(i => lead("t", i).over(w)): _*).as("sh"),
+      lead("t", spanK - 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+    val dup = sh.groupBy("sh")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .select("sh")
+    val hits = sh.join(dup, Seq("sh"), "left_semi").select("doc_id", "pos")
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > spanK, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s0"), max("pos").as("s1"), count(lit(1)).as("n_shingles"))
+    spans.select(col("doc_id"),
+      col("s0").cast("int").as("span_start"),
+      (col("s1") + spanK - 1).cast("int").as("span_end"),
+      (col("s1") + spanK - col("s0")).cast("int").as("span_len"),
+      col("n_shingles"))
+      .orderBy("doc_id", "span_start")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
@@ -585,6 +645,40 @@ object Dedup extends QueryModule {
     * mismatches the closure.
     */
   def oracles: Map[String, String] = Map(
+    // same shingle → dup-set → islands chain, re-derived through DuckDB's
+    // window engine; positions are 0-based in both (generate_subscripts
+    // is 1-based, hence the -1)
+    "q141_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, t, pos FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(text, '\\s+'),
+         |        x -> len(x) > 0)) AS t,
+         |      generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+         |        x -> len(x) > 0), 1) - 1 AS pos
+         |    FROM documents)),
+         |sh AS (SELECT doc_id, pos,
+         |    ${(0 until spanK).map(i =>
+              if (i == 0) "t" else s"lead(t, $i) OVER w").mkString(" || ' ' || ")} AS sh,
+         |    lead(t, ${spanK - 1}) OVER w IS NOT NULL AS com
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |shf AS (SELECT doc_id, pos, sh FROM sh WHERE com),
+         |dup AS (SELECT sh FROM shf GROUP BY sh
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM shf WHERE sh IN (SELECT sh FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      > $spanK THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |grps AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         |  CAST(max(pos) + ${spanK - 1} AS INT) AS span_end,
+         |  CAST(max(pos) + $spanK - min(pos) AS INT) AS span_len,
+         |  count(*) AS n_shingles
+         |FROM grps GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
     "q37_minhash_neardup" ->
       s"""WITH $pairsCte,
          |deg AS (SELECT doc_id, count(*) AS n_neardup, min(nb) AS min_nb FROM

@@ -310,4 +310,31 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") === 9)
     assert(r.getAs[Double]("stop_ratio") === 2.0 / 9) // two 'the'
   }
+
+  test("q141 repeated-passage spans: overlapping shingles merge to ONE maximal span; k-apart starts touch") {
+    // doc 1 / doc 2 share an 8-token passage (a1..a8) and a 5-token
+    // passage (b1..b5), separated by unique middles; doc 3 / doc 4 share
+    // c1..c5 and c6..c10, placed so doc 3's duplicated starts are exactly
+    // spanK apart (ranges touch -> merge) and doc 4's are 8 apart (split)
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 x1 x2 x3 x4 x5 x6 b1 b2 b3 b4 b5"),
+      (2L, "z1 z2 a1 a2 a3 a4 a5 a6 a7 a8 z3 z4 z5 z6 z7 b1 b2 b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (4L, "c1 c2 c3 c4 c5 w1 w2 w3 c6 c7 c8 c9 c10"))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftspans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("q141_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    // the 8-token passage is 4 overlapping dup shingles -> ONE span, len 8
+    assert(spans(1L) === List((0, 7, 8, 4L), (14, 18, 5, 1L)))
+    assert(spans(2L) === List((2, 9, 8, 4L), (15, 19, 5, 1L)))
+    // starts 0 and 5 are exactly spanK apart: covered ranges [0,4]+[5,9]
+    // touch, so they merge into one maximal span
+    assert(spans(3L) === List((0, 9, 10, 2L)))
+    // starts 0 and 8 exceed the merge distance: two spans
+    assert(spans(4L) === List((0, 4, 5, 1L), (8, 12, 5, 1L)))
+  }
 }
