@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BottomKSorted, FloatVecDot, FloatVecSqNorm, HllRegisters, Simhash16, SortedIntersectSize}
+import graft.functions.{BottomKSorted, FloatVecDot, FloatVecSqNorm, HllRegisters, MgCandidates, Simhash16, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"bottomk_sorted: integer k expected, got $other")
         }
         BottomKSorted(args.head, args(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_candidates"),
+      new ExpressionInfo(classOf[MgCandidates].getName, "mg_candidates"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "mg_candidates(stringKey, kLiteral)")
+        require(args(1).foldable, "mg_candidates: k must be a literal")
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => sys.error(s"mg_candidates: integer k expected, got $other")
+        }
+        MgCandidates(args.head, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_sqnorm"),

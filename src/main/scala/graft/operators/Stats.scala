@@ -508,7 +508,53 @@ object Stats extends QueryModule {
           .cast("long").as("hll_est"))
   }
 
+  /** The deterministically skewed key stream q142 mines: two hot keys
+    * (l_linenumber 1–2, ~25%/21% of rows by TPC-H's line-count gradient),
+    * eight warm keys (supplier mod 8 over linenumbers 5–7, ~5% each), and
+    * a ~100-key cold tail (per-supplier, ~0.3% each) — 110 distinct keys
+    * so the capacity-63 summary genuinely saturates and decrements.
+    * Values are integers in both engines, so the concatenated key text
+    * is byte-identical.
+    */
+  private def hhKey = when(col("l_linenumber") <= 2,
+      concat(lit("hot_"), col("l_linenumber")))
+    .when(col("l_linenumber") <= 4, concat(lit("supp_"), col("l_suppkey")))
+    .otherwise(concat(lit("mid_"), col("l_suppkey") % 8))
+
+  /** q142 — HEAVY HITTERS by candidate-then-verify: one [[MgCandidates]]
+    * pass (capacity 63) proposes every key that COULD exceed the n/64
+    * frequency line — the Misra–Gries guarantee makes the candidate set a
+    * superset of the truth regardless of partitioning or merge order —
+    * then a second pass counts ONLY candidate rows exactly (an inner join
+    * against the ≤ 63 broadcast candidates before the aggregate, so the
+    * second shuffle carries candidate keys only) and keeps keys strictly
+    * above the line. The sketch is allowed to be nondeterministic below
+    * the guarantee; the exact verify makes the OUTPUT deterministic —
+    * same discipline as q80's count-min + exact-probe, but here the
+    * sketch also solves DISCOVERY (no candidate list needs to be known
+    * up front, the failure mode q80 documents for fixed-domain sketches).
+    * At 100 TB: pass one ships 63 counters per map partition, pass two
+    * aggregates a hot-key-only stream — neither shuffles the full key
+    * distribution anywhere. share_bp is integer basis points (floor on
+    * positive counts, so Spark div ≡ DuckDB //).
+    */
+  val heavyHitters: Q = (s, d) => {
+    val keyed = Tables.lineitem(s, d).select(hhKey.as("hh_key"))
+    val cand = keyed
+      .agg(call_function("mg_candidates", col("hh_key"), lit(63)).as("cand"))
+      .select(explode(col("cand")).as("hh_key"))
+    val tot = keyed.agg(count(lit(1)).as("n"))
+    keyed.join(broadcast(cand), Seq("hh_key"), "inner")
+      .groupBy("hh_key").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_exact") * 64 > col("n"))
+      .select(col("hh_key"), col("n_exact"),
+        expr("n_exact * 10000 div n").as("share_bp"))
+      .orderBy("hh_key")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q142_heavy_hitters" -> heavyHitters,
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
     "q102_skew_audit" -> skewAudit,
@@ -549,6 +595,18 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the oracle computes the exact answer directly — sketch candidates +
+    // exact verify must land on the same rows, which IS the MG guarantee
+    "q142_heavy_hitters" ->
+      """WITH keyed AS (SELECT CASE
+        |    WHEN l_linenumber <= 2 THEN 'hot_' || l_linenumber
+        |    WHEN l_linenumber <= 4 THEN 'supp_' || l_suppkey
+        |    ELSE 'mid_' || (l_suppkey % 8) END AS hh_key FROM lineitem),
+        |tot AS (SELECT count(*) AS n FROM keyed),
+        |cnt AS (SELECT hh_key, count(*) AS n_exact FROM keyed GROUP BY 1)
+        |SELECT hh_key, n_exact, n_exact * 10000 // n AS share_bp
+        |FROM cnt, tot WHERE n_exact * 64 > n
+        |ORDER BY hh_key""".stripMargin,
     "q80_countmin" -> {
       val cellUnion = (0 until cmsDepth)
         .map(j => s"SELECT $j AS row, ${duckBucket(j, "o_custkey")} AS cell FROM orders")

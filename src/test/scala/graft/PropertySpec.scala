@@ -236,4 +236,48 @@ class PropertySpec extends SparkSpec {
       plain.toSeq == salted.toSeq
     }, "salted-join equivalence")
   }
+
+  test("Misra-Gries superset law: any f > n/(k+1) key survives ANY split + merge tree") {
+    // driver-side mirror of MgCandidates.update/merge — the law must hold
+    // for every partitioning of the stream, which is what makes the
+    // candidate-then-verify output of q142 deterministic
+    val k = 4
+    def mgUpdate(m: Map[String, Long], key: String): Map[String, Long] =
+      if (m.contains(key)) m.updated(key, m(key) + 1)
+      else if (m.size < k) m.updated(key, 1L)
+      else m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+    def mgMerge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).map(x =>
+        x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        val sub = sum.values.toList.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - sub).filter(_._2 > 0).toMap
+      }
+    }
+    val streamGen: Gen[List[String]] = Gen.listOfN(100,
+      Gen.frequency((8, Gen.const("hot")), (3, Gen.const("warm")),
+        (2, Gen.oneOf("c1", "c2", "c3")), (1, Gen.oneOf((1 to 12).map(i => s"t$i")))))
+    check(Prop.forAll(streamGen, Gen.choose(1, 5)) { (stream, parts) =>
+      val n = stream.length
+      val truth = stream.groupBy(identity).collect {
+        case (key, xs) if xs.length.toLong * (k + 1) > n => key
+      }.toSet
+      val merged = stream.zipWithIndex.groupBy(_._2 % parts).values
+        .map(ch => ch.map(_._1).foldLeft(Map.empty[String, Long])(mgUpdate))
+        .foldLeft(Map.empty[String, Long])(mgMerge)
+      truth.subsetOf(merged.keySet) && merged.size <= k
+    }, "MG superset + capacity law")
+    // the native aggregate obeys the same law on the same stream
+    check(Prop.forAll(streamGen) { stream =>
+      val n = stream.length
+      val truth = stream.groupBy(identity).collect {
+        case (key, xs) if xs.length.toLong * (k + 1) > n => key
+      }.toSet
+      val cand = stream.toDF("k0").repartition(3)
+        .agg(call_function("mg_candidates", col("k0"), lit(k)))
+        .head().getSeq[String](0).toSet
+      truth.subsetOf(cand) && cand.size <= k
+    }, "mg_candidates superset law")
+  }
 }
