@@ -375,7 +375,37 @@ object Pipeline extends QueryModule {
       .orderBy("lang", "pair_rank")
   }
 
+  /** q143 — WEIGHTED sampling without replacement by ticket lottery: each
+    * document holds w integer "tickets" (w = 1 + n_chars div 128, a
+    * quality-ish weight in 1..5 — positive, so Spark div ≡ DuckDB //),
+    * each ticket's key is a fixed-width md5 slice of (salt, doc_id, i),
+    * and the sample is the 64 documents with the LEAST per-document
+    * minimum ticket. More tickets → stochastically smaller minimum →
+    * selection probability rising with weight, the integer-exact cousin
+    * of Efraimidis–Spirakis u^(1/w) keys (whose pow/ln would not compare
+    * bit-stably across engines). The per-doc minimum is `array_min` over
+    * a generated in-row array — NO explode, NO shuffle — and the global
+    * cut is orderBy+limit, which plans as TakeOrderedAndProject: each
+    * partition forwards its top 64, the driver merges P·64 rows. Changing
+    * the salt redraws the whole sample (PropertySpec uses that to verify
+    * the weighting law statistically); the fixed default keeps the oracle
+    * deterministic.
+    */
+  private[graft] def weightedSampleRun(s: org.apache.spark.sql.SparkSession,
+      d: String, salt: String): org.apache.spark.sql.DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("1 + n_chars div 128").as("weight"))
+      .withColumn("ticket", array_min(transform(
+        sequence(lit(1), col("weight").cast("int")),
+        i => substring(md5(concat_ws(":", lit(salt), col("doc_id"), i)), 1, 16))))
+      .orderBy("ticket", "doc_id")
+      .limit(64)
+  }
+
+  val weightedSample: Q = (s, d) => weightedSampleRun(s, d, "g")
+
   def queries: Map[String, Q] = Map(
+    "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
     "q128_preference_pairs" -> preferencePairs,
     "q91_latest_per_key" -> latestPerKey,
@@ -391,6 +421,11 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    "q143_weighted_sample" ->
+      """SELECT doc_id, 1 + n_chars // 128 AS weight,
+        |  list_min(list_transform(generate_series(1, 1 + n_chars // 128),
+        |    i -> substr(md5('g:' || doc_id || ':' || i), 1, 16))) AS ticket
+        |FROM documents ORDER BY ticket, doc_id LIMIT 64""".stripMargin,
     "q127_negative_sampling" ->
       s"""WITH pos AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

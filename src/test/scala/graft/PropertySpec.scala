@@ -280,4 +280,30 @@ class PropertySpec extends SparkSpec {
       truth.subsetOf(cand) && cand.size <= k
     }, "mg_candidates superset law")
   }
+
+  test("weighted-sample law: selection rate rises with weight across salt redraws") {
+    // 20 heavy docs (w=5) vs 180 light docs (w=1), sample 64 of 200; over
+    // many salts the realized inclusion rates must straddle the analytic
+    // ones (~0.79 heavy, ~0.27 light from solving 180t + 20(1-(1-t)^5)=64)
+    val docs = (0 until 200).map { i =>
+      val chars = if (i < 20) 512L else 64L
+      (i.toLong, "x", "en", "t", chars)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftws").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val draws = 30
+    var heavy = 0L; var light = 0L
+    (1 to draws).foreach { saltIdx =>
+      val picked = graft.operators.Pipeline
+        .weightedSampleRun(spark, dir, s"s$saltIdx")
+        .select("doc_id").collect().map(_.getLong(0))
+      heavy += picked.count(_ < 20)
+      light += picked.count(_ >= 20)
+    }
+    val hr = heavy.toDouble / (20.0 * draws)
+    val lr = light.toDouble / (180.0 * draws)
+    assert(hr > 0.65 && hr < 0.92, s"heavy inclusion rate $hr outside [0.65, 0.92]")
+    assert(lr > 0.20 && lr < 0.34, s"light inclusion rate $lr outside [0.20, 0.34]")
+    assert(hr / lr > 2.0, s"weighting ratio ${hr / lr} not > 2")
+  }
 }
