@@ -116,12 +116,104 @@ object Multimodal extends QueryModule {
       }.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** q144 framing/threshold — 16-byte frames (an audio-ish hop size,
+    * deliberately different from q130's 64-byte video frame) and a fixed
+    * energy gate calibrated to the fixture byte distribution (~53% of
+    * frames active, ~5 segments per document). */
+  private val vadFrameBytes = 16
+  private val vadThreshold = 1500
+
+  /** q144 — ACTIVITY SEGMENTATION (VAD-shape, STUB): the audio
+    * silence-removal pipeline — frame the payload byte stream, score each
+    * frame with an "energy" (stub: unsigned byte sum; a real
+    * webrtcvad/energy-RMS scorer drops into the same mapPartitions
+    * iterator), gate on a threshold, and merge consecutive active frames
+    * into maximal SEGMENTS with the same gaps-and-islands discipline as
+    * q141 (break when frame indices are non-consecutive). Output is one
+    * row per segment (start/end frame, frame count, energy mass) —
+    * linear in segments, never in frames, which is what matters when the
+    * payload is an hour of audio. The frame scoring is partition-parallel
+    * typed mapPartitions (the q35/q130 plumbing); the segmentation is
+    * declarative (window + aggregate), so Catalyst plans it — the stub
+    * boundary stays exactly one function body wide. Trailing short frames
+    * score low and read as silence, so documents end on an inactive tail
+    * the segments simply omit.
+    */
+  val vadSegments: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val frames = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = (bytes.length + vadFrameBytes - 1) / vadFrameBytes
+          (0 until n).iterator.map { i =>
+            val from = i * vadFrameBytes
+            val until = math.min(bytes.length, from + vadFrameBytes)
+            var e = 0
+            var j = from
+            while (j < until) { e += bytes(j) & 0xff; j += 1 }
+            (id, i, e)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "energy")
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames.filter(col("energy") > vadThreshold)
+      .withColumn("brk",
+        when(col("frame_idx") - lag("frame_idx", 1).over(w) > 1, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("frame_idx").as("seg_start"), max("frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum("energy").as("energy_sum"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("energy_sum"))
+      .orderBy("doc_id", "seg_start")
+  }
+
   def queries: Map[String, Q] = Map(
     "q34_multimodal_meta" -> mediaMeta,
     "q35_multimodal_decode" -> decodeStub,
-    "q130_frame_sample" -> frameSampleStub)
+    "q130_frame_sample" -> frameSampleStub,
+    "q144_vad_segments" -> vadSegments)
 
   def oracles: Map[String, String] = Map(
+    // frames re-derived from the hex encoding (2 chars/byte — the only
+    // byte-accurate route DuckDB 1.0 offers), then the same threshold +
+    // islands chain over DuckDB's window engine
+    "q144_vad_segments" -> {
+      val fw = vadFrameBytes * 2
+      s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    (octet_length(encode(text)) + ${vadFrameBytes - 1}) // $vadFrameBytes
+         |      AS n_frames
+         |  FROM documents),
+         |fr AS (SELECT doc_id, hx, unnest(range(0, n_frames)) AS j FROM f),
+         |fe AS (SELECT doc_id, CAST(j AS INT) AS frame_idx,
+         |    CAST(list_sum(list_transform(
+         |      range(0, length(substring(hx, CAST(j * $fw + 1 AS INT), $fw)) // 2),
+         |      i -> (strpos('0123456789ABCDEF', substring(
+         |              substring(hx, CAST(j * $fw + 1 AS INT), $fw),
+         |              CAST(i*2+1 AS INT), 1)) - 1) * 16
+         |         + (strpos('0123456789ABCDEF', substring(
+         |              substring(hx, CAST(j * $fw + 1 AS INT), $fw),
+         |              CAST(i*2+2 AS INT), 1)) - 1))) AS INT) AS energy
+         |  FROM fr),
+         |act AS (SELECT doc_id, frame_idx FROM fe WHERE energy > $vadThreshold),
+         |isl AS (SELECT doc_id, frame_idx, energy,
+         |    CASE WHEN frame_idx - lag(frame_idx)
+         |      OVER (PARTITION BY doc_id ORDER BY frame_idx) > 1
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM fe WHERE energy > $vadThreshold),
+         |grps AS (SELECT doc_id, frame_idx, energy,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |      ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM isl)
+         |SELECT doc_id, CAST(min(frame_idx) AS INT) AS seg_start,
+         |  CAST(max(frame_idx) AS INT) AS seg_end,
+         |  count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS energy_sum
+         |FROM grps GROUP BY doc_id, grp
+         |ORDER BY doc_id, seg_start""".stripMargin
+    },
     "q130_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
          |    CAST((octet_length(encode(text)) + ${frameBytes - 1}) // $frameBytes

@@ -184,4 +184,18 @@ class PipelineSpec extends SparkSpec {
       assert(ratio >= 0.0 && ratio <= 1.0)
     }
   }
+
+  test("q144 VAD segmentation: known byte pattern yields exact segment boundaries") {
+    import spark.implicits._
+    // 'z' (0x7a) frames score 16*122 = 1952 > gate; space frames score
+    // 16*32 = 512 < gate — two active islands split by one silent gap
+    val text = "z" * 32 + " " * 32 + "z" * 32
+    val docs = Seq((1L, text, "en", "t", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftvad").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val segs = SparkEntry.queries("q144_vad_segments")(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(segs.toList === List((0, 1, 2L, 2 * 16L * 122), (4, 5, 2L, 2 * 16L * 122)))
+  }
 }
