@@ -190,7 +190,52 @@ object Events extends QueryModule {
       .orderBy("hour")
   }
 
+  /** q145 — MULTI-TOUCH ATTRIBUTION: for every purchase, the first touch,
+    * last touch, and touch count among the user's click/view events in a
+    * strict 7-day lookback, plus linear credit in integer basis points
+    * (10000 div n — floor on positives, so Spark div ≡ DuckDB //). ONE
+    * window pass over the per-user time-ordered stream with a RANGE frame
+    * ([-7d, -1µs) on the epoch-micros axis — q78's value-axis discipline),
+    * so there is exactly one shuffle (by user_id) and NO events×events
+    * self-join: the naive formulation joins every conversion to every
+    * candidate touch and explodes with activity skew, while the frame
+    * holds only the 7-day slice per user however hot the user. An as-of
+    * join (q60) would surface the LAST touch only; first + count need the
+    * frame. Touches travel through min/max as one sortable string
+    * (zero-padded epoch micros : event_id : type) — first/last and their
+    * ids/types/gaps come from slicing that key, and the event_id tiebreak
+    * makes equal-timestamp touches deterministic in both engines.
+    */
+  val attribution: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-sevenDaysUs, -1L)
+    ev.withColumn("tk",
+        when(col("event_type").isin("click", "view"),
+          concat_ws(":", lpad(col("ts_us").cast("string"), 20, "0"),
+            col("event_id"), col("event_type"))))
+      .withColumn("first_tk", min("tk").over(w))
+      .withColumn("last_tk", max("tk").over(w))
+      .withColumn("n_touches", count("tk").over(w))
+      .filter(col("event_type") === "purchase" && col("n_touches") >= 1)
+      .select(col("event_id").as("conv_id"), col("user_id"), col("n_touches"),
+        split(col("first_tk"), ":").getItem(1).cast("long").as("first_touch_id"),
+        split(col("first_tk"), ":").getItem(2).as("first_touch_type"),
+        split(col("last_tk"), ":").getItem(1).cast("long").as("last_touch_id"),
+        split(col("last_tk"), ":").getItem(2).as("last_touch_type"),
+        expr("(ts_us - cast(substring(first_tk, 1, 20) as bigint)) div 1000000")
+          .as("first_gap_s"),
+        expr("(ts_us - cast(substring(last_tk, 1, 20) as bigint)) div 1000000")
+          .as("last_gap_s"),
+        expr("10000 div n_touches").as("linear_bp"))
+      .orderBy("conv_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q145_attribution" -> attribution,
     "q129_rate_anomaly" -> rateAnomaly,
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
@@ -247,6 +292,31 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q145_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |tk AS (SELECT event_id, user_id, event_type, ts_us,
+        |    CASE WHEN event_type IN ('click', 'view') THEN
+        |      lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':' || event_id
+        |        || ':' || event_type END AS tk
+        |  FROM ev),
+        |wn AS (SELECT event_id, user_id, event_type, ts_us,
+        |    min(tk) OVER w AS first_tk, max(tk) OVER w AS last_tk,
+        |    count(tk) OVER w AS n_touches
+        |  FROM tk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conv_id, user_id, n_touches,
+        |  CAST(split_part(first_tk, ':', 2) AS BIGINT) AS first_touch_id,
+        |  split_part(first_tk, ':', 3) AS first_touch_type,
+        |  CAST(split_part(last_tk, ':', 2) AS BIGINT) AS last_touch_id,
+        |  split_part(last_tk, ':', 3) AS last_touch_type,
+        |  (ts_us - CAST(substring(first_tk, 1, 20) AS BIGINT)) // 1000000
+        |    AS first_gap_s,
+        |  (ts_us - CAST(substring(last_tk, 1, 20) AS BIGINT)) // 1000000
+        |    AS last_gap_s,
+        |  10000 // n_touches AS linear_bp
+        |FROM wn WHERE event_type = 'purchase' AND n_touches >= 1
+        |ORDER BY conv_id""".stripMargin,
     "q129_rate_anomaly" ->
       """WITH hourly AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n

@@ -238,4 +238,12 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("WindowGroupLimit"), s"$name:\n$p")
     }
   }
+
+  test("q145 attribution is ONE window pass: a single user shuffle, no self-join") {
+    val p = plan("q145_attribution")
+    // one data shuffle (by user_id for the window); the final orderBy is a
+    // rangepartitioning exchange, not a hash one
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join"), p) // the naive form self-joins events×events
+  }
 }
