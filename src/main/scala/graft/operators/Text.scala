@@ -497,7 +497,49 @@ object Text extends QueryModule {
       .orderBy("term_a", "term_b")
   }
 
+  /** q146 — COLLOCATION mining: adjacent-bigram lift (the integer-exact
+    * PMI surrogate), top 50. lift_ppm = c_ab·N·10⁶ / (c_a·c_b) in parts
+    * per million — the same ranking PMI's log would give (log is
+    * monotone), with every number a count or an exact integer ratio so
+    * the cross-engine compare is bit-stable where log's floating point
+    * would not be. Plan: one windowed lead() pass builds adjacent bigrams
+    * shuffle-free on the fanOut doc partitioning (q141's shingle
+    * discipline at width 2), one hash aggregate each for bigram and
+    * unigram counts, two equi-joins to attach marginals (term-keyed —
+    * AQE broadcasts the fixture vocabulary, shuffles a web-scale one),
+    * and a TakeOrderedAndProject cut. The c_ab ≥ 5 noise floor is the
+    * standard collocation support cut, applied BEFORE the joins so the
+    * marginal attach runs over surviving bigrams only. The ×10⁶ product
+    * runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and floors to
+    * BIGINT — positive throughout, so div ≡ //.
+    */
+  val collocations: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"),
+        posexplode(filter(toks, x => length(x) > 0)).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = tok
+      .select(col("t").as("a"), lead("t", 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val un = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val n = bg.agg(count(lit(1)).as("nn"))
+    cab
+      .join(un.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(un.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr("""CAST((CAST(c_ab AS DECIMAL(38,0)) * 1000000 * nn)
+                 div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q146_collocations" -> collocations,
     "q139_inverted_index" -> invertedIndex,
     "q94_unigram_logprob" -> unigramLogprob,
     "q120_prefix_join" -> prefixJoin,
@@ -526,6 +568,25 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q146_collocations" ->
+      """WITH tk AS (SELECT doc_id, t, pos FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |        x -> len(x) > 0)) AS t,
+        |      generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+        |        x -> len(x) > 0), 1) AS pos
+        |    FROM documents)),
+        |bg AS (SELECT t AS a, lead(t) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS b FROM tk),
+        |bgf AS (SELECT a, b, count(*) AS c_ab FROM bg WHERE b IS NOT NULL
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |un AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM bg WHERE b IS NOT NULL)
+        |SELECT bgf.a, bgf.b, c_ab,
+        |  CAST((c_ab::HUGEINT * 1000000 * nn) // (ua.c::HUGEINT * ub.c)
+        |    AS BIGINT) AS lift_ppm
+        |FROM bgf JOIN un ua ON bgf.a = ua.t JOIN un ub ON bgf.b = ub.t, n
+        |ORDER BY lift_ppm DESC, a, b LIMIT 50""".stripMargin,
     // the index answers must equal the direct document-scan answers —
     // index math ≡ corpus truth is the whole contract of an index
     "q139_inverted_index" ->
