@@ -458,9 +458,90 @@ object StreamingJobs extends QueryModule {
 
   val streamRankSketch: Q = (s, d) => streamRankRun(s, d)._1
 
+  /** Capacity of the streaming Misra–Gries state (q147). */
+  private val shhK = 15
+
+  /** q147 — STREAMING heavy hitters: the Misra–Gries summary maintained
+    * across micro-batches. Each batch's EXACT key counts are themselves a
+    * zero-error MG summary, so folding them into the prior state with the
+    * mergeable-summaries rule (sum counters; if > K keys survive,
+    * subtract the (K+1)-th largest count from all and truncate) keeps the
+    * state ≤ [[shhK]] rows with total error ≤ n/(K+1) after ANY batch
+    * cut — the same Agarwal et al. merge [[graft.functions.MgCandidates]]
+    * runs inside a single aggregate, here expressed as a per-batch
+    * DECLARATIVE plan (union → hash aggregate → bounded subtract) over
+    * state that never exceeds K + batch-distinct rows. The converged
+    * candidates therefore contain every key above the n/16 line however
+    * the stream was sliced; the final answer exact-verifies candidates
+    * against the staged source (q142's candidate-then-verify discipline),
+    * so batch boundaries cannot leak into the output. The subtraction
+    * constant is read from a ≤ K+1-row bounded collect — driver-side by
+    * design, like every foreachBatch orchestration step. Key stream:
+    * click/view are the two hot keys (~20% each), user_id mod 50 the
+    * ~1.2% cold tail — 52 distinct keys through a 15-counter state.
+    */
+  private[graft] def streamHeavyRun(s: SparkSession, d: String)
+      : (DataFrame, Long, Long) = {
+    val root = graft.Scratch.dir("graft_stream_hh")
+    val src = s"$root/src"
+    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    def keyOf(df: DataFrame): DataFrame = df.select(
+      when(col("event_type").isin("click", "view"),
+        concat(lit("hot_"), col("event_type")))
+        .otherwise(concat(lit("u"), col("user_id") % 50)).as("hh_key"))
+    var current: Option[String] = None
+    var batches = 0L
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val incoming = keyOf(batch).groupBy("hh_key")
+          .agg(count(lit(1)).as("cnt"))
+        val summed = (current match {
+          case Some(p) => s.read.parquet(p).unionByName(incoming)
+          case None => incoming
+        }).groupBy("hh_key").agg(sum("cnt").as("cnt"))
+        // mergeable-summaries truncation: the (K+1)-th largest count (0 if
+        // fewer than K+1 keys) is debited from every counter
+        val topRows = summed.orderBy(col("cnt").desc, col("hh_key"))
+          .limit(shhK + 1).collect()
+        val sub = if (topRows.length > shhK) topRows.last.getAs[Long]("cnt") else 0L
+        val folded = summed
+          .select(col("hh_key"), (col("cnt") - sub).as("cnt"))
+          .filter(col("cnt") > 0)
+        val out = s"$root/state_v$id"
+        folded.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val state = s.read.parquet(
+      current.getOrElse(sys.error("stream produced no micro-batches")))
+    val stateRows = state.count()
+    val keyed = keyOf(s.read.parquet(src))
+    val tot = keyed.agg(count(lit(1)).as("n"))
+    val out = keyed
+      .join(broadcast(state.select("hh_key")), Seq("hh_key"), "inner")
+      .groupBy("hh_key").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_exact") * 16 > col("n"))
+      .select(col("hh_key"), col("n_exact"),
+        expr("n_exact * 10000 div n").as("share_bp"))
+      .orderBy("hh_key")
+    (out, batches, stateRows)
+  }
+
+  val streamHeavyHitters: Q = (s, d) => streamHeavyRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
     "q117_stream_upsert" -> streamUpsert,
     "q136_stream_rank_sketch" -> streamRankSketch,
+    "q147_stream_heavy_hitters" -> streamHeavyHitters,
     "q39_stream_tumbling" -> streamTumbling,
     "q50_stream_dedup" -> streamDedup,
     "q51_stream_static_join" -> streamStaticJoin,
@@ -468,6 +549,17 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // candidate-then-verify makes the streamed answer the EXACT heavy
+    // hitters of the whole stream — the oracle computes them directly
+    "q147_stream_heavy_hitters" ->
+      """WITH keyed AS (SELECT CASE
+        |    WHEN event_type IN ('click', 'view') THEN 'hot_' || event_type
+        |    ELSE 'u' || (user_id % 50) END AS hh_key FROM events),
+        |tot AS (SELECT count(*) AS n FROM keyed),
+        |cnt AS (SELECT hh_key, count(*) AS n_exact FROM keyed GROUP BY 1)
+        |SELECT hh_key, n_exact, n_exact * 10000 // n AS share_bp
+        |FROM cnt, tot WHERE n_exact * 16 > n
+        |ORDER BY hh_key""".stripMargin,
     // the converged stream fold IS the batch-mode sketch (exact merge
     // identity of hash-ordered bottom-k) — the oracle computes it batch
     "q136_stream_rank_sketch" ->

@@ -178,6 +178,18 @@ class StreamingSpec extends SparkSpec {
     assert(out2.collect().map(_.toSeq).sortBy(_.toString) === snap1)
   }
 
+  test("streaming heavy hitters (q147): multi-batch fold, capped state, exact verified output") {
+    val (out, batches, stateRows) =
+      graft.streaming.StreamingJobs.streamHeavyRun(spark, sf)
+    assert(batches >= 2, s"expected a multi-batch fold, got $batches")
+    // the MG state must never exceed its capacity after any fold
+    assert(stateRows <= 15L, s"state held $stateRows rows, capacity 15")
+    // the verified output is the EXACT heavy-hitter set: both hot keys,
+    // nothing from the ~1.2% cold tail
+    val keys = out.collect().map(_.getString(0)).toList
+    assert(keys === List("hot_click", "hot_view"))
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._
