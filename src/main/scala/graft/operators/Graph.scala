@@ -137,11 +137,128 @@ object Graph extends QueryModule {
         expr("(3 * n_triangles * 1000000) div n_wedges").as("cc_ppm"))
   }
 
+  /** k-core threshold and peel-round bound (q148). */
+  private val coreK = 3
+  private val coreRounds = 12
+
+  /** q148 — k-CORE PEELING over the REPEAT-co-purchase graph (parts
+    * linked when they share ≥ 2 orders — the multiplicity cut keeps the
+    * organic sparse structure where the raw basket graph is a dense
+    * near-clique with a degenerate core threshold). Completes the graph
+    * quartet: components for structure, PageRank for importance,
+    * triangles for cohesion, cores for DENSITY STRATIFICATION — the
+    * standard "peel off the sparse fringe" step before expensive
+    * community detection at scale. Semantics: exactly [[coreRounds]]
+    * synchronous peel rounds (every node whose degree among ALIVE nodes
+    * is < k drops, all at once — the parallel-peeling formulation), with
+    * the output the per-round TRAJECTORY: nodes removed, nodes alive, an
+    * id checksum of the survivors. Fixed rounds are the q106 discipline —
+    * both engines run the identical recursion depth, so parity cannot
+    * hinge on convergence detection; the trajectory's tail going to zero
+    * removals IS the convergence audit (the fixtures converge in ≤ 10
+    * rounds; a production driver loops until the removed count hits 0,
+    * one `while` around the same staged round body). Each round is two
+    * semi-joins (edge endpoints against the alive set) + one hash
+    * aggregate, alive staged per round like the CC loop — the alive set
+    * only shrinks, so per-round cost is monotone non-increasing at any
+    * scale. Once a round removes nothing, the alive set is provably
+    * invariant, so the remaining trajectory rows are emitted as constants
+    * without recomputation (measured at sf0.1: 6.4s → the converged
+    * rounds' cost only) — identical output, the post-fixpoint rounds are
+    * mathematical no-ops in both engines.
+    */
+  val kcorePeel: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val rawEdges = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val tmpE = graft.Scratch.dir("graft_core_edges")
+    rawEdges.write.mode("overwrite").parquet(tmpE)
+    val edges = s.read.parquet(tmpE)
+    val nodes = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x"))).distinct()
+    var aliveDir = graft.Scratch.dir("graft_core_alive0")
+    nodes.write.mode("overwrite").parquet(aliveDir)
+    var prevN = s.read.parquet(aliveDir).count()
+    var stats = Seq.empty[org.apache.spark.sql.DataFrame]
+    var fixpoint: Option[(Long, Long)] = None // (n_alive, checksum)
+    for (r <- 1 to coreRounds) {
+      fixpoint match {
+        case Some((n, ck)) =>
+          // n_removed hit 0: the alive set is provably invariant from here
+          // on, so later trajectory rows are constants — emit them without
+          // recomputing the (identical) round
+          stats = stats :+ s.range(1).select(lit(r).as("round"),
+            lit(0L).as("n_removed"), lit(n).as("n_alive"),
+            lit(ck).as("alive_checksum"))
+        case None =>
+          val alive = s.read.parquet(aliveDir)
+          val live = edges
+            .join(alive.select(col("x").as("u")), Seq("u"), "left_semi")
+            .join(alive.select(col("x").as("v")), Seq("v"), "left_semi")
+          val deg = live.select(col("u").as("x"))
+            .union(live.select(col("v").as("x")))
+            .groupBy("x").agg(count(lit(1)).as("c"))
+          val next = deg.filter(col("c") >= coreK).select("x")
+          val nextDir = graft.Scratch.dir(s"graft_core_alive$r")
+          next.write.mode("overwrite").parquet(nextDir)
+          val row = s.read.parquet(nextDir).agg(
+            count(lit(1)).as("n_alive"),
+            coalesce(sum("x"), lit(0L)).as("alive_checksum")).head()
+          val (curN, ck) = (row.getLong(0), row.getLong(1))
+          stats = stats :+ s.range(1).select(lit(r).as("round"),
+            lit(prevN - curN).as("n_removed"), lit(curN).as("n_alive"),
+            lit(ck).as("alive_checksum"))
+          if (curN == prevN) fixpoint = Some((curN, ck))
+          prevN = curN
+          aliveDir = nextDir
+      }
+    }
+    stats.reduce(_ unionByName _).orderBy("round")
+  }
+
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
-    "q138_triangle_count" -> triangleCount)
+    "q138_triangle_count" -> triangleCount,
+    "q148_kcore_peel" -> kcorePeel)
 
   def oracles: Map[String, String] = Map(
+    // the same 12 synchronous peel rounds, unrolled as generated CTEs —
+    // identical recursion depth by construction, so the trajectory must
+    // match row for row
+    "q148_kcore_peel" -> {
+      val rounds = (1 to coreRounds).map { r =>
+        val prev = s"a${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT x, count(*) AS c FROM (
+           |    SELECT u AS x FROM e WHERE u IN (SELECT x FROM $prev)
+           |      AND v IN (SELECT x FROM $prev)
+           |    UNION ALL
+           |    SELECT v AS x FROM e WHERE u IN (SELECT x FROM $prev)
+           |      AND v IN (SELECT x FROM $prev)) GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT x FROM d$r WHERE c >= $coreK),
+           |s$r AS (SELECT $r AS round,
+           |    (SELECT count(*) FROM $prev) - (SELECT count(*) FROM a$r)
+           |      AS n_removed,
+           |    (SELECT count(*) FROM a$r) AS n_alive,
+           |    (SELECT CAST(COALESCE(sum(x), 0) AS BIGINT) FROM a$r)
+           |      AS alive_checksum)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to coreRounds).map(r => s"SELECT * FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e AS MATERIALIZED (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |a0 AS MATERIALIZED (SELECT u AS x FROM e UNION SELECT v AS x FROM e),
+         |$rounds
+         |$unions
+         |ORDER BY round""".stripMargin
+    },
     // orientation-free canonical u<v<w count — result invariance between
     // the degree-oriented plan and this formulation is part of the check
     "q138_triangle_count" ->

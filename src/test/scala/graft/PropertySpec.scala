@@ -306,4 +306,23 @@ class PropertySpec extends SparkSpec {
     assert(lr > 0.20 && lr < 0.34, s"light inclusion rate $lr outside [0.20, 0.34]")
     assert(hr / lr > 2.0, s"weighting ratio ${hr / lr} not > 2")
   }
+
+  test("q148 k-core peeling: 4-clique survives, tail peels in round one, then fixpoint") {
+    // graph: 4-clique {1,2,3,4} + path tail 1-5-6; every edge is realized
+    // as TWO two-part orders so it clears the repeat-co-purchase cut.
+    // 3-core = the clique; 5 (deg 2) and 6 (deg 1) peel together in round
+    // 1 under SYNCHRONOUS peeling, and every later round is a no-op.
+    val edgesList = List((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (5L, 6L))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftcore").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val traj = SparkEntry.queries("q148_kcore_peel")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(traj.head === ((1, 2L, 4L, 10L)))
+    assert(traj.tail.forall { case (_, rm, al, ck) => rm == 0L && al == 4L && ck == 10L },
+      traj.mkString(", "))
+  }
 }
