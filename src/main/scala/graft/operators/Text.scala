@@ -538,7 +538,53 @@ object Text extends QueryModule {
       .limit(50)
   }
 
+  /** q149 — BM25 ranked retrieval (k1=1.2, b=0.75): the scoring layer on
+    * top of q139's index build. Query terms are the top-4 tokens by df
+    * (q139's choice criteria); every document containing any of them is
+    * scored with the Okapi formula and the top 50 returned.
+    *
+    * Plan: one tokenize pass on the fanOut doc partitioning feeds BOTH
+    * the (doc, term) tf aggregate and the per-doc length aggregate — the
+    * doc-keyed join between them reuses the same clustering, so the
+    * whole scoring pipeline pays exactly one fan-out shuffle plus the
+    * term-df aggregate. The 4-term query set and the 1-row corpus stats
+    * (N, Σdl) are broadcast; the scan over tf is a semi-join-shaped
+    * probe (term IN query), which at 100 TB is the posting-list read an
+    * index serves — the df-ordered staging story in q139's Scaladoc
+    * carries over unchanged.
+    *
+    * Determinism: per-(doc, term) scores are micro-integerized (q94's
+    * pattern) — idf·tfnorm is one double expression tree with IDENTICAL
+    * parenthesization in both engines (IEEE doubles make equal trees
+    * bit-equal), rounded to integer ppm BEFORE the per-doc sum, so the
+    * only cross-row reduction is an exact integer sum. avgdl never
+    * appears as a ratio: the length norm uses dl·N/Σdl, all-integer
+    * until the final double multiply.
+    */
+  val bm25: Q = (s, d) => {
+    val tok = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), explode(filter(toks, x => length(x) > 0)).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val terms = dfq.orderBy(col("df").desc, col("t")).limit(4)
+    val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("sum_dl")))
+    tf.join(broadcast(terms), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("""CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))
+                 * 1000000) AS BIGINT)""").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(50)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q149_bm25" -> bm25,
     "q146_collocations" -> collocations,
     "q139_inverted_index" -> invertedIndex,
     "q94_unigram_logprob" -> unigramLogprob,
@@ -568,6 +614,24 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q149_bm25" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(text, '\s+'),
+         |    x -> len(x) > 0)) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |terms AS (SELECT t, df FROM dfq ORDER BY df DESC, t LIMIT 4),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT count(*) FROM tk) AS sum_dl),
+         |sc AS (SELECT tf.doc_id,
+         |  CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))
+         |    * 1000000) AS BIGINT) AS ppm
+         |  FROM tf JOIN terms USING (t) JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_terms_hit,
+         |  CAST(sum(ppm) AS BIGINT) AS score_ppm
+         |FROM sc GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
     "q146_collocations" ->
       """WITH tk AS (SELECT doc_id, t, pos FROM (
         |    SELECT doc_id,

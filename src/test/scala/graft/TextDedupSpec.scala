@@ -311,6 +311,32 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Double]("stop_ratio") === 2.0 / 9) // two 'the'
   }
 
+  test("q149 BM25: more occurrences of a query term rank a doc higher; saturation keeps tf gains sub-linear") {
+    import spark.implicits._
+    // top-4 by df is exactly {hot, c1, c2, c3} (df=4 each; the df-DESC,
+    // term-ASC tie-break would otherwise promote unique fillers); c1-c3
+    // appear once in every equal-length doc, so their contribution is a
+    // constant and score differences are driven by tf('hot') alone.
+    val docs = Seq(
+      (1L, "hot c1 c2 c3 f1 f2 f3 f4 f5 f6"),
+      (2L, "hot hot c1 c2 c3 g1 g2 g3 g4 g5"),
+      (3L, "hot hot hot c1 c2 c3 h1 h2 h3 h4"),
+      (4L, "hot c1 c2 c3 k1 k2 k3 k4 k5 k6"))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftbm25").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q149_bm25")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc contains 'hot', so every doc is scored, scores positive
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+    assert(rows.values.forall { case (hit, ppm) => hit >= 1L && ppm > 0L })
+    // equal-length docs: score strictly increases with tf ...
+    assert(rows(3L)._2 > rows(2L)._2 && rows(2L)._2 > rows(1L)._2)
+    // ... but saturates: the tf 1->2 gain exceeds the tf 2->3 gain
+    assert(rows(2L)._2 - rows(1L)._2 > rows(3L)._2 - rows(2L)._2)
+  }
+
   test("q141 repeated-passage spans: overlapping shingles merge to ONE maximal span; k-apart starts touch") {
     // doc 1 / doc 2 share an 8-token passage (a1..a8) and a 5-token
     // passage (b1..b5), separated by unique middles; doc 3 / doc 4 share
