@@ -234,7 +234,40 @@ object Events extends QueryModule {
       .orderBy("conv_id")
   }
 
+  /** q150 — first-order Markov transition matrix over each user's
+    * time-ordered event-type sequence: counts of src→dst adjacent pairs
+    * plus the per-src transition probability, the sequence-model summary
+    * behind next-action prediction and session-path dashboards.
+    *
+    * Plan: ONE user-partitioned window (lead) builds adjacent pairs —
+    * the same shuffle key the stream's sessionization already uses — then
+    * one hash aggregate reduces the stream to the |types|² transition
+    * matrix, after which everything (the per-src row-sum window included)
+    * runs on a bounded few-dozen-row frame. Event volume only ever passes
+    * through map-side-combinable stages; no self-join of the stream.
+    *
+    * Determinism: sequence order is (µs timestamp, event_id) in BOTH
+    * engines (the oracle orders by epoch_us(ts), matching Spark's
+    * nanos→micros truncation — raw TIMESTAMP_NS order could break ties
+    * differently); probabilities are integer ppm via `div` on positive
+    * counts, so div ≡ floor-division.
+    */
+  val markovTransitions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 div sum(n) OVER (PARTITION BY src)"))
+      .orderBy("src", "dst")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q150_markov_transitions" -> markovTransitions,
     "q145_attribution" -> attribution,
     "q129_rate_anomaly" -> rateAnomaly,
     "q22_window_tumbling" -> tumbling,
@@ -292,6 +325,16 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q150_markov_transitions" ->
+      """WITH sq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+        |  FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+        |FROM tr ORDER BY src, dst""".stripMargin,
     "q145_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

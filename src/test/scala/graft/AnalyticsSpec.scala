@@ -323,6 +323,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(v > 0)
   }
 
+  test("q150 Markov transitions: counts conserve the stream, row probabilities sum to ~1e6") {
+    import spark.implicits._
+    val rows = q("q150_markov_transitions")
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.forall { case (_, _, n, p) => n > 0 && p > 0 && p <= 1000000L })
+    // total transitions = total events minus one per active user (each
+    // user's sequence of k events yields exactly k-1 adjacent pairs)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == ev.count() - users)
+    // per-src ppm sums land within |dsts| of 1e6 (floor division loses
+    // strictly less than 1 ppm per destination row)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length, s"src=$src sum=$s")
+    }
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
