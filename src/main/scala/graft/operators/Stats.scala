@@ -553,7 +553,46 @@ object Stats extends QueryModule {
       .orderBy("hh_key")
   }
 
+  /** q151 — grouped OLS trend lines: per return-flag, the least-squares
+    * slope and intercept of monthly shipment counts over a month index —
+    * the per-segment "is this growing?" fit every metrics warehouse runs,
+    * in closed form with NO iterative solver.
+    *
+    * Plan: one hash aggregate to the (flag, month) count grid, a second
+    * to the five per-flag moments (n, Σx, Σy, Σxy, Σx²) — both map-side
+    * combinable, so 100 TB of lineitem reduces to flags×months rows
+    * before any shuffle widens. The closed-form slope
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and intercept
+    * (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) are computed from EXACT integer
+    * moments (x is the small re-based month index, y a count), converted
+    * to double only for the final one-divide — every integer is far
+    * below 2^53, so the doubles are exact and the division is one IEEE
+    * op with an identical expression tree in both engines. round() is
+    * half-away-from-zero in both (safe for the possibly-negative slope,
+    * where `div`'s truncate-vs-floor mismatch would bite).
+    */
+  val groupTrend: Q = (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .as("x"))
+      .agg(count(lit(1)).as("y"))
+    monthly.groupBy("flag").agg(
+      count(lit(1)).as("n_months"),
+      sum(col("x").cast("long")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x").cast("long") * col("y")).as("sxy"),
+      sum(col("x").cast("long") * col("x")).as("sxx"))
+      .select(col("flag"), col("n_months"),
+        expr("""CAST(round((n_months * sxy - sx * sy) * 1000000.0
+                 / (n_months * sxx - sx * sx)) AS BIGINT)""").as("slope_ppm"),
+        expr("""CAST(round((sy * sxx - sx * sxy) * 1000000.0
+                 / (n_months * sxx - sx * sx)) AS BIGINT)""").as("intercept_ppm"))
+      .orderBy("flag")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q151_group_trend" -> groupTrend,
     "q142_heavy_hitters" -> heavyHitters,
     "q33_corr_pairs" -> corrPairs,
     "q80_countmin" -> countMin,
@@ -595,6 +634,22 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q151_group_trend" ->
+      """WITH m AS (SELECT l_returnflag AS flag,
+        |    (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS x,
+        |    count(*) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |mo AS (SELECT flag, count(*) AS n_months,
+        |    sum(CAST(x AS BIGINT)) AS sx, sum(y) AS sy,
+        |    sum(CAST(x AS BIGINT) * y) AS sxy,
+        |    sum(CAST(x AS BIGINT) * x) AS sxx
+        |  FROM m GROUP BY 1)
+        |SELECT flag, n_months,
+        |  CAST(round((n_months * sxy - sx * sy) * 1000000.0
+        |    / (n_months * sxx - sx * sx)) AS BIGINT) AS slope_ppm,
+        |  CAST(round((sy * sxx - sx * sxy) * 1000000.0
+        |    / (n_months * sxx - sx * sx)) AS BIGINT) AS intercept_ppm
+        |FROM mo ORDER BY flag""".stripMargin,
     // the oracle computes the exact answer directly — sketch candidates +
     // exact verify must land on the same rows, which IS the MG guarantee
     "q142_heavy_hitters" ->

@@ -341,6 +341,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q151 group trend recovers a planted perfect line exactly") {
+    import spark.implicits._
+    // monthly counts 3,5,7,... in consecutive months from Jan 1992 = the
+    // line y = 2x + 3 with zero residual: the closed-form fit must return
+    // it exactly (all moments integer-exact, one final divide)
+    val rows = (0 until 6).flatMap { x =>
+      val day = java.sql.Timestamp.valueOf(f"1992-${x + 1}%02d-15 00:00:00")
+      Seq.fill(2 * x + 3)(("X", day))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("grafttrend").toString
+    rows.toDF("l_returnflag", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q151_group_trend")(spark, dir).head()
+    assert(r.getAs[Long]("n_months") === 6L)
+    assert(r.getAs[Long]("slope_ppm") === 2000000L)
+    assert(r.getAs[Long]("intercept_ppm") === 3000000L)
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
