@@ -591,7 +591,48 @@ object Stats extends QueryModule {
       .orderBy("flag")
   }
 
+  /** q152 — market-basket association rules: per-order part baskets,
+    * co-occurrence pairs, and the support / confidence / lift triple —
+    * A-priori's 2-itemset core as one declarative plan.
+    *
+    * Plan: the basket relation (distinct order×part) shuffles ONCE on
+    * orderkey; the within-basket self-join (a < b) runs on that
+    * clustering, and because a TPC-H-shaped basket is bounded (≤7
+    * lineitems), pair fan-out is O(21) per order — candidate volume is
+    * linear in orders, never |parts|². The support cut (c_ab ≥ 2)
+    * applies BEFORE the marginal attach, so the two part-keyed joins run
+    * over surviving pairs only (AQE broadcasts the fixture's part
+    * marginals; a web-scale catalog shuffles term-keyed — q146's
+    * discipline). Ratios are integer ppm in DECIMAL(38,0)/HUGEINT,
+    * positive throughout, so div ≡ //.
+    */
+  val basketRules: Q = (s, d) => {
+    val ba = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val cp = ba.groupBy("p").agg(count(lit(1)).as("c"))
+    val n = ba.select(countDistinct(col("o")).as("n_orders"))
+    val pairs = ba.alias("x").join(ba.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+    pairs
+      .join(cp.select(col("p").as("a"), col("c").as("c_a")), "a")
+      .join(cp.select(col("p").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("c_ab * 1000000 div c_a").as("conf_ab_ppm"),
+        expr("c_ab * 1000000 div c_b").as("conf_ba_ppm"),
+        expr("""CAST((CAST(c_ab AS DECIMAL(38,0)) * 1000000 * n_orders)
+                 div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("c_ab").desc, col("lift_ppm").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q152_basket_rules" -> basketRules,
     "q151_group_trend" -> groupTrend,
     "q142_heavy_hitters" -> heavyHitters,
     "q33_corr_pairs" -> corrPairs,
@@ -634,6 +675,21 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q152_basket_rules" ->
+      """WITH ba AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |cp AS (SELECT p, count(*) AS c FROM ba GROUP BY 1),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM ba),
+        |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS c_ab
+        |  FROM ba x JOIN ba y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  c_ab * 1000000 // ca.c AS conf_ab_ppm,
+        |  c_ab * 1000000 // cb.c AS conf_ba_ppm,
+        |  CAST((c_ab::HUGEINT * 1000000 * n_orders)
+        |    // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN cp ca ON pr.a = ca.p JOIN cp cb ON pr.b = cb.p, n
+        |ORDER BY c_ab DESC, lift_ppm DESC, a, b LIMIT 100""".stripMargin,
     "q151_group_trend" ->
       """WITH m AS (SELECT l_returnflag AS flag,
         |    (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS x,

@@ -359,6 +359,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("intercept_ppm") === 3000000L)
   }
 
+  test("q152 basket rules: planted co-occurrence yields exact support/confidence/lift") {
+    import spark.implicits._
+    // parts 10,20 co-occur in 3 of 4 baskets; every other pair occurs
+    // once and falls under the support cut
+    val items = Seq((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L), (4L, 30L), (4L, 40L))
+    val dir = java.nio.file.Files.createTempDirectory("graftbasket").toString
+    items.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q152_basket_rules")(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b")) === (10L, 20L))
+    assert(r.getAs[Long]("c_ab") === 3L)
+    assert(r.getAs[Long]("conf_ab_ppm") === 1000000L) // 20 in every 10-basket
+    assert(r.getAs[Long]("conf_ba_ppm") === 1000000L)
+    assert(r.getAs[Long]("lift_ppm") === 1333333L)     // 3·4·1e6 // (3·3)
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
