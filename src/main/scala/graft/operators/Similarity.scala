@@ -414,7 +414,52 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q153 — exact per-label centroids + inertia over the embedding
+    * column: the cluster-quality summary (k-means' E-step cost under the
+    * LABEL assignment) computed exactly, no iterative fit. The shape a
+    * training pipeline runs to audit class balance and embedding drift
+    * per data source.
+    *
+    * Plan: one posexplode fan-out to (label, dim) cells — map-side
+    * combine collapses 100 TB of vectors to labels×dims partial sums
+    * before the one shuffle — then a broadcast of the labels×dims
+    * centroid table back onto the exploded stream for the inertia
+    * aggregate (label-keyed, same combine discipline). Nothing holds a
+    * per-vector state; both aggregates are associative integer sums.
+    *
+    * Determinism: micro-integerization end to end (q94's pattern lifted
+    * to vectors) — each float widens exactly to double, rounds once to
+    * integer ppm, and every cross-row reduction after that is an exact
+    * integer sum; the only doubles are the per-cell mean (one divide +
+    * half-away round, identical in both engines) and nothing else.
+    * Squared residuals stay in BIGINT: |q| ≤ ~2^21 ppm, dims=64, so the
+    * per-label sum is bounded far under 2^63.
+    */
+  val labelCentroids: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+    val cent = e.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("sq"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        expr("CAST(round(CAST(sq AS DOUBLE) / n_vecs) AS BIGINT)")
+          .as("centroid_ppm"))
+    val inertia = e
+      .join(broadcast(cent.select("label", "dim", "centroid_ppm")),
+        Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum(expr("(q - centroid_ppm) * (q - centroid_ppm)"))
+        .as("inertia_pp12"))
+    cent.join(inertia, "label")
+      .select(col("label"), col("dim"), col("n_vecs"),
+        col("centroid_ppm"), col("inertia_pp12"))
+      .orderBy("label", "dim")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q153_label_centroids" -> labelCentroids,
     "q101_semantic_dedup" -> semanticDedup,
     "q96_pq_codes" -> pqCodes,
     "q95_random_projection" -> randomProjection,
@@ -435,6 +480,24 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    "q153_label_centroids" ->
+      """WITH e AS (SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, count(*) AS n_vecs, sum(q) AS sq
+        |  FROM e GROUP BY 1, 2),
+        |cc AS (SELECT label, dim, n_vecs,
+        |    CAST(round(CAST(sq AS DOUBLE) / n_vecs) AS BIGINT) AS centroid_ppm
+        |  FROM c),
+        |i AS (SELECT e.label,
+        |    CAST(sum((q - centroid_ppm) * (q - centroid_ppm)) AS BIGINT)
+        |      AS inertia_pp12
+        |  FROM e JOIN cc ON e.label = cc.label AND e.dim = cc.dim
+        |  GROUP BY 1)
+        |SELECT cc.label, cc.dim, cc.n_vecs, cc.centroid_ppm, i.inertia_pp12
+        |FROM cc JOIN i ON cc.label = i.label
+        |ORDER BY cc.label, cc.dim""".stripMargin,
     "q101_semantic_dedup" ->
       s"""WITH assigned AS (
          |  SELECT vec_id, embedding, cell_id FROM (

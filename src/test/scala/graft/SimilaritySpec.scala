@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSpec {
       "non-null children must yield a non-nullable intersect size")
   }
 
+  test("q153 label centroids: planted pair recovers exact mean and inertia") {
+    import spark.implicits._
+    // label 0: vectors (1,3) and (3,5) -> centroid (2,4), each dim off by
+    // 1.0 = 1e6 ppm per vector -> inertia = 4 * (1e6)^2 = 4e12
+    val dir = java.nio.file.Files.createTempDirectory("graftcent").toString
+    Seq((1L, Array(1.0f, 3.0f), 0), (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(7.0f, 7.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q153_label_centroids")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows((0, 0)) === ((2L, 2000000L, 4000000000000L)))
+    assert(rows((0, 1)) === ((2L, 4000000L, 4000000000000L)))
+    // singleton label: centroid = the vector, inertia 0
+    assert(rows((1, 0)) === ((1L, 7000000L, 0L)))
+    assert(rows((1, 1)) === ((1L, 7000000L, 0L)))
+  }
+
   test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
     val df = Seq(
       (Array(1f, 0f, 2f), Array(1f, 0f, 2f), 1.0),
