@@ -631,7 +631,47 @@ object Stats extends QueryModule {
       .limit(100)
   }
 
+  /** q154 — seasonal-naive forecast backtest: predict each month's
+    * shipment count per flag as the SAME month last year and score the
+    * forecast (MAE, signed bias, MAPE) — the baseline every real
+    * forecasting deployment must beat, and the backtest harness shape
+    * (point-in-time join, no leakage) that evaluates fancier models too.
+    *
+    * Plan: the monthly grid is one map-side-combinable aggregate (100 TB
+    * of lineitem → flags×months rows BEFORE the shuffle); the
+    * forecast attach is a self equi-join on (flag, month−12) over that
+    * bounded grid — an explicit join, not a window lag, so MISSING
+    * months drop out of the eval set instead of silently borrowing the
+    * previous present month. All error math is exact integer (counts,
+    * absolute diffs, ppm via `div` on positive denominators).
+    */
+  val seasonalBacktest: Q = (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .as("x"))
+      .agg(count(lit(1)).as("y"))
+    monthly.alias("cur")
+      .join(monthly.alias("prev"),
+        col("cur.flag") === col("prev.flag") &&
+          col("cur.x") === col("prev.x") + 12)
+      .select(col("cur.flag").as("flag"), col("cur.y").as("y"),
+        col("prev.y").as("yhat"))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("yhat"))).as("sum_abs_err"),
+        sum(col("y") - col("yhat")).as("bias"),
+        sum(expr("abs(y - yhat) * 1000000 div y")).as("sum_ape_ppm"))
+      .select(col("flag"), col("n_eval"),
+        expr("sum_abs_err * 1000000 div n_eval").as("mae_ppm"),
+        col("bias"),
+        expr("sum_ape_ppm div n_eval").as("mape_ppm"))
+      .orderBy("flag")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q154_seasonal_backtest" -> seasonalBacktest,
     "q152_basket_rules" -> basketRules,
     "q151_group_trend" -> groupTrend,
     "q142_heavy_hitters" -> heavyHitters,
@@ -675,6 +715,24 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q154_seasonal_backtest" ->
+      """WITH m AS (SELECT l_returnflag AS flag,
+        |    (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS x,
+        |    count(*) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |ev AS (SELECT cur.flag, cur.y AS y, prev.y AS yhat
+        |  FROM m cur JOIN m prev
+        |    ON cur.flag = prev.flag AND cur.x = prev.x + 12),
+        |ag AS (SELECT flag, count(*) AS n_eval,
+        |    sum(abs(y - yhat)) AS sum_abs_err,
+        |    sum(y - yhat) AS bias,
+        |    sum(abs(y - yhat) * 1000000 // y) AS sum_ape_ppm
+        |  FROM ev GROUP BY 1)
+        |SELECT flag, n_eval,
+        |  CAST(sum_abs_err * 1000000 // n_eval AS BIGINT) AS mae_ppm,
+        |  CAST(bias AS BIGINT) AS bias,
+        |  CAST(sum_ape_ppm // n_eval AS BIGINT) AS mape_ppm
+        |FROM ag ORDER BY flag""".stripMargin,
     "q152_basket_rules" ->
       """WITH ba AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

@@ -378,6 +378,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("lift_ppm") === 1333333L)     // 3·4·1e6 // (3·3)
   }
 
+  test("q154 seasonal backtest: planted year-over-year shift scores exactly") {
+    import spark.implicits._
+    // Jan-1992 ships 3, Jan-1993 ships 5: one eval month, |err| = 2,
+    // bias = +2, APE = 2/5. A lone unmatched month (Mar-1993) must NOT
+    // enter the eval set (explicit join, not a window lag).
+    val rows =
+      Seq.fill(3)(("X", java.sql.Timestamp.valueOf("1992-01-10 00:00:00"))) ++
+      Seq.fill(5)(("X", java.sql.Timestamp.valueOf("1993-01-10 00:00:00"))) ++
+      Seq.fill(4)(("X", java.sql.Timestamp.valueOf("1993-03-10 00:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graftseas").toString
+    rows.toDF("l_returnflag", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q154_seasonal_backtest")(spark, dir).head()
+    assert(r.getAs[Long]("n_eval") === 1L)
+    assert(r.getAs[Long]("mae_ppm") === 2000000L)
+    assert(r.getAs[Long]("bias") === 2L)
+    assert(r.getAs[Long]("mape_ppm") === 400000L)
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
