@@ -220,12 +220,106 @@ object Graph extends QueryModule {
     stats.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** Label-propagation round count (q155). */
+  private val lpaRounds = 3
+
+  /** q155 — synchronous LABEL PROPAGATION (3 fixed rounds) over q148's
+    * repeat-co-purchase graph: each node adopts the most frequent label
+    * among its neighbors every round (ties → smallest label), labels
+    * seeded as node ids — the classic near-linear community-detection
+    * pass that follows k-core fringe-peeling in a production graph
+    * pipeline. Output: the final communities (size, min member, id
+    * checksum), largest first, top 50.
+    *
+    * Determinism is the whole design: SYNCHRONOUS updates (every round
+    * reads only the previous round's labels — the asynchronous variant
+    * is schedule-dependent and could never face an oracle), fixed round
+    * count (q106/q148's discipline: both engines run the identical
+    * recursion depth), and an integer argmax — the (count, label)
+    * preference packs into ONE BIGINT, cnt·10¹² + (10¹² − lbl), so the
+    * per-node winner is a plain max() hash aggregate, no window, no
+    * struct-ordering semantics to match across engines. (Packing bound:
+    * label < 10¹², neighbor-label multiplicity < 9.2·10⁶ — far above any
+    * co-purchase degree here; a wider graph swaps the pack for
+    * DECIMAL(38).) Per round: one equi-join (neighbor label attach, both
+    * shuffle keys are node ids) + two hash aggregates, labels STAGED per
+    * round (q59's lineage discipline) so round r+1 scans a parquet leaf,
+    * not a 3-round lineage tree.
+    */
+  val labelPropagation: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val tmpE = graft.Scratch.dir("graft_lpa_edges")
+    e2.select("u", "v")
+      .union(e2.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(tmpE)
+    val ed = s.read.parquet(tmpE) // both directions: undirected adjacency
+    var labelsDir = graft.Scratch.dir("graft_lpa_l0")
+    ed.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .write.mode("overwrite").parquet(labelsDir)
+    for (r <- 1 to lpaRounds) {
+      val labels = s.read.parquet(labelsDir)
+      val next = ed
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(expr("""1000000000000 - (max(cnt * 1000000000000
+               + (1000000000000 - lbl)) % 1000000000000)""").as("lbl"))
+      val nextDir = graft.Scratch.dir(s"graft_lpa_l$r")
+      next.write.mode("overwrite").parquet(nextDir)
+      labelsDir = nextDir
+    }
+    s.read.parquet(labelsDir)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_member"),
+        sum(col("node")).as("member_checksum"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(50)
+  }
+
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
-    "q148_kcore_peel" -> kcorePeel)
+    "q148_kcore_peel" -> kcorePeel,
+    "q155_label_propagation" -> labelPropagation)
 
   def oracles: Map[String, String] = Map(
+    // the same 3 synchronous rounds, unrolled as generated CTEs — the
+    // packed-BIGINT argmax is reproduced literally so the per-node winner
+    // (max count, ties to smallest label) is the identical integer max
+    "q155_label_propagation" -> {
+      val rounds = (1 to lpaRounds).map { r =>
+        s"""nb$r AS (SELECT ed.u AS node, l.lbl AS lbl, count(*) AS cnt
+           |  FROM ed JOIN l${r - 1} l ON ed.v = l.node GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT node,
+           |    1000000000000 - (max(cnt * 1000000000000
+           |      + (1000000000000 - lbl)) % 1000000000000) AS lbl
+           |  FROM nb$r GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_members,
+         |  min(node) AS min_member,
+         |  CAST(sum(node) AS BIGINT) AS member_checksum
+         |FROM l$lpaRounds GROUP BY 1
+         |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+    },
     // the same 12 synchronous peel rounds, unrolled as generated CTEs —
     // identical recursion depth by construction, so the trajectory must
     // match row for row

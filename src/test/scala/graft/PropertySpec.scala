@@ -325,4 +325,23 @@ class PropertySpec extends SparkSpec {
     assert(traj.tail.forall { case (_, rm, al, ck) => rm == 0L && al == 4L && ck == 10L },
       traj.mkString(", "))
   }
+
+  test("q155 label propagation: two triangles converge to min-id communities; single co-purchase is no edge") {
+    // two triangles {1,2,3} and {10,11,12}, every edge realized twice to
+    // clear the m >= 2 cut; one ONE-shot co-purchase (3,10) must NOT
+    // become an edge, keeping the communities separate. Hand-simulated
+    // synchronous LPA with min-label tie-break converges each triangle
+    // to its smallest id within 3 rounds.
+    val edgesList = List((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    } ++ List((100L, 3L), (100L, 10L))
+    val dir = java.nio.file.Files.createTempDirectory("graftlpa").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q155_label_propagation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet === Set((1L, 3L, 1L, 6L), (10L, 3L, 10L, 33L)))
+  }
 }
