@@ -670,7 +670,89 @@ object Stats extends QueryModule {
       .orderBy("flag")
   }
 
+  /** q156 — HLL SET ALGEBRA: estimated |clickers|, |purchasers|, their
+    * union (register-wise max — the merge HLL is mergeable BY) and their
+    * intersection via inclusion–exclusion, next to the exact counts the
+    * estimates would replace at scale. This is the operation that makes
+    * the sketch family an ALGEBRA rather than three isolated counters:
+    * audience-overlap questions ("how many users both click and buy")
+    * answered from two 64-register banks that never rescan each other's
+    * partitions.
+    *
+    * Plan: one scan hashes both sets (event_type is the bank key), one
+    * hash aggregate builds per-set registers, the union bank is a
+    * register-wise max over that 128-row frame, and everything after
+    * runs on ≤ 3×64 rows. The exact-count audit columns are the
+    * expensive part (two countDistinct + a per-user both-sets check) —
+    * at 100 TB a deployment drops them and keeps the sketch path, which
+    * ships 64 registers per bank per partition. Hash family is q105's,
+    * bit-for-bit (same md5 split, same rho), so the q105↔q126 family
+    * pin covers this bank construction too. Estimate arithmetic: exact
+    * integer register sums, one double divide + floor per bank
+    * (identical trees both engines), with the standard SMALL-RANGE
+    * regime switch — raw ≤ 2.5m with empty registers present flips to
+    * linear counting m·ln(m/V), the correction the original HLL paper
+    * specifies and q105 delegates to the reader via its exported
+    * n_empty — and the intersection is integer subtraction of the three
+    * bank estimates: inclusion–exclusion CAN go negative on adversarial
+    * banks; it stays an exact integer either way, no hidden clamp.
+    */
+  val hllSetAlgebra: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("st"), col("user_id").cast("string").as("k"))
+    val hashed = ev.select(col("st"),
+      pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+        lit(hllBuckets.toLong)).as("bucket"),
+      conv(substring(md5(col("k")), 9, 8), 16, 10).cast("long").as("w"))
+    val rho = when(col("w") === 0, lit(33))
+      .otherwise(lit(33) - length(bin(col("w"))))
+    val regs = hashed.withColumn("rho", rho)
+      .groupBy("st", "bucket").agg(max("rho").as("m"))
+    val unionRegs = regs.groupBy("bucket").agg(max("m").as("m"))
+      .select(lit("union").as("st"), col("bucket"), col("m"))
+    val banks = s.range(0, hllBuckets).select(
+        explode(array(lit("click"), lit("purchase"), lit("union"))).as("st"),
+        col("id").as("bucket"))
+      .join(regs.select("st", "bucket", "m").union(unionRegs),
+        Seq("st", "bucket"), "left")
+      .select(col("st"), coalesce(col("m"), lit(0)).as("m"))
+    val ests = banks.groupBy("st")
+      .agg(sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_inv"),
+        sum(when(col("m") === 0, 1).otherwise(0)).cast("long").as("n_empty"))
+      .select(col("st"),
+        floor(lit(0.709) * lit(4096.0) * lit(8589934592.0)
+          / col("s_inv").cast("double")).cast("long").as("raw"),
+        col("n_empty"))
+      // small-range (linear counting) correction — the standard HLL
+      // regime switch: below 2.5m the raw harmonic estimator is biased
+      // high and the empty-register count carries the information
+      .select(col("st"),
+        expr("""CASE WHEN raw <= 160 AND n_empty > 0
+                 THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
+                 ELSE raw END""").as("est"))
+      .groupBy()
+      .agg(max(when(col("st") === "click", col("est"))).as("est_click"),
+        max(when(col("st") === "purchase", col("est"))).as("est_purchase"),
+        max(when(col("st") === "union", col("est"))).as("est_union"))
+    val exact = ev.groupBy("k")
+      .agg(countDistinct("st").as("n_st"),
+        max(when(col("st") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("st") === "purchase", 1).otherwise(0)).as("p"))
+      .agg(sum("c").cast("long").as("n_exact_click"),
+        sum("p").cast("long").as("n_exact_purchase"),
+        sum(when(col("n_st") === 2, 1).otherwise(0)).cast("long")
+          .as("n_exact_both"))
+    exact.crossJoin(broadcast(ests))
+      .select(col("n_exact_click"), col("n_exact_purchase"),
+        col("n_exact_both"), col("est_click"), col("est_purchase"),
+        col("est_union"),
+        (col("est_click") + col("est_purchase") - col("est_union"))
+          .as("est_intersect"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q156_hll_set_algebra" -> hllSetAlgebra,
     "q154_seasonal_backtest" -> seasonalBacktest,
     "q152_basket_rules" -> basketRules,
     "q151_group_trend" -> groupTrend,
@@ -715,6 +797,51 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q156_hll_set_algebra" ->
+      """WITH ev AS (SELECT event_type AS st, CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT st,
+        |    ('0x' || substr(md5(k), 1, 8))::BIGINT % 64 AS bucket,
+        |    ('0x' || substr(md5(k), 9, 8))::BIGINT AS w
+        |  FROM ev),
+        |r AS (SELECT st, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |u AS (SELECT 'union' AS st, bucket, max(m) AS m FROM r GROUP BY 2),
+        |allr AS (SELECT st, bucket, m FROM r
+        |  UNION ALL SELECT st, bucket, m FROM u),
+        |banks AS (SELECT s.st, b.bucket, COALESCE(a.m, 0) AS m
+        |  FROM (SELECT unnest(['click', 'purchase', 'union']) AS st) s
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN allr a ON a.st = s.st AND a.bucket = b.bucket),
+        |sk AS (SELECT st,
+        |    CAST(floor(0.709::DOUBLE * 4096 * 8589934592
+        |      / sum(CAST(power(2, 33 - m) AS BIGINT))) AS BIGINT) AS raw,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |  FROM banks GROUP BY 1),
+        |est AS (SELECT st,
+        |    CASE WHEN raw <= 160 AND n_empty > 0
+        |      THEN CAST(round(64 * ln(64::DOUBLE / n_empty)) AS BIGINT)
+        |      ELSE raw END AS est
+        |  FROM sk),
+        |es AS (SELECT
+        |    max(CASE WHEN st = 'click' THEN est END) AS est_click,
+        |    max(CASE WHEN st = 'purchase' THEN est END) AS est_purchase,
+        |    max(CASE WHEN st = 'union' THEN est END) AS est_union
+        |  FROM est),
+        |px AS (SELECT k,
+        |    max(CASE WHEN st = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN st = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM ev GROUP BY 1),
+        |ex AS (SELECT CAST(sum(c) AS BIGINT) AS n_exact_click,
+        |    CAST(sum(p) AS BIGINT) AS n_exact_purchase,
+        |    CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact_both
+        |  FROM px)
+        |SELECT n_exact_click, n_exact_purchase, n_exact_both,
+        |  est_click, est_purchase, est_union,
+        |  est_click + est_purchase - est_union AS est_intersect
+        |FROM ex CROSS JOIN es""".stripMargin,
     "q154_seasonal_backtest" ->
       """WITH m AS (SELECT l_returnflag AS flag,
         |    (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS x,

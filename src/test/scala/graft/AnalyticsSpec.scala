@@ -397,6 +397,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("mape_ppm") === 400000L)
   }
 
+  test("q156 HLL set algebra: union bank dominates, estimates land in the m=64 error band") {
+    val r = q("q156_hll_set_algebra").head()
+    val (exC, exP, exB) = (r.getAs[Long]("n_exact_click"),
+      r.getAs[Long]("n_exact_purchase"), r.getAs[Long]("n_exact_both"))
+    val (esC, esP, esU, esI) = (r.getAs[Long]("est_click"),
+      r.getAs[Long]("est_purchase"), r.getAs[Long]("est_union"),
+      r.getAs[Long]("est_intersect"))
+    // register-wise max can only grow a bank: union >= each side, and
+    // inclusion-exclusion keeps it <= the sum
+    assert(esU >= math.max(esC, esP) && esU <= esC + esP)
+    assert(esI == esC + esP - esU)
+    // m=64 standard error is ~13%; 40% is a generous determinism-safe band
+    def within(est: Long, exact: Long) =
+      math.abs(est - exact).toDouble <= 0.4 * exact
+    assert(within(esC, exC), s"click est=$esC exact=$exC")
+    assert(within(esP, exP), s"purchase est=$esP exact=$exP")
+    assert(exB <= math.min(exC, exP))
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
