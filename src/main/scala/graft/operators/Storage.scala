@@ -310,6 +310,80 @@ object Storage extends QueryModule {
     (stats.count(), stats.filter(col("hi") >= qlo && col("lo") <= qhi).count())
   }
 
+  /** Bloom hash-function count (q157). */
+  private val bloomFpK = 3
+
+  /** q157 — per-FILE BLOOM skipping index: the data-skipping complement
+    * to q135's zone maps for HIGH-CARDINALITY NON-CLUSTERING columns.
+    * The layout is range-clustered by ship date ("time partitions"); the
+    * probe column is l_orderkey, which range stats cannot prune (every
+    * file's orderkey range is wide) but a per-file Bloom bitmap can: an
+    * order ships within a few months, so its rows live in 1–3 of the 8
+    * time slices and the index proves most files clean. This is
+    * Parquet/Iceberg bloom-filter column indexes as an explicit operator.
+    *
+    * Plan: one distinct (file, key) pass builds the bitmaps (k=3 md5
+    * positions, width sized to 16× the max per-file NDV rounded up to a
+    * power of two — sizing by observed NDV is what real writers do, and
+    * the width lives only operator-side: the ORACLE checks the answers,
+    * StorageSpec pins the skipping, so no cross-engine width contract is
+    * needed). Candidate files per probe key = files where all k
+    * positions are set, computed declaratively and collected
+    * metadata-bounded (≤ files × probes rows — planner-side file
+    * pruning, exactly q135's justification); the pruned read touches
+    * candidate files only. Bloom has NO false negatives, so grouping the
+    * pruned union by key is exact — false positives cost I/O, never
+    * correctness. Probes are the 5 smallest orderkeys (bounded 5-row
+    * collect, deterministic in both engines).
+    */
+  private[graft] def bloomSkipRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, Seq[String], Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.Column
+    val root = graft.Scratch.dir("graft_bloomskip")
+    val dataDir = s"$root/data"
+    Tables.lineitem(s, d)
+      .repartitionByRange(8, col("l_shipdate"))
+      .write.mode("overwrite").parquet(dataDir)
+    val li = s.read.parquet(dataDir)
+    val probes = li.select(col("l_orderkey")).distinct()
+      .orderBy("l_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq // bounded: 5 probe keys
+    val perFile = li
+      .select(col("_metadata.file_path").as("path"), col("l_orderkey").as("k"))
+      .distinct()
+    val maxNdv = perFile.groupBy("path").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0) // 1-row stats collect (writer NDV)
+    val width = java.lang.Long.highestOneBit(math.max(16L * maxNdv, 1024L)) * 2
+    def positions(key: Column): Column =
+      array((0 until bloomFpK).map(j =>
+        pmod(conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(width))): _*)
+    val bits = perFile
+      .select(col("path"), explode(positions(col("k"))).as("bit")).distinct()
+    val probeDf = s.createDataFrame(probes.map(Tuple1(_))).toDF("k")
+    val probeBits = probeDf
+      .select(col("k"), posexplode(positions(col("k"))).as(Seq("j", "bit")))
+    val cand = probeBits.join(bits, "bit")
+      .groupBy("k", "path").agg(countDistinct("j").as("nhit"))
+      .filter(col("nhit") === bloomFpK)
+    // metadata-bounded planner-side collects (≤ files × probes rows)
+    val candFiles = cand.select("path").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val trueFiles = li.filter(col("l_orderkey").isin(probes: _*))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val allFiles = perFile.select("path").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val out = s.read.parquet(candFiles: _*)
+      .filter(col("l_orderkey").isin(probes: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_orderkey")
+    (out, allFiles, candFiles, trueFiles)
+  }
+
+  val bloomSkip: Q = (s, d) => bloomSkipRun(s, d)._1
+
   /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
     * jsonl, read back with the schema passed in (never inferred — schema
     * inference is a full extra pass over 100 TB), aggregated per lang.
@@ -543,6 +617,7 @@ object Storage extends QueryModule {
     "q124_incremental_read" -> incrementalRead,
     "q134_time_travel" -> timeTravel,
     "q135_zonemap_skip" -> zoneMapSkip,
+    "q157_bloom_skip" -> bloomSkip,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
     "q93_csv_roundtrip" -> csvRoundtrip,
@@ -603,6 +678,13 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderdate < '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // zone-map pruning + residual filter ≡ the plain interval predicate
+    "q157_bloom_skip" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT DISTINCT l_orderkey FROM lineitem ORDER BY 1 LIMIT 5)
+        |GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
     "q135_zonemap_skip" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -36,6 +36,23 @@ class StorageSpec extends SparkSpec {
       s"zone map must SKIP files on a narrow probe ($kept of $total read)")
   }
 
+  test("q157 bloom skip: candidate files cover every true file and still prune") {
+    val (out, allFiles, candFiles, trueFiles) =
+      graft.operators.Storage.bloomSkipRun(spark, sf)
+    assert(allFiles.size === 8, s"expected 8 time slices, got ${allFiles.size}")
+    // no false negatives: every file actually holding a probe key is a
+    // candidate — this is the property that makes the pruned read exact
+    assert(trueFiles.toSet.subsetOf(candFiles.toSet),
+      s"bloom missed files: ${trueFiles.toSet -- candFiles.toSet}")
+    // and the index genuinely skips: candidates are a proper subset
+    assert(candFiles.size < allFiles.size,
+      s"bloom must SKIP files (${candFiles.size} of ${allFiles.size} read)")
+    // the pruned read returns all 5 probe keys with positive counts
+    val rows = out.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Long]("n_rows") > 0))
+  }
+
   test("q134 time travel: version-2 read sees exactly the first two batches") {
     val (out, dataDir) = graft.operators.Storage.timeTravelRun(spark, sf)
     val asOfV2 = out.collect().map(_.getLong(1)).sum
