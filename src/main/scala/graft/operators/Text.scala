@@ -561,7 +561,12 @@ object Text extends QueryModule {
     * appears as a ratio: the length norm uses dl·N/Σdl, all-integer
     * until the final double multiply.
     */
-  val bm25: Q = (s, d) => {
+  /** Per-(doc, query-term) BM25 rows: tf plus the micro-integerized Okapi
+    * term score. Shared by q149 (score aggregation) and q158 (rank
+    * fusion, which also needs the raw tf signal).
+    */
+  private def bm25TermRows(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val tok = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(filter(toks, x => length(x) > 0)).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
@@ -573,17 +578,60 @@ object Text extends QueryModule {
     tf.join(broadcast(terms), "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("tf"),
         expr("""CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
                  * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))
                  * 1000000) AS BIGINT)""").as("ppm"))
+  }
+
+  val bm25: Q = (s, d) =>
+    bm25TermRows(s, d)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("ppm")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(50)
+
+  /** q158 — RECIPROCAL RANK FUSION of two retrieval signals over the
+    * same query: the BM25 ranking (saturated, length-normalized) fused
+    * with the raw tf-sum ranking, rrf = Σ 1/(60 + rank) in integer ppm —
+    * the standard way hybrid search merges lexical + semantic (or any
+    * two) rankers without score calibration, because RRF consumes only
+    * RANKS.
+    *
+    * Scale shape: each ranker's top-50 is cut by TakeOrderedAndProject
+    * FIRST (each partition forwards ≤ 50 rows — no global sort), and the
+    * rank-assigning windows then run over 50-row frames (bounded by
+    * construction, the q129 discipline — RRF over top-k lists is the
+    * textbook formulation, so the cut loses nothing). The fusion itself
+    * is one full outer join of two 50-row lists. 1e6 div (60+rank) is
+    * exact integer; absent-from-a-list contributes 0, surfaced as rank 0.
+    */
+  val rrfFusion: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = bm25TermRows(s, d)
+      .groupBy("doc_id")
+      .agg(sum(col("ppm")).as("score_ppm"), sum(col("tf")).as("tf_sum"))
+    def top50(orderCols: Seq[org.apache.spark.sql.Column], rankName: String) = {
+      val w = Window.orderBy(orderCols: _*) // bounded: runs AFTER the 50-cut
+      perDoc.orderBy(orderCols: _*).limit(50)
+        .withColumn(rankName, row_number().over(w))
+        .select(col("doc_id"), col(rankName))
+    }
+    val a = top50(Seq(col("score_ppm").desc, col("doc_id")), "rank_bm25")
+    val b = top50(Seq(col("tf_sum").desc, col("doc_id")), "rank_tf")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0)).as("rank_bm25"),
+        coalesce(col("rank_tf"), lit(0)).as("rank_tf"))
+      .withColumn("rrf_ppm",
+        expr("""CASE WHEN rank_bm25 > 0 THEN 1000000 div (60 + rank_bm25) ELSE 0 END
+              + CASE WHEN rank_tf > 0 THEN 1000000 div (60 + rank_tf) ELSE 0 END"""))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(20)
   }
 
   def queries: Map[String, Q] = Map(
+    "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
     "q146_collocations" -> collocations,
     "q139_inverted_index" -> invertedIndex,
@@ -614,6 +662,38 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q158_rrf_fusion" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(text, '\s+'),
+         |    x -> len(x) > 0)) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |terms AS (SELECT t, df FROM dfq ORDER BY df DESC, t LIMIT 4),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT count(*) FROM tk) AS sum_dl),
+         |sc AS (SELECT tf.doc_id, tf.tf,
+         |  CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))
+         |    * 1000000) AS BIGINT) AS ppm
+         |  FROM tf JOIN terms USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm,
+         |    CAST(sum(tf) AS BIGINT) AS tf_sum FROM sc GROUP BY 1),
+         |ta AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank_bm25
+         |  FROM pd ORDER BY score_ppm DESC, doc_id LIMIT 50),
+         |tb AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY tf_sum DESC, doc_id) AS INT) AS rank_tf
+         |  FROM pd ORDER BY tf_sum DESC, doc_id LIMIT 50),
+         |f AS (SELECT COALESCE(ta.doc_id, tb.doc_id) AS doc_id,
+         |    COALESCE(rank_bm25, 0) AS rank_bm25,
+         |    COALESCE(rank_tf, 0) AS rank_tf
+         |  FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id)
+         |SELECT doc_id, rank_bm25, rank_tf,
+         |  CAST((CASE WHEN rank_bm25 > 0 THEN 1000000 // (60 + rank_bm25) ELSE 0 END
+         |      + CASE WHEN rank_tf > 0 THEN 1000000 // (60 + rank_tf) ELSE 0 END)
+         |    AS BIGINT) AS rrf_ppm
+         |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
     "q149_bm25" ->
       raw"""WITH tk AS (SELECT doc_id,
          |  unnest(list_filter(string_split_regex(text, '\s+'),

@@ -337,6 +337,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(2L)._2 - rows(1L)._2 > rows(3L)._2 - rows(2L)._2)
   }
 
+  test("q158 RRF fusion: scores recompute from ranks, ordering is by fused score") {
+    val rows = q("q158_rrf_fusion").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (id, ra, rb, rrf) =>
+      assert(ra >= 0 && ra <= 50 && rb >= 0 && rb <= 50)
+      assert(ra > 0 || rb > 0, s"doc $id in neither top-50 list")
+      val want = (if (ra > 0) 1000000L / (60 + ra) else 0L) +
+        (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(rrf === want, s"doc $id rrf=$rrf want=$want")
+    }
+    // output is sorted by fused score with doc_id tiebreak
+    assert(rows.sliding(2).forall { case Array((i1, _, _, s1), (i2, _, _, s2)) =>
+      s1 > s2 || (s1 == s2 && i1 < i2) })
+  }
+
   test("q141 repeated-passage spans: overlapping shingles merge to ONE maximal span; k-apart starts touch") {
     // doc 1 / doc 2 share an 8-token passage (a1..a8) and a 5-token
     // passage (b1..b5), separated by unique middles; doc 3 / doc 4 share
