@@ -285,13 +285,104 @@ object Graph extends QueryModule {
       .limit(50)
   }
 
+  /** Per-hop neighbor-sample cap (q159). */
+  private val sampleS = 5
+
+  /** q159 — GNN-STYLE 2-HOP NEIGHBORHOOD SAMPLING + feature aggregation
+    * (the GraphSAGE data-preparation shape): for every node, sample ≤ 5
+    * neighbors, then ≤ 5 of each neighbor's neighbors, and aggregate a
+    * node feature (degree) over the sampled 2-hop frontier. This is the
+    * sampling pass a distributed GNN trainer runs per minibatch epoch —
+    * the operator that turns a 100 TB edge list into bounded per-node
+    * training neighborhoods.
+    *
+    * Determinism: the "random" sample is a HASH sample — neighbors rank
+    * by md5(u:v), so both engines draw the identical neighborhood with
+    * no RNG (q143's ticket discipline on edges); a re-seed is a salt in
+    * the hash input. Scale shape: the rank ≤ 5 filter compiles to
+    * WindowGroupLimit (the q133 discipline — each map partition forwards
+    * at most 5 edges per node, so the window never materializes a hub's
+    * full adjacency downstream), the 2-hop expansion joins SAMPLED
+    * adjacency against SAMPLED adjacency — fan-out capped at 25 rows per
+    * node BY CONSTRUCTION regardless of degree distribution — and the
+    * feature attach is one node-keyed equi-join. Output one row per
+    * node: exact integer counts and degree sums over the sampled
+    * frontier (with repetition, as GraphSAGE aggregates).
+    */
+  val gnnSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val tmpE = graft.Scratch.dir("graft_gnn_edges")
+    e2.select("u", "v")
+      .union(e2.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(tmpE)
+    val ed = s.read.parquet(tmpE)
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
+    val w = Window.partitionBy("u")
+      .orderBy(md5(concat(col("u").cast("string"), lit(":"),
+        col("v").cast("string"))), col("v"))
+    val samp = ed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sampleS).select("u", "v")
+    val hop2 = samp.alias("x")
+      .join(samp.select(col("u").as("v"), col("v").as("w2")), "v")
+      .select(col("u"), col("w2"))
+    val agg2 = hop2
+      .join(deg.select(col("u").as("w2"), col("dg").as("dg2")), "w2")
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_s2"),
+        sum("dg2").as("sum_deg2"),
+        countDistinct("w2").as("n_dist2"))
+    val s1 = samp.groupBy("u").agg(count(lit(1)).as("n_s1"))
+    deg.join(s1, "u").join(agg2, Seq("u"), "left")
+      .select(col("u").as("node"), col("dg"), col("n_s1"),
+        coalesce(col("n_s2"), lit(0L)).as("n_s2"),
+        coalesce(col("sum_deg2"), lit(0L)).as("sum_deg2"),
+        coalesce(col("n_dist2"), lit(0L)).as("n_dist2"))
+      .orderBy("node")
+  }
+
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
     "q148_kcore_peel" -> kcorePeel,
-    "q155_label_propagation" -> labelPropagation)
+    "q155_label_propagation" -> labelPropagation,
+    "q159_gnn_sample" -> gnnSample)
 
   def oracles: Map[String, String] = Map(
+    // the identical md5 hash-sample: both engines draw the same
+    // neighborhoods, so the aggregate must match exactly
+    "q159_gnn_sample" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |deg AS (SELECT u, count(*) AS dg FROM ed GROUP BY 1),
+         |rk AS (SELECT u, v, row_number() OVER (PARTITION BY u
+         |    ORDER BY md5(u || ':' || v), v) AS rk FROM ed),
+         |samp AS (SELECT u, v FROM rk WHERE rk <= $sampleS),
+         |h2 AS (SELECT x.u, y.v AS w2 FROM samp x JOIN samp y ON x.v = y.u),
+         |ag AS (SELECT h2.u, count(*) AS n_s2,
+         |    CAST(sum(d2.dg) AS BIGINT) AS sum_deg2,
+         |    CAST(count(DISTINCT w2) AS BIGINT) AS n_dist2
+         |  FROM h2 JOIN deg d2 ON h2.w2 = d2.u GROUP BY 1),
+         |s1 AS (SELECT u, count(*) AS n_s1 FROM samp GROUP BY 1)
+         |SELECT deg.u AS node, deg.dg, s1.n_s1,
+         |  COALESCE(ag.n_s2, 0) AS n_s2,
+         |  COALESCE(ag.sum_deg2, 0) AS sum_deg2,
+         |  COALESCE(ag.n_dist2, 0) AS n_dist2
+         |FROM deg JOIN s1 ON deg.u = s1.u
+         |LEFT JOIN ag ON deg.u = ag.u
+         |ORDER BY node""".stripMargin,
     // the same 3 synchronous rounds, unrolled as generated CTEs — the
     // packed-BIGINT argmax is reproduced literally so the per-node winner
     // (max count, ties to smallest label) is the identical integer max

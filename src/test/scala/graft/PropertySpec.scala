@@ -344,4 +344,33 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSet === Set((1L, 3L, 1L, 6L), (10L, 3L, 10L, 33L)))
   }
+
+  test("q159 GNN sampling: star graph caps the hub at 5, spokes see the hub's sample; plan uses WindowGroupLimit") {
+    // hub 100 with 10 spokes 1..10 (every edge realized twice for the
+    // m >= 2 cut). The hub samples exactly 5 of its 10 neighbors — which
+    // 5 is hash-chosen, but the AGGREGATES are sample-invariant: every
+    // spoke has degree 1, and every spoke's one sampled neighbor is the
+    // hub, whose own sample is 5 degree-1 spokes.
+    val edgesList = (1L to 10L).map(sp => (100L, sp))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftgnn").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q159_gnn_sample")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // hub's 2-hop rows = each of its 5 sampled spokes' sample = 5 × {hub}
+    assert(got(100L) === ((10L, 5L, 5L, 50L, 1L)))
+    (1L to 10L).foreach { sp =>
+      val (dg, n1, n2, sd2, nd2) = got(sp)
+      assert(dg === 1L && n1 === 1L && n2 === 5L && sd2 === 5L && nd2 === 5L,
+        s"spoke $sp: $dg $n1 $n2 $sd2 $nd2")
+    }
+    val plan = SparkEntry.queries("q159_gnn_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=S filter must compile to WindowGroupLimit")
+  }
 }
