@@ -751,7 +751,40 @@ object Stats extends QueryModule {
           .as("est_intersect"))
   }
 
+  /** q160 — EQUI-DEPTH histogram (10 deciles) of l_quantity, the
+    * complement of q77's equi-width bins: bucket boundaries adapt to the
+    * distribution, the property that makes equi-depth the histogram
+    * query optimizers keep. Computed WITHOUT a global sort or ntile —
+    * the naive formulation is an unpartitioned ntile window over every
+    * row, a single-partition sort at 100 TB. Here: one hash aggregate to
+    * (value, count), a running-sum window over the DISTINCT-VALUE frame
+    * only (l_quantity has 50 distinct values; the frame is
+    * domain-bounded, not row-bounded — a high-cardinality column would
+    * pre-bin through q110's sketch first, same discipline), and each
+    * value's bucket is (rows_before · 10) div n — the lower-rank rule,
+    * which puts ALL ties of a value in one bucket and so is
+    * tie-order-independent where row-level ntile is not. Counts exact
+    * integers; `div` on non-negatives.
+    */
+  val equiDepthHist: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, d)
+      .groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("c"))
+    // bounded window: one row per DISTINCT value (50 here), see Scaladoc
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    vc.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+      .crossJoin(broadcast(
+        Tables.lineitem(s, d).agg(count(lit(1)).as("n"))))
+      .select(col("v"), col("c"),
+        expr("CAST(cb * 10 div n AS INT)").as("bucket"))
+      .groupBy("bucket")
+      .agg(min("v").as("lo"), max("v").as("hi"),
+        sum("c").as("n_rows"))
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q160_equidepth_hist" -> equiDepthHist,
     "q156_hll_set_algebra" -> hllSetAlgebra,
     "q154_seasonal_backtest" -> seasonalBacktest,
     "q152_basket_rules" -> basketRules,
@@ -797,6 +830,18 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q160_equidepth_hist" ->
+      """WITH vc AS (SELECT l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cu AS (SELECT v, c,
+        |    COALESCE(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    (SELECT count(*) FROM lineitem) AS n
+        |  FROM vc),
+        |b AS (SELECT v, c, CAST(cb * 10 // n AS INT) AS bucket FROM cu)
+        |SELECT bucket, min(v) AS lo, max(v) AS hi,
+        |  CAST(sum(c) AS BIGINT) AS n_rows
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q156_hll_set_algebra" ->
       """WITH ev AS (SELECT event_type AS st, CAST(user_id AS VARCHAR) AS k
         |  FROM events WHERE event_type IN ('click', 'purchase')),

@@ -416,6 +416,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(exB <= math.min(exC, exP))
   }
 
+  test("q160 equi-depth histogram: buckets partition the rows, ranges are disjoint ascending") {
+    val rows = q("q160_equidepth_hist").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_._4).sum === n, "buckets must partition every row")
+    assert(rows.forall { case (_, lo, hi, _) => lo <= hi })
+    // ranges are disjoint and ascending with the bucket id
+    assert(rows.sliding(2).forall { case Array((b1, _, h1, _), (b2, l2, _, _)) =>
+      b1 < b2 && h1 < l2 })
+    // depth balance: every bucket within one value-multiplicity of n/10
+    val maxMult = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_quantity").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(rows.forall { case (_, _, _, c) => c <= n / 10 + maxMult },
+      s"unbalanced: ${rows.mkString(",")} n/10=${n / 10} maxMult=$maxMult")
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
