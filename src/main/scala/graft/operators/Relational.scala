@@ -332,6 +332,32 @@ object Relational extends QueryModule {
         col("gid"), col("n"), col("total"))
       .orderBy("gid", "status", "priority")
 
+  /** q161 — explicit GROUPING SETS, completing the multi-dimensional
+    * aggregation trio (q55 ROLLUP: hierarchy prefixes; q62 CUBE: every
+    * subset): the ARBITRARY set list a reporting layer actually asks
+    * for — here the two single-axis marginals plus the grand total,
+    * deliberately NOT the (status, priority) cross that CUBE would
+    * force. One scan, one Expand: Spark plans grouping sets exactly like
+    * rollup/cube — each input row replicated once per set with
+    * non-grouped keys nulled, then a single hash aggregate — so the cost
+    * is sets×rows map-side, not one pass per set (the naive UNION ALL
+    * formulation scans the table |sets| times). grouping_id
+    * disambiguates genuine NULL keys from subtotal rows, same contract
+    * as q55/q62.
+    */
+  val groupingSetsOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "status", "priority")
+
   /** q64 — ranking-function pack over a partitioned window: ntile
     * quartiles, percent_rank, cume_dist, and first/last order key of each
     * priority class by (price, key). One shuffle on the partition key,
@@ -522,6 +548,7 @@ object Relational extends QueryModule {
     "q54_percentiles" -> percentiles,
     "q55_rollup" -> rollupRevenue,
     "q62_cube" -> cubeOrders,
+    "q161_grouping_sets" -> groupingSetsOrders,
     "q64_window_pack" -> windowPack,
     "q76_gap_fill" -> gapFill,
     "q77_histogram" -> histogram,
@@ -599,6 +626,15 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q161_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus),
+        |  (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
     "q62_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

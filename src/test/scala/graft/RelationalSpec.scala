@@ -191,4 +191,17 @@ class RelationalSpec extends SparkSpec {
     assert(Seq(byStatus, byPriority, cells).forall(_ === grand),
       s"grand=$grand status=$byStatus priority=$byPriority cells=$cells")
   }
+
+  test("q161 grouping sets: exactly the requested sets — marginals + grand total, NO cross cells") {
+    val rows = q("q161_grouping_sets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // gid 0 would be the (status, priority) cross — cube emits it,
+    // grouping sets must not (it was not requested)
+    assert(rows.keys.forall(_._3 != 0), s"unexpected cross cells: $rows")
+    val grand = rows.collect { case (("ALL", "ALL", 3), n) => n }.sum
+    val byStatus = rows.collect { case ((s, "ALL", 1), n) if s != "ALL" => n }.sum
+    val byPriority = rows.collect { case (("ALL", p, 2), n) if p != "ALL" => n }.sum
+    assert(grand > 0 && byStatus === grand && byPriority === grand,
+      s"grand=$grand status=$byStatus priority=$byPriority")
+  }
 }
