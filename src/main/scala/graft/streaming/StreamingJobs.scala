@@ -538,7 +538,84 @@ object StreamingJobs extends QueryModule {
 
   val streamHeavyHitters: Q = (s, d) => streamHeavyRun(s, d)._1
 
+  /** q162 — STREAMING HLL cardinality: the 64-register bank maintained
+    * across micro-batches by register-wise max — the fold is the sketch's
+    * own merge, so the final bank is IDENTICAL to the batch bank no
+    * matter where the stream was cut (max is associative-commutative),
+    * the restart-idempotence argument q136 makes for bottom-k lifted to
+    * the cardinality leg. Completes the streaming sketch pair: rank
+    * (q136) and frequency (q147) already fold; this adds distinct-count.
+    * Per batch: hash the batch's user keys to (bucket, rho), take the
+    * per-bucket max, union with ≤ 64 rows of prior state, re-max. State
+    * is register-bounded whatever the stream volume. Final estimate =
+    * q105's alpha formula with q156's small-range linear-counting
+    * switch; the exact countDistinct audit column is the cost the sketch
+    * removes at 100 TB.
+    */
+  private[graft] def streamHllRun(s: SparkSession, d: String)
+      : (DataFrame, Long, Long) = {
+    val root = graft.Scratch.dir("graft_stream_hll")
+    val src = s"$root/src"
+    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    def regsOf(df: DataFrame): DataFrame = {
+      val k = col("user_id").cast("string")
+      df.select(
+          pmod(conv(substring(md5(k), 1, 8), 16, 10).cast("long"), lit(64L))
+            .as("bucket"),
+          conv(substring(md5(k), 9, 8), 16, 10).cast("long").as("w"))
+        .select(col("bucket"),
+          when(col("w") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("w")))).as("m"))
+        .groupBy("bucket").agg(max("m").as("m"))
+    }
+    var current: Option[String] = None
+    var batches = 0L
+    var maxState = 0L
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val incoming = regsOf(batch)
+        val folded = (current match {
+          case Some(p) => s.read.parquet(p).unionByName(incoming)
+          case None => incoming
+        }).groupBy("bucket").agg(max("m").as("m"))
+        val out = s"$root/state_v$id"
+        folded.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        maxState = math.max(maxState, s.read.parquet(out).count())
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val state = s.read.parquet(
+      current.getOrElse(sys.error("stream produced no micro-batches")))
+    val full = s.range(0, 64).select(col("id").as("bucket"))
+      .join(state, Seq("bucket"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val sketch = full.agg(
+      sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_inv"),
+      sum(when(col("m") === 0, 1).otherwise(0)).cast("long").as("n_empty"))
+    val exact = s.read.parquet(src)
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val out = exact.crossJoin(broadcast(sketch))
+      .select(col("n_exact"), col("n_empty"),
+        expr("""CASE WHEN CAST(floor(0.709 * 4096.0 * 8589934592.0
+                   / CAST(s_inv AS DOUBLE)) AS BIGINT) <= 160 AND n_empty > 0
+                 THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
+                 ELSE CAST(floor(0.709 * 4096.0 * 8589934592.0
+                   / CAST(s_inv AS DOUBLE)) AS BIGINT) END""").as("hll_est"))
+    (out, batches, maxState)
+  }
+
+  val streamHll: Q = (s, d) => streamHllRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q162_stream_hll" -> streamHll,
     "q117_stream_upsert" -> streamUpsert,
     "q136_stream_rank_sketch" -> streamRankSketch,
     "q147_stream_heavy_hitters" -> streamHeavyHitters,
@@ -549,6 +626,32 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // the fold is the sketch's own merge, so the streamed bank must equal
+    // the direct batch bank — the oracle computes registers in one pass
+    "q162_stream_hll" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 64 AS bucket,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS w
+        |  FROM events),
+        |r AS (SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY 1),
+        |allb AS (SELECT COALESCE(r.m, 0) AS m
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN r ON b.bucket = r.bucket),
+        |sk AS (SELECT
+        |    CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT) AS s_inv,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |  FROM allb),
+        |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT ex.n_exact, sk.n_empty,
+        |  CASE WHEN CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv)
+        |        AS BIGINT) <= 160 AND n_empty > 0
+        |    THEN CAST(round(64 * ln(64::DOUBLE / n_empty)) AS BIGINT)
+        |    ELSE CAST(floor(0.709::DOUBLE * 4096 * 8589934592 / s_inv)
+        |      AS BIGINT) END AS hll_est
+        |FROM ex CROSS JOIN sk""".stripMargin,
     // candidate-then-verify makes the streamed answer the EXACT heavy
     // hitters of the whole stream — the oracle computes them directly
     "q147_stream_heavy_hitters" ->

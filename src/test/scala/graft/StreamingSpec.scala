@@ -190,6 +190,20 @@ class StreamingSpec extends SparkSpec {
     assert(keys === List("hot_click", "hot_view"))
   }
 
+  test("q162 streaming HLL: multi-batch register fold, state register-bounded, estimate in band") {
+    val (out, batches, maxState) =
+      graft.streaming.StreamingJobs.streamHllRun(spark, sf)
+    assert(batches >= 2, s"expected a multi-batch fold, got $batches")
+    // the bank can never exceed its 64 registers, after ANY fold
+    assert(maxState <= 64L, s"state held $maxState rows, capacity 64")
+    val r = out.head()
+    val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("hll_est"))
+    assert(exact > 0)
+    // m=64 standard error ~13%; generous deterministic band
+    assert(math.abs(est - exact).toDouble <= 0.4 * exact,
+      s"est=$est exact=$exact")
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._
