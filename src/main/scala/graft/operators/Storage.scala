@@ -384,6 +384,30 @@ object Storage extends QueryModule {
 
   val bloomSkip: Q = (s, d) => bloomSkipRun(s, d)._1
 
+  /** q163 — ORDER-INDEPENDENT table digest: per returnflag, a 60-bit
+    * content checksum = Σ md5(row key)₆₀ mod (2⁶¹−1), plus the row
+    * count — the integrity audit that verifies a 100 TB replication /
+    * migration / backfill WITHOUT moving or sorting data: run on both
+    * copies, compare a handful of (group, digest) rows. The sum makes it
+    * work distributed — addition is associative-commutative, so ANY
+    * partitioning and any visit order produce the same digest, where a
+    * hash-of-concatenation would need a total sort. Exactness: per-row
+    * terms are 60-bit integers summed in DECIMAL(38,0) (no overflow
+    * below ~10²⁰ rows), reduced mod a Mersenne prime; every step
+    * integer, both engines bit-equal.
+    */
+  val partitionDigest: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+          1, 15), 16, 10).cast("decimal(38,0)").as("h"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("s"))
+      .select(col("flag"), col("n_rows"),
+        expr("CAST(s % 2305843009213693951 AS BIGINT)").as("digest"))
+      .orderBy("flag")
+
   /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
     * jsonl, read back with the schema passed in (never inferred — schema
     * inference is a full extra pass over 100 TB), aggregated per lang.
@@ -618,6 +642,7 @@ object Storage extends QueryModule {
     "q134_time_travel" -> timeTravel,
     "q135_zonemap_skip" -> zoneMapSkip,
     "q157_bloom_skip" -> bloomSkip,
+    "q163_partition_digest" -> partitionDigest,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
     "q93_csv_roundtrip" -> csvRoundtrip,
@@ -678,6 +703,14 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderdate < '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // zone-map pruning + residual filter ≡ the plain interval predicate
+    "q163_partition_digest" ->
+      """WITH h AS (SELECT l_returnflag AS flag,
+        |  ('0x' || substr(md5(concat_ws('|',
+        |    l_orderkey, l_linenumber, l_quantity)), 1, 15))::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT flag, count(*) AS n_rows,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS digest
+        |FROM h GROUP BY 1 ORDER BY flag""".stripMargin,
     "q157_bloom_skip" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -53,6 +53,29 @@ class StorageSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_rows") > 0))
   }
 
+  test("q163 partition digest: detects a one-row mutation in exactly the touched group") {
+    val base = graft.SparkEntry.queries("q163_partition_digest")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replica with ONE l_quantity flipped in one flag group
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val victim = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber").head()
+    val (vo, vl) = (victim.getLong(0), victim.getInt(1))
+    val mutated = li.withColumn("l_quantity",
+      when(col("l_orderkey") === vo && col("l_linenumber") === vl,
+        col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val dir = java.nio.file.Files.createTempDirectory("graftdigest").toString
+    mutated.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("q163_partition_digest")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === base.keySet)
+    got.foreach { case (flag, (n, dg)) =>
+      assert(n === base(flag)._1, s"row counts must agree ($flag)")
+      if (flag == "R") assert(dg !== base(flag)._2, "mutation must change R's digest")
+      else assert(dg === base(flag)._2, s"untouched group $flag must keep its digest")
+    }
+  }
+
   test("q134 time travel: version-2 read sees exactly the first two batches") {
     val (out, dataDir) = graft.operators.Storage.timeTravelRun(spark, sf)
     val asOfV2 = out.collect().map(_.getLong(1)).sum
