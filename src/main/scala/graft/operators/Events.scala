@@ -266,7 +266,46 @@ object Events extends QueryModule {
       .orderBy("src", "dst")
   }
 
+  /** q164 — TIME-WEIGHTED AVERAGE (TWAP) of purchase values per user
+    * over the irregular event series: each value weighted by how long it
+    * "held" (the gap to the user's next purchase, the step-function
+    * integral ÷ span) — the metric finance and monitoring both use when
+    * plain AVG would let burst samples swamp sparse ones.
+    *
+    * Plan: ONE user-partitioned lead() window (the stream's native
+    * shuffle key) then a hash aggregate — no self-join of the series.
+    * Determinism: timestamps in integer µs with an event_id tie-break
+    * (equal-µs ties get zero weight on the first of the pair — harmless
+    * and engine-independent); values micro-integerized once (q94's
+    * pattern), the Σ(v·Δt) accumulated in DECIMAL(38,0) (v·Δt can reach
+    * ~10²⁰ — past BIGINT), and the final twap is one integer `div` on
+    * positive operands (fixture values are positive; a signed variant
+    * would switch to round-half-away like q151). Users whose purchases
+    * all share one microsecond carry zero span and are excluded in both
+    * engines.
+    */
+  val twap: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vq"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ev.withColumn("t2", lead("t", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("user_id"), (col("t2") - col("t")).as("dt"), col("vq"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dt").as("span_us"),
+        sum(col("vq").cast("decimal(38,0)") * col("dt")).as("num"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("CAST(num div span_us AS BIGINT)").as("twap_ppm"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q164_twap" -> twap,
     "q150_markov_transitions" -> markovTransitions,
     "q145_attribution" -> attribution,
     "q129_rate_anomaly" -> rateAnomaly,
@@ -325,6 +364,20 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q164_twap" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vq
+        |  FROM events WHERE event_type = 'purchase'),
+        |iv AS (SELECT user_id, vq,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+        |  FROM ev),
+        |ag AS (SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(dt) AS BIGINT) AS span_us,
+        |    sum(vq::HUGEINT * dt) AS num
+        |  FROM iv WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, span_us,
+        |  CAST(num // span_us AS BIGINT) AS twap_ppm
+        |FROM ag WHERE span_us > 0 ORDER BY user_id""".stripMargin,
     "q150_markov_transitions" ->
       """WITH sq AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

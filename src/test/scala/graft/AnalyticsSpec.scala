@@ -433,6 +433,24 @@ class AnalyticsSpec extends SparkSpec {
       s"unbalanced: ${rows.mkString(",")} n/10=${n / 10} maxMult=$maxMult")
   }
 
+  test("q164 TWAP: planted holds weight values by duration; the last value never counts") {
+    import spark.implicits._
+    // v=10 held 1s, v=20 held 3s, v=99 last (no hold): (10·1+20·3)/4 = 17.5
+    val ns = 1000000000L
+    val rows = Seq(
+      (1L, 0L * ns, 7L, "purchase", 10.0, "{}"),
+      (2L, 1L * ns, 7L, "purchase", 20.0, "{}"),
+      (3L, 4L * ns, 7L, "purchase", 99.0, "{}"),
+      (4L, 5L * ns, 7L, "view", 1000.0, "{}")) // non-purchase: ignored
+    val dir = java.nio.file.Files.createTempDirectory("grafttwap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q164_twap")(spark, dir).head()
+    assert(r.getAs[Long]("n_intervals") === 2L)
+    assert(r.getAs[Long]("span_us") === 4000000L)
+    assert(r.getAs[Long]("twap_ppm") === 17500000L)
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
