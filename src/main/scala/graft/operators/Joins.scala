@@ -322,7 +322,52 @@ object Joins extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** q165 — REFERENTIAL-INTEGRITY AUDIT of every FK edge in the star:
+    * child rows, orphan rows (no matching parent key), distinct orphan
+    * keys — the constraint check a lake must RUN as a query because
+    * parquet enforces nothing (there are no FK constraints at 100 TB,
+    * only audits). Healthy fixtures answer all-zeros; the spec plants an
+    * orphan to prove detection.
+    *
+    * Plan: per edge ONE left-anti join against the parent's distinct
+    * keys — dimension parents broadcast, the orders parent shuffles on
+    * the natural key (exactly the join the lake runs anyway) — plus one
+    * child count; all seven 1-row audits union. Anti-join (not NOT IN)
+    * deliberately: NOT IN's null semantics would vacuous-pass the whole
+    * audit if a single parent key were NULL; the oracle uses NOT EXISTS,
+    * the same two-valued logic.
+    */
+  val fkAudit: Q = (s, d) => {
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+        ckey: String, parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+      val par = parent.select(col(pkey).as("pk")).distinct()
+      val orphans = child.select(col(ckey).as("ck"))
+        .join(par, col("ck") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"),
+          countDistinct("ck").as("n_orphan_keys"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(name).as("edge"), col("n_child"),
+          col("n_orphan"), col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    val su = Tables.supplier(s, d); val p = Tables.part(s, d)
+    val r = Tables.region(s, d)
+    Seq(
+      edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+      edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+      edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("edge")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q165_fk_audit" -> fkAudit,
     "q115_bloom_join" -> bloomJoinPrune,
     "q125_snapshot_diff" -> snapshotDiff,
     "q100_interval_join" -> intervalJoin,
@@ -335,6 +380,25 @@ object Joins extends QueryModule {
     "q52_salted_join" -> saltedJoinRevenue)
 
   def oracles: Map[String, String] = Map(
+    "q165_fk_audit" -> {
+      def edgeSql(name: String, child: String, ckey: String,
+          parent: String, pkey: String) =
+        s"""SELECT '$name' AS edge,
+           |  (SELECT count(*) FROM $child) AS n_child,
+           |  count(*) AS n_orphan,
+           |  CAST(count(DISTINCT c.$ckey) AS BIGINT) AS n_orphan_keys
+           |FROM $child c WHERE NOT EXISTS (
+           |  SELECT 1 FROM $parent p WHERE p.$pkey = c.$ckey)""".stripMargin
+      Seq(
+        edgeSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edgeSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edgeSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edgeSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edgeSql("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edgeSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edgeSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
     "q115_bloom_join" -> {
       def duckPositions(key: String) = (0 until bloomK)
         .map(j => s"('0x' || substr(md5(CAST($key AS VARCHAR)), ${j * 4 + 1}, 4))::BIGINT")
