@@ -408,6 +408,48 @@ object Storage extends QueryModule {
         expr("CAST(s % 2305843009213693951 AS BIGINT)").as("digest"))
       .orderBy("flag")
 
+  /** q166 — COLUMN ENCODING ADVISOR: per analyzed column, the profile a
+    * layout optimizer reads before choosing parquet encodings — NDV,
+    * top-value share, Shannon entropy of the value distribution (the
+    * lower bound on bits/value any entropy coder can reach), and a
+    * dictionary-vs-plain verdict (dict pays when values repeat ≥ 10×).
+    * This is the write-side twin of the read-side skipping ops
+    * (q135/q157): those exploit layout, this DECIDES it.
+    *
+    * Plan: one value-count hash aggregate per column (map-side
+    * combinable; the profile is usually run on a sample at 100 TB — a
+    * TABLESAMPLE clause away, same plan), then everything downstream
+    * runs on NDV-sized frames. Entropy is exact-integer: per-value
+    * mu = round(ln(n/c)·10⁶) (q94's micro-nat pattern), weighted sum in
+    * DECIMAL(38,0), one positive `div` — H = Σ(c/n)·ln(n/c) in µnats,
+    * identical trees in both engines.
+    */
+  val encodingAdvisor: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def prof(cname: String) = {
+      val vc = li.groupBy(col(cname).cast("string").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val n = vc.agg(sum("c").as("n"))
+      vc.crossJoin(broadcast(n))
+        .select(col("c"), col("n"),
+          expr("""CAST(CAST(c AS DECIMAL(38,0))
+                   * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)
+                   AS DECIMAL(38,0))""").as("w"))
+        .groupBy()
+        .agg(count(lit(1)).as("ndv"), max("n").as("n"),
+          max("c").as("top1"), sum("w").as("sw"))
+        .select(lit(cname).as("col_name"), col("n"), col("ndv"),
+          expr("top1 * 1000000 div n").as("top1_share_ppm"),
+          expr("CAST(sw div n AS BIGINT)").as("entropy_unat"),
+          expr("CASE WHEN ndv * 10 <= n THEN 'dict' ELSE 'plain' END")
+            .as("advice"))
+    }
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
+      "l_extendedprice")
+      .map(prof).reduce(_ unionByName _)
+      .orderBy("col_name")
+  }
+
   /** q69 — JSON-lines source with an EXPLICIT schema: documents written as
     * jsonl, read back with the schema passed in (never inferred — schema
     * inference is a full extra pass over 100 TB), aggregated per lang.
@@ -643,6 +685,7 @@ object Storage extends QueryModule {
     "q135_zonemap_skip" -> zoneMapSkip,
     "q157_bloom_skip" -> bloomSkip,
     "q163_partition_digest" -> partitionDigest,
+    "q166_encoding_advisor" -> encodingAdvisor,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
     "q93_csv_roundtrip" -> csvRoundtrip,
@@ -703,6 +746,57 @@ object Storage extends QueryModule {
         |FROM orders WHERE o_orderdate < '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // zone-map pruning + residual filter ≡ the plain interval predicate
+    "q166_encoding_advisor" ->
+      """SELECT 'l_returnflag' AS col_name, n, ndv,
+        |  top1 * 1000000 // n AS top1_share_ppm,
+        |  CAST(sw // n AS BIGINT) AS entropy_unat,
+        |  CASE WHEN ndv * 10 <= n THEN 'dict' ELSE 'plain' END AS advice
+        |FROM (SELECT count(*) AS ndv, max(n) AS n, max(c) AS top1,
+        |    sum(c::HUGEINT * CAST(round(ln(n::DOUBLE / c) * 1000000) AS BIGINT)) AS sw
+        |  FROM (SELECT c, (SELECT count(*) FROM lineitem) AS n FROM
+        |    (SELECT CAST(l_returnflag AS VARCHAR) AS v, count(*) AS c
+        |     FROM lineitem GROUP BY 1)))
+        |UNION ALL
+        |SELECT 'l_linestatus' AS col_name, n, ndv,
+        |  top1 * 1000000 // n AS top1_share_ppm,
+        |  CAST(sw // n AS BIGINT) AS entropy_unat,
+        |  CASE WHEN ndv * 10 <= n THEN 'dict' ELSE 'plain' END AS advice
+        |FROM (SELECT count(*) AS ndv, max(n) AS n, max(c) AS top1,
+        |    sum(c::HUGEINT * CAST(round(ln(n::DOUBLE / c) * 1000000) AS BIGINT)) AS sw
+        |  FROM (SELECT c, (SELECT count(*) FROM lineitem) AS n FROM
+        |    (SELECT CAST(l_linestatus AS VARCHAR) AS v, count(*) AS c
+        |     FROM lineitem GROUP BY 1)))
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_name, n, ndv,
+        |  top1 * 1000000 // n AS top1_share_ppm,
+        |  CAST(sw // n AS BIGINT) AS entropy_unat,
+        |  CASE WHEN ndv * 10 <= n THEN 'dict' ELSE 'plain' END AS advice
+        |FROM (SELECT count(*) AS ndv, max(n) AS n, max(c) AS top1,
+        |    sum(c::HUGEINT * CAST(round(ln(n::DOUBLE / c) * 1000000) AS BIGINT)) AS sw
+        |  FROM (SELECT c, (SELECT count(*) FROM lineitem) AS n FROM
+        |    (SELECT CAST(l_quantity AS VARCHAR) AS v, count(*) AS c
+        |     FROM lineitem GROUP BY 1)))
+        |UNION ALL
+        |SELECT 'l_partkey' AS col_name, n, ndv,
+        |  top1 * 1000000 // n AS top1_share_ppm,
+        |  CAST(sw // n AS BIGINT) AS entropy_unat,
+        |  CASE WHEN ndv * 10 <= n THEN 'dict' ELSE 'plain' END AS advice
+        |FROM (SELECT count(*) AS ndv, max(n) AS n, max(c) AS top1,
+        |    sum(c::HUGEINT * CAST(round(ln(n::DOUBLE / c) * 1000000) AS BIGINT)) AS sw
+        |  FROM (SELECT c, (SELECT count(*) FROM lineitem) AS n FROM
+        |    (SELECT CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+        |     FROM lineitem GROUP BY 1)))
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS col_name, n, ndv,
+        |  top1 * 1000000 // n AS top1_share_ppm,
+        |  CAST(sw // n AS BIGINT) AS entropy_unat,
+        |  CASE WHEN ndv * 10 <= n THEN 'dict' ELSE 'plain' END AS advice
+        |FROM (SELECT count(*) AS ndv, max(n) AS n, max(c) AS top1,
+        |    sum(c::HUGEINT * CAST(round(ln(n::DOUBLE / c) * 1000000) AS BIGINT)) AS sw
+        |  FROM (SELECT c, (SELECT count(*) FROM lineitem) AS n FROM
+        |    (SELECT CAST(l_extendedprice AS VARCHAR) AS v, count(*) AS c
+        |     FROM lineitem GROUP BY 1)))
+        |ORDER BY col_name""".stripMargin,
     "q163_partition_digest" ->
       """WITH h AS (SELECT l_returnflag AS flag,
         |  ('0x' || substr(md5(concat_ws('|',

@@ -76,6 +76,20 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("q166 encoding advisor: low-cardinality keys read dict, near-unique values read plain") {
+    val rows = graft.SparkEntry.queries("q166_encoding_advisor")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    val (n, ndvRf, top1Rf, hRf, advRf) = rows("l_returnflag")
+    assert(advRf === "dict" && ndvRf <= 3L)
+    // entropy can never exceed ln(ndv) µnats; top-1 share at least 1/ndv
+    assert(hRf <= math.round(math.log(ndvRf.toDouble) * 1e6))
+    assert(top1Rf >= 1000000L / ndvRf)
+    val (_, ndvEp, _, hEp, advEp) = rows("l_extendedprice")
+    assert(advEp === "plain", s"near-unique column must read plain (ndv=$ndvEp of $n)")
+    assert(hEp > hRf, "high-cardinality entropy must exceed the 3-value key's")
+  }
+
   test("q134 time travel: version-2 read sees exactly the first two batches") {
     val (out, dataDir) = graft.operators.Storage.timeTravelRun(spark, sf)
     val asOfV2 = out.collect().map(_.getLong(1)).sum
