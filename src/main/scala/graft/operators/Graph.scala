@@ -347,14 +347,118 @@ object Graph extends QueryModule {
       .orderBy("node")
   }
 
+  /** BFS round count (q167) — hop radii 1..bfsRounds are materialized;
+    * everything farther lands in the unreached bucket. */
+  private val bfsRounds = 3
+
+  /** BFS seed rule (q167): node id ≡ 0 (mod bfsSeedMod) — deterministic,
+    * scale-proportional (4 seeds at sf0.001, ~400 at sf0.1), and
+    * expressible identically in both engines. */
+  private val bfsSeedMod = 50L
+
+  /** q167 — MULTI-SOURCE BFS hop profile over the repeat-co-purchase
+    * graph (q148/q155's edges): how much of the graph lies within 1, 2, 3
+    * hops of a seed set — the reachability / blast-radius audit that
+    * precedes any seed-expansion campaign (influence seeding, taint
+    * tracking, crawl frontier sizing), and the missing classic next to
+    * PageRank (importance), CC (structure), k-core (density), LPA
+    * (community), triangles (cohesion).
+    *
+    * Frontier formulation — per round ONE equi-join (edges ⋈ frontier on
+    * the source endpoint) plus ONE anti-join against the visited set,
+    * both keyed on node id (the graph's natural shuffle key); the visited
+    * set is staged per round (q59's lineage discipline) so round r+1
+    * scans a parquet leaf, not a growing logical plan. Fixed
+    * [[bfsRounds]] rounds, the q106/q148 parity discipline: both engines
+    * run the identical recursion depth, no convergence detection to
+    * disagree on. Per-node distances aggregate to one row per hop
+    * (n_nodes + id checksum) plus a dist = -1 row for nodes outside the
+    * 3-hop ball — output O(rounds), independent of graph size. At 100 TB
+    * the frontier join is the iterated primitive Pregel lowers to; the
+    * anti-join's build side (visited) only matters hash-bucketed, never
+    * broadcast-whole.
+    */
+  val bfsHops: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val tmpE = graft.Scratch.dir("graft_bfs_edges")
+    e2.union(e2.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(tmpE)
+    val ed = s.read.parquet(tmpE)
+    // both directions staged, so src endpoints alone cover every node
+    val nodes = ed.select(col("u").as("x")).distinct()
+    var visitedDir = graft.Scratch.dir("graft_bfs_v0")
+    nodes.filter(col("x") % bfsSeedMod === 0)
+      .select(col("x"), lit(0).as("dist"))
+      .write.mode("overwrite").parquet(visitedDir)
+    for (r <- 1 to bfsRounds) {
+      val visited = s.read.parquet(visitedDir)
+      val frontier = visited.filter(col("dist") === r - 1)
+      val nbrs = ed.join(frontier.select(col("x").as("u")), "u")
+        .select(col("v").as("x")).distinct()
+      val fresh = nbrs.join(visited, Seq("x"), "left_anti")
+        .select(col("x"), lit(r).as("dist"))
+      val nextDir = graft.Scratch.dir(s"graft_bfs_v$r")
+      visited.unionByName(fresh).write.mode("overwrite").parquet(nextDir)
+      visitedDir = nextDir
+    }
+    val visited = s.read.parquet(visitedDir)
+    val reached = visited.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum("x").as("id_checksum"))
+    val unreached = nodes.join(visited, Seq("x"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum("x"), lit(0L)).as("id_checksum"))
+      .select(lit(-1).as("dist"), col("n_nodes"), col("id_checksum"))
+    reached.unionByName(unreached).orderBy("dist")
+  }
+
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
     "q148_kcore_peel" -> kcorePeel,
     "q155_label_propagation" -> labelPropagation,
-    "q159_gnn_sample" -> gnnSample)
+    "q159_gnn_sample" -> gnnSample,
+    "q167_bfs_hops" -> bfsHops)
 
   def oracles: Map[String, String] = Map(
+    // the same fixed-depth frontier expansion, unrolled as generated
+    // CTEs — identical seeds (mod rule), identical rounds, so the hop
+    // profile must match row for row
+    "q167_bfs_hops" -> {
+      val rounds = (1 to bfsRounds).map { r =>
+        s"""f$r AS (SELECT DISTINCT ed.v AS x FROM ed
+           |  JOIN v${r - 1} w ON ed.u = w.x AND w.dist = ${r - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} p WHERE p.x = ed.v)),
+           |v$r AS MATERIALIZED (SELECT x, dist FROM v${r - 1}
+           |  UNION ALL SELECT x, $r AS dist FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |nodes AS (SELECT DISTINCT u AS x FROM ed),
+         |v0 AS MATERIALIZED (SELECT x, 0 AS dist FROM nodes
+         |  WHERE x % $bfsSeedMod = 0),
+         |$rounds
+         |SELECT dist, count(*) AS n_nodes,
+         |  CAST(sum(x) AS BIGINT) AS id_checksum
+         |FROM v$bfsRounds GROUP BY 1
+         |UNION ALL
+         |SELECT -1 AS dist, count(*) AS n_nodes,
+         |  CAST(coalesce(sum(x), 0) AS BIGINT) AS id_checksum
+         |FROM nodes WHERE NOT EXISTS
+         |  (SELECT 1 FROM v$bfsRounds w WHERE w.x = nodes.x)
+         |ORDER BY dist""".stripMargin
+    },
     // the identical md5 hash-sample: both engines draw the same
     // neighborhoods, so the aggregate must match exactly
     "q159_gnn_sample" ->

@@ -345,6 +345,23 @@ class PropertySpec extends SparkSpec {
     assert(got.toSet === Set((1L, 3L, 1L, 6L), (10L, 3L, 10L, 33L)))
   }
 
+  test("q167 BFS: chain walks one hop per round, disconnected pair lands in the unreached bucket") {
+    // graph: chain 50-1-2-3 (50 is the only mod-50 seed) plus a
+    // disconnected pair 7-8; every edge realized twice for the m >= 2
+    // cut. Expected hop profile: 50 at dist 0, then 1, 2, 3 one hop per
+    // round; 7 and 8 stay unreached (dist -1, checksum 15).
+    val edgesList = List((50L, 1L), (1L, 2L), (2L, 3L), (7L, 8L))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftbfs").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q167_bfs_hops")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList === List((-1, 2L, 15L), (0, 1L, 50L),
+      (1, 1L, 1L), (2, 1L, 2L), (3, 1L, 3L)))
+  }
+
   test("q159 GNN sampling: star graph caps the hub at 5, spokes see the hub's sample; plan uses WindowGroupLimit") {
     // hub 100 with 10 spokes 1..10 (every edge realized twice for the
     // m >= 2 cut). The hub samples exactly 5 of its 10 neighbors — which
