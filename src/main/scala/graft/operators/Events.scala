@@ -304,7 +304,51 @@ object Events extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Activity-interval half-width (q168): each event opens a 30-minute
+    * presence window. */
+  private val coverHoldUs = 1800L * 1000000L
+
+  /** q168 — INTERVAL-UNION COVERAGE per user: every event opens a
+    * 30-minute presence interval; overlapping intervals merge, and the
+    * answer is each user's total covered time plus how many disjoint
+    * activity islands it splits into — the gaps-and-islands computation
+    * behind uptime/SLA accounting, ad-exposure accumulation, and "active
+    * minutes" metrics, where naive n_events × 30min double-counts every
+    * overlap.
+    *
+    * Plan: ONE user-partitioned window pass (running max of interval end
+    * over PRECEDING rows — an island starts exactly where the start
+    * exceeds it) + one hash aggregate; no self-join of the series, no
+    * interval explosion into minutes (the classic O(n·duration) mistake).
+    * The window is partitioned by user_id — the stream's natural shuffle
+    * key, so the sort is per-user-bounded at any scale. All arithmetic in
+    * integer µs with an event_id tie-break; equal-timestamp events merge
+    * into the same island in both engines by construction.
+    */
+  val intervalCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("e", col("t") + lit(coverHoldUs))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val prevMax = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = ev
+      .withColumn("new_island",
+        when(col("t") > coalesce(prevMax, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy("user_id", "island")
+      .agg(min("t").as("st"), max("e").as("en"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("en") - col("st")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q168_interval_coverage" -> intervalCoverage,
     "q164_twap" -> twap,
     "q150_markov_transitions" -> markovTransitions,
     "q145_attribution" -> attribution,
@@ -364,6 +408,26 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q168_interval_coverage" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    epoch_us(ts) + $coverHoldUs AS e
+        |  FROM events),
+        |mk AS (SELECT user_id, event_id, t, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM ev),
+        |fl AS (SELECT user_id, event_id, t, e,
+        |    CASE WHEN pm IS NULL OR t > pm THEN 1 ELSE 0 END AS nw
+        |  FROM mk),
+        |il AS (SELECT user_id, t, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |sp AS (SELECT user_id, island, min(t) AS st, max(e) AS en
+        |  FROM il GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered_us
+        |FROM sp GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q164_twap" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(round(value * 1000000) AS BIGINT) AS vq

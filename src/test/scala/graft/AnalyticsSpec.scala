@@ -451,6 +451,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("twap_ppm") === 17500000L)
   }
 
+  test("q168 interval coverage: overlapping holds merge, the gap opens a second island") {
+    import spark.implicits._
+    // holds are 1800s: events at 0s and 600s overlap into one island
+    // [0, 2400s]; the event at 10000s opens a second island [10000, 11800]
+    // → 2 islands, 2400 + 1800 = 4200s covered.
+    val ns = 1000000000L
+    val rows = Seq(
+      (1L, 0L * ns, 7L, "view", 0.0, "{}"),
+      (2L, 600L * ns, 7L, "click", 0.0, "{}"),
+      (3L, 10000L * ns, 7L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftcov").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q168_interval_coverage")(spark, dir).head()
+    assert(r.getAs[Long]("n_islands") === 2L)
+    assert(r.getAs[Long]("covered_us") === 4200L * 1000000L)
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
