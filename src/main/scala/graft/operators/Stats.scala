@@ -783,7 +783,62 @@ object Stats extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** χ²(df=1) critical value at α=0.05 in µ-units (q169): 3.841459. */
+  private val chiCritMicro = 3841459L
+
+  /** q169 — A/B EXPERIMENT READOUT as a 2×2 chi-square test: users
+    * deterministically hash-assigned to two arms (md5 bucket — the
+    * assignment IS the production mechanism: stable under re-runs,
+    * repartitioning, and late-arriving events, where seeded RNG is none
+    * of those), conversion = "user ever purchased", and the readout is
+    * the chi-square independence statistic — in EXACT integer
+    * arithmetic, because χ² for a 2×2 table is the sqrt-free closed form
+    * n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)): one DECIMAL(38,0) ratio, both
+    * engines bit-equal, no transcendental in sight (the z-test
+    * equivalent would need a sqrt; χ² = z² says we lose nothing).
+    *
+    * Plan: one per-user hash aggregate (map-side combinable conversion
+    * flag), then ONE global aggregate with conditional sums — the 2×2
+    * table is 4 numbers, so 100 TB of events reduces to one row before
+    * any arithmetic. Headroom: the DECIMAL(38,0) product chain holds to
+    * ~10⁶ users per arm (ad−bc)² ≤ 10²⁴ · n ≤ 10³⁰ · 10⁶ scale); past
+    * that a production readout divides counts by a common factor first —
+    * χ² is scale-invariant in distribution terms — or accepts one double
+    * divide (documented, not taken, to keep the oracle exact).
+    */
+  val abChisq: Q = (s, d) => {
+    val conv = Tables.events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("cv"))
+    val armed = conv.withColumn("arm",
+      graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+    armed.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("arm") === 0 && col("cv") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 0 && col("cv") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 1 && col("cv") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 1 && col("cv") === 0, 1L).otherwise(0L)).as("d"))
+      .select(col("n_users"),
+        (col("a") + col("b")).as("n_a"),
+        (col("c") + col("d")).as("n_b"),
+        col("a").as("conv_a"),
+        col("c").as("conv_b"),
+        // zero-guard factor-by-factor (the product form would overflow
+        // LONG past ~1e5 users); the determinant in DECIMAL from the
+        // first multiply for the same reason
+        expr("""CAST(CASE WHEN a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0
+                 THEN 0 ELSE
+                 (CAST(n_users AS DECIMAL(38,0))
+                  * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+                  * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+                  * 1000000)
+                 div (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d))
+                 END AS BIGINT)""").as("chi2_micro"))
+      .withColumn("significant", col("chi2_micro") > chiCritMicro)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q169_ab_chisq" -> abChisq,
     "q160_equidepth_hist" -> equiDepthHist,
     "q156_hll_set_algebra" -> hllSetAlgebra,
     "q154_seasonal_backtest" -> seasonalBacktest,
@@ -830,6 +885,30 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q169_ab_chisq" -> {
+      val arm = graft.functions.Hashing.duckMd5Bucket("user_id", 2)
+      s"""WITH cv AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+         |  FROM events GROUP BY 1),
+         |ar AS (SELECT user_id, cv, $arm AS arm FROM cv),
+         |ct AS (SELECT count(*) AS n,
+         |    sum(CASE WHEN arm = 0 AND cv = 1 THEN 1 ELSE 0 END) AS a,
+         |    sum(CASE WHEN arm = 0 AND cv = 0 THEN 1 ELSE 0 END) AS b,
+         |    sum(CASE WHEN arm = 1 AND cv = 1 THEN 1 ELSE 0 END) AS c,
+         |    sum(CASE WHEN arm = 1 AND cv = 0 THEN 1 ELSE 0 END) AS d
+         |  FROM ar),
+         |ch AS (SELECT n, a, b, c, d,
+         |    CASE WHEN a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0 THEN 0 ELSE
+         |      (n::HUGEINT * (a*d - b*c) * (a*d - b*c) * 1000000)
+         |      // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)) END AS chi2
+         |  FROM ct)
+         |SELECT CAST(n AS BIGINT) AS n_users,
+         |  CAST(a + b AS BIGINT) AS n_a, CAST(c + d AS BIGINT) AS n_b,
+         |  CAST(a AS BIGINT) AS conv_a, CAST(c AS BIGINT) AS conv_b,
+         |  CAST(chi2 AS BIGINT) AS chi2_micro,
+         |  chi2 > $chiCritMicro AS significant
+         |FROM ch""".stripMargin
+    },
     "q160_equidepth_hist" ->
       """WITH vc AS (SELECT l_quantity AS v, count(*) AS c
         |  FROM lineitem GROUP BY 1),

@@ -469,6 +469,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("covered_us") === 4200L * 1000000L)
   }
 
+  test("q169 A/B chi-square: cells partition the users, statistic recomputes from the cells") {
+    val r = q("q169_ab_chisq").head()
+    val (n, na, nb, ca, cb, chi) = (r.getAs[Long]("n_users"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("conv_a"), r.getAs[Long]("conv_b"),
+      r.getAs[Long]("chi2_micro"))
+    assert(na + nb === n && na > 0 && nb > 0)
+    assert(ca <= na && cb <= nb)
+    // recompute the closed form in BigInt from the published cells
+    val (a, b, c, d) = (BigInt(ca), BigInt(na - ca), BigInt(cb), BigInt(nb - cb))
+    val det = a * d - b * c
+    val denom = (a + b) * (c + d) * (a + c) * (b + d)
+    val want =
+      if (denom == 0) BigInt(0)
+      else (BigInt(n) * det * det * 1000000) / denom
+    assert(BigInt(chi) === want, s"chi2_micro=$chi want=$want")
+    assert(r.getAs[Boolean]("significant") === (chi > 3841459L))
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
