@@ -630,7 +630,64 @@ object Text extends QueryModule {
       .limit(20)
   }
 
+  /** q170 — TRIGRAM language model with held-out cross-entropy: the
+    * conditional upgrade of q94's unigram score and the primitive behind
+    * PERPLEXITY FILTERING (the CCNet/Gopher move: train a small LM on
+    * trusted text, keep corpus documents whose perplexity under it is
+    * unsurprising). Model = add-1-smoothed p(w3 | w1 w2) from the q75
+    * hash-split train slice (buckets < 80); score = the test slice's
+    * (buckets ≥ 90) mean −ln p per trigram, reported per source — a
+    * 20-row quality leaderboard.
+    *
+    * Plan: trigram formation is ARRAY-LOCAL (transform over the token
+    * array inside each row — no window shuffle, no posexplode+lead; a
+    * document never leaves its partition to be trigrammed). Counts are
+    * two hash aggregates (c3 keyed by the trigram string; c2 derived
+    * from c3 by prefix re-aggregation — NOT a second corpus pass), both
+    * map-side combinable. Scoring shuffles held-out trigrams to the
+    * count tables on their natural string keys (vocabulary-sized at
+    * 100 TB — joined, never broadcast; the 1-row vocab total IS
+    * broadcast). Exactness: each −ln p rounds once to integer µnats
+    * (q94's discipline); since c2 ≥ c3 the log argument is ≥ 1, every mu
+    * is non-negative, and the final per-source `div` truncates
+    * identically in both engines.
+    */
+  val trigramLm: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
+    val base = docs.select(col("doc_id"), col("source"),
+      filter(toks, t => length(t) > 0).as("tk"), bucket.as("bk"))
+    val tri = base.select(col("doc_id"), col("source"), col("bk"),
+      explode(expr("""CASE WHEN size(tk) >= 3 THEN
+          transform(sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+          ELSE array() END""")).as("g3"))
+      .withColumn("g2",
+        expr("concat_ws(' ', split(g3, ' ')[0], split(g3, ' ')[1])"))
+    val c3 = tri.filter(col("bk") < 80)
+      .groupBy("g2", "g3").agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy("g2").agg(sum("c3").as("c2"))
+    val vocab = base.filter(col("bk") < 80)
+      .select(explode(col("tk")).as("term"))
+      .agg(countDistinct("term").as("v"))
+    val scored = tri.filter(col("bk") >= 90)
+      .join(c3.drop("g2"), Seq("g3"), "left")
+      .join(c2, Seq("g2"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"),
+        round(log((coalesce(col("c2"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("c3"), lit(0L)) + lit(1L)).cast("double")) * 1e6)
+          .cast("long").as("mu"))
+    scored.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_trigrams"), sum("mu").as("sum_mu"))
+      .select(col("source"), col("n_docs"), col("n_trigrams"),
+        expr("sum_mu div n_trigrams").as("xent_micro"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
     "q146_collocations" -> collocations,
@@ -662,6 +719,36 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q170_trigram_lm" -> {
+      val bk = graft.functions.Hashing.duckMd5Bucket("doc_id", 100)
+      raw"""WITH base AS (SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)
+         |      AS tk,
+         |    $bk AS bk
+         |  FROM documents),
+         |tri AS (SELECT doc_id, source, bk,
+         |    unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS g3
+         |  FROM base),
+         |tg AS (SELECT doc_id, source, bk, g3,
+         |    array_to_string((string_split(g3, ' '))[1:2], ' ') AS g2
+         |  FROM tri),
+         |c3 AS (SELECT g2, g3, count(*) AS c3 FROM tg
+         |  WHERE bk < 80 GROUP BY 1, 2),
+         |c2 AS (SELECT g2, sum(c3) AS c2 FROM c3 GROUP BY 1),
+         |vc AS (SELECT count(DISTINCT term) AS v FROM
+         |  (SELECT unnest(tk) AS term FROM base WHERE bk < 80)),
+         |sc AS (SELECT tg.doc_id, tg.source,
+         |    CAST(round(ln(CAST(COALESCE(c2.c2, 0) + v AS DOUBLE)
+         |      / (COALESCE(c3.c3, 0) + 1)) * 1000000) AS BIGINT) AS mu
+         |  FROM tg LEFT JOIN c3 ON tg.g3 = c3.g3
+         |  LEFT JOIN c2 ON tg.g2 = c2.g2 CROSS JOIN vc
+         |  WHERE tg.bk >= 90)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_trigrams,
+         |  CAST(sum(mu) // count(*) AS BIGINT) AS xent_micro
+         |FROM sc GROUP BY 1 ORDER BY source""".stripMargin
+    },
     "q158_rrf_fusion" ->
       raw"""WITH tk AS (SELECT doc_id,
          |  unnest(list_filter(string_split_regex(text, '\s+'),

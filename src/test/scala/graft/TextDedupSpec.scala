@@ -353,6 +353,30 @@ class TextDedupSpec extends SparkSpec {
       s1 > s2 || (s1 == s2 && i1 < i2) })
   }
 
+  test("q170 trigram LM: planted corpus reproduces the add-1 smoothed score exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // discover which ids the q75 hash split sends to train (<80) / test
+    // (>=90), then plant 3 identical train docs and 1 test doc "a b c":
+    // c3 = 3, c2 = 3, V = 3 → mu = round(ln((3+3)/(3+1))·1e6) = 405465
+    val ids = (0L until 200L).toDF("doc_id")
+      .withColumn("bk", graft.functions.Hashing.md5Bucket(col("doc_id"), 100))
+      .as[(Long, Long)].collect()
+    val trainIds = ids.filter(_._2 < 80).map(_._1).take(3)
+    val testId = ids.filter(_._2 >= 90).map(_._1).head
+    val docs = (trainIds.map(i => (i, "a b c", "en", "s0", 5L)).toSeq :+
+      ((testId, "a b c", "en", "s0", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftlm").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q170_trigram_lm")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("source") === "s0")
+    assert(r(0).getAs[Long]("n_docs") === 1L)
+    assert(r(0).getAs[Long]("n_trigrams") === 1L)
+    assert(r(0).getAs[Long]("xent_micro") === 405465L)
+  }
+
   test("q141 repeated-passage spans: overlapping shingles merge to ONE maximal span; k-apart starts touch") {
     // doc 1 / doc 2 share an 8-token passage (a1..a8) and a 5-token
     // passage (b1..b5), separated by unique middles; doc 3 / doc 4 share
