@@ -686,7 +686,42 @@ object Text extends QueryModule {
       .orderBy("source")
   }
 
+  /** q171 — BPE MERGE-PAIR STATISTICS: the byte-pair-encoding trainer's
+    * inner loop — which adjacent symbol pair is most frequent across the
+    * corpus, weighted by word frequency — for the first merge round
+    * (symbols = characters). The full trainer iterates this k times with
+    * a merge applied between rounds; round one is the primitive, and its
+    * data layout IS the classic trainer's: a word-frequency dictionary,
+    * NOT the raw corpus.
+    *
+    * Plan: ONE corpus-sized pass (the word-count hash aggregate,
+    * map-side combinable); everything after runs on the VOCABULARY —
+    * pair extraction is array-local per distinct word (transform over
+    * character positions, weight = word frequency), so a word occurring
+    * a million times is pair-counted once. Top-20 by weighted count is a
+    * TakeOrderedAndProject with a pair-string tiebreak (ASCII, so
+    * Spark's UTF8 binary order and DuckDB's default collation agree).
+    * A word containing a pair twice ("aaa" → "aa"×2) counts twice per
+    * occurrence — the trainer's semantics — while n_types counts the
+    * word once.
+    */
+  val bpePairs: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val wf = docs.select(explode(filter(toks, t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("wf"),
+        explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum("wf").as("n_occurrences"), countDistinct("w").as("n_types"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q171_bpe_pairs" -> bpePairs,
     "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
@@ -719,6 +754,20 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q171_bpe_pairs" ->
+      raw"""WITH wds AS (SELECT
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS wf FROM wds GROUP BY 1),
+         |pr AS (SELECT w, wf,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> substr(w, i, 2))) AS pair
+         |  FROM wf WHERE len(w) >= 2)
+         |SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences,
+         |  count(DISTINCT w) AS n_types
+         |FROM pr GROUP BY 1
+         |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
     "q170_trigram_lm" -> {
       val bk = graft.functions.Hashing.duckMd5Bucket("doc_id", 100)
       raw"""WITH base AS (SELECT doc_id, source,

@@ -377,6 +377,21 @@ class TextDedupSpec extends SparkSpec {
     assert(r(0).getAs[Long]("xent_micro") === 405465L)
   }
 
+  test("q171 BPE pairs: doubled pairs count twice per occurrence, weights multiply by word frequency") {
+    import spark.implicits._
+    // corpus: "ab ab aaa" ×2 docs → wf: ab=4, aaa=2.
+    // pairs: ab → 4 occurrences / 1 type; aa (from aaa, twice per word)
+    // → 2·2 = 4 occurrences / 1 type.
+    val docs = Seq((1L, "ab ab aaa", "en", "s0", 9L),
+      (2L, "ab ab aaa", "en", "s0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftbpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q171_bpe_pairs")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList === List(("aa", 4L, 1L), ("ab", 4L, 1L)))
+  }
+
   test("q141 repeated-passage spans: overlapping shingles merge to ONE maximal span; k-apart starts touch") {
     // doc 1 / doc 2 share an 8-token passage (a1..a8) and a 5-token
     // passage (b1..b5), separated by unique middles; doc 3 / doc 4 share
