@@ -404,7 +404,53 @@ object Pipeline extends QueryModule {
 
   val weightedSample: Q = (s, d) => weightedSampleRun(s, d, "g")
 
+  /** Shard count for q172. */
+  private val nShards = 8
+
+  /** q172 — BALANCED SHARD ASSIGNMENT by snake packing: order documents
+    * by token mass (heaviest first), deal rank r to shard
+    * boustrophedon-style (block of 8 forward, next block backward), and
+    * publish the per-shard manifest — the data-loader prep step that
+    * keeps every training shard the same token weight, where naive
+    * `doc_id % 8` leaves shards lopsided and a greedy bin-packer isn't
+    * deterministic under distribution. Snake over a descending sort
+    * bounds shard spread by ONE document's mass per block pair.
+    *
+    * Scale shape — the global rank WITHOUT a single-partition window
+    * (the q16/q57 anti-pattern): phase 1 aggregates per-token-count
+    * frequencies (domain-bounded, like q160's value histogram) and
+    * turns them into per-value rank OFFSETS with a window over the
+    * distinct-value frame only; phase 2 ranks WITHIN each token-count
+    * (window partitioned by n_tok — parallel, skew bounded by ties)
+    * and adds the broadcast offset. rank = offset + within-rank
+    * reproduces row_number() over (n_tok DESC, doc_id) exactly — the
+    * two-phase distributed ranking every sort-based shard writer uses.
+    */
+  val shardBalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), size(toks).as("n_tok"))
+    val offs = docs.groupBy("n_tok").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy(col("n_tok").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("n_tok", "off")
+    val w = Window.partitionBy("n_tok").orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(offs), "n_tok")
+      .withColumn("rank", col("off") + col("rn"))
+      .withColumn("shard", expr(
+        s"""CAST(CASE WHEN ((rank - 1) div $nShards) % 2 = 0
+           |  THEN (rank - 1) % $nShards
+           |  ELSE ${nShards - 1} - (rank - 1) % $nShards
+           |END AS BIGINT)""".stripMargin))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .orderBy("shard")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q172_shard_balance" -> shardBalance,
     "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
     "q128_preference_pairs" -> preferencePairs,
@@ -421,6 +467,22 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    // the oracle ranks with one global row_number — fine at oracle scale;
+    // the Spark side reproduces the same rank via the two-phase offset
+    "q172_shard_balance" ->
+      s"""WITH dk AS (SELECT doc_id, len($duckToks) AS n_tok
+         |  FROM documents),
+         |rk AS (SELECT doc_id, n_tok,
+         |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+         |  FROM dk),
+         |sh AS (SELECT n_tok,
+         |    CASE WHEN ((rank - 1) // $nShards) % 2 = 0
+         |      THEN (rank - 1) % $nShards
+         |      ELSE ${nShards - 1} - (rank - 1) % $nShards END AS shard
+         |  FROM rk)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
     "q143_weighted_sample" ->
       """SELECT doc_id, 1 + n_chars // 128 AS weight,
         |  list_min(list_transform(generate_series(1, 1 + n_chars // 128),

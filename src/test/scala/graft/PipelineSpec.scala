@@ -185,6 +185,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q172 shard balance: snake over 16..1 token docs equalizes every shard at 17 tokens") {
+    import spark.implicits._
+    // docs with 16, 15, ..., 1 tokens: block one deals 16..9 to shards
+    // 0..7, block two deals 8..1 BACK to shards 7..0 — every shard gets
+    // exactly two docs totalling 17 tokens (the boustrophedon identity).
+    val docs = (1 to 16).map { k =>
+      (k.toLong, Seq.fill(17 - k)("t").mkString(" "), "en", "s0", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftshard").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q172_shard_balance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList === (0L until 8L).map(sh => (sh, 2L, 17L)).toList)
+  }
+
   test("q144 VAD segmentation: known byte pattern yields exact segment boundaries") {
     import spark.implicits._
     // 'z' (0x7a) frames score 16*122 = 1952 > gate; space frames score
