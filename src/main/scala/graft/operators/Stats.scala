@@ -837,7 +837,79 @@ object Stats extends QueryModule {
       .withColumn("significant", col("chi2_micro") > chiCritMicro)
   }
 
+  /** Shared input of q173/q174: per-user (score, label) with score = view
+    * count (the behavioral predictor) and label = ever-purchased — ONE
+    * hash aggregate over events, map-side combinable, then collapsed to
+    * the (score, n_pos, n_neg) VALUE HISTOGRAM, after which every eval
+    * metric is domain-bounded arithmetic (q160's discipline: windows run
+    * over distinct score values, never over users).
+    */
+  private def scoreHistogram(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("label"))
+      .groupBy("score")
+      .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("pos_at"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("neg_at"))
+
+  /** q173 — ROC THRESHOLD SWEEP in exact integers: for every observed
+    * score threshold, the full confusion matrix (predict positive when
+    * score ≥ t) plus precision/recall in ppm — the model-eval table a
+    * training pipeline derives per candidate filter, computed WITHOUT
+    * per-example sorting: one per-user aggregate, one value-histogram
+    * aggregate, then cumulative sums over the DISTINCT-SCORE frame only
+    * (the same bounded-window discipline as q160's histogram). Output is
+    * O(distinct scores), independent of user count; every ratio is an
+    * integer `div` on non-negative operands.
+    */
+  val rocSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val vc = scoreHistogram(s, d)
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("tp", sum("pos_at").over(wDesc))
+      .withColumn("fp", sum("neg_at").over(wDesc))
+      .crossJoin(broadcast(vc.agg(sum("pos_at").as("np"),
+        sum("neg_at").as("nn"))))
+      .select(col("score").as("thresh"), col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"),
+        (col("nn") - col("fp")).as("tn"),
+        expr("tp * 1000000 div (tp + fp)").as("prec_ppm"),
+        expr("tp * 1000000 div np").as("rec_ppm"))
+      .orderBy("thresh")
+  }
+
+  /** q174 — EXACT AUC by the Mann-Whitney rank-sum identity: AUC =
+    * P(score_pos > score_neg) + ½·P(tie), computed from the same value
+    * histogram as q173 — Σ over scores of pos_at·(2·neg_below + neg_at)
+    * over 2·n_pos·n_neg, held in integers end-to-end (×10⁶ before the
+    * one `div`). No per-pair comparison (the naive O(n_pos·n_neg)
+    * formulation), no sort of the users — the cumulative neg count runs
+    * over the distinct-score frame. The exact-integer twin of the
+    * double-valued sklearn/Spark evaluator number, and the audit q40's
+    * seeded AUC band is graded against.
+    */
+  val aucExact: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val vc = scoreHistogram(s, d)
+    val wAsc = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vc.withColumn("neg_below", coalesce(sum("neg_at").over(wAsc), lit(0L)))
+      .agg(sum("pos_at").as("n_pos"), sum("neg_at").as("n_neg"),
+        sum(col("pos_at") * (lit(2L) * col("neg_below") + col("neg_at")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0 ELSE
+                 (CAST(u2 AS DECIMAL(38,0)) * 1000000)
+                 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)
+                 END AS BIGINT)""").as("auc_micro"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q173_roc_sweep" -> rocSweep,
+    "q174_auc_exact" -> aucExact,
     "q169_ab_chisq" -> abChisq,
     "q160_equidepth_hist" -> equiDepthHist,
     "q156_hll_set_algebra" -> hllSetAlgebra,
@@ -885,6 +957,53 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q173_roc_sweep" ->
+      """WITH us AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY 1),
+        |vc AS (SELECT score,
+        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos_at,
+        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS neg_at
+        |  FROM us GROUP BY 1),
+        |cu AS (SELECT score, pos_at, neg_at,
+        |    sum(pos_at) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(neg_at) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |    (SELECT sum(pos_at) FROM vc) AS np,
+        |    (SELECT sum(neg_at) FROM vc) AS nn
+        |  FROM vc)
+        |SELECT CAST(score AS BIGINT) AS thresh, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(np - tp AS BIGINT) AS fn,
+        |  CAST(nn - fp AS BIGINT) AS tn,
+        |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS prec_ppm,
+        |  CAST(tp * 1000000 // np AS BIGINT) AS rec_ppm
+        |FROM cu ORDER BY thresh""".stripMargin,
+    "q174_auc_exact" ->
+      """WITH us AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY 1),
+        |vc AS (SELECT score,
+        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos_at,
+        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS neg_at
+        |  FROM us GROUP BY 1),
+        |nb AS (SELECT score, pos_at, neg_at,
+        |    COALESCE(sum(neg_at) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_below
+        |  FROM vc),
+        |ag AS (SELECT sum(pos_at) AS n_pos, sum(neg_at) AS n_neg,
+        |    sum(pos_at * (2 * neg_below + neg_at)) AS u2 FROM nb)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0 ELSE
+        |    (u2::HUGEINT * 1000000) // (2 * n_pos::HUGEINT * n_neg) END
+        |    AS BIGINT) AS auc_micro
+        |FROM ag""".stripMargin,
     "q169_ab_chisq" -> {
       val arm = graft.functions.Hashing.duckMd5Bucket("user_id", 2)
       s"""WITH cv AS (SELECT user_id,

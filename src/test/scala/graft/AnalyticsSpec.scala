@@ -488,6 +488,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant") === (chi > 3841459L))
   }
 
+  test("q173 ROC sweep: confusion rows partition the population at every threshold, recall hits 1e6 at the floor") {
+    val rows = q("q173_roc_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val n = rows.head match { case (_, tp, fp, fn, tn, _, _) => tp + fp + fn + tn }
+    rows.foreach { case (_, tp, fp, fn, tn, prec, rec) =>
+      assert(tp + fp + fn + tn === n)
+      assert(prec >= 0 && prec <= 1000000 && rec >= 0 && rec <= 1000000)
+    }
+    // thresholds ascend; tp (>= t) is non-increasing in t
+    assert(rows.sliding(2).forall { case Array(a, b) => a._1 < b._1 && a._2 >= b._2 })
+    // the lowest observed threshold captures every positive
+    assert(rows.head._7 === 1000000L)
+  }
+
+  test("q174 exact AUC: planted score distribution gives the hand-computed Mann-Whitney value") {
+    import spark.implicits._
+    // pos scores {2,3}, neg scores {1,2}: concordant 3, tied 1 of the 4
+    // pairs → AUC = 3.5/4 = 0.875
+    val ns = 1000000000L
+    def views(uid: Long, k: Int, base: Long) = (0 until k).map(i =>
+      (base + i, (i + 1) * ns, uid, "view", 0.0, "{}"))
+    val rows = views(1L, 2, 100) ++ views(2L, 3, 200) ++
+      views(3L, 1, 300) ++ views(4L, 2, 400) ++
+      Seq((500L, 50L * ns, 1L, "purchase", 1.0, "{}"),
+        (501L, 51L * ns, 2L, "purchase", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftauc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q174_auc_exact")(spark, dir).head()
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("auc_micro") === 875000L)
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")
