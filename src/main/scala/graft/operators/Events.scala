@@ -347,7 +347,35 @@ object Events extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q175 — OHLC BARS (candlestick downsampling): per UTC day, the
+    * open/high/low/close of purchase values plus trade count and volume
+    * — the canonical time-series reduction that turns an unbounded tick
+    * stream into a bounded bar table (finance's daily bars, monitoring's
+    * roll-ups). ONE hash aggregate: open/close are `min_by`/`max_by`
+    * over a zero-padded (timestamp, event_id) string key — the q145
+    * total-order pack, so first/last are deterministic even on
+    * equal-microsecond ticks — high/low/volume are plain min/max/sum.
+    * No window, no sort: map-side combine reduces each partition to one
+    * candidate bar per day before the day-keyed shuffle, so 100 TB of
+    * ticks moves O(days × partitions) rows. Values micro-integerized
+    * once (q94's pattern); every output column is exact.
+    */
+  val ohlcBars: Q = (s, d) => {
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vq"),
+        concat(lpad(expr("CAST(unix_micros(ts) AS STRING)"), 20, "0"),
+          lit(":"), col("event_id")).as("tk"))
+    ev.groupBy("day")
+      .agg(min_by(col("vq"), col("tk")).as("open"),
+        max("vq").as("high"), min("vq").as("low"),
+        max_by(col("vq"), col("tk")).as("close"),
+        count(lit(1)).as("n_trades"), sum("vq").as("volume"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q175_ohlc_bars" -> ohlcBars,
     "q168_interval_coverage" -> intervalCoverage,
     "q164_twap" -> twap,
     "q150_markov_transitions" -> markovTransitions,
@@ -408,6 +436,16 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q175_ohlc_bars" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vq,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || event_id
+        |      AS tk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT day, arg_min(vq, tk) AS open, max(vq) AS high,
+        |  min(vq) AS low, arg_max(vq, tk) AS close,
+        |  count(*) AS n_trades, CAST(sum(vq) AS BIGINT) AS volume
+        |FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
     "q168_interval_coverage" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    epoch_us(ts) + $coverHoldUs AS e

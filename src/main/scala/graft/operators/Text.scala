@@ -720,7 +720,43 @@ object Text extends QueryModule {
       .limit(20)
   }
 
+  /** q176 — SOURCE VOCABULARY OVERLAP: exact pairwise Jaccard similarity
+    * between every pair of sources' token vocabularies — the corpus-mix
+    * audit that catches two "different" crawls feeding near-identical
+    * text into a training mix (q103's temperature weights assume the
+    * sources are actually distinct), and the drift check between crawl
+    * snapshots.
+    *
+    * Scale shape — the item-cooccurrence pattern, NOT all-pairs of
+    * documents: one distinct (source, term) projection (vocabulary-
+    * sized), then a term-keyed self-join whose per-term fan-out is
+    * bounded by C(n_sources, 2) — sources number dozens at 100 TB, so
+    * a term seen everywhere emits ~hundreds of pairs, never row-scaled.
+    * Set sizes broadcast back onto the 190-row pair table; Jaccard in
+    * exact ppm via inclusion-exclusion (|A∪B| = |A|+|B|−|A∩B|).
+    */
+  val sourceOverlap: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val st = docs.select(col("source"),
+      explode(filter(toks, t => length(t) > 0)).as("term")).distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = st.alias("a").join(st.alias("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
+        expr("inter * 1000000 div (sz_a + sz_b - inter)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q176_source_overlap" -> sourceOverlap,
     "q171_bpe_pairs" -> bpePairs,
     "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
@@ -754,6 +790,25 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q176_source_overlap" ->
+      raw"""WITH st AS (SELECT DISTINCT source, term FROM
+         |  (SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS term
+         |  FROM documents)),
+         |sz AS (SELECT source, count(*) AS sz FROM st GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS inter
+         |  FROM st a JOIN st b
+         |    ON a.term = b.term AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(x.sz + y.sz - inter AS BIGINT) AS uni,
+         |  CAST(inter * 1000000 // (x.sz + y.sz - inter) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM pr JOIN sz x ON pr.src_a = x.source
+         |JOIN sz y ON pr.src_b = y.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "q171_bpe_pairs" ->
       raw"""WITH wds AS (SELECT
          |    unnest(list_filter(string_split_regex(text, '\s+'),

@@ -524,6 +524,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("auc_micro") === 875000L)
   }
 
+  test("q175 OHLC bars: planted ticks give exact open/close by time, high/low by value") {
+    import spark.implicits._
+    // one day, ticks at 1s/2s/3s with values 5, 9, 2 → open 5e6, high
+    // 9e6, low 2e6, close 2e6, volume 16e6; a second day with one tick.
+    val ns = 1000000000L
+    val day2 = 86400L * ns
+    val rows = Seq(
+      (1L, 1L * ns, 7L, "purchase", 5.0, "{}"),
+      (2L, 2L * ns, 7L, "purchase", 9.0, "{}"),
+      (3L, 3L * ns, 8L, "purchase", 2.0, "{}"),
+      (4L, day2 + ns, 7L, "purchase", 4.0, "{}"),
+      (5L, 10L * ns, 7L, "view", 777.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftohlc").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q175_ohlc_bars")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toList === List(
+      ("1970-01-01", 5000000L, 9000000L, 2000000L, 2000000L, 3L, 16000000L),
+      ("1970-01-02", 4000000L, 4000000L, 4000000L, 4000000L, 1L, 4000000L)))
+  }
+
   test("q112 cohort retention: offset-0 rows cover every user exactly once") {
     import spark.implicits._
     val rows = q("q112_cohort_retention")

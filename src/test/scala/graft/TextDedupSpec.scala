@@ -392,6 +392,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("aa", 4L, 1L), ("ab", 4L, 1L)))
   }
 
+  test("q176 source overlap: planted vocabularies give exact Jaccard; duplicate tokens collapse") {
+    import spark.implicits._
+    // sA vocab {a,b,c} (b repeated — must collapse), sB {b,c,d},
+    // sC {x}: A∩B = {b,c} → 2/4 = 500000 ppm; A-C and B-C disjoint → 0.
+    val docs = Seq(
+      (1L, "a b b c", "en", "sA", 7L),
+      (2L, "b c d", "en", "sB", 5L),
+      (3L, "x", "en", "sC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftovl").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q176_source_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toList === List(("sA", "sB", 2L, 4L, 500000L)))
+  }
+
   test("q141 repeated-passage spans: overlapping shingles merge to ONE maximal span; k-apart starts touch") {
     // doc 1 / doc 2 share an 8-token passage (a1..a8) and a 5-token
     // passage (b1..b5), separated by unique middles; doc 3 / doc 4 share
