@@ -417,15 +417,89 @@ object Graph extends QueryModule {
     reached.unionByName(unreached).orderBy("dist")
   }
 
+  /** q177 — LINK PREDICTION by common-neighbor count + resource-allocation
+    * index over the repeat-co-purchase graph (q148/q155's edges): for every
+    * non-adjacent pair within 2 hops, how many shared neighbors connect
+    * them and how "exclusive" those neighbors are (RA = Σ 1/deg(w) over
+    * shared neighbors w — Zhou/Lü/Zhang's index, the strongest of the
+    * classic local predictors). This is the candidate-edge ranking a
+    * recommender or graph-completion pipeline derives before any learned
+    * model — and the final classic next to the importance/structure/
+    * density/community/cohesion/reachability family already here.
+    *
+    * Plan shape: wedge enumeration is ONE self-equi-join of the staged
+    * bidirectional adjacency on the CENTER node (the same join q138's
+    * triangle count walks), then one hash aggregate keyed on the candidate
+    * pair, then an anti-join against the existing edge set — all keyed on
+    * node/pair ids, no driver state. RA is exact fixed-point: each center
+    * contributes `1000000 div deg(w)` (floor on positives, ≡ DuckDB `//`),
+    * so the sum is engine-independent. Output is top-20 by (common
+    * neighbors, RA, pair id) — a TakeOrderedAndProject, O(k) out no matter
+    * the graph. At 100 TB the wedge join is quadratic only in per-node
+    * degree, the known cost of exact local link prediction; a production
+    * variant caps hub adjacency exactly like q159's per-node sample, which
+    * this query deliberately does not do so the oracle stays exact.
+    */
+  val linkPredict: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val tmpE = graft.Scratch.dir("graft_lp_edges")
+    e2.union(e2.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(tmpE)
+    val ed = s.read.parquet(tmpE)
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
+    val wedges = ed.alias("a").join(ed.alias("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("w"), col("a.v").as("x"), col("b.v").as("y"))
+    val scored = wedges
+      .join(deg.withColumnRenamed("u", "w"), "w")
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div dg")).as("ra_ppm"))
+    scored
+      .join(ed.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_anti")
+      .orderBy(col("cn").desc, col("ra_ppm").desc, col("x"), col("y"))
+      .limit(20)
+      .select(col("x").as("u"), col("y").as("v"), col("cn"), col("ra_ppm"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
     "q148_kcore_peel" -> kcorePeel,
     "q155_label_propagation" -> labelPropagation,
     "q159_gnn_sample" -> gnnSample,
-    "q167_bfs_hops" -> bfsHops)
+    "q167_bfs_hops" -> bfsHops,
+    "q177_link_predict" -> linkPredict)
 
   def oracles: Map[String, String] = Map(
+    // identical wedge enumeration + fixed-point RA (// ≡ div on the
+    // positive operands), so the top-20 candidate ranking must match
+    "q177_link_predict" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e2 AS (SELECT u, v FROM (
+        |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+        |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |  WHERE m >= 2),
+        |ed AS MATERIALIZED (SELECT u, v FROM e2
+        |  UNION ALL SELECT v AS u, u AS v FROM e2),
+        |deg AS (SELECT u, count(*) AS dg FROM ed GROUP BY 1),
+        |wg AS (SELECT a.u AS w, a.v AS x, b.v AS y
+        |  FROM ed a JOIN ed b ON a.u = b.u AND a.v < b.v),
+        |sc AS (SELECT x, y, count(*) AS cn,
+        |    CAST(sum(1000000 // dg) AS BIGINT) AS ra_ppm
+        |  FROM wg JOIN deg ON wg.w = deg.u GROUP BY 1, 2)
+        |SELECT x AS u, y AS v, cn, ra_ppm FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e2
+        |  WHERE e2.u = sc.x AND e2.v = sc.y)
+        |ORDER BY cn DESC, ra_ppm DESC, u, v LIMIT 20""".stripMargin,
     // the same fixed-depth frontier expansion, unrolled as generated
     // CTEs — identical seeds (mod rule), identical rounds, so the hop
     // profile must match row for row
