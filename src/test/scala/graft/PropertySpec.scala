@@ -390,4 +390,28 @@ class PropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "rank<=S filter must compile to WindowGroupLimit")
   }
+
+  test("q177 link prediction: square diagonals outrank path/star candidates; triangle pairs are excluded as adjacent") {
+    // graph (every edge realized twice for the m >= 2 cut):
+    //   path 1-2-3            → candidate (1,3): cn=1, ra=1e6 div deg(2)=500000
+    //   star 10-{11,12,13}    → spoke pairs: cn=1, ra=1e6 div 3=333333
+    //   square 20-21-22-23-20 → diagonals (20,22),(21,23): cn=2, ra=2·500000
+    //   triangle 30-31-32     → all pairs adjacent → anti-joined away
+    val edgesList = List((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L),
+      (30L, 31L), (31L, 32L), (30L, 32L))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftlp").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q177_link_predict")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      (20L, 22L, 2L, 1000000L), (21L, 23L, 2L, 1000000L),
+      (1L, 3L, 1L, 500000L),
+      (11L, 12L, 1L, 333333L), (11L, 13L, 1L, 333333L),
+      (12L, 13L, 1L, 333333L)))
+  }
 }
