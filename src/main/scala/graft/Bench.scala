@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail loudly ONCE on fixture drift before benching into it (see
+    // Tables.smokeCheck; r7's re-encoded ts column produced 35 repeated
+    // error strings that blew the harness's JSON parse window).
+    graft.sources.Tables.smokeCheck(spark, sfDir)
     // Untimed warm-up: JIT, codegen compiler, parquet reader and spark.ml
     // (breeze/BLAS) initialization would otherwise all be attributed to
     // whichever query happens to iterate first (measured ~5s on the first
@@ -91,10 +95,18 @@ object Bench {
       s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results.map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // A failed query must surface as a failure, not as a fast timing line.
-    val errs = results.collect { case (k, _, _, Some(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
+    // A failed query must surface as a failure, not as a fast timing line —
+    // but bounded: r7's 35 full exception strings blew the ~2000-char
+    // window the harness parses and zeroed the round's timings
+    // ("parsed": null), the exact failure mode the fmt() comment documents.
+    // Truncate each message to 80 chars, emit at most 8 entries, and fold
+    // the overflow into a single "_more" count so a systemic failure reads
+    // as one line instead of eating the JSON.
+    val failed = results.collect { case (k, _, _, Some(e)) => (k, e.take(80)) }
+    val errs = (failed.take(8).map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    } ++ (if (failed.size > 8) Seq(s""""_more":${failed.size - 8}""") else Nil))
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
     val minsJson = if (repeats > 1) {
       val ms = results.map { case (k, _, mn, _) =>

@@ -41,17 +41,27 @@ object StreamingJobs extends QueryModule {
     */
   private val statePartitions = 8
 
-  /** Streaming read of the events table with the ns→µs timestamp
-    * conversion. The file is streamed directly via a glob pattern — a
+  /** Streaming read of the events table, schema-adaptive on `ts` exactly
+    * like the batch [[graft.sources.Tables.events]] (long nanos →
+    * `timestamp_micros`, TIMESTAMP_NTZ → cast, TIMESTAMP → pass-through) —
+    * the stored schema is probed once at plan time via a batch read, never
+    * per micro-batch. The file is streamed directly via a glob pattern — a
     * `pathGlobFilter` over the whole sf dir would re-list every sibling
     * table on each micro-batch. The pattern must be a real glob:
     * FileStreamSource passes a non-glob path through as `basePath`, which
     * must be a directory (a bare file path throws in getBatch).
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/events.parquet").schema // ts = long nanos
-    s.readStream.schema(schema).parquet(s"$d/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other")
+    }
   }
 
   /** Run a streaming aggregate to completion through the memory sink and

@@ -401,13 +401,19 @@ class PropertySpec extends SparkSpec {
       (10L, 11L), (10L, 12L), (10L, 13L),
       (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L),
       (30L, 31L), (31L, 32L), (30L, 32L))
-    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+    val rows = (edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
       List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
-    }.toDF("l_orderkey", "l_partkey")
+    } ++
+      // negative pin for the m >= 2 repeat-co-purchase cut: (40,41) co-occur
+      // in exactly ONE order, so no edge may form; they touch nothing else,
+      // so any trace of 40/41 in the output means the cut weakened to m >= 1.
+      List((1000L, 40L), (1000L, 41L))).toDF("l_orderkey", "l_partkey")
     val dir = java.nio.file.Files.createTempDirectory("graftlp").toString
     rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val got = SparkEntry.queries("q177_link_predict")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!got.exists(r => Set(r._1, r._2).exists(Set(40L, 41L))),
+      "single-co-occurrence pair (40,41) must be cut by m >= 2")
     assert(got.toList === List(
       (20L, 22L, 2L, 1000000L), (21L, 23L, 2L, 1000000L),
       (1L, 3L, 1L, 500000L),
