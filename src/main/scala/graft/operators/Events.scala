@@ -374,7 +374,40 @@ object Events extends QueryModule {
       .orderBy("day")
   }
 
+  /** q180 — ROLLING 7-DAY DISTINCT USERS per day (the "rolling MAU"
+    * dashboard line): count users active in [day−6, day]. Distinct-over-
+    * a-sliding-window is the canonical hard aggregate — COUNT(DISTINCT)
+    * admits no merge across window panes, so naive plans either self-join
+    * 7 days of events per day or hold per-day user sets. This plan never
+    * does either: reduce events to DISTINCT (user, day) once (map-side
+    * combinable), fan each user-day into the ≤ 7 target days it can serve
+    * (a bounded constant-factor explode of the ALREADY-reduced frame, not
+    * of the event stream), dedup (user, target) — a user active twice
+    * inside one window must count once — and finish with a plain count per
+    * day. Three hash aggregates, zero joins against the stream; windows
+    * running past the last day are dropped as partial (leading partial
+    * windows are kept — the dashboard convention).
+    */
+  val rollingMau: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(expr("datediff(to_date(ts), DATE'1970-01-01')").as("day"),
+        col("user_id"))
+      .distinct()
+    val span = Tables.events(s, d)
+      .agg(expr("datediff(max(to_date(ts)), DATE'1970-01-01')").as("hi"))
+    ev.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("t"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("t") <= col("hi"))
+      .groupBy("t").agg(count(lit(1)).as("mau7"))
+      .select(expr("date_add(DATE'1970-01-01', CAST(t AS INT))").as("day"),
+        col("mau7"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q180_rolling_mau" -> rollingMau,
     "q175_ohlc_bars" -> ohlcBars,
     "q168_interval_coverage" -> intervalCoverage,
     "q164_twap" -> twap,
@@ -436,6 +469,17 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q180_rolling_mau" ->
+      """WITH ev AS (SELECT DISTINCT
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS day, user_id
+        |  FROM events),
+        |sp AS (SELECT max(CAST(ts AS DATE) - DATE '1970-01-01') AS hi
+        |  FROM events),
+        |tg AS (SELECT DISTINCT user_id, day + u AS t
+        |  FROM ev, unnest([0, 1, 2, 3, 4, 5, 6]) AS s(u))
+        |SELECT DATE '1970-01-01' + CAST(t AS INT) AS day,
+        |  count(*) AS mau7
+        |FROM tg, sp WHERE t <= hi GROUP BY 1 ORDER BY 1""".stripMargin,
     "q175_ohlc_bars" ->
       """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(round(value * 1000000) AS BIGINT) AS vq,

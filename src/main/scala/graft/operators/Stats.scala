@@ -907,7 +907,141 @@ object Stats extends QueryModule {
                  END AS BIGINT)""").as("auc_micro"))
   }
 
+  /** q179 — POPULATION STABILITY INDEX drift audit: bin order totals into
+    * 10 fixed-width buckets over the global [min, max] span, split the
+    * order stream at the midpoint of its date range (base = first half,
+    * curr = second), and report each bin's PSI contribution
+    * (p−q)·ln(p/q) with +0.5 Laplace smoothing per bin (ln never sees 0;
+    * PSI > 0.2 is the standard retrain trigger). The monitoring primitive
+    * every production feature pipeline runs between yesterday's and
+    * today's snapshot.
+    *
+    * Everything reduces before it widens: ONE scan computes the span
+    * aggregate (6 values, broadcast), ONE scan bins and counts — a
+    * 20-cell (slice × bin) map-side-combinable aggregate — and the PSI
+    * arithmetic runs on the 10-row frame. Cross-engine determinism: counts
+    * are exact integers; the single ln per bin is rounded to integer
+    * micro-units (q94's discipline).
+    */
+  val psiDrift: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("dt"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pq"))
+    val span = o.agg(min("dt").as("dmin"), max("dt").as("dmax"),
+      min("pq").as("pmin"), max("pq").as("pmax"))
+    val binned = o.crossJoin(broadcast(span))
+      .select(
+        when(col("dt") <= expr(
+          "date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))"),
+          lit("base")).otherwise(lit("curr")).as("slice"),
+        least(expr("((pq - pmin) * 10) div greatest(pmax - pmin + 1, 1)"),
+          lit(9L)).as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("n"))
+    val wide = binned.groupBy("bin")
+      .pivot("slice", Seq("base", "curr")).sum("n").na.fill(0L)
+      .select(col("bin"), col("base").as("n_base"), col("curr").as("n_curr"))
+    val totals = wide.agg(sum("n_base").as("tb"), sum("n_curr").as("tc"))
+    wide.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_curr"),
+        expr("""CAST(round(((n_base + 0.5) / (tb + 5.0)
+          |  - (n_curr + 0.5) / (tc + 5.0))
+          |  * ln(((n_base + 0.5) / (tb + 5.0))
+          |      / ((n_curr + 0.5) / (tc + 5.0))) * 1000000) AS BIGINT)
+          |""".stripMargin.replace("\n", " ")).as("psi_micro"))
+      .orderBy("bin")
+  }
+
+  /** Exact interpolated per-group median from a VALUE HISTOGRAM, returned
+    * doubled (`m2` = lower + higher order statistic, so the caller divides
+    * by 2 without touching fractional floats). The builtin `percentile`
+    * buffers every value of a group on one reducer (q54's commentary —
+    * an OOM at 100 TB); this reduces the stream to one row per DISTINCT
+    * value first (the events `value` domain is 2-decimal-bounded), then
+    * walks the tiny histogram with a window to pick the two boundary
+    * order statistics. Matches DuckDB's quantile_cont bit-for-bit because
+    * every quantity stays an exact small integer until the final halving.
+    */
+  private def groupedMedian2(df: org.apache.spark.sql.DataFrame,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy("event_type", valueCol).agg(count(lit(1)).as("cnt"))
+    val c = h
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("event_type")
+          .orderBy(col(valueCol))))
+      .withColumn("n",
+        sum("cnt").over(Window.partitionBy("event_type")))
+      .withColumn("plo", expr("1 + (n - 1) div 2"))
+      .withColumn("phi", expr("1 + n div 2"))
+    c.groupBy("event_type").agg(
+      (max(when(col("cum") - col("cnt") < col("plo")
+          && col("cum") >= col("plo"), col(valueCol)))
+        + max(when(col("cum") - col("cnt") < col("phi")
+          && col("cum") >= col("phi"), col(valueCol)))).as("m2"))
+  }
+
+  /** q183 — MEDIAN-ABSOLUTE-DEVIATION robust outliers per event type: the
+    * robust counterpart of q88's z-score (one wild value shifts a mean and
+    * explodes a stddev; it moves a median by at most one rank). Flag
+    * |x − med| > 3·1.4826·MAD — 1.4826 scales MAD to σ under normality, so
+    * the cut is q88's 3σ with breakdown point 50%.
+    *
+    * Two grouped medians via [[groupedMedian2]]'s value-histogram order
+    * statistics (events values are 2-decimal → the histogram is domain-
+    * bounded, NOT row-bounded — the same cardinality argument as q173's
+    * ROC sweep), then one flagging scan against the broadcast 5-row
+    * (med, mad) frame. All deviations are exact integers doubled twice
+    * (d2 = |2·vq − m2|), so both engines compare identical doubles.
+    */
+  val madOutliers: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vq"))
+    val m = groupedMedian2(ev, "vq")
+    val dev = ev.join(broadcast(m), "event_type")
+      .select(col("event_type"), abs(col("vq") * 2 - col("m2")).as("d2"))
+    val j = groupedMedian2(dev, "d2").withColumnRenamed("m2", "j4")
+    dev.join(broadcast(m), "event_type").join(broadcast(j), "event_type")
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        (min("m2") / 2.0).as("med"), (min("j4") / 4.0).as("mad"),
+        sum(when(col("d2").cast("double") / 2.0
+          > lit(4.4478) * (col("j4") / 4.0), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** q184 — BITMAP-INDEX distinct intersection: build a word-aligned user
+    * bitmap per event type (word = user_id div 32, a BIGINT carrying 32
+    * presence bits via bit_or — the Roaring-bitmap layout flattened to
+    * SQL), then answer every "users who did BOTH a and b" with a word-keyed
+    * equi-join + AND + popcount. Exact distinct-in-both WITHOUT
+    * count(distinct) over a join — the join carries ≤ |types|·(max_user/32)
+    * bitmap words, not event rows, and popcounts map-side-combine. The
+    * diagonal (a = b) rows are each type's exact distinct-user count, so
+    * the index's own consistency is visible in the output. At 100 TB the
+    * event scan reduces to the bitmap in one combinable aggregate; the
+    * all-pairs stage touches only the index.
+    */
+  val bitmapIndex: Q = (s, d) => {
+    val bm = Tables.events(s, d)
+      .select(col("event_type"), expr("user_id div 32").as("w"),
+        expr("CAST(user_id % 32 AS INT)").as("b"))
+      .groupBy("event_type", "w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+    bm.alias("a")
+      .join(bm.alias("bb"),
+        col("a.w") === col("bb.w")
+          && col("a.event_type") <= col("bb.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("bb.event_type").as("type_b"),
+        expr("bit_count(a.bits & bb.bits)").as("pc"))
+      .groupBy("type_a", "type_b")
+      .agg(sum("pc").cast("long").as("n_both"))
+      .orderBy("type_a", "type_b")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q184_bitmap_index" -> bitmapIndex,
+    "q183_mad_outliers" -> madOutliers,
+    "q179_psi_drift" -> psiDrift,
     "q173_roc_sweep" -> rocSweep,
     "q174_auc_exact" -> aucExact,
     "q169_ab_chisq" -> abChisq,
@@ -957,6 +1091,54 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q179_psi_drift" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq FROM orders),
+        |sp AS (SELECT min(dt) AS dmin, max(dt) AS dmax,
+        |    min(pq) AS pmin, max(pq) AS pmax FROM o),
+        |b AS (SELECT CASE WHEN dt <= dmin + CAST((dmax - dmin) // 2 AS INT)
+        |      THEN 'base' ELSE 'curr' END AS slice,
+        |    least(((pq - pmin) * 10) // greatest(pmax - pmin + 1, 1), 9)
+        |      AS bin FROM o, sp),
+        |w AS (SELECT bin,
+        |    CAST(sum(CASE WHEN slice = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(sum(CASE WHEN slice = 'curr' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_curr FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_curr) AS BIGINT) AS tc FROM w)
+        |SELECT bin, n_base, n_curr,
+        |  CAST(round(((n_base + 0.5) / (tb + 5.0)
+        |    - (n_curr + 0.5) / (tc + 5.0))
+        |    * ln(((n_base + 0.5) / (tb + 5.0))
+        |        / ((n_curr + 0.5) / (tc + 5.0))) * 1000000) AS BIGINT)
+        |    AS psi_micro
+        |FROM w, t ORDER BY bin""".stripMargin,
+    "q183_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vq FROM events),
+        |md AS (SELECT event_type, quantile_cont(vq, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |dv AS (SELECT ev.event_type, abs(vq - med) AS dev, med
+        |  FROM ev JOIN md USING (event_type)),
+        |m2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.event_type, count(*) AS n, min(dv.med) AS med,
+        |  min(mad) AS mad,
+        |  CAST(sum(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dv JOIN m2 USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q184_bitmap_index" ->
+      """WITH ev AS (SELECT event_type, user_id // 32 AS w,
+        |    CAST(user_id % 32 AS INT) AS b FROM events),
+        |bm AS (SELECT event_type, w, bit_or((1::BIGINT << b)) AS bits
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+        |FROM bm a JOIN bm b
+        |  ON a.w = b.w AND a.event_type <= b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q173_roc_sweep" ->
       """WITH us AS (SELECT user_id,
         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,

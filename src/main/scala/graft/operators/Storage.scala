@@ -672,7 +672,49 @@ object Storage extends QueryModule {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q182 — SHARD-RESIZE MOVEMENT AUDIT, rendezvous vs modulo: when a
+    * sharded layout grows 8 → 10 shards, how many documents must move?
+    * Rendezvous (highest-random-weight) hashing places a doc on
+    * argmax_s mix(doc, s) — on resize only docs whose argmax lands on a
+    * NEW shard move (expected 2/10 here), while `hash % n` remaps
+    * everything whose hash differs mod 8 vs mod 10 (expected 1 − 8/40 =
+    * 80%). This audit is the planner's input for choosing a re-shard
+    * strategy: 4× less data motion is the difference between an online
+    * rebalance and a full rewrite at 100 TB.
+    *
+    * Per-row arithmetic only — the candidate-shard fold is an array
+    * expression over ≤ 10 elements (argmax packed as max(mix·16 + s), so
+    * ties break deterministically toward the higher shard in both
+    * engines), no join, no window; the movement matrix is one 2-row
+    * map-side-combinable aggregate. The Knuth multiplicative mix
+    * (doc + s·1000003)·2654435761 mod 2^32 stays inside exact BIGINT
+    * range and is portable SQL (no engine hash() — those differ).
+    */
+  val rendezvousResize: Q = (s, d) => {
+    def hrwShard(n: Int) = expr(
+      s"""array_max(transform(sequence(0, ${n - 1}),
+         |  s -> ((doc_id + s * 1000003) * 2654435761) % 4294967296 * 16
+         |    + s)) % 16""".stripMargin.replace("\n", " "))
+    val assigned = Tables.documents(s, d).select(col("doc_id"),
+      hrwShard(8).as("hrw_old"), hrwShard(10).as("hrw_new"),
+      expr("(doc_id * 2654435761) % 4294967296 % 8").as("mod_old"),
+      expr("(doc_id * 2654435761) % 4294967296 % 10").as("mod_new"))
+    assigned.select(
+        explode(expr("""array(
+          |  named_struct('scheme', 'mod',
+          |    'moved', CAST(mod_old <> mod_new AS INT)),
+          |  named_struct('scheme', 'rendezvous',
+          |    'moved', CAST(hrw_old <> hrw_new AS INT)))"""
+          .stripMargin.replace("\n", " "))).as("x"))
+      .select(col("x.scheme").as("scheme"), col("x.moved").as("moved"))
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_docs"), sum("moved").cast("long").as("n_moved"))
+      .withColumn("moved_ppm", expr("n_moved * 1000000 div n_docs"))
+      .orderBy("scheme")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q182_rendezvous_resize" -> rendezvousResize,
     "q108_merge_agg" -> mergeAgg,
     "q97_sorted_layout" -> sortedLayout,
     "q116_zorder_layout" -> zorderLayout,
@@ -693,6 +735,26 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    "q182_rendezvous_resize" ->
+      """WITH a AS (SELECT doc_id,
+        |    list_max(list_transform(range(0, 8), s ->
+        |      ((doc_id + s * 1000003) * 2654435761) % 4294967296 * 16
+        |        + s)) % 16 AS hrw_old,
+        |    list_max(list_transform(range(0, 10), s ->
+        |      ((doc_id + s * 1000003) * 2654435761) % 4294967296 * 16
+        |        + s)) % 16 AS hrw_new,
+        |    (doc_id * 2654435761) % 4294967296 % 8 AS mod_old,
+        |    (doc_id * 2654435761) % 4294967296 % 10 AS mod_new
+        |  FROM documents),
+        |u AS (SELECT 'mod' AS scheme,
+        |    CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END AS moved FROM a
+        |  UNION ALL
+        |  SELECT 'rendezvous' AS scheme,
+        |    CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END AS moved FROM a)
+        |SELECT scheme, count(*) AS n_docs,
+        |  CAST(sum(moved) AS BIGINT) AS n_moved,
+        |  CAST(sum(moved) AS BIGINT) * 1000000 // count(*) AS moved_ppm
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // merge(base partial-state, delta partial-state) must equal the full
     // recompute — the oracle is the recompute
     "q108_merge_agg" ->

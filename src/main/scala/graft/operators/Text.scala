@@ -755,7 +755,123 @@ object Text extends QueryModule {
       .orderBy("src_a", "src_b")
   }
 
+  /** q178 — HEAPS-LAW VOCABULARY GROWTH per source: distinct-term count
+    * after 20/40/60/80/100% of each source's documents (by arrival order =
+    * doc_id), the curve a corpus curator reads to decide whether a source
+    * is saturating (flat tail → more docs add no new language) or still
+    * paying vocabulary (Heaps' V ∝ n^β). Checkpoints are doc_id-value
+    * cutoffs inside each source's [min, max] span — pure integer
+    * arithmetic, no per-source row_number sort over the corpus.
+    *
+    * Plan shape: a term's arrival is `min(doc_id)` per (source, term) — ONE
+    * corpus-sized hash aggregate (map-side combinable) that reduces the
+    * stream to vocabulary size; everything after joins VOCABULARY-sized or
+    * DOC-KEY-sized frames against the broadcast 5-rows-per-source cutoff
+    * table. No windows, no self-joins; at 100 TB the corpus is read once.
+    */
+  val heapsLaw: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val terms = docs.select(col("source"), col("doc_id"),
+      explode(filter(toks, t => length(t) > 0)).as("term"))
+    val first = terms.groupBy("source", "term")
+      .agg(min("doc_id").as("first_doc"))
+    val cuts = docs.groupBy("source")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .select(col("source"), col("lo"), col("hi"),
+        explode(expr("array(20, 40, 60, 80, 100)")).as("pct"))
+      .withColumn("cutoff", expr("lo + ((hi - lo) * pct) div 100"))
+      .select("source", "pct", "cutoff")
+    val seen = docs.select("source", "doc_id")
+      .join(broadcast(cuts), Seq("source"))
+      .filter(col("doc_id") <= col("cutoff"))
+      .groupBy("source", "pct").agg(count(lit(1)).as("docs_seen"))
+    val vocab = first.join(broadcast(cuts), Seq("source"))
+      .filter(col("first_doc") <= col("cutoff"))
+      .groupBy("source", "pct").agg(count(lit(1)).as("vocab"))
+    seen.join(vocab, Seq("source", "pct"))
+      .orderBy("source", "pct")
+  }
+
+  /** q181 — N-GRAM NOVELTY score per document: the fraction of a doc's
+    * distinct 8-token shingles that occur in NO other document —
+    * boilerplate/template detection's inverse (a low-novelty doc is mostly
+    * text the corpus already has; q141 finds the shared spans themselves,
+    * this grades each document by them). Same shingle machinery as
+    * q74/q99/q141: md5 over the 8-token window, distinct per doc, then the
+    * novelty verdict is a document-frequency aggregate on the shingle key
+    * joined back — two corpus-sized hash aggregates and one shuffled
+    * equi-join on the digest, everything map-side combinable; no pairwise
+    * comparisons anywhere, so cost is linear in corpus size at 100 TB.
+    */
+  val ngramNovelty: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    // sequence(1, n) DESCENDS for n < 1 — same guard as q74
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val sh = t.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      .distinct()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "sh").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    Tables.documents(s, d).select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        expr("coalesce(n_unique, 0) * 1000000 div " +
+          "greatest(coalesce(n_shingles, 0), 1)").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** q185 — PERPLEXITY TERTILE BUCKETS per language (CCNet's head/middle/
+    * tail split, Wenzek et al. 2020): score every document's unigram
+    * cross-entropy under the corpus LM (q94's integer micro-nat
+    * discipline), rank within its language, and cut into three equal
+    * buckets — head = most fluent third, the slice CCNet keeps by default.
+    * NTILE over (lang, ce, doc_id) is deterministic (unique order key) and
+    * identical in Spark and DuckDB (both deal floor(n/3)+extras from the
+    * front). The ranking window partitions by language — a per-language
+    * range-partitioned sort of DOC-level rows (one row per document, not
+    * per token), the same trade q54 documents; per-doc scoring itself is
+    * q94's join-agg plan, linear in corpus size.
+    */
+  val perplexityBuckets: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(toks, t => length(t) > 0)).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("t"))
+    val mu = terms.join(freq, "term").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("t").cast("double") / col("cnt")) * 1e6).cast("long")
+          .as("mu"))
+    val per = mu.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("mu").as("sum_mu"))
+    val scored = docs.select("doc_id", "lang").join(per, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        expr("sum_mu div n_tokens").as("ce_micro"))
+    val w = Window.partitionBy("lang").orderBy(col("ce_micro"), col("doc_id"))
+    scored.withColumn("tier", ntile(3).over(w))
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ce_micro").as("min_ce"), max("ce_micro").as("max_ce"),
+        expr("sum(ce_micro) div count(1)").as("avg_ce_micro"))
+      .withColumn("bucket",
+        expr("CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+          "ELSE 'tail' END"))
+      .select("lang", "tier", "bucket", "n_docs", "min_ce", "max_ce",
+        "avg_ce_micro")
+      .orderBy("lang", "tier")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q185_perplexity_buckets" -> perplexityBuckets,
+    "q181_ngram_novelty" -> ngramNovelty,
+    "q178_heaps_law" -> heapsLaw,
     "q176_source_overlap" -> sourceOverlap,
     "q171_bpe_pairs" -> bpePairs,
     "q170_trigram_lm" -> trigramLm,
@@ -790,6 +906,70 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q178_heaps_law" ->
+      raw"""WITH tk AS (SELECT source, doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS term FROM documents),
+         |fst AS (SELECT source, term, min(doc_id) AS first_doc
+         |  FROM tk GROUP BY 1, 2),
+         |cuts AS (SELECT source, pct,
+         |    lo + ((hi - lo) * pct) // 100 AS cutoff
+         |  FROM (SELECT source, min(doc_id) AS lo, max(doc_id) AS hi,
+         |          unnest([20, 40, 60, 80, 100]) AS pct
+         |        FROM documents GROUP BY source)),
+         |seen AS (SELECT d.source, pct, count(*) AS docs_seen
+         |  FROM documents d JOIN cuts c
+         |    ON d.source = c.source AND d.doc_id <= c.cutoff
+         |  GROUP BY 1, 2),
+         |vc AS (SELECT f.source, pct, count(*) AS vocab
+         |  FROM fst f JOIN cuts c
+         |    ON f.source = c.source AND f.first_doc <= c.cutoff
+         |  GROUP BY 1, 2)
+         |SELECT source, pct, docs_seen, vocab
+         |FROM seen JOIN vc USING (source, pct)
+         |ORDER BY source, pct""".stripMargin,
+    "q181_ngram_novelty" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\s+'),
+         |    x -> len(x) > 0) AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
+         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unique
+         |  FROM sh JOIN dfq USING (sh) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_unique, 0) AS n_unique,
+         |  COALESCE(n_unique, 0) * 1000000
+         |    // greatest(COALESCE(n_shingles, 0), 1) AS novelty_ppm
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q185_perplexity_buckets" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq),
+         |mu AS (SELECT doc_id,
+         |    CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT)
+         |      AS mu
+         |  FROM tk JOIN freq USING (term) CROSS JOIN tot),
+         |per AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(mu) AS BIGINT) AS sum_mu FROM mu GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.lang, sum_mu // n_tokens AS ce_micro
+         |  FROM documents d JOIN per USING (doc_id)),
+         |rk AS (SELECT lang, ce_micro,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY ce_micro, doc_id)
+         |      AS tier FROM sc)
+         |SELECT lang, CAST(tier AS INT) AS tier,
+         |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, min(ce_micro) AS min_ce,
+         |  max(ce_micro) AS max_ce,
+         |  CAST(sum(ce_micro) AS BIGINT) // count(*) AS avg_ce_micro
+         |FROM rk GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
     "q176_source_overlap" ->
       raw"""WITH st AS (SELECT DISTINCT source, term FROM
          |  (SELECT source,

@@ -587,4 +587,102 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q179 PSI: mirrored halves give zero drift in every bin; one-sided shift gives positive total") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(Long, Double, String)]): Unit =
+      rows.zipWithIndex.map { case ((ck, price, day), i) =>
+        (i.toLong, ck, "O", price,
+          java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // span 1995-01-01..1995-01-10, mid = day 5 (datediff 9 div 2 = 4):
+    // identical price multisets {1, 5, 9} land on day 1 (base) and day 10
+    // (curr) → every bin has n_base = n_curr and tb = tc → PSI ≡ 0
+    val dir = java.nio.file.Files.createTempDirectory("graftpsi").toString
+    write(dir, Seq(
+      (1L, 1.0, "1995-01-01"), (2L, 5.0, "1995-01-01"), (3L, 9.0, "1995-01-01"),
+      (4L, 1.0, "1995-01-10"), (5L, 5.0, "1995-01-10"), (6L, 9.0, "1995-01-10")))
+    val zero = SparkEntry.queries("q179_psi_drift")(spark, dir).collect()
+    assert(zero.forall(_.getAs[Long]("psi_micro") === 0L),
+      zero.mkString(","))
+    assert(zero.map(r => r.getAs[Long]("n_base")).sum === 3L)
+    assert(zero.map(r => r.getAs[Long]("n_curr")).sum === 3L)
+    // prices shift wholesale 1.0 → 9.0 across the midpoint → positive PSI
+    val dir2 = java.nio.file.Files.createTempDirectory("graftpsi2").toString
+    write(dir2, Seq(
+      (1L, 1.0, "1995-01-01"), (2L, 1.0, "1995-01-02"), (3L, 1.0, "1995-01-03"),
+      (4L, 9.0, "1995-01-08"), (5L, 9.0, "1995-01-09"), (6L, 9.0, "1995-01-10")))
+    val drift = SparkEntry.queries("q179_psi_drift")(spark, dir2).collect()
+    assert(drift.map(_.getAs[Long]("psi_micro")).sum > 1000000L,
+      drift.mkString(","))
+  }
+
+  test("q180 rolling MAU: each user-day serves its 7-day window once; trailing partial windows drop") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // u7 active on epoch days 1 and 3; u8 on day 8 (= last day → hi)
+    val rows = Seq(
+      (1L, 1L * dayNs, 7L, "view", 0.0, "{}"),
+      (2L, 3L * dayNs, 7L, "click", 0.0, "{}"),
+      (3L, 3L * dayNs + 5L, 7L, "view", 0.0, "{}"), // same user-day: dedup
+      (4L, 8L * dayNs, 8L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftmau").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q180_rolling_mau")(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        r.getAs[Long]("mau7")).toMap
+    // u7's day-1 activity serves windows 1..7, day-3 serves 3..8 (9 is
+    // past hi); u8 serves window 8 only → days 1..7 count 1, day 8 counts 2
+    assert(got === (1L to 7L).map(_ -> 1L).toMap + (8L -> 2L), got.toString)
+  }
+
+  test("q183 MAD outliers: a wild value cannot move the median; symmetric spread flags nothing") {
+    import spark.implicits._
+    val rows = Seq(
+      // type a: 4× value 1.00 + one wild 100.00 → med=100c, MAD=0 → 1 outlier
+      (1L, 1000000000L, 1L, "a", 1.0, "{}"),
+      (2L, 2000000000L, 2L, "a", 1.0, "{}"),
+      (3L, 3000000000L, 3L, "a", 1.0, "{}"),
+      (4L, 4000000000L, 4L, "a", 1.0, "{}"),
+      (5L, 5000000000L, 5L, "a", 100.0, "{}"),
+      // type b: {10, 20, 30} → med=2000c, MAD=1000c, 3·1.4826·MAD > every dev
+      (6L, 1000000000L, 1L, "b", 10.0, "{}"),
+      (7L, 2000000000L, 2L, "b", 20.0, "{}"),
+      (8L, 3000000000L, 3L, "b", 30.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftmad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q183_mad_outliers")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"),
+        r.getAs[Long]("n_outliers")))).toMap
+    assert(got("a") === ((5L, 100.0, 0.0, 1L)), got.toString)
+    assert(got("b") === ((3L, 2000.0, 1000.0, 0L)), got.toString)
+  }
+
+  test("q184 bitmap index: popcounted AND equals the exact distinct intersection across word boundaries") {
+    import spark.implicits._
+    // view users {1,2,3,64}, purchase users {2,64,100} — 64 and 100 sit in
+    // bitmap words 2 and 3, so the intersection {2,64} spans two words;
+    // duplicate events must not double-count (bit_or is idempotent)
+    val rows = Seq(
+      (1L, 1L, "view"), (2L, 2L, "view"), (3L, 3L, "view"),
+      (4L, 64L, "view"), (5L, 1L, "view"),
+      (6L, 2L, "purchase"), (7L, 64L, "purchase"), (8L, 100L, "purchase"),
+      (9L, 64L, "purchase"))
+      .map { case (id, u, t) => (id, id * 1000000000L, u, t, 0.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graftbmp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q184_bitmap_index")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_both"))
+      .toMap
+    assert(got === Map(
+      ("purchase", "purchase") -> 3L,
+      ("purchase", "view") -> 2L,
+      ("view", "view") -> 4L), got.toString)
+  }
 }

@@ -133,4 +133,29 @@ class StorageSpec extends SparkSpec {
     val plain = q("q52_salted_join").collect().map(_.toSeq)
     assert(bucketed.toSeq === plain.toSeq)
   }
+
+  test("q182 rendezvous resize: engine matches the closed-form HRW/mod arithmetic; HRW moves a fraction of what mod moves") {
+    import spark.implicits._
+    val n = 500
+    val dir = java.nio.file.Files.createTempDirectory("grafthrw").toString
+    (0 until n).map(i => (i.toLong, s"d$i", "en", "s", 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reimplementation of the mix in plain Scala
+    def hrw(doc: Long, shards: Int): Long =
+      (0 until shards).map { sIdx =>
+        ((doc + sIdx * 1000003L) * 2654435761L) % 4294967296L * 16L + sIdx
+      }.max % 16L
+    def h(doc: Long): Long = (doc * 2654435761L) % 4294967296L
+    val expHrwMoved = (0 until n).count(i => hrw(i, 8) != hrw(i, 10)).toLong
+    val expModMoved = (0 until n).count(i => h(i) % 8 != h(i) % 10).toLong
+    val got = SparkEntry.queries("q182_rendezvous_resize")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_moved")))).toMap
+    assert(got("rendezvous") === ((n.toLong, expHrwMoved)), got.toString)
+    assert(got("mod") === ((n.toLong, expModMoved)), got.toString)
+    // the audit's whole point: rendezvous rebalance moves FAR less data
+    assert(expHrwMoved * 2 < expModMoved,
+      s"hrw=$expHrwMoved mod=$expModMoved")
+  }
 }

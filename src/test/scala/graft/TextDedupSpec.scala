@@ -435,4 +435,72 @@ class TextDedupSpec extends SparkSpec {
     // starts 0 and 8 exceed the merge distance: two spans
     assert(spans(4L) === List((0, 4, 5, 1L), (8, 12, 5, 1L)))
   }
+
+  test("q178 Heaps law: one-new-token-per-doc corpus grows vocabulary linearly at every checkpoint") {
+    import spark.implicits._
+    // doc i carries tokens t0..ti → after the first k docs the vocabulary
+    // is exactly k tokens, so docs_seen == vocab at every checkpoint
+    val docs = (0 until 10).map { i =>
+      (i.toLong, (0 to i).map(j => s"t$j").mkString(" "), "en", "s", 10)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftheaps").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q178_heaps_law")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // cutoff(pct) = (9 · pct) div 100 → doc_ids 1, 3, 5, 7, 9
+    assert(got.toList === List(
+      ("s", 20, 2L, 2L), ("s", 40, 4L, 4L), ("s", 60, 6L, 6L),
+      ("s", 80, 8L, 8L), ("s", 100, 10L, 10L)), got.mkString(","))
+  }
+
+  test("q181 n-gram novelty: cloned text scores zero, unique text scores full, short docs score zero-of-zero") {
+    import spark.implicits._
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")
+    val eight = (1 to 8).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (0L, nine, "en", "s", 9),   // 2 shingles, both shared with doc 1
+      (1L, nine, "en", "s", 9),   // exact clone
+      (2L, eight, "en", "s", 8),  // 1 shingle, unique
+      (3L, "x y", "en", "s", 3))  // < 8 tokens → no shingles
+    val dir = java.nio.file.Files.createTempDirectory("graftnov").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q181_ngram_novelty")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      (0L, 2L, 0L, 0L), (1L, 2L, 0L, 0L),
+      (2L, 1L, 1L, 1000000L), (3L, 0L, 0L, 0L)), got.mkString(","))
+  }
+
+  test("q185 perplexity tertiles: buckets partition each language into near-equal, ce-ordered slices") {
+    val got = q("q185_perplexity_buckets").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_ce"),
+        r.getAs[Long]("max_ce")))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val byTier = rows.sortBy(_._2)
+      assert(byTier.map(_._2).sameElements(1 to byTier.length), lang)
+      assert(byTier.map(_._3).toList ==
+        List("head", "middle", "tail").take(byTier.length), lang)
+      // NTILE's equal-split contract: sizes differ by at most one,
+      // earlier tiers never smaller
+      val sizes = byTier.map(_._4)
+      assert(sizes.max - sizes.min <= 1 && sizes.sameElements(sizes.sortBy(-_)), lang)
+      // tiers are contiguous in cross-entropy order
+      byTier.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 <= b._5, s"$lang tier overlap")
+        case _ =>
+      }
+    }
+    // every scored (≥ 1 token) document of the fixture lands in a bucket
+    val scoredDocs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n"))
+      .filter(col("n") > 0).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bucketed = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(bucketed === scoredDocs, s"$bucketed vs $scoredDocs")
+  }
 }
