@@ -124,5 +124,9 @@ object Bench {
     }.getOrElse("")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"$sfDir"}""")
     spark.stop()
+    // Explicit exit after the one JSON line is printed — see Verify.main:
+    // a leaked non-daemon thread must not stall the harness on process
+    // exit when the measurement is already on stdout.
+    sys.exit(0)
   }
 }

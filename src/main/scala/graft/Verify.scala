@@ -83,5 +83,11 @@ object Verify {
       .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // Exit explicitly: a leaked non-daemon thread (observed once after a
+    // full sf0.1 dump — streaming micro-batch machinery outliving its
+    // query) otherwise keeps the JVM alive AFTER all artifacts are
+    // written, and the driver's gate would stall on process exit with the
+    // work already done. Everything is flushed by this point.
+    sys.exit(0)
   }
 }

@@ -449,7 +449,52 @@ object Pipeline extends QueryModule {
       .orderBy("shard")
   }
 
+  /** q186 — DATASET CARD per source: the one-table summary a training-data
+    * release ships — doc count, token mass, distinct vocabulary, exact-dup
+    * surplus (docs removable by md5-exact dedup), mean length, and the
+    * language-mix entropy. Five independent per-source reductions joined
+    * on the 5-row source key: docs/chars/lang-counts are ONE scan of the
+    * metadata columns, tokens+vocab one scan of the exploded stream, dup
+    * surplus one digest-keyed aggregate — every stage map-side combines
+    * to source-bounded (or vocabulary-bounded) frames, so the card costs
+    * ~two corpus reads at 100 TB and shuffles almost nothing.
+    *
+    * Determinism: counts and `div` means are exact integers; the entropy
+    * is the only transcendental and is micro-integerized PER LANGUAGE TERM
+    * before the (integer) sum — the q94 discipline, immune to both float
+    * summation order and engine ln differences at the output precision.
+    */
+  val datasetCard: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val meta = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("sum_chars"))
+    val toks = docs.select(col("source"),
+        explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("term").as("vocab"))
+    val dup = docs.groupBy(col("source"), md5(col("text")).as("dg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(col("c") - 1).as("dup_extra"))
+    val langEnt = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      .withColumn("n", sum("nl").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .groupBy("source").agg(sum(
+        round(-(col("nl").cast("double") / col("n").cast("double"))
+          * log(col("nl").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long")).as("lang_entropy_micro"))
+    meta.join(toks, "source").join(dup, "source").join(langEnt, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("dup_extra"),
+        expr("dup_extra * 1000000 div n_docs").as("dup_ppm"),
+        expr("sum_chars * 100 div n_docs").as("mean_chars_x100"),
+        col("lang_entropy_micro"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q186_dataset_card" -> datasetCard,
     "q172_shard_balance" -> shardBalance,
     "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
@@ -467,6 +512,34 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    "q186_dataset_card" ->
+      raw"""WITH meta AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY 1),
+         |tk AS (SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS term FROM documents),
+         |toks AS (SELECT source, count(*) AS n_tokens,
+         |    count(DISTINCT term) AS vocab FROM tk GROUP BY 1),
+         |dup AS (SELECT source,
+         |    CAST(sum(c - 1) AS BIGINT) AS dup_extra
+         |  FROM (SELECT source, md5(text) AS dg, count(*) AS c
+         |        FROM documents GROUP BY 1, 2) GROUP BY 1),
+         |le AS (SELECT source, lang, count(*) AS nl,
+         |    CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |ent AS (SELECT source, CAST(sum(CAST(round(
+         |      -(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+         |    AS BIGINT)) AS BIGINT) AS lang_entropy_micro
+         |  FROM le GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, vocab, dup_extra,
+         |  dup_extra * 1000000 // n_docs AS dup_ppm,
+         |  sum_chars * 100 // n_docs AS mean_chars_x100,
+         |  lang_entropy_micro
+         |FROM meta JOIN toks USING (source) JOIN dup USING (source)
+         |  JOIN ent USING (source)
+         |ORDER BY source""".stripMargin,
     // the oracle ranks with one global row_number — fine at oracle scale;
     // the Spark side reproduces the same rank via the two-phase offset
     "q172_shard_balance" ->

@@ -135,6 +135,68 @@ object Similarity extends QueryModule {
       .orderBy("vec_id_1", "vec_id_2")
   }
 
+  /** q189 — MUTUAL k-NN GRAPH construction: the ANN-graph build step
+    * (HNSW/NN-Descent seeding, UMAP's first stage, graph-based dedup
+    * community detection) — every vector's top-5 candidates from the q36
+    * banded-LSH blocks, kept only where BOTH endpoints rank each other
+    * (mutual edges are the standard noise filter: a hub that "likes"
+    * everyone is kept only by nodes that like it back). Output is the
+    * mutual-degree histogram — the graph-quality gauge an index builder
+    * reads (mass at 0 = lost nodes → add bands; mass at 5 = saturated).
+    *
+    * Scale: candidates come from the (band, bucket) equi-join (linear in
+    * corpus for fixed density — q36's argument), each pair scored ONCE
+    * (undirected) then viewed twice for ranking; the rank window compiles
+    * to WindowGroupLimit so each map partition forwards ≤ 5 rows per
+    * node; the mutuality join runs on the ≤ 5·n kNN edge list, never on
+    * candidates; verify joins are shuffle-hash (broadcast dies at 100 TB,
+    * sort-merge would sort the candidate mass twice).
+    */
+  val knnGraph: Q = (s, d) => {
+    val b = base(s, d)
+    val bandCols = (0 until 8).map { band =>
+      struct(lit(band).as("band"), bandBucket(band).as("bucket"))
+    }
+    val banded = b
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = banded.alias("cl").join(banded.alias("cr"),
+        col("cl.band") === col("cr.band") &&
+          col("cl.bucket") === col("cr.bucket") &&
+          col("cl.vec_id") < col("cr.vec_id"))
+      .select(col("cl.vec_id").as("v1"), col("cr.vec_id").as("v2"))
+      .distinct()
+    val e1 = b.select(col("vec_id").as("v1"),
+      col("embedding").as("emb1"), col("sq").as("sq1"))
+    val e2 = b.select(col("vec_id").as("v2"),
+      col("embedding").as("emb2"), col("sq").as("sq2"))
+    val sim = cosineWithNorms(dotD(col("emb1"), col("emb2")),
+      col("sq1"), col("sq2"))
+    val scored = cand
+      .join(e1.hint("shuffle_hash"), "v1")
+      .join(e2.hint("shuffle_hash"), "v2")
+      .select(col("v1"), col("v2"), round(sim, 9).as("sim9"))
+    val directed = scored
+      .select(col("v1").as("src"), col("v2").as("dst"), col("sim9"))
+      .unionByName(scored
+        .select(col("v2").as("src"), col("v1").as("dst"), col("sim9")))
+    val w = Window.partitionBy("src").orderBy(col("sim9").desc, col("dst"))
+    val knn = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("src", "dst")
+    val mutual = knn.alias("f").join(knn.alias("g"),
+        col("f.src") === col("g.dst") && col("f.dst") === col("g.src") &&
+          col("f.src") < col("f.dst"))
+      .select(col("f.src").as("u"), col("f.dst").as("v"))
+    val deg = mutual.select(col("u").as("node"))
+      .unionByName(mutual.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    b.select(col("vec_id").as("node")).join(deg, Seq("node"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("mutual_degree"))
+      .groupBy("mutual_degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("mutual_degree")
+  }
+
   /** IVF core, pivot-source-agnostic: `pivots` is any (pivot_id, p_emb,
     * p_sq) table — the deterministic head-of-corpus pivots q47 uses, or
     * k-means centroids from graft.ml (SimilaritySpec exercises that swap)
@@ -468,7 +530,8 @@ object Similarity extends QueryModule {
     "q32_lsh_ann" -> lshAnn,
     "q36_embed_neardup" -> embedNearDup,
     "q47_ivf_ann" -> ivfAnn,
-    "q72_ann_recall" -> annRecall)
+    "q72_ann_recall" -> annRecall,
+    "q189_knn_graph" -> knnGraph)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
@@ -480,6 +543,39 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    "q189_knn_graph" -> {
+      val banded = (0 until 8).map { b =>
+        s"SELECT vec_id, $b AS band, ${duckBandBucket(b)} AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH banded AS (
+         |  $banded),
+         |cand AS (
+         |  SELECT DISTINCT cl.vec_id AS v1, cr.vec_id AS v2
+         |  FROM banded cl JOIN banded cr
+         |  ON cl.band = cr.band AND cl.bucket = cr.bucket
+         |    AND cl.vec_id < cr.vec_id),
+         |scored AS (
+         |  SELECT v1, v2, round(${duckCos.format("e1", "e2")}, 9) AS sim9
+         |  FROM cand JOIN embeddings e1 ON v1 = e1.vec_id
+         |            JOIN embeddings e2 ON v2 = e2.vec_id),
+         |directed AS (
+         |  SELECT v1 AS src, v2 AS dst, sim9 FROM scored
+         |  UNION ALL SELECT v2, v1, sim9 FROM scored),
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY sim9 DESC, dst) AS rn FROM directed)
+         |  WHERE rn <= 5),
+         |mutual AS (
+         |  SELECT f.src AS u, f.dst AS v FROM knn f JOIN knn g
+         |  ON f.src = g.dst AND f.dst = g.src AND f.src < f.dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM mutual
+         |    UNION ALL SELECT v FROM mutual) GROUP BY 1)
+         |SELECT COALESCE(deg, 0) AS mutual_degree,
+         |  count(*) AS n_nodes
+         |FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q153_label_centroids" ->
       """WITH e AS (SELECT label,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

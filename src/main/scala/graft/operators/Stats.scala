@@ -1038,7 +1038,50 @@ object Stats extends QueryModule {
       .orderBy("type_a", "type_b")
   }
 
+  /** q187 — exact two-sample KOLMOGOROV–SMIRNOV drift statistic: the
+    * nonparametric companion to q179's binned PSI — D = max |F̂₁ − F̂₂|
+    * over order totals, base vs current half of the date range, with no
+    * binning choice to tune. Computed EXACTLY in integers: at each
+    * distinct value, |c₁·n₂ − c₂·n₁| (cumulative counts cross-scaled)
+    * avoids every division until the final ppm, so both engines agree to
+    * the last digit and the argmax value is well-defined
+    * (ties broken toward the smallest value).
+    *
+    * Shape: one 2×|values| histogram aggregate (map-side combinable),
+    * cumulative sums as a window over the DISTINCT-VALUE frame (q173's
+    * cardinality discipline — domain-bounded, not row-bounded), and a
+    * 1-row top-1. The event stream is scanned once.
+    */
+  val ksDrift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("dt"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pq"))
+    val span = o.agg(min("dt").as("dmin"), max("dt").as("dmax"))
+    val sliced = o.crossJoin(broadcast(span))
+      .select(col("pq"),
+        when(col("dt") <= expr(
+          "date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))"),
+          lit(1L)).otherwise(lit(0L)).as("is_base"))
+    val h = sliced.groupBy("pq").agg(
+      sum("is_base").as("b"), sum(lit(1L) - col("is_base")).as("c"))
+    val w = Window.orderBy("pq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("c1", sum("b").over(w))
+      .withColumn("c2", sum("c").over(w))
+    val tot = h.agg(sum("b").as("n1"), sum("c").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("pq"), col("n1"), col("n2"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dnum"))
+      .orderBy(col("dnum").desc, col("pq"))
+      .limit(1)
+      .select(col("n1"), col("n2"),
+        expr("dnum * 1000000 div (n1 * n2)").as("d_ppm"),
+        col("pq").as("at_value_cents"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q187_ks_drift" -> ksDrift,
     "q184_bitmap_index" -> bitmapIndex,
     "q183_mad_outliers" -> madOutliers,
     "q179_psi_drift" -> psiDrift,
@@ -1091,6 +1134,25 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q187_ks_drift" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq FROM orders),
+        |sp AS (SELECT min(dt) AS dmin, max(dt) AS dmax FROM o),
+        |sl AS (SELECT pq, CASE WHEN dt <= dmin
+        |      + CAST((dmax - dmin) // 2 AS INT)
+        |    THEN 1 ELSE 0 END AS is_base FROM o, sp),
+        |h AS (SELECT pq, CAST(sum(is_base) AS BIGINT) AS b,
+        |    CAST(sum(1 - is_base) AS BIGINT) AS c FROM sl GROUP BY 1),
+        |cum AS (SELECT pq,
+        |    CAST(sum(b) OVER (ORDER BY pq) AS BIGINT) AS c1,
+        |    CAST(sum(c) OVER (ORDER BY pq) AS BIGINT) AS c2 FROM h),
+        |tot AS (SELECT CAST(sum(b) AS BIGINT) AS n1,
+        |    CAST(sum(c) AS BIGINT) AS n2 FROM h)
+        |SELECT n1, n2, abs(c1 * n2 - c2 * n1) * 1000000 // (n1 * n2)
+        |    AS d_ppm,
+        |  pq AS at_value_cents
+        |FROM cum, tot
+        |ORDER BY abs(c1 * n2 - c2 * n1) DESC, pq LIMIT 1""".stripMargin,
     "q179_psi_drift" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS dt,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq FROM orders),

@@ -868,7 +868,36 @@ object Text extends QueryModule {
       .orderBy("lang", "tier")
   }
 
+  /** q188 — CROSS-LANGUAGE shingle contamination matrix: for every pair of
+    * language partitions, how many distinct 8-token shingles appear in
+    * BOTH — the audit that catches mislabeled-language documents and
+    * copied/translated boilerplate BEFORE a per-language dedup pass (which
+    * would never see them: language-partitioned pipelines dedup within the
+    * partition). q176's item-cooccurrence pattern at shingle granularity:
+    * the DISTINCT (lang, shingle) frame self-joins on the digest with
+    * lang_a < lang_b, so per-shingle fan-out is bounded by C(langs, 2) —
+    * never row-scaled — and the matrix aggregate is |langs|²-sized.
+    * Corpus cost is the one shingle pass shared with q74/q99/q181.
+    */
+  val crossLingual: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val sh = t.select(col("lang"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      .distinct()
+    sh.alias("a").join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q188_cross_lingual" -> crossLingual,
     "q185_perplexity_buckets" -> perplexityBuckets,
     "q181_ngram_novelty" -> ngramNovelty,
     "q178_heaps_law" -> heapsLaw,
@@ -906,6 +935,17 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q188_cross_lingual" ->
+      raw"""WITH t AS (SELECT doc_id, lang,
+         |  list_filter(string_split_regex(text, '\s+'),
+         |    x -> len(x) > 0) AS tk FROM documents),
+         |sh AS (SELECT DISTINCT lang, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t)
+         |SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |  count(*) AS n_shared_shingles
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang < b.lang
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q178_heaps_law" ->
       raw"""WITH tk AS (SELECT source, doc_id,
          |    unnest(list_filter(string_split_regex(text, '\s+'),

@@ -619,6 +619,32 @@ class AnalyticsSpec extends SparkSpec {
       drift.mkString(","))
   }
 
+  test("q187 KS drift: mirrored halves give D = 0; disjoint supports give D = 1e6 at the base maximum") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(Double, String)]): Unit =
+      rows.zipWithIndex.map { case ((price, day), i) =>
+        (i.toLong, i.toLong, "O", price,
+          java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graftks").toString
+    write(dir, Seq((1.0, "1995-01-01"), (5.0, "1995-01-01"),
+      (1.0, "1995-01-10"), (5.0, "1995-01-10")))
+    val zero = SparkEntry.queries("q187_ks_drift")(spark, dir).head()
+    assert(zero.getAs[Long]("d_ppm") === 0L, zero.toString)
+    // argmax tie at D = 0 everywhere → smallest value wins
+    assert(zero.getAs[Long]("at_value_cents") === 100L, zero.toString)
+    val dir2 = java.nio.file.Files.createTempDirectory("graftks2").toString
+    write(dir2, Seq((1.0, "1995-01-01"), (2.0, "1995-01-02"),
+      (8.0, "1995-01-09"), (9.0, "1995-01-10")))
+    val full = SparkEntry.queries("q187_ks_drift")(spark, dir2).head()
+    // base = {100, 200}, curr = {800, 900}: at value 200 F1 = 1, F2 = 0
+    assert(full.getAs[Long]("d_ppm") === 1000000L, full.toString)
+    assert(full.getAs[Long]("at_value_cents") === 200L, full.toString)
+    assert(full.getAs[Long]("n1") === 2L && full.getAs[Long]("n2") === 2L)
+  }
+
   test("q180 rolling MAU: each user-day serves its 7-day window once; trailing partial windows drop") {
     import spark.implicits._
     val dayNs = 86400L * 1000000000L

@@ -213,4 +213,25 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     assert(segs.toList === List((0, 1, 2L, 2 * 16L * 122), (4, 5, 2L, 2 * 16L * 122)))
   }
+
+  test("q186 dataset card: every column recomputes by hand on a planted two-source corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b", "en", "A", 3),   // exact twin of doc 1
+      (1L, "a b", "en", "A", 3),
+      (2L, "c d e", "de", "A", 5),
+      (3L, "z", "fr", "B", 1))
+    val dir = java.nio.file.Files.createTempDirectory("graftcard").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q186_dataset_card")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // A: 3 docs, 7 tokens, vocab 5, 1 removable dup, mean chars
+    // (3+3+5)·100 div 3 = 366; entropy −(2/3)ln(2/3) − (1/3)ln(1/3) =
+    // 270310 + 366204 µnats (each term rounded separately)
+    assert(got("A") === Seq(3L, 7L, 5L, 1L, 333333L, 366L, 636514L),
+      got.toString)
+    // B: single doc, single lang → entropy exactly 0
+    assert(got("B") === Seq(1L, 1L, 1L, 0L, 0L, 100L, 0L), got.toString)
+  }
 }

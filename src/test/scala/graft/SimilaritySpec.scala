@@ -293,4 +293,18 @@ class SimilaritySpec extends SparkSpec {
         s"vec ${r.getAs[Long]("vec_id")} l1 too large")
     }
   }
+
+  test("q189 mutual kNN graph: histogram partitions the corpus, degrees bounded by k, edge mass is even") {
+    val got = q("q189_knn_graph").collect()
+      .map(r => r.getAs[Long]("mutual_degree") -> r.getAs[Long]("n_nodes"))
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly one degree bucket
+    assert(got.map(_._2).sum === nVecs, got.mkString(","))
+    // mutual degree can never exceed k = 5
+    assert(got.forall { case (dg, _) => dg >= 0 && dg <= 5 }, got.mkString(","))
+    // Σ degree·count = 2 × |mutual edges| — must be even
+    assert(got.map { case (dg, n) => dg * n }.sum % 2 === 0, got.mkString(","))
+    // mutuality prunes the hub tail but must keep SOME structure at sf0.001
+    assert(got.exists { case (dg, n) => dg > 0 && n > 0 }, got.mkString(","))
+  }
 }

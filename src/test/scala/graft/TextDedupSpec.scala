@@ -473,6 +473,21 @@ class TextDedupSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L), (3L, 0L, 0L, 0L)), got.mkString(","))
   }
 
+  test("q188 cross-lingual contamination: a shared 8-gram bridges exactly its two language partitions") {
+    import spark.implicits._
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, eight, "en", "s", 8),
+      (1L, eight, "de", "s", 8),             // same shingle, other language
+      (2L, (1 to 8).map(i => s"u$i").mkString(" "), "fr", "s", 8))
+    val dir = java.nio.file.Files.createTempDirectory("graftxl").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q188_cross_lingual")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toList === List(("de", "en", 1L)), got.mkString(","))
+  }
+
   test("q185 perplexity tertiles: buckets partition each language into near-equal, ce-ordered slices") {
     val got = q("q185_perplexity_buckets").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2),
