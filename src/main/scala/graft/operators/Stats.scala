@@ -1080,7 +1080,44 @@ object Stats extends QueryModule {
         col("pq").as("at_value_cents"))
   }
 
+  /** q191 — EXACT distinct-user ROLLUP day → month via BITMAP MERGE:
+    * q122's HLL time-rollup with the sketch replaced by q184's
+    * word-aligned bitmaps — the month bitmap is bit_or of its day
+    * bitmaps (OR is the bitmap's exact merge, the property HLL only
+    * approximates), so monthly distinct counts come from DAILY state
+    * without re-touching events, and they are EXACT. The output sets
+    * the month's true distinct count against the sum of its daily
+    * counts — the double-counting a naive sum commits and the reason
+    * rollups need mergeable state at all. Cost: one event scan to daily
+    * (day, word) bitmaps (map-side combinable), then all rollup math on
+    * the bitmap table (days × max_user/32 words); re-aggregating raw
+    * events per month would scan the stream once per granularity.
+    */
+  val bitmapRollup: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(date_trunc("month", col("ts")).cast("date").as("month"),
+        to_date(col("ts")).as("day"),
+        expr("user_id div 32").as("w"),
+        expr("CAST(user_id % 32 AS INT)").as("b"))
+      .groupBy("month", "day", "w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+    val perDay = daily.groupBy("month", "day")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("day_distinct"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"),
+        sum("day_distinct").as("sum_daily_distinct"))
+    val perMonth = daily.groupBy("month", "w")
+      .agg(expr("bit_or(bits)").as("bits"))
+      .groupBy("month")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("month_distinct"))
+    perDay.join(perMonth, "month")
+      .select(col("month"), col("n_days"), col("sum_daily_distinct"),
+        col("month_distinct"))
+      .orderBy("month")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q191_bitmap_rollup" -> bitmapRollup,
     "q187_ks_drift" -> ksDrift,
     "q184_bitmap_index" -> bitmapIndex,
     "q183_mad_outliers" -> madOutliers,
@@ -1134,6 +1171,23 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the bitmap merge is exact, so the oracle is direct COUNT(DISTINCT)
+    // at both granularities — no sketch error band to accommodate
+    "q191_bitmap_rollup" ->
+      """WITH e AS (SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+        |    CAST(ts AS DATE) AS day, user_id FROM events),
+        |pd AS (SELECT month, day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS day_distinct
+        |  FROM e GROUP BY 1, 2),
+        |agg AS (SELECT month, count(*) AS n_days,
+        |    CAST(sum(day_distinct) AS BIGINT) AS sum_daily_distinct
+        |  FROM pd GROUP BY 1),
+        |pm AS (SELECT month,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS month_distinct
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(month AS DATE) AS month, n_days, sum_daily_distinct,
+        |  month_distinct
+        |FROM agg JOIN pm USING (month) ORDER BY month""".stripMargin,
     "q187_ks_drift" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS dt,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq FROM orders),

@@ -896,7 +896,59 @@ object Text extends QueryModule {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** q192 — RETRIEVAL EVALUATION metrics (nDCG@10, MRR@50, relevant@10)
+    * for two rankers over the q149 query: the eval harness every
+    * retrieval stack runs before swapping a ranker. Graded relevance is
+    * deterministic and self-contained — grade = number of distinct query
+    * terms a document contains (0..4), the conjunctive-coverage oracle —
+    * so BM25 (saturated, length-normalized) is scored against the raw
+    * tf-sum ranker on identical ground truth. DCG gain 2^g − 1 with the
+    * standard log2(rank+1) discount, micro-integerized PER ROW before the
+    * integer sum (the q94 discipline); nDCG normalizes by the ideal
+    * ordering's DCG over the same graded pool; MRR@50 is 1e6 div the
+    * first rank with grade ≥ 3, 0 if none surfaces in the top 50.
+    *
+    * Scale shape: scoring reuses [[bm25TermRows]] (corpus pass + df-
+    * bounded candidate rows); every ranking window runs AFTER a
+    * TakeOrderedAndProject cut (≤ 50-row frames — q158's discipline), so
+    * no global sort of candidates ever materializes.
+    */
+  val retrievalMetrics: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = bm25TermRows(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("g"), sum(col("ppm")).as("score_ppm"),
+        sum(col("tf")).as("tf_sum"))
+    def ranked(keys: Seq[org.apache.spark.sql.Column], ranker: String) = {
+      val w = Window.orderBy(keys: _*) // bounded: runs AFTER the 50-cut
+      perDoc.orderBy(keys: _*).limit(50)
+        .withColumn("r", row_number().over(w))
+        .select(lit(ranker).as("ranker"), col("doc_id"), col("g"), col("r"))
+    }
+    val lists = ranked(Seq(col("score_ppm").desc, col("doc_id")), "bm25")
+      .unionByName(ranked(Seq(col("tf_sum").desc, col("doc_id")), "tf"))
+    val gain = expr("""CAST(round((pow(2.0, CAST(g AS DOUBLE)) - 1.0)
+      | * 1000000.0 / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0)))
+      | AS BIGINT)""".stripMargin.replace("\n", " "))
+    val ideal = perDoc.orderBy(col("g").desc, col("doc_id")).limit(10)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("g").desc, col("doc_id"))))
+      .agg(sum(gain).as("idcg_micro"))
+    lists.groupBy("ranker")
+      .agg(sum(when(col("r") <= 10, gain).otherwise(0L)).as("dcg_micro"),
+        max(when(col("g") >= 3, expr("1000000 div r"))
+          .otherwise(0L)).as("mrr_ppm"),
+        sum(when(col("r") <= 10 && col("g") >= 3, 1L).otherwise(0L))
+          .as("n_rel_top10"))
+      .crossJoin(broadcast(ideal))
+      .select(col("ranker"),
+        expr("dcg_micro * 1000000 div idcg_micro").as("ndcg10_ppm"),
+        col("mrr_ppm"), col("n_rel_top10"))
+      .orderBy("ranker")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q192_retrieval_metrics" -> retrievalMetrics,
     "q188_cross_lingual" -> crossLingual,
     "q185_perplexity_buckets" -> perplexityBuckets,
     "q181_ngram_novelty" -> ngramNovelty,
@@ -935,6 +987,50 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q192_retrieval_metrics" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(text, '\s+'),
+         |    x -> len(x) > 0)) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |terms AS (SELECT t, df FROM dfq ORDER BY df DESC, t LIMIT 4),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT count(*) FROM tk) AS sum_dl),
+         |sc AS (SELECT tf.doc_id, tf.tf,
+         |  CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))
+         |    * 1000000) AS BIGINT) AS ppm
+         |  FROM tf JOIN terms USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+         |pd AS (SELECT doc_id, count(*) AS g,
+         |    CAST(sum(ppm) AS BIGINT) AS score_ppm,
+         |    CAST(sum(tf) AS BIGINT) AS tf_sum
+         |  FROM sc GROUP BY 1),
+         |la AS (SELECT 'bm25' AS ranker, doc_id, g, row_number()
+         |    OVER (ORDER BY score_ppm DESC, doc_id) AS r
+         |  FROM pd ORDER BY score_ppm DESC, doc_id LIMIT 50),
+         |lb AS (SELECT 'tf' AS ranker, doc_id, g, row_number()
+         |    OVER (ORDER BY tf_sum DESC, doc_id) AS r
+         |  FROM pd ORDER BY tf_sum DESC, doc_id LIMIT 50),
+         |ls AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+         |ideal AS (SELECT CAST(sum(CAST(round((pow(2.0, CAST(g AS DOUBLE)) - 1.0)
+         |      * 1000000.0 / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT))
+         |    AS BIGINT) AS idcg_micro
+         |  FROM (SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS r
+         |        FROM pd ORDER BY g DESC, doc_id LIMIT 10)),
+         |m AS (SELECT ranker,
+         |    CAST(sum(CASE WHEN r <= 10 THEN
+         |        CAST(round((pow(2.0, CAST(g AS DOUBLE)) - 1.0)
+         |          * 1000000.0 / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0)))
+         |        AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+         |    CAST(max(CASE WHEN g >= 3 THEN 1000000 // r ELSE 0 END)
+         |      AS BIGINT) AS mrr_ppm,
+         |    CAST(sum(CASE WHEN r <= 10 AND g >= 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_rel_top10
+         |  FROM ls GROUP BY 1)
+         |SELECT ranker, dcg_micro * 1000000 // idcg_micro AS ndcg10_ppm,
+         |  mrr_ppm, n_rel_top10
+         |FROM m CROSS JOIN ideal ORDER BY ranker""".stripMargin,
     "q188_cross_lingual" ->
       raw"""WITH t AS (SELECT doc_id, lang,
          |  list_filter(string_split_regex(text, '\s+'),

@@ -624,7 +624,66 @@ object StreamingJobs extends QueryModule {
 
   val streamHll: Q = (s, d) => streamHllRun(s, d)._1
 
+  /** q190 — STREAMING EXACT DISTINCT via mergeable BITMAP state: the exact
+    * counterpart of q162's streamed HLL. Each micro-batch reduces to
+    * (event_type, word = user_id div 32, bits) — q184's word-aligned
+    * bitmap layout — and the foreachBatch fold is `bit_or` per (type,
+    * word): idempotent AND commutative, so replays and out-of-order
+    * batches cannot change the state (the same merge-identity argument as
+    * the bottom-k fold, but trivially: OR is a semilattice). State is
+    * bounded by types × max_user/32 words — fixed by the ID domain, not
+    * the stream length — and the final popcount sum per type is EXACT, so
+    * the oracle is plain COUNT(DISTINCT): no error band, no correction
+    * branch. The trade vs q162: HLL state is O(64) regardless of domain;
+    * the bitmap pays domain/32 words for exactness — the right choice
+    * whenever user IDs are dense (the common warehouse case).
+    */
+  private[graft] def streamBitmapRun(s: SparkSession, d: String)
+      : (DataFrame, Long, Long) = {
+    val root = graft.Scratch.dir("graft_stream_bitmap")
+    val src = s"$root/src"
+    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    def bitmapOf(df: DataFrame): DataFrame =
+      df.select(col("event_type"), expr("user_id div 32").as("w"),
+          expr("CAST(user_id % 32 AS INT)").as("b"))
+        .groupBy("event_type", "w")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+    var current: Option[String] = None
+    var batches = 0L
+    var maxState = 0L
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val incoming = bitmapOf(batch)
+        val folded = (current match {
+          case Some(p) => s.read.parquet(p).unionByName(incoming)
+          case None => incoming
+        }).groupBy("event_type", "w").agg(expr("bit_or(bits)").as("bits"))
+        val out = s"$root/state_v$id"
+        folded.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        maxState = math.max(maxState, s.read.parquet(out).count())
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val state = s.read.parquet(
+      current.getOrElse(sys.error("stream produced no micro-batches")))
+    val out = state.groupBy("event_type")
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct_users"))
+      .orderBy("event_type")
+    (out, batches, maxState)
+  }
+
+  val streamBitmap: Q = (s, d) => streamBitmapRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q190_stream_bitmap" -> streamBitmap,
     "q162_stream_hll" -> streamHll,
     "q117_stream_upsert" -> streamUpsert,
     "q136_stream_rank_sketch" -> streamRankSketch,
@@ -636,6 +695,12 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // the bitmap fold is exact, so the streamed answer must equal plain
+    // COUNT(DISTINCT) — the strongest oracle a streaming distinct can have
+    "q190_stream_bitmap" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the fold is the sketch's own merge, so the streamed bank must equal
     // the direct batch bank — the oracle computes registers in one pass
     "q162_stream_hll" ->

@@ -619,6 +619,28 @@ class AnalyticsSpec extends SparkSpec {
       drift.mkString(","))
   }
 
+  test("q191 bitmap rollup: month bitmap deduplicates exactly what the daily sum double-counts") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // Jan: u7 active on two days (daily sum counts it twice, month once),
+    // u8 on one day; Feb: u9 only
+    val rows = Seq(
+      (1L, 1L * dayNs, 7L, "view", 0.0, "{}"),
+      (2L, 2L * dayNs, 7L, "view", 0.0, "{}"),
+      (3L, 2L * dayNs, 8L, "view", 0.0, "{}"),
+      (4L, 40L * dayNs, 9L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftbmr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q191_bitmap_rollup")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("month").toString,
+        r.getAs[Long]("n_days"), r.getAs[Long]("sum_daily_distinct"),
+        r.getAs[Long]("month_distinct")))
+    assert(got.toList === List(
+      ("1970-01-01", 2L, 3L, 2L), ("1970-02-01", 1L, 1L, 1L)),
+      got.mkString(","))
+  }
+
   test("q187 KS drift: mirrored halves give D = 0; disjoint supports give D = 1e6 at the base maximum") {
     import spark.implicits._
     def write(dir: String, rows: Seq[(Double, String)]): Unit =

@@ -246,4 +246,29 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") === 1, p)
     assert(!p.contains("Join"), p) // the naive form self-joins events×events
   }
+
+  test("q180 rolling MAU never joins the event stream — aggregates and a broadcast span only") {
+    val p = plan("q180_rolling_mau")
+    // the naive rolling-distinct form self-joins 7 days of events per day;
+    // this plan's only join is the 1-row span broadcast for the hi cap
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q184 bitmap intersection joins bitmap WORDS, not event rows") {
+    val p = plan("q184_bitmap_index")
+    assert(!p.contains("CartesianProduct"), p)
+    // the word-keyed self-join must sit ABOVE the bitmap aggregate: a
+    // partial_bit_or before any join exchange proves events reduce to
+    // words first
+    val aggIdx = p.indexOf("partial_bit_or")
+    assert(aggIdx >= 0, p)
+  }
+
+  test("q189 kNN graph: top-5 ranking gets WindowGroupLimit; candidate and verify joins are equi only") {
+    val p = plan("q189_knn_graph")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -204,6 +204,26 @@ class StreamingSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("q190 streaming bitmap distinct: multi-batch OR fold equals batch COUNT(DISTINCT) exactly, state domain-bounded") {
+    val (out, batches, maxState) =
+      graft.streaming.StreamingJobs.streamBitmapRun(spark, sf)
+    assert(batches >= 2, s"expected a multi-batch fold, got $batches")
+    val events = graft.sources.Tables.events(spark, sf)
+    // state rows ≤ types × (max_user div 32 + 1) — fixed by the ID domain
+    val Array(nTypes, maxUser) = events
+      .agg(countDistinct("event_type"), max("user_id")).head()
+      .toSeq.map(v => v.toString.toLong).toArray
+    assert(maxState <= nTypes * (maxUser / 32 + 1),
+      s"state $maxState exceeds domain bound")
+    // EXACT parity — no band: the fold is the bitmap's own merge
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct_users")).toMap
+    val want = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got === want, s"$got vs $want")
+  }
+
   test("mapGroupsWithState: streaming per-user running counts match batch counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     import spark.implicits._

@@ -488,6 +488,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("de", "en", 1L)), got.mkString(","))
   }
 
+  test("q192 retrieval metrics: a corpus with one perfect doc gives both rankers nDCG = MRR = 1e6") {
+    import spark.implicits._
+    // query terms resolve to the top-4 df tokens: 'a' (df 12) and b/c/d
+    // (df 1, winning the tie against z* fillers alphabetically). doc 0
+    // holds all four (grade 4); every other doc holds only 'a' (grade 1)
+    // at equal length, so BOTH rankers put doc 0 first and the realized
+    // DCG@10 equals the ideal — nDCG and MRR pin at exactly 1e6.
+    val docs = (0L, "a b c d", "en", "s", 7) +:
+      (1 to 11).map(i => (i.toLong, s"a z$i", "en", "s", 4))
+    val dir = java.nio.file.Files.createTempDirectory("graftret").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q192_retrieval_metrics")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("ndcg10_ppm"),
+        r.getAs[Long]("mrr_ppm"), r.getAs[Long]("n_rel_top10")))).toMap
+    assert(got === Map(
+      "bm25" -> ((1000000L, 1000000L, 1L)),
+      "tf" -> ((1000000L, 1000000L, 1L))), got.toString)
+    // fixture run: metrics stay inside their definitional bounds
+    val fx = q("q192_retrieval_metrics").collect()
+    fx.foreach { r =>
+      assert(r.getAs[Long]("ndcg10_ppm") <= 1000000L, r.toString)
+      assert(r.getAs[Long]("mrr_ppm") <= 1000000L, r.toString)
+      assert(r.getAs[Long]("n_rel_top10") <= 10L, r.toString)
+    }
+  }
+
   test("q185 perplexity tertiles: buckets partition each language into near-equal, ce-ordered slices") {
     val got = q("q185_perplexity_buckets").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2),
