@@ -540,7 +540,44 @@ object Relational extends QueryModule {
       .orderBy("o_custkey", "version")
   }
 
+  /** q193 — GROUPED 2-D SKYLINE (Pareto front): per order priority, the
+    * orders no other order dominates on (price, recency) — multi-criteria
+    * shortlisting (candidate selection, negotiation frontiers) where a
+    * single ORDER BY can't express "best trade-offs". Standard skyline
+    * dominance: A dominates B iff A ≥ B on BOTH axes and > on at least
+    * one; exact duplicates never dominate each other, so coincident
+    * points all survive (reported once with their multiplicity).
+    *
+    * Scalable form — never the O(n²) dominance self-join: reduce to the
+    * per-(priority, price) max date (domain-bounded frame, q173's
+    * cardinality discipline), take the running max of that date over
+    * STRICTLY-greater prices (a lag-1 running max over the distinct-price
+    * frame — rows preceding in price-desc order have strictly greater
+    * price BECAUSE the frame is distinct), and keep price levels whose
+    * max date beats it. A point at a surviving price level is in the
+    * skyline iff it carries that level's max date. Output: the skyline
+    * points with their order multiplicity.
+    */
+  val skyline: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pq"),
+      to_date(col("o_orderdate")).as("dt"))
+    val lvl = o.groupBy("prio", "pq")
+      .agg(max("dt").as("mx"), count(lit(1)).as("n_at_level"))
+    val w = Window.partitionBy("prio").orderBy(col("pq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = lvl.withColumn("beat", max("mx").over(w))
+      .filter(col("beat").isNull || col("mx") > col("beat"))
+      .select(col("prio"), col("pq"), col("mx"))
+    o.join(sky, Seq("prio", "pq")).filter(col("dt") === col("mx"))
+      .groupBy("prio", "pq", "dt")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("prio"), col("pq").desc)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q193_skyline" -> skyline,
     "q109_scd2" -> scd2,
     "q01_pricing_summary" -> pricingSummary,
     "q49_memo_pricing" -> memoPricing,
@@ -591,6 +628,20 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q193_skyline" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq,
+        |    CAST(o_orderdate AS DATE) AS dt FROM orders),
+        |lvl AS (SELECT prio, pq, max(dt) AS mx FROM o GROUP BY 1, 2),
+        |mk AS (SELECT prio, pq, mx, max(mx) OVER (PARTITION BY prio
+        |    ORDER BY pq DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS beat FROM lvl),
+        |sky AS (SELECT prio, pq, mx FROM mk
+        |  WHERE beat IS NULL OR mx > beat)
+        |SELECT o.prio AS prio, o.pq AS pq, o.dt AS dt, count(*) AS n_orders
+        |FROM o JOIN sky ON o.prio = sky.prio AND o.pq = sky.pq
+        |  AND o.dt = sky.mx
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2 DESC""".stripMargin,
     "q109_scd2" ->
       """WITH src AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,

@@ -1116,7 +1116,64 @@ object Stats extends QueryModule {
       .orderBy("month")
   }
 
+  /** q194 — SALT-FACTOR ADVISOR: turn q102's skew DIAGNOSIS into the
+    * q52-style salted join's INPUT — per hot key, the number of salt
+    * replicas that flattens it to the per-task target (total rows div
+    * parallelism, here the session's 32). salt = ceil(cnt / target) in
+    * exact integer arithmetic; keys at or under target get 1 (no salting
+    * tax where none is needed — salting everything multiplies the
+    * broadcast side blindly). Output is the top-10 advisory the planner
+    * (or an AQE-less Spark 2.x job author) feeds straight into
+    * saltedJoin's per-key replica map. Cost: the same key-count aggregate
+    * q102 already pays, a 2-value broadcast, and a top-10 cut.
+    */
+  val saltAdvisor: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+    val tgt = counts.agg(
+      expr("(sum(n) + 31) div 32").as("target"))
+    counts.orderBy(col("n").desc, col("key")).limit(10)
+      .crossJoin(broadcast(tgt))
+      .select(col("key"), col("n"), col("target"),
+        expr("greatest((n + target - 1) div target, 1)").as("salt_factor"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
+  /** q195 — CUSUM CHANGEPOINT detection on the daily event-value series:
+    * the day k maximizing |Σ_{d≤k} x_d − (n_k / N)·Σ x| — the classic
+    * cumulative-sum statistic locating a mean shift, the alarm a pipeline
+    * raises when an upstream schema or traffic change bends a metric. All
+    * arithmetic is EXACT: daily sums of micro-integerized values and
+    * cross-multiplied cumulative terms (cum_v·N − cum_n·T fits long —
+    * audited: |values| ≤ 1e4 cents × 1e6 rows × N), so argmax and score
+    * are engine-identical; ties break toward the earliest day. Shape:
+    * one day-histogram aggregate (map-side combinable), a cumulative
+    * window over the DAY frame (calendar-bounded — q173's cardinality
+    * discipline), and a top-1.
+    */
+  val cusumChangepoint: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vq"))
+      .groupBy("day").agg(sum("vq").as("v"), count(lit(1)).as("c"))
+    val tot = daily.agg(sum("v").as("tv"), sum("c").as("tc"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cv", sum("v").over(w))
+      .withColumn("cc", sum("c").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("cc").as("n_upto"),
+        abs(col("cv") * col("tc") - col("cc") * col("tv")).as("score_num"),
+        col("tc").as("n_total"))
+      .orderBy(col("score_num").desc, col("day"))
+      .limit(1)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q195_cusum_changepoint" -> cusumChangepoint,
+    "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
     "q187_ks_drift" -> ksDrift,
     "q184_bitmap_index" -> bitmapIndex,
@@ -1171,6 +1228,27 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q194_salt_advisor" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT (CAST(sum(n) AS BIGINT) + 31) // 32 AS target FROM c)
+        |SELECT key, n, target,
+        |  greatest((n + target - 1) // target, 1) AS salt_factor
+        |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
+    "q195_cusum_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS tv,
+        |    CAST(sum(c) AS BIGINT) AS tc FROM daily),
+        |cum AS (SELECT day,
+        |    CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS cv,
+        |    CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS cc FROM daily)
+        |SELECT day, cc AS n_upto, abs(cv * tc - cc * tv) AS score_num,
+        |  tc AS n_total
+        |FROM cum, tot
+        |ORDER BY abs(cv * tc - cc * tv) DESC, day LIMIT 1""".stripMargin,
     // the bitmap merge is exact, so the oracle is direct COUNT(DISTINCT)
     // at both granularities — no sketch error band to accommodate
     "q191_bitmap_rollup" ->

@@ -619,6 +619,69 @@ class AnalyticsSpec extends SparkSpec {
       drift.mkString(","))
   }
 
+  test("q193 skyline: weak dominance prunes date-ties at lower prices; duplicates survive with multiplicity") {
+    import spark.implicits._
+    def o(k: Long, price: Double, day: String) =
+      (k, k, "O", price, java.sql.Timestamp.valueOf(s"$day 00:00:00"),
+        "1-URGENT")
+    val rows = Seq(
+      o(1, 10.0, "1995-01-05"), // frontier: highest price
+      o(2, 9.0, "1995-01-06"),  // frontier: newer than everything pricier
+      o(3, 8.0, "1995-01-06"),  // dominated by #2 (≥ both, > price)
+      o(4, 8.0, "1995-01-04"),  // dominated by #2 outright
+      o(5, 7.0, "1995-01-07"),  // frontier: newest overall
+      o(6, 7.0, "1995-01-07"))  // exact duplicate of #5 — multiplicity 2
+    val dir = java.nio.file.Files.createTempDirectory("graftsky").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q193_skyline")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pq"), r.getAs[java.sql.Date]("dt").toString,
+        r.getAs[Long]("n_orders")))
+    assert(got.toList === List(
+      (1000L, "1995-01-05", 1L), (900L, "1995-01-06", 1L),
+      (700L, "1995-01-07", 2L)), got.mkString(","))
+  }
+
+  test("q194 salt advisor: the hot key gets ceil(n/target) replicas, cold keys get exactly 1") {
+    import spark.implicits._
+    // 640 rows for key 1 (20× the per-task target of 32), 1 row each for
+    // keys 2..321 → total 960, target = 960 div 32 = 30, salt(1) = 22
+    val rows = (1 to 640).map(_ => 1L) ++ (2L to 321L)
+    val dir = java.nio.file.Files.createTempDirectory("graftsalt").toString
+    rows.map(k => (1L, 1L, k, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Date.valueOf("1995-01-01")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q194_salt_advisor")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"),
+        r.getAs[Long]("salt_factor")))
+    assert(got.head === ((1L, 640L, 22L)), got.mkString(","))
+    assert(got.tail.forall { case (_, n, sf2) => n === 1L && sf2 === 1L },
+      got.mkString(","))
+  }
+
+  test("q195 CUSUM: the changepoint lands on the last day before a planted mean shift") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // days 1..4 at value 1.00, days 5..8 at 9.00 → |S_k| peaks at day 4
+    val rows = (1 to 8).map { day =>
+      (day.toLong, day * dayNs, 7L, "view",
+        if (day <= 4) 1.0 else 9.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftcusum").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q195_cusum_changepoint")(spark, dir).head()
+    assert(r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay === 4L,
+      r.toString)
+    // S_4 = 4·100 − (4/8)·4000 = −1600 cents → |num| = |400·8 − 4·4000|
+    assert(r.getAs[Long]("score_num") === 12800L, r.toString)
+    assert(r.getAs[Long]("n_upto") === 4L && r.getAs[Long]("n_total") === 8L)
+  }
+
   test("q191 bitmap rollup: month bitmap deduplicates exactly what the daily sum double-counts") {
     import spark.implicits._
     val dayNs = 86400L * 1000000000L
