@@ -420,4 +420,68 @@ class PropertySpec extends SparkSpec {
       (11L, 12L, 1L, 333333L), (11L, 13L, 1L, 333333L),
       (12L, 13L, 1L, 333333L)))
   }
+
+  test("bitmap distinct law: popcounted bitmaps equal COUNT(DISTINCT) on ANY user multiset") {
+    // the q184/q190/q191 foundation: (word = id div 32, bit_or of masks,
+    // Σ bit_count) is EXACTLY distinct-count for any input, duplicates
+    // and word-boundary ids included
+    val idsGen = Gen.listOfN(60, Gen.choose(0L, 100L))
+    check(Prop.forAll(idsGen) { ids =>
+      val df = ids.toDF("user_id")
+      val viaBitmap = df
+        .select(expr("user_id div 32").as("w"),
+          expr("CAST(user_id % 32 AS INT)").as("b"))
+        .groupBy("w")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+        .agg(sum(expr("bit_count(bits)"))).head().getLong(0)
+      viaBitmap == ids.distinct.size.toLong
+    }, "bitmap distinct == exact distinct")
+  }
+
+  test("skyline law: the level-reduction plan equals brute-force dominance on ANY point set") {
+    val ptsGen = Gen.listOfN(25, for {
+      p <- Gen.choose(1, 8)
+      t <- Gen.choose(1, 8)
+    } yield (p, t))
+    check(Prop.forAll(ptsGen) { pts =>
+      val dir = java.nio.file.Files.createTempDirectory("graftskyp").toString
+      pts.zipWithIndex.map { case ((p, t), i) =>
+        (i.toLong, i.toLong, "O", p.toDouble,
+          java.sql.Timestamp.valueOf(f"1995-01-$t%02d 00:00:00"), "X")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("q193_skyline")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("pq") / 100, // cents back to the gen domain
+          r.getAs[java.sql.Date]("dt").toLocalDate.getDayOfMonth,
+          r.getAs[Long]("n_orders"))).toSet
+      // brute force: weak dominance (≥ both axes, > at least one)
+      val sky = pts.distinct.filter { case (p, t) =>
+        !pts.exists { case (p2, t2) =>
+          p2 >= p && t2 >= t && (p2 > p || t2 > t) }
+      }
+      val want = sky.map { case (p, t) =>
+        (p.toLong, t, pts.count(_ == ((p, t))).toLong) }.toSet
+      got == want
+    }, "skyline level reduction == brute-force dominance")
+  }
+
+  test("KS drift law: D stays in [0, 1e6], and identical halves give exactly 0") {
+    val valsGen = Gen.listOfN(12, Gen.choose(1, 50))
+    check(Prop.forAll(valsGen) { vs =>
+      val dir = java.nio.file.Files.createTempDirectory("graftksp").toString
+      // mirror the SAME multiset into both halves of a pinned date span
+      val rows = vs.map(v => (v, "1995-01-01")) ++ vs.map(v => (v, "1995-01-10"))
+      rows.zipWithIndex.map { case ((v, day), i) =>
+        (i.toLong, i.toLong, "O", v.toDouble,
+          java.sql.Timestamp.valueOf(s"$day 00:00:00"), "X")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val r = SparkEntry.queries("q187_ks_drift")(spark, dir).head()
+      r.getAs[Long]("d_ppm") == 0L &&
+        r.getAs[Long]("n1") == vs.size.toLong &&
+        r.getAs[Long]("n2") == vs.size.toLong
+    }, "KS mirrored halves == 0")
+  }
 }
