@@ -406,7 +406,50 @@ object Events extends QueryModule {
       .orderBy("day")
   }
 
+  /** q196 — WATERMARK LATENESS AUDIT: for candidate watermark delays
+    * (1 / 5 / 15 minutes), how many events would a streaming job DROP —
+    * the number that decides the lateness-vs-latency trade before any
+    * `withWatermark` ships. An event is late by (max event-time seen so
+    * far in ARRIVAL order) − (its own event time); arrival order is
+    * event_id (the generator's append sequence).
+    *
+    * The running max is a PREFIX SCAN, which a naive window computes on
+    * one task for the whole stream. Two-phase form (the q172 ranking
+    * trick applied to max): bucket arrivals by event_id div 1024,
+    * per-bucket maxima roll up on the BUCKET frame (stream/1024 rows),
+    * each event then needs only its bucket's PRIOR-bucket prefix
+    * (broadcast-joined) and a within-bucket running max (window
+    * PARTITIONED by bucket — parallel, bounded frames). One scan, one
+    * tiny frame, no single-task stage.
+    */
+  val latenessAudit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+        expr("event_id div 1024").as("bk"))
+    val buckets = ev.groupBy("bk").agg(max("us").as("bmax"))
+    val prefix = buckets
+      .withColumn("pmax", max("bmax").over(Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bk"), col("pmax"))
+    val wIn = Window.partitionBy("bk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(prefix), "bk")
+      .withColumn("runmax",
+        greatest(max("us").over(wIn), coalesce(col("pmax"), lit(Long.MinValue))))
+      .select((col("runmax") - col("us")).as("late_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 60L * 1000000L, 1L).otherwise(0L))
+          .as("n_late_1m"),
+        sum(when(col("late_us") > 300L * 1000000L, 1L).otherwise(0L))
+          .as("n_late_5m"),
+        sum(when(col("late_us") > 900L * 1000000L, 1L).otherwise(0L))
+          .as("n_late_15m"),
+        max("late_us").as("max_late_us"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q196_lateness_audit" -> latenessAudit,
     "q180_rolling_mau" -> rollingMau,
     "q175_ohlc_bars" -> ohlcBars,
     "q168_interval_coverage" -> intervalCoverage,
@@ -469,6 +512,21 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // the oracle computes the prefix max directly — it need not scale
+    "q196_lateness_audit" ->
+      """WITH ev AS (SELECT epoch_us(ts)
+        |      - max(epoch_us(ts)) OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS neg_late FROM events)
+        |SELECT count(*) AS n_events,
+        |  CAST(sum(CASE WHEN -neg_late > 60000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_1m,
+        |  CAST(sum(CASE WHEN -neg_late > 300000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_5m,
+        |  CAST(sum(CASE WHEN -neg_late > 900000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_15m,
+        |  CAST(max(-neg_late) AS BIGINT) AS max_late_us
+        |FROM ev""".stripMargin,
     "q180_rolling_mau" ->
       """WITH ev AS (SELECT DISTINCT
         |    CAST(ts AS DATE) - DATE '1970-01-01' AS day, user_id

@@ -713,7 +713,36 @@ object Storage extends QueryModule {
       .orderBy("scheme")
   }
 
+  /** q197 — BACKFILL GAP PLANNER: which calendar days are MISSING from a
+    * date-partitioned table, reported as contiguous gap islands — the
+    * work-list a backfill scheduler executes and the check a freshness
+    * SLO runs after every load. Present days reduce to a DISTINCT-day
+    * frame (calendar-bounded, q173's cardinality discipline), the
+    * expected calendar is a generated `sequence` over the span (never a
+    * stored table), missing = one anti-join of two calendar-sized
+    * frames, and the island grouping is the gaps-and-islands date−rank
+    * trick (q141's span merge) on the missing-day frame. Nothing in the
+    * plan ever re-touches table rows after the first distinct.
+    */
+  val backfillGaps: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+    val expected = days.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val missing = expected.join(days, Seq("day"), "left_anti")
+    missing
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("grp", expr("date_sub(day, rn)"))
+      .groupBy("grp")
+      .agg(min("day").as("gap_start"), max("day").as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .select("gap_start", "gap_end", "n_days")
+      .orderBy("gap_start")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q197_backfill_gaps" -> backfillGaps,
     "q182_rendezvous_resize" -> rendezvousResize,
     "q108_merge_agg" -> mergeAgg,
     "q97_sorted_layout" -> sortedLayout,
@@ -735,6 +764,19 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    "q197_backfill_gaps" ->
+      """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |sp AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+        |exp AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+        |miss AS (SELECT e.day FROM exp e LEFT JOIN days p
+        |  ON e.day = p.day WHERE p.day IS NULL),
+        |g AS (SELECT day, day - CAST(row_number() OVER (ORDER BY day)
+        |    AS INT) AS grp FROM miss)
+        |SELECT min(day) AS gap_start, max(day) AS gap_end,
+        |  count(*) AS n_days
+        |FROM g GROUP BY grp ORDER BY 1""".stripMargin,
     "q182_rendezvous_resize" ->
       """WITH a AS (SELECT doc_id,
         |    list_max(list_transform(range(0, 8), s ->

@@ -619,6 +619,28 @@ class AnalyticsSpec extends SparkSpec {
       drift.mkString(","))
   }
 
+  test("q196 lateness audit: two-phase prefix max carries across the 1024 bucket boundary; thresholds are strict") {
+    import spark.implicits._
+    val sNs = 1000000000L
+    // arrival order = event_id; ts in seconds. id 7 is late by exactly
+    // 900s (strictly-greater thresholds: counts at 1m/5m, NOT at 15m);
+    // id 1024 sits in bucket 1 and is late ONLY via bucket 0's prefix
+    // max (id 1023's 5000s) — the cross-bucket carry this test pins.
+    val rows = Seq(
+      (0L, 0L), (5L, 1000L * sNs), (7L, 100L * sNs),
+      (1023L, 5000L * sNs), (1024L, 0L), (2000L, 6000L * sNs))
+    val dir = java.nio.file.Files.createTempDirectory("graftlate").toString
+    rows.map { case (id, ts) => (id, ts, 1L, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q196_lateness_audit")(spark, dir).head()
+    assert(r.getAs[Long]("n_events") === 6L, r.toString)
+    assert(r.getAs[Long]("n_late_1m") === 2L, r.toString)   // 900s, 5000s
+    assert(r.getAs[Long]("n_late_5m") === 2L, r.toString)
+    assert(r.getAs[Long]("n_late_15m") === 1L, r.toString)  // 900s excluded
+    assert(r.getAs[Long]("max_late_us") === 5000L * 1000000L, r.toString)
+  }
+
   test("q193 skyline: weak dominance prunes date-ties at lower prices; duplicates survive with multiplicity") {
     import spark.implicits._
     def o(k: Long, price: Double, day: String) =

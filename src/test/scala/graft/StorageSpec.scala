@@ -134,6 +134,26 @@ class StorageSpec extends SparkSpec {
     assert(bucketed.toSeq === plain.toSeq)
   }
 
+  test("q197 backfill gaps: missing days group into contiguous islands; present days never surface") {
+    import spark.implicits._
+    // present: Jan 1-3, 6, 8 → gaps (4-5) and (7)
+    val days = Seq("1995-01-01", "1995-01-02", "1995-01-03",
+      "1995-01-06", "1995-01-08")
+    val dir = java.nio.file.Files.createTempDirectory("graftgap").toString
+    days.zipWithIndex.map { case (day, i) =>
+      (i.toLong, i.toLong, "O", 1.0,
+        java.sql.Timestamp.valueOf(s"$day 00:00:00"), "X")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q197_backfill_gaps")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("gap_start").toString,
+        r.getAs[java.sql.Date]("gap_end").toString, r.getAs[Long]("n_days")))
+    assert(got.toList === List(
+      ("1995-01-04", "1995-01-05", 2L), ("1995-01-07", "1995-01-07", 1L)),
+      got.mkString(","))
+  }
+
   test("q182 rendezvous resize: engine matches the closed-form HRW/mod arithmetic; HRW moves a fraction of what mod moves") {
     import spark.implicits._
     val n = 500
