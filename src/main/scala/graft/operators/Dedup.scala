@@ -586,7 +586,45 @@ object Dedup extends QueryModule {
       .orderBy("doc_id", "span_start")
   }
 
+  /** q198 — SURVIVORSHIP (golden-record selection) over the near-dup
+    * clusters: after q59 says WHICH documents are the same, pick per
+    * cluster the record that survives and the attributes it carries —
+    * the MDM/canonical-document step every dedup pipeline ends with.
+    * Rules, all deterministic: keep the LONGEST text (tie → smallest
+    * doc_id), packed as one integer argmax key (n_chars·10⁹ + reversed
+    * doc_id) so both engines agree without struct-ordering semantics;
+    * the cluster language is the MAJORITY vote (tie → alphabetically
+    * first), a row_number over the per-cluster language counts —
+    * a langs-bounded frame.
+    *
+    * Cost on top of the staged label table (shared with q59/q123):
+    * one metadata join and two cluster-bounded aggregates — the corpus
+    * text itself is never re-read.
+    */
+  val survivorship: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("nc"))
+    val m = clusterLabels(s, d).join(meta, "doc_id")
+    val golden = m.groupBy("label").agg(
+      count(lit(1)).as("n_members"), sum("nc").as("total_chars"),
+      max(expr("nc * 1000000000 + (999999999 - doc_id)")).as("gk"))
+    val langs = m.groupBy("label", "lang").agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(Window.partitionBy("label")
+        .orderBy(col("ln").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("lang").as("major_lang"), col("ln"))
+    golden.join(langs, "label")
+      .select(col("label").as("cluster_id"), col("n_members"),
+        expr("999999999 - gk % 1000000000").as("golden_doc"),
+        expr("gk div 1000000000").as("golden_chars"),
+        col("total_chars"), col("major_lang"),
+        expr("ln * 1000000 div n_members").as("lang_share_ppm"))
+      .orderBy("cluster_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q198_survivorship" -> survivorship,
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
     "q59_dup_clusters" -> dupClusters,
@@ -645,6 +683,33 @@ object Dedup extends QueryModule {
     * mismatches the closure.
     */
   def oracles: Map[String, String] = Map(
+    // the same recursive-CC labels as q59, then the survivorship rules in
+    // plain SQL — packed argmax key and majority-vote window included
+    "q198_survivorship" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |m AS (SELECT f.label, d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS nc
+         |  FROM final f JOIN documents d USING (doc_id)),
+         |golden AS (SELECT label, count(*) AS n_members,
+         |    CAST(sum(nc) AS BIGINT) AS total_chars,
+         |    max(nc * 1000000000 + (999999999 - doc_id)) AS gk
+         |  FROM m GROUP BY 1),
+         |lc AS (SELECT label, lang, count(*) AS ln FROM m GROUP BY 1, 2),
+         |lr AS (SELECT label, lang AS major_lang, ln, row_number()
+         |    OVER (PARTITION BY label ORDER BY ln DESC, lang) AS rn FROM lc)
+         |SELECT g.label AS cluster_id, g.n_members,
+         |  999999999 - g.gk % 1000000000 AS golden_doc,
+         |  g.gk // 1000000000 AS golden_chars,
+         |  g.total_chars, lr.major_lang,
+         |  CAST(lr.ln AS BIGINT) * 1000000 // g.n_members AS lang_share_ppm
+         |FROM golden g JOIN lr ON g.label = lr.label AND lr.rn = 1
+         |ORDER BY cluster_id""".stripMargin,
     // same shingle → dup-set → islands chain, re-derived through DuckDB's
     // window engine; positions are 0-based in both (generate_subscripts
     // is 1-based, hence the -1)

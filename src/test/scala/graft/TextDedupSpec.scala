@@ -488,6 +488,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("de", "en", 1L)), got.mkString(","))
   }
 
+  test("q198 survivorship: clusters partition the corpus and every golden doc wins its cluster's rules") {
+    val rows = q("q198_survivorship").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("golden_doc"), r.getAs[Long]("golden_chars"),
+        r.getAs[String]("major_lang"), r.getAs[Long]("lang_share_ppm")))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // q59's labels are the same staged table — members per cluster
+    val members = q("q59_dup_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("doc_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows.map(_._2).sum === docs.size.toLong) // partition, no loss
+    rows.foreach { case (cid, n, golden, gchars, mlang, share) =>
+      val mem = members(cid)
+      assert(mem.size.toLong === n, s"cluster $cid size")
+      assert(mem.contains(golden), s"cluster $cid golden not a member")
+      // longest text wins, smallest doc_id breaks ties
+      val best = mem.maxBy(id => (docs(id)._2, -id))
+      assert(golden === best && gchars === docs(best)._2, s"cluster $cid")
+      // majority language: no other lang strictly beats the winner
+      val byLang = mem.groupBy(id => docs(id)._1).view.mapValues(_.size).toMap
+      assert(byLang.values.forall(_ <= byLang(mlang)), s"cluster $cid lang")
+      assert(share === byLang(mlang).toLong * 1000000L / n, s"cluster $cid share")
+    }
+  }
+
   test("q192 retrieval metrics: a corpus with one perfect doc gives both rankers nDCG = MRR = 1e6") {
     import spark.implicits._
     // query terms resolve to the top-4 df tokens: 'a' (df 12) and b/c/d
