@@ -947,7 +947,91 @@ object Text extends QueryModule {
       .orderBy("ranker")
   }
 
+  /** q199 — SHINGLE CONTAINMENT pairs: |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 —
+    * the ASYMMETRIC near-dup relation Jaccard structurally misses: a
+    * short document quoted wholesale inside a longer one has tiny
+    * Jaccard (union is large) but containment ≈ 1. The quote/excerpt
+    * detector a dedup pass runs AFTER q37's symmetric pass. Same
+    * digest-join shape as q188: distinct (doc, shingle), shingle-keyed
+    * equi-join bounded per shingle by its document frequency, then one
+    * pair aggregate against the broadcast per-doc shingle counts; the
+    * direction with the smaller shingle set is reported as `contained`.
+    * Containment in exact ppm (integer cross-division); pairs need ≥ 2
+    * shared shingles to suppress single-collision noise.
+    */
+  val containmentPairs: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val sh = t.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+          .as("container"),
+        col("common"),
+        expr("common * 1000000 div least(n1, n2)").as("containment_ppm"))
+      .filter(col("containment_ppm") >= 800000L)
+      .orderBy("contained", "container")
+  }
+
+  /** q200 — ZIPF'S-LAW FIT of the term-frequency distribution: the
+    * log-log OLS slope over (rank, frequency) — the corpus-statistics
+    * gauge (natural text sits near slope −1; generated/templated corpora
+    * drift). q151's closed-form OLS discipline on the VOCABULARY frame:
+    * one corpus tokenize pass reduces to term counts, ranks come from a
+    * window over the vocabulary (domain-bounded), ln values are
+    * micro-integerized per point before the closed-form sums, and the
+    * slope/intercept are exact integer divisions of those sums. Top
+    * 1000 ranks only — the Zipf regime — so the window is cut before
+    * any log math.
+    */
+  val zipfFit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(explode(filter(toks, t => length(t) > 0)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // MILLI-nat points: keeps every closed-form sum (Σxy ≤ ~8e10,
+    // n·Σxy ≤ ~8e13) inside exact-double range — micro units would push
+    // Σx·Σy past 2^63. The one division per output runs on exactly-
+    // representable integers, so round() is engine-identical.
+    val ranked = freq.orderBy(col("cnt").desc, col("term")).limit(1000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .select(
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("x"),
+        expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT)")
+          .as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n"),
+        expr("""CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+          | / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+          |""".stripMargin.replace("\n", " ")).as("slope_micro"),
+        expr("""CAST(round((CAST(sy AS DOUBLE)
+          | - CAST(n * sxy - sx * sy AS DOUBLE)
+          |   / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          | / CAST(n AS DOUBLE) * 1000) AS BIGINT)
+          |""".stripMargin.replace("\n", " ")).as("intercept_micro"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q200_zipf_fit" -> zipfFit,
+    "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
     "q188_cross_lingual" -> crossLingual,
     "q185_perplexity_buckets" -> perplexityBuckets,
@@ -987,6 +1071,53 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q199_containment" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\s+'),
+         |    x -> len(x) > 0) AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sc AS (SELECT
+         |    CASE WHEN s1.n_sh <= s2.n_sh THEN d1 ELSE d2 END AS contained,
+         |    CASE WHEN s1.n_sh <= s2.n_sh THEN d2 ELSE d1 END AS container,
+         |    common,
+         |    common * 1000000 // least(s1.n_sh, s2.n_sh) AS containment_ppm
+         |  FROM inter JOIN sz s1 ON d1 = s1.doc_id
+         |             JOIN sz s2 ON d2 = s2.doc_id)
+         |SELECT contained, container, common, containment_ppm
+         |FROM sc WHERE containment_ppm >= 800000
+         |ORDER BY contained, container""".stripMargin,
+    "q200_zipf_fit" ->
+      raw"""WITH tk AS (SELECT
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         |top AS (SELECT cnt, row_number()
+         |    OVER (ORDER BY cnt DESC, term) AS rank
+         |  FROM freq ORDER BY cnt DESC, term LIMIT 1000),
+         |pts AS (SELECT
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS y
+         |  FROM top),
+         |sums AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
+         |SELECT n,
+         |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+         |    AS slope_micro,
+         |  CAST(round((CAST(sy AS DOUBLE)
+         |    - CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS intercept_micro
+         |FROM sums""".stripMargin,
     "q192_retrieval_metrics" ->
       raw"""WITH tk AS (SELECT doc_id,
          |  unnest(list_filter(string_split_regex(text, '\s+'),

@@ -488,6 +488,32 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("de", "en", 1L)), got.mkString(","))
   }
 
+  test("q199 containment: a fully-quoted short doc scores 1e6 against its container; single-shingle collisions are cut") {
+    import spark.implicits._
+    val a = (1 to 9).map(i => s"w$i").mkString(" ")             // 2 shingles
+    val b = a + " " + (1 to 11).map(i => s"u$i").mkString(" ")  // contains both
+    val c = (1 to 8).map(i => s"w$i").mkString(" ") + " z1"     // shares ONE
+    val dir = java.nio.file.Files.createTempDirectory("graftcont").toString
+    Seq((0L, a, "en", "s", 9), (1L, b, "en", "s", 20), (2L, c, "en", "s", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q199_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2 shares only one shingle with 0 and with 1 → noise-cut; the
+    // A-in-B quote survives with containment exactly 1e6
+    assert(got.toList === List((0L, 1L, 2L, 1000000L)), got.mkString(","))
+  }
+
+  test("q200 Zipf fit: the fixture's frequency curve has a negative slope and a positive intercept") {
+    val r = q("q200_zipf_fit").head()
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).select("t").distinct().count()
+    assert(r.getAs[Long]("n") === math.min(1000L, vocab), r.toString)
+    assert(r.getAs[Long]("slope_micro") < 0L, r.toString)
+    assert(r.getAs[Long]("intercept_micro") > 0L, r.toString)
+  }
+
   test("q198 survivorship: clusters partition the corpus and every golden doc wins its cluster's rules") {
     val rows = q("q198_survivorship").collect()
       .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
