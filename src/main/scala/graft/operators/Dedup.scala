@@ -212,6 +212,72 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q204 — LSH RECALL/PRECISION audit: the measured consequence of the
+    * B×R banding knob. The banding bound (recall = 1−(1−s^R)^B) is a
+    * per-pair probability over the hash family; what a deployment needs
+    * is the REALIZED recall on its corpus — ground truth from a LOSSLESS
+    * pass: prefix filtering (q120's PPJoin discipline) at the SAME
+    * threshold (Jaccard ≥ 0.9) over the same hashed token sets — rarity
+    * order by corpus frequency, prefix length n − ⌈0.9n⌉ + 1 with
+    * ⌈0.9n⌉ = (9n+9) div 10, length filter 10·n₂ ≥ 9·n₁ ∧ 10·n₁ ≥ 9·n₂
+    * riding the join, verify 19·|∩| ≥ 9·(|A|+|B|) ⟺ J ≥ 9/10 — every
+    * comparison integer-exact, so the truth set is identical in both
+    * engines. Found = truth ∩ LSH candidates (a pair semi-join — the
+    * audit never trusts the double-valued verify to define the
+    * intersection). Output one row: pair counts, misses, recall and
+    * precision in ppm. At 100 TB the audit runs on a stratified corpus
+    * sample — but both legs (banding and prefix filter) are the same
+    * blocked equi-join shapes that scale; nothing here is all-pairs.
+    */
+  val lshRecall: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokenSets(s, d)
+    val th = hashedSets(t)
+    val sigs = bandSigs(s, t)
+    val cand = sigs.alias("a")
+      .join(sigs.alias("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val toksL = th.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = toksL.groupBy("h").agg(count(lit(1)).as("f"))
+    val wN = Window.partitionBy("doc_id")
+    val wRk = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
+    val prefix = toksL.join(freq, "h")
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= col("n") - expr("(9 * n + 9) div 10") + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val pcand = prefix.select(col("doc_id").as("d1"), col("h"), col("n").as("n1"))
+      .join(prefix.select(col("doc_id").as("d2"), col("h"), col("n").as("n2"))
+          .hint("shuffle_hash"), Seq("h"))
+      .filter(col("d1") < col("d2") &&
+        col("n2") * 10 >= col("n1") * 9 && col("n1") * 10 >= col("n2") * 9)
+      .select("d1", "d2").distinct()
+    val x = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val y = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    val isect = graft.functions.Vectors
+      .sortedIntersectSize(col("hs1"), col("hs2"))
+    val exact = pcand
+      .join(x.hint("shuffle_hash"), "d1")
+      .join(y.hint("shuffle_hash"), "d2")
+      .filter(isect * 19 >= (size(col("hs1")) + size(col("hs2"))) * 9)
+      .select("d1", "d2")
+    val found = exact.join(cand, Seq("d1", "d2"), "left_semi")
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nC = cand.agg(count(lit(1)).as("n_candidates"))
+    val nF = found.agg(count(lit(1)).as("n_found"))
+    nE.crossJoin(nC).crossJoin(nF)
+      .select(col("n_exact"), col("n_candidates"), col("n_found"),
+        (col("n_exact") - col("n_found")).as("n_missed"),
+        expr("""CASE WHEN n_exact = 0 THEN 1000000
+                ELSE n_found * 1000000 div n_exact END""").as("recall_ppm"),
+        expr("""CASE WHEN n_candidates = 0 THEN 1000000
+                ELSE n_found * 1000000 div n_candidates END""")
+          .as("precision_ppm"))
+  }
+
   /** q59 — transitive near-dup CLUSTERS: connected components over the
     * verified pair graph, the production dedup decision (a "keep exactly
     * one document per duplicate cluster" pass needs the TRANSITIVE closure:
@@ -627,6 +693,7 @@ object Dedup extends QueryModule {
     "q198_survivorship" -> survivorship,
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
+    "q204_lsh_recall" -> lshRecall,
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
     "q114_delta_neardup" -> deltaNearDup,
@@ -754,6 +821,42 @@ object Dedup extends QueryModule {
          |  least(d.doc_id, COALESCE(deg.min_nb, d.doc_id)) AS canon_id
          |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // same band-join candidates + a DuckDB mirror of the lossless prefix
+    // filter at Jaccard >= 0.9; the intersection semi-join defines "found"
+    "q204_lsh_recall" ->
+      s"""WITH $sigCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM e a JOIN e b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tl AS (SELECT doc_id, unnest(hs) AS h FROM th),
+         |f AS (SELECT h, count(*) AS f FROM tl GROUP BY h),
+         |r AS (SELECT tl.doc_id, tl.h,
+         |    count(*) OVER (PARTITION BY tl.doc_id) AS n,
+         |    row_number() OVER (PARTITION BY tl.doc_id ORDER BY f.f, tl.h)
+         |      AS rk
+         |  FROM tl JOIN f USING (h)),
+         |p AS (SELECT doc_id, h, n FROM r
+         |  WHERE rk <= n - (9 * n + 9) // 10 + 1),
+         |pc AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+         |   AND 10 * b.n >= 9 * a.n AND 10 * a.n >= 9 * b.n),
+         |ex AS (SELECT d1, d2 FROM pc
+         |  JOIN th x ON x.doc_id = d1 JOIN th y ON y.doc_id = d2
+         |  WHERE 19 * len(list_intersect(x.hs, y.hs))
+         |    >= 9 * (len(x.hs) + len(y.hs))),
+         |fnd AS (SELECT d1, d2 FROM ex WHERE EXISTS
+         |  (SELECT 1 FROM cand c WHERE c.d1 = ex.d1 AND c.d2 = ex.d2)),
+         |tot AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM fnd) AS n_found)
+         |SELECT n_exact, n_candidates, n_found,
+         |  n_exact - n_found AS n_missed,
+         |  CAST(CASE WHEN n_exact = 0 THEN 1000000
+         |    ELSE n_found * 1000000 // n_exact END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_candidates = 0 THEN 1000000
+         |    ELSE n_found * 1000000 // n_candidates END AS BIGINT)
+         |    AS precision_ppm
+         |FROM tot""".stripMargin,
     "q113_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk

@@ -246,36 +246,53 @@ object Graph extends QueryModule {
     * round (q59's lineage discipline) so round r+1 scans a parquet leaf,
     * not a 3-round lineage tree.
     */
+  /** q155/q202 shared artifacts — (both-direction edge list, round-3 label
+    * table) — staged ONCE per input dir per JVM (Dedup.stagedPairs'
+    * contract): community detection and its quality audit read the SAME
+    * staged labels, exactly as a production graph pipeline wires detection
+    * and evaluation, and the 3-round loop runs once per session instead of
+    * once per consumer.
+    */
+  private val lpaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def lpaArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    lpaCache.computeIfAbsent(d, _ => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e2 = items.alias("a").join(items.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+        .select("u", "v")
+      val tmpE = graft.Scratch.dir("graft_lpa_edges")
+      e2.select("u", "v")
+        .union(e2.select(col("v").as("u"), col("u").as("v")))
+        .write.mode("overwrite").parquet(tmpE)
+      val ed = s.read.parquet(tmpE) // both directions: undirected adjacency
+      var labelsDir = graft.Scratch.dir("graft_lpa_l0")
+      ed.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .write.mode("overwrite").parquet(labelsDir)
+      for (r <- 1 to lpaRounds) {
+        val labels = s.read.parquet(labelsDir)
+        val next = ed
+          .join(labels.select(col("node").as("v"), col("lbl")), "v")
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(expr("""1000000000000 - (max(cnt * 1000000000000
+                 + (1000000000000 - lbl)) % 1000000000000)""").as("lbl"))
+        val nextDir = graft.Scratch.dir(s"graft_lpa_l$r")
+        next.write.mode("overwrite").parquet(nextDir)
+        labelsDir = nextDir
+      }
+      (tmpE, labelsDir)
+    })
+
   val labelPropagation: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e2 = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
-    val tmpE = graft.Scratch.dir("graft_lpa_edges")
-    e2.select("u", "v")
-      .union(e2.select(col("v").as("u"), col("u").as("v")))
-      .write.mode("overwrite").parquet(tmpE)
-    val ed = s.read.parquet(tmpE) // both directions: undirected adjacency
-    var labelsDir = graft.Scratch.dir("graft_lpa_l0")
-    ed.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .write.mode("overwrite").parquet(labelsDir)
-    for (r <- 1 to lpaRounds) {
-      val labels = s.read.parquet(labelsDir)
-      val next = ed
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
-        .groupBy(col("u").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        .agg(expr("""1000000000000 - (max(cnt * 1000000000000
-               + (1000000000000 - lbl)) % 1000000000000)""").as("lbl"))
-      val nextDir = graft.Scratch.dir(s"graft_lpa_l$r")
-      next.write.mode("overwrite").parquet(nextDir)
-      labelsDir = nextDir
-    }
+    val (_, labelsDir) = lpaArtifacts(s, d)
     s.read.parquet(labelsDir)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
@@ -283,6 +300,60 @@ object Graph extends QueryModule {
         sum(col("node")).as("member_checksum"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(50)
+  }
+
+  /** q202 — MODULARITY of the q155 communities: the quality number a
+    * community-detection pass is judged by — Q = Σ_c [m_c/m −
+    * (d_c/2m)²], the intra-community edge share minus what a random
+    * degree-preserving rewiring would put there. Computed EXACTLY in
+    * integers: with m2 = 2m (the both-direction edge count) and intra2_c
+    * (both-direction intra-community edges), each community's term
+    * scales to m2·intra2_c − d_c², so Q = q_num/q_den with
+    * q_num = m2·Σintra2_c − Σd_c² and q_den = m2² — no halving, no
+    * floats; the one division happens once, sign-safely (|num| is
+    * divided, the sign re-applied — Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and modularity CAN be negative).
+    * Products ride in DECIMAL(38) (d_c² ≤ 4m², ×10⁶ overflows BIGINT on
+    * a big graph). Scale shape: one degree aggregate, one label join per
+    * edge endpoint (node-keyed equi-joins on the staged label table),
+    * one per-community aggregate, then everything runs on the
+    * communities-sized frame. Output one row: node/edge/community
+    * counts, the exact rational (q_num, q_den), and modularity in ppm.
+    */
+  val modularity: Q = (s, d) => {
+    val (edgesDir, labelsDir) = lpaArtifacts(s, d)
+    val ed = s.read.parquet(edgesDir)
+    val labels = s.read.parquet(labelsDir)
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
+    val dcTab = labels.join(deg, labels("node") === deg("u"))
+      .groupBy("lbl").agg(sum("dg").as("dc"), count(lit(1)).as("n_nodes"))
+    val intra = ed
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("intra2"))
+    dcTab.join(intra, Seq("lbl"), "left")
+      .select(col("lbl"), col("dc"), col("n_nodes"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"))
+      .agg(sum("n_nodes").as("n_nodes"),
+        count(lit(1)).as("n_communities"),
+        sum("dc").as("m2"),
+        sum("intra2").as("sum_intra2"),
+        sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sum_dc2"))
+      .select(col("n_nodes"), col("n_communities"),
+        expr("m2 div 2").as("m_edges"),
+        // BIGINT export is exact while m2 ≤ ~3·10⁹ both-direction edges
+        // (q_den = m2² < 2⁶³); a larger graph keeps the DECIMAL(38)
+        // internals and exports the ppm alone
+        expr("CAST(CAST(m2 AS DECIMAL(38,0)) * sum_intra2 - sum_dc2 AS BIGINT)")
+          .as("q_num"),
+        expr("CAST(CAST(m2 AS DECIMAL(38,0)) * m2 AS BIGINT)").as("q_den"),
+        expr("""CAST(CASE WHEN CAST(m2 AS DECIMAL(38,0)) * sum_intra2 >= sum_dc2
+                THEN (CAST(m2 AS DECIMAL(38,0)) * sum_intra2 - sum_dc2) * 1000000
+                     div (CAST(m2 AS DECIMAL(38,0)) * m2)
+                ELSE -((sum_dc2 - CAST(m2 AS DECIMAL(38,0)) * sum_intra2) * 1000000
+                     div (CAST(m2 AS DECIMAL(38,0)) * m2)) END AS BIGINT)""")
+          .as("modularity_ppm"))
   }
 
   /** Per-hop neighbor-sample cap (q159). */
@@ -474,6 +545,7 @@ object Graph extends QueryModule {
     "q138_triangle_count" -> triangleCount,
     "q148_kcore_peel" -> kcorePeel,
     "q155_label_propagation" -> labelPropagation,
+    "q202_modularity" -> modularity,
     "q159_gnn_sample" -> gnnSample,
     "q167_bfs_hops" -> bfsHops,
     "q177_link_predict" -> linkPredict)
@@ -588,6 +660,54 @@ object Graph extends QueryModule {
          |  CAST(sum(node) AS BIGINT) AS member_checksum
          |FROM l$lpaRounds GROUP BY 1
          |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+    },
+    // the identical 3 unrolled LPA rounds feeding the exact integer
+    // modularity rational — abs-value division keeps Spark's truncating
+    // div and DuckDB's flooring // in agreement on a negative numerator
+    "q202_modularity" -> {
+      val rounds = (1 to lpaRounds).map { r =>
+        s"""nb$r AS (SELECT ed.u AS node, l.lbl AS lbl, count(*) AS cnt
+           |  FROM ed JOIN l${r - 1} l ON ed.v = l.node GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT node,
+           |    1000000000000 - (max(cnt * 1000000000000
+           |      + (1000000000000 - lbl)) % 1000000000000) AS lbl
+           |  FROM nb$r GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed),
+         |$rounds,
+         |deg AS (SELECT u, count(*) AS dg FROM ed GROUP BY 1),
+         |dc AS (SELECT l.lbl, sum(deg.dg) AS dc, count(*) AS n_nodes
+         |  FROM l$lpaRounds l JOIN deg ON l.node = deg.u GROUP BY 1),
+         |intra AS (SELECT lu.lbl AS lbl, count(*) AS intra2
+         |  FROM ed JOIN l$lpaRounds lu ON ed.u = lu.node
+         |  JOIN l$lpaRounds lv ON ed.v = lv.node
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+         |comm AS (SELECT dc.lbl, dc.dc, dc.n_nodes,
+         |    COALESCE(intra.intra2, 0) AS intra2
+         |  FROM dc LEFT JOIN intra ON dc.lbl = intra.lbl),
+         |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+         |    count(*) AS n_communities,
+         |    CAST(sum(dc) AS HUGEINT) AS m2,
+         |    CAST(sum(intra2) AS HUGEINT) AS sum_intra2,
+         |    CAST(sum(CAST(dc AS HUGEINT) * dc) AS HUGEINT) AS sum_dc2
+         |  FROM comm)
+         |SELECT n_nodes, n_communities,
+         |  CAST(m2 // 2 AS BIGINT) AS m_edges,
+         |  CAST(m2 * sum_intra2 - sum_dc2 AS BIGINT) AS q_num,
+         |  CAST(m2 * m2 AS BIGINT) AS q_den,
+         |  CAST(CASE WHEN m2 * sum_intra2 >= sum_dc2
+         |    THEN (m2 * sum_intra2 - sum_dc2) * 1000000 // (m2 * m2)
+         |    ELSE -((sum_dc2 - m2 * sum_intra2) * 1000000 // (m2 * m2))
+         |    END AS BIGINT) AS modularity_ppm
+         |FROM tot""".stripMargin
     },
     // the same 12 synchronous peel rounds, unrolled as generated CTEs —
     // identical recursion depth by construction, so the trajectory must

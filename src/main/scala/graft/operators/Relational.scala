@@ -413,6 +413,57 @@ object Relational extends QueryModule {
       .orderBy("day")
   }
 
+  /** q201 — LINEAR interpolation resampling: the missing-day completion of
+    * q76's forward fill. Forward fill repeats the last observation — right
+    * for state-like series (a price that holds until requoted); linear
+    * interpolation reconstructs a flow-like series (daily revenue) whose
+    * gaps mean "unobserved", the resampling a feature pipeline applies
+    * before windowed models. Same spine join as q76 (broadcast — bounded
+    * by the time range, not the data volume), then ONE window pass
+    * carrying the bracketing observations both ways: last(ignoreNulls)
+    * over the preceding frame gives (prev_day, prev_cents),
+    * first(ignoreNulls) over the following frame gives (next_day,
+    * next_cents), and the interior estimate is the convex combination
+    *   (prev·(span−off) + next·off) div span
+    * held entirely in non-negative BIGINT cents — truncating `div` on
+    * non-negative operands is identical in Spark and DuckDB, where a
+    * signed delta formulation (prev + delta·off div span) would hit their
+    * truncate-vs-floor disagreement. Observed days pass through verbatim;
+    * days outside the observed bracket stay null (interpolation never
+    * extrapolates). The unpartitioned window runs over the daily SPINE —
+    * wall-clock-bounded — never the events (q76's discipline).
+    */
+  val linearInterp: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(dec2(col("value"))) * 100).cast("long").as("cents"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy("day")
+    val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("prev_day",
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(before))
+      .withColumn("prev_v",
+        last(col("cents"), ignoreNulls = true).over(before))
+      .withColumn("next_day",
+        first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(after))
+      .withColumn("next_v",
+        first(col("cents"), ignoreNulls = true).over(after))
+      .select(col("day"), col("cents"),
+        expr("""CASE WHEN cents IS NOT NULL THEN cents
+                WHEN prev_v IS NULL OR next_v IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE (prev_v * (datediff(next_day, prev_day)
+                        - datediff(day, prev_day))
+                      + next_v * datediff(day, prev_day))
+                     div datediff(next_day, prev_day) END""").as("interp_cents"),
+        col("cents").isNotNull.as("observed"))
+      .orderBy("day")
+  }
+
   /** q77 — equal-width histogram of order totals: 10 buckets between the
     * global min/max, one aggregation after a broadcast of the two-value
     * bounds row; empty buckets materialize as zeros via the same spine
@@ -588,6 +639,7 @@ object Relational extends QueryModule {
     "q161_grouping_sets" -> groupingSetsOrders,
     "q64_window_pack" -> windowPack,
     "q76_gap_fill" -> gapFill,
+    "q201_linear_interp" -> linearInterp,
     "q77_histogram" -> histogram,
     "q78_trailing_7d" -> trailing7d,
     "q56_setops" -> setOps,
@@ -707,6 +759,36 @@ object Relational extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue
         |FROM spine s LEFT JOIN daily d USING (day)
         |ORDER BY day""".stripMargin,
+    "q201_linear_interp" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(
+        |  (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |  INTERVAL 1 DAY))::DATE AS day),
+        |g AS (SELECT s.day, d.cents,
+        |  last_value(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+        |    OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS prev_day,
+        |  last_value(d.cents IGNORE NULLS)
+        |    OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS prev_v,
+        |  first_value(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS)
+        |    OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_day,
+        |  first_value(d.cents IGNORE NULLS)
+        |    OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_v
+        |  FROM spine s LEFT JOIN daily d USING (day))
+        |SELECT day, cents,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |    WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+        |    ELSE (prev_v * (datediff('day', prev_day, next_day)
+        |            - datediff('day', prev_day, day))
+        |          + next_v * datediff('day', prev_day, day))
+        |         // datediff('day', prev_day, next_day) END AS interp_cents,
+        |  (cents IS NOT NULL) AS observed
+        |FROM g ORDER BY day""".stripMargin,
     "q77_histogram" ->
       """WITH o AS (SELECT o_totalprice AS p FROM orders),
         |b AS (SELECT min(p) AS lo, max(p) AS hi FROM o),

@@ -907,6 +907,51 @@ object Stats extends QueryModule {
                  END AS BIGINT)""").as("auc_micro"))
   }
 
+  /** q203 — CALIBRATION audit + BRIER score: the third leg of the eval
+    * stool after q173's threshold sweep and q174's ranking AUC — a model
+    * can rank perfectly and still be miscalibrated, and a filter that
+    * thresholds on "probability ≥ p" needs the probabilities to MEAN
+    * something. Predictions are the view-count score normalized to ppm
+    * (score·10⁶ div max_score — the same per-user aggregate as
+    * q173/q174), bucketed into 10 equal-width reliability bins; each bin
+    * reports mean predicted ppm vs observed positive rate ppm and their
+    * signed gap (subtraction, not division — exact on negatives), and
+    * every row carries the global Brier score in micro units:
+    * Σ(pred_ppm − label·10⁶)² div (n·10⁶) — per-term squares ≤ 10¹²
+    * summed in DECIMAL(38), one truncating division on non-negative
+    * operands at the end. Scale shape: one per-user aggregate (map-side
+    * combining), a broadcast 1-row max, then everything runs on
+    * user-count-reduced frames; output is 10 rows regardless of volume.
+    */
+  val calibration: Q = (s, d) => {
+    val perUser = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("label"))
+    val mx = perUser.agg(max("score").as("mx"))
+    val pred = perUser.crossJoin(broadcast(mx))
+      .select(expr("score * 1000000 div mx").as("pred_ppm"), col("label"))
+    val bins = pred
+      .select(expr("least(pred_ppm div 100000, 9)").as("bucket"),
+        col("pred_ppm"), col("label"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n"),
+        expr("sum(pred_ppm) div count(1)").as("mean_pred_ppm"),
+        expr("sum(label) * 1000000 div count(1)").as("frac_pos_ppm"))
+    val brier = pred.agg(
+      expr("""CAST(sum(CAST(pred_ppm - label * 1000000 AS DECIMAL(38,0))
+                  * (pred_ppm - label * 1000000))
+              div (CAST(count(1) AS DECIMAL(38,0)) * 1000000) AS BIGINT)""")
+        .as("brier_micro"))
+    bins.crossJoin(broadcast(brier))
+      .select(col("bucket"), col("n"), col("mean_pred_ppm"),
+        col("frac_pos_ppm"),
+        (col("mean_pred_ppm") - col("frac_pos_ppm")).as("gap_ppm"),
+        col("brier_micro"))
+      .orderBy("bucket")
+  }
+
   /** q179 — POPULATION STABILITY INDEX drift audit: bin order totals into
     * 10 fixed-width buckets over the global [min, max] span, split the
     * order stream at the midpoint of its date range (base = first half,
@@ -1181,6 +1226,7 @@ object Stats extends QueryModule {
     "q179_psi_drift" -> psiDrift,
     "q173_roc_sweep" -> rocSweep,
     "q174_auc_exact" -> aucExact,
+    "q203_calibration" -> calibration,
     "q169_ab_chisq" -> abChisq,
     "q160_equidepth_hist" -> equiDepthHist,
     "q156_hll_set_algebra" -> hllSetAlgebra,
@@ -1357,6 +1403,32 @@ object Stats extends QueryModule {
         |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS prec_ppm,
         |  CAST(tp * 1000000 // np AS BIGINT) AS rec_ppm
         |FROM cu ORDER BY thresh""".stripMargin,
+    "q203_calibration" ->
+      """WITH us AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY 1),
+        |pred AS (SELECT
+        |    score * 1000000 // (SELECT max(score) FROM us) AS pred_ppm,
+        |    label
+        |  FROM us),
+        |bins AS (SELECT least(pred_ppm // 100000, 9) AS bucket,
+        |    count(*) AS n,
+        |    sum(pred_ppm) // count(*) AS mean_pred_ppm,
+        |    sum(label) * 1000000 // count(*) AS frac_pos_ppm
+        |  FROM pred GROUP BY 1),
+        |brier AS (SELECT CAST(
+        |    sum(CAST(pred_ppm - label * 1000000 AS HUGEINT)
+        |        * (pred_ppm - label * 1000000))
+        |    // (CAST(count(*) AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS brier_micro FROM pred)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n,
+        |  CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
+        |  CAST(frac_pos_ppm AS BIGINT) AS frac_pos_ppm,
+        |  CAST(mean_pred_ppm - frac_pos_ppm AS BIGINT) AS gap_ppm,
+        |  brier_micro
+        |FROM bins, brier ORDER BY bucket""".stripMargin,
     "q174_auc_exact" ->
       """WITH us AS (SELECT user_id,
         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,

@@ -818,4 +818,48 @@ class AnalyticsSpec extends SparkSpec {
       ("purchase", "view") -> 2L,
       ("view", "view") -> 4L), got.toString)
   }
+
+  test("q201 linear interp: interior gaps take the exact convex combination; observed days pass through") {
+    import spark.implicits._
+    // purchases 3.00 on day 0 and 9.00 on day 3 → cents 300/900; days 1-2
+    // interpolate to (300·2+900·1)/3 = 500 and (300·1+900·2)/3 = 700; a
+    // view mid-gap must not count as an observation
+    val dayNs = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0L * dayNs + 1, 7L, "purchase", 3.0, "{}"),
+      (2L, 3L * dayNs + 1, 7L, "purchase", 9.0, "{}"),
+      (3L, 1L * dayNs + 1, 7L, "view", 555.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftinterp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q201_linear_interp")(spark, dir).collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("interp_cents"), r.getAs[Boolean]("observed")))
+    assert(got.toList === List(
+      (Some(300L), 300L, true),
+      (None, 500L, false),
+      (None, 700L, false),
+      (Some(900L), 900L, true)), got.toList.toString)
+  }
+
+  test("q203 calibration: planted score spread gives hand-computed bins, gaps, and Brier") {
+    import spark.implicits._
+    // u1: 10 views + purchase (pred 1e6, label 1); u2: 5 views (5e5, 0);
+    // u3: 1 view (1e5, 0). Brier = (0 + 25e10 + 1e10)/(3·1e6) = 86666
+    def views(uid: Long, k: Int, base: Long) = (0 until k).map(i =>
+      (base + i, (base + i) * 1000000000L, uid, "view", 0.0, "{}"))
+    val rows = views(1L, 10, 100) ++ views(2L, 5, 200) ++ views(3L, 1, 300) ++
+      Seq((400L, 400L * 1000000000L, 1L, "purchase", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftcalib").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q203_calibration")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Long]("mean_pred_ppm"), r.getAs[Long]("frac_pos_ppm"),
+        r.getAs[Long]("gap_ppm"), r.getAs[Long]("brier_micro")))
+    assert(got.toList === List(
+      (1L, 1L, 100000L, 0L, 100000L, 86666L),
+      (5L, 1L, 500000L, 0L, 500000L, 86666L),
+      (9L, 1L, 1000000L, 1000000L, 0L, 86666L)), got.toList.toString)
+  }
 }

@@ -345,6 +345,27 @@ class PropertySpec extends SparkSpec {
     assert(got.toSet === Set((1L, 3L, 1L, 6L), (10L, 3L, 10L, 33L)))
   }
 
+  test("q202 modularity: bridged triangles give the hand-computed exact rational") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge (3,10), every
+    // edge realized twice for the m >= 2 cut. LPA(3) converges to
+    // communities {1,2,3} and {10,11,12} (hand-simulated; the bridge's
+    // one vote never outnumbers the triangle's two). m=7, m2=14,
+    // d_A=d_B=7, intra2=6+6 → q_num = 14·12 − 98 = 70, q_den = 196,
+    // ppm = 70e6 div 196 = 357142.
+    val edgesList = List((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftmod").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q202_modularity")(spark, dir).head()
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_communities"),
+      r.getAs[Long]("m_edges"), r.getAs[Long]("q_num"),
+      r.getAs[Long]("q_den"), r.getAs[Long]("modularity_ppm"))
+      === ((6L, 2L, 7L, 70L, 196L, 357142L)), r.toString)
+  }
+
   test("q167 BFS: chain walks one hop per round, disconnected pair lands in the unreached bucket") {
     // graph: chain 50-1-2-3 (50 is the only mod-50 seed) plus a
     // disconnected pair 7-8; every edge realized twice for the m >= 2

@@ -473,6 +473,32 @@ class TextDedupSpec extends SparkSpec {
       (2L, 1L, 1L, 1000000L), (3L, 0L, 0L, 0L)), got.mkString(","))
   }
 
+  test("q204 LSH recall audit: the exact truth set is lossless; identical docs are always found") {
+    import spark.implicits._
+    // docs 1/2: identical 12-token sets → J = 1, an exact pair whose
+    // minhashes agree in EVERY band (LSH can never miss it); docs 3/4:
+    // 19 shared + 1 unique token each → J = 19/21 ≥ 0.9, caught by the
+    // lossless prefix filter whatever the banding draws; doc 5 disjoint.
+    val twelve = (1 to 12).map(i => s"a$i").mkString(" ")
+    val base = (1 to 19).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, twelve, "en", "s", 1),
+      (2L, twelve, "en", "s", 1),
+      (3L, s"$base x1", "en", "s", 1),
+      (4L, s"$base y1", "en", "s", 1),
+      (5L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "s", 1))
+    val dir = java.nio.file.Files.createTempDirectory("graftrecall").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q204_lsh_recall")(spark, dir).head()
+    val (nE, nC, nF) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_found"))
+    assert(nE === 2L, s"exact truth must hold {1-2, 3-4}: $r")
+    assert(nF >= 1L && nF <= nE && nF <= nC, r.toString)
+    assert(r.getAs[Long]("n_missed") === nE - nF, r.toString)
+    assert(r.getAs[Long]("recall_ppm") === nF * 1000000L / nE, r.toString)
+  }
+
   test("q188 cross-lingual contamination: a shared 8-gram bridges exactly its two language partitions") {
     import spark.implicits._
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
