@@ -122,25 +122,64 @@ object Dedup extends QueryModule {
     * candidates, then exact-Jaccard verification. Shared by the per-document
     * verdict (q37) and the transitive clustering (q59).
     */
+  /** The UNVERIFIED band-join candidate list, staged once per input dir
+    * per JVM (the [[stagedPairs]] contract): the minhash projection +
+    * band bucket-join is the pipeline's most expensive stage, and TWO
+    * consumers need its output — the verify join ([[verifiedPairs]], ⊂
+    * q37/q59/q123) and the recall audit (q204, which must see the
+    * candidates BEFORE verification). Staging the pair ids (two longs a
+    * row) costs a fraction of recomputing 18 md5 minhashes per document.
+    */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedCands(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val path = candCache.computeIfAbsent(d, _ => {
+      val sigs = bandSigs(s, tokenSets(s, d))
+      // bucket-join: equi-join on (band, signature); a pair colliding in
+      // several bands appears once thanks to the distinct. The shuffle_hash
+      // hint pins the plan that holds at 100 TB: BOTH band-sig sides are
+      // corpus-sized, so broadcast is impossible at scale — and at fixture
+      // scale AQE's broadcast would fuse scan→minhash→join→verify into ONE
+      // task (the single-row-group file gives one input split), leaving the
+      // expensive candidate stage single-threaded (measured 6.3s of an 11s
+      // total in one task). The exchange on (band, sig) is the partition
+      // strategy the Scaladoc promises AND what fans the work out.
+      val cand = sigs.alias("a")
+        .join(sigs.alias("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val tmp = graft.Scratch.dir("graft_mh_cands")
+      cand.write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(path)
+  }
+
+  /** [[hashedSets]] staged once per input dir per JVM: an unstaged plan
+    * that references the hashed-set table k times re-tokenizes and
+    * re-hashes the corpus k times (Catalyst reuses exchanges, not
+    * arbitrary subtrees under differing projections — the q37 lesson).
+    * The verify join reads it twice (both pair sides) and the recall
+    * audit three times (token explode + both sides).
+    */
+  private val hsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedHashedSets(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val path = hsCache.computeIfAbsent(d, _ => {
+      val tmp = graft.Scratch.dir("graft_mh_hs")
+      hashedSets(tokenSets(s, d)).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(path)
+  }
+
   private[graft] def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val t = tokenSets(s, d)
-    val th = hashedSets(t)
-    val sigs = bandSigs(s, t)
-    // bucket-join: equi-join on (band, signature); a pair colliding in
-    // several bands appears once thanks to the distinct. The shuffle_hash
-    // hint pins the plan that holds at 100 TB: BOTH band-sig sides are
-    // corpus-sized, so broadcast is impossible at scale — and at fixture
-    // scale AQE's broadcast would fuse scan→minhash→join→verify into ONE
-    // task (the single-row-group file gives one input split), leaving the
-    // expensive candidate stage single-threaded (measured 6.3s of an 11s
-    // total in one task). The exchange on (band, sig) is the partition
-    // strategy the Scaladoc promises AND what fans the work out.
-    val cand = sigs.alias("a")
-      .join(sigs.alias("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    val th = stagedHashedSets(s, d)
+    val cand = stagedCands(s, d)
     // exact-Jaccard verification over the hashed token sets, joined back
     // by id via SHUFFLED HASH joins (hinted): the hash-set table is
     // corpus-sized (broadcast is impossible at 100 TB), and the default
@@ -231,21 +270,15 @@ object Dedup extends QueryModule {
     */
   val lshRecall: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val t = tokenSets(s, d)
-    val th = hashedSets(t)
-    val sigs = bandSigs(s, t)
-    val cand = sigs.alias("a")
-      .join(sigs.alias("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val toksL = th.select(col("doc_id"), explode(col("hs")).as("h"))
+    val th = stagedHashedSets(s, d)
+    val cand = stagedCands(s, d)
+    // n rides along from the array length — no count window; the one
+    // remaining window (rarity rank) shares the doc_id exchange
+    val toksL = th.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
     val freq = toksL.groupBy("h").agg(count(lit(1)).as("f"))
-    val wN = Window.partitionBy("doc_id")
     val wRk = Window.partitionBy("doc_id").orderBy(col("f"), col("h"))
     val prefix = toksL.join(freq, "h")
-      .withColumn("n", count(lit(1)).over(wN))
       .withColumn("rk", row_number().over(wRk))
       .filter(col("rk") <= col("n") - expr("(9 * n + 9) div 10") + 1)
       .select(col("doc_id"), col("h"), col("n"))
@@ -264,11 +297,16 @@ object Dedup extends QueryModule {
       .join(y.hint("shuffle_hash"), "d2")
       .filter(isect * 19 >= (size(col("hs1")) + size(col("hs2"))) * 9)
       .select("d1", "d2")
-    val found = exact.join(cand, Seq("d1", "d2"), "left_semi")
-    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    // one execution of the exact pipeline: the LSH-membership marker rides
+    // a left join, so n_exact and n_found fall out of a single aggregate
+    // (a separate count + semi-join pair would run the prefix join twice —
+    // Catalyst reuses exchanges, not twice-referenced subtrees)
+    val nEF = exact
+      .join(cand.withColumn("in_lsh", lit(1)), Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("in_lsh"), lit(0L)).cast("long").as("n_found"))
     val nC = cand.agg(count(lit(1)).as("n_candidates"))
-    val nF = found.agg(count(lit(1)).as("n_found"))
-    nE.crossJoin(nC).crossJoin(nF)
+    nEF.crossJoin(nC)
       .select(col("n_exact"), col("n_candidates"), col("n_found"),
         (col("n_exact") - col("n_found")).as("n_missed"),
         expr("""CASE WHEN n_exact = 0 THEN 1000000
