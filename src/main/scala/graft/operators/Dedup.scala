@@ -727,8 +727,54 @@ object Dedup extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** Fold count for the q208 grouped cross-validation assignment. */
+  private val kFolds = 5
+
+  /** q208 — GROUP K-FOLD assignment: cross-validation folds that respect
+    * the near-dup cluster boundary — the GroupKFold discipline, with the
+    * group = q59's transitive dup cluster. A random per-document fold
+    * split leaks: near-duplicate pairs straddle train and eval and the
+    * validation score inflates (the same failure q123's train/test split
+    * guards against, now for CV). Whole CLUSTERS are assigned to folds,
+    * balanced by size: clusters rank globally by (size desc, label) —
+    * q172's two-phase ranking, offsets from the size-domain-bounded count
+    * table plus a within-size partitioned row_number — and snake-pack
+    * into 5 folds, so the largest clusters spread before the singleton
+    * mass equalizes the counts. Runs entirely on the session-staged label
+    * table (cluster-bounded frames); by construction zero verified pairs
+    * cross folds. Output one row per fold: cluster/doc counts + id
+    * checksum.
+    */
+  val groupKfold: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    val offs = sizes.groupBy("csize").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy(col("csize").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("csize", "off")
+    val folds = sizes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("csize").orderBy("label")))
+      .join(broadcast(offs), "csize")
+      .withColumn("rank", col("off") + col("rn"))
+      .withColumn("fold", expr(
+        s"""CAST(CASE WHEN ((rank - 1) div $kFolds) % 2 = 0
+           |  THEN (rank - 1) % $kFolds
+           |  ELSE ${kFolds - 1} - (rank - 1) % $kFolds
+           |END AS BIGINT)""".stripMargin))
+    labels.join(folds.select("label", "fold"), "label")
+      .groupBy("fold").agg(
+        countDistinct("label").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("doc_checksum"))
+      .orderBy("fold")
+  }
+
   def queries: Map[String, Q] = Map(
     "q198_survivorship" -> survivorship,
+    "q208_group_kfold" -> groupKfold,
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
     "q204_lsh_recall" -> lshRecall,
@@ -849,6 +895,28 @@ object Dedup extends QueryModule {
          |  count(*) AS n_shingles
          |FROM grps GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+    // the same recursive-CC labels as q59/q198, then the identical
+    // (size desc, label) rank + snake fold in plain SQL
+    "q208_group_kfold" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT label, count(*) AS csize FROM final GROUP BY 1),
+         |rk AS (SELECT label, csize, row_number()
+         |    OVER (ORDER BY csize DESC, label) AS rank FROM sizes),
+         |fd AS (SELECT label, CAST(CASE WHEN ((rank - 1) // $kFolds) % 2 = 0
+         |    THEN (rank - 1) % $kFolds
+         |    ELSE ${kFolds - 1} - (rank - 1) % $kFolds
+         |  END AS BIGINT) AS fold FROM rk)
+         |SELECT fd.fold, count(DISTINCT final.label) AS n_clusters,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+         |FROM final JOIN fd USING (label)
+         |GROUP BY 1 ORDER BY fold""".stripMargin,
     "q37_minhash_neardup" ->
       s"""WITH $pairsCte,
          |deg AS (SELECT doc_id, count(*) AS n_neardup, min(nb) AS min_nb FROM

@@ -449,6 +449,52 @@ object Pipeline extends QueryModule {
       .orderBy("shard")
   }
 
+  /** Epoch count for the q207 training-order generator. */
+  private val shuffleEpochs = 3
+
+  /** q207 — deterministic EPOCH SHUFFLE order: the per-epoch permutation a
+    * training loop consumes — epoch e's order is the global rank of
+    * md5(e:doc_id), so every re-run (and every worker) derives the
+    * IDENTICAL order with no RNG, no seed plumbing, and a different
+    * permutation each epoch (the salt is the epoch number — q143's ticket
+    * discipline applied to ordering). The global rank is two-phase
+    * (q172's distributed-ranking shape, never a single-partition window):
+    * 256 hash-prefix buckets give per-(epoch, bucket) offsets from a
+    * 768-row window, within-bucket ranks come from a partitioned
+    * row_number, and bucket-prefix order is consistent with full-hash
+    * order because fixed-width lowercase hex sorts identically as text
+    * and as its numeric value. Output one audit row per epoch: count, an
+    * order-SENSITIVE checksum (Σ rank·doc_id mod 2⁶¹−1 — any swap of two
+    * docs changes it), and the first three doc ids of the epoch's order.
+    */
+  val epochShuffle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id").select("doc_id")
+    val epochs = s.range(0, shuffleEpochs).select(col("id").cast("int").as("epoch"))
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .select(col("epoch"), col("doc_id"),
+        md5(concat_ws(":", col("epoch"), col("doc_id"))).as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val offs = keyed.groupBy("epoch", "b").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.partitionBy("epoch").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "b", "off")
+    keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("epoch", "b").orderBy("h", "doc_id")))
+      .join(broadcast(offs), Seq("epoch", "b"))
+      .select(col("epoch"), col("doc_id"), (col("off") + col("rn")).as("rk"))
+      .groupBy("epoch").agg(
+        count(lit(1)).as("n"),
+        expr("""CAST(sum(CAST(rk AS DECIMAL(38,0)) * doc_id)
+                % 2305843009213693951 AS BIGINT)""").as("order_checksum"),
+        min(when(col("rk") === 1, col("doc_id"))).as("first_doc"),
+        min(when(col("rk") === 2, col("doc_id"))).as("second_doc"),
+        min(when(col("rk") === 3, col("doc_id"))).as("third_doc"))
+      .orderBy("epoch")
+  }
+
   /** q186 — DATASET CARD per source: the one-table summary a training-data
     * release ships — doc count, token mass, distinct vocabulary, exact-dup
     * surplus (docs removable by md5-exact dedup), mean length, and the
@@ -495,6 +541,7 @@ object Pipeline extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q186_dataset_card" -> datasetCard,
+    "q207_epoch_shuffle" -> epochShuffle,
     "q172_shard_balance" -> shardBalance,
     "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
@@ -540,6 +587,22 @@ object Pipeline extends QueryModule {
          |FROM meta JOIN toks USING (source) JOIN dup USING (source)
          |  JOIN ent USING (source)
          |ORDER BY source""".stripMargin,
+    // one global row_number at oracle scale; the Spark side reproduces
+    // the identical rank via the two-phase bucket offsets (hex-prefix
+    // order is consistent with full-hash order)
+    "q207_epoch_shuffle" ->
+      s"""WITH e AS (SELECT unnest(range(0, $shuffleEpochs))::INT AS epoch),
+         |k AS (SELECT epoch, doc_id,
+         |    md5(epoch || ':' || doc_id) AS h FROM documents, e),
+         |r AS (SELECT epoch, doc_id, row_number()
+         |    OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rk FROM k)
+         |SELECT epoch, count(*) AS n,
+         |  CAST(sum(CAST(rk AS HUGEINT) * doc_id)
+         |    % 2305843009213693951 AS BIGINT) AS order_checksum,
+         |  min(CASE WHEN rk = 1 THEN doc_id END) AS first_doc,
+         |  min(CASE WHEN rk = 2 THEN doc_id END) AS second_doc,
+         |  min(CASE WHEN rk = 3 THEN doc_id END) AS third_doc
+         |FROM r GROUP BY 1 ORDER BY epoch""".stripMargin,
     // the oracle ranks with one global row_number — fine at oracle scale;
     // the Spark side reproduces the same rank via the two-phase offset
     "q172_shard_balance" ->

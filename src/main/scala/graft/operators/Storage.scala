@@ -259,6 +259,70 @@ object Storage extends QueryModule {
     (out, dataDir)
   }
 
+  /** q206 — GARBAGE-COLLECTION (orphan-file) audit: the maintenance pass
+    * every manifest-tracked table needs — rewrite commits (compaction,
+    * clustering, MERGE) leave their input files on disk but OUT of the
+    * live manifest, and nothing but an explicit disk-vs-manifest diff
+    * ever reclaims them (Iceberg `remove_orphan_files`, Delta VACUUM).
+    * Staged here end to end: two batch appends, then a compaction that
+    * rewrites ONLY the first batch's files into one file and commits a
+    * manifest listing the compacted file plus the untouched second batch
+    * — the first batch's two files are now orphans. The audit computes
+    * disk-listing ∖ live-manifest (both metadata tables, bounded by file
+    * count — q124's planner-side discipline), then proves the reclaim is
+    * SAFE by row math: rows reachable through the live manifest must
+    * equal the table, and the orphans must hold exactly the rewritten
+    * batch (deleting them loses nothing). Output one row of file counts
+    * + row counts; the file counts are structural constants pinned by
+    * the explicit coalesce/repartition widths.
+    */
+  val gcAudit: Q = (s, d) => {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft_gc")
+    val dataDir = s"$root/data"
+    val o = Tables.orders(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def list(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq.sorted
+    // repartition, not coalesce: the single-row-group fixture scan yields
+    // ONE split, and coalesce can only shrink — the pinned 2-file batches
+    // need a real exchange
+    o.filter(col("o_orderdate") < "1997-01-01").repartition(2)
+      .write.mode("overwrite").parquet(dataDir)
+    val batch1 = list() // 2 files
+    o.filter(col("o_orderdate") >= "1997-01-01").repartition(2)
+      .write.mode("append").parquet(dataDir)
+    val batch2 = list().diff(batch1) // 2 files
+    // compaction commit: rewrite batch1's two small files as ONE file in
+    // the same dir; the new live manifest = compacted + batch2 (the
+    // rewrite's inputs drop out — they are now garbage on disk)
+    s.read.parquet(batch1: _*).repartition(1)
+      .write.mode("append").parquet(dataDir)
+    val all = list()
+    val compacted = all.diff(batch1 ++ batch2) // 1 file
+    (compacted ++ batch2).toDF("path")
+      .write.mode("overwrite").parquet(s"$root/manifests/live")
+    // the audit: disk ∖ live manifest, as DataFrame set algebra over two
+    // metadata tables; the orphan list is collected planner-side (bounded
+    // by file count) to drive the row-safety reads
+    val disk = all.toDF("path")
+    val live = s.read.parquet(s"$root/manifests/live")
+    val orphans = disk.except(live).collect().map(_.getString(0)).sorted
+    val nLive = s.read.parquet(live.collect().map(_.getString(0)).sorted: _*)
+      .agg(count(lit(1))).head().getLong(0)
+    val nOrph = s.read.parquet(orphans: _*)
+      .agg(count(lit(1))).head().getLong(0)
+    s.range(1).select(
+      lit(all.size.toLong).as("n_files_disk"),
+      lit((compacted ++ batch2).size.toLong).as("n_files_live"),
+      lit(orphans.length.toLong).as("n_orphans"),
+      lit(nLive).as("rows_live"),
+      lit(nOrph).as("rows_orphan"))
+  }
+
   /** q135 — per-file ZONE-MAP file skipping: the min/max column-stats
     * pruning every table format performs at scan planning (Iceberg
     * manifests' per-file column bounds, Delta file stats), made explicit
@@ -752,6 +816,7 @@ object Storage extends QueryModule {
     "q67_partition_prune" -> partitionPrune,
     "q121_dynamic_prune" -> dynamicPrune,
     "q124_incremental_read" -> incrementalRead,
+    "q206_gc_audit" -> gcAudit,
     "q134_time_travel" -> timeTravel,
     "q135_zonemap_skip" -> zoneMapSkip,
     "q157_bloom_skip" -> bloomSkip,
@@ -843,6 +908,15 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate >= '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // file counts are structural constants (coalesce widths pinned in the
+    // operator); the ROW math is the check — the live manifest must reach
+    // the whole table, the orphans exactly the rewritten first batch
+    "q206_gc_audit" ->
+      """SELECT CAST(5 AS BIGINT) AS n_files_disk,
+        | CAST(3 AS BIGINT) AS n_files_live, CAST(2 AS BIGINT) AS n_orphans,
+        | (SELECT count(*) FROM orders) AS rows_live,
+        | (SELECT count(*) FROM orders WHERE o_orderdate < '1997-01-01')
+        |   AS rows_orphan""".stripMargin,
     // version-2 manifest math must equal the first two batches' predicate
     "q134_time_travel" ->
       """SELECT o_orderpriority, count(*) AS n,

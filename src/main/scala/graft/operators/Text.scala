@@ -454,6 +454,65 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q205 df-cutoff: terms in more documents than this carry near-zero
+    * idf AND quadratic join fan-out — the cap that bounds the candidate
+    * mass to Σ df² ≤ cutoff·Σdf (linear in the corpus). */
+  private val cosDfCut = 100
+
+  /** q205 — sparse TF-IDF COSINE similarity pairs: the document-level
+    * semantic-similarity join over the corpus's own term space — the
+    * classic retrieval-era complement to q101's embedding SemDeDup (no
+    * model needed, exact over the representation it defines). Weights are
+    * tf · idf in MILLI-nats (idf = round(1000·ln(N/df)) — q94's
+    * integer-log discipline; milli not micro so a pairwise product stays
+    * far under 2⁶³), terms above [[cosDfCut]] dropped (near-zero idf,
+    * quadratic fan-out — the cap IS the scale story: candidate mass
+    * Σ df² ≤ cutoff·Σdf). The weight table is staged once (scratch
+    * parquet — four consumers would otherwise re-tokenize four times, the
+    * q37 lesson), dot products come from one term-keyed self-join +
+    * per-pair aggregate, norms from one per-doc aggregate, and the ONLY
+    * float appears in the last expression — cos_ppm =
+    * floor(dot·10⁶ / √(‖a‖²·‖b‖²)) — where every input is an exact
+    * integer and both engines evaluate the identical IEEE tree (×, /,
+    * sqrt, floor are all correctly-rounded). Top-20 by (cos, d1, d2) via
+    * TakeOrderedAndProject.
+    */
+  val tfidfCosine: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(toks, t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cosDfCut)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val wDir = graft.Scratch.dir("graft_tfidf_w")
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") *
+          expr("CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000) AS BIGINT)"))
+          .as("w"))
+      .write.mode("overwrite").parquet(wDir)
+    val w = s.read.parquet(wDir)
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dot = w.select(col("doc_id").as("d1"), col("term"), col("w").as("w1"))
+      .join(w.select(col("doc_id").as("d2"), col("term"), col("w").as("w2"))
+          .hint("shuffle_hash"), Seq("term"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum(col("w1") * col("w2")).as("dot"), count(lit(1)).as("n_shared"))
+    dot
+      .join(norms.select(col("doc_id").as("d1"), col("n2").as("na"))
+        .hint("shuffle_hash"), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("n2").as("nb"))
+        .hint("shuffle_hash"), "d2")
+      .select(col("d1"), col("d2"), col("n_shared"),
+        expr("""CAST(floor(CAST(dot AS DOUBLE) * 1000000.0
+                / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)""")
+          .as("cos_ppm"))
+      .orderBy(col("cos_ppm").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
   /** q139 — INVERTED INDEX build + conjunctive (AND) search: token →
     * sorted-distinct posting list of doc_ids, staged once, then AND
     * queries answered by posting-list intersection with the native
@@ -1048,6 +1107,7 @@ object Text extends QueryModule {
     "q120_prefix_join" -> prefixJoin,
     "q25_dedup_exact" -> dedupExact,
     "q61_tfidf_top" -> tfidfTop,
+    "q205_tfidf_cosine" -> tfidfCosine,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
@@ -1500,6 +1560,32 @@ object Text extends QueryModule {
          |    FROM documents))
          |SELECT lang, split, count(*) AS n FROM v
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // identical integer weight table (milli-nat idf), identical final
+    // IEEE expression tree — ×, /, sqrt, floor are correctly rounded in
+    // both engines, so the ppm floor matches bit-for-bit
+    "q205_tfidf_cosine" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(list_filter($duckToks, x -> len(x) > 0)) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= $cosDfCut),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |w AS (SELECT doc_id, tf.term,
+         |    tf * CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000) AS BIGINT)
+         |      AS w
+         |  FROM tf JOIN df USING (term), nd),
+         |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+         |dt AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    sum(a.w * b.w) AS dot, count(*) AS n_shared
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, n_shared,
+         |  CAST(floor(CAST(dot AS DOUBLE) * 1000000.0
+         |    / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))) AS BIGINT)
+         |    AS cos_ppm
+         |FROM dt JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2
+         |ORDER BY cos_ppm DESC, d1, d2 LIMIT 20""".stripMargin,
     "q61_tfidf_top" ->
       s"""WITH terms AS (SELECT doc_id,
          |  unnest(list_filter($duckToks, t -> len(t) > 0)) AS term FROM documents),

@@ -234,4 +234,28 @@ class PipelineSpec extends SparkSpec {
     // B: single doc, single lang → entropy exactly 0
     assert(got("B") === Seq(1L, 1L, 1L, 0L, 0L, 100L, 0L), got.toString)
   }
+
+  test("q207 epoch shuffle: ranks reproduce a driver-side md5 sort; epochs permute differently") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"t$i", "en", "s", 2))
+    val dir = java.nio.file.Files.createTempDirectory("graftepoch").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (0 until 3).map { e =>
+      val order = (1L to 20L).sortBy(id => (md5hex(s"$e:$id"), id))
+      val checksum = order.zipWithIndex
+        .map { case (id, i) => BigInt(i + 1) * id }.sum %
+        BigInt("2305843009213693951")
+      (e, 20L, checksum.toLong, order(0), order(1), order(2))
+    }
+    val got = SparkEntry.queries("q207_epoch_shuffle")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toList === expected.toList, got.mkString(","))
+    // the permutations genuinely differ between epochs
+    assert(expected.map(_._3).distinct.size === 3)
+  }
 }

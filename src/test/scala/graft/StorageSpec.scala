@@ -178,4 +178,17 @@ class StorageSpec extends SparkSpec {
     assert(expHrwMoved * 2 < expModMoved,
       s"hrw=$expHrwMoved mod=$expModMoved")
   }
+
+  test("q206 gc audit: orphans are exactly the rewritten batch; the live manifest reaches the whole table") {
+    val r = SparkEntry.queries("q206_gc_audit")(spark, sf).head()
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val total = orders.count()
+    val batch1 = orders
+      .filter(org.apache.spark.sql.functions.col("o_orderdate") < "1997-01-01")
+      .count()
+    assert((r.getAs[Long]("n_files_disk"), r.getAs[Long]("n_files_live"),
+      r.getAs[Long]("n_orphans")) === ((5L, 3L, 2L)), r.toString)
+    assert(r.getAs[Long]("rows_live") === total, r.toString)
+    assert(r.getAs[Long]("rows_orphan") === batch1, r.toString)
+  }
 }

@@ -499,6 +499,47 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("recall_ppm") === nF * 1000000L / nE, r.toString)
   }
 
+  test("q205 tfidf cosine: identical docs score exactly 1e6; partial overlap ranks below; disjoint docs pair with nobody") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5),
+      (2L, "a b c", "en", "s", 5),
+      (3L, "a b d", "en", "s", 5),
+      (4L, "x y z", "en", "s", 5))
+    val dir = java.nio.file.Files.createTempDirectory("graftcos").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q205_tfidf_cosine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 3, got.mkString(","))
+    // identical weight vectors: the perfect-square sqrt is exact, so the
+    // ppm floor is exactly 1e6
+    assert(got(0) === ((1L, 2L, 3L, 1000000L)), got(0).toString)
+    assert(got(1)._1 === 1L && got(1)._2 === 3L && got(1)._3 === 2L)
+    assert(got(2)._1 === 2L && got(2)._2 === 3L && got(2)._3 === 2L)
+    assert(got(1)._4 === got(2)._4 && got(1)._4 > 0L && got(1)._4 < 1000000L)
+  }
+
+  test("q208 group k-fold: snake packing spreads size-ranked clusters; fold stats match the hand computation") {
+    import spark.implicits._
+    // clusters by identical text: {1,2,3}, {4,5}, then six singletons
+    // 6..11 → ranks (size desc, label): c1,c4,6,7,8,9,10,11 → snake folds
+    // 0,1,2,3,4,4,3,2
+    val docs = Seq(
+      (1L, "p q r", "en", "s", 5), (2L, "p q r", "en", "s", 5),
+      (3L, "p q r", "en", "s", 5),
+      (4L, "u v w", "en", "s", 5), (5L, "u v w", "en", "s", 5)) ++
+      (6L to 11L).map(i => (i, s"s$i t$i", "en", "s", 5))
+    val dir = java.nio.file.Files.createTempDirectory("graftkfold").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q208_group_kfold")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      (0L, 1L, 3L, 6L), (1L, 1L, 2L, 9L), (2L, 2L, 2L, 17L),
+      (3L, 2L, 2L, 17L), (4L, 2L, 2L, 17L)), got.mkString(","))
+  }
+
   test("q188 cross-lingual contamination: a shared 8-gram bridges exactly its two language partitions") {
     import spark.implicits._
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
