@@ -488,6 +488,81 @@ object Graph extends QueryModule {
     reached.unionByName(unreached).orderBy("dist")
   }
 
+  /** Propagation depth for the q210 forward/backward reachability pass. */
+  private val sccRounds = 3
+
+  /** q210 — directed STRONGLY-CONNECTED classes over the temporal
+    * "bought-before" graph: part u → v when ≥ 2 DISTINCT customers
+    * ordered u strictly before v — the first DIRECTED graph in the
+    * family (everything else here is undirected co-purchase), and the
+    * structure that separates "these parts circulate together" (a cycle:
+    * u before v for some customers, v before u for others) from a mere
+    * funnel (u always first). The classic distributed SCC primitive is
+    * FW-BW coloring: two min-label reachability passes — forward f(x) =
+    * min id that can REACH x, backward b(x) = min id REACHABLE FROM x
+    * (the same staged-per-round loop as q167's BFS, run once per
+    * direction over the same staged edge list) — and nodes sharing BOTH
+    * labels are strongly connected through the shared extremal node.
+    * Depth is FIXED at 3 rounds (q106/q148/q167's determinism
+    * discipline: both engines run the identical recursion), so classes
+    * are SCCs whose witness paths fit in 3 hops — the production
+    * fixpoint loops until no label moves; the trajectory here is
+    * replayable against the oracle instead. Edge generation fans out
+    * per-customer item-history pairs (bounded by basket history, q152's
+    * argument — never |parts|²) and the ≥2-customer cut is on DISTINCT
+    * evidence. Output: the non-trivial classes (≥ 2 members), largest
+    * first, top 20.
+    */
+  val sccClasses: Q = (s, d) => {
+    val it = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("c"),
+        col("o_orderdate").as("dt"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey").as("p")), "o_orderkey")
+      .select("c", "dt", "p").distinct()
+    val e = it.alias("a").join(it.alias("b"),
+        col("a.c") === col("b.c") && col("a.dt") < col("b.dt") &&
+          col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(countDistinct(col("a.c")).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val tmpE = graft.Scratch.dir("graft_scc_edges")
+    e.write.mode("overwrite").parquet(tmpE)
+    val ed = s.read.parquet(tmpE)
+    val nodes = ed.select(col("u").as("node"))
+      .union(ed.select(col("v").as("node"))).distinct()
+    def propagate(rev: Boolean, tag: String) = {
+      val edges = if (rev) ed.select(col("v").as("src"), col("u").as("dst"))
+                  else ed.select(col("u").as("src"), col("v").as("dst"))
+      var cur = graft.Scratch.dir(s"graft_scc_${tag}0")
+      nodes.select(col("node"), col("node").as("lbl"))
+        .write.mode("overwrite").parquet(cur)
+      for (r <- 1 to sccRounds) {
+        val labels = s.read.parquet(cur)
+        val inMin = edges
+          .join(labels.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node")).agg(min("lbl").as("inmin"))
+        val next = labels.join(inMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("inmin"), col("lbl"))).as("lbl"))
+        val nd = graft.Scratch.dir(s"graft_scc_$tag$r")
+        next.write.mode("overwrite").parquet(nd)
+        cur = nd
+      }
+      s.read.parquet(cur)
+    }
+    val f = propagate(rev = false, "f").withColumnRenamed("lbl", "fl")
+    val b = propagate(rev = true, "b").withColumnRenamed("lbl", "bl")
+    f.join(b, "node")
+      .groupBy("fl", "bl").agg(count(lit(1)).as("n_members"),
+        min("node").as("min_member"), sum("node").as("id_checksum"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("fl"), col("bl"))
+      .limit(20)
+      .select(col("fl").as("fwd_label"), col("bl").as("bwd_label"),
+        col("n_members"), col("min_member"), col("id_checksum"))
+  }
+
   /** q177 — LINK PREDICTION by common-neighbor count + resource-allocation
     * index over the repeat-co-purchase graph (q148/q155's edges): for every
     * non-adjacent pair within 2 hops, how many shared neighbors connect
@@ -548,9 +623,42 @@ object Graph extends QueryModule {
     "q202_modularity" -> modularity,
     "q159_gnn_sample" -> gnnSample,
     "q167_bfs_hops" -> bfsHops,
-    "q177_link_predict" -> linkPredict)
+    "q177_link_predict" -> linkPredict,
+    "q210_scc_classes" -> sccClasses)
 
   def oracles: Map[String, String] = Map(
+    // the same fixed-depth forward/backward min-label passes, unrolled as
+    // generated CTEs over the identical ≥2-distinct-customer edge list
+    "q210_scc_classes" -> {
+      def rounds(tag: String, src: String, dst: String) =
+        (1 to sccRounds).map { r =>
+          s"""${tag}m$r AS (SELECT e.$dst AS node, min(l.lbl) AS inmin
+             |  FROM e JOIN $tag${r - 1} l ON e.$src = l.node GROUP BY 1),
+             |$tag$r AS MATERIALIZED (SELECT n.node,
+             |    least(n.lbl, coalesce(m.inmin, n.lbl)) AS lbl
+             |  FROM $tag${r - 1} n LEFT JOIN ${tag}m$r m USING (node))"""
+            .stripMargin
+        }.mkString(",\n")
+      s"""WITH it AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS dt,
+         |    l_partkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(DISTINCT a.c) AS m
+         |    FROM it a JOIN it b
+         |    ON a.c = b.c AND a.dt < b.dt AND a.p <> b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         |f0 AS (SELECT node, node AS lbl FROM nodes),
+         |b0 AS (SELECT node, node AS lbl FROM nodes),
+         |${rounds("f", "u", "v")},
+         |${rounds("b", "v", "u")},
+         |j AS (SELECT f.node, f.lbl AS fl, b.lbl AS bl
+         |  FROM f$sccRounds f JOIN b$sccRounds b USING (node))
+         |SELECT fl AS fwd_label, bl AS bwd_label, count(*) AS n_members,
+         |  min(node) AS min_member, CAST(sum(node) AS BIGINT) AS id_checksum
+         |FROM j GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY n_members DESC, fwd_label, bwd_label LIMIT 20""".stripMargin
+    },
     // identical wedge enumeration + fixed-point RA (// ≡ div on the
     // positive operands), so the top-20 candidate ranking must match
     "q177_link_predict" ->

@@ -1053,6 +1053,35 @@ object Stats extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q209 — grouped WEIGHTED quantiles (p25/median/p75): order statistics
+    * where each row carries a weight — the shape every token-weighted
+    * corpus statistic needs (a 10⁶-token document should pull the "median
+    * document length" 10⁶ times harder than a tweet). Here: per-returnflag
+    * lineitem price quantiles weighted by quantity. Same value-histogram
+    * discipline as q160/q173/q183 — one (group, value) weight aggregate,
+    * cumulative weight over the DISTINCT-VALUE frame only, and the
+    * quantile reads are the smallest value with 4·cum ≥ q·total in exact
+    * integer cross-multiplication (no division at all). Output is
+    * group-bounded; the stream is scanned once.
+    */
+  val weightedQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      expr("CAST(l_quantity AS BIGINT)").as("wt"))
+    val vc = li.groupBy("flag", "cents").agg(sum("wt").as("w"))
+    val wCum = Window.partitionBy("flag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("cum", sum("w").over(wCum))
+      .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
+      .groupBy("flag").agg(
+        sum("w").as("total_weight"),
+        min(when(col("cum") * 4 >= col("tot"), col("cents"))).as("p25_cents"),
+        min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("median_cents"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("cents"))).as("p75_cents"))
+      .orderBy("flag")
+  }
+
   /** q184 — BITMAP-INDEX distinct intersection: build a word-aligned user
     * bitmap per event type (word = user_id div 32, a BIGINT carrying 32
     * presence bits via bit_or — the Roaring-bitmap layout flattened to
@@ -1223,6 +1252,7 @@ object Stats extends QueryModule {
     "q187_ks_drift" -> ksDrift,
     "q184_bitmap_index" -> bitmapIndex,
     "q183_mad_outliers" -> madOutliers,
+    "q209_weighted_quantiles" -> weightedQuantiles,
     "q179_psi_drift" -> psiDrift,
     "q173_roc_sweep" -> rocSweep,
     "q174_auc_exact" -> aucExact,
@@ -1354,6 +1384,23 @@ object Stats extends QueryModule {
         |        / ((n_curr + 0.5) / (tc + 5.0))) * 1000000) AS BIGINT)
         |    AS psi_micro
         |FROM w, t ORDER BY bin""".stripMargin,
+    // identical cross-multiplied integer quantile reads off the
+    // (flag, cents) weight histogram — no division anywhere
+    "q209_weighted_quantiles" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |vc AS (SELECT flag, cents, sum(wt) AS w FROM li GROUP BY 1, 2),
+        |cu AS (SELECT flag, cents, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY flag) AS tot
+        |  FROM vc)
+        |SELECT flag, CAST(sum(w) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cum * 4 >= tot THEN cents END) AS p25_cents,
+        |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS median_cents,
+        |  min(CASE WHEN cum * 4 >= tot * 3 THEN cents END) AS p75_cents
+        |FROM cu GROUP BY 1 ORDER BY flag""".stripMargin,
     "q183_mad_outliers" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS vq FROM events),

@@ -472,6 +472,52 @@ object Storage extends QueryModule {
         expr("CAST(s % 2305843009213693951 AS BIGINT)").as("digest"))
       .orderBy("flag")
 
+  /** q211 — ANTI-ENTROPY repair planner: q163's order-independent digest
+    * turned into the DECISION a replication system runs — which
+    * partitions of a 100 TB replica pair actually differ, and therefore
+    * which slices the repair job must re-ship. Two physical replicas are
+    * staged (B missing a deterministic slice — the "lost rows" drift a
+    * failed backfill leaves), each side reduces to per-partition
+    * (row count, Σ md5(key)₆₀ mod 2⁶¹−1) — digests compare content
+    * without moving or sorting either copy — and a full-outer join of
+    * the two digest tables yields the plan: per partition, both row
+    * counts, both digests, the needs_repair verdict and the row delta.
+    * The repair set is the handful of mismatched partitions, never the
+    * table; cost is one scan per replica. The monetary column enters the
+    * row key as exact integer cents (a raw double would hinge the digest
+    * on float-to-string rendering).
+    */
+  val repairPlan: Q = (s, d) => {
+    val root = graft.Scratch.dir("graft_repair")
+    val o = Tables.orders(s, d)
+    o.write.mode("overwrite").parquet(s"$root/replica_a")
+    o.filter(!(col("o_orderkey") % 500 === 0 &&
+        col("o_orderpriority") === "3-MEDIUM"))
+      .write.mode("overwrite").parquet(s"$root/replica_b")
+    def digest(df: DataFrame) = df
+      .select(col("o_orderpriority").as("part"),
+        conv(substring(md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))), 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(h) % 2305843009213693951 AS BIGINT)").as("dg"))
+    val a = digest(s.read.parquet(s"$root/replica_a"))
+      .select(col("part"), col("n").as("rows_a"), col("dg").as("digest_a"))
+    val b = digest(s.read.parquet(s"$root/replica_b"))
+      .select(col("part"), col("n").as("rows_b"), col("dg").as("digest_b"))
+    a.join(b, Seq("part"), "full_outer")
+      .select(col("part"),
+        coalesce(col("rows_a"), lit(0L)).as("rows_a"),
+        coalesce(col("rows_b"), lit(0L)).as("rows_b"),
+        col("digest_a"), col("digest_b"),
+        (coalesce(col("digest_a"), lit(-1L)) =!=
+          coalesce(col("digest_b"), lit(-2L))).as("needs_repair"),
+        (coalesce(col("rows_a"), lit(0L)) -
+          coalesce(col("rows_b"), lit(0L))).as("row_delta"))
+      .orderBy("part")
+  }
+
   /** q166 — COLUMN ENCODING ADVISOR: per analyzed column, the profile a
     * layout optimizer reads before choosing parquet encodings — NDV,
     * top-value share, Shannon entropy of the value distribution (the
@@ -821,6 +867,7 @@ object Storage extends QueryModule {
     "q135_zonemap_skip" -> zoneMapSkip,
     "q157_bloom_skip" -> bloomSkip,
     "q163_partition_digest" -> partitionDigest,
+    "q211_repair_plan" -> repairPlan,
     "q166_encoding_advisor" -> encodingAdvisor,
     "q69_jsonl_source" -> jsonlRoundtrip,
     "q70_orc_roundtrip" -> orcRoundtrip,
@@ -983,6 +1030,26 @@ object Storage extends QueryModule {
         |SELECT flag, count(*) AS n_rows,
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS digest
         |FROM h GROUP BY 1 ORDER BY flag""".stripMargin,
+    // both replicas derive from orders with the same deterministic drift
+    // rule, so the oracle recomputes both digest tables directly
+    "q211_repair_plan" ->
+      """WITH rows_k AS (SELECT o_orderpriority AS part, o_orderkey, o_custkey,
+        |    ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT))), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |a AS (SELECT part, count(*) AS rows_a,
+        |    CAST(sum(h) % 2305843009213693951 AS BIGINT) AS digest_a
+        |  FROM rows_k GROUP BY 1),
+        |b AS (SELECT part, count(*) AS rows_b,
+        |    CAST(sum(h) % 2305843009213693951 AS BIGINT) AS digest_b
+        |  FROM rows_k
+        |  WHERE NOT (o_orderkey % 500 = 0 AND part = '3-MEDIUM')
+        |  GROUP BY 1)
+        |SELECT part, COALESCE(rows_a, 0) AS rows_a,
+        |  COALESCE(rows_b, 0) AS rows_b, digest_a, digest_b,
+        |  COALESCE(digest_a, -1) <> COALESCE(digest_b, -2) AS needs_repair,
+        |  COALESCE(rows_a, 0) - COALESCE(rows_b, 0) AS row_delta
+        |FROM a FULL OUTER JOIN b USING (part) ORDER BY part""".stripMargin,
     "q157_bloom_skip" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

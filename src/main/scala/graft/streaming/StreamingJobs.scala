@@ -682,7 +682,81 @@ object StreamingJobs extends QueryModule {
 
   val streamBitmap: Q = (s, d) => streamBitmapRun(s, d)._1
 
+  /** q212 — STREAMING OHLC bars: q175's tick→bar reduction maintained
+    * incrementally across micro-batches. Every component of a candlestick
+    * bar is a semilattice or a sum — high/low are max/min, volume and
+    * trade count are sums, and open/close become mergeable once the
+    * total-order tick key rides along in the state: min_by(open, open_tk)
+    * over {state row} ∪ {batch partial} is exactly min_by over the full
+    * prefix, because the argmin follows the key minimum (q175's
+    * zero-padded epoch:event_id key makes that order total, so equal-µs
+    * ticks fold identically in every cut of the stream). State is one row
+    * per day whatever the tick volume — the q136/q147/q162/q190 state
+    * bound, here for the time-series reduction — and the converged bars
+    * are IDENTICAL to batch q175 however the stream was sliced
+    * (restart-idempotence by exact merge, not in distribution), so the
+    * two queries face one oracle. Each batch folds via one day-keyed
+    * aggregate over state ∪ batch-partial; the per-batch partial itself
+    * map-side combines.
+    */
+  private[graft] def streamOhlcRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    val root = graft.Scratch.dir("graft_stream_ohlc")
+    val src = s"$root/src"
+    Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    def partial(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vq"),
+        concat(lpad(expr("CAST(unix_micros(ts) AS STRING)"), 20, "0"),
+          lit(":"), col("event_id")).as("tk"))
+      .groupBy("day")
+      .agg(min("tk").as("open_tk"), min_by(col("vq"), col("tk")).as("open"),
+        max("vq").as("high"), min("vq").as("low"),
+        max("tk").as("close_tk"), max_by(col("vq"), col("tk")).as("close"),
+        count(lit(1)).as("n_trades"), sum("vq").as("volume"))
+    var current: Option[String] = None
+    var batches = 0L
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val inc = partial(batch)
+        val folded = (current match {
+          case Some(p) => s.read.parquet(p).unionByName(inc)
+          case None => inc
+        }).groupBy("day")
+          .agg(min_by(col("open"), col("open_tk")).as("open_v"),
+            min("open_tk").as("open_tk"),
+            max("high").as("high"), min("low").as("low"),
+            max_by(col("close"), col("close_tk")).as("close_v"),
+            max("close_tk").as("close_tk"),
+            sum("n_trades").as("n_trades"), sum("volume").as("volume"))
+          .select(col("day"), col("open_tk"), col("open_v").as("open"),
+            col("high"), col("low"), col("close_tk"),
+            col("close_v").as("close"), col("n_trades"), col("volume"))
+        val out = s"$root/state_v$id"
+        folded.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        batches += 1
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val state = s.read.parquet(
+      current.getOrElse(sys.error("stream produced no micro-batches")))
+    val out = state.select(col("day"), col("open"), col("high"), col("low"),
+      col("close"), col("n_trades"), col("volume")).orderBy("day")
+    (out, batches)
+  }
+
+  val streamOhlc: Q = (s, d) => streamOhlcRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q212_stream_ohlc" -> streamOhlc,
     "q190_stream_bitmap" -> streamBitmap,
     "q162_stream_hll" -> streamHll,
     "q117_stream_upsert" -> streamUpsert,
@@ -695,6 +769,18 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // exact merge ⇒ the streamed bars equal batch q175's — one oracle
+    // (Events.scala's q175 SQL verbatim) serves both formulations
+    "q212_stream_ohlc" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vq,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || event_id
+        |      AS tk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT day, arg_min(vq, tk) AS open, max(vq) AS high,
+        |  min(vq) AS low, arg_max(vq, tk) AS close,
+        |  count(*) AS n_trades, CAST(sum(vq) AS BIGINT) AS volume
+        |FROM ev GROUP BY 1 ORDER BY day""".stripMargin,
     // the bitmap fold is exact, so the streamed answer must equal plain
     // COUNT(DISTINCT) — the strongest oracle a streaming distinct can have
     "q190_stream_bitmap" ->

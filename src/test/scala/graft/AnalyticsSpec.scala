@@ -862,4 +862,22 @@ class AnalyticsSpec extends SparkSpec {
       (5L, 1L, 500000L, 0L, 500000L, 86666L),
       (9L, 1L, 1000000L, 1000000L, 0L, 86666L)), got.toList.toString)
   }
+
+  test("q209 weighted quantiles: planted weights pull the median to the hand-computed value") {
+    import spark.implicits._
+    // flag A: cents 100 w1, 200 w2, 300 w1 → total 4; cum 1/3/4 →
+    // p25 = 100 (4·1 ≥ 4), median = 200 (2·3 ≥ 4), p75 = 200 (4·3 ≥ 12)
+    val rows = Seq(
+      ("A", 1.00, 1.0), ("A", 2.00, 2.0), ("A", 3.00, 1.0),
+      ("B", 5.00, 3.0))
+    val dir = java.nio.file.Files.createTempDirectory("graftwq").toString
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q209_weighted_quantiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toList === List(
+      ("A", 4L, 100L, 200L, 200L),
+      ("B", 3L, 500L, 500L, 500L)), got.mkString(","))
+  }
 }

@@ -366,6 +366,34 @@ class PropertySpec extends SparkSpec {
       === ((6L, 2L, 7L, 70L, 196L, 357142L)), r.toString)
   }
 
+  test("q210 SCC classes: a directed cycle forms one class; a chain forms none") {
+    import spark.implicits._
+    // directed temporal edges u->v need >= 2 DISTINCT customers ordering
+    // u strictly before v: two customers per edge, each placing exactly
+    // the two orders that realize it. Cycle 1->2->3->1 is one SCC (all
+    // fwd/bwd labels collapse to 1); chain 10->11 must stay trivial.
+    val edges = List((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L))
+    val rows = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      (0 to 1).flatMap { c =>
+        val cust = 100L + 2 * i + c
+        val (o1, o2) = (1000L + 4 * i + 2 * c, 1000L + 4 * i + 2 * c + 1)
+        List((o1, cust, java.sql.Date.valueOf("2020-01-01"), u),
+          (o2, cust, java.sql.Date.valueOf("2020-02-01"), v))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftscc").toString
+    rows.map { case (ok, ck, dt, _) => (ok, ck, dt) }.distinct
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    rows.map { case (ok, _, _, p) => (ok, p) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q210_scc_classes")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList === List((1L, 1L, 3L, 1L, 6L)), got.mkString(","))
+  }
+
   test("q167 BFS: chain walks one hop per round, disconnected pair lands in the unreached bucket") {
     // graph: chain 50-1-2-3 (50 is the only mod-50 seed) plus a
     // disconnected pair 7-8; every edge realized twice for the m >= 2

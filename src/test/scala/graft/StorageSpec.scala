@@ -191,4 +191,21 @@ class StorageSpec extends SparkSpec {
     assert(r.getAs[Long]("rows_live") === total, r.toString)
     assert(r.getAs[Long]("rows_orphan") === batch1, r.toString)
   }
+
+  test("q211 repair plan: the drifted partition alone flags, with the exact row delta") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 10.0, "1-URGENT"), (500L, 2L, 20.0, "1-URGENT"),
+      (500L, 3L, 30.0, "3-MEDIUM"), (1000L, 4L, 40.0, "3-MEDIUM"),
+      (7L, 5L, 50.0, "3-MEDIUM"))
+    val dir = java.nio.file.Files.createTempDirectory("graftrepair").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q211_repair_plan")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("rows_a"),
+        r.getAs[Long]("rows_b"), r.getAs[Boolean]("needs_repair"),
+        r.getAs[Long]("row_delta")))).toMap
+    assert(got("1-URGENT") === ((2L, 2L, false, 0L)), got.toString)
+    assert(got("3-MEDIUM") === ((3L, 1L, true, 2L)), got.toString)
+  }
 }

@@ -265,4 +265,13 @@ class StreamingSpec extends SparkSpec {
       unix_timestamp(col("w.end")) - unix_timestamp(col("w.start")) < 1800)
     assert(bad.count() === 0)
   }
+
+  test("q212 streaming OHLC: multi-batch fold equals batch q175 exactly, one state row per day") {
+    val (out, batches) = graft.streaming.StreamingJobs.streamOhlcRun(spark, sf)
+    assert(batches >= 2, s"expected a multi-batch fold, got $batches")
+    val got = out.collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q175_ohlc_bars")(spark, sf)
+      .collect().map(_.toSeq).toList
+    assert(got === want, "stream ≡ batch identity broke")
+  }
 }
