@@ -1054,31 +1054,35 @@ object Stats extends QueryModule {
   }
 
   /** q209 — grouped WEIGHTED quantiles (p25/median/p75): order statistics
-    * where each row carries a weight — the shape every token-weighted
+    * where each row carries a weight — the shape every mass-weighted
     * corpus statistic needs (a 10⁶-token document should pull the "median
-    * document length" 10⁶ times harder than a tweet). Here: per-returnflag
-    * lineitem price quantiles weighted by quantity. Same value-histogram
-    * discipline as q160/q173/q183 — one (group, value) weight aggregate,
-    * cumulative weight over the DISTINCT-VALUE frame only, and the
-    * quantile reads are the smallest value with 4·cum ≥ q·total in exact
-    * integer cross-multiplication (no division at all). Output is
-    * group-bounded; the stream is scanned once.
+    * document length" 10⁶ times harder than a tweet). Here: which order
+    * SIZE carries the revenue mass — per-returnflag quantity quantiles
+    * weighted by extended price in cents. Same value-histogram discipline
+    * as q160/q173/q183 — one (group, value) weight aggregate, cumulative
+    * weight over the DISTINCT-VALUE frame only, quantile reads as the
+    * smallest value with 4·cum ≥ q·total in exact integer
+    * cross-multiplication (no division at all). The VALUE axis must be
+    * domain-bounded for the frame discipline to hold (quantity is 1–50);
+    * a continuous value (raw prices) pre-bins through q110's sketch
+    * first — the same caveat q160 documents. One scan; everything after
+    * is groups × values.
     */
   val weightedQuantiles: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
-      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
-      expr("CAST(l_quantity AS BIGINT)").as("wt"))
-    val vc = li.groupBy("flag", "cents").agg(sum("wt").as("w"))
-    val wCum = Window.partitionBy("flag").orderBy("cents")
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("wt"))
+    val vc = li.groupBy("flag", "qty").agg(sum("wt").as("w"))
+    val wCum = Window.partitionBy("flag").orderBy("qty")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vc.withColumn("cum", sum("w").over(wCum))
       .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
       .groupBy("flag").agg(
-        sum("w").as("total_weight"),
-        min(when(col("cum") * 4 >= col("tot"), col("cents"))).as("p25_cents"),
-        min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("median_cents"),
-        min(when(col("cum") * 4 >= col("tot") * 3, col("cents"))).as("p75_cents"))
+        sum("w").as("total_weight_cents"),
+        min(when(col("cum") * 4 >= col("tot"), col("qty"))).as("p25_qty"),
+        min(when(col("cum") * 2 >= col("tot"), col("qty"))).as("median_qty"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("qty"))).as("p75_qty"))
       .orderBy("flag")
   }
 
@@ -1388,18 +1392,19 @@ object Stats extends QueryModule {
     // (flag, cents) weight histogram — no division anywhere
     "q209_weighted_quantiles" ->
       """WITH li AS (SELECT l_returnflag AS flag,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-        |    CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
-        |vc AS (SELECT flag, cents, sum(wt) AS w FROM li GROUP BY 1, 2),
-        |cu AS (SELECT flag, cents, w,
-        |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |vc AS (SELECT flag, qty, sum(wt) AS w FROM li GROUP BY 1, 2),
+        |cu AS (SELECT flag, qty, w,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY qty
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    sum(w) OVER (PARTITION BY flag) AS tot
         |  FROM vc)
-        |SELECT flag, CAST(sum(w) AS BIGINT) AS total_weight,
-        |  min(CASE WHEN cum * 4 >= tot THEN cents END) AS p25_cents,
-        |  min(CASE WHEN cum * 2 >= tot THEN cents END) AS median_cents,
-        |  min(CASE WHEN cum * 4 >= tot * 3 THEN cents END) AS p75_cents
+        |SELECT flag, CAST(sum(w) AS BIGINT) AS total_weight_cents,
+        |  min(CASE WHEN cum * 4 >= tot THEN qty END) AS p25_qty,
+        |  min(CASE WHEN cum * 2 >= tot THEN qty END) AS median_qty,
+        |  min(CASE WHEN cum * 4 >= tot * 3 THEN qty END) AS p75_qty
         |FROM cu GROUP BY 1 ORDER BY flag""".stripMargin,
     "q183_mad_outliers" ->
       """WITH ev AS (SELECT event_type,

@@ -865,11 +865,12 @@ class AnalyticsSpec extends SparkSpec {
 
   test("q209 weighted quantiles: planted weights pull the median to the hand-computed value") {
     import spark.implicits._
-    // flag A: cents 100 w1, 200 w2, 300 w1 → total 4; cum 1/3/4 →
-    // p25 = 100 (4·1 ≥ 4), median = 200 (2·3 ≥ 4), p75 = 200 (4·3 ≥ 12)
+    // flag A: qty 10 w100, qty 20 w200, qty 30 w100 → total 400 cents;
+    // cum 100/300/400 → p25 = 10 (4·100 ≥ 400), median = 20 (2·300 ≥
+    // 400), p75 = 20 (4·300 ≥ 1200)
     val rows = Seq(
-      ("A", 1.00, 1.0), ("A", 2.00, 2.0), ("A", 3.00, 1.0),
-      ("B", 5.00, 3.0))
+      ("A", 1.00, 10.0), ("A", 2.00, 20.0), ("A", 1.00, 30.0),
+      ("B", 5.00, 7.0))
     val dir = java.nio.file.Files.createTempDirectory("graftwq").toString
     rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
@@ -877,7 +878,7 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(got.toList === List(
-      ("A", 4L, 100L, 200L, 200L),
-      ("B", 3L, 500L, 500L, 500L)), got.mkString(","))
+      ("A", 400L, 10L, 20L, 20L),
+      ("B", 500L, 7L, 7L, 7L)), got.mkString(","))
   }
 }
