@@ -514,17 +514,23 @@ object Graph extends QueryModule {
     * first, top 20.
     */
   val sccClasses: Q = (s, d) => {
-    val it = Tables.orders(s, d)
+    // "u strictly before v for customer c" ⟺ min(c's u-dates) <
+    // max(c's v-dates) — so the join input collapses to ONE row per
+    // (customer, part) carrying (min, max) date, the pair fans out once
+    // per customer (count ≡ distinct customers, no countDistinct), and
+    // the per-customer mass is items², not (items×orders)²
+    val cp = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey").as("c"),
         col("o_orderdate").as("dt"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
         col("l_partkey").as("p")), "o_orderkey")
-      .select("c", "dt", "p").distinct()
-    val e = it.alias("a").join(it.alias("b"),
-        col("a.c") === col("b.c") && col("a.dt") < col("b.dt") &&
-          col("a.p") =!= col("b.p"))
+      .groupBy("c", "p")
+      .agg(min("dt").as("mind"), max("dt").as("maxd"))
+    val e = cp.alias("a").join(cp.alias("b"),
+        col("a.c") === col("b.c") && col("a.p") =!= col("b.p") &&
+          col("a.mind") < col("b.maxd"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(countDistinct(col("a.c")).as("m")).filter(col("m") >= 2)
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
       .select("u", "v")
     val tmpE = graft.Scratch.dir("graft_scc_edges")
     e.write.mode("overwrite").parquet(tmpE)
@@ -639,13 +645,14 @@ object Graph extends QueryModule {
              |  FROM $tag${r - 1} n LEFT JOIN ${tag}m$r m USING (node))"""
             .stripMargin
         }.mkString(",\n")
-      s"""WITH it AS (SELECT DISTINCT o_custkey AS c, o_orderdate AS dt,
-         |    l_partkey AS p
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      s"""WITH cp AS (SELECT o_custkey AS c, l_partkey AS p,
+         |    min(o_orderdate) AS mind, max(o_orderdate) AS maxd
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
          |e AS MATERIALIZED (SELECT u, v FROM (
-         |    SELECT a.p AS u, b.p AS v, count(DISTINCT a.c) AS m
-         |    FROM it a JOIN it b
-         |    ON a.c = b.c AND a.dt < b.dt AND a.p <> b.p GROUP BY 1, 2)
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m
+         |    FROM cp a JOIN cp b
+         |    ON a.c = b.c AND a.p <> b.p AND a.mind < b.maxd GROUP BY 1, 2)
          |  WHERE m >= 2),
          |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
          |f0 AS (SELECT node, node AS lbl FROM nodes),
