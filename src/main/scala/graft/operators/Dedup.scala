@@ -133,26 +133,32 @@ object Dedup extends QueryModule {
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The unstaged candidate band-join — bucket-join: equi-join on (band,
+    * signature); a pair colliding in several bands appears once thanks to
+    * the distinct. The shuffle_hash hint pins the plan that holds at
+    * 100 TB: BOTH band-sig sides are corpus-sized, so broadcast is
+    * impossible at scale — and at fixture scale AQE's broadcast would
+    * fuse scan→minhash→join→verify into ONE task (the single-row-group
+    * file gives one input split), leaving the expensive candidate stage
+    * single-threaded (measured 6.3s of an 11s total in one task). The
+    * exchange on (band, sig) is the partition strategy the Scaladoc
+    * promises AND what fans the work out. `private[graft]` so PlanSpec
+    * pins the generator plan (the staged artifact hides it).
+    */
+  private[graft] def candJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sigs = bandSigs(s, tokenSets(s, d))
+    sigs.alias("a")
+      .join(sigs.alias("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   private def stagedCands(s: org.apache.spark.sql.SparkSession, d: String) = {
     val path = candCache.computeIfAbsent(d, _ => {
-      val sigs = bandSigs(s, tokenSets(s, d))
-      // bucket-join: equi-join on (band, signature); a pair colliding in
-      // several bands appears once thanks to the distinct. The shuffle_hash
-      // hint pins the plan that holds at 100 TB: BOTH band-sig sides are
-      // corpus-sized, so broadcast is impossible at scale — and at fixture
-      // scale AQE's broadcast would fuse scan→minhash→join→verify into ONE
-      // task (the single-row-group file gives one input split), leaving the
-      // expensive candidate stage single-threaded (measured 6.3s of an 11s
-      // total in one task). The exchange on (band, sig) is the partition
-      // strategy the Scaladoc promises AND what fans the work out.
-      val cand = sigs.alias("a")
-        .join(sigs.alias("b").hint("shuffle_hash"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
       val tmp = graft.Scratch.dir("graft_mh_cands")
-      cand.write.mode("overwrite").parquet(tmp)
+      candJoin(s, d).write.mode("overwrite").parquet(tmp)
       tmp
     })
     s.read.parquet(path)

@@ -1086,6 +1086,51 @@ object Stats extends QueryModule {
       .orderBy("flag")
   }
 
+  /** q213 — exact MUTUAL INFORMATION between two categorical axes
+    * (event type × day-of-week): the feature-relevance primitive a
+    * training pipeline runs before keeping a column — MI = Σ p(x,y)·
+    * ln(p(x,y)/(p(x)p(y))), here in integer MICRO-nats (each cell's log
+    * rounded once, q94's discipline, then weighted by the exact cell
+    * count and summed as integers — immune to float summation order),
+    * alongside both marginal entropies and the normalized MI
+    * 2·MI/(H(x)+H(y)) in ppm. Everything after one (x, y) count
+    * aggregate runs on the |X|·|Y| cell frame (both axes domain-bounded
+    * — the q209 caveat applies: a continuous axis pre-bins first); the
+    * only divisions are at the very end, sign-safe where MI's rounded
+    * sum could dip negative.
+    */
+  val mutualInfo: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type").as("x"),
+      dayofweek(col("ts")).as("y"))
+    val cxy = ev.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val cx = cxy.groupBy("x").agg(sum("cxy").as("cx"))
+    val cy = cxy.groupBy("y").agg(sum("cxy").as("cy"))
+    val tot = cxy.agg(sum("cxy").as("n"))
+    val mi = cxy.join(cx, "x").join(cy, "y").crossJoin(broadcast(tot))
+      .select((col("cxy") * expr(
+        """CAST(round(ln(CAST(cxy AS DOUBLE) * n
+           / (CAST(cx AS DOUBLE) * cy)) * 1000000) AS BIGINT)""")).as("t"),
+        col("n"))
+      .agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+        sum("t").as("tsum"))
+    def entropy(m: org.apache.spark.sql.DataFrame, c: String) =
+      m.crossJoin(broadcast(tot)).agg(sum(col(c) * expr(
+        s"""CAST(round(ln(CAST(n AS DOUBLE) / $c) * 1000000) AS BIGINT)"""))
+        .as(s"${c}sum"))
+    mi.crossJoin(broadcast(entropy(cx, "cx")))
+      .crossJoin(broadcast(entropy(cy, "cy")))
+      .select(col("n"), col("n_cells"),
+        expr("""CASE WHEN tsum >= 0 THEN tsum div n
+                ELSE -((-tsum) div n) END""").as("mi_micro"),
+        expr("cxsum div n").as("hx_micro"),
+        expr("cysum div n").as("hy_micro"),
+        expr("""CASE WHEN cxsum div n + cysum div n = 0 THEN 0
+                WHEN tsum >= 0 THEN (2 * (tsum div n) * 1000000)
+                  div (cxsum div n + cysum div n)
+                ELSE -((2 * ((-tsum) div n) * 1000000)
+                  div (cxsum div n + cysum div n)) END""").as("nmi_ppm"))
+  }
+
   /** q184 — BITMAP-INDEX distinct intersection: build a word-aligned user
     * bitmap per event type (word = user_id div 32, a BIGINT carrying 32
     * presence bits via bit_or — the Roaring-bitmap layout flattened to
@@ -1257,6 +1302,7 @@ object Stats extends QueryModule {
     "q184_bitmap_index" -> bitmapIndex,
     "q183_mad_outliers" -> madOutliers,
     "q209_weighted_quantiles" -> weightedQuantiles,
+    "q213_mutual_info" -> mutualInfo,
     "q179_psi_drift" -> psiDrift,
     "q173_roc_sweep" -> rocSweep,
     "q174_auc_exact" -> aucExact,
@@ -1388,6 +1434,34 @@ object Stats extends QueryModule {
         |        / ((n_curr + 0.5) / (tc + 5.0))) * 1000000) AS BIGINT)
         |    AS psi_micro
         |FROM w, t ORDER BY bin""".stripMargin,
+    // identical micro-nat cell terms over the same (type, dow) counts;
+    // DuckDB dayofweek is 0=Sunday where Spark's is 1, hence the +1
+    "q213_mutual_info" ->
+      """WITH ev AS (SELECT event_type AS x,
+        |    CAST(dayofweek(ts) + 1 AS INT) AS y FROM events),
+        |cxy AS (SELECT x, y, count(*) AS cxy FROM ev GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM cxy GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cxy),
+        |mi AS (SELECT max(n) AS n, count(*) AS n_cells,
+        |    CAST(sum(cxy * CAST(round(ln(CAST(cxy AS DOUBLE) * n
+        |      / (CAST(cx AS DOUBLE) * cy)) * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS tsum
+        |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), tot),
+        |hx AS (SELECT CAST(sum(cx * CAST(round(ln(CAST(n AS DOUBLE) / cx)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS cxsum FROM cx, tot),
+        |hy AS (SELECT CAST(sum(cy * CAST(round(ln(CAST(n AS DOUBLE) / cy)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS cysum FROM cy, tot)
+        |SELECT n, n_cells,
+        |  CASE WHEN tsum >= 0 THEN tsum // n
+        |    ELSE -((-tsum) // n) END AS mi_micro,
+        |  cxsum // n AS hx_micro, cysum // n AS hy_micro,
+        |  CASE WHEN cxsum // n + cysum // n = 0 THEN 0
+        |    WHEN tsum >= 0 THEN (2 * (tsum // n) * 1000000)
+        |      // (cxsum // n + cysum // n)
+        |    ELSE -((2 * ((-tsum) // n) * 1000000)
+        |      // (cxsum // n + cysum // n)) END AS nmi_ppm
+        |FROM mi, hx, hy""".stripMargin,
     // identical cross-multiplied integer quantile reads off the
     // (flag, cents) weight histogram — no division anywhere
     "q209_weighted_quantiles" ->

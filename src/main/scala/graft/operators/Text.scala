@@ -95,6 +95,48 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q214 — inter-annotator agreement (Cohen's κ) between the metadata
+    * language label and the q29 stopword heuristic: the labeling-quality
+    * audit every weak-supervision pipeline runs — raw agreement po
+    * flatters annotators who both guess the majority class, and κ =
+    * (po − pe)/(1 − pe) subtracts the chance-agreement floor pe =
+    * Σ_k p_a(k)·p_b(k). Computed EXACTLY: one (a, b) confusion-cell
+    * aggregate (everything downstream runs on |labels|² cells), marginal
+    * products and the κ rational in cross-multiplied integers —
+    * κ_ppm = (n·agree − Σ ca·cb)·10⁶ div (n² − Σ ca·cb), sign-safe (κ is
+    * negative for worse-than-chance annotators) with the degenerate
+    * pe = 1 case pinned to 0. DECIMAL(38) carries the n² products.
+    */
+  val kappaAgreement: Q = (s, d) => {
+    val en = size(filter(toks, t => t.isin(stopEn: _*)))
+    val es = size(filter(toks, t => t.isin(stopEs: _*)))
+    val lab = Tables.fanOut(Tables.documents(s, d), "doc_id").select(
+      col("lang").as("a"),
+      when(en > es, "en").when(es > en, "es").otherwise("und").as("b"))
+    val cells = lab.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val ca = cells.groupBy("a").agg(sum("c").as("ca"))
+    val cb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val n = cells.agg(sum("c").as("n"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum("c"), lit(0L)).as("agree"))
+    val pe = ca.join(cb, ca("a") === cb("b"))
+      .agg(coalesce(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")),
+        lit(0L).cast("decimal(38,0)")).as("penum"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"),
+        expr("agree * 1000000 div n").as("po_ppm"),
+        expr("""CAST(penum * 1000000
+                div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("pe_ppm"),
+        expr("""CAST(CASE
+                WHEN CAST(n AS DECIMAL(38,0)) * n - penum = 0 THEN 0
+                WHEN CAST(n AS DECIMAL(38,0)) * agree >= penum
+                THEN (CAST(n AS DECIMAL(38,0)) * agree - penum) * 1000000
+                     div (CAST(n AS DECIMAL(38,0)) * n - penum)
+                ELSE -((penum - CAST(n AS DECIMAL(38,0)) * agree) * 1000000
+                     div (CAST(n AS DECIMAL(38,0)) * n - penum))
+                END AS BIGINT)""").as("kappa_ppm"))
+  }
+
   /** q30 — n-gram (token-set) Jaccard near-dup over blocked candidate
     * pairs. Blocking key = (lang, n_chars within ±2): at 100 TB the
     * candidate join is an equi-join on the block key, never an n² cross
@@ -1108,6 +1150,7 @@ object Text extends QueryModule {
     "q25_dedup_exact" -> dedupExact,
     "q61_tfidf_top" -> tfidfTop,
     "q205_tfidf_cosine" -> tfidfCosine,
+    "q214_kappa_agreement" -> kappaAgreement,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
@@ -1623,6 +1666,37 @@ object Text extends QueryModule {
          | list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
          |             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same confusion cells, same cross-multiplied kappa rational
+    "q214_kappa_agreement" ->
+      s"""WITH lab AS (SELECT lang AS a,
+         |    CASE WHEN len(list_filter($duckToks, t -> t IN ('the','a','and','of')))
+         |           > len(list_filter($duckToks, t -> t IN ('el','la','de','que'))) THEN 'en'
+         |         WHEN len(list_filter($duckToks, t -> t IN ('el','la','de','que')))
+         |           > len(list_filter($duckToks, t -> t IN ('the','a','and','of'))) THEN 'es'
+         |         ELSE 'und' END AS b
+         |  FROM documents),
+         |cells AS (SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2),
+         |ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+         |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         |agr AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS agree
+         |  FROM cells WHERE a = b),
+         |pe AS (SELECT CAST(COALESCE(sum(CAST(ca AS HUGEINT) * cb), 0)
+         |    AS HUGEINT) AS penum
+         |  FROM ca JOIN cb ON ca.a = cb.b)
+         |SELECT n, agree,
+         |  agree * 1000000 // n AS po_ppm,
+         |  CAST(penum * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         |    AS pe_ppm,
+         |  CAST(CASE
+         |    WHEN CAST(n AS HUGEINT) * n - penum = 0 THEN 0
+         |    WHEN CAST(n AS HUGEINT) * agree >= penum
+         |    THEN (CAST(n AS HUGEINT) * agree - penum) * 1000000
+         |         // (CAST(n AS HUGEINT) * n - penum)
+         |    ELSE -((penum - CAST(n AS HUGEINT) * agree) * 1000000
+         |         // (CAST(n AS HUGEINT) * n - penum))
+         |    END AS BIGINT) AS kappa_ppm
+         |FROM n, agr, pe""".stripMargin,
     "q29_lang_id" ->
       s"""SELECT doc_id,
          | CASE WHEN len(list_filter($duckToks, t -> t IN ('the','a','and','of')))

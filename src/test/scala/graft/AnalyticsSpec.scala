@@ -881,4 +881,25 @@ class AnalyticsSpec extends SparkSpec {
       ("A", 400L, 10L, 20L, 20L),
       ("B", 500L, 7L, 7L, 7L)), got.mkString(","))
   }
+
+  test("q213 mutual information: a perfectly dependent pair gives MI = H and NMI = 1e6") {
+    import spark.implicits._
+    // views only on Sunday (epoch day 3), purchases only on Monday (day
+    // 4), two of each: every cell term is ln 2 → MI = Hx = Hy = 693147
+    // µnats and NMI is exactly 1e6
+    val dayNs = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 3L * dayNs + 1, 1L, "view", 0.0, "{}"),
+      (2L, 3L * dayNs + 2, 2L, "view", 0.0, "{}"),
+      (3L, 4L * dayNs + 1, 3L, "purchase", 0.0, "{}"),
+      (4L, 4L * dayNs + 2, 4L, "purchase", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftmi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q213_mutual_info")(spark, dir).head()
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_cells"),
+      r.getAs[Long]("mi_micro"), r.getAs[Long]("hx_micro"),
+      r.getAs[Long]("hy_micro"), r.getAs[Long]("nmi_ppm"))
+      === ((4L, 2L, 693147L, 693147L, 693147L, 1000000L)), r.toString)
+  }
 }

@@ -56,22 +56,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q30 Jaccard and the minhash candidate joins are blocked equi-joins") {
-    // q37/q59 stage the pair list through parquet, so the candidate join
-    // lives in verifiedPairs' plan, not the returned (post-staging) one —
-    // pin the generator plan directly
+    // the family stages BOTH the candidate list and the hashed-set table
+    // through parquet, so the band join lives in candJoin's plan and the
+    // verify joins in verifiedPairs' — pin each generator plan directly
+    val cands = graft.operators.Dedup.candJoin(spark, sf)
+      .queryExecution.executedPlan.toString
     val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
       .queryExecution.executedPlan.toString
     for ((name, p) <- Seq(
         "q30_jaccard_pairs" -> plan("q30_jaccard_pairs"),
-        "verifiedPairs" -> pairs)) {
+        "candJoin" -> cands, "verifiedPairs" -> pairs)) {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
-    // band self-join + both verify joins hash-probe rather than sort the
-    // candidate mass (the at-scale plan; sorting it twice doubled the
-    // 10x-scale runtime, BENCH_SF1.md)
-    assert(count(pairs, "ShuffledHashJoin") >= 3, pairs)
+    // the band self-join and both verify joins hash-probe rather than
+    // sort the candidate mass (the at-scale plan; sorting it twice
+    // doubled the 10x-scale runtime, BENCH_SF1.md)
+    assert(count(cands, "ShuffledHashJoin") >= 1, cands)
+    assert(!cands.contains("SortMergeJoin"), cands)
+    assert(count(pairs, "ShuffledHashJoin") >= 2, pairs)
     assert(!pairs.contains("SortMergeJoin"), pairs)
+    // and the verify joins read the STAGED artifacts, not a re-derivation
+    assert(pairs.contains("graft_mh_cands"), pairs)
+    assert(pairs.contains("graft_mh_hs"), pairs)
   }
 
   test("q37 consumes the STAGED pair list: one leaf scan, no recomputation") {

@@ -667,4 +667,24 @@ class TextDedupSpec extends SparkSpec {
     val bucketed = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
     assert(bucketed === scoredDocs, s"$bucketed vs $scoredDocs")
   }
+
+  test("q214 kappa: hand-built confusion cells give the exact cross-multiplied rational") {
+    import spark.implicits._
+    // cells: (en,en)=2, (es,es)=1, (en,es)=1 → N=4, agree=3,
+    // pe_num = 3·2 + 1·2 = 8 → po 750000, pe 500000,
+    // kappa = (12−8)·1e6 // (16−8) = 500000
+    val docs = Seq(
+      (1L, "the of x", "en", "s", 8),
+      (2L, "the and y", "en", "s", 9),
+      (3L, "el la z", "es", "s", 7),
+      (4L, "el la que", "en", "s", 9))
+    val dir = java.nio.file.Files.createTempDirectory("graftkappa").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q214_kappa_agreement")(spark, dir).head()
+    assert((r.getAs[Long]("n"), r.getAs[Long]("agree"),
+      r.getAs[Long]("po_ppm"), r.getAs[Long]("pe_ppm"),
+      r.getAs[Long]("kappa_ppm"))
+      === ((4L, 3L, 750000L, 500000L, 500000L)), r.toString)
+  }
 }
