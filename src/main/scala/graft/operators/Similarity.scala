@@ -266,6 +266,51 @@ object Similarity extends QueryModule {
     ivfIndex(corpus, pivots, probes = 2)
   }
 
+  /** Micro-nat log of the q215 cell count: round(10⁶·ln 64). */
+  private val ln64Micro = 4158883L
+
+  /** q215 — IVF index COVERAGE audit: the health gauge of the q47/q72
+    * partitioned-ANN family — an inverted-file index is only as good as
+    * its cell balance (a hot cell degrades probes to brute force, empty
+    * cells waste probe budget, and a skewed occupancy histogram is the
+    * signal to re-train pivots). One home-cell assignment pass (the same
+    * O(n·C) map-side rank against the broadcast pivot table ivfIndex
+    * runs), then everything reduces to the 64-row occupancy histogram:
+    * vector count, occupied/empty cells, min/max occupancy, occupancy
+    * ENTROPY in integer micro-nats (q94's per-term rounding — ln(64)
+    * would be the uniform ideal) and the balance ratio entropy/ln(64) in
+    * ppm. All divisions positive and final.
+    */
+  val ivfCoverage: Q = (s, d) => {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val home = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("pivot_id").as("cell_id"))
+    val occ = home.groupBy("cell_id").agg(count(lit(1)).as("c"))
+    // the unpartitioned window runs over the 64-row histogram, never the
+    // corpus — cell-bounded by construction
+    occ.withColumn("n", sum("c").over(Window.partitionBy()))
+      .agg(max("n").as("nv"), count(lit(1)).as("n_occupied"),
+        max("c").as("max_cell"), min("c").as("min_cell"),
+        sum(col("c") * expr(
+          "CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)"))
+          .as("esum"))
+      .select(col("nv").as("n_vectors"), lit(64L).as("n_cells"),
+        (lit(64L) - col("n_occupied")).as("n_empty"),
+        col("max_cell"), col("min_cell"),
+        expr("esum div nv").as("entropy_micro"),
+        expr(s"(esum div nv) * 1000000 div $ln64Micro").as("balance_ppm"))
+  }
+
   /** q63 — symmetric int8 scalar quantization of the embedding column (the
     * standard vector-index compression: 4× smaller than float32, dot
     * products stay SIMD-able): per-vector scale = max|x|/127, qᵢ =
@@ -530,6 +575,7 @@ object Similarity extends QueryModule {
     "q32_lsh_ann" -> lshAnn,
     "q36_embed_neardup" -> embedNearDup,
     "q47_ivf_ann" -> ivfAnn,
+    "q215_ivf_coverage" -> ivfCoverage,
     "q72_ann_recall" -> annRecall,
     "q189_knn_graph" -> knnGraph)
 
@@ -725,6 +771,29 @@ object Similarity extends QueryModule {
          |  FROM ivf JOIN brute USING (q_id))
          |SELECT n_eval, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_eval, 4) AS recall FROM hits""".stripMargin,
+    // the identical home-cell rank over the same 64 pivots, reduced to
+    // the occupancy histogram with per-cell micro-nat entropy terms
+    "q215_ivf_coverage" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT v.vec_id, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC, p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 64) p
+         |  ) WHERE arn = 1),
+         |occ AS (SELECT cell_id, count(*) AS c FROM assigned GROUP BY 1),
+         |wn AS (SELECT cell_id, c, CAST(sum(c) OVER () AS BIGINT) AS n FROM occ)
+         |SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+         |  CAST(64 AS BIGINT) AS n_cells,
+         |  CAST(64 - count(*) AS BIGINT) AS n_empty,
+         |  CAST(max(c) AS BIGINT) AS max_cell,
+         |  CAST(min(c) AS BIGINT) AS min_cell,
+         |  CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000)
+         |    AS BIGINT)) // max(n) AS BIGINT) AS entropy_micro,
+         |  CAST((sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000)
+         |    AS BIGINT)) // max(n)) * 1000000 // 4158883 AS BIGINT)
+         |    AS balance_ppm
+         |FROM wn""".stripMargin,
     "q47_ivf_ann" ->
       s"""WITH assigned AS (
          |  SELECT vec_id, embedding, cell_id, arn FROM (

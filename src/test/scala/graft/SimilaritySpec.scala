@@ -307,4 +307,24 @@ class SimilaritySpec extends SparkSpec {
     // mutuality prunes the hub tail but must keep SOME structure at sf0.001
     assert(got.exists { case (dg, n) => dg > 0 && n > 0 }, got.mkString(","))
   }
+
+  test("q215 IVF coverage: planted orthogonal cells give the hand-computed occupancy audit") {
+    import spark.implicits._
+    // pivots 0/1 on orthogonal axes; vectors 100/101 align with one axis
+    // each → two cells of occupancy 2, entropy ln 2, balance ln2/ln64
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 0),
+      (100L, Array(0.9f, 0.1f, 0.0f), 0),
+      (101L, Array(0.1f, 0.9f, 0.0f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graftivfcov").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q215_ivf_coverage")(spark, dir).head()
+    assert((r.getAs[Long]("n_vectors"), r.getAs[Long]("n_cells"),
+      r.getAs[Long]("n_empty"), r.getAs[Long]("max_cell"),
+      r.getAs[Long]("min_cell"), r.getAs[Long]("entropy_micro"),
+      r.getAs[Long]("balance_ppm"))
+      === ((4L, 64L, 62L, 2L, 2L, 693147L, 166666L)), r.toString)
+  }
 }
