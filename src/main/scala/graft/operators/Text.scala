@@ -137,6 +137,39 @@ object Text extends QueryModule {
                 END AS BIGINT)""").as("kappa_ppm"))
   }
 
+  /** q216 — per-source LENGTH-PERCENTILE bias audit (quantile
+    * normalization): map every document's length onto its GLOBAL
+    * percentile rank, then summarize per source — the distribution-free
+    * way to see that source X systematically contributes the corpus's
+    * long tail (mean percentile ≫ 500000) where raw mean lengths conflate
+    * scale and shape. Rank-based feature normalization is the same
+    * primitive trainers apply before mixing heterogeneous sources.
+    * Exactly the q160/q209 value-histogram discipline: one (n_chars)
+    * count aggregate, a cumulative sum over the DISTINCT-VALUE frame
+    * (domain-bounded — lengths, not rows), percentile = cum·10⁶ div n,
+    * and one broadcast join back (the percentile table is
+    * vocabulary-of-lengths-sized). Per-source reductions are exact
+    * integers throughout.
+    */
+  val lengthBias: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("source"), col("n_chars"))
+    val vc = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val ranked = vc.withColumn("cum", sum("c").over(
+      Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = vc.agg(sum("c").as("n"))
+    val pct = ranked.crossJoin(broadcast(tot))
+      .select(col("n_chars"), expr("cum * 1000000 div n").as("pct_ppm"))
+    docs.join(broadcast(pct), "n_chars")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        expr("sum(pct_ppm) div count(1)").as("mean_pct_ppm"),
+        min("pct_ppm").as("min_pct_ppm"),
+        max("pct_ppm").as("max_pct_ppm"))
+      .orderBy("source")
+  }
+
   /** q30 — n-gram (token-set) Jaccard near-dup over blocked candidate
     * pairs. Blocking key = (lang, n_chars within ±2): at 100 TB the
     * candidate join is an equi-join on the block key, never an n² cross
@@ -1151,6 +1184,7 @@ object Text extends QueryModule {
     "q61_tfidf_top" -> tfidfTop,
     "q205_tfidf_cosine" -> tfidfCosine,
     "q214_kappa_agreement" -> kappaAgreement,
+    "q216_length_bias" -> lengthBias,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
@@ -1666,6 +1700,22 @@ object Text extends QueryModule {
          | list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
          |             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the identical distinct-length percentile table joined back
+    "q216_length_bias" ->
+      """WITH docs AS (SELECT source, n_chars FROM documents),
+        |vc AS (SELECT n_chars, count(*) AS c FROM docs GROUP BY 1),
+        |rk AS (SELECT n_chars, c,
+        |    sum(c) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+        |pct AS (SELECT n_chars,
+        |    CAST(cum * 1000000 // n AS BIGINT) AS pct_ppm FROM rk, tot)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(pct_ppm) // count(*) AS BIGINT) AS mean_pct_ppm,
+        |  min(pct_ppm) AS min_pct_ppm, max(pct_ppm) AS max_pct_ppm
+        |FROM docs JOIN pct USING (n_chars)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     // same confusion cells, same cross-multiplied kappa rational
     "q214_kappa_agreement" ->
       s"""WITH lab AS (SELECT lang AS a,

@@ -687,4 +687,22 @@ class TextDedupSpec extends SparkSpec {
       r.getAs[Long]("kappa_ppm"))
       === ((4L, 3L, 750000L, 500000L, 500000L)), r.toString)
   }
+
+  test("q216 length bias: planted sources land on exact global percentile means") {
+    import spark.implicits._
+    // lengths 10/20 (source A) and 30/40 (source B) → global percentiles
+    // 25/50/75/100% → A mean 375000, B mean 875000
+    val docs = Seq(
+      (1L, "a", "en", "A", 10), (2L, "b", "en", "A", 20),
+      (3L, "c", "en", "B", 30), (4L, "d", "en", "B", 40))
+    val dir = java.nio.file.Files.createTempDirectory("graftlenb").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q216_length_bias")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList === List(
+      ("A", 2L, 375000L, 250000L, 500000L),
+      ("B", 2L, 875000L, 750000L, 1000000L)), got.mkString(","))
+  }
 }
