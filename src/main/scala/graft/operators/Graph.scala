@@ -488,6 +488,37 @@ object Graph extends QueryModule {
     reached.unionByName(unreached).orderBy("dist")
   }
 
+  /** q217 — ITEM-ITEM top-3 co-purchase recommendations: the classic
+    * "customers who bought X also bought Y" matrix — for every part, its
+    * three strongest co-purchase partners by basket co-occurrence with
+    * the m ≥ 2 repeat cut (one-shot coincidences are noise, q155's
+    * argument). This is the *serving table* the graph family's analyses
+    * feed: q177 predicts missing edges, this ranks the existing ones.
+    * Plan shape: the within-order self-join fans out O(|basket|²) per
+    * order (order-bounded, q152's argument), pair counts map-side
+    * combine, both directions union for the symmetric view, and the
+    * rank ≤ 3 filter compiles to WindowGroupLimit — each map partition
+    * forwards at most 3 partners per part before the exchange, so the
+    * output shuffle carries 3·|parts| rows whatever the basket volume.
+    */
+  val itemRecs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+    val sym = e2.select(col("u"), col("v"), col("m"))
+      .union(e2.select(col("v").as("u"), col("u").as("v"), col("m")))
+    sym.withColumn("rank", row_number().over(
+        Window.partitionBy("u").orderBy(col("m").desc, col("v"))))
+      .filter(col("rank") <= 3)
+      .select(col("u").as("part"), col("rank"), col("v").as("rec_part"),
+        col("m").as("n_cobuys"))
+      .orderBy("part", "rank")
+  }
+
   /** Propagation depth for the q210 forward/backward reachability pass. */
   private val sccRounds = 3
 
@@ -630,9 +661,25 @@ object Graph extends QueryModule {
     "q159_gnn_sample" -> gnnSample,
     "q167_bfs_hops" -> bfsHops,
     "q177_link_predict" -> linkPredict,
-    "q210_scc_classes" -> sccClasses)
+    "q210_scc_classes" -> sccClasses,
+    "q217_item_recs" -> itemRecs)
 
   def oracles: Map[String, String] = Map(
+    // identical pair counts, identical (m desc, v) rank order
+    "q217_item_recs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e2 AS (SELECT u, v, m FROM (
+        |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+        |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |  WHERE m >= 2),
+        |sym AS (SELECT u, v, m FROM e2
+        |  UNION ALL SELECT v AS u, u AS v, m FROM e2),
+        |rk AS (SELECT u, v, m, row_number()
+        |    OVER (PARTITION BY u ORDER BY m DESC, v) AS rank FROM sym)
+        |SELECT u AS part, CAST(rank AS INT) AS rank, v AS rec_part,
+        |  m AS n_cobuys
+        |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
     // the same fixed-depth forward/backward min-label passes, unrolled as
     // generated CTEs over the identical ≥2-distinct-customer edge list
     "q210_scc_classes" -> {

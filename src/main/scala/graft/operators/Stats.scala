@@ -1086,6 +1086,47 @@ object Stats extends QueryModule {
       .orderBy("flag")
   }
 
+  /** Benford expectations, round(10⁶·log₁₀(1 + 1/d)) for d = 1..9 —
+    * literal constants shared with the oracle so neither engine
+    * evaluates a transcendental at run time. */
+  private val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** q218 — BENFORD first-digit audit of order totals: the fraud /
+    * fabricated-data screen auditors run on any organically-grown
+    * monetary column — naturally occurring multiplicative amounts put
+    * ~30.1% of first significant digits at 1, and a synthetic or
+    * manipulated column shows up as flat or spiky deviations. Digit
+    * extraction stays integer-exact: cents = round(p·100) as BIGINT,
+    * first digit = cents div 10^(digits−1) with the width read off the
+    * decimal STRING length (both engines render positive integers
+    * identically — no float log10 anywhere); expectations are shared
+    * literal ppm constants, deviations signed subtractions. One scan to
+    * a 9-row frame; the uniform fixture generator deliberately FAILS
+    * this audit — the dev_ppm column showing it is the point.
+    */
+  val benfordAudit: Q = (s, d) => {
+    import s.implicits._
+    val digits = Tables.orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .filter(col("c") > 0)
+      .select(expr(
+        "c div CAST(pow(10, length(CAST(c AS STRING)) - 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expect = benfordPpm.zipWithIndex
+      .map { case (ppm, i) => (i + 1L, ppm) }
+      .toDF("digit", "benford_ppm")
+    expect.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(digits.agg(sum("n").as("tot"))))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, CAST(0 AS BIGINT)) * 1000000 div tot").as("obs_ppm"),
+        col("benford_ppm"),
+        (expr("coalesce(n, CAST(0 AS BIGINT)) * 1000000 div tot")
+          - col("benford_ppm")).as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   /** q213 — exact MUTUAL INFORMATION between two categorical axes
     * (event type × day-of-week): the feature-relevance primitive a
     * training pipeline runs before keeping a column — MI = Σ p(x,y)·
@@ -1303,6 +1344,7 @@ object Stats extends QueryModule {
     "q183_mad_outliers" -> madOutliers,
     "q209_weighted_quantiles" -> weightedQuantiles,
     "q213_mutual_info" -> mutualInfo,
+    "q218_benford_audit" -> benfordAudit,
     "q179_psi_drift" -> psiDrift,
     "q173_roc_sweep" -> rocSweep,
     "q174_auc_exact" -> aucExact,
@@ -1434,6 +1476,25 @@ object Stats extends QueryModule {
         |        / ((n_curr + 0.5) / (tc + 5.0))) * 1000000) AS BIGINT)
         |    AS psi_micro
         |FROM w, t ORDER BY bin""".stripMargin,
+    // the digit spine and ppm expectations are shared literals; digit
+    // extraction reads the integer's decimal width, no float log10
+    "q218_benford_audit" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE round(o_totalprice * 100) > 0),
+        |dg AS (SELECT c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1)
+        |    AS BIGINT) AS digit, count(*) AS n
+        |  FROM c GROUP BY 1),
+        |sp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS t(digit, benford_ppm)),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM dg)
+        |SELECT CAST(sp.digit AS BIGINT) AS digit,
+        |  CAST(COALESCE(dg.n, 0) AS BIGINT) AS n,
+        |  COALESCE(dg.n, 0) * 1000000 // tot AS obs_ppm,
+        |  CAST(sp.benford_ppm AS BIGINT) AS benford_ppm,
+        |  COALESCE(dg.n, 0) * 1000000 // tot - sp.benford_ppm AS dev_ppm
+        |FROM sp LEFT JOIN dg ON sp.digit = dg.digit, tot
+        |ORDER BY digit""".stripMargin,
     // identical micro-nat cell terms over the same (type, dow) counts;
     // DuckDB dayofweek is 0=Sunday where Spark's is 1, hence the +1
     "q213_mutual_info" ->

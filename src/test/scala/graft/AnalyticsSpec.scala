@@ -902,4 +902,24 @@ class AnalyticsSpec extends SparkSpec {
       r.getAs[Long]("hy_micro"), r.getAs[Long]("nmi_ppm"))
       === ((4L, 2L, 693147L, 693147L, 693147L, 1000000L)), r.toString)
   }
+
+  test("q218 Benford: planted digits give exact observed ppm and signed deviations; zero totals drop") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 1.00, "x"), (2L, 2L, 1.50, "x"), (3L, 3L, 199.99, "x"),
+      (4L, 4L, 2.50, "x"), (5L, 5L, 95.00, "x"), (6L, 6L, 0.00, "x"))
+    val dir = java.nio.file.Files.createTempDirectory("graftbenford").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q218_benford_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // totals 100/150/19999/250/9500 cents → digits 1,1,1,2,9; the 0.00
+    // row is excluded. obs: d1 600000, d2 200000, d9 200000
+    assert(got.length === 9)
+    assert(got(0) === ((1L, 3L, 600000L, 301030L, 298970L)), got(0).toString)
+    assert(got(1) === ((2L, 1L, 200000L, 176091L, 23909L)), got(1).toString)
+    assert(got(2) === ((3L, 0L, 0L, 124939L, -124939L)), got(2).toString)
+    assert(got(8) === ((9L, 1L, 200000L, 45757L, 154243L)), got(8).toString)
+  }
 }

@@ -366,6 +366,30 @@ class PropertySpec extends SparkSpec {
       === ((6L, 2L, 7L, 70L, 196L, 357142L)), r.toString)
   }
 
+  test("q217 item recs: multiplicities rank partners, ties break to the smaller part, singles are cut") {
+    import spark.implicits._
+    // part 1 co-buys: with 2 in 3 orders, with 3/4/5 in 2 orders each →
+    // top-3 = 2, then 3 and 4 by the tie-break; (6,7) co-occur once → cut
+    val baskets = List(
+      List(1L, 2L), List(1L, 2L), List(1L, 2L),
+      List(1L, 3L), List(1L, 3L), List(1L, 4L), List(1L, 4L),
+      List(1L, 5L), List(1L, 5L), List(6L, 7L))
+    val rows = baskets.zipWithIndex.flatMap { case (ps, o) =>
+      ps.map(p => (o.toLong, p))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftrecs").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val df = SparkEntry.queries("q217_item_recs")(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      (1L, 1, 2L, 3L), (1L, 2, 3L, 2L), (1L, 3, 4L, 2L),
+      (2L, 1, 1L, 3L), (3L, 1, 1L, 2L), (4L, 1, 1L, 2L),
+      (5L, 1, 1L, 2L)), got.mkString(","))
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=3 must compile to WindowGroupLimit")
+  }
+
   test("q210 SCC classes: a directed cycle forms one class; a chain forms none") {
     import spark.implicits._
     // directed temporal edges u->v need >= 2 DISTINCT customers ordering
