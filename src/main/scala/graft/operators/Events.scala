@@ -374,6 +374,43 @@ object Events extends QueryModule {
       .orderBy("day")
   }
 
+  /** q220 — CONVERSION LATENCY distribution: time from each user's FIRST
+    * view to their FIRST purchase — the funnel's missing time axis (q111
+    * counts who converts; this says how long conversion takes, the
+    * number an attribution-window choice like q145's 7 days must be
+    * justified against). One per-user aggregate (two conditional mins,
+    * map-side combining), the never-converted and purchase-before-view
+    * users dropped explicitly, then the latency distribution reduces to
+    * an HOUR-bucketed value histogram (domain-bounded — q209's caveat:
+    * quantiles read off the bucketed frame, so they are hour-resolution
+    * by design) with cross-multiplied integer p50/p90 reads; the mean
+    * stays exact in µs (DECIMAL(38) sum, one final div).
+    */
+  val conversionLatency: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, d).groupBy("user_id").agg(
+      min(when(col("event_type") === "view", expr("unix_micros(ts)")))
+        .as("v"),
+      min(when(col("event_type") === "purchase", expr("unix_micros(ts)")))
+        .as("p"))
+    val lat = perUser
+      .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select(expr("(p - v) div 3600000000").as("hours"),
+        (col("p") - col("v")).as("us"))
+    val vc = lat.groupBy("hours").agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum", sum("c").over(
+      Window.orderBy("hours")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = lat.agg(count(lit(1)).as("n"),
+      sum(col("us").cast("decimal(38,0)")).as("sum_us"))
+    cum.crossJoin(broadcast(tot)).agg(
+      max("n").as("n_converted"),
+      expr("CAST(max(sum_us) div max(n) AS BIGINT)").as("mean_latency_us"),
+      min(when(col("cum") * 2 >= col("n"), col("hours"))).as("p50_hours"),
+      min(when(col("cum") * 10 >= col("n") * 9, col("hours")))
+        .as("p90_hours"))
+  }
+
   /** q180 — ROLLING 7-DAY DISTINCT USERS per day (the "rolling MAU"
     * dashboard line): count users active in [day−6, day]. Distinct-over-
     * a-sliding-window is the canonical hard aggregate — COUNT(DISTINCT)
@@ -450,6 +487,7 @@ object Events extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q196_lateness_audit" -> latenessAudit,
+    "q220_conversion_latency" -> conversionLatency,
     "q180_rolling_mau" -> rollingMau,
     "q175_ohlc_bars" -> ohlcBars,
     "q168_interval_coverage" -> intervalCoverage,
@@ -527,6 +565,27 @@ object Events extends QueryModule {
         |    AS BIGINT) AS n_late_15m,
         |  CAST(max(-neg_late) AS BIGINT) AS max_late_us
         |FROM ev""".stripMargin,
+    // identical per-user conditional mins, identical hour-bucketed
+    // quantile reads; mean exact in microseconds
+    "q220_conversion_latency" ->
+      """WITH pu AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS p
+        |  FROM events GROUP BY 1),
+        |lat AS (SELECT (p - v) // 3600000000 AS hours, p - v AS us
+        |  FROM pu WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+        |vc AS (SELECT hours, count(*) AS c FROM lat GROUP BY 1),
+        |cu AS (SELECT hours, c, sum(c) OVER (ORDER BY hours
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(us AS HUGEINT)) AS HUGEINT) AS sum_us FROM lat)
+        |SELECT max(n) AS n_converted,
+        |  CAST(max(sum_us) // max(n) AS BIGINT) AS mean_latency_us,
+        |  min(CASE WHEN cum * 2 >= n THEN hours END) AS p50_hours,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN hours END) AS p90_hours
+        |FROM cu, tot""".stripMargin,
     "q180_rolling_mau" ->
       """WITH ev AS (SELECT DISTINCT
         |    CAST(ts AS DATE) - DATE '1970-01-01' AS day, user_id

@@ -259,6 +259,67 @@ object Storage extends QueryModule {
     (out, dataDir)
   }
 
+  /** q221 — MANIFEST-DRIVEN incremental AGGREGATE refresh: the
+    * composition the two halves were built for — q124's changed-files
+    * primitive DRIVING q108's mergeable partial state. A materialized
+    * per-priority aggregate (count / decimal sum / min / max — every
+    * component mergeable) is staged alongside manifest v1; when a new
+    * batch lands (manifest v2), the refresher reads ONLY the added
+    * files (v2 ∖ v1 — file-count-bounded metadata math, never a data
+    * predicate), reduces them to delta partials, and merges:
+    * count+count, sum+sum, min(min), max(max). The oracle is the full
+    * recompute over the whole table — merge ≡ recompute IS the
+    * materialized-view-refresh contract, and at 100 TB the refresh
+    * reads one day's files instead of the history. avg is derived at
+    * read time (it does not merge; q108's rule).
+    */
+  val incrementalRefresh: Q = (s, d) => {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft_increfresh")
+    val dataDir = s"$root/data"
+    val o = Tables.orders(s, d)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def snapshot(v: Int): Unit = {
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      files.toDF("path").write.mode("overwrite").parquet(s"$root/manifests/v$v")
+    }
+    def partials(df: DataFrame) = df.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n"),
+      sum(dec2(col("o_totalprice"))).as("total"),
+      min("o_orderdate").as("first_date"),
+      max("o_orderdate").as("last_date"))
+    // base load + materialized base partials
+    o.filter(col("o_orderdate") < "1997-01-01")
+      .write.mode("overwrite").parquet(dataDir)
+    snapshot(1)
+    partials(s.read.parquet(dataDir))
+      .write.mode("overwrite").parquet(s"$root/agg_v1")
+    // a new batch lands
+    o.filter(col("o_orderdate") >= "1997-01-01")
+      .write.mode("append").parquet(dataDir)
+    snapshot(2)
+    // the refresh: added files only → delta partials → mergeable fold
+    val added = s.read.parquet(s"$root/manifests/v2")
+      .except(s.read.parquet(s"$root/manifests/v1"))
+      .collect().map(_.getString(0)).sorted
+    val delta = partials(s.read.parquet(added: _*))
+    s.read.parquet(s"$root/agg_v1").unionByName(delta)
+      .groupBy("o_orderpriority").agg(
+        sum("n").as("n"),
+        sum("total").cast("decimal(18,2)").as("t2"),
+        min("first_date").as("first_date"),
+        max("last_date").as("last_date"))
+      .select(col("o_orderpriority"), col("n"),
+        col("t2").cast("double").as("total"),
+        col("first_date"), col("last_date"),
+        // avg derived at read time from the merged components
+        expr("CAST(t2 * 100 AS BIGINT) div n").as("avg_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q206 — GARBAGE-COLLECTION (orphan-file) audit: the maintenance pass
     * every manifest-tracked table needs — rewrite commits (compaction,
     * clustering, MERGE) leave their input files on disk but OUT of the
@@ -863,6 +924,7 @@ object Storage extends QueryModule {
     "q121_dynamic_prune" -> dynamicPrune,
     "q124_incremental_read" -> incrementalRead,
     "q206_gc_audit" -> gcAudit,
+    "q221_incremental_refresh" -> incrementalRefresh,
     "q134_time_travel" -> timeTravel,
     "q135_zonemap_skip" -> zoneMapSkip,
     "q157_bloom_skip" -> bloomSkip,
@@ -955,6 +1017,15 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate >= '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // merge ≡ recompute: the manifest-driven refresh must equal the
+    // plain aggregate over the whole table
+    "q221_incremental_refresh" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   // count(*) AS avg_cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // file counts are structural constants (coalesce widths pinned in the
     // operator); the ROW math is the check — the live manifest must reach
     // the whole table, the orphans exactly the rewritten first batch

@@ -170,6 +170,56 @@ object Text extends QueryModule {
       .orderBy("source")
   }
 
+  /** q219 — VOCABULARY COVERAGE curve: how many distinct terms cover
+    * 50/90/95/99% of the token mass — the number a tokenizer-sizing or
+    * vocab-pruning decision reads (a 99%-coverage vocab an order of
+    * magnitude smaller than the full one is the normal Zipf outcome, and
+    * exactly why q171's BPE trainer works). The global frequency rank is
+    * TWO-PHASE (q172's distributed-ranking discipline — never one
+    * unpartitioned window over the vocabulary): per-count-value mass and
+    * rank offsets from the count-domain-bounded frequency-of-frequencies
+    * table, within-count ranks from a partitioned row_number — and since
+    * every term in a count group carries the SAME count, the cumulative
+    * mass at rank r is offset_mass + rn·cnt, exact by construction.
+    * Coverage reads are cross-multiplied integers off the ranked
+    * vocabulary. One tokenize pass; everything after is
+    * vocabulary-bounded.
+    */
+  val vocabCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val freq = docs.select(explode(filter(toks, t => length(t) > 0)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ff = freq.groupBy("cnt").agg(count(lit(1)).as("nterms"))
+    val offs = ff
+      .withColumn("rank_off", coalesce(sum("nterms").over(
+        Window.orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("mass_off", coalesce(sum(col("nterms") * col("cnt")).over(
+        Window.orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cnt", "rank_off", "mass_off")
+    val ranked = freq
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cnt").orderBy("term")))
+      .join(broadcast(offs), "cnt")
+      .select((col("rank_off") + col("rn")).as("rank"),
+        (col("mass_off") + col("rn") * col("cnt")).as("cum_mass"))
+    val tot = freq.agg(sum("cnt").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max("total_tokens").as("total_tokens"),
+        max("vocab_size").as("vocab_size"),
+        min(when(col("cum_mass") * 100 >= col("total_tokens") * 50,
+          col("rank"))).as("v50"),
+        min(when(col("cum_mass") * 100 >= col("total_tokens") * 90,
+          col("rank"))).as("v90"),
+        min(when(col("cum_mass") * 100 >= col("total_tokens") * 95,
+          col("rank"))).as("v95"),
+        min(when(col("cum_mass") * 100 >= col("total_tokens") * 99,
+          col("rank"))).as("v99"))
+  }
+
   /** q30 — n-gram (token-set) Jaccard near-dup over blocked candidate
     * pairs. Blocking key = (lang, n_chars within ±2): at 100 TB the
     * candidate join is an equi-join on the block key, never an n² cross
@@ -1185,6 +1235,7 @@ object Text extends QueryModule {
     "q205_tfidf_cosine" -> tfidfCosine,
     "q214_kappa_agreement" -> kappaAgreement,
     "q216_length_bias" -> lengthBias,
+    "q219_vocab_coverage" -> vocabCoverage,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
@@ -1700,6 +1751,30 @@ object Text extends QueryModule {
          | list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
          |             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // one global (cnt desc, term) rank at oracle scale; the Spark side
+    // reproduces the identical rank and cumulative mass via the
+    // two-phase count-group offsets
+    "q219_vocab_coverage" ->
+      s"""WITH freq AS (SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter($duckToks, x -> len(x) > 0)) AS term
+         |    FROM documents) GROUP BY 1),
+         |rk AS (SELECT cnt, row_number()
+         |    OVER (ORDER BY cnt DESC, term) AS rank,
+         |    sum(cnt) OVER (ORDER BY cnt DESC, term
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass
+         |  FROM freq),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         |    count(*) AS vocab_size FROM freq)
+         |SELECT total_tokens, vocab_size,
+         |  min(CASE WHEN cum_mass * 100 >= total_tokens * 50 THEN rank END)
+         |    AS v50,
+         |  min(CASE WHEN cum_mass * 100 >= total_tokens * 90 THEN rank END)
+         |    AS v90,
+         |  min(CASE WHEN cum_mass * 100 >= total_tokens * 95 THEN rank END)
+         |    AS v95,
+         |  min(CASE WHEN cum_mass * 100 >= total_tokens * 99 THEN rank END)
+         |    AS v99
+         |FROM rk, tot GROUP BY 1, 2""".stripMargin,
     // the identical distinct-length percentile table joined back
     "q216_length_bias" ->
       """WITH docs AS (SELECT source, n_chars FROM documents),

@@ -922,4 +922,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, 0L, 124939L, -124939L)), got(2).toString)
     assert(got(8) === ((9L, 1L, 200000L, 45757L, 154243L)), got(8).toString)
   }
+
+  test("q220 conversion latency: planted first-view/first-purchase pairs give exact mean and hour quantiles") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L // ns per hour
+    val rows = Seq(
+      // u1: view then purchase 2h later; a later view must not move v
+      (1L, 0L * h + 1, 1L, "view", 0.0, "{}"),
+      (2L, 2L * h + 1, 1L, "purchase", 0.0, "{}"),
+      (3L, 5L * h + 1, 1L, "view", 0.0, "{}"),
+      // u2: 10h latency
+      (4L, 1L * h + 1, 2L, "view", 0.0, "{}"),
+      (5L, 11L * h + 1, 2L, "purchase", 0.0, "{}"),
+      // u3: never converts; u4: purchase precedes view → dropped
+      (6L, 0L * h + 1, 3L, "view", 0.0, "{}"),
+      (7L, 0L * h + 1, 4L, "purchase", 0.0, "{}"),
+      (8L, 1L * h + 1, 4L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftconv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q220_conversion_latency")(spark, dir).head()
+    assert((r.getAs[Long]("n_converted"), r.getAs[Long]("mean_latency_us"),
+      r.getAs[Long]("p50_hours"), r.getAs[Long]("p90_hours"))
+      === ((2L, 21600000000L, 2L, 10L)), r.toString)
+  }
 }

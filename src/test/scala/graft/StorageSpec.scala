@@ -208,4 +208,19 @@ class StorageSpec extends SparkSpec {
     assert(got("1-URGENT") === ((2L, 2L, false, 0L)), got.toString)
     assert(got("3-MEDIUM") === ((3L, 1L, true, 2L)), got.toString)
   }
+
+  test("q221 incremental refresh: merged partials equal the direct full aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q221_incremental_refresh")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    val want = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    assert(got === want, s"merge != recompute: $got vs $want")
+  }
 }

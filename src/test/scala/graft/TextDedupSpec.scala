@@ -705,4 +705,21 @@ class TextDedupSpec extends SparkSpec {
       ("A", 2L, 375000L, 250000L, 500000L),
       ("B", 2L, 875000L, 750000L, 1000000L)), got.mkString(","))
   }
+
+  test("q219 vocab coverage: a planted Zipf toy gives the hand-computed checkpoints") {
+    import spark.implicits._
+    // term mass: a x6, b x2, c x1, d x1 → total 10, ranks a,b,c,d with
+    // cumulative 6/8/9/10 → v50=1, v90=3, v95=4, v99=4
+    val docs = Seq(
+      (1L, "a a a b", "en", "s", 7),
+      (2L, "a a a b c d", "en", "s", 11))
+    val dir = java.nio.file.Files.createTempDirectory("graftvocab").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q219_vocab_coverage")(spark, dir).head()
+    assert((r.getAs[Long]("total_tokens"), r.getAs[Long]("vocab_size"),
+      r.getAs[Long]("v50"), r.getAs[Long]("v90"), r.getAs[Long]("v95"),
+      r.getAs[Long]("v99"))
+      === ((10L, 4L, 1L, 3L, 4L, 4L)), r.toString)
+  }
 }
