@@ -374,6 +374,49 @@ object Events extends QueryModule {
       .orderBy("day")
   }
 
+  /** q222 — repeated SESSION-SHAPE mining (bot signatures): sessionize
+    * every user's stream (q45's 30-minute-gap semantics, derived
+    * declaratively — lag + running break-sum, one user-keyed window
+    * pass), fingerprint each session's ORDERED event-type sequence, and
+    * surface shapes that recur across sessions — organic behavior
+    * rarely replays the exact same click path, so high-multiplicity
+    * shapes spanning many users are the classic scripted-traffic
+    * signature. Ordering is total and engine-identical: the sequence is
+    * rebuilt from zero-padded (epoch-µs, event_id) sort keys (Spark has
+    * no ordered string_agg; array_sort over padded keys IS one — the
+    * q145 total-order-key discipline), and DuckDB's ordered string_agg
+    * mirrors it. Per-session state is session-bounded; the shape
+    * aggregate runs on one row per session; output is the top-10
+    * recurring shapes.
+    */
+  val botSignatures: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("brk",
+        when(col("t") - lag("t", 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val shapes = sess.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(concat(
+            lpad(col("t").cast("string"), 20, "0"), lit(":"),
+            lpad(col("event_id").cast("string"), 10, "0"), lit(":"),
+            col("event_type")))),
+          x => substring_index(x, ":", -1)))).as("fp"))
+    shapes.groupBy(substring(col("fp"), 1, 16).as("signature"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"),
+        min("n_events").as("session_len"))
+      .filter(col("n_sessions") >= 2)
+      .orderBy(col("n_sessions").desc, col("signature"))
+      .limit(10)
+  }
+
   /** q220 — CONVERSION LATENCY distribution: time from each user's FIRST
     * view to their FIRST purchase — the funnel's missing time axis (q111
     * counts who converts; this says how long conversion takes, the
@@ -488,6 +531,7 @@ object Events extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q196_lateness_audit" -> latenessAudit,
     "q220_conversion_latency" -> conversionLatency,
+    "q222_bot_signatures" -> botSignatures,
     "q180_rolling_mau" -> rollingMau,
     "q175_ohlc_bars" -> ohlcBars,
     "q168_interval_coverage" -> intervalCoverage,
@@ -565,6 +609,25 @@ object Events extends QueryModule {
         |    AS BIGINT) AS n_late_15m,
         |  CAST(max(-neg_late) AS BIGINT) AS max_late_us
         |FROM ev""".stripMargin,
+    // identical session breaks, identical ordered sequences (ordered
+    // string_agg mirrors the padded-key sort)
+    "q222_bot_signatures" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    event_type FROM events),
+        |mk AS (SELECT *, CASE WHEN t - lag(t)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS brk FROM ev),
+        |sid AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM mk),
+        |shp AS (SELECT user_id, sid, count(*) AS n_events,
+        |    md5(string_agg(event_type, ',' ORDER BY t, event_id)) AS fp
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT substr(fp, 1, 16) AS signature, count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(min(n_events) AS BIGINT) AS session_len
+        |FROM shp GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_sessions DESC, signature LIMIT 10""".stripMargin,
     // identical per-user conditional mins, identical hour-bucketed
     // quantile reads; mean exact in microseconds
     "q220_conversion_latency" ->

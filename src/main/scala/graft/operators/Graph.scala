@@ -519,6 +519,38 @@ object Graph extends QueryModule {
       .orderBy("part", "rank")
   }
 
+  /** q223 — DEGREE power-law fit over the repeat-co-purchase graph:
+    * log-log OLS of the degree histogram — scale-free-ness is the
+    * assumption behind every "hubs dominate" capacity plan (salting,
+    * WindowGroupLimit caps, the q138 orientation argument), and this is
+    * the query that CHECKS it instead of assuming. Reads the
+    * session-staged LPA edge list (no regeneration), reduces to the
+    * degree histogram (degree-domain-bounded), and fits q200's
+    * closed-form milli-nat OLS: integer moment sums, one exactly-
+    * representable double division per output, round() identical in
+    * both engines.
+    */
+  val degreePowerlaw: Q = (s, d) => {
+    val (edgesDir, _) = lpaArtifacts(s, d)
+    val deg = s.read.parquet(edgesDir)
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val pts = deg.groupBy("dg").agg(count(lit(1)).as("nd"))
+      .select(
+        expr("CAST(round(ln(CAST(dg AS DOUBLE)) * 1000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(nd AS DOUBLE)) * 1000) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n"),
+        expr("""CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+          | / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+          |""".stripMargin.replace("\n", " ")).as("slope_micro"),
+        expr("""CAST(round((CAST(sy AS DOUBLE)
+          | - CAST(n * sxy - sx * sy AS DOUBLE)
+          |   / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          | / CAST(n AS DOUBLE) * 1000) AS BIGINT)
+          |""".stripMargin.replace("\n", " ")).as("intercept_micro"))
+  }
+
   /** Propagation depth for the q210 forward/backward reachability pass. */
   private val sccRounds = 3
 
@@ -662,9 +694,40 @@ object Graph extends QueryModule {
     "q167_bfs_hops" -> bfsHops,
     "q177_link_predict" -> linkPredict,
     "q210_scc_classes" -> sccClasses,
-    "q217_item_recs" -> itemRecs)
+    "q217_item_recs" -> itemRecs,
+    "q223_degree_powerlaw" -> degreePowerlaw)
 
   def oracles: Map[String, String] = Map(
+    // the identical m>=2 edge list reduced to a degree histogram, fit
+    // with q200's closed-form milli-nat OLS expression tree
+    "q223_degree_powerlaw" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e2 AS (SELECT u, v FROM (
+        |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+        |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |  WHERE m >= 2),
+        |ed AS (SELECT u, v FROM e2
+        |  UNION ALL SELECT v AS u, u AS v FROM e2),
+        |deg AS (SELECT u, count(*) AS dg FROM ed GROUP BY 1),
+        |hist AS (SELECT dg, count(*) AS nd FROM deg GROUP BY 1),
+        |pts AS (SELECT
+        |    CAST(round(ln(CAST(dg AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(nd AS DOUBLE)) * 1000) AS BIGINT) AS y
+        |  FROM hist),
+        |sums AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
+        |SELECT n,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(round((CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS intercept_micro
+        |FROM sums""".stripMargin,
     // identical pair counts, identical (m desc, v) rank order
     "q217_item_recs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -946,4 +946,26 @@ class AnalyticsSpec extends SparkSpec {
       r.getAs[Long]("p50_hours"), r.getAs[Long]("p90_hours"))
       === ((2L, 21600000000L, 2L, 10L)), r.toString)
   }
+
+  test("q222 bot signatures: a replayed click path recurs across users; singletons are cut") {
+    import spark.implicits._
+    val sNs = 1000000000L
+    def sess(uid: Long, base: Long, types: Seq[String]) =
+      types.zipWithIndex.map { case (tp, i) =>
+        (base + i, (base + i) * sNs, uid, tp, 0.0, "{}")
+      }
+    val bot = Seq("view", "click", "purchase")
+    val rows = sess(1L, 100, bot) ++ sess(2L, 200, bot) ++
+      sess(3L, 300, bot) ++
+      // user 1's second session, one hour later, same shape
+      sess(1L, 10000, bot) ++
+      // a one-off shape must be cut by the >= 2 multiplicity filter
+      sess(4L, 400, Seq("view", "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graftbot").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q222_bot_signatures")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List((4L, 3L, 3L)), got.mkString(","))
+  }
 }

@@ -390,6 +390,23 @@ class PropertySpec extends SparkSpec {
       "rank<=3 must compile to WindowGroupLimit")
   }
 
+  test("q223 degree power-law: a planted star gives slope exactly -1") {
+    import spark.implicits._
+    // star 1-{2,3,4,5}, every edge twice: degree histogram {1:4, 4:1} →
+    // milli-nat points (0, 1386) and (1386, 0) → slope -1, intercept
+    // 1386 milli-nats
+    val edges = List((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftplaw").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q223_degree_powerlaw")(spark, dir).head()
+    assert((r.getAs[Long]("n"), r.getAs[Long]("slope_micro"),
+      r.getAs[Long]("intercept_micro"))
+      === ((2L, -1000000L, 1386000L)), r.toString)
+  }
+
   test("q210 SCC classes: a directed cycle forms one class; a chain forms none") {
     import spark.implicits._
     // directed temporal edges u->v need >= 2 DISTINCT customers ordering
