@@ -417,6 +417,68 @@ object Events extends QueryModule {
       .limit(10)
   }
 
+  /** q225 — top EVENT TRIGRAMS (sequential pattern mining): the most
+    * frequent length-3 event-type sequences across user streams — the
+    * order-sensitive step up from q150's first-order transition matrix
+    * (a Markov chain can't see that view→click→purchase outruns
+    * view→click→view without the third position). TWO lead() columns on
+    * ONE user-partitioned window pass (same shuffle, same sort — q150's
+    * shape with one more projected column), then a hash aggregate over
+    * the |types|³-bounded trigram space with distinct-user support.
+    * Top-10 via TakeOrderedAndProject with full tiebreaks.
+    */
+  val eventTrigrams: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
+  /** q226 — COHORT LTV curve: cumulative revenue per acquisition cohort
+    * by month offset — q112 counts retained users; this tracks the MONEY
+    * (the lifetime-value curve every "payback period" decision reads).
+    * Cohort = month of the user's first purchase (one conditional-min
+    * aggregate); month offsets in exact integer month codes (y·12+m —
+    * no months_between float); the cumulative sum runs per cohort over
+    * the OFFSET frame (wall-clock-bounded, never event-bounded), and
+    * LTV cents per user is one exact div against the fixed cohort size.
+    * Output is cohorts × offsets — calendar², independent of volume.
+    */
+  val cohortLtv: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("year(ts) * 12 + month(ts)").as("mcode"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val first = p.groupBy("user_id").agg(min("mcode").as("cohort_mcode"))
+    val sizes = first.groupBy("cohort_mcode")
+      .agg(count(lit(1)).as("n_users"))
+    val grid = p.join(first, "user_id")
+      .groupBy(col("cohort_mcode"),
+        (col("mcode") - col("cohort_mcode")).cast("long").as("month_offset"))
+      .agg(sum("cents").as("rev_cents"),
+        countDistinct("user_id").as("n_active"))
+    grid.join(sizes, "cohort_mcode")
+      .withColumn("cum_rev", sum("rev_cents").over(
+        Window.partitionBy("cohort_mcode").orderBy("month_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        expr("CAST(cohort_mcode div 12 AS INT)").as("cohort_year"),
+        expr("CAST(cohort_mcode % 12 AS INT)").as("cohort_month0"),
+        col("month_offset"), col("n_users"), col("n_active"),
+        col("rev_cents"), col("cum_rev"),
+        expr("cum_rev div n_users").as("ltv_cents_per_user"))
+      .orderBy("cohort_year", "cohort_month0", "month_offset")
+  }
+
   /** q220 — CONVERSION LATENCY distribution: time from each user's FIRST
     * view to their FIRST purchase — the funnel's missing time axis (q111
     * counts who converts; this says how long conversion takes, the
@@ -531,6 +593,8 @@ object Events extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q196_lateness_audit" -> latenessAudit,
     "q220_conversion_latency" -> conversionLatency,
+    "q225_event_trigrams" -> eventTrigrams,
+    "q226_cohort_ltv" -> cohortLtv,
     "q222_bot_signatures" -> botSignatures,
     "q180_rolling_mau" -> rollingMau,
     "q175_ohlc_bars" -> ohlcBars,
@@ -609,6 +673,42 @@ object Events extends QueryModule {
         |    AS BIGINT) AS n_late_15m,
         |  CAST(max(-neg_late) AS BIGINT) AS max_late_us
         |FROM ev""".stripMargin,
+    // one window pass with two leads, the identical (t, event_id) order
+    "q225_event_trigrams" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    event_type FROM events),
+        |sq AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT e1, e2, e3, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM sq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+    // exact integer month codes (y*12+m), cohort-frame cumulative sums
+    "q226_cohort_ltv" ->
+      """WITH p AS (SELECT user_id,
+        |    year(ts) * 12 + month(ts) AS mcode,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |fst AS (SELECT user_id, min(mcode) AS cohort_mcode
+        |  FROM p GROUP BY 1),
+        |sz AS (SELECT cohort_mcode, count(*) AS n_users FROM fst GROUP BY 1),
+        |grid AS (SELECT f.cohort_mcode,
+        |    p.mcode - f.cohort_mcode AS month_offset,
+        |    CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |    count(DISTINCT p.user_id) AS n_active
+        |  FROM p JOIN fst f USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT g.*, sz.n_users,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY g.cohort_mcode
+        |      ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_rev
+        |  FROM grid g JOIN sz USING (cohort_mcode))
+        |SELECT CAST(cohort_mcode // 12 AS INT) AS cohort_year,
+        |  CAST(cohort_mcode % 12 AS INT) AS cohort_month0,
+        |  CAST(month_offset AS BIGINT) AS month_offset, n_users, n_active,
+        |  rev_cents, cum_rev, cum_rev // n_users AS ltv_cents_per_user
+        |FROM cum ORDER BY cohort_year, cohort_month0, month_offset""".stripMargin,
     // identical session breaks, identical ordered sequences (ordered
     // string_agg mirrors the padded-key sort)
     "q222_bot_signatures" ->

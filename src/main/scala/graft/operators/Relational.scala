@@ -464,6 +464,31 @@ object Relational extends QueryModule {
       .orderBy("day")
   }
 
+  /** q224 — SEASONAL INDEX: each calendar month's average monthly revenue
+    * against the overall monthly average, in ppm — the classical
+    * seasonality readout (index 1.2e6 = "Decembers run 20% hot") that
+    * q154's seasonal-naive forecast implicitly assumes; this measures
+    * it. Exact end to end: revenue in BIGINT cents, the index as the
+    * cross-multiplied rational rev_m·n_total div (n_m·rev_total) in
+    * DECIMAL(38) — no per-month division before the ratio. One (year,
+    * month) aggregate (map-side combining), then everything runs on the
+    * ≤ 12·years frame.
+    */
+  val seasonalIndex: Q = (s, d) => {
+    val ym = Tables.orders(s, d).select(
+      expr("year(o_orderdate)").as("y"), expr("month(o_orderdate)").as("m"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("y", "m").agg(sum("cents").as("rev"))
+    val tot = ym.agg(sum("rev").as("trev"), count(lit(1)).as("tn"))
+    ym.groupBy("m").agg(count(lit(1)).as("n_months"), sum("rev").as("rev_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("m").as("month"), col("n_months"), col("rev_cents"),
+        expr("""CAST(CAST(rev_cents AS DECIMAL(38,0)) * tn * 1000000
+                div (CAST(n_months AS DECIMAL(38,0)) * trev) AS BIGINT)""")
+          .as("index_ppm"))
+      .orderBy("month")
+  }
+
   /** q77 — equal-width histogram of order totals: 10 buckets between the
     * global min/max, one aggregation after a broadcast of the two-value
     * bounds row; empty buckets materialize as zeros via the same spine
@@ -640,6 +665,7 @@ object Relational extends QueryModule {
     "q64_window_pack" -> windowPack,
     "q76_gap_fill" -> gapFill,
     "q201_linear_interp" -> linearInterp,
+    "q224_seasonal_index" -> seasonalIndex,
     "q77_histogram" -> histogram,
     "q78_trailing_7d" -> trailing7d,
     "q56_setops" -> setOps,
@@ -759,6 +785,18 @@ object Relational extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue
         |FROM spine s LEFT JOIN daily d USING (day)
         |ORDER BY day""".stripMargin,
+    "q224_seasonal_index" ->
+      """WITH ym AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS trev,
+        |    count(*) AS tn FROM ym)
+        |SELECT CAST(m AS INT) AS month, count(*) AS n_months,
+        |  CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |  CAST(CAST(sum(rev) AS HUGEINT) * tn * 1000000
+        |    // (CAST(count(*) AS HUGEINT) * trev) AS BIGINT) AS index_ppm
+        |FROM ym, tot GROUP BY m, tn, trev ORDER BY month""".stripMargin,
     "q201_linear_interp" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

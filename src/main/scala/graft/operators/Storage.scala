@@ -259,6 +259,43 @@ object Storage extends QueryModule {
     (out, dataDir)
   }
 
+  /** q227 — SCHEMA DRIFT diff between two table versions: the
+    * compatibility report a lake catalog produces before a reader
+    * upgrade — which columns a new snapshot added, removed, or RETYPED
+    * (the dangerous one: a silent double→decimal change breaks binary
+    * readers that survived the additive cases q82's mergeSchema
+    * handles). Two versions are staged (v2 drops o_custkey, adds
+    * o_orderpriority, retypes o_totalprice to DECIMAL(18,2)) and the
+    * diff derives from the parquet FOOTER schemas alone — pure metadata,
+    * the planner-side math of q124's manifest discipline applied to
+    * types: zero data rows are read to produce the report.
+    */
+  val schemaDrift: Q = (s, d) => {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft_schemadrift")
+    val o = Tables.orders(s, d)
+    o.select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/v1")
+    o.select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    val s1 = s.read.parquet(s"$root/v1").schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val s2 = s.read.parquet(s"$root/v2").schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    (s1.keySet ++ s2.keySet).toSeq.sorted.map { c =>
+      val status = (s1.get(c), s2.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case (Some(_), Some(_))           => "retyped"
+        case (Some(_), None)              => "removed"
+        case _                            => "added"
+      }
+      (c, s1.getOrElse(c, "-"), s2.getOrElse(c, "-"), status)
+    }.toDF("column_name", "type_v1", "type_v2", "status")
+      .orderBy("column_name")
+  }
+
   /** q221 — MANIFEST-DRIVEN incremental AGGREGATE refresh: the
     * composition the two halves were built for — q124's changed-files
     * primitive DRIVING q108's mergeable partial state. A materialized
@@ -925,6 +962,7 @@ object Storage extends QueryModule {
     "q124_incremental_read" -> incrementalRead,
     "q206_gc_audit" -> gcAudit,
     "q221_incremental_refresh" -> incrementalRefresh,
+    "q227_schema_drift" -> schemaDrift,
     "q134_time_travel" -> timeTravel,
     "q135_zonemap_skip" -> zoneMapSkip,
     "q157_bloom_skip" -> bloomSkip,
@@ -1017,6 +1055,16 @@ object Storage extends QueryModule {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate >= '1997-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the diff is pinned by the staged projections and the fixture's
+    // footer types — a structural contract, like q206's file counts
+    "q227_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'bigint', '-', 'removed'),
+        |  ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+        |  ('o_orderpriority', '-', 'string', 'added'),
+        |  ('o_totalprice', 'double', 'decimal(18,2)', 'retyped'))
+        |  AS t(column_name, type_v1, type_v2, status)
+        |ORDER BY column_name""".stripMargin,
     // merge ≡ recompute: the manifest-driven refresh must equal the
     // plain aggregate over the whole table
     "q221_incremental_refresh" ->

@@ -968,4 +968,61 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toList === List((4L, 3L, 3L)), got.mkString(","))
   }
+
+  test("q224 seasonal index: planted month revenues give exact cross-multiplied indexes") {
+    import spark.implicits._
+    // Jan-95 100, Jan-96 100, Feb-95 400 → Jan index 0.5e6, Feb 2e6
+    val rows = Seq(
+      (1L, 1L, 100.0, java.sql.Timestamp.valueOf("1995-01-10 00:00:00")),
+      (2L, 2L, 100.0, java.sql.Timestamp.valueOf("1996-01-20 00:00:00")),
+      (3L, 3L, 400.0, java.sql.Timestamp.valueOf("1995-02-05 00:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("graftseasidx").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q224_seasonal_index")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      (1, 2L, 20000L, 500000L), (2, 1L, 40000L, 2000000L)),
+      got.mkString(","))
+  }
+
+  test("q225 event trigrams: ordered sequences count with distinct-user support") {
+    import spark.implicits._
+    val sNs = 1000000000L
+    def seq4(uid: Long, base: Long, types: Seq[String]) =
+      types.zipWithIndex.map { case (tp, i) =>
+        (base + i, (base + i) * sNs, uid, tp, 0.0, "{}")
+      }
+    val rows = seq4(1L, 100, Seq("view", "click", "purchase", "view")) ++
+      seq4(2L, 200, Seq("view", "click", "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("grafttri").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q225_event_trigrams")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toList === List(
+      ("view", "click", "purchase", 2L, 2L),
+      ("click", "purchase", "view", 1L, 1L)), got.mkString(","))
+  }
+
+  test("q226 cohort LTV: cumulative revenue accrues per cohort by month offset") {
+    import spark.implicits._
+    def ns(sql: String): Long =
+      java.sql.Timestamp.valueOf(sql).getTime * 1000000L
+    val rows = Seq(
+      (1L, ns("2020-01-10 00:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, ns("2020-02-15 00:00:00"), 1L, "purchase", 20.0, "{}"),
+      (3L, ns("2020-02-20 00:00:00"), 2L, "purchase", 40.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftltv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q226_cohort_ltv")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toList === List(
+      (2020, 1, 0L, 1L, 1L, 1000L, 1000L, 1000L),
+      (2020, 1, 1L, 1L, 1L, 2000L, 3000L, 3000L),
+      (2020, 2, 0L, 1L, 1L, 4000L, 4000L, 4000L)), got.mkString(","))
+  }
 }

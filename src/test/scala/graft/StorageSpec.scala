@@ -223,4 +223,16 @@ class StorageSpec extends SparkSpec {
         ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
     assert(got === want, s"merge != recompute: $got vs $want")
   }
+
+  test("q227 schema drift: added, removed, retyped, and unchanged columns classify exactly") {
+    val got = SparkEntry.queries("q227_schema_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toList === List(
+      ("o_custkey", "bigint", "-", "removed"),
+      ("o_orderkey", "bigint", "bigint", "unchanged"),
+      ("o_orderpriority", "-", "string", "added"),
+      ("o_totalprice", "double", "decimal(18,2)", "retyped")),
+      got.mkString(","))
+  }
 }
