@@ -734,7 +734,7 @@ object Dedup extends QueryModule {
   }
 
   /** Fold count for the q208 grouped cross-validation assignment. */
-  private val kFolds = 5
+  private[graft] val kFolds = 5
 
   /** q208 — GROUP K-FOLD assignment: cross-validation folds that respect
     * the near-dup cluster boundary — the GroupKFold discipline, with the
@@ -751,7 +751,11 @@ object Dedup extends QueryModule {
     * cross folds. Output one row per fold: cluster/doc counts + id
     * checksum.
     */
-  val groupKfold: Q = (s, d) => {
+  /** Doc-level (doc_id, label, fold) assignment behind q208 — exposed
+    * `private[graft]` so the CV evaluation harness (q229) trains/scores
+    * against the SAME leakage-safe folds the assignment query reports.
+    */
+  private[graft] def docFolds(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val labels = clusterLabels(s, d)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
@@ -771,12 +775,15 @@ object Dedup extends QueryModule {
            |  ELSE ${kFolds - 1} - (rank - 1) % $kFolds
            |END AS BIGINT)""".stripMargin))
     labels.join(folds.select("label", "fold"), "label")
+  }
+
+  val groupKfold: Q = (s, d) =>
+    docFolds(s, d)
       .groupBy("fold").agg(
         countDistinct("label").as("n_clusters"),
         count(lit(1)).as("n_docs"),
         sum("doc_id").as("doc_checksum"))
       .orderBy("fold")
-  }
 
   def queries: Map[String, Q] = Map(
     "q198_survivorship" -> survivorship,
@@ -823,7 +830,7 @@ object Dedup extends QueryModule {
        |e AS ($unions)""".stripMargin
   }
 
-  private def pairsCte: String =
+  private[graft] def pairsCte: String =
     s"""$sigCte,
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM e a JOIN e b

@@ -489,6 +489,36 @@ object Relational extends QueryModule {
       .orderBy("month")
   }
 
+  /** q228 — TRENDING ITEMS (velocity detection): parts whose weekly order
+    * count most outruns their own trailing 4-week baseline — the
+    * "rising star" feed a merchandising or anomaly dashboard serves, and
+    * the per-key twin of q129's global rate anomaly. Weeks are integer
+    * epoch-day div 7 codes (engine-identical); the baseline is a RANGE
+    * frame [wk−4, wk−1] on the per-part weekly SERIES (each partition's
+    * frame is weeks-bounded, never order-bounded), parts without a full
+    * 4-week baseline are withheld (a lift against one observed week is
+    * noise, and the guard is deterministic), and the lift is the
+    * cross-multiplied integer cnt·4·10⁶ div Σbaseline. Top-10 via
+    * TakeOrderedAndProject with full tiebreaks.
+    */
+  val trendingItems: Q = (s, d) => {
+    val weekly = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') div 7")
+          .as("wk")), "l_orderkey")
+      .groupBy(col("l_partkey").as("part"), col("wk"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("part").orderBy("wk").rangeBetween(-4, -1)
+    weekly
+      .withColumn("base_sum", sum("cnt").over(w))
+      .withColumn("base_n", count(lit(1)).over(w))
+      .filter(col("base_n") === 4)
+      .select(col("part"), col("wk"), col("cnt"), col("base_sum"),
+        expr("cnt * 4 * 1000000 div base_sum").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part"), col("wk"))
+      .limit(10)
+  }
+
   /** q77 — equal-width histogram of order totals: 10 buckets between the
     * global min/max, one aggregation after a broadcast of the two-value
     * bounds row; empty buckets materialize as zeros via the same spine
@@ -666,6 +696,7 @@ object Relational extends QueryModule {
     "q76_gap_fill" -> gapFill,
     "q201_linear_interp" -> linearInterp,
     "q224_seasonal_index" -> seasonalIndex,
+    "q228_trending_items" -> trendingItems,
     "q77_histogram" -> histogram,
     "q78_trailing_7d" -> trailing7d,
     "q56_setops" -> setOps,
@@ -785,6 +816,23 @@ object Relational extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue
         |FROM spine s LEFT JOIN daily d USING (day)
         |ORDER BY day""".stripMargin,
+    "q228_trending_items" ->
+      """WITH weekly AS (SELECT l_partkey AS part,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      // 7 AS wk,
+        |    count(*) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |base AS (SELECT part, wk, cnt,
+        |    sum(cnt) OVER w AS base_sum, count(*) OVER w AS base_n
+        |  FROM weekly
+        |  WINDOW w AS (PARTITION BY part ORDER BY wk
+        |    RANGE BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT part, CAST(wk AS BIGINT) AS wk, cnt,
+        |  CAST(base_sum AS BIGINT) AS base_sum,
+        |  CAST(cnt * 4 * 1000000 // base_sum AS BIGINT) AS lift_ppm
+        |FROM base WHERE base_n = 4
+        |ORDER BY lift_ppm DESC, part, wk LIMIT 10""".stripMargin,
     "q224_seasonal_index" ->
       """WITH ym AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -220,6 +220,69 @@ object Text extends QueryModule {
           col("rank"))).as("v99"))
   }
 
+  /** q229 — CROSS-VALIDATION evaluation harness: the q29 language
+    * heuristic scored per q208 FOLD — the loop that closes the CV
+    * machinery (q208 assigns leakage-safe folds; this runs an actual
+    * model over them and reads the fold-to-fold spread, the stability
+    * number a single train/test split hides). Per fold: doc count,
+    * correct count, accuracy in ppm; the evaluation joins the
+    * session-staged fold table (cluster-bounded) to one heuristic scan
+    * of the corpus — no re-clustering, no re-tokenizing beyond the scan.
+    */
+  val cvAccuracy: Q = (s, d) => {
+    val en = size(filter(toks, t => t.isin(stopEn: _*)))
+    val es = size(filter(toks, t => t.isin(stopEs: _*)))
+    val guess = Tables.fanOut(Tables.documents(s, d), "doc_id").select(
+      col("doc_id"), col("lang"),
+      when(en > es, "en").when(es > en, "es").otherwise("und").as("g"))
+    guess.join(Dedup.docFolds(s, d).select("doc_id", "fold"), "doc_id")
+      .groupBy("fold").agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"))
+      .orderBy("fold")
+  }
+
+  /** Skip-window for q230: pairs at token distance 1 and 2. */
+  private val skipWindow = 2
+
+  /** q230 — SKIP-GRAM association lift: q146's integer-ppm lift widened
+    * from adjacent bigrams to a word2vec-style skip window — pairs at
+    * token distance 1 AND 2, which catches "New ... City" patterns
+    * adjacency misses while keeping the pair volume a fixed 2× of the
+    * token stream (never the |window|² explode of a positional
+    * self-join: the window materializes as TWO lead() columns on ONE
+    * doc-partitioned pass, unpivoted in-row). Same discipline as q146:
+    * support floor before the marginal joins, DECIMAL(38) lift products,
+    * top-30 via TakeOrderedAndProject with full tiebreaks.
+    */
+  val skipgramLift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"),
+        posexplode(filter(toks, x => length(x) > 0)).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = tok
+      .select(col("t").as("a"), array(
+        (1 to skipWindow).map(k => lead("t", k).over(w)): _*).as("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .filter(col("b").isNotNull)
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val un = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val n = pairs.agg(count(lit(1)).as("nn"))
+    cab
+      .join(un.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(un.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr("""CAST((CAST(c_ab AS DECIMAL(38,0)) * 1000000 * nn)
+                 div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
   /** q30 — n-gram (token-set) Jaccard near-dup over blocked candidate
     * pairs. Blocking key = (lang, n_chars within ±2): at 100 TB the
     * candidate join is an equi-join on the block key, never an n² cross
@@ -1236,6 +1299,8 @@ object Text extends QueryModule {
     "q214_kappa_agreement" -> kappaAgreement,
     "q216_length_bias" -> lengthBias,
     "q219_vocab_coverage" -> vocabCoverage,
+    "q229_cv_accuracy" -> cvAccuracy,
+    "q230_skipgram_lift" -> skipgramLift,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
@@ -1751,6 +1816,66 @@ object Text extends QueryModule {
          | list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
          |             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the q208 fold chain (recursive CC + snake) joined to the q29
+    // heuristic — fold math and labeler both shared with their queries
+    "q229_cv_accuracy" -> {
+      val k = Dedup.kFolds
+      s"""WITH RECURSIVE ${Dedup.pairsCte},
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT label, count(*) AS csize FROM final GROUP BY 1),
+         |rk AS (SELECT label, csize, row_number()
+         |    OVER (ORDER BY csize DESC, label) AS rank FROM sizes),
+         |fd AS (SELECT label, CAST(CASE WHEN ((rank - 1) // $k) % 2 = 0
+         |    THEN (rank - 1) % $k
+         |    ELSE ${k - 1} - (rank - 1) % $k
+         |  END AS BIGINT) AS fold FROM rk),
+         |lab AS (SELECT doc_id, lang,
+         |    CASE WHEN len(list_filter($duckToks, t -> t IN ('the','a','and','of')))
+         |           > len(list_filter($duckToks, t -> t IN ('el','la','de','que'))) THEN 'en'
+         |         WHEN len(list_filter($duckToks, t -> t IN ('el','la','de','que')))
+         |           > len(list_filter($duckToks, t -> t IN ('the','a','and','of'))) THEN 'es'
+         |         ELSE 'und' END AS g
+         |  FROM documents)
+         |SELECT fd.fold, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN g = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN g = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS acc_ppm
+         |FROM final JOIN fd USING (label) JOIN lab USING (doc_id)
+         |GROUP BY 1 ORDER BY fold""".stripMargin
+    },
+    // q146's lift chain with the pair stream widened to distances 1..2
+    "q230_skipgram_lift" ->
+      s"""WITH tk AS (SELECT doc_id, t, pos FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter($duckToks, x -> len(x) > 0)) AS t,
+         |      generate_subscripts(list_filter($duckToks,
+         |        x -> len(x) > 0), 1) AS pos
+         |    FROM documents)),
+         |pr AS (SELECT a, b FROM (
+         |    SELECT t AS a,
+         |      lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |    FROM tk
+         |  UNION ALL
+         |    SELECT t AS a,
+         |      lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+         |    FROM tk)
+         |  WHERE b IS NOT NULL),
+         |cab AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2
+         |  HAVING count(*) >= 5),
+         |un AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pr)
+         |SELECT cab.a, cab.b, cab.c_ab,
+         |  CAST((CAST(c_ab AS HUGEINT) * 1000000 * nn)
+         |    // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm
+         |FROM cab JOIN un ua ON cab.a = ua.t JOIN un ub ON cab.b = ub.t, n
+         |ORDER BY lift_ppm DESC, a, b LIMIT 30""".stripMargin,
     // one global (cnt desc, term) rank at oracle scale; the Spark side
     // reproduces the identical rank and cumulative mass via the
     // two-phase count-group offsets

@@ -1025,4 +1025,29 @@ class AnalyticsSpec extends SparkSpec {
       (2020, 1, 1L, 1L, 1L, 2000L, 3000L, 3000L),
       (2020, 2, 0L, 1L, 1L, 4000L, 4000L, 4000L)), got.mkString(","))
   }
+
+  test("q228 trending items: a burst over a full 4-week baseline lifts; short histories are withheld") {
+    import spark.implicits._
+    def day(k: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(7L * k).atStartOfDay())
+    // part 1: weeks 0-3 one order each, week 4 bursts to 8; part 2 has
+    // only 3 weeks of history before its burst → withheld
+    val p1 = (0 to 3).map(k => (100L + k, day(k), 1L)) ++
+      (0 until 8).map(i => (200L + i, day(4), 1L))
+    val p2 = (0 to 2).map(k => (300L + k, day(k), 2L)) ++
+      Seq((400L, day(3), 2L))
+    val rows = p1 ++ p2
+    val dir = java.nio.file.Files.createTempDirectory("grafttrend2").toString
+    rows.map { case (ok, dt, _) => (ok, dt) }.distinct
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    rows.map { case (ok, _, p) => (ok, p) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q228_trending_items")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList === List((1L, 4L, 8L, 4L, 8000000L)),
+      got.mkString(","))
+  }
 }

@@ -722,4 +722,31 @@ class TextDedupSpec extends SparkSpec {
       r.getAs[Long]("v99"))
       === ((10L, 4L, 1L, 3L, 4L, 4L)), r.toString)
   }
+
+  test("q229 CV accuracy: folds partition the corpus and the per-fold rational is exact") {
+    val rows = SparkEntry.queries("q229_cv_accuracy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toList === List(0L, 1L, 2L, 3L, 4L))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "folds must partition the corpus")
+    rows.foreach { case (f, n, c, acc) =>
+      assert(c <= n && acc === c * 1000000L / n, s"fold $f")
+    }
+  }
+
+  test("q230 skip-gram lift: an alternating stream gives the hand-computed pair lifts") {
+    import spark.implicits._
+    // "a b" x6: dist-1 pairs ab x6, ba x5; dist-2 pairs aa x5, bb x5 →
+    // nn=21, marginals a=b=6 → lift(ab)=3500000, others 2916666
+    val docs = Seq((1L, Seq.fill(6)("a b").mkString(" "), "en", "s", 23))
+    val dir = java.nio.file.Files.createTempDirectory("graftskip").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q230_skipgram_lift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      ("a", "b", 6L, 3500000L), ("a", "a", 5L, 2916666L),
+      ("b", "a", 5L, 2916666L), ("b", "b", 5L, 2916666L)),
+      got.mkString(","))
+  }
 }
