@@ -785,8 +785,36 @@ object Dedup extends QueryModule {
         sum("doc_id").as("doc_checksum"))
       .orderBy("fold")
 
+  /** q232 — DEDUP SAVINGS report: what running the q59/q198 pipeline
+    * actually buys, by cluster size — per size: how many clusters, how
+    * many documents, how many are REMOVABLE (size − 1 per cluster, the
+    * keep-one policy), and how many characters vanish when each cluster
+    * keeps its longest member (q198's golden rule — savings = total
+    * chars − max chars per cluster). The capacity-planning table a
+    * dedup rollout is justified with, read entirely off the
+    * session-staged label table joined once to the doc lengths;
+    * aggregates are cluster- then size-bounded.
+    */
+  val dedupSavings: Q = (s, d) => {
+    val m = clusterLabels(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("nc")), "doc_id")
+    val perCluster = m.groupBy("label").agg(
+      count(lit(1)).as("csize"), sum("nc").as("chars_total"),
+      max("nc").as("chars_max"))
+    perCluster.groupBy("csize").agg(
+      count(lit(1)).as("n_clusters"),
+      (count(lit(1)) * col("csize")).as("n_docs"),
+      (count(lit(1)) * (col("csize") - 1)).as("docs_removable"),
+      sum(col("chars_total") - col("chars_max")).as("chars_removable"))
+      .select(col("csize").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("docs_removable"), col("chars_removable"))
+      .orderBy("cluster_size")
+  }
+
   def queries: Map[String, Q] = Map(
     "q198_survivorship" -> survivorship,
+    "q232_dedup_savings" -> dedupSavings,
     "q208_group_kfold" -> groupKfold,
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
@@ -908,6 +936,27 @@ object Dedup extends QueryModule {
          |  count(*) AS n_shingles
          |FROM grps GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+    // the same recursive-CC labels reduced to the per-size savings table
+    "q232_dedup_savings" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |m AS (SELECT f.label, CAST(d.n_chars AS BIGINT) AS nc
+         |  FROM final f JOIN documents d USING (doc_id)),
+         |pc AS (SELECT label, count(*) AS csize,
+         |    CAST(sum(nc) AS BIGINT) AS chars_total,
+         |    max(nc) AS chars_max
+         |  FROM m GROUP BY 1)
+         |SELECT csize AS cluster_size, count(*) AS n_clusters,
+         |  count(*) * csize AS n_docs,
+         |  count(*) * (csize - 1) AS docs_removable,
+         |  CAST(sum(chars_total - chars_max) AS BIGINT) AS chars_removable
+         |FROM pc GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     // the same recursive-CC labels as q59/q198, then the identical
     // (size desc, label) rank + snake fold in plain SQL
     "q208_group_kfold" ->

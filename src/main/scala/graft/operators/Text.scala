@@ -283,6 +283,42 @@ object Text extends QueryModule {
       .limit(30)
   }
 
+  /** q231 — per-source KL DIVERGENCE from the corpus unigram model: the
+    * stylistic-drift audit of the corpus mix — which source's word
+    * distribution diverges most from the blend it feeds (q103's
+    * temperature weights and q186's card assume the sources differ;
+    * this measures by how much, in the same micro-nat currency as
+    * q94/q213). KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)),
+    * each term's log rounded ONCE to micro-nats (q94's discipline) and
+    * weighted by the exact per-source count, summed as integers —
+    * immune to float summation order — with one sign-safe division per
+    * source at the end (true KL is ≥ 0; per-term rounding can dip the
+    * integer sum fractionally negative). One tokenize pass to the
+    * (source, term) frame; everything after is vocabulary-bounded.
+    */
+  val sourceKl: Q = (s, d) => {
+    val st = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("source"),
+        explode(filter(toks, t => length(t) > 0)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cst"))
+    val corpus = st.groupBy("term").agg(sum("cst").as("ct"))
+    val perSource = st.groupBy("source").agg(sum("cst").as("ns"),
+      count(lit(1)).as("vocab"))
+    val tot = corpus.agg(sum("ct").as("n"))
+    st.join(corpus, "term").join(perSource, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ns"), col("vocab"),
+        (col("cst") * expr(
+          """CAST(round(ln(CAST(cst AS DOUBLE) * n
+             / (CAST(ns AS DOUBLE) * ct)) * 1000000) AS BIGINT)""")).as("t"))
+      .groupBy("source").agg(max("ns").as("n_tokens"),
+        max("vocab").as("vocab"), sum("t").as("tsum"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("""CASE WHEN tsum >= 0 THEN tsum div n_tokens
+                ELSE -((-tsum) div n_tokens) END""").as("kl_micro"))
+      .orderBy("source")
+  }
+
   /** q30 — n-gram (token-set) Jaccard near-dup over blocked candidate
     * pairs. Blocking key = (lang, n_chars within ±2): at 100 TB the
     * candidate join is an equi-join on the block key, never an n² cross
@@ -1301,6 +1337,7 @@ object Text extends QueryModule {
     "q219_vocab_coverage" -> vocabCoverage,
     "q229_cv_accuracy" -> cvAccuracy,
     "q230_skipgram_lift" -> skipgramLift,
+    "q231_source_kl" -> sourceKl,
     "q73_quality_filter" -> qualityFilter,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
@@ -1816,6 +1853,25 @@ object Text extends QueryModule {
          | list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
          |             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical micro-nat terms over the same (source, term) counts
+    "q231_source_kl" ->
+      s"""WITH st AS (SELECT source, term, count(*) AS cst FROM (
+         |    SELECT source,
+         |      unnest(list_filter($duckToks, x -> len(x) > 0)) AS term
+         |    FROM documents) GROUP BY 1, 2),
+         |corpus AS (SELECT term, CAST(sum(cst) AS BIGINT) AS ct
+         |  FROM st GROUP BY 1),
+         |ps AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns,
+         |    count(*) AS vocab FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus),
+         |terms AS (SELECT st.source, ps.ns, ps.vocab,
+         |    cst * CAST(round(ln(CAST(cst AS DOUBLE) * n
+         |      / (CAST(ns AS DOUBLE) * ct)) * 1000000) AS BIGINT) AS t
+         |  FROM st JOIN corpus USING (term) JOIN ps USING (source), tot)
+         |SELECT source, max(ns) AS n_tokens, max(vocab) AS vocab,
+         |  CAST(CASE WHEN sum(t) >= 0 THEN sum(t) // max(ns)
+         |    ELSE -((-sum(t)) // max(ns)) END AS BIGINT) AS kl_micro
+         |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
     // the q208 fold chain (recursive CC + snake) joined to the q29
     // heuristic — fold math and labeler both shared with their queries
     "q229_cv_accuracy" -> {

@@ -749,4 +749,40 @@ class TextDedupSpec extends SparkSpec {
       ("b", "a", 5L, 2916666L), ("b", "b", 5L, 2916666L)),
       got.mkString(","))
   }
+
+  test("q231 source KL: identical sources diverge zero; a skewed source diverges positively") {
+    import spark.implicits._
+    // source A matches the corpus blend exactly when B mirrors it;
+    // make B all-'x' so A (all-'y') must diverge symmetrically > 0
+    val docs = Seq(
+      (1L, "y y y y", "en", "A", 7),
+      (2L, "x x x x", "en", "B", 7))
+    val dir = java.nio.file.Files.createTempDirectory("graftkl").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q231_source_kl")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // p_s = 1 for each source's own token, p_c = 1/2 → KL = ln 2 exactly
+    assert(got.toList === List(
+      ("A", 4L, 1L, 693147L), ("B", 4L, 1L, 693147L)), got.mkString(","))
+  }
+
+  test("q232 dedup savings: planted clusters report exact removable docs and characters") {
+    import spark.implicits._
+    // cluster {1,2,3} identical text (chars 10/12/14 via n_chars) → keep
+    // max 14, remove 2 docs and 22 chars; two singletons remove nothing
+    val t3 = "p q r"
+    val docs = Seq(
+      (1L, t3, "en", "s", 10), (2L, t3, "en", "s", 12),
+      (3L, t3, "en", "s", 14),
+      (4L, "u v w", "en", "s", 9), (5L, "x y z", "en", "s", 8))
+    val dir = java.nio.file.Files.createTempDirectory("graftsavings").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q232_dedup_savings")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList === List(
+      (1L, 2L, 2L, 0L, 0L), (3L, 1L, 3L, 2L, 22L)), got.mkString(","))
+  }
 }
