@@ -511,6 +511,70 @@ class PropertySpec extends SparkSpec {
       (12L, 13L, 1L, 333333L)))
   }
 
+  test("weighted-quantile law: histogram reads equal brute-force weighted order statistics on ANY rows") {
+    // the q209 foundation: smallest value with 4·cum >= q·total over the
+    // (flag, value) weight histogram IS the weighted quantile, whatever
+    // the weights and tie structure
+    val rowGen = Gen.listOfN(30, for {
+      f <- Gen.oneOf("A", "B")
+      q <- Gen.choose(1, 6)
+      w <- Gen.choose(1, 5)
+    } yield (f, q.toDouble, w.toDouble))
+    val p5 = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p5, Prop.forAll(rowGen) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graftwql").toString
+      rows.map { case (f, q, w) => (f, w, q) }
+        .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // brute force: expand each (qty, weight-cents) row and read ranks
+      def brute(vals: List[(Long, Long)], num: Long, den: Long): Long = {
+        val total = vals.map(_._2).sum
+        val sorted = vals.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toList.sortBy(_._1)
+        var cum = 0L
+        sorted.collectFirst {
+          case (v, w) if { cum += w; cum * den >= total * num } => v
+        }.get
+      }
+      val got = SparkEntry.queries("q209_weighted_quantiles")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      rows.groupBy(_._1).forall { case (f, rs) =>
+        val vals = rs.map { case (_, q, w) =>
+          (q.toLong, math.round(w * 100)) }
+        got(f) == ((brute(vals, 1, 4), brute(vals, 1, 2), brute(vals, 3, 4)))
+      }
+    })
+    assert(r.passed, s"weighted-quantile law: $r")
+  }
+
+  test("vocab-coverage law: two-phase checkpoints equal the brute-force ranked cumulative on ANY corpus") {
+    val docGen2: Gen[List[String]] = Gen.listOfN(4, Gen.listOfN(8,
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))
+    val p5 = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p5, Prop.forAll(docGen2) { docs =>
+      val dir = asDocTable(docs)
+      val freq = docs.flatMap(_.split(" ")).groupBy(identity)
+        .map { case (t, xs) => (t, xs.size.toLong) }.toList
+      val ranked = freq.sortBy { case (t, c) => (-c, t) }
+      val total = freq.map(_._2).sum
+      def cover(pct: Long): Long = {
+        var cum = 0L
+        ranked.zipWithIndex.collectFirst {
+          case ((_, c), i) if { cum += c; cum * 100 >= total * pct } =>
+            (i + 1).toLong
+        }.get
+      }
+      val row = SparkEntry.queries("q219_vocab_coverage")(spark, dir).head()
+      (row.getAs[Long]("total_tokens"), row.getAs[Long]("vocab_size"),
+        row.getAs[Long]("v50"), row.getAs[Long]("v90"),
+        row.getAs[Long]("v95"), row.getAs[Long]("v99")) ==
+        ((total, freq.size.toLong, cover(50), cover(90), cover(95),
+          cover(99)))
+    })
+    assert(r.passed, s"vocab-coverage law: $r")
+  }
+
   test("bitmap distinct law: popcounted bitmaps equal COUNT(DISTINCT) on ANY user multiset") {
     // the q184/q190/q191 foundation: (word = id div 32, bit_or of masks,
     // Σ bit_count) is EXACTLY distinct-count for any input, duplicates
