@@ -417,6 +417,35 @@ object Events extends QueryModule {
       .limit(10)
   }
 
+  /** q233 — semi-structured JSON PROFILING of the `props` column: the
+    * schema-on-read report a lake produces before promoting a JSON blob
+    * to typed columns — per key: presence count, inferred-type histogram
+    * (integer / fractional / boolean / other, by full-match regex over
+    * the extracted string value) and distinct-value count. Keys are
+    * discovered from the DATA (`from_json` to a string map + explode —
+    * no schema declared anywhere, which is the point), and the aggregate
+    * runs on the keys×values frame. The q24 extraction assumed the key;
+    * this is the query that tells you which keys exist to extract.
+    */
+  val jsonProfile: Q = (s, d) => {
+    val kv = Tables.events(s, d)
+      .select(explode(expr("from_json(props, 'map<string,string>')"))
+        .as(Seq("key", "v")))
+    kv.groupBy("key").agg(count(lit(1)).as("n_present"),
+        sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("v").rlike("^-?[0-9]*\\.[0-9]+$"), 1L).otherwise(0L))
+          .as("n_frac"),
+        sum(when(col("v").isin("true", "false"), 1L).otherwise(0L))
+          .as("n_bool"),
+        countDistinct("v").as("n_distinct"))
+      .select(col("key"), col("n_present"), col("n_int"), col("n_frac"),
+        col("n_bool"),
+        (col("n_present") - col("n_int") - col("n_frac") - col("n_bool"))
+          .as("n_other"),
+        col("n_distinct"))
+      .orderBy("key")
+  }
+
   /** q225 — top EVENT TRIGRAMS (sequential pattern mining): the most
     * frequent length-3 event-type sequences across user streams — the
     * order-sensitive step up from q150's first-order transition matrix
@@ -594,6 +623,7 @@ object Events extends QueryModule {
     "q196_lateness_audit" -> latenessAudit,
     "q220_conversion_latency" -> conversionLatency,
     "q225_event_trigrams" -> eventTrigrams,
+    "q233_json_profile" -> jsonProfile,
     "q226_cohort_ltv" -> cohortLtv,
     "q222_bot_signatures" -> botSignatures,
     "q180_rolling_mau" -> rollingMau,
@@ -673,6 +703,26 @@ object Events extends QueryModule {
         |    AS BIGINT) AS n_late_15m,
         |  CAST(max(-neg_late) AS BIGINT) AS max_late_us
         |FROM ev""".stripMargin,
+    // data-discovered keys, full-match type regexes in both engines
+    "q233_json_profile" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
+        |  FROM events),
+        |vals AS (SELECT key,
+        |    json_extract_string(props, '$.' || key) AS v FROM kv)
+        |SELECT key, count(*) AS n_present,
+        |  CAST(sum(CASE WHEN regexp_full_match(v, '-?[0-9]+')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |  CAST(sum(CASE WHEN regexp_full_match(v, '-?[0-9]*\.[0-9]+')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_frac,
+        |  CAST(sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bool,
+        |  CAST(count(*)
+        |    - sum(CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN regexp_full_match(v, '-?[0-9]*\.[0-9]+') THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_other,
+        |  count(DISTINCT v) AS n_distinct
+        |FROM vals GROUP BY 1 ORDER BY key""".stripMargin,
     // one window pass with two leads, the identical (t, event_id) order
     "q225_event_trigrams" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,

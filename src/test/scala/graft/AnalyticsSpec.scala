@@ -1050,4 +1050,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toList === List((1L, 4L, 8L, 4L, 8000000L)),
       got.mkString(","))
   }
+
+  test("q233 json profile: data-discovered keys classify mixed value types exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1000000000L, 1L, "view", 0.0, """{"a": 1, "b": "x"}"""),
+      (2L, 2000000000L, 2L, "view", 0.0, """{"a": 2.5, "c": true}"""),
+      (3L, 3000000000L, 3L, "view", 0.0, """{"a": 7}"""))
+    val dir = java.nio.file.Files.createTempDirectory("graftjsonp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q233_json_profile")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toList === List(
+      ("a", 3L, 2L, 1L, 0L, 0L, 3L),
+      ("b", 1L, 0L, 0L, 0L, 1L, 1L),
+      ("c", 1L, 0L, 0L, 1L, 0L, 1L)), got.mkString(","))
+  }
 }
