@@ -678,9 +678,14 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** q205 df-cutoff: terms in more documents than this carry near-zero
-    * idf AND quadratic join fan-out — the cap that bounds the candidate
-    * mass to Σ df² ≤ cutoff·Σdf (linear in the corpus). */
+  /** q205 df-cutoff floor: terms in more documents than the cutoff carry
+    * near-zero idf AND quadratic join fan-out — the cap that bounds the
+    * candidate mass to Σ df² ≤ cutoff·Σdf (linear in the corpus). The
+    * effective cutoff is max(this, 10% of the corpus): a FIXED cutoff
+    * degenerates as the corpus grows (at sf0.1 every fixture term
+    * crossed df=100 and the representation emptied), while a fractional
+    * one keeps the same relative informativeness bar at every scale.
+    */
   private val cosDfCut = 100
 
   /** q205 — sparse TF-IDF COSINE similarity pairs: the document-level
@@ -706,9 +711,11 @@ object Text extends QueryModule {
     val terms = docs.select(col("doc_id"),
       explode(filter(toks, t => length(t) > 0)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cosDfCut)
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(cosDfCut.toLong), expr("nd div 10")))
+      .select("term", "df")
     val wDir = graft.Scratch.dir("graft_tfidf_w")
     tf.join(df, "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
@@ -1799,7 +1806,8 @@ object Text extends QueryModule {
          |  FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
-         |  HAVING count(*) <= $cosDfCut),
+         |  HAVING count(*) <= greatest($cosDfCut,
+         |    (SELECT count(*) // 10 FROM documents))),
          |nd AS (SELECT count(*) AS nd FROM documents),
          |w AS (SELECT doc_id, tf.term,
          |    tf * CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000) AS BIGINT)
