@@ -678,13 +678,18 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** q205 df-cutoff floor: terms in more documents than the cutoff carry
-    * near-zero idf AND quadratic join fan-out — the cap that bounds the
-    * candidate mass to Σ df² ≤ cutoff·Σdf (linear in the corpus). The
-    * effective cutoff is max(this, 10% of the corpus): a FIXED cutoff
-    * degenerates as the corpus grows (at sf0.1 every fixture term
-    * crossed df=100 and the representation emptied), while a fractional
-    * one keeps the same relative informativeness bar at every scale.
+  /** q205 df-cutoff: terms in more documents than this carry near-zero
+    * idf AND quadratic join fan-out — the HARD cap that bounds the
+    * candidate mass to Σ df² ≤ cutoff·Σdf (linear in the corpus, the
+    * non-negotiable part of the design: a corpus-fraction cutoff was
+    * tried and lets the pair join explode quadratically the moment the
+    * kept band widens — at sf1 it admitted df≈5000 terms and hung). The
+    * flip side is data-dependent and DOCUMENTED: on a corpus whose every
+    * term is common (the sf0.1 fixture vocabulary — min df > 100 over
+    * 5000 docs) the rare-term representation is EMPTY and the result has
+    * 0 rows. That emptiness is the audit's answer — rare-term cosine has
+    * no signal there, and the embedding (q36/q101) or minhash (q37)
+    * detectors are the right tool — not a failure of the operator.
     */
   private val cosDfCut = 100
 
@@ -713,9 +718,7 @@ object Text extends QueryModule {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= greatest(lit(cosDfCut.toLong), expr("nd div 10")))
-      .select("term", "df")
+      .filter(col("df") <= cosDfCut)
     val wDir = graft.Scratch.dir("graft_tfidf_w")
     tf.join(df, "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
@@ -1806,8 +1809,7 @@ object Text extends QueryModule {
          |  FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
-         |  HAVING count(*) <= greatest($cosDfCut,
-         |    (SELECT count(*) // 10 FROM documents))),
+         |  HAVING count(*) <= $cosDfCut),
          |nd AS (SELECT count(*) AS nd FROM documents),
          |w AS (SELECT doc_id, tf.term,
          |    tf * CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000) AS BIGINT)
