@@ -122,7 +122,20 @@ object Bench {
       val esc = o.mkString(",").replace("\\", "\\\\").replace("\"", "\\\"")
       s""","only":"$esc""""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"$sfDir"}"""
+    // The full line (233 timings ≈ 3.4k chars) overflows the ~2000-char
+    // stdout tail window the harness records — BENCH_r07 and r08 both came
+    // back "parsed": null despite clean runs. Persist the full map to a
+    // file, print the full line for local logs, then print a COMPACT
+    // summary (~150 chars, guaranteed inside the window) as the FINAL
+    // stdout line so the driver's parse always lands on a complete JSON
+    // object with the total, query count, and error count.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(fullLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${failed.size},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     // Explicit exit after the one JSON line is printed — see Verify.main:
     // a leaked non-daemon thread must not stall the harness on process

@@ -381,13 +381,16 @@ object Events extends QueryModule {
     * surface shapes that recur across sessions — organic behavior
     * rarely replays the exact same click path, so high-multiplicity
     * shapes spanning many users are the classic scripted-traffic
-    * signature. Ordering is total and engine-identical: the sequence is
-    * rebuilt from zero-padded (epoch-µs, event_id) sort keys (Spark has
-    * no ordered string_agg; array_sort over padded keys IS one — the
-    * q145 total-order-key discipline), and DuckDB's ordered string_agg
-    * mirrors it. Per-session state is session-bounded; the shape
-    * aggregate runs on one row per session; output is the top-10
-    * recurring shapes.
+    * signature. Ordering is total and engine-identical: Spark has no
+    * ordered string_agg, so the sequence is rebuilt by array_sort over
+    * (t, event_id, event_type) STRUCTS — struct comparison is field-by-
+    * field, the exact (t, event_id) numeric order DuckDB's ordered
+    * string_agg walks. (An earlier padded-string key truncated ids past
+    * the pad width — Spark's lpad CUTS over-length input — and a
+    * delimiter round-trip mis-split types containing ':'; the struct
+    * sort has neither failure mode at any id width or type alphabet.)
+    * Per-session state is session-bounded; the shape aggregate runs on
+    * one row per session; output is the top-10 recurring shapes.
     */
   val botSignatures: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -403,11 +406,9 @@ object Events extends QueryModule {
     val shapes = sess.groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n_events"),
         md5(concat_ws(",", transform(
-          array_sort(collect_list(concat(
-            lpad(col("t").cast("string"), 20, "0"), lit(":"),
-            lpad(col("event_id").cast("string"), 10, "0"), lit(":"),
-            col("event_type")))),
-          x => substring_index(x, ":", -1)))).as("fp"))
+          array_sort(collect_list(
+            struct(col("t"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")))).as("fp"))
     shapes.groupBy(substring(col("fp"), 1, 16).as("signature"))
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct("user_id").as("n_users"),
@@ -426,9 +427,17 @@ object Events extends QueryModule {
     * no schema declared anywhere, which is the point), and the aggregate
     * runs on the keys×values frame. The q24 extraction assumed the key;
     * this is the query that tells you which keys exist to extract.
+    * MALFORMED rows are excluded IDENTICALLY in both engines: Spark's
+    * from_json returns NULL on invalid JSON (it never throws) while
+    * DuckDB's json_keys RAISES — so the profile is defined only over
+    * valid-JSON OBJECT rows, and both engines filter to them explicitly
+    * (isnotnull(from_json(...)) here — null for malformed AND for valid
+    * non-object JSON — json_valid + json_type = 'OBJECT' in the oracle)
+    * rather than letting one engine drop what crashes the other.
     */
   val jsonProfile: Q = (s, d) => {
     val kv = Tables.events(s, d)
+      .filter(expr("from_json(props, 'map<string,string>')").isNotNull)
       .select(explode(expr("from_json(props, 'map<string,string>')"))
         .as(Seq("key", "v")))
     kv.groupBy("key").agg(count(lit(1)).as("n_present"),
@@ -475,8 +484,11 @@ object Events extends QueryModule {
     * by month offset — q112 counts retained users; this tracks the MONEY
     * (the lifetime-value curve every "payback period" decision reads).
     * Cohort = month of the user's first purchase (one conditional-min
-    * aggregate); month offsets in exact integer month codes (y·12+m —
-    * no months_between float); the cumulative sum runs per cohort over
+    * aggregate); month offsets in exact integer month codes
+    * (y·12+(m−1), ZERO-based so mcode div 12 / mcode % 12 are genuine
+    * calendar year / 0-based month — a 1-based code would export every
+    * December cohort as (year+1, month0=0); no months_between float);
+    * the cumulative sum runs per cohort over
     * the OFFSET frame (wall-clock-bounded, never event-bounded), and
     * LTV cents per user is one exact div against the fixed cohort size.
     * Output is cohorts × offsets — calendar², independent of volume.
@@ -485,7 +497,7 @@ object Events extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, d).filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        expr("year(ts) * 12 + month(ts)").as("mcode"),
+        expr("year(ts) * 12 + (month(ts) - 1)").as("mcode"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val first = p.groupBy("user_id").agg(min("mcode").as("cohort_mcode"))
     val sizes = first.groupBy("cohort_mcode")
@@ -703,10 +715,12 @@ object Events extends QueryModule {
         |    AS BIGINT) AS n_late_15m,
         |  CAST(max(-neg_late) AS BIGINT) AS max_late_us
         |FROM ev""".stripMargin,
-    // data-discovered keys, full-match type regexes in both engines
+    // data-discovered keys, full-match type regexes in both engines;
+    // json_valid mirrors Spark's from_json-is-null malformed-row drop
     "q233_json_profile" ->
       """WITH kv AS (SELECT unnest(json_keys(props)) AS key, props
-        |  FROM events),
+        |  FROM events
+        |  WHERE json_valid(props) AND json_type(props) = 'OBJECT'),
         |vals AS (SELECT key,
         |    json_extract_string(props, '$.' || key) AS v FROM kv)
         |SELECT key, count(*) AS n_present,
@@ -735,10 +749,11 @@ object Events extends QueryModule {
         |  count(DISTINCT user_id) AS n_users
         |FROM sq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
-    // exact integer month codes (y*12+m), cohort-frame cumulative sums
+    // exact 0-based integer month codes (y*12+(m-1)), cohort-frame
+    // cumulative sums
     "q226_cohort_ltv" ->
       """WITH p AS (SELECT user_id,
-        |    year(ts) * 12 + month(ts) AS mcode,
+        |    year(ts) * 12 + (month(ts) - 1) AS mcode,
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE event_type = 'purchase'),
         |fst AS (SELECT user_id, min(mcode) AS cohort_mcode

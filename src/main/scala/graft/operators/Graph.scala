@@ -538,17 +538,24 @@ object Graph extends QueryModule {
       .select(
         expr("CAST(round(ln(CAST(dg AS DOUBLE)) * 1000) AS BIGINT)").as("x"),
         expr("CAST(round(ln(CAST(nd AS DOUBLE)) * 1000) AS BIGINT)").as("y"))
+    // Degenerate-fit guard: on a degree-REGULAR graph the histogram has
+    // one distinct point, n*sxx - sx*sx = 0, and the raw division yields
+    // NaN/Inf — which Spark's cast folds to 0 while DuckDB's CAST errors,
+    // i.e. the engines disagree exactly when the fit is undefined. Both
+    // engines emit NULL for n < 2 or a zero denominator instead.
     pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
       .select(col("n"),
-        expr("""CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        expr("""CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+          | ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
           | / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
-          |""".stripMargin.replace("\n", " ")).as("slope_micro"),
-        expr("""CAST(round((CAST(sy AS DOUBLE)
+          | END""".stripMargin.replace("\n", " ")).as("slope_micro"),
+        expr("""CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+          | ELSE CAST(round((CAST(sy AS DOUBLE)
           | - CAST(n * sxy - sx * sy AS DOUBLE)
           |   / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
           | / CAST(n AS DOUBLE) * 1000) AS BIGINT)
-          |""".stripMargin.replace("\n", " ")).as("intercept_micro"))
+          | END""".stripMargin.replace("\n", " ")).as("intercept_micro"))
   }
 
   /** Propagation depth for the q210 forward/backward reachability pass. */
@@ -564,8 +571,14 @@ object Graph extends QueryModule {
     * FW-BW coloring: two min-label reachability passes — forward f(x) =
     * min id that can REACH x, backward b(x) = min id REACHABLE FROM x
     * (the same staged-per-round loop as q167's BFS, run once per
-    * direction over the same staged edge list) — and nodes sharing BOTH
-    * labels are strongly connected through the shared extremal node.
+    * direction over the same staged edge list) — and a node with
+    * f(x) = b(x) = ℓ is strongly connected to ℓ (ℓ reaches x AND x
+    * reaches ℓ), so nodes sharing that COMMON label form one SCC.
+    * The fl = bl equality is load-bearing: sharing a min-ancestor and
+    * a min-descendant alone (fl ≠ bl) does NOT imply mutual
+    * reachability (1→2, 1→3, 2→0, 3→0 gives 2 and 3 the pair (1, 0)
+    * with no path between them), so classes with fl ≠ bl are filtered
+    * out in BOTH engines rather than reported as false SCCs.
     * Depth is FIXED at 3 rounds (q106/q148/q167's determinism
     * discipline: both engines run the identical recursion), so classes
     * are SCCs whose witness paths fit in 3 hops — the production
@@ -623,6 +636,7 @@ object Graph extends QueryModule {
     val f = propagate(rev = false, "f").withColumnRenamed("lbl", "fl")
     val b = propagate(rev = true, "b").withColumnRenamed("lbl", "bl")
     f.join(b, "node")
+      .filter(col("fl") === col("bl"))
       .groupBy("fl", "bl").agg(count(lit(1)).as("n_members"),
         min("node").as("min_member"), sum("node").as("id_checksum"))
       .filter(col("n_members") >= 2)
@@ -720,13 +734,16 @@ object Graph extends QueryModule {
         |    CAST(sum(x * y) AS BIGINT) AS sxy,
         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
         |SELECT n,
-        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
-        |    AS slope_micro,
-        |  CAST(round((CAST(sy AS DOUBLE)
-        |    - CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS intercept_micro
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |    END AS slope_micro,
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(round((CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) * 1000) AS BIGINT)
+        |    END AS intercept_micro
         |FROM sums""".stripMargin,
     // identical pair counts, identical (m desc, v) rank order
     "q217_item_recs" ->
@@ -773,7 +790,7 @@ object Graph extends QueryModule {
          |  FROM f$sccRounds f JOIN b$sccRounds b USING (node))
          |SELECT fl AS fwd_label, bl AS bwd_label, count(*) AS n_members,
          |  min(node) AS min_member, CAST(sum(node) AS BIGINT) AS id_checksum
-         |FROM j GROUP BY 1, 2 HAVING count(*) >= 2
+         |FROM j WHERE fl = bl GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY n_members DESC, fwd_label, bwd_label LIMIT 20""".stripMargin
     },
     // identical wedge enumeration + fixed-point RA (// ≡ div on the

@@ -407,6 +407,25 @@ class PropertySpec extends SparkSpec {
       === ((2L, -1000000L, 1386000L)), r.toString)
   }
 
+  test("q223 power-law fit: a degree-regular graph yields NULL, not NaN-cast-to-0") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1, every edge realized twice for the m >= 2 cut:
+    // every node has degree 2, the histogram is ONE point, the OLS
+    // denominator n*sxx - sx*sx is 0 and the raw division is NaN —
+    // which Spark's cast would fold to 0 while DuckDB errors. The
+    // guard must emit NULL in both engines instead.
+    val edgesList = List((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val rows = edgesList.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftplawreg").toString
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q223_degree_powerlaw")(spark, dir).head()
+    assert(r.getAs[Long]("n") === 1L, r.toString)
+    assert(r.isNullAt(r.fieldIndex("slope_micro")), r.toString)
+    assert(r.isNullAt(r.fieldIndex("intercept_micro")), r.toString)
+  }
+
   test("q210 SCC classes: a directed cycle forms one class; a chain forms none") {
     import spark.implicits._
     // directed temporal edges u->v need >= 2 DISTINCT customers ordering
@@ -433,6 +452,35 @@ class PropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(got.toList === List((1L, 1L, 3L, 1L, 6L)), got.mkString(","))
+  }
+
+  test("q210 SCC classes: the fl/bl-pair diamond is NOT reported as an SCC") {
+    import spark.implicits._
+    // The unsoundness counterexample for pair-grouping: 1->2, 1->3,
+    // 2->0, 3->0. Nodes 1, 2, 3 all share (fl=1, bl=0) — same
+    // min-ancestor AND same min-descendant — yet 2 and 3 have no path
+    // between them, so pair-grouping would report a false 3-member SCC.
+    // Only fl = bl guarantees mutual reachability (through the shared
+    // extremal node); this DAG has no cycle, so the sound output is
+    // EMPTY.
+    val edges = List((1L, 2L), (1L, 3L), (2L, 0L), (3L, 0L))
+    val rows = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      (0 to 1).flatMap { c =>
+        val cust = 100L + 2 * i + c
+        val (o1, o2) = (1000L + 4 * i + 2 * c, 1000L + 4 * i + 2 * c + 1)
+        List((o1, cust, java.sql.Date.valueOf("2020-01-01"), u),
+          (o2, cust, java.sql.Date.valueOf("2020-02-01"), v))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftsccdag").toString
+    rows.map { case (ok, ck, dt, _) => (ok, ck, dt) }.distinct
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    rows.map { case (ok, _, _, p) => (ok, p) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q210_scc_classes")(spark, dir).collect()
+    assert(got.isEmpty, got.mkString(","))
   }
 
   test("q167 BFS: chain walks one hop per round, disconnected pair lands in the unreached bucket") {
