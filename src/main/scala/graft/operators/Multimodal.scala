@@ -57,9 +57,8 @@ object Multimodal extends QueryModule {
           val w = 64 + (bytes.length % 512)
           val h = 64 + ((bytes.length / 2) % 512)
           md.reset()
-          val hex = md.digest(text.take(16)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString
+          val hex = toHex(md.digest(text.take(16)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)), hexL)
           val fmt = if ("02468ace".contains(hex.charAt(0))) "jpeg-stub" else "png-stub"
           MediaMeta(id, bytes.length, w, h, fmt, hex.substring(0, 16))
         }
@@ -68,6 +67,25 @@ object Multimodal extends QueryModule {
 
   private val frameBytes = 64
   private val samplesPerDoc = 4
+
+  /** Table-driven hex encoders. `"%02X".format(_)` per byte dominated the
+    * q130 partition loop (a Formatter allocation + parse per BYTE — ~51M
+    * calls at sf0.1); a char-table fill is output-identical and removes
+    * the per-byte allocation entirely.
+    */
+  private val hexU = "0123456789ABCDEF".toCharArray
+  private val hexL = "0123456789abcdef".toCharArray
+  private def toHex(bytes: Array[Byte], tab: Array[Char]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = tab(b >>> 4)
+      out(2 * i + 1) = tab(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** q130 — uniform FRAME SAMPLING (STUB): the video-preprocessing shape —
     * each payload is treated as a sequence of [[frameBytes]]-BYTE frames
@@ -104,11 +122,10 @@ object Multimodal extends QueryModule {
             val frame = java.util.Arrays.copyOfRange(bytes,
               idx * frameBytes,
               math.min((idx + 1) * frameBytes, bytes.length))
-            val frameHex = frame.map("%02X".format(_)).mkString
+            val frameHex = toHex(frame, hexU)
             md.reset()
-            val hex = md.digest(frameHex
-                .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-              .map("%02x".format(_)).mkString
+            val hex = toHex(md.digest(frameHex
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)), hexL)
             val luma = frame.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256
             FrameSample(id, idx, n, hex.substring(0, 16), luma.toInt)
           }
