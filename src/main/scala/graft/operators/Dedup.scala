@@ -370,7 +370,10 @@ object Dedup extends QueryModule {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) = {
+  // private[graft]: q234's end-to-end pipeline composition (Pipeline.scala)
+  // consumes the SAME staged label table the dedup family shares — the
+  // integration point is the artifact, not a recomputation.
+  private[graft] def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) = {
     val path = labelCache.computeIfAbsent(d, _ => {
       val out = graft.Scratch.dir("graft_cc_labels") // reaped at JVM exit
       computeLabels(s, d).write.mode("overwrite").parquet(out)

@@ -539,7 +539,155 @@ object Pipeline extends QueryModule {
       .orderBy("source")
   }
 
+  /** q234 — END-TO-END pipeline COMPOSITION: every stage of the LLM
+    * training-data pipeline exists here as an independent oracled query;
+    * this is the integration receipt that they COMPOSE — share staged
+    * artifacts, agree on keys — rather than merely coexist. One dataflow
+    * over `documents`:
+    *
+    *   quality filter (q73's C4 rules — first, it discards the most
+    *   bytes for the least work) → exact dedup (q25's md5 canonical,
+    *   min doc_id per digest wins) → near dedup (cluster-canonical over
+    *   the SAME staged CC label table q59/q123/q198/q208 share — the
+    *   integration point is the artifact, not a recomputation) →
+    *   decontaminate (q74's 8-token shingle join against the doc_id<10
+    *   benchmark; the benchmark docs themselves drop here) → temperature
+    *   mix (q103's integer √-quota per language, md5 rank selection) →
+    *   pack (q85's 2048-token bins per language) → leakage-safe split
+    *   (q123's md5 bucket on the CLUSTER label, so near-dups of a kept
+    *   canonical can never straddle splits).
+    *
+    * Stage verdicts are monotone booleans on ONE per-document frame
+    * (each stage's flag conjoins the previous), staged to parquet once
+    * so the three consumers (audit aggregate, pack, split) read a leaf
+    * instead of re-running the chain. Output is the per-stage audit —
+    * (stage, n_units, n_tokens, id_checksum): doc counts, surviving
+    * token mass, and an id checksum pinning WHICH documents survived —
+    * plus one pack row (n_units = bins, checksum = Σ first_doc) and one
+    * row per realized split. O(stages + splits) rows at any corpus
+    * size; every stage is the already-audited plan shape of its
+    * standalone query, so the composition adds joins, not new scans of
+    * unbounded intermediates.
+    */
+  val pipelineE2e: Q = (s, d) => {
+    val qualityStop = Seq("the", "a", "and", "of", "el", "la", "de", "que")
+    val docs = Tables.documents(s, d)
+    // q73's rules verbatim: UNFILTERED whitespace split (empty tokens
+    // count) for the token floor and stopword ratio
+    val rawToks = split(col("text"), "\\s+")
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / length(col("text"))
+    val stop = size(filter(rawToks, t => t.isin(qualityStop: _*)))
+      .cast("double") / size(rawToks)
+    val reason = when(length(col("text")) < 50, "too_short")
+      .when(length(col("text")) > 5000, "too_long")
+      .when(size(rawToks) < 10, "too_few_tokens")
+      .when(punct > 0.2, "too_much_punct")
+      .when(stop < 0.01, "no_stopwords")
+      .otherwise("ok")
+    val base = docs.select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        (reason === "ok").as("s_q"), md5(col("text")).as("th"))
+      .join(Dedup.clusterLabels(s, d), "doc_id")
+    // exact dedup among quality survivors: min doc_id per content digest
+    val exKeep = base.filter(col("s_q")).groupBy("th")
+      .agg(min("doc_id").as("ex_keep"))
+    val f1 = base.join(exKeep, Seq("th"), "left")
+      .withColumn("s_e",
+        coalesce(col("s_q") && col("doc_id") === col("ex_keep"), lit(false)))
+    // near dedup among exact survivors: min doc_id per CC cluster label
+    val nrKeep = f1.filter(col("s_e")).groupBy("label")
+      .agg(min("doc_id").as("nr_keep"))
+    val f2 = f1.join(nrKeep, Seq("label"), "left")
+      .withColumn("s_n",
+        coalesce(col("s_e") && col("doc_id") === col("nr_keep"), lit(false)))
+    // q74's decontamination: 8-token shingles, benchmark = doc_id < 10
+    val tkd = Tables.fanOut(docs, "doc_id").select(col("doc_id"), toks.as("tk"))
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val shingled = tkd.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 10).select("sh").distinct()
+    val contaminated = shingled.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select("doc_id").distinct().withColumn("is_cont", lit(true))
+    val f3 = f2.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("s_de",
+        col("s_n") && col("doc_id") >= 10 && col("is_cont").isNull)
+    // stage the verdict frame ONCE: audit, pack, and split all read it
+    val verdictPath = graft.Scratch.dir("graft_e2e_verdict")
+    f3.select("doc_id", "lang", "n_tok", "label", "s_q", "s_e", "s_n", "s_de")
+      .write.mode("overwrite").parquet(verdictPath)
+    val f = s.read.parquet(verdictPath)
+    // q103's temperature mix over the decontaminated survivors
+    val surv = f.filter(col("s_de"))
+    val weights = surv.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val total = weights.agg(sum("wgt").as("total_wgt"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("quota",
+        least(col("n_docs"), expr(s"($mixBudget * wgt) div total_wgt")))
+      .select("lang", "quota")
+    val wMix = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val mixed = surv.withColumn("rk", row_number().over(wMix))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "lang", "n_tok", "label")
+    val fm = f.join(mixed.select(col("doc_id"), lit(true).as("s_m")),
+      Seq("doc_id"), "left")
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def tks(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, col("n_tok"))), lit(0L))
+    def ck(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, col("doc_id"))), lit(0L))
+    val sm = coalesce(col("s_m"), lit(false))
+    val audit = fm.agg(
+        count(lit(1)).as("c0"), coalesce(sum("n_tok"), lit(0L)).as("t0"),
+        coalesce(sum("doc_id"), lit(0L)).as("i0"),
+        cnt(col("s_q")).as("c1"), tks(col("s_q")).as("t1"), ck(col("s_q")).as("i1"),
+        cnt(col("s_e")).as("c2"), tks(col("s_e")).as("t2"), ck(col("s_e")).as("i2"),
+        cnt(col("s_n")).as("c3"), tks(col("s_n")).as("t3"), ck(col("s_n")).as("i3"),
+        cnt(col("s_de")).as("c4"), tks(col("s_de")).as("t4"), ck(col("s_de")).as("i4"),
+        cnt(sm).as("c5"), tks(sm).as("t5"), ck(sm).as("i5"))
+      .selectExpr(
+        """stack(6,
+          | '00_raw', c0, t0, i0,
+          | '01_quality', c1, t1, i1,
+          | '02_exact_dedup', c2, t2, i2,
+          | '03_near_dedup', c3, t3, i3,
+          | '04_decontam', c4, t4, i4,
+          | '05_mix', c5, t5, i5
+          |) AS (stage, n_units, n_tokens, id_checksum)""".stripMargin)
+    // q85's packing over the mixed survivors, reduced to one audit row
+    val wPack = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packRow = mixed
+      .withColumn("cum", sum("n_tok").over(wPack))
+      .withColumn("bin", expr("(cum - n_tok) div 2048"))
+      .groupBy("lang", "bin")
+      .agg(sum("n_tok").as("bt"), min("doc_id").as("fd"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum("bt"), lit(0L)).as("n_tokens"),
+        coalesce(sum("fd"), lit(0L)).as("id_checksum"))
+      .select(lit("06_pack").as("stage"), col("n_units"), col("n_tokens"),
+        col("id_checksum"))
+    // q123's leakage-safe split on the CLUSTER label
+    val b = graft.functions.Hashing.md5Bucket(col("label"), 100)
+    val splitRows = mixed
+      .select(col("doc_id"), col("n_tok"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("spl"))
+      .groupBy("spl")
+      .agg(count(lit(1)).as("n_units"), sum("n_tok").as("n_tokens"),
+        sum("doc_id").as("id_checksum"))
+      .select(concat(lit("07_split_"), col("spl")).as("stage"),
+        col("n_units"), col("n_tokens"), col("id_checksum"))
+    audit.unionByName(packRow).unionByName(splitRows).orderBy("stage")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q234_pipeline_e2e" -> pipelineE2e,
     "q186_dataset_card" -> datasetCard,
     "q207_epoch_shuffle" -> epochShuffle,
     "q172_shard_balance" -> shardBalance,
@@ -559,6 +707,101 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    // the identical stage chain in one statement: q73's quality CASE,
+    // md5-canonical exact dedup, the recursive-CC labels (q123's CTE)
+    // for near dedup + split, q74's shingle decontamination, q103's
+    // integer sqrt quotas, q85's bins — every verdict a monotone flag
+    "q234_pipeline_e2e" ->
+      s"""WITH RECURSIVE ${Dedup.pairsCte},
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |lbl AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |fb AS (SELECT d.doc_id, d.lang,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tok,
+         |    md5(text) AS th, l.label,
+         |    (CASE WHEN length(text) < 50 THEN 'too_short'
+         |         WHEN length(text) > 5000 THEN 'too_long'
+         |         WHEN len(string_split_regex(text, '\\s+')) < 10
+         |           THEN 'too_few_tokens'
+         |         WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+         |              / length(text) > 0.2 THEN 'too_much_punct'
+         |         WHEN CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |              t -> t IN ('the','a','and','of','el','la','de','que'))) AS DOUBLE)
+         |              / len(string_split_regex(text, '\\s+')) < 0.01
+         |           THEN 'no_stopwords'
+         |         ELSE 'ok' END = 'ok') AS s_q
+         |  FROM documents d JOIN lbl l USING (doc_id)),
+         |ex AS (SELECT th, min(doc_id) AS ex_keep FROM fb WHERE s_q GROUP BY 1),
+         |f1 AS (SELECT fb.*, coalesce(s_q AND doc_id = ex.ex_keep, false) AS s_e
+         |  FROM fb LEFT JOIN ex USING (th)),
+         |nr AS (SELECT label, min(doc_id) AS nr_keep FROM f1 WHERE s_e GROUP BY 1),
+         |f2 AS (SELECT f1.*, coalesce(s_e AND doc_id = nr.nr_keep, false) AS s_n
+         |  FROM f1 LEFT JOIN nr USING (label)),
+         |tkd AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |shg AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM tkd),
+         |bench AS (SELECT DISTINCT sh FROM shg WHERE doc_id < 10),
+         |cont AS (SELECT DISTINCT c.doc_id FROM shg c
+         |  JOIN bench b ON c.sh = b.sh WHERE c.doc_id >= 10),
+         |f3 AS (SELECT f2.*, (s_n AND f2.doc_id >= 10 AND NOT EXISTS
+         |    (SELECT 1 FROM cont WHERE cont.doc_id = f2.doc_id)) AS s_de
+         |  FROM f2),
+         |sv AS (SELECT * FROM f3 WHERE s_de),
+         |w2 AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(floor(sqrt(count(*))) AS BIGINT) AS wgt FROM sv GROUP BY 1),
+         |t2 AS (SELECT CAST(sum(wgt) AS BIGINT) AS total_wgt FROM w2),
+         |q2 AS (SELECT lang,
+         |    CAST(least(n_docs, ($mixBudget * wgt) // total_wgt) AS BIGINT) AS quota
+         |  FROM w2 CROSS JOIN t2),
+         |r2 AS (SELECT sv.*, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM sv),
+         |mx AS (SELECT r2.doc_id, r2.lang, r2.n_tok, r2.label
+         |  FROM r2 JOIN q2 USING (lang) WHERE rk <= q2.quota),
+         |f4 AS (SELECT f3.*, EXISTS
+         |    (SELECT 1 FROM mx WHERE mx.doc_id = f3.doc_id) AS s_m FROM f3),
+         |audit AS (
+         |  SELECT '00_raw' AS stage, count(*) AS n_units,
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_checksum FROM f4
+         |  UNION ALL SELECT '01_quality', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+         |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM f4 WHERE s_q
+         |  UNION ALL SELECT '02_exact_dedup', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+         |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM f4 WHERE s_e
+         |  UNION ALL SELECT '03_near_dedup', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+         |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM f4 WHERE s_n
+         |  UNION ALL SELECT '04_decontam', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+         |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM f4 WHERE s_de
+         |  UNION ALL SELECT '05_mix', count(*),
+         |    CAST(coalesce(sum(n_tok), 0) AS BIGINT),
+         |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM f4 WHERE s_m),
+         |pk AS (SELECT lang, doc_id, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048
+         |      AS bin
+         |  FROM mx),
+         |bins AS (SELECT lang, bin, CAST(sum(n_tok) AS BIGINT) AS bt,
+         |    min(doc_id) AS fd FROM pk GROUP BY 1, 2),
+         |packrow AS (SELECT '06_pack' AS stage, count(*) AS n_units,
+         |    CAST(coalesce(sum(bt), 0) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(fd), 0) AS BIGINT) AS id_checksum FROM bins),
+         |spl AS (SELECT CASE WHEN b < 80 THEN 'train'
+         |      WHEN b < 90 THEN 'val' ELSE 'test' END AS sp, doc_id, n_tok
+         |  FROM (SELECT doc_id, n_tok,
+         |    ${graft.functions.Hashing.duckMd5Bucket("label", 100)} AS b FROM mx)),
+         |sprow AS (SELECT '07_split_' || sp AS stage, count(*) AS n_units,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM spl GROUP BY 1)
+         |SELECT * FROM audit UNION ALL SELECT * FROM packrow
+         |UNION ALL SELECT * FROM sprow ORDER BY stage""".stripMargin,
     "q186_dataset_card" ->
       raw"""WITH meta AS (SELECT source, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -521,6 +521,101 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Delta-batch membership for the incremental embedding dedup — the
+    * q114 convention (every 10th id plays the incoming batch) lifted to
+    * the vector table. */
+  private def isDeltaVec = col("vec_id") % 10 === 7
+
+  /** Corpus-side IVF index for q235 — pivots + HOME-cell assignments of
+    * the NON-delta vectors, staged to parquet once per input dir per JVM
+    * (the q114 corpusIndex contract on the embedding side): the index is
+    * built when the corpus is ingested; each delta batch only PROBES it.
+    * Pivots are the corpus vectors with vec_id < 64 (deterministic,
+    * DuckDB-reproducible — k-means centroids swap in via ivfIndex's
+    * pivot-agnostic contract at scale).
+    */
+  private val embIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def embCorpusIndex(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val (pivDir, homeDir) = embIndexCache.computeIfAbsent(d, _ => {
+      val pp = graft.Scratch.dir("graft_ivf_pivots") // reaped at JVM exit
+      val hp = graft.Scratch.dir("graft_ivf_cells")
+      val corpus = base(s, d).filter(!isDeltaVec)
+      corpus.filter(col("vec_id") < 64).select(
+          col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+          col("sq").as("p_sq"))
+        .write.mode("overwrite").parquet(pp)
+      val pivots = s.read.parquet(pp)
+      val psim = cosineWithNorms(
+        dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("psim9").desc, col("pivot_id"))
+      corpus.crossJoin(broadcast(pivots))
+        .withColumn("psim9", round(psim, 9))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("sq"),
+          col("pivot_id").as("cell_id"))
+        .write.mode("overwrite").parquet(hp)
+      (pp, hp)
+    })
+    (s.read.parquet(pivDir), s.read.parquet(homeDir))
+  }
+
+  /** q235's core, probe-width-parametrized so SimilaritySpec can pin the
+    * exactness law: with probes ≥ the pivot count every (delta, corpus)
+    * pair shares a probed cell, so the verdicts must equal the brute-force
+    * delta×corpus threshold scan — the cell blocking loses only what the
+    * probe budget says it may.
+    */
+  private[graft] def deltaSemanticVerdicts(s: org.apache.spark.sql.SparkSession,
+      d: String, probes: Int): org.apache.spark.sql.DataFrame = {
+    val (pivots, home) = embCorpusIndex(s, d)
+    val delta = base(s, d).filter(isDeltaVec)
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val probed = delta.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= probes)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"), col("arn"))
+    val l = probed.alias("l")
+    val r = home.alias("r")
+    val sim = cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
+    // corpus side is home-cell-only, so a (delta, corpus) pair can match
+    // in exactly ONE cell (the corpus vector's home) — counts need no
+    // dedup across probes. shuffle_hash: the staged index is corpus-scale.
+    val matches = l.join(r.hint("shuffle_hash"),
+        col("l.cell_id") === col("r.cell_id") && round(sim, 9) >= semanticTau)
+      .groupBy(col("l.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup"), min(col("r.vec_id")).as("dup_of"))
+    probed.filter(col("arn") === 1).select(col("vec_id"), col("cell_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (coalesce(col("n_dup"), lit(0L)) === 0).as("is_new"))
+      .orderBy("vec_id")
+  }
+
+  /** q235 — INCREMENTAL semantic dedup: q114's delta-vs-corpus shape
+    * lifted to q101's SemDeDup. q101 re-assigns and re-compares the whole
+    * corpus every run; the production shape at 100 TB stages the IVF
+    * index ONCE (centroids + home-cell assignments, the artifact kept
+    * between ingest runs) and each incoming batch assigns only its own
+    * vectors, probes its top-2 home cells, and emits per-vector verdicts —
+    * O(batch + collisions), never O(corpus). Verdict per delta vector:
+    * home cell, verified above-threshold corpus mates, the least matching
+    * corpus id (`dup_of`, −1 when none — "drop the incoming copy, keep
+    * the ingested one"), and the is_new admission bit.
+    */
+  val deltaSemDedup: Q = (s, d) => deltaSemanticVerdicts(s, d, probes = 2)
+
   /** q153 — exact per-label centroids + inertia over the embedding
     * column: the cluster-quality summary (k-means' E-step cost under the
     * LABEL assignment) computed exactly, no iterative fit. The shape a
@@ -577,7 +672,8 @@ object Similarity extends QueryModule {
     "q47_ivf_ann" -> ivfAnn,
     "q215_ivf_coverage" -> ivfCoverage,
     "q72_ann_recall" -> annRecall,
-    "q189_knn_graph" -> knnGraph)
+    "q189_knn_graph" -> knnGraph,
+    "q235_delta_semdedup" -> deltaSemDedup)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
@@ -589,6 +685,36 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    // the identical staged-index computation inline: corpus home cells,
+    // delta top-2 probes, one cell equi-join, the same 9-dp threshold
+    "q235_delta_semdedup" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 7),
+         |piv AS (SELECT vec_id AS pivot_id, embedding FROM corpus
+         |  WHERE vec_id < 64),
+         |ch AS (SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT c.vec_id, c.embedding, p.pivot_id AS cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(${duckCos.format("c", "p")}, 9) DESC,
+         |          p.pivot_id) AS arn
+         |    FROM corpus c CROSS JOIN piv p) WHERE arn = 1),
+         |delta AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 7),
+         |dp AS (SELECT vec_id, embedding, cell_id, arn FROM (
+         |    SELECT d.vec_id, d.embedding, p.pivot_id AS cell_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY round(${duckCos.format("d", "p")}, 9) DESC,
+         |          p.pivot_id) AS arn
+         |    FROM delta d CROSS JOIN piv p) WHERE arn <= 2),
+         |m AS (SELECT l.vec_id, count(*) AS n_dup, min(r.vec_id) AS dup_of
+         |  FROM dp l JOIN ch r ON l.cell_id = r.cell_id
+         |  WHERE round(${duckCos.format("l", "r")}, 9) >= $semanticTau
+         |  GROUP BY 1),
+         |hc AS (SELECT vec_id, cell_id FROM dp WHERE arn = 1)
+         |SELECT hc.vec_id, CAST(hc.cell_id AS INT) AS cell_id,
+         |  COALESCE(m.n_dup, 0) AS n_dup, COALESCE(m.dup_of, -1) AS dup_of,
+         |  (COALESCE(m.n_dup, 0) = 0) AS is_new
+         |FROM hc LEFT JOIN m USING (vec_id) ORDER BY hc.vec_id""".stripMargin,
     "q189_knn_graph" -> {
       val banded = (0 until 8).map { b =>
         s"SELECT vec_id, $b AS band, ${duckBandBucket(b)} AS bucket FROM embeddings"

@@ -327,4 +327,43 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("balance_ppm"))
       === ((4L, 64L, 62L, 2L, 2L, 693147L, 166666L)), r.toString)
   }
+
+  test("q235 delta dedup with full probe width equals the brute-force delta-vs-corpus scan") {
+    // The exactness law of the cell blocking: with probes >= the pivot
+    // count every (delta, corpus) pair shares a probed cell, so the
+    // per-vector verdicts (n_dup, dup_of, is_new) must equal the
+    // unblocked delta x corpus threshold scan — the IVF layout loses
+    // only what the probe budget says it may.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        sqNormD(col("embedding")).as("sq"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+    val delta = emb.filter(col("vec_id") % 10 === 7)
+    val sim = cosineWithNorms(
+      dotD(col("d_emb"), col("embedding")), col("d_sq"), col("sq"))
+    val brute = delta
+      .select(col("vec_id").as("d_id"), col("embedding").as("d_emb"),
+        col("sq").as("d_sq"))
+      .crossJoin(corpus)
+      .filter(round(sim, 9) >= 0.4)
+      .groupBy("d_id")
+      .agg(count(lit(1)).as("n_dup"), min("vec_id").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = graft.operators.Similarity
+      .deltaSemanticVerdicts(spark, sf, probes = 64).collect()
+    assert(got.length === delta.count(), "one verdict row per delta vector")
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id) match {
+        case Some((n, rep)) =>
+          assert(r.getAs[Long]("n_dup") === n, s"n_dup for $id")
+          assert(r.getAs[Long]("dup_of") === rep, s"dup_of for $id")
+          assert(!r.getAs[Boolean]("is_new"), s"is_new for $id")
+        case None =>
+          assert(r.getAs[Long]("n_dup") === 0L, s"n_dup for $id")
+          assert(r.getAs[Long]("dup_of") === -1L, s"dup_of for $id")
+          assert(r.getAs[Boolean]("is_new"), s"is_new for $id")
+      }
+    }
+  }
 }
