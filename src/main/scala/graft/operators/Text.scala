@@ -1013,6 +1013,137 @@ object Text extends QueryModule {
       .limit(20)
   }
 
+  /** The q236 merge table — PRIORITY-ORDERED (trainer output order, the
+    * q171 statistic frozen into a table): each entry merges two adjacent
+    * TOKENS, and later entries may consume earlier outputs (("th","e")
+    * fires only after ("t","h") created the "th" token — the standard
+    * iterative BPE encode over a topologically-ordered merge list).
+    */
+  private val bpeMerges = Seq(
+    ("t", "h"), ("h", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("th", "e"), ("an", "d"))
+
+  /** q236 — BPE ENCODE pass: q171 computes the trainer-side merge-pair
+    * statistics; this applies a FIXED merge table to encode text — the
+    * inference-side half of the tokenizer, and the token-count audit
+    * (chars per token, per source) a mix builder reads before committing
+    * a budget. The encode runs over the DISTINCT-WORD dictionary, so a
+    * million-occurrence word encodes ONCE (vocabulary-bounded work, the
+    * q170/q230 discipline); per-source totals come from joining the
+    * (source, word, freq) frame back by word.
+    *
+    * Token-sequence representation is a delimiter-wrapped string — each
+    * token as `|tok|` — and one merge is ONE non-overlapping left-to-right
+    * `replace('|x||y|' → '|xy|')`: both engines' replace() resumes
+    * scanning AFTER the substituted text, which IS greedy left-to-right
+    * BPE application, and the double delimiter keeps adjacent matches
+    * from stealing each other's boundary (`|a||n||a||n|` → `|an||an|`,
+    * where single delimiters would leave the second pair unmerged). No
+    * array-of-array folds, no UDFs — the whole encode is a chain of 10
+    * codegen'd string replaces evaluated once per word type. Final token
+    * count reads off the encoding: half the surviving delimiter count.
+    */
+  val bpeEncode: Q = (s, d) => {
+    val chars = "regexp_replace(w, '(.)', '|$1|')"
+    val enc = bpeMerges.foldLeft(chars) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val wf = docs
+      .select(col("source"), explode(filter(toks, t => length(t) > 0)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("f"))
+    val dict = wf.select("w").distinct()
+    val encoded = dict.select(col("w"),
+      expr(s"(length($enc) - length(replace($enc, '|', ''))) div 2")
+        .cast("long").as("n_bpe"))
+    wf.join(encoded, "w")
+      .groupBy("source")
+      .agg(sum("f").as("n_words"), count(lit(1)).as("n_word_types"),
+        sum(col("f") * length(col("w"))).as("n_chars"),
+        sum(col("f") * col("n_bpe")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_word_types"),
+        col("n_chars"), col("n_tokens"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+      .orderBy("source")
+  }
+
+  /** q237 winnowing constants: k-token grams, window of w gram hashes.
+    * The guarantee: every run of w consecutive grams (= w+k−1 tokens)
+    * contributes at least one selected fingerprint, and matches of
+    * length ≥ w+k−1 tokens are always detected. */
+  private val winK = 4
+  private val winW = 4
+
+  /** Packed argmin key width: h (32-bit gram hash) shifted past a 21-bit
+    * position slot, so ONE window-min yields both the minimal hash and
+    * its rightmost position. Bounds documents to 2^20 gram positions
+    * (a million tokens — far past any training document; a longer one
+    * would be chunked by q90 upstream anyway). */
+  private val winPosSlot = 1L << 21
+  private val winPosMax = (1L << 20) - 1
+
+  /** q237 — WINNOWING document fingerprints (Schleimer–Wilkerson–Aiken,
+    * the MOSS / The Stack code-dedup family): slide a window of
+    * [[winW]] consecutive [[winK]]-gram hashes and select each window's
+    * MINIMUM hash, rightmost occurrence on ties — the fingerprint set
+    * that guarantees any shared run of ≥ winW+winK−1 tokens between two
+    * documents shares a selected fingerprint, which MinHash (a whole-
+    * document sketch) cannot promise. Deterministic and integer end to
+    * end, so the oracle compare is exact.
+    *
+    * Plan shape: gram hashes are one windowed pass over the token
+    * positions (the q141 lead() plumbing — tokenize → gram is
+    * shuffle-free on the fanOut partitioning); the rightmost-min
+    * selection is ONE window-min over a packed (hash, reversed-position)
+    * key — no self-join, no argmin subquery: min(h·2²¹ + (2²⁰−1−pos))
+    * decodes to the minimal hash and, among ties, the largest position.
+    * Selected pairs dedup per document (a fingerprint chosen by several
+    * overlapping windows counts once), and the output is one audit row
+    * per document — n_grams, full windows, fingerprint count, and
+    * hash/position checksums pinning WHICH grams were selected. Linear
+    * in corpus size at any scale; the fingerprint table (the artifact a
+    * code-dedup pipeline would stage and equi-join on h) is the distinct
+    * frame this query reduces.
+    */
+  val winnowFingerprints: Q = (s, d) => {
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= winK,
+        sequence(lit(1), size(col("tk")) - (winK - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = t.select(col("doc_id"), col("tk"), explode(idx).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("tk"), col("pos"), lit(winK)))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val sel = grams
+      .withColumn("c", col("h") * winPosSlot + (lit(winPosMax) - col("pos")))
+      .withColumn("selc",
+        min("c").over(wOrd.rowsBetween(Window.currentRow, winW - 1)))
+      .withColumn("full", lead("h", winW - 1).over(wOrd).isNotNull)
+    val fps = sel.filter(col("full"))
+      .select(col("doc_id"), expr(s"selc div $winPosSlot").as("fh"),
+        expr(s"$winPosMax - selc % $winPosSlot").as("fpos"))
+      .distinct()
+    val perDoc = sel.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("full"), 1L).otherwise(0L)).as("n_windows"))
+    val perFp = fps.groupBy("doc_id").agg(
+      count(lit(1)).as("n_fp"), sum("fh").as("h_checksum"),
+      sum("fpos").as("pos_checksum"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(perFp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("h_checksum"), lit(0L)).as("h_checksum"),
+        coalesce(col("pos_checksum"), lit(0L)).as("pos_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** q176 — SOURCE VOCABULARY OVERLAP: exact pairwise Jaccard similarity
     * between every pair of sources' token vocabularies — the corpus-mix
     * audit that catches two "different" crawls feeding near-identical
@@ -1332,6 +1463,8 @@ object Text extends QueryModule {
     "q178_heaps_law" -> heapsLaw,
     "q176_source_overlap" -> sourceOverlap,
     "q171_bpe_pairs" -> bpePairs,
+    "q236_bpe_encode" -> bpeEncode,
+    "q237_winnow_fingerprints" -> winnowFingerprints,
     "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
@@ -1556,6 +1689,72 @@ object Text extends QueryModule {
          |FROM pr JOIN sz x ON pr.src_a = x.source
          |JOIN sz y ON pr.src_b = y.source
          |ORDER BY src_a, src_b""".stripMargin,
+    // the identical packed-key window-min: same gram hash family, same
+    // 2^21 position slot, same rightmost-on-ties decode
+    "q237_winnow_fingerprints" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+         |      AS tk FROM documents),
+         |g AS (SELECT doc_id, tk,
+         |    unnest(range(1, greatest(len(tk) - ${winK - 1}, 0) + 1)) AS pos
+         |  FROM t),
+         |gh AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(tk[pos:pos+${winK - 1}], ' ')),
+         |      1, 8))::BIGINT AS h
+         |  FROM g),
+         |sel AS (SELECT doc_id, pos, h,
+         |    min(h * $winPosSlot + ($winPosMax - pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS selc,
+         |    (lead(h, ${winW - 1}) OVER (PARTITION BY doc_id ORDER BY pos))
+         |      IS NOT NULL AS filled
+         |  FROM gh),
+         |fps AS (SELECT DISTINCT doc_id, selc // $winPosSlot AS fh,
+         |    $winPosMax - selc % $winPosSlot AS fpos
+         |  FROM sel WHERE filled),
+         |pd AS (SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_windows
+         |  FROM sel GROUP BY 1),
+         |pf AS (SELECT doc_id, count(*) AS n_fp,
+         |    CAST(sum(fh) AS BIGINT) AS h_checksum,
+         |    CAST(sum(fpos) AS BIGINT) AS pos_checksum
+         |  FROM fps GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(pd.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(pf.n_fp, 0) AS BIGINT) AS n_fp,
+         |  CAST(COALESCE(pf.h_checksum, 0) AS BIGINT) AS h_checksum,
+         |  CAST(COALESCE(pf.pos_checksum, 0) AS BIGINT) AS pos_checksum
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |LEFT JOIN pf USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // the identical merge chain: DuckDB's replace() is the same
+    // non-overlapping left-to-right scan, regexp_replace needs the 'g'
+    // flag (and \1 backreference syntax) to match Spark's replace-all
+    "q236_bpe_encode" -> {
+      val chars = raw"regexp_replace(w, '(.)', '|\1|', 'g')"
+      val enc = bpeMerges.foldLeft(chars) { case (acc, (l, r)) =>
+        s"replace($acc, '|$l||$r|', '|$l$r|')"
+      }
+      raw"""WITH wds AS (SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS w
+         |  FROM documents),
+         |wf AS (SELECT source, w, count(*) AS f FROM wds GROUP BY 1, 2),
+         |dict AS (SELECT DISTINCT w FROM wf),
+         |enc AS (SELECT w,
+         |    CAST((length($enc) - length(replace($enc, '|', ''))) // 2
+         |      AS BIGINT) AS n_bpe
+         |  FROM dict)
+         |SELECT source, CAST(sum(f) AS BIGINT) AS n_words,
+         |  count(*) AS n_word_types,
+         |  CAST(sum(f * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(f * n_bpe) AS BIGINT) AS n_tokens,
+         |  CAST(sum(f * length(w)) * 1000000 // sum(f * n_bpe) AS BIGINT)
+         |    AS chars_per_token_ppm
+         |FROM wf JOIN enc USING (w) GROUP BY source ORDER BY source""".stripMargin
+    },
     "q171_bpe_pairs" ->
       raw"""WITH wds AS (SELECT
          |    unnest(list_filter(string_split_regex(text, '\s+'),

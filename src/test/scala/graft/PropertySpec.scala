@@ -454,6 +454,63 @@ class PropertySpec extends SparkSpec {
     assert(got.toList === List((1L, 1L, 3L, 1L, 6L)), got.mkString(","))
   }
 
+  test("q237 winnowing law: brute-force fingerprints match, density band holds, on any corpus") {
+    // Brute force mirrors the definition, not the packed-key plan: per
+    // window of 4 gram hashes select (min hash, rightmost position on
+    // ties), dedup per doc. The tiny 6-word alphabet forces heavy gram
+    // repetition, which is exactly what stresses the tie rule. Density:
+    // winnowing selects at least one fingerprint per window and one
+    // fingerprint covers at most w windows, so n_windows/w <= n_fp <=
+    // n_windows whenever windows exist.
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p, Prop.forAll(docGen) { docs =>
+      val dir = asDocTable(docs)
+      val expected = docs.zipWithIndex.map { case (t, i) =>
+        val tk = t.split("\\s+").filter(_.nonEmpty)
+        val hs = tk.sliding(4).filter(_.length == 4).map(g =>
+          java.lang.Long.parseLong(
+            graft.functions.Hashing.md5hex(g.mkString(" ")).substring(0, 8), 16))
+          .toArray
+        val fps = (0 to hs.length - 4).map { p0 =>
+          val win = (p0 until p0 + 4)
+          val mn = win.map(hs).min
+          val pos = win.filter(q => hs(q) == mn).max
+          (mn, pos + 1L) // 1-based positions, as in the query
+        }.toSet
+        i.toLong -> ((hs.length.toLong, math.max(hs.length - 3, 0).toLong, fps))
+      }.toMap
+      SparkEntry.queries("q237_winnow_fingerprints")(spark, dir).collect()
+        .forall { r =>
+          val (ng, nw, fps) = expected(r.getAs[Long]("doc_id"))
+          val nf = r.getAs[Long]("n_fp")
+          r.getAs[Long]("n_grams") == ng &&
+          r.getAs[Long]("n_windows") == nw &&
+          nf == fps.size.toLong &&
+          r.getAs[Long]("h_checksum") == fps.iterator.map(_._1).sum &&
+          r.getAs[Long]("pos_checksum") == fps.iterator.map(_._2).sum &&
+          (nw == 0 || (nf * 4 >= nw && nf <= nw))
+        }
+    })
+    assert(r.passed, s"winnowing law: $r")
+  }
+
+  test("q236 BPE encode: hand-computed merge chains, delimiter-stealing repeats included") {
+    // the: t|h -> th, then the second-level th|e -> the: ONE token.
+    // anand: a|n fires twice (the double-delimiter representation keeps
+    //   the adjacent matches from stealing each other's boundary), then
+    //   an|d: [an, and] = 2 tokens.
+    // matter: e|r -> er, a|t -> at: [m, at, t, er] = 4 tokens.
+    // aaa: no merge applies: 3 tokens.
+    val dir = asDocTable(List("the anand", "matter aaa"))
+    val rows = SparkEntry.queries("q236_bpe_encode")(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_words") === 4L, r.toString)
+    assert(r.getAs[Long]("n_word_types") === 4L, r.toString)
+    assert(r.getAs[Long]("n_chars") === (3 + 5 + 6 + 3).toLong, r.toString)
+    assert(r.getAs[Long]("n_tokens") === (1 + 2 + 4 + 3).toLong, r.toString)
+  }
+
   test("q210 SCC classes: the fl/bl-pair diamond is NOT reported as an SCC") {
     import spark.implicits._
     // The unsoundness counterexample for pair-grouping: 1->2, 1->3,
