@@ -594,6 +594,79 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q239's sketch width: 60 one-bit minhashes, so the packed signature
+    * uses bit positions 0..59 — every shift stays inside a positive
+    * BIGINT in both engines (bit 63 would need engine-specific overflow
+    * semantics). */
+  private val bbitK = 60
+
+  /** Deterministic XOR constants for the 60 "permutations": first 15 md5
+    * hex digits of "bbit:i" — driver-side plan-build constants (the
+    * Hashing.md5hex contract), baked as identical literals into the
+    * Spark expression and the oracle SQL. XOR-min over the shared
+    * 60-bit token-hash universe is the standard cheap stand-in for a
+    * min-wise independent permutation family: no re-hashing of tokens,
+    * just one XOR per (token, permutation) over the STAGED hashed sets.
+    */
+  private lazy val bbitConsts: IndexedSeq[Long] = (0 until bbitK).map { i =>
+    java.lang.Long.parseLong(
+      graft.functions.Hashing.md5hex(s"bbit:$i").substring(0, 15), 16)
+  }
+
+  /** q239 — b-BIT MINHASH audit (Li–König, b = 1): the 8-byte-per-
+    * document similarity sketch — each of 60 minhash values keeps only
+    * its LOWEST BIT, packed into one BIGINT — against exact Jaccard
+    * ground truth. One bit per hash estimates J as 2·(agreement
+    * fraction)−1 (a non-matching pair still agrees on half its bits by
+    * chance); the estimator is unbiased but 60 bits is a coarse ruler,
+    * and THE question a deployment asks before swapping 8-byte
+    * signatures for the full hashed sets at 100 TB (a ~1000× shuffle-
+    * byte reduction in the verify stage) is the realized error
+    * distribution on ITS corpus. This query measures exactly that over
+    * the staged LSH candidate pairs (the pairs a dedup pass would
+    * actually verify — J spread from ~0 collisions to near-1 dups):
+    * per-document signatures are one XOR-min projection over the staged
+    * hashed sets (no tokenization, no md5 — the artifact is reused);
+    * the pair frame joins the 8-byte signatures and the hashed sets by
+    * id (shuffle_hash, the family's verify-join shape); agreement is
+    * ONE xor + bit_count per pair; exact Jaccard is the same
+    * sorted-intersect walk q37's verify runs. Output: the error
+    * histogram — est−exact in ppm, bucketed by 0.1 (shifted positive
+    * before the div so truncation ≡ floor in both engines), with pair
+    * counts and summed |error| per bucket. ≤ 21 rows at any scale.
+    */
+  val bbitMinhash: Q = (s, d) => {
+    val th = stagedHashedSets(s, d)
+    val cand = stagedCands(s, d)
+    val bitsExpr = bbitConsts.zipWithIndex.map { case (c, i) =>
+      s"(array_min(transform(hs, x -> x ^ ${c}L)) % 2) * ${1L << i}L"
+    }.mkString(" + ")
+    val sigs = th.select(col("doc_id"), size(col("hs")).as("n"),
+      expr(bitsExpr).as("bits"))
+    val x = sigs.select(col("doc_id").as("d1"), col("n").as("n1"),
+      col("bits").as("b1"))
+    val y = sigs.select(col("doc_id").as("d2"), col("n").as("n2"),
+      col("bits").as("b2"))
+    val hx = th.select(col("doc_id").as("d1"), col("hs").as("hs1"))
+    val hy = th.select(col("doc_id").as("d2"), col("hs").as("hs2"))
+    val isect = graft.functions.Vectors
+      .sortedIntersectSize(col("hs1"), col("hs2")).cast("long")
+    val scored = cand
+      .join(x.hint("shuffle_hash"), "d1").join(y.hint("shuffle_hash"), "d2")
+      .join(hx.hint("shuffle_hash"), "d1").join(hy.hint("shuffle_hash"), "d2")
+      .withColumn("agree", lit(bbitK.toLong) - expr("bit_count(b1 ^ b2)"))
+      .withColumn("isect", isect)
+      .withColumn("exact_ppm", expr("isect * 1000000 div (n1 + n2 - isect)"))
+      .withColumn("est_ppm",
+        expr(s"(2 * agree - $bbitK) * 1000000 div $bbitK"))
+      .withColumn("err", col("est_ppm") - col("exact_ppm"))
+    scored
+      .groupBy(expr("(err + 1000000) div 100000").as("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("err"))).as("sum_abs_err"))
+      .orderBy("err_bucket")
+  }
+
   /** q123 — LEAKAGE-SAFE train/val/test split: the hash split (q75) keyed
     * by DUP-CLUSTER id instead of doc id, so a document and its near-
     * duplicates always land in the same split. This is the reason dedup
@@ -821,6 +894,7 @@ object Dedup extends QueryModule {
     "q208_group_kfold" -> groupKfold,
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
+    "q239_bbit_minhash" -> bbitMinhash,
     "q204_lsh_recall" -> lshRecall,
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
@@ -982,6 +1056,32 @@ object Dedup extends QueryModule {
          |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_checksum
          |FROM final JOIN fd USING (label)
          |GROUP BY 1 ORDER BY fold""".stripMargin,
+    // same XOR constants, same packed bit positions, same candidate
+    // pairs, same intersect-walk ground truth
+    "q239_bbit_minhash" -> {
+      val bits = bbitConsts.zipWithIndex.map { case (c, i) =>
+        s"(list_min(list_transform(hs, x -> xor(x, $c))) % 2) * ${1L << i}"
+      }.mkString("\n    + ")
+      s"""WITH $sigCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM e a JOIN e b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sg AS (SELECT doc_id, len(hs) AS n,
+         |    $bits AS bits
+         |  FROM th),
+         |p AS (SELECT x.n AS n1, y.n AS n2, x.bits AS b1, y.bits AS b2,
+         |    len(list_intersect(hx.hs, hy.hs)) AS isect
+         |  FROM cand c JOIN sg x ON x.doc_id = c.d1
+         |  JOIN sg y ON y.doc_id = c.d2
+         |  JOIN th hx ON hx.doc_id = c.d1 JOIN th hy ON hy.doc_id = c.d2),
+         |er AS (SELECT
+         |    (2 * ($bbitK - bit_count(xor(b1, b2))) - $bbitK) * 1000000 // $bbitK
+         |    - isect * 1000000 // (n1 + n2 - isect) AS err
+         |  FROM p)
+         |SELECT CAST((err + 1000000) // 100000 AS BIGINT) AS err_bucket,
+         |  count(*) AS n_pairs, CAST(sum(abs(err)) AS BIGINT) AS sum_abs_err
+         |FROM er GROUP BY 1 ORDER BY err_bucket""".stripMargin
+    },
     "q37_minhash_neardup" ->
       s"""WITH $pairsCte,
          |deg AS (SELECT doc_id, count(*) AS n_neardup, min(nb) AS min_nb FROM

@@ -1105,7 +1105,9 @@ object Text extends QueryModule {
     * code-dedup pipeline would stage and equi-join on h) is the distinct
     * frame this query reduces.
     */
-  val winnowFingerprints: Q = (s, d) => {
+  /** The (doc_id, pos, h, selc, full) winnowing selection frame — shared
+    * by the per-document audit (q237) and the pair report (q238). */
+  private def winnowSel(s: org.apache.spark.sql.SparkSession, d: String) = {
     val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
     val idx = when(size(col("tk")) >= winK,
@@ -1117,15 +1119,24 @@ object Text extends QueryModule {
           slice(col("tk"), col("pos"), lit(winK)))), 1, 8), 16, 10)
           .cast("long").as("h"))
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
-    val sel = grams
+    grams
       .withColumn("c", col("h") * winPosSlot + (lit(winPosMax) - col("pos")))
       .withColumn("selc",
         min("c").over(wOrd.rowsBetween(Window.currentRow, winW - 1)))
       .withColumn("full", lead("h", winW - 1).over(wOrd).isNotNull)
-    val fps = sel.filter(col("full"))
+  }
+
+  /** The distinct (doc_id, fh, fpos) fingerprint table the selection
+    * frame reduces to — the artifact a code-dedup pipeline stages. */
+  private def winnowFps(sel: org.apache.spark.sql.DataFrame) =
+    sel.filter(col("full"))
       .select(col("doc_id"), expr(s"selc div $winPosSlot").as("fh"),
         expr(s"$winPosMax - selc % $winPosSlot").as("fpos"))
       .distinct()
+
+  val winnowFingerprints: Q = (s, d) => {
+    val sel = winnowSel(s, d)
+    val fps = winnowFps(sel)
     val perDoc = sel.groupBy("doc_id").agg(
       count(lit(1)).as("n_grams"),
       sum(when(col("full"), 1L).otherwise(0L)).as("n_windows"))
@@ -1142,6 +1153,78 @@ object Text extends QueryModule {
         coalesce(col("h_checksum"), lit(0L)).as("h_checksum"),
         coalesce(col("pos_checksum"), lit(0L)).as("pos_checksum"))
       .orderBy("doc_id")
+  }
+
+  /** Fingerprints shared by more than this many documents are dropped
+    * before the q238 pair join — MOSS's own common-code cut: a
+    * fingerprint in half the corpus is boilerplate, and its posting
+    * list is the Σdf² term that would dominate the join (the q205
+    * df-cap discipline, same reasoning). */
+  private val winnowMaxDf = 50
+
+  /** Shared DuckDB CTE chain for the winnowing family (through `fps` —
+    * the distinct fingerprint table), mirrored verbatim by q237/q238. */
+  private def duckWinnowCte: String =
+    raw"""t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+       |      AS tk FROM documents),
+       |g AS (SELECT doc_id, tk,
+       |    unnest(range(1, greatest(len(tk) - ${winK - 1}, 0) + 1)) AS pos
+       |  FROM t),
+       |gh AS (SELECT doc_id, pos,
+       |    ('0x' || substr(md5(array_to_string(tk[pos:pos+${winK - 1}], ' ')),
+       |      1, 8))::BIGINT AS h
+       |  FROM g),
+       |sel AS (SELECT doc_id, pos, h,
+       |    min(h * $winPosSlot + ($winPosMax - pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS selc,
+       |    (lead(h, ${winW - 1}) OVER (PARTITION BY doc_id ORDER BY pos))
+       |      IS NOT NULL AS filled
+       |  FROM gh),
+       |fps AS (SELECT DISTINCT doc_id, selc // $winPosSlot AS fh,
+       |    $winPosMax - selc % $winPosSlot AS fpos
+       |  FROM sel WHERE filled)""".stripMargin
+
+  /** q238 — WINNOWING PAIR REPORT (the MOSS output): document pairs
+    * ranked by how many winnowing fingerprints they share — the
+    * fingerprint family's consumer, turning q237's per-document table
+    * into the "these two documents share runs of ≥ winW+winK−1 tokens"
+    * verdict that doc-level MinHash (q37) structurally cannot make for
+    * partial overlap (a quoted page inside an otherwise-different
+    * document). Plan: the fingerprint table joins ITSELF on the hash —
+    * a posting-list equi-join bounded by Σdf² over the df-capped
+    * fingerprint vocabulary, the q120/q114 candidate discipline, never
+    * all-pairs — then one hash aggregate per pair and a top-20
+    * TakeOrderedAndProject. Shared counts are DISTINCT hashes (the same
+    * hash selected at two positions counts once), pairs need ≥ 2 shared
+    * fingerprints (one collision is noise), and overlap_ppm scales the
+    * shared count by the smaller document's fingerprint count — the
+    * containment-style normalization (q199) that flags a short document
+    * embedded in a long one.
+    */
+  val winnowPairs: Q = (s, d) => {
+    val fps = winnowFps(winnowSel(s, d))
+    val rare = fps.groupBy("fh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= winnowMaxDf)
+      .select("fh")
+    val posting = fps.select("doc_id", "fh").distinct()
+      .join(rare, Seq("fh"), "left_semi")
+    val perDoc = posting.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = posting.alias("a")
+      .join(posting.alias("b").hint("shuffle_hash"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(perDoc.select(col("doc_id").as("d1"), col("n_fp").as("fp1")), "d1")
+      .join(perDoc.select(col("doc_id").as("d2"), col("n_fp").as("fp2")), "d2")
+      .select(col("d1"), col("d2"), col("n_shared"), col("fp1"), col("fp2"),
+        expr("n_shared * 1000000 div least(fp1, fp2)").as("overlap_ppm"))
+      .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+      .limit(20)
   }
 
   /** q176 — SOURCE VOCABULARY OVERLAP: exact pairwise Jaccard similarity
@@ -1465,6 +1548,7 @@ object Text extends QueryModule {
     "q171_bpe_pairs" -> bpePairs,
     "q236_bpe_encode" -> bpeEncode,
     "q237_winnow_fingerprints" -> winnowFingerprints,
+    "q238_winnow_pairs" -> winnowPairs,
     "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
@@ -1689,29 +1773,30 @@ object Text extends QueryModule {
          |FROM pr JOIN sz x ON pr.src_a = x.source
          |JOIN sz y ON pr.src_b = y.source
          |ORDER BY src_a, src_b""".stripMargin,
+    // the identical df cut, posting self-join, and min-side
+    // containment normalization over the shared winnowing CTEs
+    "q238_winnow_pairs" ->
+      raw"""WITH $duckWinnowCte,
+         |rare AS (SELECT fh FROM (
+         |    SELECT fh, count(DISTINCT doc_id) AS df FROM fps GROUP BY 1)
+         |  WHERE df <= $winnowMaxDf),
+         |posting AS (SELECT DISTINCT doc_id, fh FROM fps
+         |  WHERE fh IN (SELECT fh FROM rare)),
+         |pd AS (SELECT doc_id, count(*) AS n_fp FROM posting GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |  FROM posting a JOIN posting b
+         |  ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT pr.d1, pr.d2, pr.n_shared,
+         |  x.n_fp AS fp1, y.n_fp AS fp2,
+         |  CAST(pr.n_shared * 1000000 // least(x.n_fp, y.n_fp) AS BIGINT)
+         |    AS overlap_ppm
+         |FROM pr JOIN pd x ON x.doc_id = pr.d1 JOIN pd y ON y.doc_id = pr.d2
+         |ORDER BY n_shared DESC, d1, d2 LIMIT 20""".stripMargin,
     // the identical packed-key window-min: same gram hash family, same
     // 2^21 position slot, same rightmost-on-ties decode
     "q237_winnow_fingerprints" ->
-      raw"""WITH t AS (SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
-         |      AS tk FROM documents),
-         |g AS (SELECT doc_id, tk,
-         |    unnest(range(1, greatest(len(tk) - ${winK - 1}, 0) + 1)) AS pos
-         |  FROM t),
-         |gh AS (SELECT doc_id, pos,
-         |    ('0x' || substr(md5(array_to_string(tk[pos:pos+${winK - 1}], ' ')),
-         |      1, 8))::BIGINT AS h
-         |  FROM g),
-         |sel AS (SELECT doc_id, pos, h,
-         |    min(h * $winPosSlot + ($winPosMax - pos)) OVER (
-         |      PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS selc,
-         |    (lead(h, ${winW - 1}) OVER (PARTITION BY doc_id ORDER BY pos))
-         |      IS NOT NULL AS filled
-         |  FROM gh),
-         |fps AS (SELECT DISTINCT doc_id, selc // $winPosSlot AS fh,
-         |    $winPosMax - selc % $winPosSlot AS fpos
-         |  FROM sel WHERE filled),
+      raw"""WITH $duckWinnowCte,
          |pd AS (SELECT doc_id, count(*) AS n_grams,
          |    CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_windows
