@@ -615,7 +615,8 @@ object Pipeline extends QueryModule {
     val f3 = f2.join(contaminated, Seq("doc_id"), "left")
       .withColumn("s_de",
         col("s_n") && col("doc_id") >= 10 && col("is_cont").isNull)
-    // stage the verdict frame ONCE: audit, pack, and split all read it
+    // stage the chain verdicts ONCE: the expensive scans (quality,
+    // digests, shingles, label join) must not re-run per consumer
     val verdictPath = graft.Scratch.dir("graft_e2e_verdict")
     f3.select("doc_id", "lang", "n_tok", "label", "s_q", "s_e", "s_n", "s_de")
       .write.mode("overwrite").parquet(verdictPath)
@@ -631,12 +632,22 @@ object Pipeline extends QueryModule {
       .select("lang", "quota")
     val wMix = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val mixed = surv.withColumn("rk", row_number().over(wMix))
+    val mixedFlags = surv.withColumn("rk", row_number().over(wMix))
       .join(broadcast(quotas), Seq("lang"))
       .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), lit(true).as("s_m"))
+    // second (small) staging: the FULL verdict frame including the mix
+    // flag — audit, pack, and split all read this ONE leaf, so the mix
+    // window and its 1-row quota broadcast run once, not once per
+    // consumer (the plan would otherwise recompute the subtree 3x:
+    // Catalyst reuses exchanges, not twice-referenced subtrees — the
+    // q37 lesson)
+    val fmPath = graft.Scratch.dir("graft_e2e_final")
+    f.join(mixedFlags, Seq("doc_id"), "left")
+      .write.mode("overwrite").parquet(fmPath)
+    val fm = s.read.parquet(fmPath)
+    val mixed = fm.filter(coalesce(col("s_m"), lit(false)))
       .select("doc_id", "lang", "n_tok", "label")
-    val fm = f.join(mixed.select(col("doc_id"), lit(true).as("s_m")),
-      Seq("doc_id"), "left")
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     def tks(c: org.apache.spark.sql.Column) =
       coalesce(sum(when(c, col("n_tok"))), lit(0L))

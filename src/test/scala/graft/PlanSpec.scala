@@ -278,4 +278,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q234 pipeline composition: no cartesians beyond the 1-row quota broadcast; reads the staged label leaf") {
+    val p = plan("q234_pipeline_e2e")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop allowed is the 1-row total-weight broadcast
+    // cross (the q103 quota shape)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 1, p)
+  }
+
+  test("q235 delta dedup: only the broadcast pivot assignment nest-loops; the cell join is equi") {
+    val p = plan("q235_delta_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // assignment crosses on the DELTA side only — the corpus side is the
+    // staged home-cell leaf, never re-assigned. Two references to the
+    // probed frame (match join + home-cell readout) each recompute the
+    // O(batch·C) broadcast cross — the ivfIndex contract: cheaper than
+    // persisting batch·(dim+ids) through a cache, and batch-sized either
+    // way.
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 2, p)
+    assert(p.contains("Join [cell_id") || p.contains("cell_id#"), p)
+  }
+
+  test("q237 winnowing selects fingerprints in ONE window pass — no join at all") {
+    val p = plan("q237_winnow_fingerprints")
+    // the naive argmin form joins grams back to per-window minima; the
+    // packed-key plan needs only the final per-doc audit joins (left
+    // joins to documents), never a gram-level self-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q238 winnowing pairs: the posting self-join is an equi-join on the fingerprint hash") {
+    val p = plan("q238_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q239 b-bit audit reads the STAGED candidate/set leaves — no minhash recomputation") {
+    val p = plan("q239_bbit_minhash")
+    // staging means the plan contains NO md5 over tokens: the signatures
+    // derive from the staged hashed sets by XOR-min alone
+    assert(!p.contains("md5"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
