@@ -594,6 +594,33 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q242 — CROSS-SOURCE duplication matrix: WHICH sources duplicate
+    * into which — the provenance question behind every mix decision
+    * (q103's temperature weights and q176's vocabulary overlap both
+    * assume sources are distinct; this measures where the SAME text
+    * flows in through two crawls). Off the staged CC label table alone:
+    * reduce to the DISTINCT (cluster, source) incidence frame (cluster-
+    * bounded — never the document stream), self-join on the cluster
+    * label with src_a < src_b, and count per source pair both the
+    * clusters shared and the cross-pair document mass Σ nₐ·n_b (the
+    * number of (a-doc, b-doc) duplicate relations — the dedup-savings
+    * attribution q232 reports only per size). Per-label fan-out is
+    * C(|sources in cluster|, 2) — sources number dozens at 100 TB, so
+    * the join output is cluster-count × a small constant.
+    */
+  val crossSourceDup: Q = (s, d) => {
+    val m = clusterLabels(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+    val inc = m.groupBy("label", "source").agg(count(lit(1)).as("nd"))
+    val pairs = inc.alias("a").join(inc.alias("b"),
+        col("a.label") === col("b.label") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("a.nd") * col("b.nd")).as("n_cross_pairs"))
+    pairs.orderBy("src_a", "src_b")
+  }
+
   /** q239's sketch width: 60 one-bit minhashes, so the packed signature
     * uses bit positions 0..59 — every shift stays inside a positive
     * BIGINT in both engines (bit 63 would need engine-specific overflow
@@ -895,6 +922,7 @@ object Dedup extends QueryModule {
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
     "q239_bbit_minhash" -> bbitMinhash,
+    "q242_cross_source_dup" -> crossSourceDup,
     "q204_lsh_recall" -> lshRecall,
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
@@ -1056,6 +1084,27 @@ object Dedup extends QueryModule {
          |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_checksum
          |FROM final JOIN fd USING (label)
          |GROUP BY 1 ORDER BY fold""".stripMargin,
+    // the same recursive-CC labels, the same (cluster, source)
+    // incidence reduction, the same ordered pair join
+    "q242_cross_source_dup" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |inc AS (SELECT f.label, d.source, count(*) AS nd
+         |  FROM final f JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_shared_clusters,
+         |    CAST(sum(a.nd * b.nd) AS BIGINT) AS n_cross_pairs
+         |  FROM inc a JOIN inc b
+         |  ON a.label = b.label AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared_clusters, n_cross_pairs
+         |FROM pr ORDER BY src_a, src_b""".stripMargin,
     // same XOR constants, same packed bit positions, same candidate
     // pairs, same intersect-walk ground truth
     "q239_bbit_minhash" -> {

@@ -616,6 +616,61 @@ object Similarity extends QueryModule {
     */
   val deltaSemDedup: Q = (s, d) => deltaSemanticVerdicts(s, d, probes = 2)
 
+  /** q241 — IVF CENTROID DRIFT audit: does the delta batch still look
+    * like the index? q235 keeps the staged pivots fixed between ingest
+    * runs — correct until the incoming distribution moves, at which
+    * point probes degrade silently (q215 gauges occupancy HEALTH; this
+    * gauges DIRECTION). Per cell: the exact corpus centroid (q153's
+    * integer-ppm discipline — one posexplode to (cell, dim) frames, sums
+    * then one rounded division) against the delta batch's centroid in
+    * the same cell, reduced to an L1 shift in ppm, plus the occupancy
+    * growth ratio. Cells seen by only one side carry NULL shift — a
+    * brand-new hot cell IS the drift signal. Output ≤ |cells| rows; the
+    * corpus side reads the staged home-cell leaf, the delta side pays
+    * one batch-sized assignment — the q235 cost model, unchanged.
+    */
+  val ivfDrift: Q = (s, d) => {
+    val (pivots, home) = embCorpusIndex(s, d)
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val deltaHome = base(s, d).filter(isDeltaVec)
+      .crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("pivot_id").as("cell_id"))
+    def cellStats(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("cell_id"), col("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+      .groupBy("cell_id", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      .select(col("cell_id"), col("dim"), col("n"),
+        expr("CAST(round(CAST(sq AS DOUBLE) / n) AS BIGINT)").as("c_ppm"))
+    val cs = cellStats(home.select("cell_id", "embedding"))
+      .select(col("cell_id"), col("dim"), col("n").as("n_c"),
+        col("c_ppm").as("ccp"))
+    val ds = cellStats(deltaHome.select("cell_id", "embedding"))
+      .select(col("cell_id"), col("dim"), col("n").as("n_d"),
+        col("c_ppm").as("dcp"))
+    cs.join(ds, Seq("cell_id", "dim"), "full_outer")
+      .groupBy("cell_id")
+      .agg(max("n_c").as("mnc"), max("n_d").as("mnd"),
+        sum(abs(col("ccp") - col("dcp"))).as("l1"))
+      .select(col("cell_id").cast("int").as("cell_id"),
+        coalesce(col("mnc"), lit(0L)).as("n_corpus"),
+        coalesce(col("mnd"), lit(0L)).as("n_delta"),
+        expr("""CASE WHEN mnc IS NULL OR mnd IS NULL THEN NULL
+          | ELSE l1 END""".stripMargin.replace("\n", " "))
+          .as("shift_l1_ppm"),
+        expr("""CASE WHEN mnc IS NULL OR mnc = 0 THEN NULL
+          | ELSE coalesce(mnd, 0) * 1000000 div mnc END"""
+          .stripMargin.replace("\n", " ")).as("growth_ppm"))
+      .orderBy("cell_id")
+  }
+
   /** q153 — exact per-label centroids + inertia over the embedding
     * column: the cluster-quality summary (k-means' E-step cost under the
     * LABEL assignment) computed exactly, no iterative fit. The shape a
@@ -673,7 +728,8 @@ object Similarity extends QueryModule {
     "q215_ivf_coverage" -> ivfCoverage,
     "q72_ann_recall" -> annRecall,
     "q189_knn_graph" -> knnGraph,
-    "q235_delta_semdedup" -> deltaSemDedup)
+    "q235_delta_semdedup" -> deltaSemDedup,
+    "q241_ivf_drift" -> ivfDrift)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
@@ -685,6 +741,54 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    // the same corpus/delta home-cell assignments, q153's ppm centroid
+    // rounding, and an engine-identical full-outer cell merge
+    "q241_ivf_drift" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 7),
+         |piv AS (SELECT vec_id AS pivot_id, embedding FROM corpus
+         |  WHERE vec_id < 64),
+         |ch AS (SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT c.vec_id, c.embedding, p.pivot_id AS cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(${duckCos.format("c", "p")}, 9) DESC,
+         |          p.pivot_id) AS arn
+         |    FROM corpus c CROSS JOIN piv p) WHERE arn = 1),
+         |delta AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 7),
+         |dh AS (SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT d.vec_id, d.embedding, p.pivot_id AS cell_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY round(${duckCos.format("d", "p")}, 9) DESC,
+         |          p.pivot_id) AS arn
+         |    FROM delta d CROSS JOIN piv p) WHERE arn = 1),
+         |ce AS (SELECT cell_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+         |      AS q FROM ch),
+         |cc AS (SELECT cell_id, dim, count(*) AS n,
+         |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM ce GROUP BY 1, 2),
+         |de AS (SELECT cell_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+         |      AS q FROM dh),
+         |dc AS (SELECT cell_id, dim, count(*) AS n,
+         |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM de GROUP BY 1, 2),
+         |j AS (SELECT coalesce(cc.cell_id, dc.cell_id) AS cell_id,
+         |    cc.n AS n_c, cc.c AS ccp, dc.n AS n_d, dc.c AS dcp
+         |  FROM cc FULL OUTER JOIN dc
+         |  ON cc.cell_id = dc.cell_id AND cc.dim = dc.dim)
+         |SELECT CAST(cell_id AS INT) AS cell_id,
+         |  CAST(coalesce(max(n_c), 0) AS BIGINT) AS n_corpus,
+         |  CAST(coalesce(max(n_d), 0) AS BIGINT) AS n_delta,
+         |  CASE WHEN max(n_c) IS NULL OR max(n_d) IS NULL THEN NULL
+         |    ELSE CAST(sum(abs(ccp - dcp)) AS BIGINT) END AS shift_l1_ppm,
+         |  CASE WHEN max(n_c) IS NULL OR max(n_c) = 0 THEN NULL
+         |    ELSE CAST(coalesce(max(n_d), 0) * 1000000 // max(n_c) AS BIGINT)
+         |    END AS growth_ppm
+         |FROM j GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     // the identical staged-index computation inline: corpus home cells,
     // delta top-2 probes, one cell equi-join, the same 9-dp threshold
     "q235_delta_semdedup" ->

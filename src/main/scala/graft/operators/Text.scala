@@ -1227,6 +1227,53 @@ object Text extends QueryModule {
       .limit(20)
   }
 
+  /** q240 — FINGERPRINT decontamination + its exactness audit: q74's
+    * shingle decontamination joins EVERY corpus 8-gram against the
+    * benchmark set; this is the sketch-rate alternative — join only the
+    * WINNOWED fingerprints (density ≈ 2/(winW+1) of the gram stream, a
+    * ~60% candidate-mass cut at these parameters, and the knob w buys
+    * more at 100 TB) — run WITH its audit leg against q74's exact
+    * verdict on the same documents. The winnowing guarantee makes the
+    * sketch safe in exactly one direction, and the output is shaped to
+    * PROVE it on this corpus: any shared run of ≥ winW+winK−1 = 7
+    * tokens selects the same gram hash in both documents (the window
+    * min over an identical hash sequence), so an 8-token shingle hit —
+    * q74's contamination definition — ALWAYS implies a fingerprint hit:
+    * exact_hit ∧ ¬fp_hit is impossible (the PropertySpec law), while
+    * fp_hit ∧ ¬exact_hit rows are the sketch's false-positive rate
+    * (7-token overlaps q74's 8-gram definition doesn't count). No df
+    * cap here, deliberately: a boilerplate fingerprint inside the
+    * BENCHMARK must flag, not get pruned.
+    */
+  val fpDecontam: Q = (s, d) => {
+    val fps = winnowFps(winnowSel(s, d)).select("doc_id", "fh").distinct()
+    val benchFp = fps.filter(col("doc_id") < 10).select("fh").distinct()
+    val fpHits = fps.filter(col("doc_id") >= 10)
+      .join(broadcast(benchFp), Seq("fh"))
+      .groupBy("doc_id").agg(countDistinct("fh").as("n_fp_hits"))
+    // q74's exact leg, verbatim: 8-token shingle hashes vs the bench set
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= 8, sequence(lit(1), size(col("tk")) - 7))
+      .otherwise(array().cast("array<int>"))
+    val shingled = t.select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(8)))))).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 10).select("sh").distinct()
+    val exHits = shingled.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id").agg(countDistinct("sh").as("n_exact_hits"))
+    Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") >= 10)
+      .join(fpHits, Seq("doc_id"), "left")
+      .join(exHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp_hits"), lit(0L)).as("n_fp_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        (coalesce(col("n_fp_hits"), lit(0L)) > 0).as("fp_flag"),
+        (coalesce(col("n_exact_hits"), lit(0L)) > 0).as("exact_flag"))
+      .orderBy("doc_id")
+  }
+
   /** q176 — SOURCE VOCABULARY OVERLAP: exact pairwise Jaccard similarity
     * between every pair of sources' token vocabularies — the corpus-mix
     * audit that catches two "different" crawls feeding near-identical
@@ -1549,6 +1596,7 @@ object Text extends QueryModule {
     "q236_bpe_encode" -> bpeEncode,
     "q237_winnow_fingerprints" -> winnowFingerprints,
     "q238_winnow_pairs" -> winnowPairs,
+    "q240_fp_decontam" -> fpDecontam,
     "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
@@ -1773,6 +1821,30 @@ object Text extends QueryModule {
          |FROM pr JOIN sz x ON pr.src_a = x.source
          |JOIN sz y ON pr.src_b = y.source
          |ORDER BY src_a, src_b""".stripMargin,
+    // shared winnowing CTEs for the sketch leg; q74's shingle CTEs
+    // verbatim for the exact leg; same bench split at doc_id 10
+    "q240_fp_decontam" ->
+      raw"""WITH $duckWinnowCte,
+         |fpd AS (SELECT DISTINCT doc_id, fh FROM fps),
+         |bfp AS (SELECT DISTINCT fh FROM fpd WHERE doc_id < 10),
+         |fph AS (SELECT doc_id, count(DISTINCT fh) AS n_fp_hits
+         |  FROM fpd WHERE doc_id >= 10 AND fh IN (SELECT fh FROM bfp)
+         |  GROUP BY 1),
+         |sh AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 7, 0) + 1),
+         |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |exh AS (SELECT doc_id, count(DISTINCT sh) AS n_exact_hits
+         |  FROM sh WHERE doc_id >= 10 AND sh IN (SELECT sh FROM bsh)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(f.n_fp_hits, 0) AS BIGINT) AS n_fp_hits,
+         |  CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+         |  (COALESCE(f.n_fp_hits, 0) > 0) AS fp_flag,
+         |  (COALESCE(e.n_exact_hits, 0) > 0) AS exact_flag
+         |FROM documents d LEFT JOIN fph f ON d.doc_id = f.doc_id
+         |LEFT JOIN exh e ON d.doc_id = e.doc_id
+         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
     // the identical df cut, posting self-join, and min-side
     // containment normalization over the shared winnowing CTEs
     "q238_winnow_pairs" ->

@@ -494,6 +494,27 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, s"winnowing law: $r")
   }
 
+  test("q240 decontam law: an exact shingle hit ALWAYS implies a fingerprint hit") {
+    // The winnowing guarantee as a corpus-level invariant: an 8-token
+    // shared run contains a full 4-gram window with an identical hash
+    // sequence in both documents, whose window-min is selected in both —
+    // so q74-style exact contamination without a fingerprint hit is
+    // impossible. The sketch may over-flag (7-token overlaps), never
+    // under-flag. Checked on generated corpora (heavy repetition from
+    // the 6-word alphabet) and on the real fixture.
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val r = SCTest.check(p, Prop.forAll(docGen) { docs =>
+      val dir = asDocTable(docs)
+      SparkEntry.queries("q240_fp_decontam")(spark, dir).collect()
+        .forall(r => !(r.getAs[Boolean]("exact_flag") &&
+          !r.getAs[Boolean]("fp_flag")))
+    })
+    assert(r.passed, s"decontam law: $r")
+    val fixture = SparkEntry.queries("q240_fp_decontam")(spark, sf).collect()
+    assert(fixture.forall(r => !(r.getAs[Boolean]("exact_flag") &&
+      !r.getAs[Boolean]("fp_flag"))))
+  }
+
   test("q236 BPE encode: hand-computed merge chains, delimiter-stealing repeats included") {
     // the: t|h -> th, then the second-level th|e -> the: ONE token.
     // anand: a|n fires twice (the double-delimiter representation keeps
