@@ -397,7 +397,9 @@ object Dedup extends QueryModule {
     * generalized so other pair-producing operators (q131's fuzzy entity
     * pairs) reuse the same lineage-disciplined machinery.
     */
-  private def ccMinLabels(s: org.apache.spark.sql.SparkSession,
+  // private[graft]: q243's embedding-space clusters (Similarity.scala)
+  // run the same lineage-disciplined loop over cosine-threshold edges.
+  private[graft] def ccMinLabels(s: org.apache.spark.sql.SparkSession,
       nodes: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] pairs staged t=${System.nanoTime() / 1000000}")
@@ -424,8 +426,33 @@ object Dedup extends QueryModule {
       .repartition(loopP, col("src"))
       .sortWithinPartitions("src")
       .cache()
-    var labels = nodes
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
+    // Per-round materialization goes through the RAW RDD, not
+    // Dataset.localCheckpoint. localCheckpoint(true) truncates the
+    // LOGICAL plan, but Spark 4's Dataset.checkpoint first calls
+    // LogicalRDD.rewriteStatsAndConstraints, which computes the child
+    // plan's STATS and STORES them on the new leaf — and sizeInBytes
+    // compounds MULTIPLICATIVELY through the round's ~6 joins:
+    // S_r ≈ S_{r-1}^6, so the stat's BigInteger DIGIT COUNT grows ~6×
+    // per round and by round ~10 the driver spends minutes inside
+    // Toom-Cook BigInteger.multiply while the cluster data is idle
+    // (measured on q243's sf1 graph: rounds 1–8 at ~1s, round 9 at 10s,
+    // round 10 at 62s, round 11 at 116s; jstack pins the time in
+    // SizeInBytesOnlyStatsPlanVisitor.visitJoin). Near-dup text graphs
+    // converge in ≤ 8 rounds, which is why the family never saw it; the
+    // embedding graph at τ = 0.4 needs ~19. createDataFrame over the
+    // localCheckpointed Row RDD carries NO materialized stat (the leaf
+    // reports the constant default size), so every multiplication stays
+    // word-sized and every round plans at the same flat cost; the label
+    // RDD blocks are reclaimed by the ContextCleaner when the previous
+    // round's reference drops, exactly as before.
+    def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // eager: materialize AND truncate lineage now
+      s.createDataFrame(rdd, df.schema)
+    }
+    var labels = materialize(
+      nodes.select(col("doc_id"), col("doc_id").as("label")))
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var rounds = 0
@@ -446,16 +473,13 @@ object Dedup extends QueryModule {
         .join(m.alias("b"), col("a.label") === col("b.doc_id"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.label"), coalesce(col("b.label"), col("a.label"))).as("label"))
-      // eager localCheckpoint: materializes next AND truncates its plan to
-      // a leaf, so round k+1 plans against a constant-size tree. Two jumps
-      // per round: each driver-synced round costs ~seconds of fixed stage
+      // materialize-and-truncate (see the stats-compounding note above):
+      // round k+1 plans against a flat stat-free leaf. Two jumps per
+      // round: each driver-synced round costs ~seconds of fixed stage
       // overhead regardless of data volume, so compressing harder per
       // round (4× path doubling) is nearly free and halves the rounds.
-      val next = jump(jump(stepped)).localCheckpoint(true)
+      val next = materialize(jump(jump(stepped)))
       val sumNow = next.agg(sum("label")).head().getLong(0)
-      // the previous round's checkpoint blocks are RDD-persisted (not in the
-      // CacheManager, so Dataset.unpersist would be a no-op); the
-      // ContextCleaner reclaims them once this reference drops
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
@@ -467,9 +491,9 @@ object Dedup extends QueryModule {
     // round) must still release the CacheManager-pinned edge list, or it
     // stays on the heap for every later query in the session
     } finally ue.unpersist()
-    // the final `labels` checkpoint backs the returned plan (the caller
-    // stages it to parquet); the ContextCleaner reclaims the blocks once
-    // the reference drops
+    // the final round's checkpointed RDD backs the returned plan (the
+    // caller stages it to parquet); the ContextCleaner reclaims the
+    // blocks once the reference drops
     labels
     } // withShufflePartitions(loopP)
   }

@@ -671,6 +671,58 @@ object Similarity extends QueryModule {
       .orderBy("cell_id")
   }
 
+  /** q243 — TRANSITIVE semantic CLUSTERS: connected components over the
+    * q101 edge set (in-cell cosine ≥ τ pairs) — the embedding-space
+    * analogue of q59, and the family's last missing stage: q101's greedy
+    * min-id verdict is not cluster-stable when A~B~C but A≁C (the
+    * "cluster then keep one" decision needs the closure, exactly the
+    * q37-vs-q59 distinction on the text side). Edges come from the SAME
+    * cell-blocked pair join q101 runs (Σ|cell|², never n²); the closure
+    * is the generalized lineage-disciplined min-label loop the text
+    * family shares (Dedup.ccMinLabels — staged edge layout, label-only
+    * shuffles per round, localCheckpoint lineage truncation). Output one
+    * row per vector: cluster id (= component minimum), size, canonical
+    * bit. The oracle recomputes the fixpoint by recursive reachability —
+    * the strongest cross-check for an iterative loop.
+    */
+  val semanticClusters: Q = (s, d) => {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"))
+    val l = assigned.alias("l")
+    val r = assigned.alias("r")
+    val sim = cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
+    val edges = l.join(r.hint("shuffle_hash"),
+        col("l.cell_id") === col("r.cell_id") &&
+          col("l.vec_id") < col("r.vec_id") && round(sim, 9) >= semanticTau)
+      .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"))
+    // parquet roundtrip before the loop — the family's computeLabels
+    // discipline: the loop must consume LEAF scans (the live
+    // assignment/window subtree re-planned under the loop's narrow
+    // shuffle width compounded per round and blew up past ~8 rounds)
+    val tmpE = graft.Scratch.dir("graft_sem_edges")
+    edges.write.mode("overwrite").parquet(tmpE)
+    val nodes = corpus.select(col("vec_id").as("doc_id"))
+    val labels = Dedup.ccMinLabels(s, nodes, s.read.parquet(tmpE))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** q153 — exact per-label centroids + inertia over the embedding
     * column: the cluster-quality summary (k-means' E-step cost under the
     * LABEL assignment) computed exactly, no iterative fit. The shape a
@@ -729,7 +781,8 @@ object Similarity extends QueryModule {
     "q72_ann_recall" -> annRecall,
     "q189_knn_graph" -> knnGraph,
     "q235_delta_semdedup" -> deltaSemDedup,
-    "q241_ivf_drift" -> ivfDrift)
+    "q241_ivf_drift" -> ivfDrift,
+    "q243_semantic_clusters" -> semanticClusters)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
@@ -741,6 +794,34 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = Map(
+    // q101's identical cell-blocked edge set; the fixpoint recomputed by
+    // recursive label reachability — any label the iterative loop leaves
+    // un-propagated mismatches the closure
+    "q243_semantic_clusters" ->
+      s"""WITH RECURSIVE assigned AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC, p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 64) p
+         |  ) WHERE arn = 1),
+         |ed AS (SELECT l.vec_id AS d1, r.vec_id AS d2
+         |  FROM assigned l JOIN assigned r
+         |  ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id
+         |  WHERE round(${duckCos.format("l", "r")}, 9) >= $semanticTau),
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM ed
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM ed),
+         |reach(id, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.id = ue.src),
+         |final AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM final GROUP BY cluster_id)
+         |SELECT f.id AS vec_id, f.cluster_id, s.cluster_size,
+         |  (f.id = f.cluster_id) AS is_canonical
+         |FROM final f JOIN sizes s USING (cluster_id)
+         |ORDER BY vec_id""".stripMargin,
     // the same corpus/delta home-cell assignments, q153's ppm centroid
     // rounding, and an engine-identical full-outer cell merge
     "q241_ivf_drift" ->
