@@ -718,6 +718,64 @@ object Dedup extends QueryModule {
       .orderBy("err_bucket")
   }
 
+  /** q244 — STREAMING incremental near-dup: q114's delta-vs-staged-index
+    * probe run as a Structured Streaming job — the ingest-time dedup gate
+    * a production pipeline actually deploys (documents arrive as a
+    * stream; the corpus index is the static side). The delta documents
+    * stream in via a file source; every micro-batch computes its OWN
+    * band signatures and hashed token sets (stateless projections —
+    * linear in the batch), probes the STAGED corpus index exactly as
+    * q114 does, and appends per-document verdicts to a durable parquet
+    * sink through foreachBatch. No streaming state at all: a document's
+    * verdict depends only on (document, corpus index), never on other
+    * delta documents, so the result is independent of micro-batch
+    * boundaries — which is why this query can share q114's DuckDB oracle
+    * verbatim: batch/stream parity IS the check (the q39/q162 streaming
+    *-family discipline). At scale the file source swaps for Kafka and
+    * the index probe stays the same shuffle_hash equi-join per batch.
+    */
+  val streamDeltaDedup: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val (ixSigs, ixSets) = corpusIndex(s, d)
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val delta = s.readStream.schema(schema).parquet(s"$d/documents.*")
+      .filter(isDelta)
+    val tmp = graft.Scratch.dir("graft_stream_deltadedup")
+    graft.withShufflePartitions(s, 8) {
+      val q = delta.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val t = batch.select(col("doc_id"),
+            array_distinct(split(col("text"), "\\s+")).as("tokset"))
+          val cand = bandSigs(s, t).alias("a")
+            .join(ixSigs.alias("b").hint("shuffle_hash"),
+              col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+            .select(col("a.doc_id").as("did"), col("b.doc_id").as("cid"))
+            .distinct()
+          val x = hashedSets(t).select(col("doc_id").as("did"), col("hs").as("hs1"))
+          val y = ixSets.select(col("doc_id").as("cid"), col("hs").as("hs2"))
+          val matches = cand
+            .join(x.hint("shuffle_hash"), "did")
+            .join(y.hint("shuffle_hash"), "cid")
+            .filter(jaccardDist <= maxDist)
+            .groupBy("did")
+            .agg(count(lit(1)).as("n_dup"), min("cid").as("dup_of"))
+          batch.select(col("doc_id"))
+            .join(matches, col("doc_id") === col("did"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+              coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+              (coalesce(col("n_dup"), lit(0L)) === 0).as("is_new"))
+            .write.mode("append").parquet(s"$tmp/data")
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    s.read.parquet(s"$tmp/data").orderBy("doc_id")
+  }
+
   /** q123 — LEAKAGE-SAFE train/val/test split: the hash split (q75) keyed
     * by DUP-CLUSTER id instead of doc id, so a document and its near-
     * duplicates always land in the same split. This is the reason dedup
@@ -951,6 +1009,7 @@ object Dedup extends QueryModule {
     "q59_dup_clusters" -> dupClusters,
     "q113_segment_dedup" -> segmentDedup,
     "q114_delta_neardup" -> deltaNearDup,
+    "q244_stream_delta_dedup" -> streamDeltaDedup,
     "q123_leakage_split" -> leakageSplit,
     "q131_entity_clusters" -> entityClusters)
 
@@ -996,6 +1055,27 @@ object Dedup extends QueryModule {
        |  JOIN th x ON x.doc_id = d1 JOIN th y ON y.doc_id = d2
        |  WHERE 1.0 - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
        |          / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) <= $maxDist)""".stripMargin
+
+  /** The q114 delta-verdict oracle, shared verbatim by the streaming
+    * probe q244 (whose result is micro-batch-boundary-independent). */
+  private def deltaOracleSql: String =
+    s"""WITH $sigCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
+       |  FROM e a JOIN e b
+       |  ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+       |m AS (SELECT did, count(*) AS n_dup, min(cid) AS dup_of
+       |  FROM cand
+       |  JOIN th x ON x.doc_id = did JOIN th y ON y.doc_id = cid
+       |  WHERE 1.0 - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |          / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) <= $maxDist
+       |  GROUP BY did)
+       |SELECT d.doc_id, COALESCE(m.n_dup, 0) AS n_dup,
+       |  COALESCE(m.dup_of, -1) AS dup_of,
+       |  (COALESCE(m.n_dup, 0) = 0) AS is_new
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.did
+       |WHERE d.doc_id % 10 = 7
+       |ORDER BY d.doc_id""".stripMargin
 
   /** All output columns are integers/booleans, so the compare is exact.
     * q59's oracle computes the same fixpoint by a different route —
@@ -1219,24 +1299,11 @@ object Dedup extends QueryModule {
          |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
          |    AS kept_fp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q114_delta_neardup" ->
-      s"""WITH $sigCte,
-         |cand AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
-         |  FROM e a JOIN e b
-         |  ON a.band = b.band AND a.sig = b.sig
-         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
-         |m AS (SELECT did, count(*) AS n_dup, min(cid) AS dup_of
-         |  FROM cand
-         |  JOIN th x ON x.doc_id = did JOIN th y ON y.doc_id = cid
-         |  WHERE 1.0 - CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-         |          / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) <= $maxDist
-         |  GROUP BY did)
-         |SELECT d.doc_id, COALESCE(m.n_dup, 0) AS n_dup,
-         |  COALESCE(m.dup_of, -1) AS dup_of,
-         |  (COALESCE(m.n_dup, 0) = 0) AS is_new
-         |FROM documents d LEFT JOIN m ON d.doc_id = m.did
-         |WHERE d.doc_id % 10 = 7
-         |ORDER BY d.doc_id""".stripMargin,
+    "q114_delta_neardup" -> deltaOracleSql,
+    // the streaming probe (q244) shares the batch twin's oracle verbatim:
+    // verdicts are micro-batch-boundary-independent, so batch/stream
+    // parity IS the check (the q39/q162 discipline)
+    "q244_stream_delta_dedup" -> deltaOracleSql,
     "q123_leakage_split" ->
       s"""WITH RECURSIVE $pairsCte,
          |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
