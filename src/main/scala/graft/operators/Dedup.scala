@@ -1199,7 +1199,7 @@ object Dedup extends QueryModule {
          |  UNION
          |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
          |final AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
-         |inc AS (SELECT f.label, d.source, count(*) AS nd
+         |inc AS MATERIALIZED (SELECT f.label, d.source, count(*) AS nd
          |  FROM final f JOIN documents d USING (doc_id) GROUP BY 1, 2),
          |pr AS (SELECT a.source AS src_a, b.source AS src_b,
          |    count(*) AS n_shared_clusters,

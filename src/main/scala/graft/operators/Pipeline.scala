@@ -730,8 +730,8 @@ object Pipeline extends QueryModule {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
-         |lbl AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
-         |fb AS (SELECT d.doc_id, d.lang,
+         |lbl AS MATERIALIZED (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+         |fb AS MATERIALIZED (SELECT d.doc_id, d.lang,
          |    CAST(len($duckToks) AS BIGINT) AS n_tok,
          |    md5(text) AS th, l.label,
          |    (CASE WHEN length(text) < 50 THEN 'too_short'
@@ -747,22 +747,22 @@ object Pipeline extends QueryModule {
          |         ELSE 'ok' END = 'ok') AS s_q
          |  FROM documents d JOIN lbl l USING (doc_id)),
          |ex AS (SELECT th, min(doc_id) AS ex_keep FROM fb WHERE s_q GROUP BY 1),
-         |f1 AS (SELECT fb.*, coalesce(s_q AND doc_id = ex.ex_keep, false) AS s_e
+         |f1 AS MATERIALIZED (SELECT fb.*, coalesce(s_q AND doc_id = ex.ex_keep, false) AS s_e
          |  FROM fb LEFT JOIN ex USING (th)),
          |nr AS (SELECT label, min(doc_id) AS nr_keep FROM f1 WHERE s_e GROUP BY 1),
-         |f2 AS (SELECT f1.*, coalesce(s_e AND doc_id = nr.nr_keep, false) AS s_n
+         |f2 AS MATERIALIZED (SELECT f1.*, coalesce(s_e AND doc_id = nr.nr_keep, false) AS s_n
          |  FROM f1 LEFT JOIN nr USING (label)),
          |tkd AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |shg AS (SELECT doc_id, unnest(list_transform(
+         |shg AS MATERIALIZED (SELECT doc_id, unnest(list_transform(
          |    range(1, greatest(len(tk) - 7, 0) + 1),
          |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM tkd),
          |bench AS (SELECT DISTINCT sh FROM shg WHERE doc_id < 10),
          |cont AS (SELECT DISTINCT c.doc_id FROM shg c
          |  JOIN bench b ON c.sh = b.sh WHERE c.doc_id >= 10),
-         |f3 AS (SELECT f2.*, (s_n AND f2.doc_id >= 10 AND NOT EXISTS
+         |f3 AS MATERIALIZED (SELECT f2.*, (s_n AND f2.doc_id >= 10 AND NOT EXISTS
          |    (SELECT 1 FROM cont WHERE cont.doc_id = f2.doc_id)) AS s_de
          |  FROM f2),
-         |sv AS (SELECT * FROM f3 WHERE s_de),
+         |sv AS MATERIALIZED (SELECT * FROM f3 WHERE s_de),
          |w2 AS (SELECT lang, count(*) AS n_docs,
          |    CAST(floor(sqrt(count(*))) AS BIGINT) AS wgt FROM sv GROUP BY 1),
          |t2 AS (SELECT CAST(sum(wgt) AS BIGINT) AS total_wgt FROM w2),
@@ -771,9 +771,9 @@ object Pipeline extends QueryModule {
          |  FROM w2 CROSS JOIN t2),
          |r2 AS (SELECT sv.*, row_number() OVER (PARTITION BY lang
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM sv),
-         |mx AS (SELECT r2.doc_id, r2.lang, r2.n_tok, r2.label
+         |mx AS MATERIALIZED (SELECT r2.doc_id, r2.lang, r2.n_tok, r2.label
          |  FROM r2 JOIN q2 USING (lang) WHERE rk <= q2.quota),
-         |f4 AS (SELECT f3.*, EXISTS
+         |f4 AS MATERIALIZED (SELECT f3.*, EXISTS
          |    (SELECT 1 FROM mx WHERE mx.doc_id = f3.doc_id) AS s_m FROM f3),
          |audit AS (
          |  SELECT '00_raw' AS stage, count(*) AS n_units,

@@ -1165,7 +1165,7 @@ object Text extends QueryModule {
   /** Shared DuckDB CTE chain for the winnowing family (through `fps` —
     * the distinct fingerprint table), mirrored verbatim by q237/q238. */
   private def duckWinnowCte: String =
-    raw"""t AS (SELECT doc_id,
+    raw"""t AS MATERIALIZED (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
        |      AS tk FROM documents),
        |g AS (SELECT doc_id, tk,
@@ -1175,14 +1175,14 @@ object Text extends QueryModule {
        |    ('0x' || substr(md5(array_to_string(tk[pos:pos+${winK - 1}], ' ')),
        |      1, 8))::BIGINT AS h
        |  FROM g),
-       |sel AS (SELECT doc_id, pos, h,
+       |sel AS MATERIALIZED (SELECT doc_id, pos, h,
        |    min(h * $winPosSlot + ($winPosMax - pos)) OVER (
        |      PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${winW - 1} FOLLOWING) AS selc,
        |    (lead(h, ${winW - 1}) OVER (PARTITION BY doc_id ORDER BY pos))
        |      IS NOT NULL AS filled
        |  FROM gh),
-       |fps AS (SELECT DISTINCT doc_id, selc // $winPosSlot AS fh,
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id, selc // $winPosSlot AS fh,
        |    $winPosMax - selc % $winPosSlot AS fpos
        |  FROM sel WHERE filled)""".stripMargin
 
@@ -1825,12 +1825,12 @@ object Text extends QueryModule {
     // verbatim for the exact leg; same bench split at doc_id 10
     "q240_fp_decontam" ->
       raw"""WITH $duckWinnowCte,
-         |fpd AS (SELECT DISTINCT doc_id, fh FROM fps),
+         |fpd AS MATERIALIZED (SELECT DISTINCT doc_id, fh FROM fps),
          |bfp AS (SELECT DISTINCT fh FROM fpd WHERE doc_id < 10),
          |fph AS (SELECT doc_id, count(DISTINCT fh) AS n_fp_hits
          |  FROM fpd WHERE doc_id >= 10 AND fh IN (SELECT fh FROM bfp)
          |  GROUP BY 1),
-         |sh AS (SELECT doc_id, unnest(list_transform(
+         |sh AS MATERIALIZED (SELECT doc_id, unnest(list_transform(
          |    range(1, greatest(len(tk) - 7, 0) + 1),
          |    i -> md5(array_to_string(tk[i:i+7], ' ')))) AS sh FROM t),
          |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
@@ -1852,7 +1852,7 @@ object Text extends QueryModule {
          |rare AS (SELECT fh FROM (
          |    SELECT fh, count(DISTINCT doc_id) AS df FROM fps GROUP BY 1)
          |  WHERE df <= $winnowMaxDf),
-         |posting AS (SELECT DISTINCT doc_id, fh FROM fps
+         |posting AS MATERIALIZED (SELECT DISTINCT doc_id, fh FROM fps
          |  WHERE fh IN (SELECT fh FROM rare)),
          |pd AS (SELECT doc_id, count(*) AS n_fp FROM posting GROUP BY 1),
          |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
