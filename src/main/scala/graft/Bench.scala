@@ -118,12 +118,10 @@ object Bench {
     // be distinguishable from a full-suite run. Escaped like the errors
     // map — a stray quote in the env var must not corrupt the one JSON
     // line the harness parses.
-    val onlyJson = only.map { o =>
-      val esc = o.mkString(",").replace("\\", "\\\\").replace("\"", "\\\"")
-      s""","only":"$esc""""
-    }.getOrElse("")
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val onlyJson = only.map(o => s""","only":"${esc(o.mkString(","))}"""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"${esc(sfDir)}"}"""
     // The full line (233 timings ≈ 3.4k chars) overflows the ~2000-char
     // stdout tail window the harness records — BENCH_r07 and r08 both came
     // back "parsed": null despite clean runs. Persist the full map to a
@@ -135,7 +133,10 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${failed.size},"detail":"$detailPath","sf":"$sfDir"}""")
+    // detailPath and sfDir are env-controlled: escape them like `only`
+    // above, or a quote/backslash in either path re-breaks the final
+    // guaranteed-parseable line this split exists to protect.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${failed.size},"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}"}""")
     spark.stop()
     // Explicit exit after the one JSON line is printed — see Verify.main:
     // a leaked non-daemon thread must not stall the harness on process

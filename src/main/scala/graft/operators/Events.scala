@@ -436,10 +436,14 @@ object Events extends QueryModule {
     * rather than letting one engine drop what crashes the other.
     */
   val jsonProfile: Q = (s, d) => {
+    // Parse ONCE: project the map column, filter on it, then explode the
+    // projected column. Filtering on a fresh from_json and exploding
+    // another would JSON-parse every row twice — subexpression
+    // elimination doesn't span the Filter and the Generate operators.
     val kv = Tables.events(s, d)
-      .filter(expr("from_json(props, 'map<string,string>')").isNotNull)
-      .select(explode(expr("from_json(props, 'map<string,string>')"))
-        .as(Seq("key", "v")))
+      .select(expr("from_json(props, 'map<string,string>')").as("m"))
+      .filter(col("m").isNotNull)
+      .select(explode(col("m")).as(Seq("key", "v")))
     kv.groupBy("key").agg(count(lit(1)).as("n_present"),
         sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
         sum(when(col("v").rlike("^-?[0-9]*\\.[0-9]+$"), 1L).otherwise(0L))
