@@ -1134,30 +1134,21 @@ object Text extends QueryModule {
         expr(s"$winPosMax - selc % $winPosSlot").as("fpos"))
       .distinct()
 
-  /** [[winnowFps]] staged once per input dir per JVM: q238 references
-    * the fingerprint table three times (both pair-join sides plus the
-    * per-doc counts) and q240 twice (bench + corpus legs) — an unstaged
-    * plan re-runs the tokenize → gram-hash → window-min chain, the
-    * family's corpus-linear term, once PER REFERENCE (Catalyst reuses
-    * exchanges, not multiply-referenced subtrees — the q37 /
-    * [[graft.operators.Dedup]] stagedHashedSets lesson). The DuckDB
-    * oracles mark the same shared CTEs MATERIALIZED; this is the
-    * Spark-side equivalent. */
-  private val winnowCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def stagedWinnowFps(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val path = winnowCache.computeIfAbsent(d, _ => {
-      val tmp = graft.Scratch.dir("graft_winnow_fps")
-      winnowFps(winnowSel(s, d)).write.mode("overwrite").parquet(tmp)
-      tmp
-    })
-    s.read.parquet(path)
-  }
-
+  /** NOT staged, deliberately — measured, not assumed: a parquet-staged
+    * [[winnowFps]] (the stagedHashedSets pattern) was tried and measured
+    * 1.8× SLOWER for the family at both sf0.1 (8.9s vs ~6s) and sf1
+    * (17.6s vs 9.8s), then reverted. Unlike the minhash family's
+    * differing-projection references (the q37 lesson), every reference
+    * to the fingerprint table here is the IDENTICAL distinct subtree, so
+    * Spark's ReuseExchange already shares the distinct's shuffle across
+    * the q238 join sides / per-doc counts — the chain does not re-run
+    * per reference, and staging only adds the write of a corpus-linear
+    * table. The DuckDB oracles DO need their MATERIALIZED hints (DuckDB
+    * inlines CTEs with no exchange reuse); the asymmetry is the
+    * engines', not an inconsistency. */
   val winnowFingerprints: Q = (s, d) => {
     val sel = winnowSel(s, d)
-    val fps = stagedWinnowFps(s, d)
+    val fps = winnowFps(sel)
     val perDoc = sel.groupBy("doc_id").agg(
       count(lit(1)).as("n_grams"),
       sum(when(col("full"), 1L).otherwise(0L)).as("n_windows"))
@@ -1225,7 +1216,7 @@ object Text extends QueryModule {
     * embedded in a long one.
     */
   val winnowPairs: Q = (s, d) => {
-    val fps = stagedWinnowFps(s, d)
+    val fps = winnowFps(winnowSel(s, d))
     val rare = fps.groupBy("fh")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= winnowMaxDf)
@@ -1267,7 +1258,7 @@ object Text extends QueryModule {
     * BENCHMARK must flag, not get pruned.
     */
   val fpDecontam: Q = (s, d) => {
-    val fps = stagedWinnowFps(s, d).select("doc_id", "fh").distinct()
+    val fps = winnowFps(winnowSel(s, d)).select("doc_id", "fh").distinct()
     val benchFp = fps.filter(col("doc_id") < 10).select("fh").distinct()
     val fpHits = fps.filter(col("doc_id") >= 10)
       .join(broadcast(benchFp), Seq("fh"))
