@@ -132,7 +132,12 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(fullLine)
+    // stderr, not stdout: a consumer selecting by "metric":"total" instead
+    // of taking the final stdout line would otherwise match TWO records
+    // (this full line and the compact summary below). Exactly one "total"
+    // record appears on stdout; the full map still reaches local logs via
+    // stderr and durable storage via detailPath.
+    System.err.println(fullLine)
     // detailPath and sfDir are env-controlled: escape them like `only`
     // above, or a quote/backslash in either path re-breaks the final
     // guaranteed-parseable line this split exists to protect.

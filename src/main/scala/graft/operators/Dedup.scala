@@ -521,8 +521,10 @@ object Dedup extends QueryModule {
     val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => length(x) > 0).as("tk"))
-    // `div` truncates toward zero vs DuckDB `//`'s floor — equivalent here
-    // because size(tk) ≥ 0 makes the numerator ≥ segLen-1 > 0 always.
+    // Spark `div` and DuckDB `//` BOTH truncate toward zero (verified:
+    // -40000000 // 60 = -666666 in DuckDB — trunc, not floor), so integer
+    // division agrees between the engines on any sign; here the numerator
+    // is ≥ segLen-1 > 0 anyway since size(tk) ≥ 0.
     val nSeg = expr(s"(size(tk) + ${segLen - 1}) div $segLen").cast("int")
     val idx = when(nSeg > 0, sequence(lit(0), nSeg - 1))
       .otherwise(array().cast("array<int>"))
@@ -708,6 +710,10 @@ object Dedup extends QueryModule {
       .withColumn("agree", lit(bbitK.toLong) - expr("bit_count(b1 ^ b2)"))
       .withColumn("isect", isect)
       .withColumn("exact_ppm", expr("isect * 1000000 div (n1 + n2 - isect)"))
+      // the numerator goes NEGATIVE below 50% bit agreement; safe unshifted
+      // because Spark's `div` and DuckDB's `//` both truncate toward zero
+      // (trunc ≡ trunc — see the segmentDedup note), so the two engines
+      // agree on negative quotients too
       .withColumn("est_ppm",
         expr(s"(2 * agree - $bbitK) * 1000000 div $bbitK"))
       .withColumn("err", col("est_ppm") - col("exact_ppm"))
@@ -725,8 +731,10 @@ object Dedup extends QueryModule {
     * stream in via a file source; every micro-batch computes its OWN
     * band signatures and hashed token sets (stateless projections —
     * linear in the batch), probes the STAGED corpus index exactly as
-    * q114 does, and appends per-document verdicts to a durable parquet
-    * sink through foreachBatch. No streaming state at all: a document's
+    * q114 does, and writes per-document verdicts to a durable parquet
+    * sink through foreachBatch — batch-id-keyed overwrite paths, so an
+    * at-least-once replay of a micro-batch is an idempotent no-op, not a
+    * duplicate append. No streaming state at all: a document's
     * verdict depends only on (document, corpus index), never on other
     * delta documents, so the result is independent of micro-batch
     * boundaries — which is why this query can share q114's DuckDB oracle
@@ -745,7 +753,7 @@ object Dedup extends QueryModule {
       val q = delta.writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val t = batch.select(col("doc_id"),
             array_distinct(split(col("text"), "\\s+")).as("tokset"))
           val cand = bandSigs(s, t).alias("a")
@@ -767,13 +775,18 @@ object Dedup extends QueryModule {
               coalesce(col("n_dup"), lit(0L)).as("n_dup"),
               coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
               (coalesce(col("n_dup"), lit(0L)) === 0).as("is_new"))
-            .write.mode("append").parquet(s"$tmp/data")
+            // batch-id-keyed OVERWRITE, not a shared append: foreachBatch
+            // is at-least-once, so a micro-batch replayed after a task
+            // failure (or a rerun against the same checkpoint) must be a
+            // no-op, not a duplicate-row append — each batch owns its path
+            // and a replay overwrites it with identical content
+            .write.mode("overwrite").parquet(s"$tmp/data/batch_$batchId")
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    s.read.parquet(s"$tmp/data").orderBy("doc_id")
+    s.read.parquet(s"$tmp/data/batch_*").orderBy("doc_id")
   }
 
   /** q123 — LEAKAGE-SAFE train/val/test split: the hash split (q75) keyed

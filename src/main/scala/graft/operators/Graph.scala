@@ -311,8 +311,11 @@ object Graph extends QueryModule {
     * scales to m2·intra2_c − d_c², so Q = q_num/q_den with
     * q_num = m2·Σintra2_c − Σd_c² and q_den = m2² — no halving, no
     * floats; the one division happens once, sign-safely (|num| is
-    * divided, the sign re-applied — Spark's `div` truncates toward zero
-    * while DuckDB's `//` floors, and modularity CAN be negative).
+    * divided, the sign re-applied — modularity CAN be negative, and the
+    * abs-then-reapply form makes the quotient's rounding direction
+    * explicit rather than resting on engine division conventions; both
+    * engines in fact truncate toward zero — DuckDB's `//` included,
+    * verified -40000000 // 60 = -666666 — so the forms agree).
     * Products ride in DECIMAL(38) (d_c² ≤ 4m², ×10⁶ overflows BIGINT on
     * a big graph). Scale shape: one degree aggregate, one label join per
     * edge endpoint (node-keyed equi-joins on the staged label table),
@@ -904,8 +907,9 @@ object Graph extends QueryModule {
          |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
     },
     // the identical 3 unrolled LPA rounds feeding the exact integer
-    // modularity rational — abs-value division keeps Spark's truncating
-    // div and DuckDB's flooring // in agreement on a negative numerator
+    // modularity rational — abs-value division mirrors the Spark side's
+    // explicit-sign form (both engines' integer division truncates toward
+    // zero, so the unshifted form would agree too; see the Scaladoc note)
     "q202_modularity" -> {
       val rounds = (1 to lpaRounds).map { r =>
         s"""nb$r AS (SELECT ed.u AS node, l.lbl AS lbl, count(*) AS cnt

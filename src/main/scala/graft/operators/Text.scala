@@ -1023,6 +1023,25 @@ object Text extends QueryModule {
     ("t", "h"), ("h", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
     ("r", "e"), ("o", "n"), ("a", "t"), ("th", "e"), ("an", "d"))
 
+  /** Token-boundary delimiter for the string-form BPE encode: U+0001, a
+    * control character that cannot survive the upstream `\s+` tokenize of
+    * any sane corpus (and that q27's quality gates would flag) — where the
+    * original '|' COLLIDED with legitimate text (a word containing '|'
+    * inflated its token count, identically in both engines but wrongly in
+    * both). Both the Spark expression and the DuckDB oracle embed the raw
+    * byte; Verify.jstr escapes it (`\\u0001`) in the oracle_sql.json dump.
+    *
+    * Known representation bound, documented not guarded: the per-char
+    * split regex `(.)` matches UTF-16 CODE UNITS in Spark but CODEPOINTS
+    * in DuckDB's RE2, so a non-BMP character (outside U+0000..U+FFFF)
+    * would wrap as two pseudo-chars on the Spark side and one on the
+    * oracle side. The fixtures are ASCII; a production corpus runs the
+    * q28-style charset gate first. The delimiter collision DOES get a
+    * loud guard (see the raise_error in [[bpeEncodeWith]]) because it is
+    * silent data corruption, not a representation choice.
+    */
+  private[graft] val bpeDelim = "\u0001"
+
   /** q236 — BPE ENCODE pass: q171 computes the trainer-side merge-pair
     * statistics; this applies a FIXED merge table to encode text — the
     * inference-side half of the tokenizer, and the token-count audit
@@ -1043,18 +1062,30 @@ object Text extends QueryModule {
     * codegen'd string replaces evaluated once per word type. Final token
     * count reads off the encoding: half the surviving delimiter count.
     */
-  val bpeEncode: Q = (s, d) => {
-    val chars = "regexp_replace(w, '(.)', '|$1|')"
-    val enc = bpeMerges.foldLeft(chars) { case (acc, (l, r)) =>
-      s"replace($acc, '|$l||$r|', '|$l$r|')"
+  val bpeEncode: Q = (s, d) => bpeEncodeWith(s, d, bpeMerges)
+
+  /** The q236 body over ANY priority-ordered merge table — TextDedupSpec
+    * feeds q247's LEARNED merges through this to close the
+    * train → encode → coverage loop with q236's machinery unchanged. */
+  private[graft] def bpeEncodeWith(s: org.apache.spark.sql.SparkSession,
+      d: String, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val m = bpeDelim
+    val chars = s"regexp_replace(w, '(.)', '$m$$1$m')"
+    val enc = merges.foldLeft(chars) { case (acc, (l, r)) =>
+      s"replace($acc, '$m$l$m$m$r$m', '$m$l$r$m')"
     }
     val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
     val wf = docs
       .select(col("source"), explode(filter(toks, t => length(t) > 0)).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("f"))
     val dict = wf.select("w").distinct()
+    // delimiter collision = silent token-count corruption → fail LOUDLY
+    // (vocabulary-bounded check, one instr per word TYPE); a corpus that
+    // trips this strips/escapes U+0001 upstream and re-runs
     val encoded = dict.select(col("w"),
-      expr(s"(length($enc) - length(replace($enc, '|', ''))) div 2")
+      when(instr(col("w"), m) > 0, raise_error(
+        lit("q236: word contains the U+0001 token delimiter")))
+        .otherwise(expr(s"(length($enc) - length(replace($enc, '$m', ''))) div 2"))
         .cast("long").as("n_bpe"))
     wf.join(encoded, "w")
       .groupBy("source")
@@ -1109,7 +1140,16 @@ object Text extends QueryModule {
     * by the per-document audit (q237) and the pair report (q238). */
   private def winnowSel(s: org.apache.spark.sql.SparkSession, d: String) = {
     val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+      // the packed argmin key gives pos a 21-bit slot (winPosMax) — an
+      // oversized document would silently overflow pos into the hash bits
+      // and fingerprint WRONG, so the bound fails loudly instead: one
+      // size() comparison per document (q90's chunking is the upstream
+      // fix for a corpus that trips it)
+      .select(col("doc_id"),
+        when(size(filter(toks, tok => length(tok) > 0)) > winPosMax + (winK - 1),
+          raise_error(lit(s"q237: document exceeds $winPosMax gram positions " +
+            "(packed winnowing key would overflow); chunk upstream (q90)")))
+        .otherwise(filter(toks, tok => length(tok) > 0)).as("tk"))
     val idx = when(size(col("tk")) >= winK,
         sequence(lit(1), size(col("tk")) - (winK - 1)))
       .otherwise(array().cast("array<int>"))
@@ -1900,11 +1940,15 @@ object Text extends QueryModule {
          |ORDER BY doc_id""".stripMargin,
     // the identical merge chain: DuckDB's replace() is the same
     // non-overlapping left-to-right scan, regexp_replace needs the 'g'
-    // flag (and \1 backreference syntax) to match Spark's replace-all
+    // flag (and \1 backreference syntax) to match Spark's replace-all.
+    // The U+0001 delimiter is embedded as the raw byte in the SQL string
+    // (DuckDB literals accept control chars; Verify.jstr escapes the JSON
+    // dump) — see the bpeDelim Scaladoc for the collision/BMP contract.
     "q236_bpe_encode" -> {
-      val chars = raw"regexp_replace(w, '(.)', '|\1|', 'g')"
+      val m = bpeDelim
+      val chars = raw"regexp_replace(w, '(.)', '$m\1$m', 'g')"
       val enc = bpeMerges.foldLeft(chars) { case (acc, (l, r)) =>
-        s"replace($acc, '|$l||$r|', '|$l$r|')"
+        s"replace($acc, '$m$l$m$m$r$m', '$m$l$r$m')"
       }
       raw"""WITH wds AS (SELECT source,
          |    unnest(list_filter(string_split_regex(text, '\s+'),
@@ -1913,7 +1957,7 @@ object Text extends QueryModule {
          |wf AS (SELECT source, w, count(*) AS f FROM wds GROUP BY 1, 2),
          |dict AS (SELECT DISTINCT w FROM wf),
          |enc AS (SELECT w,
-         |    CAST((length($enc) - length(replace($enc, '|', ''))) // 2
+         |    CAST((length($enc) - length(replace($enc, '$m', ''))) // 2
          |      AS BIGINT) AS n_bpe
          |  FROM dict)
          |SELECT source, CAST(sum(f) AS BIGINT) AS n_words,
