@@ -401,7 +401,28 @@ object Dedup extends QueryModule {
   // run the same lineage-disciplined loop over cosine-threshold edges.
   private[graft] def ccMinLabels(s: org.apache.spark.sql.SparkSession,
       nodes: org.apache.spark.sql.DataFrame,
-      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minLabelFixpoint(s, nodes,
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))._1
+
+  /** The DIRECTED core of [[ccMinLabels]]: labels flow src → dst only, so
+    * the converged label(x) is the minimum id that REACHES x — undirected
+    * components fall out by passing both edge directions (ccMinLabels),
+    * and q245's SCC coloring passes each direction separately (forward
+    * reachability min, then the reversed edges for backward). The
+    * path-doubling jump stays sound under direction: label(x) = ℓ means
+    * ℓ →* x, and label(ℓ) = m means m →* ℓ, so m →* x by transitivity —
+    * every jumped label is a genuine reacher, never a shortcut across
+    * direction. Returns the converged labels AND the per-round label-sum
+    * trajectory — the driver-synced convergence evidence (labels only
+    * decrease, so the sum strictly falls until the fixpoint; the last two
+    * entries equal BY TERMINATION, and a spec pins that contract).
+    */
+  private[graft] def minLabelFixpoint(s: org.apache.spark.sql.SparkSession,
+      nodes: org.apache.spark.sql.DataFrame,
+      dirEdges: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[Long]) = {
     if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] pairs staged t=${System.nanoTime() / 1000000}")
     // Edge layout, decided ONCE before the loop: hash-partitioned by src,
     // sorted within partitions on src, and cached. Every propagation round
@@ -421,8 +442,7 @@ object Dedup extends QueryModule {
     // sizes the width scales with label-table volume, same knob.
     val loopP = math.min(8, s.sparkContext.defaultParallelism)
     graft.withShufflePartitions(s, loopP) {
-    val ue = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val ue = dirEdges
       .repartition(loopP, col("src"))
       .sortWithinPartitions("src")
       .cache()
@@ -454,6 +474,8 @@ object Dedup extends QueryModule {
     var labels = materialize(
       nodes.select(col("doc_id"), col("doc_id").as("label")))
     var prevSum = labels.agg(sum("label")).head().getLong(0)
+    val traj = Seq.newBuilder[Long]
+    traj += prevSum
     var converged = false
     var rounds = 0
     try {
@@ -483,6 +505,7 @@ object Dedup extends QueryModule {
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
+      traj += sumNow
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round=$rounds sum=$sumNow t=${System.nanoTime() / 1000000}")
     }
@@ -494,7 +517,7 @@ object Dedup extends QueryModule {
     // the final round's checkpointed RDD backs the returned plan (the
     // caller stages it to parquet); the ContextCleaner reclaims the
     // blocks once the reference drops
-    labels
+    (labels, traj.result())
     } // withShufflePartitions(loopP)
   }
 

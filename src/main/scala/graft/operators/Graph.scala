@@ -256,9 +256,16 @@ object Graph extends QueryModule {
   private val lpaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def lpaArtifacts(s: org.apache.spark.sql.SparkSession,
-      d: String): (String, String) =
-    lpaCache.computeIfAbsent(d, _ => {
+  /** The staged BOTH-DIRECTION repeat-co-purchase adjacency alone —
+    * split out of [[lpaArtifacts]] so consumers that need only the graph
+    * (q167's bounded BFS, q250's convergent BFS) don't pay the 3 LPA
+    * rounds, while q155/q202/q223 still share one staging. */
+  private val lpaEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lpaEdgesDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    lpaEdgeCache.computeIfAbsent(d, _ => {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val e2 = items.alias("a").join(items.alias("b"),
@@ -270,6 +277,13 @@ object Graph extends QueryModule {
       e2.select("u", "v")
         .union(e2.select(col("v").as("u"), col("u").as("v")))
         .write.mode("overwrite").parquet(tmpE)
+      tmpE
+    })
+
+  private def lpaArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    lpaCache.computeIfAbsent(d, _ => {
+      val tmpE = lpaEdgesDir(s, d)
       val ed = s.read.parquet(tmpE) // both directions: undirected adjacency
       var labelsDir = graft.Scratch.dir("graft_lpa_l0")
       ed.select(col("u").as("node")).distinct()
@@ -453,17 +467,7 @@ object Graph extends QueryModule {
     * broadcast-whole.
     */
   val bfsHops: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e2 = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
-    val tmpE = graft.Scratch.dir("graft_bfs_edges")
-    e2.union(e2.select(col("v").as("u"), col("u").as("v")))
-      .write.mode("overwrite").parquet(tmpE)
-    val ed = s.read.parquet(tmpE)
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
     // both directions staged, so src endpoints alone cover every node
     val nodes = ed.select(col("u").as("x")).distinct()
     var visitedDir = graft.Scratch.dir("graft_bfs_v0")
@@ -489,6 +493,73 @@ object Graph extends QueryModule {
         coalesce(sum("x"), lit(0L)).as("id_checksum"))
       .select(lit(-1).as("dist"), col("n_nodes"), col("id_checksum"))
     reached.unionByName(unreached).orderBy("dist")
+  }
+
+  /** Loud cap for q250's adaptive loop = the oracle's unroll depth: the
+    * loop itself is unbounded in production; the parity harness requires
+    * convergence within the oracle's K rounds and FAILS (require), never
+    * silently truncates, if a fixture graph ever outgrows it. */
+  private[graft] val bfsMaxRounds = 24
+
+  /** q250 — ADAPTIVE-DEPTH (convergent) BFS: q167's frontier loop run
+    * until the frontier EMPTIES — the full eccentricity profile instead
+    * of a 3-hop ball, so a 100×-diameter graph reports every hop rather
+    * than silently folding hops 4+ into the unreached bucket. Identical
+    * per-round primitives (one frontier equi-join + one anti-join, both
+    * node-keyed; visited staged per round — q59's lineage discipline)
+    * over the SAME staged adjacency as q167 ([[lpaEdgesDir]]); the
+    * driver-synced per-round frontier COUNT is the trajectory, and its
+    * final 0 is the convergence certificate (AnalyticsSpec pins it via
+    * [[bfsConvergedRun]]). The oracle unrolls [[bfsMaxRounds]] rounds of
+    * q167's frontier CTEs — rounds past convergence add no rows (the
+    * anti-join finds nothing), so the hop profile matches row for row
+    * without the oracle detecting convergence; hop rows simply don't
+    * exist past the last non-empty frontier in EITHER engine. Output one
+    * row per realized hop distance (n_nodes, id checksum) plus the
+    * dist = -1 unreached bucket — O(diameter), independent of graph
+    * size.
+    */
+  val bfsConverged: Q = (s, d) => bfsConvergedRun(s, d)._1
+
+  /** The q250 body, returning the frontier-size trajectory for the
+    * spec's convergence pin (last entry 0, all earlier entries > 0). */
+  private[graft] def bfsConvergedRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
+    val nodes = ed.select(col("u").as("x")).distinct()
+    var visitedDir = graft.Scratch.dir("graft_bfsc_v0")
+    nodes.filter(col("x") % bfsSeedMod === 0)
+      .select(col("x"), lit(0).as("dist"))
+      .write.mode("overwrite").parquet(visitedDir)
+    var frontierN = s.read.parquet(visitedDir).count()
+    val traj = Seq.newBuilder[Long]
+    traj += frontierN
+    var r = 0
+    while (frontierN > 0) {
+      r += 1
+      require(r <= bfsMaxRounds,
+        s"q250: BFS still expanding after $bfsMaxRounds rounds — raise " +
+          "bfsMaxRounds (and the oracle unroll) together")
+      val visited = s.read.parquet(visitedDir)
+      val frontier = visited.filter(col("dist") === r - 1)
+      val nbrs = ed.join(frontier.select(col("x").as("u")), "u")
+        .select(col("v").as("x")).distinct()
+      val fresh = nbrs.join(visited, Seq("x"), "left_anti")
+        .select(col("x"), lit(r).as("dist"))
+      val nextDir = graft.Scratch.dir(s"graft_bfsc_v$r")
+      visited.unionByName(fresh).write.mode("overwrite").parquet(nextDir)
+      visitedDir = nextDir
+      frontierN = s.read.parquet(nextDir).filter(col("dist") === r).count()
+      traj += frontierN
+    }
+    val visited = s.read.parquet(visitedDir)
+    val reached = visited.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum("x").as("id_checksum"))
+    val unreached = nodes.join(visited, Seq("x"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum("x"), lit(0L)).as("id_checksum"))
+      .select(lit(-1).as("dist"), col("n_nodes"), col("id_checksum"))
+    (reached.unionByName(unreached).orderBy("dist"), traj.result())
   }
 
   /** q217 — ITEM-ITEM top-3 co-purchase recommendations: the classic
@@ -584,42 +655,67 @@ object Graph extends QueryModule {
     * out in BOTH engines rather than reported as false SCCs.
     * Depth is FIXED at 3 rounds (q106/q148/q167's determinism
     * discipline: both engines run the identical recursion), so classes
-    * are SCCs whose witness paths fit in 3 hops — the production
-    * fixpoint loops until no label moves; the trajectory here is
-    * replayable against the oracle instead. Edge generation fans out
+    * are SCCs whose witness paths fit in 3 hops — q245 is the
+    * convergent (loop-until-no-label-moves) variant; this fixed-depth
+    * contract stays replayable against the unrolled oracle. The depth
+    * cut is made VISIBLE, not silent: `at_horizon` is true for a class
+    * whose members' forward or backward label was still moving in the
+    * final round — "labels not settled; the class may merge or grow at
+    * higher depth" — so a consumer can route horizon classes to q245
+    * instead of trusting them as final. Edge generation fans out
     * per-customer item-history pairs (bounded by basket history, q152's
     * argument — never |parts|²) and the ≥2-customer cut is on DISTINCT
     * evidence. Output: the non-trivial classes (≥ 2 members), largest
     * first, top 20.
     */
+  /** The q210/q245 bought-before edge list, staged ONCE per input dir per
+    * JVM (the lpaArtifacts contract): the fixed-depth contract query and
+    * its convergent variant read the SAME staged graph, exactly as a
+    * production pipeline runs the cheap bounded pass and routes horizon
+    * classes to the full fixpoint without re-deriving edges.
+    *
+    * "u strictly before v for customer c" ⟺ min(c's u-dates) <
+    * max(c's v-dates) — so the join input collapses to ONE row per
+    * (customer, part) carrying (min, max) date, the pair fans out once
+    * per customer (count ≡ distinct customers, no countDistinct), and
+    * the per-customer mass is items², not (items×orders)².
+    */
+  private val sccEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sccEdgesDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    sccEdgeCache.computeIfAbsent(d, _ => {
+      val cp = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c"),
+          col("o_orderdate").as("dt"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), "o_orderkey")
+        .groupBy("c", "p")
+        .agg(min("dt").as("mind"), max("dt").as("maxd"))
+      val e = cp.alias("a").join(cp.alias("b"),
+          col("a.c") === col("b.c") && col("a.p") =!= col("b.p") &&
+            col("a.mind") < col("b.maxd"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+        .select("u", "v")
+      val tmpE = graft.Scratch.dir("graft_scc_edges")
+      e.write.mode("overwrite").parquet(tmpE)
+      tmpE
+    })
+
   val sccClasses: Q = (s, d) => {
-    // "u strictly before v for customer c" ⟺ min(c's u-dates) <
-    // max(c's v-dates) — so the join input collapses to ONE row per
-    // (customer, part) carrying (min, max) date, the pair fans out once
-    // per customer (count ≡ distinct customers, no countDistinct), and
-    // the per-customer mass is items², not (items×orders)²
-    val cp = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey").as("c"),
-        col("o_orderdate").as("dt"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
-        col("l_partkey").as("p")), "o_orderkey")
-      .groupBy("c", "p")
-      .agg(min("dt").as("mind"), max("dt").as("maxd"))
-    val e = cp.alias("a").join(cp.alias("b"),
-        col("a.c") === col("b.c") && col("a.p") =!= col("b.p") &&
-          col("a.mind") < col("b.maxd"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
-    val tmpE = graft.Scratch.dir("graft_scc_edges")
-    e.write.mode("overwrite").parquet(tmpE)
-    val ed = s.read.parquet(tmpE)
+    val ed = s.read.parquet(sccEdgesDir(s, d))
     val nodes = ed.select(col("u").as("node"))
       .union(ed.select(col("v").as("node"))).distinct()
+    // returns (final round, previous round): the N vs N-1 label diff is
+    // the horizon gauge — a label still moving in the final round means
+    // the fixed depth CUT the propagation, and the class must say so
     def propagate(rev: Boolean, tag: String) = {
       val edges = if (rev) ed.select(col("v").as("src"), col("u").as("dst"))
                   else ed.select(col("u").as("src"), col("v").as("dst"))
       var cur = graft.Scratch.dir(s"graft_scc_${tag}0")
+      var prev = cur
       nodes.select(col("node"), col("node").as("lbl"))
         .write.mode("overwrite").parquet(cur)
       for (r <- 1 to sccRounds) {
@@ -632,21 +728,85 @@ object Graph extends QueryModule {
             least(col("lbl"), coalesce(col("inmin"), col("lbl"))).as("lbl"))
         val nd = graft.Scratch.dir(s"graft_scc_$tag$r")
         next.write.mode("overwrite").parquet(nd)
+        prev = cur
         cur = nd
       }
-      s.read.parquet(cur)
+      (s.read.parquet(cur), s.read.parquet(prev))
     }
-    val f = propagate(rev = false, "f").withColumnRenamed("lbl", "fl")
-    val b = propagate(rev = true, "b").withColumnRenamed("lbl", "bl")
-    f.join(b, "node")
+    val (f, fp) = propagate(rev = false, "f")
+    val (b, bp) = propagate(rev = true, "b")
+    f.withColumnRenamed("lbl", "fl")
+      .join(b.withColumnRenamed("lbl", "bl"), "node")
+      .join(fp.withColumnRenamed("lbl", "flp"), "node")
+      .join(bp.withColumnRenamed("lbl", "blp"), "node")
       .filter(col("fl") === col("bl"))
       .groupBy("fl", "bl").agg(count(lit(1)).as("n_members"),
-        min("node").as("min_member"), sum("node").as("id_checksum"))
+        min("node").as("min_member"), sum("node").as("id_checksum"),
+        expr("bool_or(fl <> flp OR bl <> blp)").as("at_horizon"))
       .filter(col("n_members") >= 2)
       .orderBy(col("n_members").desc, col("fl"), col("bl"))
       .limit(20)
       .select(col("fl").as("fwd_label"), col("bl").as("bwd_label"),
-        col("n_members"), col("min_member"), col("id_checksum"))
+        col("n_members"), col("min_member"), col("id_checksum"),
+        col("at_horizon"))
+  }
+
+  /** q245 — ADAPTIVE-DEPTH (convergence-audited) SCC: q210's FW-BW
+    * coloring run to the FIXPOINT — loop-until-no-label-moves with a
+    * driver-synced per-round label-sum trajectory — so a 100×-diameter
+    * graph cannot silently drop classes beyond a fixed horizon (the one
+    * place q210's determinism discipline traded soundness-of-coverage
+    * for replayability). Both reachability passes run
+    * [[Dedup.minLabelFixpoint]] — the q59/q243 lineage-disciplined loop
+    * (stats-safe createDataFrame materialization, Dedup.scala's
+    * localCheckpoint-stats note; edges staged/cached in the
+    * labels-move/edges-stay layout) — over the SAME staged edge list as
+    * q210 ([[sccEdgesDir]]), once forward, once on reversed edges.
+    * Labels only decrease, so the per-round sum strictly falls until the
+    * fixpoint; the trajectory's equal last two entries ARE the
+    * convergence certificate (AnalyticsSpec pins it via
+    * [[sccConvergedRun]]).
+    *
+    * Cross-engine parity cannot hinge on convergence DETECTION: the
+    * oracle unrolls K = [[sccOracleSuperRounds]] super-rounds of the
+    * identical propagate + 2 path-doubling jumps (coverage ≥ 4^K hops —
+    * far past any fixture diameter) and AUDITS ITS OWN convergence
+    * in-band: `n_moved_final` counts nodes whose forward or backward
+    * label moved in the oracle's last super-round, which the Spark side
+    * emits as the literal 0 its require(converged) guarantees — an
+    * under-unrolled oracle mismatches LOUDLY on that column instead of
+    * silently comparing two truncated runs. Output: the non-trivial
+    * converged classes (fl = bl = class label), largest first, top 50.
+    */
+  val sccConverged: Q = (s, d) => sccConvergedRun(s, d)._1
+
+  /** The q245 body, returning the two label-sum trajectories too so the
+    * spec can pin the convergence contract (strictly decreasing, equal
+    * final pair). */
+  private[graft] def sccConvergedRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[Long], Seq[Long]) = {
+    val ed = s.read.parquet(sccEdgesDir(s, d))
+    val nodes = ed.select(col("u").as("doc_id"))
+      .union(ed.select(col("v").as("doc_id"))).distinct()
+    val (f, fTraj) = Dedup.minLabelFixpoint(s, nodes,
+      ed.select(col("u").as("src"), col("v").as("dst")))
+    val (b, bTraj) = Dedup.minLabelFixpoint(s, nodes,
+      ed.select(col("v").as("src"), col("u").as("dst")))
+    val out = f.select(col("doc_id").as("node"), col("label").as("fl"))
+      .join(b.select(col("doc_id").as("node"), col("label").as("bl")), "node")
+      .filter(col("fl") === col("bl"))
+      .groupBy(col("fl").as("scc_label"))
+      .agg(count(lit(1)).as("n_members"), min("node").as("min_member"),
+        sum("node").as("id_checksum"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("scc_label"))
+      .limit(50)
+      // literal 0 — the loop's require(converged) is the witness; the
+      // oracle computes the true count over ALL nodes from its last two
+      // super-rounds, so an under-converged oracle fails the compare
+      .select(col("scc_label"), col("n_members"), col("min_member"),
+        col("id_checksum"), lit(0L).as("n_moved_final"))
+    (out, fTraj, bTraj)
   }
 
   /** q177 — LINK PREDICTION by common-neighbor count + resource-allocation
@@ -701,6 +861,11 @@ object Graph extends QueryModule {
       .select(col("x").as("u"), col("y").as("v"), col("cn"), col("ra_ppm"))
   }
 
+  /** q245 oracle unroll depth: K super-rounds of propagate + 2 jumps
+    * cover ≥ 4^K hops — far past any fixture diameter, and the in-band
+    * n_moved_final audit makes an under-unroll loud, never silent. */
+  private val sccOracleSuperRounds = 8
+
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
@@ -712,9 +877,96 @@ object Graph extends QueryModule {
     "q177_link_predict" -> linkPredict,
     "q210_scc_classes" -> sccClasses,
     "q217_item_recs" -> itemRecs,
-    "q223_degree_powerlaw" -> degreePowerlaw)
+    "q223_degree_powerlaw" -> degreePowerlaw,
+    "q245_scc_converged" -> sccConverged,
+    "q250_bfs_converged" -> bfsConverged)
 
   def oracles: Map[String, String] = Map(
+    // the FIXPOINT recomputed by a fixed, generous unroll of the
+    // identical propagate + 2 path-doubling jumps (coverage ≥ 4^K hops),
+    // with the oracle's own convergence audited in-band: n_moved_final
+    // counts labels still moving in the last super-round and must equal
+    // the Spark side's literal 0 — an under-unrolled oracle fails the
+    // compare loudly instead of matching a truncated run
+    "q245_scc_converged" -> {
+      def superRounds(tag: String, src: String, dst: String) =
+        (1 to sccOracleSuperRounds).map { k =>
+          s"""${tag}p$k AS (SELECT n.node,
+             |    least(n.lbl, coalesce(m.inmin, n.lbl)) AS lbl
+             |  FROM ${tag}${k - 1} n LEFT JOIN (
+             |    SELECT e.$dst AS node, min(l.lbl) AS inmin
+             |    FROM e JOIN ${tag}${k - 1} l ON e.$src = l.node
+             |    GROUP BY 1) m USING (node)),
+             |${tag}j$k AS (SELECT a.node,
+             |    least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+             |  FROM ${tag}p$k a LEFT JOIN ${tag}p$k b ON a.lbl = b.node),
+             |$tag$k AS MATERIALIZED (SELECT a.node,
+             |    least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+             |  FROM ${tag}j$k a LEFT JOIN ${tag}j$k b ON a.lbl = b.node)"""
+            .stripMargin
+        }.mkString(",\n")
+      val k = sccOracleSuperRounds
+      s"""WITH cp AS (SELECT o_custkey AS c, l_partkey AS p,
+         |    min(o_orderdate) AS mind, max(o_orderdate) AS maxd
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m
+         |    FROM cp a JOIN cp b
+         |    ON a.c = b.c AND a.p <> b.p AND a.mind < b.maxd GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         |f0 AS (SELECT node, node AS lbl FROM nodes),
+         |b0 AS (SELECT node, node AS lbl FROM nodes),
+         |${superRounds("f", "u", "v")},
+         |${superRounds("b", "v", "u")},
+         |moved AS (SELECT count(*) AS n_moved
+         |  FROM f$k f JOIN f${k - 1} fp USING (node)
+         |  JOIN b$k b USING (node) JOIN b${k - 1} bp USING (node)
+         |  WHERE f.lbl <> fp.lbl OR b.lbl <> bp.lbl),
+         |j AS (SELECT f.node, f.lbl AS fl, b.lbl AS bl
+         |  FROM f$k f JOIN b$k b USING (node))
+         |SELECT fl AS scc_label, count(*) AS n_members,
+         |  min(node) AS min_member,
+         |  CAST(sum(node) AS BIGINT) AS id_checksum,
+         |  (SELECT CAST(n_moved AS BIGINT) FROM moved) AS n_moved_final
+         |FROM j WHERE fl = bl GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY n_members DESC, scc_label LIMIT 50""".stripMargin
+    },
+    // q167's frontier CTEs unrolled to the loud cap: rounds past the last
+    // non-empty frontier add no rows in either engine, so the adaptive
+    // loop and the fixed unroll emit the identical hop profile without
+    // any convergence detection entering the compare
+    "q250_bfs_converged" -> {
+      val rounds = (1 to bfsMaxRounds).map { r =>
+        s"""f$r AS (SELECT DISTINCT ed.v AS x FROM ed
+           |  JOIN v${r - 1} w ON ed.u = w.x AND w.dist = ${r - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} p WHERE p.x = ed.v)),
+           |v$r AS MATERIALIZED (SELECT x, dist FROM v${r - 1}
+           |  UNION ALL SELECT x, $r AS dist FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |nodes AS (SELECT DISTINCT u AS x FROM ed),
+         |v0 AS MATERIALIZED (SELECT x, 0 AS dist FROM nodes
+         |  WHERE x % $bfsSeedMod = 0),
+         |$rounds
+         |SELECT dist, count(*) AS n_nodes,
+         |  CAST(sum(x) AS BIGINT) AS id_checksum
+         |FROM v$bfsMaxRounds GROUP BY 1
+         |UNION ALL
+         |SELECT -1 AS dist, count(*) AS n_nodes,
+         |  CAST(coalesce(sum(x), 0) AS BIGINT) AS id_checksum
+         |FROM nodes WHERE NOT EXISTS
+         |  (SELECT 1 FROM v$bfsMaxRounds w WHERE w.x = nodes.x)
+         |ORDER BY dist""".stripMargin
+    },
     // the identical m>=2 edge list reduced to a degree histogram, fit
     // with q200's closed-form milli-nat OLS expression tree
     "q223_degree_powerlaw" ->
@@ -789,10 +1041,14 @@ object Graph extends QueryModule {
          |b0 AS (SELECT node, node AS lbl FROM nodes),
          |${rounds("f", "u", "v")},
          |${rounds("b", "v", "u")},
-         |j AS (SELECT f.node, f.lbl AS fl, b.lbl AS bl
-         |  FROM f$sccRounds f JOIN b$sccRounds b USING (node))
+         |j AS (SELECT f.node, f.lbl AS fl, b.lbl AS bl,
+         |    fp.lbl AS flp, bp.lbl AS blp
+         |  FROM f$sccRounds f JOIN b$sccRounds b USING (node)
+         |  JOIN f${sccRounds - 1} fp USING (node)
+         |  JOIN b${sccRounds - 1} bp USING (node))
          |SELECT fl AS fwd_label, bl AS bwd_label, count(*) AS n_members,
-         |  min(node) AS min_member, CAST(sum(node) AS BIGINT) AS id_checksum
+         |  min(node) AS min_member, CAST(sum(node) AS BIGINT) AS id_checksum,
+         |  bool_or(fl <> flp OR bl <> blp) AS at_horizon
          |FROM j WHERE fl = bl GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY n_members DESC, fwd_label, bwd_label LIMIT 20""".stripMargin
     },

@@ -1071,4 +1071,41 @@ class AnalyticsSpec extends SparkSpec {
       ("b", 1L, 0L, 0L, 0L, 1L, 1L),
       ("c", 1L, 0L, 0L, 1L, 0L, 1L)), got.mkString(","))
   }
+
+  test("q245 converged SCC: label-sum trajectories monotone, final pair equal (the convergence certificate)") {
+    val (out, fTraj, bTraj) = operators.Graph.sccConvergedRun(spark, sf)
+    Seq(("fwd", fTraj), ("bwd", bTraj)).foreach { case (tag, traj) =>
+      assert(traj.size >= 2, s"$tag: loop must run at least one round")
+      // labels only decrease → the sum falls monotonically...
+      traj.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a, s"$tag trajectory not monotone: $traj")
+      }
+      // ...and the loop terminates exactly when a round changes nothing
+      assert(traj(traj.size - 1) == traj(traj.size - 2),
+        s"$tag trajectory did not settle: $traj")
+    }
+    // every emitted class claims converged labels (n_moved_final = 0,
+    // the column the oracle recomputes from its own unroll)
+    out.collect().foreach(r => assert(r.getLong(4) == 0L))
+  }
+
+  test("q250 converged BFS: frontier trajectory positive until the final empty round") {
+    val (out, traj) = operators.Graph.bfsConvergedRun(spark, sf)
+    assert(traj.last == 0L, s"loop must end on an empty frontier: $traj")
+    assert(traj.init.forall(_ > 0L),
+      s"only the final frontier may be empty: $traj")
+    // the realized hop profile covers exactly dists 0..R*-1 (+ the -1
+    // unreached bucket): one row per non-empty frontier round
+    val dists = out.collect().map(_.getInt(0)).sorted
+    assert(dists.head == -1)
+    assert(dists.tail.toSeq == (0 until traj.size - 1))
+    // and the 3-hop contract query is the converged profile's prefix
+    val fixed = q("q167_bfs_hops").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).filter { case (d, _) => d >= 0 }.toMap
+    val conv = out.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    fixed.foreach { case (d, n) =>
+      assert(conv(d) == n, s"hop $d: fixed=$n converged=${conv(d)}")
+    }
+  }
 }
