@@ -232,6 +232,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"multi-probe IVF should find most true top-1s, got $recall")
   }
 
+  test("q246 graph-ANN search: recall beats the IVF audit at equal bucket-probe budget") {
+    val g = q("q246_graph_ann_recall").collect()
+    assert(g.length === 1)
+    val (nEval, nHits, recall) =
+      (g(0).getLong(0), g(0).getLong(1), g(0).getDouble(2))
+    val expected = math.min(
+      graft.operators.Similarity.recallSampleN.toLong,
+      graft.sources.Tables.embeddings(spark, sf).count())
+    assert(nEval === expected)
+    assert(nHits <= nEval && recall >= 0.0 && recall <= 1.0)
+    // the round-10 done-criterion: the routed-entry beam descent must
+    // match or beat IVF's recall at the same n/32 bucket-probe budget
+    // (measured 0.46 vs 0.33 at sf0.001, 0.43 vs 0.31 at sf0.01,
+    // 0.34 vs 0.20 at sf0.1 — deterministic, so this can never flake)
+    val ivf = q("q72_ann_recall").collect()(0).getDouble(2)
+    assert(recall >= ivf,
+      s"graph-ANN recall $recall must be >= IVF recall $ivf at equal budget")
+  }
+
   test("q101 semantic dedup: total verdict cover, min-id reps, cell minima kept") {
     val rows = q("q101_semantic_dedup").collect()
     val n = graft.sources.Tables.embeddings(spark, sf).count()
