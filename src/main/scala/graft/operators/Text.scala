@@ -1098,6 +1098,81 @@ object Text extends QueryModule {
       .orderBy("source")
   }
 
+  /** q247 trainer depth: staged merge rounds, each freezing one argmax
+    * pair into the table the encode side consumes. */
+  private[graft] val bpeTrainRounds = 10
+
+  /** q247 — ITERATIVE BPE TRAINER: the closed tokenizer loop q171/q236
+    * left open — q171 computes ONE round of merge-pair statistics and
+    * q236 applies a FIXED table; this runs [[bpeTrainRounds]] staged
+    * rounds of the actual trainer: re-run the pair statistics on the
+    * CURRENT dictionary encoding, freeze the argmax pair (ties →
+    * lexicographically smallest (left, right) — deterministic in both
+    * engines over ASCII tokens) into the merge table, re-encode, repeat
+    * — the CC-loop discipline applied to tokenization, with a 1-ROW
+    * driver sync per round (the argmax pair; k-bounded by contract, like
+    * the q148 fixpoint counters). TextDedupSpec closes the loop by
+    * feeding the LEARNED table through q236's own encode
+    * ([[bpeEncodeWith]]) and pinning train → encode → coverage
+    * consistency (q219's curve is the word-level analogue).
+    *
+    * Work stays VOCABULARY-bounded every round (the q170/q230
+    * discipline): the corpus is read once into the word-frequency
+    * dictionary (staged — ten rounds re-scan a parquet leaf, not the
+    * corpus); each round re-encodes the distinct words through the
+    * merge-chain-so-far (r codegen'd string replaces), splits on the
+    * U+0001 delimiter, and pair-counts weighted by word frequency. A
+    * greedy invariant worth pinning: round counts are NON-INCREASING —
+    * a merge can only remove occurrences of old pairs, and any pair it
+    * creates inherits at most the merged pair's count.
+    *
+    * Output: the learned table itself, priority-ordered — (round, left
+    * token, right token, weighted occurrence count) — the artifact a
+    * tokenizer deployment ships; the oracle replays the identical
+    * trainer with each round's argmax threaded through scalar
+    * subqueries (no literals — DuckDB learns its OWN table, and the two
+    * must agree round by round).
+    */
+  val bpeTrain: Q = (s, d) => {
+    val m = bpeDelim
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val wf = docs.select(explode(filter(toks, t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val tmp = graft.Scratch.dir("graft_bpe_wf") // reaped at JVM exit
+    wf.write.mode("overwrite").parquet(tmp)
+    val wfS = s.read.parquet(tmp)
+    var merges = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to bpeTrainRounds) {
+      val chars = s"regexp_replace(w, '(.)', '$m$$1$m')"
+      val enc = merges.foldLeft(chars) { case (acc, (l, r, _)) =>
+        s"replace($acc, '$m$l$m$m$r$m', '$m$l$r$m')"
+      }
+      val tk = s"split(substring($enc, 2, length($enc) - 2), '$m$m')"
+      val best = wfS.select(col("f"), expr(tk).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS l, tk[i] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0) // the 1-row per-round driver sync
+      merges :+= ((best.getString(0), best.getString(1), best.getLong(2)))
+    }
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("round", "left_tok", "right_tok", "n_occurrences")
+      .orderBy("round")
+  }
+
+  /** The q247 loop's learned table alone — TextDedupSpec feeds it
+    * through [[bpeEncodeWith]] to close train → encode → coverage. */
+  private[graft] def bpeTrainedMerges(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, String)] =
+    bpeTrain(s, d).collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+
   /** q237 winnowing constants: k-token grams, window of w gram hashes.
     * The guarantee: every run of w consecutive grams (= w+k−1 tokens)
     * contributes at least one selected fingerprint, and matches of
@@ -1646,6 +1721,7 @@ object Text extends QueryModule {
     "q176_source_overlap" -> sourceOverlap,
     "q171_bpe_pairs" -> bpePairs,
     "q236_bpe_encode" -> bpeEncode,
+    "q247_bpe_train" -> bpeTrain,
     "q237_winnow_fingerprints" -> winnowFingerprints,
     "q238_winnow_pairs" -> winnowPairs,
     "q240_fp_decontam" -> fpDecontam,
@@ -1967,6 +2043,46 @@ object Text extends QueryModule {
          |  CAST(sum(f * length(w)) * 1000000 // sum(f * n_bpe) AS BIGINT)
          |    AS chars_per_token_ppm
          |FROM wf JOIN enc USING (w) GROUP BY source ORDER BY source""".stripMargin
+    },
+    // the identical trainer loop, rounds unrolled: each round's argmax
+    // pair is DATA (a 1-row CTE cross-joined into the next re-encode),
+    // not a literal — DuckDB learns its own merge table and every round
+    // must agree with the Spark loop's driver-synced pick
+    "q247_bpe_train" -> {
+      val m = bpeDelim
+      val rounds = (1 to bpeTrainRounds).map { k =>
+        val encPrev = if (k == 1) "e0" else s"e${k - 1}"
+        s"""t$k AS (SELECT w, string_split(substr(enc, 2, length(enc) - 2),
+           |    '$m$m') AS tk FROM $encPrev),
+           |x$k AS (SELECT wf.f, t.tk,
+           |    unnest(range(1, len(t.tk))) AS i
+           |  FROM t$k t JOIN wf USING (w) WHERE len(t.tk) >= 2),
+           |p$k AS (SELECT tk[i] AS l, tk[i + 1] AS r,
+           |    CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM x$k GROUP BY 1, 2),
+           |b$k AS (SELECT l, r, cnt FROM p$k
+           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |e$k AS MATERIALIZED (SELECT e.w,
+           |    replace(e.enc, '$m' || b.l || '$m$m' || b.r || '$m',
+           |      '$m' || b.l || b.r || '$m') AS enc
+           |  FROM $encPrev e CROSS JOIN b$k b)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to bpeTrainRounds)
+        .map(k => s"SELECT $k AS round, l AS left_tok, r AS right_tok, " +
+          s"cnt AS n_occurrences FROM b$k")
+        .mkString("\nUNION ALL ")
+      raw"""WITH wds AS (SELECT
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS w
+         |  FROM documents),
+         |wf AS MATERIALIZED (SELECT w, count(*) AS f FROM wds GROUP BY 1),
+         |e0 AS (SELECT w, regexp_replace(w, '(.)', '$m\1$m', 'g') AS enc
+         |  FROM wf),
+         |$rounds
+         |SELECT CAST(round AS INT) AS round, left_tok, right_tok,
+         |  n_occurrences
+         |FROM ($out)
+         |ORDER BY round""".stripMargin
     },
     "q171_bpe_pairs" ->
       raw"""WITH wds AS (SELECT

@@ -392,6 +392,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("aa", 4L, 1L), ("ab", 4L, 1L)))
   }
 
+  test("q247 trainer closes the loop: learned table feeds q236's encode; greedy counts non-increasing") {
+    val learned = operators.Text.bpeTrainedMerges(spark, sf)
+    assert(learned.size === operators.Text.bpeTrainRounds)
+    assert(learned.distinct.size === learned.size, "duplicate merge learned")
+    // the greedy invariant: a merge only removes occurrences of old
+    // pairs, and any pair it creates inherits at most the merged pair's
+    // count — so the argmax sequence cannot increase
+    val counts = q("q247_bpe_train").orderBy("round").collect()
+      .map(_.getAs[Long]("n_occurrences"))
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"greedy counts increased: ${counts.mkString(",")}")
+    }
+    // train → encode: q236's machinery (unchanged) consumes the learned
+    // table; every fired merge strictly shrinks the token stream, so the
+    // learned encode must compress below the unmerged baseline
+    // (n_tokens = n_chars when no merge table is applied)
+    val enc = operators.Text.bpeEncodeWith(spark, sf, learned).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (chars, toks) = (r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"))
+      assert(toks < chars, s"learned merges must compress: $toks vs $chars")
+      // → coverage: chars-per-token stays a sane tokenizer ratio (>1×,
+      // <4× — ten merges of 2-char pairs cannot beat 4 chars/token)
+      val cpt = r.getAs[Long]("chars_per_token_ppm")
+      assert(cpt > 1000000L && cpt < 4000000L, s"chars/token ppm $cpt")
+    }
+  }
+
   test("q176 source overlap: planted vocabularies give exact Jaccard; duplicate tokens collapse") {
     import spark.implicits._
     // sA vocab {a,b,c} (b repeated — must collapse), sB {b,c,d},
