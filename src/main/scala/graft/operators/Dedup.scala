@@ -812,6 +812,154 @@ object Dedup extends QueryModule {
     s.read.parquet(s"$tmp/data/batch_*").orderBy("doc_id")
   }
 
+  /** q248 tombstone rule — deterministic, scale-proportional (~2% of
+    * docs), expressible identically in both engines. */
+  private def isTombstone: Column = col("doc_id") % 53 === 5
+
+  /** q248 bucket count: doc_id % 16 keys the physical layout, so
+    * "affected files" is pure metadata math in both engines — wide
+    * enough that the ~2% tombstone rate leaves genuinely untouched
+    * files at every fixture scale (the byte-identical pin needs them). */
+  private val rtbfBuckets = 16L
+
+  /** q248 — RIGHT-TO-BE-FORGOTTEN delete propagation: tombstone a doc_id
+    * set, rewrite ONLY the affected files via manifest diff, and AUDIT
+    * that staged derived artifacts (dedup labels, posting lists) no
+    * longer reference the deleted ids — the compliance pass (GDPR
+    * art. 17) every lakehouse needs and the one thing the manifest
+    * machinery (q124/q134/q206) had not yet exercised: targeted DELETE.
+    *
+    * Mechanics, Iceberg-style copy-on-write: the table stages
+    * partitioned by bkt = doc_id % 8 (one file per bucket — the
+    * repartition(bkt)+partitionBy width pins it) under manifest v1;
+    * affected buckets = the tombstones' buckets (a ≤ 8-value planner
+    * collect — metadata, q124's discipline); ONLY those files are read
+    * back, filtered, and rewritten as NEW files, and manifest v2 = v1's
+    * untouched entries ∪ the rewrites — untouched files are never
+    * opened, never moved, byte-identical (StorageSpec pins their md5s
+    * across the run). The post-delete read goes THROUGH manifest v2 —
+    * the real read path, not predicate arithmetic.
+    *
+    * Propagation: the staged CC label table drops tombstoned members
+    * AND re-elects each orphaned cluster's representative (a cluster
+    * whose min-id label was itself deleted re-labels to its min
+    * SURVIVOR — the reference a naive row-delete leaves dangling); the
+    * posting list drops the deleted ids. The audit then COMPUTES the
+    * remaining reference counts with explicit joins against the
+    * tombstone set (label column included) — the Spark side must
+    * measure 0 where the oracle asserts the literal 0, so an incomplete
+    * propagation fails the compare loudly. At 100 TB every leg is
+    * file-count metadata, a bucket-pruned rewrite of the affected
+    * slice, or a tombstone-keyed anti-join — the table is never
+    * rewritten whole.
+    */
+  val rtbfDelete: Q = (s, d) => rtbfRun(s, d, withChecksums = false)._1
+
+  /** The q248 body; `withChecksums` additionally md5s every v1 data file
+    * BEFORE the rewrite and returns (path → md5, untouched paths) so
+    * StorageSpec can pin untouched files byte-identical AFTER the run.
+    */
+  private[graft] def rtbfRun(s: org.apache.spark.sql.SparkSession, d: String,
+      withChecksums: Boolean)
+      : (org.apache.spark.sql.DataFrame, Map[String, String], Seq[String]) = {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft_rtbf")
+    val dataDir = s"$root/data"
+    val docs = Tables.documents(s, d)
+    docs.withColumn("bkt", col("doc_id") % rtbfBuckets)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(dataDir)
+    val fs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // (path, bucket) per data file — bucket parsed from the partition
+    // dir name; file-count-bounded metadata, q124's discipline
+    def list(dir: String): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("bkt="))
+        .flatMap { bd =>
+          val b = bd.getPath.getName.stripPrefix("bkt=").toLong
+          fs.listStatus(bd.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath.toString, b))
+        }.toSeq.sortBy(_._1)
+    }
+    val v1 = list(dataDir)
+    v1.toDF("path", "bkt").write.mode("overwrite")
+      .parquet(s"$root/manifests/v1")
+    val checksums = if (!withChecksums) Map.empty[String, String] else
+      v1.map { case (p, _) =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(p))
+        val bytes = try in.readAllBytes() finally in.close()
+        p -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }.toMap
+    val tomb = docs.filter(isTombstone).select("doc_id")
+    val affected = tomb.select((col("doc_id") % rtbfBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet // ≤ 8 values
+    val (affectedFiles, untouched) = v1.partition(f => affected(f._2))
+    // copy-on-write: ONLY the affected files are read and rewritten
+    val rewritten =
+      if (affectedFiles.isEmpty) Seq.empty[(String, Long)]
+      else {
+        s.read.parquet(affectedFiles.map(_._1): _*)
+          .filter(!isTombstone)
+          .withColumn("bkt", col("doc_id") % rtbfBuckets)
+          .repartition(col("bkt"))
+          .write.partitionBy("bkt").mode("overwrite").parquet(s"$root/data2")
+        list(s"$root/data2")
+      }
+    val v2 = untouched ++ rewritten
+    v2.toDF("path", "bkt").write.mode("overwrite")
+      .parquet(s"$root/manifests/v2")
+    // the post-delete read goes THROUGH the manifest — the real path
+    val after = s.read.parquet(v2.map(_._1): _*)
+    val aDocs = after.agg(count(lit(1)).as("n_docs_after"),
+      sum("doc_id").as("docs_checksum_after"))
+    val bDocs = docs.agg(count(lit(1)).as("n_docs_before"))
+    val nTomb = tomb.agg(count(lit(1)).as("n_tombstones"))
+    // label propagation: drop deleted members, re-elect orphaned reps
+    val labels = clusterLabels(s, d)
+    val surv = labels.join(tomb, Seq("doc_id"), "left_anti")
+    val newLab = surv.groupBy("label").agg(min("doc_id").as("nl"))
+    val lv2 = surv.select(col("doc_id"), col("label").as("old_label"))
+      .join(newLab.withColumnRenamed("nl", "new_label")
+        .withColumnRenamed("label", "old_label"), "old_label")
+    val tombB = broadcast(tomb.withColumnRenamed("doc_id", "t"))
+    val labAgg = lv2.agg(
+      count(lit(1)).as("n_label_rows_after"),
+      sum(when(col("new_label") =!= col("old_label"), 1L).otherwise(0L))
+        .as("n_relabeled"))
+    // MEASURED residual references (member or representative) — must be
+    // the 0 the oracle asserts; an incomplete propagation fails loudly
+    val labRefs = lv2.join(tombB,
+        col("doc_id") === col("t") || col("new_label") === col("t"))
+      .agg(count(lit(1)).as("n_label_refs_after"))
+    val posting = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), "\\s+"),
+        t => length(t) > 0))).as("term"))
+    val postingV2 = posting.join(tomb, Seq("doc_id"), "left_anti")
+    val postAgg = posting.agg(count(lit(1)).as("n_posting_rows_before"))
+    val postAgg2 = postingV2.agg(count(lit(1)).as("n_posting_rows_after"))
+    val postRefs = postingV2.join(tombB, col("doc_id") === col("t"))
+      .agg(count(lit(1)).as("n_posting_refs_after"))
+    val out = bDocs.crossJoin(nTomb).crossJoin(aDocs)
+      .crossJoin(labAgg).crossJoin(labRefs)
+      .crossJoin(postAgg).crossJoin(postAgg2).crossJoin(postRefs)
+      .select(col("n_docs_before"), col("n_tombstones"),
+        col("n_docs_after"), col("docs_checksum_after"),
+        lit(v1.size.toLong).as("n_files_v1"),
+        lit(affectedFiles.size.toLong).as("n_files_rewritten"),
+        lit(untouched.size.toLong).as("n_files_untouched"),
+        lit(v2.size.toLong).as("n_files_v2"),
+        col("n_label_rows_after"), col("n_relabeled"),
+        col("n_label_refs_after"),
+        col("n_posting_rows_before"), col("n_posting_rows_after"),
+        col("n_posting_refs_after"))
+    (out, checksums, untouched.map(_._1))
+  }
+
   /** q123 — LEAKAGE-SAFE train/val/test split: the hash split (q75) keyed
     * by DUP-CLUSTER id instead of doc id, so a document and its near-
     * duplicates always land in the same split. This is the reason dedup
@@ -1046,6 +1194,7 @@ object Dedup extends QueryModule {
     "q113_segment_dedup" -> segmentDedup,
     "q114_delta_neardup" -> deltaNearDup,
     "q244_stream_delta_dedup" -> streamDeltaDedup,
+    "q248_rtbf_delete" -> rtbfDelete,
     "q123_leakage_split" -> leakageSplit,
     "q131_entity_clusters" -> entityClusters)
 
@@ -1335,6 +1484,59 @@ object Dedup extends QueryModule {
          |  md5(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), ''))
          |    AS kept_fp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the delete's logical equivalents: tombstone predicates for the row
+    // math, bucket arithmetic for the file math (one file per non-empty
+    // bucket — pinned by the repartition(bkt)+partitionBy width), the
+    // recursive CC closure (q198's pattern) for the relabel audit, and
+    // LITERAL zeros where the Spark side MEASURES residual references —
+    // an incomplete propagation mismatches loudly
+    "q248_rtbf_delete" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS MATERIALIZED (SELECT doc_id, min(label) AS label
+         |  FROM reach GROUP BY doc_id),
+         |tomb AS (SELECT doc_id FROM documents WHERE doc_id % 53 = 5),
+         |surv AS (SELECT f.doc_id, f.label FROM final f
+         |  WHERE f.doc_id NOT IN (SELECT doc_id FROM tomb)),
+         |nl AS (SELECT label, min(doc_id) AS new_label FROM surv GROUP BY label),
+         |lv2 AS (SELECT surv.doc_id, surv.label AS old_label, nl.new_label
+         |  FROM surv JOIN nl USING (label)),
+         |posting AS MATERIALIZED (SELECT doc_id,
+         |    unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+         |      t -> len(t) > 0))) AS term
+         |  FROM documents),
+         |fb AS (SELECT count(DISTINCT doc_id % $rtbfBuckets) AS n FROM documents),
+         |fr AS (SELECT count(DISTINCT doc_id % $rtbfBuckets) AS n FROM tomb),
+         |f2 AS (SELECT count(DISTINCT doc_id % $rtbfBuckets) AS n FROM documents
+         |  WHERE doc_id % 53 <> 5 AND (doc_id % $rtbfBuckets) IN
+         |    (SELECT DISTINCT doc_id % $rtbfBuckets FROM tomb))
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_docs_before,
+         |  (SELECT count(*) FROM tomb) AS n_tombstones,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 53 <> 5)
+         |    AS n_docs_after,
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+         |    WHERE doc_id % 53 <> 5) AS docs_checksum_after,
+         |  (SELECT CAST(n AS BIGINT) FROM fb) AS n_files_v1,
+         |  (SELECT CAST(n AS BIGINT) FROM fr) AS n_files_rewritten,
+         |  CAST((SELECT n FROM fb) - (SELECT n FROM fr) AS BIGINT)
+         |    AS n_files_untouched,
+         |  CAST((SELECT n FROM fb) - (SELECT n FROM fr) + (SELECT n FROM f2)
+         |    AS BIGINT) AS n_files_v2,
+         |  (SELECT count(*) FROM lv2) AS n_label_rows_after,
+         |  (SELECT CAST(sum(CASE WHEN new_label <> old_label THEN 1 ELSE 0
+         |    END) AS BIGINT) FROM lv2) AS n_relabeled,
+         |  CAST(0 AS BIGINT) AS n_label_refs_after,
+         |  (SELECT count(*) FROM posting) AS n_posting_rows_before,
+         |  (SELECT count(*) FROM posting
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM tomb))
+         |    AS n_posting_rows_after,
+         |  CAST(0 AS BIGINT) AS n_posting_refs_after""".stripMargin,
     "q114_delta_neardup" -> deltaOracleSql,
     // the streaming probe (q244) shares the batch twin's oracle verbatim:
     // verdicts are micro-batch-boundary-independent, so batch/stream

@@ -235,4 +235,30 @@ class StorageSpec extends SparkSpec {
       ("o_totalprice", "double", "decimal(18,2)", "retyped")),
       got.mkString(","))
   }
+
+  test("q248 RTBF delete: untouched files stay byte-identical; rewrites touch only affected buckets") {
+    val (out, md5Before, untouched) =
+      operators.Dedup.rtbfRun(spark, sf, withChecksums = true)
+    val row = out.collect()(0)
+    // the copy-on-write contract: files outside the tombstones' buckets
+    // are never opened, never rewritten — their bytes cannot change
+    assert(untouched.nonEmpty, "fixture must leave untouched files")
+    untouched.foreach { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(p))
+      val bytes = try in.readAllBytes() finally in.close()
+      val after = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(after === md5Before(p), s"untouched file mutated: $p")
+    }
+    // row math: deletes fully propagate, nothing else is lost
+    val (before, tomb, afterN) =
+      (row.getAs[Long]("n_docs_before"), row.getAs[Long]("n_tombstones"),
+        row.getAs[Long]("n_docs_after"))
+    assert(afterN === before - tomb)
+    assert(row.getAs[Long]("n_label_refs_after") === 0L)
+    assert(row.getAs[Long]("n_posting_refs_after") === 0L)
+    assert(row.getAs[Long]("n_files_untouched") === untouched.size.toLong)
+  }
 }
