@@ -697,12 +697,22 @@ object Similarity extends QueryModule {
   private[graft] def deltaSemanticVerdicts(s: org.apache.spark.sql.SparkSession,
       d: String, probes: Int): org.apache.spark.sql.DataFrame = {
     val (pivots, home) = embCorpusIndex(s, d)
-    val delta = base(s, d).filter(isDeltaVec)
+    semanticProbeVerdicts(base(s, d).filter(isDeltaVec), pivots, home, probes)
+  }
+
+  /** The probe core over ANY (vec_id, embedding, sq) batch — q235 feeds
+    * the static delta slice, q249 feeds each streaming micro-batch: ONE
+    * shared body is what makes batch/stream parity structural rather
+    * than asserted. */
+  private def semanticProbeVerdicts(batch: org.apache.spark.sql.DataFrame,
+      pivots: org.apache.spark.sql.DataFrame,
+      home: org.apache.spark.sql.DataFrame,
+      probes: Int): org.apache.spark.sql.DataFrame = {
     val psim = cosineWithNorms(
       dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("psim9").desc, col("pivot_id"))
-    val probed = delta.crossJoin(broadcast(pivots))
+    val probed = batch.crossJoin(broadcast(pivots))
       .withColumn("psim9", round(psim, 9))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= probes)
@@ -740,6 +750,46 @@ object Similarity extends QueryModule {
     * the ingested one"), and the is_new admission bit.
     */
   val deltaSemDedup: Q = (s, d) => deltaSemanticVerdicts(s, d, probes = 2)
+
+  /** q249 — STREAMING semantic dedup: q244's ingest-time gate lifted to
+    * the EMBEDDING side — q235's delta-vs-staged-IVF probe run as a
+    * Structured Streaming job. Vectors arrive as a stream (file source;
+    * Kafka at scale); every micro-batch computes its own norms, assigns
+    * its own vectors against the broadcast staged pivots, probes its
+    * top-2 cells against the staged home-cell index, and writes
+    * per-vector verdicts through foreachBatch to batch-id-keyed
+    * OVERWRITE paths (q244's idempotent-replay discipline). Zero
+    * streaming state: a vector's verdict depends only on (vector,
+    * staged index), never on other delta vectors — so the result is
+    * micro-batch-boundary-independent, the per-batch body IS q235's
+    * probe core ([[semanticProbeVerdicts]] — one shared function, so
+    * batch/stream parity is structural), and the query shares q235's
+    * DuckDB oracle verbatim: parity with the batch twin IS the check
+    * (the q39/q162/q244 streaming-family discipline).
+    */
+  val streamSemDedup: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val (pivots, home) = embCorpusIndex(s, d)
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val delta = s.readStream.schema(schema).parquet(s"$d/embeddings.*")
+      .filter(isDeltaVec)
+    val tmp = graft.Scratch.dir("graft_stream_semdedup")
+    graft.withShufflePartitions(s, 8) {
+      val q = delta.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val b = batch.select(col("vec_id"), col("embedding"),
+            sqNormD(col("embedding")).as("sq"))
+          semanticProbeVerdicts(b, pivots, home, probes = 2)
+            .write.mode("overwrite").parquet(s"$tmp/data/batch_$batchId")
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    s.read.parquet(s"$tmp/data/batch_*").orderBy("vec_id")
+  }
 
   /** q241 — IVF CENTROID DRIFT audit: does the delta batch still look
     * like the index? q235 keeps the staged pivots fixed between ingest
@@ -907,6 +957,7 @@ object Similarity extends QueryModule {
     "q189_knn_graph" -> knnGraph,
     "q246_graph_ann_recall" -> graphAnnRecall,
     "q235_delta_semdedup" -> deltaSemDedup,
+    "q249_stream_semdedup" -> streamSemDedup,
     "q241_ivf_drift" -> ivfDrift,
     "q243_semantic_clusters" -> semanticClusters)
 
@@ -919,7 +970,7 @@ object Similarity extends QueryModule {
 
   private val duckBucket = duckBandBucket(0)
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = restOracles ++ Map(
     // q101's identical cell-blocked edge set; the fixpoint recomputed by
     // recursive label reachability — any label the iterative loop leaves
     // un-propagated mismatches the closure
@@ -997,8 +1048,14 @@ object Similarity extends QueryModule {
          |    END AS growth_ppm
          |FROM j GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     // the identical staged-index computation inline: corpus home cells,
-    // delta top-2 probes, one cell equi-join, the same 9-dp threshold
-    "q235_delta_semdedup" ->
+    // delta top-2 probes, one cell equi-join, the same 9-dp threshold.
+    // Shared VERBATIM by the streaming probe q249, whose verdicts are
+    // micro-batch-boundary-independent — batch/stream parity IS the
+    // check (the q114/q244 pairing, lifted to the embedding side)
+    "q235_delta_semdedup" -> deltaSemOracleSql,
+    "q249_stream_semdedup" -> deltaSemOracleSql)
+
+  private def deltaSemOracleSql: String =
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE vec_id % 10 <> 7),
          |piv AS (SELECT vec_id AS pivot_id, embedding FROM corpus
@@ -1025,7 +1082,9 @@ object Similarity extends QueryModule {
          |SELECT hc.vec_id, CAST(hc.cell_id AS INT) AS cell_id,
          |  COALESCE(m.n_dup, 0) AS n_dup, COALESCE(m.dup_of, -1) AS dup_of,
          |  (COALESCE(m.n_dup, 0) = 0) AS is_new
-         |FROM hc LEFT JOIN m USING (vec_id) ORDER BY hc.vec_id""".stripMargin,
+         |FROM hc LEFT JOIN m USING (vec_id) ORDER BY hc.vec_id""".stripMargin
+
+  private def restOracles: Map[String, String] = Map(
     // the identical fixed-depth beam recursion over the same mutual-kNN
     // graph (q189's chain inline), same entry points, same (sim9, id)
     // ranking — then q72's brute/hit arithmetic verbatim

@@ -274,4 +274,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toList
     assert(got === want, "stream ≡ batch identity broke")
   }
+
+  test("q249 streaming semantic dedup ≡ q235 batch twin, row for row") {
+    // zero streaming state + a shared probe core make the verdicts
+    // micro-batch-boundary-independent — the stream must reproduce the
+    // batch twin exactly (they also share one DuckDB oracle verbatim)
+    val got = SparkEntry.queries("q249_stream_semdedup")(spark, sf)
+      .collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q235_delta_semdedup")(spark, sf)
+      .collect().map(_.toSeq).toList
+    assert(got === want, "stream ≡ batch identity broke")
+    assert(got.nonEmpty)
+  }
 }
