@@ -830,10 +830,10 @@ object Dedup extends QueryModule {
     * machinery (q124/q134/q206) had not yet exercised: targeted DELETE.
     *
     * Mechanics, Iceberg-style copy-on-write: the table stages
-    * partitioned by bkt = doc_id % 8 (one file per bucket — the
-    * repartition(bkt)+partitionBy width pins it) under manifest v1;
-    * affected buckets = the tombstones' buckets (a ≤ 8-value planner
-    * collect — metadata, q124's discipline); ONLY those files are read
+    * partitioned by bkt = doc_id % [[rtbfBuckets]] (one file per bucket —
+    * the repartition(bkt)+partitionBy width pins it) under manifest v1;
+    * affected buckets = the tombstones' buckets (a ≤ rtbfBuckets-value
+    * planner collect — metadata, q124's discipline); ONLY those files are read
     * back, filtered, and rewritten as NEW files, and manifest v2 = v1's
     * untouched entries ∪ the rewrites — untouched files are never
     * opened, never moved, byte-identical (StorageSpec pins their md5s

@@ -160,46 +160,55 @@ object Similarity extends QueryModule {
   private val knnGraphCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The kNN-graph BUILD dataflow (candidate join → scoring → top-5
+    * rank → mutuality join), exposed separately from the staged artifact
+    * so PlanSpec can pin the offline build's plan shape (WindowGroupLimit
+    * for the rank, equi-only joins) independently of the post-stage read
+    * plans q189/q246 execute. */
+  private[graft] def knnGraphBuild(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val b = base(s, d)
+    val bandCols = (0 until 8).map { band =>
+      struct(lit(band).as("band"), bandBucket(band).as("bucket"))
+    }
+    val banded = b
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = banded.alias("cl").join(banded.alias("cr"),
+        col("cl.band") === col("cr.band") &&
+          col("cl.bucket") === col("cr.bucket") &&
+          col("cl.vec_id") < col("cr.vec_id"))
+      .select(col("cl.vec_id").as("v1"), col("cr.vec_id").as("v2"))
+      .distinct()
+    val e1 = b.select(col("vec_id").as("v1"),
+      col("embedding").as("emb1"), col("sq").as("sq1"))
+    val e2 = b.select(col("vec_id").as("v2"),
+      col("embedding").as("emb2"), col("sq").as("sq2"))
+    val sim = cosineWithNorms(dotD(col("emb1"), col("emb2")),
+      col("sq1"), col("sq2"))
+    val scored = cand
+      .join(e1.hint("shuffle_hash"), "v1")
+      .join(e2.hint("shuffle_hash"), "v2")
+      .select(col("v1"), col("v2"), round(sim, 9).as("sim9"))
+    val directed = scored
+      .select(col("v1").as("src"), col("v2").as("dst"), col("sim9"))
+      .unionByName(scored
+        .select(col("v2").as("src"), col("v1").as("dst"), col("sim9")))
+    val w = Window.partitionBy("src").orderBy(col("sim9").desc, col("dst"))
+    val knn = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("src", "dst")
+    knn.alias("f").join(knn.alias("g"),
+        col("f.src") === col("g.dst") && col("f.dst") === col("g.src") &&
+          col("f.src") < col("f.dst"))
+      .select(col("f.src").as("u"), col("f.dst").as("v"))
+  }
+
   private def knnGraphDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     knnGraphCache.computeIfAbsent(d, _ => {
-      val b = base(s, d)
-      val bandCols = (0 until 8).map { band =>
-        struct(lit(band).as("band"), bandBucket(band).as("bucket"))
-      }
-      val banded = b
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
-      val cand = banded.alias("cl").join(banded.alias("cr"),
-          col("cl.band") === col("cr.band") &&
-            col("cl.bucket") === col("cr.bucket") &&
-            col("cl.vec_id") < col("cr.vec_id"))
-        .select(col("cl.vec_id").as("v1"), col("cr.vec_id").as("v2"))
-        .distinct()
-      val e1 = b.select(col("vec_id").as("v1"),
-        col("embedding").as("emb1"), col("sq").as("sq1"))
-      val e2 = b.select(col("vec_id").as("v2"),
-        col("embedding").as("emb2"), col("sq").as("sq2"))
-      val sim = cosineWithNorms(dotD(col("emb1"), col("emb2")),
-        col("sq1"), col("sq2"))
-      val scored = cand
-        .join(e1.hint("shuffle_hash"), "v1")
-        .join(e2.hint("shuffle_hash"), "v2")
-        .select(col("v1"), col("v2"), round(sim, 9).as("sim9"))
-      val directed = scored
-        .select(col("v1").as("src"), col("v2").as("dst"), col("sim9"))
-        .unionByName(scored
-          .select(col("v2").as("src"), col("v1").as("dst"), col("sim9")))
-      val w = Window.partitionBy("src").orderBy(col("sim9").desc, col("dst"))
-      val knn = directed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5).select("src", "dst")
-      val mutual = knn.alias("f").join(knn.alias("g"),
-          col("f.src") === col("g.dst") && col("f.dst") === col("g.src") &&
-            col("f.src") < col("f.dst"))
-        .select(col("f.src").as("u"), col("f.dst").as("v"))
       val dir = graft.Scratch.dir("graft_knn_graph")
-      mutual.write.mode("overwrite").parquet(dir)
+      knnGraphBuild(s, d).write.mode("overwrite").parquet(dir)
       dir
     })
 

@@ -1136,13 +1136,21 @@ object Text extends QueryModule {
   val bpeTrain: Q = (s, d) => {
     val m = bpeDelim
     val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    // Same delimiter-collision posture as q236's encoder: a word holding
+    // U+0001 would corrupt pair statistics identically in both engines
+    // (matching-but-wrong), so fail LOUDLY before any round runs — one
+    // instr per word TYPE, vocabulary-bounded.
     val wf = docs.select(explode(filter(toks, t => length(t) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(when(instr(col("w"), m) > 0, raise_error(
+          lit("q247: word contains the U+0001 token delimiter")))
+          .otherwise(col("w")).as("w"),
+        col("f"))
     val tmp = graft.Scratch.dir("graft_bpe_wf") // reaped at JVM exit
     wf.write.mode("overwrite").parquet(tmp)
     val wfS = s.read.parquet(tmp)
     var merges = Vector.empty[(String, String, Long)]
-    for (_ <- 1 to bpeTrainRounds) {
+    for (round <- 1 to bpeTrainRounds) {
       val chars = s"regexp_replace(w, '(.)', '$m$$1$m')"
       val enc = merges.foldLeft(chars) { case (acc, (l, r, _)) =>
         s"replace($acc, '$m$l$m$m$r$m', '$m$l$r$m')"
@@ -1156,8 +1164,15 @@ object Text extends QueryModule {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0) // the 1-row per-round driver sync
-      merges :+= ((best.getString(0), best.getString(1), best.getLong(2)))
+        .limit(1).collect().headOption // the 1-row per-round driver sync
+      // Vocabulary exhausted (every word fully merged) before the round
+      // budget: the oracle would silently emit fewer rounds while Spark
+      // crashed on (0) — fail LOUDLY instead (the q250 bfsMaxRounds cap).
+      require(best.isDefined, s"q247: no adjacent pairs left at round " +
+        s"$round of $bpeTrainRounds — vocabulary fully merged; lower " +
+        "bpeTrainRounds for this corpus")
+      val b = best.get
+      merges :+= ((b.getString(0), b.getString(1), b.getLong(2)))
     }
     import s.implicits._
     merges.zipWithIndex
