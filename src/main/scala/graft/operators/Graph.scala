@@ -562,6 +562,265 @@ object Graph extends QueryModule {
     (reached.unionByName(unreached).orderBy("dist"), traj.result())
   }
 
+  /** Loud cap for q251's adaptive loop = the oracle's unroll depth
+    * (the q250 contract: cap and unroll move together). Fixtures
+    * converge in ≤ 7 rounds at every scale incl. the 10× sf1 replica. */
+  private[graft] val lpaMaxRounds = 24
+
+  /** q251 — CONVERGENT (self-vote) LABEL PROPAGATION: q155's synchronous
+    * LPA run until NO label changes — with one semantic upgrade that
+    * makes "until" well-defined: each node's vote set includes its OWN
+    * current label once (the standard damping, equivalent to adding a
+    * self-loop per node). Plain synchronous LPA has the classic period-2
+    * pathology — measured on these fixtures: sf0.01 and sf0.1 OSCILLATE
+    * forever (changed-count plateaus at 515 / 5919, labels(t) =
+    * labels(t−2)), so a changed-reaches-0 certificate never arrives;
+    * with the self-vote the same graphs reach a true fixpoint in ≤ 7
+    * rounds at sf0.001/0.01/0.1 AND the 10× sf1 replica. q155 keeps the
+    * reference 3-round semantics; this is the production variant a
+    * community pipeline actually runs, completing the convergence-
+    * audited family (q245 SCC, q250 BFS, and now LPA).
+    *
+    * Loop discipline is q250's verbatim: per round ONE equi-join
+    * (neighbor+self label attach on the staged both-direction adjacency
+    * [[lpaEdgesDir]] extended with self-loops) + two hash aggregates
+    * (the packed-BIGINT argmax — q155's integer tiebreak), labels STAGED
+    * per round, and a 1-row driver sync carrying (n_changed,
+    * n_communities, lbl_checksum). n_changed hitting 0 ends the loop —
+    * that row IS the convergence certificate, in-band. Output one row
+    * per executed round — O(rounds), independent of graph size. The
+    * oracle unrolls [[lpaMaxRounds]] identical rounds and cuts at its
+    * own first zero-change round; past the fixpoint the unrolled rounds
+    * are mathematical no-ops, so an over-unroll changes nothing and an
+    * under-unroll yields an empty cut (no zero row) — loud, never a
+    * silent truncation. Checksum bound: labels < 10¹² (the pack bound)
+    * × n nodes stays far under BIGINT at any fixture scale; a 100 TB
+    * graph swaps the checksum for a DECIMAL(38) sum, nothing else moves.
+    */
+  val lpaConverged: Q = (s, d) => lpaConvergedRun(s, d)._1
+
+  /** The q251 body, returning the changed-count trajectory for the
+    * spec's convergence pin (last entry 0, all earlier entries > 0). */
+  private[graft] def lpaConvergedRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
+    // self-loops: the self-vote is just one more (u, u) adjacency row
+    val edp = ed.unionByName(
+      ed.select(col("u")).distinct().select(col("u"), col("u").as("v")))
+    var labelsDir = graft.Scratch.dir("graft_lpac_l0")
+    ed.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .write.mode("overwrite").parquet(labelsDir)
+    val traj = Seq.newBuilder[Long]
+    var stats = Seq.empty[org.apache.spark.sql.DataFrame]
+    var changed = -1L
+    var r = 0
+    while (changed != 0L) {
+      r += 1
+      require(r <= lpaMaxRounds,
+        s"q251: LPA still moving after $lpaMaxRounds rounds — raise " +
+          "lpaMaxRounds (and the oracle unroll) together")
+      val labels = s.read.parquet(labelsDir)
+      val next = edp
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(expr("""1000000000000 - (max(cnt * 1000000000000
+               + (1000000000000 - lbl)) % 1000000000000)""").as("lbl"))
+      val nextDir = graft.Scratch.dir(s"graft_lpac_l$r")
+      next.write.mode("overwrite").parquet(nextDir)
+      val row = s.read.parquet(nextDir)
+        .join(labels.withColumnRenamed("lbl", "plbl"), "node")
+        .agg(sum(when(col("lbl") =!= col("plbl"), 1L).otherwise(0L))
+            .as("n_changed"),
+          countDistinct(col("lbl")).as("n_communities"),
+          sum(col("lbl")).as("lbl_checksum"))
+        .head() // the 1-row per-round driver sync (q250's contract)
+      changed = row.getLong(0)
+      traj += changed
+      stats = stats :+ s.range(1).select(lit(r).as("round"),
+        lit(changed).as("n_changed"),
+        lit(row.getLong(1)).as("n_communities"),
+        lit(row.getLong(2)).as("lbl_checksum"))
+      labelsDir = nextDir
+    }
+    (stats.reduce(_ unionByName _).orderBy("round"), traj.result())
+  }
+
+  /** Loud cap for q252's adaptive peel = the oracle's unroll depth.
+    * Fixtures converge in ≤ 10 peel rounds at every scale. */
+  private[graft] val kcoreMaxRounds = 24
+
+  /** q252 — CONVERGENT k-CORE PEELING: q148's synchronous peel run until
+    * a round removes NOTHING — the production `while (removed > 0)` its
+    * Scaladoc describes, shipped as an operator with the convergence
+    * certificate in-band (the final n_removed = 0 row), completing the
+    * fixed→convergent pairing for the whole graph family (q167→q250 BFS,
+    * q210→q245 SCC, q155→q251 LPA, q148→this). Monotonicity makes the
+    * certificate sound: a zero-removal round leaves the alive set —
+    * hence every degree — unchanged, so no later round can remove
+    * anything; the first zero is THE fixpoint in both engines.
+    *
+    * Reads the staged both-direction adjacency ([[lpaEdgesDir]] — the
+    * same graph q148 builds canonically; degree(x) = rows with u = x, so
+    * each round is two semi-joins + ONE hash aggregate, one fewer union
+    * than the canonical form), alive set staged per round, 1-row driver
+    * sync carrying (n_removed, n_alive, alive_checksum). Output one row
+    * per executed round through the zero round — O(rounds). The oracle
+    * unrolls [[kcoreMaxRounds]] rounds and cuts at its own first
+    * zero-removal round (post-fixpoint unrolled rounds are no-ops, same
+    * argument as q251).
+    */
+  val kcoreConverged: Q = (s, d) => kcoreConvergedRun(s, d)._1
+
+  /** The q252 body, returning the removed-count trajectory for the
+    * spec's convergence pin (last entry 0, all earlier entries > 0). */
+  private[graft] def kcoreConvergedRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
+    var aliveDir = graft.Scratch.dir("graft_kcorec_a0")
+    ed.select(col("u").as("x")).distinct()
+      .write.mode("overwrite").parquet(aliveDir)
+    var prevN = s.read.parquet(aliveDir).count()
+    val traj = Seq.newBuilder[Long]
+    var stats = Seq.empty[org.apache.spark.sql.DataFrame]
+    var removed = -1L
+    var r = 0
+    while (removed != 0L) {
+      r += 1
+      require(r <= kcoreMaxRounds,
+        s"q252: k-core still peeling after $kcoreMaxRounds rounds — " +
+          "raise kcoreMaxRounds (and the oracle unroll) together")
+      val alive = s.read.parquet(aliveDir)
+      val live = ed
+        .join(alive.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("x").as("v")), Seq("v"), "left_semi")
+      // both directions staged → degree is ONE aggregate over u
+      val next = live.groupBy(col("u").as("x"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= coreK).select("x")
+      val nextDir = graft.Scratch.dir(s"graft_kcorec_a$r")
+      next.write.mode("overwrite").parquet(nextDir)
+      val row = s.read.parquet(nextDir).agg(
+        count(lit(1)).as("n_alive"),
+        coalesce(sum("x"), lit(0L)).as("alive_checksum")).head()
+      val curN = row.getLong(0)
+      removed = prevN - curN
+      traj += removed
+      stats = stats :+ s.range(1).select(lit(r).as("round"),
+        lit(removed).as("n_removed"), lit(curN).as("n_alive"),
+        lit(row.getLong(1)).as("alive_checksum"))
+      prevN = curN
+      aliveDir = nextDir
+    }
+    (stats.reduce(_ unionByName _).orderBy("round"), traj.result())
+  }
+
+  /** Loud cap for q253's register-propagation loop = the oracle's unroll
+    * depth (rounds track the graph diameter: ≤ 8 on every fixture). */
+  private[graft] val hyperBallMaxRounds = 24
+
+  /** q253 — HYPERBALL (Boldi–Vigna): the NEIGHBORHOOD FUNCTION N(t) =
+    * Σ_nodes |ball(node, t)| estimated by per-node HyperLogLog register
+    * banks propagated along edges — THE scalable way to read a graph's
+    * distance distribution / effective diameter (an exact all-pairs BFS
+    * is O(n·m); this is O(m·64) per round, the published MapReduce
+    * formulation). Completes the graph family's measurement trio: q250
+    * walks ONE seed set's ball exactly; this estimates EVERY node's ball
+    * simultaneously in sketch space; q223 reads the degree distribution.
+    *
+    * Spark-first mechanics: registers live SPARSE as (node, bucket, m)
+    * rows — q105's md5 bucket/rank hash seeds each node with its own id
+    * at t = 0 (every sparse row has m ≥ 1, so absent row = empty
+    * register, no 64× materialization). Per round: ONE node-keyed
+    * equi-join pushes neighbor banks to each node, one (node, bucket)
+    * hash aggregate takes the register-wise max — the register bank is a
+    * monotone max-lattice, so the loop reaches an EXACT fixpoint and
+    * n_changed = 0 (an anti-join on (node, bucket, m)) is a sound
+    * convergence certificate, same argument as q245's min-lattice.
+    * Registers staged per round (q59's lineage discipline); driver sync
+    * is O(1) scalars per round. Per-node estimates reuse q105's exact
+    * integer harmonic form (s_inv = Σ 2^(33−m) with absent registers
+    * contributing 2^33 each) and q156's linear-counting small-range
+    * switch — the one double division and one ln round identically in
+    * both engines (the q156 precedent). Output: one row per round 0..R —
+    * (round, n_changed, reg_checksum, nf_estimate, pct_of_final_ppm) —
+    * the ball-growth trajectory; the first row with pct ≥ 900000 IS the
+    * 90% effective diameter. O(rounds) output, independent of graph
+    * size. The oracle unrolls [[hyperBallMaxRounds]] rounds and cuts at
+    * its own first zero-change round (post-fixpoint rounds are no-ops —
+    * the q251/q252 contract).
+    */
+  val hyperBall: Q = (s, d) => hyperBallRun(s, d)._1
+
+  /** The q253 body, returning the changed-register trajectory for the
+    * spec's convergence pin (last entry 0, all earlier entries > 0). */
+  private[graft] def hyperBallRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
+    val k = col("node").cast("string")
+    val init = ed.select(col("u").as("node")).distinct()
+      .select(col("node"),
+        pmod(conv(substring(md5(k), 1, 8), 16, 10).cast("long"),
+          lit(64L)).as("bucket"),
+        conv(substring(md5(k), 9, 8), 16, 10).cast("long").as("w"))
+      .select(col("node"), col("bucket"),
+        when(col("w") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("w")))).as("m"))
+    var regsDir = graft.Scratch.dir("graft_hb_r0")
+    init.write.mode("overwrite").parquet(regsDir)
+    // (round, n_changed, reg_checksum, nf_estimate) — O(rounds) driver rows
+    def roundStats(regs: org.apache.spark.sql.DataFrame,
+        changed: Long): (Long, Long, Long) = {
+      val nodeEst = regs.groupBy("node")
+        .agg(count(lit(1)).as("n_present"),
+          sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_present"))
+        .select(
+          floor(lit(0.709) * lit(4096.0) * lit(8589934592.0) /
+            (col("s_present") +
+              (lit(64L) - col("n_present")) * lit(8589934592L))
+              .cast("double")).cast("long").as("raw"),
+          (lit(64L) - col("n_present")).as("n_empty"))
+        .select(expr("""CASE WHEN raw <= 160 AND n_empty > 0
+                 THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
+                 ELSE raw END""").as("est"))
+      val row = regs.agg(sum("m").as("ck"))
+        .crossJoin(nodeEst.agg(sum("est").as("nf"))).head()
+      (changed, row.getLong(0), row.getLong(1))
+    }
+    val r0 = s.read.parquet(regsDir)
+    var rows = Vector((0, roundStats(r0, r0.count())))
+    val traj = Seq.newBuilder[Long]
+    var changed = -1L
+    var r = 0
+    while (changed != 0L) {
+      r += 1
+      require(r <= hyperBallMaxRounds,
+        s"q253: registers still moving after $hyperBallMaxRounds rounds — " +
+          "raise hyperBallMaxRounds (and the oracle unroll) together")
+      val prev = s.read.parquet(regsDir)
+      val next = prev.unionByName(
+          ed.join(prev.withColumnRenamed("node", "v"), "v")
+            .select(col("u").as("node"), col("bucket"), col("m")))
+        .groupBy("node", "bucket").agg(max("m").as("m"))
+      val nextDir = graft.Scratch.dir(s"graft_hb_r$r")
+      next.write.mode("overwrite").parquet(nextDir)
+      val nextS = s.read.parquet(nextDir)
+      changed = nextS.join(prev, Seq("node", "bucket", "m"), "left_anti").count()
+      traj += changed
+      rows :+= ((r, roundStats(nextS, changed)))
+      regsDir = nextDir
+    }
+    val nfFinal = rows.last._2._3
+    import s.implicits._
+    val out = rows.map { case (round, (ch, ck, nf)) =>
+      (round, ch, ck, nf, nf * 1000000L / nfFinal)
+    }.toDF("round", "n_changed", "reg_checksum", "nf_estimate",
+      "pct_of_final_ppm").orderBy("round")
+    (out, traj.result())
+  }
+
   /** q217 — ITEM-ITEM top-3 co-purchase recommendations: the classic
     * "customers who bought X also bought Y" matrix — for every part, its
     * three strongest co-purchase partners by basket co-occurrence with
@@ -879,7 +1138,10 @@ object Graph extends QueryModule {
     "q217_item_recs" -> itemRecs,
     "q223_degree_powerlaw" -> degreePowerlaw,
     "q245_scc_converged" -> sccConverged,
-    "q250_bfs_converged" -> bfsConverged)
+    "q250_bfs_converged" -> bfsConverged,
+    "q251_lpa_converged" -> lpaConverged,
+    "q252_kcore_converged" -> kcoreConverged,
+    "q253_hyperball" -> hyperBall)
 
   def oracles: Map[String, String] = Map(
     // the FIXPOINT recomputed by a fixed, generous unroll of the
@@ -966,6 +1228,143 @@ object Graph extends QueryModule {
          |FROM nodes WHERE NOT EXISTS
          |  (SELECT 1 FROM v$bfsMaxRounds w WHERE w.x = nodes.x)
          |ORDER BY dist""".stripMargin
+    },
+    // the identical self-vote rounds unrolled to the loud-cap depth,
+    // then CUT at the oracle's OWN first zero-change round — past the
+    // fixpoint the unrolled rounds are mathematical no-ops, so an
+    // over-unroll changes nothing and an under-unroll leaves no zero
+    // row (empty cut = loud mismatch, never silent truncation)
+    "q251_lpa_converged" -> {
+      val rounds = (1 to lpaMaxRounds).map { r =>
+        s"""nb$r AS (SELECT edp.u AS node, l.lbl AS lbl, count(*) AS cnt
+           |  FROM edp JOIN l${r - 1} l ON edp.v = l.node GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT node,
+           |    1000000000000 - (max(cnt * 1000000000000
+           |      + (1000000000000 - lbl)) % 1000000000000) AS lbl
+           |  FROM nb$r GROUP BY 1),
+           |s$r AS (SELECT $r AS round,
+           |    (SELECT count(*) FROM l$r ln JOIN l${r - 1} lp
+           |      ON ln.node = lp.node WHERE ln.lbl <> lp.lbl) AS n_changed,
+           |    (SELECT count(DISTINCT lbl) FROM l$r) AS n_communities,
+           |    (SELECT CAST(sum(lbl) AS BIGINT) FROM l$r) AS lbl_checksum)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unions = (1 to lpaMaxRounds).map(r => s"SELECT * FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |edp AS MATERIALIZED (SELECT u, v FROM ed
+         |  UNION ALL SELECT DISTINCT u, u AS v FROM ed),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM ed),
+         |$rounds,
+         |traj AS ($unions)
+         |SELECT round, n_changed, n_communities, lbl_checksum FROM traj
+         |WHERE round <= (SELECT min(round) FROM traj WHERE n_changed = 0)
+         |ORDER BY round""".stripMargin
+    },
+    // the identical peel rounds unrolled to the loud-cap depth, cut at
+    // the first zero-removal round — monotonicity (zero removals fix
+    // the alive set forever) makes that cut THE fixpoint in both engines
+    "q252_kcore_converged" -> {
+      val rounds = (1 to kcoreMaxRounds).map { r =>
+        val prev = s"a${r - 1}"
+        s"""d$r AS (SELECT u AS x, count(*) AS c FROM ed
+           |  WHERE u IN (SELECT x FROM $prev)
+           |    AND v IN (SELECT x FROM $prev) GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT x FROM d$r WHERE c >= $coreK),
+           |s$r AS (SELECT $r AS round,
+           |    (SELECT count(*) FROM $prev) - (SELECT count(*) FROM a$r)
+           |      AS n_removed,
+           |    (SELECT count(*) FROM a$r) AS n_alive,
+           |    (SELECT CAST(COALESCE(sum(x), 0) AS BIGINT) FROM a$r)
+           |      AS alive_checksum)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to kcoreMaxRounds).map(r => s"SELECT * FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS x FROM ed),
+         |$rounds,
+         |traj AS ($unions)
+         |SELECT round, n_removed, n_alive, alive_checksum FROM traj
+         |WHERE round <= (SELECT min(round) FROM traj WHERE n_removed = 0)
+         |ORDER BY round""".stripMargin
+    },
+    // the identical register propagation unrolled to the loud-cap depth
+    // (q105's bucket/rank hash, q156's small-range switch, register-wise
+    // max per round), cut at the oracle's own first zero-change round —
+    // the max-lattice fixpoint argument from the Scaladoc
+    "q253_hyperball" -> {
+      def estCte(reg: String) =
+        s"""SELECT CAST(sum(CASE WHEN raw <= 160 AND n_empty > 0
+           |    THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
+           |    ELSE raw END) AS BIGINT)
+           |  FROM (SELECT
+           |      CAST(floor(0.709::DOUBLE * 4096 * 8589934592 /
+           |        CAST(s_present + (64 - n_present) * 8589934592 AS DOUBLE))
+           |        AS BIGINT) AS raw,
+           |      64 - n_present AS n_empty
+           |    FROM (SELECT node, count(*) AS n_present,
+           |        CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT)
+           |          AS s_present
+           |      FROM $reg GROUP BY 1))""".stripMargin
+      val rounds = (1 to hyperBallMaxRounds).map { r =>
+        s"""r$r AS MATERIALIZED (SELECT node, bucket, max(m) AS m FROM (
+           |    SELECT node, bucket, m FROM r${r - 1}
+           |    UNION ALL
+           |    SELECT ed.u AS node, p.bucket, p.m
+           |    FROM ed JOIN r${r - 1} p ON ed.v = p.node) GROUP BY 1, 2),
+           |s$r AS (SELECT $r AS round,
+           |    (SELECT count(*) FROM r$r n WHERE NOT EXISTS (
+           |      SELECT 1 FROM r${r - 1} p WHERE p.node = n.node
+           |        AND p.bucket = n.bucket AND p.m = n.m)) AS n_changed,
+           |    (SELECT CAST(sum(m) AS BIGINT) FROM r$r) AS reg_checksum,
+           |    (${estCte(s"r$r")}) AS nf_estimate)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to hyperBallMaxRounds).map(r => s"SELECT * FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |r0 AS MATERIALIZED (SELECT node,
+         |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT % 64
+         |      AS bucket,
+         |    CASE WHEN ('0x' || substr(md5(CAST(node AS VARCHAR)), 9, 8))::BIGINT = 0
+         |      THEN 33
+         |      ELSE 33 - length(bin(('0x' || substr(md5(CAST(node AS VARCHAR)), 9, 8))::BIGINT))
+         |      END AS m
+         |  FROM (SELECT DISTINCT u AS node FROM ed)),
+         |s0 AS (SELECT 0 AS round,
+         |    (SELECT count(*) FROM r0) AS n_changed,
+         |    (SELECT CAST(sum(m) AS BIGINT) FROM r0) AS reg_checksum,
+         |    (${estCte("r0")}) AS nf_estimate),
+         |$rounds,
+         |traj AS ($unions),
+         |cut AS (SELECT * FROM traj WHERE round <= (
+         |  SELECT min(round) FROM traj WHERE n_changed = 0 AND round >= 1)),
+         |fin AS (SELECT nf_estimate AS nf_final FROM cut
+         |  WHERE round = (SELECT max(round) FROM cut))
+         |SELECT round, n_changed, reg_checksum, nf_estimate,
+         |  nf_estimate * 1000000 // (SELECT nf_final FROM fin)
+         |    AS pct_of_final_ppm
+         |FROM cut ORDER BY round""".stripMargin
     },
     // the identical m>=2 edge list reduced to a degree histogram, fit
     // with q200's closed-form milli-nat OLS expression tree

@@ -760,6 +760,63 @@ object Similarity extends QueryModule {
     */
   val deltaSemDedup: Q = (s, d) => deltaSemanticVerdicts(s, d, probes = 2)
 
+  /** q254 — SEMANTIC DECONTAMINATION: q74/q240 flag train docs whose
+    * n-grams/fingerprints collide with a benchmark; this flags train
+    * vectors whose EMBEDDINGS sit above the similarity threshold of any
+    * eval/benchmark vector — the paraphrase-leakage check the lexical
+    * decontaminators structurally miss (a reworded eval question shares
+    * no 8-gram but sits in the same embedding cell). Direction is the
+    * REVERSE of q235: the verdicts land on the CORPUS side (train docs
+    * to drop before training), not the incoming batch.
+    *
+    * Mechanics: the held-out slice plays the benchmark; queries assign
+    * against the broadcast STAGED pivots and probe their top-2 cells
+    * into the STAGED home-cell index ([[embCorpusIndex]] — the same
+    * artifact q235/q249 probe, built once per session), and matches
+    * aggregate BY TRAIN VECTOR (count of eval hits, least hitting eval
+    * id). Cost is O(eval · probes + collisions), never train × eval —
+    * the only decontamination shape that survives a 100 TB train corpus
+    * against a growing benchmark suite. A train vector's home cell is
+    * unique, so a (train, eval) pair can match in exactly ONE cell —
+    * counts need no cross-probe dedup (the q235 argument, reversed).
+    * Output: the per-cell compliance report — train mass, contaminated
+    * count, contaminated id checksum, total eval hits — O(cells) rows,
+    * the summary a data-governance review reads before a training run.
+    */
+  val semanticDecontam: Q = (s, d) => {
+    val (pivots, home) = embCorpusIndex(s, d)
+    val evalQ = base(s, d).filter(isDeltaVec)
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val probed = evalQ.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"))
+    val l = probed.alias("l")
+    val r = home.alias("r")
+    val sim = cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
+    val flagged = l.join(r.hint("shuffle_hash"),
+        col("l.cell_id") === col("r.cell_id") && round(sim, 9) >= semanticTau)
+      .groupBy(col("r.vec_id").as("train_id"), col("r.cell_id").as("cell_id"))
+      .agg(count(lit(1)).as("n_eval_hits"))
+    home.select(col("vec_id").as("train_id"), col("cell_id"))
+      .join(flagged.select(col("train_id"), col("n_eval_hits")),
+        Seq("train_id"), "left")
+      .groupBy(col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("n_eval_hits").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        coalesce(sum(when(col("n_eval_hits").isNotNull, col("train_id"))),
+          lit(0L)).as("contaminated_checksum"),
+        coalesce(sum(col("n_eval_hits")), lit(0L)).as("n_eval_hits_total"))
+      .orderBy("cell_id")
+  }
+
   /** q249 — STREAMING semantic dedup: q244's ingest-time gate lifted to
     * the EMBEDDING side — q235's delta-vs-staged-IVF probe run as a
     * Structured Streaming job. Vectors arrive as a stream (file source;
@@ -968,7 +1025,8 @@ object Similarity extends QueryModule {
     "q235_delta_semdedup" -> deltaSemDedup,
     "q249_stream_semdedup" -> streamSemDedup,
     "q241_ivf_drift" -> ivfDrift,
-    "q243_semantic_clusters" -> semanticClusters)
+    "q243_semantic_clusters" -> semanticClusters,
+    "q254_semantic_decontam" -> semanticDecontam)
 
   private val duckCos =
     "list_cosine_similarity(%s.embedding::DOUBLE[], %s.embedding::DOUBLE[])"
@@ -1062,7 +1120,42 @@ object Similarity extends QueryModule {
     // micro-batch-boundary-independent — batch/stream parity IS the
     // check (the q114/q244 pairing, lifted to the embedding side)
     "q235_delta_semdedup" -> deltaSemOracleSql,
-    "q249_stream_semdedup" -> deltaSemOracleSql)
+    "q249_stream_semdedup" -> deltaSemOracleSql,
+    // q235's probe mirror with the aggregation flipped onto the TRAIN
+    // side, reduced to the per-cell compliance report
+    "q254_semantic_decontam" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 7),
+         |piv AS (SELECT vec_id AS pivot_id, embedding FROM corpus
+         |  WHERE vec_id < 64),
+         |ch AS MATERIALIZED (SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT c.vec_id, c.embedding, p.pivot_id AS cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY round(${duckCos.format("c", "p")}, 9) DESC,
+         |          p.pivot_id) AS arn
+         |    FROM corpus c CROSS JOIN piv p) WHERE arn = 1),
+         |delta AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 7),
+         |dp AS (SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT d.vec_id, d.embedding, p.pivot_id AS cell_id,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY round(${duckCos.format("d", "p")}, 9) DESC,
+         |          p.pivot_id) AS arn
+         |    FROM delta d CROSS JOIN piv p) WHERE arn <= 2),
+         |m AS (SELECT r.vec_id AS train_id, count(*) AS n_eval_hits
+         |  FROM dp l JOIN ch r ON l.cell_id = r.cell_id
+         |  WHERE round(${duckCos.format("l", "r")}, 9) >= $semanticTau
+         |  GROUP BY 1)
+         |SELECT CAST(ch.cell_id AS INT) AS cell_id,
+         |  count(*) AS n_train,
+         |  CAST(sum(CASE WHEN m.n_eval_hits IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(COALESCE(sum(CASE WHEN m.n_eval_hits IS NOT NULL
+         |    THEN ch.vec_id END), 0) AS BIGINT) AS contaminated_checksum,
+         |  CAST(COALESCE(sum(m.n_eval_hits), 0) AS BIGINT)
+         |    AS n_eval_hits_total
+         |FROM ch LEFT JOIN m ON ch.vec_id = m.train_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   private def deltaSemOracleSql: String =
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings

@@ -1108,4 +1108,66 @@ class AnalyticsSpec extends SparkSpec {
       assert(conv(d) == n, s"hop $d: fixed=$n converged=${conv(d)}")
     }
   }
+
+  test("q251 converged LPA: changed-count positive until the final zero round; labels stable at the fixpoint") {
+    val (out, traj) = operators.Graph.lpaConvergedRun(spark, sf)
+    assert(traj.last == 0L, s"loop must end on a zero-change round: $traj")
+    assert(traj.init.forall(_ > 0L),
+      s"only the final round may change nothing: $traj")
+    val rows = out.collect()
+    // one trajectory row per executed round, rounds 1..R in order
+    assert(rows.map(_.getInt(0)).toSeq == (1 to traj.size), rows.mkString(","))
+    assert(rows.map(_.getLong(1)).toSeq == traj, rows.mkString(","))
+    // the fixpoint certificate: the last two rounds agree on the label
+    // population (same community count, same checksum)
+    val (a, b) = (rows(rows.size - 2), rows(rows.size - 1))
+    assert(a.getLong(2) == b.getLong(2) && a.getLong(3) == b.getLong(3),
+      s"fixpoint rounds disagree: $a vs $b")
+  }
+
+  test("q252 converged k-core: removals positive until the final zero round; alive set monotone non-increasing") {
+    val (out, traj) = operators.Graph.kcoreConvergedRun(spark, sf)
+    assert(traj.last == 0L, s"loop must end on a zero-removal round: $traj")
+    assert(traj.init.forall(_ > 0L),
+      s"only the final round may remove nothing: $traj")
+    val rows = out.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to traj.size), rows.mkString(","))
+    rows.sliding(2).foreach {
+      case Array(p, n) =>
+        assert(n.getLong(2) <= p.getLong(2), s"alive grew: $p -> $n")
+      case _ => ()
+    }
+    // the zero-removal round leaves the alive set (count AND checksum)
+    // exactly where the previous round put it — the fixpoint certificate
+    if (rows.size >= 2) {
+      val (p, l) = (rows(rows.size - 2), rows(rows.size - 1))
+      assert(p.getLong(2) == l.getLong(2) && p.getLong(3) == l.getLong(3),
+        s"fixpoint rounds disagree: $p vs $l")
+    }
+  }
+
+  test("q253 HyperBall: register lattice climbs monotonically to the fixpoint; final round is 100% of itself") {
+    val (out, traj) = operators.Graph.hyperBallRun(spark, sf)
+    assert(traj.last == 0L, s"loop must end on a zero-change round: $traj")
+    assert(traj.init.forall(_ > 0L),
+      s"only the final round may change nothing: $traj")
+    val rows = out.collect()
+    // rounds 0..R in order; per-loop-round changed counts match the output
+    assert(rows.map(_.getInt(0)).toSeq == (0 to traj.size), rows.mkString(","))
+    assert(rows.drop(1).map(_.getLong(1)).toSeq == traj, rows.mkString(","))
+    // registers only grow (max-lattice): the checksum is non-decreasing,
+    // and the final two rounds carry the identical bank
+    rows.sliding(2).foreach {
+      case Array(p, n) =>
+        assert(n.getLong(2) >= p.getLong(2), s"register sum fell: $p -> $n")
+      case _ => ()
+    }
+    assert(rows(rows.size - 2).getLong(2) == rows.last.getLong(2))
+    // the trajectory is normalized to its own fixpoint
+    assert(rows.last.getLong(4) == 1000000L, rows.last.toString)
+    // every ball starts as {self}: N(0)'s small-range estimate must be
+    // positive and no larger than later rounds' by more than the
+    // documented sketch error (weak sanity, the oracle pins exact values)
+    assert(rows.head.getLong(3) > 0, "round-0 estimate must be positive")
+  }
 }

@@ -298,6 +298,17 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 1, p)
   }
 
+  test("q254 semantic decontam: only the broadcast pivot assignment nest-loops; the flag join is cell-equi") {
+    val p = plan("q254_semantic_decontam")
+    assert(!p.contains("CartesianProduct"), p)
+    // the eval-side assignment is the one allowed broadcast cross (the
+    // ivfIndex contract); the train-side flags come from the staged
+    // home-cell leaf through the cell equi-join, never re-assigned
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 1, p)
+  }
+
   test("q235 delta dedup: only the broadcast pivot assignment nest-loops; the cell join is equi") {
     val p = plan("q235_delta_semdedup")
     assert(!p.contains("CartesianProduct"), p)
