@@ -599,14 +599,30 @@ object Graph extends QueryModule {
     */
   val lpaConverged: Q = (s, d) => lpaConvergedRun(s, d)._1
 
+  /** q251's self-loop-extended adjacency, staged ONCE per input dir per
+    * JVM: the loop's rounds must scan a parquet leaf (the q59 lineage
+    * discipline), not re-run the node distinct + union every round. */
+  private val lpacEdpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lpaSelfLoopEdgesDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    lpacEdpCache.computeIfAbsent(d, _ => {
+      val ed = s.read.parquet(lpaEdgesDir(s, d))
+      val dir = graft.Scratch.dir("graft_lpac_edp")
+      // self-loops: the self-vote is just one more (u, u) adjacency row
+      ed.unionByName(ed.select(col("u")).distinct()
+          .select(col("u"), col("u").as("v")))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** The q251 body, returning the changed-count trajectory for the
     * spec's convergence pin (last entry 0, all earlier entries > 0). */
   private[graft] def lpaConvergedRun(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val ed = s.read.parquet(lpaEdgesDir(s, d))
-    // self-loops: the self-vote is just one more (u, u) adjacency row
-    val edp = ed.unionByName(
-      ed.select(col("u")).distinct().select(col("u"), col("u").as("v")))
+    val edp = s.read.parquet(lpaSelfLoopEdgesDir(s, d))
     var labelsDir = graft.Scratch.dir("graft_lpac_l0")
     ed.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
@@ -715,6 +731,94 @@ object Graph extends QueryModule {
       aliveDir = nextDir
     }
     (stats.reduce(_ unionByName _).orderBy("round"), traj.result())
+  }
+
+  /** q255 delta-basket rule: baskets with l_orderkey ≡ 3 (mod 20) are
+    * "today's ingest" (~5%) — deterministic and expressible identically
+    * in both engines (the q114/q235 delta discipline, applied to edges).
+    */
+  private val incSliceMod = 20L
+  private val incSliceRem = 3L
+
+  /** q255 — INCREMENTAL CONNECTED COMPONENTS: the graph twin of
+    * q114/q235's delta-vs-staged-index shape. A production dedup/entity
+    * graph never recomputes components from scratch per ingest — edges
+    * only ARRIVE (deletions go through q248's rebuild path), and edge
+    * insertion is MERGE-ONLY on components, so the update is: (1) map
+    * each new edge's endpoints to their staged base labels (absent
+    * endpoints label themselves), (2) run the min-label fixpoint over
+    * the COMPONENT graph those collapsed edges form — a frame of
+    * O(bridged components), never O(corpus) — and (3) compose
+    * final(node) = merged(base_label(node)) with one broadcast-size
+    * join. The m ≥ 2 repeat cut stays exact under the split: per-pair
+    * multiplicity is counted once with a base/full split, so a pair
+    * crossing the threshold ONLY WITH today's baskets surfaces as a new
+    * edge (threshold crossings are insertions too).
+    *
+    * The correctness claim is the strong one: the oracle recomputes the
+    * FULL graph's components from scratch (8 unrolled propagate+jump
+    * super-rounds, ≥ 4⁸-hop coverage, with q245's in-band n_moved_final
+    * convergence audit), so the hash match IS the incremental ≡ batch
+    * equivalence proof — both engines must land on the min-node-id
+    * labeling of every component. Output: the top-50 component census
+    * (size, min member, id checksum), the q155/q59 readout shape.
+    */
+  val incrementalCc: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pm = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m_full"),
+        sum(when(col("a.o") % incSliceMod =!= incSliceRem, 1L)
+          .otherwise(0L)).as("m_base"))
+      .filter(col("m_full") >= 2)
+    val tmpPm = graft.Scratch.dir("graft_inccc_pm")
+    pm.write.mode("overwrite").parquet(tmpPm)
+    val pmS = s.read.parquet(tmpPm)
+    val baseEdges = pmS.filter(col("m_base") >= 2)
+      .select(col("u").as("d1"), col("v").as("d2"))
+    val newEdges = pmS.filter(col("m_base") < 2).select("u", "v")
+    val baseNodes = baseEdges.select(col("d1").as("doc_id"))
+      .union(baseEdges.select(col("d2").as("doc_id"))).distinct()
+    // the staged artifact a production pipeline keeps between ingests
+    val baseLabels = Dedup.ccMinLabels(s, baseNodes, baseEdges)
+    val tmpBl = graft.Scratch.dir("graft_inccc_base")
+    baseLabels.write.mode("overwrite").parquet(tmpBl)
+    val bl = s.read.parquet(tmpBl) // (doc_id, label)
+    // collapse new edges onto the component graph: O(new edges) rows
+    val mergeEdges = newEdges
+      .join(bl.select(col("doc_id").as("u"), col("label").as("lu")), Seq("u"), "left")
+      .join(bl.select(col("doc_id").as("v"), col("label").as("lv")), Seq("v"), "left")
+      .select(coalesce(col("lu"), col("u")).as("d1"),
+        coalesce(col("lv"), col("v")).as("d2"))
+      .filter(col("d1") =!= col("d2")).distinct()
+    val mergeNodes = mergeEdges.select(col("d1").as("doc_id"))
+      .union(mergeEdges.select(col("d2").as("doc_id"))).distinct()
+    // an ingest can bridge nothing (every new edge lands inside one
+    // component) — the fixpoint's sum certificate needs ≥ 1 row, so the
+    // empty merge graph short-circuits to the empty mapping (a bounded
+    // isEmpty driver sync, the loop-guard discipline)
+    val merged =
+      if (mergeNodes.isEmpty)
+        mergeNodes.select(col("doc_id"), col("doc_id").as("label"))
+      else Dedup.ccMinLabels(s, mergeNodes, mergeEdges)
+    val fullNodes = pmS.select(col("u").as("node"))
+      .union(pmS.select(col("v").as("node"))).distinct()
+    val composed = fullNodes
+      .join(bl.select(col("doc_id").as("node"), col("label").as("bl_lbl")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("bl_lbl"), col("node")).as("bl_lbl"))
+      .join(merged.select(col("doc_id").as("bl_lbl"), col("label").as("m_lbl")),
+        Seq("bl_lbl"), "left")
+      .select(col("node"), coalesce(col("m_lbl"), col("bl_lbl")).as("label"))
+    composed.groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"),
+        sum(col("node")).as("member_checksum"))
+      .select(col("component"), col("n_members"), col("min_member"),
+        col("member_checksum"), lit(0L).as("n_moved_final"))
+      .orderBy(col("n_members").desc, col("component"))
+      .limit(50)
   }
 
   /** Loud cap for q253's register-propagation loop = the oracle's unroll
@@ -1141,7 +1245,8 @@ object Graph extends QueryModule {
     "q250_bfs_converged" -> bfsConverged,
     "q251_lpa_converged" -> lpaConverged,
     "q252_kcore_converged" -> kcoreConverged,
-    "q253_hyperball" -> hyperBall)
+    "q253_hyperball" -> hyperBall,
+    "q255_incremental_cc" -> incrementalCc)
 
   def oracles: Map[String, String] = Map(
     // the FIXPOINT recomputed by a fixed, generous unroll of the
@@ -1365,6 +1470,47 @@ object Graph extends QueryModule {
          |  nf_estimate * 1000000 // (SELECT nf_final FROM fin)
          |    AS pct_of_final_ppm
          |FROM cut ORDER BY round""".stripMargin
+    },
+    // the FULL graph's components recomputed FROM SCRATCH (8 unrolled
+    // propagate + 2-jump super-rounds over both edge directions, ≥ 4^8
+    // hop coverage, q245's in-band n_moved_final audit) — matching the
+    // Spark side's incremental merge IS the incremental ≡ batch proof
+    "q255_incremental_cc" -> {
+      val rounds = (1 to sccOracleSuperRounds).map { k =>
+        s"""cp$k AS (SELECT n.node,
+           |    least(n.lbl, coalesce(m.inmin, n.lbl)) AS lbl
+           |  FROM c${k - 1} n LEFT JOIN (
+           |    SELECT eb.dst AS node, min(l.lbl) AS inmin
+           |    FROM eb JOIN c${k - 1} l ON eb.src = l.node
+           |    GROUP BY 1) m USING (node)),
+           |cj$k AS (SELECT a.node,
+           |    least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+           |  FROM cp$k a LEFT JOIN cp$k b ON a.lbl = b.node),
+           |c$k AS MATERIALIZED (SELECT a.node,
+           |    least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+           |  FROM cj$k a LEFT JOIN cj$k b ON a.lbl = b.node)""".stripMargin
+      }.mkString(",\n")
+      val k = sccOracleSuperRounds
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e AS MATERIALIZED (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m_full FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m_full >= 2),
+         |eb AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM eb),
+         |c0 AS (SELECT node, node AS lbl FROM nodes),
+         |$rounds,
+         |moved AS (SELECT count(*) AS n_moved
+         |  FROM c$k f JOIN c${k - 1} fp USING (node)
+         |  WHERE f.lbl <> fp.lbl)
+         |SELECT lbl AS component, count(*) AS n_members,
+         |  min(node) AS min_member,
+         |  CAST(sum(node) AS BIGINT) AS member_checksum,
+         |  (SELECT CAST(n_moved AS BIGINT) FROM moved) AS n_moved_final
+         |FROM c$k GROUP BY 1
+         |ORDER BY n_members DESC, component LIMIT 50""".stripMargin
     },
     // the identical m>=2 edge list reduced to a degree histogram, fit
     // with q200's closed-form milli-nat OLS expression tree

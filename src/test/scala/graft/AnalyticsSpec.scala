@@ -1170,4 +1170,28 @@ class AnalyticsSpec extends SparkSpec {
     // documented sketch error (weak sanity, the oracle pins exact values)
     assert(rows.head.getLong(3) > 0, "round-0 estimate must be positive")
   }
+
+  test("q255 incremental CC: a planted delta basket BRIDGES two base components; a delta-only node attaches") {
+    import spark.implicits._
+    // base: orders 1,2 build edge (1,2); orders 4,5 build edge (5,6);
+    // orders 6,7 build edge (8,9). delta (o ≡ 3 mod 20): orders 3,23
+    // both hold {2,5} → NEW edge (2,5) bridging {1,2}∪{5,6}; orders
+    // 43,63 both hold {9,11} → NEW edge (9,11) attaching the unseen
+    // node 11 to {8,9}. Expected components: {1,2,5,6} and {8,9,11}.
+    val items = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (4L, 5L), (4L, 6L), (5L, 5L), (5L, 6L),
+      (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L),
+      (3L, 2L), (3L, 5L), (23L, 2L), (23L, 5L),
+      (43L, 9L), (43L, 11L), (63L, 9L), (63L, 11L))
+    val dir = java.nio.file.Files.createTempDirectory("graftinccc").toString
+    items.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q255_incremental_cc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toList === List(
+      (1L, 4L, 1L, 14L),   // bridged: 1+2+5+6
+      (8L, 3L, 8L, 28L)),  // attached: 8+9+11
+      rows.mkString(","))
+  }
 }
