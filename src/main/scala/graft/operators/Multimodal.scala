@@ -188,13 +188,125 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "seg_start")
   }
 
+  /** q256 pHash geometry: 7 slice-bytes = a 56-bit hash (a full 8-byte
+    * pack would overflow signed BIGINT in both engines), verify threshold
+    * 6 BITS — chosen so byte-banding is pigeonhole-EXACT: ≤ 6 differing
+    * bits touch ≤ 6 of the 7 bytes, so every qualifying pair shares ≥ 1
+    * identical byte-band (the q65 exactness discipline at 56-bit width).
+    */
+  private val phashSlices = 7
+  private val phashTau = 6
+
+  /** q256 — PERCEPTUAL-HASH near-dup over media payloads (STUB hash,
+    * real dedup): the image-dedup pass a multimodal training pipeline
+    * runs — images reduce to a small fixed-width perceptual hash (DCT
+    * pHash in production) and near-duplicates are pairs within a small
+    * hamming radius, found by banded self-join, never all-pairs. The
+    * hash is the declared stub (no image libs in this container): byte i
+    * = the first md5 byte of the payload's i-th character slice, so
+    * payloads sharing a slice agree on that byte exactly as crops/
+    * re-encodes agree on most DCT bands — near-dup structure a real
+    * pHash would produce, derived deterministically and mirrored
+    * formula-for-formula by the DuckDB oracle. A real decoder+DCT drops
+    * in as one expression/mapPartitions producing the same BIGINT
+    * column; every downstream plan node is unchanged.
+    *
+    * Plan shape: hash + band table staged once (expression-only, whole-
+    * stage codegen — no UDFs), candidate generation is the (band, byte)
+    * equi-join with d1 < d2, verification is one codegen'd
+    * bit_count(xor) ≤ τ filter, verdicts aggregate per document (mate
+    * count, least mate id — the q37 readout). Scale posture: byte bands
+    * have 256 buckets/band — the declared fixed-block-space family
+    * (q65/q79's argument); the production dial is wider bands (2-byte =
+    * 65k buckets) traded against the pigeonhole radius, documented here
+    * rather than hidden.
+    */
+  val phashDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("l8", expr(s"greatest(length(text) div $phashSlices, 1)"))
+    val byteCols = (0 until phashSlices).map { i =>
+      expr(s"cast(conv(substring(md5(substring(text, 1 + $i * l8, l8)), 1, 2), 16, 10) as bigint)")
+        .as(s"b$i")
+    }
+    val hashed = docs.select((col("doc_id") +: byteCols): _*)
+      .select(col("doc_id"),
+        (0 until phashSlices).map(i => col(s"b$i") * lit(1L << (8 * i)))
+          .reduce(_ + _).as("phash"),
+        array((0 until phashSlices).map(i =>
+          struct(lit(i).as("band"), col(s"b$i").as("byte_v"))): _*).as("bands"))
+    val tmp = graft.Scratch.dir("graft_phash")
+    hashed.write.mode("overwrite").parquet(tmp)
+    val h = s.read.parquet(tmp)
+    val banded = h.select(col("doc_id"), col("phash"),
+      explode(col("bands")).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.byte_v").as("byte_v"))
+    val cand = banded.alias("l").join(banded.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.byte_v") === col("r.byte_v") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        col("l.phash").as("p1"), col("r.phash").as("p2"))
+      .distinct()
+    val pairs = cand.filter(expr(s"bit_count(p1 ^ p2) <= $phashTau"))
+    val mates = pairs.select(col("d1").as("doc_id"), col("d2").as("mate"))
+      .unionByName(pairs.select(col("d2").as("doc_id"), col("d1").as("mate")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_mates"), min("mate").as("least_mate"))
+    h.select(col("doc_id"), col("phash"))
+      .join(mates, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_mates"), lit(0L)).as("n_mates"),
+        coalesce(col("least_mate"), lit(-1L)).as("dup_of"),
+        (coalesce(col("n_mates"), lit(0L)) > 0 &&
+          col("least_mate") < col("doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q34_multimodal_meta" -> mediaMeta,
     "q35_multimodal_decode" -> decodeStub,
     "q130_frame_sample" -> frameSampleStub,
-    "q144_vad_segments" -> vadSegments)
+    "q144_vad_segments" -> vadSegments,
+    "q256_phash_dedup" -> phashDedup)
 
   def oracles: Map[String, String] = Map(
+    // the identical slice/md5/byte-pack hash, band equi-join, and
+    // bit_count(xor) verify, formula for formula
+    "q256_phash_dedup" -> {
+      val byteExprs = (0 until phashSlices).map { i =>
+        s"('0x' || substr(md5(substring(text, 1 + $i * l8, l8)), 1, 2))::BIGINT AS b$i"
+      }.mkString(",\n    ")
+      val pack = (0 until phashSlices).map(i => s"b$i * ${1L << (8 * i)}")
+        .mkString(" + ")
+      val bandRows = (0 until phashSlices).map(i =>
+        s"SELECT doc_id, phash, $i AS band, b$i AS byte_v FROM h")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sl AS (SELECT doc_id, text,
+         |    greatest(length(text) // $phashSlices, 1) AS l8
+         |  FROM documents),
+         |h AS MATERIALIZED (SELECT *, $pack AS phash FROM (
+         |  SELECT doc_id,
+         |    $byteExprs
+         |  FROM sl)),
+         |banded AS ($bandRows),
+         |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         |    l.phash AS p1, r.phash AS p2
+         |  FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.byte_v = r.byte_v
+         |    AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT * FROM cand WHERE bit_count(xor(p1, p2)) <= $phashTau),
+         |mates AS (SELECT doc_id, count(*) AS n_mates,
+         |    min(mate) AS least_mate
+         |  FROM (SELECT d1 AS doc_id, d2 AS mate FROM pairs
+         |    UNION ALL SELECT d2, d1 FROM pairs) GROUP BY 1)
+         |SELECT h.doc_id, CAST(h.phash AS BIGINT) AS phash,
+         |  COALESCE(m.n_mates, 0) AS n_mates,
+         |  COALESCE(m.least_mate, -1) AS dup_of,
+         |  (COALESCE(m.n_mates, 0) > 0 AND m.least_mate < h.doc_id) AS is_dup
+         |FROM h LEFT JOIN mates m ON h.doc_id = m.doc_id
+         |ORDER BY h.doc_id""".stripMargin
+    },
     // frames re-derived from the hex encoding (2 chars/byte — the only
     // byte-accurate route DuckDB 1.0 offers), then the same threshold +
     // islands chain over DuckDB's window engine

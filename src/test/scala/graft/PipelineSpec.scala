@@ -214,6 +214,27 @@ class PipelineSpec extends SparkSpec {
     assert(segs.toList === List((0, 1, 2L, 2 * 16L * 122), (4, 5, 2L, 2 * 16L * 122)))
   }
 
+  test("q256 pHash dedup: identical payloads are mutual mates with the least id canonical; a disjoint payload stands alone") {
+    import spark.implicits._
+    // docs 1 and 2 byte-identical → identical 56-bit hash (hamming 0);
+    // doc 3 shares no slice → expected far apart (verified by the
+    // assertion itself: if the stub ever hashed them close, this breaks)
+    val docs = Seq(
+      (1L, "aaaaaaaabbbbbbbbccccccccddddddddeeeeeeeeffffffffgggggggg", "en", "t", 56L),
+      (2L, "aaaaaaaabbbbbbbbccccccccddddddddeeeeeeeeffffffffgggggggg", "en", "t", 56L),
+      (3L, "zzzzzzzzyyyyyyyyxxxxxxxxwwwwwwwwvvvvvvvvuuuuuuuutttttttt", "en", "t", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftphash").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q256_phash_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toList === List(
+      (1L, 1L, 2L, false),  // canonical copy: has a mate, keeps itself
+      (2L, 1L, 1L, true),   // the duplicate: least mate 1 < 2
+      (3L, 0L, -1L, false)),
+      got.mkString(","))
+  }
+
   test("q186 dataset card: every column recomputes by hand on a planted two-source corpus") {
     import spark.implicits._
     val docs = Seq(
