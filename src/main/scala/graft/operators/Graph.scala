@@ -850,8 +850,9 @@ object Graph extends QueryModule {
     * switch — the one double division and one ln round identically in
     * both engines (the q156 precedent). Output: one row per round 0..R —
     * (round, n_changed, reg_checksum, nf_estimate, pct_of_final_ppm) —
-    * the ball-growth trajectory; the first row with pct ≥ 900000 IS the
-    * 90% effective diameter. O(rounds) output, independent of graph
+    * the ball-growth trajectory (round 0's n_changed is the seeded
+    * register count: every register is "new" against the empty bank);
+    * the first row with pct ≥ 900000 IS the 90% effective diameter. O(rounds) output, independent of graph
     * size. The oracle unrolls [[hyperBallMaxRounds]] rounds and cuts at
     * its own first zero-change round (post-fixpoint rounds are no-ops —
     * the q251/q252 contract).
