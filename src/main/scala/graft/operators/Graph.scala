@@ -875,9 +875,13 @@ object Graph extends QueryModule {
           .otherwise(lit(33) - length(bin(col("w")))).as("m"))
     var regsDir = graft.Scratch.dir("graft_hb_r0")
     init.write.mode("overwrite").parquet(regsDir)
-    // (round, n_changed, reg_checksum, nf_estimate) — O(rounds) driver rows
+    // One driver sync per round: the register bank never loses a
+    // (node, bucket) key (monotone union), so next ⊇ prev keyed rows and
+    // "changed" = rows whose prev value is absent or differs — a LEFT
+    // join folded into the SAME aggregate as the checksum, one action
+    // instead of an anti-join count plus a stats pass.
     def roundStats(regs: org.apache.spark.sql.DataFrame,
-        changed: Long): (Long, Long, Long) = {
+        changedCol: org.apache.spark.sql.Column): (Long, Long, Long) = {
       val nodeEst = regs.groupBy("node")
         .agg(count(lit(1)).as("n_present"),
           sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_present"))
@@ -890,12 +894,12 @@ object Graph extends QueryModule {
         .select(expr("""CASE WHEN raw <= 160 AND n_empty > 0
                  THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
                  ELSE raw END""").as("est"))
-      val row = regs.agg(sum("m").as("ck"))
+      val row = regs.agg(sum(changedCol).as("ch"), sum("m").as("ck"))
         .crossJoin(nodeEst.agg(sum("est").as("nf"))).head()
-      (changed, row.getLong(0), row.getLong(1))
+      (row.getLong(0), row.getLong(1), row.getLong(2))
     }
     val r0 = s.read.parquet(regsDir)
-    var rows = Vector((0, roundStats(r0, r0.count())))
+    var rows = Vector((0, roundStats(r0, lit(1L)))) // every seed register is new
     val traj = Seq.newBuilder[Long]
     var changed = -1L
     var r = 0
@@ -912,9 +916,12 @@ object Graph extends QueryModule {
       val nextDir = graft.Scratch.dir(s"graft_hb_r$r")
       next.write.mode("overwrite").parquet(nextDir)
       val nextS = s.read.parquet(nextDir)
-      changed = nextS.join(prev, Seq("node", "bucket", "m"), "left_anti").count()
+        .join(prev.withColumnRenamed("m", "pm"), Seq("node", "bucket"), "left")
+      val stats = roundStats(nextS,
+        when(col("pm").isNull || col("pm") =!= col("m"), 1L).otherwise(0L))
+      changed = stats._1
       traj += changed
-      rows :+= ((r, roundStats(nextS, changed)))
+      rows :+= ((r, stats))
       regsDir = nextDir
     }
     val nfFinal = rows.last._2._3
