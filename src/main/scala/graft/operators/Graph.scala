@@ -263,6 +263,12 @@ object Graph extends QueryModule {
   private val lpaEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The staged adjacency's location, exposed for AnalyticsSpec's q253
+    * fidelity pin (the spec recomputes exact Σ|component|² on the SAME
+    * graph the HyperBall loop read). */
+  private[graft] def lpaEdgesDirForSpec(s: org.apache.spark.sql.SparkSession,
+      d: String): String = lpaEdgesDir(s, d)
+
   private def lpaEdgesDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     lpaEdgeCache.computeIfAbsent(d, _ => {

@@ -1171,6 +1171,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getLong(3) > 0, "round-0 estimate must be positive")
   }
 
+  test("q253 HyperBall fidelity: the converged estimate lands within the m=64 sketch error of exact sum-of-squared-component-sizes") {
+    import org.apache.spark.sql.functions._
+    // at the fixpoint every node's ball IS its connected component, so
+    // N(R) estimates Σ_c |c|² — computable exactly from the same staged
+    // adjacency via the CC fixpoint. This pins the ESTIMATOR's fidelity
+    // (not just engine parity): a wrong register-propagation rule that
+    // both engines mirrored identically would pass the oracle but land
+    // far outside the m=64 error band (σ ≈ 1.04/√64 = 13% per node).
+    val (out, _) = operators.Graph.hyperBallRun(spark, sf)
+    val nfFinal = out.collect().last.getLong(3)
+    val ed = spark.read.parquet(
+      operators.Graph.lpaEdgesDirForSpec(spark, sf))
+    val nodes = ed.select(col("u").as("doc_id")).distinct()
+    val labels = operators.Dedup.ccMinLabels(spark, nodes,
+      ed.filter(col("u") < col("v"))
+        .select(col("u").as("d1"), col("v").as("d2")))
+    val exact = labels.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    val ratio = nfFinal.toDouble / exact.toDouble
+    assert(ratio > 0.75 && ratio < 1.25,
+      s"estimate $nfFinal vs exact $exact (ratio $ratio)")
+  }
+
   test("q255 incremental CC: a planted delta basket BRIDGES two base components; a delta-only node attaches") {
     import spark.implicits._
     // base: orders 1,2 build edge (1,2); orders 4,5 build edge (5,6);
