@@ -865,10 +865,38 @@ object Graph extends QueryModule {
     */
   val hyperBall: Q = (s, d) => hyperBallRun(s, d)._1
 
-  /** The q253 body, returning the changed-register trajectory for the
-    * spec's convergence pin (last entry 0, all earlier entries > 0). */
+  /** q253/q258 shared artifacts — (per-round (round, changed, checksum,
+    * N-estimate) stats, per-round staged register dirs r0..R) — computed
+    * ONCE per input dir per JVM (lpaArtifacts' contract): the
+    * neighborhood-function read (q253) and the harmonic-centrality read
+    * (q258) are two summaries of the SAME register propagation, so the
+    * O(m·64)-per-round loop runs once and both consumers scan its staged
+    * leaves. */
+  private val hbCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Vector[(Int, (Long, Long, Long))], Vector[String])]()
+
+  private[graft] def hyperBallArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (Vector[(Int, (Long, Long, Long))], Vector[String]) =
+    hbCache.computeIfAbsent(d, _ => hyperBallLoop(s, d))
+
+  /** The q253 trajectory view over [[hyperBallArtifacts]], returning the
+    * changed-register trajectory for the spec's convergence pin (last
+    * entry 0, all earlier entries > 0). */
   private[graft] def hyperBallRun(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val (rows, _) = hyperBallArtifacts(s, d)
+    val nfFinal = rows.last._2._3
+    import s.implicits._
+    val out = rows.map { case (round, (ch, ck, nf)) =>
+      (round, ch, ck, nf, nf * 1000000L / nfFinal)
+    }.toDF("round", "n_changed", "reg_checksum", "nf_estimate",
+      "pct_of_final_ppm").orderBy("round")
+    (out, rows.tail.map(_._2._1))
+  }
+
+  /** The register-propagation loop body (see the q253 Scaladoc). */
+  private def hyperBallLoop(s: org.apache.spark.sql.SparkSession,
+      d: String): (Vector[(Int, (Long, Long, Long))], Vector[String]) = {
     val ed = s.read.parquet(lpaEdgesDir(s, d))
     val k = col("node").cast("string")
     val init = ed.select(col("u").as("node")).distinct()
@@ -881,6 +909,8 @@ object Graph extends QueryModule {
           .otherwise(lit(33) - length(bin(col("w")))).as("m"))
     var regsDir = graft.Scratch.dir("graft_hb_r0")
     init.write.mode("overwrite").parquet(regsDir)
+    val dirs = Vector.newBuilder[String]
+    dirs += regsDir
     // One driver sync per round: the register bank never loses a
     // (node, bucket) key (monotone union), so next ⊇ prev keyed rows and
     // "changed" = rows whose prev value is absent or differs — a LEFT
@@ -906,7 +936,6 @@ object Graph extends QueryModule {
     }
     val r0 = s.read.parquet(regsDir)
     var rows = Vector((0, roundStats(r0, lit(1L)))) // every seed register is new
-    val traj = Seq.newBuilder[Long]
     var changed = -1L
     var r = 0
     while (changed != 0L) {
@@ -926,17 +955,67 @@ object Graph extends QueryModule {
       val stats = roundStats(nextS,
         when(col("pm").isNull || col("pm") =!= col("m"), 1L).otherwise(0L))
       changed = stats._1
-      traj += changed
       rows :+= ((r, stats))
       regsDir = nextDir
+      dirs += nextDir
     }
-    val nfFinal = rows.last._2._3
-    import s.implicits._
-    val out = rows.map { case (round, (ch, ck, nf)) =>
-      (round, ch, ck, nf, nf * 1000000L / nfFinal)
-    }.toDF("round", "n_changed", "reg_checksum", "nf_estimate",
-      "pct_of_final_ppm").orderBy("round")
-    (out, traj.result())
+    (rows, dirs.result())
+  }
+
+  /** Fixed-point denominator for q258's harmonic weights: lcm(1..24) —
+    * divisible by every round index up to [[hyperBallMaxRounds]], so
+    * weight = hbHarmonicLcm div r is EXACT integer arithmetic in both
+    * engines (no floating 1/r, no div-rounding asymmetry). */
+  private[graft] val hbHarmonicLcm = 5354228880L
+
+  /** q258 — HARMONIC CENTRALITY via HyperBall (Boldi–Vigna, "In-core
+    * computation of geometric centralities with HyperBall"): H(v) =
+    * Σ_{u≠v} 1/d(u, v), read off the ball-growth deltas — H(v) =
+    * Σ_t (|ball(v,t)| − |ball(v,t−1)|)/t — so EVERY node's centrality
+    * comes from the SAME register propagation q253 already runs (the
+    * staged per-round banks are shared via [[hyperBallArtifacts]]; an
+    * exact all-pairs BFS is O(n·m)). Spark-first mechanics: one hash
+    * aggregate per staged round produces (node, round, est) with q253's
+    * exact integer estimator; one node-keyed window (lag over round)
+    * takes growth deltas — deltas can be NEGATIVE where the estimator
+    * crosses its linear-counting→raw switch, which the signed integer
+    * sum handles identically in both engines; weights are
+    * [[hbHarmonicLcm]] div r (exact — see its Scaladoc), so hc_num is a
+    * pure BIGINT sum, no division until nothing is divided at all.
+    * Rounds past the engine's fixpoint R contribute delta = 0, so the
+    * oracle can sum its full [[hyperBallMaxRounds]] unroll without
+    * replicating the cut — the monotone-lattice argument from q253.
+    * Output: top-10 nodes by hc_num (TakeOrderedAndProject, O(k)), with
+    * the final ball estimate alongside for scale context.
+    */
+  val harmonicCentrality: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val (_, dirs) = hyperBallArtifacts(s, d)
+    val lastRound = dirs.length - 1
+    val perRound = dirs.zipWithIndex.map { case (dir, r) =>
+      s.read.parquet(dir).groupBy("node")
+        .agg(count(lit(1)).as("n_present"),
+          sum(pow(lit(2.0), lit(33) - col("m")).cast("long")).as("s_present"))
+        .select(col("node"), lit(r).as("round"),
+          floor(lit(0.709) * lit(4096.0) * lit(8589934592.0) /
+            (col("s_present") +
+              (lit(64L) - col("n_present")) * lit(8589934592L))
+              .cast("double")).cast("long").as("raw"),
+          (lit(64L) - col("n_present")).as("n_empty"))
+        .select(col("node"), col("round"),
+          expr("""CASE WHEN raw <= 160 AND n_empty > 0
+               THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
+               ELSE raw END""").as("est"))
+    }.reduce(_ unionByName _)
+    val byNode = Window.partitionBy("node").orderBy("round")
+    perRound
+      .withColumn("prev_est", lag(col("est"), 1).over(byNode))
+      .filter(col("round") >= 1)
+      .groupBy("node")
+      .agg(sum((col("est") - col("prev_est")) *
+          expr(s"$hbHarmonicLcm div round")).as("hc_num"),
+        max(when(col("round") === lastRound, col("est"))).as("ball_final"))
+      .orderBy(col("hc_num").desc, col("node")).limit(10)
   }
 
   /** q217 — ITEM-ITEM top-3 co-purchase recommendations: the classic
@@ -1260,7 +1339,8 @@ object Graph extends QueryModule {
     "q251_lpa_converged" -> lpaConverged,
     "q252_kcore_converged" -> kcoreConverged,
     "q253_hyperball" -> hyperBall,
-    "q255_incremental_cc" -> incrementalCc)
+    "q255_incremental_cc" -> incrementalCc,
+    "q258_harmonic_centrality" -> harmonicCentrality)
 
   def oracles: Map[String, String] = Map(
     // the FIXPOINT recomputed by a fixed, generous unroll of the
@@ -1484,6 +1564,64 @@ object Graph extends QueryModule {
          |  nf_estimate * 1000000 // (SELECT nf_final FROM fin)
          |    AS pct_of_final_ppm
          |FROM cut ORDER BY round""".stripMargin
+    },
+    // the same register unroll as q253, but summarized PER NODE per
+    // round; harmonic weights are exact lcm(1..24)-scaled integers and
+    // post-fixpoint rounds contribute delta = 0, so the oracle sums its
+    // full unroll with no cut — the monotone-lattice argument
+    "q258_harmonic_centrality" -> {
+      def nodeEstCte(r: Int) =
+        s"""er$r AS (SELECT node, $r AS round,
+           |    CASE WHEN raw <= 160 AND n_empty > 0
+           |      THEN CAST(round(64 * ln(CAST(64 AS DOUBLE) / n_empty)) AS BIGINT)
+           |      ELSE raw END AS est
+           |  FROM (SELECT node,
+           |      CAST(floor(0.709::DOUBLE * 4096 * 8589934592 /
+           |        CAST(s_present + (64 - n_present) * 8589934592 AS DOUBLE))
+           |        AS BIGINT) AS raw,
+           |      64 - n_present AS n_empty
+           |    FROM (SELECT node, count(*) AS n_present,
+           |        CAST(sum(CAST(power(2, 33 - m) AS BIGINT)) AS BIGINT)
+           |          AS s_present
+           |      FROM r$r GROUP BY 1)))""".stripMargin
+      val regRounds = (1 to hyperBallMaxRounds).map { r =>
+        s"""r$r AS MATERIALIZED (SELECT node, bucket, max(m) AS m FROM (
+           |    SELECT node, bucket, m FROM r${r - 1}
+           |    UNION ALL
+           |    SELECT ed.u AS node, p.bucket, p.m
+           |    FROM ed JOIN r${r - 1} p ON ed.v = p.node) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val estRounds = (0 to hyperBallMaxRounds).map(nodeEstCte).mkString(",\n")
+      val unions = (0 to hyperBallMaxRounds).map(r => s"SELECT * FROM er$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e2 AS (SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m FROM items a
+         |    JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+         |  WHERE m >= 2),
+         |ed AS MATERIALIZED (SELECT u, v FROM e2
+         |  UNION ALL SELECT v AS u, u AS v FROM e2),
+         |r0 AS MATERIALIZED (SELECT node,
+         |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT % 64
+         |      AS bucket,
+         |    CASE WHEN ('0x' || substr(md5(CAST(node AS VARCHAR)), 9, 8))::BIGINT = 0
+         |      THEN 33
+         |      ELSE 33 - length(bin(('0x' || substr(md5(CAST(node AS VARCHAR)), 9, 8))::BIGINT))
+         |      END AS m
+         |  FROM (SELECT DISTINCT u AS node FROM ed)),
+         |$regRounds,
+         |$estRounds,
+         |allr AS ($unions),
+         |del AS (SELECT node, round,
+         |    est - lag(est) OVER (PARTITION BY node ORDER BY round) AS delta
+         |  FROM allr),
+         |hc AS (SELECT node,
+         |    CAST(sum(delta * ($hbHarmonicLcm // round)) AS BIGINT) AS hc_num
+         |  FROM del WHERE round >= 1 GROUP BY node)
+         |SELECT h.node, h.hc_num, f.est AS ball_final
+         |FROM hc h JOIN er$hyperBallMaxRounds f ON h.node = f.node
+         |ORDER BY hc_num DESC, h.node LIMIT 10""".stripMargin
     },
     // the FULL graph's components recomputed FROM SCRATCH (8 unrolled
     // propagate + 2-jump super-rounds over both edge directions, ≥ 4^8

@@ -1194,6 +1194,53 @@ class AnalyticsSpec extends SparkSpec {
       s"estimate $nfFinal vs exact $exact (ratio $ratio)")
   }
 
+  test("q258 harmonic centrality fidelity: estimated ranking tracks exact per-node BFS harmonic centrality") {
+    import org.apache.spark.sql.functions._
+    // exact H(v) = Σ_u 1/d(v,u) by per-node BFS over the sf0.001
+    // adjacency (test-only collect: the fixture graph is tiny) — pins
+    // the ESTIMATOR, not just engine parity, same argument as the q253
+    // fidelity test. hc_num is lcm(1..24)-scaled, so exact comparison
+    // divides by the same constant.
+    val est = q("q258_harmonic_centrality").collect()
+    assert(est.length == 10)
+    val edges = spark.read.parquet(
+        operators.Graph.lpaEdgesDirForSpec(spark, sf))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue))
+    val adj = edges.groupBy(_._1).map { case (k, vs) =>
+      (k, vs.map(_._2).distinct) }
+    def exactH(src: Long): Double = {
+      var frontier = Set(src); var seen = Set(src)
+      var d = 0; var h = 0.0
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+          .diff(seen)
+        h += next.size.toDouble / d
+        seen ++= next; frontier = next
+      }
+      h
+    }
+    val exact = adj.keys.map(v => (v, exactH(v))).toVector
+      .sortBy { case (v, h) => (-h, v) }
+    val exactTop = exact.take(10).map(_._1).toSet
+    val overlap = est.map(_.getAs[Number](0).longValue)
+      .count(exactTop.contains)
+    // measured at sf0.001: overlap 10/10; pinned with slack for the
+    // m=64 sketch band
+    assert(overlap >= 6, s"estimated top-10 shares only $overlap with exact")
+    // every reported hc_num lands within the sketch error of its exact H
+    val exactByNode = exact.toMap
+    est.foreach { r =>
+      val node = r.getAs[Number](0).longValue
+      val hEst = r.getLong(1).toDouble / operators.Graph.hbHarmonicLcm
+      val hTrue = exactByNode(node)
+      val ratio = hEst / hTrue
+      assert(ratio > 0.6 && ratio < 1.4,
+        s"node $node: estimated H $hEst vs exact $hTrue (ratio $ratio)")
+    }
+  }
+
   test("q255 incremental CC: a planted delta basket BRIDGES two base components; a delta-only node attaches") {
     import spark.implicits._
     // base: orders 1,2 build edge (1,2); orders 4,5 build edge (5,6);

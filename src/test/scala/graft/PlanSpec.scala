@@ -309,6 +309,13 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 1, p)
   }
 
+  test("q258 harmonic centrality: top-10 plans as TakeOrderedAndProject; no cartesians over the staged register rounds") {
+    val p = plan("q258_harmonic_centrality")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q235 delta dedup: only the broadcast pivot assignment nest-loops; the cell join is equi") {
     val p = plan("q235_delta_semdedup")
     assert(!p.contains("CartesianProduct"), p)
