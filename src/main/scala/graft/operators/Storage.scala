@@ -846,6 +846,68 @@ object Storage extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** q260 — CLUSTERING-DEPTH layout audit: the metric Delta/Iceberg
+    * OPTIMIZE decides with — how much do the per-partition min/max spans
+    * of a layout's clustering column OVERLAP? Two physical layouts of
+    * orders are written side by side (real partitioned parquet, read
+    * back through the partition column): `clustered` buckets by
+    * equi-width date quantization (q116's div-arithmetic quantizer — no
+    * repartitionByRange, whose sampled boundaries an oracle can't
+    * replay) and `hashed` buckets by o_orderkey % 8, the
+    * worst-case-for-pruning layout every ingest-order table degrades
+    * toward. Per layout, from the partition-level stats manifest (one
+    * row per bucket — metadata-sized, exactly Iceberg's partition
+    * bounds): overlap_pairs (span-intersecting pairs, the self-join is
+    * O(F²) on FILE COUNT, never data), max_depth (max stabbing count at
+    * a span's left endpoint — for closed intervals the max overlap is
+    * attained at some lo), and sum_span_days (Σ per-bucket span — the
+    * expected files-touched proxy: a clustered layout sums to ≈ the
+    * domain, a hashed one to ≈ F × domain). Everything is exact integer
+    * day arithmetic from one broadcast min/max extent; a planner
+    * choosing which table copy to scan reads these 2 rows, not the
+    * table.
+    */
+  val clusteringDepth: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
+    val ext = o.agg(min("dt").as("dmin"), max("dt").as("dmax"))
+    val w = o.crossJoin(broadcast(ext))
+      .withColumn("day", datediff(col("dt"), col("dmin")))
+      .withColumn("span", datediff(col("dmax"), col("dmin")) + lit(1))
+    val root = graft.Scratch.dir("graft_depth")
+    w.withColumn("bkt", expr("CAST((day * 8) div span AS INT)"))
+      .select("o_orderkey", "day", "bkt")
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$root/clustered")
+    w.withColumn("bkt", expr("CAST(o_orderkey % 8 AS INT)"))
+      .select("o_orderkey", "day", "bkt")
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$root/hashed")
+    def manifest(name: String) = s.read.parquet(s"$root/$name")
+      .groupBy(col("bkt").cast("int").as("bkt"))
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .withColumn("layout", lit(name))
+    val st = manifest("clustered").unionByName(manifest("hashed"))
+    val a = st.select(col("layout"), col("bkt"), col("lo"), col("hi"))
+    val b = st.select(col("layout").as("layout2"), col("bkt").as("bkt2"),
+      col("lo").as("lo2"), col("hi").as("hi2"))
+    val pairs = a.join(b, col("layout") === col("layout2") &&
+        col("bkt") < col("bkt2") &&
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      .groupBy("layout").agg(count(lit(1)).as("overlap_pairs"))
+    val depth = a.join(b, col("layout") === col("layout2") &&
+        col("lo2") <= col("lo") && col("lo") <= col("hi2"))
+      .groupBy("layout", "bkt").agg(count(lit(1)).as("dpt"))
+      .groupBy("layout").agg(max("dpt").as("max_depth"))
+    val spans = st.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("hi") - col("lo") + lit(1)).as("sum_span_days"))
+    spans.join(depth, Seq("layout"))
+      .join(pairs, Seq("layout"), "left")
+      .select(col("layout"), col("n_files"),
+        coalesce(col("overlap_pairs"), lit(0L)).as("overlap_pairs"),
+        col("max_depth"), col("sum_span_days"))
+      .orderBy("layout")
+  }
+
   /** q108 — incremental aggregate maintenance via mergeable partial state:
     * the materialized-view pattern every warehouse runs at 100 TB. A
     * pre-aggregated BASE (history before the cutoff) and a DELTA batch
@@ -955,6 +1017,7 @@ object Storage extends QueryModule {
     "q108_merge_agg" -> mergeAgg,
     "q97_sorted_layout" -> sortedLayout,
     "q116_zorder_layout" -> zorderLayout,
+    "q260_clustering_depth" -> clusteringDepth,
     "q98_xml_roundtrip" -> xmlRoundtrip,
     "q66_bucketed_join" -> bucketedJoin,
     "q67_partition_prune" -> partitionPrune,
@@ -1034,6 +1097,45 @@ object Storage extends QueryModule {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 5 AND 15
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the bucket assignment is pure div/mod arithmetic, so the oracle
+    // recomputes the partition-level manifest and its overlap audit
+    // exactly — the metric itself is checked, not just a query through it
+    "q260_clustering_depth" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt
+        |  FROM orders),
+        |ext AS (SELECT min(dt) AS dmin, max(dt) AS dmax FROM o),
+        |w AS (SELECT o_orderkey,
+        |    datediff('day', dmin, dt) AS day,
+        |    datediff('day', dmin, dmax) + 1 AS span
+        |  FROM o, ext),
+        |st AS (
+        |  SELECT 'clustered' AS layout,
+        |      CAST((day * 8) // span AS INT) AS bkt,
+        |      min(day) AS lo, max(day) AS hi
+        |    FROM w GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'hashed', CAST(o_orderkey % 8 AS INT),
+        |      min(day), max(day)
+        |    FROM w GROUP BY 1, 2),
+        |pairs AS (SELECT a.layout, count(*) AS overlap_pairs
+        |  FROM st a JOIN st b ON a.layout = b.layout AND a.bkt < b.bkt
+        |    AND a.lo <= b.hi AND b.lo <= a.hi
+        |  GROUP BY 1),
+        |dep AS (SELECT a.layout, a.bkt, count(*) AS dpt
+        |  FROM st a JOIN st b ON a.layout = b.layout
+        |    AND b.lo <= a.lo AND a.lo <= b.hi
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT layout, CAST(max(dpt) AS BIGINT) AS max_depth
+        |  FROM dep GROUP BY 1),
+        |sp AS (SELECT layout, count(*) AS n_files,
+        |    CAST(sum(hi - lo + 1) AS BIGINT) AS sum_span_days
+        |  FROM st GROUP BY 1)
+        |SELECT sp.layout, sp.n_files,
+        |  CAST(coalesce(pairs.overlap_pairs, 0) AS BIGINT) AS overlap_pairs,
+        |  mx.max_depth, sp.sum_span_days
+        |FROM sp JOIN mx ON sp.layout = mx.layout
+        |  LEFT JOIN pairs ON pairs.layout = sp.layout
+        |ORDER BY sp.layout""".stripMargin,
     // the range-clustered copy must aggregate identically to the plain table
     "q97_sorted_layout" ->
       """SELECT l_returnflag, count(*) AS n,

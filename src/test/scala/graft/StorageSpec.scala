@@ -36,6 +36,23 @@ class StorageSpec extends SparkSpec {
       s"zone map must SKIP files on a narrow probe ($kept of $total read)")
   }
 
+  test("q260 clustering depth: the clustered layout separates cleanly from the hashed one on every metric") {
+    val rows = q("q260_clustering_depth").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (c, h) = (rows("clustered"), rows("hashed"))
+    assert(c.getLong(1) === 8L && h.getLong(1) === 8L, rows.toString)
+    // equi-width date buckets: spans tile the domain — zero overlapping
+    // pairs, depth 1; the hash layout is the degenerate opposite: every
+    // bucket spans (nearly) the whole domain, all pairs overlap, full
+    // stabbing depth
+    assert(c.getLong(2) === 0L, s"clustered overlap_pairs: $c")
+    assert(c.getLong(3) === 1L, s"clustered max_depth: $c")
+    assert(h.getLong(2) === 28L, s"hashed overlap_pairs: $h")
+    assert(h.getLong(3) === 8L, s"hashed max_depth: $h")
+    assert(c.getLong(4) < h.getLong(4),
+      s"clustered sum_span must undercut hashed: $c vs $h")
+  }
+
   test("q157 bloom skip: candidate files cover every true file and still prune") {
     val (out, allFiles, candFiles, trueFiles) =
       graft.operators.Storage.bloomSkipRun(spark, sf)
