@@ -65,6 +65,66 @@ object Graph extends QueryModule {
     ranks.orderBy(col("pr").desc, col("node")).limit(10)
   }
 
+  /** q261 — PERSONALIZED PageRank on the bidirectional order↔part
+    * purchase graph, seeded at one nation's orders: the Pixie-style
+    * bipartite random walk with restart that powers "relevant items for
+    * THIS cohort" serving (teleport mass returns only to the seed set, so
+    * rank localizes around the seeds' purchase neighborhood instead of
+    * measuring global importance — q106 answers "what matters overall",
+    * this answers "what matters to nation-3 buyers"). Same shuffle-only
+    * mechanics and fixed-point integer arithmetic as q106 (one keyed
+    * equi-join + one hash aggregate per round, exact `div`, no floats),
+    * with two deltas: edges are DOUBLED into both directions (the walk
+    * must come back order→part→order to find sibling orders — on the
+    * one-way bipartite DAG all mass would dangle at parts after round 1),
+    * and the teleport CASE keys on an `is_seed` flag carried ON the
+    * staged node table, so the restart costs nothing per round. Seeds
+    * start with all the mass (r0 = initRank on seeds, 0 elsewhere).
+    * Emits the top-10 PART-side nodes (parts are never seeds — the read
+    * is pure recommendation), TakeOrderedAndProject O(k).
+    */
+  val pprSeedNation = 3
+  val personalizedPageRank: Q = (s, d) => {
+    val raw = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("src"),
+        (col("l_partkey") + lit(partOffset)).as("dst"))
+      .distinct()
+    val bi = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val withDeg = bi.join(
+      bi.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+    val tmp = graft.Scratch.dir("graft_ppr_edges")
+    withDeg.write.mode("overwrite").parquet(tmp)
+    val edges = s.read.parquet(tmp)
+    val seeds = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_nationkey") === pprSeedNation)
+          .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("node")).distinct()
+    val nodes = bi.select(col("src").as("node")).distinct()
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+    val tmpN = graft.Scratch.dir("graft_ppr_nodes")
+    nodes.write.mode("overwrite").parquet(tmpN)
+    val stagedNodes = s.read.parquet(tmpN)
+
+    var ranks = stagedNodes.select(col("node"),
+      (col("is_seed").cast("long") * lit(initRank)).as("pr"))
+    for (_ <- 1 to iters) {
+      val inbound = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("pr div out_deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = stagedNodes.join(inbound, stagedNodes("node") === inbound("dst"), "left")
+        .select(stagedNodes("node"),
+          expr("""CAST(is_seed * 150000
+                + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100 AS BIGINT)""")
+            .as("pr"))
+    }
+    ranks.filter(col("node") > partOffset)
+      .select((col("node") - partOffset).as("part"), col("pr"))
+      .orderBy(col("pr").desc, col("part")).limit(10)
+  }
+
   /** q138 — TRIANGLE COUNT + global clustering coefficient over the
     * part-co-purchase graph (parts linked when they appear in the same
     * order — the market-basket graph; ~1.2M canonical edges at sf0.1).
@@ -1340,7 +1400,8 @@ object Graph extends QueryModule {
     "q252_kcore_converged" -> kcoreConverged,
     "q253_hyperball" -> hyperBall,
     "q255_incremental_cc" -> incrementalCc,
-    "q258_harmonic_centrality" -> harmonicCentrality)
+    "q258_harmonic_centrality" -> harmonicCentrality,
+    "q261_personalized_pagerank" -> personalizedPageRank)
 
   def oracles: Map[String, String] = Map(
     // the FIXPOINT recomputed by a fixed, generous unroll of the
@@ -1983,5 +2044,40 @@ object Graph extends QueryModule {
          |r0 AS (SELECT node, CAST($initRank AS BIGINT) AS pr FROM nodes),
          |$iterCtes
          |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT 10""".stripMargin
+    },
+    // the identical 3-round unroll with doubled edges and the teleport
+    // CASE keyed on the seed flag — exact integer `//` arithmetic both
+    // sides, so the hash match covers every intermediate round
+    "q261_personalized_pagerank" -> {
+      val iterCtes = (1 to iters).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  CAST(n.is_seed * 150000
+           |    + (85 * COALESCE(i.m, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, SUM(r.pr // e.out_deg) AS m
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1) i
+           |  ON n.node = i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw0 AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey + $partOffset AS dst
+         |  FROM lineitem),
+         |bi AS (SELECT src, dst FROM raw0
+         |  UNION ALL SELECT dst, src FROM raw0),
+         |deg AS (SELECT src, count(*) AS out_deg FROM bi GROUP BY 1),
+         |edges AS (SELECT e.src, e.dst, d.out_deg
+         |  FROM bi e JOIN deg d ON e.src = d.src),
+         |seeds AS (SELECT DISTINCT o_orderkey AS node
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_nationkey = $pprSeedNation),
+         |nodes AS (SELECT b.node,
+         |    CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |  FROM (SELECT DISTINCT src AS node FROM bi) b
+         |  LEFT JOIN seeds s ON b.node = s.node),
+         |r0 AS (SELECT node, CAST(is_seed * $initRank AS BIGINT) AS pr
+         |  FROM nodes),
+         |$iterCtes
+         |SELECT node - $partOffset AS part, pr FROM r$iters
+         |WHERE node > $partOffset
+         |ORDER BY pr DESC, part LIMIT 10""".stripMargin
     })
 }

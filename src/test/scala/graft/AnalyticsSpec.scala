@@ -1264,4 +1264,31 @@ class AnalyticsSpec extends SparkSpec {
       (8L, 3L, 8L, 28L)),  // attached: 8+9+11
       rows.mkString(","))
   }
+
+  test("q261 personalized PageRank: rank localizes on the seed neighborhood") {
+    val rows = q("q261_personalized_pagerank").collect()
+    assert(rows.length == 10)
+    val prs = rows.map(_.getLong(1))
+    assert(prs.sameElements(prs.sortBy(-_)), prs.mkString(","))
+    // parts are never seeds, so every unit of rank they hold walked there
+    assert(prs.forall(_ > 0L), prs.mkString(","))
+    // localization: all top-10 parts sit DIRECTLY in the seed nation's
+    // baskets (two-hop mass pays 0.85^2 attenuation plus two degree
+    // divisions — it never outruns a direct seed purchase; verified to
+    // hold at sf0.001/0.01/0.1 before pinning)
+    val seedParts = {
+      val seeds = graft.sources.Tables.orders(spark, sf)
+        .join(graft.sources.Tables.customer(spark, sf)
+            .filter(col("c_nationkey") === graft.operators.Graph.pprSeedNation)
+            .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      graft.sources.Tables.lineitem(spark, sf)
+        .join(seeds, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(rows.forall(r => seedParts.contains(r.getLong(0))),
+      rows.map(_.getLong(0)).filterNot(seedParts.contains).mkString(","))
+  }
 }

@@ -229,6 +229,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q261 personalized PageRank keeps q106's shape: equi-joins only, O(k) top-10") {
+    val p = plan("q261_personalized_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q109 SCD2 runs both windows on ONE shuffle — same partitioning, no join") {
     val p = plan("q109_scd2")
     assert(!p.contains("Join"), p)
