@@ -125,6 +125,52 @@ object Graph extends QueryModule {
       .orderBy(col("pr").desc, col("part")).limit(10)
   }
 
+  /** q262 — HITS hubs & authorities (Kleinberg) on the order→part
+    * purchase graph: the OTHER eigenvector ranking — PageRank asks
+    * "where does a random walk settle", HITS asks the mutually-recursive
+    * pair "which parts do the best-curating orders buy (authority), and
+    * which orders buy the best parts (hub)" — the source-vs-content split
+    * a crawl/curation pipeline scores with. Three rounds of the power
+    * iteration, each = TWO keyed equi-join + hash-aggregate passes over
+    * the staged edge list (a ← Σ h over in-edges, h ← Σ a over
+    * out-edges). Unnormalized HITS grows geometrically (degree^round) and
+    * would overflow BIGINT on a high-degree graph, so each half-round
+    * renormalizes to ≤ ~1e6 fixed-point by the round's max — computed as
+    * a 1-row broadcast (no driver sync) and applied PRODUCT-FREE
+    * (`x div (xmax div 1e6)`, never `x * 1e6 div xmax`, whose product
+    * term overflows once Σ-scores pass 9e12): every intermediate stays
+    * under ~1e16 at ANY degree distribution. All arithmetic exact
+    * integer `div`, mirrored `//` in the oracle, so the hash match
+    * covers all six half-rounds. Top-10 per side via
+    * TakeOrderedAndProject, O(k) output.
+    */
+  val hits: Q = (s, d) => {
+    val raw = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val tmp = graft.Scratch.dir("graft_hits_edges")
+    raw.write.mode("overwrite").parquet(tmp)
+    val edges = s.read.parquet(tmp)
+    var hub = edges.select(col("o")).distinct()
+      .select(col("o"), lit(initRank).as("h"))
+    var auth: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = edges.join(hub, "o").groupBy("p").agg(sum("h").as("ar"))
+      auth = ar.crossJoin(broadcast(ar.agg(max("ar").as("amax"))))
+        .select(col("p"), expr(s"ar div (amax div $initRank)").as("a"))
+      val hr = edges.join(auth, "p").groupBy("o").agg(sum("a").as("hr"))
+      hub = hr.crossJoin(broadcast(hr.agg(max("hr").as("hmax"))))
+        .select(col("o"), expr(s"hr div (hmax div $initRank)").as("h"))
+    }
+    auth.orderBy(col("a").desc, col("p")).limit(10)
+      .select(lit("authority").as("kind"), col("p").as("node"),
+        col("a").as("score"))
+      .unionByName(hub.orderBy(col("h").desc, col("o")).limit(10)
+        .select(lit("hub").as("kind"), col("o").as("node"),
+          col("h").as("score")))
+      .orderBy(col("kind"), col("score").desc, col("node"))
+  }
+
   /** q138 — TRIANGLE COUNT + global clustering coefficient over the
     * part-co-purchase graph (parts linked when they appear in the same
     * order — the market-basket graph; ~1.2M canonical edges at sf0.1).
@@ -1401,7 +1447,8 @@ object Graph extends QueryModule {
     "q253_hyperball" -> hyperBall,
     "q255_incremental_cc" -> incrementalCc,
     "q258_harmonic_centrality" -> harmonicCentrality,
-    "q261_personalized_pagerank" -> personalizedPageRank)
+    "q261_personalized_pagerank" -> personalizedPageRank,
+    "q262_hits" -> hits)
 
   def oracles: Map[String, String] = Map(
     // the FIXPOINT recomputed by a fixed, generous unroll of the
@@ -2079,5 +2126,35 @@ object Graph extends QueryModule {
          |SELECT node - $partOffset AS part, pr FROM r$iters
          |WHERE node > $partOffset
          |ORDER BY pr DESC, part LIMIT 10""".stripMargin
+    },
+    // the identical six half-rounds with the product-free per-round
+    // renormalization (`// (max // 1e6)`) — every intermediate exact
+    // integer, so the hash match covers the full power iteration
+    "q262_hits" -> {
+      val roundCtes = (1 to iters).map { i =>
+        s"""ar$i AS (SELECT e.p, SUM(h.h) AS ar
+           |  FROM edges e JOIN h${i - 1} h ON e.o = h.o GROUP BY 1),
+           |a$i AS (SELECT p,
+           |  CAST(ar // ((SELECT max(ar) FROM ar$i) // $initRank) AS BIGINT) AS a
+           |  FROM ar$i),
+           |hr$i AS (SELECT e.o, SUM(a.a) AS hr
+           |  FROM edges e JOIN a$i a ON e.p = a.p GROUP BY 1),
+           |h$i AS (SELECT o,
+           |  CAST(hr // ((SELECT max(hr) FROM hr$i) // $initRank) AS BIGINT) AS h
+           |  FROM hr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |h0 AS (SELECT DISTINCT o, CAST($initRank AS BIGINT) AS h
+         |  FROM edges),
+         |$roundCtes
+         |SELECT kind, node, score FROM (
+         |  SELECT 'authority' AS kind, p AS node, a AS score
+         |  FROM a$iters ORDER BY a DESC, p LIMIT 10)
+         |UNION ALL
+         |SELECT kind, node, score FROM (
+         |  SELECT 'hub' AS kind, o AS node, h AS score
+         |  FROM h$iters ORDER BY h DESC, o LIMIT 10)
+         |ORDER BY kind, score DESC, node""".stripMargin
     })
 }

@@ -1291,4 +1291,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => seedParts.contains(r.getLong(0))),
       rows.map(_.getLong(0)).filterNot(seedParts.contains).mkString(","))
   }
+
+  test("q262 HITS: both sides top-10, renormalized argmax pinned to the fixed-point window") {
+    val rows = q("q262_hits").collect()
+    val (auths, hubs) = rows.partition(_.getString(0) == "authority")
+    assert(auths.length == 10 && hubs.length == 10, rows.length.toString)
+    for (side <- Seq(auths, hubs)) {
+      val scores = side.map(_.getLong(2))
+      assert(scores.sameElements(scores.sortBy(-_)), scores.mkString(","))
+      assert(scores.forall(_ > 0L), scores.mkString(","))
+      // the argmax node renormalizes to [1e6, 2e6): floor(max/(floor(max/1e6)))
+      assert(scores.head >= 1000000L && scores.head < 2000000L, scores.head.toString)
+    }
+  }
 }

@@ -236,6 +236,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q262 HITS: score joins keyed, renorm scalars broadcast, O(k) tops") {
+    val p = plan("q262_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins allowed are the 1-row renorm broadcasts
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q109 SCD2 runs both windows on ONE shuffle — same partitioning, no join") {
     val p = plan("q109_scd2")
     assert(!p.contains("Join"), p)
