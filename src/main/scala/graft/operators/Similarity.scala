@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule}
 import graft.functions.Vectors._
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1008,8 +1009,91 @@ object Similarity extends QueryModule {
       .orderBy("label", "dim")
   }
 
+  /** q263 selection budget: 8 centers — the classic "pick k diverse
+    * exemplars" coreset size; the round count, not the corpus, bounds
+    * every driver sync below. */
+  private[graft] val kcenterK = 8
+
+  /** q263 — GREEDY k-CENTER CORESET (farthest-first traversal,
+    * Gonzalez): select k maximally-diverse exemplar embeddings — the
+    * diversity-aware subset selection a training pipeline runs to pick
+    * representative documents for eval sets, annotation budgets, or
+    * seed corpora (2-approximation of the optimal k-center cover).
+    * Deterministic start (max squared norm, min vec_id tiebreak), then
+    * k−1 rounds of "pick the point farthest from everything chosen".
+    *
+    * Spark-first mechanics: embeddings micro-integerize ONCE (q153's ppm
+    * pattern — dist² is then an exact BIGINT `zip_with`+`aggregate`, no
+    * float summation order anywhere) and stage to parquet; the running
+    * min-dist table (vec_id, d) RE-STAGES each round — so every round is
+    * one vec_id-keyed equi-join of the two staged narrow tables + one
+    * `least(d, dist²-to-new-center)` projection against a center LITERAL
+    * baked into the expression (64 longs — the center travels in the
+    * plan, not a shuffle), plus one 1-row argmax collect (q247's
+    * bounded-sync discipline: k=8 rounds, never corpus-sized). Total
+    * cost: O(k) scans of an (id, 64-int) table —
+    * at 100 TB the table is the embedding column, each scan
+    * embarrassingly parallel, and the O(n·k) arithmetic all map-side.
+    * Output: the k centers in selection order with the selection-time
+    * radius² (monotone non-increasing — the in-band certificate), plus
+    * a final row with the covering radius² after all k (the k-center
+    * objective value).
+    */
+  /** One k-center round's min-dist relaxation: a vec_id-keyed equi-join
+    * of the two staged narrow tables, the new center a 64-long literal
+    * inside the projection. PlanSpec pins this shape (equi-join only,
+    * never a nested-loop) — the one plan that runs k−1 times per build. */
+  private[graft] def kcenterRoundUpdate(vecs: DataFrame, mind: DataFrame,
+      center: Seq[Long]): DataFrame =
+    vecs.join(mind, "vec_id")
+      .select(col("vec_id"),
+        least(col("d"), kcenterDistExpr(center)).as("d"))
+
+  /** Exact integer squared distance from `qv` to a literal center. */
+  private def kcenterDistExpr(c: Seq[Long]) =
+    expr(s"aggregate(zip_with(qv, array(${c.mkString("L,")}L), (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  val kcenterCoreset: Q = (s, d) => {
+    import s.implicits._
+    val tmp = graft.Scratch.dir("graft_kcenter_vecs")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv"))
+      .write.mode("overwrite").parquet(tmp)
+    val vecs = s.read.parquet(tmp)
+    val seed = vecs
+      .select(col("vec_id"), col("qv"),
+        expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("sq"))
+      .orderBy(col("sq").desc, col("vec_id")).limit(1)
+      .select("vec_id", "qv").collect()(0)
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1), -1L))
+    var mindDir = graft.Scratch.dir("graft_kcenter_d0")
+    vecs.select(col("vec_id"), kcenterDistExpr(chosen.head._2).as("d"))
+      .write.mode("overwrite").parquet(mindDir)
+    for (r <- 1 until kcenterK) {
+      val mind = s.read.parquet(mindDir)
+      val pick = mind
+        .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .orderBy(col("d").desc, col("vec_id")).limit(1)
+        .join(vecs, "vec_id").select("vec_id", "d", "qv").collect()
+      require(pick.nonEmpty, s"k-center round $r: corpus exhausted below k=$kcenterK")
+      chosen = chosen :+ ((pick(0).getLong(0), pick(0).getSeq[Long](2), pick(0).getLong(1)))
+      val next = graft.Scratch.dir(s"graft_kcenter_d$r")
+      kcenterRoundUpdate(vecs, mind, chosen.last._2)
+        .write.mode("overwrite").parquet(next)
+      mindDir = next
+    }
+    val covering = s.read.parquet(mindDir).agg(max("d")).collect()(0).getLong(0)
+    (chosen.zipWithIndex.map { case ((id, _, rad), i) => (i.toLong, id, rad) } :+
+      ((kcenterK.toLong, -1L, covering)))
+      .toDF("sel_round", "vec_id", "radius2")
+      .orderBy("sel_round")
+  }
+
   def queries: Map[String, Q] = Map(
     "q153_label_centroids" -> labelCentroids,
+    "q263_kcenter_coreset" -> kcenterCoreset,
     "q101_semantic_dedup" -> semanticDedup,
     "q96_pq_codes" -> pqCodes,
     "q95_random_projection" -> randomProjection,
@@ -1038,6 +1122,46 @@ object Similarity extends QueryModule {
   private val duckBucket = duckBandBucket(0)
 
   def oracles: Map[String, String] = restOracles ++ Map(
+    // the identical farthest-first unroll: k−1 argmax CTEs chained by
+    // scalar subqueries (the q247 oracle discipline), dist² in exact
+    // ppm-integer arithmetic, radius trajectory and final covering
+    // radius both re-derived — the hash match certifies every round
+    "q263_kcenter_coreset" -> {
+      def exclusion(n: Int) =
+        (0 until n).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+      val rounds = (1 until kcenterK).map { r =>
+        s"""c$r AS MATERIALIZED (SELECT vec_id, d FROM d${r - 1}
+           |  WHERE vec_id NOT IN (${exclusion(r)})
+           |  ORDER BY d DESC, vec_id LIMIT 1),
+           |d$r AS MATERIALIZED (SELECT p.vec_id, CAST(LEAST(p.d, nd.d) AS BIGINT) AS d
+           |  FROM d${r - 1} p JOIN (
+           |    SELECT a.vec_id, SUM((a.q - b.q) * (a.q - b.q)) AS d
+           |    FROM e a JOIN e b ON a.dim = b.dim
+           |      AND b.vec_id = (SELECT vec_id FROM c$r)
+           |    GROUP BY 1) nd ON p.vec_id = nd.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 until kcenterK).map { r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), (SELECT vec_id FROM c$r), (SELECT CAST(d AS BIGINT) FROM c$r)"
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings),
+         |sq AS (SELECT vec_id, sum(q * q) AS sq FROM e GROUP BY 1),
+         |c0 AS MATERIALIZED (SELECT vec_id FROM sq ORDER BY sq DESC, vec_id LIMIT 1),
+         |d0 AS MATERIALIZED (SELECT a.vec_id,
+         |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+         |  FROM e a JOIN e b ON a.dim = b.dim
+         |    AND b.vec_id = (SELECT vec_id FROM c0)
+         |  GROUP BY 1),
+         |$rounds
+         |SELECT CAST(0 AS BIGINT) AS sel_round,
+         |  (SELECT vec_id FROM c0) AS vec_id, CAST(-1 AS BIGINT) AS radius2
+         |$sel
+         |UNION ALL SELECT CAST($kcenterK AS BIGINT), CAST(-1 AS BIGINT),
+         |  (SELECT CAST(max(d) AS BIGINT) FROM d${kcenterK - 1})
+         |ORDER BY sel_round""".stripMargin
+    },
     // q101's identical cell-blocked edge set; the fixpoint recomputed by
     // recursive label reachability — any label the iterative loop leaves
     // un-propagated mismatches the closure

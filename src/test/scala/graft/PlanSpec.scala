@@ -323,6 +323,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 1, p)
   }
 
+  test("q263 k-center round update: vec_id equi-join; the new center is a plan literal, never a join side") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(0L, 1L)), (2L, Seq(2L, 3L))).toDF("vec_id", "qv")
+    val mind = Seq((1L, 5L), (2L, 7L)).toDF("vec_id", "d")
+    val p = operators.Similarity.kcenterRoundUpdate(vecs, mind, Seq(1L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q258 harmonic centrality: top-10 plans as TakeOrderedAndProject; no cartesians over the staged register rounds") {
     val p = plan("q258_harmonic_centrality")
     assert(p.contains("TakeOrderedAndProject"), p)

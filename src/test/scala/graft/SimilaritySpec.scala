@@ -251,6 +251,26 @@ class SimilaritySpec extends SparkSpec {
       s"graph-ANN recall $recall must be >= IVF recall $ivf at equal budget")
   }
 
+  test("q263 k-center coreset: k distinct centers, monotone non-increasing radius, covering radius bounded") {
+    val k = graft.operators.Similarity.kcenterK
+    val rows = q("q263_kcenter_coreset").collect().sortBy(_.getLong(0))
+    assert(rows.length === k + 1, "k selections plus the covering-radius row")
+    val sel = rows.filter(_.getLong(0) < k)
+    assert(sel.map(_.getLong(1)).distinct.length === k, "centers never repeat")
+    assert(sel.head.getLong(2) === -1L, "the seed has no selection radius")
+    // farthest-first theorems, not tuning: each pick's selection-time
+    // radius² can only shrink (min-dists relax pointwise, the candidate
+    // set shrinks), and the final covering radius is bounded by the last
+    // selection radius (the kth center only relaxes further)
+    val radii = sel.tail.map(_.getLong(2))
+    radii.foreach(r => assert(r >= 0L))
+    radii.sliding(2).foreach { w => assert(w(1) <= w(0), radii.mkString(",")) }
+    val covering = rows.last
+    assert(covering.getLong(0) === k.toLong && covering.getLong(1) === -1L)
+    assert(covering.getLong(2) <= radii.last,
+      "covering radius after all k centers exceeds the last selection radius")
+  }
+
   test("q101 semantic dedup: total verdict cover, min-id reps, cell minima kept") {
     val rows = q("q101_semantic_dedup").collect()
     val n = graft.sources.Tables.embeddings(spark, sf).count()
