@@ -193,30 +193,49 @@ object Graph extends QueryModule {
     * the two formulations is itself part of the check. cc_ppm =
     * (3·T·10⁶) div wedges, exact integer arithmetic in both engines.
     */
+  /** q138/q265 shared artifacts — (canonical co-purchase edge dir,
+    * degree-ORIENTED edge dir) — staged once per input dir per JVM (the
+    * hyperBallArtifacts memo contract): the global transitivity (q138)
+    * and the per-node coefficients (q265) are two reads of the SAME
+    * oriented adjacency, so the O(m)-wide joins run once. Staged because
+    * each leaf is scanned repeatedly (orientation, adjacency build,
+    * closure probe) — the PR edge-list lineage discipline. */
+  private val triCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def triArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    triCache.computeIfAbsent(d, _ => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val rawEdges = items.alias("a").join(items.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val tmpE = graft.Scratch.dir("graft_tri_edges")
+      rawEdges.write.mode("overwrite").parquet(tmpE)
+      val edges = s.read.parquet(tmpE)
+      val deg = edges.select(col("u").as("x"))
+        .union(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val dir = edges
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+      val tmpD = graft.Scratch.dir("graft_tri_dir")
+      dir.write.mode("overwrite").parquet(tmpD)
+      (tmpE, tmpD)
+    })
+
   val triangleCount: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val rawEdges = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    // staged: the canonical edge list is scanned three times (orientation,
-    // closure probe, count) — same lineage discipline as the PR edge list
-    val tmpE = graft.Scratch.dir("graft_tri_edges")
-    rawEdges.write.mode("overwrite").parquet(tmpE)
-    val edges = s.read.parquet(tmpE)
+    val (edgeDir, orientedDir) = triArtifacts(s, d)
+    val edges = s.read.parquet(edgeDir)
     val deg = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("dg"))
-    val lowFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val dir = edges
-      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
-      .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
-        when(lowFirst, col("v")).otherwise(col("u")).as("t"))
-    val tmpD = graft.Scratch.dir("graft_tri_dir")
-    dir.write.mode("overwrite").parquet(tmpD)
-    val staged = s.read.parquet(tmpD)
+    val staged = s.read.parquet(orientedDir)
     // adjacency-intersection form: T = Σ over oriented edges (u→v) of
     // |N⁺(u) ∩ N⁺(v)| — the orientation is acyclic, so triangle a→b→c is
     // counted exactly once, at edge (a→b) with c in both out-lists. One
@@ -241,6 +260,65 @@ object Graph extends QueryModule {
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         expr("(3 * n_triangles * 1000000) div n_wedges").as("cc_ppm"))
+  }
+
+  /** q265 — PER-NODE LOCAL CLUSTERING COEFFICIENT over the same
+    * co-purchase graph: q138 answers "how clustered is the graph"
+    * (global transitivity); this answers "how clustered is each node's
+    * neighborhood" — lcc(x) = 2·tri(x)/(deg(x)·(deg(x)−1)), the
+    * Watts–Strogatz statistic a curation pipeline reads to separate
+    * community members (high lcc) from bridge/spam hubs (high degree,
+    * low lcc). Reuses [[triArtifacts]]' staged oriented adjacency: the
+    * triangle ENUMERATION is the same degree-bounded intersection walk
+    * as q138, except the common neighbors are kept as elements
+    * (`array_intersect` + explode — output-linear in triangles, the
+    * irreducible price of per-node attribution) and each triangle
+    * credits all three corners via one posexplode-free `explode(array)`.
+    * Everything after is hash aggregates and exact BIGINT arithmetic
+    * (2·tri·10⁶ stays < 2⁶² while tri ≤ deg²/2 and deg < 2²⁰ — far past
+    * any co-purchase hub). Output: the top-10 highest-degree hubs with
+    * their lcc (the hub-vs-community read), then a summary row
+    * (node = −1) carrying the deg≥2 node count, the total triangle count
+    * (Σ credits div 3 — which must equal q138's n_triangles, a built-in
+    * cross-operator identity), and the AVERAGE lcc in ppm.
+    */
+  val localClustering: Q = (s, d) => {
+    val (edgeDir, orientedDir) = triArtifacts(s, d)
+    val edges = s.read.parquet(edgeDir)
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val staged = s.read.parquet(orientedDir)
+    val adj = staged.groupBy("s").agg(sort_array(collect_list("t")).as("nbrs"))
+    val triples = staged
+      .join(adj.select(col("s").as("ju"), col("nbrs").as("nu")),
+        col("s") === col("ju"))
+      .join(adj.select(col("s").as("jv"), col("nbrs").as("nv")),
+        col("t") === col("jv")) // inner: sink vertices close no triangle
+      .select(col("s").as("a"), col("t").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
+    val credits = triples
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("tri"))
+    val lcc = deg.join(credits, Seq("x"), "left")
+      .select(col("x").cast("long").as("node"), col("dg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_ppm", expr(
+        """CASE WHEN degree >= 2
+          |  THEN (2 * n_triangles * 1000000) div (degree * (degree - 1))
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    val top = lcc.orderBy(col("degree").desc, col("node")).limit(10)
+      .withColumn("rk", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("degree").desc, col("node"))) - 1).cast("int"))
+      .select("rk", "node", "degree", "n_triangles", "lcc_ppm")
+    val summary = lcc.filter(col("degree") >= 2)
+      .agg(count(lit(1)).as("n2"), sum("n_triangles").as("cr"),
+        sum("lcc_ppm").as("lp"))
+      .select(lit(10).as("rk"), lit(-1L).as("node"), col("n2").as("degree"),
+        expr("cr div 3").as("n_triangles"),
+        expr("lp div n2").as("lcc_ppm"))
+    top.unionByName(summary).orderBy("rk")
   }
 
   /** k-core threshold and peel-round bound (q148). */
@@ -1431,6 +1509,7 @@ object Graph extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
+    "q265_local_clustering" -> localClustering,
     "q148_kcore_peel" -> kcorePeel,
     "q155_label_propagation" -> labelPropagation,
     "q202_modularity" -> modularity,
@@ -2071,6 +2150,41 @@ object Graph extends QueryModule {
         |SELECT a.n_vertices, ne.n_edges, a.n_wedges, t.n_triangles,
         |  (3 * t.n_triangles * 1000000) // a.n_wedges AS cc_ppm
         |FROM agg a CROSS JOIN ne CROSS JOIN tri t""".stripMargin,
+    // same canonical u<v<w enumeration as q138's oracle, per-corner
+    // credits via unnest, the identical ppm arithmetic; the summary row
+    // re-derives q138's n_triangles as sum(credits) // 3
+    "q265_local_clustering" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS MATERIALIZED (SELECT x, count(*) AS dg FROM (
+        |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |cred AS MATERIALIZED (SELECT x, count(*) AS tri FROM (
+        |    SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY 1),
+        |lcc AS MATERIALIZED (SELECT CAST(d.x AS BIGINT) AS node,
+        |    d.dg AS degree,
+        |    CAST(coalesce(c.tri, 0) AS BIGINT) AS n_triangles,
+        |    CASE WHEN d.dg >= 2 THEN (2 * CAST(coalesce(c.tri, 0) AS BIGINT)
+        |        * 1000000) // (d.dg * (d.dg - 1))
+        |      ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+        |  FROM deg d LEFT JOIN cred c ON d.x = c.x),
+        |top AS (SELECT CAST(row_number() OVER (
+        |      ORDER BY degree DESC, node) - 1 AS INT) AS rk,
+        |    node, degree, n_triangles, lcc_ppm
+        |  FROM lcc ORDER BY degree DESC, node LIMIT 10)
+        |SELECT * FROM top
+        |UNION ALL
+        |SELECT CAST(10 AS INT), CAST(-1 AS BIGINT), count(*),
+        |  sum(n_triangles) // 3, sum(lcc_ppm) // count(*)
+        |FROM lcc WHERE degree >= 2
+        |ORDER BY rk""".stripMargin,
     "q106_pagerank" -> {
       val iterCtes = (1 to iters).map { i =>
         s"""r$i AS (SELECT n.node,

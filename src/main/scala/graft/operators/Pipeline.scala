@@ -697,7 +697,83 @@ object Pipeline extends QueryModule {
     audit.unionByName(packRow).unionByName(splitRows).orderBy("stage")
   }
 
+  /** q264 publishing threshold: classes smaller than k must be suppressed
+    * (HIPAA-style k-anonymity; 8 is a conventional release bar). */
+  private[graft] val kAnonK = 8L
+
+  /** q264 — k-ANONYMITY GENERALIZATION-LADDER audit: the privacy
+    * compliance twin to q248's RTBF delete — before releasing (or
+    * training on) user-adjacent records, measure how identifiable each
+    * row is under its quasi-identifiers, and how much generalization
+    * buys anonymity. Three nested QI levels over customer:
+    * level 0 (nation, segment, $100 balance band) → level 1 (nation,
+    * $1,000 band) → level 2 (region, $10,000 band). Each level is a TRUE
+    * coarsening of the previous (mkt dropped, nation→region is a
+    * function, truncating division nests: trunc(trunc(x/a)/b) =
+    * trunc(x/ab)), so k-anonymity is monotone non-decreasing and the
+    * suppressed mass monotone non-increasing down the ladder — both
+    * pinned as theorems in PipelineSpec, not tuning. The sensitive
+    * attribute (for l-diversity of the PUBLISHABLE classes) is the
+    * customer's modal order priority — behavior, never part of any QI.
+    *
+    * Spark-first mechanics: the enriched base (QI atoms in exact integer
+    * cents via the Exact DECIMAL pattern + the window-argmax sensitive
+    * label) stages ONCE to a narrow parquet leaf; each level is then one
+    * two-stage hash aggregate over that leaf (class sizes, then the
+    * 1-row summary), all map-side combinable — three metadata-sized rows
+    * out, no driver loop, no collect. All arithmetic BIGINT (`div`
+    * truncates toward zero in BOTH engines, so negative balance bands
+    * agree); l_diversity is −1 when no class is publishable rather than
+    * NULL (engine-neutral sentinel).
+    */
+  val kAnonymity: Q = (s, d) => {
+    val mode = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("sens"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("n").desc, col("sens"))
+    val sens = mode.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("c_custkey", "sens")
+    val base = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(sens, Seq("c_custkey"), "left")
+      .select(col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+        col("c_mktsegment").as("mkt"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+        coalesce(col("sens"), lit("NONE")).as("sens"))
+    val tmp = graft.Scratch.dir("graft_kanon")
+    base.write.mode("overwrite").parquet(tmp)
+    val st = s.read.parquet(tmp)
+    def level(lv: Int, width: Int, qi: org.apache.spark.sql.Column) =
+      st.groupBy(qi.as("qi"))
+        .agg(count(lit(1)).as("n"), countDistinct("sens").as("ldiv"))
+        .agg(count(lit(1)).as("n_classes"), sum("n").as("n_rows"),
+          min("n").as("k_anonymity"),
+          sum(when(col("n") < kAnonK, 1L).otherwise(0L))
+            .as("violating_classes"),
+          sum(when(col("n") < kAnonK, col("n")).otherwise(0L))
+            .as("suppressed_rows"),
+          coalesce(min(when(col("n") >= kAnonK, col("ldiv"))), lit(-1L))
+            .as("l_diversity"))
+        .select(lit(lv).as("level"), lit(width).as("band_width"),
+          col("n_classes"), col("n_rows"), col("k_anonymity"),
+          col("violating_classes"), col("suppressed_rows"),
+          expr("suppressed_rows * 1000000 div n_rows").as("suppressed_ppm"),
+          col("l_diversity"))
+    level(0, 100, concat_ws("|", col("nat"), col("mkt"),
+        expr("cents div 10000")))
+      .unionByName(level(1, 1000, concat_ws("|", col("nat"),
+        expr("cents div 100000"))))
+      .unionByName(level(2, 10000, concat_ws("|", col("reg"),
+        expr("cents div 1000000"))))
+      .orderBy("level")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q264_kanonymity" -> kAnonymity,
     "q234_pipeline_e2e" -> pipelineE2e,
     "q186_dataset_card" -> datasetCard,
     "q207_epoch_shuffle" -> epochShuffle,
@@ -718,6 +794,42 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    // the identical ladder: modal-priority sensitive label via the same
+    // window argmax, exact DECIMAL→cents banding, BIGINT `//` (both
+    // engines truncate toward zero, so negative bands agree), and the
+    // same −1 no-publishable-class sentinel
+    "q264_kanonymity" -> {
+      def lvl(lv: Int, width: Int, qi: String) =
+        s"""SELECT CAST($lv AS INT) AS level, CAST($width AS INT) AS band_width,
+           |  count(*) AS n_classes, sum(n) AS n_rows,
+           |  min(n) AS k_anonymity,
+           |  sum(CASE WHEN n < $kAnonK THEN 1 ELSE 0 END) AS violating_classes,
+           |  sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) AS suppressed_rows,
+           |  (sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) * 1000000)
+           |    // sum(n) AS suppressed_ppm,
+           |  coalesce(min(CASE WHEN n >= $kAnonK THEN ldiv END),
+           |    CAST(-1 AS BIGINT)) AS l_diversity
+           |FROM (SELECT $qi AS qi, count(*) AS n,
+           |    count(DISTINCT sens) AS ldiv
+           |  FROM base GROUP BY 1)""".stripMargin
+      s"""WITH md AS (SELECT o_custkey AS c_custkey, o_orderpriority AS sens,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY count(*) DESC, o_orderpriority) AS rk
+         |  FROM orders GROUP BY 1, 2),
+         |base AS MATERIALIZED (SELECT c.c_nationkey AS nat,
+         |    n.n_regionkey AS reg, c.c_mktsegment AS mkt,
+         |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    coalesce(s.sens, 'NONE') AS sens
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  LEFT JOIN (SELECT c_custkey, sens FROM md WHERE rk = 1) s
+         |    ON c.c_custkey = s.c_custkey)
+         |${lvl(0, 100, "concat_ws('|', nat, mkt, cents // 10000)")}
+         |UNION ALL
+         |${lvl(1, 1000, "concat_ws('|', nat, cents // 100000)")}
+         |UNION ALL
+         |${lvl(2, 10000, "concat_ws('|', reg, cents // 1000000)")}
+         |ORDER BY level""".stripMargin
+    },
     // the identical stage chain in one statement: q73's quality CASE,
     // md5-canonical exact dedup, the recursive-CC labels (q123's CTE)
     // for near dedup + split, q74's shingle decontamination, q103's

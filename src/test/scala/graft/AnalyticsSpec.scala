@@ -1089,6 +1089,31 @@ class AnalyticsSpec extends SparkSpec {
     out.collect().foreach(r => assert(r.getLong(4) == 0L))
   }
 
+  test("q265 local clustering: summary triangle total equals q138's global count; lcc bounded; hubs ranked") {
+    val rows = q("q265_local_clustering").collect().sortBy(_.getInt(0))
+    assert(rows.length === 11)
+    val top = rows.filter(_.getInt(0) < 10)
+    // top-10 by degree, deterministic tiebreak
+    val degs = top.map(_.getAs[Long]("degree"))
+    degs.sliding(2).foreach { w => assert(w(1) <= w(0)) }
+    top.foreach { r =>
+      val (dg, tri, ppm) = (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_ppm"))
+      assert(tri <= dg * (dg - 1) / 2, "a node's triangles exceed its wedges")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // the summary row's triangle total must equal q138's global count —
+    // two independent formulations (per-corner credits // 3 vs the
+    // oriented intersection sum) of the same quantity
+    val summary = rows.last
+    assert(summary.getAs[Long]("node") === -1L)
+    val q138T = q("q138_triangle_count").collect()(0)
+      .getAs[Long]("n_triangles")
+    assert(summary.getAs[Long]("n_triangles") === q138T)
+    assert(summary.getAs[Long]("lcc_ppm") >= 0L &&
+      summary.getAs[Long]("lcc_ppm") <= 1000000L)
+  }
+
   test("q250 converged BFS: frontier trajectory positive until the final empty round") {
     val (out, traj) = operators.Graph.bfsConvergedRun(spark, sf)
     assert(traj.last == 0L, s"loop must end on an empty frontier: $traj")

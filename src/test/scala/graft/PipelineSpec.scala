@@ -214,6 +214,29 @@ class PipelineSpec extends SparkSpec {
     assert(segs.toList === List((0, 1, 2L, 2 * 16L * 122), (4, 5, 2L, 2 * 16L * 122)))
   }
 
+  test("q264 k-anonymity ladder: coarsening theorems hold — k never drops, classes never grow, suppression never rises") {
+    val rows = q("q264_kanonymity").collect().sortBy(_.getInt(0))
+    assert(rows.length === 3)
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    val nRows = rows.map(_.getAs[Long]("n_rows")).distinct
+    assert(nRows.length === 1, "every level audits every customer")
+    // a generalization LADDER, not three independent groupings: each level
+    // is a coarsening, so these are theorems of the construction
+    val k = rows.map(_.getAs[Long]("k_anonymity"))
+    assert(k(0) <= k(1) && k(1) <= k(2), k.mkString(","))
+    val nc = rows.map(_.getAs[Long]("n_classes"))
+    assert(nc(0) >= nc(1) && nc(1) >= nc(2), nc.mkString(","))
+    val sup = rows.map(_.getAs[Long]("suppressed_rows"))
+    assert(sup(0) >= sup(1) && sup(1) >= sup(2), sup.mkString(","))
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("suppressed_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      val ld = r.getAs[Long]("l_diversity")
+      assert(ld === -1L || ld >= 1L)
+      assert(r.getAs[Long]("violating_classes") <= r.getAs[Long]("n_classes"))
+    }
+  }
+
   test("q256 pHash dedup: identical payloads are mutual mates with the least id canonical; a disjoint payload stands alone") {
     import spark.implicits._
     // docs 1 and 2 byte-identical → identical 56-bit hash (hamming 0);
