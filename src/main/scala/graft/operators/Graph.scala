@@ -321,6 +321,57 @@ object Graph extends QueryModule {
     top.unionByName(summary).orderBy("rk")
   }
 
+  /** q266 — DEGREE ASSORTATIVITY (Newman's r) over the co-purchase
+    * graph: do hubs link to hubs (r > 0, social-network shape) or to
+    * leaves (r < 0, the hub-and-spoke shape co-purchase graphs usually
+    * take)? The one-number summary that, with q223's power-law fit and
+    * q265's clustering, completes the standard topology card a pipeline
+    * attaches to a graph dataset. Definition: Pearson correlation of
+    * (deg(u), deg(v)) over the SYMMETRIZED edge list (each undirected
+    * edge contributes both orientations — the textbook estimator).
+    *
+    * Parity discipline: all five moment sums accumulate in
+    * DECIMAL(38,0) (exact, order-independent — the Exact-pattern
+    * argument; BIGINT would wrap silently past ~9e18, decimal38 carries
+    * the same audit headroom to ~1e38), and floating point appears only
+    * in the LAST expression — cast-to-double, divide, sqrt, all
+    * correctly-rounded IEEE ops applied to identical inputs in
+    * identical order in both engines, then round(4) (the q33 corr
+    * discipline). Reuses [[triArtifacts]]' staged edge leaf: one
+    * symmetrize-union, two degree equi-joins, one 1-row aggregate —
+    * no new shuffle shapes at any scale.
+    */
+  val assortativity: Q = (s, d) => {
+    val (edgeDir, _) = triArtifacts(s, d)
+    val edges = s.read.parquet(edgeDir)
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val pairs = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      .select(col("du").cast("decimal(38,0)").as("dx"),
+        col("dv").cast("decimal(38,0)").as("dy"))
+    val nV = deg.agg(count(lit(1)).as("n_nodes"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val mom = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(expr("dx * dy")).as("sxy"),
+      sum(expr("dx * dx")).as("sxx"),
+      sum(expr("dy * dy")).as("syy"))
+    nV.crossJoin(nE).crossJoin(mom)
+      .select(col("n_nodes"), col("n_edges"), col("n_pairs"),
+        expr("(2 * n_edges * 1000) div n_nodes").as("avg_degree_milli"),
+        round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            / sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double")),
+          4).as("assortativity"))
+  }
+
   /** k-core threshold and peel-round bound (q148). */
   private val coreK = 3
   private val coreRounds = 12
@@ -1510,6 +1561,7 @@ object Graph extends QueryModule {
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
     "q265_local_clustering" -> localClustering,
+    "q266_assortativity" -> assortativity,
     "q148_kcore_peel" -> kcorePeel,
     "q155_label_propagation" -> labelPropagation,
     "q202_modularity" -> modularity,
@@ -2185,6 +2237,37 @@ object Graph extends QueryModule {
         |  sum(n_triangles) // 3, sum(lcc_ppm) // count(*)
         |FROM lcc WHERE degree >= 2
         |ORDER BY rk""".stripMargin,
+    // identical moments in DECIMAL(38,0), the identical final expression
+    // shape (cast → divide → sqrt → round 4): the doubles are the same
+    // bits, so round-4 parity is exact, the q33 argument
+    "q266_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS MATERIALIZED (SELECT x, count(*) AS dg FROM (
+        |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |pairs AS (SELECT CAST(du.dg AS DECIMAL(38,0)) AS dx,
+        |    CAST(dv.dg AS DECIMAL(38,0)) AS dy
+        |  FROM (SELECT u, v FROM edges
+        |        UNION ALL SELECT v AS u, u AS v FROM edges) e
+        |  JOIN deg du ON e.u = du.x
+        |  JOIN deg dv ON e.v = dv.x),
+        |mom AS (SELECT count(*) AS n_pairs, sum(dx) AS sx, sum(dy) AS sy,
+        |    sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+        |  FROM pairs)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  n_pairs,
+        |  (2 * (SELECT count(*) FROM edges) * 1000)
+        |    // (SELECT count(*) FROM deg) AS avg_degree_milli,
+        |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 4)
+        |    AS assortativity
+        |FROM mom""".stripMargin,
     "q106_pagerank" -> {
       val iterCtes = (1 to iters).map { i =>
         s"""r$i AS (SELECT n.node,

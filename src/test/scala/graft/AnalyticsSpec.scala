@@ -1114,6 +1114,29 @@ class AnalyticsSpec extends SparkSpec {
       summary.getAs[Long]("lcc_ppm") <= 1000000L)
   }
 
+  test("q266 assortativity: symmetric pair count, bounded r, matches the built-in corr estimator") {
+    val r = q("q266_assortativity").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_pairs") === 2L * row.getAs[Long]("n_edges"),
+      "symmetrization doubles the edge list exactly")
+    val a = row.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    // independent estimator: Spark's own corr over the same symmetrized
+    // pairs — the exact-decimal formula must land within its round-4 grid
+    val (edgeDir, _) = graft.operators.Graph.triArtifacts(spark, sf)
+    val edges = spark.read.parquet(edgeDir)
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+    val builtin = sym.agg(corr("du", "dv")).collect()(0).getDouble(0)
+    assert(math.abs(a - builtin) <= 2e-4,
+      s"exact-decimal $a vs built-in corr $builtin")
+  }
+
   test("q250 converged BFS: frontier trajectory positive until the final empty round") {
     val (out, traj) = operators.Graph.bfsConvergedRun(spark, sf)
     assert(traj.last == 0L, s"loop must end on an empty frontier: $traj")
