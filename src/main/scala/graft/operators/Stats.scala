@@ -1335,7 +1335,80 @@ object Stats extends QueryModule {
       .limit(1)
   }
 
+  /** q267 censoring horizon: a customer whose last order sits within 90
+    * days of the observation end is censored (still alive), not churned. */
+  private val kmCensorDays = 90
+
+  /** q267 — KAPLAN–MEIER SURVIVAL over customer activity lifetimes: the
+    * canonical right-censored churn/retention curve (q112's cohort
+    * retention counts raw survivors; K-M is the estimator that stays
+    * UNBIASED when observation windows cut customers off mid-life).
+    * Duration = days between a customer's first and last order; the
+    * event (churn) is observed only when the last order predates the
+    * global horizon by > [[kmCensorDays]] — later customers are censored:
+    * they leave the risk set at their duration without registering an
+    * event, exactly the K-M denominator discipline.
+    *
+    * Scale shape: the per-customer reduce and the (duration → d, c)
+    * histogram are map-side-combinable hash aggregates over orders — the
+    * only data-sized passes. The histogram is CALENDAR-BOUNDED (≤ the
+    * date-domain span in days, ~2.4k rows at any corpus size), so the
+    * risk-set window, the event-grid collect, and the sequential
+    * survival product all run on metadata-sized state — the q175/q209
+    * value-histogram discipline. The product is the one genuinely
+    * SEQUENTIAL recurrence (S_i = S_{i-1}·(n_i−d_i)/n_i), folded exactly
+    * in 1e12 fixed point via `aggregate()` over the sorted grid with the
+    * overflow-free decomposition (s div n)·(n−d) + ((s mod n)·(n−d)) div n
+    * — every intermediate ≤ max(S·1, n²) ≪ 2⁶³ (n² passes 2⁶³ only past
+    * ~3e9 customers; the DECIMAL(38,0) swap is documented there). The
+    * oracle replays the identical recurrence as a recursive CTE over its
+    * own grid — each round's integer S must agree exactly.
+    */
+  val kaplanMeier: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"))
+    val horizon = cust.agg(max("l").as("dmax"))
+    val lt = cust.crossJoin(broadcast(horizon))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (col("l") < date_sub(col("dmax"), kmCensorDays)).as("churn"))
+    val hist = lt.groupBy("t")
+      .agg(sum(when(col("churn"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    // risk set from the cumulative histogram — bounded rows, the single
+    // partition is the calendar, not the corpus
+    val total = hist.agg(sum("leave").as("tot"))
+    val grid = hist.crossJoin(broadcast(total))
+      .withColumn("gone_before",
+        coalesce(sum("leave").over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", col("tot") - col("gone_before"))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), col("n"))
+    grid.agg(array_sort(collect_list(struct(col("t"), col("d"), col("n"))))
+        .as("g"))
+      .select(explode(expr(
+        """aggregate(g,
+          |  named_struct('ss', CAST(array() AS ARRAY<BIGINT>),
+          |    's', CAST(1000000000000 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'ss', array_append(acc.ss,
+          |      (acc.s div x.n) * (x.n - x.d)
+          |        + ((acc.s % x.n) * (x.n - x.d)) div x.n),
+          |    's', (acc.s div x.n) * (x.n - x.d)
+          |        + ((acc.s % x.n) * (x.n - x.d)) div x.n),
+          |  acc -> zip_with(g, acc.ss, (a, b) -> named_struct(
+          |    't_days', a.t, 'n_at_risk', a.n, 'n_events', a.d,
+          |    'survival_e12', b)))""".stripMargin)).as("r"))
+      .select(col("r.t_days"), col("r.n_at_risk"), col("r.n_events"),
+        col("r.survival_e12"))
+      .orderBy("t_days")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q267_kaplan_meier" -> kaplanMeier,
     "q195_cusum_changepoint" -> cusumChangepoint,
     "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
@@ -1396,6 +1469,40 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the identical estimator: same censoring rule, same calendar-bounded
+    // histogram, and the same 1e12 fixed-point recurrence replayed as a
+    // recursive CTE — the overflow-free (s//n)(n-d) + ((s%n)(n-d))//n
+    // decomposition must agree at every event time for the hash to match
+    "q267_kaplan_meier" ->
+      s"""WITH RECURSIVE cust AS (SELECT o_custkey,
+         |    min(CAST(o_orderdate AS DATE)) AS f,
+         |    max(CAST(o_orderdate AS DATE)) AS l
+         |  FROM orders GROUP BY 1),
+         |hz AS (SELECT max(l) AS dmax FROM cust),
+         |lt AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         |    (l < (SELECT dmax FROM hz) - INTERVAL $kmCensorDays DAY)
+         |      AS churn
+         |  FROM cust),
+         |hist AS MATERIALIZED (SELECT t,
+         |    CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    count(*) AS leave FROM lt GROUP BY 1),
+         |grid AS MATERIALIZED (SELECT t, d, n,
+         |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+         |  FROM (SELECT t, d,
+         |      (SELECT sum(leave) FROM hist) - coalesce(sum(leave)
+         |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS n
+         |    FROM hist) WHERE d > 0),
+         |km(i, s) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(1000000000000 AS BIGINT)
+         |  UNION ALL
+         |  SELECT g.i, (k.s // g.n) * (g.n - g.d)
+         |      + ((k.s % g.n) * (g.n - g.d)) // g.n
+         |  FROM km k JOIN grid g ON g.i = k.i + 1)
+         |SELECT g.t AS t_days, CAST(g.n AS BIGINT) AS n_at_risk,
+         |  g.d AS n_events, k.s AS survival_e12
+         |FROM grid g JOIN km k ON k.i = g.i
+         |ORDER BY t_days""".stripMargin,
     "q194_salt_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
         |  FROM lineitem GROUP BY 1),

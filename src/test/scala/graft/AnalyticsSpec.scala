@@ -1114,6 +1114,39 @@ class AnalyticsSpec extends SparkSpec {
       summary.getAs[Long]("lcc_ppm") <= 1000000L)
   }
 
+  test("q267 Kaplan-Meier: survival monotone from 1e12, risk set strictly shrinking, events bounded by risk") {
+    val rows = q("q267_kaplan_meier").collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getAs[Long]("survival_e12"))
+    assert(s.head <= 1000000000000L && s.forall(_ >= 0L))
+    s.sliding(2).foreach { w => assert(w(1) <= w(0), "survival must never rise") }
+    val n = rows.map(_.getAs[Long]("n_at_risk"))
+    n.sliding(2).foreach { w => assert(w(1) < w(0), "risk set strictly shrinks across event times") }
+    rows.foreach(r => assert(r.getAs[Long]("n_events") >= 1L &&
+      r.getAs[Long]("n_events") <= r.getAs[Long]("n_at_risk")))
+  }
+
+  test("q267 Kaplan-Meier: planted censored cohort reproduces the hand-computed curve exactly") {
+    import spark.implicits._
+    // A churns at t=10, B at t=20, C at t=0; D spans to the horizon and is
+    // censored (leaves the risk set at 152 without an event):
+    // S = 3/4, then 2/3 of that, then 1/2 of that — all exact in 1e12
+    val orders = Seq(
+      (1L, "2020-01-01"), (1L, "2020-01-11"),
+      (2L, "2020-01-01"), (2L, "2020-01-21"),
+      (3L, "2020-01-01"),
+      (4L, "2020-01-01"), (4L, "2020-06-01"))
+      .toDF("o_custkey", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("graftkm").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q267_kaplan_meier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      (0L, 4L, 1L, 750000000000L),
+      (10L, 3L, 1L, 500000000000L),
+      (20L, 2L, 1L, 250000000000L)))
+  }
+
   test("q266 assortativity: symmetric pair count, bounded r, matches the built-in corr estimator") {
     val r = q("q266_assortativity").collect()
     assert(r.length === 1)
