@@ -1011,7 +1011,73 @@ object Storage extends QueryModule {
       .orderBy("gap_start")
   }
 
+  /** q268 tombstone rule (doc_id % [[dvMod]] == [[dvTomb]]) and bucket
+    * count — a DIFFERENT tombstone set than q248's, so the two delete
+    * paths never share fixtures. */
+  private[graft] val dvMod = 53L
+  private[graft] val dvTomb = 17L
+  private[graft] val dvBuckets = 8L
+
+  /** q268 — DELETION-VECTOR merge-on-read: the OTHER half of the lakehouse
+    * delete story. q248 is copy-on-write (rewrite the affected files, reads
+    * stay plain scans); this is Iceberg-v2/Delta-DV merge-on-read — the
+    * base files are NEVER rewritten (StorageSpec pins them md5-identical
+    * across the delete), deletes live as per-file POSITION bitmaps, and
+    * every read probes the bitmap. The trade a 100 TB table chooses when
+    * deletes are frequent and rewrite amplification is the bottleneck;
+    * q248 remains the compaction endgame that eventually folds DVs in.
+    *
+    * Mechanics: documents lay out bucketed by doc_id % [[dvBuckets]] (one
+    * file per bucket); a row's POSITION is its rank by doc_id within its
+    * bucket — deterministic, so build and probe (and the DuckDB oracle)
+    * derive identical positions, and the output's del_pos_checksum
+    * certifies the rank parity, not just the surviving id set. The DV is
+    * a per-bucket sorted position array (a RoaringBitmap stands in here
+    * as sort_array(collect_list) — the plumbing, not the compression, is
+    * what's under test); it is METADATA-sized (≤ deleted rows per file),
+    * so the read path attaches it by BROADCAST and filters with a bitmap
+    * probe — no per-row anti-join shuffle, the whole point of DVs.
+    * Output: per-bucket (n_rows, n_deleted, del_pos_checksum,
+    * live_id_checksum), the audit a table-format maintenance job emits.
+    * (The rank window here SIMULATES what the file format gives the
+    * reader for free — file-physical positions; its per-bucket sort is
+    * the simulation's cost, not the operator's.)
+    */
+  val deletionVectors: Q = (s, d) => dvRun(s, d)._2
+
+  /** The q268 body, returning the base-layout root alongside the report so
+    * StorageSpec can pin the merge-on-read contract on the SAME layout the
+    * report read: tombstoned rows still on disk, broadcast DV probe. */
+  private[graft] def dvRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, DataFrame) = {
+    val root = graft.Scratch.dir("graft_dv")
+    Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % dvBuckets).as("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(root)
+    val base = s.read.parquet(root)
+      .select(col("doc_id"), col("bkt").cast("long").as("bkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("doc_id")
+    val withPos = base.withColumn("pos",
+      (row_number().over(w) - 1).cast("long"))
+    val dv = withPos.filter(col("doc_id") % dvMod === dvTomb)
+      .groupBy("bkt").agg(sort_array(collect_list(col("pos"))).as("dv"))
+    val live = withPos.join(broadcast(dv), Seq("bkt"), "left")
+      .withColumn("deleted",
+        coalesce(array_contains(col("dv"), col("pos")), lit(false)))
+    val report = live.groupBy("bkt").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("deleted"), col("pos")).otherwise(0L))
+          .as("del_pos_checksum"),
+        sum(when(!col("deleted"), col("doc_id")).otherwise(0L))
+          .as("live_id_checksum"))
+      .orderBy("bkt")
+    (root, report)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q268_deletion_vectors" -> deletionVectors,
     "q197_backfill_gaps" -> backfillGaps,
     "q182_rendezvous_resize" -> rendezvousResize,
     "q108_merge_agg" -> mergeAgg,
@@ -1039,6 +1105,21 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    // identical deterministic positions (rank by doc_id within bucket),
+    // identical tombstone rule — del_pos_checksum certifies the rank
+    // parity, live_id_checksum the surviving set
+    "q268_deletion_vectors" ->
+      s"""WITH b AS (SELECT doc_id, doc_id % $dvBuckets AS bkt,
+         |    CAST(row_number() OVER (PARTITION BY doc_id % $dvBuckets
+         |      ORDER BY doc_id) - 1 AS BIGINT) AS pos,
+         |    (doc_id % $dvMod = $dvTomb) AS deleted
+         |  FROM documents)
+         |SELECT bkt, count(*) AS n_rows,
+         |  sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS n_deleted,
+         |  sum(CASE WHEN deleted THEN pos ELSE 0 END) AS del_pos_checksum,
+         |  sum(CASE WHEN NOT deleted THEN doc_id ELSE 0 END)
+         |    AS live_id_checksum
+         |FROM b GROUP BY bkt ORDER BY bkt""".stripMargin,
     "q197_backfill_gaps" ->
       """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
         |  FROM orders),

@@ -36,6 +36,28 @@ class StorageSpec extends SparkSpec {
       s"zone map must SKIP files on a narrow probe ($kept of $total read)")
   }
 
+  test("q268 deletion vectors: merge-on-read leaves tombstones ON DISK while the read excludes them; DV probe is broadcast") {
+    val (root, rep) = graft.operators.Storage.dvRun(spark, sf)
+    val plan = rep.queryExecution.executedPlan.toString
+    // the DV attach is a broadcast of metadata-sized bitmaps, never a
+    // shuffled join — the entire point of the merge-on-read trade
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val rows = rep.collect()
+    assert(rows.length === 8)
+    // the base layout is NOT rewritten: tombstoned rows are still present
+    // in the files the report just read (q248's copy-on-write is the
+    // contrast — there the spec pins them GONE from rewritten buckets)
+    val onDisk = spark.read.parquet(root)
+    val tombOnDisk = onDisk.filter(col("doc_id") % 53 === 17).count()
+    assert(tombOnDisk > 0, "fixture must contain tombstoned rows")
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum === tombOnDisk)
+    // the live checksum equals the direct all-minus-tombstones sum
+    val direct = onDisk.filter(!(col("doc_id") % 53 === 17))
+      .agg(sum("doc_id")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("live_id_checksum")).sum === direct)
+  }
+
   test("q260 clustering depth: the clustered layout separates cleanly from the hashed one on every metric") {
     val rows = q("q260_clustering_depth").collect()
       .map(r => r.getString(0) -> r).toMap
