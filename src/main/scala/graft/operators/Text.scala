@@ -1098,6 +1098,50 @@ object Text extends QueryModule {
       .orderBy("source")
   }
 
+  /** q269 — TOKENIZER FERTILITY by language: the multilingual-fairness
+    * audit a tokenizer ships with — tokens-per-word (fertility) per
+    * language under the SAME fixed merge table q236 applies, plus each
+    * language's PREMIUM over the corpus-best language (the extra token
+    * budget an underrepresented language pays for the same words — the
+    * metric that decides whether the merge table needs rebalancing
+    * before a training run prices languages unequally). Same
+    * vocabulary-bounded encode as q236 (distinct-word dictionary, 10
+    * codegen'd replaces, U+0001 collision guard), different read: the
+    * (lang, word, freq) frame joins back by word and reduces per
+    * LANGUAGE; the premium is one broadcast 1-row min join. All exact
+    * integer milli/ppm arithmetic.
+    */
+  val tokenizerFertility: Q = (s, d) => {
+    val m = bpeDelim
+    val chars = s"regexp_replace(w, '(.)', '$m$$1$m')"
+    val enc = bpeMerges.foldLeft(chars) { case (acc, (l, r)) =>
+      s"replace($acc, '$m$l$m$m$r$m', '$m$l$r$m')"
+    }
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val wf = docs
+      .select(col("lang"), explode(filter(toks, t => length(t) > 0)).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+    val dict = wf.select("w").distinct()
+    val encoded = dict.select(col("w"),
+      when(instr(col("w"), m) > 0, raise_error(
+        lit("q269: word contains the U+0001 token delimiter")))
+        .otherwise(expr(s"(length($enc) - length(replace($enc, '$m', ''))) div 2"))
+        .cast("long").as("n_bpe"))
+    val perLang = wf.join(encoded, "w")
+      .groupBy("lang")
+      .agg(sum("f").as("n_words"),
+        sum(col("f") * col("n_bpe")).as("n_tokens"),
+        sum(col("f") * length(col("w"))).as("n_chars"))
+      .withColumn("fertility_milli", expr("n_tokens * 1000 div n_words"))
+    val best = perLang.agg(min("fertility_milli").as("best"))
+    perLang.crossJoin(broadcast(best))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        col("fertility_milli"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"),
+        expr("fertility_milli * 1000000 div best").as("premium_ppm"))
+      .orderBy("lang")
+  }
+
   /** q247 trainer depth: staged merge rounds, each freezing one argmax
     * pair into the table the encode side consumes. */
   private[graft] val bpeTrainRounds = 10
@@ -1737,6 +1781,7 @@ object Text extends QueryModule {
     "q171_bpe_pairs" -> bpePairs,
     "q236_bpe_encode" -> bpeEncode,
     "q247_bpe_train" -> bpeTrain,
+    "q269_tokenizer_fertility" -> tokenizerFertility,
     "q237_winnow_fingerprints" -> winnowFingerprints,
     "q238_winnow_pairs" -> winnowPairs,
     "q240_fp_decontam" -> fpDecontam,
@@ -2058,6 +2103,37 @@ object Text extends QueryModule {
          |  CAST(sum(f * length(w)) * 1000000 // sum(f * n_bpe) AS BIGINT)
          |    AS chars_per_token_ppm
          |FROM wf JOIN enc USING (w) GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q236's encode machinery re-read per LANGUAGE, the premium via a
+    // scalar-subquery min — same raw-byte delimiter contract
+    "q269_tokenizer_fertility" -> {
+      val m = bpeDelim
+      val chars = raw"regexp_replace(w, '(.)', '$m\1$m', 'g')"
+      val enc = bpeMerges.foldLeft(chars) { case (acc, (l, r)) =>
+        s"replace($acc, '$m$l$m$m$r$m', '$m$l$r$m')"
+      }
+      raw"""WITH wds AS (SELECT lang,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS w
+         |  FROM documents),
+         |wf AS (SELECT lang, w, count(*) AS f FROM wds GROUP BY 1, 2),
+         |dict AS (SELECT DISTINCT w FROM wf),
+         |enc AS (SELECT w,
+         |    CAST((length($enc) - length(replace($enc, '$m', ''))) // 2
+         |      AS BIGINT) AS n_bpe
+         |  FROM dict),
+         |pl AS MATERIALIZED (SELECT lang,
+         |    CAST(sum(f) AS BIGINT) AS n_words,
+         |    CAST(sum(f * n_bpe) AS BIGINT) AS n_tokens,
+         |    CAST(sum(f * length(w)) AS BIGINT) AS n_chars,
+         |    CAST(sum(f * n_bpe) * 1000 // sum(f) AS BIGINT)
+         |      AS fertility_milli
+         |  FROM wf JOIN enc USING (w) GROUP BY lang)
+         |SELECT lang, n_words, n_tokens, n_chars, fertility_milli,
+         |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm,
+         |  fertility_milli * 1000000
+         |    // (SELECT min(fertility_milli) FROM pl) AS premium_ppm
+         |FROM pl ORDER BY lang""".stripMargin
     },
     // the identical trainer loop, rounds unrolled: each round's argmax
     // pair is DATA (a 1-row CTE cross-joined into the next re-encode),

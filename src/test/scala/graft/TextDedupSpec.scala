@@ -392,6 +392,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("aa", 4L, 1L), ("ab", 4L, 1L)))
   }
 
+  test("q269 fertility: every word costs >= 1 token, tokens never exceed chars, the best language pays premium exactly 1e6") {
+    val rows = q("q269_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, toks, chars) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"))
+      assert(toks >= words, "a word encodes to at least one token")
+      assert(toks <= chars, "a token spans at least one character")
+      assert(r.getAs[Long]("fertility_milli") >= 1000L)
+      assert(r.getAs[Long]("premium_ppm") >= 1000000L,
+        "premium is relative to the corpus-best language")
+    }
+    assert(rows.exists(_.getAs[Long]("premium_ppm") === 1000000L),
+      "the best language's premium is exactly 1e6 by construction")
+  }
+
   test("q247 trainer closes the loop: learned table feeds q236's encode; greedy counts non-increasing") {
     val learned = operators.Text.bpeTrainedMerges(spark, sf)
     assert(learned.size === operators.Text.bpeTrainRounds)
