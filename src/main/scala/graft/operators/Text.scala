@@ -1098,6 +1098,57 @@ object Text extends QueryModule {
       .orderBy("source")
   }
 
+  /** q270 low-entropy flag threshold (micro-nats): natural prose sits
+    * near 2.8–3.2 nats of character entropy; below ~2.6 the text is
+    * repetitive boilerplate, padding, or generator loops — the cheap
+    * pre-filter that runs before any model-based quality score. */
+  private[graft] val entropyLowMicro = 2600000L
+
+  /** q270 — CHARACTER-ENTROPY quality screen: per-document char-unigram
+    * Shannon entropy, reduced to a per-language audit (doc counts, exact
+    * mean and min entropy, and how many docs fall under the
+    * [[entropyLowMicro]] boilerplate line). Complements q73 (token-ratio
+    * quality), q87 (trigram repetition), and q185 (LM perplexity): char
+    * entropy is the cheapest signal that catches degenerate text all
+    * three can miss (e.g. one long repeated character run has healthy
+    * length and token counts but ~0 entropy).
+    *
+    * Parity mechanics: entropy in integer MICRO-nats — per (doc, char)
+    * cell, ln(n/c) is rounded ONCE (q213's discipline: both engines take
+    * ln of the same exact-integer ratio), weighted by the exact count,
+    * summed as BIGINT, divided by n at the end. Per-char explode is the
+    * only corpus-sized pass (one row per character — linear, shuffled
+    * once on doc_id which the source partitioning already provides);
+    * everything after runs on (doc × alphabet) rows. The per-char slice
+    * is substring-by-index in BOTH engines (the bpeDelim BMP contract
+    * applies: UTF-16 units vs codepoints differ only off-BMP; fixtures
+    * are ASCII).
+    */
+  val charEntropy: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .filter(length(col("text")) > 0)
+    val cc = docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      .groupBy("doc_id", "lang", "n", "ch").agg(count(lit(1)).as("c"))
+    val perDoc = cc.groupBy("doc_id", "lang", "n")
+      .agg(sum(expr(
+        "c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)"))
+        .as("esum"))
+      .select(col("lang"), expr("esum div n").as("e"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("e").as("es"),
+        min("e").as("min_entropy_micro"),
+        sum(when(col("e") < entropyLowMicro, 1L).otherwise(0L))
+          .as("n_low_entropy"))
+      .select(col("lang"), col("n_docs"),
+        expr("es div n_docs").as("mean_entropy_micro"),
+        col("min_entropy_micro"), col("n_low_entropy"))
+      .orderBy("lang")
+  }
+
   /** q269 — TOKENIZER FERTILITY by language: the multilingual-fairness
     * audit a tokenizer ships with — tokens-per-word (fertility) per
     * language under the SAME fixed merge table q236 applies, plus each
@@ -1782,6 +1833,7 @@ object Text extends QueryModule {
     "q236_bpe_encode" -> bpeEncode,
     "q247_bpe_train" -> bpeTrain,
     "q269_tokenizer_fertility" -> tokenizerFertility,
+    "q270_char_entropy" -> charEntropy,
     "q237_winnow_fingerprints" -> winnowFingerprints,
     "q238_winnow_pairs" -> winnowPairs,
     "q240_fp_decontam" -> fpDecontam,
@@ -2104,6 +2156,25 @@ object Text extends QueryModule {
          |    AS chars_per_token_ppm
          |FROM wf JOIN enc USING (w) GROUP BY source ORDER BY source""".stripMargin
     },
+    // identical per-cell ln rounding (the q213 micro-nat discipline) over
+    // the identical substring-by-index char cells
+    "q270_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS n,
+         |    unnest(list_transform(range(1, len(text) + 1),
+         |      i -> substr(text, i, 1))) AS ch
+         |  FROM documents WHERE len(text) > 0),
+         |cc AS (SELECT doc_id, lang, n, ch, count(*) AS c
+         |  FROM ch GROUP BY 1, 2, 3, 4),
+         |pd AS MATERIALIZED (SELECT doc_id, lang,
+         |    CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000)
+         |      AS BIGINT)) // n AS BIGINT) AS e
+         |  FROM cc GROUP BY 1, 2, n)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(e) // count(*) AS BIGINT) AS mean_entropy_micro,
+         |  min(e) AS min_entropy_micro,
+         |  sum(CASE WHEN e < $entropyLowMicro THEN 1 ELSE 0 END)
+         |    AS n_low_entropy
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     // q236's encode machinery re-read per LANGUAGE, the premium via a
     // scalar-subquery min — same raw-byte delimiter contract
     "q269_tokenizer_fertility" -> {

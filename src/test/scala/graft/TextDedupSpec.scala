@@ -392,6 +392,32 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toList === List(("aa", 4L, 1L), ("ab", 4L, 1L)))
   }
 
+  test("q270 char entropy: bounds hold on fixtures; a planted repeated-run doc scores zero and is flagged") {
+    val rows = q("q270_char_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, min) = (r.getAs[Long]("mean_entropy_micro"),
+        r.getAs[Long]("min_entropy_micro"))
+      assert(min >= 0L && min <= mean)
+      // ln(printable alphabet) is a hard ceiling for char-unigram entropy
+      assert(mean <= 4900000L, s"mean $mean exceeds ln(128) nats")
+      assert(r.getAs[Long]("n_low_entropy") <= r.getAs[Long]("n_docs"))
+    }
+    // the signal q73/q87/q185 can miss: one repeated character has healthy
+    // length but exactly zero entropy — it must be flagged
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 500, "en", "t", 500L),
+      (2L, "the quick brown fox jumps over the lazy dog again", "en", "t", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftent").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q270_char_entropy")(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("min_entropy_micro") === 0L)
+    assert(got(0).getAs[Long]("n_low_entropy") === 1L)
+  }
+
   test("q269 fertility: every word costs >= 1 token, tokens never exceed chars, the best language pays premium exactly 1e6") {
     val rows = q("q269_tokenizer_fertility").collect()
     assert(rows.nonEmpty)
