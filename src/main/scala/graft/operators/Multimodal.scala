@@ -263,11 +263,94 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q271 constellation parameters: 16-byte frames (q144's audio hop),
+    * 1024 pseudo-frequency bins, anchors fan out to targets 3..6 frames
+    * ahead (the Shazam fan-out window), probes are doc_id % 11 == 3
+    * recorded from the middle third of their own stream. */
+  private val afpFrameBytes = 16
+  private[graft] val afpBins = 1024L
+  private val afpFanLo = 3
+  private val afpFanHi = 6
+  private val afpProbeMod = 11L
+  private val afpProbeRes = 3L
+
+  /** q271 — AUDIO CONSTELLATION FINGERPRINT + snippet matching (STUB):
+    * the Shazam/Wang-2003 shape — frame the payload stream, pick a
+    * spectral peak per frame (stub: energy % [[afpBins]]; a real FFT
+    * argmax-bin drops into the same mapPartitions iterator), pair each
+    * anchor with targets Δ = 3..6 frames ahead, and pack
+    * (binA, binT, Δ) into one integer landmark hash. Matching replays
+    * recognition: every probe document "records" its middle third —
+    * landmark hashes whose anchor AND target fall inside the snippet —
+    * probes the staged landmark index by ONE hash equi-join (never
+    * doc × doc), and votes on (candidate, time-offset); the Shazam
+    * insight is that only the true source lines up at a CONSTANT offset,
+    * so the argmax (votes, candidate, offset) row per probe is the
+    * match. Output: one row per probe with its best match, offset, vote
+    * count, and snippet landmark count — for a self-contained corpus the
+    * top votes must equal the snippet's landmark count at offset 0 (an
+    * exact-twin document can tie and win the min-id tiebreak; the spec
+    * pins the perfect-recall invariant, not identity). Landmarks stage
+    * once (built by a Δ-explode + frame equi-join, all doc_id-local);
+    * scale is linear in frames × 4 fan-out, the index probe is
+    * hash-bucketed (≈8M hash space), and the vote table is bounded by
+    * true collisions — the q37 banding argument in time-frequency space.
+    */
+  val audioFingerprint: Q = (s, d) => {
+    import s.implicits._
+    val frames = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = (bytes.length + afpFrameBytes - 1) / afpFrameBytes
+          (0 until n).iterator.map { i =>
+            val from = i * afpFrameBytes
+            val until = math.min(bytes.length, from + afpFrameBytes)
+            var e = 0
+            var j = from
+            while (j < until) { e += bytes(j) & 0xff; j += 1 }
+            (id, i.toLong, (e % afpBins.toInt).toLong, n.toLong)
+          }
+        }
+      }.toDF("doc_id", "i", "bin", "n")
+    val anchors = frames.select(col("doc_id"), col("i"), col("bin"),
+        col("n"), explode(expr(s"sequence($afpFanLo, $afpFanHi)")).as("dt"))
+      .withColumn("ti", col("i") + col("dt"))
+    val lm = anchors.join(
+        frames.select(col("doc_id"), col("i").as("ti"),
+          col("bin").as("bin_t")),
+        Seq("doc_id", "ti"))
+      .select(col("doc_id"), col("i"), col("ti"), col("n"),
+        (col("bin") * (afpBins * 8L) + col("bin_t") * 8L +
+          (col("ti") - col("i"))).as("h"))
+    val tmp = graft.Scratch.dir("graft_afp")
+    lm.write.mode("overwrite").parquet(tmp)
+    val index = s.read.parquet(tmp)
+    val query = index
+      .filter(col("doc_id") % afpProbeMod === afpProbeRes)
+      .filter(col("i") >= expr("n div 3") && col("ti") < expr("(2 * n) div 3"))
+      .select(col("doc_id").as("q"), col("i").as("qi"), col("h"))
+    val nq = query.groupBy("q").agg(count(lit(1)).as("n_query_landmarks"))
+    val votes = query.join(index.select(col("doc_id").as("cand"),
+        col("i").as("ci"), col("h")), Seq("h"))
+      .groupBy(col("q"), col("cand"), (col("ci") - col("qi")).as("toff"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(col("votes").desc, col("cand"), col("toff"))
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(nq, "q")
+      .select(col("q").as("probe_id"), col("cand").as("best_match"),
+        col("toff").as("best_offset"), col("votes"),
+        col("n_query_landmarks"))
+      .orderBy("probe_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q34_multimodal_meta" -> mediaMeta,
     "q35_multimodal_decode" -> decodeStub,
     "q130_frame_sample" -> frameSampleStub,
     "q144_vad_segments" -> vadSegments,
+    "q271_audio_fingerprint" -> audioFingerprint,
     "q256_phash_dedup" -> phashDedup)
 
   def oracles: Map[String, String] = Map(
@@ -306,6 +389,50 @@ object Multimodal extends QueryModule {
          |  (COALESCE(m.n_mates, 0) > 0 AND m.least_mate < h.doc_id) AS is_dup
          |FROM h LEFT JOIN mates m ON h.doc_id = m.doc_id
          |ORDER BY h.doc_id""".stripMargin
+    },
+    // q144's hex-decoded frame energies, the identical (binA, binT, dt)
+    // hash pack, the identical snippet window, hash equi-join, and
+    // (votes DESC, cand, offset) argmax — vote for vote
+    "q271_audio_fingerprint" -> {
+      val fw = afpFrameBytes * 2
+      s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    (octet_length(encode(text)) + ${afpFrameBytes - 1})
+         |      // $afpFrameBytes AS n_frames
+         |  FROM documents),
+         |fr AS (SELECT doc_id, hx, n_frames,
+         |    unnest(range(0, n_frames)) AS j FROM f),
+         |fe AS MATERIALIZED (SELECT doc_id, CAST(j AS BIGINT) AS i,
+         |    CAST(n_frames AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(
+         |      range(0, length(substring(hx, CAST(j * $fw + 1 AS INT), $fw)) // 2),
+         |      k -> (strpos('0123456789ABCDEF', substring(
+         |              substring(hx, CAST(j * $fw + 1 AS INT), $fw),
+         |              CAST(k*2+1 AS INT), 1)) - 1) * 16
+         |         + (strpos('0123456789ABCDEF', substring(
+         |              substring(hx, CAST(j * $fw + 1 AS INT), $fw),
+         |              CAST(k*2+2 AS INT), 1)) - 1))) % $afpBins AS BIGINT)
+         |      AS bin
+         |  FROM fr),
+         |an AS (SELECT doc_id, i, bin, n,
+         |    unnest([$afpFanLo::BIGINT, ${afpFanLo + 1}::BIGINT,
+         |      ${afpFanHi - 1}::BIGINT, $afpFanHi::BIGINT]) AS dt
+         |  FROM fe),
+         |lm AS MATERIALIZED (SELECT a.doc_id, a.i, a.i + a.dt AS ti, a.n,
+         |    a.bin * ${afpBins * 8L} + t.bin * 8 + a.dt AS h
+         |  FROM an a JOIN fe t ON a.doc_id = t.doc_id AND t.i = a.i + a.dt),
+         |qs AS MATERIALIZED (SELECT doc_id AS q, i AS qi, h FROM lm
+         |  WHERE doc_id % $afpProbeMod = $afpProbeRes
+         |    AND i >= n // 3 AND ti < (2 * n) // 3),
+         |nq AS (SELECT q, count(*) AS n_query_landmarks FROM qs GROUP BY 1),
+         |v AS (SELECT qs.q, l.doc_id AS cand, l.i - qs.qi AS toff,
+         |    count(*) AS votes
+         |  FROM qs JOIN lm l USING (h) GROUP BY 1, 2, 3),
+         |best AS (SELECT q, cand, toff, votes, row_number() OVER (
+         |    PARTITION BY q ORDER BY votes DESC, cand, toff) AS rk FROM v)
+         |SELECT b.q AS probe_id, b.cand AS best_match,
+         |  b.toff AS best_offset, b.votes, nq.n_query_landmarks
+         |FROM best b JOIN nq ON b.q = nq.q WHERE rk = 1
+         |ORDER BY probe_id""".stripMargin
     },
     // frames re-derived from the hex encoding (2 chars/byte — the only
     // byte-accurate route DuckDB 1.0 offers), then the same threshold +

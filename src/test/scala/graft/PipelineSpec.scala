@@ -237,6 +237,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q271 audio fingerprint: every probe achieves perfect snippet recall; a planted clip is recognized at its true offset") {
+    val rows = q("q271_audio_fingerprint").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the corpus contains every probe's own source, so the winner's
+      // votes must equal the snippet's landmark count (self, or an exact
+      // twin that ties and wins the min-id tiebreak)
+      assert(r.getAs[Long]("votes") === r.getAs[Long]("n_query_landmarks"),
+        s"probe ${r.getAs[Long]("probe_id")} lost snippet landmarks")
+      assert(r.getAs[Long]("n_query_landmarks") >= 1L)
+    }
+    // planted recognition: doc 3 (a probe under the %11 rule) carries a
+    // 128-byte 16-aligned clip of doc 1 as its middle third — the match
+    // must be doc 1 (ties with self, min-id wins) at frame offset +4
+    import spark.implicits._
+    // aperiodic within any 512-byte window (quadratic mod 89, coprime to
+    // the 16-byte frame size) — a linear-mod-64 sequence repeats every 4
+    // frames and the clip would match at every offset ≡ 0 (mod 4)
+    def s(n: Int, salt: Int) =
+      (0 until n).map(i => ((i * i * 3 + i * 5 + salt) % 89 + 33).toChar)
+        .mkString
+    val src = s(512, 11)
+    val clip = src.substring(192, 320)
+    val probe = s(128, 23) + clip + s(128, 51)
+    val docs = Seq((1L, src, "en", "t", 512L), (3L, probe, "en", "t", 384L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftafp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q271_audio_fingerprint")(spark, dir)
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("probe_id") === 3L)
+    assert(got(0).getAs[Long]("best_match") === 1L,
+      "the clip's source must win the tiebreak against self")
+    assert(got(0).getAs[Long]("best_offset") === 4L,
+      "clip starts at doc-3 frame 8 = doc-1 frame 12")
+    assert(got(0).getAs[Long]("votes") ===
+      got(0).getAs[Long]("n_query_landmarks"))
+  }
+
   test("q256 pHash dedup: identical payloads are mutual mates with the least id canonical; a disjoint payload stands alone") {
     import spark.implicits._
     // docs 1 and 2 byte-identical → identical 56-bit hash (hamming 0);
