@@ -1053,47 +1053,102 @@ object Similarity extends QueryModule {
   private def kcenterDistExpr(c: Seq[Long]) =
     expr(s"aggregate(zip_with(qv, array(${c.mkString("L,")}L), (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
+  /** q263/q272 shared artifacts — (staged micro-integerized vector dir,
+    * the k chosen centers in selection order with selection-time radius²,
+    * the final min-dist dir, the covering radius²) — run ONCE per input
+    * dir per JVM (the triArtifacts memo contract): the selection readout
+    * (q263) and the coverage audit (q272) consume the same traversal. */
+  private val kcenterCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Vector[(Long, Seq[Long], Long)], String, Long)]()
+
+  private[graft] def kcenterArtifacts(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Vector[(Long, Seq[Long], Long)], String, Long) =
+    kcenterCache.computeIfAbsent(d, _ => {
+      val tmp = graft.Scratch.dir("graft_kcenter_vecs")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"))
+        .write.mode("overwrite").parquet(tmp)
+      val vecs = s.read.parquet(tmp)
+      val seed = vecs
+        .select(col("vec_id"), col("qv"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("sq"))
+        .orderBy(col("sq").desc, col("vec_id")).limit(1)
+        .select("vec_id", "qv").collect()(0)
+      var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1), -1L))
+      var mindDir = graft.Scratch.dir("graft_kcenter_d0")
+      vecs.select(col("vec_id"), kcenterDistExpr(chosen.head._2).as("d"))
+        .write.mode("overwrite").parquet(mindDir)
+      for (r <- 1 until kcenterK) {
+        val mind = s.read.parquet(mindDir)
+        val pick = mind
+          .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+          .orderBy(col("d").desc, col("vec_id")).limit(1)
+          .join(vecs, "vec_id").select("vec_id", "d", "qv").collect()
+        require(pick.nonEmpty, s"k-center round $r: corpus exhausted below k=$kcenterK")
+        chosen = chosen :+ ((pick(0).getLong(0), pick(0).getSeq[Long](2), pick(0).getLong(1)))
+        val next = graft.Scratch.dir(s"graft_kcenter_d$r")
+        kcenterRoundUpdate(vecs, mind, chosen.last._2)
+          .write.mode("overwrite").parquet(next)
+        mindDir = next
+      }
+      val covering = s.read.parquet(mindDir).agg(max("d"))
+        .collect()(0).getLong(0)
+      (tmp, chosen, mindDir, covering)
+    })
+
   val kcenterCoreset: Q = (s, d) => {
     import s.implicits._
-    val tmp = graft.Scratch.dir("graft_kcenter_vecs")
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("qv"))
-      .write.mode("overwrite").parquet(tmp)
-    val vecs = s.read.parquet(tmp)
-    val seed = vecs
-      .select(col("vec_id"), col("qv"),
-        expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("sq"))
-      .orderBy(col("sq").desc, col("vec_id")).limit(1)
-      .select("vec_id", "qv").collect()(0)
-    var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1), -1L))
-    var mindDir = graft.Scratch.dir("graft_kcenter_d0")
-    vecs.select(col("vec_id"), kcenterDistExpr(chosen.head._2).as("d"))
-      .write.mode("overwrite").parquet(mindDir)
-    for (r <- 1 until kcenterK) {
-      val mind = s.read.parquet(mindDir)
-      val pick = mind
-        .filter(!col("vec_id").isin(chosen.map(_._1): _*))
-        .orderBy(col("d").desc, col("vec_id")).limit(1)
-        .join(vecs, "vec_id").select("vec_id", "d", "qv").collect()
-      require(pick.nonEmpty, s"k-center round $r: corpus exhausted below k=$kcenterK")
-      chosen = chosen :+ ((pick(0).getLong(0), pick(0).getSeq[Long](2), pick(0).getLong(1)))
-      val next = graft.Scratch.dir(s"graft_kcenter_d$r")
-      kcenterRoundUpdate(vecs, mind, chosen.last._2)
-        .write.mode("overwrite").parquet(next)
-      mindDir = next
-    }
-    val covering = s.read.parquet(mindDir).agg(max("d")).collect()(0).getLong(0)
+    val (_, chosen, _, covering) = kcenterArtifacts(s, d)
     (chosen.zipWithIndex.map { case ((id, _, rad), i) => (i.toLong, id, rad) } :+
       ((kcenterK.toLong, -1L, covering)))
       .toDF("sel_round", "vec_id", "radius2")
       .orderBy("sel_round")
   }
 
+  /** q272 — CORESET COVERAGE AUDIT: the measurement that justifies (or
+    * rejects) q263's selection — against the naive "first k by id"
+    * baseline every pipeline implicitly uses when it doesn't select,
+    * compare the two k-point summaries on the k-center objective
+    * (covering radius² — worst-case representation error) and on mean
+    * min-dist² (average representation error). The audit twin pattern
+    * (q72/q204/q215): a selection operator ships with the measurement
+    * that would catch it regressing. Reuses [[kcenterArtifacts]]' staged
+    * traversal; both methods' centers ride ONE broadcast 2k-row table
+    * into a single corpus scan (min over centers per vector, then a
+    * 2-row aggregate) — O(n·2k) map-side arithmetic, no shuffle beyond
+    * the method aggregate. Mean is summed over per-row d div 1000
+    * (BIGINT headroom to ~10¹⁶ vectors; the DECIMAL swap is documented
+    * at the sum). The kcenter row's covering radius must equal q263's
+    * in-band covering row — a cross-operator identity the spec pins.
+    */
+  val kcenterCoverage: Q = (s, d) => {
+    import s.implicits._
+    val (vecsDir, chosen, _, _) = kcenterArtifacts(s, d)
+    val vecs = s.read.parquet(vecsDir)
+    val firstK = vecs.orderBy("vec_id").limit(kcenterK)
+      .select(col("vec_id"), col("qv")).collect() // k rows, bounded
+    val centers = (chosen.map(c => ("kcenter", c._2)) ++
+      firstK.map(r => ("first_k", r.getSeq[Long](1))).toVector)
+      .toDF("method", "cqv")
+    val md = vecs.crossJoin(broadcast(centers))
+      .select(col("method"), col("vec_id"), expr(
+        """aggregate(zip_with(qv, cqv, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dd"))
+      .groupBy("method", "vec_id").agg(min("dd").as("d"))
+    md.groupBy("method").agg(count(lit(1)).as("n_vectors"),
+        max("d").as("covering_radius2"),
+        sum(expr("d div 1000")).as("sk"))
+      .select(col("method"), col("n_vectors"), col("covering_radius2"),
+        expr("sk div n_vectors").as("mean_dist2_kilo"))
+      .orderBy("method")
+  }
+
   def queries: Map[String, Q] = Map(
     "q153_label_centroids" -> labelCentroids,
     "q263_kcenter_coreset" -> kcenterCoreset,
+    "q272_kcenter_coverage" -> kcenterCoverage,
     "q101_semantic_dedup" -> semanticDedup,
     "q96_pq_codes" -> pqCodes,
     "q95_random_projection" -> randomProjection,
@@ -1121,40 +1176,48 @@ object Similarity extends QueryModule {
 
   private val duckBucket = duckBandBucket(0)
 
+  /** The q263 farthest-first CTE chain (e, sq, c0, d0, c1..d{k−1}),
+    * shared by the q263 readout and the q272 coverage audit — every CTE
+    * MATERIALIZED because the inlined form re-evaluates the chain
+    * exponentially. */
+  private def kcenterOracleChain: String = {
+    def exclusion(n: Int) =
+      (0 until n).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+    val rounds = (1 until kcenterK).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id, d FROM d${r - 1}
+         |  WHERE vec_id NOT IN (${exclusion(r)})
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT p.vec_id, CAST(LEAST(p.d, nd.d) AS BIGINT) AS d
+         |  FROM d${r - 1} p JOIN (
+         |    SELECT a.vec_id, SUM((a.q - b.q) * (a.q - b.q)) AS d
+         |    FROM e a JOIN e b ON a.dim = b.dim
+         |      AND b.vec_id = (SELECT vec_id FROM c$r)
+         |    GROUP BY 1) nd ON p.vec_id = nd.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+       |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q
+       |  FROM embeddings),
+       |sq AS (SELECT vec_id, sum(q * q) AS sq FROM e GROUP BY 1),
+       |c0 AS MATERIALIZED (SELECT vec_id FROM sq ORDER BY sq DESC, vec_id LIMIT 1),
+       |d0 AS MATERIALIZED (SELECT a.vec_id,
+       |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+       |  FROM e a JOIN e b ON a.dim = b.dim
+       |    AND b.vec_id = (SELECT vec_id FROM c0)
+       |  GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
   def oracles: Map[String, String] = restOracles ++ Map(
     // the identical farthest-first unroll: k−1 argmax CTEs chained by
     // scalar subqueries (the q247 oracle discipline), dist² in exact
     // ppm-integer arithmetic, radius trajectory and final covering
     // radius both re-derived — the hash match certifies every round
     "q263_kcenter_coreset" -> {
-      def exclusion(n: Int) =
-        (0 until n).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
-      val rounds = (1 until kcenterK).map { r =>
-        s"""c$r AS MATERIALIZED (SELECT vec_id, d FROM d${r - 1}
-           |  WHERE vec_id NOT IN (${exclusion(r)})
-           |  ORDER BY d DESC, vec_id LIMIT 1),
-           |d$r AS MATERIALIZED (SELECT p.vec_id, CAST(LEAST(p.d, nd.d) AS BIGINT) AS d
-           |  FROM d${r - 1} p JOIN (
-           |    SELECT a.vec_id, SUM((a.q - b.q) * (a.q - b.q)) AS d
-           |    FROM e a JOIN e b ON a.dim = b.dim
-           |      AND b.vec_id = (SELECT vec_id FROM c$r)
-           |    GROUP BY 1) nd ON p.vec_id = nd.vec_id)""".stripMargin
-      }.mkString(",\n")
       val sel = (1 until kcenterK).map { r =>
         s"UNION ALL SELECT CAST($r AS BIGINT), (SELECT vec_id FROM c$r), (SELECT CAST(d AS BIGINT) FROM c$r)"
       }.mkString("\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id,
-         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
-         |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q
-         |  FROM embeddings),
-         |sq AS (SELECT vec_id, sum(q * q) AS sq FROM e GROUP BY 1),
-         |c0 AS MATERIALIZED (SELECT vec_id FROM sq ORDER BY sq DESC, vec_id LIMIT 1),
-         |d0 AS MATERIALIZED (SELECT a.vec_id,
-         |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
-         |  FROM e a JOIN e b ON a.dim = b.dim
-         |    AND b.vec_id = (SELECT vec_id FROM c0)
-         |  GROUP BY 1),
-         |$rounds
+      s"""WITH $kcenterOracleChain
          |SELECT CAST(0 AS BIGINT) AS sel_round,
          |  (SELECT vec_id FROM c0) AS vec_id, CAST(-1 AS BIGINT) AS radius2
          |$sel
@@ -1162,6 +1225,28 @@ object Similarity extends QueryModule {
          |  (SELECT CAST(max(d) AS BIGINT) FROM d${kcenterK - 1})
          |ORDER BY sel_round""".stripMargin
     },
+    // the shared farthest-first chain, then both methods' min-dist tables
+    // reduced by the identical coverage aggregate — the kcenter leg reads
+    // the chain's own final d-table, the baseline re-derives from e
+    "q272_kcenter_coverage" ->
+      s"""WITH $kcenterOracleChain,
+         |f8 AS MATERIALIZED (SELECT DISTINCT vec_id FROM e
+         |  ORDER BY vec_id LIMIT $kcenterK),
+         |bd AS MATERIALIZED (SELECT vec_id, min(dd) AS d FROM (
+         |    SELECT a.vec_id, b.vec_id AS c,
+         |      SUM((a.q - b.q) * (a.q - b.q)) AS dd
+         |    FROM e a JOIN e b ON a.dim = b.dim
+         |      AND b.vec_id IN (SELECT vec_id FROM f8)
+         |    GROUP BY 1, 2) GROUP BY 1)
+         |SELECT 'first_k' AS method, count(*) AS n_vectors,
+         |  CAST(max(d) AS BIGINT) AS covering_radius2,
+         |  CAST(sum(d // 1000) // count(*) AS BIGINT) AS mean_dist2_kilo
+         |FROM bd
+         |UNION ALL
+         |SELECT 'kcenter', count(*), CAST(max(d) AS BIGINT),
+         |  CAST(sum(d // 1000) // count(*) AS BIGINT)
+         |FROM d${kcenterK - 1}
+         |ORDER BY method""".stripMargin,
     // q101's identical cell-blocked edge set; the fixpoint recomputed by
     // recursive label reachability — any label the iterative loop leaves
     // un-propagated mismatches the closure

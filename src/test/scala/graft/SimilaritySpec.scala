@@ -271,6 +271,26 @@ class SimilaritySpec extends SparkSpec {
       "covering radius after all k centers exceeds the last selection radius")
   }
 
+  test("q272 coverage audit: k-center beats the first-k baseline; its covering radius IS q263's in-band covering row") {
+    val rows = q("q272_kcenter_coverage").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 2)
+    val (kc, fk) = (rows("kcenter"), rows("first_k"))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(kc.getAs[Long]("n_vectors") === n)
+    assert(fk.getAs[Long]("n_vectors") === n)
+    // farthest-first exists to shrink the worst case: measured strictly
+    // better than first-k at sf0.001/0.01/0.1 (deterministic — can't flake)
+    assert(kc.getAs[Long]("covering_radius2") <
+      fk.getAs[Long]("covering_radius2"))
+    // cross-operator identity: the audit's kcenter covering radius is the
+    // SAME quantity q263 emits as its final covering row
+    val q263Cover = q("q263_kcenter_coreset").collect()
+      .find(_.getLong(0) === graft.operators.Similarity.kcenterK.toLong)
+      .get.getLong(2)
+    assert(kc.getAs[Long]("covering_radius2") === q263Cover)
+  }
+
   test("q101 semantic dedup: total verdict cover, min-id reps, cell minima kept") {
     val rows = q("q101_semantic_dedup").collect()
     val n = graft.sources.Tables.embeddings(spark, sf).count()
