@@ -2234,7 +2234,8 @@ object Graph extends QueryModule {
         |SELECT * FROM top
         |UNION ALL
         |SELECT CAST(10 AS INT), CAST(-1 AS BIGINT), count(*),
-        |  sum(n_triangles) // 3, sum(lcc_ppm) // count(*)
+        |  CAST(sum(n_triangles) // 3 AS BIGINT),
+        |  CAST(sum(lcc_ppm) // count(*) AS BIGINT)
         |FROM lcc WHERE degree >= 2
         |ORDER BY rk""".stripMargin,
     // identical moments in DECIMAL(38,0), the identical final expression

@@ -772,7 +772,55 @@ object Pipeline extends QueryModule {
       .orderBy("level")
   }
 
+  /** q273 window geometry: 24-token chunks advancing by a 20-token
+    * stride, so 4 tokens of leading overlap stitch retrieval context
+    * across boundaries — scaled to the fixtures' 10–99-token documents
+    * (production dials ~512/64). Overlap < stride keeps every token in
+    * at most TWO chunks, the property the assignment rule exploits. */
+  private[graft] val chunkBudget = 24L
+  private[graft] val chunkStride = 20L
+
+  /** q273 — OVERLAPPING TOKEN-WINDOW CHUNKING: the RAG sliding-window
+    * indexer — q90 cuts at a fixed CHARACTER offset (mid-word, no
+    * overlap); this cuts at whitespace-token boundaries into
+    * [[chunkBudget]]-token windows advancing by [[chunkStride]], so
+    * consecutive chunks share budget−stride tokens of context (the
+    * stitching that keeps an answer spanning a boundary retrievable).
+    * (A sentence-boundary packer is the next refinement, but the fixture
+    * corpus contains zero sentence terminators — boundary-awareness here
+    * means never splitting a word.) Fully declarative assignment: token i
+    * belongs to chunk i div stride, plus chunk (i div stride)−1 when
+    * i mod stride < overlap — each token lands in ≤2 chunks because
+    * overlap < stride, so the fan-out is a 2-way union of projections,
+    * never a range join. One posexplode is the corpus-sized pass;
+    * everything shuffles on doc_id once. Output: one row per (doc,
+    * chunk) with token counts, overlap count, token span, and a length
+    * checksum — the manifest a RAG indexer embeds from.
+    */
+  val tokenWindows: Q = (s, d) => {
+    val over = chunkBudget - chunkStride
+    val toksIdx = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), posexplode(toks).as(Seq("i", "tok")))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        length(col("tok")).cast("long").as("w"))
+    val main = toksIdx.select(col("doc_id"),
+      expr(s"i div $chunkStride").as("chunk"), col("i"), col("w"),
+      lit(false).as("is_overlap"))
+    val overlap = toksIdx
+      .filter(col("i") % chunkStride < over && col("i") >= chunkStride)
+      .select(col("doc_id"), expr(s"i div $chunkStride - 1").as("chunk"),
+        col("i"), col("w"), lit(true).as("is_overlap"))
+    main.unionByName(overlap)
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_overlap"), 1L).otherwise(0L)).as("n_overlap"),
+        min("i").as("first_tok"), max("i").as("last_tok"),
+        sum("w").as("len_checksum"))
+      .orderBy("doc_id", "chunk")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q273_token_windows" -> tokenWindows,
     "q264_kanonymity" -> kAnonymity,
     "q234_pipeline_e2e" -> pipelineE2e,
     "q186_dataset_card" -> datasetCard,
@@ -794,6 +842,31 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    // the identical ≤2-chunk assignment rule (i div stride, plus the
+    // previous chunk when i mod stride < overlap) over the identical
+    // whitespace token index
+    "q273_token_windows" -> {
+      val over = chunkBudget - chunkStride
+      raw"""WITH tk AS (SELECT doc_id,
+         |    CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS i,
+         |    CAST(len(unnest(ts)) AS BIGINT) AS w
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(text, '\s+'), t -> len(t) > 0) AS ts
+         |    FROM documents)),
+         |uni AS (
+         |  SELECT doc_id, i // $chunkStride AS chunk, i, w,
+         |    false AS is_overlap FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, i // $chunkStride - 1, i, w, true FROM tk
+         |  WHERE i % $chunkStride < $over AND i >= $chunkStride)
+         |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN is_overlap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overlap,
+         |  min(i) AS first_tok, max(i) AS last_tok,
+         |  CAST(sum(w) AS BIGINT) AS len_checksum
+         |FROM uni GROUP BY 1, 2 ORDER BY doc_id, chunk""".stripMargin
+    },
     // the identical ladder: modal-priority sensitive label via the same
     // window argmax, exact DECIMAL→cents banding, BIGINT `//` (both
     // engines truncate toward zero, so negative bands agree), and the
@@ -801,12 +874,14 @@ object Pipeline extends QueryModule {
     "q264_kanonymity" -> {
       def lvl(lv: Int, width: Int, qi: String) =
         s"""SELECT CAST($lv AS INT) AS level, CAST($width AS INT) AS band_width,
-           |  count(*) AS n_classes, sum(n) AS n_rows,
+           |  count(*) AS n_classes, CAST(sum(n) AS BIGINT) AS n_rows,
            |  min(n) AS k_anonymity,
-           |  sum(CASE WHEN n < $kAnonK THEN 1 ELSE 0 END) AS violating_classes,
-           |  sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) AS suppressed_rows,
-           |  (sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) * 1000000)
-           |    // sum(n) AS suppressed_ppm,
+           |  CAST(sum(CASE WHEN n < $kAnonK THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS violating_classes,
+           |  CAST(sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) AS BIGINT)
+           |    AS suppressed_rows,
+           |  CAST((sum(CASE WHEN n < $kAnonK THEN n ELSE 0 END) * 1000000)
+           |    // sum(n) AS BIGINT) AS suppressed_ppm,
            |  coalesce(min(CASE WHEN n >= $kAnonK THEN ldiv END),
            |    CAST(-1 AS BIGINT)) AS l_diversity
            |FROM (SELECT $qi AS qi, count(*) AS n,

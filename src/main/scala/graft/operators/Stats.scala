@@ -1489,9 +1489,9 @@ object Stats extends QueryModule {
          |grid AS MATERIALIZED (SELECT t, d, n,
          |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
          |  FROM (SELECT t, d,
-         |      (SELECT sum(leave) FROM hist) - coalesce(sum(leave)
+         |      CAST((SELECT sum(leave) FROM hist) - coalesce(sum(leave)
          |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-         |          AND 1 PRECEDING), 0) AS n
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS n
          |    FROM hist) WHERE d > 0),
          |km(i, s) AS (
          |  SELECT CAST(0 AS BIGINT), CAST(1000000000000 AS BIGINT)

@@ -1115,9 +1115,11 @@ object Storage extends QueryModule {
          |    (doc_id % $dvMod = $dvTomb) AS deleted
          |  FROM documents)
          |SELECT bkt, count(*) AS n_rows,
-         |  sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS n_deleted,
-         |  sum(CASE WHEN deleted THEN pos ELSE 0 END) AS del_pos_checksum,
-         |  sum(CASE WHEN NOT deleted THEN doc_id ELSE 0 END)
+         |  CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_deleted,
+         |  CAST(sum(CASE WHEN deleted THEN pos ELSE 0 END) AS BIGINT)
+         |    AS del_pos_checksum,
+         |  CAST(sum(CASE WHEN NOT deleted THEN doc_id ELSE 0 END) AS BIGINT)
          |    AS live_id_checksum
          |FROM b GROUP BY bkt ORDER BY bkt""".stripMargin,
     "q197_backfill_gaps" ->

@@ -2172,8 +2172,8 @@ object Text extends QueryModule {
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(e) // count(*) AS BIGINT) AS mean_entropy_micro,
          |  min(e) AS min_entropy_micro,
-         |  sum(CASE WHEN e < $entropyLowMicro THEN 1 ELSE 0 END)
-         |    AS n_low_entropy
+         |  CAST(sum(CASE WHEN e < $entropyLowMicro THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_low_entropy
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     // q236's encode machinery re-read per LANGUAGE, the premium via a
     // scalar-subquery min — same raw-byte delimiter contract

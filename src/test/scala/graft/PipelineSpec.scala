@@ -237,6 +237,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q273 token windows: 24/20 geometry tiles exactly, token mass conserved, planted doc chunks by hand") {
+    val rows = q("q273_token_windows").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chunk, n, ov, f, l) = (r.getAs[Long]("chunk"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_overlap"),
+        r.getAs[Long]("first_tok"), r.getAs[Long]("last_tok"))
+      assert(f === 20L * chunk, "chunks start on the stride grid")
+      assert(n === l - f + 1, "windows are contiguous token ranges")
+      assert(n <= 24L && ov <= 4L)
+    }
+    // conservation: each token is OWNED by exactly one chunk, so
+    // Σ(n_tokens − n_overlap) per doc = the doc's token count
+    val own = rows.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => r.getAs[Long]("n_tokens") - r.getAs[Long]("n_overlap")).sum)
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    own.foreach { case (doc, o) => assert(o === counts(doc), s"doc $doc") }
+    // hand-checked 45-token doc: [0,24), [20,44), [40,45)
+    import spark.implicits._
+    val docs = Seq((7L, (1 to 45).map(i => s"w$i").mkString(" "), "en", "t", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftchunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q273_token_windows")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_overlap"), r.getAs[Long]("first_tok"),
+        r.getAs[Long]("last_tok")))
+    assert(got.toList === List(
+      (0L, 24L, 4L, 0L, 23L), (1L, 24L, 4L, 20L, 43L),
+      (2L, 5L, 0L, 40L, 44L)))
+  }
+
   test("q271 audio fingerprint: every probe achieves perfect snippet recall; a planted clip is recognized at its true offset") {
     val rows = q("q271_audio_fingerprint").collect()
     assert(rows.nonEmpty)
