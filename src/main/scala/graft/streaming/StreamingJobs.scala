@@ -755,7 +755,78 @@ object StreamingJobs extends QueryModule {
 
   val streamOhlc: Q = (s, d) => streamOhlcRun(s, d)._1
 
+  /** q275 — STREAMING SCD2 TEMPORAL ENRICHMENT: the topology between
+    * q51's stream-static join (latest dimension only) and q109's batch
+    * SCD2 (the dimension's history): each arriving fact joins the
+    * dimension VERSION VALID AT ITS EVENT TIME — the enrichment rule
+    * that keeps a backfill correct when the dimension has changed since
+    * the events happened (a latest-version join silently rewrites
+    * history). Orders arrive as a 4-micro-batch file stream
+    * (maxFilesPerTrigger=2 over 8 staged files); the dimension is q109's
+    * OWN version table staged once; per batch, ONE custkey equi-join
+    * with the [valid_from, valid_to) residual (per-key version lists are
+    * small, so the residual filters a few rows per key — never a range
+    * cartesian), written to a batch-id-keyed dir (overwrite ⇒ replay
+    * idempotent, the q244 sink contract). Verdicts are ROW-LOCAL (event
+    * time vs a static dimension), hence micro-batch-boundary-independent
+    * — so the DuckDB oracle is the plain batch temporal join, and the
+    * stream/batch hash match IS the parity proof. The self-referential
+    * fixture (the dim derives from the same orders) guarantees
+    * exactly-once coverage: every order falls in exactly one version
+    * window, which the spec asserts by mass.
+    */
+  private[graft] def scd2EnrichRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    val root = graft.Scratch.dir("graft_stream_scd2")
+    var batches = 0L
+    val src = s"$root/src"
+    Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(src)
+    val dimPath = s"$root/dim"
+    graft.operators.Relational.scd2(s, d)
+      .write.mode("overwrite").parquet(dimPath)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val dim = s.read.parquet(dimPath)
+          batch.select("o_orderkey", "o_custkey", "o_orderdate",
+              "o_totalprice")
+            .join(dim, batch("o_custkey") === dim("o_custkey") &&
+              batch("o_orderdate") >= dim("valid_from") &&
+              (dim("valid_to").isNull ||
+                batch("o_orderdate") < dim("valid_to")))
+            .select(batch("o_orderkey"), col("status"), col("is_current"),
+              batch("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$root/enriched_b$id")
+          batches += 1
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    // explicit child listing, not a glob: glob resolution logs a
+    // WARN-level FileNotFoundException stack through the lazy-analysis
+    // retry (the q249 finding) even when the read succeeds
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = hfs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("enriched_b"))
+      .map(_.getPath.toString)
+    val out = s.read.parquet(parts: _*)
+      .groupBy("status", "is_current")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("status", "is_current")
+    (out, batches)
+  }
+
+  val streamScd2Enrich: Q = (s, d) => scd2EnrichRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q275_stream_scd2_enrich" -> streamScd2Enrich,
     "q212_stream_ohlc" -> streamOhlc,
     "q190_stream_bitmap" -> streamBitmap,
     "q162_stream_hll" -> streamHll,
@@ -769,6 +840,35 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // the plain batch temporal join: q109's version chain + the identical
+    // [valid_from, valid_to) residual — row-local verdicts make the
+    // stream/batch hash match the parity proof
+    "q275_stream_scd2_enrich" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |      AS prev
+        |  FROM orders),
+        |chg AS (
+        |  SELECT * FROM src WHERE prev IS NULL OR prev <> o_orderstatus),
+        |ver AS MATERIALIZED (SELECT o_custkey,
+        |    o_orderstatus AS status,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to,
+        |    CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+        |      AS is_current
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)),
+        |enr AS (SELECT v.status, v.is_current, o.o_totalprice
+        |  FROM orders o JOIN ver v ON o.o_custkey = v.o_custkey
+        |    AND o.o_orderdate >= v.valid_from
+        |    AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to))
+        |SELECT status, is_current, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM enr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact merge ⇒ the streamed bars equal batch q175's — one oracle
     // (Events.scala's q175 SQL verbatim) serves both formulations
     "q212_stream_ohlc" ->

@@ -5,6 +5,27 @@ import org.apache.spark.sql.streaming.Trigger
 
 class StreamingSpec extends SparkSpec {
 
+  test("q275 SCD2 enrichment: genuinely multi-batch, every order matched exactly once, equals the batch temporal join") {
+    val (rep, batches) = graft.streaming.StreamingJobs.scd2EnrichRun(spark, sf)
+    assert(batches === 4L, "8 staged files at maxFilesPerTrigger=2")
+    val rows = rep.collect()
+    // exactly-once coverage: the version windows tile each customer's
+    // timeline, so the enriched mass equals the order count
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === total)
+    // batch twin computed directly in Spark — the stream must agree
+    val dim = graft.operators.Relational.scd2(spark, sf)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val batch = o.join(dim, o("o_custkey") === dim("o_custkey") &&
+        o("o_orderdate") >= dim("valid_from") &&
+        (dim("valid_to").isNull || o("o_orderdate") < dim("valid_to")))
+      .groupBy("status", "is_current").agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(batch((r.getString(0), r.getInt(1))) === r.getAs[Long]("n_orders"))
+    }
+  }
+
   test("streaming tumbling window equals the batch q22 result (parity)") {
     val batch = q("q22_window_tumbling").collect().map(_.toSeq).toSet
     val stream = q("q39_stream_tumbling").collect().map(_.toSeq).toSet
