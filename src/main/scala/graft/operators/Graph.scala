@@ -372,6 +372,115 @@ object Graph extends QueryModule {
           4).as("assortativity"))
   }
 
+  /** q276 truss order (edges must sit in ≥ trussK−2 triangles) and the
+    * fixed unroll depth both engines replay (the q148 discipline). */
+  private[graft] val trussK = 4
+  private[graft] val trussRounds = 12
+
+  /** Triangle triples (a, b, c) of an arbitrary CANONICAL (u < v) edge
+    * set, by the q138/q265 degree-oriented intersection walk — staged
+    * orientation, adjacency build, one merge walk per oriented edge.
+    * Shared by q276's per-round support recomputation. */
+  private def trussTriples(s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val dir = edges
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+    val adj = dir.groupBy("s").agg(sort_array(collect_list("t")).as("nbrs"))
+    dir
+      .join(adj.select(col("s").as("ju"), col("nbrs").as("nu")),
+        col("s") === col("ju"))
+      .join(adj.select(col("s").as("jv"), col("nbrs").as("nv")),
+        col("t") === col("jv"))
+      .select(col("s").as("a"), col("t").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
+  }
+
+  /** q276 — k-TRUSS PEELING (convergent): the EDGE-cohesion ladder above
+    * q148's node k-core — an edge survives the 4-truss iff it sits in
+    * ≥ 2 surviving triangles, so peeling removes bridge/spam edges that
+    * degree alone (k-core keeps any well-connected hub) cannot: the
+    * community-backbone extraction step before mining dense structure.
+    * Synchronous peel to the fixpoint over the REPEAT-co-purchase edge
+    * list (q148's m ≥ 2 cut — see the inline note): each round
+    * re-enumerates triangles
+    * on the ALIVE set via the degree-oriented intersection walk
+    * ([[trussTriples]] — never wedge materialization), credits each
+    * triangle to its three canonical edges, and drops edges under
+    * support; alive edges re-stage per round (the CC-loop lineage
+    * discipline — the set only shrinks, so per-round cost is monotone
+    * non-increasing). Trajectory output (round, n_removed, n_alive,
+    * alive_checksum) with the first zero-removal round as the in-band
+    * fixpoint certificate; post-fixpoint rounds are emitted as constants
+    * without recomputation (q148's argument: a zero-removal alive set is
+    * provably invariant), and the oracle's [[trussRounds]] unroll
+    * recomputes every round anyway — agreement certifies the shortcut.
+    * The checksum is Σ (u·524287 + v) mod 1e9+7 per edge — bounded
+    * per-term, exact BIGINT at any graph size both engines reach.
+    */
+  val ktruss: Q = (s, d) => {
+    import s.implicits._
+    // q148's REPEAT-co-purchase graph (pairs sharing ≥ 2 orders): the raw
+    // basket graph is a dense near-clique where every edge clears any
+    // small truss order (measured: zero removals at k=4) — the repeat cut
+    // keeps the organic sparse structure where peeling means something
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val rawEdges = items.alias("a").join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select("u", "v")
+    val edgeDir = graft.Scratch.dir("graft_truss_a0")
+    rawEdges.write.mode("overwrite").parquet(edgeDir)
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(expr("(u * 524287 + v) % 1000000007"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var aliveDir = edgeDir
+    var (prevN, prevCk) = stats(s.read.parquet(aliveDir))
+    var converged = false
+    val rows = (1 to trussRounds).map { r =>
+      if (converged) (r, 0L, prevN, prevCk)
+      else {
+        val alive = s.read.parquet(aliveDir)
+        val tri = trussTriples(s, alive)
+        val sup = tri.select(explode(array(
+            struct(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v")),
+            struct(least(col("a"), col("c")).as("u"),
+              greatest(col("a"), col("c")).as("v")),
+            struct(least(col("b"), col("c")).as("u"),
+              greatest(col("b"), col("c")).as("v")))).as("e"))
+          .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+          .agg(count(lit(1)).as("sup"))
+        val next = alive.join(sup, Seq("u", "v"))
+          .filter(col("sup") >= trussK - 2).select("u", "v")
+        val dir2 = graft.Scratch.dir(s"graft_truss_a$r")
+        next.write.mode("overwrite").parquet(dir2)
+        val (n, ck) = stats(s.read.parquet(dir2))
+        val removed = prevN - n
+        aliveDir = dir2
+        prevN = n; prevCk = ck
+        if (removed == 0L) converged = true
+        (r, removed, n, ck)
+      }
+    }
+    rows.toDF("round", "n_removed", "n_alive", "alive_checksum")
+      .select(col("round").cast("int").as("round"), col("n_removed"),
+        col("n_alive"), col("alive_checksum"))
+      .orderBy("round")
+  }
+
   /** k-core threshold and peel-round bound (q148). */
   private val coreK = 3
   private val coreRounds = 12
@@ -1562,6 +1671,7 @@ object Graph extends QueryModule {
     "q138_triangle_count" -> triangleCount,
     "q265_local_clustering" -> localClustering,
     "q266_assortativity" -> assortativity,
+    "q276_ktruss" -> ktruss,
     "q148_kcore_peel" -> kcorePeel,
     "q155_label_propagation" -> labelPropagation,
     "q202_modularity" -> modularity,
@@ -2238,6 +2348,43 @@ object Graph extends QueryModule {
         |  CAST(sum(lcc_ppm) // count(*) AS BIGINT)
         |FROM lcc WHERE degree >= 2
         |ORDER BY rk""".stripMargin,
+    // every round recomputed from scratch (canonical u<v<w triangle join,
+    // 3-way edge credits, the same support cut and checksum) — the
+    // oracle's full unroll certifies the engine's post-fixpoint
+    // constant-row shortcut
+    "q276_ktruss" -> {
+      val rounds = (1 to trussRounds).map { r =>
+        s"""t$r AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM a${r - 1} e1
+           |  JOIN a${r - 1} e2 ON e1.v = e2.u
+           |  JOIN a${r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |sp$r AS (SELECT u, v, count(*) AS sup FROM (
+           |    SELECT a AS u, b AS v FROM t$r
+           |    UNION ALL SELECT b, c FROM t$r
+           |    UNION ALL SELECT a, c FROM t$r) GROUP BY 1, 2),
+           |a$r AS MATERIALIZED (SELECT e.u, e.v FROM a${r - 1} e
+           |  JOIN sp$r s ON e.u = s.u AND e.v = s.v
+           |  WHERE s.sup >= ${trussK - 2})""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to trussRounds).map { r =>
+        s"""SELECT CAST($r AS INT) AS round,
+           |  (SELECT count(*) FROM a${r - 1})
+           |    - (SELECT count(*) FROM a$r) AS n_removed,
+           |  (SELECT count(*) FROM a$r) AS n_alive,
+           |  (SELECT coalesce(CAST(sum((u * 524287 + v) % 1000000007)
+           |    AS BIGINT), 0) FROM a$r) AS alive_checksum""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |a0 AS MATERIALIZED (
+         |  SELECT u, v FROM (
+         |    SELECT a.p AS u, b.p AS v, count(*) AS m
+         |    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         |    GROUP BY 1, 2) WHERE m >= 2),
+         |$rounds
+         |$out
+         |ORDER BY round""".stripMargin
+    },
     // identical moments in DECIMAL(38,0), the identical final expression
     // shape (cast → divide → sqrt → round 4): the doubles are the same
     // bits, so round-4 parity is exact, the q33 argument

@@ -1114,6 +1114,38 @@ class AnalyticsSpec extends SparkSpec {
       summary.getAs[Long]("lcc_ppm") <= 1000000L)
   }
 
+  test("q276 k-truss: alive set monotone, constant after the first zero round; planted pendant triangle peels while K5 survives") {
+    val rows = q("q276_ktruss").collect().sortBy(_.getInt(0))
+    assert(rows.length === graft.operators.Graph.trussRounds)
+    val alive = rows.map(_.getAs[Long]("n_alive"))
+    alive.sliding(2).foreach { w => assert(w(1) <= w(0)) }
+    val firstZero = rows.indexWhere(_.getAs[Long]("n_removed") === 0L)
+    assert(firstZero >= 0, "must reach the fixpoint within the unroll")
+    rows.drop(firstZero).foreach { r =>
+      assert(r.getAs[Long]("n_removed") === 0L)
+      assert(r.getAs[Long]("n_alive") === alive(firstZero))
+    }
+    // planted: K5 on parts 1–5 plus a pendant triangle (5,6,7); every edge
+    // is two 2-part orders, so the repeat graph is exactly these edges.
+    // K5 edges sit in 3 triangles each (4-truss members); the pendant
+    // triangle's edges sit in exactly 1 → peeled in round 1, K5 intact.
+    import spark.implicits._
+    val edges = (for { u <- 1 to 5; v <- (u + 1) to 5 } yield (u, v)) ++
+      Seq((5, 6), (5, 7), (6, 7))
+    val li = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((2L * i, u.toLong), (2L * i, v.toLong),
+        (2L * i + 1, u.toLong), (2L * i + 1, v.toLong))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("grafttruss").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q276_ktruss")(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(got(0).getAs[Long]("n_removed") === 3L)
+    assert(got(0).getAs[Long]("n_alive") === 10L)
+    assert(got(1).getAs[Long]("n_removed") === 0L)
+    assert(got(1).getAs[Long]("n_alive") === 10L)
+  }
+
   test("q267 Kaplan-Meier: survival monotone from 1e12, risk set strictly shrinking, events bounded by risk") {
     val rows = q("q267_kaplan_meier").collect()
     assert(rows.nonEmpty)
