@@ -1407,7 +1407,61 @@ object Stats extends QueryModule {
       .orderBy("t_days")
   }
 
+  /** q277 — THEIL–SEN ROBUST TREND vs OLS: the median of all pairwise
+    * slopes of the monthly revenue series — the trend estimator with a
+    * 29% breakdown point, against q151-style least squares whose single
+    * outlier month (a backfill gap, a duplicated load) can drag the fit
+    * arbitrarily. A pipeline reads the DIVERGENCE of the two as the
+    * outlier alarm on any metric series. Everything exact integer: the
+    * series is (month index, revenue cents) — calendar-bounded, so the
+    * O(months²) pair self-join is metadata-sized at any corpus scale
+    * (the q209/q267 value-histogram discipline); slopes are
+    * micro-cents-per-month via truncating div (identical in both
+    * engines), the median is the lower-median element at position
+    * (n+1) div 2 under the deterministic (slope, m1, m2) order, and the
+    * OLS slope is the closed-form integer expression on the same grid.
+    */
+  val theilSen: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.orders(s, d)
+      .select(((year(to_date(col("o_orderdate"))) * 12) +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("m").agg(sum("cents").as("c"))
+    // rebase month indices to series-start: keeps every moment product
+    // (m·c, m², n·Σmc) comfortably inside BIGINT — the epoch-month code
+    // (~24k) would push n·Σmc past 2⁶³ on a large-revenue series
+    val monthly = raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
+      .select((col("m") - col("m0")).as("m"), col("c"))
+    val a = monthly.select(col("m").as("m1"), col("c").as("c1"))
+    val b = monthly.select(col("m").as("m2"), col("c").as("c2"))
+    val slopes = a.join(b, col("m1") < col("m2"))
+      .select(col("m1"), col("m2"),
+        expr("(c2 - c1) * 1000000 div (m2 - m1)").as("sl"))
+    val w = Window.orderBy(col("sl"), col("m1"), col("m2"))
+    val med = slopes.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("sl").as("theilsen_slope_micro"), col("n_pairs"))
+    val ols = monthly.agg(count(lit(1)).as("n_months"),
+        sum("m").as("sx"), sum("c").as("sy"),
+        sum(expr("m * c")).as("sxy"), sum(expr("m * m")).as("sxx"))
+      // (num·1e6) div den via the q267 overflow-free decomposition —
+      // num·1e6 alone passes 2⁶³ once monthly revenue reaches ~1e14
+      // micro-cents; num and den themselves stay comfortably inside
+      .withColumn("num", expr("n_months * sxy - sx * sy"))
+      .withColumn("den", expr("n_months * sxx - sx * sx"))
+      .select(col("n_months"),
+        expr("""(num div den) * 1000000
+                + ((num % den) * 1000000) div den""").as("ols_slope_micro"))
+    ols.crossJoin(med)
+      .select(col("n_months"), col("n_pairs"),
+        col("theilsen_slope_micro"), col("ols_slope_micro"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
     "q195_cusum_changepoint" -> cusumChangepoint,
     "q194_salt_advisor" -> saltAdvisor,
@@ -1469,6 +1523,37 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the identical rebased grid, truncating micro-slope, lower-median
+    // position under the same (slope, m1, m2) order, and the same
+    // closed-form integer OLS
+    "q277_theil_sen" ->
+      """WITH raw AS (SELECT
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |monthly AS MATERIALIZED (
+        |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+        |slopes AS (SELECT a.m AS m1, b.m AS m2,
+        |    CAST((b.c - a.c) * 1000000 // (b.m - a.m) AS BIGINT) AS sl
+        |  FROM monthly a JOIN monthly b ON a.m < b.m),
+        |med AS (SELECT sl AS theilsen_slope_micro,
+        |    (SELECT count(*) FROM slopes) AS n_pairs
+        |  FROM (SELECT sl, row_number() OVER (ORDER BY sl, m1, m2) AS rk
+        |    FROM slopes)
+        |  WHERE rk = ((SELECT count(*) FROM slopes) + 1) // 2),
+        |mom AS (SELECT count(*) AS n_months,
+        |    CAST(count(*) * sum(m * c) - sum(m) * sum(c) AS BIGINT) AS num,
+        |    CAST(count(*) * sum(m * m) - sum(m) * sum(m) AS BIGINT) AS den
+        |  FROM monthly),
+        |ols AS (SELECT n_months,
+        |    (num // den) * 1000000 + ((num % den) * 1000000) // den
+        |      AS ols_slope_micro
+        |  FROM mom)
+        |SELECT o.n_months, CAST(med.n_pairs AS BIGINT) AS n_pairs,
+        |  med.theilsen_slope_micro, o.ols_slope_micro
+        |FROM ols o CROSS JOIN med""".stripMargin,
     // the identical estimator: same censoring rule, same calendar-bounded
     // histogram, and the same 1e12 fixed-point recurrence replayed as a
     // recursive CTE — the overflow-free (s//n)(n-d) + ((s%n)(n-d))//n

@@ -1114,6 +1114,31 @@ class AnalyticsSpec extends SparkSpec {
       summary.getAs[Long]("lcc_ppm") <= 1000000L)
   }
 
+  test("q277 Theil-Sen: a planted outlier month leaves the median slope exact while OLS is dragged") {
+    val r = q("q277_theil_sen").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_pairs") ===
+      r(0).getAs[Long]("n_months") * (r(0).getAs[Long]("n_months") - 1) / 2)
+    // planted: 10 monthly points rising exactly $1.00/month, month 5
+    // replaced by a 100x outlier — the median pairwise slope stays the
+    // true 100 cents/month (1e8 micro-cents) because 36 of 45 pairs are
+    // clean; OLS is pulled far off it
+    import spark.implicits._
+    val orders = (0 until 10).map { m =>
+      val price = if (m == 5) 10000.0 else 10.0 + m * 1.0
+      (m.toLong, f"2020-${m + 1}%02d-01", price)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftts").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q277_theil_sen")(spark, dir).collect()(0)
+    assert(got.getAs[Long]("n_months") === 10L)
+    assert(got.getAs[Long]("n_pairs") === 45L)
+    assert(got.getAs[Long]("theilsen_slope_micro") === 100000000L,
+      "the robust estimator must recover the clean slope exactly")
+    assert(math.abs(got.getAs[Long]("ols_slope_micro") - 100000000L) >
+      100000000L, "OLS must be visibly dragged by the outlier")
+  }
+
   test("q276 k-truss: alive set monotone, constant after the first zero round; planted pendant triangle peels while K5 survives") {
     val rows = q("q276_ktruss").collect().sortBy(_.getInt(0))
     assert(rows.length === graft.operators.Graph.trussRounds)
