@@ -819,7 +819,65 @@ object Pipeline extends QueryModule {
       .orderBy("doc_id", "chunk")
   }
 
+  /** q278 — PASSAGE RETRIEVAL over the q273 windows: the RAG serving
+    * read — BM25 ranks PASSAGES (24-token overlapping windows), not
+    * whole documents, because the answer's location inside a long doc is
+    * what retrieval must return. Composes the library against itself:
+    * q273's ≤2-chunk assignment rule (overlap tokens score in BOTH
+    * windows — exactly why the overlap exists), q149's BM25 formula with
+    * passage-level tf/length/df (same constants, same single-ln-rounding
+    * ppm discipline), and the top-3 passages per query term via one
+    * WindowGroupLimit. Queries are the 4 highest-passage-df terms — the
+    * q149 deterministic pick at passage granularity. Output: 12 rows
+    * (term, pos, doc, chunk, score) — the serving table a RAG stack
+    * fetches context from. Scale: the token fan-out is ≤2× the corpus,
+    * every aggregate is map-side-combinable on (doc, chunk), and the
+    * scoring join probes a broadcast 4-term set — candidate rows scale
+    * with passage df, never corpus².
+    */
+  val passageRetrieval: Q = (s, d) => {
+    val over = chunkBudget - chunkStride
+    val tk = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), posexplode(toks).as(Seq("i", "tok")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("tok"))
+    val asgRaw = tk.select(col("doc_id"),
+        expr(s"i div $chunkStride").as("chunk"), col("tok"))
+      .unionByName(tk
+        .filter(col("i") % chunkStride < over && col("i") >= chunkStride)
+        .select(col("doc_id"), expr(s"i div $chunkStride - 1").as("chunk"),
+          col("tok")))
+    // STAGED, not shared lineage: tf and pl both derive from asg, and
+    // joining them re-resolves the shared union subtree per consumer —
+    // observed: pl's aggregate came back SPLIT BY UNION LEG (two rows
+    // pl=4/pl=20 for one (doc, chunk) instead of 24), silently wrong
+    // scores. A parquet leaf gives every consumer the same, final rows
+    // (and the token fan-out is scanned four times here anyway).
+    val tmp = graft.Scratch.dir("graft_passage_asg")
+    asgRaw.write.mode("overwrite").parquet(tmp)
+    val asg = s.read.parquet(tmp)
+    val tf = asg.groupBy("doc_id", "chunk", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val pl = asg.groupBy("doc_id", "chunk").agg(count(lit(1)).as("pl"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val terms = dfq.orderBy(col("df").desc, col("tok")).limit(4)
+    val stats = pl.agg(count(lit(1)).as("n_p"), sum("pl").as("sum_pl"))
+    val scored = tf.join(broadcast(terms), "tok")
+      .join(pl, Seq("doc_id", "chunk"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok").as("term"), col("doc_id"), col("chunk"),
+        expr("""CAST(round(ln((CAST(n_p AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(pl AS DOUBLE) * n_p / sum_pl))))
+               * 1000000) AS BIGINT)""").as("score_ppm"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score_ppm").desc, col("doc_id"), col("chunk"))
+    scored.withColumn("pos", row_number().over(w)).filter(col("pos") <= 3)
+      .select(col("term"), col("pos"), col("doc_id"), col("chunk"),
+        col("score_ppm"))
+      .orderBy("term", "pos")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q278_passage_retrieval" -> passageRetrieval,
     "q273_token_windows" -> tokenWindows,
     "q264_kanonymity" -> kAnonymity,
     "q234_pipeline_e2e" -> pipelineE2e,
@@ -842,6 +900,47 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    // q273's assignment + q149's formula at passage granularity, the same
+    // single-ln-rounding ppm and the same deterministic term pick
+    "q278_passage_retrieval" -> {
+      val over = chunkBudget - chunkStride
+      raw"""WITH tk AS (SELECT doc_id,
+         |    CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS i,
+         |    unnest(ts) AS tok
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(text, '\s+'), t -> len(t) > 0) AS ts
+         |    FROM documents)),
+         |asg AS MATERIALIZED (
+         |  SELECT doc_id, i // $chunkStride AS chunk, tok FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, i // $chunkStride - 1, tok FROM tk
+         |  WHERE i % $chunkStride < $over AND i >= $chunkStride),
+         |tf AS MATERIALIZED (SELECT doc_id, chunk, tok, count(*) AS tf
+         |  FROM asg GROUP BY 1, 2, 3),
+         |pl AS MATERIALIZED (SELECT doc_id, chunk, count(*) AS pl
+         |  FROM asg GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |terms AS MATERIALIZED (SELECT tok, df FROM dfq
+         |  ORDER BY df DESC, tok LIMIT 4),
+         |st AS (SELECT (SELECT count(*) FROM pl) AS n_p,
+         |  (SELECT CAST(sum(pl) AS BIGINT) FROM pl) AS sum_pl),
+         |sc AS (SELECT t.tok AS term, f.doc_id,
+         |    CAST(f.chunk AS BIGINT) AS chunk,
+         |    CAST(round(ln((CAST(st.n_p AS DOUBLE) - t.df + 0.5)
+         |        / (t.df + 0.5) + 1.0)
+         |      * (f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75
+         |        * (CAST(p.pl AS DOUBLE) * st.n_p / st.sum_pl))))
+         |      * 1000000) AS BIGINT) AS score_ppm
+         |  FROM tf f JOIN terms t ON f.tok = t.tok
+         |  JOIN pl p ON f.doc_id = p.doc_id AND f.chunk = p.chunk
+         |  CROSS JOIN st)
+         |SELECT term, pos, doc_id, chunk, score_ppm FROM (
+         |  SELECT term, doc_id, chunk, score_ppm,
+         |    CAST(row_number() OVER (PARTITION BY term
+         |      ORDER BY score_ppm DESC, doc_id, chunk) AS INT) AS pos
+         |  FROM sc)
+         |WHERE pos <= 3 ORDER BY term, pos""".stripMargin
+    },
     // the identical ≤2-chunk assignment rule (i div stride, plus the
     // previous chunk when i mod stride < overlap) over the identical
     // whitespace token index

@@ -273,6 +273,44 @@ class PipelineSpec extends SparkSpec {
       (2L, 5L, 0L, 40L, 44L)))
   }
 
+  test("q278 passage retrieval: 4x3 ranked rows descending per term; planted corpus reproduces the hand-derived BM25 score") {
+    val rows = q("q278_passage_retrieval").collect()
+    assert(rows.length === 12)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+      val scores = sorted.map(_.getAs[Long]("score_ppm"))
+      scores.sliding(2).foreach { w => assert(w(1) <= w(0)) }
+      scores.foreach(sc => assert(sc > 0L))
+    }
+    // planted: 3 docs over a 2-term vocabulary with hand-derived passage
+    // stats (n_p=7, sum_pl=136, df(a)=5; doc 1 chunk 0 has tf=24, pl=24)
+    // — the expected score computed with the IDENTICAL double arithmetic,
+    // so equality is exact. This pin exists because the first cut of this
+    // query silently attached a per-union-leg pl (see the staging comment
+    // in Pipeline.scala) — a value-level trap only a value pin catches.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(50)("a").mkString(" "), "en", "t", 50L),
+      (2L, Seq.fill(30)("b").mkString(" "), "en", "t", 30L),
+      (3L, (0 until 40).map(i => if (i % 2 == 0) "a" else "b")
+        .mkString(" "), "en", "t", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftpr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q278_passage_retrieval")(spark, dir)
+      .collect().filter(r => r.getString(0) == "a" && r.getInt(1) == 1)
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("doc_id") === 1L)
+    assert(got(0).getAs[Long]("chunk") === 0L)
+    val (np, sumPl, df, tf, pl) = (7L, 136L, 5L, 24L, 24L)
+    val expected = Math.round(
+      Math.log((np - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (pl.toDouble * np / sumPl))))
+        * 1000000)
+    assert(got(0).getAs[Long]("score_ppm") === expected)
+  }
+
   test("q271 audio fingerprint: every probe achieves perfect snippet recall; a planted clip is recognized at its true offset") {
     val rows = q("q271_audio_fingerprint").collect()
     assert(rows.nonEmpty)
