@@ -323,6 +323,33 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 1, p)
   }
 
+  test("q271 audio fingerprint: the landmark probe is a hash equi-join — no cartesian, no nested loop") {
+    val p = plan("q271_audio_fingerprint")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q274 matryoshka audit: only the broadcast sample may nest-loop; winners via WindowGroupLimit") {
+    val p = plan("q274_matryoshka_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    // the q31/q72 contract: the sample×corpus scan is the audit's declared
+    // cost and rides a BROADCAST nested loop (bounded side ≤ recallSampleN)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(l =>
+      l.contains("BuildRight") || l.contains("BuildLeft")), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q278 passage retrieval: scoring probes broadcast term/stat sets; top-3 via WindowGroupLimit; no cartesians") {
+    val p = plan("q278_passage_retrieval")
+    assert(!p.contains("CartesianProduct"), p)
+    // only the 1-row stats attach may nest-loop (a broadcast cross)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q263 k-center round update: vec_id equi-join; the new center is a plan literal, never a join side") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(0L, 1L)), (2L, Seq(2L, 3L))).toDF("vec_id", "qv")
