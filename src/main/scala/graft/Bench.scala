@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Host-load stamp: three consecutive rounds (r9 q121/q122, r10
+    // q28/q72/q94, r11 ten movers) burned a judge median-of-5 adjudication
+    // cycle proving driver-bench drift was ambient host load. Reading
+    // /proc/loadavg at session start AND end settles that at read time:
+    // a record taken at load1 > ~2 is annotated, not adjudicated (the
+    // SURVEY §6 convention). -1.0 = unreadable (non-Linux), never a crash.
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = load1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,7 +123,7 @@ object Bench {
       val ms = results.map { case (k, _, mn, _) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt(mn)
       }.mkString("{", ",", "}")
-      s""","repeats":$repeats,"mins":$ms"""
+      s""","mins":$ms""" // repeats itself now rides the always-on load stamp
     } else ""
     // Record the active filter: a filtered run saved as BENCH_rNN.json must
     // be distinguishable from a full-suite run. Escaped like the errors
@@ -120,8 +131,15 @@ object Bench {
     // line the harness parses.
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val onlyJson = only.map(o => s""","only":"${esc(o.mkString(","))}"""").getOrElse("")
+    // The stamp rides BOTH emitted lines (compact + detail) so whichever
+    // artifact a reader holds self-adjudicates; repeats is always present
+    // (1 = the driver's single-shot convention) so a median-of-N record
+    // is distinguishable without consulting the mins map.
+    val loadAfter = load1()
+    val loadJson =
+      s""","load1_before":${fmt(loadBefore)},"load1_after":${fmt(loadAfter)},"repeats":$repeats"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyJson$minsJson$loadJson,"sf":"${esc(sfDir)}"}"""
     // The full line (233 timings ≈ 3.4k chars) overflows the ~2000-char
     // stdout tail window the harness records — BENCH_r07 and r08 both came
     // back "parsed": null despite clean runs. Persist the full map to a
@@ -141,7 +159,7 @@ object Bench {
     // detailPath and sfDir are env-controlled: escape them like `only`
     // above, or a quote/backslash in either path re-breaks the final
     // guaranteed-parseable line this split exists to protect.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${failed.size},"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${failed.size}$loadJson,"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}"}""")
     spark.stop()
     // Explicit exit after the one JSON line is printed — see Verify.main:
     // a leaked non-daemon thread must not stall the harness on process

@@ -11,6 +11,27 @@ import scala.collection.mutable
   * this at a job-scoped staging prefix and let the platform's TTL policy
   * reap it; the lifecycle contract — scratch data dies with the job — is
   * the same.)
+  *
+  * == The per-JVM staging-memo contract (shared by every *Cache map) ==
+  * Several operator modules memoize a staged artifact per INPUT DIR for
+  * the JVM's lifetime (Graph.lpaCache/lpaEdgeCache/lpacEdpCache/triCache/
+  * hbCache, Similarity.knnGraphCache/kcenterCache, Dedup's pair/CC
+  * stagings, …): the first query touching a family pays the build, every
+  * later query reads the parquet leaf. Two assumptions make that sound,
+  * and they are the CONTRACT, stated here once rather than per cache:
+  *
+  *  1. '''Fixture data is immutable per JVM.''' The driver's testdata
+  *     dirs are generated once and read-only; regenerating data at the
+  *     same path mid-session would serve stale artifacts. A dev loop that
+  *     rewrites a fixture must restart the JVM (sbt's forked test JVMs and
+  *     the driver's per-round Verify/Bench processes all do). Keying on
+  *     (dir, mtime) was considered and rejected: an mtime probe per lookup
+  *     re-lists the directory on the hot path of EVERY query, to defend a
+  *     sequence no harness run performs.
+  *  2. '''Input-dir cardinality is tiny.''' Keys are the 3–4 sf dirs, so
+  *     the unbounded-map growth mode is bounded by the harness's world.
+  *     A long-lived service would swap these maps for a TTL'd cache keyed
+  *     on a snapshot/version id — the memo call sites are the seam.
   */
 object Scratch {
   private val created = mutable.ArrayBuffer.empty[Path]

@@ -154,13 +154,24 @@ object Graph extends QueryModule {
     var hub = edges.select(col("o")).distinct()
       .select(col("o"), lit(initRank).as("h"))
     var auth: org.apache.spark.sql.DataFrame = null
+    // Renorm invariant made LOUD: `x div (xmax div initRank)` is only a
+    // renormalization when xmax >= initRank (true today — h0 = initRank
+    // and every node has >= 1 edge, so each half-round's max sum can only
+    // grow). If an edge-set change ever broke it, Spark's non-ANSI `div`
+    // by zero would yield NULL silently while the DuckDB oracle errors —
+    // assert_true makes Spark fail as loudly as the oracle, in-plan (no
+    // extra per-iteration driver sync).
+    def renorm(x: String, xmax: String) = expr(
+      s"""CASE WHEN assert_true($xmax >= $initRank,
+         |  'q262 HITS renorm invariant broke: max half-round score < initRank')
+         |  IS NULL THEN $x div ($xmax div $initRank) END""".stripMargin)
     for (_ <- 1 to iters) {
       val ar = edges.join(hub, "o").groupBy("p").agg(sum("h").as("ar"))
       auth = ar.crossJoin(broadcast(ar.agg(max("ar").as("amax"))))
-        .select(col("p"), expr(s"ar div (amax div $initRank)").as("a"))
+        .select(col("p"), renorm("ar", "amax").as("a"))
       val hr = edges.join(auth, "p").groupBy("o").agg(sum("a").as("hr"))
       hub = hr.crossJoin(broadcast(hr.agg(max("hr").as("hmax"))))
-        .select(col("o"), expr(s"hr div (hmax div $initRank)").as("h"))
+        .select(col("o"), renorm("hr", "hmax").as("h"))
     }
     auth.orderBy(col("a").desc, col("p")).limit(10)
       .select(lit("authority").as("kind"), col("p").as("node"),
@@ -627,6 +638,32 @@ object Graph extends QueryModule {
       e2.select("u", "v")
         .union(e2.select(col("v").as("u"), col("u").as("v")))
         .write.mode("overwrite").parquet(tmpE)
+      // Loud precondition for the packed argmax q155/q251 run over this
+      // adjacency (cnt * 1e12 + (1e12 − lbl)): Spark BIGINT wraps SILENTLY
+      // (non-ANSI) once a node's packed vote reaches ~9.2e18, while the
+      // DuckDB oracle raises — divergent failure modes. Vote counts are
+      // bounded by degree+1 (self-vote), and label 0 packs to a FULL extra
+      // 1e12 step ((cnt+1)·1e12 exactly), so the overflow bound is
+      // degree+2; one staging-time check of the extremes covers every
+      // round (mirrors the lpaMaxRounds loud-cap discipline).
+      //
+      // Label 0 itself (part key 0 is real in these fixtures) is SOUND
+      // but worth knowing: packed(cnt, 0) = (cnt+1)·1e12 unpacks to 1e12,
+      // i.e. the pack stably RENAMES winning-label-0 to 1e12 — in BOTH
+      // engines, every round, with no collision risk (ids < 1e12 by the
+      // guard, and packed(c, 1e12) = packed(c−1, 0) identifies the same
+      // winner class). The one semantic wrinkle: freshly-renamed "1e12"
+      // LOSES later ties that raw 0 would have won — deterministic,
+      // engine-identical, and pinned by the q251 value specs; a label
+      // ≥ 1e12 or < 0 would corrupt the unpack, hence the domain check.
+      val ext = s.read.parquet(tmpE).groupBy("u")
+        .agg(count(lit(1)).as("deg"))
+        .agg(max("deg").as("maxdeg"), min("u").as("minid"),
+          max("u").as("maxid")).head()
+      require(ext.getLong(0) + 2 < 9200000L,
+        s"LPA pack overflow: max degree+2 = ${ext.getLong(0) + 2} would wrap cnt*1e12")
+      require(ext.getLong(1) >= 0L && ext.getLong(2) < 1000000000000L,
+        s"LPA pack domain: node ids must lie in [0, 1e12), got [${ext.getLong(1)}, ${ext.getLong(2)}]")
       tmpE
     })
 

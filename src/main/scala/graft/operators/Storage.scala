@@ -1060,6 +1060,17 @@ object Storage extends QueryModule {
       .partitionBy("bkt").orderBy("doc_id")
     val withPos = base.withColumn("pos",
       (row_number().over(w) - 1).cast("long"))
+    // Probe cost, stated honestly: array_contains is a LINEAR scan per
+    // row — O(rows × deletions-per-bucket) — despite the DV arriving
+    // pre-sorted via sort_array. Fine at a few-percent delete fraction
+    // (the lakehouse norm between compactions; here |dv| ≈ rows/dvMod),
+    // but the probe is the first thing to swap as deletes grow: the DV is
+    // already sorted precisely so a binary-search expression — or the
+    // RoaringBitmap container a real format (Delta/Iceberg) serializes,
+    // whose `contains` is O(1) per probe — drops in without touching the
+    // build side. Spark ships no array_binary_search builtin, and a
+    // custom Expression for a fixture-scale probe fails the measure-first
+    // bar; the seam is this one withColumn.
     val dv = withPos.filter(col("doc_id") % dvMod === dvTomb)
       .groupBy("bkt").agg(sort_array(collect_list(col("pos"))).as("dv"))
     val live = withPos.join(broadcast(dv), Seq("bkt"), "left")
