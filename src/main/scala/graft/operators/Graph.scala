@@ -1703,7 +1703,158 @@ object Graph extends QueryModule {
     * n_moved_final audit makes an under-unroll loud, never silent. */
   private val sccOracleSuperRounds = 8
 
+  /** Loud cap for q257's forward BFS = the oracle's unroll depth (the
+    * q250 contract: cap and oracle unroll move together). Measured
+    * single-source eccentricity on the dense co-purchase graph is ≤ 3 at
+    * every fixture scale (≤ 10 on the sparser m≥2 graph) — 16 is ample
+    * headroom, and the require fails loudly, never truncates. */
+  private[graft] val brandesMaxRounds = 16
+
+  /** q257 sample size: 4 md5-ranked source nodes. Sampled-source Brandes
+    * cost is k full BFS+accumulation sweeps; the estimator sharpens
+    * linearly in k (Brandes–Pich 2007), so production dials k up with
+    * cluster size while the per-source plan shape stays fixed. */
+  private[graft] val brandesK = 4
+
+  /** The Brandes engine (forward sigma BFS + backward dependency
+    * accumulation) over an arbitrary staged BOTH-DIRECTION edge list,
+    * source-set-agnostic so PropertySpec can run it with k = |V| on a
+    * planted graph against exact Brandes. Returns per-node
+    * (x, bc_ppm, n_sources) for EVERY node some source reaches — the
+    * caller applies its own cut.
+    *
+    * Forward pass: q250's frontier-join shape carrying one extra column —
+    * sigma, the EXACT INTEGER count of shortest s→x paths (sum of
+    * predecessor sigmas; a node's predecessors all sit in the previous
+    * frontier, so one (edges ⋈ frontier) + groupBy-sum computes it) —
+    * with the per-round 1-row frontier-count sync as the convergence
+    * certificate and [[brandesMaxRounds]] as the loud cap.
+    *
+    * Backward pass: Brandes' dependency recurrence
+    * δ(u) = Σ_{w : succ} σ(u)/σ(w) · (1 + δ(w)), processed one distance
+    * level at a time from the deepest level down — each level is ONE
+    * (edges ⋈ level-d nodes) equi-join plus one (s, u) hash aggregate,
+    * never all-pairs. Division is micro-integerized ppm with floor `div`
+    * PER EDGE before the integer sum (the q94 single-rounding discipline;
+    * all values nonnegative, so Spark `div` ≡ DuckDB `//`) — doubles
+    * would be addition-order-dependent and could never hash-match.
+    *
+    * Overflow is guarded LOUDLY after the forward pass (the LPA-pack
+    * discipline): per-edge products are bounded by
+    * maxσ · 1e6 · (1 + maxReach) — checked in BigInt on the driver —
+    * while the DuckDB oracle raises natively on BIGINT overflow; without
+    * the guard Spark would wrap silently (non-ANSI).
+    */
+  private[graft] def brandesRun(s: org.apache.spark.sql.SparkSession,
+      edDir: String, srcs: org.apache.spark.sql.DataFrame,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    val ed = s.read.parquet(edDir)
+    var levDir = graft.Scratch.dir(s"graft_${tag}_v0")
+    srcs.select(col("s"), col("s").as("x"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .write.mode("overwrite").parquet(levDir)
+    var frontierN = s.read.parquet(levDir).count()
+    var r = 0
+    while (frontierN > 0) {
+      r += 1
+      require(r <= brandesMaxRounds,
+        s"q257: BFS still expanding after $brandesMaxRounds rounds — raise " +
+          "brandesMaxRounds (and the oracle unroll) together")
+      val visited = s.read.parquet(levDir)
+      val frontier = visited.filter(col("dist") === r - 1)
+        .select(col("s"), col("x").as("u"), col("sigma"))
+      val nbrs = ed.join(frontier, "u")
+        .groupBy(col("s"), col("v").as("x"))
+        .agg(sum("sigma").as("sigma"))
+      val fresh = nbrs
+        .join(visited.select(col("s"), col("x")), Seq("s", "x"), "left_anti")
+        .select(col("s"), col("x"), lit(r).as("dist"), col("sigma"))
+      val nextDir = graft.Scratch.dir(s"graft_${tag}_v$r")
+      visited.unionByName(fresh).write.mode("overwrite").parquet(nextDir)
+      levDir = nextDir
+      frontierN = s.read.parquet(nextDir).filter(col("dist") === r).count()
+    }
+    val maxDist = r - 1
+    val vis = s.read.parquet(levDir)
+    // loud overflow precondition for the backward pass's packed products
+    val g = vis.groupBy("s")
+      .agg(count(lit(1)).as("nreach"), max("sigma").as("msig"))
+      .agg(max("msig").as("msig"), max("nreach").as("mreach")).head()
+    require(BigInt(g.getLong(0)) * 1000000 * (1 + BigInt(g.getLong(1))) <
+        BigInt("9200000000000000000"),
+      s"q257: sigma*(1e6+delta) could wrap BIGINT (max sigma ${g.getLong(0)}, " +
+        s"max reach ${g.getLong(1)}) — shrink the sample or rescale ppm")
+    var deltaDir = graft.Scratch.dir(s"graft_${tag}_b$maxDist")
+    vis.withColumn("delta", lit(0L))
+      .write.mode("overwrite").parquet(deltaDir)
+    for (d <- maxDist to 1 by -1) {
+      val cur = s.read.parquet(deltaDir)
+      val wd = cur.filter(col("dist") === d)
+        .select(col("s"), col("x").as("wx"), col("sigma").as("ws"),
+          col("delta").as("wdel"))
+      val pu = cur.filter(col("dist") === d - 1)
+        .select(col("s"), col("x").as("u"), col("sigma").as("us"))
+      val contrib = ed.join(wd, col("v") === col("wx"))
+        .join(pu, Seq("s", "u"))
+        .select(col("s"), col("u").as("x"),
+          expr("us * (1000000 + wdel) div ws").as("c"))
+        .groupBy("s", "x").agg(sum("c").as("contrib"))
+      val next = cur.join(contrib, Seq("s", "x"), "left")
+        .select(col("s"), col("x"), col("dist"), col("sigma"),
+          when(col("dist") === d - 1, coalesce(col("contrib"), lit(0L)))
+            .otherwise(col("delta")).as("delta"))
+      val nextDir = graft.Scratch.dir(s"graft_${tag}_b${d - 1}")
+      next.write.mode("overwrite").parquet(nextDir)
+      deltaDir = nextDir
+    }
+    s.read.parquet(deltaDir)
+      .filter(col("x") =!= col("s"))
+      .groupBy("x")
+      .agg(sum("delta").as("bc_ppm"), count(lit(1)).as("n_sources"))
+  }
+
+  /** q257 — SAMPLED-SOURCE BETWEENNESS CENTRALITY (Brandes 2001, sources
+    * sampled per Brandes–Pich 2007): the one classic centrality missing
+    * after PageRank (q106, eigenvector-style importance), PPR (q261),
+    * HITS (q262) and harmonic (q258) — betweenness measures BROKERAGE,
+    * how much shortest-path traffic a node carries, the signal for
+    * bottleneck/bridge detection in dependency and communication graphs
+    * (reference scope: no graph surface; beyond-reference slice).
+    *
+    * Exact Brandes is one sweep per source — Θ(|V|·|E|) total, infeasible
+    * at 100 TB — so production samples k sources and scales; here k =
+    * [[brandesK]] sources chosen by md5 rank over node ids (deterministic
+    * in both engines, the q149 pick discipline). Runs [[brandesRun]] (all
+    * k sources advance TOGETHER in one keyed frame — k× rows, not k
+    * sequential jobs) over the dense co-purchase graph (q138's canonical
+    * edges, both directions staged once per run; the m≥2 LPA graph
+    * fragments into 2–11-node components at sf0.1, which would make every
+    * sampled δ zero). Output: top-10 nodes by accumulated dependency in
+    * exact integer ppm, with how many sampled sources reach each — the
+    * ordered-pair convention (δ sums over directions; halve for the
+    * undirected textbook number). Oracle: the identical rounds unrolled
+    * to [[brandesMaxRounds]] forward AND backward — past-convergence
+    * forward rounds add no rows, and backward rounds above the realized
+    * depth finalize empty levels to the same zero, so the adaptive loop
+    * and the fixed unroll agree row for row (the q250/q251 argument).
+    */
+  val betweenness: Q = (s, d) => {
+    val (canonDir, _) = triArtifacts(s, d)
+    val canon = s.read.parquet(canonDir)
+    val tmpB = graft.Scratch.dir("graft_btw_ed")
+    canon.unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(tmpB)
+    val srcs = s.read.parquet(tmpB).select(col("u").as("x")).distinct()
+      .orderBy(md5(col("x").cast("string")), col("x"))
+      .limit(brandesK).select(col("x").as("s"))
+    brandesRun(s, tmpB, srcs, "btw")
+      .orderBy(col("bc_ppm").desc, col("x"))
+      .limit(10)
+      .select(col("x").as("node"), col("bc_ppm"), col("n_sources"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q257_betweenness" -> betweenness,
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
     "q265_local_clustering" -> localClustering,
@@ -1729,6 +1880,57 @@ object Graph extends QueryModule {
     "q262_hits" -> hits)
 
   def oracles: Map[String, String] = Map(
+    // the identical forward sigma-BFS and backward dependency rounds
+    // unrolled to the loud cap in BOTH directions: forward rounds past
+    // the last non-empty frontier add no rows, and backward rounds above
+    // the realized depth finalize empty levels to the same zero delta the
+    // initializer wrote, so the adaptive loop and the fixed unroll agree
+    // row for row; per-edge floor division (// here, div in Spark — equal
+    // on nonnegatives) before the exact integer sum
+    "q257_betweenness" -> {
+      val fwd = (1 to brandesMaxRounds).map { r =>
+        s"""f$r AS (SELECT w.s, ed.v AS x, CAST(sum(w.sigma) AS BIGINT) AS sigma
+           |  FROM ed JOIN v${r - 1} w ON ed.u = w.x AND w.dist = ${r - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} p
+           |    WHERE p.s = w.s AND p.x = ed.v)
+           |  GROUP BY 1, 2),
+           |v$r AS MATERIALIZED (SELECT s, x, dist, sigma FROM v${r - 1}
+           |  UNION ALL SELECT s, x, $r AS dist, sigma FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (brandesMaxRounds to 1 by -1).map { dd =>
+        s"""c$dd AS (SELECT wd.s AS s, pu.x AS x,
+           |    CAST(sum(pu.sigma * (1000000 + wd.delta) // wd.sigma)
+           |      AS BIGINT) AS contrib
+           |  FROM b$dd wd JOIN ed ON ed.v = wd.x AND wd.dist = $dd
+           |  JOIN b$dd pu ON pu.s = wd.s AND pu.x = ed.u
+           |    AND pu.dist = ${dd - 1}
+           |  GROUP BY 1, 2),
+           |b${dd - 1} AS MATERIALIZED (SELECT b.s, b.x, b.dist, b.sigma,
+           |  CASE WHEN b.dist = ${dd - 1} THEN coalesce(c.contrib, 0)
+           |    ELSE b.delta END AS delta
+           |  FROM b$dd b LEFT JOIN c$dd c ON c.s = b.s AND c.x = b.x)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |ced AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a
+         |  JOIN items b ON a.o = b.o AND a.p < b.p),
+         |ed AS MATERIALIZED (SELECT u, v FROM ced
+         |  UNION ALL SELECT v AS u, u AS v FROM ced),
+         |srcs AS MATERIALIZED (SELECT x AS s FROM
+         |  (SELECT DISTINCT u AS x FROM ed)
+         |  ORDER BY md5(CAST(x AS VARCHAR)), x LIMIT $brandesK),
+         |v0 AS MATERIALIZED (SELECT s, s AS x, 0 AS dist,
+         |  CAST(1 AS BIGINT) AS sigma FROM srcs),
+         |$fwd,
+         |b$brandesMaxRounds AS MATERIALIZED (SELECT s, x, dist, sigma,
+         |  CAST(0 AS BIGINT) AS delta FROM v$brandesMaxRounds),
+         |$bwd
+         |SELECT x AS node, CAST(sum(delta) AS BIGINT) AS bc_ppm,
+         |  count(*) AS n_sources
+         |FROM b0 WHERE x <> s GROUP BY 1
+         |ORDER BY bc_ppm DESC, node LIMIT 10""".stripMargin
+    },
     // the FIXPOINT recomputed by a fixed, generous unroll of the
     // identical propagate + 2 path-doubling jumps (coverage ≥ 4^K hops),
     // with the oracle's own convergence audited in-band: n_moved_final

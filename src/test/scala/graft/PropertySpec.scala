@@ -764,4 +764,63 @@ class PropertySpec extends SparkSpec {
         r.getAs[Long]("n2") == vs.size.toLong
     }, "KS mirrored halves == 0")
   }
+
+  test("q257 Brandes law: k = |V| sampled betweenness equals exact Brandes (same ppm discipline) on planted graphs; path closed form") {
+    // driver-side exact Brandes with the operator's OWN integer-ppm floor
+    // discipline (per-edge floorDiv before the sum) — with every node as
+    // a source, the sampled estimator must reproduce it node for node
+    def exactPpm(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val bc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (s <- nodes) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1L)
+        var level = Seq(s)
+        while (level.nonEmpty) {
+          val nextSig = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+          for (u <- level; w <- adj(u) if !dist.contains(w)) nextSig(w) += sigma(u)
+          val nd = dist(level.head) + 1
+          val next = nextSig.keys.toSeq.sorted
+          next.foreach { w => dist(w) = nd; sigma(w) = nextSig(w) }
+          level = next
+        }
+        val delta = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (u <- dist.keys.toSeq.sortBy(x => -dist(x))) {
+          delta(u) = adj(u).filter(w => dist.get(w).contains(dist(u) + 1))
+            .map(w => Math.floorDiv(sigma(u) * (1000000L + delta(w)), sigma(w))).sum
+        }
+        for (x <- dist.keys if x != s) bc(x) += delta(x)
+      }
+      nodes.map(x => x -> bc(x)).toMap
+    }
+    def runOp(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val dir = graft.Scratch.dir("graft_btw_law")
+      val ed = edges.toDF("u", "v")
+      ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+        .write.mode("overwrite").parquet(dir)
+      val srcs = spark.read.parquet(dir).select(col("u").as("s")).distinct()
+      operators.Graph.brandesRun(spark, dir, srcs, "btwlaw")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    // path 1-2-3-4-5: sigma = 1 everywhere so the ppm arithmetic is
+    // lossless and the ordered-pair closed form is exact: interior node
+    // dependency = 2 · |left side| · |right side| (in ppm)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val opPath = runOp(path)
+    val exPath = exactPpm(path)
+    assert(opPath.view.mapValues(_._1).toMap == exPath, s"path: $opPath vs $exPath")
+    assert(exPath == Map(1L -> 0L, 2L -> 6000000L, 3L -> 8000000L,
+      4L -> 6000000L, 5L -> 0L))
+    assert(opPath.values.forall(_._2 == 4L), "path: every node reached by the 4 other sources")
+    // diamond + tail (1-2, 1-3, 2-4, 3-4, 4-5, 5-6): sigma(1→4) = 2, so
+    // the backward pass floor-divides odd ppm masses — pins the exact
+    // rounding the oracle's // reproduces, not just round numbers
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val opD = runOp(diamond)
+    val exD = exactPpm(diamond)
+    assert(opD.view.mapValues(_._1).toMap == exD, s"diamond: $opD vs $exD")
+    assert(opD.values.forall(_._2 == 5L))
+  }
 }
