@@ -835,26 +835,38 @@ object Pipeline extends QueryModule {
     * scoring join probes a broadcast 4-term set — candidate rows scale
     * with passage df, never corpus².
     */
+  /** The staged (doc_id, chunk, tok) passage assignment — q273's ≤2-chunk
+    * rule materialized once per input dir per JVM (the graft.Scratch memo
+    * contract) and shared by q278's serving read and q259's sparse leg.
+    * STAGED, not shared lineage: tf and pl both derive from asg, and
+    * joining them re-resolves the shared union subtree per consumer —
+    * observed: pl's aggregate came back SPLIT BY UNION LEG (two rows
+    * pl=4/pl=20 for one (doc, chunk) instead of 24), silently wrong
+    * scores. A parquet leaf gives every consumer the same, final rows
+    * (and the token fan-out is scanned four times per query anyway). */
+  private val passageAsgCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def passageAsgDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    passageAsgCache.computeIfAbsent(d, _ => {
+      val over = chunkBudget - chunkStride
+      val tk = Tables.fanOut(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), posexplode(toks).as(Seq("i", "tok")))
+        .select(col("doc_id"), col("i").cast("long").as("i"), col("tok"))
+      val asgRaw = tk.select(col("doc_id"),
+          expr(s"i div $chunkStride").as("chunk"), col("tok"))
+        .unionByName(tk
+          .filter(col("i") % chunkStride < over && col("i") >= chunkStride)
+          .select(col("doc_id"), expr(s"i div $chunkStride - 1").as("chunk"),
+            col("tok")))
+      val tmp = graft.Scratch.dir("graft_passage_asg")
+      asgRaw.write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   val passageRetrieval: Q = (s, d) => {
-    val over = chunkBudget - chunkStride
-    val tk = Tables.fanOut(Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), posexplode(toks).as(Seq("i", "tok")))
-      .select(col("doc_id"), col("i").cast("long").as("i"), col("tok"))
-    val asgRaw = tk.select(col("doc_id"),
-        expr(s"i div $chunkStride").as("chunk"), col("tok"))
-      .unionByName(tk
-        .filter(col("i") % chunkStride < over && col("i") >= chunkStride)
-        .select(col("doc_id"), expr(s"i div $chunkStride - 1").as("chunk"),
-          col("tok")))
-    // STAGED, not shared lineage: tf and pl both derive from asg, and
-    // joining them re-resolves the shared union subtree per consumer —
-    // observed: pl's aggregate came back SPLIT BY UNION LEG (two rows
-    // pl=4/pl=20 for one (doc, chunk) instead of 24), silently wrong
-    // scores. A parquet leaf gives every consumer the same, final rows
-    // (and the token fan-out is scanned four times here anyway).
-    val tmp = graft.Scratch.dir("graft_passage_asg")
-    asgRaw.write.mode("overwrite").parquet(tmp)
-    val asg = s.read.parquet(tmp)
+    val asg = s.read.parquet(passageAsgDir(s, d))
     val tf = asg.groupBy("doc_id", "chunk", "tok")
       .agg(count(lit(1)).as("tf"))
     val pl = asg.groupBy("doc_id", "chunk").agg(count(lit(1)).as("pl"))
@@ -876,7 +888,122 @@ object Pipeline extends QueryModule {
       .orderBy("term", "pos")
   }
 
+  /** q259 sample size: 8 md5-ranked query documents (the q149/q257
+    * deterministic-pick discipline), and the per-leg rank-list depth RRF
+    * consumes (the q158 top-k convention — RRF over top-k lists is the
+    * textbook formulation). */
+  private[graft] val hybridQ = 8
+  private[graft] val hybridDepth = 10
+
+  /** q259 — HYBRID DENSE+SPARSE RETRIEVAL with RRF fusion: the production
+    * RAG serving shape (BM25 + ANN + reciprocal-rank fusion) closed into
+    * one operator from pieces the library already stages. Queries are
+    * [[hybridQ]] md5-ranked sample documents, each asking "what else in
+    * the corpus is like me" — the query-by-example eval every hybrid
+    * stack runs before wiring a real query log.
+    *
+    * Sparse leg: each query's top-4 own-tf terms (deterministic; corpus
+    * df is flat here, so tf is the discriminative signal) scored against
+    * the q278 PASSAGE index — per-term BM25 ppm over (doc, chunk) with
+    * passage-level tf/length/df, summed per passage, then each candidate
+    * doc is represented by its BEST passage (the chunk the serving layer
+    * would actually fetch — passage evidence, doc-level fusion). Dense
+    * leg: [[graft.operators.Similarity.ivfProbeTopK]] — q47's IVF probe
+    * (64 cells, top-2 multi-probe) over the real document embeddings
+    * (vec_id ≡ doc_id), cut at rank ≤ [[hybridDepth]]. (When passage- or
+    * token-level embeddings exist, a passage-mean dense leg drops into
+    * the same q_id/doc_id/rank contract; the fixtures carry one embedding
+    * per document.) Fusion: q158's formula — rrf = Σ 1e6 div (60 + rank)
+    * over the two ≤[[hybridDepth]]-deep rank lists (exact integer; absent
+    * leg contributes 0, surfaced as rank 0), top-5 per query.
+    *
+    * Scale shape: candidate rows are bounded by query-term passage-df
+    * (sparse) and 2·n/64 probe cells (dense), never corpus²; every window
+    * runs per-query over ≤depth frames after a WindowGroupLimit cut; both
+    * legs and the fusion shuffle on (q_id, doc_id). The self-match is
+    * excluded in BOTH legs (it is the one known-irrelevant answer).
+    * PropertySpec pins the consensus law: fused top-5 recall of the
+    * dual-confirmed set is never below either single leg's.
+    */
+  /** The q259 query sample, exposed with the sparse leg so the
+    * PropertySpec consensus law evaluates the REAL legs. */
+  private[graft] def hybridSample(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(hybridQ).select(col("doc_id").as("q_id"))
+
+  /** q259's sparse leg: per-query passage-BM25, each candidate doc
+    * represented by its best passage — (q_id, doc_id, rank_sparse,
+    * best_chunk) with rank_sparse ≤ [[hybridDepth]]. */
+  private[graft] def hybridSparseLeg(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val asg = s.read.parquet(passageAsgDir(s, d))
+    val tf = asg.groupBy("doc_id", "chunk", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val pl = asg.groupBy("doc_id", "chunk").agg(count(lit(1)).as("pl"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = pl.agg(count(lit(1)).as("n_p"), sum("pl").as("sum_pl"))
+    val sample = hybridSample(s, d)
+    // query terms: the query doc's 4 highest-tf WHOLE-DOC tokens (raw
+    // token stream, not the overlap-fanned passage rows)
+    val qtok = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .join(broadcast(sample), col("doc_id") === col("q_id"), "left_semi")
+      .select(col("doc_id").as("q_id"), explode(toks).as("tok"))
+      .groupBy("q_id", "tok").agg(count(lit(1)).as("qtf"))
+    val wTerm = Window.partitionBy("q_id")
+      .orderBy(col("qtf").desc, col("tok"))
+    val qterms = qtok.withColumn("tr", row_number().over(wTerm))
+      .filter(col("tr") <= 4).select(col("q_id"), col("tok"))
+    // per-passage BM25 (q278's formula and single-ln-rounding ppm), per
+    // query: candidates = tf rows matching any of the 8×4 broadcast terms
+    val scored = tf.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfq), "tok")
+      .join(pl, Seq("doc_id", "chunk"))
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "doc_id", "chunk")
+      .agg(sum(expr("""CAST(round(ln((CAST(n_p AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (CAST(pl AS DOUBLE) * n_p / sum_pl))))
+             * 1000000) AS BIGINT)""")).as("pscore"))
+    val wBest = Window.partitionBy("q_id", "doc_id")
+      .orderBy(col("pscore").desc, col("chunk"))
+    val best = scored.withColumn("rb", row_number().over(wBest))
+      .filter(col("rb") === 1)
+      .select(col("q_id"), col("doc_id"), col("pscore"),
+        col("chunk").as("best_chunk"))
+    val wSparse = Window.partitionBy("q_id")
+      .orderBy(col("pscore").desc, col("doc_id"))
+    best.withColumn("rank_sparse", row_number().over(wSparse))
+      .filter(col("rank_sparse") <= hybridDepth)
+      .select(col("q_id"), col("doc_id"), col("rank_sparse"),
+        col("best_chunk"))
+  }
+
+  val hybridRetrieval: Q = (s, d) => {
+    val sample = hybridSample(s, d)
+    val sparse = hybridSparseLeg(s, d)
+    val dense = Similarity.ivfProbeTopK(s, d, sample, hybridDepth)
+    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0)).as("rank_dense"),
+        coalesce(col("best_chunk"), lit(-1L)).as("best_chunk"))
+      .withColumn("rrf_ppm", expr(
+        """CAST(CASE WHEN rank_sparse > 0 THEN 1000000 div (60 + rank_sparse) ELSE 0 END
+          |   + CASE WHEN rank_dense > 0 THEN 1000000 div (60 + rank_dense) ELSE 0 END
+          | AS BIGINT)""".stripMargin))
+    val wPos = Window.partitionBy("q_id")
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("pos", row_number().over(wPos))
+      .filter(col("pos") <= 5)
+      .select(col("q_id"), col("pos"), col("doc_id"), col("rank_sparse"),
+        col("rank_dense"), col("best_chunk"), col("rrf_ppm"))
+      .orderBy("q_id", "pos")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q259_hybrid_retrieval" -> hybridRetrieval,
     "q278_passage_retrieval" -> passageRetrieval,
     "q273_token_windows" -> tokenWindows,
     "q264_kanonymity" -> kAnonymity,
@@ -900,6 +1027,90 @@ object Pipeline extends QueryModule {
     "q90_chunk500" -> chunk500)
 
   def oracles: Map[String, String] = Map(
+    // both legs re-derived verbatim: the q278 passage-BM25 CTEs with the
+    // per-query term pick, the q47 IVF assignment with the sample-
+    // restricted probe (WHERE before window = the semi-join before the
+    // rank, same order as Spark), and the q158 fusion formula; ranks CAST
+    // to INT (row_number is BIGINT in DuckDB, INT in Spark)
+    "q259_hybrid_retrieval" -> {
+      val over = chunkBudget - chunkStride
+      val cosLP = "round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 9)"
+      val cosVP = "round(list_cosine_similarity(v.embedding::DOUBLE[], p.embedding::DOUBLE[]), 9)"
+      raw"""WITH tk AS (SELECT doc_id,
+         |    CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS i,
+         |    unnest(ts) AS tok
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(text, '\s+'), t -> len(t) > 0) AS ts
+         |    FROM documents)),
+         |asg AS MATERIALIZED (
+         |  SELECT doc_id, i // $chunkStride AS chunk, tok FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, i // $chunkStride - 1, tok FROM tk
+         |  WHERE i % $chunkStride < $over AND i >= $chunkStride),
+         |tf AS MATERIALIZED (SELECT doc_id, chunk, tok, count(*) AS tf
+         |  FROM asg GROUP BY 1, 2, 3),
+         |pl AS MATERIALIZED (SELECT doc_id, chunk, count(*) AS pl
+         |  FROM asg GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM pl) AS n_p,
+         |  (SELECT CAST(sum(pl) AS BIGINT) FROM pl) AS sum_pl),
+         |qs AS MATERIALIZED (SELECT doc_id AS q_id FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $hybridQ),
+         |qtok AS (SELECT doc_id AS q_id, tok, count(*) AS qtf FROM tk
+         |  WHERE doc_id IN (SELECT q_id FROM qs) GROUP BY 1, 2),
+         |qterms AS MATERIALIZED (SELECT q_id, tok FROM (
+         |  SELECT q_id, tok, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY qtf DESC, tok) AS tr FROM qtok) WHERE tr <= 4),
+         |psc AS (SELECT qt.q_id, f.doc_id, f.chunk,
+         |    CAST(sum(CAST(round(ln((CAST(st.n_p AS DOUBLE) - g.df + 0.5)
+         |        / (g.df + 0.5) + 1.0)
+         |      * (f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75
+         |        * (CAST(p.pl AS DOUBLE) * st.n_p / st.sum_pl))))
+         |      * 1000000) AS BIGINT)) AS BIGINT) AS pscore
+         |  FROM tf f JOIN qterms qt ON f.tok = qt.tok AND f.doc_id <> qt.q_id
+         |  JOIN dfq g ON f.tok = g.tok
+         |  JOIN pl p ON f.doc_id = p.doc_id AND f.chunk = p.chunk
+         |  CROSS JOIN st GROUP BY 1, 2, 3),
+         |best AS (SELECT q_id, doc_id, pscore, chunk AS best_chunk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id, doc_id
+         |    ORDER BY pscore DESC, chunk) AS rb FROM psc) WHERE rb = 1),
+         |sp AS MATERIALIZED (SELECT q_id, doc_id, rank_sparse, best_chunk
+         |  FROM (SELECT q_id, doc_id, best_chunk,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY pscore DESC, doc_id) AS INT) AS rank_sparse
+         |  FROM best) WHERE rank_sparse <= $hybridDepth),
+         |assigned AS MATERIALIZED (SELECT vec_id, embedding, cell_id, arn
+         |  FROM (SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY $cosVP DESC, p.vec_id) AS arn
+         |  FROM embeddings v CROSS JOIN
+         |    (SELECT * FROM embeddings WHERE vec_id < 64) p) WHERE arn <= 2),
+         |dn AS MATERIALIZED (SELECT q_id, doc_id, rank_dense FROM (
+         |  SELECT l.vec_id AS q_id, r.vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY l.vec_id
+         |      ORDER BY $cosLP DESC, r.vec_id) AS INT) AS rank_dense
+         |  FROM assigned l JOIN (SELECT * FROM assigned WHERE arn = 1) r
+         |    ON l.cell_id = r.cell_id AND l.vec_id <> r.vec_id
+         |  WHERE l.vec_id IN (SELECT q_id FROM qs))
+         |  WHERE rank_dense <= $hybridDepth),
+         |fused AS (SELECT coalesce(s.q_id, d.q_id) AS q_id,
+         |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |    coalesce(s.rank_sparse, 0) AS rank_sparse,
+         |    coalesce(d.rank_dense, 0) AS rank_dense,
+         |    coalesce(s.best_chunk, -1) AS best_chunk,
+         |    CAST((CASE WHEN s.rank_sparse IS NOT NULL
+         |        THEN 1000000 // (60 + s.rank_sparse) ELSE 0 END)
+         |      + (CASE WHEN d.rank_dense IS NOT NULL
+         |        THEN 1000000 // (60 + d.rank_dense) ELSE 0 END)
+         |      AS BIGINT) AS rrf_ppm
+         |  FROM sp s FULL OUTER JOIN dn d
+         |    ON s.q_id = d.q_id AND s.doc_id = d.doc_id)
+         |SELECT q_id, pos, doc_id, rank_sparse, rank_dense, best_chunk,
+         |  rrf_ppm FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_ppm DESC, doc_id) AS INT) AS pos FROM fused)
+         |WHERE pos <= 5 ORDER BY q_id, pos""".stripMargin
+    },
     // q273's assignment + q149's formula at passage granularity, the same
     // single-ln-rounding ppm and the same deterministic term pick
     "q278_passage_retrieval" -> {

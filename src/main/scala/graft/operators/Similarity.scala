@@ -281,6 +281,48 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q259's dense leg — [[ivfIndex]]'s probe generalized to TOP-K for an
+    * external query set: the identical assignment (64 head-of-corpus
+    * pivots, top-2 multi-probe query side, home-cell-only corpus side so
+    * a pair can surface at most once) and the identical rounded-cosine
+    * ranking, cut at rank ≤ k per query instead of the top-1 neighbor.
+    * Returns (q_id, doc_id, rank_dense) — the rank list RRF fusion
+    * consumes (it needs RANKS, not scores, so the sim column stays
+    * internal). Kept beside ivfIndex rather than parameterizing it: the
+    * top-1 surface's output schema is oracle-pinned for q47/q72. */
+  private[graft] def ivfProbeTopK(s: org.apache.spark.sql.SparkSession,
+      d: String, queryIds: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"), col("arn"))
+    val l = assigned.join(broadcast(queryIds.select(col("q_id"))),
+      col("vec_id") === col("q_id"), "left_semi").alias("l")
+    val r = assigned.filter(col("arn") === 1).alias("r")
+    val sim = cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")), col("l.sq"), col("r.sq"))
+    val w = Window.partitionBy(col("l.vec_id"))
+      .orderBy(col("sim9").desc, col("r.vec_id"))
+    l.join(r,
+        col("l.cell_id") === col("r.cell_id") && col("l.vec_id") =!= col("r.vec_id"))
+      .withColumn("sim9", round(sim, 9))
+      .withColumn("rank_dense", row_number().over(w))
+      .filter(col("rank_dense") <= k)
+      .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("doc_id"),
+        col("rank_dense"))
+  }
+
   /** q47 — IVF-style approximate NN (the second scale path besides q32's
     * sign-LSH) through [[ivfIndex]]: 64 coarse cells, top-2 multi-probe.
     * Pivots are the first 64 vectors by vec_id — deterministic, so the

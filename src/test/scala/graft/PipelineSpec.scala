@@ -416,4 +416,40 @@ class PipelineSpec extends SparkSpec {
     // the permutations genuinely differ between epochs
     assert(expected.map(_._3).distinct.size === 3)
   }
+
+  test("q259 consensus law: fused top-5 recall of dual-confirmed docs is never below either single leg's") {
+    // The RRF inequality behind the law: a doc on BOTH depth-10 lists
+    // scores >= 2*(1e6 div 70) = 28570 ppm, while a single-leg doc tops
+    // out at 1e6 div 61 = 16393 — so fusion surfaces every dual-confirmed
+    // doc before any single-leg doc. With ground truth = the
+    // dual-confirmed set, fused recall@5 is the maximum achievable at the
+    // cut, hence >= each leg's recall@5. This asserts the REAL legs and
+    // the REAL fused output agree with the theorem (and that it is not
+    // vacuous on the fixtures).
+    val sparse = operators.Pipeline.hybridSparseLeg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dense = operators.Similarity.ivfProbeTopK(spark, sf,
+        operators.Pipeline.hybridSample(spark, sf),
+        operators.Pipeline.hybridDepth).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val fusedTop5 = q("q259_hybrid_retrieval").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val qids = sparse.map(_._1).toSet ++ dense.map(_._1).toSet
+    var evaluated = 0
+    for (qid <- qids) {
+      val sTop = sparse.collect { case (q, dId, rk) if q == qid => dId -> rk }.toMap
+      val dTop = dense.collect { case (q, dId, rk) if q == qid => dId -> rk }.toMap
+      val dual = sTop.keySet intersect dTop.keySet
+      if (dual.nonEmpty) {
+        evaluated += 1
+        def recall5(top: Map[Long, Int]) =
+          top.collect { case (dId, rk) if rk <= 5 && dual(dId) => dId }.size.toDouble / dual.size
+        val rf = fusedTop5.getOrElse(qid, Set.empty).count(dual).toDouble / dual.size
+        assert(rf >= recall5(sTop) && rf >= recall5(dTop),
+          s"q=$qid fused=$rf sparse=${recall5(sTop)} dense=${recall5(dTop)} dual=$dual")
+      }
+    }
+    assert(evaluated > 0, "law vacuous: no query had dual-confirmed docs")
+  }
 }
