@@ -1283,6 +1283,166 @@ object Text extends QueryModule {
     bpeTrain(s, d).collect().toSeq
       .map(r => (r.getString(1), r.getString(2)))
 
+  /** q279 loud word-length cap = the Viterbi DP's unroll depth in BOTH
+    * engines (a segmentation has at most one piece per character).
+    * Fixture corpora top out at 8-char words; a longer-word corpus raises
+    * loudly, never truncates. */
+  private[graft] val unigramMaxWordLen = 10
+
+  /** q279 piece geometry and vocabulary budgets: candidate pieces up to 4
+    * chars (bounds the substring fan-out to ≤ 4 per position), a 48-piece
+    * seed, pruned to 24 — production dials (SentencePiece defaults:
+    * len ≤ 16, seed 1e6, final 32k) scale these without changing any
+    * plan shape, since everything downstream is vocabulary-bounded. */
+  private[graft] val unigramPieceMaxLen = 4
+  private[graft] val unigramSeedSize = 48
+  private[graft] val unigramPrunedSize = 24
+
+  /** One q279 segmentation round: Viterbi-segment every dictionary word
+    * with `vocab`, return (round-stats row, per-piece usage counts).
+    *
+    * The Viterbi DP carries the SEGMENTATION ITSELF in the DP value — a
+    * packed string `NN || (ᴰpiece)*` (2-digit piece count, then the
+    * delimiter-prefixed pieces) minimized lexicographically per (word,
+    * position) — so no backtracking pass exists: the count prefix makes
+    * fewest-pieces win, and among equal counts the packed strings have
+    * EQUAL LENGTH (same substring, same delimiter count), so min() is a
+    * total, extension-stable order (x < y ⟹ x∥t < y∥t for equal-length
+    * x, y) and relaxing only each position's minimum is sufficient.
+    * [[unigramMaxWordLen]] fixed relaxation rounds (states staged per
+    * round, the CC-loop lineage discipline); rounds past a word's length
+    * are no-ops, the q250 unroll argument. Everything is vocabulary-
+    * bounded: states ≤ word types × (len+1), edges ≤ word types × len ×
+    * [[unigramPieceMaxLen]].
+    */
+  private def unigramSegment(s: org.apache.spark.sql.SparkSession,
+      wfDir: String, vocab: org.apache.spark.sql.DataFrame,
+      rnd: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val m = bpeDelim
+    val wfS = s.read.parquet(wfDir)
+    val vDir = graft.Scratch.dir(s"graft_uni_v$rnd")
+    vocab.write.mode("overwrite").parquet(vDir)
+    val v = s.read.parquet(vDir)
+    val edges = wfS.select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(1, least($unigramPieceMaxLen, length(w) - i + 1)), L ->
+           |    struct(i AS i, i + L AS j, substring(w, i, L) AS piece))))"""
+          .stripMargin)).as("e"))
+      .select(col("w"), col("e.i").as("i"), col("e.j").as("j"),
+        col("e.piece").as("piece"))
+      .join(broadcast(v), "piece")
+    val eDir = graft.Scratch.dir(s"graft_uni_e$rnd")
+    edges.write.mode("overwrite").parquet(eDir)
+    val edS = s.read.parquet(eDir)
+    var stDir = graft.Scratch.dir(s"graft_uni_dp${rnd}_0")
+    wfS.select(col("w"), lit(1).as("pos"), lit("00").as("packed"))
+      .write.mode("overwrite").parquet(stDir)
+    for (k <- 1 to unigramMaxWordLen) {
+      val st = s.read.parquet(stDir)
+      val cand = st.select(col("w"), col("pos").as("i"), col("packed"))
+        .join(edS, Seq("w", "i"))
+        .select(col("w"), col("j").as("pos"), expr(
+          s"""concat(lpad(cast(cast(substring(packed, 1, 2) AS INT) + 1 AS STRING), 2, '0'),
+             | substring(packed, 3), '$m', piece)""".stripMargin.replace("\n", ""))
+          .as("packed"))
+      val nextDir = graft.Scratch.dir(s"graft_uni_dp${rnd}_$k")
+      st.unionByName(cand).groupBy("w", "pos")
+        .agg(min("packed").as("packed"))
+        .write.mode("overwrite").parquet(nextDir)
+      stDir = nextDir
+    }
+    val fin = s.read.parquet(stDir)
+      .filter(col("pos") === length(col("w")) + 1)
+    // coverage is STRUCTURAL (every single char is in every vocab), so an
+    // uncovered word means the seed built wrong — fail loudly, 1-row sync
+    val uncovered = wfS.join(fin, Seq("w"), "left_anti").count()
+    require(uncovered == 0L,
+      s"q279 round $rnd: $uncovered dictionary words have no segmentation " +
+        "— single-char pieces missing from the vocabulary")
+    val segs = fin.select(col("w"),
+      expr("CAST(substring(packed, 1, 2) AS INT)").as("n"),
+      expr(s"split(substring(packed, 4), '$m')").as("ps"))
+    val wfj = wfS.join(segs, "w")
+    val usage = wfj.select(col("f"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("usage"))
+    val stats = wfj.agg(count(lit(1)).as("n_word_types"),
+        sum("f").as("n_words"),
+        sum(col("f") * col("n")).as("total_pieces"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("vocab_size"))))
+      .crossJoin(broadcast(usage.agg(
+        count(lit(1)).as("distinct_pieces_used"),
+        sum(expr("usage * length(piece)")).as("usage_len_checksum"))))
+      .select(lit(rnd).as("round"), col("vocab_size"), col("n_word_types"),
+        col("n_words"), col("total_pieces"),
+        expr("total_pieces * 1000000 div n_words").as("avg_pieces_ppm"),
+        col("distinct_pieces_used"), col("usage_len_checksum"))
+    (stats, usage)
+  }
+
+  /** The q279 run body, returning the per-round usage tables alongside
+    * the stats so TextDedupSpec can close train → segment → coverage
+    * (q247's discipline for the OTHER trainer family). */
+  private[graft] def unigramTrainRun(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val m = bpeDelim
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    // Same delimiter-collision posture as q247: a word holding U+0001
+    // would corrupt the packed DP value identically in both engines
+    // (matching-but-wrong), so fail LOUDLY before any round runs
+    val wf = docs.select(explode(filter(toks, t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(when(instr(col("w"), m) > 0,
+          raise_error(lit("q279: word contains the U+0001 piece delimiter")))
+        .otherwise(col("w")).as("w"), col("f"))
+    val tmp = graft.Scratch.dir("graft_uni_wf")
+    wf.write.mode("overwrite").parquet(tmp)
+    val wfS = s.read.parquet(tmp)
+    val maxLen = wfS.agg(max(length(col("w")))).head().getInt(0)
+    require(maxLen <= unigramMaxWordLen,
+      s"q279: $maxLen-char word exceeds the $unigramMaxWordLen-round DP " +
+        "unroll — raise unigramMaxWordLen (and the oracle unroll) together")
+    val pieceW = wfS.select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(1, least($unigramPieceMaxLen, length(w) - i + 1)), L ->
+           |    substring(w, i, L))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("f").as("wfreq"))
+    val chars = pieceW.filter(length(col("piece")) === 1).select("piece")
+    val seed = pieceW.orderBy(col("wfreq").desc, col("piece"))
+      .limit(unigramSeedSize).select("piece")
+      .unionByName(chars).distinct()
+    val (st1, usage1) = unigramSegment(s, tmp, seed, 1)
+    val pruned = usage1.orderBy(col("usage").desc, col("piece"))
+      .limit(unigramPrunedSize).select("piece")
+      .unionByName(chars).distinct()
+    val (st2, usage2) = unigramSegment(s, tmp, pruned, 2)
+    (st1.unionByName(st2).orderBy("round"), usage1, usage2)
+  }
+
+  /** q279 — UNIGRAM-LM TOKENIZER TRAINER (the SentencePiece family, Kudo
+    * 2018), q247's top-down twin: BPE grows a vocabulary bottom-up by
+    * merging; unigram starts from an over-complete SEED (every ≤
+    * [[unigramPieceMaxLen]]-char substring of the word dictionary, top
+    * [[unigramSeedSize]] by weighted frequency, plus every single char —
+    * the coverage floor) and PRUNES it down, re-segmenting between
+    * rounds. The E-step here is hard-EM (Viterbi counts — the standard
+    * production approximation): each word takes its single best
+    * segmentation (fewest pieces, deterministic lexicographic tie-break —
+    * the uniform-prior special case of max-probability), pieces are
+    * usage-counted weighted by word frequency, and the M-step keeps the
+    * top [[unigramPrunedSize]] pieces by usage (plus the single-char
+    * floor). Two rounds: seed-segment, prune, re-segment — the trajectory
+    * (vocab size, total encoded pieces, avg pieces per word in ppm,
+    * distinct pieces used, usage·length checksum) is the output, one row
+    * per round; pruning can only lengthen encodings, a monotonicity
+    * TextDedupSpec pins alongside train → segment → coverage closure.
+    * Corpus is read ONCE into the staged word-frequency dictionary
+    * (q247's q170/q230 discipline); every later join is vocabulary-
+    * bounded. The oracle replays both rounds CTE-for-CTE, DP unroll
+    * included.
+    */
+  val unigramTrain: Q = (s, d) => unigramTrainRun(s, d)._1
+
   /** q237 winnowing constants: k-token grams, window of w gram hashes.
     * The guarantee: every run of w consecutive grams (= w+k−1 tokens)
     * contributes at least one selected fingerprint, and matches of
@@ -1832,6 +1992,7 @@ object Text extends QueryModule {
     "q171_bpe_pairs" -> bpePairs,
     "q236_bpe_encode" -> bpeEncode,
     "q247_bpe_train" -> bpeTrain,
+    "q279_unigram_train" -> unigramTrain,
     "q269_tokenizer_fertility" -> tokenizerFertility,
     "q270_char_entropy" -> charEntropy,
     "q237_winnow_fingerprints" -> winnowFingerprints,
@@ -2210,6 +2371,73 @@ object Text extends QueryModule {
     // pair is DATA (a 1-row CTE cross-joined into the next re-encode),
     // not a literal — DuckDB learns its own merge table and every round
     // must agree with the Spark loop's driver-synced pick
+    // both trainer rounds replayed CTE-for-CTE: the same seed (top-48
+    // weighted substrings + the single-char floor), the same packed-string
+    // Viterbi DP unrolled to the loud cap (rounds past a word's length
+    // are no-ops), the same usage-ranked prune; DuckDB range() is
+    // end-exclusive where Spark sequence() is inclusive, hence the +1s
+    "q279_unigram_train" -> {
+      val m = bpeDelim
+      def dp(rnd: Int) = (1 to unigramMaxWordLen).map { k =>
+        s"""dp${rnd}_$k AS MATERIALIZED (SELECT w, pos, min(packed) AS packed FROM (
+           |  SELECT w, pos, packed FROM dp${rnd}_${k - 1}
+           |  UNION ALL
+           |  SELECT p.w, e.j AS pos,
+           |    lpad(CAST(CAST(substr(p.packed, 1, 2) AS INT) + 1 AS VARCHAR), 2, '0') ||
+           |      substr(p.packed, 3) || '$m' || e.piece AS packed
+           |  FROM dp${rnd}_${k - 1} p JOIN e$rnd e ON p.w = e.w AND p.pos = e.i
+           |) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      def round(rnd: Int) =
+        s"""e$rnd AS MATERIALIZED (SELECT w, u.i AS i, u.j AS j,
+           |    u.piece AS piece
+           |  FROM (SELECT w, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+           |    list_transform(range(1, least($unigramPieceMaxLen, len(w) - i + 1) + 1), L ->
+           |      {'i': i, 'j': i + L, 'piece': substr(w, i, L)})))) AS u
+           |    FROM wf)
+           |  JOIN v$rnd vv ON u.piece = vv.piece),
+           |dp${rnd}_0 AS (SELECT w, 1 AS pos, '00' AS packed FROM wf),
+           |${dp(rnd)},
+           |fin$rnd AS (SELECT w, CAST(substr(packed, 1, 2) AS INT) AS n,
+           |    string_split(substr(packed, 4), '$m') AS ps
+           |  FROM dp${rnd}_$unigramMaxWordLen WHERE pos = len(w) + 1),
+           |us$rnd AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS usage
+           |  FROM (SELECT wf.f, unnest(fin$rnd.ps) AS piece
+           |    FROM fin$rnd JOIN wf USING (w)) GROUP BY 1),
+           |st$rnd AS (SELECT CAST($rnd AS INT) AS round,
+           |    (SELECT count(*) FROM v$rnd) AS vocab_size,
+           |    count(*) AS n_word_types,
+           |    CAST(sum(wf.f) AS BIGINT) AS n_words,
+           |    CAST(sum(wf.f * fin$rnd.n) AS BIGINT) AS total_pieces,
+           |    CAST((sum(wf.f * fin$rnd.n) * 1000000) // sum(wf.f) AS BIGINT)
+           |      AS avg_pieces_ppm,
+           |    (SELECT count(*) FROM us$rnd) AS distinct_pieces_used,
+           |    (SELECT CAST(sum(usage * len(piece)) AS BIGINT) FROM us$rnd)
+           |      AS usage_len_checksum
+           |  FROM fin$rnd JOIN wf USING (w))""".stripMargin
+      raw"""WITH wds AS (SELECT
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS w
+         |  FROM documents),
+         |wf AS MATERIALIZED (SELECT w, count(*) AS f FROM wds GROUP BY 1),
+         |pw AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS wfreq
+         |  FROM (SELECT f, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+         |    list_transform(range(1, least($unigramPieceMaxLen, len(w) - i + 1) + 1), L ->
+         |      substr(w, i, L))))) AS piece FROM wf) GROUP BY 1),
+         |chars AS (SELECT piece FROM pw WHERE len(piece) = 1),
+         |v1 AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |  SELECT piece FROM (SELECT piece FROM pw
+         |    ORDER BY wfreq DESC, piece LIMIT $unigramSeedSize)
+         |  UNION ALL SELECT piece FROM chars)),
+         |${round(1)},
+         |v2 AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |  SELECT piece FROM (SELECT piece FROM us1
+         |    ORDER BY usage DESC, piece LIMIT $unigramPrunedSize)
+         |  UNION ALL SELECT piece FROM chars)),
+         |${round(2)}
+         |SELECT * FROM st1 UNION ALL SELECT * FROM st2 ORDER BY round"""
+        .stripMargin
+    },
     "q247_bpe_train" -> {
       val m = bpeDelim
       val rounds = (1 to bpeTrainRounds).map { k =>

@@ -462,6 +462,46 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q279 unigram trainer closes the loop: coverage total, pruning only lengthens encodings, usage reconciles") {
+    val (stats, usage1, usage2) =
+      operators.Text.unigramTrainRun(spark, sf)
+    val rows = stats.collect()
+    assert(rows.length === 2)
+    val Array(r1, r2) = rows
+    // train → segment: both rounds segmented the WHOLE dictionary (the
+    // in-operator require guarantees it loudly; this pins it end-to-end)
+    assert(r1.getAs[Long]("n_word_types") === r2.getAs[Long]("n_word_types"))
+    assert(r1.getAs[Long]("n_words") === r2.getAs[Long]("n_words"))
+    // the M-step genuinely pruned
+    assert(r2.getAs[Long]("vocab_size") < r1.getAs[Long]("vocab_size"),
+      s"prune did nothing: ${r1.getAs[Long]("vocab_size")} -> ${r2.getAs[Long]("vocab_size")}")
+    // pruning monotonicity: a smaller vocabulary can never segment a word
+    // into FEWER pieces (every round-2 path existed in round 1's DP)
+    assert(r2.getAs[Long]("total_pieces") >= r1.getAs[Long]("total_pieces"))
+    assert(r2.getAs[Long]("avg_pieces_ppm") >= r1.getAs[Long]("avg_pieces_ppm"))
+    // → coverage: every piece ever used is within the length budget, and
+    // usage·len sums to total corpus characters (each char covered by
+    // exactly one piece of its word's segmentation) — both rounds
+    val totalChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).head().getLong(0)
+    for ((u, r) <- Seq((usage1, r1), (usage2, r2))) {
+      val us = u.collect().map(x => (x.getString(0), x.getLong(1)))
+      assert(us.forall(_._1.length <= operators.Text.unigramPieceMaxLen))
+      val covered = us.map { case (p, n) => p.length.toLong * n }.sum
+      assert(covered === totalChars,
+        s"round ${r.getAs[Int]("round")}: covered $covered of $totalChars chars")
+      assert(us.map(_._2).sum === r.getAs[Long]("total_pieces"))
+    }
+    // avg pieces/word stays a sane tokenizer fertility (>1x, <=4x: pieces
+    // are at least 1 char and the seed keeps whole short words)
+    Seq(r1, r2).foreach { r =>
+      val ppm = r.getAs[Long]("avg_pieces_ppm")
+      assert(ppm >= 1000000L && ppm <= 4000000L, s"fertility ppm $ppm")
+    }
+  }
+
   test("q176 source overlap: planted vocabularies give exact Jaccard; duplicate tokens collapse") {
     import spark.implicits._
     // sA vocab {a,b,c} (b repeated — must collapse), sB {b,c,d},
