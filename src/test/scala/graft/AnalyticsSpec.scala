@@ -1139,6 +1139,18 @@ class AnalyticsSpec extends SparkSpec {
       100000000L, "OLS must be visibly dragged by the outlier")
   }
 
+  test("q276 delta-peel equals the full re-enumeration row for row") {
+    // the swap-safety pin: the delta shape subtracts exactly the
+    // triangles lost to each round's removals, so the two trajectories
+    // (rounds, removals, alive counts, checksums) must be identical
+    val full = q("q276_ktruss").orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val delta = operators.Graph.ktrussDelta(spark, sf).orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(delta.toList === full.toList)
+  }
+
   test("q276 k-truss: alive set monotone, constant after the first zero round; planted pendant triangle peels while K5 survives") {
     val rows = q("q276_ktruss").collect().sortBy(_.getInt(0))
     assert(rows.length === graft.operators.Graph.trussRounds)
