@@ -1812,6 +1812,75 @@ object Graph extends QueryModule {
     * n_moved_final audit makes an under-unroll loud, never silent. */
   private val sccOracleSuperRounds = 8
 
+  /** q280 walk length (steps past the origin). DeepWalk production dials
+    * run 40–80; 4 exercises the identical per-step plan. */
+  private[graft] val walkLen = 4
+
+  /** q280 — DETERMINISTIC RANDOM-WALK CORPUS (the DeepWalk / node2vec
+    * training-data generator, Perozzi 2014): one walk per node over the
+    * dense co-purchase graph, [[walkLen]] steps, each step choosing the
+    * neighbor that minimizes md5(origin:step:neighbor) — the repo's
+    * standard derandomized-uniform pick (q75/q89's hash-bucket family),
+    * so the "random" walk is reproducible in both engines and across
+    * reruns/partitionings, which seeded RNG sampling is not. The walk
+    * table is what a skip-gram embedding trainer consumes; a pipeline
+    * materializes it per epoch with the origin salt swapped.
+    *
+    * Plan shape per step: ONE equi-join of the current positions against
+    * the staged both-direction adjacency (keyed on the current node — the
+    * graph's natural shuffle key) + ONE per-walk WindowGroupLimit cut
+    * (frames bounded by node degree). Positions stage per step (the CC
+    * lineage discipline). Cost is steps × |edges touched| — linear, no
+    * driver loop state beyond the step counter, walks never die (the
+    * both-direction list gives every node degree ≥ 1). Output one row
+    * per step: walks alive, distinct nodes occupied, occupied-node id
+    * sum — the corpus-shape audit (O(steps), scale-free).
+    */
+  val walkCorpus: Q = (s, d) => {
+    val (canonDir, _) = triArtifacts(s, d)
+    val canon = s.read.parquet(canonDir)
+    val tmpW = graft.Scratch.dir("graft_walk_ed")
+    canon.unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(tmpW)
+    walkRun(s, tmpW)
+  }
+
+  /** The q280 engine over an arbitrary staged both-direction edge list,
+    * split out so PropertySpec can replay the md5-argmin walks on a
+    * planted graph against a driver-side simulation. */
+  private[graft] def walkRun(s: org.apache.spark.sql.SparkSession,
+      edDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = s.read.parquet(edDir)
+    var posDir = graft.Scratch.dir("graft_walk_p0")
+    ed.select(col("u").as("o")).distinct()
+      .select(col("o"), col("o").as("x"))
+      .write.mode("overwrite").parquet(posDir)
+    val steps = (0 to walkLen).map { t =>
+      if (t > 0) {
+        val cur = s.read.parquet(posDir)
+        val w = Window.partitionBy("o").orderBy(col("pick"), col("v"))
+        val next = cur.join(ed, col("x") === col("u"))
+          .withColumn("pick", md5(concat_ws(":",
+            col("o").cast("string"), lit(t.toString),
+            col("v").cast("string"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o"), col("v").as("x"))
+        val nextDir = graft.Scratch.dir(s"graft_walk_p$t")
+        next.write.mode("overwrite").parquet(nextDir)
+        posDir = nextDir
+      }
+      s.read.parquet(posDir)
+        .agg(count(lit(1)).as("n_walks"),
+          countDistinct(col("x")).as("n_distinct_nodes"),
+          sum(col("x")).as("node_id_sum"))
+        .select(lit(t).as("step"), col("n_walks"),
+          col("n_distinct_nodes"), col("node_id_sum"))
+    }
+    steps.reduce(_ unionByName _).orderBy("step")
+  }
+
   /** Loud cap for q257's forward BFS = the oracle's unroll depth (the
     * q250 contract: cap and oracle unroll move together). Measured
     * single-source eccentricity on the dense co-purchase graph is ≤ 3 at
@@ -1964,6 +2033,7 @@ object Graph extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q257_betweenness" -> betweenness,
+    "q280_walk_corpus" -> walkCorpus,
     "q106_pagerank" -> pageRank,
     "q138_triangle_count" -> triangleCount,
     "q265_local_clustering" -> localClustering,
@@ -1989,6 +2059,34 @@ object Graph extends QueryModule {
     "q262_hits" -> hits)
 
   def oracles: Map[String, String] = Map(
+    // the identical md5-argmin steps unrolled: same pick string
+    // (origin:step:neighbor), same (pick, neighbor) tiebreak, positions
+    // carried CTE to CTE exactly as the staged parquet rounds
+    "q280_walk_corpus" -> {
+      val steps = (1 to walkLen).map { t =>
+        s"""p$t AS MATERIALIZED (SELECT o, x FROM (
+           |  SELECT c.o, e.v AS x, row_number() OVER (PARTITION BY c.o
+           |    ORDER BY md5(CAST(c.o AS VARCHAR) || ':$t:' ||
+           |      CAST(e.v AS VARCHAR)), e.v) AS rn
+           |  FROM p${t - 1} c JOIN ed e ON c.x = e.u) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val stats = (0 to walkLen).map { t =>
+        s"""SELECT CAST($t AS INT) AS step, count(*) AS n_walks,
+           |  count(DISTINCT x) AS n_distinct_nodes,
+           |  CAST(sum(x) AS BIGINT) AS node_id_sum FROM p$t""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |ced AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a
+         |  JOIN items b ON a.o = b.o AND a.p < b.p),
+         |ed AS MATERIALIZED (SELECT u, v FROM ced
+         |  UNION ALL SELECT v AS u, u AS v FROM ced),
+         |p0 AS MATERIALIZED (SELECT DISTINCT u AS o, u AS x FROM ed),
+         |$steps
+         |$stats
+         |ORDER BY step""".stripMargin
+    },
     // the identical forward sigma-BFS and backward dependency rounds
     // unrolled to the loud cap in BOTH directions: forward rounds past
     // the last non-empty frontier add no rows, and backward rounds above

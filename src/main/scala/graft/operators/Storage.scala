@@ -1087,7 +1087,101 @@ object Storage extends QueryModule {
     (root, report)
   }
 
+  /** q281 tree geometry: 256 leaf buckets, fan-in 16 → 3 levels
+    * (leaf 0, mid 1, root 2). Production trees deepen (e.g. 2^20 leaves,
+    * fan-in 32 → 5 levels) without changing the per-level plan. */
+  private[graft] val merkleLeaves = 256L
+  private[graft] val merkleFanIn = 16L
+
+  /** q281 digest modulus (1e9+7): per-row digests reduce below it before
+    * the commutative sum, so a leaf bucket overflows BIGINT only past
+    * ~9.2e9 rows — loud to document, absurd to hit at 256-way bucketing
+    * of any table this tree would verify (re-leaf first). */
+  private val merkleP = 1000000007L
+
+  /** q281 — MERKLE-TREE SNAPSHOT DIFF: the O(log)-localization
+    * complement to q71's merge and the row-level full-outer diff the CDC
+    * derivation runs — comparing two 100 TB replicas row by row shuffles
+    * both tables whole, but comparing their digest TREES reads O(levels)
+    * metadata rows and descends only into mismatched subtrees (the
+    * content-verification shape Delta/Iceberg manifests and replication
+    * repair both use; Merkle 1979). The change set is a FIXED md5-ranked
+    * sample of 12 keys (6 repriced +5% in integer cents, 6 deleted) —
+    * scale-free by construction, because localization is the regime the
+    * tree exists for: replaying the row-level diff's density here
+    * (measured) dirties all 273 nodes and the tree degenerates to a full
+    * compare, exactly the case a repair job escalates out of.
+    *
+    * Mechanics: row digest = md5(key:cents) folded to BIGINT mod
+    * [[merkleP]] (prices as exact integer cents — a DECIMAL-to-string
+    * round-trip would be an engine-divergence trap); bucket = key mod
+    * [[merkleLeaves]] (key-addressed, so an edit stays in its bucket and
+    * membership changes move exactly one bucket per key); node digest =
+    * commutative sum mod [[merkleP]] of its rows (order-independence is
+    * what makes the digest partitioning-invariant), parents sum their
+    * children. Each snapshot is ONE scan + three map-side-combinable
+    * aggregates; the diff is a full outer join of two metadata-sized
+    * digest tables (≤ 273 rows/side), absent nodes coalescing to the
+    * empty digest 0. Output: mismatched nodes only, root first — the
+    * repair worklist, O(changed buckets · levels) rows at EVERY fixture
+    * scale. StorageSpec pins the Merkle law: a mismatched leaf's
+    * ancestors all mismatch, and the mismatched leaf set is exactly the
+    * buckets holding changed keys.
+    */
+  val merkleDiff: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    // the 12 changed keys: md5-ranked (the q257/q259 pick discipline);
+    // the rank window runs AFTER the 12-cut, the q158 bounded-frame rule
+    val ranked = keyed.select("key")
+      .orderBy(md5(col("key").cast("string")), col("key")).limit(12)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(md5(col("key").cast("string")), col("key"))))
+    val snapA = keyed
+    val snapB = keyed
+      .join(broadcast(ranked.filter(col("rn") > 6).select("key")),
+        Seq("key"), "left_anti")
+      .join(broadcast(ranked.filter(col("rn") <= 6).select("key")
+        .withColumn("is_r", lit(true))), Seq("key"), "left")
+      .select(col("key"),
+        when(col("is_r"), expr("cents * 21 div 20"))
+          .otherwise(col("cents")).as("cents"))
+    def levels(snap: DataFrame): DataFrame = {
+      val leaf = snap.select((col("key") % merkleLeaves).as("node"),
+          (expr("""CAST(conv(substring(md5(concat_ws(':', CAST(key AS STRING),
+             CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)""")
+            % merkleP).as("dg"))
+        .groupBy("node")
+        .agg((sum("dg") % merkleP).as("digest"), count(lit(1)).as("n_rows"))
+      val mid = leaf.groupBy(expr(s"node div $merkleFanIn").as("node"))
+        .agg((sum("digest") % merkleP).as("digest"), sum("n_rows").as("n_rows"))
+      val root = mid.groupBy(lit(0L).as("node"))
+        .agg((sum("digest") % merkleP).as("digest"), sum("n_rows").as("n_rows"))
+      leaf.select(lit(0).as("level"), col("node"), col("digest"), col("n_rows"))
+        .unionByName(mid.select(lit(1).as("level"), col("node"),
+          col("digest"), col("n_rows")))
+        .unionByName(root.select(lit(2).as("level"), col("node"),
+          col("digest"), col("n_rows")))
+    }
+    val a = levels(snapA).withColumnsRenamed(
+      Map("digest" -> "digest_a", "n_rows" -> "n_rows_a"))
+    val b = levels(snapB).withColumnsRenamed(
+      Map("digest" -> "digest_b", "n_rows" -> "n_rows_b"))
+    a.join(b, Seq("level", "node"), "full_outer")
+      .select(col("level"), col("node"),
+        coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
+        coalesce(col("digest_a"), lit(0L)).as("digest_a"),
+        coalesce(col("digest_b"), lit(0L)).as("digest_b"))
+      .filter(col("digest_a") =!= col("digest_b") ||
+        col("n_rows_a") =!= col("n_rows_b"))
+      .orderBy(col("level").desc, col("node"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q281_merkle_diff" -> merkleDiff,
     "q268_deletion_vectors" -> deletionVectors,
     "q197_backfill_gaps" -> backfillGaps,
     "q182_rendezvous_resize" -> rendezvousResize,
@@ -1116,6 +1210,56 @@ object Storage extends QueryModule {
     "q82_schema_evolution" -> schemaEvolution)
 
   def oracles: Map[String, String] = Map(
+    // the identical digest algebra per snapshot (md5 folded to a 60-bit
+    // BIGINT mod 1e9+7, commutative sums up three levels — sums pass
+    // through HUGEINT in DuckDB, hence the CASTs) over the q125 planted
+    // snapshot pair, then the same metadata-sized full outer join
+    "q281_merkle_diff" -> {
+      def snap(tag: String, src: String) =
+        s"""${tag}l AS (SELECT key % $merkleLeaves AS node,
+           |    ('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+           |      CAST(cents AS VARCHAR)), 1, 15))::BIGINT % 1000000007 AS dg
+           |  FROM $src),
+           |${tag}1 AS (SELECT node, CAST(sum(dg) % 1000000007 AS BIGINT)
+           |    AS digest, count(*) AS n_rows FROM ${tag}l GROUP BY 1),
+           |${tag}2 AS (SELECT node // $merkleFanIn AS node,
+           |    CAST(sum(digest) % 1000000007 AS BIGINT) AS digest,
+           |    CAST(sum(n_rows) AS BIGINT) AS n_rows FROM ${tag}1 GROUP BY 1),
+           |${tag}3 AS (SELECT CAST(0 AS BIGINT) AS node,
+           |    CAST(sum(digest) % 1000000007 AS BIGINT) AS digest,
+           |    CAST(sum(n_rows) AS BIGINT) AS n_rows FROM ${tag}2),
+           |${tag}all AS (
+           |  SELECT CAST(0 AS INT) AS level, node, digest, n_rows FROM ${tag}1
+           |  UNION ALL SELECT CAST(1 AS INT), node, digest, n_rows FROM ${tag}2
+           |  UNION ALL SELECT CAST(2 AS INT), node, digest, n_rows FROM ${tag}3)"""
+          .stripMargin
+      s"""WITH a0 AS (SELECT o_orderkey AS key,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders),
+         |rk AS MATERIALIZED (SELECT key,
+         |    row_number() OVER (ORDER BY md5(CAST(key AS VARCHAR)), key)
+         |      AS rn
+         |  FROM (SELECT key FROM a0
+         |    ORDER BY md5(CAST(key AS VARCHAR)), key LIMIT 12)),
+         |b0 AS (SELECT k.key,
+         |    CASE WHEN r.rn <= 6 THEN (k.cents * 21) // 20
+         |      ELSE k.cents END AS cents
+         |  FROM a0 k LEFT JOIN rk r ON k.key = r.key
+         |  WHERE NOT EXISTS (SELECT 1 FROM rk d
+         |    WHERE d.key = k.key AND d.rn > 6)),
+         |${snap("a", "a0")},
+         |${snap("b", "b0")}
+         |SELECT coalesce(a.level, b.level) AS level,
+         |  coalesce(a.node, b.node) AS node,
+         |  coalesce(a.n_rows, 0) AS n_rows_a, coalesce(b.n_rows, 0) AS n_rows_b,
+         |  coalesce(a.digest, 0) AS digest_a, coalesce(b.digest, 0) AS digest_b
+         |FROM aall a FULL OUTER JOIN ball b
+         |  ON a.level = b.level AND a.node = b.node
+         |WHERE coalesce(a.digest, 0) <> coalesce(b.digest, 0)
+         |   OR coalesce(a.n_rows, 0) <> coalesce(b.n_rows, 0)
+         |ORDER BY level DESC, node""".stripMargin
+    },
     // identical deterministic positions (rank by doc_id within bucket),
     // identical tombstone rule — del_pos_checksum certifies the rank
     // parity, live_id_checksum the surviving set

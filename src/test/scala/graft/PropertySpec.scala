@@ -823,4 +823,30 @@ class PropertySpec extends SparkSpec {
     assert(opD.view.mapValues(_._1).toMap == exD, s"diamond: $opD vs $exD")
     assert(opD.values.forall(_._2 == 5L))
   }
+
+  test("q280 walk law: the md5-argmin walks equal a driver-side simulation on a planted graph, step for step") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // path 1-2-3-4 plus a disjoint triangle 5-6-7: exercises degree-1
+    // bounce-back, midpoint choice, and cycle traversal
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L))
+    val both = edges ++ edges.map(e => (e._2, e._1))
+    val adj = both.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dir = graft.Scratch.dir("graft_walk_law")
+    both.toDF("u", "v").write.mode("overwrite").parquet(dir)
+    val got = operators.Graph.walkRun(spark, dir).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // simulate: every node walks; at step t the next node minimizes
+    // (md5("o:t:v"), v) over current neighbors
+    var pos = adj.keys.toSeq.sorted.map(o => o -> o).toMap
+    val expected = (0 to operators.Graph.walkLen).map { t =>
+      if (t > 0) pos = pos.map { case (o, x) =>
+        o -> adj(x).minBy(v => (md5hex(s"$o:$t:$v"), v))
+      }
+      (t, pos.size.toLong, pos.values.toSet.size.toLong, pos.values.sum)
+    }
+    assert(got.toList === expected.toList,
+      s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
+  }
 }

@@ -300,4 +300,25 @@ class StorageSpec extends SparkSpec {
     assert(row.getAs[Long]("n_posting_refs_after") === 0L)
     assert(row.getAs[Long]("n_files_untouched") === untouched.size.toLong)
   }
+
+  test("q281 Merkle law: mismatched leaves are exactly the changed keys' buckets, and every dirty leaf's ancestors mismatch") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // recompute the planted change set the operator's own way: the 12
+    // md5-ranked order keys (6 repriced, 6 deleted — all 12 change their
+    // bucket's content, since cents*21 div 20 <> cents for cents >= 100)
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val changed = keys.sortBy(k => (md5hex(k.toString), k)).take(12)
+    val leaves = changed.map(_ % 256L).toSet
+    val mids = leaves.map(_ / 16L)
+    val expect = leaves.map(n => (0, n)) ++ mids.map(n => (1, n)) + ((2, 0L))
+    val got = q("q281_merkle_diff").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === expect, s"got $got expected $expect")
+    // and the diff genuinely localized: dirty nodes are a strict
+    // minority of the tree's 273
+    assert(got.size < 40)
+  }
 }
