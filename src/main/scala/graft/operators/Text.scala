@@ -1285,9 +1285,12 @@ object Text extends QueryModule {
 
   /** q279 loud word-length cap = the Viterbi DP's unroll depth in BOTH
     * engines (a segmentation has at most one piece per character).
-    * Fixture corpora top out at 8-char words; a longer-word corpus raises
-    * loudly, never truncates. */
-  private[graft] val unigramMaxWordLen = 10
+    * Fixture corpora top out at 8-char words and ScaleUp's replica-tagged
+    * sf1 words at 11 (the cap caught exactly that on first sf1 contact);
+    * 16 covers both with headroom — rounds past a word's length are
+    * no-ops, and a longer-word corpus still raises loudly, never
+    * truncates. */
+  private[graft] val unigramMaxWordLen = 16
 
   /** q279 piece geometry and vocabulary budgets: candidate pieces up to 4
     * chars (bounds the substring fan-out to ≤ 4 per position), a 48-piece
@@ -1317,7 +1320,7 @@ object Text extends QueryModule {
     */
   private def unigramSegment(s: org.apache.spark.sql.SparkSession,
       wfDir: String, vocab: org.apache.spark.sql.DataFrame,
-      rnd: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      rnd: Int, dpRounds: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val m = bpeDelim
     val wfS = s.read.parquet(wfDir)
     val vDir = graft.Scratch.dir(s"graft_uni_v$rnd")
@@ -1337,7 +1340,13 @@ object Text extends QueryModule {
     var stDir = graft.Scratch.dir(s"graft_uni_dp${rnd}_0")
     wfS.select(col("w"), lit(1).as("pos"), lit("00").as("packed"))
       .write.mode("overwrite").parquet(stDir)
-    for (k <- 1 to unigramMaxWordLen) {
+    // dpRounds = the corpus's measured max word length (<= the cap): the
+    // DP reaches its fixpoint once every word's full-length path exists,
+    // so rounds past it are provable no-ops — the ORACLE still unrolls
+    // the full cap (its no-op rounds cost nothing by the same argument),
+    // while Spark skips ~6 staged-round overheads per segmentation at
+    // fixture word lengths (measured 14.5 -> ~10 s at sf0.1)
+    for (k <- 1 to dpRounds) {
       val st = s.read.parquet(stDir)
       val cand = st.select(col("w"), col("pos").as("i"), col("packed"))
         .join(edS, Seq("w", "i"))
@@ -1411,11 +1420,11 @@ object Text extends QueryModule {
     val seed = pieceW.orderBy(col("wfreq").desc, col("piece"))
       .limit(unigramSeedSize).select("piece")
       .unionByName(chars).distinct()
-    val (st1, usage1) = unigramSegment(s, tmp, seed, 1)
+    val (st1, usage1) = unigramSegment(s, tmp, seed, 1, maxLen)
     val pruned = usage1.orderBy(col("usage").desc, col("piece"))
       .limit(unigramPrunedSize).select("piece")
       .unionByName(chars).distinct()
-    val (st2, usage2) = unigramSegment(s, tmp, pruned, 2)
+    val (st2, usage2) = unigramSegment(s, tmp, pruned, 2, maxLen)
     (st1.unionByName(st2).orderBy("round"), usage1, usage2)
   }
 
