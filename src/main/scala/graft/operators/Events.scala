@@ -635,7 +635,63 @@ object Events extends QueryModule {
         max("late_us").as("max_late_us"))
   }
 
+  /** q282 per-step window: a later funnel step only counts within 7 days
+    * of the PREVIOUS step (the standard product-analytics horizon). */
+  private[graft] val funnelWindowUs = 7L * 24 * 3600 * 1000000
+
+  /** q282 — ORDERED FUNNEL (view → click → purchase): the product-
+    * analytics staple q220's single-hop latency doesn't cover — each
+    * step is the user's FIRST qualifying event STRICTLY AFTER the
+    * previous step and within [[funnelWindowUs]] of it, so a purchase
+    * before the first view (or a stale one months later) does NOT
+    * convert. The strict ordering is exactly what windowed min-CASE
+    * aggregation (q220's shape) cannot express — it needs the previous
+    * step's timestamp as a per-user join input, hence the step-chained
+    * plan: one type-pruned aggregate for step 1, then per later step ONE
+    * user-keyed equi-join against the prior step's (user, t) table + one
+    * min aggregate. Everything shuffles on user_id; step tables only
+    * shrink. Output: 3 rows (step, event type, users reaching it,
+    * conversion from the previous step in exact ppm, mean inter-step
+    * latency in µs; sums pass through DECIMAL(38,0) so the mean is exact
+    * at any user count, the q220 discipline) — the funnel dashboard
+    * table. Empty steps report -1 latency and 0 conversion rather than a
+    * null-vs-error engine divergence.
+    */
+  val funnelSteps: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + funnelWindowUs)
+      .groupBy("user_id").agg(min("t").as("t2"), max("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("t") > col("t2") && col("t") <= col("t2") + funnelWindowUs)
+      .groupBy("user_id").agg(min("t").as("t3"), max("t2").as("t2"))
+    val j = s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n2"),
+        sum((col("t2") - col("t1")).cast("decimal(38,0)")).as("l2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3"),
+        sum((col("t3") - col("t2")).cast("decimal(38,0)")).as("l3")))
+    def row(step: Int, name: String, n: String, prev: String, lat: String) =
+      j.select(lit(step).as("step"), lit(name).as("event_type"),
+        col(n).as("n_users"),
+        expr(s"CASE WHEN $prev > 0 THEN $n * 1000000 div $prev ELSE 0 END")
+          .as("conv_from_prev_ppm"),
+        expr(if (lat.isEmpty) "CAST(-1 AS BIGINT)"
+          else s"CASE WHEN $n > 0 THEN CAST($lat div $n AS BIGINT) ELSE -1 END")
+          .as("mean_latency_us"))
+    row(1, "view", "n1", "n1", "")
+      .unionByName(row(2, "click", "n2", "n1", "l2"))
+      .unionByName(row(3, "purchase", "n3", "n2", "l3"))
+      .orderBy("step")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q282_funnel_steps" -> funnelSteps,
     "q196_lateness_audit" -> latenessAudit,
     "q220_conversion_latency" -> conversionLatency,
     "q225_event_trigrams" -> eventTrigrams,
@@ -704,6 +760,45 @@ object Events extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // the identical step chain: strict-after + 7-day window per step,
+    // DECIMAL-safe latency sums (HUGEINT here), the same -1/0 sentinels
+    "q282_funnel_steps" -> {
+      val w = funnelWindowUs
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
+         |  FROM events),
+         |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.t) AS t2, max(s.t1) AS t1
+         |  FROM ev e JOIN s1 s ON e.user_id = s.user_id
+         |  WHERE e.event_type = 'click' AND e.t > s.t1
+         |    AND e.t <= s.t1 + $w GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.t) AS t3, max(s.t2) AS t2
+         |  FROM ev e JOIN s2 s ON e.user_id = s.user_id
+         |  WHERE e.event_type = 'purchase' AND e.t > s.t2
+         |    AND e.t <= s.t2 + $w GROUP BY 1),
+         |j AS (SELECT
+         |  (SELECT count(*) FROM s1) AS n1,
+         |  (SELECT count(*) FROM s2) AS n2,
+         |  (SELECT sum(CAST(t2 - t1 AS HUGEINT)) FROM s2) AS l2,
+         |  (SELECT count(*) FROM s3) AS n3,
+         |  (SELECT sum(CAST(t3 - t2 AS HUGEINT)) FROM s3) AS l3)
+         |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+         |  n1 AS n_users,
+         |  CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END
+         |    AS BIGINT) AS conv_from_prev_ppm,
+         |  CAST(-1 AS BIGINT) AS mean_latency_us FROM j
+         |UNION ALL SELECT CAST(2 AS INT), 'click', n2,
+         |  CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END
+         |    AS BIGINT),
+         |  CASE WHEN n2 > 0 THEN CAST(l2 // n2 AS BIGINT)
+         |    ELSE CAST(-1 AS BIGINT) END FROM j
+         |UNION ALL SELECT CAST(3 AS INT), 'purchase', n3,
+         |  CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END
+         |    AS BIGINT),
+         |  CASE WHEN n3 > 0 THEN CAST(l3 // n3 AS BIGINT)
+         |    ELSE CAST(-1 AS BIGINT) END FROM j
+         |ORDER BY step""".stripMargin
+    },
     // the oracle computes the prefix max directly — it need not scale
     "q196_lateness_audit" ->
       """WITH ev AS (SELECT epoch_us(ts)

@@ -1460,7 +1460,82 @@ object Stats extends QueryModule {
         col("theilsen_slope_micro"), col("ols_slope_micro"))
   }
 
+  /** q283 — SPLIT-CONFORMAL COVERAGE AUDIT (Mondrian / per-group,
+    * Vovk 2005 / Papadopoulos 2002): the uncertainty-quantification gate
+    * a pipeline runs before trusting any point predictor — wrap the
+    * prediction in an interval ±q̂ where q̂ is the ⌈(n_cal+1)·0.9⌉-th
+    * smallest calibration residual, and the test-fold coverage is
+    * guaranteed ≥ 90% in expectation REGARDLESS of how bad the predictor
+    * is (the guarantee is distribution-free; per-segment calibration =
+    * the Mondrian variant, giving each segment its own guarantee).
+    * Predictor here: the train-fold per-segment mean order value in
+    * exact integer cents — deliberately crude, because conformal's whole
+    * point is that coverage holds anyway; a real model slots into the
+    * same yhat column.
+    *
+    * Determinism discipline: folds are md5-bucket splits (train < 50,
+    * calibration 50–79, test ≥ 80 — q75's family); the order statistic
+    * is exact via the q209 VALUE-HISTOGRAM shape (groupBy residual →
+    * per-segment cumulative count, windows bounded by residual
+    * cardinality per segment, never a global row sort); the ceil is the
+    * all-integer comparison 10·cum ≥ 9·(n_cal+1); an under-sized
+    * calibration fold (k > n_cal) yields the conformal-defined INFINITE
+    * interval, surfaced as Long.MaxValue, not null. The base (key, seg,
+    * cents, bucket) projection stages once and all three folds read the
+    * leaf. Output: one row per segment — fold sizes, ŷ, q̂, exact ppm
+    * coverage. AnalyticsSpec pins the conformal band and the guarantee's
+    * finite-sample lower edge.
+    */
+  val conformalCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("key"), col("seg"), col("cents"),
+        graft.functions.Hashing.md5Bucket(col("key"), 100).as("b"))
+    val tmp = graft.Scratch.dir("graft_conf")
+    base.write.mode("overwrite").parquet(tmp)
+    val st = s.read.parquet(tmp)
+    val train = st.filter(col("b") < 50).groupBy("seg")
+      .agg(expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("yhat"),
+        count(lit(1)).as("n_train"))
+    val cal = st.filter(col("b") >= 50 && col("b") < 80)
+      .join(broadcast(train.select("seg", "yhat")), "seg")
+      .select(col("seg"), abs(col("cents") - col("yhat")).as("r"))
+    val hist = cal.groupBy("seg", "r").agg(count(lit(1)).as("c"))
+    val nc = cal.groupBy("seg").agg(count(lit(1)).as("n_cal"))
+    val cum = hist.withColumn("cum", sum("c").over(
+      Window.partitionBy("seg").orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qh = cum.join(broadcast(nc), "seg")
+      .groupBy("seg")
+      .agg(coalesce(
+          min(when(col("cum") * 10 >= (col("n_cal") + 1) * 9, col("r"))),
+          lit(Long.MaxValue)).as("qhat"),
+        max("n_cal").as("n_cal"))
+    st.filter(col("b") >= 80)
+      .join(broadcast(train), "seg")
+      .join(broadcast(qh), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") - col("yhat")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("covered"),
+        max("yhat").as("yhat_cents"), max("qhat").as("qhat_cents"),
+        max("n_train").as("n_train"), max("n_cal").as("n_cal"))
+      .select(col("seg"), col("n_train"), col("n_cal"), col("n_test"),
+        col("yhat_cents"), col("qhat_cents"),
+        expr("""CASE WHEN n_test > 0 THEN covered * 1000000 div n_test
+               ELSE -1 END""").as("coverage_ppm"))
+      .orderBy("seg")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q283_conformal_coverage" -> conformalCoverage,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
     "q195_cusum_changepoint" -> cusumChangepoint,
@@ -1523,6 +1598,45 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the identical fold buckets, integer-mean predictor, value-histogram
+    // order statistic (10·cum >= 9·(n+1), the exact ceil), MaxValue
+    // infinite-interval sentinel, and exact ppm coverage
+    "q283_conformal_coverage" -> {
+      val bk = graft.functions.Hashing.duckMd5Bucket("o_orderkey", 100)
+      s"""WITH base AS (SELECT o_orderkey AS key, c.c_mktsegment AS seg,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents,
+         |    $bk AS b
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |train AS MATERIALIZED (SELECT seg,
+         |    CAST(sum(CAST(cents AS HUGEINT)) // count(*) AS BIGINT)
+         |      AS yhat,
+         |    count(*) AS n_train
+         |  FROM base WHERE b < 50 GROUP BY 1),
+         |cal AS (SELECT base.seg, abs(cents - yhat) AS r
+         |  FROM base JOIN train ON base.seg = train.seg
+         |  WHERE b >= 50 AND b < 80),
+         |hist AS (SELECT seg, r, count(*) AS c FROM cal GROUP BY 1, 2),
+         |nc AS (SELECT seg, count(*) AS n_cal FROM cal GROUP BY 1),
+         |cum AS (SELECT seg, r, sum(c) OVER (PARTITION BY seg ORDER BY r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |qh AS MATERIALIZED (SELECT cum.seg,
+         |    coalesce(min(CASE WHEN cum * 10 >= (n_cal + 1) * 9
+         |      THEN r END), 9223372036854775807) AS qhat,
+         |    max(n_cal) AS n_cal
+         |  FROM cum JOIN nc ON cum.seg = nc.seg GROUP BY 1)
+         |SELECT base.seg, max(n_train) AS n_train, max(n_cal) AS n_cal,
+         |  count(*) AS n_test,
+         |  max(yhat) AS yhat_cents, max(qhat) AS qhat_cents,
+         |  CAST(CASE WHEN count(*) > 0 THEN
+         |    sum(CASE WHEN abs(cents - yhat) <= qhat THEN 1 ELSE 0 END)
+         |      * 1000000 // count(*)
+         |    ELSE -1 END AS BIGINT) AS coverage_ppm
+         |FROM base JOIN train ON base.seg = train.seg
+         |JOIN qh ON base.seg = qh.seg
+         |WHERE b >= 80 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the identical rebased grid, truncating micro-slope, lower-median
     // position under the same (slope, m1, m2) order, and the same
     // closed-form integer OLS

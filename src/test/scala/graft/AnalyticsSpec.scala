@@ -451,6 +451,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("twap_ppm") === 17500000L)
   }
 
+  test("q282 funnel: strict ordering and the 7-day window gate each step; hand-computed conversions and latencies") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val day = 86400L
+    val rows = Seq(
+      // user 1: the full funnel — view@0, click@+3600s, purchase@+7200s
+      (1L, 0L * ns, 1L, "view", 0.0, "{}"),
+      (2L, 3600L * ns, 1L, "click", 0.0, "{}"),
+      (3L, 7200L * ns, 1L, "purchase", 0.0, "{}"),
+      // user 2: purchase BEFORE the first view — must NOT convert
+      (4L, 0L * ns, 2L, "purchase", 0.0, "{}"),
+      (5L, 100L * ns, 2L, "view", 0.0, "{}"),
+      // user 3: click 8 days after the view — outside the 7-day window
+      (6L, 0L * ns, 3L, "view", 0.0, "{}"),
+      (7L, 8 * day * ns, 3L, "click", 0.0, "{}"),
+      // user 4: view→click in 100s, purchase 8 days after the click
+      (8L, 0L * ns, 4L, "view", 0.0, "{}"),
+      (9L, 100L * ns, 4L, "click", 0.0, "{}"),
+      (10L, (100L + 8 * day) * ns, 4L, "purchase", 0.0, "{}"),
+      // user 5: click with no view — never enters the funnel
+      (11L, 0L * ns, 5L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftfunnel").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q282_funnel_steps")(spark, dir)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList === List(
+      (1, "view", 4L, 1000000L, -1L),
+      // users 1 and 4 click in-window: conv 2/4, mean (3600+100)/2 s
+      (2, "click", 2L, 500000L, 1850L * 1000000L),
+      // only user 1 purchases in-window: conv 1/2, latency 3600 s
+      (3, "purchase", 1L, 500000L, 3600L * 1000000L)))
+  }
+
+  test("q283 conformal: query output equals a driver-side split-conformal replica; coverage sits in the 90%-target band") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(k: Long): Long =
+      java.lang.Long.parseLong(md5hex(k.toString).substring(0, 8), 16) % 100
+    val seg = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), seg(r.getLong(1)), r.getLong(2)))
+    val expected = rows.map(_._2).distinct.sorted.map { sg =>
+      val mine = rows.filter(_._2 == sg)
+      val train = mine.filter(t => bucket(t._1) < 50)
+      val yhat = train.map(t => BigInt(t._3)).sum / train.length
+      val cal = mine.filter(t => { val b = bucket(t._1); b >= 50 && b < 80 })
+        .map(t => math.abs(t._3 - yhat.toLong)).sorted
+      val k = ((cal.length + 1) * 9 + 9) / 10 // ceil((n+1)*0.9)
+      val qhat = if (k <= cal.length) cal(k - 1) else Long.MaxValue
+      val test = mine.filter(t => bucket(t._1) >= 80)
+      val covered = test.count(t => math.abs(t._3 - yhat.toLong) <= qhat)
+      (sg, train.length.toLong, cal.length.toLong, test.length.toLong,
+        yhat.toLong, qhat, covered.toLong * 1000000L / test.length)
+    }
+    val got = q("q283_conformal_coverage").orderBy("seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toList === expected.toList)
+    // the distribution-free guarantee: coverage ~ 90% in expectation;
+    // the fixture folds are a few hundred rows per segment, so allow the
+    // finite-sample spread (deterministic — can never flake once green)
+    got.foreach { case (sg, _, _, nTest, _, _, cov) =>
+      assert(cov >= 800000L && cov <= 990000L, s"$sg: $cov ppm over $nTest")
+    }
+  }
+
   test("q168 interval coverage: overlapping holds merge, the gap opens a second island") {
     import spark.implicits._
     // holds are 1800s: events at 0s and 600s overlap into one island
