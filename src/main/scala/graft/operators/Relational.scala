@@ -682,7 +682,45 @@ object Relational extends QueryModule {
       .orderBy(col("prio"), col("pq").desc)
   }
 
+  /** q284 — CUBE / GROUPING SETS revenue summary: the multi-granularity
+    * aggregate surface (§2.3's missing classic) — revenue by (region,
+    * nation) with ALL four grouping sets in ONE pass: detail, per-region
+    * subtotal, per-nation margin, grand total, disambiguated by the
+    * grouping_id bit vector (Spark and DuckDB agree on the convention:
+    * first listed column = high bit; a real NULL in a grouping column
+    * would be indistinguishable from a subtotal row without it — the
+    * dimension names here are non-null, but the id rides the output
+    * because downstream consumers key on it, not on 'ALL' sentinels).
+    *
+    * Plan shape: Spark lowers cube() to ONE Expand (4× the aggregate
+    * input rows, map-side) + one hash aggregate — one shuffle on the
+    * grouping-set key, NOT four separate aggregations unioned; at 100 TB
+    * the expand factor is the declared cost of asking for 4
+    * granularities and partial aggregation still combines map-side.
+    * Revenue stays exact integer cents (DECIMAL sum → BIGINT).
+    */
+  val revenueCube: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    rev.cube(col("r_name"), col("n_name"))
+      .agg(grouping_id().as("grp_id"), count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"))
+      .select(col("grp_id").cast("int").as("grp_id"),
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy("grp_id", "region", "nation")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q284_revenue_cube" -> revenueCube,
     "q193_skyline" -> skyline,
     "q109_scd2" -> scd2,
     "q01_pricing_summary" -> pricingSummary,
@@ -737,6 +775,23 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the identical CUBE: DuckDB's GROUPING(a, b) emits the same
+    // first-column-high-bit vector as Spark's grouping_id; exact cents
+    "q284_revenue_cube" ->
+      """WITH rev AS (SELECT r.r_name, n.n_name,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT CAST(GROUPING(r_name, n_name) AS INT) AS grp_id,
+        |  coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM rev GROUP BY CUBE(r_name, n_name)
+        |ORDER BY grp_id, region, nation""".stripMargin,
     "q193_skyline" ->
       """WITH o AS (SELECT o_orderpriority AS prio,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq,

@@ -406,4 +406,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q284 cube lowers to ONE Expand + hash aggregate — never four unioned aggregations; dims broadcast") {
+    val p = plan("q284_revenue_cube")
+    assert(count(p, "Expand") == 1, p)
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // nation and region ride broadcast-hash joins, never a shuffle
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+  }
 }
