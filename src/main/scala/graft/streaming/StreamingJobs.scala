@@ -825,7 +825,130 @@ object StreamingJobs extends QueryModule {
 
   val streamScd2Enrich: Q = (s, d) => scd2EnrichRun(s, d)._1
 
+  /** q285 — STREAMING ORDERED FUNNEL via flatMapGroupsWithState: q282's
+    * view → click → purchase state machine run as a per-user GroupState
+    * across genuine micro-batches — the pattern-detection topology
+    * (CEP / MATCH_RECOGNIZE's simplest useful case) the sessionizer
+    * family doesn't cover: state is the user's step timestamps
+    * (t1, t2, t3), transitions fire on the SAME strict-after + 7-day
+    * rules as the batch operator, and each step advances AT MOST ONCE
+    * per user — so Append-mode emissions are monotone step-advancement
+    * records (≤ 3 per user, ever) and the final aggregate folds them
+    * into q282's exact output shape. The batch funnel IS the oracle
+    * (shared SQL, the q105/q126 discipline): stream ≡ batch is the
+    * parity proof.
+    *
+    * Honest semantics: exactness requires PER-KEY IN-ORDER arrival (what
+    * Kafka gives within a partition key) — a later-arriving EARLIER view
+    * would retroactively re-base the funnel, which bounded (t1, t2, t3)
+    * state cannot replay; production handles true disorder by buffering
+    * until the watermark passes (unbounded-per-user state) or accepting
+    * arrival-order funnels. The harness therefore stages the source as 8
+    * ts-RANGE files with explicitly increasing modification times (the
+    * file source processes oldest-first), throttled to 2 files per
+    * trigger → 4 genuine micro-batches with cross-batch state carry,
+    * which StreamingSpec pins alongside stream ≡ batch equality.
+    */
+  private[graft] def streamFunnelRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val win = graft.operators.Events.funnelWindowUs
+    val root = graft.Scratch.dir("graft_stream_funnel")
+    val src = s"$root/src"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    val bounds = ev.agg(min("t"), max("t")).head()
+    val (tLo, tHi) = (bounds.getLong(0), bounds.getLong(1))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    (0 until 8).foreach { i =>
+      val lo = tLo + (tHi - tLo + 1) * i / 8
+      val hi = tLo + (tHi - tLo + 1) * (i + 1) / 8
+      val part = s"$root/stage_$i"
+      ev.filter(col("t") >= lo && col("t") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val file = hfs.listStatus(new org.apache.hadoop.fs.Path(part))
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"q285: no parquet part written for range $i"))
+      val dst = new org.apache.hadoop.fs.Path(src, f"f$i%02d.parquet")
+      hfs.rename(file.getPath, dst)
+      // explicit strictly-increasing mtimes: the file source replays
+      // oldest-first, making arrival order = event-time order
+      hfs.setTimes(dst, 1000000L + i * 1000L, -1)
+    }
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val advances = stream
+      .select(col("user_id"), col("event_type"), col("t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          // in-batch sort by (ts, type): outcomes only depend on strict
+          // ts comparisons, the sort just makes the fold deterministic
+          val evs = it.toArray.sortBy(e => (e._3, e._2))
+          var (t1, t2, t3) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+          evs.foreach { case (_, tpe, t) =>
+            tpe match {
+              case "view" if t1 == 0L =>
+                t1 = t; out += ((uid, 1, t, t))
+              case "click" if t1 != 0L && t2 == 0L && t > t1 && t <= t1 + win =>
+                t2 = t; out += ((uid, 2, t, t1))
+              case "purchase" if t2 != 0L && t3 == 0L && t > t2 && t <= t2 + win =>
+                t3 = t; out += ((uid, 3, t, t2))
+              case _ => ()
+            }
+          }
+          state.update((t1, t2, t3))
+          out.iterator
+      }
+    val name = s"stream_funnel_${runId.incrementAndGet()}"
+    var batches = 0L
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = advances.toDF("user_id", "step", "t", "t_prev")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("memory").queryName(name).start()
+      try q.awaitTermination()
+      finally { batches = q.recentProgress.count(_.numInputRows >= 0); q.stop() }
+    }
+    val adv = s.table(name)
+    val j = adv.filter(col("step") === 1).agg(count(lit(1)).as("n1"))
+      .crossJoin(adv.filter(col("step") === 2)
+        .agg(count(lit(1)).as("n2"),
+          sum((col("t") - col("t_prev")).cast("decimal(38,0)")).as("l2")))
+      .crossJoin(adv.filter(col("step") === 3)
+        .agg(count(lit(1)).as("n3"),
+          sum((col("t") - col("t_prev")).cast("decimal(38,0)")).as("l3")))
+    def row(step: Int, nm: String, n: String, prev: String, lat: String) =
+      j.select(lit(step).as("step"), lit(nm).as("event_type"),
+        col(n).as("n_users"),
+        expr(s"CASE WHEN $prev > 0 THEN $n * 1000000 div $prev ELSE 0 END")
+          .as("conv_from_prev_ppm"),
+        expr(if (lat.isEmpty) "CAST(-1 AS BIGINT)"
+          else s"CASE WHEN $n > 0 THEN CAST($lat div $n AS BIGINT) ELSE -1 END")
+          .as("mean_latency_us"))
+    val res = row(1, "view", "n1", "n1", "")
+      .unionByName(row(2, "click", "n2", "n1", "l2"))
+      .unionByName(row(3, "purchase", "n3", "n2", "l3"))
+      .orderBy("step")
+    val rows = java.util.Arrays.asList(res.collect(): _*)
+    val out = s.createDataFrame(rows, res.schema)
+    s.catalog.dropTempView(name)
+    (out, batches)
+  }
+
+  val streamFunnel: Q = (s, d) => streamFunnelRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q285_stream_funnel" -> streamFunnel,
     "q275_stream_scd2_enrich" -> streamScd2Enrich,
     "q212_stream_ohlc" -> streamOhlc,
     "q190_stream_bitmap" -> streamBitmap,
@@ -840,6 +963,12 @@ object StreamingJobs extends QueryModule {
     "q104_stream_outer_join" -> streamOuterJoin)
 
   def oracles: Map[String, String] = Map(
+    // the batch funnel's own oracle VERBATIM (the q105/q126 shared-oracle
+    // discipline): per-key in-order arrival makes the streaming state
+    // machine's verdicts equal the batch min-per-step joins, so the
+    // stream/batch hash match is the parity proof
+    "q285_stream_funnel" ->
+      graft.operators.Events.oracles("q282_funnel_steps"),
     // the plain batch temporal join: q109's version chain + the identical
     // [valid_from, valid_to) residual — row-local verdicts make the
     // stream/batch hash match the parity proof
