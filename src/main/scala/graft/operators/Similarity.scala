@@ -1248,7 +1248,97 @@ object Similarity extends QueryModule {
       .orderBy("method")
   }
 
+  /** q286 geometry: 16 md5-ranked anchors; the hard negative is the
+    * same-cell rank-[[tripletHardRank]] candidate — deep enough to be
+    * "not the positive", close enough to carry gradient (the
+    * in-batch-hard-negative depth a contrastive trainer dials). */
+  private[graft] val tripletAnchors = 16
+  private[graft] val tripletHardRank = 5
+
+  /** q286 — HARD-NEGATIVE TRIPLET MINING: the training-data generator for
+    * contrastive embedding fine-tuning (SimCLR/DPR-style) — per anchor,
+    * a POSITIVE (its nearest same-cell neighbor: the near-duplicate /
+    * same-topic proxy), a HARD negative (the same-cell
+    * rank-[[tripletHardRank]] candidate — semantically close but
+    * provably not the nearest, where the gradient signal lives), and an
+    * EASY negative (an md5-argmin pick from OUTSIDE the anchor's cell —
+    * the random-negative baseline every triplet loss also needs).
+    * Composes the staged q47 machinery: anchors are md5-ranked (the
+    * q257/q259 pick), candidates ride the IVF home-cell equi-join,
+    * ranks are one WindowGroupLimit per anchor, and the easy negative is
+    * one md5-argmin pass of the broadcast anchor set against the
+    * complement cells — never corpus². Sims carry the q47 round-4
+    * discipline. Output: one row per anchor with the triplet ids, sims,
+    * and the pos−hard margin in ppm — the mining manifest a trainer
+    * consumes; rank ordering makes margin ≥ 0 BY CONSTRUCTION, which the
+    * spec pins along with cell membership of each leg.
+    */
+  val tripletMining: Q = (s, d) => {
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val assigned = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        col("pivot_id").as("cell_id"))
+    val anchors = assigned
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(tripletAnchors)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("sq").as("a_sq"), col("cell_id").as("a_cell"))
+    val sim = cosineWithNorms(
+      dotD(col("a_emb"), col("embedding")), col("a_sq"), col("sq"))
+    // same-cell candidates: positive = rank 1, hard = rank tripletHardRank
+    val wRank = Window.partitionBy("a_id")
+      .orderBy(col("sim9").desc, col("vec_id"))
+    val ranked = assigned.join(broadcast(anchors),
+        col("cell_id") === col("a_cell") && col("vec_id") =!= col("a_id"))
+      .withColumn("sim9", round(sim, 9))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1 || col("rn") === tripletHardRank)
+    val pos = ranked.filter(col("rn") === 1)
+      .select(col("a_id"), col("vec_id").as("pos_id"),
+        round(col("sim9"), 4).as("pos_sim"))
+    val hard = ranked.filter(col("rn") === tripletHardRank)
+      .select(col("a_id"), col("vec_id").as("hard_id"),
+        round(col("sim9"), 4).as("hard_sim"))
+    // easy negative: md5-argmin over the complement cells — one pass of
+    // corpus × broadcast anchors, the derandomized-uniform draw
+    val wEasy = Window.partitionBy("a_id").orderBy(col("pick"), col("vec_id"))
+    val easy = assigned.join(broadcast(anchors),
+        col("cell_id") =!= col("a_cell"))
+      .withColumn("pick", md5(concat_ws(":",
+        col("a_id").cast("string"), col("vec_id").cast("string"))))
+      .withColumn("en", row_number().over(wEasy))
+      .filter(col("en") === 1)
+      .withColumn("sim9", round(sim, 9))
+      .select(col("a_id"), col("vec_id").as("easy_id"),
+        round(col("sim9"), 4).as("easy_sim"))
+    pos.join(hard, Seq("a_id"), "left")
+      .join(easy, Seq("a_id"), "left")
+      .select(col("a_id"), col("pos_id"), col("pos_sim"),
+        coalesce(col("hard_id"), lit(-1L)).as("hard_id"),
+        coalesce(col("hard_sim"), lit(-2.0)).as("hard_sim"),
+        coalesce(col("easy_id"), lit(-1L)).as("easy_id"),
+        coalesce(col("easy_sim"), lit(-2.0)).as("easy_sim"),
+        // sims are exact 1e-4 multiples, so the difference×1e6 is within
+        // float noise of an integer — round() before the cast, or the
+        // truncation eats an ulp and the engines diverge
+        when(col("hard_id").isNull, lit(-1L))
+          .otherwise(round((col("pos_sim") - col("hard_sim")) * 1000000)
+            .cast("long")).as("margin_ppm"))
+      .orderBy("a_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q286_triplet_mining" -> tripletMining,
     "q153_label_centroids" -> labelCentroids,
     "q263_kcenter_coreset" -> kcenterCoreset,
     "q272_kcenter_coverage" -> kcenterCoverage,
@@ -1313,6 +1403,52 @@ object Similarity extends QueryModule {
   }
 
   def oracles: Map[String, String] = restOracles ++ Map(
+    // the identical q47 home-cell assignment, md5-ranked anchors,
+    // same-cell rank cut (positive = 1, hard = 5), md5-argmin easy
+    // negative from the complement cells, and the round-before-cast
+    // margin; sims all carry the round-9-then-4 discipline
+    "q286_triplet_mining" -> {
+      val cosAC = "round(list_cosine_similarity(a.a_emb::DOUBLE[], c.embedding::DOUBLE[]), 9)"
+      s"""WITH assigned AS (SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT v.vec_id, v.embedding, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC,
+         |          p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN
+         |      (SELECT * FROM embeddings WHERE vec_id < 64) p)
+         |  WHERE arn = 1),
+         |anchors AS MATERIALIZED (SELECT vec_id AS a_id,
+         |    embedding AS a_emb, cell_id AS a_cell FROM assigned
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $tripletAnchors),
+         |ranked AS (SELECT a.a_id, c.vec_id, $cosAC AS sim9,
+         |    row_number() OVER (PARTITION BY a.a_id
+         |      ORDER BY $cosAC DESC, c.vec_id) AS rn
+         |  FROM assigned c JOIN anchors a
+         |    ON c.cell_id = a.a_cell AND c.vec_id <> a.a_id),
+         |pos AS (SELECT a_id, vec_id AS pos_id, round(sim9, 4) AS pos_sim
+         |  FROM ranked WHERE rn = 1),
+         |hard AS (SELECT a_id, vec_id AS hard_id, round(sim9, 4) AS hard_sim
+         |  FROM ranked WHERE rn = $tripletHardRank),
+         |easy AS (SELECT a_id, vec_id AS easy_id, round(sim9, 4) AS easy_sim
+         |  FROM (SELECT a.a_id, c.vec_id, $cosAC AS sim9,
+         |      row_number() OVER (PARTITION BY a.a_id
+         |        ORDER BY md5(CAST(a.a_id AS VARCHAR) || ':' ||
+         |          CAST(c.vec_id AS VARCHAR)), c.vec_id) AS en
+         |    FROM assigned c JOIN anchors a ON c.cell_id <> a.a_cell)
+         |  WHERE en = 1)
+         |SELECT p.a_id, pos_id, pos_sim,
+         |  coalesce(hard_id, -1) AS hard_id,
+         |  coalesce(hard_sim, -2.0) AS hard_sim,
+         |  coalesce(easy_id, -1) AS easy_id,
+         |  coalesce(easy_sim, -2.0) AS easy_sim,
+         |  CASE WHEN hard_id IS NULL THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(round((pos_sim - hard_sim) * 1000000) AS BIGINT)
+         |  END AS margin_ppm
+         |FROM pos p LEFT JOIN hard ON p.a_id = hard.a_id
+         |LEFT JOIN easy ON p.a_id = easy.a_id
+         |ORDER BY p.a_id""".stripMargin
+    },
     // the identical farthest-first unroll: k−1 argmax CTEs chained by
     // scalar subqueries (the q247 oracle discipline), dist² in exact
     // ppm-integer arithmetic, radius trajectory and final covering

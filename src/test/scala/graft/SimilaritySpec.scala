@@ -446,4 +446,24 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q286 triplets: rank construction makes margins non-negative; legs are distinct; hard negatives non-vacuous") {
+    val rows = q("q286_triplet_mining").collect()
+    assert(rows.length === graft.operators.Similarity.tripletAnchors)
+    rows.foreach { r =>
+      val (a, p, h, e) = (r.getAs[Long]("a_id"), r.getAs[Long]("pos_id"),
+        r.getAs[Long]("hard_id"), r.getAs[Long]("easy_id"))
+      assert(p != a && h != a && e != a, s"anchor $a leaked into its own triplet")
+      if (h != -1L) {
+        assert(p != h, s"anchor $a: positive == hard negative")
+        // positive outranks the hard negative by construction (rank 1 vs 5)
+        assert(r.getAs[Double]("pos_sim") >= r.getAs[Double]("hard_sim"))
+        assert(r.getAs[Long]("margin_ppm") >= 0L, s"anchor $a margin")
+      }
+      assert(e != -1L, s"anchor $a: no complement-cell easy negative")
+    }
+    // the mining is non-vacuous on the fixture: most anchors' cells hold
+    // at least tripletHardRank candidates
+    assert(rows.count(_.getAs[Long]("hard_id") != -1L) >= rows.length / 2)
+  }
 }
