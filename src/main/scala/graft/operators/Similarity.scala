@@ -1337,7 +1337,92 @@ object Similarity extends QueryModule {
       .orderBy("a_id")
   }
 
+  /** q287 sample size: 32 md5-ranked points — silhouette cost is
+    * samples × corpus, the classic sampled-silhouette dial. */
+  private[graft] val silhouetteSamples = 32
+
+  /** q287 — SAMPLED SILHOUETTE of the IVF clustering: the clustering-
+    * QUALITY gate next to q215's coverage and q241's drift — per sampled
+    * point, a = mean intra-cell distance, b = the best other cell's mean
+    * distance, s = (b−a)/max(a,b); s ≤ 0 flags points the partitioning
+    * placed badly (probe-recall risk), and the production loop re-pivots
+    * when the sampled mean sags. Exactness: distances are mean SQUARED
+    * Euclidean over the q263 micro-quantized integer vectors (the
+    * sqeuclidean silhouette variant, stated openly — a sqrt would leave
+    * integer arithmetic and the hash gate), so every mean is one BIGINT
+    * `div` and s is exact ppm, negative values included. Cells are
+    * q47's own home-cell assignment — the audit measures the index the
+    * serving path actually probes.
+    *
+    * Plan: ONE pass of corpus × 32 broadcast samples (zip_with/aggregate
+    * native exprs — exact integer per pair), one (sample, cell) hash
+    * aggregate, then per-sample argmin over ≤64 cell rows via
+    * WindowGroupLimit. Singleton own-cells (nothing but the point
+    * itself) report the sklearn convention s = 0 with a = −1 sentinel.
+    */
+  val silhouetteSampled: Q = (s, d) => {
+    val (qvDir, _, _, _) = kcenterArtifacts(s, d)
+    val qv = s.read.parquet(qvDir)
+    val corpus = base(s, d)
+    val pivots = corpus.filter(col("vec_id") < 64).select(
+      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+      col("sq").as("p_sq"))
+    val psim = cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("psim9").desc, col("pivot_id"))
+    val cells = corpus.crossJoin(broadcast(pivots))
+      .withColumn("psim9", round(psim, 9))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("pivot_id").as("cell_id"))
+    val pts = qv.join(cells, "vec_id")
+    val samples = pts
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(silhouetteSamples)
+      .select(col("vec_id").as("s_id"), col("qv").as("s_qv"),
+        col("cell_id").as("s_cell"))
+    val d2 = expr("""aggregate(zip_with(s_qv, qv, (x, y) -> (x - y) * (x - y)),
+      CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+    val perCell = pts.crossJoin(broadcast(samples))
+      .filter(col("vec_id") =!= col("s_id"))
+      .select(col("s_id"), col("s_cell"), col("cell_id"), d2.as("d2"))
+      .groupBy("s_id", "s_cell", "cell_id")
+      // DECIMAL-safe: Σd2 per group is bounded by cell size × 2.6e14 —
+      // inside BIGINT at fixture scales, but the decimal pass costs
+      // nothing and removes the ceiling (DuckDB sums to HUGEINT anyway)
+      .agg(expr("CAST(sum(CAST(d2 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+        .as("msd"))
+    val own = perCell.filter(col("cell_id") === col("s_cell"))
+      .select(col("s_id"), col("msd").as("a_msd"))
+    val wBest = Window.partitionBy("s_id").orderBy(col("msd"), col("cell_id"))
+    val other = perCell.filter(col("cell_id") =!= col("s_cell"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("s_id"), col("cell_id").as("best_other_cell"),
+        col("msd").as("b_msd"))
+    samples.select(col("s_id"), col("s_cell"))
+      .join(own, Seq("s_id"), "left")
+      .join(other, Seq("s_id"), "left")
+      .select(col("s_id").as("vec_id"),
+        col("s_cell").cast("int").as("own_cell"),
+        coalesce(col("a_msd"), lit(-1L)).as("a_msd"),
+        coalesce(col("best_other_cell"), lit(-1L)).cast("int")
+          .as("best_other_cell"),
+        coalesce(col("b_msd"), lit(-1L)).as("b_msd"),
+        // the both-zero denominator (sample, own cell AND best other cell
+        // all exact duplicates) must not hit div-0: Spark nulls silently
+        // where DuckDB errors — define s = 0 there, the sklearn edge
+        expr("""CASE WHEN a_msd IS NULL OR b_msd IS NULL THEN CAST(0 AS BIGINT)
+               WHEN a_msd = 0 AND b_msd = 0 THEN CAST(0 AS BIGINT)
+               ELSE (b_msd - a_msd) * 1000000 div
+                 (CASE WHEN a_msd > b_msd THEN a_msd ELSE b_msd END) END""")
+          .as("silhouette_ppm"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q287_silhouette_sampled" -> silhouetteSampled,
     "q286_triplet_mining" -> tripletMining,
     "q153_label_centroids" -> labelCentroids,
     "q263_kcenter_coreset" -> kcenterCoreset,
@@ -1403,6 +1488,55 @@ object Similarity extends QueryModule {
   }
 
   def oracles: Map[String, String] = restOracles ++ Map(
+    // the identical micro-quantized integer distances (dim-join form),
+    // the identical q47 home-cell assignment and md5 sample, HUGEINT-safe
+    // means, and the same 0-sentinel edges; negative silhouettes agree
+    // because BIGINT // truncates toward zero in both engines (the q264
+    // precedent)
+    "q287_silhouette_sampled" -> {
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM embeddings),
+         |cells AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+         |    SELECT v.vec_id, p.vec_id AS cell_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${duckCos.format("v", "p")}, 9) DESC,
+         |          p.vec_id) AS arn
+         |    FROM embeddings v CROSS JOIN
+         |      (SELECT * FROM embeddings WHERE vec_id < 64) p)
+         |  WHERE arn = 1),
+         |smp AS MATERIALIZED (SELECT vec_id AS s_id, cell_id AS s_cell
+         |  FROM cells ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $silhouetteSamples),
+         |dd AS (SELECT a.s_id, a.s_cell, c.cell_id, eb.vec_id,
+         |    CAST(sum((ea.q - eb.q) * (ea.q - eb.q)) AS BIGINT) AS d2
+         |  FROM smp a JOIN e ea ON ea.vec_id = a.s_id
+         |  JOIN e eb ON eb.dim = ea.dim AND eb.vec_id <> a.s_id
+         |  JOIN cells c ON c.vec_id = eb.vec_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pc AS MATERIALIZED (SELECT s_id, s_cell, cell_id,
+         |    CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS msd
+         |  FROM dd GROUP BY 1, 2, 3),
+         |own AS (SELECT s_id, msd AS a_msd FROM pc WHERE cell_id = s_cell),
+         |oth AS (SELECT s_id, cell_id AS best_other_cell, msd AS b_msd
+         |  FROM (SELECT s_id, cell_id, msd, row_number() OVER (
+         |      PARTITION BY s_id ORDER BY msd, cell_id) AS rn
+         |    FROM pc WHERE cell_id <> s_cell) WHERE rn = 1)
+         |SELECT smp.s_id AS vec_id, CAST(s_cell AS INT) AS own_cell,
+         |  coalesce(a_msd, -1) AS a_msd,
+         |  CAST(coalesce(best_other_cell, -1) AS INT) AS best_other_cell,
+         |  coalesce(b_msd, -1) AS b_msd,
+         |  CAST(CASE WHEN a_msd IS NULL OR b_msd IS NULL THEN 0
+         |    WHEN a_msd = 0 AND b_msd = 0 THEN 0
+         |    ELSE (b_msd - a_msd) * 1000000 //
+         |      (CASE WHEN a_msd > b_msd THEN a_msd ELSE b_msd END)
+         |  END AS BIGINT) AS silhouette_ppm
+         |FROM smp LEFT JOIN own ON smp.s_id = own.s_id
+         |LEFT JOIN oth ON smp.s_id = oth.s_id
+         |ORDER BY vec_id""".stripMargin
+    },
     // the identical q47 home-cell assignment, md5-ranked anchors,
     // same-cell rank cut (positive = 1, hard = 5), md5-argmin easy
     // negative from the complement cells, and the round-before-cast

@@ -1534,7 +1534,82 @@ object Stats extends QueryModule {
       .orderBy("seg")
   }
 
+  /** q288 — CONTRIBUTION-CONCENTRATION audit (exact Gini + top-share):
+    * how unequal is the mass distribution over contributors — the audit
+    * a training-mix owner runs on tokens-per-source and a revenue owner
+    * on revenue-per-customer (the latter here: richer distribution, same
+    * plan); a Gini drifting toward 1 means a handful of contributors ARE
+    * the dataset, the concentration failure q84's source caps exist to
+    * prevent. All EXACT integer arithmetic on the value histogram (the
+    * q209 discipline — one groupBy cents, never a global row sort; and
+    * because revenue cents are near-unique, the prefix is TWO-LEVEL:
+    * a $10k-band running sum bounded by the value range plus an in-band
+    * window partitioned by band, both parallel): with per-value count c,
+    * preceding count p,
+    * Σranks = c·p + c(c+1)/2, so Σ rank·x needs no row numbering; Gini =
+    * (2·Σrank·x − (n+1)·Σx) / (n·Σx) in exact ppm via DECIMAL(38,0)
+    * sums (HUGEINT in the oracle). Top-k% shares slice the SAME
+    * histogram from the other end, paying the tie-boundary exactly:
+    * full groups above the cut plus (k − cum_before) rows of the
+    * boundary value. Output: one row — n, total, gini_ppm, top-1% and
+    * top-10% member counts and share ppm.
+    */
+  val concentration: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+    val hist = cents.groupBy("v").agg(count(lit(1)).as("c"))
+    // Revenue cents are near-unique, so a single cumulative window would
+    // funnel ~n rows through one task. TWO-LEVEL prefix instead: a
+    // bucket-level running sum over $10k bands (rows bounded by the VALUE
+    // RANGE, not the row count) plus a within-bucket window PARTITIONED
+    // by band — both parallel; p(v) = band prefix + in-band prefix, and
+    // the descending prefix needs no second pass: pd = n − p − c.
+    val bhp = hist.groupBy(expr("v div 1000000").as("h"))
+      .agg(sum("c").as("ch"))
+      .withColumn("bp", coalesce(sum("ch").over(Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val asc = hist
+      .withColumn("wp", coalesce(sum("c").over(
+        Window.partitionBy(expr("v div 1000000")).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bhp.select(col("h"), col("bp"))),
+        expr("v div 1000000") === col("h"))
+      .withColumn("p", col("bp") + col("wp"))
+    val gini = asc.agg(
+      sum("c").as("n"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * c")).as("t"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * (c * p + c * (c + 1) div 2)"))
+        .as("s"))
+    def topShare(pct: Int, tag: String) = {
+      // k = ceil(n·pct/100) members from the TOP; boundary group pays
+      // only its (k − cum_above) rows, with cum_above = n − p − c
+      asc.crossJoin(broadcast(gini.select(col("n"), col("t"))))
+        .withColumn("k", expr(s"(n * $pct + 99) div 100"))
+        .withColumn("pd", col("n") - col("p") - col("c"))
+        .filter(col("pd") < col("k"))
+        .agg(max("k").as(s"top${tag}_n"),
+          sum(expr("""CAST(v AS DECIMAL(38,0)) *
+            (CASE WHEN pd + c <= k THEN c ELSE k - pd END)"""))
+            .as(s"ts$tag"))
+    }
+    gini.crossJoin(broadcast(topShare(1, "1pct")))
+      .crossJoin(broadcast(topShare(10, "10pct")))
+      .select(col("n").as("n_customers"),
+        col("t").cast("long").as("total_cents"),
+        expr("""CAST((2 * s - (n + 1) * t) * 1000000 div (n * t) AS BIGINT)""")
+          .as("gini_ppm"),
+        col("top1pct_n"),
+        expr("CAST(ts1pct * 1000000 div t AS BIGINT)").as("top1pct_share_ppm"),
+        col("top10pct_n"),
+        expr("CAST(ts10pct * 1000000 div t AS BIGINT)")
+          .as("top10pct_share_ppm"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q288_concentration" -> concentration,
     "q283_conformal_coverage" -> conformalCoverage,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -1598,6 +1673,42 @@ object Stats extends QueryModule {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the oracle computes the prefix with ONE plain cumulative window (it
+    // need not scale — q196's rule); identical histogram rank algebra,
+    // HUGEINT where Spark carries DECIMAL(38,0), same ceil and boundary
+    // math
+    "q288_concentration" ->
+      """WITH cents AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |hist AS (SELECT v, count(*) AS c FROM cents GROUP BY 1),
+        |asc_p AS MATERIALIZED (SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM hist),
+        |g AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT) * c) AS t,
+        |    sum(CAST(v AS HUGEINT) * (c * p + c * (c + 1) // 2)) AS s
+        |  FROM asc_p),
+        |t1 AS (SELECT max(k) AS top1pct_n, sum(ts) AS ts1 FROM (
+        |  SELECT (g.n * 1 + 99) // 100 AS k,
+        |    CAST(v AS HUGEINT) * (CASE WHEN (g.n - p - c) + c <= (g.n * 1 + 99) // 100
+        |      THEN c ELSE (g.n * 1 + 99) // 100 - (g.n - p - c) END) AS ts
+        |  FROM asc_p, g WHERE g.n - p - c < (g.n * 1 + 99) // 100)),
+        |t10 AS (SELECT max(k) AS top10pct_n, sum(ts) AS ts10 FROM (
+        |  SELECT (g.n * 10 + 99) // 100 AS k,
+        |    CAST(v AS HUGEINT) * (CASE WHEN (g.n - p - c) + c <= (g.n * 10 + 99) // 100
+        |      THEN c ELSE (g.n * 10 + 99) // 100 - (g.n - p - c) END) AS ts
+        |  FROM asc_p, g WHERE g.n - p - c < (g.n * 10 + 99) // 100))
+        |SELECT g.n AS n_customers, CAST(g.t AS BIGINT) AS total_cents,
+        |  CAST((2 * g.s - (g.n + 1) * g.t) * 1000000 // (g.n * g.t)
+        |    AS BIGINT) AS gini_ppm,
+        |  CAST(top1pct_n AS BIGINT) AS top1pct_n,
+        |  CAST(ts1 * 1000000 // g.t AS BIGINT) AS top1pct_share_ppm,
+        |  CAST(top10pct_n AS BIGINT) AS top10pct_n,
+        |  CAST(ts10 * 1000000 // g.t AS BIGINT) AS top10pct_share_ppm
+        |FROM g, t1, t10""".stripMargin,
     // the identical fold buckets, integer-mean predictor, value-histogram
     // order statistic (10·cum >= 9·(n+1), the exact ceil), MaxValue
     // infinite-interval sentinel, and exact ppm coverage

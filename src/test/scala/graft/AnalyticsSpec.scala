@@ -526,6 +526,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q288 concentration: query equals a driver-side exact Gini/top-share replica") {
+    val sums = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+      .collect().map(_.getLong(1)).sorted
+    val n = sums.length.toLong
+    val t = sums.map(BigInt(_)).sum
+    val sWeighted = sums.zipWithIndex
+      .map { case (v, i) => BigInt(v) * (i + 1) }.sum
+    val gini = (2 * sWeighted - (n + 1) * t) * 1000000 / (n * t)
+    def share(pct: Int): (Long, Long) = {
+      val k = ((n * pct + 99) / 100).toInt
+      val top = sums.takeRight(k).map(BigInt(_)).sum
+      (k.toLong, (top * 1000000 / t).toLong)
+    }
+    val (k1, s1) = share(1)
+    val (k10, s10) = share(10)
+    val r = q("q288_concentration").head()
+    assert(r.getAs[Long]("n_customers") === n)
+    assert(r.getAs[Long]("total_cents") === t.toLong)
+    assert(r.getAs[Long]("gini_ppm") === gini.toLong)
+    assert(r.getAs[Long]("top1pct_n") === k1)
+    assert(r.getAs[Long]("top1pct_share_ppm") === s1)
+    assert(r.getAs[Long]("top10pct_n") === k10)
+    assert(r.getAs[Long]("top10pct_share_ppm") === s10)
+    // sanity: shares nest and Gini is a genuine inequality signal
+    assert(s10 >= s1 && s1 * 10 >= 100000,
+      s"top1=$s1 top10=$s10 gini=${gini.toLong}")
+  }
+
   test("q168 interval coverage: overlapping holds merge, the gap opens a second island") {
     import spark.implicits._
     // holds are 1800s: events at 0s and 600s overlap into one island

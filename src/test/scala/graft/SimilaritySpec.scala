@@ -466,4 +466,25 @@ class SimilaritySpec extends SparkSpec {
     // at least tripletHardRank candidates
     assert(rows.count(_.getAs[Long]("hard_id") != -1L) >= rows.length / 2)
   }
+
+  test("q287 silhouette: values bounded in [-1e6, 1e6], best-other differs from own cell, audit non-vacuous") {
+    val rows = q("q287_silhouette_sampled").collect()
+    assert(rows.length === graft.operators.Similarity.silhouetteSamples)
+    rows.foreach { r =>
+      val sp = r.getAs[Long]("silhouette_ppm")
+      // s = (b-a)/max(a,b) is in [-1, 1] by construction whenever both
+      // means exist; the sentinels pin the degenerate edges to 0
+      assert(sp >= -1000000L && sp <= 1000000L, r.toString)
+      if (r.getAs[Long]("b_msd") >= 0L)
+        assert(r.getAs[Int]("best_other_cell") != r.getAs[Int]("own_cell"))
+      if (r.getAs[Long]("a_msd") >= 0L && r.getAs[Long]("b_msd") >= 0L) {
+        val (a, b) = (r.getAs[Long]("a_msd"), r.getAs[Long]("b_msd"))
+        // the ppm is exactly the integer division it claims to be
+        assert(sp === (b - a) * 1000000L / math.max(a, b) ||
+          (a == 0L && b == 0L && sp == 0L), r.toString)
+      }
+    }
+    // non-vacuous: the fixture gives most samples a real own-cell mean
+    assert(rows.count(_.getAs[Long]("a_msd") >= 0L) >= rows.length / 2)
+  }
 }
