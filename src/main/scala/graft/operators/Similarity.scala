@@ -1273,7 +1273,15 @@ object Similarity extends QueryModule {
     * consumes; rank ordering makes margin ≥ 0 BY CONSTRUCTION, which the
     * spec pins along with cell membership of each leg.
     */
-  val tripletMining: Q = (s, d) => {
+  /** The q47 home-cell assignment STAGED to a parquet leaf (vec_id,
+    * embedding, sq, cell_id) — q286 reads it three times (anchors,
+    * same-cell candidates, complement) and q287 twice; without staging
+    * each consumer re-runs the O(n·64) broadcast assignment cross
+    * (observed: 6 redundant nested-loop subtrees in q286's plan). Per
+    * RUN, not memoized: the leaf is one map-side pass and the queries
+    * already share the kcenter qv memo where it matters. */
+  private def homeCellsDir(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): String = {
     val corpus = base(s, d)
     val pivots = corpus.filter(col("vec_id") < 64).select(
       col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
@@ -1282,12 +1290,19 @@ object Similarity extends QueryModule {
       dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("psim9").desc, col("pivot_id"))
-    val assigned = corpus.crossJoin(broadcast(pivots))
+    val dir = graft.Scratch.dir(s"graft_${tag}_cells")
+    corpus.crossJoin(broadcast(pivots))
       .withColumn("psim9", round(psim, 9))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("sq"),
         col("pivot_id").as("cell_id"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  val tripletMining: Q = (s, d) => {
+    val assigned = s.read.parquet(homeCellsDir(s, d, "triplet"))
     val anchors = assigned
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(tripletAnchors)
@@ -1363,19 +1378,8 @@ object Similarity extends QueryModule {
   val silhouetteSampled: Q = (s, d) => {
     val (qvDir, _, _, _) = kcenterArtifacts(s, d)
     val qv = s.read.parquet(qvDir)
-    val corpus = base(s, d)
-    val pivots = corpus.filter(col("vec_id") < 64).select(
-      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
-      col("sq").as("p_sq"))
-    val psim = cosineWithNorms(
-      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("psim9").desc, col("pivot_id"))
-    val cells = corpus.crossJoin(broadcast(pivots))
-      .withColumn("psim9", round(psim, 9))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("pivot_id").as("cell_id"))
+    val cells = s.read.parquet(homeCellsDir(s, d, "silh"))
+      .select(col("vec_id"), col("cell_id"))
     val pts = qv.join(cells, "vec_id")
     val samples = pts
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))

@@ -407,6 +407,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q257 betweenness: forward and backward passes are equi-joins — no cartesian ever touches the staged levels") {
+    val p = plan("q257_betweenness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q259 hybrid retrieval: sparse-leg candidates ride equi-joins; only the IVF pivot assignment may nest-loop") {
+    val p = plan("q259_hybrid_retrieval")
+    assert(!p.contains("CartesianProduct"), p)
+    // the q47 exception, inherited by the dense leg: the O(n·64)
+    // assignment cross against the broadcast constant-size pivot table
+    // (once per side of the probe join), plus the sparse leg's 1-row
+    // broadcast corpus-stats cross
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 3, p)
+  }
+
+  test("q280 walk corpus: every step is a node-keyed equi-join — no cartesian, no nested loop") {
+    val p = plan("q280_walk_corpus")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q286/q287: only the declared broadcast-bounded nested loops (pivot assignment, sample set, anchor complement)") {
+    Seq("q286_triplet_mining", "q287_silhouette_sampled").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      // every nested loop must be either a declared broadcast cross
+      // (pivot assignment / sample set) or q286's easy-negative
+      // complement join — a NON-equi probe of the corpus against the
+      // broadcast 16-anchor set (bounded by |anchors|, by design)
+      assert(bnlj.forall(l => l.contains("Cross") || l.contains("a_cell")),
+        s"$name: $p")
+      assert(bnlj.size <= 4, s"$name: ${bnlj.size} nested loops\n$p")
+    }
+  }
+
   test("q284 cube lowers to ONE Expand + hash aggregate — never four unioned aggregations; dims broadcast") {
     val p = plan("q284_revenue_cube")
     assert(count(p, "Expand") == 1, p)
