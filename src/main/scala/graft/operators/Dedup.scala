@@ -1187,6 +1187,7 @@ object Dedup extends QueryModule {
     "q208_group_kfold" -> groupKfold,
     "q141_dup_spans" -> dupSpans,
     "q37_minhash_neardup" -> minhashNearDup,
+    "q290_dedup_weights" -> dedupWeights,
     "q239_bbit_minhash" -> bbitMinhash,
     "q242_cross_source_dup" -> crossSourceDup,
     "q204_lsh_recall" -> lshRecall,
@@ -1229,6 +1230,36 @@ object Dedup extends QueryModule {
        |  $sigCols
        |FROM h),
        |e AS ($unions)""".stripMargin
+  }
+
+  /** q290 — DEDUP-AWARE EXAMPLE WEIGHTING: the soft alternative to
+    * dropping duplicates — keep every copy but weight each at
+    * 1/cluster_size so a 40-way duplicate contributes ONE document's
+    * worth of gradient (the standard move when provenance or recency
+    * makes hard-dropping wrong, and the reweighting twin of q232's
+    * savings ledger). One read of the SESSION-STAGED near-dup labels
+    * (the q59/q37 family artifact — nothing is re-verified), one size
+    * aggregate, one broadcast-size join against document metadata, then
+    * a metadata-sized rollup per cluster size: n_docs, weight_ppm =
+    * 1e6 div size, raw vs effective character mass (per-doc
+    * n_chars·1e6 div size — single rounding per doc, then the exact
+    * integer sum). The oracle recomputes the clusters from scratch via
+    * the q59 recursive-CC CTEs, so the hash match re-proves the staged
+    * labels ≡ batch equivalence on the way.
+    */
+  val dedupWeights: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    labels.join(sizes, "label").join(meta, "doc_id")
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("raw_chars"),
+        sum(expr("n_chars * 1000000 div cluster_size")).as("eff_chars_micro"))
+      .select(col("cluster_size"), col("n_docs"),
+        expr("1000000 div cluster_size").as("weight_ppm"),
+        col("raw_chars"), col("eff_chars_micro"))
+      .orderBy("cluster_size")
   }
 
   private[graft] def pairsCte: String =
@@ -1579,6 +1610,26 @@ object Dedup extends QueryModule {
         |  (f.id = f.entity_id) AS is_golden
         |FROM final f JOIN sizes s USING (entity_id)
         |ORDER BY c_custkey""".stripMargin,
+    // the q59 recursive-CC clusters recomputed from scratch, then the
+    // identical per-size rollup with per-doc single-rounded weights
+    "q290_dedup_weights" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ue.dst, reach.label FROM ue JOIN reach ON reach.doc_id = ue.src),
+         |final AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM final GROUP BY cluster_id)
+         |SELECT s.cluster_size, count(*) AS n_docs,
+         |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS raw_chars,
+         |  CAST(sum(d.n_chars * 1000000 // s.cluster_size) AS BIGINT)
+         |    AS eff_chars_micro
+         |FROM final f JOIN sizes s USING (cluster_id)
+         |JOIN documents d ON f.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |ue AS (SELECT d1 AS src, d2 AS dst FROM pairs

@@ -1452,6 +1452,65 @@ object Text extends QueryModule {
     */
   val unigramTrain: Q = (s, d) => unigramTrainRun(s, d)._1
 
+  /** q289 PR rounds (q106's fixed-iteration parity discipline) and the
+    * TextRank co-occurrence window (Mihalcea 2004's default w = 2). */
+  private[graft] val textrankIters = 3
+
+  /** q289 — TEXTRANK KEYWORD EXTRACTION (Mihalcea–Tarau 2004): the
+    * tagging/indexing primitive — build the word CO-OCCURRENCE graph
+    * (words linked when within 2 positions anywhere in the corpus, edge
+    * weight = co-occurrence count) and run weighted PageRank over it;
+    * high-rank words are the corpus's keywords, a centrality read no
+    * tf/tf-idf frequency count reproduces (a rare word wedged between
+    * hubs outranks a frequent isolate). Composes two families: the q141
+    * lead()-window pair plumbing (shuffle-free on the fanOut
+    * partitioning — never a positions self-join, which would fan len²
+    * per doc) and q106's exact fixed-point integer PageRank, weighted:
+    * contribution = rank·w div wsum (per-edge floor before the integer
+    * sum), r' = 150000 + 85·Σ div 100 micro-units, [[textrankIters]]
+    * rounds over the staged edge list. Graph size is VOCABULARY², edge
+    * mass vocabulary-bounded — the whole iteration is metadata-scale
+    * after one corpus pass. Output: top-15 (word, rank_micro).
+    */
+  val textrankKeywords: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), posexplode(toks).as(Seq("i", "w")))
+    val wspec = Window.partitionBy("doc_id").orderBy("i")
+    val withLead = tk
+      .withColumn("n1", lead("w", 1).over(wspec))
+      .withColumn("n2", lead("w", 2).over(wspec))
+    val rawPairs = withLead.select(col("w").as("x"), col("n1").as("y"))
+      .unionByName(withLead.select(col("w").as("x"), col("n2").as("y")))
+      .filter(col("y").isNotNull && col("x") =!= col("y"))
+    val und = rawPairs
+      .groupBy(least(col("x"), col("y")).as("l"),
+        greatest(col("x"), col("y")).as("r"))
+      .agg(count(lit(1)).as("wt"))
+    val bi = und.select(col("l").as("u"), col("r").as("v"), col("wt"))
+      .unionByName(und.select(col("r").as("u"), col("l").as("v"), col("wt")))
+    val ed = bi.join(bi.groupBy("u").agg(sum("wt").as("wsum")), "u")
+    val tmpE = graft.Scratch.dir("graft_textrank_e")
+    ed.write.mode("overwrite").parquet(tmpE)
+    val edges = s.read.parquet(tmpE)
+    val tmpN = graft.Scratch.dir("graft_textrank_n")
+    edges.select(col("u").as("node")).distinct()
+      .write.mode("overwrite").parquet(tmpN)
+    val nodes = s.read.parquet(tmpN)
+    var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to textrankIters) {
+      val inbound = edges.join(ranks, edges("u") === ranks("node"))
+        .select(col("v"), expr("pr * wt div wsum").as("c"))
+        .groupBy("v").agg(sum("c").as("m"))
+      ranks = nodes.join(inbound, nodes("node") === inbound("v"), "left")
+        .select(nodes("node"),
+          expr("CAST(150000 + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+            .as("pr"))
+    }
+    ranks.orderBy(col("pr").desc, col("node")).limit(15)
+      .select(col("node").as("word"), col("pr").as("rank_micro"))
+  }
+
   /** q237 winnowing constants: k-token grams, window of w gram hashes.
     * The guarantee: every run of w consecutive grams (= w+k−1 tokens)
     * contributes at least one selected fingerprint, and matches of
@@ -2002,6 +2061,7 @@ object Text extends QueryModule {
     "q236_bpe_encode" -> bpeEncode,
     "q247_bpe_train" -> bpeTrain,
     "q279_unigram_train" -> unigramTrain,
+    "q289_textrank_keywords" -> textrankKeywords,
     "q269_tokenizer_fertility" -> tokenizerFertility,
     "q270_char_entropy" -> charEntropy,
     "q237_winnow_fingerprints" -> winnowFingerprints,
@@ -2380,6 +2440,42 @@ object Text extends QueryModule {
     // pair is DATA (a 1-row CTE cross-joined into the next re-encode),
     // not a literal — DuckDB learns its own merge table and every round
     // must agree with the Spark loop's driver-synced pick
+    // the identical lead()-window pairs, canonical weighted edges, and
+    // q106's fixed-point integer rounds unrolled; per-edge floor division
+    // before the exact integer sum
+    "q289_textrank_keywords" -> {
+      val rounds = (1 to textrankIters).map { k =>
+        s"""m$k AS (SELECT e.v, CAST(sum(r.pr * e.wt // e.wsum) AS BIGINT) AS m
+           |  FROM ed e JOIN r${k - 1} r ON e.u = r.node GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT n.node,
+           |  CAST(150000 + (85 * coalesce(m$k.m, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN m$k ON n.node = m$k.v)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH tk AS (SELECT doc_id,
+         |    CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS i,
+         |    unnest(ts) AS w
+         |  FROM (SELECT doc_id, list_filter(
+         |      string_split_regex(text, '\s+'), t -> len(t) > 0) AS ts
+         |    FROM documents)),
+         |wl AS (SELECT w,
+         |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS n1,
+         |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS n2
+         |  FROM tk),
+         |rp AS (SELECT w AS x, n1 AS y FROM wl WHERE n1 IS NOT NULL AND w <> n1
+         |  UNION ALL SELECT w, n2 FROM wl WHERE n2 IS NOT NULL AND w <> n2),
+         |und AS (SELECT least(x, y) AS l, greatest(x, y) AS r,
+         |    count(*) AS wt FROM rp GROUP BY 1, 2),
+         |bi AS (SELECT l AS u, r AS v, wt FROM und
+         |  UNION ALL SELECT r AS u, l AS v, wt FROM und),
+         |ed AS MATERIALIZED (SELECT bi.u, bi.v, bi.wt, ws.wsum FROM bi
+         |  JOIN (SELECT u, CAST(sum(wt) AS BIGINT) AS wsum FROM bi
+         |    GROUP BY 1) ws ON bi.u = ws.u),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |$rounds
+         |SELECT node AS word, pr AS rank_micro FROM r$textrankIters
+         |ORDER BY pr DESC, node LIMIT 15""".stripMargin
+    },
     // both trainer rounds replayed CTE-for-CTE: the same seed (top-48
     // weighted substrings + the single-char floor), the same packed-string
     // Viterbi DP unrolled to the loud cap (rounds past a word's length

@@ -502,6 +502,61 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q289 TextRank equals a driver-side weighted-PageRank replica on a planted corpus; the hub word wins") {
+    import spark.implicits._
+    // 'hub' co-occurs with every other word; 'iso'+'late' only with each
+    // other — centrality must rank hub first even though iso is as
+    // frequent
+    val docs = Seq(
+      (1L, "hub alpha hub beta hub gamma", "en", "s", 27L),
+      (2L, "iso late iso late iso late", "en", "s", 26L),
+      (3L, "hub delta gamma hub alpha beta", "en", "s", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("grafttr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q289_textrank_keywords")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver replica: lead-1/lead-2 pairs, canonical weights, 3 exact
+    // integer weighted-PR rounds (floor per edge, the operator's rule)
+    val toks = Seq(Seq("hub","alpha","hub","beta","hub","gamma"),
+      Seq("iso","late","iso","late","iso","late"),
+      Seq("hub","delta","gamma","hub","alpha","beta"))
+    val pairs = toks.flatMap { ts =>
+      ts.indices.flatMap(i => Seq(1, 2).flatMap(o =>
+        if (i + o < ts.length && ts(i) != ts(i + o))
+          Some((Seq(ts(i), ts(i + o)).min, Seq(ts(i), ts(i + o)).max))
+        else None))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = pairs.toSeq.flatMap { case ((l, r), w) => Seq((l, r, w), (r, l, w)) }
+    val wsum = bi.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val words = bi.map(_._1).distinct
+    var pr = words.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val m = bi.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => pr(u) * w / wsum(u) }.sum).toMap
+      pr = words.map(n => n -> (150000L + 85L * m.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val expected = pr.toSeq.sortBy { case (w, r) => (-r, w) }.take(15)
+    assert(got.toList === expected.toList, s"got ${got.toList}\nexp $expected")
+    assert(got.head._1 === "hub")
+  }
+
+  test("q290 dedup weights reconcile with q59's clusters: size histogram, exact 1e6 div size, effective <= raw") {
+    val q59 = q("q59_dup_clusters").collect()
+      .map(_.getAs[Long]("cluster_size"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = q("q290_dedup_weights").collect()
+    rows.foreach { r =>
+      val (size, n, w, raw, eff) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n === q59(size), s"size $size: $n docs vs q59 ${q59(size)}")
+      assert(w === 1000000L / size)
+      if (size == 1L) assert(eff === raw * 1000000L, s"singletons undiluted")
+      else assert(eff < raw * 1000000L, s"size $size must dilute")
+    }
+    assert(rows.map(r => r.getLong(1)).sum === q59.map { case (s2, n) => n }.sum)
+  }
+
   test("q176 source overlap: planted vocabularies give exact Jaccard; duplicate tokens collapse") {
     import spark.implicits._
     // sA vocab {a,b,c} (b repeated — must collapse), sB {b,c,d},
