@@ -1277,32 +1277,37 @@ object Similarity extends QueryModule {
     * embedding, sq, cell_id) — q286 reads it three times (anchors,
     * same-cell candidates, complement) and q287 twice; without staging
     * each consumer re-runs the O(n·64) broadcast assignment cross
-    * (observed: 6 redundant nested-loop subtrees in q286's plan). Per
-    * RUN, not memoized: the leaf is one map-side pass and the queries
-    * already share the kcenter qv memo where it matters. */
+    * (observed: 6 redundant nested-loop subtrees in q286's plan).
+    * Memoized per input dir per JVM (the passageAsgDir contract) so
+    * q286 and q287 genuinely read the SAME leaf — one assignment cross
+    * per run, not one per consumer query. */
+  private val homeCellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def homeCellsDir(s: org.apache.spark.sql.SparkSession,
-      d: String, tag: String): String = {
-    val corpus = base(s, d)
-    val pivots = corpus.filter(col("vec_id") < 64).select(
-      col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
-      col("sq").as("p_sq"))
-    val psim = cosineWithNorms(
-      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("psim9").desc, col("pivot_id"))
-    val dir = graft.Scratch.dir(s"graft_${tag}_cells")
-    corpus.crossJoin(broadcast(pivots))
-      .withColumn("psim9", round(psim, 9))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("sq"),
-        col("pivot_id").as("cell_id"))
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+      d: String): String =
+    homeCellsCache.computeIfAbsent(d, _ => {
+      val corpus = base(s, d)
+      val pivots = corpus.filter(col("vec_id") < 64).select(
+        col("vec_id").as("pivot_id"), col("embedding").as("p_emb"),
+        col("sq").as("p_sq"))
+      val psim = cosineWithNorms(
+        dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("psim9").desc, col("pivot_id"))
+      val dir = graft.Scratch.dir("graft_home_cells")
+      corpus.crossJoin(broadcast(pivots))
+        .withColumn("psim9", round(psim, 9))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("sq"),
+          col("pivot_id").as("cell_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   val tripletMining: Q = (s, d) => {
-    val assigned = s.read.parquet(homeCellsDir(s, d, "triplet"))
+    val assigned = s.read.parquet(homeCellsDir(s, d))
     val anchors = assigned
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(tripletAnchors)
@@ -1378,7 +1383,7 @@ object Similarity extends QueryModule {
   val silhouetteSampled: Q = (s, d) => {
     val (qvDir, _, _, _) = kcenterArtifacts(s, d)
     val qv = s.read.parquet(qvDir)
-    val cells = s.read.parquet(homeCellsDir(s, d, "silh"))
+    val cells = s.read.parquet(homeCellsDir(s, d))
       .select(col("vec_id"), col("cell_id"))
     val pts = qv.join(cells, "vec_id")
     val samples = pts

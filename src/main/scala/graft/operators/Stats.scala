@@ -1512,12 +1512,20 @@ object Stats extends QueryModule {
     val cum = hist.withColumn("cum", sum("c").over(
       Window.partitionBy("seg").orderBy("r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val qh = cum.join(broadcast(nc), "seg")
+    val qhRaw = cum.join(broadcast(nc), "seg")
       .groupBy("seg")
       .agg(coalesce(
           min(when(col("cum") * 10 >= (col("n_cal") + 1) * 9, col("r"))),
           lit(Long.MaxValue)).as("qhat"),
         max("n_cal").as("n_cal"))
+    // a calibration-EMPTY segment has no hist/nc rows at all, so without
+    // seeding it would vanish from the output instead of reporting the
+    // documented infinite interval (advisor r12 finding): left-join from
+    // the train-fold segment universe, coalescing to the sentinel
+    val qh = train.select(col("seg")).join(qhRaw, Seq("seg"), "left")
+      .select(col("seg"),
+        coalesce(col("qhat"), lit(Long.MaxValue)).as("qhat"),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"))
     st.filter(col("b") >= 80)
       .join(broadcast(train), "seg")
       .join(broadcast(qh), "seg")
@@ -1732,11 +1740,15 @@ object Stats extends QueryModule {
          |cum AS (SELECT seg, r, sum(c) OVER (PARTITION BY seg ORDER BY r
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM hist),
-         |qh AS MATERIALIZED (SELECT cum.seg,
+         |qhr AS (SELECT cum.seg,
          |    coalesce(min(CASE WHEN cum * 10 >= (n_cal + 1) * 9
          |      THEN r END), 9223372036854775807) AS qhat,
          |    max(n_cal) AS n_cal
-         |  FROM cum JOIN nc ON cum.seg = nc.seg GROUP BY 1)
+         |  FROM cum JOIN nc ON cum.seg = nc.seg GROUP BY 1),
+         |qh AS MATERIALIZED (SELECT train.seg,
+         |    coalesce(qhat, 9223372036854775807) AS qhat,
+         |    coalesce(qhr.n_cal, 0) AS n_cal
+         |  FROM train LEFT JOIN qhr ON train.seg = qhr.seg)
          |SELECT base.seg, max(n_train) AS n_train, max(n_cal) AS n_cal,
          |  count(*) AS n_test,
          |  max(yhat) AS yhat_cents, max(qhat) AS qhat_cents,

@@ -892,15 +892,19 @@ object StreamingJobs extends QueryModule {
           // in-batch sort by (ts, type): outcomes only depend on strict
           // ts comparisons, the sort just makes the fold deterministic
           val evs = it.toArray.sortBy(e => (e._3, e._2))
-          var (t1, t2, t3) = state.getOption.getOrElse((0L, 0L, 0L))
+          // -1L = "step not reached": timestamps are nonnegative micros,
+          // so an epoch-start event (t = 0) advances the funnel exactly
+          // like the batch operator — 0L as the sentinel would drop it
+          // (advisor r12 finding)
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
           evs.foreach { case (_, tpe, t) =>
             tpe match {
-              case "view" if t1 == 0L =>
+              case "view" if t1 == -1L =>
                 t1 = t; out += ((uid, 1, t, t))
-              case "click" if t1 != 0L && t2 == 0L && t > t1 && t <= t1 + win =>
+              case "click" if t1 != -1L && t2 == -1L && t > t1 && t <= t1 + win =>
                 t2 = t; out += ((uid, 2, t, t1))
-              case "purchase" if t2 != 0L && t3 == 0L && t > t2 && t <= t2 + win =>
+              case "purchase" if t2 != -1L && t3 == -1L && t > t2 && t <= t2 + win =>
                 t3 = t; out += ((uid, 3, t, t2))
               case _ => ()
             }

@@ -526,6 +526,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q283 conformal: a calibration-empty segment surfaces with the infinite-interval sentinel, not dropped") {
+    // planted fixture: segment E's keys all fall in the train/test
+    // buckets (none in 50–79), so its calibration fold is EMPTY — the
+    // conformal-defined answer is the infinite interval (qhat =
+    // Long.MaxValue, coverage 100%), and the advisor-found bug dropped
+    // the segment from the output instead
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(k: Long): Long =
+      java.lang.Long.parseLong(md5hex(k.toString).substring(0, 8), 16) % 100
+    val keys = (1L to 4000L)
+    val eTrain = keys.filter(bucket(_) < 50).take(20)
+    val eTest = keys.filter(bucket(_) >= 80).take(10)
+    val aKeys = keys.filterNot(k => eTrain.contains(k) || eTest.contains(k))
+      .take(300)
+    val orders = (eTrain.map((_, 1L, 100.00)) ++ eTest.map((_, 1L, 100.00)) ++
+      aKeys.map((_, 2L, 50.00)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val cust = Seq((1L, "E"), (2L, "A")).toDF("c_custkey", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graftconf").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q283_conformal_coverage")(spark, dir)
+      .orderBy("seg").collect()
+    val e = got.find(_.getString(0) == "E")
+      .getOrElse(fail("calibration-empty segment E missing from output"))
+    assert(e.getAs[Long]("n_train") === 20L)
+    assert(e.getAs[Long]("n_cal") === 0L)
+    assert(e.getAs[Long]("n_test") === 10L)
+    assert(e.getAs[Long]("qhat_cents") === Long.MaxValue)
+    assert(e.getAs[Long]("coverage_ppm") === 1000000L,
+      "the infinite interval covers every test row by definition")
+  }
+
   test("q288 concentration: query equals a driver-side exact Gini/top-share replica") {
     val sums = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy(col("o_custkey"))
@@ -1249,7 +1287,10 @@ class AnalyticsSpec extends SparkSpec {
     // the swap-safety pin: the delta shape subtracts exactly the
     // triangles lost to each round's removals, so the two trajectories
     // (rounds, removals, alive counts, checksums) must be identical
-    val full = q("q276_ktruss").orderBy("round").collect()
+    // q("q276_ktruss") resolves to ktrussDelta, so the reference shape
+    // MUST be invoked directly — comparing the registry entry to itself
+    // would pin nothing (advisor r12 finding)
+    val full = operators.Graph.ktruss(spark, sf).orderBy("round").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val delta = operators.Graph.ktrussDelta(spark, sf).orderBy("round")
       .collect()

@@ -323,4 +323,36 @@ class StreamingSpec extends SparkSpec {
     // the funnel genuinely converts on the fixture (non-vacuous)
     assert(got.head(2).asInstanceOf[Long] > 0L)
   }
+
+  test("q285 streaming funnel: epoch-start (t=0) events advance the state machine like the batch operator") {
+    // advisor r12: a 0L 'unset' sentinel would silently treat a t=0
+    // view as never-seen, diverging from batch; the planted q282
+    // fixture has views AT the epoch, so stream ≡ batch here pins the
+    // -1L sentinel
+    import spark.implicits._
+    val ns = 1000000000L
+    val day = 86400L
+    val rows = Seq(
+      (1L, 0L * ns, 1L, "view", 0.0, "{}"),
+      (2L, 3600L * ns, 1L, "click", 0.0, "{}"),
+      (3L, 7200L * ns, 1L, "purchase", 0.0, "{}"),
+      (4L, 0L * ns, 2L, "purchase", 0.0, "{}"),
+      (5L, 100L * ns, 2L, "view", 0.0, "{}"),
+      (6L, 0L * ns, 3L, "view", 0.0, "{}"),
+      (7L, 8 * day * ns, 3L, "click", 0.0, "{}"),
+      (8L, 0L * ns, 4L, "view", 0.0, "{}"),
+      (9L, 100L * ns, 4L, "click", 0.0, "{}"),
+      (10L, (100L + 8 * day) * ns, 4L, "purchase", 0.0, "{}"),
+      (11L, 0L * ns, 5L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftsf0").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (out, _) = streaming.StreamingJobs.streamFunnelRun(spark, dir)
+    val got = out.collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q282_funnel_steps")(spark, dir)
+      .collect().map(_.toSeq).toList
+    assert(got === want, s"epoch-start divergence: $got vs $want")
+    // user 1's full funnel from a t=0 view must be counted
+    assert(want.find(_(0) == 3).get(2).asInstanceOf[Long] === 1L)
+  }
 }
