@@ -1739,6 +1739,87 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q291 seed length: 8 tokens — q74/q240's contamination gram, so the
+    * three rungs of the decontam ladder agree on what "a hit" means;
+    * matches shorter than the seed are invisible BY DESIGN (they are
+    * sub-contamination noise all three rungs reject). */
+  private[graft] val lcsSeed = 8
+
+  /** q291 — EXACT-SUBSTRING CONTAMINATION AUDIT (longest common token
+    * run vs the benchmark set): the final rung of the decontam ladder —
+    * q74/q240 answer "does the corpus doc share ANY 8-gram with the
+    * benchmark" (boolean), q254 answers "is it semantically close"; this
+    * answers the question a benchmark-leak auditor actually adjudicates
+    * with: HOW LONG is the longest verbatim run — an 8-token boilerplate
+    * collision (n-gram flags it, longest stays at the seed) reads very
+    * differently from an 80-token verbatim copy. Suffix-array-free
+    * exactness: every corpus seed position whose 8-gram hash appears in
+    * the benchmark joins to the matching benchmark positions; on a fixed
+    * (corpus_doc, bench_doc, diagonal = i − j), CONSECUTIVE seed
+    * positions overlap by 7 tokens, so a maximal run of R consecutive
+    * seeds certifies a common substring of exactly R + 7 tokens (R + 8
+    * would need one more seed hit — maximality is the exactness proof).
+    * Runs fall out of one gaps-and-islands pass (i − row_number per
+    * diagonal — windows partitioned by run, never a global sort), no
+    * iterative extension rounds at all.
+    *
+    * Scale: the benchmark is the small side by definition (MB of eval
+    * sets vs 100 TB of corpus) → its position list broadcasts; per-seed
+    * fan-out is the benchmark's df for that 8-gram (~1 outside
+    * boilerplate), so matches scale with true contamination mass, never
+    * corpus × benchmark. Output: one row per corpus doc — longest run,
+    * the bench doc + 1-based start achieving it (ties: smallest bench
+    * doc, then start, then diagonal), run/hit counts, and the ≥ seed
+    * contamination flag.
+    */
+  val exactSubstring: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), filter(toks, tok => length(tok) > 0).as("tk"))
+    val idx = when(size(col("tk")) >= lcsSeed,
+        sequence(lit(1), size(col("tk")) - (lcsSeed - 1)))
+      .otherwise(array().cast("array<int>"))
+    val seeds = t.select(col("doc_id"),
+        explode(transform(idx, i => struct(i.cast("long").as("i"),
+          md5(concat_ws(" ", slice(col("tk"), i, lit(lcsSeed))))
+            .as("sh")))).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.sh").as("sh"))
+    val bench = seeds.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("b_doc"), col("i").as("j"), col("sh"))
+    val m = seeds.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), "sh")
+      .select(col("doc_id"), col("i"), col("b_doc"),
+        (col("i") - col("j")).as("diag"))
+    val wRun = Window.partitionBy("doc_id", "b_doc", "diag").orderBy("i")
+    val runs = m.withColumn("grp", col("i") - row_number().over(wRun))
+      .groupBy("doc_id", "b_doc", "diag", "grp")
+      .agg((count(lit(1)) + (lcsSeed - 1)).as("match_len"),
+        min("i").as("start_i"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("match_len").desc, col("b_doc"), col("start_i"),
+        col("diag"))
+    val best = runs.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("match_len").as("longest_match"),
+        col("b_doc").as("best_bench_doc"), col("start_i").as("best_start"))
+    val nrun = runs.groupBy("doc_id").agg(count(lit(1)).as("n_runs"))
+    val hits = m.groupBy("doc_id")
+      .agg(countDistinct("i").as("n_hit_positions"))
+    Tables.documents(s, d).select("doc_id").filter(col("doc_id") >= 10)
+      .join(best, Seq("doc_id"), "left")
+      .join(nrun, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("longest_match"), lit(0L)).as("longest_match"),
+        coalesce(col("best_bench_doc"), lit(-1L)).as("best_bench_doc"),
+        coalesce(col("best_start"), lit(0L)).as("best_start"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("n_hit_positions"), lit(0L)).as("n_hit_positions"),
+        (coalesce(col("longest_match"), lit(0L)) >= lcsSeed)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** q176 — SOURCE VOCABULARY OVERLAP: exact pairwise Jaccard similarity
     * between every pair of sources' token vocabularies — the corpus-mix
     * audit that catches two "different" crawls feeding near-identical
@@ -2067,6 +2148,7 @@ object Text extends QueryModule {
     "q237_winnow_fingerprints" -> winnowFingerprints,
     "q238_winnow_pairs" -> winnowPairs,
     "q240_fp_decontam" -> fpDecontam,
+    "q291_exact_substring" -> exactSubstring,
     "q170_trigram_lm" -> trigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
@@ -2314,6 +2396,48 @@ object Text extends QueryModule {
          |  (COALESCE(e.n_exact_hits, 0) > 0) AS exact_flag
          |FROM documents d LEFT JOIN fph f ON d.doc_id = f.doc_id
          |LEFT JOIN exh e ON d.doc_id = e.doc_id
+         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+    // the identical seed grams, diagonal arithmetic, gaps-and-islands
+    // run grouping, and tie order
+    "q291_exact_substring" ->
+      raw"""WITH t AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+         |      AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(range(1, greatest(len(tk) - ${lcsSeed - 1}, 0) + 1))
+         |      AS i, tk
+         |  FROM t),
+         |h AS MATERIALIZED (SELECT doc_id, i,
+         |    md5(array_to_string(tk[i:i+${lcsSeed - 1}], ' ')) AS sh
+         |  FROM g),
+         |b AS (SELECT doc_id AS b_doc, i AS j, sh FROM h WHERE doc_id < 10),
+         |m AS MATERIALIZED (SELECT h.doc_id, h.i, b.b_doc, h.i - b.j AS diag
+         |  FROM h JOIN b USING (sh) WHERE h.doc_id >= 10),
+         |r AS (SELECT doc_id, b_doc, diag, i,
+         |    i - row_number() OVER (
+         |      PARTITION BY doc_id, b_doc, diag ORDER BY i) AS grp
+         |  FROM m),
+         |runs AS MATERIALIZED (SELECT doc_id, b_doc, diag, grp,
+         |    count(*) + ${lcsSeed - 1} AS match_len, min(i) AS start_i
+         |  FROM r GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT doc_id, match_len AS longest_match,
+         |    b_doc AS best_bench_doc, start_i AS best_start
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY match_len DESC, b_doc, start_i, diag) AS rn
+         |    FROM runs)
+         |  WHERE rn = 1),
+         |nr AS (SELECT doc_id, count(*) AS n_runs FROM runs GROUP BY 1),
+         |hp AS (SELECT doc_id, count(DISTINCT i) AS n_hit_positions
+         |  FROM m GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(longest_match, 0) AS BIGINT) AS longest_match,
+         |  CAST(COALESCE(best_bench_doc, -1) AS BIGINT) AS best_bench_doc,
+         |  CAST(COALESCE(best_start, 0) AS BIGINT) AS best_start,
+         |  CAST(COALESCE(n_runs, 0) AS BIGINT) AS n_runs,
+         |  CAST(COALESCE(n_hit_positions, 0) AS BIGINT) AS n_hit_positions,
+         |  (COALESCE(longest_match, 0) >= $lcsSeed) AS contaminated
+         |FROM documents d LEFT JOIN best USING (doc_id)
+         |LEFT JOIN nr USING (doc_id) LEFT JOIN hp USING (doc_id)
          |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
     // the identical df cut, posting self-join, and min-side
     // containment normalization over the shared winnowing CTEs

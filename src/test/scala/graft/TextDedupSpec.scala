@@ -932,6 +932,49 @@ class TextDedupSpec extends SparkSpec {
       ("A", 4L, 1L, 693147L), ("B", 4L, 1L, 693147L)), got.mkString(","))
   }
 
+  test("q291 exact-substring: planted verbatim leak measures its exact run; a lone 8-gram stays at the seed; a 7-token overlap is rejected") {
+    import spark.implicits._
+    // benchmark doc 5: 40 unique tokens b1..b40
+    val bench = (1 to 40).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (5L, bench, "en", "t", 100L),
+      // 10: VERBATIM 40-token copy inside padding → longest = 40,
+      // start at 1-based position 4 (after 3 pad tokens)
+      (10L, s"p1 p2 p3 $bench s1 s2", "en", "t", 200L),
+      // 11: exactly ONE shared 8-gram (b1..b8) then diverges — the
+      // boilerplate case the n-gram rung flags identically to a full
+      // leak; exact-substring pins it AT the seed length
+      (11L, (1 to 8).map(i => s"b$i").mkString(" ") + " " +
+        (1 to 12).map(i => s"z$i").mkString(" "), "en", "t", 150L),
+      // 12: a 7-token overlap (b1..b7) — below the seed, the near-miss
+      // the winnowing rung (shared runs ≥ 7) would flag but the exact
+      // 8-gram audit rejects
+      (12L, (1 to 7).map(i => s"b$i").mkString(" ") + " " +
+        (1 to 12).map(i => s"y$i").mkString(" "), "en", "t", 140L),
+      // 13: clean
+      (13L, (1 to 20).map(i => s"c$i").mkString(" "), "en", "t", 130L),
+      // 14: TWO disjoint 8-gram hits (b1..b8 and b21..b28, split by a
+      // divergent token) → two runs, longest still the seed
+      (14L, (1 to 8).map(i => s"b$i").mkString(" ") + " xx " +
+        (21 to 28).map(i => s"b$i").mkString(" "), "en", "t", 180L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftlcs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q291_exact_substring")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // verbatim leak: 40-token run, bench doc 5, start 4, one maximal
+    // run of 33 seed hits
+    assert(out(10L) === ((40L, 5L, 4L, 1L, 33L, true)), out(10L).toString)
+    assert(out(11L) === ((8L, 5L, 1L, 1L, 1L, true)), out(11L).toString)
+    assert(out(12L) === ((0L, -1L, 0L, 0L, 0L, false)),
+      "a 7-token overlap must NOT register at an 8-token seed")
+    assert(out(13L) === ((0L, -1L, 0L, 0L, 0L, false)))
+    assert(out(14L) === ((8L, 5L, 1L, 2L, 2L, true)), out(14L).toString)
+    assert(!out.contains(5L), "benchmark docs are not audited")
+  }
+
   test("q232 dedup savings: planted clusters report exact removable docs and characters") {
     import spark.implicits._
     // cluster {1,2,3} identical text (chars 10/12/14 via n_chars) → keep
