@@ -234,6 +234,99 @@ object Events extends QueryModule {
       .orderBy("conv_id")
   }
 
+  /** q292 — MULTI-TOUCH ATTRIBUTION REPORT: the per-CHANNEL credit
+    * rollup a growth analyst reads (q145 emits the per-conversion
+    * manifest; this allocates each conversion's one unit of credit
+    * across channels under four standard models and aggregates).
+    * Touches are view/click/signup events in the strict 7-day lookback
+    * before each purchase (q145's RANGE frame, signup added as the
+    * third channel); models: FIRST-touch, LAST-touch, LINEAR (equal
+    * split), U-SHAPE (position-based 40/40/20; n=2 → 50/50, n=1 →
+    * 100%). All credit is exact integer ppm with the division remainder
+    * assigned to the FIRST touch (deterministic largest-position rule),
+    * so every model's column sums to n_conversions × 1e6 EXACTLY — the
+    * conservation law the spec pins. Conversions with no touch in the
+    * window land in the "(none)" channel at full credit, keeping the
+    * ledger closed.
+    *
+    * Scale shape: NO conversion×touch pair expansion (the naive join
+    * q145's Scaladoc warns about — quadratic under activity skew).
+    * Per-channel frame counts + the min/max touch keys make every
+    * model's channel credit CLOSED-FORM per conversion: linear =
+    * (1e6 div n)·n_ch + remainder·[first=ch]; U-shape needs only
+    * n_ch, n, and the first/last channel flags (mid count = n_ch −
+    * flags). One user-partitioned window pass (the q145 shuffle), one
+    * 3-struct explode per conversion, one ≤4-row hash aggregate.
+    */
+  val multiTouch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-sevenDaysUs, -1L)
+    val conv = ev.withColumn("tk",
+        when(col("event_type").isin("view", "click", "signup"),
+          concat_ws(":", lpad(col("ts_us").cast("string"), 20, "0"),
+            col("event_id"), col("event_type"))))
+      .withColumn("n_view",
+        count(when(col("event_type") === "view", lit(1))).over(w))
+      .withColumn("n_click",
+        count(when(col("event_type") === "click", lit(1))).over(w))
+      .withColumn("n_signup",
+        count(when(col("event_type") === "signup", lit(1))).over(w))
+      .withColumn("first_tk", min("tk").over(w))
+      .withColumn("last_tk", max("tk").over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"),
+        (col("n_view") + col("n_click") + col("n_signup")).as("n"),
+        col("n_view"), col("n_click"), col("n_signup"),
+        split(col("first_tk"), ":").getItem(2).as("fty"),
+        split(col("last_tk"), ":").getItem(2).as("lty"))
+    conv.select(col("conv_id"), col("n"), col("fty"), col("lty"),
+        explode(array(
+          struct(lit("view").as("ch"), col("n_view").as("n_ch")),
+          struct(lit("click").as("ch"), col("n_click").as("n_ch")),
+          struct(lit("signup").as("ch"), col("n_signup").as("n_ch")),
+          struct(lit("(none)").as("ch"),
+            when(col("n") === 0, lit(1L)).otherwise(lit(0L)).as("n_ch"))))
+          .as("e"))
+      .select(col("conv_id"), col("n"), col("fty"), col("lty"),
+        col("e.ch").as("ch"), col("e.n_ch").as("n_ch"))
+      .filter(col("n_ch") > 0)
+      .withColumn("first_ppm", when(col("n") === 0, lit(1000000L))
+        .otherwise(when(col("fty") === col("ch"), lit(1000000L))
+          .otherwise(lit(0L))))
+      .withColumn("last_ppm", when(col("n") === 0, lit(1000000L))
+        .otherwise(when(col("lty") === col("ch"), lit(1000000L))
+          .otherwise(lit(0L))))
+      .withColumn("linear_ppm", when(col("n") === 0, lit(1000000L))
+        .otherwise(expr("""(1000000 div n) * n_ch
+          + CASE WHEN fty = ch THEN 1000000 % n ELSE 0 END""")))
+      .withColumn("ushape_ppm", when(col("n") === 0, lit(1000000L))
+        .otherwise(when(col("n") === 1,
+            when(col("fty") === col("ch"), lit(1000000L)).otherwise(lit(0L)))
+          .otherwise(when(col("n") === 2,
+              when(col("fty") === col("ch"), lit(500000L)).otherwise(lit(0L))
+                + when(col("lty") === col("ch"), lit(500000L))
+                  .otherwise(lit(0L)))
+            .otherwise(
+              when(col("fty") === col("ch"),
+                  lit(400000L) + expr("200000 % (n - 2)"))
+                .otherwise(lit(0L))
+              + when(col("lty") === col("ch"), lit(400000L))
+                .otherwise(lit(0L))
+              + expr("""(200000 div (n - 2))
+                * (n_ch - CASE WHEN fty = ch THEN 1 ELSE 0 END
+                        - CASE WHEN lty = ch THEN 1 ELSE 0 END)""")))))
+      .groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("n_convs"), sum("n_ch").as("n_touches"),
+        sum("first_ppm").as("first_ppm"), sum("last_ppm").as("last_ppm"),
+        sum("linear_ppm").as("linear_ppm"),
+        sum("ushape_ppm").as("ushape_ppm"))
+      .orderBy("channel")
+  }
+
   /** q150 — first-order Markov transition matrix over each user's
     * time-ordered event-type sequence: counts of src→dst adjacent pairs
     * plus the per-src transition probability, the sequence-model summary
@@ -704,6 +797,7 @@ object Events extends QueryModule {
     "q164_twap" -> twap,
     "q150_markov_transitions" -> markovTransitions,
     "q145_attribution" -> attribution,
+    "q292_multi_touch" -> multiTouch,
     "q129_rate_anomaly" -> rateAnomaly,
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
@@ -978,6 +1072,67 @@ object Events extends QueryModule {
         |SELECT src, dst, n,
         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
         |FROM tr ORDER BY src, dst""".stripMargin,
+    // the identical frame, touch keys, closed-form per-channel credits,
+    // and remainder-to-first rule
+    "q292_multi_touch" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |tk AS (SELECT event_id, user_id, event_type, ts_us,
+        |    CASE WHEN event_type IN ('view', 'click', 'signup') THEN
+        |      lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':' || event_id
+        |        || ':' || event_type END AS tk
+        |  FROM ev),
+        |wn AS (SELECT event_id, event_type,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w AS n_view,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w AS n_click,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      OVER w AS n_signup,
+        |    min(tk) OVER w AS first_tk, max(tk) OVER w AS last_tk
+        |  FROM tk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+        |conv AS (SELECT event_id AS conv_id,
+        |    n_view + n_click + n_signup AS n, n_view, n_click, n_signup,
+        |    split_part(first_tk, ':', 3) AS fty,
+        |    split_part(last_tk, ':', 3) AS lty
+        |  FROM wn WHERE event_type = 'purchase'),
+        |ex AS (SELECT conv_id, n, fty, lty, ch, n_ch FROM conv,
+        |  LATERAL (VALUES ('view', n_view), ('click', n_click),
+        |    ('signup', n_signup),
+        |    ('(none)', CASE WHEN n = 0 THEN 1 ELSE 0 END)) AS v(ch, n_ch)
+        |  WHERE n_ch > 0),
+        |cr AS (SELECT ch, n_ch,
+        |    CASE WHEN n = 0 THEN 1000000
+        |      WHEN fty = ch THEN 1000000 ELSE 0 END AS first_ppm,
+        |    CASE WHEN n = 0 THEN 1000000
+        |      WHEN lty = ch THEN 1000000 ELSE 0 END AS last_ppm,
+        |    CASE WHEN n = 0 THEN 1000000
+        |      ELSE (1000000 // n) * n_ch
+        |        + CASE WHEN fty = ch THEN 1000000 % n ELSE 0 END
+        |    END AS linear_ppm,
+        |    CASE WHEN n = 0 THEN 1000000
+        |      WHEN n = 1 THEN
+        |        CASE WHEN fty = ch THEN 1000000 ELSE 0 END
+        |      WHEN n = 2 THEN
+        |        CASE WHEN fty = ch THEN 500000 ELSE 0 END
+        |        + CASE WHEN lty = ch THEN 500000 ELSE 0 END
+        |      ELSE
+        |        CASE WHEN fty = ch THEN 400000 + 200000 % (n - 2)
+        |          ELSE 0 END
+        |        + CASE WHEN lty = ch THEN 400000 ELSE 0 END
+        |        + (200000 // (n - 2))
+        |          * (n_ch - CASE WHEN fty = ch THEN 1 ELSE 0 END
+        |                  - CASE WHEN lty = ch THEN 1 ELSE 0 END)
+        |    END AS ushape_ppm
+        |  FROM ex)
+        |SELECT ch AS channel, count(*) AS n_convs,
+        |  CAST(sum(n_ch) AS BIGINT) AS n_touches,
+        |  CAST(sum(first_ppm) AS BIGINT) AS first_ppm,
+        |  CAST(sum(last_ppm) AS BIGINT) AS last_ppm,
+        |  CAST(sum(linear_ppm) AS BIGINT) AS linear_ppm,
+        |  CAST(sum(ushape_ppm) AS BIGINT) AS ushape_ppm
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

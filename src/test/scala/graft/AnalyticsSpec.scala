@@ -487,6 +487,49 @@ class AnalyticsSpec extends SparkSpec {
       (3, "purchase", 1L, 500000L, 3600L * 1000000L)))
   }
 
+  test("q292 multi-touch: planted journeys yield hand-computed channel credit; every model's ledger sums to conversions exactly") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val day = 86400L
+    val rows = Seq(
+      // user 1: view → click → signup → purchase (n=3, first=view,
+      // last=signup; linear 333334/333333/333333, U 400k/200k/400k)
+      (1L, 0L * ns, 1L, "view", 0.0, "{}"),
+      (2L, 100L * ns, 1L, "click", 0.0, "{}"),
+      (3L, 200L * ns, 1L, "signup", 0.0, "{}"),
+      (4L, 300L * ns, 1L, "purchase", 0.0, "{}"),
+      // user 2: single click touch — every model gives click 100%
+      (5L, 0L * ns, 2L, "click", 0.0, "{}"),
+      (6L, 100L * ns, 2L, "purchase", 0.0, "{}"),
+      // user 3: orphan purchase — "(none)" at full credit
+      (7L, 0L * ns, 3L, "purchase", 0.0, "{}"),
+      // user 4: two views (n=2 → 50/50, same channel → 100% view)
+      (8L, 0L * ns, 4L, "view", 0.0, "{}"),
+      (9L, 50L * ns, 4L, "view", 0.0, "{}"),
+      (10L, 100L * ns, 4L, "purchase", 0.0, "{}"),
+      // user 5: view 8 days before the purchase — outside the lookback
+      (11L, 0L * ns, 5L, "view", 0.0, "{}"),
+      (12L, 8 * day * ns, 5L, "purchase", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftmt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q292_multi_touch")(spark, dir)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toList === List(
+      ("(none)", 2L, 2L, 2000000L, 2000000L, 2000000L, 2000000L),
+      ("click", 2L, 2L, 1000000L, 1000000L, 1333333L, 1200000L),
+      ("signup", 1L, 1L, 0L, 1000000L, 333333L, 400000L),
+      ("view", 2L, 3L, 2000000L, 1000000L, 1333334L, 1400000L)),
+      got.mkString(","))
+    // the conservation law: 5 conversions × 1e6 per model, exactly
+    Seq(3, 4, 5, 6).foreach { i =>
+      assert(got.map(_.productElement(i).asInstanceOf[Long]).sum
+        === 5000000L, s"model column $i leaks credit")
+    }
+  }
+
   test("q283 conformal: query output equals a driver-side split-conformal replica; coverage sits in the 90%-target band") {
     def md5hex(x: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(x.getBytes("UTF-8"))
