@@ -449,6 +449,85 @@ object Pipeline extends QueryModule {
       .orderBy("shard")
   }
 
+  /** q293 selection budget and stage count — the training-subset size
+    * and the number of curriculum epochs (= difficulty tertiles). */
+  private[graft] val curriculumBudget = 300L
+  private[graft] val curriculumEpochs = 3
+
+  /** q293 — CURRICULUM SCHEDULE COMPOSER: the deterministic
+    * difficulty-ramped epoch schedule that turns a curated corpus into a
+    * training run (Bengio et al. 2009's curriculum regime) — the last
+    * unclaimed step between the corpus ops and a trainer. Composes the
+    * library against itself: difficulty is q185's unigram cross-entropy
+    * in exact micro-nats; the training subset is a q103-style
+    * temperature mix (α = 0.5, floor-sqrt integer weights) with quotas
+    * on the SOURCE axis; the selected set cuts into
+    * [[curriculumEpochs]] global difficulty tertiles (ntile — both
+    * engines deal floor(n/k)+extras from the front), and epoch e trains
+    * on tiers 1..e — the EXPANDING-WINDOW ramp, so each epoch's
+    * difficulty ceiling is monotone by construction; within an epoch the
+    * order is q207's salted-md5 rank (a different deterministic
+    * permutation each epoch, no RNG).
+    *
+    * Scale: corpus-sized work is exactly q185's scoring pass (linear,
+    * map-side combinable); every window after selection runs on the
+    * BUDGET-bounded subset (the trainer's sample, hundreds–thousands of
+    * rows by construction — a corpus-scale budget would swap in q207's
+    * two-phase distributed rank at the seam). Output: one row per
+    * (epoch, source) — docs scheduled, the source's quota, exact ce
+    * stats, and q207's order-sensitive checksum pinning WHICH docs run
+    * in WHAT order. The spec pins the two laws: the per-epoch max
+    * difficulty ramps monotonically, and every source's epoch-3 count
+    * equals its quota exactly (conservation).
+    */
+  val curriculum: Q = (s, d) => {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("t"))
+    val mu = terms.join(freq, "term").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("t").cast("double") / col("cnt")) * 1e6).cast("long")
+          .as("mu"))
+    val per = mu.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("mu").as("sum_mu"))
+    val scored = docs.select("doc_id", "source").join(per, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        expr("sum_mu div n_tokens").as("ce_micro"))
+    val weights = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("wgt",
+        floor(sqrt(col("n_src").cast("double"))).cast("long"))
+    val totW = weights.agg(sum("wgt").as("total_wgt"))
+    val quotas = weights.crossJoin(broadcast(totW))
+      .withColumn("quota", least(col("n_src"),
+        expr(s"($curriculumBudget * wgt) div total_wgt")))
+      .select("source", "quota")
+    val wSel = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sel = scored.withColumn("srk", row_number().over(wSel))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("srk") <= col("quota"))
+      .select("doc_id", "source", "ce_micro", "quota")
+    val tiered = sel.withColumn("tier",
+      ntile(curriculumEpochs).over(
+        Window.orderBy(col("ce_micro"), col("doc_id"))))
+    val epochs = s.range(1, curriculumEpochs + 1)
+      .select(col("id").cast("int").as("epoch"))
+    val sched = tiered.crossJoin(broadcast(epochs))
+      .filter(col("tier") <= col("epoch"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("epoch")
+          .orderBy(md5(concat_ws(":", col("epoch"), col("doc_id"))),
+            col("doc_id"))))
+    sched.groupBy("epoch", "source")
+      .agg(count(lit(1)).as("n_docs"), max("quota").as("quota"),
+        min("ce_micro").as("min_ce"), max("ce_micro").as("max_ce"),
+        expr("sum(ce_micro) div count(1)").as("avg_ce_micro"),
+        expr("""CAST(sum(CAST(rk AS DECIMAL(38,0)) * doc_id)
+                % 2305843009213693951 AS BIGINT)""").as("order_checksum"))
+      .orderBy("epoch", "source")
+  }
+
   /** Epoch count for the q207 training-order generator. */
   private val shuffleEpochs = 3
 
@@ -1010,6 +1089,7 @@ object Pipeline extends QueryModule {
     "q234_pipeline_e2e" -> pipelineE2e,
     "q186_dataset_card" -> datasetCard,
     "q207_epoch_shuffle" -> epochShuffle,
+    "q293_curriculum" -> curriculum,
     "q172_shard_balance" -> shardBalance,
     "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
@@ -1341,6 +1421,50 @@ object Pipeline extends QueryModule {
     // one global row_number at oracle scale; the Spark side reproduces
     // the identical rank via the two-phase bucket offsets (hex-prefix
     // order is consistent with full-hash order)
+    // the identical ce scoring, floor-sqrt quotas, md5 selection ranks,
+    // ntile tiers, expanding epochs, and salted order checksum
+    "q293_curriculum" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\s+'),
+         |      t -> len(t) > 0)) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq),
+         |mu AS (SELECT doc_id,
+         |    CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT)
+         |      AS mu
+         |  FROM tk JOIN freq USING (term) CROSS JOIN tot),
+         |per AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(mu) AS BIGINT) AS sum_mu FROM mu GROUP BY 1),
+         |sc AS MATERIALIZED (SELECT d.doc_id, d.source,
+         |    sum_mu // n_tokens AS ce_micro
+         |  FROM documents d JOIN per USING (doc_id)),
+         |wt AS (SELECT source, count(*) AS n_src,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wgt
+         |  FROM sc GROUP BY 1),
+         |tw AS (SELECT CAST(sum(wgt) AS BIGINT) AS total_wgt FROM wt),
+         |qt AS (SELECT source,
+         |    least(n_src, ($curriculumBudget * wgt) // total_wgt) AS quota
+         |  FROM wt CROSS JOIN tw),
+         |sel AS MATERIALIZED (SELECT doc_id, source, ce_micro, quota FROM
+         |  (SELECT sc.doc_id, sc.source, sc.ce_micro, quota,
+         |      row_number() OVER (PARTITION BY sc.source
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srk
+         |    FROM sc JOIN qt USING (source))
+         |  WHERE srk <= quota),
+         |td AS (SELECT sel.*, ntile($curriculumEpochs)
+         |    OVER (ORDER BY ce_micro, doc_id) AS tier FROM sel),
+         |ep AS (SELECT unnest(range(1, ${curriculumEpochs + 1}))::INT
+         |    AS epoch),
+         |sch AS (SELECT epoch, doc_id, source, ce_micro, quota,
+         |    row_number() OVER (PARTITION BY epoch
+         |      ORDER BY md5(epoch || ':' || doc_id), doc_id) AS rk
+         |  FROM td, ep WHERE tier <= epoch)
+         |SELECT epoch, source, count(*) AS n_docs, max(quota) AS quota,
+         |  min(ce_micro) AS min_ce, max(ce_micro) AS max_ce,
+         |  CAST(sum(ce_micro) AS BIGINT) // count(*) AS avg_ce_micro,
+         |  CAST(sum(CAST(rk AS HUGEINT) * doc_id)
+         |    % 2305843009213693951 AS BIGINT) AS order_checksum
+         |FROM sch GROUP BY 1, 2 ORDER BY epoch, source""".stripMargin,
     "q207_epoch_shuffle" ->
       s"""WITH e AS (SELECT unnest(range(0, $shuffleEpochs))::INT AS epoch),
          |k AS (SELECT epoch, doc_id,

@@ -72,6 +72,32 @@ class PipelineSpec extends SparkSpec {
       assert(smallest._3.toDouble / smallest._2 >= largest._3.toDouble / largest._2)
   }
 
+  test("q293 curriculum: difficulty ceiling ramps monotonically, counts expand, and epoch 3 realizes every source quota exactly") {
+    val rows = q("q293_curriculum").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(1, 2, 3))
+    // law 1: the expanding-window ramp — each epoch's max difficulty is
+    // >= the previous epoch's (epoch e trains on tiers 1..e)
+    val ceiling = (1 to 3).map(e => byEpoch(e).map(_._5).max)
+    assert(ceiling(0) <= ceiling(1) && ceiling(1) <= ceiling(2),
+      s"ramp broke: $ceiling")
+    // law 2: conservation — epoch 3 is the full selection, so every
+    // source's count equals its quota exactly, and the total stays
+    // within the budget
+    byEpoch(3).foreach { case (_, src, n, quota, _) =>
+      assert(n === quota, s"$src: $n != quota $quota")
+    }
+    assert(byEpoch(3).map(_._3).sum <= 300L)
+    // per-source counts never shrink as the window expands
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      val n = (1 to 3).map(e => rs.find(_._1 == e).map(_._3).getOrElse(0L))
+      assert(n(0) <= n(1) && n(1) <= n(2), s"$src: $n")
+    }
+  }
+
   test("q89 stratified sample keeps roughly 10% per stratum") {
     q("q89_stratified_sample").collect().foreach { r =>
       val (n, kept) = (r.getLong(1), r.getLong(2))
