@@ -849,15 +849,18 @@ object StreamingJobs extends QueryModule {
     * trigger → 4 genuine micro-batches with cross-batch state carry,
     * which StreamingSpec pins alongside stream ≡ batch equality.
     */
-  private[graft] def streamFunnelRun(s: SparkSession, d: String)
-      : (DataFrame, Long) = {
-    import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val win = graft.operators.Events.funnelWindowUs
-    val root = graft.Scratch.dir("graft_stream_funnel")
+  /** Stage the events table as 8 ts-range parquet files with strictly
+    * increasing mtimes under `root/src` — the file-source replay harness
+    * shared by q285/q294 (the source processes oldest-first, making
+    * arrival order = event-time order, the per-key in-order contract
+    * both state machines document). Columns: (event_id, user_id,
+    * event_type, t = unix_micros(ts)). Returns the src dir. */
+  private def stageEventRanges(s: SparkSession, d: String,
+      root: String): String = {
     val src = s"$root/src"
     val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
     val bounds = ev.agg(min("t"), max("t")).head()
     val (tLo, tHi) = (bounds.getLong(0), bounds.getLong(1))
     val hfs = new org.apache.hadoop.fs.Path(root)
@@ -871,13 +874,23 @@ object StreamingJobs extends QueryModule {
         .coalesce(1).write.mode("overwrite").parquet(part)
       val file = hfs.listStatus(new org.apache.hadoop.fs.Path(part))
         .find(_.getPath.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"q285: no parquet part written for range $i"))
+        .getOrElse(sys.error(s"no parquet part written for range $i"))
       val dst = new org.apache.hadoop.fs.Path(src, f"f$i%02d.parquet")
       hfs.rename(file.getPath, dst)
       // explicit strictly-increasing mtimes: the file source replays
       // oldest-first, making arrival order = event-time order
       hfs.setTimes(dst, 1000000L + i * 1000L, -1)
     }
+    src
+  }
+
+  private[graft] def streamFunnelRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val win = graft.operators.Events.funnelWindowUs
+    val root = graft.Scratch.dir("graft_stream_funnel")
+    val src = stageEventRanges(s, d, root)
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
@@ -951,7 +964,119 @@ object StreamingJobs extends QueryModule {
 
   val streamFunnel: Q = (s, d) => streamFunnelRun(s, d)._1
 
+  /** q294 — STREAMING MULTI-TOUCH ATTRIBUTION via
+    * flatMapGroupsWithState: q292's per-channel credit ledger run as a
+    * per-user state machine across genuine micro-batches — the
+    * real-time marketing dashboard topology. State is the user's touch
+    * keys (q292's exact lpad-ts:event_id:type strings, so first/last
+    * resolve by the SAME lexicographic comparison as the batch
+    * min/max), evicted once older than 7 days behind the newest event
+    * (per-key in-order arrival, q285's documented contract, makes that
+    * eviction safe: no future purchase can need them). Each purchase
+    * emits its closed-form per-channel credit rows — integer ppm with
+    * the remainder-to-first rule, byte-identical math to the batch
+    * operator — and the final aggregate folds them into q292's exact
+    * output shape. The batch report IS the oracle (shared SQL verbatim,
+    * the q282/q285 discipline): stream ≡ batch is the parity proof, and
+    * StreamingSpec pins it across ≥ 4 micro-batches with state carry.
+    */
+  private[graft] def streamAttributionRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val win = 7L * 86400L * 1000000L
+    val root = graft.Scratch.dir("graft_stream_attr")
+    val src = stageEventRanges(s, d, root)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val credits = stream
+      .select(col("user_id"), col("event_id"), col("event_type"), col("t"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[String],
+        (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[List[String]]) =>
+          // in-batch sort by (ts, event_id): outcomes depend only on ts
+          // comparisons, the sort just makes the fold deterministic
+          val evs = it.toArray.sortBy(e => (e._4, e._2))
+          var touches = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long, Long)]
+          evs.foreach { case (_, eid, tpe, t) =>
+            if (tpe == "purchase") {
+              // the batch RANGE frame [t-7d, t-1]: strictly before the
+              // purchase, within the lookback
+              val inWin = touches.filter { tk =>
+                val ts = tk.substring(0, 20).toLong
+                ts >= t - win && ts < t
+              }
+              val n = inWin.size.toLong
+              if (n == 0)
+                out += (("(none)", 1L, 1000000L, 1000000L, 1000000L,
+                  1000000L))
+              else {
+                val fty = inWin.min.split(":")(2)
+                val lty = inWin.max.split(":")(2)
+                inWin.groupBy(_.split(":")(2)).foreach { case (ch, g) =>
+                  val nCh = g.size.toLong
+                  val first = if (fty == ch) 1000000L else 0L
+                  val last = if (lty == ch) 1000000L else 0L
+                  val linear = (1000000L / n) * nCh +
+                    (if (fty == ch) 1000000L % n else 0L)
+                  val ushape =
+                    if (n == 1) { if (fty == ch) 1000000L else 0L }
+                    else if (n == 2)
+                      (if (fty == ch) 500000L else 0L) +
+                        (if (lty == ch) 500000L else 0L)
+                    else
+                      (if (fty == ch) 400000L + 200000L % (n - 2)
+                       else 0L) +
+                        (if (lty == ch) 400000L else 0L) +
+                        (200000L / (n - 2)) *
+                          (nCh - (if (fty == ch) 1L else 0L) -
+                            (if (lty == ch) 1L else 0L))
+                  out += ((ch, nCh, first, last, linear, ushape))
+                }
+              }
+            } else if (tpe == "view" || tpe == "click" || tpe == "signup")
+              touches = (f"$t%020d" + ":" + eid + ":" + tpe) :: touches
+            // evict touches no future event (in-order ⇒ ts ≥ t) can see
+            touches = touches.filter(_.substring(0, 20).toLong >= t - win)
+          }
+          state.update(touches)
+          out.iterator
+      }
+    val name = s"stream_attr_${runId.incrementAndGet()}"
+    var batches = 0L
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = credits.toDF("channel", "n_ch", "first_ppm", "last_ppm",
+          "linear_ppm", "ushape_ppm")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("memory").queryName(name).start()
+      try q.awaitTermination()
+      finally { batches = q.recentProgress.count(_.numInputRows >= 0); q.stop() }
+    }
+    val res = s.table(name).groupBy("channel")
+      .agg(count(lit(1)).as("n_convs"), sum("n_ch").as("n_touches"),
+        sum("first_ppm").as("first_ppm"), sum("last_ppm").as("last_ppm"),
+        sum("linear_ppm").as("linear_ppm"),
+        sum("ushape_ppm").as("ushape_ppm"))
+      .orderBy("channel")
+    val rows = java.util.Arrays.asList(res.collect(): _*)
+    val out = s.createDataFrame(rows, res.schema)
+    s.catalog.dropTempView(name)
+    (out, batches)
+  }
+
+  val streamAttribution: Q = (s, d) => streamAttributionRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
+    "q294_stream_attribution" -> streamAttribution,
     "q285_stream_funnel" -> streamFunnel,
     "q275_stream_scd2_enrich" -> streamScd2Enrich,
     "q212_stream_ohlc" -> streamOhlc,
@@ -973,6 +1098,8 @@ object StreamingJobs extends QueryModule {
     // stream/batch hash match is the parity proof
     "q285_stream_funnel" ->
       graft.operators.Events.oracles("q282_funnel_steps"),
+    "q294_stream_attribution" ->
+      graft.operators.Events.oracles("q292_multi_touch"),
     // the plain batch temporal join: q109's version chain + the identical
     // [valid_from, valid_to) residual — row-local verdicts make the
     // stream/batch hash match the parity proof

@@ -324,6 +324,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.head(2).asInstanceOf[Long] > 0L)
   }
 
+  test("q294 streaming attribution ≡ q292 batch report across genuine micro-batches") {
+    // per-key in-order arrival (the shared ts-range staging) makes the
+    // per-user touch-ledger state machine's credits equal the batch
+    // RANGE-frame closed forms — exercised across MULTIPLE micro-batches
+    // so the 7-day eviction and cross-batch state carry are real
+    val (out, batches) =
+      streaming.StreamingJobs.streamAttributionRun(spark, sf)
+    val got = out.collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q292_multi_touch")(spark, sf)
+      .collect().map(_.toSeq).toList
+    assert(got === want, s"stream ≡ batch identity broke: $got vs $want")
+    assert(batches >= 4L, s"only $batches micro-batches — state carry untested")
+    // non-vacuous: at least one real channel earns credit
+    assert(got.exists(r => r.head != "(none)" &&
+      r(3).asInstanceOf[Long] > 0L))
+  }
+
   test("q285 streaming funnel: epoch-start (t=0) events advance the state machine like the batch operator") {
     // advisor r12: a 0L 'unset' sentinel would silently treat a t=0
     // view as never-seen, diverging from batch; the planted q282
