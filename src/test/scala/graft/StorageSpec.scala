@@ -321,4 +321,27 @@ class StorageSpec extends SparkSpec {
     // minority of the tree's 273
     assert(got.size < 40)
   }
+
+  test("q295 incremental Merkle maintenance agrees with q281's from-scratch diff node for node") {
+    // the maintained tree's dirty rows must be EXACTLY q281's mismatch
+    // worklist — same nodes, same old/new digests and row counts — and
+    // clean rows must carry digest_new == digest_old (the delta update
+    // never perturbs untouched subtrees)
+    val maintained = q("q295_merkle_maintain").collect()
+    val dirty = maintained.filter(_.getAs[Boolean]("dirty"))
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Long]("digest_old"),
+        r.getAs[Long]("digest_new"), r.getAs[Long]("n_rows_old"),
+        r.getAs[Long]("n_rows_new"))).toSet
+    val diff = q("q281_merkle_diff").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Long]("digest_a"),
+        r.getAs[Long]("digest_b"), r.getAs[Long]("n_rows_a"),
+        r.getAs[Long]("n_rows_b"))).toSet
+    assert(dirty === diff, s"dirty $dirty vs diff $diff")
+    maintained.filterNot(_.getAs[Boolean]("dirty")).foreach { r =>
+      assert(r.getAs[Long]("digest_new") === r.getAs[Long]("digest_old"))
+      assert(r.getAs[Long]("n_rows_new") === r.getAs[Long]("n_rows_old"))
+    }
+    // the full tree is present (every stored node reported, 256+16+1)
+    assert(maintained.length === 273)
+  }
 }
