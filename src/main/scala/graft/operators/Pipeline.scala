@@ -491,9 +491,17 @@ object Pipeline extends QueryModule {
           .as("mu"))
     val per = mu.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("mu").as("sum_mu"))
-    val scored = docs.select("doc_id", "source").join(per, Seq("doc_id"))
+    // STAGED, not shared lineage: scored feeds the weight table, the
+    // quota join, and the selection rank — three consumers that would
+    // each re-run the corpus-sized ce pass (PlanSpec caught 3 copies of
+    // the scoring subtree, the q286 lesson); one parquet leaf makes the
+    // "one scoring pass" claim true in the plan
+    val scoredDir = graft.Scratch.dir("graft_curr_scored")
+    docs.select("doc_id", "source").join(per, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         expr("sum_mu div n_tokens").as("ce_micro"))
+      .write.mode("overwrite").parquet(scoredDir)
+    val scored = s.read.parquet(scoredDir)
     val weights = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
       .withColumn("wgt",
         floor(sqrt(col("n_src").cast("double"))).cast("long"))

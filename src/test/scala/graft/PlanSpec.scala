@@ -446,6 +446,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q291 exact-substring: the benchmark position list broadcasts onto the seed join; best-run pick is group-limited; nothing doc×doc") {
+    val p = plan("q291_exact_substring")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the seed match is a broadcast hash join on the 8-gram hash
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    // rn=1 best-run selection prunes per-doc before the final shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q292 multi-touch: NO join of any kind — the credit rollup is one window pass + explode + aggregate") {
+    val p = plan("q292_multi_touch")
+    // the scale claim the Scaladoc makes: no conversion×touch pair
+    // expansion means no join operator anywhere in the plan
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window") >= 1, p)
+    assert(p.contains("Generate"), p) // the per-channel explode
+  }
+
+  test("q293 curriculum: only the declared broadcast crosses (two 1-row totals, the 3-row epoch frame)") {
+    val p = plan("q293_curriculum")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(bnlj.size <= 3, s"${bnlj.size} nested loops\n$p")
+  }
+
+  test("q295 Merkle maintenance: pure equi-join plan — deltas broadcast onto the stored tree, no cross anywhere") {
+    val p = plan("q295_merkle_maintain")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p) // ranked keys + deltas
+  }
+
   test("q284 cube lowers to ONE Expand + hash aggregate — never four unioned aggregations; dims broadcast") {
     val p = plan("q284_revenue_cube")
     assert(count(p, "Expand") == 1, p)
