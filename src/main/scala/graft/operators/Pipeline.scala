@@ -480,28 +480,37 @@ object Pipeline extends QueryModule {
     * difficulty ramps monotonically, and every source's epoch-3 count
     * equals its quota exactly (conservation).
     */
+  /** The (doc_id, source, ce_micro) difficulty table — q185's scoring
+    * pass staged once per input dir per JVM and shared by q293 (three
+    * consumers: weights, quotas, selection — PlanSpec caught 3 copies of
+    * the corpus-sized scoring subtree before staging, the q286 lesson)
+    * and q296 (domain losses). */
+  private val ceScoredCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ceScoredDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ceScoredCache.computeIfAbsent(d, _ => {
+      val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum("cnt").as("t"))
+      val mu = terms.join(freq, "term").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log(col("t").cast("double") / col("cnt")) * 1e6).cast("long")
+            .as("mu"))
+      val per = mu.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("mu").as("sum_mu"))
+      val dir = graft.Scratch.dir("graft_ce_scored")
+      docs.select("doc_id", "source").join(per, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          expr("sum_mu div n_tokens").as("ce_micro"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   val curriculum: Q = (s, d) => {
-    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
-    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
-    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val tot = freq.agg(sum("cnt").as("t"))
-    val mu = terms.join(freq, "term").crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        round(log(col("t").cast("double") / col("cnt")) * 1e6).cast("long")
-          .as("mu"))
-    val per = mu.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("mu").as("sum_mu"))
-    // STAGED, not shared lineage: scored feeds the weight table, the
-    // quota join, and the selection rank — three consumers that would
-    // each re-run the corpus-sized ce pass (PlanSpec caught 3 copies of
-    // the scoring subtree, the q286 lesson); one parquet leaf makes the
-    // "one scoring pass" claim true in the plan
-    val scoredDir = graft.Scratch.dir("graft_curr_scored")
-    docs.select("doc_id", "source").join(per, Seq("doc_id"))
-      .select(col("doc_id"), col("source"),
-        expr("sum_mu div n_tokens").as("ce_micro"))
-      .write.mode("overwrite").parquet(scoredDir)
-    val scored = s.read.parquet(scoredDir)
+    val scored = s.read.parquet(ceScoredDir(s, d))
     val weights = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
       .withColumn("wgt",
         floor(sqrt(col("n_src").cast("double"))).cast("long"))
@@ -534,6 +543,66 @@ object Pipeline extends QueryModule {
         expr("""CAST(sum(CAST(rk AS DECIMAL(38,0)) * doc_id)
                 % 2305843009213693951 AS BIGINT)""").as("order_checksum"))
       .orderBy("epoch", "source")
+  }
+
+  /** q296 rounds and learning rate: 5 multiplicative-weights rounds;
+    * per-round multiplier = 1e6 + excess_micro/10 ppm (η = 0.1 per
+    * micro-nat of excess loss). */
+  private[graft] val reweightRounds = 5
+
+  /** q296 — DOMAIN REWEIGHTING for the training mix (the DoReMi regime,
+    * Xie et al. 2023, with the LINEARIZED multiplicative-weights update
+    * of the Arora–Hazan–Kale MW framework instead of the exponentiated
+    * gradient — stated openly: (1 + η·excess) keeps every round in
+    * exact integer arithmetic where exp() would gamble on libm ulp
+    * parity): domains whose mean loss exceeds the corpus baseline gain
+    * weight round over round, domains at or below it decay relatively —
+    * the reference-free reweighting that up-trains hard domains. Losses
+    * are q185's unigram cross-entropy per source (the proxy-model seam:
+    * a real pipeline swaps in per-domain model losses, the algebra is
+    * unchanged), read from the SESSION-STAGED ce leaf shared with q293.
+    *
+    * Exactness ledger: excess = max(0, loss − baseline) in micro-nats;
+    * multiplier = 1e6 + excess/10 ppm; raw weights start at 1e6 and
+    * floor-divide by 1e6 each round (deterministic, mirrored in the
+    * oracle); normalized weights are (w·1e6) div Σw with the remainder
+    * assigned to the first sources in name order — so every round's
+    * weight column sums to EXACTLY 1e6 ppm (the q292 closed-ledger
+    * discipline). Everything after the staged scoring read is
+    * source-count-sized (dozens of rows at 100 TB); the spec pins the
+    * conservation law, the max-excess domain's monotone rise, and
+    * zero-excess domains' monotone decay.
+    */
+  val domainReweight: Q = (s, d) => {
+    val scored = s.read.parquet(ceScoredDir(s, d))
+    val loss = scored.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      expr("sum(ce_micro) div count(1)").as("loss_micro"))
+    val base = scored.agg(expr("sum(ce_micro) div count(1)")
+      .as("base_micro"))
+    val m = loss.crossJoin(broadcast(base))
+      .withColumn("excess_micro",
+        greatest(col("loss_micro") - col("base_micro"), lit(0L)))
+      .withColumn("mult_ppm", lit(1000000L) + expr("excess_micro div 10"))
+      .select("source", "n_docs", "loss_micro", "excess_micro", "mult_ppm")
+    val rounds = (1 to reweightRounds).scanLeft(
+      m.withColumn("w_raw", lit(1000000L))) { (prev, _) =>
+      prev.withColumn("w_raw", expr("w_raw * mult_ppm div 1000000"))
+    }.zipWithIndex.drop(1)
+    rounds.map { case (w, r) =>
+      val withTot = w
+        .crossJoin(broadcast(w.agg(sum("w_raw").as("tw"))))
+        .withColumn("floor_ppm", expr("w_raw * 1000000 div tw"))
+      val rem = withTot.agg((lit(1000000L) - sum("floor_ppm")).as("rem"))
+      withTot
+        .withColumn("rk", row_number().over(Window.orderBy("source")))
+        .crossJoin(broadcast(rem))
+        .select(lit(r).as("round"), col("source"), col("n_docs"),
+          col("loss_micro"), col("excess_micro"), col("mult_ppm"),
+          (col("floor_ppm") +
+            when(col("rk") <= col("rem"), 1L).otherwise(0L))
+            .as("weight_ppm"))
+    }.reduce(_.unionByName(_))
+      .orderBy("round", "source")
   }
 
   /** Epoch count for the q207 training-order generator. */
@@ -1098,6 +1167,7 @@ object Pipeline extends QueryModule {
     "q186_dataset_card" -> datasetCard,
     "q207_epoch_shuffle" -> epochShuffle,
     "q293_curriculum" -> curriculum,
+    "q296_domain_reweight" -> domainReweight,
     "q172_shard_balance" -> shardBalance,
     "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
@@ -1114,7 +1184,63 @@ object Pipeline extends QueryModule {
     "q103_temperature_mix" -> temperatureMix,
     "q90_chunk500" -> chunk500)
 
+  /** Shared q293/q296 oracle CTEs: the q185 ce-scoring chain ending in
+    * sc = (doc_id, source, ce_micro). */
+  private def duckCeCtes: String =
+    raw"""tk AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\s+'),
+       |      t -> len(t) > 0)) AS term FROM documents),
+       |freq AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq),
+       |mu AS (SELECT doc_id,
+       |    CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT)
+       |      AS mu
+       |  FROM tk JOIN freq USING (term) CROSS JOIN tot),
+       |per AS (SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(mu) AS BIGINT) AS sum_mu FROM mu GROUP BY 1),
+       |sc AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |    sum_mu // n_tokens AS ce_micro
+       |  FROM documents d JOIN per USING (doc_id))""".stripMargin
+
+  /** q296 oracle: the same staged losses, the same linearized MW rounds
+    * unrolled as CTEs, the same floor-division and remainder-to-first-
+    * sources normalization. Assembled WITHOUT stripMargin so generated
+    * lines never start with a margin character. */
+  private def duckReweightSql: String = {
+    val head =
+      s"""WITH $duckCeCtes,
+loss AS (SELECT source, count(*) AS n_docs,
+    CAST(sum(ce_micro) AS BIGINT) // count(*) AS loss_micro
+  FROM sc GROUP BY 1),
+base AS (SELECT CAST(sum(ce_micro) AS BIGINT) // count(*) AS base_micro
+  FROM sc),
+w0 AS (SELECT source, n_docs, loss_micro,
+    greatest(loss_micro - base_micro, 0) AS excess_micro,
+    1000000 + greatest(loss_micro - base_micro, 0) // 10 AS mult_ppm,
+    CAST(1000000 AS HUGEINT) AS w_raw
+  FROM loss CROSS JOIN base)"""
+    val rounds = (1 to reweightRounds).map { k =>
+      s"""w$k AS (SELECT source, n_docs, loss_micro, excess_micro, mult_ppm,
+    (w_raw * mult_ppm) // 1000000 AS w_raw FROM w${k - 1}),
+n$k AS (SELECT CAST($k AS INT) AS round, source, n_docs, loss_micro,
+    excess_micro, mult_ppm,
+    CAST(f.floor_ppm + CASE WHEN f.rk <= r.rem THEN 1 ELSE 0 END
+      AS BIGINT) AS weight_ppm
+  FROM (SELECT *,
+      CAST(w_raw * 1000000 // (SELECT sum(w_raw) FROM w$k) AS BIGINT)
+        AS floor_ppm,
+      row_number() OVER (ORDER BY source) AS rk FROM w$k) f
+  CROSS JOIN (SELECT 1000000 - sum(
+      CAST(w_raw * 1000000 // (SELECT sum(w_raw) FROM w$k) AS BIGINT))
+    AS rem FROM w$k) r)"""
+    }.mkString(",\n")
+    val sel = (1 to reweightRounds).map(k => s"SELECT * FROM n$k")
+      .mkString("\nUNION ALL ")
+    s"$head,\n$rounds\n$sel\nORDER BY round, source"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q296_domain_reweight" -> duckReweightSql,
     // both legs re-derived verbatim: the q278 passage-BM25 CTEs with the
     // per-query term pick, the q47 IVF assignment with the sample-
     // restricted probe (WHERE before window = the semi-join before the
@@ -1432,20 +1558,7 @@ object Pipeline extends QueryModule {
     // the identical ce scoring, floor-sqrt quotas, md5 selection ranks,
     // ntile tiers, expanding epochs, and salted order checksum
     "q293_curriculum" ->
-      raw"""WITH tk AS (SELECT doc_id,
-         |    unnest(list_filter(string_split_regex(text, '\s+'),
-         |      t -> len(t) > 0)) AS term FROM documents),
-         |freq AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq),
-         |mu AS (SELECT doc_id,
-         |    CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT)
-         |      AS mu
-         |  FROM tk JOIN freq USING (term) CROSS JOIN tot),
-         |per AS (SELECT doc_id, count(*) AS n_tokens,
-         |    CAST(sum(mu) AS BIGINT) AS sum_mu FROM mu GROUP BY 1),
-         |sc AS MATERIALIZED (SELECT d.doc_id, d.source,
-         |    sum_mu // n_tokens AS ce_micro
-         |  FROM documents d JOIN per USING (doc_id)),
+      raw"""WITH $duckCeCtes,
          |wt AS (SELECT source, count(*) AS n_src,
          |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wgt
          |  FROM sc GROUP BY 1),

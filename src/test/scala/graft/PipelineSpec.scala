@@ -98,6 +98,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q296 domain reweighting: every round's ledger sums to exactly 1e6 ppm; the hardest domain rises monotonically, zero-excess domains decay") {
+    val rows = q("q296_domain_reweight").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("excess_micro"),
+        r.getAs[Long]("weight_ppm")))
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet === (1 to 5).toSet)
+    // conservation: exact 1e6 per round (the q292 closed-ledger rule)
+    byRound.foreach { case (r, rs) =>
+      assert(rs.map(_._4).sum === 1000000L, s"round $r leaks")
+    }
+    // the max-excess domain gains weight every round; zero-excess
+    // domains never gain (they only lose share to the risers)
+    val hardest = rows.filter(_._1 == 1).maxBy(_._3)._2
+    val hw = (1 to 5).map(r => byRound(r).find(_._2 == hardest).get._4)
+    hw.sliding(2).foreach { w => assert(w(1) >= w(0), s"hardest: $hw") }
+    val easy = rows.filter(r => r._1 == 1 && r._3 == 0L).map(_._2)
+    if (easy.nonEmpty) {
+      val hasRiser = rows.filter(_._1 == 1).exists(_._3 > 0L)
+      easy.foreach { src =>
+        val w = (1 to 5).map(r => byRound(r).find(_._2 == src).get._4)
+        // remainder assignment can add ±1 ppm; allow that quantum only
+        w.sliding(2).foreach { p =>
+          if (hasRiser) assert(p(1) <= p(0) + 1, s"$src: $w")
+        }
+      }
+    }
+  }
+
   test("q89 stratified sample keeps roughly 10% per stratum") {
     q("q89_stratified_sample").collect().foreach { r =>
       val (n, kept) = (r.getLong(1), r.getLong(2))

@@ -473,6 +473,15 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 3, s"${bnlj.size} nested loops\n$p")
   }
 
+  test("q296 domain reweighting reads the STAGED ce leaf — no token explode in the plan; only source-sized broadcast crosses") {
+    val p = plan("q296_domain_reweight")
+    // the corpus-sized scoring pass is the staged q293 leaf, not lineage
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+  }
+
   test("q295 Merkle maintenance: pure equi-join plan — deltas broadcast onto the stored tree, no cross anywhere") {
     val p = plan("q295_merkle_maintain")
     assert(!p.contains("CartesianProduct"), p)
