@@ -258,14 +258,19 @@ object Events extends QueryModule {
     * flags). One user-partitioned window pass (the q145 shuffle), one
     * 3-struct explode per conversion, one ≤4-row hash aggregate.
     */
-  val multiTouch: Q = (s, d) => {
+  /** The shared q292/q297 per-conversion frame: for every purchase, the
+    * per-channel touch counts in the strict 7-day lookback plus the
+    * first/last touch channels — one user-partitioned window pass, no
+    * conversion×touch expansion. */
+  private def convTouches(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sevenDaysUs = 7L * 86400L * 1000000L
     val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"))
     val w = Window.partitionBy("user_id").orderBy("ts_us")
       .rangeBetween(-sevenDaysUs, -1L)
-    val conv = ev.withColumn("tk",
+    ev.withColumn("tk",
         when(col("event_type").isin("view", "click", "signup"),
           concat_ws(":", lpad(col("ts_us").cast("string"), 20, "0"),
             col("event_id"), col("event_type"))))
@@ -283,6 +288,10 @@ object Events extends QueryModule {
         col("n_view"), col("n_click"), col("n_signup"),
         split(col("first_tk"), ":").getItem(2).as("fty"),
         split(col("last_tk"), ":").getItem(2).as("lty"))
+  }
+
+  val multiTouch: Q = (s, d) => {
+    val conv = convTouches(s, d)
     conv.select(col("conv_id"), col("n"), col("fty"), col("lty"),
         explode(array(
           struct(lit("view").as("ch"), col("n_view").as("n_ch")),
@@ -324,6 +333,73 @@ object Events extends QueryModule {
         sum("first_ppm").as("first_ppm"), sum("last_ppm").as("last_ppm"),
         sum("linear_ppm").as("linear_ppm"),
         sum("ushape_ppm").as("ushape_ppm"))
+      .orderBy("channel")
+  }
+
+  /** q297 — SHAPLEY ATTRIBUTION (Shapley 1953; the "data-driven
+    * attribution" model production ad platforms run next to the
+    * rule-based q292 ledger): each channel's credit is its average
+    * marginal contribution across all orderings of the 3-channel
+    * coalition game, where v(S) = conversions whose touched-channel set
+    * is contained in S (the standard journey-coalition characteristic
+    * function). With 3 channels the game is CLOSED-FORM: 8 coalition
+    * values from one mask histogram, 12 weighted marginals, weights
+    * |S|!·(2−|S|)! ∈ {2,1,1,2} over denominator 3! = 6 — so φ is EXACT
+    * in integer SIXTHS, and the efficiency axiom Σφ = 6·v(full) is an
+    * arithmetic identity the spec pins (monotone v ⇒ φ ≥ 0, so the ppm
+    * share ledger closes at exactly 1e6 via the q292 remainder rule).
+    *
+    * Scale: the corpus-sized work is q292's shared window pass
+    * (convTouches); everything after is an 8-row mask histogram, an
+    * 8-row coalition table, and a 12-row term join — constant-size
+    * frames at any corpus. A k-channel generalization enumerates 2^k
+    * coalitions (the exact-Shapley cost; sampling permutations is the
+    * standard k>10 fallback, out of scope while the event taxonomy has
+    * 3 touch channels).
+    */
+  val shapleyAttribution: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val conv = convTouches(s, d)
+    val masks = conv.select(
+        ((col("n_view") > 0).cast("long")
+          + (col("n_click") > 0).cast("long") * 2
+          + (col("n_signup") > 0).cast("long") * 4).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val coalitions = s.range(0, 8).select(col("id").as("s_mask"))
+    val v = coalitions.join(broadcast(masks),
+        (col("mask").bitwiseAND(col("s_mask")) === col("mask"))
+          && col("mask") =!= 0, "left")
+      .groupBy("s_mask").agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+    val terms = Seq(
+      ("view", 1L, 0L, 2L), ("view", 1L, 2L, 1L),
+      ("view", 1L, 4L, 1L), ("view", 1L, 6L, 2L),
+      ("click", 2L, 0L, 2L), ("click", 2L, 1L, 1L),
+      ("click", 2L, 4L, 1L), ("click", 2L, 5L, 2L),
+      ("signup", 4L, 0L, 2L), ("signup", 4L, 1L, 1L),
+      ("signup", 4L, 2L, 1L), ("signup", 4L, 3L, 2L))
+      .toDF("channel", "bit", "s_mask", "coeff")
+    val phi = terms
+      .join(broadcast(v.select(col("s_mask").as("sm"), col("v").as("v_s"))),
+        col("s_mask") === col("sm"))
+      .join(broadcast(v.select(col("s_mask").as("smc"), col("v").as("v_sc"))),
+        col("s_mask") + col("bit") === col("smc"))
+      .groupBy("channel", "bit")
+      .agg(sum(col("coeff") * (col("v_sc") - col("v_s"))).as("phi_sixths"))
+    val vFull = v.filter(col("s_mask") === 7).select(col("v").as("v_full"))
+    val solo = v.select(col("s_mask").as("bit"), col("v").as("v_solo"))
+    val fl = phi.join(broadcast(solo), "bit").crossJoin(broadcast(vFull))
+      .withColumn("floor_ppm", expr(
+        "CASE WHEN v_full > 0 THEN phi_sixths * 1000000 div (6 * v_full) ELSE 0 END"))
+    val rem = fl.agg(expr(
+      "CASE WHEN max(v_full) > 0 THEN 1000000 - sum(floor_ppm) ELSE 0 END")
+      .as("rem"))
+    fl.withColumn("rk", row_number().over(Window.orderBy("channel")))
+      .crossJoin(broadcast(rem))
+      .select(col("channel"), col("v_solo"), col("v_full"),
+        col("phi_sixths"),
+        (col("floor_ppm") + when(col("rk") <= col("rem"), 1L)
+          .otherwise(0L)).as("share_ppm"))
       .orderBy("channel")
   }
 
@@ -798,6 +874,7 @@ object Events extends QueryModule {
     "q150_markov_transitions" -> markovTransitions,
     "q145_attribution" -> attribution,
     "q292_multi_touch" -> multiTouch,
+    "q297_shapley_attribution" -> shapleyAttribution,
     "q129_rate_anomaly" -> rateAnomaly,
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
@@ -1072,6 +1149,61 @@ object Events extends QueryModule {
         |SELECT src, dst, n,
         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
         |FROM tr ORDER BY src, dst""".stripMargin,
+    // the identical mask histogram, coalition values, sixths-exact
+    // Shapley terms, and remainder rule over the shared q292 frame CTEs
+    "q297_shapley_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |tk AS (SELECT event_id, user_id, event_type, ts_us,
+        |    CASE WHEN event_type IN ('view', 'click', 'signup') THEN
+        |      lpad(CAST(ts_us AS VARCHAR), 20, '0') || ':' || event_id
+        |        || ':' || event_type END AS tk
+        |  FROM ev),
+        |wn AS (SELECT event_id, event_type,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w AS n_view,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w AS n_click,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      OVER w AS n_signup
+        |  FROM tk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+        |mk AS (SELECT CASE WHEN n_view > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_click > 0 THEN 2 ELSE 0 END
+        |    + CASE WHEN n_signup > 0 THEN 4 ELSE 0 END AS mask
+        |  FROM wn WHERE event_type = 'purchase'),
+        |cnt AS (SELECT mask, count(*) AS cnt FROM mk GROUP BY 1),
+        |co AS (SELECT unnest(range(0, 8)) AS s_mask),
+        |v AS MATERIALIZED (SELECT s_mask,
+        |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS v
+        |  FROM co LEFT JOIN cnt ON (mask & s_mask) = mask AND mask <> 0
+        |  GROUP BY 1),
+        |terms(channel, bit, s_mask, coeff) AS (VALUES
+        |  ('view', 1, 0, 2), ('view', 1, 2, 1),
+        |  ('view', 1, 4, 1), ('view', 1, 6, 2),
+        |  ('click', 2, 0, 2), ('click', 2, 1, 1),
+        |  ('click', 2, 4, 1), ('click', 2, 5, 2),
+        |  ('signup', 4, 0, 2), ('signup', 4, 1, 1),
+        |  ('signup', 4, 2, 1), ('signup', 4, 3, 2)),
+        |phi AS (SELECT channel, bit,
+        |    CAST(sum(coeff * (vc.v - vs.v)) AS BIGINT) AS phi_sixths
+        |  FROM terms JOIN v vs ON terms.s_mask = vs.s_mask
+        |  JOIN v vc ON terms.s_mask + terms.bit = vc.s_mask
+        |  GROUP BY 1, 2),
+        |vf AS (SELECT v AS v_full FROM v WHERE s_mask = 7),
+        |fl AS (SELECT channel, bit, phi_sixths, v_full,
+        |    CASE WHEN v_full > 0
+        |      THEN phi_sixths * 1000000 // (6 * v_full) ELSE 0 END
+        |      AS floor_ppm,
+        |    row_number() OVER (ORDER BY channel) AS rk
+        |  FROM phi CROSS JOIN vf),
+        |rm AS (SELECT CASE WHEN max(v_full) > 0
+        |    THEN 1000000 - sum(floor_ppm) ELSE 0 END AS rem FROM fl)
+        |SELECT channel, sv.v AS v_solo, v_full, phi_sixths,
+        |  CAST(floor_ppm + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+        |    AS BIGINT) AS share_ppm
+        |FROM fl JOIN v sv ON fl.bit = sv.s_mask CROSS JOIN rm
+        |ORDER BY channel""".stripMargin,
     // the identical frame, touch keys, closed-form per-channel credits,
     // and remainder-to-first rule
     "q292_multi_touch" ->

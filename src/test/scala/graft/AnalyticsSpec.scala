@@ -530,6 +530,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q297 Shapley: planted journeys pin the three axioms — efficiency, symmetry, dummy player") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val rows = Seq(
+      // user 1: view+click journey (mask 3)
+      (1L, 0L * ns, 1L, "view", 0.0, "{}"),
+      (2L, 100L * ns, 1L, "click", 0.0, "{}"),
+      (3L, 200L * ns, 1L, "purchase", 0.0, "{}"),
+      // user 2: view-only journey (mask 1)
+      (4L, 0L * ns, 2L, "view", 0.0, "{}"),
+      (5L, 100L * ns, 2L, "purchase", 0.0, "{}"),
+      // user 3: click-only journey (mask 2); signup never touches
+      (6L, 0L * ns, 3L, "click", 0.0, "{}"),
+      (7L, 100L * ns, 3L, "purchase", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftshap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q297_shapley_attribution")(spark, dir)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // hand-computed: v(1)=v(2)=1, v(3)=v(7)=3; view/click symmetric at
+    // 9 sixths each; signup the dummy at 0; 9+9+0 = 18 = 6·v(full)
+    assert(got.toList === List(
+      ("click", 1L, 3L, 9L, 500000L),
+      ("signup", 0L, 3L, 0L, 0L),
+      ("view", 1L, 3L, 9L, 500000L)), got.mkString(","))
+  }
+
+  test("q297 Shapley on the fixture: efficiency axiom exact, shares close the 1e6 ledger, every credit non-negative") {
+    val got = q("q297_shapley_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+    val vFull = got.head._4
+    assert(got.map(_._2).sum === 6L * vFull, "efficiency axiom broke")
+    assert(got.map(_._3).sum === 1000000L, "share ledger leaks")
+    got.foreach { case (ch, phi, sh, _) =>
+      assert(phi >= 0L && sh >= 0L, s"$ch: $phi/$sh")
+    }
+  }
+
   test("q283 conformal: query output equals a driver-side split-conformal replica; coverage sits in the 90%-target band") {
     def md5hex(x: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(x.getBytes("UTF-8"))
