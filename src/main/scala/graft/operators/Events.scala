@@ -403,6 +403,90 @@ object Events extends QueryModule {
       .orderBy("channel")
   }
 
+  /** q298 iteration count: value iteration accounts conversion paths of
+    * ≤ 25 touches — parity needs only that BOTH engines run the same
+    * fixed count (the q148 fixed-unroll discipline). */
+  private[graft] val markovRounds = 25
+
+  /** q298 — MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014; the
+    * third member of the attribution trio: rule-based q292, cooperative-
+    * game q297, and this — the path-model credit production stacks call
+    * "data-driven"): build the first-order journey chain (start →
+    * touches → purchase/null, truncated at the FIRST purchase), compute
+    * the chain's conversion probability from start by value iteration,
+    * then each channel's REMOVAL EFFECT = how much that probability
+    * drops when the channel's node is deleted (transitions into it
+    * rerouted to null) — credit ∝ removal effect, the counterfactual
+    * the rule-based models can't express.
+    *
+    * Scale + exactness: the corpus-sized work is ONE user-partitioned
+    * rank/lead pass building transitions (the q150 shuffle); the chain
+    * itself is |event-type taxonomy|² ≤ 36 rows, collected under the
+    * Graph-family metadata-bounded sync rule, and solved driver-side:
+    * [[markovRounds]] rounds of v(i) ← (Σ_j p_ij·w_j) div 1e6 in exact
+    * ppm longs (w pins purchase = 1e6, null = 0, removed channel = 0 —
+    * pointwise-monotone, so removal effects are provably ≥ 0), floors
+    * identical to the oracle's unrolled 25-CTE iteration. Shares close
+    * the 1e6 ledger via the q292 remainder rule.
+    */
+  val markovAttribution: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+    val pr = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rk").as("pr"))
+    val kept = ev.join(pr, Seq("user_id"), "left")
+      .filter(col("pr").isNull || col("rk") <= col("pr"))
+    val nx = kept.withColumn("nxt", lead("event_type", 1).over(
+      Window.partitionBy("user_id").orderBy("rk")))
+    val tr = nx.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        coalesce(col("nxt"), lit("null")).as("dst"))
+      .unionByName(nx.filter(col("rk") === 1)
+        .select(lit("start").as("src"), col("event_type").as("dst")))
+    val cnt = tr.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum("c").as("t"))
+    // the metadata-bounded sync: ≤ (taxonomy+1)² transition rows
+    val pm = cnt.join(tot, "src")
+      .select(col("src"), col("dst"), expr("c * 1000000 div t").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def solve(removed: Option[String]): Long = {
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      (1 to markovRounds).foreach { _ =>
+        v = pm.groupBy(_._1).map { case (src, es) =>
+          src -> es.map { case (_, dst, pp) =>
+            pp * (dst match {
+              case "purchase" => 1000000L
+              case "null" => 0L
+              case x if removed.contains(x) => 0L
+              case x => v(x)
+            })
+          }.sum / 1000000L
+        }.withDefaultValue(0L)
+      }
+      v("start")
+    }
+    val vBase = solve(None)
+    val res = Seq("click", "signup", "view").sorted.map { ch =>
+      val vr = solve(Some(ch))
+      (ch, vBase, vr, vBase - vr)
+    }
+    val reTot = res.map(_._4).sum
+    val floors = res.map { case (ch, b, r, re) =>
+      (ch, b, r, re, if (reTot > 0) re * 1000000L / reTot else 0L)
+    }
+    val rem = if (reTot > 0) 1000000L - floors.map(_._5).sum else 0L
+    floors.zipWithIndex.map { case ((ch, b, r, re, f), i) =>
+      (ch, b, r, re, f + (if (i < rem) 1L else 0L))
+    }.toDF("channel", "v_base_ppm", "v_removed_ppm", "re_ppm", "share_ppm")
+      .orderBy("channel")
+  }
+
   /** q150 — first-order Markov transition matrix over each user's
     * time-ordered event-type sequence: counts of src→dst adjacent pairs
     * plus the per-src transition probability, the sequence-model summary
@@ -875,6 +959,7 @@ object Events extends QueryModule {
     "q145_attribution" -> attribution,
     "q292_multi_touch" -> multiTouch,
     "q297_shapley_attribution" -> shapleyAttribution,
+    "q298_markov_attribution" -> markovAttribution,
     "q129_rate_anomaly" -> rateAnomaly,
     "q22_window_tumbling" -> tumbling,
     "q23_window_sliding" -> sliding,
@@ -930,7 +1015,74 @@ object Events extends QueryModule {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q298 oracle: the identical journey truncation, transition ppm, and
+    * value iteration unrolled as [[markovRounds]] generated CTEs (the
+    * q296 pattern — assembled without stripMargin so generated lines
+    * never start with a margin character), then the same removal
+    * effects and remainder-closed shares. */
+  private def duckMarkovSql: String = {
+    val head = """WITH ev AS (SELECT user_id, event_type,
+    epoch_us(ts) AS ts_us, event_id
+  FROM events
+  WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+rk AS (SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      AS rk
+  FROM ev),
+pr AS (SELECT user_id, min(rk) AS pr FROM rk
+  WHERE event_type = 'purchase' GROUP BY 1),
+kept AS (SELECT r.user_id, r.event_type, r.rk
+  FROM rk r LEFT JOIN pr USING (user_id)
+  WHERE pr IS NULL OR r.rk <= pr),
+nx AS (SELECT user_id, event_type, rk,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY rk) AS nxt
+  FROM kept),
+tr AS (SELECT event_type AS src, coalesce(nxt, 'null') AS dst
+  FROM nx WHERE event_type <> 'purchase'
+  UNION ALL SELECT 'start' AS src, event_type AS dst FROM nx WHERE rk = 1),
+cnt AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+tt AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+p AS MATERIALIZED (SELECT cnt.src, cnt.dst,
+    CAST(c * 1000000 // t AS BIGINT) AS p
+  FROM cnt JOIN tt ON cnt.src = tt.src),
+scen(scen) AS (VALUES ('base'), ('click'), ('signup'), ('view')),
+v0 AS MATERIALIZED (SELECT scen, src AS st, CAST(0 AS BIGINT) AS v
+  FROM scen CROSS JOIN (SELECT DISTINCT src FROM p))"""
+    val iters = (1 to markovRounds).map { k =>
+      s"""v$k AS MATERIALIZED (SELECT s.scen, p.src AS st,
+  CAST(sum(p.p * (CASE WHEN p.dst = 'purchase' THEN 1000000
+    WHEN p.dst = 'null' THEN 0
+    WHEN p.dst = s.scen THEN 0
+    ELSE coalesce(w.v, 0) END)) // 1000000 AS BIGINT) AS v
+FROM scen s CROSS JOIN p
+LEFT JOIN v${k - 1} w ON w.scen = s.scen AND w.st = p.dst
+GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val fin = s"""
+vb AS (SELECT v AS v_base_ppm FROM v$markovRounds
+  WHERE scen = 'base' AND st = 'start'),
+vr AS (SELECT scen AS channel, v AS v_removed_ppm FROM v$markovRounds
+  WHERE scen <> 'base' AND st = 'start'),
+re AS MATERIALIZED (SELECT channel, v_base_ppm, v_removed_ppm,
+    v_base_ppm - v_removed_ppm AS re_ppm
+  FROM vr CROSS JOIN vb),
+fl AS MATERIALIZED (SELECT channel, v_base_ppm, v_removed_ppm, re_ppm,
+    CASE WHEN (SELECT sum(re_ppm) FROM re) > 0
+      THEN CAST(re_ppm * 1000000 // (SELECT sum(re_ppm) FROM re)
+        AS BIGINT) ELSE 0 END AS floor_ppm,
+    row_number() OVER (ORDER BY channel) AS rk2
+  FROM re),
+rm AS (SELECT CASE WHEN (SELECT sum(re_ppm) FROM re) > 0
+    THEN 1000000 - sum(floor_ppm) ELSE 0 END AS rem FROM fl)
+SELECT channel, v_base_ppm, v_removed_ppm, re_ppm,
+  CAST(floor_ppm + CASE WHEN rk2 <= rem THEN 1 ELSE 0 END AS BIGINT)
+    AS share_ppm
+FROM fl CROSS JOIN rm ORDER BY channel"""
+    s"$head,\n$iters,$fin"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q298_markov_attribution" -> duckMarkovSql,
     // the identical step chain: strict-after + 7-day window per step,
     // DECIMAL-safe latency sums (HUGEINT here), the same -1/0 sentinels
     "q282_funnel_steps" -> {

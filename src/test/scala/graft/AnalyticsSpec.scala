@@ -570,6 +570,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q298 Markov attribution: planted chain yields hand-computed removal effects; dummy channel at zero") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val rows = Seq(
+      // two view→purchase journeys, one click→purchase, one click→null:
+      // p(start→view)=p(start→click)=0.5, p(view→purchase)=1,
+      // p(click→purchase)=0.5 ⇒ v_base(start)=750000;
+      // removing view ⇒ 250000 (RE 500000), click ⇒ 500000 (RE 250000)
+      (1L, 0L * ns, 1L, "view", 0.0, "{}"),
+      (2L, 100L * ns, 1L, "purchase", 0.0, "{}"),
+      (3L, 0L * ns, 2L, "view", 0.0, "{}"),
+      (4L, 100L * ns, 2L, "purchase", 0.0, "{}"),
+      (5L, 0L * ns, 3L, "click", 0.0, "{}"),
+      (6L, 100L * ns, 3L, "purchase", 0.0, "{}"),
+      (7L, 0L * ns, 4L, "click", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftmkv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q298_markov_attribution")(spark, dir)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList === List(
+      ("click", 750000L, 500000L, 250000L, 333334L),
+      ("signup", 750000L, 750000L, 0L, 0L),
+      ("view", 750000L, 250000L, 500000L, 666666L)), got.mkString(","))
+  }
+
+  test("q298 Markov attribution on the fixture: removal effects non-negative, removed chains never convert more, ledger closes") {
+    val got = q("q298_markov_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.foreach { case (ch, b, vr, re, _) =>
+      assert(vr <= b, s"$ch: removal raised conversion probability")
+      assert(re === b - vr && re >= 0L, ch)
+    }
+    if (got.map(_._4).sum > 0) assert(got.map(_._5).sum === 1000000L)
+  }
+
   test("q283 conformal: query output equals a driver-side split-conformal replica; coverage sits in the 90%-target band") {
     def md5hex(x: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(x.getBytes("UTF-8"))
