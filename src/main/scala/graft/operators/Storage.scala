@@ -1097,7 +1097,7 @@ object Storage extends QueryModule {
     * the commutative sum, so a leaf bucket overflows BIGINT only past
     * ~9.2e9 rows — loud to document, absurd to hit at 256-way bucketing
     * of any table this tree would verify (re-leaf first). */
-  private val merkleP = 1000000007L
+  private[graft] val merkleP = 1000000007L
 
   /** q281 — MERKLE-TREE SNAPSHOT DIFF: the O(log)-localization
     * complement to q71's merge and the row-level full-outer diff the CDC
@@ -1131,12 +1131,12 @@ object Storage extends QueryModule {
   /** The q281/q295 row-digest expression: md5(key:cents) folded to a
     * 60-bit BIGINT mod [[merkleP]], parameterized on the cents column so
     * the maintenance delta can digest old and new values. */
-  private def merkleDg(k: String, c: String): String =
+  private[graft] def merkleDg(k: String, c: String): String =
     s"""CAST(conv(substring(md5(concat_ws(':', CAST($k AS STRING),
        |  CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT) % $merkleP"""
       .stripMargin
 
-  private def merkleKeyed(s: org.apache.spark.sql.SparkSession,
+  private[graft] def merkleKeyed(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderkey").as("key"),
@@ -1146,7 +1146,7 @@ object Storage extends QueryModule {
     * the rank window runs AFTER the 12-cut, the q158 bounded-frame
     * rule. rn ≤ 6 reprice +5%, rn > 6 delete — shared by q281/q295 so
     * the diff and the maintenance see the SAME change set. */
-  private def merkleRanked(keyed: DataFrame): DataFrame = {
+  private[graft] def merkleRanked(keyed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     keyed.select("key")
       .orderBy(md5(col("key").cast("string")), col("key")).limit(12)
@@ -1154,7 +1154,7 @@ object Storage extends QueryModule {
         Window.orderBy(md5(col("key").cast("string")), col("key"))))
   }
 
-  private def merkleLevels(snap: DataFrame): DataFrame = {
+  private[graft] def merkleLevels(snap: DataFrame): DataFrame = {
     val leaf = snap.select((col("key") % merkleLeaves).as("node"),
         expr(merkleDg("key", "cents")).as("dg"))
       .groupBy("node")
@@ -1205,7 +1205,7 @@ object Storage extends QueryModule {
   private val merkleTreeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def merkleTreeDir(s: org.apache.spark.sql.SparkSession,
+  private[graft] def merkleTreeDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     merkleTreeCache.computeIfAbsent(d, _ => {
       val dir = graft.Scratch.dir("graft_merkle_tree")

@@ -1075,8 +1075,109 @@ object StreamingJobs extends QueryModule {
 
   val streamAttribution: Q = (s, d) => streamAttributionRun(s, d)._1
 
+  /** q299 — STREAMING MERKLE MAINTENANCE via foreachBatch: q295's
+    * delta-update run as a CDC consumer — the q281/q295 change set
+    * arrives as 4 ordered delta files (3 keys per micro-batch), and
+    * each batch folds its (new_dg − old_dg, Δrows) contributions into
+    * the stored tree (read current version, broadcast-join the
+    * batch's ≤ 3-leaf delta, write the next version — the q117
+    * foreachBatch-upsert discipline on a 273-row metadata table). The
+    * mod-p digest's additivity is what makes per-batch folding compose:
+    * four partial updates ≡ one batch update ≡ a from-scratch rebuild.
+    * Output joins the ORIGINAL stored tree against the final version —
+    * q295's exact shape — and shares q295's DuckDB oracle verbatim
+    * (the q282/q285 discipline), so the tri-scale hash match proves
+    * stream ≡ incremental ≡ full; StreamingSpec pins ≥ 4 genuine
+    * micro-batches and row-identity against q295 itself.
+    */
+  private[graft] def streamMerkleRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import graft.operators.Storage
+    val root = graft.Scratch.dir("graft_stream_merkle")
+    val src = s"$root/src"
+    val keyed = Storage.merkleKeyed(s, d)
+    val ranked = Storage.merkleRanked(keyed)
+    val changes = keyed.join(broadcast(ranked), Seq("key"))
+      .select(col("key"), col("cents"),
+        when(col("rn") <= 6, expr("cents * 21 div 20")).as("new_cents"),
+        col("rn"))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    (0 until 4).foreach { i =>
+      val part = s"$root/stage_$i"
+      changes.filter(col("rn") > i * 3 && col("rn") <= (i + 1) * 3)
+        .drop("rn").coalesce(1).write.mode("overwrite").parquet(part)
+      val file = hfs.listStatus(new org.apache.hadoop.fs.Path(part))
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"q299: no parquet part for batch $i"))
+      val dst = new org.apache.hadoop.fs.Path(src, f"f$i%02d.parquet")
+      hfs.rename(file.getPath, dst)
+      hfs.setTimes(dst, 1000000L + i * 1000L, -1)
+    }
+    val origDir = Storage.merkleTreeDir(s, d)
+    @volatile var cur = origDir
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var batches = 0L
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val leafDelta = batch
+            .select((col("key") % Storage.merkleLeaves).as("node"),
+              expr(Storage.merkleDg("key", "cents")).as("old_dg"),
+              when(col("new_cents").isNotNull,
+                expr(Storage.merkleDg("key", "new_cents")))
+                .otherwise(lit(0L)).as("new_dg"),
+              when(col("new_cents").isNull, lit(-1L)).otherwise(lit(0L))
+                .as("dn"))
+            .groupBy("node")
+            .agg(sum(col("new_dg") - col("old_dg")).as("ddg"),
+              sum("dn").as("dn"))
+          val midDelta = leafDelta
+            .groupBy(expr(s"node div ${Storage.merkleFanIn}").as("node"))
+            .agg(sum("ddg").as("ddg"), sum("dn").as("dn"))
+          val rootDelta = leafDelta.groupBy(lit(0L).as("node"))
+            .agg(sum("ddg").as("ddg"), sum("dn").as("dn"))
+          val allDelta = leafDelta.withColumn("level", lit(0))
+            .unionByName(midDelta.withColumn("level", lit(1)))
+            .unionByName(rootDelta.withColumn("level", lit(2)))
+          val next = s.read.parquet(cur)
+            .join(broadcast(allDelta), Seq("level", "node"), "left")
+            .select(col("level"), col("node"),
+              pmod(col("digest") + coalesce(col("ddg"), lit(0L)),
+                lit(Storage.merkleP)).as("digest"),
+              (col("n_rows") + coalesce(col("dn"), lit(0L))).as("n_rows"))
+          val nd = s"$root/tree_v${ver.incrementAndGet()}"
+          next.write.mode("overwrite").parquet(nd)
+          cur = nd
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally { batches = q.recentProgress.count(_.numInputRows >= 0); q.stop() }
+    }
+    val fin = s.read.parquet(cur).withColumnsRenamed(
+      Map("digest" -> "digest_new", "n_rows" -> "n_rows_new"))
+    val out = s.read.parquet(origDir).withColumnsRenamed(
+        Map("digest" -> "digest_old", "n_rows" -> "n_rows_old"))
+      .join(fin, Seq("level", "node"))
+      .select(col("level"), col("node"), col("digest_old"),
+        col("n_rows_old"), col("digest_new"), col("n_rows_new"))
+      .withColumn("dirty", col("digest_old") =!= col("digest_new") ||
+        col("n_rows_old") =!= col("n_rows_new"))
+      .orderBy(col("level").desc, col("node"))
+    (out, batches)
+  }
+
+  val streamMerkle: Q = (s, d) => streamMerkleRun(s, d)._1
+
   def queries: Map[String, Q] = Map(
     "q294_stream_attribution" -> streamAttribution,
+    "q299_stream_merkle" -> streamMerkle,
     "q285_stream_funnel" -> streamFunnel,
     "q275_stream_scd2_enrich" -> streamScd2Enrich,
     "q212_stream_ohlc" -> streamOhlc,
@@ -1100,6 +1201,8 @@ object StreamingJobs extends QueryModule {
       graft.operators.Events.oracles("q282_funnel_steps"),
     "q294_stream_attribution" ->
       graft.operators.Events.oracles("q292_multi_touch"),
+    "q299_stream_merkle" ->
+      graft.operators.Storage.oracles("q295_merkle_maintain"),
     // the plain batch temporal join: q109's version chain + the identical
     // [valid_from, valid_to) residual — row-local verdicts make the
     // stream/batch hash match the parity proof

@@ -341,6 +341,20 @@ class StreamingSpec extends SparkSpec {
       r(3).asInstanceOf[Long] > 0L))
   }
 
+  test("q299 streaming Merkle maintenance ≡ q295 batch incremental update across genuine micro-batches") {
+    // the mod-p digest's additivity: four partial CDC folds must
+    // compose to exactly the one-shot delta update
+    val (out, batches) =
+      streaming.StreamingJobs.streamMerkleRun(spark, sf)
+    val got = out.collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q295_merkle_maintain")(spark, sf)
+      .collect().map(_.toSeq).toList
+    assert(got === want, "stream ≡ incremental identity broke")
+    assert(batches >= 4L, s"only $batches micro-batches — folding untested")
+    // non-vacuous: the change set genuinely dirtied the tree
+    assert(got.count(_.last.asInstanceOf[Boolean]) > 2)
+  }
+
   test("q285 streaming funnel: epoch-start (t=0) events advance the state machine like the batch operator") {
     // advisor r12: a 0L 'unset' sentinel would silently treat a t=0
     // view as never-seen, diverging from batch; the planted q282
