@@ -1421,6 +1421,66 @@ object Stats extends QueryModule {
     * (n+1) div 2 under the deterministic (slope, m1, m2) order, and the
     * OLS slope is the closed-form integer expression on the same grid.
     */
+  /** q300 smoothing constants in ppm (α = 0.3 level, β = 0.2 trend) and
+    * the forecast horizon. */
+  private[graft] val holtAlpha = 300000L
+  private[graft] val holtBeta = 200000L
+  private[graft] val holtHorizon = 3
+
+  /** q300 — HOLT LINEAR-TREND FORECAST (Holt 1957; double exponential
+    * smoothing — the one-line production forecaster next to q277's
+    * robust slope and q129's anomaly z-scores): level and trend smooth
+    * recursively over the monthly revenue series, each month is scored
+    * against its one-step-ahead forecast, and the tail extrapolates
+    * [[holtHorizon]] months out. Additive SEASONAL Holt-Winters is the
+    * next refinement; the fixture series is too short for a stable
+    * 12-month seasonal fit, so the linear-trend form is shipped, stated
+    * openly.
+    *
+    * Exactness + scale: the corpus-sized work is ONE month-keyed hash
+    * aggregate (q277's rollup); the series itself is calendar-bounded
+    * (≤ a few hundred rows for decades of data), so the inherently
+    * SEQUENTIAL recurrence runs driver-side under the q298
+    * metadata-sync rule, in integer cents with ppm smoothing weights —
+    * s ← (α·x + (1e6−α)·(s+b)) / 1e6, b ← (β·Δs + (1e6−β)·b) / 1e6,
+    * both engines truncating toward zero (JVM Long division ≡ DuckDB
+    * `//`, verified on negative trends). The oracle replays the same
+    * recurrence as a linear recursive CTE over the row-indexed series
+    * (gap-safe: steps follow the dense row index, not the calendar).
+    */
+  val holtForecast: Q = (s, d) => {
+    import s.implicits._
+    val raw = Tables.orders(s, d)
+      .select(((year(to_date(col("o_orderdate"))) * 12) +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("m").agg(sum("cents").as("c"))
+    val monthly = raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
+      .select((col("m") - col("m0")).as("m"), col("c"))
+    val series = monthly.orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(series.length >= 2, "q300: need at least two months")
+    var sL = series(0)._2
+    var bL = series(1)._2 - series(0)._2
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    rows += ((series(0)._1, series(0)._2, sL, bL, series(0)._2, 0L))
+    series.drop(1).foreach { case (m, c) =>
+      val f = sL + bL
+      val s1 = (holtAlpha * c + (1000000L - holtAlpha) * f) / 1000000L
+      val b1 = (holtBeta * (s1 - sL) + (1000000L - holtBeta) * bL) / 1000000L
+      sL = s1; bL = b1
+      rows += ((m, c, sL, bL, f, (c - f).abs))
+    }
+    val mx = series.last._1
+    (1 to holtHorizon).foreach { h =>
+      rows += ((mx + h, -1L, sL, bL, sL + h * bL, 0L))
+    }
+    rows.toSeq.toDF("m", "actual_cents", "level_cents", "trend_cents",
+      "forecast_cents", "abs_err_cents").orderBy("m")
+  }
+
   val theilSen: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val raw = Tables.orders(s, d)
@@ -1619,6 +1679,7 @@ object Stats extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q288_concentration" -> concentration,
     "q283_conformal_coverage" -> conformalCoverage,
+    "q300_holt_forecast" -> holtForecast,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
     "q195_cusum_changepoint" -> cusumChangepoint,
@@ -1720,6 +1781,45 @@ object Stats extends QueryModule {
     // the identical fold buckets, integer-mean predictor, value-histogram
     // order statistic (10·cum >= 9·(n+1), the exact ceil), MaxValue
     // infinite-interval sentinel, and exact ppm coverage
+    // the identical monthly rollup, the same integer recurrence replayed
+    // as a linear recursive CTE over the dense row index, the same
+    // toward-zero division on negative trends
+    "q300_holt_forecast" ->
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (SELECT m - (SELECT min(m) FROM raw) AS m,
+         |    c, row_number() OVER (ORDER BY m) - 1 AS t FROM raw),
+         |it AS (
+         |  SELECT CAST(0 AS BIGINT) AS t,
+         |    (SELECT c FROM monthly WHERE t = 0) AS s,
+         |    (SELECT c FROM monthly WHERE t = 1)
+         |      - (SELECT c FROM monthly WHERE t = 0) AS b,
+         |    (SELECT c FROM monthly WHERE t = 0) AS f
+         |  UNION ALL
+         |  SELECT it.t + 1,
+         |    ($holtAlpha * mo.c
+         |      + ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000,
+         |    ($holtBeta * ((($holtAlpha * mo.c
+         |        + ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000)
+         |      - it.s) + ${1000000L - holtBeta} * it.b) // 1000000,
+         |    it.s + it.b
+         |  FROM it JOIN monthly mo ON mo.t = it.t + 1)
+         |SELECT mo.m, mo.c AS actual_cents, it.s AS level_cents,
+         |  it.b AS trend_cents, it.f AS forecast_cents,
+         |  abs(mo.c - it.f) AS abs_err_cents
+         |FROM it JOIN monthly mo ON mo.t = it.t
+         |UNION ALL
+         |SELECT mx.mm + h.h, CAST(-1 AS BIGINT), l.s, l.b,
+         |  l.s + h.h * l.b, CAST(0 AS BIGINT)
+         |FROM (SELECT unnest(range(1, ${holtHorizon + 1})) AS h) h
+         |CROSS JOIN (SELECT s, b FROM it
+         |  WHERE t = (SELECT max(t) FROM it)) l
+         |CROSS JOIN (SELECT max(m) AS mm FROM monthly) mx
+         |ORDER BY 1""".stripMargin,
     "q283_conformal_coverage" -> {
       val bk = graft.functions.Hashing.duckMd5Bucket("o_orderkey", 100)
       s"""WITH base AS (SELECT o_orderkey AS key, c.c_mktsegment AS seg,

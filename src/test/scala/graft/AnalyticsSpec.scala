@@ -609,6 +609,29 @@ class AnalyticsSpec extends SparkSpec {
     if (got.map(_._4).sum > 0) assert(got.map(_._5).sum === 1000000L)
   }
 
+  test("q300 Holt forecast: a planted linear ramp is tracked exactly — zero one-step error, horizon extrapolates the slope") {
+    import spark.implicits._
+    // cents = 100 + 10t: s0=100, b0=10, and the recurrence reproduces
+    // the ramp with zero error at every step (hand-checkable: f_t = c_t
+    // keeps s_t = c_t and b_t = 10 forever)
+    val orders = (0 until 6).map { t =>
+      (t.toLong, f"2020-${t + 1}%02d-01", (100L + 10 * t) / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftholt").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q300_holt_forecast")(spark, dir)
+      .orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val months = (0 until 6).map { t =>
+      (t.toLong, 100L + 10 * t, 100L + 10 * t, 10L, 100L + 10 * t, 0L)
+    }
+    val horizon = (1 to 3).map { h =>
+      (5L + h, -1L, 150L, 10L, 150L + 10 * h, 0L)
+    }
+    assert(got.toList === (months ++ horizon).toList, got.mkString(","))
+  }
+
   test("q283 conformal: query output equals a driver-side split-conformal replica; coverage sits in the 90%-target band") {
     def md5hex(x: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(x.getBytes("UTF-8"))
