@@ -1116,8 +1116,14 @@ object StreamingJobs extends QueryModule {
       hfs.setTimes(dst, 1000000L + i * 1000L, -1)
     }
     val origDir = Storage.merkleTreeDir(s, d)
-    @volatile var cur = origDir
-    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    // exactly-once under batch retry: the INPUT version is derived from
+    // batchId (batch n reads tree_v(n-1), writes tree_v(n) overwrite),
+    // so a re-delivered batch re-reads the same predecessor and
+    // re-writes the same successor instead of double-applying its delta
+    // to an already-advanced pointer
+    val maxBid = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def treeV(bid: Long): String =
+      if (bid < 0) origDir else s"$root/tree_v$bid"
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -1125,7 +1131,7 @@ object StreamingJobs extends QueryModule {
     graft.withShufflePartitions(s, statePartitions) {
       val q = stream.writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val leafDelta = batch
             .select((col("key") % Storage.merkleLeaves).as("node"),
               expr(Storage.merkleDg("key", "cents")).as("old_dg"),
@@ -1145,22 +1151,21 @@ object StreamingJobs extends QueryModule {
           val allDelta = leafDelta.withColumn("level", lit(0))
             .unionByName(midDelta.withColumn("level", lit(1)))
             .unionByName(rootDelta.withColumn("level", lit(2)))
-          val next = s.read.parquet(cur)
+          val next = s.read.parquet(treeV(bid - 1))
             .join(broadcast(allDelta), Seq("level", "node"), "left")
             .select(col("level"), col("node"),
               pmod(col("digest") + coalesce(col("ddg"), lit(0L)),
                 lit(Storage.merkleP)).as("digest"),
               (col("n_rows") + coalesce(col("dn"), lit(0L))).as("n_rows"))
-          val nd = s"$root/tree_v${ver.incrementAndGet()}"
-          next.write.mode("overwrite").parquet(nd)
-          cur = nd
+          next.write.mode("overwrite").parquet(treeV(bid))
+          maxBid.getAndUpdate(m => math.max(m, bid))
           ()
         }
         .start()
       try q.awaitTermination()
       finally { batches = q.recentProgress.count(_.numInputRows >= 0); q.stop() }
     }
-    val fin = s.read.parquet(cur).withColumnsRenamed(
+    val fin = s.read.parquet(treeV(maxBid.get())).withColumnsRenamed(
       Map("digest" -> "digest_new", "n_rows" -> "n_rows_new"))
     val out = s.read.parquet(origDir).withColumnsRenamed(
         Map("digest" -> "digest_old", "n_rows" -> "n_rows_old"))
