@@ -719,7 +719,56 @@ object Relational extends QueryModule {
       .orderBy("grp_id", "region", "nation")
   }
 
+  /** q302 minimum pair support: rules need ≥ 3 co-baskets — the noise
+    * floor below which confidence/lift are single-event artifacts. */
+  private[graft] val ruleMinCo = 3L
+
+  /** q302 — ASSOCIATION RULES (Agrawal–Srikant 1994's support/
+    * confidence plus lift — market-basket mining's one-hop case, the
+    * "customers who bought X also bought Y" table): item pairs scored
+    * by support (co-baskets / baskets), both directed confidences
+    * (co / item baskets), and lift (observed co-rate over the
+    * independence expectation), top-20 by lift. The co-purchase graph
+    * family (q138/q148/q255/q276) consumes these same pairs
+    * structurally; this is the probabilistic read.
+    *
+    * Scale shape: one DISTINCT (basket, item) projection, then the
+    * basket-keyed self-join with the q148 shuffle_hash discipline
+    * (both sides corpus-sized — broadcast is impossible at scale, and
+    * per-basket fan-out is bounded by basket size², the classic
+    * market-basket bound), a pair hash aggregate with the
+    * [[ruleMinCo]] support cut, and two broadcast joins of the
+    * ITEM-count table back onto the surviving pairs. All integer ppm;
+    * lift's numerator rides DECIMAL(38,0) (co · n_baskets · 1e6 passes
+    * 2⁶³ once baskets reach ~10⁹ — HUGEINT in the oracle either way).
+    */
+  val assocRules: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nb = items.agg(countDistinct("o").as("nb"))
+    val cnt = items.groupBy("p").agg(count(lit(1)).as("c"))
+    val co = items.alias("a")
+      .join(items.alias("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= ruleMinCo)
+    co.join(broadcast(cnt.select(col("p").as("p1"), col("c").as("c1"))), "p1")
+      .join(broadcast(cnt.select(col("p").as("p2"), col("c").as("c2"))), "p2")
+      .crossJoin(broadcast(nb))
+      .select(col("p1"), col("p2"), col("co"), col("c1"), col("c2"),
+        expr("co * 1000000 div nb").as("support_ppm"),
+        expr("co * 1000000 div c1").as("conf_1to2_ppm"),
+        expr("co * 1000000 div c2").as("conf_2to1_ppm"),
+        expr("""CAST(CAST(co AS DECIMAL(38,0)) * nb * 1000000
+          div (c1 * c2) AS BIGINT)""").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q302_assoc_rules" -> assocRules,
     "q284_revenue_cube" -> revenueCube,
     "q193_skyline" -> skyline,
     "q109_scd2" -> scd2,
@@ -775,6 +824,25 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical distinct projection, support cut, ppm arithmetic with
+    // the lift numerator in HUGEINT, and (lift DESC, p1, p2) top-20
+    "q302_assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |nb AS (SELECT count(DISTINCT o) AS nb FROM items),
+         |cnt AS (SELECT p, count(*) AS c FROM items GROUP BY 1),
+         |co AS (SELECT a.p AS p1, b.p AS p2, count(*) AS co
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $ruleMinCo)
+         |SELECT p1, p2, co, x.c AS c1, y.c AS c2,
+         |  CAST(co * 1000000 // nb AS BIGINT) AS support_ppm,
+         |  CAST(co * 1000000 // x.c AS BIGINT) AS conf_1to2_ppm,
+         |  CAST(co * 1000000 // y.c AS BIGINT) AS conf_2to1_ppm,
+         |  CAST(CAST(co AS HUGEINT) * nb * 1000000 // (x.c * y.c)
+         |    AS BIGINT) AS lift_ppm
+         |FROM co JOIN cnt x ON co.p1 = x.p JOIN cnt y ON co.p2 = y.p
+         |CROSS JOIN nb
+         |ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""".stripMargin,
     // the identical CUBE: DuckDB's GROUPING(a, b) emits the same
     // first-column-high-bit vector as Spark's grouping_id; exact cents
     "q284_revenue_cube" ->

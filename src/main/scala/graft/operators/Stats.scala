@@ -1421,6 +1421,59 @@ object Stats extends QueryModule {
     * (n+1) div 2 under the deterministic (slope, m1, m2) order, and the
     * OLS slope is the closed-form integer expression on the same grid.
     */
+  /** q301 — RFM SEGMENTATION (Hughes 1994; the CRM workhorse behind
+    * every "champions / at-risk / hibernating" customer dashboard):
+    * per customer, Recency (days from last order to the corpus' last
+    * date), Frequency (order count), Monetary (exact cents); each
+    * dimension quintile-scored 1–5 (recency INVERTED — fresher = 5),
+    * then the canonical segment mapping over the score cell. Output is
+    * the ≤125-row (r, f, m) cell table with counts and exact per-cell
+    * means — the marketing-facing rollup, not a per-customer dump.
+    *
+    * Determinism + scale: quintiles are ntile(5) over (metric,
+    * custkey) — deterministic unique order key, identical dealing in
+    * both engines; the window runs on the CUSTOMER-level frame (one
+    * row per customer, the q54/q185 documented trade — a corpus-scale
+    * customer base would swap in q207's two-phase rank at the seam, or
+    * histogram cutpoints per q209). Day arithmetic is exact
+    * date_diff; means are exact `div`.
+    */
+  val rfmSegments: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("od").as("last_od"), count(lit(1)).as("f"),
+        sum("cents").as("m"))
+    val scored = per
+      .crossJoin(broadcast(per.agg(max("last_od").as("mx"))))
+      .select(col("o_custkey"),
+        datediff(col("mx"), col("last_od")).cast("long").as("r_days"),
+        col("f"), col("m"))
+      .withColumn("r_score", (lit(6) - ntile(5).over(
+        Window.orderBy(col("r_days"), col("o_custkey")))).cast("int"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f"), col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m"), col("o_custkey"))))
+    scored
+      .withColumn("segment", expr("""CASE
+        WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+          THEN 'champions'
+        WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        ELSE 'core' END"""))
+      .groupBy("r_score", "f_score", "m_score", "segment")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(r_days) div count(1)").as("avg_r_days"),
+        expr("sum(f) div count(1)").as("avg_orders"),
+        expr("sum(m) div count(1)").as("avg_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** q300 smoothing constants in ppm (α = 0.3 level, β = 0.2 trend) and
     * the forecast horizon. */
   private[graft] val holtAlpha = 300000L
@@ -1680,6 +1733,7 @@ object Stats extends QueryModule {
     "q288_concentration" -> concentration,
     "q283_conformal_coverage" -> conformalCoverage,
     "q300_holt_forecast" -> holtForecast,
+    "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
     "q195_cusum_changepoint" -> cusumChangepoint,
@@ -1781,6 +1835,39 @@ object Stats extends QueryModule {
     // the identical fold buckets, integer-mean predictor, value-histogram
     // order statistic (10·cum >= 9·(n+1), the exact ceil), MaxValue
     // infinite-interval sentinel, and exact ppm coverage
+    // identical quintile dealing (ntile over (metric, custkey)), the
+    // same inverted recency, the same canonical segment CASE
+    "q301_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_od,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS m
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT o_custkey,
+        |    CAST(date_diff('day', last_od,
+        |      (SELECT max(last_od) FROM per)) AS BIGINT) AS r_days,
+        |    f, m FROM per),
+        |scored AS MATERIALIZED (SELECT o_custkey, r_days, f, m,
+        |    CAST(6 - ntile(5) OVER (ORDER BY r_days, o_custkey) AS INT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m, o_custkey) AS INT) AS m_score
+        |  FROM sc)
+        |SELECT r_score, f_score, m_score,
+        |  CASE
+        |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champions'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |    ELSE 'core' END AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(r_days) AS BIGINT) // count(*) AS avg_r_days,
+        |  CAST(sum(f) AS BIGINT) // count(*) AS avg_orders,
+        |  CAST(sum(m) AS BIGINT) // count(*) AS avg_cents
+        |FROM scored GROUP BY 1, 2, 3, 4
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     // the identical monthly rollup, the same integer recurrence replayed
     // as a linear recursive CTE over the dense row index, the same
     // toward-zero division on negative trends

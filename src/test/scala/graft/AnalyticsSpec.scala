@@ -632,6 +632,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toList === (months ++ horizon).toList, got.mkString(","))
   }
 
+  test("q301 RFM: cells partition the customer base, quintiles deal evenly, and the segment mapping is consistent") {
+    val rows = q("q301_rfm_segments").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._5).sum === nCust, "cells must partition customers")
+    // ntile deals |bucket sizes| within 1 of each other per dimension
+    Seq(rows.groupBy(_._1), rows.groupBy(_._2), rows.groupBy(_._3))
+      .foreach { dim =>
+        val sizes = dim.view.mapValues(_.map(_._5).sum).values.toSeq
+        assert(sizes.max - sizes.min <= 1, sizes.toString)
+        assert(dim.keySet.subsetOf((1 to 5).toSet))
+      }
+    // the mapping is a pure function of the scores
+    rows.foreach { case (r, f, m, seg, _) =>
+      val want =
+        if (r >= 4 && f >= 4 && m >= 4) "champions"
+        else if (r >= 4 && f <= 2) "new"
+        else if (r <= 2 && f >= 4) "at_risk_loyal"
+        else if (r <= 2 && f <= 2) "hibernating"
+        else "core"
+      assert(seg === want, s"($r,$f,$m)")
+    }
+  }
+
+  test("q302 association rules: planted baskets yield hand-computed support, confidence, and lift") {
+    import spark.implicits._
+    // baskets: {1,2}×3, {1}, {2}, {3} — pair (1,2): co 3, support 3/6,
+    // conf 3/4 both ways, lift 3·6/(4·4) = 1.125
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (5L, 2L), (6L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graftrules").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q302_assoc_rules")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(got.toList === List(
+      (1L, 2L, 3L, 4L, 4L, 500000L, 750000L, 750000L, 1125000L)),
+      got.mkString(","))
+  }
+
   test("q283 conformal: query output equals a driver-side split-conformal replica; coverage sits in the 90%-target band") {
     def md5hex(x: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(x.getBytes("UTF-8"))
