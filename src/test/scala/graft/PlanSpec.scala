@@ -473,6 +473,23 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 3, s"${bnlj.size} nested loops\n$p")
   }
 
+  test("q301 RFM: customer-level windows only — no join back to the order stream") {
+    val p = plan("q301_rfm_segments")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is the 1-row max-date broadcast cross
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+  }
+
+  test("q302 association rules: the basket self-join is the pinned shuffle-hash exchange; item counts broadcast back") {
+    val p = plan("q302_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p) // 1-row nb
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+  }
+
   test("q296 domain reweighting reads the STAGED ce leaf — no token explode in the plan; only source-sized broadcast crosses") {
     val p = plan("q296_domain_reweight")
     // the corpus-sized scoring pass is the staged q293 leaf, not lineage

@@ -849,4 +849,40 @@ class PropertySpec extends SparkSpec {
     assert(got.toList === expected.toList,
       s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
   }
+
+  test("q291 exactness law: the gaps-and-islands run length equals a brute-force token LCS on random binary-alphabet corpora") {
+    // the suffix-array-free claim, checked against the O(n·m) DP oracle:
+    // a maximal run of R consecutive seed hits certifies exactly R+7
+    // shared tokens — on a 2-token alphabet long accidental overlaps are
+    // common, exercising runs well past the seed
+    def lcs(x: IndexedSeq[String], y: IndexedSeq[String]): Int = {
+      val dp = Array.ofDim[Int](x.length + 1, y.length + 1)
+      var best = 0
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        if (x(i - 1) == y(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val tokGen = Gen.listOfN(25, Gen.oneOf("a", "b"))
+    val corpusGen = for {
+      bench <- tokGen
+      d10 <- tokGen; d11 <- tokGen; d12 <- tokGen
+    } yield (bench, List(d10, d11, d12))
+    check(Prop.forAll(corpusGen) { case (bench, corpus) =>
+      val docs = ((5L, bench) :: corpus.zipWithIndex.map {
+        case (t, i) => (10L + i, t)
+      }).map { case (id, t) => (id, t.mkString(" "), "en", "s", 50L) }
+      val dir = java.nio.file.Files.createTempDirectory("graftlcsp").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q291_exact_substring")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      corpus.zipWithIndex.forall { case (t, i) =>
+        val l = lcs(t.toIndexedSeq, bench.toIndexedSeq)
+        got(10L + i) == (if (l >= 8) l.toLong else 0L)
+      }
+    }, "q291 run length ≡ brute-force LCS (≥ seed)")
+  }
 }
