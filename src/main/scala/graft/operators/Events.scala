@@ -367,10 +367,17 @@ object Events extends QueryModule {
           + (col("n_signup") > 0).cast("long") * 4).as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
     val coalitions = s.range(0, 8).select(col("id").as("s_mask"))
-    val v = coalitions.join(broadcast(masks),
+    val vLineage = coalitions.join(broadcast(masks),
         (col("mask").bitwiseAND(col("s_mask")) === col("mask"))
           && col("mask") =!= 0, "left")
       .groupBy("s_mask").agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+    // LOCALIZED, not shared lineage: the 8-row coalition table feeds
+    // four consumers (both phi joins, solo, vFull) — each would
+    // re-derive the corpus-sized convTouches window pass if left as a
+    // plan subtree (the q293 lesson, caught in review); 8 rows is the
+    // q298 metadata-bounded sync class
+    val v = s.createDataFrame(
+      java.util.Arrays.asList(vLineage.collect(): _*), vLineage.schema)
     val terms = Seq(
       ("view", 1L, 0L, 2L), ("view", 1L, 2L, 1L),
       ("view", 1L, 4L, 1L), ("view", 1L, 6L, 2L),

@@ -1513,9 +1513,12 @@ object Stats extends QueryModule {
       .select((col("m") - col("m0")).as("m"), col("c"))
     val series = monthly.orderBy("m").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    require(series.length >= 2, "q300: need at least two months")
+    require(series.nonEmpty, "q300: empty orders table")
     var sL = series(0)._2
-    var bL = series(1)._2 - series(0)._2
+    // one-month degenerate series: flat level, zero trend — matches the
+    // oracle's coalesce on the missing t=1 row rather than diverging
+    // into an engine error vs oracle rows
+    var bL = if (series.length >= 2) series(1)._2 - series(0)._2 else 0L
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, Long, Long)]
     rows += ((series(0)._1, series(0)._2, sL, bL, series(0)._2, 0L))
@@ -1883,8 +1886,8 @@ object Stats extends QueryModule {
          |it AS (
          |  SELECT CAST(0 AS BIGINT) AS t,
          |    (SELECT c FROM monthly WHERE t = 0) AS s,
-         |    (SELECT c FROM monthly WHERE t = 1)
-         |      - (SELECT c FROM monthly WHERE t = 0) AS b,
+         |    coalesce((SELECT c FROM monthly WHERE t = 1)
+         |      - (SELECT c FROM monthly WHERE t = 0), 0) AS b,
          |    (SELECT c FROM monthly WHERE t = 0) AS f
          |  UNION ALL
          |  SELECT it.t + 1,

@@ -1182,10 +1182,9 @@ object Storage extends QueryModule {
       .select(col("key"),
         when(col("is_r"), expr("cents * 21 div 20"))
           .otherwise(col("cents")).as("cents"))
-    def levels(snap: DataFrame): DataFrame = merkleLevels(snap)
-    val a = levels(snapA).withColumnsRenamed(
+    val a = merkleLevels(snapA).withColumnsRenamed(
       Map("digest" -> "digest_a", "n_rows" -> "n_rows_a"))
-    val b = levels(snapB).withColumnsRenamed(
+    val b = merkleLevels(snapB).withColumnsRenamed(
       Map("digest" -> "digest_b", "n_rows" -> "n_rows_b"))
     a.join(b, Seq("level", "node"), "full_outer")
       .select(col("level"), col("node"),
@@ -1230,13 +1229,13 @@ object Storage extends QueryModule {
     * StorageSpec additionally pins q295's dirty rows ≡ q281's mismatch
     * worklist node for node.
     */
-  val merkleMaintain: Q = (s, d) => {
-    val keyed = merkleKeyed(s, d)
-    val ranked = merkleRanked(keyed)
-    val tree = s.read.parquet(merkleTreeDir(s, d))
-    val delta = keyed.join(broadcast(ranked), Seq("key"))
-      .select(col("key"), col("cents"),
-        when(col("rn") <= 6, expr("cents * 21 div 20")).as("new_cents"))
+  /** The three-level (level, node, ddg, dn) delta fold over a change
+    * batch of (key, cents, new_cents | NULL = delete) rows — the ONE
+    * implementation of the mod-p Merkle update algebra, shared by q295's
+    * one-shot maintenance and q299's per-micro-batch streaming folds (a
+    * divergence here would silently break the stream ≡ incremental
+    * identity StreamingSpec pins). */
+  private[graft] def merkleDeltaLevels(delta: DataFrame): DataFrame = {
     val leafDelta = delta
       .select((col("key") % merkleLeaves).as("node"),
         expr(merkleDg("key", "cents")).as("old_dg"),
@@ -1250,9 +1249,19 @@ object Storage extends QueryModule {
       .agg(sum("ddg").as("ddg"), sum("dn").as("dn"))
     val rootDelta = leafDelta.groupBy(lit(0L).as("node"))
       .agg(sum("ddg").as("ddg"), sum("dn").as("dn"))
-    val allDelta = leafDelta.withColumn("level", lit(0))
+    leafDelta.withColumn("level", lit(0))
       .unionByName(midDelta.withColumn("level", lit(1)))
       .unionByName(rootDelta.withColumn("level", lit(2)))
+  }
+
+  val merkleMaintain: Q = (s, d) => {
+    val keyed = merkleKeyed(s, d)
+    val ranked = merkleRanked(keyed)
+    val tree = s.read.parquet(merkleTreeDir(s, d))
+    val delta = keyed.join(broadcast(ranked), Seq("key"))
+      .select(col("key"), col("cents"),
+        when(col("rn") <= 6, expr("cents * 21 div 20")).as("new_cents"))
+    val allDelta = merkleDeltaLevels(delta)
     tree.join(broadcast(allDelta), Seq("level", "node"), "left")
       .select(col("level"), col("node"),
         col("digest").as("digest_old"), col("n_rows").as("n_rows_old"),

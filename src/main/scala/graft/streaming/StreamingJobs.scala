@@ -854,8 +854,19 @@ object StreamingJobs extends QueryModule {
     * shared by q285/q294 (the source processes oldest-first, making
     * arrival order = event-time order, the per-key in-order contract
     * both state machines document). Columns: (event_id, user_id,
-    * event_type, t = unix_micros(ts)). Returns the src dir. */
-  private def stageEventRanges(s: SparkSession, d: String,
+    * event_type, t = unix_micros(ts)). Memoized per input dir per JVM
+    * (the Scratch memo contract): the staged files are read-only source
+    * input and each streaming query keeps its OWN checkpoint dir, so
+    * q285/q294 sharing one staging is safe and saves a full events scan
+    * + 8 writes per additional streaming query per run. */
+  private val eventRangesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageEventRanges(s: SparkSession, d: String): String =
+    eventRangesCache.computeIfAbsent(d, _ =>
+      stageEventRangesInto(s, d, graft.Scratch.dir("graft_stream_src")))
+
+  private def stageEventRangesInto(s: SparkSession, d: String,
       root: String): String = {
     val src = s"$root/src"
     val ev = Tables.events(s, d)
@@ -890,7 +901,7 @@ object StreamingJobs extends QueryModule {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val win = graft.operators.Events.funnelWindowUs
     val root = graft.Scratch.dir("graft_stream_funnel")
-    val src = stageEventRanges(s, d, root)
+    val src = stageEventRanges(s, d)
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
@@ -986,7 +997,7 @@ object StreamingJobs extends QueryModule {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val win = 7L * 86400L * 1000000L
     val root = graft.Scratch.dir("graft_stream_attr")
-    val src = stageEventRanges(s, d, root)
+    val src = stageEventRanges(s, d)
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
@@ -1042,6 +1053,10 @@ object StreamingJobs extends QueryModule {
                 }
               }
             } else if (tpe == "view" || tpe == "click" || tpe == "signup")
+              // %020d matches the batch lpad(...,20,'0') ONLY for t ≥ 0
+              // (epoch-micros are nonnegative by the events fixture
+              // contract; a pre-epoch ts would also break the batch
+              // operator's own lexicographic key the same way)
               touches = (f"$t%020d" + ":" + eid + ":" + tpe) :: touches
             // evict touches no future event (in-order ⇒ ts ≥ t) can see
             touches = touches.filter(_.substring(0, 20).toLong >= t - win)
@@ -1132,25 +1147,10 @@ object StreamingJobs extends QueryModule {
       val q = stream.writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val leafDelta = batch
-            .select((col("key") % Storage.merkleLeaves).as("node"),
-              expr(Storage.merkleDg("key", "cents")).as("old_dg"),
-              when(col("new_cents").isNotNull,
-                expr(Storage.merkleDg("key", "new_cents")))
-                .otherwise(lit(0L)).as("new_dg"),
-              when(col("new_cents").isNull, lit(-1L)).otherwise(lit(0L))
-                .as("dn"))
-            .groupBy("node")
-            .agg(sum(col("new_dg") - col("old_dg")).as("ddg"),
-              sum("dn").as("dn"))
-          val midDelta = leafDelta
-            .groupBy(expr(s"node div ${Storage.merkleFanIn}").as("node"))
-            .agg(sum("ddg").as("ddg"), sum("dn").as("dn"))
-          val rootDelta = leafDelta.groupBy(lit(0L).as("node"))
-            .agg(sum("ddg").as("ddg"), sum("dn").as("dn"))
-          val allDelta = leafDelta.withColumn("level", lit(0))
-            .unionByName(midDelta.withColumn("level", lit(1)))
-            .unionByName(rootDelta.withColumn("level", lit(2)))
+          // the ONE shared delta algebra (Storage.merkleDeltaLevels) —
+          // a local copy here would let the two folds drift apart and
+          // silently break the stream ≡ incremental identity
+          val allDelta = Storage.merkleDeltaLevels(batch)
           val next = s.read.parquet(treeV(bid - 1))
             .join(broadcast(allDelta), Seq("level", "node"), "left")
             .select(col("level"), col("node"),

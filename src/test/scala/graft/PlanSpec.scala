@@ -473,6 +473,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 3, s"${bnlj.size} nested loops\n$p")
   }
 
+  test("q297 Shapley: the corpus window pass runs ONCE — the coalition table is localized, not re-derived per consumer") {
+    val p = plan("q297_shapley_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    // the localized 8-row v table removes the corpus window pass from
+    // the final plan entirely (it ran once, during the bounded collect);
+    // the single surviving window is the 3-row remainder rank
+    assert(count(p, "windowspecdefinition") === 1, p)
+    assert(!p.contains("n_view") && !p.contains("events"), p)
+  }
+
   test("q301 RFM: customer-level windows only — no join back to the order stream") {
     val p = plan("q301_rfm_segments")
     assert(!p.contains("CartesianProduct"), p)
