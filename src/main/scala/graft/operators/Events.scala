@@ -270,6 +270,11 @@ object Events extends QueryModule {
       col("event_type"), unix_micros(col("ts")).as("ts_us"))
     val w = Window.partitionBy("user_id").orderBy("ts_us")
       .rangeBetween(-sevenDaysUs, -1L)
+    // Same-microsecond ties order by the UNPADDED event-id STRING
+    // ("10" < "9") — a deliberate shared convention, not a bug: q294's
+    // stream key (StreamingJobs f"$t%020d:$eid:$tpe") builds the
+    // IDENTICAL string, so batch ≡ stream holds exactly; "fixing" the
+    // ordering on one side only would break that proven parity.
     ev.withColumn("tk",
         when(col("event_type").isin("view", "click", "signup"),
           concat_ws(":", lpad(col("ts_us").cast("string"), 20, "0"),

@@ -484,7 +484,10 @@ object Pipeline extends QueryModule {
     * pass staged once per input dir per JVM and shared by q293 (three
     * consumers: weights, quotas, selection — PlanSpec caught 3 copies of
     * the corpus-sized scoring subtree before staging, the q286 lesson)
-    * and q296 (domain losses). */
+    * and q296 (domain losses). Keyed on the input dir path under the
+    * [[graft.Scratch]] staging-memo contract (fixtures immutable per
+    * JVM; tiny key cardinality) — a regenerated fixture at the same
+    * path requires a JVM restart, as every *Cache in the repo does. */
   private val ceScoredCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

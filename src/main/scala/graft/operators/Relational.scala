@@ -739,8 +739,10 @@ object Relational extends QueryModule {
     * market-basket bound), a pair hash aggregate with the
     * [[ruleMinCo]] support cut, and two broadcast joins of the
     * ITEM-count table back onto the surviving pairs. All integer ppm;
-    * lift's numerator rides DECIMAL(38,0) (co · n_baskets · 1e6 passes
-    * 2⁶³ once baskets reach ~10⁹ — HUGEINT in the oracle either way).
+    * lift rides DECIMAL(38,0) on BOTH sides of the division (co ·
+    * n_baskets · 1e6 passes 2⁶³ once baskets reach ~10⁹, and c1 · c2
+    * does once two items each reach ~3e9 baskets — HUGEINT in the
+    * oracle, so engine and oracle stay exact together).
     */
   val assocRules: Q = (s, d) => {
     val items = Tables.lineitem(s, d)
@@ -761,8 +763,11 @@ object Relational extends QueryModule {
         expr("co * 1000000 div nb").as("support_ppm"),
         expr("co * 1000000 div c1").as("conf_1to2_ppm"),
         expr("co * 1000000 div c2").as("conf_2to1_ppm"),
+        // divisor widened too (advisor r13): c1 * c2 as a Long product
+        // wraps once two items each reach ~3e9 baskets while the HUGEINT
+        // oracle errors — numerator and divisor must widen together
         expr("""CAST(CAST(co AS DECIMAL(38,0)) * nb * 1000000
-          div (c1 * c2) AS BIGINT)""").as("lift_ppm"))
+          div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("p1"), col("p2"))
       .limit(20)
   }
@@ -838,8 +843,8 @@ object Relational extends QueryModule {
          |  CAST(co * 1000000 // nb AS BIGINT) AS support_ppm,
          |  CAST(co * 1000000 // x.c AS BIGINT) AS conf_1to2_ppm,
          |  CAST(co * 1000000 // y.c AS BIGINT) AS conf_2to1_ppm,
-         |  CAST(CAST(co AS HUGEINT) * nb * 1000000 // (x.c * y.c)
-         |    AS BIGINT) AS lift_ppm
+         |  CAST(CAST(co AS HUGEINT) * nb * 1000000
+         |    // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS lift_ppm
          |FROM co JOIN cnt x ON co.p1 = x.p JOIN cnt y ON co.p2 = y.p
          |CROSS JOIN nb
          |ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""".stripMargin,

@@ -1278,7 +1278,8 @@ object Similarity extends QueryModule {
     * same-cell candidates, complement) and q287 twice; without staging
     * each consumer re-runs the O(n·64) broadcast assignment cross
     * (observed: 6 redundant nested-loop subtrees in q286's plan).
-    * Memoized per input dir per JVM (the passageAsgDir contract) so
+    * Memoized per input dir per JVM (the [[graft.Scratch]] staging-memo
+    * contract: fixtures immutable per JVM, tiny key cardinality) so
     * q286 and q287 genuinely read the SAME leaf — one assignment cross
     * per run, not one per consumer query. */
   private val homeCellsCache =

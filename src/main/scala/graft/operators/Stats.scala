@@ -1496,8 +1496,10 @@ object Stats extends QueryModule {
     * SEQUENTIAL recurrence runs driver-side under the q298
     * metadata-sync rule, in integer cents with ppm smoothing weights —
     * s ← (α·x + (1e6−α)·(s+b)) / 1e6, b ← (β·Δs + (1e6−β)·b) / 1e6,
-    * both engines truncating toward zero (JVM Long division ≡ DuckDB
-    * `//`, verified on negative trends). The oracle replays the same
+    * both engines truncating toward zero (the α/β products ride
+    * BigInt ≡ the oracle's HUGEINT recursion state, so there is no
+    * silent-wrap regime at any revenue scale; BigInt and `//` division
+    * verified on negative trends). The oracle replays the same
     * recurrence as a linear recursive CTE over the row-indexed series
     * (gap-safe: steps follow the dense row index, not the calendar).
     */
@@ -1524,8 +1526,14 @@ object Stats extends QueryModule {
     rows += ((series(0)._1, series(0)._2, sL, bL, series(0)._2, 0L))
     series.drop(1).foreach { case (m, c) =>
       val f = sL + bL
-      val s1 = (holtAlpha * c + (1000000L - holtAlpha) * f) / 1000000L
-      val b1 = (holtBeta * (s1 - sL) + (1000000L - holtBeta) * bL) / 1000000L
+      // the α·x / β·Δs products ride BigInt (advisor r13): on Long they
+      // wrap silently near ~3e13 cents/month while the HUGEINT oracle
+      // stays exact — BigInt/HUGEINT truncate toward zero identically,
+      // and the series is driver-side tens of rows, so the cost is nil
+      val s1 = ((BigInt(holtAlpha) * c
+        + BigInt(1000000L - holtAlpha) * f) / 1000000L).toLong
+      val b1 = ((BigInt(holtBeta) * (s1 - sL)
+        + BigInt(1000000L - holtBeta) * bL) / 1000000L).toLong
       sL = s1; bL = b1
       rows += ((m, c, sL, bL, f, (c - f).abs))
     }
@@ -1885,10 +1893,10 @@ object Stats extends QueryModule {
          |    c, row_number() OVER (ORDER BY m) - 1 AS t FROM raw),
          |it AS (
          |  SELECT CAST(0 AS BIGINT) AS t,
-         |    (SELECT c FROM monthly WHERE t = 0) AS s,
-         |    coalesce((SELECT c FROM monthly WHERE t = 1)
-         |      - (SELECT c FROM monthly WHERE t = 0), 0) AS b,
-         |    (SELECT c FROM monthly WHERE t = 0) AS f
+         |    CAST((SELECT c FROM monthly WHERE t = 0) AS HUGEINT) AS s,
+         |    CAST(coalesce((SELECT c FROM monthly WHERE t = 1)
+         |      - (SELECT c FROM monthly WHERE t = 0), 0) AS HUGEINT) AS b,
+         |    CAST((SELECT c FROM monthly WHERE t = 0) AS HUGEINT) AS f
          |  UNION ALL
          |  SELECT it.t + 1,
          |    ($holtAlpha * mo.c
@@ -1898,13 +1906,16 @@ object Stats extends QueryModule {
          |      - it.s) + ${1000000L - holtBeta} * it.b) // 1000000,
          |    it.s + it.b
          |  FROM it JOIN monthly mo ON mo.t = it.t + 1)
-         |SELECT mo.m, mo.c AS actual_cents, it.s AS level_cents,
-         |  it.b AS trend_cents, it.f AS forecast_cents,
-         |  abs(mo.c - it.f) AS abs_err_cents
+         |SELECT mo.m, mo.c AS actual_cents,
+         |  CAST(it.s AS BIGINT) AS level_cents,
+         |  CAST(it.b AS BIGINT) AS trend_cents,
+         |  CAST(it.f AS BIGINT) AS forecast_cents,
+         |  CAST(abs(mo.c - it.f) AS BIGINT) AS abs_err_cents
          |FROM it JOIN monthly mo ON mo.t = it.t
          |UNION ALL
-         |SELECT mx.mm + h.h, CAST(-1 AS BIGINT), l.s, l.b,
-         |  l.s + h.h * l.b, CAST(0 AS BIGINT)
+         |SELECT mx.mm + h.h, CAST(-1 AS BIGINT), CAST(l.s AS BIGINT),
+         |  CAST(l.b AS BIGINT),
+         |  CAST(l.s + h.h * l.b AS BIGINT), CAST(0 AS BIGINT)
          |FROM (SELECT unnest(range(1, ${holtHorizon + 1})) AS h) h
          |CROSS JOIN (SELECT s, b FROM it
          |  WHERE t = (SELECT max(t) FROM it)) l
