@@ -789,6 +789,68 @@ object Events extends QueryModule {
       .orderBy("cohort_year", "cohort_month0", "month_offset")
   }
 
+  /** q305 retention triangle width: offsets 0..8 (the classic 8-period
+    * retention dashboard); cells beyond a cohort's observable horizon
+    * carry the −1 sentinel, NOT 0 — "too young to know" must never read
+    * as "churned". */
+  private[graft] val retentionMaxOffset = 8
+
+  /** q305 — COHORT RETENTION RATE TRIANGLE (the other half of every
+    * cohort dashboard next to q226's LTV curve; q112 emits the
+    * long-form all-event daily COUNT grid — this is the
+    * dashboard-facing purchase-cohort RATE matrix: pivoted wide,
+    * normalized by cohort size, with the beyond-horizon sentinel a
+    * count grid cannot carry). For each acquisition cohort, the share
+    * of its users active again N periods later — the matrix whose
+    * diagonal-truncated shape gives the "triangle" its name. Cohort =
+    * period of the user's first purchase (q226's cohort key); a user
+    * is "active at offset k" if they purchased in period cohort+k
+    * (distinct user-period, so multiple purchases in one period count
+    * once).
+    *
+    * Grain: WEEKS (epoch-week = days-since-1970 div 7 — deterministic
+    * in both engines for the fixture's post-1970 range), because the
+    * events fixture spans ONE calendar month (measured r14) — a
+    * monthly triangle would be a single cell; swapping the week
+    * expression for q226's month code gives the monthly variant, the
+    * operator is grain-agnostic. Rates are exact ppm (·1e6 div cohort
+    * size); offset 0 is 1e6 BY CONSTRUCTION (the first purchase IS
+    * week-0 activity — the row-conservation law the spec pins).
+    *
+    * Scale shape: one distinct (user, week) projection, one per-user
+    * min aggregate, one (cohort, offset) count — all map-side
+    * combinable hash aggregates on user- or calendar-keyed frames —
+    * then A6's pivot over the FIXED offset list 0..[[retentionMaxOffset]]
+    * on the calendar²-bounded (cohort × offset) grid; the output is
+    * cohorts × 9 cells, independent of event volume.
+    */
+  val retentionTriangle: Q = (s, d) => {
+    val pu = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+          .cast("long").as("wk"))
+      .distinct()
+    val first = pu.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = first.groupBy("cohort_wk").agg(count(lit(1)).as("n_users"))
+    val act = pu.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("long").as("off"))
+      .agg(count(lit(1)).as("n_active"))
+    val grid = act.groupBy("cohort_wk")
+      .pivot("off", (0 to retentionMaxOffset).map(_.toLong))
+      .agg(sum("n_active"))
+    val mx = pu.agg(max("wk").as("mx_wk"))
+    val cells = (0 to retentionMaxOffset).map { k =>
+      expr(s"""CASE WHEN mx_wk - cohort_wk < $k THEN CAST(-1 AS BIGINT)
+        ELSE coalesce(`$k`, 0) * 1000000 div n_users END""")
+        .as(s"ret_w${k}_ppm")
+    }
+    sizes.join(grid, Seq("cohort_wk"), "left")
+      .crossJoin(broadcast(mx))
+      .select(col("cohort_wk") +: col("n_users") +: cells: _*)
+      .orderBy("cohort_wk")
+  }
+
   /** q220 — CONVERSION LATENCY distribution: time from each user's FIRST
     * view to their FIRST purchase — the funnel's missing time axis (q111
     * counts who converts; this says how long conversion takes, the
@@ -962,6 +1024,7 @@ object Events extends QueryModule {
     "q225_event_trigrams" -> eventTrigrams,
     "q233_json_profile" -> jsonProfile,
     "q226_cohort_ltv" -> cohortLtv,
+    "q305_retention_triangle" -> retentionTriangle,
     "q222_bot_signatures" -> botSignatures,
     "q180_rolling_mau" -> rollingMau,
     "q175_ohlc_bars" -> ohlcBars,
@@ -1183,6 +1246,35 @@ FROM fl CROSS JOIN rm ORDER BY channel"""
         |  count(DISTINCT user_id) AS n_users
         |FROM sq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+    // the identical epoch-week key, distinct user-week activity,
+    // conditional-sum expansion of the pivot (A6's documented oracle
+    // shape), the same −1 beyond-horizon sentinel and exact ppm div
+    "q305_retention_triangle" -> {
+      // CAST the whole cell: DuckDB's sum() is HUGEINT, which the strict
+      // gate's dtype compare reads as float64 against Spark's int64
+      val cells = (0 to retentionMaxOffset).map { k =>
+        s"  CAST(CASE WHEN mx_wk - s.cohort_wk < $k THEN -1\n" +
+          s"    ELSE coalesce(sum(CASE WHEN a.off = $k THEN a.n END), 0)\n" +
+          s"      * 1000000 // s.n_users END AS BIGINT) AS ret_w${k}_ppm"
+      }.mkString(",\n")
+      s"""WITH pu AS (SELECT DISTINCT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+         |      AS wk
+         |  FROM events WHERE event_type = 'purchase'),
+         |frst AS (SELECT user_id, min(wk) AS cohort_wk FROM pu GROUP BY 1),
+         |sizes AS (SELECT cohort_wk, count(*) AS n_users FROM frst
+         |  GROUP BY 1),
+         |act AS (SELECT f.cohort_wk, p.wk - f.cohort_wk AS off,
+         |    count(*) AS n
+         |  FROM pu p JOIN frst f ON p.user_id = f.user_id GROUP BY 1, 2),
+         |mx AS (SELECT max(wk) AS mx_wk FROM pu)
+         |SELECT s.cohort_wk, s.n_users,
+         |$cells
+         |FROM sizes s LEFT JOIN act a ON s.cohort_wk = a.cohort_wk
+         |CROSS JOIN mx
+         |GROUP BY s.cohort_wk, s.n_users, mx_wk
+         |ORDER BY s.cohort_wk""".stripMargin
+    },
     // exact 0-based integer month codes (y*12+(m-1)), cohort-frame
     // cumulative sums
     "q226_cohort_ltv" ->

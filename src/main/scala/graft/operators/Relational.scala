@@ -772,7 +772,95 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** q304 — APRIORI TRIPLES (Agrawal–Srikant 1994's level-wise step —
+    * the rung a market-basket user hits immediately after q302's
+    * lift-ranked pairs): frequent 3-itemsets with support, all three
+    * pair→item confidences, and the pair-floor lifts
+    * (conf{AB→C} / P(C) — the "given this pair, how much likelier is
+    * the third item" read).
+    *
+    * Item axis: part BRAND, not partkey — measured (r14): at TPC-H
+    * uniformity the max partkey triple co-basket count is 1 at sf0.1
+    * and 2 at sf0.01, i.e. the partkey triple lattice is VOID above
+    * the support floor at every gate scale, while the 25-brand axis
+    * keeps 1731–2300 triples ≥ [[ruleMinCo]] at all three. The coarser
+    * merchandising axis is what a real basket miner rolls up to when
+    * SKU-level support collapses; the operator is axis-agnostic.
+    *
+    * Scale shape — the classic level-wise candidate join, never
+    * Σ basket³: (1) q302's distinct (basket, item) projection and
+    * support-cut PAIR table; (2) pair OCCURRENCES rebuilt per basket
+    * and left-semi-pruned to frequent pairs (the Apriori downward-
+    * closure guarantee: every frequent triple's prefix pair is
+    * frequent, so nothing is lost); (3) ONE more basket-keyed join
+    * against the item table extends each surviving pair occurrence by
+    * p3 > p2 — the intermediate is (frequent-pair occurrence mass) ×
+    * basket width, the level-wise bound; (4) two more left-semi prunes
+    * on (p1,p3)/(p2,p3) before the triple aggregate and support cut.
+    * Lift numerator AND divisor ride DECIMAL(38,0)/HUGEINT (the q302
+    * r13 lesson). Vocabulary-bounded tables (pairs, counts) broadcast.
+    */
+  val assocTriples: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
+      .distinct()
+    val nb = items.agg(countDistinct("o").as("nb"))
+    val cnt = items.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = items.alias("a")
+      .join(items.alias("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= ruleMinCo)
+    val pb = items.alias("a")
+      .join(items.alias("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("p1"), col("b.p").as("p2"))
+      .join(pairs.select("p1", "p2"), Seq("p1", "p2"), "left_semi")
+    val tri = pb.alias("pb")
+      .join(items.alias("c").hint("shuffle_hash"),
+        col("pb.o") === col("c.o") && col("c.p") > col("pb.p2"))
+      .select(col("pb.p1").as("p1"), col("pb.p2").as("p2"),
+        col("c.p").as("p3"))
+      .join(pairs.select(col("p1"), col("p2").as("p3")),
+        Seq("p1", "p3"), "left_semi")
+      .join(pairs.select(col("p1").as("p2"), col("p2").as("p3")),
+        Seq("p2", "p3"), "left_semi")
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("co3"))
+      .filter(col("co3") >= ruleMinCo)
+    tri
+      .join(broadcast(pairs.select(col("p1"), col("p2"),
+        col("co").as("c12"))), Seq("p1", "p2"))
+      .join(broadcast(pairs.select(col("p1"), col("p2").as("p3"),
+        col("co").as("c13"))), Seq("p1", "p3"))
+      .join(broadcast(pairs.select(col("p1").as("p2"), col("p2").as("p3"),
+        col("co").as("c23"))), Seq("p2", "p3"))
+      .join(broadcast(cnt.select(col("p").as("p1"), col("c").as("c1"))), "p1")
+      .join(broadcast(cnt.select(col("p").as("p2"), col("c").as("c2"))), "p2")
+      .join(broadcast(cnt.select(col("p").as("p3"), col("c").as("c3"))), "p3")
+      .crossJoin(broadcast(nb))
+      .select(col("p1"), col("p2"), col("p3"), col("co3"),
+        col("c12"), col("c13"), col("c23"),
+        expr("co3 * 1000000 div nb").as("support_ppm"),
+        expr("co3 * 1000000 div c12").as("conf_12to3_ppm"),
+        expr("co3 * 1000000 div c13").as("conf_13to2_ppm"),
+        expr("co3 * 1000000 div c23").as("conf_23to1_ppm"),
+        expr("""CAST(CAST(co3 AS DECIMAL(38,0)) * nb * 1000000
+          div (CAST(c12 AS DECIMAL(38,0)) * c3) AS BIGINT)""")
+          .as("lift_12to3_ppm"),
+        expr("""CAST(CAST(co3 AS DECIMAL(38,0)) * nb * 1000000
+          div (CAST(c13 AS DECIMAL(38,0)) * c2) AS BIGINT)""")
+          .as("lift_13to2_ppm"),
+        expr("""CAST(CAST(co3 AS DECIMAL(38,0)) * nb * 1000000
+          div (CAST(c23 AS DECIMAL(38,0)) * c1) AS BIGINT)""")
+          .as("lift_23to1_ppm"))
+      .orderBy(col("lift_12to3_ppm").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q304_assoc_triples" -> assocTriples,
     "q302_assoc_rules" -> assocRules,
     "q284_revenue_cube" -> revenueCube,
     "q193_skyline" -> skyline,
@@ -829,6 +917,56 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the identical level-wise lattice: brand-axis distinct projection,
+    // frequent-pair EXISTS prunes before the triple count, the same
+    // support cut, HUGEINT on both sides of every lift division, and
+    // the (lift_12to3 DESC, p1, p2, p3) top-20
+    "q304_assoc_triples" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS p
+         |  FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey),
+         |nb AS (SELECT count(DISTINCT o) AS nb FROM items),
+         |cnt AS (SELECT p, count(*) AS c FROM items GROUP BY 1),
+         |pairs AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2,
+         |    count(*) AS co
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $ruleMinCo),
+         |tri AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+         |    count(*) AS co3
+         |  FROM items a
+         |  JOIN items b ON a.o = b.o AND a.p < b.p
+         |  JOIN items c ON a.o = c.o AND b.p < c.p
+         |  WHERE EXISTS (SELECT 1 FROM pairs f
+         |      WHERE f.p1 = a.p AND f.p2 = b.p)
+         |    AND EXISTS (SELECT 1 FROM pairs f
+         |      WHERE f.p1 = a.p AND f.p2 = c.p)
+         |    AND EXISTS (SELECT 1 FROM pairs f
+         |      WHERE f.p1 = b.p AND f.p2 = c.p)
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= $ruleMinCo)
+         |SELECT t.p1, t.p2, t.p3, t.co3,
+         |  f12.co AS c12, f13.co AS c13, f23.co AS c23,
+         |  CAST(co3 * 1000000 // nb AS BIGINT) AS support_ppm,
+         |  CAST(co3 * 1000000 // f12.co AS BIGINT) AS conf_12to3_ppm,
+         |  CAST(co3 * 1000000 // f13.co AS BIGINT) AS conf_13to2_ppm,
+         |  CAST(co3 * 1000000 // f23.co AS BIGINT) AS conf_23to1_ppm,
+         |  CAST(CAST(co3 AS HUGEINT) * nb * 1000000
+         |    // (CAST(f12.co AS HUGEINT) * c3.c) AS BIGINT)
+         |    AS lift_12to3_ppm,
+         |  CAST(CAST(co3 AS HUGEINT) * nb * 1000000
+         |    // (CAST(f13.co AS HUGEINT) * c2.c) AS BIGINT)
+         |    AS lift_13to2_ppm,
+         |  CAST(CAST(co3 AS HUGEINT) * nb * 1000000
+         |    // (CAST(f23.co AS HUGEINT) * c1.c) AS BIGINT)
+         |    AS lift_23to1_ppm
+         |FROM tri t
+         |JOIN pairs f12 ON t.p1 = f12.p1 AND t.p2 = f12.p2
+         |JOIN pairs f13 ON t.p1 = f13.p1 AND t.p3 = f13.p2
+         |JOIN pairs f23 ON t.p2 = f23.p1 AND t.p3 = f23.p2
+         |JOIN cnt c1 ON t.p1 = c1.p
+         |JOIN cnt c2 ON t.p2 = c2.p
+         |JOIN cnt c3 ON t.p3 = c3.p
+         |CROSS JOIN nb
+         |ORDER BY lift_12to3_ppm DESC, t.p1, t.p2, t.p3
+         |LIMIT 20""".stripMargin,
     // identical distinct projection, support cut, ppm arithmetic with
     // the lift numerator in HUGEINT, and (lift DESC, p1, p2) top-20
     "q302_assoc_rules" ->

@@ -1437,6 +1437,14 @@ object Stats extends QueryModule {
     * customer base would swap in q207's two-phase rank at the seam, or
     * histogram cutpoints per q209). Day arithmetic is exact
     * date_diff; means are exact `div`.
+    *
+    * Measured receipt (r14, the verdict-ordered justification for
+    * keeping the simple shape): at sf1 the customer frame is 149,990
+    * rows and the whole query — aggregate + all THREE global ntile
+    * window sorts + rollup — runs 1.56 s median-of-3 (1.75× sf0.1's
+    * 0.89 s for 10× the orders). The single-partition sorts are
+    * sub-second on a 150 k-row, 4-column frame; the seam only bites
+    * past ~10⁷ customers, where the q207 two-phase rank swaps in.
     */
   val rfmSegments: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1543,6 +1551,92 @@ object Stats extends QueryModule {
     }
     rows.toSeq.toDF("m", "actual_cents", "level_cents", "trend_cents",
       "forecast_cents", "abs_err_cents").orderBy("m")
+  }
+
+  /** q303 seasonal smoothing constant in ppm (γ = 0.3) and the seasonal
+    * period (12 months — the annual cycle q224's seasonal index reads). */
+  private[graft] val hwGamma = 300000L
+  private[graft] val hwPeriod = 12
+
+  /** q303 — ADDITIVE SEASONAL HOLT-WINTERS (Winters 1960; triple
+    * exponential smoothing — the refinement q300's own Scaladoc names):
+    * level, trend, AND a 12-month additive seasonal component smooth
+    * recursively over the monthly revenue series; each month is scored
+    * against its one-step-ahead forecast s + b + seas[t−12], and the
+    * tail extrapolates [[holtHorizon]] months out with the proper
+    * seasonal for each future month. On a seasonal series this is the
+    * forecaster that q300's linear form systematically misses by the
+    * seasonal amplitude — the spec plants exactly that contrast.
+    *
+    * Fit: the classic two-season initialization — b₀ = (Σseason2 −
+    * Σseason1) div p², l₀ = Σseason1 div p + (b₀·(p−1)) div 2 (the
+    * level AT the end of month p−1, trend-corrected), seas_i = c_i −
+    * (l₀ − b₀·(p−1−i)) (detrended residuals, so a pure
+    * ramp+seasonal series initializes EXACTLY to its true components).
+    * Needs ≥ 2p months and a gap-free month grid — both `require`d
+    * loudly (a gapped grid would silently misalign the seasonal lag;
+    * the oracle's recursion would truncate instead, a divergence the
+    * engine refuses to enter). Fixture series: 80 dense months at
+    * every sf (measured r14).
+    *
+    * Exactness + scale: identical to q300 — ONE corpus-sized
+    * month-keyed hash aggregate, then the inherently sequential
+    * recurrence on the calendar-bounded collected series; all products
+    * ride BigInt ≡ the oracle's HUGEINT recursion (which carries the
+    * 12-slot seasonal ring as a LIST column, rotating seas[2:] ||
+    * [seas'] each step), truncating division toward zero in both
+    * engines. Output: one row per month from t = p on (the first
+    * season is fit, not forecast) + the seasonal-aware horizon.
+    */
+  val holtWinters: Q = (s, d) => {
+    import s.implicits._
+    val raw = Tables.orders(s, d)
+      .select(((year(to_date(col("o_orderdate"))) * 12) +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("m").agg(sum("cents").as("c"))
+    val monthly = raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
+      .select((col("m") - col("m0")).as("m"), col("c"))
+    val series = monthly.orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p = hwPeriod
+    require(series.length >= 2 * p,
+      s"q303: needs >= ${2 * p} months for the seasonal fit, got ${series.length}")
+    require(series.nonEmpty && series.last._1 == series.length - 1,
+      "q303: month grid must be gap-free (seasonal lag is calendar-aligned)")
+    val c = series.map(_._2)
+    val s1 = c.take(p).map(BigInt(_)).sum
+    val s2 = c.slice(p, 2 * p).map(BigInt(_)).sum
+    val b0 = ((s2 - s1) / (p.toLong * p)).toLong
+    val l0 = (s1 / p).toLong + (b0 * (p - 1)) / 2
+    var seas = scala.collection.immutable.Queue(
+      (0 until p).map(i => c(i) - (l0 - b0 * (p - 1 - i))): _*)
+    var lL = l0
+    var bL = b0
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    (p until series.length).foreach { t =>
+      val x = c(t)
+      val (sh, rest) = seas.dequeue
+      val f = lL + bL + sh
+      val l1 = ((BigInt(holtAlpha) * (x - sh)
+        + BigInt(1000000L - holtAlpha) * (lL + bL)) / 1000000L).toLong
+      val b1 = ((BigInt(holtBeta) * (l1 - lL)
+        + BigInt(1000000L - holtBeta) * bL) / 1000000L).toLong
+      val sNew = ((BigInt(hwGamma) * (x - l1)
+        + BigInt(1000000L - hwGamma) * sh) / 1000000L).toLong
+      lL = l1; bL = b1; seas = rest.enqueue(sNew)
+      rows += ((t.toLong, x, lL, bL, sh, f, (x - f).abs))
+    }
+    val qa = seas.toIndexedSeq
+    val mx = series.length - 1L
+    (1 to holtHorizon).foreach { h =>
+      rows += ((mx + h, -1L, lL, bL, qa(h - 1),
+        lL + h * bL + qa(h - 1), 0L))
+    }
+    rows.toSeq.toDF("m", "actual_cents", "level_cents", "trend_cents",
+      "season_cents", "forecast_cents", "abs_err_cents").orderBy("m")
   }
 
   val theilSen: Q = (s, d) => {
@@ -1744,6 +1838,7 @@ object Stats extends QueryModule {
     "q288_concentration" -> concentration,
     "q283_conformal_coverage" -> conformalCoverage,
     "q300_holt_forecast" -> holtForecast,
+    "q303_holt_winters" -> holtWinters,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -1879,6 +1974,67 @@ object Stats extends QueryModule {
         |  CAST(sum(m) AS BIGINT) // count(*) AS avg_cents
         |FROM scored GROUP BY 1, 2, 3, 4
         |ORDER BY r_score, f_score, m_score""".stripMargin,
+    // the identical two-season init and triple recurrence, the 12-slot
+    // seasonal ring carried as a HUGEINT LIST rotated q[2:12] || [q']
+    // each recursive step (1-based inclusive slicing: elements 2..12),
+    // the same toward-zero division
+    "q303_holt_winters" -> {
+      val p2 = hwPeriod.toLong * hwPeriod
+      // the level update, spliced where b'/seas' reference it — SQL has
+      // no let-binding inside a recursive step
+      val l1 = s"($holtAlpha * (mo.c - it.q[1]) " +
+        s"+ ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000"
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (SELECT m - (SELECT min(m) FROM raw) AS m,
+         |    c FROM raw),
+         |i1 AS (SELECT CAST(sum(c) AS HUGEINT) AS s1 FROM monthly
+         |  WHERE m < $hwPeriod),
+         |i2 AS (SELECT CAST(sum(c) AS HUGEINT) AS s2 FROM monthly
+         |  WHERE m >= $hwPeriod AND m < ${2 * hwPeriod}),
+         |init AS MATERIALIZED (SELECT (s2 - s1) // $p2 AS b0,
+         |    s1 // $hwPeriod + (((s2 - s1) // $p2) * ${hwPeriod - 1}) // 2
+         |      AS l0
+         |  FROM i1, i2),
+         |seas0 AS MATERIALIZED (SELECT
+         |    list(CAST(c AS HUGEINT)
+         |      - (l0 - b0 * (${hwPeriod - 1} - m)) ORDER BY m) AS q
+         |  FROM monthly, init WHERE m < $hwPeriod),
+         |it(t, s, b, q, sh, f) AS (
+         |  SELECT CAST(${hwPeriod - 1} AS BIGINT), init.l0, init.b0,
+         |    seas0.q, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+         |  FROM init, seas0
+         |  UNION ALL
+         |  SELECT it.t + 1,
+         |    $l1,
+         |    ($holtBeta * (($l1) - it.s)
+         |      + ${1000000L - holtBeta} * it.b) // 1000000,
+         |    it.q[2:$hwPeriod] || [($hwGamma * (mo.c - ($l1))
+         |      + ${1000000L - hwGamma} * it.q[1]) // 1000000],
+         |    it.q[1],
+         |    it.s + it.b + it.q[1]
+         |  FROM it JOIN monthly mo ON mo.m = it.t + 1)
+         |SELECT mo.m, mo.c AS actual_cents,
+         |  CAST(it.s AS BIGINT) AS level_cents,
+         |  CAST(it.b AS BIGINT) AS trend_cents,
+         |  CAST(it.sh AS BIGINT) AS season_cents,
+         |  CAST(it.f AS BIGINT) AS forecast_cents,
+         |  CAST(abs(mo.c - it.f) AS BIGINT) AS abs_err_cents
+         |FROM it JOIN monthly mo ON mo.m = it.t WHERE it.t >= $hwPeriod
+         |UNION ALL
+         |SELECT mx.mm + h.h, CAST(-1 AS BIGINT), CAST(l.s AS BIGINT),
+         |  CAST(l.b AS BIGINT), CAST(l.q[h.h] AS BIGINT),
+         |  CAST(l.s + h.h * l.b + l.q[h.h] AS BIGINT), CAST(0 AS BIGINT)
+         |FROM (SELECT unnest(range(1, ${holtHorizon + 1})) AS h) h
+         |CROSS JOIN (SELECT s, b, q FROM it
+         |  WHERE t = (SELECT max(t) FROM it)) l
+         |CROSS JOIN (SELECT max(m) AS mm FROM monthly) mx
+         |ORDER BY 1""".stripMargin
+    },
     // the identical monthly rollup, the same integer recurrence replayed
     // as a linear recursive CTE over the dense row index, the same
     // toward-zero division on negative trends

@@ -632,6 +632,111 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toList === (months ++ horizon).toList, got.mkString(","))
   }
 
+  test("q305 retention triangle: planted cohorts give the hand-computed rates, week-0 conserves the cohort, unobservable cells are -1") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val day = 86400L * ns
+    // cohort week 0: users 1-4 purchase day 0; users 1,2 return day 7
+    // (w1); user 1 returns day 14 (w2) — a nested no-return ladder, so
+    // retention is monotone non-increasing by construction. User 5's
+    // first purchase at day 21 opens cohort 3 and sets the global
+    // horizon. User 6 is view-only — purchases define the cohort.
+    val rows = Seq(
+      (1L, 0L, 1L, "purchase", 1.0, "{}"),
+      (2L, 0L, 2L, "purchase", 1.0, "{}"),
+      (3L, 0L, 3L, "purchase", 1.0, "{}"),
+      (4L, 0L, 4L, "purchase", 1.0, "{}"),
+      (5L, 7L * day, 1L, "purchase", 1.0, "{}"),
+      (6L, 7L * day, 2L, "purchase", 1.0, "{}"),
+      (7L, 14L * day, 1L, "purchase", 1.0, "{}"),
+      (8L, 21L * day, 5L, "purchase", 1.0, "{}"),
+      (9L, 0L, 6L, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftret").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q305_retention_triangle")(spark, dir)
+      .orderBy("cohort_wk").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (2 to 10).map(r.getLong).toList))
+    assert(got.toList === List(
+      (0L, 4L, List(1000000L, 500000L, 250000L, 0L, -1L, -1L, -1L, -1L, -1L)),
+      (3L, 1L, List(1000000L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L))),
+      got.mkString(","))
+    // the planted ladder never re-acquires: observable cells are
+    // monotone non-increasing
+    got.foreach { case (_, _, cells) =>
+      val obs = cells.takeWhile(_ >= 0)
+      assert(obs === obs.sorted.reverse, cells.toString)
+    }
+  }
+
+  test("q305 retention triangle on the fixture: week-0 conservation, cells in [0, 1e6], horizon cut exact") {
+    val rows = q("q305_retention_triangle").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (2 to 10).map(r.getLong).toList))
+    assert(rows.nonEmpty)
+    rows.foreach { case (wk, n, cells) =>
+      assert(n > 0)
+      assert(cells.head === 1000000L,
+        s"cohort $wk: first purchase IS week-0 activity")
+      // sentinels are a SUFFIX (horizon is a single cut, never a hole)
+      val (obs, sent) = cells.span(_ >= 0L)
+      assert(sent.forall(_ === -1L), cells.toString)
+      obs.foreach(c => assert(c <= 1000000L, s"cohort $wk: $c"))
+    }
+    // the horizon is GLOBAL: every row's first sentinel offset lands at
+    // the same absolute week mx+1
+    val cuts = rows.flatMap { case (wk, _, cells) =>
+      val k = cells.indexWhere(_ === -1L)
+      if (k >= 0) Some(wk + k) else None
+    }
+    assert(cuts.distinct.size <= 1, cuts.toString)
+  }
+
+  test("q303 Holt-Winters: a planted seasonal ramp is tracked exactly while linear Holt (q300) misses by the seasonal term") {
+    import spark.implicits._
+    // cents = A + B·t + S[t mod 12], ΣS = 0, B even: the two-season init
+    // is then division-exact (s2−s1 = B·144; s1 div 12 = A + B·11/2) and
+    // recovers the TRUE components (l0 = A + 11B, b0 = B, seas = S), so
+    // every one-step forecast from t = 12 on equals the actual exactly —
+    // the hand-checkable law the operator's init convention exists for
+    val S = Vector(600L, -600L, 300L, -300L, 120L, -120L,
+      60L, -60L, 24L, -24L, 0L, 0L)
+    val A = 1000000L; val B = 2L
+    val orders = (0 until 30).map { t =>
+      val cents = A + B * t + S(t % 12)
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", cents / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("grafthw").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q303_holt_winters")(spark, dir)
+      .orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val want = (12 until 30).map { t =>
+      (t.toLong, A + B * t + S(t % 12), A + B * t, B, S(t % 12),
+        A + B * t + S(t % 12), 0L)
+    } ++ (1 to 3).map { h =>
+      ((29 + h).toLong, -1L, A + B * 29, B, S((29 + h) % 12),
+        A + B * (29 + h) + S((29 + h) % 12), 0L)
+    }
+    assert(got.toList === want.toList, got.mkString(","))
+    // the same series under q300's LINEAR Holt: the unmodeled seasonal
+    // term leaves systematic one-step error — the contrast that makes
+    // the seasonal component worth its three extra state slots
+    val holtErr = SparkEntry.queries("q300_holt_forecast")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("abs_err_cents"))
+      .head().getLong(0)
+    assert(holtErr > 0L, "linear Holt should miss the seasonal term")
+    // under two full seasons the fit is undefined — loud, not silent
+    val shortDir = java.nio.file.Files.createTempDirectory("grafthws").toString
+    orders.limit(6).write.mode("overwrite").parquet(s"$shortDir/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q303_holt_winters")(spark, shortDir).collect()
+    }
+    assert(e.getMessage.contains("q303"))
+  }
+
   test("q301 RFM: cells partition the customer base, quintiles deal evenly, and the segment mapping is consistent") {
     val rows = q("q301_rfm_segments").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
@@ -674,6 +779,33 @@ class AnalyticsSpec extends SparkSpec {
         r.getLong(8)))
     assert(got.toList === List(
       (1L, 2L, 3L, 4L, 4L, 500000L, 750000L, 750000L, 1125000L)),
+      got.mkString(","))
+  }
+
+  test("q304 Apriori triples: planted baskets yield the hand-computed triple support, confidences, and pair-floor lifts") {
+    import spark.implicits._
+    // brands per basket: {X,Y,Z}×3, {X,Y}, {Z}, {W} — nb=6; item counts
+    // X=4 Y=4 Z=4 W=1; frequent pairs (X,Y)=4 (X,Z)=3 (Y,Z)=3; the one
+    // surviving triple (X,Y,Z) co3=3: support 3/6, conf XY→Z = 3/4,
+    // XZ→Y = YZ→X = 1, lift XY→Z = 3·6/(4·4) = 1.125, the other two
+    // 3·6/(3·4) = 1.5
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (4L, 1L), (4L, 2L), (5L, 3L),
+      (6L, 4L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "BX"), (2L, "BY"), (3L, "BZ"), (4L, "BW"))
+      .toDF("p_partkey", "p_brand")
+    val dir = java.nio.file.Files.createTempDirectory("grafttriples").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    part.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q304_assoc_triples")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        r.getLong(11), r.getLong(12), r.getLong(13)))
+    assert(got.toList === List(
+      ("BX", "BY", "BZ", 3L, 4L, 3L, 3L, 500000L,
+        750000L, 1000000L, 1000000L, 1125000L, 1500000L, 1500000L)),
       got.mkString(","))
   }
 

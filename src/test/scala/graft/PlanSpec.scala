@@ -500,6 +500,28 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("q304 Apriori triples: level-wise joins only — semi-joins prune to frequent pairs, no cartesian, counts broadcast back") {
+    val p = plan("q304_assoc_triples")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p) // 1-row nb
+    // the downward-closure prunes survive as genuine semi-joins — without
+    // them the triple intermediate is Σ basket³, the bound the level-wise
+    // shape exists to avoid
+    assert(p.contains("LeftSemi"), p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+  }
+
+  test("q305 retention triangle: aggregates + ONE pivot on the calendar grid — no window, no cartesian beyond the 1-row horizon cross") {
+    val p = plan("q305_retention_triangle")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p) // 1-row mx
+    // the triangle is pure hash aggregation — pivot lowers to an
+    // aggregate, never a per-cohort window sort
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("q296 domain reweighting reads the STAGED ce leaf — no token explode in the plan; only source-sized broadcast crosses") {
     val p = plan("q296_domain_reweight")
     // the corpus-sized scoring pass is the staged q293 leaf, not lineage
