@@ -1513,44 +1513,16 @@ object Stats extends QueryModule {
     */
   val holtForecast: Q = (s, d) => {
     import s.implicits._
-    val raw = Tables.orders(s, d)
-      .select(((year(to_date(col("o_orderdate"))) * 12) +
-        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
-        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
-          .cast("long").as("cents"))
-      .groupBy("m").agg(sum("cents").as("c"))
-    val monthly = raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
-      .select((col("m") - col("m0")).as("m"), col("c"))
-    val series = monthly.orderBy("m").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val series = monthlySeries(s, d)
     require(series.nonEmpty, "q300: empty orders table")
-    var sL = series(0)._2
-    // one-month degenerate series: flat level, zero trend — matches the
-    // oracle's coalesce on the missing t=1 row rather than diverging
-    // into an engine error vs oracle rows
-    var bL = if (series.length >= 2) series(1)._2 - series(0)._2 else 0L
-    val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Long, Long)]
-    rows += ((series(0)._1, series(0)._2, sL, bL, series(0)._2, 0L))
-    series.drop(1).foreach { case (m, c) =>
-      val f = sL + bL
-      // the α·x / β·Δs products ride BigInt (advisor r13): on Long they
-      // wrap silently near ~3e13 cents/month while the HUGEINT oracle
-      // stays exact — BigInt/HUGEINT truncate toward zero identically,
-      // and the series is driver-side tens of rows, so the cost is nil
-      val s1 = ((BigInt(holtAlpha) * c
-        + BigInt(1000000L - holtAlpha) * f) / 1000000L).toLong
-      val b1 = ((BigInt(holtBeta) * (s1 - sL)
-        + BigInt(1000000L - holtBeta) * bL) / 1000000L).toLong
-      sL = s1; bL = b1
-      rows += ((m, c, sL, bL, f, (c - f).abs))
-    }
+    val (passRows, sL, bL) = holtPass(series)
     val mx = series.last._1
-    (1 to holtHorizon).foreach { h =>
-      rows += ((mx + h, -1L, sL, bL, sL + h * bL, 0L))
+    val horizon = (1 to holtHorizon).map { h =>
+      (mx + h, -1L, sL, bL, sL + h * bL, 0L)
     }
-    rows.toSeq.toDF("m", "actual_cents", "level_cents", "trend_cents",
-      "forecast_cents", "abs_err_cents").orderBy("m")
+    (passRows ++ horizon)
+      .toDF("m", "actual_cents", "level_cents", "trend_cents",
+        "forecast_cents", "abs_err_cents").orderBy("m")
   }
 
   /** q303 seasonal smoothing constant in ppm (γ = 0.3) and the seasonal
@@ -1588,24 +1560,62 @@ object Stats extends QueryModule {
     * engines. Output: one row per month from t = p on (the first
     * season is fit, not forecast) + the seasonal-aware horizon.
     */
-  val holtWinters: Q = (s, d) => {
-    import s.implicits._
+  /** The shared monthly-revenue series: ONE month-keyed hash aggregate
+    * (the only corpus-sized work in the q300/q303/q306 family), rebased
+    * to series-start and collected — calendar-bounded, ≤ a few hundred
+    * rows for decades of data at ANY corpus scale. */
+  private def monthlySeries(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[(Long, Long)] = {
     val raw = Tables.orders(s, d)
       .select(((year(to_date(col("o_orderdate"))) * 12) +
         month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
         (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
           .cast("long").as("cents"))
       .groupBy("m").agg(sum("cents").as("c"))
-    val monthly = raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
+    raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
       .select((col("m") - col("m0")).as("m"), col("c"))
-    val series = monthly.orderBy("m").collect()
+      .orderBy("m").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  /** The q300 recurrence as ONE shared pass (q306's backtest replays it —
+    * a re-derivation could drift, the q295 merkleDeltaLevels lesson):
+    * per-month (m, actual, level, trend, forecast, absErr) rows plus the
+    * final (level, trend) for horizon extrapolation. Steps follow the
+    * ROW order (dense index), so a gapped series is handled gap-safely
+    * exactly as the oracle's row-indexed recursion does. */
+  private def holtPass(series: Array[(Long, Long)])
+      : (Vector[(Long, Long, Long, Long, Long, Long)], Long, Long) = {
+    require(series.nonEmpty, "holt: empty orders table")
+    var sL = series(0)._2
+    // one-month degenerate series: flat level, zero trend — matches the
+    // oracle's coalesce on the missing t=1 row
+    var bL = if (series.length >= 2) series(1)._2 - series(0)._2 else 0L
+    val rows = Vector.newBuilder[(Long, Long, Long, Long, Long, Long)]
+    rows += ((series(0)._1, series(0)._2, sL, bL, series(0)._2, 0L))
+    series.drop(1).foreach { case (m, c) =>
+      val f = sL + bL
+      // BigInt products: no silent-wrap regime at any revenue scale
+      // (≡ the oracle's HUGEINT recursion state)
+      val s1 = ((BigInt(holtAlpha) * c
+        + BigInt(1000000L - holtAlpha) * f) / 1000000L).toLong
+      val b1 = ((BigInt(holtBeta) * (s1 - sL)
+        + BigInt(1000000L - holtBeta) * bL) / 1000000L).toLong
+      sL = s1; bL = b1
+      rows += ((m, c, sL, bL, f, (c - f).abs))
+    }
+    (rows.result(), sL, bL)
+  }
+
+  /** The q303 recurrence as ONE shared pass (see [[holtPass]]): the
+    * two-season init, then per-month (t, actual, level, trend,
+    * seasonalUsed, forecast, absErr) rows for t ≥ p, plus the final
+    * (level, trend, seasonal ring) for the seasonal-aware horizon.
+    * Caller guarantees a dense grid of ≥ 2p months. */
+  private def hwPass(c: Array[Long])
+      : (Vector[(Long, Long, Long, Long, Long, Long, Long)],
+         Long, Long, IndexedSeq[Long]) = {
     val p = hwPeriod
-    require(series.length >= 2 * p,
-      s"q303: needs >= ${2 * p} months for the seasonal fit, got ${series.length}")
-    require(series.nonEmpty && series.last._1 == series.length - 1,
-      "q303: month grid must be gap-free (seasonal lag is calendar-aligned)")
-    val c = series.map(_._2)
     val s1 = c.take(p).map(BigInt(_)).sum
     val s2 = c.slice(p, 2 * p).map(BigInt(_)).sum
     val b0 = ((s2 - s1) / (p.toLong * p)).toLong
@@ -1614,9 +1624,8 @@ object Stats extends QueryModule {
       (0 until p).map(i => c(i) - (l0 - b0 * (p - 1 - i))): _*)
     var lL = l0
     var bL = b0
-    val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Long, Long, Long)]
-    (p until series.length).foreach { t =>
+    val rows = Vector.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+    (p until c.length).foreach { t =>
       val x = c(t)
       val (sh, rest) = seas.dequeue
       val f = lL + bL + sh
@@ -1629,14 +1638,77 @@ object Stats extends QueryModule {
       lL = l1; bL = b1; seas = rest.enqueue(sNew)
       rows += ((t.toLong, x, lL, bL, sh, f, (x - f).abs))
     }
-    val qa = seas.toIndexedSeq
+    (rows.result(), lL, bL, seas.toIndexedSeq)
+  }
+
+  val holtWinters: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    val p = hwPeriod
+    require(series.length >= 2 * p,
+      s"q303: needs >= ${2 * p} months for the seasonal fit, got ${series.length}")
+    require(series.nonEmpty && series.last._1 == series.length - 1,
+      "q303: month grid must be gap-free (seasonal lag is calendar-aligned)")
+    val c = series.map(_._2)
+    val (passRows, lL, bL, qa) = hwPass(c)
     val mx = series.length - 1L
-    (1 to holtHorizon).foreach { h =>
-      rows += ((mx + h, -1L, lL, bL, qa(h - 1),
-        lL + h * bL + qa(h - 1), 0L))
+    val horizon = (1 to holtHorizon).map { h =>
+      (mx + h, -1L, lL, bL, qa(h - 1), lL + h * bL + qa(h - 1), 0L)
     }
-    rows.toSeq.toDF("m", "actual_cents", "level_cents", "trend_cents",
-      "season_cents", "forecast_cents", "abs_err_cents").orderBy("m")
+    (passRows ++ horizon)
+      .toDF("m", "actual_cents", "level_cents", "trend_cents",
+        "season_cents", "forecast_cents", "abs_err_cents").orderBy("m")
+  }
+
+  /** q306 — FORECAST BACKTEST / MODEL SELECTION: the read that closes
+    * the forecast family — which of the library's three forecasters
+    * (q300 linear Holt, q303 additive Holt-Winters, q154's
+    * seasonal-naive baseline) actually wins on THIS series, by one-step
+    * mean absolute error over the shared out-of-fit window. Both
+    * recurrences already produce rolling one-step forecasts at every
+    * month (that is what exponential smoothing IS), so the backtest is
+    * a pure composition: replay the SHARED passes ([[holtPass]]/
+    * [[hwPass]] — q306 cannot drift from q300/q303 because they are
+    * the same code), score months t ≥ 2p (past the Holt-Winters init
+    * window, so no model is graded on months it was fit on), and rank.
+    * Seasonal-naive is the Hyndman-recommended floor: a smoother that
+    * cannot beat last-year-same-month is not earning its state.
+    *
+    * Exactness + scale: the corpus-sized work is the ONE shared
+    * monthly rollup; everything else runs on the calendar-bounded
+    * series driver-side, BigInt sums, truncating integer MAE. The
+    * oracle replays both recursions (two recursive CTEs in one WITH,
+    * HUGEINT state) plus the naive self-join and must land on the
+    * identical integer MAE table — ties on is_best flag BOTH models,
+    * deterministically.
+    */
+  val forecastBacktest: Q = (s, d) => {
+    import s.implicits._
+    val p = hwPeriod
+    val series = monthlySeries(s, d)
+    require(series.length > 2 * p,
+      s"q306: needs > ${2 * p} months (an out-of-fit window past the " +
+        s"Holt-Winters init), got ${series.length}")
+    require(series.last._1 == series.length - 1,
+      "q306: month grid must be gap-free (seasonal lag is calendar-aligned)")
+    val c = series.map(_._2)
+    val cut = 2 * p
+    val holtErrs = holtPass(series)._1
+      .collect { case (m, _, _, _, _, e) if m >= cut => e }
+    val hwErrs = hwPass(c)._1
+      .collect { case (t, _, _, _, _, _, e) if t >= cut => e }
+    val naiveErrs = (cut until c.length).map(t => (c(t) - c(t - p)).abs)
+    val models = Seq(("holt", holtErrs), ("holt_winters", hwErrs),
+      ("seasonal_naive", naiveErrs)).map { case (name, errs) =>
+      val n = errs.size.toLong
+      val tot = errs.map(BigInt(_)).sum
+      (name, n, tot.toLong, (tot / n).toLong)
+    }
+    val best = models.map(_._4).min
+    models.map { case (nm, n, tot, mae) => (nm, n, tot, mae, mae == best) }
+      .toDF("model", "n_months", "total_abs_err_cents", "mae_cents",
+        "is_best")
+      .orderBy("model")
   }
 
   val theilSen: Q = (s, d) => {
@@ -1839,6 +1911,7 @@ object Stats extends QueryModule {
     "q283_conformal_coverage" -> conformalCoverage,
     "q300_holt_forecast" -> holtForecast,
     "q303_holt_winters" -> holtWinters,
+    "q306_forecast_backtest" -> forecastBacktest,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -1974,6 +2047,85 @@ object Stats extends QueryModule {
         |  CAST(sum(m) AS BIGINT) // count(*) AS avg_cents
         |FROM scored GROUP BY 1, 2, 3, 4
         |ORDER BY r_score, f_score, m_score""".stripMargin,
+    // both recursions replayed (two recursive CTEs in one WITH, the
+    // exact q300/q303 recurrence text with HUGEINT state) plus the
+    // naive lag-12 self-join, scored on the shared t >= 24 window —
+    // identical integer MAE table, ties flagging both models
+    "q306_forecast_backtest" -> {
+      val l1 = s"($holtAlpha * (mo.c - it.q[1]) " +
+        s"+ ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000"
+      val p2 = hwPeriod.toLong * hwPeriod
+      val cut = 2 * hwPeriod
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (SELECT m - (SELECT min(m) FROM raw) AS m,
+         |    c FROM raw),
+         |ith(t, s, b, f) AS (
+         |  SELECT CAST(0 AS BIGINT),
+         |    CAST((SELECT c FROM monthly WHERE m = 0) AS HUGEINT),
+         |    CAST(coalesce((SELECT c FROM monthly WHERE m = 1)
+         |      - (SELECT c FROM monthly WHERE m = 0), 0) AS HUGEINT),
+         |    CAST((SELECT c FROM monthly WHERE m = 0) AS HUGEINT)
+         |  UNION ALL
+         |  SELECT it.t + 1,
+         |    ($holtAlpha * mo.c
+         |      + ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000,
+         |    ($holtBeta * ((($holtAlpha * mo.c
+         |        + ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000)
+         |      - it.s) + ${1000000L - holtBeta} * it.b) // 1000000,
+         |    it.s + it.b
+         |  FROM ith it JOIN monthly mo ON mo.m = it.t + 1),
+         |i1 AS (SELECT CAST(sum(c) AS HUGEINT) AS s1 FROM monthly
+         |  WHERE m < $hwPeriod),
+         |i2 AS (SELECT CAST(sum(c) AS HUGEINT) AS s2 FROM monthly
+         |  WHERE m >= $hwPeriod AND m < ${2 * hwPeriod}),
+         |init AS MATERIALIZED (SELECT (s2 - s1) // $p2 AS b0,
+         |    s1 // $hwPeriod + (((s2 - s1) // $p2) * ${hwPeriod - 1}) // 2
+         |      AS l0
+         |  FROM i1, i2),
+         |seas0 AS MATERIALIZED (SELECT
+         |    list(CAST(c AS HUGEINT)
+         |      - (l0 - b0 * (${hwPeriod - 1} - m)) ORDER BY m) AS q
+         |  FROM monthly, init WHERE m < $hwPeriod),
+         |itw(t, s, b, q, sh, f) AS (
+         |  SELECT CAST(${hwPeriod - 1} AS BIGINT), init.l0, init.b0,
+         |    seas0.q, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+         |  FROM init, seas0
+         |  UNION ALL
+         |  SELECT it.t + 1,
+         |    $l1,
+         |    ($holtBeta * (($l1) - it.s)
+         |      + ${1000000L - holtBeta} * it.b) // 1000000,
+         |    it.q[2:$hwPeriod] || [($hwGamma * (mo.c - ($l1))
+         |      + ${1000000L - hwGamma} * it.q[1]) // 1000000],
+         |    it.q[1],
+         |    it.s + it.b + it.q[1]
+         |  FROM itw it JOIN monthly mo ON mo.m = it.t + 1),
+         |he AS (SELECT abs(mo.c - it.f) AS e FROM ith it
+         |  JOIN monthly mo ON mo.m = it.t WHERE mo.m >= $cut),
+         |we AS (SELECT abs(mo.c - it.f) AS e FROM itw it
+         |  JOIN monthly mo ON mo.m = it.t WHERE mo.m >= $cut),
+         |ne AS (SELECT abs(a.c - b.c) AS e FROM monthly a
+         |  JOIN monthly b ON b.m = a.m - $hwPeriod WHERE a.m >= $cut),
+         |agg AS (
+         |  SELECT 'holt' AS model, count(*) AS n_months,
+         |    CAST(sum(e) AS BIGINT) AS tot FROM he
+         |  UNION ALL SELECT 'holt_winters', count(*),
+         |    CAST(sum(e) AS BIGINT) FROM we
+         |  UNION ALL SELECT 'seasonal_naive', count(*),
+         |    CAST(sum(e) AS BIGINT) FROM ne),
+         |fin AS MATERIALIZED (SELECT model,
+         |    CAST(n_months AS BIGINT) AS n_months,
+         |    tot AS total_abs_err_cents, tot // n_months AS mae_cents
+         |  FROM agg)
+         |SELECT model, n_months, total_abs_err_cents, mae_cents,
+         |  mae_cents = (SELECT min(mae_cents) FROM fin) AS is_best
+         |FROM fin ORDER BY model""".stripMargin
+    },
     // the identical two-season init and triple recurrence, the 12-slot
     // seasonal ring carried as a HUGEINT LIST rotated q[2:12] || [q']
     // each recursive step (1-based inclusive slicing: elements 2..12),

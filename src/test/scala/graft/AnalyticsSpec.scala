@@ -735,6 +735,19 @@ class AnalyticsSpec extends SparkSpec {
       SparkEntry.queries("q303_holt_winters")(spark, shortDir).collect()
     }
     assert(e.getMessage.contains("q303"))
+    // q306 backtest on the same planted series: Holt-Winters wins with
+    // EXACTLY zero out-of-fit error; seasonal-naive misses by the trend
+    // (|c_t − c_{t−12}| = 12B = 24 every month); linear Holt misses by
+    // the unmodeled seasonal and never flags best
+    val bt = SparkEntry.queries("q306_forecast_backtest")(spark, dir)
+      .orderBy("model").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val Array(holt, hw, naive) = bt
+    assert(hw === ("holt_winters", 6L, 0L, 0L, true), bt.mkString(","))
+    assert(naive === ("seasonal_naive", 6L, 144L, 24L, false), bt.mkString(","))
+    assert(holt._1 === "holt" && holt._2 === 6L && holt._3 > 0L && !holt._5,
+      bt.mkString(","))
   }
 
   test("q301 RFM: cells partition the customer base, quintiles deal evenly, and the segment mapping is consistent") {
