@@ -1560,12 +1560,15 @@ object Stats extends QueryModule {
     * engines. Output: one row per month from t = p on (the first
     * season is fit, not forecast) + the seasonal-aware horizon.
     */
-  /** The shared monthly-revenue series: ONE month-keyed hash aggregate
-    * (the only corpus-sized work in the q300/q303/q306 family), rebased
-    * to series-start and collected — calendar-bounded, ≤ a few hundred
-    * rows for decades of data at ANY corpus scale. */
-  private def monthlySeries(s: org.apache.spark.sql.SparkSession,
-      d: String): Array[(Long, Long)] = {
+  /** The shared REBASED monthly-revenue frame `(m, c)`: ONE month-keyed
+    * hash aggregate (the only corpus-sized work in the whole
+    * q277/q300/q303/q306/q307 time-series family), month indices rebased
+    * to series-start so every downstream moment product (m·c, m²,
+    * deviation²) stays far from the epoch-month-code overflow edge.
+    * Calendar-bounded: ≤ a few hundred rows for decades of data at ANY
+    * corpus scale. */
+  private def monthlyFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val raw = Tables.orders(s, d)
       .select(((year(to_date(col("o_orderdate"))) * 12) +
         month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
@@ -1574,9 +1577,15 @@ object Stats extends QueryModule {
       .groupBy("m").agg(sum("cents").as("c"))
     raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
       .select((col("m") - col("m0")).as("m"), col("c"))
-      .orderBy("m").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
   }
+
+  /** [[monthlyFrame]], collected for the inherently sequential
+    * recurrences (q300/q303/q306) — calendar-bounded, so the collect is
+    * metadata-sized at any corpus scale. */
+  private def monthlySeries(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[(Long, Long)] =
+    monthlyFrame(s, d).orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
 
   /** The q300 recurrence as ONE shared pass (q306's backtest replays it —
     * a re-derivation could drift, the q295 merkleDeltaLevels lesson):
@@ -1713,17 +1722,10 @@ object Stats extends QueryModule {
 
   val theilSen: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val raw = Tables.orders(s, d)
-      .select(((year(to_date(col("o_orderdate"))) * 12) +
-        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
-        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
-          .cast("long").as("cents"))
-      .groupBy("m").agg(sum("cents").as("c"))
-    // rebase month indices to series-start: keeps every moment product
+    // the shared rebased frame: rebasing keeps every moment product
     // (m·c, m², n·Σmc) comfortably inside BIGINT — the epoch-month code
     // (~24k) would push n·Σmc past 2⁶³ on a large-revenue series
-    val monthly = raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
-      .select((col("m") - col("m0")).as("m"), col("c"))
+    val monthly = monthlyFrame(s, d)
     val a = monthly.select(col("m").as("m1"), col("c").as("c1"))
     val b = monthly.select(col("m").as("m2"), col("c").as("c2"))
     val slopes = a.join(b, col("m1") < col("m2"))
@@ -1748,6 +1750,58 @@ object Stats extends QueryModule {
     ols.crossJoin(med)
       .select(col("n_months"), col("n_pairs"),
         col("theilsen_slope_micro"), col("ols_slope_micro"))
+  }
+
+  /** q307 maximum lag (12 months — one annual cycle, the period q303's
+    * seasonal component and q224's index assume). */
+  private[graft] val acfMaxLag = 12
+
+  /** q307 — AUTOCORRELATION FUNCTION (ACF, Box–Jenkins 1970) of the
+    * monthly revenue series at lags 1..[[acfMaxLag]]: the model-selection
+    * diagnostic the whole forecast family rests on — a spike at lag 12
+    * is the EVIDENCE that q303's seasonal component (and q224's index,
+    * and q154's seasonal-naive baseline) model something real, where
+    * q300's linear Holt suffices on a spike-free series. q306 backtests
+    * the candidates after the fact; this reads the structure off the
+    * series before any model is fit.
+    *
+    * acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², reported in truncated
+    * ppm. Unlike the q300/q303 recurrences there is NO sequential
+    * dependency, so this stays fully distributed: the [[monthlyFrame]]
+    * aggregate, one broadcast 1-row (n, μ) pass, then a self-join on the
+    * CALENDAR-BOUNDED deviation frame (≤ hundreds of rows at any corpus
+    * scale — the q277 pair-join discipline) grouped by lag. Exactness:
+    * μ = Σc div n (truncated; exact on the spec's zero-sum seasonal
+    * fixture), deviation products ride DECIMAL(38,0) ≡ HUGEINT (safe to
+    * ~10¹⁴ cents of monthly deviation — documented bound, q277's
+    * ledger), and the ppm division is the sign-safe toward-zero CASE
+    * (q231's convention) in both engines. A constant series (den = 0)
+    * returns 0 rows rather than dividing by zero — loud in the spec,
+    * impossible on real revenue.
+    */
+  val acfDiagnostic: Q = (s, d) => {
+    val monthly = monthlyFrame(s, d)
+    val st = monthly.agg(count(lit(1)).as("n"), sum("c").as("tot"))
+      .select(col("n"), expr("tot div n").as("mu"))
+    val dev = monthly.crossJoin(broadcast(st))
+      .select(col("m"), (col("c") - col("mu")).as("dv"))
+    val den = dev.agg(
+      sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("dn"),
+      count(lit(1)).as("n_months"))
+    val a = dev.select(col("m").as("m1"), col("dv").as("d1"))
+    val b = dev.select(col("m").as("m2"), col("dv").as("d2"))
+    a.join(b, col("m2") > col("m1") &&
+        col("m2") <= col("m1") + lit(acfMaxLag.toLong))
+      .groupBy((col("m2") - col("m1")).cast("int").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(d1 AS DECIMAL(38,0)) * d2")).as("num"))
+      .crossJoin(broadcast(den))
+      .filter(col("dn") > 0)
+      .select(col("lag"), col("n_pairs"), col("n_months"),
+        expr("""CAST(CASE WHEN num >= 0 THEN (num * 1000000) div dn
+                ELSE -(((-num) * 1000000) div dn) END AS BIGINT)""")
+          .as("acf_ppm"))
+      .orderBy("lag")
   }
 
   /** q283 — SPLIT-CONFORMAL COVERAGE AUDIT (Mondrian / per-group,
@@ -1912,6 +1966,7 @@ object Stats extends QueryModule {
     "q300_holt_forecast" -> holtForecast,
     "q303_holt_winters" -> holtWinters,
     "q306_forecast_backtest" -> forecastBacktest,
+    "q307_acf" -> acfDiagnostic,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -2300,6 +2355,33 @@ object Stats extends QueryModule {
         |SELECT o.n_months, CAST(med.n_pairs AS BIGINT) AS n_pairs,
         |  med.theilsen_slope_micro, o.ols_slope_micro
         |FROM ols o CROSS JOIN med""".stripMargin,
+    // identical rebased monthly rollup, truncated integer mean, HUGEINT
+    // deviation products ≡ the Spark side's DECIMAL(38,0), the same
+    // sign-safe toward-zero ppm CASE
+    "q307_acf" ->
+      s"""WITH raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |st AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |dev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM st) AS dv FROM monthly),
+         |den AS (SELECT sum(dv * dv) AS dn, count(*) AS n_months FROM dev)
+         |SELECT CAST(b.m - a.m AS INT) AS lag, count(*) AS n_pairs,
+         |  (SELECT n_months FROM den) AS n_months,
+         |  CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |    THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM den)
+         |    ELSE -(((-sum(a.dv * b.dv)) * 1000000) // (SELECT dn FROM den))
+         |    END AS BIGINT) AS acf_ppm
+         |FROM dev a JOIN dev b
+         |  ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |WHERE (SELECT dn FROM den) > 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the identical estimator: same censoring rule, same calendar-bounded
     // histogram, and the same 1e12 fixed-point recurrence replayed as a
     // recursive CTE — the overflow-free (s//n)(n-d) + ((s%n)(n-d))//n

@@ -1618,6 +1618,40 @@ class AnalyticsSpec extends SparkSpec {
       100000000L, "OLS must be visibly dragged by the outlier")
   }
 
+  test("q307 ACF: the fixture diagnostic is bounded and a planted antisymmetric seasonal hits its exact lag-6/lag-12 ppm") {
+    // fixture corpus: 12 lags, pair counts exact, Cauchy-Schwarz bound
+    val r = q("q307_acf").collect()
+    val acfLags = graft.operators.Stats.acfMaxLag
+    assert(r.length === acfLags)
+    val nMonths = r(0).getAs[Long]("n_months")
+    r.foreach { row =>
+      val lag = row.getAs[Int]("lag")
+      assert(row.getAs[Long]("n_pairs") === nMonths - lag)
+      assert(math.abs(row.getAs[Long]("acf_ppm")) <= 1000000L, row.toString)
+    }
+    assert(r.map(_.getAs[Int]("lag")).toList === (1 to acfLags).toList)
+    // planted law: c_t = A + S[t mod 12] over 36 months with S
+    // ANTISYMMETRIC (S[i+6] = −S[i], so ΣS = 0 and μ = A exactly).
+    // Every lag-12 product is +S², every lag-6 product is −S², so
+    // acf(12) = (2E·1e6) div (3E) = 666666 and acf(6) = −833333
+    // EXACTLY, independent of the seasonal amplitudes — the
+    // hand-checkable law behind the q303 spike-reading
+    import spark.implicits._
+    val a6 = Vector(600L, 300L, 120L, 60L, 24L, 12L)
+    val S = a6 ++ a6.map(-_)
+    val A = 1000000L
+    val orders = (0 until 36).map { t =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01",
+        (A + S(t % 12)) / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftacf").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q307_acf")(spark, dir).collect()
+      .map(row => (row.getAs[Int]("lag"), row.getAs[Long]("acf_ppm"))).toMap
+    assert(got(12) === 666666L, got.toString)
+    assert(got(6) === -833333L, got.toString)
+  }
+
   test("q276 delta-peel equals the full re-enumeration row for row") {
     // the swap-safety pin: the delta shape subtracts exactly the
     // triangles lost to each round's removals, so the two trajectories
