@@ -837,6 +837,172 @@ object Stats extends QueryModule {
       .withColumn("significant", col("chi2_micro") > chiCritMicro)
   }
 
+  /** q308 — CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013: "Improving the Sensitivity of Online Controlled Experiments
+    * by Utilizing Pre-Experiment Data"): the adjustment every large
+    * experimentation platform applies before reading q169's test — each
+    * user's post-period metric Y is corrected by their PRE-period
+    * covariate X (Ŷ = Y − θ(X − X̄), θ = cov(X,Y)/var(X)), which strips
+    * the between-user variance the assignment already balanced and
+    * shrinks the confidence interval at zero cost in bias (θ is fitted
+    * POOLED across arms, so the correction is assignment-independent).
+    * Metric here: per-user purchase count, pre/post split at the
+    * observation window's midpoint day; arms are q169's md5 buckets.
+    *
+    * Plan: ONE user-keyed hash aggregate (map-side combinable
+    * conditional sums) STAGED once to a scratch leaf (the q283
+    * discipline — the moments pass and the adjusted pass both read it,
+    * never recomputing the corpus aggregate), one broadcast 1-row
+    * moments pass, then the per-arm rollup. Exactness: θ in truncated
+    * ppm via the sign-safe toward-zero CASE (q231), the per-user
+    * adjustment carried in integer MICRO-purchases (Y·10⁶ − θppm·X +
+    * shift, shift = (θppm·ΣX) div n — one globally-truncated constant,
+    * so Ŷ means shift identically across arms), every second moment in
+    * DECIMAL(38,0) ≡ HUGEINT. Headroom: the var-reduction ratio scales
+    * vy by 10¹², holding to ~10⁹ users × Y ~ 10² (q169's documented
+    * ledger convention); var_reduction_ppm = 1e6 − var(Ŷ)/var(Y) is
+    * ≥ 0 up to θ's ppm truncation by the Cauchy-Schwarz identity
+    * var(Y−θX) = var(Y) − cov²/var(X).
+    */
+  val cuped: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(expr(
+        "date_add(d0, CAST((datediff(d1, d0) + 1) div 2 AS INT))").as("split"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("split"), col("p")).otherwise(0L))
+          .as("x"),
+        sum(when(col("day") >= col("split"), col("p")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+    val tmp = graft.Scratch.dir("graft_cuped")
+    per.write.mode("overwrite").parquet(tmp)
+    val st = s.read.parquet(tmp)
+    val mom = st.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("n"), col("sx"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("covn"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("varn"))
+      .select(col("n"), col("sx"),
+        expr("""CAST(CASE WHEN varn = 0 THEN 0
+                WHEN covn >= 0 THEN (covn * 1000000) div varn
+                ELSE -(((-covn) * 1000000) div varn) END AS BIGINT)""")
+          .as("theta_ppm"))
+      .select(col("theta_ppm"),
+        expr("""CAST(CASE WHEN theta_ppm >= 0
+                THEN (CAST(theta_ppm AS DECIMAL(38,0)) * sx) div n
+                ELSE -((CAST(-theta_ppm AS DECIMAL(38,0)) * sx) div n)
+                END AS BIGINT)""").as("shift_micro"))
+    st.crossJoin(broadcast(mom))
+      .select(col("arm"), col("x"), col("y"), col("theta_ppm"),
+        expr("""CAST(y * CAST(1000000 AS DECIMAL(38,0))
+                - CAST(theta_ppm AS DECIMAL(38,0)) * x
+                + shift_micro AS BIGINT)""").as("yadj"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("x").as("pre_conv"), sum("y").as("post_conv"),
+        max("theta_ppm").as("theta_ppm"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum("yadj").as("sadj"),
+        sum(expr("CAST(yadj AS DECIMAL(38,0)) * yadj")).as("sadj2"))
+      .select(col("arm"), col("n_users"), col("pre_conv"), col("post_conv"),
+        col("theta_ppm"),
+        expr("""CAST((CAST(post_conv AS DECIMAL(38,0)) * 1000000)
+                div n_users AS BIGINT)""").as("mean_post_micro"),
+        expr("""CAST(CASE WHEN sadj >= 0 THEN sadj div n_users
+                ELSE -((-sadj) div n_users) END AS BIGINT)""")
+          .as("mean_cuped_micro"),
+        expr("""CAST(CASE WHEN CAST(n_users AS DECIMAL(38,0)) * syy
+                  - CAST(post_conv AS DECIMAL(38,0)) * post_conv = 0 THEN 0
+                ELSE 1000000 -
+                  ((CAST(n_users AS DECIMAL(38,0)) * sadj2
+                    - CAST(sadj AS DECIMAL(38,0)) * sadj) * 1000000)
+                  div ((CAST(n_users AS DECIMAL(38,0)) * syy
+                    - CAST(post_conv AS DECIMAL(38,0)) * post_conv)
+                    * 1000000000000)
+                END AS BIGINT)""").as("var_reduction_ppm"))
+      .orderBy("arm")
+  }
+
+  /** q309 hypotheses and boundaries. p₀/p₁ bracket the fixture's ~0.198
+    * purchase share so the walk is genuinely diffusive; the LLR
+    * increments and the ln 19 boundary (α = β = 0.05) are plan-time
+    * integer µnat constants embedded IDENTICALLY in the oracle SQL — no
+    * cross-engine transcendental is ever evaluated per row. */
+  private[graft] val sprtIncS = math.round(math.log(0.22 / 0.18) * 1e6)
+  private[graft] val sprtIncF = math.round(math.log(0.78 / 0.82) * 1e6)
+  private[graft] val sprtBound = math.round(math.log(19.0) * 1e6)
+
+  /** q309 — SPRT SEQUENTIAL TEST AUDIT (Wald 1945; the always-valid
+    * early-stopping readout next to q169's fixed-horizon χ² and q308's
+    * CUPED): per arm, walk the event stream in (ts, event_id) order
+    * accumulating the Bernoulli log-likelihood-ratio of H₁: p = 0.22 vs
+    * H₀: p = 0.18 (success = purchase), and report the FIRST trial where
+    * the walk exits (−ln 19, +ln 19) — accept_h1 above, accept_h0
+    * below, 'continue' if the stream ends inside. Answers "when could
+    * this experiment have stopped?" — the peeking problem q169's
+    * one-shot test cannot address.
+    *
+    * The global prefix-scan is inherently sequential, so the scale shape
+    * is TWO-PHASE (the q207 discipline): one (arm, day) hash aggregate,
+    * a cumsum window over the CALENDAR-BOUNDED day frame, then interval
+    * arithmetic marks candidate days — a day whose whole intra-day
+    * envelope [cum₀ + nF·incF, cum₀ + nS·incS] stays inside the
+    * boundaries PROVABLY contains no crossing and is never scanned.
+    * Only candidate days' events get the intra-day window, partitioned
+    * (arm, day) — always a bounded partition, never a global sort. The
+    * first crossing is the deterministic min-struct over (trial idx,
+    * llr); idx is unique per arm, so both engines pick the same row.
+    * Everything is BIGINT µnat sums — no doubles anywhere in the walk.
+    */
+  val sprtAudit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tr = Tables.events(s, d).select(
+      graft.functions.Hashing.md5Bucket(col("user_id"), 2).as("arm"),
+      to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", lit(sprtIncS))
+        .otherwise(lit(sprtIncF)).as("inc"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+    val byDay = tr.groupBy("arm", "day")
+      .agg(count(lit(1)).as("nd"), sum("inc").as("sd"), sum("succ").as("ns"))
+    val dw = Window.partitionBy("arm").orderBy("day")
+    val cum = byDay.select(col("arm"), col("day"), col("nd"), col("ns"),
+      (sum("sd").over(dw) - col("sd")).as("cum0"),
+      (sum("nd").over(dw) - col("nd")).as("t0"))
+    val cand = cum.filter(
+      col("cum0") + col("ns") * lit(sprtIncS) >= sprtBound ||
+        col("cum0") + (col("nd") - col("ns")) * lit(sprtIncF) <= -sprtBound)
+    val iw = Window.partitionBy("arm", "day").orderBy(col("ts"), col("event_id"))
+    val crossings = tr
+      .join(broadcast(cand.select("arm", "day", "cum0", "t0")),
+        Seq("arm", "day"))
+      .select(col("arm"),
+        (col("cum0") + sum("inc").over(iw)).as("llr"),
+        (col("t0") + row_number().over(iw)).as("idx"))
+      .filter(col("llr") >= sprtBound || col("llr") <= -sprtBound)
+      .groupBy("arm")
+      .agg(min(struct(col("idx"), col("llr"))).as("c"))
+      .select(col("arm"), col("c.idx").as("cidx"), col("c.llr").as("cllr"))
+    tr.groupBy("arm")
+      .agg(count(lit(1)).as("n_trials"), sum("succ").as("n_success"),
+        sum("inc").as("llr_final"))
+      .join(crossings, Seq("arm"), "left")
+      .select(col("arm"), col("n_trials"), col("n_success"),
+        expr(s"""CASE WHEN cidx IS NULL THEN 'continue'
+                WHEN cllr >= $sprtBound THEN 'accept_h1'
+                ELSE 'accept_h0' END""").as("decision"),
+        coalesce(col("cidx"), col("n_trials")).as("n_at_decision"),
+        coalesce(col("cllr"), col("llr_final")).as("llr_micro"))
+      .orderBy("arm")
+  }
+
   /** Shared input of q173/q174: per-user (score, label) with score = view
     * count (the behavioral predictor) and label = ever-purchased — ONE
     * hash aggregate over events, map-side combinable, then collapsed to
@@ -1967,6 +2133,8 @@ object Stats extends QueryModule {
     "q303_holt_winters" -> holtWinters,
     "q306_forecast_backtest" -> forecastBacktest,
     "q307_acf" -> acfDiagnostic,
+    "q308_cuped" -> cuped,
+    "q309_sprt" -> sprtAudit,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -2382,6 +2550,98 @@ object Stats extends QueryModule {
          |  ON b.m > a.m AND b.m <= a.m + $acfMaxLag
          |WHERE (SELECT dn FROM den) > 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the identical staged shape replayed flat: same midpoint-day split,
+    // same md5 arms, pooled θ in the same sign-safe toward-zero ppm,
+    // HUGEINT second moments ≡ the Spark side's DECIMAL(38,0)
+    "q308_cuped" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2 AS INT)
+         |    AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |mom AS (SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+         |      - CAST(sum(x) AS HUGEINT) * sum(y) AS covn,
+         |    CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+         |      - CAST(sum(x) AS HUGEINT) * sum(x) AS varn
+         |  FROM per),
+         |th AS (SELECT n, sx,
+         |    CAST(CASE WHEN varn = 0 THEN 0
+         |      WHEN covn >= 0 THEN (covn * 1000000) // varn
+         |      ELSE -(((-covn) * 1000000) // varn) END AS BIGINT) AS theta_ppm
+         |  FROM mom),
+         |sh AS MATERIALIZED (SELECT theta_ppm,
+         |    CAST(CASE WHEN theta_ppm >= 0
+         |      THEN (CAST(theta_ppm AS HUGEINT) * sx) // n
+         |      ELSE -((CAST(-theta_ppm AS HUGEINT) * sx) // n)
+         |      END AS BIGINT) AS shift_micro
+         |  FROM th),
+         |adj AS MATERIALIZED (SELECT arm, x, y,
+         |    CAST(CAST(y AS HUGEINT) * 1000000
+         |      - CAST((SELECT theta_ppm FROM sh) AS HUGEINT) * x
+         |      + (SELECT shift_micro FROM sh) AS BIGINT) AS yadj
+         |  FROM per),
+         |pa AS (SELECT arm, count(*) AS n_users,
+         |    CAST(sum(x) AS BIGINT) AS pre_conv,
+         |    CAST(sum(y) AS BIGINT) AS post_conv,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy,
+         |    CAST(sum(yadj) AS HUGEINT) AS sadj,
+         |    sum(CAST(yadj AS HUGEINT) * yadj) AS sadj2
+         |  FROM adj GROUP BY arm)
+         |SELECT arm, n_users, pre_conv, post_conv,
+         |  (SELECT theta_ppm FROM sh) AS theta_ppm,
+         |  CAST((CAST(post_conv AS HUGEINT) * 1000000) // n_users AS BIGINT)
+         |    AS mean_post_micro,
+         |  CAST(CASE WHEN sadj >= 0 THEN sadj // n_users
+         |    ELSE -((-sadj) // n_users) END AS BIGINT) AS mean_cuped_micro,
+         |  CAST(CASE WHEN n_users * syy
+         |      - CAST(post_conv AS HUGEINT) * post_conv = 0 THEN 0
+         |    ELSE 1000000 - ((n_users * sadj2 - sadj * sadj) * 1000000)
+         |      // ((n_users * syy - CAST(post_conv AS HUGEINT) * post_conv)
+         |        * 1000000000000)
+         |    END AS BIGINT) AS var_reduction_ppm
+         |FROM pa ORDER BY arm""".stripMargin,
+    // the same µnat constants embedded literally; the oracle replays the
+    // walk FLAT (one window cumsum per arm — fine at oracle scale) and
+    // picks the first crossing with min/arg_min on the unique trial idx,
+    // exactly the engine's min-struct tie-break
+    "q309_sprt" ->
+      s"""WITH tr AS (SELECT
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm,
+         |    ts, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN $sprtIncS
+         |      ELSE $sprtIncF END AS inc,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+         |  FROM events),
+         |sc AS (SELECT arm,
+         |    CAST(sum(inc) OVER (PARTITION BY arm ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+         |    row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+         |      AS idx
+         |  FROM tr),
+         |tot AS (SELECT arm, count(*) AS n_trials,
+         |    CAST(sum(succ) AS BIGINT) AS n_success,
+         |    CAST(sum(inc) AS BIGINT) AS llr_final
+         |  FROM tr GROUP BY arm),
+         |crs AS (SELECT arm, min(idx) AS cidx, arg_min(llr, idx) AS cllr
+         |  FROM sc WHERE llr >= $sprtBound OR llr <= -$sprtBound
+         |  GROUP BY arm)
+         |SELECT t.arm, t.n_trials, t.n_success,
+         |  CASE WHEN c.cidx IS NULL THEN 'continue'
+         |    WHEN c.cllr >= $sprtBound THEN 'accept_h1'
+         |    ELSE 'accept_h0' END AS decision,
+         |  COALESCE(c.cidx, t.n_trials) AS n_at_decision,
+         |  COALESCE(c.cllr, t.llr_final) AS llr_micro
+         |FROM tot t LEFT JOIN crs c ON t.arm = c.arm
+         |ORDER BY t.arm""".stripMargin,
     // the identical estimator: same censoring rule, same calendar-bounded
     // histogram, and the same 1e12 fixed-point recurrence replayed as a
     // recursive CTE — the overflow-free (s//n)(n-d) + ((s%n)(n-d))//n

@@ -1652,6 +1652,107 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6) === -833333L, got.toString)
   }
 
+  test("q308 CUPED: fixture arms partition users; a planted linear covariate gives exact theta and 100% variance kill") {
+    val r = q("q308_cuped").collect()
+    assert(r.length === 2)
+    assert(r.map(_.getAs[Long]("arm")).toList === List(0L, 1L))
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(r.map(_.getAs[Long]("n_users")).sum ===
+      ev.select("user_id").distinct().count())
+    assert(r.map(x => x.getAs[Long]("pre_conv") + x.getAs[Long]("post_conv"))
+      .sum === ev.filter(org.apache.spark.sql.functions
+        .col("event_type") === "purchase").count())
+    r.foreach { row =>
+      assert(row.getAs[Long]("var_reduction_ppm") <= 1000000L, row.toString)
+      assert(row.getAs[Long]("mean_post_micro") ===
+        row.getAs[Long]("post_conv") * 1000000L / row.getAs[Long]("n_users"))
+    }
+    // planted law: user i makes i purchases pre-split and 3i post-split,
+    // so Y = 3X exactly → θ = cov/var = 3 (3000000 ppm, division-exact),
+    // every adjusted value collapses to the one global constant
+    // shift = (θppm·ΣX) div n = (3e6·820) div 40 = 61500000, and BOTH
+    // arms report a 100% variance kill — the Cauchy-Schwarz identity
+    // var(Y−θX) = var(Y) − cov²/var(X) hit at its floor
+    import spark.implicits._
+    val d1 = 1704067200L * 1000000000L  // 2024-01-01 UTC, nanos
+    val d30 = 1706572800L * 1000000000L // 2024-01-30 UTC
+    val rows = (1 to 40).flatMap { i =>
+      (1 to i).map(k =>
+        (i * 1000L + k, d1 + k * 1000L, i.toLong, "purchase", 1.0, "{}")) ++
+      (1 to 3 * i).map(k =>
+        (i * 100000L + k, d30 + k * 1000L, i.toLong, "purchase", 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftcuped").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q308_cuped")(spark, dir).collect()
+    assert(got.length === 2)
+    got.foreach { row =>
+      assert(row.getAs[Long]("theta_ppm") === 3000000L, row.toString)
+      assert(row.getAs[Long]("post_conv") === 3L * row.getAs[Long]("pre_conv"))
+      assert(row.getAs[Long]("mean_cuped_micro") === 61500000L, row.toString)
+      assert(row.getAs[Long]("var_reduction_ppm") === 1000000L, row.toString)
+    }
+  }
+
+  test("q309 SPRT: fixture decisions are boundary-consistent; planted pure streams stop at the exact computable trial") {
+    val bound = graft.operators.Stats.sprtBound
+    val incS = graft.operators.Stats.sprtIncS
+    val incF = graft.operators.Stats.sprtIncF
+    val r = q("q309_sprt").collect()
+    assert(r.length === 2)
+    r.foreach { row =>
+      val dec = row.getAs[String]("decision")
+      val llr = row.getAs[Long]("llr_micro")
+      val nAt = row.getAs[Long]("n_at_decision")
+      val n = row.getAs[Long]("n_trials")
+      assert(row.getAs[Long]("n_success") <= n)
+      assert(nAt <= n)
+      dec match {
+        case "accept_h1" => assert(llr >= bound, row.toString)
+        case "accept_h0" => assert(llr <= -bound, row.toString)
+        case "continue"  => assert(nAt === n && math.abs(llr) < bound,
+          row.toString)
+        case other => fail(s"unknown decision $other")
+      }
+    }
+    // planted pure-success stream: every trial adds incS, so the walk
+    // crosses +ln19 at EXACTLY ceil(bound/incS) trials — computable by
+    // hand from the embedded constants (15 at the shipped p0/p1/α)
+    import spark.implicits._
+    val t0 = 1704067200L * 1000000000L
+    def plant(tpe: String, perUser: Int): String = {
+      val rows = (1 to 4).flatMap { u =>
+        (1 to perUser).map(k =>
+          (u * 1000L + k, t0 + (u * perUser + k) * 60_000_000_000L,
+            u.toLong, tpe, 1.0, "{}"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graftsprt").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val nS = (bound + incS - 1) / incS
+    val up = SparkEntry.queries("q309_sprt")(spark, plant("purchase", 30))
+      .collect()
+    assert(up.nonEmpty)
+    up.foreach { row =>
+      assert(row.getAs[String]("decision") === "accept_h1", row.toString)
+      assert(row.getAs[Long]("n_at_decision") === nS, row.toString)
+      assert(row.getAs[Long]("llr_micro") === nS * incS, row.toString)
+    }
+    // planted pure-failure stream: crosses −ln19 at ceil(bound/|incF|)
+    val nF = (bound + (-incF) - 1) / (-incF)
+    val down = SparkEntry.queries("q309_sprt")(spark, plant("view", 70))
+      .collect()
+    assert(down.nonEmpty)
+    down.foreach { row =>
+      assert(row.getAs[String]("decision") === "accept_h0", row.toString)
+      assert(row.getAs[Long]("n_at_decision") === nF, row.toString)
+      assert(row.getAs[Long]("llr_micro") === nF * incF, row.toString)
+    }
+  }
+
   test("q276 delta-peel equals the full re-enumeration row for row") {
     // the swap-safety pin: the delta shape subtracts exactly the
     // triangles lost to each round's removals, so the two trajectories
