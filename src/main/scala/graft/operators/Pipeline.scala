@@ -608,6 +608,70 @@ object Pipeline extends QueryModule {
       .orderBy("round", "source")
   }
 
+  /** q310 hashed-feature space: 4096 md5 buckets — fixed-size by
+    * construction, so BOTH bucket LMs are ≤4096-row tables at any
+    * corpus scale (the whole point of DSIR's hashing step). */
+  private[graft] val dsirBuckets = 4096
+
+  /** q310 — DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the companion to
+    * q296's DoReMi: DoReMi reweights DOMAINS, DSIR scores individual
+    * DOCUMENTS): estimate a target-distribution LM and a raw-pool LM
+    * over hashed unigram buckets, and weight each document by
+    * Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)] — positive
+    * means "more target-like than the pool average", the resampling
+    * key for building a target-flavored training subset. Target here:
+    * the `lang = 'en'` slice (language-targeted selection, DSIR's own
+    * headline use); raw: the whole corpus.
+    *
+    * Scale shape: ONE tokenize+hash pass to (doc, bucket) counts; the
+    * raw bucket LM re-aggregates that frame (q170's c2-from-c3 move —
+    * never a second corpus pass) and both LMs are ≤[[dsirBuckets]]-row
+    * tables BROADCAST to the scoring join, so scoring is map-side; the
+    * output is the per-source rollup (source-count-sized). Selection is
+    * the w > 0 filter — a pure predicate, no global rank (the
+    * resampling-threshold variant; a top-K build would swap in q207's
+    * two-phase rank). Exactness: the add-1 smoothed log ratio
+    * ln((ct+1)(Nr+B) / ((cr+1)(Nt+B))) is evaluated once per BUCKET in
+    * double and rounded to integer µnats (q94's discipline — operands
+    * enter the double domain as exactly-converted integers), per-doc
+    * sums are BIGINT, per-source sums ride DECIMAL(38,0), and the mean
+    * is the sign-safe toward-zero div.
+    */
+  val dsirWeights: Q = (s, d) => {
+    val db = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(toks).as("term"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.functions.Hashing.md5Bucket(col("term"), dsirBuckets).as("b"))
+      .groupBy("doc_id", "source", "lang", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val raw = db.groupBy("b").agg(sum("cnt").as("cr"))
+    val tgt = db.filter(col("lang") === "en")
+      .groupBy("b").agg(sum("cnt").as("ct"))
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(raw.agg(sum("cr").as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum("ct").as("nt"))))
+      .select(col("b"), expr(
+        s"""CAST(round(ln((CAST(ct + 1 AS DOUBLE) * (nr + $dsirBuckets))
+           / (CAST(cr + 1 AS DOUBLE) * (nt + $dsirBuckets))) * 1000000)
+           AS BIGINT)""").as("lam"))
+    db.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt") * col("lam")).as("w"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(expr("CAST(w AS DECIMAL(38,0))")).as("sw"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        expr("(n_selected * 1000000) div n_docs").as("sel_ppm"),
+        expr("""CAST(CASE WHEN sw >= 0 THEN sw div n_docs
+                ELSE -((-sw) div n_docs) END AS BIGINT)""")
+          .as("mean_w_micro"))
+      .orderBy("source")
+  }
+
   /** Epoch count for the q207 training-order generator. */
   private val shuffleEpochs = 3
 
@@ -1171,6 +1235,7 @@ object Pipeline extends QueryModule {
     "q207_epoch_shuffle" -> epochShuffle,
     "q293_curriculum" -> curriculum,
     "q296_domain_reweight" -> domainReweight,
+    "q310_dsir_weights" -> dsirWeights,
     "q172_shard_balance" -> shardBalance,
     "q143_weighted_sample" -> weightedSample,
     "q127_negative_sampling" -> negativeSampling,
@@ -1244,6 +1309,42 @@ n$k AS (SELECT CAST($k AS INT) AS round, source, n_docs, loss_micro,
 
   def oracles: Map[String, String] = Map(
     "q296_domain_reweight" -> duckReweightSql,
+    // same hash buckets (md5 first-8-hex, non-negative so % ≡ pmod),
+    // same add-1 smoothed per-BUCKET double log rounded once to µnats,
+    // HUGEINT source sums ≡ DECIMAL(38,0), sign-safe toward-zero mean
+    "q310_dsir_weights" -> {
+      val B = dsirBuckets
+      raw"""WITH db AS MATERIALIZED (SELECT doc_id, source, lang,
+         |    ${graft.functions.Hashing.duckMd5Bucket("term", B)} AS b,
+         |    count(*) AS cnt
+         |  FROM (SELECT doc_id, source, lang, unnest($duckToks) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2, 3, 4),
+         |raw AS MATERIALIZED (SELECT b, CAST(sum(cnt) AS BIGINT) AS cr
+         |  FROM db GROUP BY 1),
+         |tgt AS MATERIALIZED (SELECT b, CAST(sum(cnt) AS BIGINT) AS ct
+         |  FROM db WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+         |    (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+         |lam AS MATERIALIZED (SELECT raw.b,
+         |    CAST(round(ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+         |        * (tot.nr + $B))
+         |      / (CAST(raw.cr + 1 AS DOUBLE) * (tot.nt + $B))) * 1000000)
+         |      AS BIGINT) AS lam
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+         |w AS (SELECT doc_id, source, CAST(sum(cnt * lam) AS BIGINT) AS w
+         |  FROM db JOIN lam USING (b) GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_selected,
+         |  CAST((sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS sel_ppm,
+         |  CAST(CASE WHEN sum(CAST(w AS HUGEINT)) >= 0
+         |    THEN sum(CAST(w AS HUGEINT)) // count(*)
+         |    ELSE -((-sum(CAST(w AS HUGEINT))) // count(*))
+         |    END AS BIGINT) AS mean_w_micro
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // both legs re-derived verbatim: the q278 passage-BM25 CTEs with the
     // per-query term pick, the q47 IVF assignment with the sample-
     // restricted probe (WHERE before window = the semi-join before the

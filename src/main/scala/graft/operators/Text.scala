@@ -945,7 +945,11 @@ object Text extends QueryModule {
     * is non-negative, and the final per-source `div` truncates
     * identically in both engines.
     */
-  val trigramLm: Q = (s, d) => {
+  /** The shared q170/q311 trigram frame: per doc, ARRAY-LOCAL trigram
+    * formation (no window shuffle — a document never leaves its
+    * partition to be trigrammed) plus the q75 md5 split bucket, with the
+    * token array kept for the train-vocab pass. */
+  private def triFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
     val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
     val base = docs.select(col("doc_id"), col("source"),
@@ -957,6 +961,11 @@ object Text extends QueryModule {
           ELSE array() END""")).as("g3"))
       .withColumn("g2",
         expr("concat_ws(' ', split(g3, ' ')[0], split(g3, ' ')[1])"))
+    (base, tri)
+  }
+
+  val trigramLm: Q = (s, d) => {
+    val (base, tri) = triFrame(s, d)
     val c3 = tri.filter(col("bk") < 80)
       .groupBy("g2", "g3").agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy("g2").agg(sum("c3").as("c2"))
@@ -976,6 +985,88 @@ object Text extends QueryModule {
         count(lit(1)).as("n_trigrams"), sum("mu").as("sum_mu"))
       .select(col("source"), col("n_docs"), col("n_trigrams"),
         expr("sum_mu div n_trigrams").as("xent_micro"))
+      .orderBy("source")
+  }
+
+  /** q311 — INTERPOLATED KNESER–NEY trigram LM (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form — the smoothing KenLM
+    * ships and the CCNet quality-filter pipeline actually runs, where
+    * q170 deliberately stops at add-1): the lower-order model is built
+    * from CONTINUATION counts (how many distinct contexts a word
+    * completes), not raw frequency — the "san francisco" property: a
+    * word glued to one context scores low after unseen contexts no
+    * matter how often its one collocation occurs. Same split, trigram
+    * plumbing, and per-source leaderboard as q170, so the two smoothers
+    * read side by side on identical n_trigrams.
+    *
+    * EXACT-RATIONAL formulation (no per-level float): discount D = 3/4,
+    * so every probability is a ratio of integers in QUARTER units —
+    *   p₁(w₃)        = (4·N₁(w₃) + 1) / (4·T + V + 1)
+    *   p₂(w₃|w₂)     = (max(4·Nc−3, 0) + 3·Nm(w₂)·p₁) / (4·Ncc(w₂))
+    *   p₃(w₃|w₁w₂)   = (max(4·c₃−3, 0) + 3·N₃(w₁w₂)·p₂) / (4·c₂)
+    * with Nc = distinct left-extensions of the bigram (w₂,w₃), Ncc/Nm =
+    * their per-middle totals, N₁/T/V over the trigram-derived bigram
+    * type set (+1 in p₁'s numerator = the OOV floor, so every score is
+    * finite); unseen context backs off a level (c₂ = 0 → p₂; Ncc = 0 →
+    * p₁). Numerator/denominator ride DECIMAL(38,0) ≡ HUGEINT
+    * (den₃ = 16·c₂·Ncc·(4T+V+1) ≤ ~10³⁰ at corpus scale — documented
+    * headroom to 38 digits), and ONE ln per scored trigram converts the
+    * exact rational to µnats (q94's discipline). Σ_w₃ p ≤ 1 at every
+    * level, so mu ≥ 0 — the spec pins it.
+    *
+    * Plan: the c₃ table is the one corpus-sized aggregate; ctx/suffix/
+    * mid/unigram tables all re-aggregate c₃ (q170's c2-from-c3 move),
+    * scoring shuffles test trigrams to the count tables on their
+    * natural string keys (vocabulary-sized — joined, never broadcast;
+    * only the 1-row (T, V) globals are broadcast).
+    */
+  val knTrigramLm: Q = (s, d) => {
+    val (_, tri) = triFrame(s, d)
+    val c3 = tri.filter(col("bk") < 80)
+      .groupBy("g2", "g3").agg(count(lit(1)).as("c3"))
+    val ctx = c3.groupBy("g2")
+      .agg(sum("c3").as("c2"), count(lit(1)).as("n3"))
+    val suf = c3.select(expr("concat_ws(' ', split(g3, ' ')[1], split(g3, ' ')[2])")
+        .as("s23"))
+      .groupBy("s23").agg(count(lit(1)).as("nc"))
+    val mid = suf.select(expr("split(s23, ' ')[0]").as("w2"), col("nc"))
+      .groupBy("w2").agg(sum("nc").as("ncc"), count(lit(1)).as("nm"))
+    val uni = suf.select(expr("split(s23, ' ')[1]").as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("n1"))
+    val globals = uni.agg(sum("n1").as("t"), count(lit(1)).as("v"))
+    val scored = tri.filter(col("bk") >= 90)
+      .withColumn("s23",
+        expr("concat_ws(' ', split(g3, ' ')[1], split(g3, ' ')[2])"))
+      .withColumn("w2", expr("split(g3, ' ')[1]"))
+      .withColumn("w3", expr("split(g3, ' ')[2]"))
+      .join(c3.drop("g2"), Seq("g3"), "left")
+      .join(ctx, Seq("g2"), "left")
+      .join(suf, Seq("s23"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(globals))
+      .withColumn("n1q", expr("CAST(4 * coalesce(n1, 0) + 1 AS DECIMAL(38,0))"))
+      .withColumn("d1q", expr("CAST(4 * t + v + 1 AS DECIMAL(38,0))"))
+      .withColumn("num2", expr(
+        """CASE WHEN coalesce(ncc, 0) = 0 THEN n1q
+          |ELSE greatest(4 * coalesce(nc, 0) - 3, 0) * d1q + 3 * nm * n1q
+          |END""".stripMargin))
+      .withColumn("den2", expr(
+        "CASE WHEN coalesce(ncc, 0) = 0 THEN d1q ELSE 4 * ncc * d1q END"))
+      .withColumn("num3", expr(
+        """CASE WHEN coalesce(c2, 0) = 0 THEN num2
+          |ELSE greatest(4 * coalesce(c3, 0) - 3, 0) * den2 + 3 * n3 * num2
+          |END""".stripMargin))
+      .withColumn("den3", expr(
+        "CASE WHEN coalesce(c2, 0) = 0 THEN den2 ELSE 4 * c2 * den2 END"))
+      .select(col("doc_id"), col("source"), expr(
+        """CAST(round(ln(CAST(den3 AS DOUBLE) / CAST(num3 AS DOUBLE))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("mu_raw"))
+    scored.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_trigrams"), sum("mu_raw").as("sum_mu"))
+      .select(col("source"), col("n_docs"), col("n_trigrams"),
+        expr("sum_mu div n_trigrams").as("kn_xent_micro"))
       .orderBy("source")
   }
 
@@ -2150,6 +2241,7 @@ object Text extends QueryModule {
     "q240_fp_decontam" -> fpDecontam,
     "q291_exact_substring" -> exactSubstring,
     "q170_trigram_lm" -> trigramLm,
+    "q311_kneser_ney" -> knTrigramLm,
     "q158_rrf_fusion" -> rrfFusion,
     "q149_bm25" -> bm25,
     "q146_collocations" -> collocations,
@@ -2746,6 +2838,76 @@ object Text extends QueryModule {
          |  count(*) AS n_trigrams,
          |  CAST(sum(mu) // count(*) AS BIGINT) AS xent_micro
          |FROM sc GROUP BY 1 ORDER BY source""".stripMargin
+    },
+    // same trigram plumbing as q170; the quarter-unit KN rationals ride
+    // HUGEINT ≡ the Spark side's DECIMAL(38,0), the two backoff CASEs
+    // mirror exactly, and ONE ln per trigram converts the identical
+    // rational (exact-int-to-double, correctly-rounded divide) to µnats
+    "q311_kneser_ney" -> {
+      val bk = graft.functions.Hashing.duckMd5Bucket("doc_id", 100)
+      raw"""WITH base AS (SELECT doc_id, source,
+         |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)
+         |      AS tk,
+         |    $bk AS bk
+         |  FROM documents),
+         |tri AS (SELECT doc_id, source, bk,
+         |    unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS g3
+         |  FROM base),
+         |tg AS (SELECT doc_id, source, bk, g3,
+         |    array_to_string((string_split(g3, ' '))[1:2], ' ') AS g2,
+         |    array_to_string((string_split(g3, ' '))[2:3], ' ') AS s23,
+         |    (string_split(g3, ' '))[2] AS w2,
+         |    (string_split(g3, ' '))[3] AS w3
+         |  FROM tri),
+         |c3 AS MATERIALIZED (SELECT g2, g3, count(*) AS c3 FROM tg
+         |  WHERE bk < 80 GROUP BY 1, 2),
+         |ctx AS (SELECT g2, CAST(sum(c3) AS BIGINT) AS c2,
+         |    count(*) AS n3 FROM c3 GROUP BY 1),
+         |suf AS MATERIALIZED (SELECT
+         |    array_to_string((string_split(g3, ' '))[2:3], ' ') AS s23,
+         |    count(*) AS nc
+         |  FROM c3 GROUP BY 1),
+         |mid AS (SELECT (string_split(s23, ' '))[1] AS w2,
+         |    CAST(sum(nc) AS BIGINT) AS ncc, count(*) AS nm
+         |  FROM suf GROUP BY 1),
+         |uni AS MATERIALIZED (SELECT (string_split(s23, ' '))[2] AS w3,
+         |    count(*) AS n1 FROM suf GROUP BY 1),
+         |gl AS (SELECT CAST(sum(n1) AS BIGINT) AS t, count(*) AS v
+         |  FROM uni),
+         |sc AS (SELECT tg.doc_id, tg.source,
+         |    CAST(4 * COALESCE(uni.n1, 0) + 1 AS HUGEINT) AS n1q,
+         |    CAST(4 * gl.t + gl.v + 1 AS HUGEINT) AS d1q,
+         |    COALESCE(mid.ncc, 0) AS ncc, mid.nm AS nm,
+         |    COALESCE(suf.nc, 0) AS nc,
+         |    COALESCE(ctx.c2, 0) AS c2, ctx.n3 AS n3,
+         |    COALESCE(c3.c3, 0) AS c3
+         |  FROM tg LEFT JOIN c3 ON tg.g3 = c3.g3
+         |  LEFT JOIN ctx ON tg.g2 = ctx.g2
+         |  LEFT JOIN suf ON tg.s23 = suf.s23
+         |  LEFT JOIN mid ON tg.w2 = mid.w2
+         |  LEFT JOIN uni ON tg.w3 = uni.w3
+         |  CROSS JOIN gl
+         |  WHERE tg.bk >= 90),
+         |lv AS (SELECT doc_id, source,
+         |    CASE WHEN ncc = 0 THEN n1q
+         |      ELSE greatest(4 * nc - 3, 0) * d1q + 3 * nm * n1q
+         |      END AS num2,
+         |    CASE WHEN ncc = 0 THEN d1q ELSE 4 * ncc * d1q END AS den2,
+         |    c2, c3, n3
+         |  FROM sc),
+         |mu AS (SELECT doc_id, source,
+         |    CAST(round(ln(
+         |      CAST(CASE WHEN c2 = 0 THEN den2
+         |        ELSE 4 * c2 * den2 END AS DOUBLE)
+         |      / CAST(CASE WHEN c2 = 0 THEN num2
+         |        ELSE greatest(4 * c3 - 3, 0) * den2 + 3 * n3 * num2
+         |        END AS DOUBLE)) * 1000000) AS BIGINT) AS mu
+         |  FROM lv)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_trigrams,
+         |  CAST(sum(mu) // count(*) AS BIGINT) AS kn_xent_micro
+         |FROM mu GROUP BY 1 ORDER BY source""".stripMargin
     },
     "q158_rrf_fusion" ->
       raw"""WITH tk AS (SELECT doc_id,

@@ -126,6 +126,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q310 DSIR: sources partition the corpus and the ledger is internally consistent; a planted disjoint-vocabulary corpus separates perfectly") {
+    val rows = q("q310_dsir_weights").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_selected"), r.getAs[Long]("sel_ppm"),
+        r.getAs[Long]("mean_w_micro")))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum ===
+      graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { case (src, nd, ns, ppm, _) =>
+      assert(ns >= 0 && ns <= nd, src)
+      assert(ppm === ns * 1000000L / nd, src)
+    }
+    // planted separation: en docs draw from one vocabulary, zh docs from
+    // a disjoint one. Every en-exclusive bucket's log ratio is
+    // ln((Nr+B)/(Nt+B)) > 0 and every zh-exclusive bucket's is negative
+    // (its target count is 0 while its raw count dwarfs the smoothing),
+    // so DSIR must select ALL of the en source and NONE of the zh one
+    import spark.implicits._
+    val docs =
+      (0 until 10).map { i =>
+        (i.toLong, Seq.fill(25)("aqua brim").mkString(" "), "en", "s_en", 100L)
+      } ++ (0 until 10).map { i =>
+        (100L + i, Seq.fill(25)("zeta yot").mkString(" "), "zh", "s_zh", 100L)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graftdsir").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q310_dsir_weights")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_selected"), r.getAs[Long]("mean_w_micro"))).toMap
+    assert(got("s_en") === ((10L, 10L, got("s_en")._3)) &&
+      got("s_en")._3 > 0L, got.toString)
+    assert(got("s_zh") === ((10L, 0L, got("s_zh")._3)) &&
+      got("s_zh")._3 < 0L, got.toString)
+  }
+
   test("q89 stratified sample keeps roughly 10% per stratum") {
     q("q89_stratified_sample").collect().foreach { r =>
       val (n, kept) = (r.getLong(1), r.getLong(2))

@@ -377,6 +377,48 @@ class TextDedupSpec extends SparkSpec {
     assert(r(0).getAs[Long]("xent_micro") === 405465L)
   }
 
+  test("q311 Kneser-Ney: the san-francisco continuation law holds exactly; fixture scores are nonnegative on q170's identical trigram set") {
+    // fixture: the KN leaderboard scores the SAME test trigrams as
+    // q170's add-1 leaderboard (shared plumbing — structural pin), and
+    // Σp ≤ 1 at every level makes every µnat score nonnegative
+    val kn = q("q311_kneser_ney").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_trigrams"),
+        r.getAs[Long]("kn_xent_micro"))).toMap
+    val add1 = q("q170_trigram_lm").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_trigrams")).toMap
+    assert(kn.view.mapValues(_._1).toMap === add1)
+    kn.values.foreach { case (_, x) => assert(x >= 0L) }
+    // planted law (Kneser & Ney 1995's own motivating example): in
+    // train, "francisco" occurs ONLY after "san" (one continuation
+    // context) while "common" follows five distinct words; after an
+    // UNSEEN context both back off to the continuation unigram, so
+    // p(francisco) = 5/57 and p(common) = 21/57 (quarter units,
+    // d1q = 4T+V+1 = 4·12+8+1) — frequency alone could never separate
+    // them. Scores: round(ln(57/5)·1e6) and round(ln(57/21)·1e6).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 300L).toDF("doc_id")
+      .withColumn("bk", graft.functions.Hashing.md5Bucket(col("doc_id"), 100))
+      .as[(Long, Long)].collect()
+    val trainIds = ids.filter(_._2 < 80).map(_._1).take(2)
+    val testIds = ids.filter(_._2 >= 90).map(_._1).take(2)
+    val docs = Seq(
+      (trainIds(0), "z san francisco z san francisco z san francisco",
+        "en", "s_train", 47L),
+      (trainIds(1), "z u1 common u2 common u3 common u4 common u5 common",
+        "en", "s_train", 51L),
+      (testIds(0), "qq ww francisco", "en", "s_fr", 15L),
+      (testIds(1), "qq ww common", "en", "s_com", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftkn").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q311_kneser_ney")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_trigrams"),
+        r.getAs[Long]("kn_xent_micro"))).toMap
+    assert(got("s_fr") === ((1L, 2433613L)), got.toString)
+    assert(got("s_com") === ((1L, 998529L)), got.toString)
+  }
+
   test("q171 BPE pairs: doubled pairs count twice per occurrence, weights multiply by word frequency") {
     import spark.implicits._
     // corpus: "ab ab aaa" ×2 docs → wf: ab=4, aaa=2.
