@@ -1934,9 +1934,12 @@ object Stats extends QueryModule {
     * acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², reported in truncated
     * ppm. Unlike the q300/q303 recurrences there is NO sequential
     * dependency, so this stays fully distributed: the [[monthlyFrame]]
-    * aggregate, one broadcast 1-row (n, μ) pass, then a self-join on the
-    * CALENDAR-BOUNDED deviation frame (≤ hundreds of rows at any corpus
-    * scale — the q277 pair-join discipline) grouped by lag. Exactness:
+    * aggregate STAGED once to a scratch leaf (the deviation frame feeds
+    * BOTH pair-join sides and the denominator — unstaged, Spark would
+    * re-run the corpus rollup per branch), one broadcast 1-row (n, μ)
+    * pass, then a self-join on the CALENDAR-BOUNDED deviation frame
+    * (≤ hundreds of rows at any corpus scale — the q277 pair-join
+    * discipline) grouped by lag. Exactness:
     * μ = Σc div n (truncated; exact on the spec's zero-sum seasonal
     * fixture), deviation products ride DECIMAL(38,0) ≡ HUGEINT (safe to
     * ~10¹⁴ cents of monthly deviation — documented bound, q277's
@@ -1946,7 +1949,9 @@ object Stats extends QueryModule {
     * impossible on real revenue.
     */
   val acfDiagnostic: Q = (s, d) => {
-    val monthly = monthlyFrame(s, d)
+    val tmp = graft.Scratch.dir("graft_acf")
+    monthlyFrame(s, d).write.mode("overwrite").parquet(tmp)
+    val monthly = s.read.parquet(tmp)
     val st = monthly.agg(count(lit(1)).as("n"), sum("c").as("tot"))
       .select(col("n"), expr("tot div n").as("mu"))
     val dev = monthly.crossJoin(broadcast(st))

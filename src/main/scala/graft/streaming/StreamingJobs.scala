@@ -1101,6 +1101,95 @@ object StreamingJobs extends QueryModule {
 
   val streamAttribution: Q = (s, d) => streamAttributionRun(s, d)._1
 
+  /** q312 — STREAMING SPRT via flatMapGroupsWithState: q309's
+    * always-valid sequential monitor run AS a stream — the operator's
+    * natural home, since the whole point of Wald's test is deciding
+    * DURING collection, and the streaming form holds exactly the
+    * 5-long state the theory says suffices: (llr, trials, successes,
+    * crossing idx, crossing llr), cidx = −1L the undecided sentinel
+    * (the q147 convention). Once decided, the crossing point LATCHES
+    * while totals keep folding — matching the batch report, which
+    * carries whole-stream totals alongside the decision point. Same
+    * md5 arms and plan-time integer µnat constants as q309 (imported,
+    * not re-derived), same ts-range staged source as q285/q294
+    * (oldest-first arrival = event-time order; within a micro-batch
+    * the fold sorts by (t, event_id)), so the walk IS the batch walk —
+    * stream ≡ batch proven on q309's oracle verbatim, ≥ 4 genuine
+    * micro-batches with state carry pinned in StreamingSpec. Each
+    * invocation emits one snapshot row per arm; the final report keeps
+    * each arm's last snapshot (max n — strictly increasing, so the
+    * max-struct pick is deterministic) and derives the decision
+    * columns.
+    */
+  private[graft] def streamSprtRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val incS = graft.operators.Stats.sprtIncS
+    val incF = graft.operators.Stats.sprtIncF
+    val bound = graft.operators.Stats.sprtBound
+    val root = graft.Scratch.dir("graft_stream_sprt")
+    val src = stageEventRanges(s, d)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val snaps = stream
+      .select(graft.functions.Hashing.md5Bucket(col("user_id"), 2).as("arm"),
+        col("event_id"), col("event_type"), col("t"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (arm: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          val evs = it.toArray.sortBy(e => (e._4, e._2))
+          var (llr, n, nS, cidx, cllr) =
+            state.getOption.getOrElse((0L, 0L, 0L, -1L, 0L))
+          evs.foreach { case (_, _, tpe, _) =>
+            n += 1
+            if (tpe == "purchase") { nS += 1; llr += incS }
+            else llr += incF
+            if (cidx == -1L && (llr >= bound || llr <= -bound)) {
+              cidx = n; cllr = llr
+            }
+          }
+          state.update((llr, n, nS, cidx, cllr))
+          Iterator((arm, llr, n, nS, cidx, cllr))
+      }
+    val name = s"stream_sprt_${runId.incrementAndGet()}"
+    var batches = 0L
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = snaps.toDF("arm", "llr", "n", "n_succ", "cidx", "cllr")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("memory").queryName(name).start()
+      try q.awaitTermination()
+      finally { batches = q.recentProgress.count(_.numInputRows > 0); q.stop() }
+    }
+    val res = s.table(name)
+      .groupBy("arm")
+      .agg(max(struct(col("n"), col("llr"), col("n_succ"), col("cidx"),
+        col("cllr"))).as("m"))
+      .select(col("arm"), col("m.n").as("n_trials"),
+        col("m.n_succ").as("n_success"),
+        expr(s"""CASE WHEN m.cidx = -1 THEN 'continue'
+                WHEN m.cllr >= $bound THEN 'accept_h1'
+                ELSE 'accept_h0' END""").as("decision"),
+        expr("CASE WHEN m.cidx = -1 THEN m.n ELSE m.cidx END")
+          .as("n_at_decision"),
+        expr("CASE WHEN m.cidx = -1 THEN m.llr ELSE m.cllr END")
+          .as("llr_micro"))
+      .orderBy("arm")
+    val rows = java.util.Arrays.asList(res.collect(): _*)
+    val out = s.createDataFrame(rows, res.schema)
+    s.catalog.dropTempView(name)
+    (out, batches)
+  }
+
+  val streamSprt: Q = (s, d) => streamSprtRun(s, d)._1
+
   /** q299 — STREAMING MERKLE MAINTENANCE via foreachBatch: q295's
     * delta-update run as a CDC consumer — the q281/q295 change set
     * arrives as 4 ordered delta files (3 keys per micro-batch), and
@@ -1196,6 +1285,7 @@ object StreamingJobs extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q294_stream_attribution" -> streamAttribution,
+    "q312_stream_sprt" -> streamSprt,
     "q299_stream_merkle" -> streamMerkle,
     "q285_stream_funnel" -> streamFunnel,
     "q275_stream_scd2_enrich" -> streamScd2Enrich,
@@ -1220,6 +1310,8 @@ object StreamingJobs extends QueryModule {
       graft.operators.Events.oracles("q282_funnel_steps"),
     "q294_stream_attribution" ->
       graft.operators.Events.oracles("q292_multi_touch"),
+    "q312_stream_sprt" ->
+      graft.operators.Stats.oracles("q309_sprt"),
     "q299_stream_merkle" ->
       graft.operators.Storage.oracles("q295_merkle_maintain"),
     // the plain batch temporal join: q109's version chain + the identical

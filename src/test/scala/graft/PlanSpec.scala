@@ -500,6 +500,51 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("q307 ACF: the month rollup is STAGED — the final plan never scans orders; only 1-row crosses and the bounded lag pair join") {
+    val p = plan("q307_acf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus rollup ran ONCE into the scratch leaf; every self-join
+    // branch reads the ≤hundreds-row leaf, not the order stream
+    assert(!p.contains("orders"), p)
+    // the (n, mu) stats row and (den, n_months) row are 1-row crosses;
+    // the lag pair join is the range condition on the deviation frame
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("Cross") || l.contains("m1")), p)
+    assert(bnlj.size <= 8, s"${bnlj.size} nested loops\n$p")
+  }
+
+  test("q308 CUPED: the corpus aggregate is STAGED — the final plan reads the per-user leaf, never the event stream") {
+    val p = plan("q308_cuped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("events"), p)
+    // the one cross is the 1-row (theta, shift) moments broadcast
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+  }
+
+  test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {
+    val p = plan("q309_sprt")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("q310 DSIR: the bucket LM broadcasts onto the scoring join; only the two 1-row total crosses") {
+    val p = plan("q310_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2, p)
+    // the ≤4096-row λ table rides a broadcast hash join onto (doc, b)
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("q311 Kneser-Ney: count-table joins are equi-joins; the only cross is the 1-row (T, V) globals broadcast") {
+    val p = plan("q311_kneser_ney")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+  }
+
   test("q304 Apriori triples: level-wise joins only — semi-joins prune to frequent pairs, no cartesian, counts broadcast back") {
     val p = plan("q304_assoc_triples")
     assert(!p.contains("CartesianProduct"), p)

@@ -341,6 +341,29 @@ class StreamingSpec extends SparkSpec {
       r(3).asInstanceOf[Long] > 0L))
   }
 
+  test("q312 streaming SPRT ≡ q309 batch audit across genuine micro-batches; the decision latches") {
+    // in-order arrival (shared ts-range staging) makes the 5-long
+    // per-arm state walk the batch walk exactly: totals, decision,
+    // crossing trial, and crossing llr all match row for row, and the
+    // crossing point must LATCH at its first batch rather than drift
+    // as later batches keep folding totals
+    val (out, batches) = streaming.StreamingJobs.streamSprtRun(spark, sf)
+    val got = out.collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q309_sprt")(spark, sf)
+      .collect().map(_.toSeq).toList
+    assert(got === want, s"stream ≡ batch identity broke: $got vs $want")
+    assert(batches >= 4L, s"only $batches micro-batches — state carry untested")
+    // non-vacuous: both arms report and every decided arm sits beyond
+    // its boundary
+    assert(got.size === 2)
+    val bound = graft.operators.Stats.sprtBound
+    got.foreach { r =>
+      val (dec, llr) = (r(3).asInstanceOf[String], r(5).asInstanceOf[Long])
+      if (dec == "accept_h1") assert(llr >= bound)
+      if (dec == "accept_h0") assert(llr <= -bound)
+    }
+  }
+
   test("q299 streaming Merkle maintenance ≡ q295 batch incremental update across genuine micro-batches") {
     // the mod-p digest's additivity: four partial CDC folds must
     // compose to exactly the one-shot delta update
