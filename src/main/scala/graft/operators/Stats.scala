@@ -1975,6 +1975,57 @@ object Stats extends QueryModule {
       .orderBy("lag")
   }
 
+  /** q313 — PARTIAL AUTOCORRELATION FUNCTION (PACF) via the
+    * Durbin–Levinson recursion (Durbin 1960; the other half of the
+    * Box–Jenkins identification pair): where q307's ACF answers "is
+    * there structure at lag k at all", the PACF answers "does lag k add
+    * anything BEYOND the shorter lags" — the AR-order selector (an
+    * AR(p) series has PACF ≈ 0 past lag p; the spec plants a period-2
+    * alternation whose PACF collapses to truncation noise after lag 1,
+    * the textbook signature q307's raw ACF cannot show: its ACF stays
+    * near ±1 at EVERY lag).
+    *
+    * Exactness: the recursion runs entirely in ppm FIXED POINT with
+    * toward-zero truncation at every product — φ_{k,k} = (ρ_k·10⁶ −
+    * Σφ_{k−1,j}·ρ_{k−j}) div v_{k−1}, row update and innovation
+    * variance likewise — mirrored step for step by the oracle's
+    * recursive CTE, which carries the φ row as a HUGEINT LIST (q303's
+    * ring trick) and relies on DuckDB `//` ≡ Scala `/` toward-zero
+    * truncation (q277/q300's proven convention). Inputs are q307's ACF
+    * ppm values — the one corpus-sized pass is the shared staged month
+    * rollup; the recursion itself is ≤[[acfMaxLag]] steps on a
+    * collected 12-value vector (calendar-bounded at any corpus scale,
+    * the q298 metadata-sync rule). A (near-)deterministic series can
+    * drive the innovation variance v to 0, where φ is undefined — the
+    * walk stops there and reports the lags it proved (documented, not
+    * padded); a sub-[[acfMaxLag]] ACF (under 13 months of data) is
+    * refused loudly.
+    */
+  val pacfDiagnostic: Q = (s, d) => {
+    import s.implicits._
+    val rho0 = acfDiagnostic(s, d).select("lag", "acf_ppm").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(rho0.size == acfMaxLag,
+      s"q313: need $acfMaxLag ACF lags, got ${rho0.size} (series too short)")
+    val rho = (1 to acfMaxLag).map(rho0)
+    val out = Vector.newBuilder[(Int, Long)]
+    var phi = Vector(rho(0))
+    var v = 1000000L - (rho(0) * rho(0)) / 1000000L
+    out += ((1, rho(0)))
+    var k = 1
+    while (k < acfMaxLag && v > 0) {
+      val num = rho(k) * 1000000L -
+        (1 to k).map(j => phi(j - 1) * rho(k - j)).sum
+      val pk = num / v
+      phi = (1 to k).map(j => phi(j - 1) - (pk * phi(k - j)) / 1000000L)
+        .toVector :+ pk
+      v = (v * (1000000L - (pk * pk) / 1000000L)) / 1000000L
+      k += 1
+      out += ((k, pk))
+    }
+    out.result().toDF("lag", "pacf_ppm").orderBy("lag")
+  }
+
   /** q283 — SPLIT-CONFORMAL COVERAGE AUDIT (Mondrian / per-group,
     * Vovk 2005 / Papadopoulos 2002): the uncertainty-quantification gate
     * a pipeline runs before trusting any point predictor — wrap the
@@ -2138,6 +2189,7 @@ object Stats extends QueryModule {
     "q303_holt_winters" -> holtWinters,
     "q306_forecast_backtest" -> forecastBacktest,
     "q307_acf" -> acfDiagnostic,
+    "q313_pacf" -> pacfDiagnostic,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
     "q301_rfm_segments" -> rfmSegments,
@@ -2555,6 +2607,53 @@ object Stats extends QueryModule {
          |  ON b.m > a.m AND b.m <= a.m + $acfMaxLag
          |WHERE (SELECT dn FROM den) > 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q307's ACF CTEs verbatim, then the Durbin-Levinson recursion with
+    // the phi row carried as a HUGEINT LIST (q303's ring trick); every
+    // // is toward-zero ≡ the Scala side's Long division
+    "q313_pacf" -> {
+      val pk = "((r.rho[it.k + 1] * 1000000 - list_sum(" +
+        "list_transform(range(1, it.k + 1), " +
+        "j -> it.phi[j] * r.rho[it.k + 1 - j]))) // it.v)"
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |st AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |dev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM st) AS dv FROM monthly),
+         |den AS (SELECT sum(dv * dv) AS dn FROM dev),
+         |acf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM den)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM den))
+         |      END AS BIGINT) AS acf_ppm
+         |  FROM dev a JOIN dev b
+         |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM den) > 0
+         |  GROUP BY 1),
+         |r AS MATERIALIZED (SELECT
+         |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+         |    count(*) AS nl FROM acf),
+         |it(k, phi, v) AS (
+         |  SELECT 1, [r.rho[1]],
+         |    CAST(1000000 AS HUGEINT) - (r.rho[1] * r.rho[1]) // 1000000
+         |  FROM r
+         |  UNION ALL
+         |  SELECT it.k + 1,
+         |    list_transform(range(1, it.k + 1),
+         |      j -> it.phi[j] - ($pk * it.phi[it.k + 1 - j]) // 1000000)
+         |      || [$pk],
+         |    (it.v * (1000000 - ($pk * $pk) // 1000000)) // 1000000
+         |  FROM it, r WHERE it.k < $acfMaxLag AND it.v > 0 AND it.k < r.nl)
+         |SELECT CAST(k AS INT) AS lag, CAST(phi[k] AS BIGINT) AS pacf_ppm
+         |FROM it ORDER BY 1""".stripMargin
+    },
     // the identical staged shape replayed flat: same midpoint-day split,
     // same md5 arms, pooled θ in the same sign-safe toward-zero ppm,
     // HUGEINT second moments ≡ the Spark side's DECIMAL(38,0)

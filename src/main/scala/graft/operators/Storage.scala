@@ -846,6 +846,92 @@ object Storage extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** The order-3 Hilbert index over the q116 8×8 grid as ONE generated
+    * SQL expression — the Wikipedia xy2d walk unrolled (s = 4, 2, 1)
+    * into pure div/mod/CASE arithmetic (no bit ops, no UDF, engine-
+    * exact), textually shared by the Spark plan and the DuckDB oracle
+    * (only the integer-division token differs; both truncate toward
+    * zero on these nonnegative cells). HilbertSpec pins that the
+    * emitted expression IS a Hilbert curve: a bijection onto 0..63
+    * whose consecutive codes are always one grid step apart — the
+    * adjacency Morton provably lacks (z = 7 → 8 jumps (3,3) → (0,4)).
+    */
+  private[graft] def hilbertExpr(div: String): String = {
+    var x = "pb"; var y = "sb"; var acc = "0"
+    Seq(4, 2, 1).foreach { s =>
+      val rx = s"((($x) $div $s) % 2)"
+      val ry = s"((($y) $div $s) % 2)"
+      acc = s"$acc + ${s * s} * (CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END)"
+      val xn = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+        s" THEN 7 - ($y) ELSE ($y) END) ELSE ($x) END)"
+      val yn = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+        s" THEN 7 - ($x) ELSE ($x) END) ELSE ($y) END)"
+      x = xn; y = yn
+    }
+    acc
+  }
+
+  /** q116's Morton interleave over the same grid, shared for q314's
+    * side-by-side manifest. */
+  private[graft] val mortonExpr =
+    "(pb % 2) * 2 + (pb div 2 % 2) * 8 + (pb div 4 % 2) * 32 + " +
+      "(sb % 2) + (sb div 2 % 2) * 4 + (sb div 4 % 2) * 16"
+
+  /** q314 — HILBERT vs MORTON LAYOUT AUDIT: the locality comparison a
+    * lakehouse OPTIMIZE decides with before picking its clustering
+    * curve (Hilbert is what Databricks liquid clustering moved to; q116
+    * ships the Morton write path). Both curves are evaluated on the
+    * SAME 8×8 quantized (l_partkey, l_suppkey) grid, cells are packed
+    * into files of 6 consecutive curve positions — deliberately NOT a
+    * power of two, because power-of-two packing tiles both curves into
+    * identical rectangles (measured: equal spans at 4 and 8 cells/file)
+    * while real file boundaries never align to curve powers — and the
+    * per-file min/max manifest (exactly Iceberg's column bounds) rolls
+    * up to Σ span per dimension: the expected-files-touched proxy for a
+    * range filter. Hilbert's adjacency keeps every 6-run compact where
+    * Morton's bit-interleave jumps rip files across the grid (58 vs 74
+    * total span cells on the uniform grid; the fixture's skew shifts
+    * the numbers, not the winner).
+    *
+    * Scale shape: ONE corpus aggregate to the ≤64-cell histogram
+    * (q209's value-histogram discipline); every curve evaluation,
+    * bucket assignment, manifest row, and rollup runs on ≤64 rows —
+    * the audit costs one scan regardless of corpus size. Bucketing is
+    * `code div 6`, NOT repartitionByRange, so the oracle replays the
+    * file assignment exactly (q260's lesson).
+    */
+  val hilbertAudit: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ext = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    val cells = li.crossJoin(broadcast(ext))
+      .select(expr(
+        "CAST(((l_partkey - pmin) * 8) div (pmax - pmin + 1) AS INT)")
+        .as("pb"),
+        expr("CAST(((l_suppkey - smin) * 8) div (smax - smin + 1) AS INT)")
+          .as("sb"))
+      .groupBy("pb", "sb").agg(count(lit(1)).as("cnt"))
+    val coded = cells.select(col("pb"), col("sb"), col("cnt"),
+      expr(hilbertExpr("div")).as("h"), expr(mortonExpr).as("z"))
+    val man = coded
+      .select(lit("hilbert").as("layout"), expr("h div 6").as("bkt"),
+        col("pb"), col("sb"), col("cnt"))
+      .unionByName(coded.select(lit("morton").as("layout"),
+        expr("z div 6").as("bkt"), col("pb"), col("sb"), col("cnt")))
+      .groupBy("layout", "bkt")
+      .agg((max("pb") - min("pb") + 1).as("pspan"),
+        (max("sb") - min("sb") + 1).as("sspan"), sum("cnt").as("rows"))
+    man.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum("pspan").cast("long").as("sum_pspan"),
+        sum("sspan").cast("long").as("sum_sspan"),
+        max("pspan").cast("long").as("worst_pspan"),
+        max("sspan").cast("long").as("worst_sspan"),
+        sum("rows").as("n_rows"))
+      .orderBy("layout")
+  }
+
   /** q260 — CLUSTERING-DEPTH layout audit: the metric Delta/Iceberg
     * OPTIMIZE decides with — how much do the per-partition min/max spans
     * of a layout's clustering column OVERLAP? Two physical layouts of
@@ -1282,6 +1368,7 @@ object Storage extends QueryModule {
     "q108_merge_agg" -> mergeAgg,
     "q97_sorted_layout" -> sortedLayout,
     "q116_zorder_layout" -> zorderLayout,
+    "q314_hilbert_audit" -> hilbertAudit,
     "q260_clustering_depth" -> clusteringDepth,
     "q98_xml_roundtrip" -> xmlRoundtrip,
     "q66_bucketed_join" -> bucketedJoin,
@@ -1452,6 +1539,38 @@ object Storage extends QueryModule {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 5 AND 15
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the SAME generated Hilbert/Morton arithmetic (÷ token swapped), the
+    // same explicit code-div-6 packing — the manifest itself is checked,
+    // not a query through it (q260's convention)
+    "q314_hilbert_audit" ->
+      s"""WITH ext AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         |cells AS (SELECT
+         |    CAST(((l_partkey - pmin) * 8) // (pmax - pmin + 1) AS INT)
+         |      AS pb,
+         |    CAST(((l_suppkey - smin) * 8) // (smax - smin + 1) AS INT)
+         |      AS sb,
+         |    count(*) AS cnt
+         |  FROM lineitem, ext GROUP BY 1, 2),
+         |coded AS (SELECT pb, sb, cnt,
+         |    ${hilbertExpr("//")} AS h,
+         |    ${mortonExpr.replace(" div ", " // ")} AS z
+         |  FROM cells),
+         |man AS (SELECT layout, bkt,
+         |    max(pb) - min(pb) + 1 AS pspan,
+         |    max(sb) - min(sb) + 1 AS sspan,
+         |    sum(cnt) AS nr
+         |  FROM (SELECT 'hilbert' AS layout, h // 6 AS bkt, pb, sb, cnt
+         |      FROM coded
+         |    UNION ALL SELECT 'morton', z // 6, pb, sb, cnt FROM coded)
+         |  GROUP BY 1, 2)
+         |SELECT layout, count(*) AS n_files,
+         |  CAST(sum(pspan) AS BIGINT) AS sum_pspan,
+         |  CAST(sum(sspan) AS BIGINT) AS sum_sspan,
+         |  CAST(max(pspan) AS BIGINT) AS worst_pspan,
+         |  CAST(max(sspan) AS BIGINT) AS worst_sspan,
+         |  CAST(sum(nr) AS BIGINT) AS n_rows
+         |FROM man GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bucket assignment is pure div/mod arithmetic, so the oracle
     // recomputes the partition-level manifest and its overlap audit
     // exactly — the metric itself is checked, not just a query through it

@@ -1652,6 +1652,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6) === -833333L, got.toString)
   }
 
+  test("q313 PACF: fixture lags complete and pacf(1) = acf(1); a planted alternation collapses to truncation noise after lag 1") {
+    val r = q("q313_pacf").collect()
+      .map(x => (x.getAs[Int]("lag"), x.getAs[Long]("pacf_ppm")))
+    assert(r.nonEmpty && r.head === ((1,
+      q("q307_acf").collect()
+        .find(_.getAs[Int]("lag") == 1).get.getAs[Long]("acf_ppm"))),
+      "pacf(1) must equal acf(1) by definition")
+    assert(r.map(_._1).toList === (1 to r.length).toList)
+    // planted: 36 months alternating A ± s — an (extreme) AR(1)
+    // signature. The exact ACF is ±(36−k)/36 ppm-truncated at every
+    // lag (|acf| never drops below 0.66), yet the PACF collapses to
+    // ±1.7% truncation residue from lag 2 on: the whole alternation is
+    // explained by one lag — the AR-order read q307 alone cannot give.
+    // Expected values are the hand-run fixed-point Durbin-Levinson on
+    // the hand-derived ACF integers
+    import spark.implicits._
+    val orders = (0 until 36).map { t =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01",
+        (1000000L + (if (t % 2 == 0) 100L else -100L)) / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftpacf").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q313_pacf")(spark, dir).collect()
+      .map(x => (x.getAs[Int]("lag"), x.getAs[Long]("pacf_ppm"))).toList
+    val want = List((1, -972222L), (2, -14084L), (3, 14272L),
+      (4, -14477L), (5, 14698L), (6, -14943L), (7, 15159L), (8, -15376L),
+      (9, 15606L), (10, -15891L), (11, 16135L), (12, -16379L))
+    assert(got === want, got.toString)
+    // under 13 months the ACF vector is short and the fit refuses loudly
+    val shortDir = java.nio.file.Files.createTempDirectory("graftpacfs").toString
+    orders.limit(6).write.mode("overwrite").parquet(s"$shortDir/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q313_pacf")(spark, shortDir).collect()
+    }
+    assert(e.getMessage.contains("q313"))
+  }
+
   test("q308 CUPED: fixture arms partition users; a planted linear covariate gives exact theta and 100% variance kill") {
     val r = q("q308_cuped").collect()
     assert(r.length === 2)

@@ -344,4 +344,37 @@ class StorageSpec extends SparkSpec {
     // the full tree is present (every stored node reported, 256+16+1)
     assert(maintained.length === 273)
   }
+
+  test("q314 Hilbert audit: the generated expression IS a Hilbert curve; the fixture manifest favors it over Morton") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the generated arithmetic, evaluated over the whole 8×8 grid, must
+    // be a bijection onto 0..63 whose consecutive codes are exactly one
+    // grid step apart — the defining Hilbert property (Morton fails it:
+    // z = 7 → 8 jumps (3,3) → (0,4))
+    val cells = (for { x <- 0 until 8; y <- 0 until 8 } yield (x, y))
+      .toDF("pb", "sb")
+    val codes = cells.select(col("pb"), col("sb"),
+      expr(graft.operators.Storage.hilbertExpr("div")).as("h")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Number]("h").longValue))
+    assert(codes.map(_._3).sorted.toList === (0L until 64L).toList)
+    val byD = codes.map(c => c._3 -> (c._1, c._2)).toMap
+    (0L until 63L).foreach { dd =>
+      val (x1, y1) = byD(dd); val (x2, y2) = byD(dd + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1, s"jump at $dd")
+    }
+    // fixture manifest: both layouts account for every row, and the
+    // 6-cell packing shows Hilbert's compactness — total span strictly
+    // under Morton's, worst file never ripping the s-dimension open
+    val r = q("q314_hilbert_audit").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.size === 2)
+    val (h, m) = (r("hilbert"), r("morton"))
+    assert(h.getAs[Long]("n_rows") === m.getAs[Long]("n_rows"))
+    assert(h.getAs[Long]("n_rows") ===
+      graft.sources.Tables.lineitem(spark, sf).count())
+    assert(h.getAs[Long]("sum_pspan") + h.getAs[Long]("sum_sspan") <
+      m.getAs[Long]("sum_pspan") + m.getAs[Long]("sum_sspan"))
+    assert(h.getAs[Long]("worst_sspan") <= m.getAs[Long]("worst_sspan"))
+  }
 }
