@@ -624,10 +624,13 @@ object Pipeline extends QueryModule {
     * the `lang = 'en'` slice (language-targeted selection, DSIR's own
     * headline use); raw: the whole corpus.
     *
-    * Scale shape: ONE tokenize+hash pass to (doc, bucket) counts; the
-    * raw bucket LM re-aggregates that frame (q170's c2-from-c3 move —
-    * never a second corpus pass) and both LMs are ≤[[dsirBuckets]]-row
-    * tables BROADCAST to the scoring join, so scoring is map-side; the
+    * Scale shape: ONE tokenize+hash pass to (doc, bucket) counts,
+    * STAGED to a scratch leaf so the raw LM, target LM, and scoring
+    * branches read it rather than re-tokenizing (q307's staging
+    * lesson); the raw bucket LM re-aggregates that leaf (q170's
+    * c2-from-c3 move — never a second corpus pass) and both LMs are
+    * ≤[[dsirBuckets]]-row tables BROADCAST to the scoring join, so
+    * scoring is map-side; the
     * output is the per-source rollup (source-count-sized). Selection is
     * the w > 0 filter — a pure predicate, no global rank (the
     * resampling-threshold variant; a top-K build would swap in q207's
@@ -639,13 +642,20 @@ object Pipeline extends QueryModule {
     * is the sign-safe toward-zero div.
     */
   val dsirWeights: Q = (s, d) => {
-    val db = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    // stage the (doc, bucket) counts ONCE: the raw LM, the target LM,
+    // and the scoring join are three plan branches — against the raw
+    // frame Spark would re-run the corpus tokenize per branch (the
+    // q307 staging lesson)
+    val tmp = graft.Scratch.dir("graft_dsir")
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("source"), col("lang"),
         explode(toks).as("term"))
       .select(col("doc_id"), col("source"), col("lang"),
         graft.functions.Hashing.md5Bucket(col("term"), dsirBuckets).as("b"))
       .groupBy("doc_id", "source", "lang", "b")
       .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(tmp)
+    val db = s.read.parquet(tmp)
     val raw = db.groupBy("b").agg(sum("cnt").as("cr"))
     val tgt = db.filter(col("lang") === "en")
       .groupBy("b").agg(sum("cnt").as("ct"))

@@ -1382,18 +1382,39 @@ object Stats extends QueryModule {
     * cardinality discipline — domain-bounded, not row-bounded), and a
     * 1-row top-1. The event stream is scanned once.
     */
+  /** The shared q187/q315 two-sample value histogram: order totals in
+    * cents, base = first half of the date range vs current = second,
+    * collapsed to one (value, base count, current count) row per
+    * DISTINCT value (q173's cardinality discipline). STAGED and
+    * memoized per input dir per JVM (the [[graft.Scratch]] contract):
+    * the cumulative pass and the totals pass of either statistic — and
+    * both statistics in one run — read the leaf, so the corpus is
+    * scanned ONCE. */
+  private val driftHistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def driftHist(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val leaf = driftHistCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("graft_drift")
+      val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("dt"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pq"))
+      val span = o.agg(min("dt").as("dmin"), max("dt").as("dmax"))
+      o.crossJoin(broadcast(span))
+        .select(col("pq"),
+          when(col("dt") <= expr(
+            "date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))"),
+            lit(1L)).otherwise(lit(0L)).as("is_base"))
+        .groupBy("pq").agg(
+          sum("is_base").as("b"), sum(lit(1L) - col("is_base")).as("c"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(leaf)
+  }
+
   val ksDrift: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("dt"),
-      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pq"))
-    val span = o.agg(min("dt").as("dmin"), max("dt").as("dmax"))
-    val sliced = o.crossJoin(broadcast(span))
-      .select(col("pq"),
-        when(col("dt") <= expr(
-          "date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))"),
-          lit(1L)).otherwise(lit(0L)).as("is_base"))
-    val h = sliced.groupBy("pq").agg(
-      sum("is_base").as("b"), sum(lit(1L) - col("is_base")).as("c"))
+    val h = driftHist(s, d)
     val w = Window.orderBy("pq")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h
@@ -1408,6 +1429,55 @@ object Stats extends QueryModule {
       .select(col("n1"), col("n2"),
         expr("dnum * 1000000 div (n1 * n2)").as("d_ppm"),
         col("pq").as("at_value_cents"))
+  }
+
+  /** q315 — exact two-sample ENERGY DISTANCE (Székely & Rizzo 2004):
+    * the drift statistic that completes the family — PSI (q179) needs a
+    * binning choice, KS (q187) sees only the single worst CDF gap,
+    * energy distance integrates EVERY moment of the difference:
+    * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| over the same base/current
+    * order-total halves, zero iff the distributions are equal. Computed
+    * EXACTLY in integers on the shared [[driftHist]] value histogram:
+    * for sorted distinct values, Σ over pairs of counted |differences|
+    * is the classic prefix-sum identity Σ_j w_j·(v_j·W_{<j} − S_{<j})
+    * — one cumulative window over the DISTINCT-VALUE frame (q173's
+    * cardinality discipline, q187's exact trade), every product in
+    * DECIMAL(38,0) ≡ HUGEINT (v·W·w ~ 10¹⁷ at sf1; documented headroom
+    * to 38 digits), V-statistic denominators (self-pairs contribute 0),
+    * and each mean truncated ONCE to micro-cents before the final
+    * 2·exy − exx − eyy (so the composition is deterministic; true
+    * energy ≥ 0, per-term truncation can dip it to −2 µ¢).
+    */
+  val energyDrift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = driftHist(s, d)
+    val w = Window.orderBy("pq").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.select(col("pq"), col("b"), col("c"),
+      coalesce(sum("b").over(w), lit(0L)).as("ab"),
+      coalesce(sum("c").over(w), lit(0L)).as("bb"),
+      coalesce(sum(expr("CAST(b AS DECIMAL(38,0)) * pq")).over(w),
+        expr("CAST(0 AS DECIMAL(38,0))")).as("sa"),
+      coalesce(sum(expr("CAST(c AS DECIMAL(38,0)) * pq")).over(w),
+        expr("CAST(0 AS DECIMAL(38,0))")).as("sb"))
+    val sums = cum.agg(
+      sum(expr("""c * (CAST(pq AS DECIMAL(38,0)) * ab - sa)
+              + b * (CAST(pq AS DECIMAL(38,0)) * bb - sb)""")).as("sxy"),
+      sum(expr("2 * b * (CAST(pq AS DECIMAL(38,0)) * ab - sa)")).as("sxx"),
+      sum(expr("2 * c * (CAST(pq AS DECIMAL(38,0)) * bb - sb)")).as("syy"))
+    val tot = h.agg(sum("b").as("n1"), sum("c").as("n2"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("n1").as("n_base"), col("n2").as("n_cur"),
+        expr("""CAST((sxx * 1000000)
+                div (CAST(n1 AS DECIMAL(38,0)) * n1) AS BIGINT)""")
+          .as("exx_microcents"),
+        expr("""CAST((syy * 1000000)
+                div (CAST(n2 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("eyy_microcents"),
+        expr("""CAST((sxy * 1000000)
+                div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("exy_microcents"))
+      .withColumn("energy_microcents",
+        expr("2 * exy_microcents - exx_microcents - eyy_microcents"))
   }
 
   /** q191 — EXACT distinct-user ROLLUP day → month via BITMAP MERGE:
@@ -1733,16 +1803,30 @@ object Stats extends QueryModule {
     * deviation²) stays far from the epoch-month-code overflow edge.
     * Calendar-bounded: ≤ a few hundred rows for decades of data at ANY
     * corpus scale. */
+  /** The staged monthly leaf, memoized per input dir per JVM (the
+    * [[graft.Scratch]] staging-memo contract — fixture dirs are
+    * immutable for a JVM's lifetime): SIX consumers (q277, q300, q303,
+    * q306, q307, q313) and every self-join branch inside them share ONE
+    * corpus rollup instead of re-running it per plan branch. */
+  private val monthlyLeafCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def monthlyFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val raw = Tables.orders(s, d)
-      .select(((year(to_date(col("o_orderdate"))) * 12) +
-        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
-        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
-          .cast("long").as("cents"))
-      .groupBy("m").agg(sum("cents").as("c"))
-    raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
-      .select((col("m") - col("m0")).as("m"), col("c"))
+    val leaf = monthlyLeafCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("graft_monthly")
+      val raw = Tables.orders(s, d)
+        .select(((year(to_date(col("o_orderdate"))) * 12) +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+          (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
+            .cast("long").as("cents"))
+        .groupBy("m").agg(sum("cents").as("c"))
+      raw.crossJoin(broadcast(raw.agg(min("m").as("m0"))))
+        .select((col("m") - col("m0")).as("m"), col("c"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(leaf)
   }
 
   /** [[monthlyFrame]], collected for the inherently sequential
@@ -1934,12 +2018,12 @@ object Stats extends QueryModule {
     * acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², reported in truncated
     * ppm. Unlike the q300/q303 recurrences there is NO sequential
     * dependency, so this stays fully distributed: the [[monthlyFrame]]
-    * aggregate STAGED once to a scratch leaf (the deviation frame feeds
-    * BOTH pair-join sides and the denominator — unstaged, Spark would
-    * re-run the corpus rollup per branch), one broadcast 1-row (n, μ)
-    * pass, then a self-join on the CALENDAR-BOUNDED deviation frame
-    * (≤ hundreds of rows at any corpus scale — the q277 pair-join
-    * discipline) grouped by lag. Exactness:
+    * leaf (memoized staged rollup — the deviation frame feeds BOTH
+    * pair-join sides and the denominator, and against the raw aggregate
+    * Spark would re-run the corpus rollup per branch), one broadcast
+    * 1-row (n, μ) pass, then a self-join on the CALENDAR-BOUNDED
+    * deviation frame (≤ hundreds of rows at any corpus scale — the
+    * q277 pair-join discipline) grouped by lag. Exactness:
     * μ = Σc div n (truncated; exact on the spec's zero-sum seasonal
     * fixture), deviation products ride DECIMAL(38,0) ≡ HUGEINT (safe to
     * ~10¹⁴ cents of monthly deviation — documented bound, q277's
@@ -1949,9 +2033,7 @@ object Stats extends QueryModule {
     * impossible on real revenue.
     */
   val acfDiagnostic: Q = (s, d) => {
-    val tmp = graft.Scratch.dir("graft_acf")
-    monthlyFrame(s, d).write.mode("overwrite").parquet(tmp)
-    val monthly = s.read.parquet(tmp)
+    val monthly = monthlyFrame(s, d)
     val st = monthly.agg(count(lit(1)).as("n"), sum("c").as("tot"))
       .select(col("n"), expr("tot div n").as("mu"))
     val dev = monthly.crossJoin(broadcast(st))
@@ -2199,6 +2281,7 @@ object Stats extends QueryModule {
     "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
     "q187_ks_drift" -> ksDrift,
+    "q315_energy_drift" -> energyDrift,
     "q184_bitmap_index" -> bitmapIndex,
     "q183_mad_outliers" -> madOutliers,
     "q209_weighted_quantiles" -> weightedQuantiles,
@@ -2837,6 +2920,43 @@ object Stats extends QueryModule {
         |  pq AS at_value_cents
         |FROM cum, tot
         |ORDER BY abs(c1 * n2 - c2 * n1) DESC, pq LIMIT 1""".stripMargin,
+    // q187's histogram verbatim, the same strictly-preceding prefix-sum
+    // identity with HUGEINT products ≡ DECIMAL(38,0), each mean truncated
+    // once before the 2exy − exx − eyy composition
+    "q315_energy_drift" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq FROM orders),
+        |sp AS (SELECT min(dt) AS dmin, max(dt) AS dmax FROM o),
+        |sl AS (SELECT pq, CASE WHEN dt <= dmin
+        |      + CAST((dmax - dmin) // 2 AS INT)
+        |    THEN 1 ELSE 0 END AS is_base FROM o, sp),
+        |h AS (SELECT pq, CAST(sum(is_base) AS BIGINT) AS b,
+        |    CAST(sum(1 - is_base) AS BIGINT) AS c FROM sl GROUP BY 1),
+        |cum AS (SELECT pq, b, c,
+        |    COALESCE(CAST(sum(b) OVER pw AS HUGEINT), 0) AS ab,
+        |    COALESCE(CAST(sum(c) OVER pw AS HUGEINT), 0) AS bb,
+        |    COALESCE(sum(CAST(b AS HUGEINT) * pq) OVER pw,
+        |      CAST(0 AS HUGEINT)) AS sa,
+        |    COALESCE(sum(CAST(c AS HUGEINT) * pq) OVER pw,
+        |      CAST(0 AS HUGEINT)) AS sb
+        |  FROM h WINDOW pw AS (ORDER BY pq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sums AS (SELECT
+        |    sum(c * (CAST(pq AS HUGEINT) * ab - sa)
+        |      + b * (CAST(pq AS HUGEINT) * bb - sb)) AS sxy,
+        |    sum(2 * b * (CAST(pq AS HUGEINT) * ab - sa)) AS sxx,
+        |    sum(2 * c * (CAST(pq AS HUGEINT) * bb - sb)) AS syy
+        |  FROM cum),
+        |tot AS (SELECT CAST(sum(b) AS HUGEINT) AS n1,
+        |    CAST(sum(c) AS HUGEINT) AS n2 FROM h)
+        |SELECT CAST(n1 AS BIGINT) AS n_base, CAST(n2 AS BIGINT) AS n_cur,
+        |  CAST((sxx * 1000000) // (n1 * n1) AS BIGINT) AS exx_microcents,
+        |  CAST((syy * 1000000) // (n2 * n2) AS BIGINT) AS eyy_microcents,
+        |  CAST((sxy * 1000000) // (n1 * n2) AS BIGINT) AS exy_microcents,
+        |  CAST(2 * ((sxy * 1000000) // (n1 * n2))
+        |    - (sxx * 1000000) // (n1 * n1)
+        |    - (syy * 1000000) // (n2 * n2) AS BIGINT) AS energy_microcents
+        |FROM sums, tot""".stripMargin,
     "q179_psi_drift" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS dt,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS pq FROM orders),

@@ -905,13 +905,18 @@ object Storage extends QueryModule {
     val ext = li.agg(
       min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
       min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
-    val cells = li.crossJoin(broadcast(ext))
+    // stage the ≤64-cell histogram: the two layout branches of the
+    // union would otherwise each re-run the corpus aggregate
+    val tmp = graft.Scratch.dir("graft_hilbert")
+    li.crossJoin(broadcast(ext))
       .select(expr(
         "CAST(((l_partkey - pmin) * 8) div (pmax - pmin + 1) AS INT)")
         .as("pb"),
         expr("CAST(((l_suppkey - smin) * 8) div (smax - smin + 1) AS INT)")
           .as("sb"))
       .groupBy("pb", "sb").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(tmp)
+    val cells = s.read.parquet(tmp)
     val coded = cells.select(col("pb"), col("sb"), col("cnt"),
       expr(hilbertExpr("div")).as("h"), expr(mortonExpr).as("z"))
     val man = coded

@@ -1014,16 +1014,26 @@ object Text extends QueryModule {
     * exact rational to µnats (q94's discipline). Σ_w₃ p ≤ 1 at every
     * level, so mu ≥ 0 — the spec pins it.
     *
-    * Plan: the c₃ table is the one corpus-sized aggregate; ctx/suffix/
-    * mid/unigram tables all re-aggregate c₃ (q170's c2-from-c3 move),
+    * Plan: the c₃ table is the one corpus-sized aggregate, STAGED to a
+    * vocabulary-sized scratch leaf; ctx/suffix/mid/unigram tables all
+    * re-aggregate the leaf (q170's c2-from-c3 move, minus the
+    * per-branch recompute),
     * scoring shuffles test trigrams to the count tables on their
     * natural string keys (vocabulary-sized — joined, never broadcast;
     * only the 1-row (T, V) globals are broadcast).
     */
   val knTrigramLm: Q = (s, d) => {
     val (_, tri) = triFrame(s, d)
-    val c3 = tri.filter(col("bk") < 80)
+    // stage the trigram type table ONCE: ctx/suf/mid/uni all re-derive
+    // from c3 and the scoring join reads it too — five plan branches
+    // that would each re-run the corpus tokenize+trigram against the
+    // raw aggregate (the q307 staging lesson); the leaf is
+    // vocabulary-sized, not corpus-sized
+    val tmp = graft.Scratch.dir("graft_kn")
+    tri.filter(col("bk") < 80)
       .groupBy("g2", "g3").agg(count(lit(1)).as("c3"))
+      .write.mode("overwrite").parquet(tmp)
+    val c3 = s.read.parquet(tmp)
     val ctx = c3.groupBy("g2")
       .agg(sum("c3").as("c2"), count(lit(1)).as("n3"))
     val suf = c3.select(expr("concat_ws(' ', split(g3, ' ')[1], split(g3, ' ')[2])")

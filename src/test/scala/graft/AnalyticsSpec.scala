@@ -1652,6 +1652,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6) === -833333L, got.toString)
   }
 
+  test("q315 energy distance: fixture components are consistent; a planted three-point corpus hits the hand value exactly") {
+    val r = q("q315_energy_drift").head()
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_cur") === n)
+    assert(r.getAs[Long]("exx_microcents") >= 0L &&
+      r.getAs[Long]("eyy_microcents") >= 0L &&
+      r.getAs[Long]("exy_microcents") >= 0L)
+    // true energy distance is ≥ 0; per-term truncation can shave ≤ 2 µ¢
+    assert(r.getAs[Long]("energy_microcents") >= -2L, r.toString)
+    // planted: base = {$10.00, $12.00}, current = {$11.00} →
+    // E|X−Y| = 100¢, E|X−X'| = (0+200+200+0)/4 = 100¢, E|Y−Y'| = 0,
+    // energy = 2·100 − 100 − 0 = 100¢ = 100 000 000 µ¢ exactly
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "2020-01-01", 10.00), (2L, "2020-01-01", 12.00),
+      (3L, "2020-01-31", 11.00))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftenergy").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q315_energy_drift")(spark, dir).head()
+    assert(got.getAs[Long]("n_base") === 2L && got.getAs[Long]("n_cur") === 1L)
+    assert(got.getAs[Long]("exy_microcents") === 100000000L, got.toString)
+    assert(got.getAs[Long]("exx_microcents") === 100000000L, got.toString)
+    assert(got.getAs[Long]("eyy_microcents") === 0L, got.toString)
+    assert(got.getAs[Long]("energy_microcents") === 100000000L, got.toString)
+  }
+
   test("q313 PACF: fixture lags complete and pacf(1) = acf(1); a planted alternation collapses to truncation noise after lag 1") {
     val r = q("q313_pacf").collect()
       .map(x => (x.getAs[Int]("lag"), x.getAs[Long]("pacf_ppm")))

@@ -532,6 +532,9 @@ class PlanSpec extends SparkSpec {
   test("q310 DSIR: the bucket LM broadcasts onto the scoring join; only the two 1-row total crosses") {
     val p = plan("q310_dsir_weights")
     assert(!p.contains("CartesianProduct"), p)
+    // the tokenize pass ran ONCE into the staged leaf — the raw-LM,
+    // target-LM, and scoring branches all read it, never the corpus
+    assert(!p.contains("documents"), p)
     val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2, p)
     // the ≤4096-row λ table rides a broadcast hash join onto (doc, b)
