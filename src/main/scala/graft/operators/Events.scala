@@ -1017,7 +1017,67 @@ object Events extends QueryModule {
       .orderBy("step")
   }
 
+  /** q316 — SEQUENTIAL PATTERN MINING (existential subsequence support;
+    * the discovery half GSP/PrefixSpan fill in the literature — where
+    * q111/q282 check ONE fixed funnel, this mines the support of EVERY
+    * ordered event-type pair and triple): a user supports a → b when
+    * some a-event strictly precedes some b-event, and a → b → c when a
+    * b-event sits strictly between the user's FIRST a and LAST c — the
+    * existential semantics, decided entirely by per-(user, type)
+    * extrema:
+    *   a → b      ⇔  tmin(a) < tmax(b)
+    *   a → b → c  ⇔  min{t_b : t_b > tmin(a)} < tmax(c)
+    * (strict timestamp inequality; equal-µs events never order each
+    * other — documented, identical in the oracle).
+    *
+    * Scale shape: ONE per-(user, type) extrema aggregate (map-side
+    * combinable), STAGED — four branches read it (pair a-side, pair
+    * b-side, the triple's a-anchor, the triple's c-cap); the only other
+    * corpus touch is the triple's middle-element pass, a user-keyed
+    * join of events against the a-anchor frame (× taxonomy — the
+    * semantically required second scan, q309's pattern). Every frame
+    * after the user-keyed joins is taxonomy-bounded (≤ |types|² +
+    * |types|³ output rows); nothing is ever user × user.
+    */
+  val seqPatterns: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type").as("t"), unix_micros(col("ts")).as("ts"))
+    val tmp = graft.Scratch.dir("graft_seq")
+    ev.groupBy("user_id", "t")
+      .agg(min("ts").as("tmin"), max("ts").as("tmax"))
+      .write.mode("overwrite").parquet(tmp)
+    val ut = s.read.parquet(tmp)
+    val nu = ut.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val a = ut.select(col("user_id"), col("t").as("ta"),
+      col("tmin").as("amin"))
+    val b = ut.select(col("user_id"), col("t").as("tb"),
+      col("tmax").as("bmax"))
+    val pairs = a.join(b, "user_id")
+      .filter(col("amin") < col("bmax"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("sup"))
+      .select(concat(col("ta"), lit(">"), col("tb")).as("pattern"),
+        lit(2).as("len"), col("sup"))
+    val mab = ev.join(a, "user_id")
+      .filter(col("ts") > col("amin"))
+      .groupBy(col("user_id"), col("ta"), col("t").as("tb"))
+      .agg(min("ts").as("m"))
+    val triples = mab
+      .join(ut.select(col("user_id"), col("t").as("tc"),
+        col("tmax").as("cmax")), "user_id")
+      .filter(col("m") < col("cmax"))
+      .groupBy("ta", "tb", "tc").agg(count(lit(1)).as("sup"))
+      .select(concat(col("ta"), lit(">"), col("tb"), lit(">"), col("tc"))
+        .as("pattern"), lit(3).as("len"), col("sup"))
+    pairs.unionByName(triples)
+      .crossJoin(broadcast(nu))
+      .select(col("pattern"), col("len"), col("sup"),
+        expr("(sup * 1000000) div n_users").as("sup_ppm"))
+      .orderBy(col("sup").desc, col("pattern"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q316_seq_patterns" -> seqPatterns,
     "q282_funnel_steps" -> funnelSteps,
     "q196_lateness_audit" -> latenessAudit,
     "q220_conversion_latency" -> conversionLatency,
@@ -1157,6 +1217,35 @@ FROM fl CROSS JOIN rm ORDER BY channel"""
   }
 
   def oracles: Map[String, String] = Map(
+    // same extrema algebra: pair via tmin/tmax cross, triple via the
+    // earliest-b-after-first-a join, strict inequalities throughout
+    "q316_seq_patterns" ->
+      """WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS ts
+        |  FROM events),
+        |ut AS MATERIALIZED (SELECT user_id, t, min(ts) AS tmin,
+        |    max(ts) AS tmax FROM ev GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+        |pairs AS (SELECT a.t AS ta, b.t AS tb, count(*) AS sup
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.tmin < b.tmax
+        |  GROUP BY 1, 2),
+        |mab AS (SELECT e.user_id, a.t AS ta, e.t AS tb, min(e.ts) AS m
+        |  FROM ev e JOIN ut a
+        |    ON e.user_id = a.user_id AND e.ts > a.tmin
+        |  GROUP BY 1, 2, 3),
+        |tri AS (SELECT m.ta, m.tb, c.t AS tc, count(*) AS sup
+        |  FROM mab m JOIN ut c
+        |    ON m.user_id = c.user_id AND m.m < c.tmax
+        |  GROUP BY 1, 2, 3)
+        |SELECT pattern, len, sup,
+        |  CAST((sup * 1000000) // (SELECT n FROM nu) AS BIGINT) AS sup_ppm
+        |FROM (
+        |  SELECT ta || '>' || tb AS pattern, 2 AS len,
+        |    CAST(sup AS BIGINT) AS sup FROM pairs
+        |  UNION ALL
+        |  SELECT ta || '>' || tb || '>' || tc, 3, CAST(sup AS BIGINT)
+        |  FROM tri)
+        |ORDER BY sup DESC, pattern""".stripMargin,
     "q298_markov_attribution" -> duckMarkovSql,
     // the identical step chain: strict-after + 7-day window per step,
     // DECIMAL-safe latency sums (HUGEINT here), the same -1/0 sentinels

@@ -1652,6 +1652,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6) === -833333L, got.toString)
   }
 
+  test("q316 sequential patterns: ledger is consistent on the fixture; a planted three-user stream yields the hand-counted supports") {
+    val rows = q("q316_seq_patterns").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("sup"),
+        r.getAs[Long]("sup_ppm")))
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { case (pat, len, sup, ppm) =>
+      assert(len === pat.count(_ == '>') + 1)
+      assert(sup >= 1L && sup <= nUsers, pat)
+      assert(ppm === sup * 1000000L / nUsers, pat)
+    }
+    // a triple's support can never exceed either embedded pair's
+    val sups = rows.map(r => r._1 -> r._3).toMap
+    rows.filter(_._2 == 3).foreach { case (pat, _, sup, _) =>
+      val Array(a, b, c) = pat.split(">")
+      assert(sup <= sups.getOrElse(s"$a>$b", 0L), pat)
+      assert(sup <= sups.getOrElse(s"$b>$c", 0L), pat)
+    }
+    // planted: u1 view→click→purchase, u2 view→purchase, u3 click→view.
+    // Hand counts: view>purchase 2 (u1, u2); view>click, click>purchase,
+    // click>view 1 each; view>click>purchase the only triple
+    import spark.implicits._
+    val t0 = 1704067200L * 1000000000L
+    val evs = Seq(
+      (1L, t0 + 1e9.toLong, 1L, "view"), (2L, t0 + 2e9.toLong, 1L, "click"),
+      (3L, t0 + 3e9.toLong, 1L, "purchase"),
+      (4L, t0 + 1e9.toLong, 2L, "view"), (5L, t0 + 2e9.toLong, 2L, "purchase"),
+      (6L, t0 + 1e9.toLong, 3L, "click"), (7L, t0 + 2e9.toLong, 3L, "view"))
+      .map(e => (e._1, e._2, e._3, e._4, 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftseq").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q316_seq_patterns")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("sup"))).toList
+    val want = List(("view>purchase", 2L), ("click>purchase", 1L),
+      ("click>view", 1L), ("view>click", 1L), ("view>click>purchase", 1L))
+    assert(got === want, got.toString)
+  }
+
   test("q315 energy distance: fixture components are consistent; a planted three-point corpus hits the hand value exactly") {
     val r = q("q315_energy_drift").head()
     val n = graft.sources.Tables.orders(spark, sf).count()
