@@ -2057,6 +2057,43 @@ object Stats extends QueryModule {
       .orderBy("lag")
   }
 
+  /** q317 — FORECAST PREDICTION INTERVAL + COVERAGE AUDIT: the
+    * uncertainty half the forecast family was missing — q306 says which
+    * model wins on point error; this says how wide the band around the
+    * winner must be and whether that band KEEPS its promise. Split
+    * conformal applied to the time axis (the q283 machinery on q300's
+    * one-step scores): the first ⌈2n/3⌉ one-step absolute errors
+    * calibrate q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest (exact order
+    * statistic, all-integer ceil; an under-sized fold yields the
+    * conformal-defined INFINITE interval as Long.MaxValue — q283's
+    * convention), and the held-out tail reports exact ppm coverage of
+    * actual ∈ forecast ± q̂. Honesty note carried in the output itself:
+    * time series are not exchangeable, so coverage CAN fall below 90%
+    * on a trend break — that gap is the alarm this audit exists to
+    * ring. t = 0 is excluded (its "forecast" is the init convention,
+    * not a prediction). Same shape as q300/q306: ONE corpus aggregate
+    * (the memoized [[monthlyFrame]] leaf), then calendar-bounded
+    * driver-side arithmetic; the oracle replays the identical
+    * recursion + order statistic in SQL.
+    */
+  val forecastInterval: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    require(series.length >= 4,
+      s"q317: need >= 4 months, got ${series.length}")
+    val errs = holtPass(series)._1.drop(1).map(_._6)
+    val n = errs.length
+    val nCal = (2 * n + 2) / 3
+    val cal = errs.take(nCal)
+    val test = errs.drop(nCal)
+    val k = (9 * (nCal + 1) + 9) / 10
+    val qhat = if (k > nCal) Long.MaxValue else cal.sorted.apply(k - 1)
+    val covered = test.count(_ <= qhat).toLong
+    Seq((nCal.toLong, test.length.toLong, qhat, covered,
+      covered * 1000000L / test.length))
+      .toDF("n_cal", "n_test", "qhat_cents", "n_covered", "coverage_ppm")
+  }
+
   /** q313 — PARTIAL AUTOCORRELATION FUNCTION (PACF) via the
     * Durbin–Levinson recursion (Durbin 1960; the other half of the
     * Box–Jenkins identification pair): where q307's ACF answers "is
@@ -2272,6 +2309,7 @@ object Stats extends QueryModule {
     "q306_forecast_backtest" -> forecastBacktest,
     "q307_acf" -> acfDiagnostic,
     "q313_pacf" -> pacfDiagnostic,
+    "q317_forecast_interval" -> forecastInterval,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
     "q301_rfm_segments" -> rfmSegments,
@@ -2737,6 +2775,57 @@ object Stats extends QueryModule {
          |SELECT CAST(k AS INT) AS lag, CAST(phi[k] AS BIGINT) AS pacf_ppm
          |FROM it ORDER BY 1""".stripMargin
     },
+    // q300's recursion verbatim, then the q283-style exact order
+    // statistic on the calibration prefix and ppm coverage on the tail;
+    // Long.MaxValue is the conformal infinite interval
+    "q317_forecast_interval" ->
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (SELECT m - (SELECT min(m) FROM raw) AS m,
+         |    c, row_number() OVER (ORDER BY m) - 1 AS t FROM raw),
+         |it AS (
+         |  SELECT CAST(0 AS BIGINT) AS t,
+         |    CAST((SELECT c FROM monthly WHERE t = 0) AS HUGEINT) AS s,
+         |    CAST(coalesce((SELECT c FROM monthly WHERE t = 1)
+         |      - (SELECT c FROM monthly WHERE t = 0), 0) AS HUGEINT) AS b,
+         |    CAST((SELECT c FROM monthly WHERE t = 0) AS HUGEINT) AS f
+         |  UNION ALL
+         |  SELECT it.t + 1,
+         |    ($holtAlpha * mo.c
+         |      + ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000,
+         |    ($holtBeta * ((($holtAlpha * mo.c
+         |        + ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000)
+         |      - it.s) + ${1000000L - holtBeta} * it.b) // 1000000,
+         |    it.s + it.b
+         |  FROM it JOIN monthly mo ON mo.t = it.t + 1),
+         |errs AS MATERIALIZED (SELECT
+         |    row_number() OVER (ORDER BY it.t) AS i,
+         |    CAST(abs(mo.c - it.f) AS BIGINT) AS e
+         |  FROM it JOIN monthly mo ON mo.t = it.t WHERE it.t >= 1),
+         |par AS (SELECT count(*) AS n,
+         |    (2 * count(*) + 2) // 3 AS ncal FROM errs),
+         |qh AS (SELECT CASE
+         |    WHEN (9 * (ncal + 1) + 9) // 10 > ncal
+         |      THEN 9223372036854775807
+         |    ELSE (SELECT e FROM (SELECT e,
+         |        row_number() OVER (ORDER BY e) AS rk
+         |      FROM errs, par WHERE i <= ncal)
+         |      WHERE rk = (SELECT (9 * (ncal + 1) + 9) // 10 FROM par))
+         |    END AS qhat FROM par),
+         |tst AS (SELECT e FROM errs, par WHERE i > ncal)
+         |SELECT (SELECT CAST(ncal AS BIGINT) FROM par) AS n_cal,
+         |  count(*) AS n_test,
+         |  (SELECT CAST(qhat AS BIGINT) FROM qh) AS qhat_cents,
+         |  CAST(sum(CASE WHEN e <= (SELECT qhat FROM qh)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  CAST((sum(CASE WHEN e <= (SELECT qhat FROM qh)
+         |    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         |    AS coverage_ppm
+         |FROM tst""".stripMargin,
     // the identical staged shape replayed flat: same midpoint-day split,
     // same md5 arms, pooled θ in the same sign-safe toward-zero ppm,
     // HUGEINT second moments ≡ the Spark side's DECIMAL(38,0)

@@ -1652,6 +1652,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6) === -833333L, got.toString)
   }
 
+  test("q317 forecast interval: fixture ledger is consistent; a pure ramp earns a zero-width band and a test-region spike punctures it") {
+    val r = q("q317_forecast_interval").head()
+    val months = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "year(o_orderdate) * 12 + month(o_orderdate)")).distinct().count()
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === months - 1,
+      "every month after t=0 is scored exactly once")
+    assert(r.getAs[Long]("coverage_ppm") ===
+      r.getAs[Long]("n_covered") * 1000000L / r.getAs[Long]("n_test"))
+    assert(r.getAs[Long]("coverage_ppm") >= 0L &&
+      r.getAs[Long]("coverage_ppm") <= 1000000L)
+    // planted pure ramp: Holt tracks it EXACTLY from t=1 (the init
+    // recovers the true level and trend, and exactness is preserved by
+    // induction through the ppm smoothing), so q̂ = 0 and coverage is a
+    // perfect 1e6. n = 35 scores → n_cal = ⌈70/3⌉ = 24, n_test = 11
+    import spark.implicits._
+    def ramp(spike: Map[Int, Long]): String = {
+      val orders = (0 until 36).map { t =>
+        (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01",
+          (1000000L + 200L * t + spike.getOrElse(t, 0L)) / 100.0)
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val dir = java.nio.file.Files.createTempDirectory("graftfi").toString
+      orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val clean = SparkEntry.queries("q317_forecast_interval")(
+      spark, ramp(Map.empty)).head()
+    assert(clean.getAs[Long]("n_cal") === 24L)
+    assert(clean.getAs[Long]("n_test") === 11L)
+    assert(clean.getAs[Long]("qhat_cents") === 0L)
+    assert(clean.getAs[Long]("coverage_ppm") === 1000000L)
+    // the same ramp with one spike INSIDE the test region: calibration
+    // stays clean (q̂ still 0), the spike month misses the band, and the
+    // recurrence's recovery months miss too — coverage drops below 1e6,
+    // exactly the alarm the audit exists to ring
+    val spiked = SparkEntry.queries("q317_forecast_interval")(
+      spark, ramp(Map(30 -> 77700L))).head()
+    assert(spiked.getAs[Long]("qhat_cents") === 0L)
+    assert(spiked.getAs[Long]("n_covered") < spiked.getAs[Long]("n_test"))
+    assert(spiked.getAs[Long]("coverage_ppm") < 1000000L)
+  }
+
   test("q316 sequential patterns: ledger is consistent on the fixture; a planted three-user stream yields the hand-counted supports") {
     val rows = q("q316_seq_patterns").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getAs[Long]("sup"),
