@@ -885,4 +885,93 @@ class PropertySpec extends SparkSpec {
       }
     }, "q291 run length ≡ brute-force LCS (≥ seed)")
   }
+
+  test("q309 SPRT law: the envelope-pruned two-phase walk equals the direct per-arm walk on random multi-day streams") {
+    // the candidate-day interval arithmetic is the part that could
+    // silently skip a crossing — so random streams spanning many days
+    // (random purchase mix: some arms decide up, some down, some never)
+    // are walked directly in the test and must match the engine's
+    // decision, crossing trial, and crossing llr exactly
+    val incS = graft.operators.Stats.sprtIncS
+    val incF = graft.operators.Stats.sprtIncF
+    val bound = graft.operators.Stats.sprtBound
+    val t0 = 1704067200L
+    val evGen = Gen.listOfN(60, for {
+      u <- Gen.choose(1L, 6L)
+      sec <- Gen.choose(0L, 10L * 86400L)
+      p <- Gen.frequency(1 -> "purchase", 1 -> "view")
+    } yield (u, sec, p))
+    check(Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, tpe), i) =>
+        ((i + 1).toLong, (t0 + sec) * 1000000000L, u, tpe, 1.0, "{}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graftsprtp").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q309_sprt")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5))).toMap
+      def arm(u: Long): Long = java.lang.Long.parseLong(
+        graft.functions.Hashing.md5hex(u.toString).substring(0, 8), 16) % 2
+      val byArm = rows.groupBy(r => arm(r._3))
+      byArm.forall { case (a, es) =>
+        val walk = es.sortBy(e => (e._2, e._1))
+        var llr = 0L; var n = 0L; var nS = 0L
+        var cidx = -1L; var cllr = 0L
+        walk.foreach { e =>
+          n += 1
+          if (e._4 == "purchase") { nS += 1; llr += incS } else llr += incF
+          if (cidx == -1L && (llr >= bound || llr <= -bound)) {
+            cidx = n; cllr = llr
+          }
+        }
+        val dec = if (cidx == -1L) "continue"
+          else if (cllr >= bound) "accept_h1" else "accept_h0"
+        got(a) == ((n, nS, dec, if (cidx == -1L) n else cidx,
+          if (cidx == -1L) llr else cllr))
+      }
+    }, "q309 two-phase ≡ direct walk")
+  }
+
+  test("q316 sequence law: extrema-algebra supports equal brute-force subsequence existence on random tied streams") {
+    // the existential reductions (tmin/tmax for pairs, earliest-b-after-
+    // first-a for triples) are checked against literal O(n³) subsequence
+    // search per user; whole-second timestamps collide often, exercising
+    // the strict-inequality tie convention
+    val t0 = 1704067200L
+    val types = Vector("view", "click", "purchase")
+    val evGen = Gen.listOfN(30, for {
+      u <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0L, 20L)
+      tp <- Gen.oneOf(types)
+    } yield (u, sec, tp))
+    check(Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, tpe), i) =>
+        ((i + 1).toLong, (t0 + sec) * 1000000000L, u, tpe, 1.0, "{}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graftseqp").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q316_seq_patterns")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("sup")).toMap
+      val byUser = rows.groupBy(_._3).view
+        .mapValues(_.map(e => (e._2, e._4))).toMap
+      def supPair(a: String, b: String): Long = byUser.values.count { es =>
+        es.exists(x => x._2 == a &&
+          es.exists(y => y._2 == b && x._1 < y._1))
+      }.toLong
+      def supTri(a: String, b: String, c: String): Long =
+        byUser.values.count { es =>
+          es.exists(x => x._2 == a && es.exists(y => y._2 == b &&
+            x._1 < y._1 && es.exists(z => z._2 == c && y._1 < z._1)))
+        }.toLong
+      val pairsOk = (for { a <- types; b <- types } yield {
+        got.getOrElse(s"$a>$b", 0L) == supPair(a, b)
+      }).forall(identity)
+      val triplesOk = (for { a <- types; b <- types; c <- types } yield {
+        got.getOrElse(s"$a>$b>$c", 0L) == supTri(a, b, c)
+      }).forall(identity)
+      pairsOk && triplesOk
+    }, "q316 extrema algebra ≡ brute-force subsequence")
+  }
 }
