@@ -295,6 +295,84 @@ object Events extends QueryModule {
         split(col("last_tk"), ":").getItem(2).as("lty"))
   }
 
+  /** q318 — TIME-DECAY ATTRIBUTION: the fifth classic credit model,
+    * completing q292's first/last/linear/U-shape set — touches closer
+    * to the conversion earn exponentially more, the model every ads
+    * platform defaults to for considered purchases. Weight halves per
+    * full day of gap: w(g) = 10⁶ div 2^g for g = 0..6 inside the 7-day
+    * lookback — EXACT integers throughout, because 10⁶ = 2⁶·5⁶·...
+    * divides cleanly through six halvings (15625 at g = 6); per-channel
+    * raw mass = Σ touches·w(gap), credits = truncated ppm shares with
+    * the remainder assigned to the LARGEST-raw channel (alphabetical
+    * first on ties — a touched channel by construction, so the ledger
+    * closes at exactly 10⁶ per conversion without ever crediting an
+    * untouched channel). Zero-touch purchases credit "(none)" in full,
+    * q292's convention.
+    *
+    * Plan: NO JOIN — one user-partitioned sort feeds 21 conditional
+    * RANGE-window counts (3 channels × 7 one-day gap frames; one
+    * exchange, the frames share the partition ordering), then explode +
+    * rollup, exactly q292's scale shape (PlanSpec pins the no-join
+    * claim). The oracle replays the gap arithmetic as an explicit
+    * purchase × touch range join — fine at oracle scale, the shape the
+    * window pass exists to avoid.
+    */
+  val timeDecay: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val channels = Seq("view", "click", "signup")
+    val counted = (0 to 6).foldLeft(ev) { (acc, g) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-(g + 1) * dayUs, -g.toLong * dayUs - 1L)
+      channels.foldLeft(acc) { (a, ch) =>
+        a.withColumn(s"${ch}_$g",
+          count(when(col("event_type") === ch, lit(1))).over(w))
+      }
+    }
+    def raw(ch: String) = (0 to 6)
+      .map(g => col(s"${ch}_$g") * lit(1000000L / (1L << g)))
+      .reduce(_ + _)
+    val per = counted.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"),
+        raw("view").as("vraw"), raw("click").as("craw"),
+        raw("signup").as("sraw"))
+      .withColumn("t", col("vraw") + col("craw") + col("sraw"))
+      .withColumn("vppm", when(col("t") === 0, 0L)
+        .otherwise(expr("vraw * 1000000 div t")))
+      .withColumn("cppm", when(col("t") === 0, 0L)
+        .otherwise(expr("craw * 1000000 div t")))
+      .withColumn("sppm", when(col("t") === 0, 0L)
+        .otherwise(expr("sraw * 1000000 div t")))
+      .withColumn("rem",
+        when(col("t") === 0, 0L)
+          .otherwise(lit(1000000L) - col("vppm") - col("cppm")
+            - col("sppm")))
+      // remainder to the largest-raw channel, alphabetical first on ties
+      .withColumn("winner", expr(
+        """CASE WHEN craw >= sraw AND craw >= vraw THEN 'click'
+          |WHEN sraw >= vraw THEN 'signup' ELSE 'view' END""".stripMargin))
+    per.select(col("conv_id"), explode(array(
+        struct(lit("view").as("ch"),
+          (col("vppm") + when(col("winner") === "view", col("rem"))
+            .otherwise(lit(0L))).as("ppm"), col("vraw").as("rw")),
+        struct(lit("click").as("ch"),
+          (col("cppm") + when(col("winner") === "click", col("rem"))
+            .otherwise(lit(0L))).as("ppm"), col("craw").as("rw")),
+        struct(lit("signup").as("ch"),
+          (col("sppm") + when(col("winner") === "signup", col("rem"))
+            .otherwise(lit(0L))).as("ppm"), col("sraw").as("rw")),
+        struct(lit("(none)").as("ch"),
+          when(col("t") === 0, lit(1000000L)).otherwise(lit(0L)).as("ppm"),
+          when(col("t") === 0, lit(1L)).otherwise(lit(0L)).as("rw"))))
+        .as("e"))
+      .filter(col("e.rw") > 0)
+      .groupBy(col("e.ch").as("channel"))
+      .agg(count(lit(1)).as("n_convs"), sum("e.ppm").as("decay_ppm"))
+      .orderBy("channel")
+  }
+
   val multiTouch: Q = (s, d) => {
     val conv = convTouches(s, d)
     conv.select(col("conv_id"), col("n"), col("fty"), col("lty"),
@@ -1078,6 +1156,7 @@ object Events extends QueryModule {
 
   def queries: Map[String, Q] = Map(
     "q316_seq_patterns" -> seqPatterns,
+    "q318_time_decay" -> timeDecay,
     "q282_funnel_steps" -> funnelSteps,
     "q196_lateness_audit" -> latenessAudit,
     "q220_conversion_latency" -> conversionLatency,
@@ -1217,6 +1296,57 @@ FROM fl CROSS JOIN rm ORDER BY channel"""
   }
 
   def oracles: Map[String, String] = Map(
+    // the gap arithmetic replayed as an explicit purchase × touch range
+    // join (the shape the engine's window pass avoids); g = (Δ−1)//day
+    // matches the engine's (g·day, (g+1)·day] frames exactly, and the
+    // remainder-to-largest-raw rule is the identical CASE
+    "q318_time_decay" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS ts FROM events),
+        |tc AS (SELECT p.event_id AS conv_id, t.event_type AS ch,
+        |    CAST((p.ts - t.ts - 1) // 86400000000 AS INT) AS g
+        |  FROM ev p JOIN ev t ON p.user_id = t.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND t.event_type IN ('view', 'click', 'signup')
+        |    AND t.ts >= p.ts - 604800000000 AND t.ts < p.ts),
+        |piv AS (SELECT conv_id,
+        |    CAST(coalesce(sum(CASE WHEN ch = 'view'
+        |      THEN 1000000 // (1 << g) END), 0) AS BIGINT) AS vraw,
+        |    CAST(coalesce(sum(CASE WHEN ch = 'click'
+        |      THEN 1000000 // (1 << g) END), 0) AS BIGINT) AS craw,
+        |    CAST(coalesce(sum(CASE WHEN ch = 'signup'
+        |      THEN 1000000 // (1 << g) END), 0) AS BIGINT) AS sraw
+        |  FROM tc GROUP BY 1),
+        |base AS (SELECT p.event_id AS conv_id,
+        |    coalesce(piv.vraw, 0) AS vraw, coalesce(piv.craw, 0) AS craw,
+        |    coalesce(piv.sraw, 0) AS sraw
+        |  FROM (SELECT event_id FROM ev WHERE event_type = 'purchase') p
+        |  LEFT JOIN piv ON p.event_id = piv.conv_id),
+        |cr AS (SELECT *, vraw + craw + sraw AS t FROM base),
+        |cd AS (SELECT conv_id, vraw, craw, sraw, t,
+        |    CASE WHEN t = 0 THEN 0 ELSE (vraw * 1000000) // t END AS vppm,
+        |    CASE WHEN t = 0 THEN 0 ELSE (craw * 1000000) // t END AS cppm,
+        |    CASE WHEN t = 0 THEN 0 ELSE (sraw * 1000000) // t END AS sppm,
+        |    CASE WHEN craw >= sraw AND craw >= vraw THEN 'click'
+        |      WHEN sraw >= vraw THEN 'signup' ELSE 'view' END AS winner
+        |  FROM cr),
+        |ex AS (
+        |  SELECT conv_id, 'view' AS ch, vppm + CASE WHEN winner = 'view'
+        |      AND t > 0 THEN 1000000 - vppm - cppm - sppm ELSE 0 END
+        |      AS ppm, vraw AS rw FROM cd
+        |  UNION ALL
+        |  SELECT conv_id, 'click', cppm + CASE WHEN winner = 'click'
+        |      AND t > 0 THEN 1000000 - vppm - cppm - sppm ELSE 0 END,
+        |    craw FROM cd
+        |  UNION ALL
+        |  SELECT conv_id, 'signup', sppm + CASE WHEN winner = 'signup'
+        |      AND t > 0 THEN 1000000 - vppm - cppm - sppm ELSE 0 END,
+        |    sraw FROM cd
+        |  UNION ALL
+        |  SELECT conv_id, '(none)', 1000000, 1 FROM cd WHERE t = 0)
+        |SELECT ch AS channel, count(*) AS n_convs,
+        |  CAST(sum(ppm) AS BIGINT) AS decay_ppm
+        |FROM ex WHERE rw > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // same extrema algebra: pair via tmin/tmax cross, triple via the
     // earliest-b-after-first-a join, strict inequalities throughout
     "q316_seq_patterns" ->

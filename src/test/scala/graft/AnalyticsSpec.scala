@@ -1652,6 +1652,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6) === -833333L, got.toString)
   }
 
+  test("q318 time-decay attribution: the ledger closes at exactly 1e6 per conversion; a planted three-gap user hits the hand credits") {
+    // fixture conservation: every purchase's credit sums to exactly 1e6
+    val rows = q("q318_time_decay").collect()
+    val nPurch = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions
+        .col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("decay_ppm")).sum === 1000000L * nPurch,
+      "closed ledger")
+    // planted: one conversion touched at 1 h (g=0, w=1e6), 2.5 d (g=2,
+    // w=250000), and 6.5 d (g=6, w=15625) → credits 790123/197530/12345
+    // with the 2-ppm remainder to the largest-raw channel (view); a
+    // second user's untouched purchase credits (none) in full
+    import spark.implicits._
+    val T = (1704067200L + 10L * 86400L) * 1000000000L
+    def back(sec: Long) = T - sec * 1000000000L
+    val evs = Seq(
+      (1L, back(3600L), 1L, "view"),
+      (2L, back(216000L), 1L, "click"),          // 2.5 days
+      (3L, back(561600L), 1L, "signup"),         // 6.5 days
+      (4L, T, 1L, "purchase"),
+      (5L, T, 2L, "purchase"))
+      .map(e => (e._1, e._2, e._3, e._4, 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graftdecay").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q318_time_decay")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_convs"),
+        r.getAs[Long]("decay_ppm"))).toList
+    assert(got === List(("(none)", 1L, 1000000L), ("click", 1L, 197530L),
+      ("signup", 1L, 12345L), ("view", 1L, 790125L)), got.toString)
+  }
+
   test("q317 forecast interval: fixture ledger is consistent; a pure ramp earns a zero-width band and a test-region spike punctures it") {
     val r = q("q317_forecast_interval").head()
     val months = graft.sources.Tables.orders(spark, sf)

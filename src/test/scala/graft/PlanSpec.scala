@@ -500,6 +500,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("q318 time-decay: NO join of any kind — 21 gap-frame window counts on one user-partitioned sort, then explode + rollup") {
+    val p = plan("q318_time_decay")
+    // the scale claim: no purchase × touch pair expansion anywhere
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window") >= 1, p)
+    assert(p.contains("Generate"), p) // the per-channel explode
+  }
+
   test("q307 ACF: the month rollup is STAGED — the final plan never scans orders; only 1-row crosses and the bounded lag pair join") {
     val p = plan("q307_acf")
     assert(!p.contains("CartesianProduct"), p)
