@@ -500,6 +500,13 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("q316 sequence mining: user-keyed equi-joins only — no cartesian; the lone nested loop is the 1-row n_users broadcast cross") {
+    val p = plan("q316_seq_patterns")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2, p)
+  }
+
   test("q318 time-decay: NO join of any kind — 21 gap-frame window counts on one user-partitioned sort, then explode + rollup") {
     val p = plan("q318_time_decay")
     // the scale claim: no purchase × touch pair expansion anywhere
