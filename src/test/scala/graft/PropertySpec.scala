@@ -974,4 +974,62 @@ class PropertySpec extends SparkSpec {
       pairsOk && triplesOk
     }, "q316 extrema algebra ≡ brute-force subsequence")
   }
+
+  test("q318 decay law: the 21-frame window credits equal brute-force per-conversion gap arithmetic on random tied streams") {
+    // gap bucketing, the power-of-two weights, the truncated shares, and
+    // the largest-raw remainder rule are all re-derived literally per
+    // purchase and must match the engine's rollup exactly — including
+    // purchases whose lookback is empty and touches at frame boundaries
+    val t0 = 1704067200L
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0L, 12L * 86400L)
+      tp <- Gen.frequency(2 -> "view", 2 -> "click", 1 -> "signup",
+        2 -> "purchase")
+    } yield (u, sec, tp))
+    check(Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, tpe), i) =>
+        ((i + 1).toLong, (t0 + sec) * 1000000000L, u, tpe, 1.0, "{}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graftdkp").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q318_time_decay")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n_convs"),
+          r.getAs[Long]("decay_ppm"))).toMap
+      val dayUs = 86400L * 1000000L
+      val byUser = rows.groupBy(_._3)
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        .withDefaultValue((0L, 0L))
+      byUser.values.foreach { es =>
+        val evsUs = es.map(e => (e._2 / 1000L, e._4))
+        evsUs.filter(_._2 == "purchase").foreach { case (pt, _) =>
+          def raw(ch: String): Long = evsUs.collect {
+            case (tt, t) if t == ch && tt < pt && tt >= pt - 7 * dayUs =>
+              1000000L >> ((pt - tt - 1) / dayUs).toInt
+          }.sum
+          val (v, c, sg) = (raw("view"), raw("click"), raw("signup"))
+          val t = v + c + sg
+          if (t == 0L) {
+            val (n, p) = acc("(none)"); acc("(none)") = (n + 1, p + 1000000L)
+          } else {
+            val (vp, cp, sp) =
+              (v * 1000000L / t, c * 1000000L / t, sg * 1000000L / t)
+            val rem = 1000000L - vp - cp - sp
+            val winner = if (c >= sg && c >= v) "click"
+              else if (sg >= v) "signup" else "view"
+            Seq(("view", v, vp), ("click", c, cp), ("signup", sg, sp))
+              .foreach { case (ch, rw, ppm) =>
+                if (rw > 0) {
+                  val (n, p) = acc(ch)
+                  acc(ch) = (n + 1,
+                    p + ppm + (if (ch == winner) rem else 0L))
+                }
+              }
+          }
+        }
+      }
+      got == acc.toMap
+    }, "q318 window pass ≡ brute-force gap arithmetic")
+  }
 }
