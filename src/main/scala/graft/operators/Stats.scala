@@ -858,9 +858,14 @@ object Stats extends QueryModule {
     * adjustment carried in integer MICRO-purchases (Y·10⁶ − θppm·X +
     * shift, shift = (θppm·ΣX) div n — one globally-truncated constant,
     * so Ŷ means shift identically across arms), every second moment in
-    * DECIMAL(38,0) ≡ HUGEINT. Headroom: the var-reduction ratio scales
-    * vy by 10¹², holding to ~10⁹ users × Y ~ 10² (q169's documented
-    * ledger convention); var_reduction_ppm = 1e6 − var(Ŷ)/var(Y) is
+    * DECIMAL(38,0) ≡ HUGEINT. Headroom — bounded by the var-reduction
+    * NUMERATOR, not the denominator: Ŷ rides micro-units (|yadj| ≲
+    * 10⁶·(Y + θX) ~ 10⁸ at Y, X ~ 10²), so (n·Σŷ² − (Σŷ)²)·10⁶ ≲
+    * n²·10¹⁶·10⁶, hitting the 10³⁸ DECIMAL ceiling at n ~ 10⁸ users —
+    * one order below q169's 10⁹ ledger convention (the denominator's
+    * vy·10¹² term alone would allow 10⁹; past 10⁸ users Spark would
+    * NULL where DuckDB errors, so the tighter bound is the documented
+    * one); var_reduction_ppm = 1e6 − var(Ŷ)/var(Y) is
     * ≥ 0 up to θ's ppm truncation by the Cauchy-Schwarz identity
     * var(Y−θX) = var(Y) − cov²/var(X).
     */
@@ -1920,9 +1925,10 @@ object Stats extends QueryModule {
   }
 
   /** q306 — FORECAST BACKTEST / MODEL SELECTION: the read that closes
-    * the forecast family — which of the library's three forecasters
-    * (q300 linear Holt, q303 additive Holt-Winters, q154's
-    * seasonal-naive baseline) actually wins on THIS series, by one-step
+    * the forecast family — which of the library's four forecasters
+    * (q319 Yule–Walker AR, q300 linear Holt, q303 additive
+    * Holt-Winters, q154's seasonal-naive baseline) actually wins on
+    * THIS series, by one-step
     * mean absolute error over the shared out-of-fit window. Both
     * recurrences already produce rolling one-step forecasts at every
     * month (that is what exponential smoothing IS), so the backtest is
@@ -1932,6 +1938,12 @@ object Stats extends QueryModule {
     * window, so no model is graded on months it was fit on), and rank.
     * Seasonal-naive is the Hyndman-recommended floor: a smoother that
     * cannot beat last-year-same-month is not earning its state.
+    * Honesty note on the AR column: the smoothers' one-step forecasts
+    * are causal (state built from the past only), while the AR fit's
+    * μ/ACF/φ are FULL-sample (the Yule–Walker convention) — its
+    * "one-step errors" are residuals of a model that has seen the
+    * whole series. Documented rather than hidden; the ranking is
+    * still the standard Box–Jenkins residual comparison.
     *
     * Exactness + scale: the corpus-sized work is the ONE shared
     * monthly rollup; everything else runs on the calendar-bounded
@@ -1957,7 +1969,13 @@ object Stats extends QueryModule {
     val hwErrs = hwPass(c)._1
       .collect { case (t, _, _, _, _, _, e) if t >= cut => e }
     val naiveErrs = (cut until c.length).map(t => (c(t) - c(t - p)).abs)
-    val models = Seq(("holt", holtErrs), ("holt_winters", hwErrs),
+    // the q319 estimation rung joins the panel by replaying the SAME
+    // shared pass (cut = 2p ≥ any selectable AR order, so the scored
+    // window is identical across models)
+    val arErrs = arPass(series)._3
+      .collect { case (m, _, _, e) if m >= cut => e }
+    val models = Seq(("ar", arErrs), ("holt", holtErrs),
+      ("holt_winters", hwErrs),
       ("seasonal_naive", naiveErrs)).map { case (name, errs) =>
       val n = errs.size.toLong
       val tot = errs.map(BigInt(_)).sum
@@ -2079,6 +2097,11 @@ object Stats extends QueryModule {
   val forecastInterval: Q = (s, d) => {
     import s.implicits._
     val series = monthlySeries(s, d)
+    // documented engine/oracle asymmetry on DEGENERATE corpora only: a
+    // 3-month series leaves the oracle's test fold empty (its coverage
+    // `// count(*)` divides by zero with a different error class);
+    // this require fails first and louder. Both sides refuse — they
+    // just word the refusal differently, and only below 4 months.
     require(series.length >= 4,
       s"q317: need >= 4 months, got ${series.length}")
     val errs = holtPass(series)._1.drop(1).map(_._6)
@@ -2117,32 +2140,166 @@ object Stats extends QueryModule {
     * the q298 metadata-sync rule). A (near-)deterministic series can
     * drive the innovation variance v to 0, where φ is undefined — the
     * walk stops there and reports the lags it proved (documented, not
-    * padded); a sub-[[acfMaxLag]] ACF (under 13 months of data) is
-    * refused loudly.
+    * padded); likewise a sub-[[acfMaxLag]] ACF (under 13 months of
+    * data) truncates the walk to the lags available, exactly as the
+    * oracle's recursive CTE does at its `it.k < r.nl` bound — the two
+    * engines agree on short corpora instead of diverging into an
+    * exception-vs-partial-rows split.
     */
   val pacfDiagnostic: Q = (s, d) => {
     import s.implicits._
     val rho0 = acfDiagnostic(s, d).select("lag", "acf_ppm").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    require(rho0.size == acfMaxLag,
-      s"q313: need $acfMaxLag ACF lags, got ${rho0.size} (series too short)")
-    val rho = (1 to acfMaxLag).map(rho0)
-    val out = Vector.newBuilder[(Int, Long)]
-    var phi = Vector(rho(0))
-    var v = 1000000L - (rho(0) * rho(0)) / 1000000L
-    out += ((1, rho(0)))
-    var k = 1
-    while (k < acfMaxLag && v > 0) {
-      val num = rho(k) * 1000000L -
-        (1 to k).map(j => phi(j - 1) * rho(k - j)).sum
-      val pk = num / v
-      phi = (1 to k).map(j => phi(j - 1) - (pk * phi(k - j)) / 1000000L)
-        .toVector :+ pk
-      v = (v * (1000000L - (pk * pk) / 1000000L)) / 1000000L
-      k += 1
-      out += ((k, pk))
+    // ACF lags are contiguous 1..nl by construction (a lag-k pair
+    // exists iff the series has > k months), so indexing 1..size is
+    // total; an empty ACF (constant or single-month series) yields the
+    // empty PACF, matching the oracle's guarded seed
+    val rho = (1 to math.min(acfMaxLag, rho0.size)).map(rho0)
+    durbinLevinson(rho).map { case (k, phi, _) => (k, phi.last) }
+      .toDF("lag", "pacf_ppm").orderBy("lag")
+  }
+
+  /** The Durbin–Levinson recursion in ppm FIXED POINT, the ONE shared
+    * walk behind q313 (PACF — step k's φ_{k,k} is the partial
+    * autocorrelation at lag k) and q319 (Yule–Walker AR estimation —
+    * the φ row at order p IS the YW solution on the first p sample
+    * autocorrelations, so the fit cannot drift from the diagnostic
+    * that selected it; the holtPass/hwPass sharing lesson applied
+    * pre-emptively). Step k carries (k, φ row at order k, innovation
+    * variance v_k in ppm):
+    *   φ_{k,k} = (ρ_k·10⁶ − Σ_j φ_{k−1,j}·ρ_{k−j}) div v_{k−1}
+    *   φ_{k,j} = φ_{k−1,j} − (φ_{k,k}·φ_{k−1,k−j}) div 10⁶
+    *   v_k     = v_{k−1}·(10⁶ − φ_{k,k}² div 10⁶) div 10⁶
+    * Every product truncates toward zero (Scala `/` on Long ≡ DuckDB
+    * `//`), mirrored step for step by the q313/q319 oracles' recursive
+    * CTEs carrying the φ row as a HUGEINT LIST. The walk covers lags
+    * 1..rho.length and stops early when v hits 0 (φ undefined beyond);
+    * callers report the lags proven. Calendar-bounded input (≤
+    * [[acfMaxLag]] values) — driver-side by the q298 metadata rule. */
+  private[graft] def durbinLevinson(rho: IndexedSeq[Long])
+      : Vector[(Int, Vector[Long], Long)] = {
+    val out = Vector.newBuilder[(Int, Vector[Long], Long)]
+    if (rho.nonEmpty) {
+      var phi = Vector(rho(0))
+      var v = 1000000L - (rho(0) * rho(0)) / 1000000L
+      out += ((1, phi, v))
+      var k = 1
+      while (k < rho.length && v > 0) {
+        val num = rho(k) * 1000000L -
+          (1 to k).map(j => phi(j - 1) * rho(k - j)).sum
+        val pk = num / v
+        phi = (1 to k).map(j => phi(j - 1) - (pk * phi(k - j)) / 1000000L)
+          .toVector :+ pk
+        v = (v * (1000000L - (pk * pk) / 1000000L)) / 1000000L
+        k += 1
+        out += ((k, phi, v))
+      }
     }
-    out.result().toDF("lag", "pacf_ppm").orderBy("lag")
+    out.result()
+  }
+
+  /** q319 order-selection band: p = max proven lag k with
+    * φ_{k,k}²·n ≥ [[arBandZSq]]·10¹² — the integer-exact form of the
+    * textbook ±z/√n PACF significance cutoff at z = 2 (≈ the 95%
+    * band). No significant lag → p = 0, the MEAN model: the correct
+    * Box–Jenkins readout for a white series, and a real competitor in
+    * q306 (a mean-reverting series is forecast best by its mean). */
+  private[graft] val arBandZSq = 4L
+
+  /** The q319 AR fit + forecasts as ONE shared pass (q306's backtest
+    * replays it — the holtPass/hwPass no-drift discipline): sample ACF
+    * in ppm (the q307 integer formula: μ = Σc div n, deviation
+    * products exact, sign-safe toward-zero ppm), [[durbinLevinson]],
+    * PACF-cutoff order selection ([[arBandZSq]]), then the Yule–Walker
+    * AR(p) forecasts on the demeaned series:
+    *   f_t = μ + (Σ_j φ_j·d_{t−j}) div 10⁶   (ONE truncation per month)
+    * in-sample for t ≥ p, and h-step ahead by the same formula with
+    * predicted deviations substituted recursively (the q303 ring
+    * shape). Caller guarantees a gap-free month grid (AR lags are
+    * calendar-aligned). Returns (p, φ row ppm, in-sample rows
+    * (m, actual, forecast, absErr), horizon forecasts). All
+    * calendar-bounded driver-side work; products ride BigInt ≡ the
+    * oracle's HUGEINT. */
+  private def arPass(series: Array[(Long, Long)])
+      : (Int, Vector[Long], Vector[(Long, Long, Long, Long)],
+         Vector[Long]) = {
+    val n = series.length
+    val c = series.map(_._2)
+    val mu = (c.map(BigInt(_)).sum / n).toLong
+    val dv = c.map(_ - mu)
+    val den = dv.map(x => BigInt(x) * x).sum
+    val rho: IndexedSeq[Long] =
+      if (den <= 0) IndexedSeq.empty
+      else (1 to math.min(acfMaxLag, n - 1)).map { k =>
+        val num = (0 until n - k).map(t => BigInt(dv(t)) * dv(t + k)).sum
+        ((num * 1000000) / den).toLong // BigInt / truncates toward zero
+      }
+    val steps = durbinLevinson(rho)
+    val sel = steps.collect { case (k, phi, _)
+      if BigInt(phi.last) * phi.last * n >= BigInt(arBandZSq) *
+        BigInt(1000000L) * 1000000L => k }
+    val p = if (sel.isEmpty) 0 else sel.max
+    val phiP = if (p == 0) Vector.empty[Long] else steps(p - 1)._2
+    def predict(devs: IndexedSeq[Long], t: Int): Long =
+      mu + ((1 to p).map(j => BigInt(phiP(j - 1)) * devs(t - j)).sum
+        / 1000000).toLong
+    val inSample = (p until n).map { t =>
+      val f = predict(dv, t)
+      (series(t)._1, c(t), f, (c(t) - f).abs)
+    }.toVector
+    var ring = dv.toVector
+    val horizon = (1 to holtHorizon).map { _ =>
+      val f = predict(ring, ring.length)
+      ring = ring :+ (f - mu)
+      f
+    }.toVector
+    (p, phiP, inSample, horizon)
+  }
+
+  /** q319 — AR(p) YULE–WALKER FIT + h-STEP FORECAST: the estimation
+    * rung that closes the Box–Jenkins loop — q307/q313 identify
+    * (ACF/PACF), THIS fits the identified order, q306/q317 validate.
+    * The Yule–Walker solution at order p is exactly the
+    * [[durbinLevinson]] φ row at step p (the recursion IS the Toeplitz
+    * solver), so the fit shares the identical walk with q313 and
+    * cannot drift from the diagnostic that selected it; the selected
+    * order is the PACF significance cutoff ([[arBandZSq]]). On the
+    * fixture series no lag clears the ±2/√n band, so p = 0 and the
+    * model is the mean — which legitimately WINS the q306 backtest on
+    * this mean-reverting series (the white-noise readout is the
+    * point, not a degenerate case); the spec plants an AR(2) series
+    * that selects p = 2, recovers φ exactly against an independent
+    * rational-arithmetic replay, and beats Holt out of fit.
+    *
+    * Output (long format, one table): an `order` row (value = p), one
+    * `phi` row per coefficient (m = lag j, value = φ_j in ppm),
+    * `forecast` rows for t ≥ p (value = forecast cents, with actual
+    * and |err|), and [[holtHorizon]] `horizon` rows (actual = −1).
+    * Scale: ONE corpus aggregate — the memoized [[monthlyFrame]]
+    * leaf — then calendar-bounded driver-side recurrences (~80 rows
+    * at ANY corpus scale, the q298 metadata-sync rule). The oracle
+    * replays ACF → Durbin–Levinson (q313's HUGEINT-LIST recursive
+    * CTE) → selection → forecasts, every division toward zero.
+    */
+  val arForecast: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    require(series.nonEmpty, "q319: empty orders table")
+    require(series.last._1 == series.length - 1,
+      "q319: month grid must be gap-free (AR lags are calendar-aligned)")
+    val (p, phiP, inSample, horizon) = arPass(series)
+    val n = series.length
+    val rows =
+      Vector(("order", 0L, -1L, p.toLong, 0L)) ++
+        phiP.zipWithIndex.map { case (ph, j) =>
+          ("phi", (j + 1).toLong, -1L, ph, 0L)
+        } ++
+        inSample.map { case (m, a, f, e) => ("forecast", m, a, f, e) } ++
+        horizon.zipWithIndex.map { case (f, h) =>
+          ("horizon", (n + h).toLong, -1L, f, 0L)
+        }
+    rows.toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
+      .orderBy("row_kind", "m")
   }
 
   /** q283 — SPLIT-CONFORMAL COVERAGE AUDIT (Mondrian / per-group,
@@ -2309,6 +2466,7 @@ object Stats extends QueryModule {
     "q306_forecast_backtest" -> forecastBacktest,
     "q307_acf" -> acfDiagnostic,
     "q313_pacf" -> pacfDiagnostic,
+    "q319_ar_forecast" -> arForecast,
     "q317_forecast_interval" -> forecastInterval,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
@@ -2457,6 +2615,12 @@ object Stats extends QueryModule {
         s"+ ${1000000L - holtAlpha} * (it.s + it.b)) // 1000000"
       val p2 = hwPeriod.toLong * hwPeriod
       val cut = 2 * hwPeriod
+      // the q319 AR chain (a-prefixed to keep CTE names disjoint from
+      // the smoother recursions): ACF -> Durbin-Levinson -> PACF-cutoff
+      // order -> in-sample residuals for the shared scored window
+      val apk = "((arr.rho[ait.k + 1] * 1000000 - list_sum(" +
+        "list_transform(range(1, ait.k + 1), " +
+        "j -> ait.phi[j] * arr.rho[ait.k + 1 - j]))) // ait.v)"
       s"""WITH RECURSIVE raw AS (SELECT
          |    CAST(year(CAST(o_orderdate AS DATE)) * 12
          |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
@@ -2465,6 +2629,56 @@ object Stats extends QueryModule {
          |  FROM orders GROUP BY 1),
          |monthly AS MATERIALIZED (SELECT m - (SELECT min(m) FROM raw) AS m,
          |    c FROM raw),
+         |ast AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |adev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM ast) AS dv FROM monthly),
+         |aden AS (SELECT sum(dv * dv) AS dn FROM adev),
+         |aacf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM aden)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM aden))
+         |      END AS BIGINT) AS acf_ppm
+         |  FROM adev a JOIN adev b
+         |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM aden) > 0
+         |  GROUP BY 1),
+         |arr AS MATERIALIZED (SELECT
+         |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+         |    count(*) AS nl FROM aacf),
+         |ait(k, phi, v) AS (
+         |  SELECT 1, [arr.rho[1]],
+         |    CAST(1000000 AS HUGEINT) - (arr.rho[1] * arr.rho[1]) // 1000000
+         |  FROM arr WHERE arr.nl >= 1
+         |  UNION ALL
+         |  SELECT ait.k + 1,
+         |    list_transform(range(1, ait.k + 1),
+         |      j -> ait.phi[j] - ($apk * ait.phi[ait.k + 1 - j]) // 1000000)
+         |      || [$apk],
+         |    (ait.v * (1000000 - ($apk * $apk) // 1000000)) // 1000000
+         |  FROM ait, arr
+         |  WHERE ait.k < $acfMaxLag AND ait.v > 0 AND ait.k < arr.nl),
+         |asel AS MATERIALIZED (SELECT coalesce(max(ait.k), 0) AS p
+         |  FROM ait, ast
+         |  WHERE ait.phi[ait.k] * ait.phi[ait.k] * ast.n
+         |    >= ${arBandZSq * 1000000L} * CAST(1000000 AS HUGEINT)),
+         |aphis AS MATERIALIZED (SELECT
+         |    unnest(range(1, len(phi) + 1)) AS j, unnest(phi) AS ph
+         |  FROM (SELECT coalesce(
+         |      (SELECT ait.phi FROM ait, asel WHERE ait.k = asel.p),
+         |      CAST([] AS HUGEINT[])) AS phi)),
+         |ainss AS (SELECT x.m AS m, sum(p2.ph * l.dv) AS ss
+         |  FROM monthly x
+         |  JOIN aphis p2 ON TRUE
+         |  JOIN adev l ON l.m = x.m - p2.j
+         |  GROUP BY x.m),
+         |ae AS (SELECT abs(x.c - ((SELECT mu FROM ast)
+         |    + CASE WHEN coalesce(s.ss, 0) >= 0
+         |        THEN coalesce(s.ss, 0) // 1000000
+         |        ELSE -((-coalesce(s.ss, 0)) // 1000000) END)) AS e
+         |  FROM monthly x LEFT JOIN ainss s ON s.m = x.m
+         |  WHERE x.m >= $cut),
          |ith(t, s, b, f) AS (
          |  SELECT CAST(0 AS BIGINT),
          |    CAST((SELECT c FROM monthly WHERE m = 0) AS HUGEINT),
@@ -2513,8 +2727,10 @@ object Stats extends QueryModule {
          |ne AS (SELECT abs(a.c - b.c) AS e FROM monthly a
          |  JOIN monthly b ON b.m = a.m - $hwPeriod WHERE a.m >= $cut),
          |agg AS (
-         |  SELECT 'holt' AS model, count(*) AS n_months,
-         |    CAST(sum(e) AS BIGINT) AS tot FROM he
+         |  SELECT 'ar' AS model, count(*) AS n_months,
+         |    CAST(sum(e) AS BIGINT) AS tot FROM ae
+         |  UNION ALL SELECT 'holt', count(*),
+         |    CAST(sum(e) AS BIGINT) FROM he
          |  UNION ALL SELECT 'holt_winters', count(*),
          |    CAST(sum(e) AS BIGINT) FROM we
          |  UNION ALL SELECT 'seasonal_naive', count(*),
@@ -2764,7 +2980,7 @@ object Stats extends QueryModule {
          |it(k, phi, v) AS (
          |  SELECT 1, [r.rho[1]],
          |    CAST(1000000 AS HUGEINT) - (r.rho[1] * r.rho[1]) // 1000000
-         |  FROM r
+         |  FROM r WHERE r.nl >= 1
          |  UNION ALL
          |  SELECT it.k + 1,
          |    list_transform(range(1, it.k + 1),
@@ -2774,6 +2990,99 @@ object Stats extends QueryModule {
          |  FROM it, r WHERE it.k < $acfMaxLag AND it.v > 0 AND it.k < r.nl)
          |SELECT CAST(k AS INT) AS lag, CAST(phi[k] AS BIGINT) AS pacf_ppm
          |FROM it ORDER BY 1""".stripMargin
+    },
+    // q313's ACF + Durbin-Levinson CTEs verbatim, then the PACF-cutoff
+    // order selection, the phi row unnested at the selected order, the
+    // in-sample forecasts as a lag equi-join (one truncated division per
+    // month), and the horizon as a dev-ring recursive CTE (q303's list
+    // trick); every // is toward-zero ≡ the Scala side's BigInt division
+    "q319_ar_forecast" -> {
+      val pk = "((r.rho[it.k + 1] * 1000000 - list_sum(" +
+        "list_transform(range(1, it.k + 1), " +
+        "j -> it.phi[j] * r.rho[it.k + 1 - j]))) // it.v)"
+      val sExpr = "coalesce(list_sum(list_transform(" +
+        "range(1, len(phir.phi) + 1), " +
+        "j -> phir.phi[j] * hz.ring[len(hz.ring) + 1 - j])), 0)"
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |st AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |dev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM st) AS dv FROM monthly),
+         |den AS (SELECT sum(dv * dv) AS dn FROM dev),
+         |acf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM den)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM den))
+         |      END AS BIGINT) AS acf_ppm
+         |  FROM dev a JOIN dev b
+         |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM den) > 0
+         |  GROUP BY 1),
+         |r AS MATERIALIZED (SELECT
+         |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+         |    count(*) AS nl FROM acf),
+         |it(k, phi, v) AS (
+         |  SELECT 1, [r.rho[1]],
+         |    CAST(1000000 AS HUGEINT) - (r.rho[1] * r.rho[1]) // 1000000
+         |  FROM r WHERE r.nl >= 1
+         |  UNION ALL
+         |  SELECT it.k + 1,
+         |    list_transform(range(1, it.k + 1),
+         |      j -> it.phi[j] - ($pk * it.phi[it.k + 1 - j]) // 1000000)
+         |      || [$pk],
+         |    (it.v * (1000000 - ($pk * $pk) // 1000000)) // 1000000
+         |  FROM it, r WHERE it.k < $acfMaxLag AND it.v > 0 AND it.k < r.nl),
+         |sel AS MATERIALIZED (SELECT coalesce(max(it.k), 0) AS p
+         |  FROM it, st
+         |  WHERE it.phi[it.k] * it.phi[it.k] * st.n
+         |    >= ${arBandZSq * 1000000L} * CAST(1000000 AS HUGEINT)),
+         |phir AS MATERIALIZED (SELECT coalesce(
+         |    (SELECT it.phi FROM it, sel WHERE it.k = sel.p),
+         |    CAST([] AS HUGEINT[])) AS phi),
+         |phis AS MATERIALIZED (SELECT
+         |    unnest(range(1, len(phi) + 1)) AS j,
+         |    unnest(phi) AS ph FROM phir),
+         |inss AS (SELECT x.m AS m, sum(p2.ph * l.dv) AS ss
+         |  FROM monthly x
+         |  JOIN phis p2 ON TRUE
+         |  JOIN dev l ON l.m = x.m - p2.j
+         |  GROUP BY x.m),
+         |insf AS (SELECT x.m, x.c,
+         |    CAST((SELECT mu FROM st)
+         |      + CASE WHEN coalesce(s.ss, 0) >= 0
+         |          THEN coalesce(s.ss, 0) // 1000000
+         |          ELSE -((-coalesce(s.ss, 0)) // 1000000) END AS BIGINT)
+         |      AS f
+         |  FROM monthly x LEFT JOIN inss s ON s.m = x.m, sel
+         |  WHERE x.m >= sel.p),
+         |hz(h, ring, f) AS (
+         |  SELECT 0, (SELECT list(dv ORDER BY m) FROM dev),
+         |    CAST(NULL AS HUGEINT)
+         |  UNION ALL
+         |  SELECT hz.h + 1,
+         |    hz.ring || [CASE WHEN $sExpr >= 0 THEN ($sExpr) // 1000000
+         |      ELSE -((-($sExpr)) // 1000000) END],
+         |    (SELECT mu FROM st)
+         |      + CASE WHEN $sExpr >= 0 THEN ($sExpr) // 1000000
+         |        ELSE -((-($sExpr)) // 1000000) END
+         |  FROM hz, phir WHERE hz.h < $holtHorizon)
+         |SELECT 'order' AS row_kind, CAST(0 AS BIGINT) AS m,
+         |  CAST(-1 AS BIGINT) AS actual_cents, CAST(p AS BIGINT) AS value,
+         |  CAST(0 AS BIGINT) AS abs_err_cents FROM sel
+         |UNION ALL SELECT 'phi', CAST(j AS BIGINT), -1, CAST(ph AS BIGINT),
+         |  0 FROM phis
+         |UNION ALL SELECT 'forecast', m, c, f, abs(c - f) FROM insf
+         |UNION ALL SELECT 'horizon', (SELECT max(m) FROM monthly) + hz.h,
+         |  -1, CAST(hz.f AS BIGINT), 0 FROM hz WHERE hz.h >= 1
+         |ORDER BY 1, 2""".stripMargin
     },
     // q300's recursion verbatim, then the q283-style exact order
     // statistic on the calibration prefix and ppm coverage on the tail;

@@ -738,16 +738,20 @@ class AnalyticsSpec extends SparkSpec {
     // q306 backtest on the same planted series: Holt-Winters wins with
     // EXACTLY zero out-of-fit error; seasonal-naive misses by the trend
     // (|c_t − c_{t−12}| = 12B = 24 every month); linear Holt misses by
-    // the unmodeled seasonal and never flags best
+    // the unmodeled seasonal; the q319 AR panel member scores too (its
+    // trend+seasonal residuals can't reach zero) and never flags best
     val bt = SparkEntry.queries("q306_forecast_backtest")(spark, dir)
       .orderBy("model").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))
-    val Array(holt, hw, naive) = bt
+    assert(bt.map(_._1).toList ===
+      List("ar", "holt", "holt_winters", "seasonal_naive"), bt.mkString(","))
+    val Array(ar, holt, hw, naive) = bt
     assert(hw === ("holt_winters", 6L, 0L, 0L, true), bt.mkString(","))
     assert(naive === ("seasonal_naive", 6L, 144L, 24L, false), bt.mkString(","))
     assert(holt._1 === "holt" && holt._2 === 6L && holt._3 > 0L && !holt._5,
       bt.mkString(","))
+    assert(ar._2 === 6L && ar._3 > 0L && !ar._5, bt.mkString(","))
   }
 
   test("q301 RFM: cells partition the customer base, quintiles deal evenly, and the segment mapping is consistent") {
@@ -1821,13 +1825,111 @@ class AnalyticsSpec extends SparkSpec {
       (4, -14477L), (5, 14698L), (6, -14943L), (7, 15159L), (8, -15376L),
       (9, 15606L), (10, -15891L), (11, 16135L), (12, -16379L))
     assert(got === want, got.toString)
-    // under 13 months the ACF vector is short and the fit refuses loudly
+    // under 13 months the ACF vector is short and the walk TRUNCATES to
+    // the lags available (a 6-month series proves lags 1..5), exactly as
+    // the oracle's recursive CTE stops at its r.nl bound — graceful, not
+    // an engine-exception-vs-oracle-rows divergence (the r14 advisor
+    // finding); pacf(1) = acf(1) still holds on the short series
     val shortDir = java.nio.file.Files.createTempDirectory("graftpacfs").toString
     orders.limit(6).write.mode("overwrite").parquet(s"$shortDir/orders.parquet")
-    val e = intercept[IllegalArgumentException] {
-      SparkEntry.queries("q313_pacf")(spark, shortDir).collect()
+    val short = SparkEntry.queries("q313_pacf")(spark, shortDir).collect()
+      .map(x => (x.getAs[Int]("lag"), x.getAs[Long]("pacf_ppm"))).toList
+    assert(short.nonEmpty && short.length <= 5, short.toString)
+    assert(short.map(_._1) === (1 to short.length).toList, short.toString)
+    val shortAcf1 = SparkEntry.queries("q307_acf")(spark, shortDir).collect()
+      .find(_.getAs[Int]("lag") == 1).get.getAs[Long]("acf_ppm")
+    assert(short.head._2 === shortAcf1, short.toString)
+  }
+
+  test("q319 AR fit: a planted AR(2) selects order 2, phi matches an independent fixed-point replay exactly, and the AR column wins the q306 backtest") {
+    import spark.implicits._
+    // x_t = 1.1·x_{t−1} − 0.5·x_{t−2} + LCG shock — complex AR(2) roots
+    // give a damped ~8.5-month quasi-cycle no smoother state models:
+    // Holt has no oscillation, seasonal-naive's period-12 lag is wrong
+    val A = 500000L
+    var seed = 42L
+    def lcg(): Long = {
+      seed = (seed * 1103515245L + 12345L) % (1L << 31)
+      seed % 2001L - 1000L
     }
-    assert(e.getMessage.contains("q313"))
+    var x1 = 0.0; var x2 = 0.0
+    val cents = (0 until 60).map { _ =>
+      val x = 1.1 * x1 - 0.5 * x2 + lcg() * 40.0
+      x2 = x1; x1 = x
+      A + x.toLong
+    }
+    val orders = cents.zipWithIndex.map { case (c, t) =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", c / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftar").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // ---- independent replay: ACF → Durbin–Levinson → cutoff →
+    // forecast, all in BigInt toward-zero fixed point (written from the
+    // formulas, not the engine code — the randomized-law discipline) ----
+    def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / is toward-zero
+    val n = cents.length
+    val mu = tdiv(cents.map(BigInt(_)).sum, n).toLong
+    val dv = cents.map(_ - mu)
+    val den = dv.map(x => BigInt(x) * x).sum
+    val rho = (1 to 12).map { k =>
+      tdiv((0 until n - k).map(t => BigInt(dv(t)) * dv(t + k)).sum
+        * 1000000, den).toLong
+    }
+    var phiRow = Vector(rho(0))
+    var v = 1000000L - tdiv(BigInt(rho(0)) * rho(0), 1000000L).toLong
+    var rows = Vector((1, phiRow, v)); var k = 1
+    while (k < rho.length && v > 0) {
+      val num = BigInt(rho(k)) * 1000000L -
+        (1 to k).map(j => BigInt(phiRow(j - 1)) * rho(k - j)).sum
+      val pk = tdiv(num, v).toLong
+      phiRow = (1 to k).map(j => phiRow(j - 1) -
+        tdiv(BigInt(pk) * phiRow(k - j), 1000000L).toLong).toVector :+ pk
+      v = tdiv(BigInt(v) * (1000000L -
+        tdiv(BigInt(pk) * pk, 1000000L).toLong), 1000000L).toLong
+      k += 1; rows = rows :+ ((k, phiRow, v))
+    }
+    val p = rows.collect { case (kk, ph, _)
+      if BigInt(ph.last) * ph.last * n >= BigInt("4000000000000") => kk }.max
+    val phiP = rows(p - 1)._2
+    assert(p === 2, rows.map(r => (r._1, r._2.last)).toString)
+    // the planted (1.1, −0.5) recovered to sample-YW resolution
+    assert(math.abs(phiP(0) - 1100000L) < 100000L, phiP.toString)
+    assert(math.abs(phiP(1) + 500000L) < 50000L, phiP.toString)
+
+    val got = SparkEntry.queries("q319_ar_forecast")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.collect { case ("order", _, _, pv, _) => pv }.toList
+      === List(p.toLong), got.take(3).mkString(","))
+    assert(got.collect { case ("phi", j, _, ph, _) => (j, ph) }.toList
+      === phiP.zipWithIndex.map { case (ph, j) => ((j + 1).toLong, ph) },
+      "phi must equal the independent replay exactly (ppm)")
+    def pred(devs: IndexedSeq[Long], t: Int): Long =
+      mu + tdiv((1 to p).map(j => BigInt(phiP(j - 1)) * devs(t - j)).sum,
+        1000000L).toLong
+    val wantF = (p until n).map(t =>
+      (t.toLong, cents(t), pred(dv, t), math.abs(cents(t) - pred(dv, t))))
+    assert(got.collect { case ("forecast", m, a, f, e) => (m, a, f, e) }
+      .toList === wantF.toList)
+    var ring = dv.toVector
+    val wantH = (0 until 3).map { h =>
+      val f = pred(ring, ring.length); ring = ring :+ (f - mu)
+      ((n + h).toLong, f)
+    }
+    assert(got.collect { case ("horizon", m, _, f, _) => (m, f) }.toList
+      === wantH.toList)
+
+    // the backtest: the AR member beats every smoother out of fit on
+    // its own generating process — the estimation rung earns its seat
+    val bt = SparkEntry.queries("q306_forecast_backtest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+      .toList
+    val arMae = bt.find(_._1 == "ar").get
+    assert(arMae._3, bt.toString)
+    bt.filter(_._1 != "ar").foreach { m =>
+      assert(m._2 > arMae._2 && !m._3, bt.toString)
+    }
   }
 
   test("q308 CUPED: fixture arms partition users; a planted linear covariate gives exact theta and 100% variance kill") {

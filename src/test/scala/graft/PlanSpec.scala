@@ -528,6 +528,15 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.size <= 8, s"${bnlj.size} nested loops\n$p")
   }
 
+  test("q319 AR fit: corpus work is the memoized staged month leaf consumed by a bounded collect — the final plan is a local relation, no orders scan, no join") {
+    val p = plan("q319_ar_forecast")
+    // the ONE corpus aggregate ran into the shared monthlyFrame leaf
+    // (q307/q313's), collected calendar-bounded; the recurrence output
+    // is a driver-built local table — nothing distributed remains
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q308 CUPED: the corpus aggregate is STAGED — the final plan reads the per-user leaf, never the event stream") {
     val p = plan("q308_cuped")
     assert(!p.contains("CartesianProduct"), p)
