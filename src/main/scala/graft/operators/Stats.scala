@@ -869,23 +869,41 @@ object Stats extends QueryModule {
     * ≥ 0 up to θ's ppm truncation by the Cauchy-Schwarz identity
     * var(Y−θX) = var(Y) − cov²/var(X).
     */
+  /** The staged q308 per-user (x, y, arm) frame, MEMOIZED per input dir
+    * (the [[graft.Scratch]] staging-memo contract — fixture dirs are
+    * immutable per JVM): q308's moments + adjusted passes and q322's
+    * power analysis all read the ONE corpus aggregate instead of each
+    * re-running the event scan. */
+  private val cupedLeafCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cupedLeaf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val leaf = cupedLeafCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("graft_cuped")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(expr(
+          "date_add(d0, CAST((datediff(d1, d0) + 1) div 2 AS INT))")
+          .as("split"))
+      ev.crossJoin(broadcast(bounds))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("split"), col("p")).otherwise(0L))
+            .as("x"),
+          sum(when(col("day") >= col("split"), col("p")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(leaf)
+  }
+
   val cuped: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
-    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
-      .select(expr(
-        "date_add(d0, CAST((datediff(d1, d0) + 1) div 2 AS INT))").as("split"))
-    val per = ev.crossJoin(broadcast(bounds))
-      .groupBy("user_id")
-      .agg(sum(when(col("day") < col("split"), col("p")).otherwise(0L))
-          .as("x"),
-        sum(when(col("day") >= col("split"), col("p")).otherwise(0L))
-          .as("y"))
-      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
-    val tmp = graft.Scratch.dir("graft_cuped")
-    per.write.mode("overwrite").parquet(tmp)
-    val st = s.read.parquet(tmp)
+    val st = cupedLeaf(s, d)
     val mom = st.agg(count(lit(1)).as("n"), sum("x").as("sx"),
         sum("y").as("sy"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
@@ -934,6 +952,95 @@ object Stats extends QueryModule {
                     * 1000000000000)
                 END AS BIGINT)""").as("var_reduction_ppm"))
       .orderBy("arm")
+  }
+
+  /** q322 z-constants in micro: Φ⁻¹(0.975) = 1.959964, Φ⁻¹(0.80) =
+    * 0.841621 — α = 0.05 two-sided, power = 80%, the industry-default
+    * pre-experiment read. Plan-time transcendentals evaluated once and
+    * embedded IDENTICALLY in the oracle SQL (the q309 sprtInc
+    * discipline — no cross-engine normal quantile is ever computed). */
+  private[graft] val zAlphaHalfMicro = 1959964L
+  private[graft] val zBetaMicro = 841621L
+
+  /** q322 target relative effect for the required-n read: 5% of the
+    * control-arm mean. */
+  private[graft] val mdeTargetPpm = 50000L
+
+  /** Exact floor integer square root (monotone Newton on BigInt).
+    * The oracle mirrors it as floor(sqrt(CAST AS DOUBLE)) plus a
+    * two-step integer correction — exact while the double's absolute
+    * sqrt error stays under 1 (radicand ≲ 10³⁰; q322's is ≤ ~10²⁹ at
+    * 10⁹ users × Y ~ 10², documented with the z constants). */
+  private[graft] def isqrt(x: BigInt): BigInt = {
+    require(x >= 0, "isqrt: negative radicand")
+    if (x < 2) x
+    else {
+      var g = BigInt(1) << (x.bitLength / 2 + 1)
+      var h = (g + x / g) / 2
+      while (h < g) { g = h; h = (g + x / g) / 2 }
+      g
+    }
+  }
+
+  /** q322 — POWER / MINIMUM-DETECTABLE-EFFECT ANALYSIS: the
+    * pre-experiment read that completes the experimentation family —
+    * q169's χ² and q309/q312's SPRT decide AFTER the data arrives;
+    * this says, from the same per-user metric frame, what the
+    * experiment CAN detect at its current size (MDE) and how many
+    * users per arm a target effect would need (required n) — the
+    * dashboard every platform consults before launching a test.
+    * Standard two-sample normal approximation at α = 0.05 two-sided,
+    * power 80%:
+    *   MDE        = (z_{α/2}+z_β) · √(σ₀²/n₀ + σ₁²/n₁)
+    *   required n = (z_{α/2}+z_β)² · (σ₀²+σ₁²) / δ²,  δ = 5% of μ₀
+    * all in EXACT integer micro-units: per-arm moments ride
+    * DECIMAL(38,0) ≡ HUGEINT, variance terms truncate ONCE per arm
+    * (vm = (n·Σy²−(Σy)²)·10¹² div n³, s² likewise div n²), the square
+    * root is an exact integer floor-sqrt ([[isqrt]]; the oracle's
+    * double sqrt + two-step correction is exact at every reachable
+    * radicand), required n is a ceiling division, and a 0 control
+    * mean reports the −1 sentinel rather than dividing by zero. The
+    * `detectable` flag closes the loop: is the OBSERVED effect at
+    * least the MDE?
+    *
+    * Scale: ONE corpus aggregate — the memoized [[cupedLeaf]] shared
+    * with q308 — then a 2-row arm rollup collected driver-side (the
+    * arm-bounded sync class, q312's convention). Trivially safe at
+    * any corpus size.
+    */
+  val powerMde: Q = (s, d) => {
+    import s.implicits._
+    val arms = cupedLeaf(s, d).groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .collect() // arm-bounded: exactly 2 rows at any corpus scale
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .sortBy(_._1)
+    require(arms.map(_._1).toList == List(0L, 1L),
+      s"q322: need both md5 arms, got ${arms.map(_._1).mkString(",")}")
+    val Array((_, n0, sy0, syy0), (_, n1, sy1, syy1)) = arms
+    val micro12 = BigInt(1000000000000L)
+    def meanMicro(sy: Long, n: Long) = BigInt(sy) * 1000000L / n
+    def vn(n: Long, sy: Long, syy: BigInt) = BigInt(n) * syy -
+      BigInt(sy) * sy
+    val (mean0, mean1) = (meanMicro(sy0, n0), meanMicro(sy1, n1))
+    val delta = (mean1 - mean0).abs
+    val (vn0, vn1) = (vn(n0, sy0, syy0), vn(n1, sy1, syy1))
+    def vm(n: Long, v: BigInt) = v * micro12 / (BigInt(n) * n * n)
+    def s2(n: Long, v: BigInt) = v * micro12 / (BigInt(n) * n)
+    val zsum = BigInt(zAlphaHalfMicro + zBetaMicro)
+    val mde = isqrt(zsum * zsum * (vm(n0, vn0) + vm(n1, vn1))) / 1000000L
+    val dt = BigInt(mdeTargetPpm) * mean0 / 1000000L
+    val nReq =
+      if (dt == 0) -1L
+      else ((zsum * zsum * (s2(n0, vn0) + s2(n1, vn1))
+        + dt * dt * micro12 - 1) / (dt * dt * micro12)).toLong
+    Seq((n0, n1, mean0.toLong, mean1.toLong, delta.toLong, mde.toLong,
+      dt.toLong, nReq, delta >= mde))
+      .toDF("n_control", "n_treat", "mean_control_micro",
+        "mean_treat_micro", "delta_micro", "mde_micro",
+        "target_delta_micro", "n_required_per_arm", "detectable")
   }
 
   /** q309 hypotheses and boundaries. p₀/p₁ bracket the fixture's ~0.198
@@ -2470,6 +2577,7 @@ object Stats extends QueryModule {
     "q317_forecast_interval" -> forecastInterval,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
+    "q322_power_mde" -> powerMde,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -3194,6 +3302,71 @@ object Stats extends QueryModule {
          |        * 1000000000000)
          |    END AS BIGINT) AS var_reduction_ppm
          |FROM pa ORDER BY arm""".stripMargin,
+    // q308's per-user frame replayed flat, then the closed forms with
+    // the identical micro z-constants; the sqrt is floor(sqrt(double))
+    // plus a two-step integer correction — exact at every reachable
+    // radicand (see isqrt's Scaladoc)
+    "q322_power_mde" -> {
+      val zsum = zAlphaHalfMicro + zBetaMicro
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2 AS INT)
+         |    AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |pa AS (SELECT arm, count(*) AS n, CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy FROM per GROUP BY arm),
+         |c AS (SELECT
+         |    a0.n AS n0, a1.n AS n1,
+         |    (a0.sy * 1000000) // a0.n AS mean0,
+         |    (a1.sy * 1000000) // a1.n AS mean1,
+         |    a0.n * a0.syy - a0.sy * a0.sy AS vn0,
+         |    a1.n * a1.syy - a1.sy * a1.sy AS vn1
+         |  FROM (SELECT * FROM pa WHERE arm = 0) a0,
+         |    (SELECT * FROM pa WHERE arm = 1) a1),
+         |c2 AS (SELECT *,
+         |    (vn0 * 1000000000000) // (CAST(n0 AS HUGEINT) * n0 * n0)
+         |      AS vm0,
+         |    (vn1 * 1000000000000) // (CAST(n1 AS HUGEINT) * n1 * n1)
+         |      AS vm1,
+         |    (vn0 * 1000000000000) // (CAST(n0 AS HUGEINT) * n0) AS s20,
+         |    (vn1 * 1000000000000) // (CAST(n1 AS HUGEINT) * n1) AS s21,
+         |    abs(mean1 - mean0) AS delta,
+         |    ($mdeTargetPpm * mean0) // 1000000 AS dt
+         |  FROM c),
+         |c3 AS (SELECT *,
+         |    CAST($zsum AS HUGEINT) * $zsum * (vm0 + vm1) AS rad FROM c2),
+         |c4 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS HUGEINT) AS r0
+         |  FROM c3),
+         |c5 AS (SELECT *,
+         |    r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= rad THEN 1 ELSE 0 END)
+         |      AS r1 FROM c4),
+         |c6 AS (SELECT *,
+         |    (r1 - (CASE WHEN r1 * r1 > rad THEN 1 ELSE 0 END)) // 1000000
+         |      AS mde FROM c5)
+         |SELECT CAST(n0 AS BIGINT) AS n_control,
+         |  CAST(n1 AS BIGINT) AS n_treat,
+         |  CAST(mean0 AS BIGINT) AS mean_control_micro,
+         |  CAST(mean1 AS BIGINT) AS mean_treat_micro,
+         |  CAST(delta AS BIGINT) AS delta_micro,
+         |  CAST(mde AS BIGINT) AS mde_micro,
+         |  CAST(dt AS BIGINT) AS target_delta_micro,
+         |  CAST(CASE WHEN dt = 0 THEN -1
+         |    ELSE (CAST($zsum AS HUGEINT) * $zsum * (s20 + s21)
+         |      + dt * dt * 1000000000000 - 1)
+         |      // (dt * dt * 1000000000000) END AS BIGINT)
+         |    AS n_required_per_arm,
+         |  delta >= mde AS detectable
+         |FROM c6""".stripMargin
+    },
     // the same µnat constants embedded literally; the oracle replays the
     // walk FLAT (one window cumsum per arm — fine at oracle scale) and
     // picks the first crossing with min/arg_min on the unique trial idx,

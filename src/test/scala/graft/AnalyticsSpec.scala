@@ -1932,6 +1932,67 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q322 power/MDE: planted two-arm fixture matches the hand-computed closed forms exactly") {
+    import spark.implicits._
+    // fixture prep: derive each candidate user's md5 arm (assignment is
+    // fixture plumbing, not the formula under test), take 10 users per
+    // arm, and plant per-user POST-period purchase counts with clean
+    // moments — arm 0: five 1s + five 3s (μ=2, σ²=1); arm 1: five 2s +
+    // five 6s (μ=4, σ²=4)
+    val armOf = (1L to 60L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arm0 = (1L to 60L).filter(armOf(_) == 0L).take(10)
+    val arm1 = (1L to 60L).filter(armOf(_) == 1L).take(10)
+    assert(arm0.size === 10 && arm1.size === 10)
+    val dayNs = 86400L * 1000000000L
+    def yOf(i: Int, lo: Long, hi: Long) = if (i % 2 == 0) lo else hi
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    // every user views on day 0 (pre-split anchor) and on day 29 (so the
+    // split lands mid-window at day 15); purchases on day 20 (post)
+    (arm0 ++ arm1).foreach { u =>
+      eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+      eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+    }
+    arm0.zipWithIndex.foreach { case (u, i) =>
+      (1L to yOf(i, 1L, 3L)).foreach { _ =>
+        eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+      }
+    }
+    arm1.zipWithIndex.foreach { case (u, i) =>
+      (1L to yOf(i, 2L, 6L)).foreach { _ =>
+        eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftpow").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q322_power_mde")(spark, dir).head()
+    // hand numbers: z = 2.801585 micro-summed; MDE = z·√(1/10 + 4/10)
+    //             = 2.801585·0.7071… = 1.981020 y → 1981019 micro
+    // (exact: isqrt(2801585²·5·10¹¹) = 1981019751570, div 10⁶);
+    // target δ = 5% of μ₀ = 0.1 y; required n = ⌈z²·(1+4)/0.1²⌉
+    //          = ⌈3924.4⌉ = 3925; observed Δ = 2 y ≥ MDE → detectable
+    assert(r.getAs[Long]("n_control") === 10L, r.toString)
+    assert(r.getAs[Long]("n_treat") === 10L, r.toString)
+    assert(r.getAs[Long]("mean_control_micro") === 2000000L, r.toString)
+    assert(r.getAs[Long]("mean_treat_micro") === 4000000L, r.toString)
+    assert(r.getAs[Long]("delta_micro") === 2000000L, r.toString)
+    assert(r.getAs[Long]("mde_micro") === 1981019L, r.toString)
+    assert(r.getAs[Long]("target_delta_micro") === 100000L, r.toString)
+    assert(r.getAs[Long]("n_required_per_arm") === 3925L, r.toString)
+    assert(r.getAs[Boolean]("detectable"), r.toString)
+    // the exact-isqrt contract the oracle's corrected double sqrt must
+    // match: floor roots of the planted radicand and its neighbors
+    assert(graft.operators.Stats.isqrt(BigInt("3924439256112500000000000"))
+      === BigInt("1981019751570"))
+    assert(graft.operators.Stats.isqrt(BigInt(0)) === BigInt(0))
+    assert(graft.operators.Stats.isqrt(BigInt(15)) === BigInt(3))
+    assert(graft.operators.Stats.isqrt(BigInt(16)) === BigInt(4))
+  }
+
   test("q308 CUPED: fixture arms partition users; a planted linear covariate gives exact theta and 100% variance kill") {
     val r = q("q308_cuped").collect()
     assert(r.length === 2)

@@ -546,6 +546,12 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
   }
 
+  test("q322 power/MDE: corpus work is the shared memoized cuped leaf consumed by an arm-bounded rollup — the final plan is a local relation, no events scan, no join") {
+    val p = plan("q322_power_mde")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {
     val p = plan("q309_sprt")
     assert(!p.contains("CartesianProduct"), p)
