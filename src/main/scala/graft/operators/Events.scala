@@ -1154,8 +1154,85 @@ object Events extends QueryModule {
       .orderBy(col("sup").desc, col("pattern"))
   }
 
+  /** q321 event-type taxonomy — a plan-time constant (q318's channel
+    * convention): the gap-frame pass needs one conditional count per
+    * type (and per type pair), so the taxonomy is code, not data. */
+  private[graft] val seqTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** q321 maximum inter-step gap: 7 days (q282's funnel horizon). */
+  private[graft] val seqGapUs = 7L * 24 * 3600 * 1000000
+
+  /** q321 — GAP-CONSTRAINED SEQUENTIAL PATTERNS (GSP maxgap, Srikant &
+    * Agrawal 1996): q316's existential subsequences with the
+    * constraint real funnel miners run — each step must follow the
+    * previous within [[seqGapUs]]. A user supports a →₇ b when some
+    * b-event has an a-event in its strict 7-day lookback, and
+    * a →₇ b →₇ c when some c-event has, in ITS lookback, a b-event
+    * that itself had an a in range — pairwise gaps, strict timestamp
+    * order (equal-µs events never chain, q316's rule).
+    *
+    * The gap bound breaks q316's extrema shortcut (tmin/tmax can't see
+    * windows), and the honest scale shape is q318's: NO user×user and
+    * NO event self-join — ONE user-partitioned time sort carries two
+    * chained window passes over the same frame spec ([−7d, −1µs]
+    * RANGE): pass 1 computes |types| "had an a in range" flags per
+    * row; pass 2 counts, per row, in-range predecessors of type b
+    * WITH flag a (|types|² conditional counts reading pass-1 columns —
+    * same sort, no new exchange). Every row then emits its supported
+    * (a, ·) pair and (a, b, ·) triple evidence through ONE explode
+    * (pairs and triples share it, so the window pass is never re-run
+    * per plan branch — the q307 staging lesson without a staged leaf),
+    * followed by a distinct + taxonomy-bounded rollup (≤ |T|²+|T|³
+    * output rows). The second corpus touch is the map-side-combinable
+    * distinct-user denominator, q316's convention. The oracle replays
+    * the semantics as explicit gap range joins — fine at oracle scale,
+    * the shape the window pass exists to avoid; a randomized law
+    * replays support against a driver-side brute-force subsequence
+    * walk.
+    */
+  val seqPatternsGap: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type").as("t"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-seqGapUs, -1L)
+    val withA = seqTypes.foldLeft(ev) { (acc, a) =>
+      acc.withColumn(s"f_$a",
+        count(when(col("t") === a, lit(1))).over(w) > 0)
+    }
+    val withAB = seqTypes.flatMap(a => seqTypes.map(b => (a, b)))
+      .foldLeft(withA) { case (acc, (a, b)) =>
+        acc.withColumn(s"g_${a}_$b",
+          count(when(col("t") === b && col(s"f_$a"), lit(1))).over(w) > 0)
+      }
+    val entries =
+      seqTypes.map(a => when(col(s"f_$a"),
+        struct(lit(a).as("pa"), lit("").as("pb"), lit(2).as("ln")))) ++
+      seqTypes.flatMap(a => seqTypes.map(b => when(col(s"g_${a}_$b"),
+        struct(lit(a).as("pa"), lit(b).as("pb"), lit(3).as("ln")))))
+    val nu = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    withAB.select(col("user_id"), col("t").as("e"),
+        explode(array(entries: _*)).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("user_id"), col("p.pa").as("pa"), col("p.pb").as("pb"),
+        col("e"), col("p.ln").as("len"))
+      .distinct()
+      .groupBy("pa", "pb", "e", "len").agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nu))
+      .select(
+        when(col("len") === 2, concat(col("pa"), lit(">"), col("e")))
+          .otherwise(concat(col("pa"), lit(">"), col("pb"), lit(">"),
+            col("e"))).as("pattern"),
+        col("len"), col("sup"),
+        expr("(sup * 1000000) div n_users").as("sup_ppm"))
+      .orderBy(col("sup").desc, col("pattern"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q316_seq_patterns" -> seqPatterns,
+    "q321_seq_patterns_gap" -> seqPatternsGap,
     "q318_time_decay" -> timeDecay,
     "q282_funnel_steps" -> funnelSteps,
     "q196_lateness_audit" -> latenessAudit,
@@ -1376,6 +1453,35 @@ FROM fl CROSS JOIN rm ORDER BY channel"""
         |  SELECT ta || '>' || tb || '>' || tc, 3, CAST(sup AS BIGINT)
         |  FROM tri)
         |ORDER BY sup DESC, pattern""".stripMargin,
+    // the gap semantics replayed as explicit range self-joins (strict
+    // after, <= 7d per step) — the naive shape the engine's window pass
+    // avoids, exact at oracle scale; same support-desc/pattern order
+    "q321_seq_patterns_gap" ->
+      s"""WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS ts
+         |  FROM events),
+         |nu AS (SELECT count(DISTINCT user_id) AS n FROM ev),
+         |p2 AS (SELECT e1.t AS a, e2.t AS b,
+         |    count(DISTINCT e1.user_id) AS sup
+         |  FROM ev e1 JOIN ev e2 ON e2.user_id = e1.user_id
+         |    AND e2.ts > e1.ts AND e2.ts <= e1.ts + $seqGapUs
+         |  GROUP BY 1, 2),
+         |p3 AS (SELECT e1.t AS a, e2.t AS b, e3.t AS c,
+         |    count(DISTINCT e1.user_id) AS sup
+         |  FROM ev e1
+         |  JOIN ev e2 ON e2.user_id = e1.user_id
+         |    AND e2.ts > e1.ts AND e2.ts <= e1.ts + $seqGapUs
+         |  JOIN ev e3 ON e3.user_id = e2.user_id
+         |    AND e3.ts > e2.ts AND e3.ts <= e2.ts + $seqGapUs
+         |  GROUP BY 1, 2, 3)
+         |SELECT pattern, len, sup,
+         |  CAST((sup * 1000000) // (SELECT n FROM nu) AS BIGINT) AS sup_ppm
+         |FROM (
+         |  SELECT a || '>' || b AS pattern, 2 AS len,
+         |    CAST(sup AS BIGINT) AS sup FROM p2
+         |  UNION ALL
+         |  SELECT a || '>' || b || '>' || c, 3, CAST(sup AS BIGINT)
+         |  FROM p3)
+         |ORDER BY sup DESC, pattern""".stripMargin,
     "q298_markov_attribution" -> duckMarkovSql,
     // the identical step chain: strict-after + 7-day window per step,
     // DECIMAL-safe latency sums (HUGEINT here), the same -1/0 sentinels

@@ -507,6 +507,17 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2, p)
   }
 
+  test("q321 gap patterns: no user×user expansion — two chained window passes on one user-partitioned sort; the only nested loop is the 1-row n_users cross") {
+    val p = plan("q321_seq_patterns_gap")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+    // both passes ride the SAME [user, ts] sort — exactly one exchange
+    // feeding the window chain, never an event self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(count(p, "Window") >= 2, p)
+  }
+
   test("q318 time-decay: NO join of any kind — 21 gap-frame window counts on one user-partitioned sort, then explode + rollup") {
     val p = plan("q318_time_decay")
     // the scale claim: no purchase × touch pair expansion anywhere

@@ -975,6 +975,52 @@ class PropertySpec extends SparkSpec {
     }, "q316 extrema algebra ≡ brute-force subsequence")
   }
 
+  test("q321 gap law: the chained-window supports equal brute-force gap-bounded subsequence search on random multi-day streams") {
+    // the two window passes (type flags, then flagged-predecessor
+    // counts) are checked against literal O(n³) per-user search with
+    // the pairwise 7-day bound; the 12-day span makes the gap bite
+    // (events > 7 days apart must NOT chain), and whole-second repeats
+    // exercise the strict-inequality tie rule
+    val t0 = 1704067200L
+    val types = Vector("view", "click", "purchase")
+    val gapUs = 7L * 86400L * 1000000L
+    val evGen = Gen.listOfN(36, for {
+      u <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0L, 12L * 86400L)
+      tp <- Gen.oneOf(types)
+    } yield (u, sec, tp))
+    check(Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, tpe), i) =>
+        ((i + 1).toLong, (t0 + sec) * 1000000000L, u, tpe, 1.0, "{}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graftgap").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q321_seq_patterns_gap")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("sup")).toMap
+      val byUser = rows.groupBy(_._3).view
+        .mapValues(_.map(e => (e._2 / 1000L, e._4))).toMap
+      def chains(x: Long, y: Long) = x < y && y <= x + gapUs
+      def supPair(a: String, b: String): Long = byUser.values.count { es =>
+        es.exists(x => x._2 == a && es.exists(y => y._2 == b &&
+          chains(x._1, y._1)))
+      }.toLong
+      def supTri(a: String, b: String, c: String): Long =
+        byUser.values.count { es =>
+          es.exists(x => x._2 == a && es.exists(y => y._2 == b &&
+            chains(x._1, y._1) && es.exists(z => z._2 == c &&
+              chains(y._1, z._1))))
+        }.toLong
+      val pairsOk = (for { a <- types; b <- types } yield {
+        got.getOrElse(s"$a>$b", 0L) == supPair(a, b)
+      }).forall(identity)
+      val triplesOk = (for { a <- types; b <- types; c <- types } yield {
+        got.getOrElse(s"$a>$b>$c", 0L) == supTri(a, b, c)
+      }).forall(identity)
+      pairsOk && triplesOk
+    }, "q321 chained windows ≡ brute-force gap-bounded subsequence")
+  }
+
   test("q318 decay law: the 21-frame window credits equal brute-force per-conversion gap arithmetic on random tied streams") {
     // gap bucketing, the power-of-two weights, the truncated shares, and
     // the largest-raw remainder rule are all re-derived literally per
