@@ -2230,7 +2230,92 @@ object Text extends QueryModule {
           |""".stripMargin.replace("\n", " ")).as("intercept_micro"))
   }
 
+  /** q320 — MULTINOMIAL NAIVE BAYES language classifier (McCallum &
+    * Nigam 1998; the CCNet-style TRAINED filter rung above the
+    * heuristic q29 stopword language-ID and q73 C4 rules — the first
+    * supervised classifier in the suite with a hash-exact oracle,
+    * because NB is pure counting): train on the q75 deterministic md5
+    * split's labels (bk < 80), score the held-out fold (bk ≥ 90) with
+    * Laplace-smoothed per-class token log-likelihoods
+    *   score(c | doc) = ln P(c) + Σ_t ln ((n_tc + 1)/(N_c + V))
+    * each term micro-integerized ONCE (round(ln · 10⁶), the q94
+    * single-rounding discipline — operands are exact integer-count
+    * rationals, so both engines round the identical double) and summed
+    * as BIGINT; argmax per doc with the alphabetical tie-break. Output
+    * is the confusion matrix (true × predicted × count) — the audit
+    * and the classifier in one taxonomy-bounded table.
+    *
+    * Plan: ONE corpus tokenize pass over the train fold, STAGED to the
+    * vocabulary-sized (class, term) count leaf (the q311 staging
+    * discipline) — class totals, vocabulary size, and the scoring join
+    * all re-derive from the leaf; priors come from a column-pruned
+    * doc-count aggregate (no second tokenize). Scoring shuffles test
+    * tokens × |classes| to the count table on its natural (class,
+    * term) key — joined, never broadcast (the vocabulary is
+    * corpus-sized at 100 TB); only the |classes|-row globals frame
+    * broadcasts. Zero-token docs score on the prior alone (the
+    * doc-level left join keeps them). The spec plants a
+    * disjoint-vocabulary corpus that classifies perfectly.
+    */
+  val naiveBayes: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        filter(toks, t => length(t) > 0).as("tk"), bucket.as("bk"))
+    val tmp = graft.Scratch.dir("graft_nb")
+    docs.filter(col("bk") < 80)
+      .select(col("lang").as("cls"), explode(col("tk")).as("term"))
+      .groupBy("cls", "term").agg(count(lit(1)).as("ntc"))
+      .write.mode("overwrite").parquet(tmp)
+    val ntc = s.read.parquet(tmp)
+    val nc = ntc.groupBy("cls").agg(sum("ntc").as("n_c"))
+    val vocab = ntc.select("term").distinct().agg(count(lit(1)).as("v"))
+    val priors = docs.filter(col("bk") < 80)
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs_c"))
+    // the class table is language-taxonomy-bounded (one row per class),
+    // so it is collected ONCE (the q298 metadata-sync rule) and
+    // re-broadcast as a literal — without this, the contrib and scored
+    // branches would each re-run the leaf aggregates and the pruned
+    // prior scan (Spark plans are trees, the recurring seam)
+    val classesRows = nc.join(priors, "cls")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(priors.agg(sum("n_docs_c").as("n_docs"))))
+      .select(col("cls"), col("n_c"), col("v"),
+        round(log(col("n_docs_c").cast("double") /
+          col("n_docs").cast("double")) * 1e6).cast("long").as("prior_mu"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    import s.implicits._
+    val classes = classesRows.toDF("cls", "n_c", "v", "prior_mu")
+    val testDocs = docs.filter(col("bk") >= 90)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("tk"))
+    val contrib = testDocs
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .crossJoin(broadcast(classes))
+      .join(ntc, Seq("cls", "term"), "left")
+      .select(col("doc_id"), col("cls"),
+        round(log((coalesce(col("ntc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_c") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("w"))
+      .groupBy("doc_id", "cls").agg(sum("w").as("tok_mu"))
+    val scored = testDocs.select("doc_id", "true_lang")
+      .crossJoin(broadcast(classes.select("cls", "prior_mu")))
+      .join(contrib, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("true_lang"), col("cls"),
+        (coalesce(col("tok_mu"), lit(0L)) + col("prior_mu")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q320_naive_bayes" -> naiveBayes,
     "q200_zipf_fit" -> zipfFit,
     "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
@@ -2290,6 +2375,51 @@ object Text extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // same md5 split, same tokenize, same Laplace rational inside the
+    // same once-rounded ln·1e6 (exact integer-count operands, so both
+    // engines round the identical double), same desc-score/asc-class
+    // argmax tie-break
+    "q320_naive_bayes" ->
+      raw"""WITH docs AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(text, '\s+'),
+         |      x -> len(x) > 0) AS tk,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 100 AS bk
+         |  FROM documents),
+         |tr AS (SELECT lang AS cls, unnest(tk) AS term FROM docs
+         |  WHERE bk < 80),
+         |ntc AS MATERIALIZED (SELECT cls, term, count(*) AS ntc
+         |  FROM tr GROUP BY 1, 2),
+         |nc AS (SELECT cls, sum(ntc) AS n_c FROM ntc GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT term) AS v FROM ntc),
+         |pri AS (SELECT lang AS cls, count(*) AS n_docs_c FROM docs
+         |  WHERE bk < 80 GROUP BY 1),
+         |cls AS MATERIALIZED (SELECT nc.cls, nc.n_c,
+         |    (SELECT v FROM voc) AS v,
+         |    CAST(round(ln(pri.n_docs_c /
+         |      CAST((SELECT sum(n_docs_c) FROM pri) AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS prior_mu
+         |  FROM nc JOIN pri ON pri.cls = nc.cls),
+         |tt AS (SELECT doc_id, unnest(tk) AS term FROM docs
+         |  WHERE bk >= 90),
+         |contrib AS (SELECT t.doc_id, c.cls,
+         |    sum(CAST(round(ln((coalesce(n.ntc, 0) + 1) /
+         |      CAST(c.n_c + c.v AS DOUBLE)) * 1000000) AS BIGINT)) AS tok_mu
+         |  FROM tt t CROSS JOIN cls c
+         |  LEFT JOIN ntc n ON n.cls = c.cls AND n.term = t.term
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.cls,
+         |    coalesce(ct.tok_mu, 0) + c.prior_mu AS score
+         |  FROM (SELECT doc_id, lang FROM docs WHERE bk >= 90) d
+         |  CROSS JOIN cls c
+         |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id
+         |    AND ct.cls = c.cls),
+         |pred AS (SELECT doc_id, true_lang, cls AS pred_lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn
+         |  FROM scored)
+         |SELECT true_lang, pred_lang, count(*) AS n_docs
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q199_containment" ->
       raw"""WITH t AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\s+'),

@@ -589,6 +589,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
   }
 
+  test("q320 Naive Bayes: the train tokenize is STAGED — scoring reads the count leaf on equi keys; crosses are the bounded class-table broadcasts") {
+    val p = plan("q320_naive_bayes")
+    assert(!p.contains("CartesianProduct"), p)
+    // the (class, term) count table was built ONCE into the scratch
+    // leaf and the class table collected once to a literal; the only
+    // nested loops are its two |classes|-row broadcast crosses
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 2, p)
+  }
+
   test("q304 Apriori triples: level-wise joins only — semi-joins prune to frequent pairs, no cartesian, counts broadcast back") {
     val p = plan("q304_assoc_triples")
     assert(!p.contains("CartesianProduct"), p)
