@@ -1197,15 +1197,16 @@ object Events extends QueryModule {
       col("event_type").as("t"), unix_micros(col("ts")).as("ts_us"))
     val w = Window.partitionBy("user_id").orderBy("ts_us")
       .rangeBetween(-seqGapUs, -1L)
-    val withA = seqTypes.foldLeft(ev) { (acc, a) =>
-      acc.withColumn(s"f_$a",
-        count(when(col("t") === a, lit(1))).over(w) > 0)
-    }
-    val withAB = seqTypes.flatMap(a => seqTypes.map(b => (a, b)))
-      .foldLeft(withA) { case (acc, (a, b)) =>
-        acc.withColumn(s"g_${a}_$b",
-          count(when(col("t") === b && col(s"f_$a"), lit(1))).over(w) > 0)
-      }
+    // both passes as ONE select each (a 30-deep withColumn chain makes
+    // the analyzer re-walk the plan per column — same exprs, flat)
+    val withA = ev.select(col("user_id") +: col("t") +: col("ts_us") +:
+      seqTypes.map(a =>
+        (count(when(col("t") === a, lit(1))).over(w) > 0).as(s"f_$a")): _*)
+    val withAB = withA.select(col("user_id") +: col("t") +:
+      seqTypes.map(a => col(s"f_$a")) ++:
+      seqTypes.flatMap(a => seqTypes.map(b =>
+        (count(when(col("t") === b && col(s"f_$a"), lit(1))).over(w) > 0)
+          .as(s"g_${a}_$b"))): _*)
     val entries =
       seqTypes.map(a => when(col(s"f_$a"),
         struct(lit(a).as("pa"), lit("").as("pb"), lit(2).as("ln")))) ++
