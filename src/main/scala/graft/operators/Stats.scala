@@ -2409,6 +2409,189 @@ object Stats extends QueryModule {
       .orderBy("row_kind", "m")
   }
 
+  /** χ² 95th percentiles for dof 1..12 in micro — plan-time constants
+    * embedded identically in the q323 oracle (the q309/q322 constant
+    * discipline; no cross-engine chi-square CDF is ever evaluated). */
+  private[graft] val chi2Crit95Micro: Map[Int, Long] = Map(
+    1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L, 4 -> 9487729L,
+    5 -> 11070498L, 6 -> 12591587L, 7 -> 14067140L, 8 -> 15507313L,
+    9 -> 16918978L, 10 -> 18307038L, 11 -> 19675138L, 12 -> 21026070L)
+
+  /** q323 — LJUNG–BOX PORTMANTEAU TEST (Ljung & Box 1978) on the q319
+    * AR fit's residuals: the DIAGNOSTIC-CHECKING stage that completes
+    * Box–Jenkins (identify q307/q313 → estimate q319 → check HERE →
+    * validate q306/q317) — if the residuals still carry
+    * autocorrelation, the fitted order missed structure and the loop
+    * must run again. Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) over the
+    * demeaned residual ACF at h = [[acfMaxLag]] lags, compared to
+    * χ²_{0.95, h−p} ([[chi2Crit95Micro]]).
+    *
+    * Exact fixed point end to end: residuals replay the SHARED
+    * [[arPass]] (the fit under test is literally the fitted code),
+    * residual ACF in sign-safe toward-zero ppm (q307's formula), each
+    * Q term r_k² div (n−k) truncated ONCE, Q reported in micro.
+    * Decisions: `white` / `correlated`, `undefined` when dof < 1 (the
+    * order consumed every lag), `degenerate` on zero residual
+    * variance (a perfect fit has nothing to test). On the fixture
+    * series: p = 0, Q = 3.97 vs crit 21.03 → white — the same
+    * white-noise verdict q313's flat PACF and q306's mean-model win
+    * reach by their own routes; on the spec's planted AR(2), the
+    * UNFITTED series is loudly correlated while the fit's residuals
+    * pass — the reason the estimation stage exists. Scale: the one
+    * corpus pass is the memoized [[monthlyFrame]] leaf; everything
+    * else is calendar-bounded driver-side (q298 rule).
+    */
+  val ljungBox: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    require(series.nonEmpty, "q323: empty orders table")
+    require(series.last._1 == series.length - 1,
+      "q323: month grid must be gap-free (AR lags are calendar-aligned)")
+    val (p, _, inSample, _) = arPass(series)
+    val res = inSample.map { case (_, a, f, _) => a - f }
+    val ne = res.length
+    val ebar = (res.map(BigInt(_)).sum / ne).toLong
+    val rdv = res.map(_ - ebar)
+    val rdn = rdv.map(x => BigInt(x) * x).sum
+    val h = math.min(acfMaxLag, ne - 1)
+    val racf: Seq[Long] =
+      if (rdn <= 0) Seq.empty
+      else (1 to h).map { k =>
+        val num = (0 until ne - k).map(t => BigInt(rdv(t)) * rdv(t + k)).sum
+        ((num * 1000000) / rdn).toLong
+      }
+    val nLags = racf.length
+    val qMicro =
+      if (nLags == 0) 0L
+      else {
+        val ts = racf.zipWithIndex
+          .map { case (r, i) => BigInt(r) * r / (ne - (i + 1)) }.sum
+        (BigInt(ne) * (ne + 2) * ts / 1000000).toLong
+      }
+    val dof = nLags - p
+    val crit = chi2Crit95Micro.getOrElse(dof, -1L)
+    val decision =
+      if (nLags == 0) "degenerate"
+      else if (dof < 1) "undefined"
+      else if (qMicro <= crit) "white"
+      else "correlated"
+    Seq((ne.toLong, p.toLong, nLags.toLong, qMicro, crit, decision))
+      .toDF("n_resid", "ar_order", "n_lags", "q_micro",
+        "chi2_crit_micro", "decision")
+  }
+
+  /** q324 — CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the
+    * moving-average method, Macaulay 1931 — the X-11/STL ancestor and
+    * the standard first read on any monthly series): trend = centered
+    * 12-term MA (the ×2/÷24 formulation, exact in integers:
+    * T_m = (c_{m−6} + 2Σ_{−5..+5} c + c_{m+6}) div 24 as the sum of
+    * the two off-by-one 12-windows), seasonal = per-position mean of
+    * the detrended series re-centered to Σ≈0, remainder = the rest.
+    * Where q303 FITS a seasonal model recursively, this READS the
+    * decomposition nonparametrically — the pair is the standard
+    * cross-check. The seasonal index is positional (m mod 12 on the
+    * rebased grid, q303's ring convention).
+    *
+    * Scale: the one corpus pass is the memoized [[monthlyFrame]]
+    * leaf; the windows/rollups run ON the calendar-bounded leaf, so
+    * the global-ordered window (no partition key) is metadata-sized
+    * by construction — ≤ hundreds of rows at ANY corpus scale, the
+    * q301 global-sort class. Divisions: trend operands are positive
+    * (order totals), the seasonal means ride the sign-safe
+    * toward-zero CASE. Edge months without a full 13-month
+    * neighborhood carry no trend and are excluded (the classical
+    * convention), enforced by the two count-12 frame guards.
+    */
+  val classicalDecomp: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = monthlyFrame(s, d)
+    val meta = monthly.agg(count(lit(1)).as("nm"), max("m").as("mx"))
+      .head() // 1-row metadata sync (q298 rule)
+    require(meta.getLong(0) >= 13,
+      s"q324: need >= 13 months for a centered 12-MA, got ${meta.getLong(0)}")
+    require(meta.getLong(1) == meta.getLong(0) - 1,
+      "q324: month grid must be gap-free (the MA window is calendar-aligned)")
+    val wA = Window.orderBy("m").rowsBetween(-6, 5)
+    val wB = Window.orderBy("m").rowsBetween(-5, 6)
+    val tt = monthly.select(col("m"), col("c"),
+        sum(col("c").cast("decimal(38,0)")).over(wA).as("sa"),
+        count(lit(1)).over(wA).as("ca"),
+        sum(col("c").cast("decimal(38,0)")).over(wB).as("sb"),
+        count(lit(1)).over(wB).as("cb"))
+      .filter(col("ca") === 12 && col("cb") === 12)
+      .select(col("m"), col("c"),
+        expr("CAST((sa + sb) div 24 AS BIGINT)").as("trend"))
+    val sm = tt.groupBy((col("m") % 12).as("j"))
+      .agg(sum(expr("CAST(c - trend AS DECIMAL(38,0))")).as("sd"),
+        count(lit(1)).as("nj"))
+      .select(col("j"),
+        expr("""CAST(CASE WHEN sd >= 0 THEN sd div nj
+                ELSE -((-sd) div nj) END AS BIGINT)""").as("smean"))
+    val se = sm.crossJoin(broadcast(sm.agg(sum("smean").as("sadj"))))
+      .select(col("j"),
+        (col("smean") - expr("""CASE WHEN sadj >= 0 THEN sadj div 12
+          ELSE -((-sadj) div 12) END""")).as("seas"))
+    tt.join(broadcast(se), tt("m") % 12 === se("j"))
+      .select(col("m"), col("c").as("actual_cents"),
+        col("trend").as("trend_cents"), col("seas").as("seasonal_cents"),
+        (col("c") - col("trend") - col("seas")).as("remainder_cents"))
+      .orderBy("m")
+  }
+
+  /** q325 z-band: significance at α = 0.05 two-sided compares the
+    * continuity-corrected z² against χ²(1) = z_{0.975}² — the SAME
+    * [[chi2Crit95Micro]](1) constant, so no normal quantile crosses
+    * engines. */
+  private[graft] val mkZSqCritMicro = 3841459L
+
+  /** q325 — MANN–KENDALL TREND TEST (Mann 1945, Kendall 1975; the
+    * standard nonparametric companion to the Theil–Sen slope the
+    * suite already ships): S = Σ_{i<j} sign(c_j − c_i), tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z. Theil–Sen answers "how steep"; this
+    * answers "is the monotone trend real at 95%" — in EXACT integers:
+    * significance is the cross-multiplied comparison
+    * (|S|−1)²·18·10⁶ ≥ z²crit·Var18 (no division at all), and the
+    * reported z_micro = sign(S)·isqrt(((|S|−1)²·18·10¹²) div Var18)
+    * (one truncated quotient, then the exact [[isqrt]] — the oracle's
+    * corrected double sqrt).
+    *
+    * Scale: the sign pair join runs on the calendar-bounded
+    * [[monthlyFrame]] leaf (the q277/q307 pair-join class, ~80×80/2
+    * at ANY corpus scale); the tie table is value-bounded; both
+    * reduce to 1-row syncs and the closed forms run driver-side.
+    */
+  val mannKendall: Q = (s, d) => {
+    import s.implicits._
+    val monthly = monthlyFrame(s, d)
+    val a = monthly.select(col("m").as("m1"), col("c").as("c1"))
+    val b = monthly.select(col("m").as("m2"), col("c").as("c2"))
+    val sRow = a.join(b, col("m2") > col("m1"))
+      .agg(sum(expr("""CASE WHEN c2 > c1 THEN 1
+        WHEN c2 < c1 THEN -1 ELSE 0 END""")).as("s")).head()
+    val sStat = if (sRow.isNullAt(0)) 0L else sRow.getLong(0)
+    val (nm, tsum) = {
+      val r = monthly.groupBy("c").agg(count(lit(1)).as("t"))
+        .agg(sum("t").as("nm"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"))
+            .as("tsum")).head()
+      (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger))
+    }
+    val var18 = BigInt(nm) * (nm - 1) * (2 * nm + 5) - tsum
+    val zMicro =
+      if (sStat == 0 || var18 <= 0) 0L
+      else {
+        val rad = BigInt(sStat.abs - 1).pow(2) * 18 *
+          BigInt(1000000000000L) / var18
+        (isqrt(rad) * sStat.sign).toLong
+      }
+    val significant = sStat != 0 && var18 > 0 &&
+      BigInt(sStat.abs - 1).pow(2) * 18 * 1000000L >=
+        BigInt(mkZSqCritMicro) * var18
+    Seq((nm, sStat, var18.toLong, zMicro, significant))
+      .toDF("n_months", "s_stat", "var18", "z_micro", "significant")
+  }
+
   /** q283 — SPLIT-CONFORMAL COVERAGE AUDIT (Mondrian / per-group,
     * Vovk 2005 / Papadopoulos 2002): the uncertainty-quantification gate
     * a pipeline runs before trusting any point predictor — wrap the
@@ -2574,6 +2757,9 @@ object Stats extends QueryModule {
     "q307_acf" -> acfDiagnostic,
     "q313_pacf" -> pacfDiagnostic,
     "q319_ar_forecast" -> arForecast,
+    "q323_ljung_box" -> ljungBox,
+    "q324_classical_decomp" -> classicalDecomp,
+    "q325_mann_kendall" -> mannKendall,
     "q317_forecast_interval" -> forecastInterval,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
@@ -3192,6 +3378,188 @@ object Stats extends QueryModule {
          |  -1, CAST(hz.f AS BIGINT), 0 FROM hz WHERE hz.h >= 1
          |ORDER BY 1, 2""".stripMargin
     },
+    // the q306 AR chain (a-prefixed) through the residual frame, then
+    // the residual ACF in the same sign-safe ppm, each Q term truncated
+    // once, the chi-square criticals as the identical literal CASE
+    "q323_ljung_box" -> {
+      val apk = "((arr.rho[ait.k + 1] * 1000000 - list_sum(" +
+        "list_transform(range(1, ait.k + 1), " +
+        "j -> ait.phi[j] * arr.rho[ait.k + 1 - j]))) // ait.v)"
+      val critCase = (1 to 12)
+        .map(d => s"WHEN $d THEN ${chi2Crit95Micro(d)}")
+        .mkString(" ")
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |ast AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |adev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM ast) AS dv FROM monthly),
+         |aden AS (SELECT sum(dv * dv) AS dn FROM adev),
+         |aacf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM aden)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM aden))
+         |      END AS BIGINT) AS acf_ppm
+         |  FROM adev a JOIN adev b
+         |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM aden) > 0 GROUP BY 1),
+         |arr AS MATERIALIZED (SELECT
+         |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+         |    count(*) AS nl FROM aacf),
+         |ait(k, phi, v) AS (
+         |  SELECT 1, [arr.rho[1]],
+         |    CAST(1000000 AS HUGEINT) - (arr.rho[1] * arr.rho[1]) // 1000000
+         |  FROM arr WHERE arr.nl >= 1
+         |  UNION ALL
+         |  SELECT ait.k + 1,
+         |    list_transform(range(1, ait.k + 1),
+         |      j -> ait.phi[j] - ($apk * ait.phi[ait.k + 1 - j]) // 1000000)
+         |      || [$apk],
+         |    (ait.v * (1000000 - ($apk * $apk) // 1000000)) // 1000000
+         |  FROM ait, arr
+         |  WHERE ait.k < $acfMaxLag AND ait.v > 0 AND ait.k < arr.nl),
+         |asel AS MATERIALIZED (SELECT coalesce(max(ait.k), 0) AS p
+         |  FROM ait, ast
+         |  WHERE ait.phi[ait.k] * ait.phi[ait.k] * ast.n
+         |    >= ${arBandZSq * 1000000L} * CAST(1000000 AS HUGEINT)),
+         |aphis AS MATERIALIZED (SELECT
+         |    unnest(range(1, len(phi) + 1)) AS j, unnest(phi) AS ph
+         |  FROM (SELECT coalesce(
+         |      (SELECT ait.phi FROM ait, asel WHERE ait.k = asel.p),
+         |      CAST([] AS HUGEINT[])) AS phi)),
+         |ainss AS (SELECT x.m AS m, sum(p2.ph * l.dv) AS ss
+         |  FROM monthly x JOIN aphis p2 ON TRUE
+         |  JOIN adev l ON l.m = x.m - p2.j GROUP BY x.m),
+         |ares AS MATERIALIZED (SELECT x.m AS m,
+         |    CAST(x.c AS HUGEINT) - ((SELECT mu FROM ast)
+         |      + CASE WHEN coalesce(s.ss, 0) >= 0
+         |          THEN coalesce(s.ss, 0) // 1000000
+         |          ELSE -((-coalesce(s.ss, 0)) // 1000000) END) AS e
+         |  FROM monthly x LEFT JOIN ainss s ON s.m = x.m, asel
+         |  WHERE x.m >= asel.p),
+         |rst AS MATERIALIZED (SELECT count(*) AS ne, sum(e) AS se
+         |  FROM ares),
+         |reb AS (SELECT CASE WHEN se >= 0 THEN se // ne
+         |    ELSE -((-se) // ne) END AS ebar FROM rst),
+         |rdev AS MATERIALIZED (SELECT m, e - (SELECT ebar FROM reb) AS dv
+         |  FROM ares),
+         |rden AS (SELECT sum(dv * dv) AS dn FROM rdev),
+         |racf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM rden)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM rden))
+         |      END AS HUGEINT) AS r
+         |  FROM rdev a JOIN rdev b ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM rden) > 0 GROUP BY 1),
+         |qv AS (SELECT count(*) AS nlags,
+         |    coalesce(sum((r * r) // ((SELECT ne FROM rst) - lag)), 0) AS ts
+         |  FROM racf),
+         |fin AS (SELECT (SELECT ne FROM rst) AS ne,
+         |    (SELECT p FROM asel) AS p, nlags,
+         |    ((SELECT ne FROM rst) * ((SELECT ne FROM rst) + 2) * ts)
+         |      // 1000000 AS q_micro,
+         |    CASE nlags - (SELECT p FROM asel) $critCase ELSE -1 END AS crit
+         |  FROM qv)
+         |SELECT CAST(ne AS BIGINT) AS n_resid, CAST(p AS BIGINT) AS ar_order,
+         |  CAST(nlags AS BIGINT) AS n_lags, CAST(q_micro AS BIGINT) AS q_micro,
+         |  CAST(crit AS BIGINT) AS chi2_crit_micro,
+         |  CASE WHEN nlags = 0 THEN 'degenerate'
+         |    WHEN nlags - p < 1 THEN 'undefined'
+         |    WHEN q_micro <= crit THEN 'white' ELSE 'correlated'
+         |    END AS decision
+         |FROM fin""".stripMargin
+    },
+    // the identical two off-by-one 12-windows (ROWS frames on the dense
+    // grid ≡ the engine's), the count-12 edge guards, sign-safe seasonal
+    // means, and the same positional m % 12 index
+    "q324_classical_decomp" ->
+      s"""WITH raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |tr AS (SELECT m, c,
+         |    sum(CAST(c AS HUGEINT)) OVER (ORDER BY m
+         |      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS sa,
+         |    count(*) OVER (ORDER BY m
+         |      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS ca,
+         |    sum(CAST(c AS HUGEINT)) OVER (ORDER BY m
+         |      ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS sb,
+         |    count(*) OVER (ORDER BY m
+         |      ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS cb
+         |  FROM monthly),
+         |tt AS MATERIALIZED (SELECT m, c,
+         |    CAST((sa + sb) // 24 AS BIGINT) AS trend
+         |  FROM tr WHERE ca = 12 AND cb = 12),
+         |sm AS (SELECT m % 12 AS j,
+         |    CASE WHEN sum(CAST(c - trend AS HUGEINT)) >= 0
+         |      THEN sum(CAST(c - trend AS HUGEINT)) // count(*)
+         |      ELSE -((-sum(CAST(c - trend AS HUGEINT))) // count(*))
+         |      END AS smean
+         |  FROM tt GROUP BY 1),
+         |ad AS (SELECT CASE WHEN sum(smean) >= 0 THEN sum(smean) // 12
+         |    ELSE -((-sum(smean)) // 12) END AS adj FROM sm),
+         |se AS (SELECT j,
+         |    CAST(smean - (SELECT adj FROM ad) AS BIGINT) AS seas FROM sm)
+         |SELECT tt.m, tt.c AS actual_cents, tt.trend AS trend_cents,
+         |  se.seas AS seasonal_cents,
+         |  tt.c - tt.trend - se.seas AS remainder_cents
+         |FROM tt JOIN se ON se.j = tt.m % 12 ORDER BY tt.m""".stripMargin,
+    // the sign pair join + tie-corrected variance, significance by the
+    // division-free cross-multiplication, z via the corrected double
+    // sqrt (exact at every reachable radicand — isqrt's contract)
+    "q325_mann_kendall" ->
+      s"""WITH raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |sp AS (SELECT coalesce(CAST(sum(CASE WHEN b.c > a.c THEN 1
+         |      WHEN b.c < a.c THEN -1 ELSE 0 END) AS HUGEINT), 0) AS s
+         |  FROM monthly a JOIN monthly b ON b.m > a.m),
+         |tg AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM monthly
+         |  GROUP BY c),
+         |vr AS (SELECT
+         |    (SELECT CAST(count(*) AS HUGEINT) FROM monthly) AS nm,
+         |    coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tsum FROM tg),
+         |v18 AS (SELECT nm, nm * (nm - 1) * (2 * nm + 5) - tsum AS var18
+         |  FROM vr),
+         |zz AS (SELECT nm, var18, (SELECT s FROM sp) AS s,
+         |    CASE WHEN (SELECT s FROM sp) = 0 OR var18 <= 0
+         |      THEN CAST(0 AS HUGEINT)
+         |      ELSE ((abs((SELECT s FROM sp)) - 1)
+         |        * (abs((SELECT s FROM sp)) - 1)
+         |        * 18 * 1000000000000) // var18 END AS rad
+         |  FROM v18),
+         |z2 AS (SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS HUGEINT)
+         |    AS r0 FROM zz),
+         |z3 AS (SELECT *,
+         |    r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= rad THEN 1 ELSE 0 END)
+         |      AS r1 FROM z2),
+         |z4 AS (SELECT *, r1 - (CASE WHEN r1 * r1 > rad THEN 1 ELSE 0 END)
+         |    AS zr FROM z3)
+         |SELECT CAST(nm AS BIGINT) AS n_months, CAST(s AS BIGINT) AS s_stat,
+         |  CAST(var18 AS BIGINT) AS var18,
+         |  CAST(CASE WHEN s > 0 THEN zr WHEN s < 0 THEN -zr ELSE 0 END
+         |    AS BIGINT) AS z_micro,
+         |  CASE WHEN s = 0 OR var18 <= 0 THEN FALSE
+         |    ELSE (abs(s) - 1) * (abs(s) - 1) * 18 * 1000000
+         |      >= $mkZSqCritMicro * var18 END AS significant
+         |FROM z4""".stripMargin,
     // q300's recursion verbatim, then the q283-style exact order
     // statistic on the calibration prefix and ppm coverage on the tail;
     // Long.MaxValue is the conformal infinite interval

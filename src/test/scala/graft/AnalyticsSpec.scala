@@ -1932,6 +1932,114 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q323 Ljung-Box: the planted AR(2)'s raw series is loudly correlated, the fit's residuals pass white — the estimation stage earns its keep") {
+    import spark.implicits._
+    // the same LCG AR(2) fixture as the q319 spec
+    val A = 500000L
+    var seed = 42L
+    def lcg(): Long = {
+      seed = (seed * 1103515245L + 12345L) % (1L << 31)
+      seed % 2001L - 1000L
+    }
+    var x1 = 0.0; var x2 = 0.0
+    val cents = (0 until 60).map { _ =>
+      val x = 1.1 * x1 - 0.5 * x2 + lcg() * 40.0
+      x2 = x1; x1 = x
+      A + x.toLong
+    }
+    val orders = cents.zipWithIndex.map { case (c, t) =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", c / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftlb").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q323_ljung_box")(spark, dir).head()
+    // pinned against two independent replays (python fixed-point and the
+    // DuckDB recursive CTE agreed on these literals): 58 residuals after
+    // the AR(2) fit, Q = 17.0 < chi2(10) = 18.3 -> the fit extracted the
+    // structure and its residuals test white
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getString(5)) ===
+      ((58L, 2L, 12L, 16998236L, 18307038L, "white")), r.toString)
+    // the CONTRAST: the same Ljung-Box form on the RAW series' ACF
+    // (q307's output, the p = 0 "no model" reading) rejects loudly —
+    // without the estimation stage the series is anything but white
+    val acf = SparkEntry.queries("q307_acf")(spark, dir).collect()
+      .map(x => x.getAs[Long]("acf_ppm"))
+    val n = 60
+    val qRaw = (BigInt(n) * (n + 2) * acf.zipWithIndex.map { case (a, i) =>
+      BigInt(a) * a / (n - (i + 1))
+    }.sum / 1000000L).toLong
+    assert(qRaw > graft.operators.Stats.chi2Crit95Micro(12),
+      s"raw-series Q $qRaw must reject")
+  }
+
+  test("q324 classical decomposition: a planted trend+seasonal series decomposes EXACTLY — trend A+Bm, seasonal S, remainder zero") {
+    import spark.implicits._
+    // q303's fixture: cents = A + B·m + S[m % 12], ΣS = 0. The centered
+    // 12-MA of a linear+zero-sum-seasonal series is the line itself
+    // (both off-by-one windows sum to 12A + B(12m ∓ 6); their mean is
+    // exactly A + Bm, integer-exact since 24 | 24A + 24Bm), so the
+    // detrended series IS S, the per-position means are S, the
+    // centering adjustment is 0, and every remainder vanishes
+    val S = Vector(600L, -600L, 300L, -300L, 120L, -120L,
+      60L, -60L, 24L, -24L, 0L, 0L)
+    val A = 1000000L; val B = 2L
+    val orders = (0 until 30).map { t =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01",
+        (A + B * t + S(t % 12)) / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftcd").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q324_classical_decomp")(spark, dir)
+      .orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val want = (6 until 24).map { m =>
+      (m.toLong, A + B * m + S(m % 12), A + B * m, S(m % 12), 0L)
+    }
+    assert(got.toList === want.toList, got.take(4).mkString(","))
+    // under 13 months the centered MA is undefined everywhere — loud
+    val shortDir = java.nio.file.Files.createTempDirectory("graftcds").toString
+    orders.limit(12).write.mode("overwrite").parquet(s"$shortDir/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q324_classical_decomp")(spark, shortDir).collect()
+    }
+    assert(e.getMessage.contains("q324"))
+  }
+
+  test("q325 Mann-Kendall: a strict ramp is significant with the hand-derived S and z; a constant series is a zero-variance non-trend") {
+    import spark.implicits._
+    def fixture(cents: Seq[Long], tag: String): String = {
+      val orders = cents.zipWithIndex.map { case (c, t) =>
+        (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", c / 100.0)
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strict ramp, n = 30: every pair concordant, S = n(n−1)/2 = 435,
+    // no ties so 18·Var = n(n−1)(2n+5) = 56550; z = 434/√3141.67 ≈ 7.74
+    val up = SparkEntry.queries("q325_mann_kendall")(
+      spark, fixture((0 until 30).map(t => 1000000L + 100L * t), "graftmku"))
+      .head()
+    assert(up.getAs[Long]("n_months") === 30L)
+    assert(up.getAs[Long]("s_stat") === 435L)
+    assert(up.getAs[Long]("var18") === 56550L)
+    val expZ = graft.operators.Stats.isqrt(
+      BigInt(434) * 434 * 18 * BigInt("1000000000000") / 56550).toLong
+    assert(up.getAs[Long]("z_micro") === expZ, up.toString)
+    assert(expZ > 7000000L && expZ < 8000000L, expZ.toString)
+    assert(up.getAs[Boolean]("significant"))
+    // constant series: S = 0 and the single n-sized tie group cancels
+    // the variance term entirely — the honest "nothing to test" row
+    val flat = SparkEntry.queries("q325_mann_kendall")(
+      spark, fixture(Seq.fill(30)(1000000L), "graftmkf")).head()
+    assert(flat.getAs[Long]("s_stat") === 0L)
+    assert(flat.getAs[Long]("var18") === 0L)
+    assert(flat.getAs[Long]("z_micro") === 0L)
+    assert(!flat.getAs[Boolean]("significant"))
+  }
+
   test("q322 power/MDE: planted two-arm fixture matches the hand-computed closed forms exactly") {
     import spark.implicits._
     // fixture prep: derive each candidate user's md5 arm (assignment is

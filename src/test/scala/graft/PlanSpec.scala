@@ -548,6 +548,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q323 Ljung-Box: like q319, all corpus work is the staged month leaf — the final plan is a local relation, no orders scan, no join") {
+    val p = plan("q323_ljung_box")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q324 decomposition: windows and rollups run ON the staged calendar-bounded leaf — no orders scan, no cartesian, the seasonal join broadcasts") {
+    val p = plan("q324_classical_decomp")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+    assert(count(p, "Window") >= 1, p)
+  }
+
+  test("q325 Mann-Kendall: the pair join is on the staged leaf; the output is a local relation — no orders scan in the final plan") {
+    val p = plan("q325_mann_kendall")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q308 CUPED: the corpus aggregate is STAGED — the final plan reads the per-user leaf, never the event stream") {
     val p = plan("q308_cuped")
     assert(!p.contains("CartesianProduct"), p)
