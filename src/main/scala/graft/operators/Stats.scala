@@ -2502,7 +2502,11 @@ object Stats extends QueryModule {
     * neighborhood carry no trend and are excluded (the classical
     * convention), enforced by the two count-12 frame guards.
     */
-  val classicalDecomp: Q = (s, d) => {
+  /** The q324 component frame (m, actual, trend, seasonal, remainder),
+    * shared by q324 (the table itself) and q327 (the strength
+    * measures) — one derivation, no drift. */
+  private def decompFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val monthly = monthlyFrame(s, d)
     val meta = monthly.agg(count(lit(1)).as("nm"), max("m").as("mx"))
@@ -2535,7 +2539,101 @@ object Stats extends QueryModule {
       .select(col("m"), col("c").as("actual_cents"),
         col("trend").as("trend_cents"), col("seas").as("seasonal_cents"),
         (col("c") - col("trend") - col("seas")).as("remainder_cents"))
-      .orderBy("m")
+  }
+
+  val classicalDecomp: Q = (s, d) => decompFrame(s, d).orderBy("m")
+
+  /** q327 — TREND / SEASONAL STRENGTH (Hyndman & Athanasopoulos, FPP
+    * §stl-features; the pair of [0, 1] summary measures read off a
+    * decomposition):
+    *   F_T = max(0, 1 − Var(R)/Var(T+R)),  F_S = max(0, 1 − Var(R)/Var(S+R))
+    * computed on [[decompFrame]]'s own components (T+R = actual −
+    * seasonal, S+R = actual − trend — the frame's ledger makes the
+    * sums exact by construction). The variance RATIO needs no
+    * variance division at all: the shared 1/n² cancels, so each
+    * strength is max(0, 10⁶ − (vnR·10⁶) div vnX) with vn = n·Σx² −
+    * (Σx)² riding DECIMAL(38,0) ≡ HUGEINT — ONE truncation per
+    * measure, a zero denominator (constant component) reporting the
+    * 0-strength floor. Where q224/q307 diagnose seasonality by index
+    * or ACF spike, this is the standard normalized [0, 1] readout —
+    * directly comparable across series. Scale: one aggregate over the
+    * calendar-bounded component frame.
+    */
+  val strengthMeasures: Q = (s, d) => {
+    decompFrame(s, d)
+      .select(col("remainder_cents").as("r"),
+        (col("actual_cents") - col("seasonal_cents")).as("tr"),
+        (col("actual_cents") - col("trend_cents")).as("sr"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r AS DECIMAL(38,0))")).as("s_r"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("s2_r"),
+        sum(expr("CAST(tr AS DECIMAL(38,0))")).as("s_tr"),
+        sum(expr("CAST(tr AS DECIMAL(38,0)) * tr")).as("s2_tr"),
+        sum(expr("CAST(sr AS DECIMAL(38,0))")).as("s_sr"),
+        sum(expr("CAST(sr AS DECIMAL(38,0)) * sr")).as("s2_sr"))
+      .select(col("n").as("n_months"),
+        expr("""CAST(CASE WHEN n * s2_tr - s_tr * s_tr = 0 THEN 0
+                ELSE greatest(0, 1000000
+                  - ((n * s2_r - s_r * s_r) * 1000000)
+                    div (n * s2_tr - s_tr * s_tr))
+                END AS BIGINT)""").as("trend_strength_ppm"),
+        expr("""CAST(CASE WHEN n * s2_sr - s_sr * s_sr = 0 THEN 0
+                ELSE greatest(0, 1000000
+                  - ((n * s2_r - s_r * s_r) * 1000000)
+                    div (n * s2_sr - s_sr * s_sr))
+                END AS BIGINT)""").as("seasonal_strength_ppm"))
+  }
+
+  /** q326 — SINGLE CHANGEPOINT DETECTION (binary segmentation's one
+    * step, Scott & Knott 1974 / the AMOC reduction of PELT): the
+    * structural-break read the drift family (q187 KS, q179 PSI, q315
+    * energy) doesn't give — WHERE the monthly revenue level shifts,
+    * chosen as the split k maximizing the explained sum of squares
+    *   f(k) = (S_L²·10⁶) div k + (S_R²·10⁶) div (n−k)
+    * (the exact-SSE identity cost(k) = ΣC² − f(k)/10⁶, so argmax f =
+    * argmin SSE; the µ-fixed-point objective is the DEFINED statistic,
+    * identical in both engines, tie → smallest k). Reported: the
+    * split index, both segment means, and the variance share the
+    * split explains in ppm. On the fixture series the detector flags
+    * k = n−1: the final month is the generator's PARTIAL month (orders
+    * stop 2001-08-01), a genuine level break — the honest answer.
+    *
+    * Exactness/headroom: prefix sums ride BigInt ≡ HUGEINT; S²·10⁶
+    * holds to |Σcents| ≲ 4·10¹⁵ (documented, the q277 ledger
+    * convention). Scale: the one corpus pass is the memoized
+    * [[monthlyFrame]] leaf; the split scan is the calendar-bounded
+    * collected series driver-side (q298 rule).
+    */
+  val changepoint: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    val n = series.length
+    require(n >= 2, s"q326: need >= 2 months, got $n")
+    require(series.last._1 == n - 1,
+      "q326: month grid must be gap-free (the split index is calendar-aligned)")
+    val c = series.map(_._2)
+    val st = c.map(BigInt(_)).sum
+    val s2t = c.map(x => BigInt(x) * x).sum
+    var sl = BigInt(0)
+    var best: (Int, BigInt) = null
+    (1 until n).foreach { k =>
+      sl += c(k - 1)
+      val sr = st - sl
+      val f = sl * sl * 1000000 / k + sr * sr * 1000000 / (n - k)
+      if (best == null || f > best._2) best = (k, f)
+    }
+    val (kStar, fStar) = best
+    val slStar = c.take(kStar).map(BigInt(_)).sum
+    val base = st * st * 1000000 / n
+    val sse0 = s2t * 1000000 - base
+    val gainPpm =
+      if (sse0 <= 0) 0L else ((fStar - base) * 1000000 / sse0).toLong
+    Seq((n.toLong, kStar.toLong,
+      (slStar * 1000000 / kStar).toLong,
+      ((st - slStar) * 1000000 / (n - kStar)).toLong,
+      gainPpm))
+      .toDF("n_months", "k_star", "mean_left_micro", "mean_right_micro",
+        "gain_ppm")
   }
 
   /** q325 z-band: significance at α = 0.05 two-sided compares the
@@ -2760,6 +2858,8 @@ object Stats extends QueryModule {
     "q323_ljung_box" -> ljungBox,
     "q324_classical_decomp" -> classicalDecomp,
     "q325_mann_kendall" -> mannKendall,
+    "q326_changepoint" -> changepoint,
+    "q327_strength_measures" -> strengthMeasures,
     "q317_forecast_interval" -> forecastInterval,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
@@ -3516,6 +3616,98 @@ object Stats extends QueryModule {
          |  se.seas AS seasonal_cents,
          |  tt.c - tt.trend - se.seas AS remainder_cents
          |FROM tt JOIN se ON se.j = tt.m % 12 ORDER BY tt.m""".stripMargin,
+    // the same prefix-sum objective in HUGEINT, argmax via the
+    // f-desc/k-asc row_number — identical fixed-point statistic
+    "q326_changepoint" ->
+      s"""WITH raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |tot AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS nm,
+         |    CAST(sum(c) AS HUGEINT) AS st,
+         |    sum(CAST(c AS HUGEINT) * c) AS s2t FROM monthly),
+         |pre AS (SELECT m + 1 AS k,
+         |    sum(CAST(c AS HUGEINT)) OVER (ORDER BY m
+         |      ROWS UNBOUNDED PRECEDING) AS sl
+         |  FROM monthly),
+         |fs AS (SELECT k, sl,
+         |    (sl * sl * 1000000) // k
+         |      + ((t.st - sl) * (t.st - sl) * 1000000) // (t.nm - k) AS f
+         |  FROM pre, tot t WHERE k < t.nm),
+         |best AS (SELECT * FROM (SELECT k, sl, f,
+         |    row_number() OVER (ORDER BY f DESC, k) AS rn FROM fs)
+         |  WHERE rn = 1)
+         |SELECT CAST(t.nm AS BIGINT) AS n_months, CAST(b.k AS BIGINT)
+         |    AS k_star,
+         |  CAST((b.sl * 1000000) // b.k AS BIGINT) AS mean_left_micro,
+         |  CAST(((t.st - b.sl) * 1000000) // (t.nm - b.k) AS BIGINT)
+         |    AS mean_right_micro,
+         |  CAST(CASE WHEN t.s2t * 1000000 - (t.st * t.st * 1000000) // t.nm
+         |      <= 0 THEN 0
+         |    ELSE ((b.f - (t.st * t.st * 1000000) // t.nm) * 1000000)
+         |      // (t.s2t * 1000000 - (t.st * t.st * 1000000) // t.nm)
+         |    END AS BIGINT) AS gain_ppm
+         |FROM best b, tot t""".stripMargin,
+    // q324's CTE chain, then the variance-numerator ratio (the shared
+    // 1/n² cancels) with one truncation per measure and the 0 floor
+    "q327_strength_measures" ->
+      s"""WITH raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |tr AS (SELECT m, c,
+         |    sum(CAST(c AS HUGEINT)) OVER (ORDER BY m
+         |      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS sa,
+         |    count(*) OVER (ORDER BY m
+         |      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS ca,
+         |    sum(CAST(c AS HUGEINT)) OVER (ORDER BY m
+         |      ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS sb,
+         |    count(*) OVER (ORDER BY m
+         |      ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS cb
+         |  FROM monthly),
+         |tt AS MATERIALIZED (SELECT m, c,
+         |    CAST((sa + sb) // 24 AS BIGINT) AS trend
+         |  FROM tr WHERE ca = 12 AND cb = 12),
+         |sm AS (SELECT m % 12 AS j,
+         |    CASE WHEN sum(CAST(c - trend AS HUGEINT)) >= 0
+         |      THEN sum(CAST(c - trend AS HUGEINT)) // count(*)
+         |      ELSE -((-sum(CAST(c - trend AS HUGEINT))) // count(*))
+         |      END AS smean
+         |  FROM tt GROUP BY 1),
+         |ad AS (SELECT CASE WHEN sum(smean) >= 0 THEN sum(smean) // 12
+         |    ELSE -((-sum(smean)) // 12) END AS adj FROM sm),
+         |se AS (SELECT j,
+         |    CAST(smean - (SELECT adj FROM ad) AS BIGINT) AS seas FROM sm),
+         |comp AS (SELECT
+         |    CAST(tt.c - tt.trend - se.seas AS HUGEINT) AS r,
+         |    CAST(tt.c - se.seas AS HUGEINT) AS trr,
+         |    CAST(tt.c - tt.trend AS HUGEINT) AS srr
+         |  FROM tt JOIN se ON se.j = tt.m % 12),
+         |ag AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(r) AS s_r, sum(r * r) AS s2_r,
+         |    sum(trr) AS s_tr, sum(trr * trr) AS s2_tr,
+         |    sum(srr) AS s_sr, sum(srr * srr) AS s2_sr
+         |  FROM comp)
+         |SELECT CAST(n AS BIGINT) AS n_months,
+         |  CAST(CASE WHEN n * s2_tr - s_tr * s_tr = 0 THEN 0
+         |    ELSE greatest(0, 1000000
+         |      - ((n * s2_r - s_r * s_r) * 1000000)
+         |        // (n * s2_tr - s_tr * s_tr)) END AS BIGINT)
+         |    AS trend_strength_ppm,
+         |  CAST(CASE WHEN n * s2_sr - s_sr * s_sr = 0 THEN 0
+         |    ELSE greatest(0, 1000000
+         |      - ((n * s2_r - s_r * s_r) * 1000000)
+         |        // (n * s2_sr - s_sr * s_sr)) END AS BIGINT)
+         |    AS seasonal_strength_ppm
+         |FROM ag""".stripMargin,
     // the sign pair join + tie-corrected variance, significance by the
     // division-free cross-multiplication, z via the corrected double
     // sqrt (exact at every reachable radicand — isqrt's contract)

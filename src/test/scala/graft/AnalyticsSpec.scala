@@ -2040,6 +2040,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(!flat.getAs[Boolean]("significant"))
   }
 
+  test("q326 changepoint: a planted step locates the exact break with full explained variance; a constant series reports zero gain") {
+    import spark.implicits._
+    def fixture(cents: Seq[Long], tag: String): String = {
+      val orders = cents.zipWithIndex.map { case (c, t) =>
+        (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", c / 100.0)
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // 20 months at A then 20 at A+D: within-segment variance is zero,
+    // so the k = 20 split explains ALL variance — gain exactly 10⁶ —
+    // and both segment means are the planted levels
+    val A = 1000000L; val D = 44400L
+    val step = SparkEntry.queries("q326_changepoint")(spark,
+      fixture((0 until 40).map(t => if (t < 20) A else A + D), "graftcp"))
+      .head()
+    assert((step.getLong(0), step.getLong(1), step.getLong(2),
+      step.getLong(3), step.getLong(4)) ===
+      ((40L, 20L, A * 1000000L, (A + D) * 1000000L, 1000000L)),
+      step.toString)
+    // constant series: every split explains nothing; tie → smallest k
+    val flat = SparkEntry.queries("q326_changepoint")(spark,
+      fixture(Seq.fill(24)(A), "graftcpf")).head()
+    assert((flat.getLong(1), flat.getLong(4)) === ((1L, 0L)), flat.toString)
+  }
+
+  test("q327 strengths: the exact trend+seasonal fixture scores 10⁶ on both; a pure trend scores (10⁶, 0)") {
+    import spark.implicits._
+    def fixture(s: Vector[Long], tag: String): String = {
+      val A = 1000000L; val B = 2L
+      val orders = (0 until 30).map { t =>
+        (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01",
+          (A + B * t + s(t % 12)) / 100.0)
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // q324's exact fixture: remainder ≡ 0, so Var(R) = 0 against
+    // nonzero Var(T+R) and Var(S+R) — both strengths saturate at 10⁶
+    val S = Vector(600L, -600L, 300L, -300L, 120L, -120L,
+      60L, -60L, 24L, -24L, 0L, 0L)
+    val both = SparkEntry.queries("q327_strength_measures")(
+      spark, fixture(S, "graftst")).head()
+    assert((both.getLong(1), both.getLong(2)) === ((1000000L, 1000000L)),
+      both.toString)
+    // zero seasonal: S+R is identically zero → the defined 0 floor,
+    // while the pure line still saturates the trend measure
+    val line = SparkEntry.queries("q327_strength_measures")(
+      spark, fixture(Vector.fill(12)(0L), "graftstl")).head()
+    assert((line.getLong(1), line.getLong(2)) === ((1000000L, 0L)),
+      line.toString)
+  }
+
   test("q322 power/MDE: planted two-arm fixture matches the hand-computed closed forms exactly") {
     import spark.implicits._
     // fixture prep: derive each candidate user's md5 arm (assignment is

@@ -569,6 +569,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q326 changepoint: staged leaf + driver split scan — local relation, no orders scan, no join") {
+    val p = plan("q326_changepoint")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q327 strengths: one aggregate over the shared decomposition frame — no orders scan, no cartesian") {
+    val p = plan("q327_strength_measures")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+  }
+
   test("q308 CUPED: the corpus aggregate is STAGED — the final plan reads the per-user leaf, never the event stream") {
     val p = plan("q308_cuped")
     assert(!p.contains("CartesianProduct"), p)
