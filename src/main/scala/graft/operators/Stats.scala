@@ -1043,6 +1043,88 @@ object Stats extends QueryModule {
         "target_delta_micro", "n_required_per_arm", "detectable")
   }
 
+  /** q328 replicate count (B = 64; the percentile indices are the
+    * ⌈0.025·B⌉-th order statistics from each end, so k = 2). */
+  private[graft] val bootB = 64
+
+  /** q328 deterministic Poisson(1) inverse-CDF thresholds in ppm
+    * (cumulative e⁻¹/k! for k = 0..5; draws past the 6th threshold
+    * truncate to w = 6, a documented 8·10⁻⁵ tail clip): plan-time
+    * constants embedded identically in the oracle — the md5 uniform is
+    * the only per-row randomness and it is the SAME bytes in both
+    * engines. */
+  private[graft] val poisThresholdsPpm =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+
+  /** q328 — POISSON BOOTSTRAP CONFIDENCE INTERVAL (Chamandy, Muralidharan,
+    * Najmi & Naidu 2012, "Estimating Uncertainty for Massive Data
+    * Streams" — the resampling scheme built FOR one-pass distributed
+    * data, where classical bootstrap's sample-n-with-replacement is
+    * impossible): each replicate i weights every order by a
+    * deterministic Poisson(1) draw w = F⁻¹(md5(key:i)) and the
+    * replicate mean is Σw·x / Σw — so ALL [[bootB]] replicates ride
+    * ONE pass: the replicate axis explodes INSIDE the pipeline
+    * (generate → project → partial hash aggregate, never materialized
+    * or shuffled as rows) into a B-group map-side-combinable
+    * aggregate whose shuffle is B rows per partition. A wide
+    * 2B-column single-row aggregate was measured first and rejected:
+    * its whole-stage-codegen compile cost ~15 s of FIXED latency (the
+    * 130-expression method), where the narrow shape keeps ONE md5 and
+    * ONE inverse-CDF CASE in the hot loop. The 95% interval is the
+    * exact 2nd/63rd order statistics of the 64 replicate means (the
+    * q283 exact-order-statistic discipline; percentile bootstrap).
+    * Exactness: integer micro-cent means with toward-zero division,
+    * a w-starved replicate (Σw = 0, unreachable past a few hundred
+    * rows) reports the −1 sentinel deterministically in both engines.
+    * Spec law: a constant-valued corpus collapses the interval to the
+    * point mean EXACTLY (every weighted mean of a constant is the
+    * constant); a planted two-level corpus brackets its mean at
+    * ~±3·sd/√n. Scale: the 2B sums are a single aggregate over one
+    * scan — the shape the paper exists for; B md5 draws per row is
+    * the entire added cost.
+    */
+  val poissonBootstrap: Q = (s, d) => {
+    import s.implicits._
+    // fanOut: the B md5 draws per row are CPU-heavy against a
+    // single-row-group scan (one split = one task evaluating all B·n
+    // hashes serially — the repo-wide single-split counter)
+    val orders = Tables.fanOut(Tables.orders(s, d), "o_orderkey")
+      .select(col("o_orderkey"),
+        (graft.functions.Exact.dec2(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+    val u = graft.functions.Hashing.md5Bucket(
+      concat(col("o_orderkey").cast("string"), lit(":"),
+        col("i").cast("string")), 1000000)
+    val w = poisThresholdsPpm.tail.zipWithIndex
+      .foldLeft(when(u < poisThresholdsPpm.head, 0L)) {
+        case (acc, (t, k)) => acc.when(u < t, (k + 1).toLong)
+      }.otherwise(6L)
+    val byRep = orders
+      .select(col("o_orderkey"), col("cents"),
+        explode(lit((0 until bootB).map(_.toLong).toArray)).as("i"))
+      .select(col("cents"), col("i"), w.as("w"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * cents")).as("swx"),
+        sum("w").as("sw"))
+      .collect() // B rows — replicate-bounded driver sync
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger), r.getLong(4)))
+      .sortBy(_._1)
+    require(byRep.length == bootB && byRep.head._2 > 0,
+      "q328: empty orders table")
+    val n = byRep.head._2
+    val meanMicro = (byRep.head._3 * 1000000 / n).toLong
+    val means = byRep.map { case (_, _, _, swx, sw) =>
+      if (sw == 0) -1L else (swx * 1000000 / sw).toLong
+    }.sorted
+    val k = 2 // ceil(0.025 * 64)
+    Seq((n, bootB.toLong, meanMicro, means(k - 1), means(bootB - k)))
+      .toDF("n_orders", "b", "mean_micro", "ci_lo_micro", "ci_hi_micro")
+  }
+
   /** q309 hypotheses and boundaries. p₀/p₁ bracket the fixture's ~0.198
     * purchase share so the walk is genuinely diffusive; the LLR
     * increments and the ln 19 boundary (α = β = 0.05) are plan-time
@@ -2600,9 +2682,11 @@ object Stats extends QueryModule {
     *
     * Exactness/headroom: prefix sums ride BigInt ≡ HUGEINT; S²·10⁶
     * holds to |Σcents| ≲ 4·10¹⁵ (documented, the q277 ledger
-    * convention). Scale: the one corpus pass is the memoized
-    * [[monthlyFrame]] leaf; the split scan is the calendar-bounded
-    * collected series driver-side (q298 rule).
+    * convention), and the micro-scaled segment means fit BIGINT to
+    * mean monthly revenue ≲ 9·10¹² cents — both bounds documented
+    * rather than silently wrapped. Scale: the one corpus pass is the
+    * memoized [[monthlyFrame]] leaf; the split scan is the
+    * calendar-bounded collected series driver-side (q298 rule).
     */
   val changepoint: Q = (s, d) => {
     import s.implicits._
@@ -2860,6 +2944,7 @@ object Stats extends QueryModule {
     "q325_mann_kendall" -> mannKendall,
     "q326_changepoint" -> changepoint,
     "q327_strength_measures" -> strengthMeasures,
+    "q328_poisson_bootstrap" -> poissonBootstrap,
     "q317_forecast_interval" -> forecastInterval,
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
@@ -3616,6 +3701,36 @@ object Stats extends QueryModule {
          |  se.seas AS seasonal_cents,
          |  tt.c - tt.trend - se.seas AS remainder_cents
          |FROM tt JOIN se ON se.j = tt.m % 12 ORDER BY tt.m""".stripMargin,
+    // the identical md5-uniform draws (same bytes both engines), the
+    // same inverse-CDF CASE, all 2B sums in one aggregate, the interval
+    // as list_sort order statistics
+    "q328_poisson_bootstrap" -> {
+      val cases = poisThresholdsPpm.zipWithIndex
+        .map { case (t, kk) => s"WHEN u < $t THEN $kk" }.mkString(" ")
+      s"""WITH o AS (SELECT o_orderkey AS k,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders),
+         |e AS (SELECT k, cents, unnest(range(0, $bootB)) AS i FROM o),
+         |uu AS (SELECT cents, i,
+         |    ('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+         |      || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+         |  FROM e),
+         |ww AS (SELECT cents, i, CASE $cases ELSE 6 END AS w FROM uu),
+         |ag AS (SELECT i, count(*) AS n, CAST(sum(cents) AS HUGEINT) AS sx,
+         |    CAST(sum(w * cents) AS HUGEINT) AS swx,
+         |    CAST(sum(w) AS HUGEINT) AS sw
+         |  FROM ww GROUP BY i),
+         |ms AS (SELECT max(n) AS n, max(sx) AS sx, list_sort(
+         |    list(CASE WHEN sw = 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE (swx * 1000000) // sw END)) AS m FROM ag)
+         |SELECT CAST(n AS BIGINT) AS n_orders,
+         |  CAST($bootB AS BIGINT) AS b,
+         |  CAST((sx * 1000000) // n AS BIGINT) AS mean_micro,
+         |  CAST(m[2] AS BIGINT) AS ci_lo_micro,
+         |  CAST(m[${bootB - 1}] AS BIGINT) AS ci_hi_micro
+         |FROM ms""".stripMargin
+    },
     // the same prefix-sum objective in HUGEINT, argmax via the
     // f-desc/k-asc row_number — identical fixed-point statistic
     "q326_changepoint" ->

@@ -2095,6 +2095,37 @@ class AnalyticsSpec extends SparkSpec {
       line.toString)
   }
 
+  test("q328 Poisson bootstrap: a constant corpus collapses the interval to the point mean exactly; a two-level corpus brackets it at ~sd/√n") {
+    import spark.implicits._
+    def fixture(cents: Seq[Long], tag: String): String = {
+      val orders = cents.zipWithIndex.map { case (c, t) =>
+        (t.toLong, "2020-01-01", c / 100.0)
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // every weighted mean of a constant IS the constant — the interval
+    // degenerates to the point estimate with zero width, exactly
+    val const = SparkEntry.queries("q328_poisson_bootstrap")(
+      spark, fixture(Seq.fill(500)(123456L), "graftbc")).head()
+    assert(const.getAs[Long]("mean_micro") === 123456000000L, const.toString)
+    assert(const.getAs[Long]("ci_lo_micro") === 123456000000L, const.toString)
+    assert(const.getAs[Long]("ci_hi_micro") === 123456000000L, const.toString)
+    // alternating 100.00/300.00 over 1000 orders: mean 200.00, sd 100,
+    // so the 95% band sits ~±2·100/√1000 ≈ ±6.3 around the mean — the
+    // deterministic draws put both ends strictly inside ±15 and the
+    // interval strictly brackets the mean
+    val two = SparkEntry.queries("q328_poisson_bootstrap")(
+      spark, fixture((0 until 1000).map(t =>
+        if (t % 2 == 0) 10000L else 30000L), "graftb2")).head()
+    val (m, lo, hi) = (two.getAs[Long]("mean_micro"),
+      two.getAs[Long]("ci_lo_micro"), two.getAs[Long]("ci_hi_micro"))
+    assert(m === 20000000000L, two.toString)
+    assert(lo < m && m < hi, two.toString)
+    assert(m - lo < 1500000000L && hi - m < 1500000000L, two.toString)
+  }
+
   test("q322 power/MDE: planted two-arm fixture matches the hand-computed closed forms exactly") {
     import spark.implicits._
     // fixture prep: derive each candidate user's md5 arm (assignment is

@@ -583,6 +583,14 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
   }
 
+  test("q328 bootstrap: all 64 replicates ride ONE map-side aggregate synced to a 1-row local relation — no join, no per-replicate pass") {
+    val p = plan("q328_poisson_bootstrap")
+    // the output column n_orders contains the table name — pin on the
+    // absence of any scan instead (the agg ran during the 1-row sync)
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q308 CUPED: the corpus aggregate is STAGED — the final plan reads the per-user leaf, never the event stream") {
     val p = plan("q308_cuped")
     assert(!p.contains("CartesianProduct"), p)
