@@ -1431,7 +1431,79 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q334 candidate-pool size M and pick count k. M bounds every
+    * post-retrieval structure (M rows, M·(M−1) pairs); the corpus-scale
+    * work is ONLY the relevance top-M. */
+  private[graft] val mmrPoolM = 16
+  private[graft] val mmrK = 5
+
+  /** q334 — MMR DIVERSIFIED TOP-K (Carbonell & Goldstein, SIGIR 1998,
+    * "maximal marginal relevance"): the standard re-ranker between
+    * retrieval and a RAG prompt — pure cosine top-k returns five copies
+    * of the same paragraph; MMR greedily picks
+    * argmax λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j) so each next pick is
+    * relevant AND novel against what is already selected. λ = 0.7, the
+    * textbook default, as the EXACT rational 7/10: relevance and
+    * pairwise cosines are integerized once to nano units off the
+    * repo's 9-dp cross-engine rounding (round(sim9·10⁹) recovers the
+    * decimal exactly — no float enters the greedy), so every score is
+    * the integer 7·rel − 3·maxsim with (score DESC, vec_id ASC) the
+    * deterministic tie-break. Probe = vec_id 0's embedding (the q31
+    * query convention).
+    *
+    * Scale shape: the ONLY corpus-scale work is the broadcast-probe
+    * relevance scan and its top-[[mmrPoolM]] (TakeOrdered — no global
+    * sort materialization); the M-row pool and its M·(M−1) pair matrix
+    * are CONSTANT-bounded, collected driver-side (the q298 metadata
+    * rule), and the k-step greedy runs on them. The oracle replays the
+    * greedy as a recursive CTE with the identical argmax order.
+    */
+  val mmrSelect: Q = (s, d) => {
+    import s.implicits._
+    val corpus = base(s, d)
+    val probe = corpus.filter(col("vec_id") === 0)
+      .select(col("embedding").as("p_emb"), col("sq").as("p_sq"))
+    val relCol = round(round(cosineWithNorms(
+      dotD(col("embedding"), col("p_emb")), col("sq"), col("p_sq")), 9)
+      * 1e9, 0).cast("long")
+    val pool = corpus.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("rel_nano", relCol)
+      .orderBy(col("rel_nano").desc, col("vec_id"))
+      .limit(mmrPoolM)
+      .select(col("vec_id"), col("embedding"), col("sq"), col("rel_nano"))
+    val l = pool.alias("l")
+    val r = pool.alias("r")
+    val simCol = round(round(cosineWithNorms(
+      dotD(col("l.embedding"), col("r.embedding")),
+      col("l.sq"), col("r.sq")), 9) * 1e9, 0).cast("long")
+    val pairs = l.join(broadcast(r), col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        simCol.as("sim_nano"))
+    // constant-bounded syncs: ≤ M rows and ≤ M·(M−1) pairs at ANY scale
+    val rels = pool.select("vec_id", "rel_nano").collect()
+      .map(x => x.getLong(0) -> x.getLong(1))
+      .sortBy { case (id, rel) => (-rel, id) }
+    val sim = pairs.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    while (out.size < mmrK && remaining.nonEmpty) {
+      val picked = out.map(_._2)
+      val (id, rel, mx, sc) = remaining.iterator.map { case (i, rl) =>
+        val m = if (picked.isEmpty) 0L
+          else picked.map(p => sim((i, p))).max
+        (i, rl, m, 7L * rl - 3L * m)
+      }.maxBy { case (i, _, _, s) => (s, -i) }
+      remaining.remove(id)
+      out += ((out.size + 1, id, rel, mx, sc))
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel_nano", "max_sim_nano", "mmr_e10")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q334_mmr_select" -> mmrSelect,
     "q287_silhouette_sampled" -> silhouetteSampled,
     "q286_triplet_mining" -> tripletMining,
     "q153_label_centroids" -> labelCentroids,
@@ -1498,6 +1570,53 @@ object Similarity extends QueryModule {
   }
 
   def oracles: Map[String, String] = restOracles ++ Map(
+    // the identical nano integerization of the 9-dp cosine, the same
+    // constant-M pool, and the greedy replayed as a recursive CTE whose
+    // per-step argmax uses the same (7·rel − 3·maxsim DESC, vec_id ASC)
+    // order — every pick must agree for the hash to match
+    "q334_mmr_select" -> {
+      val maxsim = "COALESCE((SELECT max(pr.sim) FROM pairs pr " +
+        "WHERE pr.a = %s AND list_contains(%s, pr.b)), 0)"
+      s"""WITH RECURSIVE pool AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding,
+         |    CAST(round(round(${duckCos.format("c", "p")}, 9) * 1000000000)
+         |      AS BIGINT) AS rel
+         |  FROM embeddings c,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+         |  WHERE c.vec_id > 0
+         |  ORDER BY rel DESC, c.vec_id LIMIT $mmrPoolM),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    CAST(round(round(${duckCos.format("a", "b")}, 9) * 1000000000)
+         |      AS BIGINT) AS sim
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |it(step, picked) AS (
+         |  SELECT 0, CAST([] AS BIGINT[])
+         |  UNION ALL
+         |  SELECT it.step + 1, list_append(it.picked, (
+         |      SELECT p.vec_id FROM pool p
+         |      WHERE NOT list_contains(it.picked, p.vec_id)
+         |      ORDER BY 7 * p.rel
+         |        - 3 * ${maxsim.format("p.vec_id", "it.picked")} DESC,
+         |        p.vec_id
+         |      LIMIT 1))
+         |  FROM it WHERE it.step < $mmrK
+         |    AND (SELECT count(*) FROM pool p2
+         |      WHERE NOT list_contains(it.picked, p2.vec_id)) > 0),
+         |-- `it` must be scanned exactly ONCE: duckdb 1.0 re-evaluates a
+         |-- twice-referenced recursive CTE whose recursive term carries
+         |-- correlated subqueries, and the re-run stops at the base case
+         |-- (max(step) reads 0). Each row carries its own prefix, so the
+         |-- single scan suffices.
+         |rk AS (SELECT CAST(step AS INT) AS rank, picked[step] AS vec_id,
+         |    picked[1:step - 1] AS prefix FROM it WHERE step >= 1)
+         |SELECT rk.rank, rk.vec_id, p.rel AS rel_nano,
+         |  ${maxsim.format("rk.vec_id", "rk.prefix")} AS max_sim_nano,
+         |  7 * p.rel - 3 * ${maxsim.format("rk.vec_id", "rk.prefix")}
+         |    AS mmr_e10
+         |FROM rk JOIN pool p ON p.vec_id = rk.vec_id
+         |ORDER BY rank""".stripMargin
+    },
     // the identical micro-quantized integer distances (dim-join form),
     // the identical q47 home-cell assignment and md5 sample, HUGEINT-safe
     // means, and the same 0-sentinel edges; negative silhouettes agree

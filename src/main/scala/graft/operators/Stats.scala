@@ -869,11 +869,14 @@ object Stats extends QueryModule {
     * ≥ 0 up to θ's ppm truncation by the Cauchy-Schwarz identity
     * var(Y−θX) = var(Y) − cov²/var(X).
     */
-  /** The staged q308 per-user (x, y, arm) frame, MEMOIZED per input dir
-    * (the [[graft.Scratch]] staging-memo contract — fixture dirs are
-    * immutable per JVM): q308's moments + adjusted passes and q322's
-    * power analysis all read the ONE corpus aggregate instead of each
-    * re-running the event scan. */
+  /** The staged q308 per-user metric frame (pre/post purchases x/y, md5
+    * arm, first-seen assignment day d0, full-window clicks cl), MEMOIZED
+    * per input dir (the [[graft.Scratch]] staging-memo contract — fixture
+    * dirs are immutable per JVM): q308's moments + adjusted passes,
+    * q322's power analysis, q329's rank-sum, q331's SRM audit, q332's
+    * ratio-metric delta method, and q333's arm totals ALL read the ONE
+    * per-user corpus reduce instead of each re-running the event scan
+    * (each consumer prunes the columns it needs at the leaf scan). */
   private val cupedLeafCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -883,7 +886,8 @@ object Stats extends QueryModule {
       val dir = graft.Scratch.dir("graft_cuped")
       val ev = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("c"))
       val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
         .select(expr(
           "date_add(d0, CAST((datediff(d1, d0) + 1) div 2 AS INT))")
@@ -893,7 +897,9 @@ object Stats extends QueryModule {
         .agg(sum(when(col("day") < col("split"), col("p")).otherwise(0L))
             .as("x"),
           sum(when(col("day") >= col("split"), col("p")).otherwise(0L))
-            .as("y"))
+            .as("y"),
+          min("day").as("d0"),
+          sum("c").as("cl"))
         .withColumn("arm",
           graft.functions.Hashing.md5Bucket(col("user_id"), 2))
         .write.mode("overwrite").parquet(dir)
@@ -1041,6 +1047,349 @@ object Stats extends QueryModule {
       .toDF("n_control", "n_treat", "mean_control_micro",
         "mean_treat_micro", "delta_micro", "mde_micro",
         "target_delta_micro", "n_required_per_arm", "detectable")
+  }
+
+  /** q329 √3 in nano units: floor(√3·10⁹) = 1732050807 — the plan-time
+    * literal both engines multiply by so the rank-sum z's √3 factor is
+    * never a cross-engine transcendental (the q309/q322 constant
+    * discipline; the flooring costs < 10⁻⁹ relative and is IDENTICAL on
+    * both sides). */
+  private[graft] val sqrt3NanoFloor = 1732050807L
+
+  /** q329 — MANN–WHITNEY U RANK-SUM TEST (Wilcoxon 1945; Mann & Whitney
+    * 1947): the NONPARAMETRIC two-sample read next to q169's χ² and
+    * q322's normal-theory MDE — it asks whether one arm's per-user
+    * post-period purchase distribution is stochastically larger than the
+    * other's, with no normality assumption, which is the test every
+    * experimentation platform reaches for when the metric is a skewed
+    * count. Tie handling is the textbook average-rank correction: with
+    * the pooled values histogrammed as (value → t ties), the average
+    * rank of a tie group after c predecessors is c + (t+1)/2, so DOUBLED
+    * rank sums stay integers (2·avgrank = 2c + t + 1) and
+    *   2·U₁ = 2·R₁ − n₁(n₁+1),   2·μ_U = n₀n₁,
+    *   σ²_U = (n₀n₁/12)·((N+1) − ΣT/(N(N−1))),  T = Σ(t³−t).
+    * z rides exact integers end to end: the tie term truncates ONCE to
+    * ppm (tcorr = T·10⁶ div N(N−1)), var12 = n₀n₁((N+1)·10⁶ − tcorr) =
+    * 12σ²_U·10⁶ is exact DECIMAL/HUGEINT, and z_micro = |2U₁−n₀n₁| ·
+    * [[sqrt3NanoFloor]] div isqrt(var12) — the [[isqrt]] is exact floor
+    * (oracle: double sqrt + two-step correction, exact while var12 ≲
+    * 10³⁰, i.e. up to ~10⁸ users — the q308 documented ceiling; past it
+    * swap the oracle to an iterative Newton CTE). A degenerate pool
+    * (every value tied, or an empty arm) has var12 = 0 and reports the
+    * −1 sentinel, never dividing.
+    *
+    * Scale shape: ONE corpus pass — the memoized [[cupedLeaf]] shared
+    * with q308/q322 — then a VALUE-BOUNDED histogram (distinct per-user
+    * purchase counts; the q209/q267 value-histogram discipline), whose
+    * single-partition rank window and 1-row moment sync are
+    * metadata-sized at any corpus scale.
+    */
+  val mannWhitney: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = cupedLeaf(s, d).groupBy("y")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("t"))
+      .withColumn("cb",
+        coalesce(sum("t").over(Window.orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val m = hist.agg(
+      coalesce(sum("c0"), lit(0L)).as("n0"),
+      coalesce(sum("c1"), lit(0L)).as("n1"),
+      coalesce(sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * cb + t + 1)")),
+        lit(java.math.BigDecimal.ZERO)).as("r1x2"),
+      coalesce(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")),
+        lit(java.math.BigDecimal.ZERO)).as("tsum"))
+      .head() // 1-row moment sync (the q322 convention)
+    val (n0, n1) = (m.getLong(0), m.getLong(1))
+    val r1x2 = BigInt(m.getDecimal(2).toBigInteger)
+    val tsum = BigInt(m.getDecimal(3).toBigInteger)
+    val bigN = BigInt(n0) + n1
+    val u1x2 = r1x2 - BigInt(n1) * (BigInt(n1) + 1)
+    val mux2 = BigInt(n0) * n1
+    val dev = (u1x2 - mux2).abs
+    val tcorrPpm =
+      if (bigN >= 2) tsum * 1000000L / (bigN * (bigN - 1)) else BigInt(0)
+    val var12 = mux2 * ((bigN + 1) * 1000000L - tcorrPpm)
+    val zMicro =
+      if (var12 <= 0) -1L else (dev * sqrt3NanoFloor / isqrt(var12)).toLong
+    Seq((n0, n1, u1x2.toLong, mux2.toLong, zMicro,
+      var12 > 0 && zMicro > zAlphaHalfMicro))
+      .toDF("n_control", "n_treat", "u1_x2", "mu_x2", "z_micro",
+        "significant")
+  }
+
+  /** q331 — SAMPLE-RATIO-MISMATCH AUDIT (Fabijan, Gupchup, Gupta et al.,
+    * KDD 2019, "Diagnosing Sample Ratio Mismatch in Online Controlled
+    * Experiments"): the guardrail every experimentation platform runs
+    * BEFORE reading any effect — if the md5 split didn't actually deal
+    * 50/50, every downstream read (q169/q308/q322/q329) is invalid.
+    * χ² goodness-of-fit against the even split reduces to
+    * (n₀−n₁)²/N per cell pair; it is audited PER ASSIGNMENT DAY (each
+    * user counted once, on their first-seen day — a deploy that broke
+    * bucketing for a day shows up as that day's red row, invisible in
+    * the lifetime total) plus the ALL rollup row, in one
+    * `rollup` pass. Exact: the χ² is a single integer division in
+    * micro; the flag uses q169's [[chiCritMicro]].
+    *
+    * Scale: the corpus work is the shared memoized [[cupedLeaf]]; the
+    * rollup output is CALENDAR-bounded. The day key is emitted as a
+    * string so the ALL row needs no date sentinel (ASCII 'A' sorts
+    * after digits identically in both engines).
+    */
+  val srmAudit: Q = (s, d) => {
+    cupedLeaf(s, d).rollup("d0")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"))
+      .select(coalesce(col("d0").cast("string"), lit("ALL")).as("day"),
+        col("n_control"), col("n_treat"),
+        expr("""CAST((CAST(n_control - n_treat AS DECIMAL(38,0))
+                * (n_control - n_treat) * 1000000)
+                div (n_control + n_treat) AS BIGINT)""").as("chi2_micro"))
+      .withColumn("srm", col("chi2_micro") > chiCritMicro)
+      .orderBy("day")
+  }
+
+  /** Sign-safe toward-zero BigInt division (Spark's `div` and DuckDB's
+    * `//` truncate toward zero only for non-negative operands in the
+    * forms this repo writes; BigInt `/` truncates toward zero natively,
+    * so this exists to NAME the convention at the driver-side call
+    * sites that mirror a CASE-guarded SQL division). */
+  private def tdiv(a: BigInt, b: BigInt): BigInt = a / b
+
+  /** q332 — RATIO-METRIC CONFIDENCE INTERVAL VIA THE DELTA METHOD
+    * (Deng, Knoblich & Lu, KDD 2018, "Applying the Delta Method in
+    * Metric Analytics"): the read large platforms use for
+    * purchases-per-click style metrics, where the ratio of per-user
+    * sums R = ΣY/ΣX is NOT a mean of i.i.d. values (users, not events,
+    * are the randomization unit) and the naive binomial SE is wrong.
+    * Delta method: var(R̂) ≈ (σ²_y − 2Rσ_xy + R²σ²_x) / (n·μ²_x), with
+    * every moment per-USER. Fixed point, one documented truncation per
+    * factor (the q330 discipline): central-moment rates in micro
+    * (v = (nΣv²−(Σv)²)·10⁶ div n²), R in ppm, the quadratic form
+    * assembled with sign-safe toward-zero divisions, var·10¹² by one
+    * final division, and se_ppm = isqrt(var_e12) — the radicand is
+    * ~10¹²/n, far inside the oracle's exact double-sqrt range at ANY
+    * n. The two-arm z reuses the pooled-variance isqrt. Truncation can
+    * push the (Cauchy–Schwarz ≥ 0) quadratic form to −1 micro; it is
+    * clamped at 0 in both engines. Sentinels (−1 ratio/se/z, false
+    * flag) when an arm has no clicks or is missing — never a division.
+    * Headroom: the central-moment numerators ride HUGEINT/DECIMAL(38)
+    * to ~10⁸ users (the q308 family ceiling).
+    *
+    * Scale: ONE corpus pass — the shared memoized [[cupedLeaf]] — then
+    * a 2-row arm rollup collected driver-side (the q322 convention).
+    */
+  val deltaRatio: Q = (s, d) => {
+    import s.implicits._
+    val arms = cupedLeaf(s, d)
+      .select(col("arm"), col("cl").as("xv"), (col("x") + col("y")).as("yv"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("xv").as("sx"), sum("yv").as("sy"),
+        sum(expr("CAST(xv AS DECIMAL(38,0)) * xv")).as("sxx"),
+        sum(expr("CAST(yv AS DECIMAL(38,0)) * yv")).as("syy"),
+        sum(expr("CAST(xv AS DECIMAL(38,0)) * yv")).as("sxy"))
+      .collect() // arm-bounded: ≤ 2 rows at any corpus scale
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getDecimal(4).toBigInteger),
+        BigInt(r.getDecimal(5).toBigInteger),
+        BigInt(r.getDecimal(6).toBigInteger))).toMap
+    // (ratio_ppm, var_e12) with sentinels as None
+    def read(arm: Long): (Long, Long, Option[(Long, BigInt)]) =
+      arms.get(arm) match {
+        case None => (0L, -1L, None)
+        case Some((n, sx, sy, sxx, syy, sxy)) =>
+          if (sx <= 0) (n, -1L, None)
+          else {
+            val rPpm = BigInt(sy) * 1000000L / sx
+            val n2 = BigInt(n) * n
+            val vyM = (BigInt(n) * syy - BigInt(sy) * sy) * 1000000L / n2
+            val vxM = (BigInt(n) * sxx - BigInt(sx) * sx) * 1000000L / n2
+            val cxyM = tdiv((BigInt(n) * sxy - BigInt(sx) * sy) * 1000000L, n2)
+            val muxM = BigInt(sx) * 1000000L / n
+            if (muxM == 0) (n, rPpm.toLong, None) // µx under 1 micro-click
+            else {
+              val aM = (vyM - tdiv(2 * rPpm * cxyM, BigInt(1000000))
+                + rPpm * rPpm * vxM / BigInt(1000000000000L)).max(BigInt(0))
+              val varE12 = aM * BigInt(1000000000000L) * 1000000L /
+                (BigInt(n) * muxM * muxM)
+              (n, rPpm.toLong, Some((rPpm.toLong, varE12)))
+            }
+          }
+      }
+    val (n0, r0, v0) = read(0L)
+    val (n1, r1, v1) = read(1L)
+    def se(v: Option[(Long, BigInt)]): Long =
+      v.map(x => isqrt(x._2).toLong).getOrElse(-1L)
+    val (z, sig) = (v0, v1) match {
+      case (Some((_, va)), Some((_, vb))) if va + vb > 0 =>
+        val zm = (BigInt((r1 - r0).abs) * 1000000L / isqrt(va + vb)).toLong
+        (zm, zm > zAlphaHalfMicro)
+      case _ => (-1L, false)
+    }
+    Seq((n0, n1, r0, r1, se(v0), se(v1),
+      if (v0.isDefined && v1.isDefined) r1 - r0 else -1L, z, sig))
+      .toDF("n_control", "n_treat", "ratio_control_ppm", "ratio_treat_ppm",
+        "se_control_ppm", "se_treat_ppm", "diff_ppm", "z_micro",
+        "significant")
+  }
+
+  /** q333 χ²₁ criticals in micro at the five BH thresholds α·i/m for
+    * α = 0.05, m = 5 (the event-type taxonomy size): i = 1 → p 0.01,
+    * …, i = 5 → p 0.05 = q169's [[chiCritMicro]]. Plan-time
+    * transcendentals rounded half-up like chiCritMicro and embedded
+    * IDENTICALLY in the oracle (the q309/q322 constant discipline). */
+  private[graft] val bhCritMicro =
+    Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L)
+
+  /** q333 — BENJAMINI–HOCHBERG FDR CONTROL (Benjamini & Hochberg 1995)
+    * across the per-event-type conversion tests: a platform that reads
+    * five metrics per experiment and rejects each at α = 0.05 inflates
+    * its false-discovery rate to ~23%; BH sorts the p-values and
+    * rejects the largest prefix with p₍ᵢ₎ ≤ (i/m)·α, holding FDR at α.
+    * Each hypothesis is q169's 2×2 χ² (did the user convert on that
+    * event type at least once, by arm); p₍ᵢ₎ ≤ (i/m)·α is evaluated
+    * WITHOUT any p-value transcendental as χ²₍ᵢ₎ ≥ crit(α·i/m) with
+    * the [[bhCritMicro]] plan-time criticals — ranks sort χ² DESC
+    * (= p ASC) with the event type as the deterministic tie-break. The
+    * family size m is pinned to the 5-type taxonomy; absent types are
+    * untested hypotheses, which leaves the procedure valid and
+    * conservative (their slots keep the m = 5 denominators). Ranks
+    * past 5 (an unexpected grown taxonomy) emit the −1 crit sentinel
+    * and never reject, loudly visible rather than silently wrong.
+    *
+    * Scale: one distinct (user, type) corpus pass → taxonomy×2 cells;
+    * arm totals come from the shared [[cupedLeaf]]; the BH scan runs
+    * on ≤ m rows via two bounded windows. The one cross is the 1-row
+    * totals broadcast (the pinned bounded-cross class).
+    */
+  val bhFdr: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tot = cupedLeaf(s, d).agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
+    val cells = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("a").as("conv_treat"),
+        col("c").as("conv_control"),
+        expr("""CAST(CASE WHEN a = 0 OR n1 - a = 0 OR c = 0 OR n0 - c = 0
+                  THEN 0
+                WHEN a + c = 0 OR (n1 - a) + (n0 - c) = 0 THEN 0
+                ELSE (CAST(n0 + n1 AS DECIMAL(38,0))
+                  * (CAST(a AS DECIMAL(38,0)) * (n0 - c)
+                    - CAST(n1 - a AS DECIMAL(38,0)) * c)
+                  * (CAST(a AS DECIMAL(38,0)) * (n0 - c)
+                    - CAST(n1 - a AS DECIMAL(38,0)) * c)
+                  * 1000000)
+                  div (CAST(n1 AS DECIMAL(38,0)) * n0
+                    * (a + c) * ((n1 - a) + (n0 - c)))
+                END AS BIGINT)""").as("chi2_micro"))
+    val ranked = cells.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("chi2_micro").desc, col("event_type").asc)))
+      .withColumn("crit_micro",
+        expr(s"""CASE ${bhCritMicro.zipWithIndex.map { case (cr, i) =>
+          s"WHEN rank = ${i + 1} THEN ${cr}L" }.mkString(" ")}
+          ELSE -1L END"""))
+      .withColumn("passes",
+        col("crit_micro") >= 0 && col("chi2_micro") >= col("crit_micro"))
+    ranked.withColumn("k",
+        max(when(col("passes"), col("rank")).otherwise(lit(0)))
+          .over(Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("event_type"), col("conv_treat"), col("conv_control"),
+        col("chi2_micro"), col("rank"), col("crit_micro"),
+        (col("rank") <= col("k")).as("rejected"))
+      .orderBy("rank")
+  }
+
+  /** q335 winsorization percentile in ppm: the cap is the POOLED
+    * nearest-rank p99 (cum ≥ ⌈0.99·N⌉ — integer cum makes the ceiling
+    * free: cum·10⁶ ≥ N·990000). */
+  private[graft] val winsorPctPpm = 990000L
+
+  /** q335 — WINSORIZED (CAPPED) METRIC READ (Kohavi, Tang & Xu 2020,
+    * ch. 22 — "capping" is the variance-control every experimentation
+    * platform applies to heavy-tailed count/revenue metrics before the
+    * t-test: one whale user should not decide the experiment): per-user
+    * post-period purchases are capped at the POOLED nearest-rank p99
+    * (pooled, not per-arm — a per-arm cap would let the treatment shift
+    * its own ceiling, the classic capping bug), then the two-sample z
+    * runs on the capped moments. The capped share per arm is emitted —
+    * a capped-share imbalance is itself a treatment effect on the tail.
+    * Exactness: the cutpoint is the exact order statistic on the value
+    * histogram (q209's discipline); capped means/variances in the q322
+    * micro fixed point, one truncation per term; z_micro =
+    * |Δmean|·10⁶ div isqrt(vm₀+vm₁) with the exact [[isqrt]] (oracle:
+    * corrected double floor-sqrt; the radicand is variance-of-mean
+    * scaled, tiny at any n). Sentinels (−1) when an arm is empty or
+    * both capped variances are zero — never a division.
+    *
+    * Scale shape: the corpus work is the shared memoized [[cupedLeaf]];
+    * the histogram, its rank windows, the 1-row cap, and the arm
+    * moment sync are VALUE-BOUNDED (distinct per-user purchase counts —
+    * the q209/q267 histogram discipline).
+    */
+  val winsorizedMean: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = cupedLeaf(s, d).groupBy("y")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("t"))
+    val wCum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cut = hist.withColumn("cum", sum("t").over(wCum))
+      .withColumn("nn", sum("t").over(wAll))
+      .filter(col("cum") * 1000000L >= col("nn") * winsorPctPpm)
+      .orderBy("y").limit(1).select(col("y").as("cap"))
+    val m = hist.crossJoin(broadcast(cut))
+      .select(col("c0"), col("c1"), col("t"),
+        least(col("y"), col("cap")).as("v"),
+        (col("y") > col("cap")).as("over"), col("cap"))
+      .agg(coalesce(sum("c0"), lit(0L)).as("n0"),
+        coalesce(sum("c1"), lit(0L)).as("n1"),
+        coalesce(sum(expr("c0 * v")), lit(0L)).as("s0"),
+        coalesce(sum(expr("c1 * v")), lit(0L)).as("s1"),
+        coalesce(sum(expr("CAST(c0 AS DECIMAL(38,0)) * v * v")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("q0"),
+        coalesce(sum(when(col("over"), col("c0")).otherwise(0L)), lit(0L))
+          .as("o0"),
+        coalesce(sum(expr("CAST(c1 AS DECIMAL(38,0)) * v * v")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("q1"),
+        coalesce(sum(when(col("over"), col("c1")).otherwise(0L)), lit(0L))
+          .as("o1"),
+        coalesce(max("cap"), lit(-1L)).as("capv"))
+      .head() // value-bounded 1-row sync (the q322 convention)
+    val (n0, n1) = (m.getAs[Long]("n0"), m.getAs[Long]("n1"))
+    val (s0, s1) = (m.getAs[Long]("s0"), m.getAs[Long]("s1"))
+    val q0 = BigInt(m.getAs[java.math.BigDecimal]("q0").toBigInteger)
+    val q1 = BigInt(m.getAs[java.math.BigDecimal]("q1").toBigInteger)
+    def meanMicro(sv: Long, n: Long): Long =
+      if (n <= 0) -1L else (BigInt(sv) * 1000000L / n).toLong
+    def vm(n: Long, sv: Long, qv: BigInt): BigInt =
+      if (n <= 0) BigInt(0)
+      else (BigInt(n) * qv - BigInt(sv) * sv) * BigInt(1000000000000L) /
+        (BigInt(n) * n * n)
+    val (mm0, mm1) = (meanMicro(s0, n0), meanMicro(s1, n1))
+    val vsum = vm(n0, s0, q0) + vm(n1, s1, q1)
+    val z = if (n0 <= 0 || n1 <= 0 || vsum <= 0) -1L
+      else (BigInt((mm1 - mm0).abs) * 1000000L / isqrt(vsum)).toLong
+    def share(o: Long, n: Long): Long =
+      if (n <= 0) -1L else (BigInt(o) * 1000000L / n).toLong
+    Seq((m.getAs[Long]("capv"), n0, n1, mm0, mm1,
+      share(m.getAs[Long]("o0"), n0), share(m.getAs[Long]("o1"), n1),
+      z, z > zAlphaHalfMicro))
+      .toDF("cap_value", "n_control", "n_treat", "mean_control_micro",
+        "mean_treat_micro", "capped_control_ppm", "capped_treat_ppm",
+        "z_micro", "significant")
   }
 
   /** q328 replicate count (B = 64; the percentile indices are the
@@ -1769,6 +2118,34 @@ object Stats extends QueryModule {
     * days of the observation end is censored (still alive), not churned. */
   private val kmCensorDays = 90
 
+  /** The staged per-customer survival frame (duration t, churn flag, md5
+    * arm), MEMOIZED per input dir (the [[graft.Scratch]] staging-memo
+    * contract — fixture dirs are immutable per JVM): q267's Kaplan–Meier
+    * and q330's log-rank both read the ONE per-customer reduce instead
+    * of each re-running the orders scan. The arm column costs q267
+    * nothing (pruned at its scan) and gives q330 its two samples. */
+  private val survivalLeafCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def survivalLeaf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val leaf = survivalLeafCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("graft_survival")
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("f"),
+          max(to_date(col("o_orderdate"))).as("l"))
+      val horizon = cust.agg(max("l").as("dmax"))
+      cust.crossJoin(broadcast(horizon))
+        .select(datediff(col("l"), col("f")).cast("long").as("t"),
+          (col("l") < date_sub(col("dmax"), kmCensorDays)).as("churn"),
+          graft.functions.Hashing.md5Bucket(col("o_custkey"), 2).as("arm"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    s.read.parquet(leaf)
+  }
+
   /** q267 — KAPLAN–MEIER SURVIVAL over customer activity lifetimes: the
     * canonical right-censored churn/retention curve (q112's cohort
     * retention counts raw survivors; K-M is the estimator that stays
@@ -1796,14 +2173,7 @@ object Stats extends QueryModule {
     */
   val kaplanMeier: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val cust = Tables.orders(s, d)
-      .groupBy("o_custkey")
-      .agg(min(to_date(col("o_orderdate"))).as("f"),
-        max(to_date(col("o_orderdate"))).as("l"))
-    val horizon = cust.agg(max("l").as("dmax"))
-    val lt = cust.crossJoin(broadcast(horizon))
-      .select(datediff(col("l"), col("f")).cast("long").as("t"),
-        (col("l") < date_sub(col("dmax"), kmCensorDays)).as("churn"))
+    val lt = survivalLeaf(s, d)
     val hist = lt.groupBy("t")
       .agg(sum(when(col("churn"), 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("leave"))
@@ -1835,6 +2205,90 @@ object Stats extends QueryModule {
       .select(col("r.t_days"), col("r.n_at_risk"), col("r.n_events"),
         col("r.survival_e12"))
       .orderBy("t_days")
+  }
+
+  /** q330 — LOG-RANK TEST (Mantel 1966; Peto & Peto 1972): the two-sample
+    * companion to q267's Kaplan–Meier — "did the treatment change
+    * churn?" asked the way a survival analyst asks it, over the ENTIRE
+    * curve rather than a point-in-time rate (q169's χ² on a conversion
+    * snapshot misses late-diverging hazards; the log-rank weighs every
+    * event time). Samples are the md5 arms of `o_custkey` (the q75
+    * hash-split discipline); durations and censoring are exactly q267's
+    * — both read the shared staged [[survivalLeaf]].
+    *
+    * At each pooled event time t: O₁ += d₁(t), E₁ += d(t)·n₁(t)/n(t),
+    * V += d(t)·(n₁/n)·(n₀/n)·(n−d)/(n−1) (the hypergeometric variance),
+    * and χ² = (O₁−E₁)²/V against the χ²₁ critical. Fixed point: each
+    * E-term truncates ONCE to micro ((d·n₁·10⁶) div n); each V-term
+    * truncates its three ratio factors to ppm and the product back to
+    * micro ((d·a·b·c) div 10¹⁸ · 10⁶ — d·10¹⁸ ≤ 10²⁷ at 10⁹ customers,
+    * inside HUGEINT) — one documented rounding per factor, IDENTICAL in
+    * both engines. χ²_micro = D² div V (D = |O₁·10⁶ − E₁_micro| ≤ 10¹⁵,
+    * D² ≤ 10³⁰ — inside HUGEINT); V = 0 (no events, or a one-sided risk
+    * set throughout) reports the −1 sentinel, never dividing. The final
+    * n−1 guard zeroes the variance term where n = 1 in both engines.
+    *
+    * Scale shape: the corpus work is the ONE shared per-customer reduce;
+    * the per-time grid is CALENDAR-BOUNDED (≤ date-domain span days —
+    * the q267 discipline), so the risk-set windows and the term rollup
+    * run on metadata-sized state at any corpus size.
+    */
+  val logRank: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = survivalLeaf(s, d).groupBy("t")
+      .agg(sum(when(col("churn") && col("arm") === 1, 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("churn") && col("arm") === 0, 1L).otherwise(0L))
+          .as("d0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("leave1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("leave0"))
+    // risk sets are REVERSE cumulative leaves (n_g(t) = |duration ≥ t|)
+    // and the arm totals the full-frame sums — both ride the ONE ordered
+    // window over the calendar-bounded histogram, so no second pass over
+    // the customer-sized leaf exists (plans are trees, not DAGs)
+    val wTail = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grid = hist
+      .withColumn("n1", sum("leave1").over(wTail))
+      .withColumn("n0", sum("leave0").over(wTail))
+      .withColumn("tot1", sum("leave1").over(wAll))
+      .withColumn("tot0", sum("leave0").over(wAll))
+      .withColumn("dd", col("d0") + col("d1"))
+      .withColumn("n", col("n0") + col("n1"))
+      .filter(col("dd") > 0)
+      .select(col("d1"), col("dd"), col("tot0"), col("tot1"),
+        expr("(CAST(dd AS DECIMAL(38,0)) * n1 * 1000000) div n")
+          .as("e_term"),
+        expr("""(CAST(dd AS DECIMAL(38,0))
+                * ((n1 * CAST(1000000 AS DECIMAL(38,0))) div n)
+                * ((n0 * CAST(1000000 AS DECIMAL(38,0))) div n)
+                * (CASE WHEN n > 1
+                    THEN ((n - dd) * CAST(1000000 AS DECIMAL(38,0)))
+                      div (n - 1)
+                    ELSE 0 END))
+                div 1000000000000""").as("v_term"))
+    // an event-free corpus reports the all-zero row with the −1 sentinel
+    // (deterministic in both engines), never a null or a division
+    grid.agg(
+        coalesce(max("tot0"), lit(0L)).as("n_control"),
+        coalesce(max("tot1"), lit(0L)).as("n_treat"),
+        coalesce(sum("d1"), lit(0L)).as("o1"),
+        coalesce(sum("dd"), lit(0L)).as("n_events"),
+        coalesce(sum("e_term"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("e1m"),
+        coalesce(sum("v_term"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("vm"))
+      .select(col("n_control"), col("n_treat"), col("o1"), col("n_events"),
+        expr("CAST(e1m AS BIGINT)").as("e1_micro"),
+        expr("CAST(vm AS BIGINT)").as("v_micro"),
+        expr("""CAST(CASE WHEN vm <= 0 THEN -1
+                ELSE ((o1 * CAST(1000000 AS DECIMAL(38,0)) - e1m)
+                  * (o1 * CAST(1000000 AS DECIMAL(38,0)) - e1m))
+                  div vm END AS BIGINT)""").as("chi2_micro"))
+      .withColumn("significant",
+        col("v_micro") > 0 && col("chi2_micro") > chiCritMicro)
   }
 
   /** q277 — THEIL–SEN ROBUST TREND vs OLS: the median of all pairwise
@@ -2949,6 +3403,12 @@ object Stats extends QueryModule {
     "q308_cuped" -> cuped,
     "q309_sprt" -> sprtAudit,
     "q322_power_mde" -> powerMde,
+    "q329_mann_whitney" -> mannWhitney,
+    "q330_log_rank" -> logRank,
+    "q331_srm_audit" -> srmAudit,
+    "q332_delta_ratio" -> deltaRatio,
+    "q333_bh_fdr" -> bhFdr,
+    "q335_winsorized_mean" -> winsorizedMean,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -4042,6 +4502,298 @@ object Stats extends QueryModule {
          |  delta >= mde AS detectable
          |FROM c6""".stripMargin
     },
+    // q308's per-user frame replayed flat, the same doubled-rank tie
+    // algebra on the value histogram, the same single ppm truncation of
+    // the tie term, and the identical √3-nano literal; the floor-sqrt is
+    // double sqrt + the two-step integer correction (exact at every
+    // reachable radicand — see the mannWhitney Scaladoc's ~10⁸-user bound)
+    "q329_mann_whitney" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2 AS INT)
+         |    AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT y,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+         |    count(*) AS t
+         |  FROM per GROUP BY y),
+         |cbv AS (SELECT *, COALESCE(sum(t) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM h),
+         |mm AS (SELECT
+         |    CAST(COALESCE(sum(c0), 0) AS HUGEINT) AS n0,
+         |    CAST(COALESCE(sum(c1), 0) AS HUGEINT) AS n1,
+         |    COALESCE(sum(CAST(c1 AS HUGEINT) * (2 * cb + t + 1)),
+         |      CAST(0 AS HUGEINT)) AS r1x2,
+         |    COALESCE(sum(CAST(t AS HUGEINT) * t * t - t),
+         |      CAST(0 AS HUGEINT)) AS tsum
+         |  FROM cbv),
+         |c1_ AS (SELECT n0, n1, tsum,
+         |    r1x2 - n1 * (n1 + 1) AS u1x2,
+         |    n0 * n1 AS mux2, n0 + n1 AS nn FROM mm),
+         |c2 AS (SELECT *, CASE WHEN nn >= 2
+         |    THEN (tsum * 1000000) // (nn * (nn - 1)) ELSE 0 END AS tcorr
+         |  FROM c1_),
+         |c3 AS (SELECT *, n0 * n1 * ((nn + 1) * 1000000 - tcorr) AS var12,
+         |    abs(u1x2 - mux2) AS dev FROM c2),
+         |c4 AS (SELECT *, CAST(floor(sqrt(CAST(var12 AS DOUBLE)))
+         |    AS HUGEINT) AS r0 FROM c3),
+         |c5 AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= var12
+         |    THEN 1 ELSE 0 END) AS rr FROM c4),
+         |c6 AS (SELECT *, rr - (CASE WHEN rr * rr > var12 THEN 1 ELSE 0 END)
+         |    AS sq FROM c5),
+         |c7 AS (SELECT *, CASE WHEN var12 <= 0 THEN -1
+         |    ELSE (dev * $sqrt3NanoFloor) // sq END AS z FROM c6)
+         |SELECT CAST(n0 AS BIGINT) AS n_control,
+         |  CAST(n1 AS BIGINT) AS n_treat,
+         |  CAST(u1x2 AS BIGINT) AS u1_x2,
+         |  CAST(mux2 AS BIGINT) AS mu_x2,
+         |  CAST(z AS BIGINT) AS z_micro,
+         |  (var12 > 0 AND z > $zAlphaHalfMicro) AS significant
+         |FROM c7""".stripMargin,
+    // the per-user frame replayed flat, the identical nearest-rank cap on
+    // the pooled histogram, the same once-per-term micro truncations, and
+    // the corrected double floor-sqrt for the pooled z
+    "q335_winsorized_mean" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2 AS INT)
+         |    AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT y,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    count(*) AS t
+         |  FROM per GROUP BY y),
+         |cw AS (SELECT *, sum(t) OVER (ORDER BY y) AS cum,
+         |    sum(t) OVER () AS nn FROM h),
+         |cap AS (SELECT y AS cap FROM cw
+         |  WHERE cum * 1000000 >= nn * $winsorPctPpm ORDER BY y LIMIT 1),
+         |mm AS (SELECT
+         |    CAST(COALESCE(sum(c0), 0) AS BIGINT) AS n0,
+         |    CAST(COALESCE(sum(c1), 0) AS BIGINT) AS n1,
+         |    CAST(COALESCE(sum(c0 * least(y, cap)), 0) AS BIGINT) AS s0,
+         |    CAST(COALESCE(sum(c1 * least(y, cap)), 0) AS BIGINT) AS s1,
+         |    COALESCE(sum(CAST(c0 AS HUGEINT) * least(y, cap)
+         |      * least(y, cap)), CAST(0 AS HUGEINT)) AS q0,
+         |    COALESCE(sum(CAST(c1 AS HUGEINT) * least(y, cap)
+         |      * least(y, cap)), CAST(0 AS HUGEINT)) AS q1,
+         |    CAST(COALESCE(sum(CASE WHEN y > cap THEN c0 ELSE 0 END), 0)
+         |      AS BIGINT) AS o0,
+         |    CAST(COALESCE(sum(CASE WHEN y > cap THEN c1 ELSE 0 END), 0)
+         |      AS BIGINT) AS o1,
+         |    CAST(COALESCE(max(cap), -1) AS BIGINT) AS capv
+         |  FROM h, cap),
+         |c1_ AS (SELECT *,
+         |    CASE WHEN n0 <= 0 THEN -1
+         |      ELSE (CAST(s0 AS HUGEINT) * 1000000) // n0 END AS mm0,
+         |    CASE WHEN n1 <= 0 THEN -1
+         |      ELSE (CAST(s1 AS HUGEINT) * 1000000) // n1 END AS mm1,
+         |    (CASE WHEN n0 <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ((n0 * q0 - CAST(s0 AS HUGEINT) * s0)
+         |        * 1000000000000) // (CAST(n0 AS HUGEINT) * n0 * n0) END)
+         |    + (CASE WHEN n1 <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ((n1 * q1 - CAST(s1 AS HUGEINT) * s1)
+         |        * 1000000000000) // (CAST(n1 AS HUGEINT) * n1 * n1) END)
+         |      AS vsum
+         |  FROM mm),
+         |c2_ AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(vsum AS DOUBLE))) AS HUGEINT) AS r0
+         |  FROM c1_),
+         |c3_ AS (SELECT *,
+         |    r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= vsum THEN 1 ELSE 0
+         |      END) AS r1 FROM c2_),
+         |c4_ AS (SELECT *,
+         |    r1 - (CASE WHEN r1 * r1 > vsum THEN 1 ELSE 0 END) AS sq
+         |  FROM c3_),
+         |zz AS (SELECT *,
+         |    CASE WHEN n0 <= 0 OR n1 <= 0 OR vsum <= 0 THEN -1
+         |      ELSE (abs(mm1 - mm0) * 1000000) // sq END AS z FROM c4_)
+         |SELECT capv AS cap_value, n0 AS n_control, n1 AS n_treat,
+         |  CAST(mm0 AS BIGINT) AS mean_control_micro,
+         |  CAST(mm1 AS BIGINT) AS mean_treat_micro,
+         |  CAST(CASE WHEN n0 <= 0 THEN -1
+         |    ELSE (CAST(o0 AS HUGEINT) * 1000000) // n0 END AS BIGINT)
+         |    AS capped_control_ppm,
+         |  CAST(CASE WHEN n1 <= 0 THEN -1
+         |    ELSE (CAST(o1 AS HUGEINT) * 1000000) // n1 END AS BIGINT)
+         |    AS capped_treat_ppm,
+         |  CAST(z AS BIGINT) AS z_micro,
+         |  z > $zAlphaHalfMicro AS significant
+         |FROM zz""".stripMargin,
+    // the per-user first-seen reduce replayed flat; ROLLUP gives the same
+    // ALL row, the χ² is the same single micro division
+    "q331_srm_audit" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         |per AS (SELECT user_id, min(day) AS d0,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |g AS (SELECT d0,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_control,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_treat
+         |  FROM per GROUP BY ROLLUP(d0))
+         |SELECT COALESCE(CAST(d0 AS VARCHAR), 'ALL') AS day,
+         |  n_control, n_treat,
+         |  CAST((CAST(n_control - n_treat AS HUGEINT)
+         |    * (n_control - n_treat) * 1000000)
+         |    // (n_control + n_treat) AS BIGINT) AS chi2_micro,
+         |  (CAST(n_control - n_treat AS HUGEINT)
+         |    * (n_control - n_treat) * 1000000)
+         |    // (n_control + n_treat) > $chiCritMicro AS srm
+         |FROM g ORDER BY day""".stripMargin,
+    // the per-user (clicks, purchases) frame replayed flat, the same
+    // once-per-factor micro truncations with sign-safe CASE divisions,
+    // the same max(·,0) clamp, and the corrected double floor-sqrt for
+    // both per-arm SEs and the pooled z (radicands ~1e12 — exact)
+    "q332_delta_ratio" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(p) AS BIGINT) AS yv, CAST(sum(c) AS BIGINT) AS xv,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |pa AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(xv) AS HUGEINT) AS sx, CAST(sum(yv) AS HUGEINT) AS sy,
+         |    sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+         |    sum(CAST(yv AS HUGEINT) * yv) AS syy,
+         |    sum(CAST(xv AS HUGEINT) * yv) AS sxy
+         |  FROM per GROUP BY arm),
+         |calc AS (SELECT arm, n, sx, sy,
+         |    CASE WHEN sx <= 0 THEN NULL ELSE (sy * 1000000) // sx END
+         |      AS rppm,
+         |    ((n * syy - sy * sy) * 1000000) // (n * n) AS vym,
+         |    ((n * sxx - sx * sx) * 1000000) // (n * n) AS vxm,
+         |    CASE WHEN n * sxy - sx * sy >= 0
+         |      THEN ((n * sxy - sx * sy) * 1000000) // (n * n)
+         |      ELSE -(((sx * sy - n * sxy) * 1000000) // (n * n)) END
+         |      AS cxym,
+         |    (sx * 1000000) // n AS muxm
+         |  FROM pa),
+         |c2 AS (SELECT *, CASE WHEN rppm IS NULL THEN NULL ELSE
+         |    greatest(vym
+         |      - (CASE WHEN cxym >= 0 THEN (2 * rppm * cxym) // 1000000
+         |          ELSE -((2 * rppm * (-cxym)) // 1000000) END)
+         |      + (rppm * rppm * vxm) // 1000000000000, 0) END AS am
+         |  FROM calc),
+         |c3 AS (SELECT *, CASE WHEN rppm IS NULL OR muxm = 0 THEN NULL
+         |    ELSE (am * 1000000000000 * 1000000) // (n * muxm * muxm) END
+         |      AS vare12 FROM c2),
+         |c4 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(vare12 AS DOUBLE))) AS HUGEINT) AS q0
+         |  FROM c3),
+         |c5 AS (SELECT *,
+         |    q0 + (CASE WHEN (q0 + 1) * (q0 + 1) <= vare12 THEN 1 ELSE 0
+         |      END) AS q1 FROM c4),
+         |c6 AS (SELECT *,
+         |    CASE WHEN vare12 IS NULL THEN NULL
+         |      ELSE q1 - (CASE WHEN q1 * q1 > vare12 THEN 1 ELSE 0 END)
+         |      END AS seppm FROM c5),
+         |a0 AS (SELECT * FROM c6 WHERE arm = 0),
+         |a1 AS (SELECT * FROM c6 WHERE arm = 1),
+         |fin AS (SELECT
+         |    COALESCE((SELECT CAST(n AS BIGINT) FROM a0), 0) AS n_control,
+         |    COALESCE((SELECT CAST(n AS BIGINT) FROM a1), 0) AS n_treat,
+         |    COALESCE((SELECT CAST(rppm AS BIGINT) FROM a0), -1)
+         |      AS ratio_control_ppm,
+         |    COALESCE((SELECT CAST(rppm AS BIGINT) FROM a1), -1)
+         |      AS ratio_treat_ppm,
+         |    COALESCE((SELECT CAST(seppm AS BIGINT) FROM a0), -1)
+         |      AS se_control_ppm,
+         |    COALESCE((SELECT CAST(seppm AS BIGINT) FROM a1), -1)
+         |      AS se_treat_ppm,
+         |    (SELECT vare12 FROM a0) AS v0,
+         |    (SELECT vare12 FROM a1) AS v1),
+         |zc AS (SELECT *,
+         |    CASE WHEN v0 IS NULL OR v1 IS NULL OR v0 + v1 <= 0 THEN NULL
+         |      ELSE v0 + v1 END AS vp FROM fin),
+         |z1 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(vp AS DOUBLE))) AS HUGEINT) AS w0
+         |  FROM zc),
+         |z2 AS (SELECT *,
+         |    w0 + (CASE WHEN (w0 + 1) * (w0 + 1) <= vp THEN 1 ELSE 0 END)
+         |      AS w1 FROM z1),
+         |z3 AS (SELECT *, CASE WHEN vp IS NULL THEN NULL
+         |    ELSE w1 - (CASE WHEN w1 * w1 > vp THEN 1 ELSE 0 END) END
+         |      AS sep FROM z2),
+         |z4 AS (SELECT *, CASE WHEN vp IS NULL THEN NULL
+         |    ELSE (CAST(abs(ratio_treat_ppm - ratio_control_ppm)
+         |      AS HUGEINT) * 1000000) // sep END AS zm FROM z3)
+         |SELECT n_control, n_treat, ratio_control_ppm, ratio_treat_ppm,
+         |  se_control_ppm, se_treat_ppm,
+         |  CASE WHEN se_control_ppm >= 0 AND se_treat_ppm >= 0
+         |    THEN ratio_treat_ppm - ratio_control_ppm ELSE -1 END
+         |    AS diff_ppm,
+         |  CAST(COALESCE(zm, -1) AS BIGINT) AS z_micro,
+         |  COALESCE(zm > $zAlphaHalfMicro, false) AS significant
+         |FROM z4""".stripMargin,
+    // the same distinct-pair cells, the q169 χ² with the identical
+    // zero-margin guards, rank by (χ² DESC, type ASC), the same five
+    // plan-time criticals, and the same max-passing-rank BH cut
+    "q333_bh_fdr" -> {
+      val critCase = bhCritMicro.zipWithIndex.map { case (cr, i) =>
+        s"WHEN rk = ${i + 1} THEN $cr" }.mkString(" ")
+      s"""WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+         |tot AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0
+         |  FROM (SELECT
+         |      ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)}
+         |        AS arm
+         |    FROM (SELECT DISTINCT user_id FROM events))),
+         |cells AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN
+         |      ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN
+         |      ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM pairs GROUP BY event_type),
+         |chi AS (SELECT event_type, a AS conv_treat, c AS conv_control,
+         |    CAST(CASE WHEN a = 0 OR n1 - a = 0 OR c = 0 OR n0 - c = 0
+         |        THEN 0
+         |      WHEN a + c = 0 OR (n1 - a) + (n0 - c) = 0 THEN 0
+         |      ELSE (CAST(n0 + n1 AS HUGEINT)
+         |        * (CAST(a AS HUGEINT) * (n0 - c)
+         |          - CAST(n1 - a AS HUGEINT) * c)
+         |        * (CAST(a AS HUGEINT) * (n0 - c)
+         |          - CAST(n1 - a AS HUGEINT) * c)
+         |        * 1000000)
+         |        // (CAST(n1 AS HUGEINT) * n0
+         |          * (a + c) * ((n1 - a) + (n0 - c)))
+         |      END AS BIGINT) AS chi2_micro
+         |  FROM cells, tot),
+         |rkd AS (SELECT *, CAST(row_number() OVER (ORDER BY chi2_micro
+         |    DESC, event_type ASC) AS INT) AS rk FROM chi),
+         |crt AS (SELECT *, CAST(CASE $critCase ELSE -1 END AS BIGINT)
+         |    AS crit_micro FROM rkd),
+         |ps AS (SELECT *,
+         |    (crit_micro >= 0 AND chi2_micro >= crit_micro) AS passes
+         |  FROM crt),
+         |kk AS (SELECT COALESCE(max(CASE WHEN passes THEN rk ELSE 0 END),
+         |    0) AS k FROM ps)
+         |SELECT event_type, conv_treat, conv_control, chi2_micro,
+         |  rk AS rank, crit_micro, rk <= (SELECT k FROM kk) AS rejected
+         |FROM ps ORDER BY rank""".stripMargin
+    },
     // the same µnat constants embedded literally; the oracle replays the
     // walk FLAT (one window cumsum per arm — fine at oracle scale) and
     // picks the first crossing with min/arg_min on the unique trial idx,
@@ -4079,6 +4831,72 @@ object Stats extends QueryModule {
     // histogram, and the same 1e12 fixed-point recurrence replayed as a
     // recursive CTE — the overflow-free (s//n)(n-d) + ((s%n)(n-d))//n
     // decomposition must agree at every event time for the hash to match
+    // q267's per-customer reduce with the md5 arm added, the identical
+    // reverse-cumulative risk sets, and the same once-per-factor ppm
+    // truncations — every E/V term must agree exactly for the hash to
+    // match
+    "q330_log_rank" ->
+      s"""WITH cust AS (SELECT o_custkey,
+         |    min(CAST(o_orderdate AS DATE)) AS f,
+         |    max(CAST(o_orderdate AS DATE)) AS l
+         |  FROM orders GROUP BY 1),
+         |hz AS (SELECT max(l) AS dmax FROM cust),
+         |lt AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         |    (l < (SELECT dmax FROM hz) - INTERVAL $kmCensorDays DAY)
+         |      AS churn,
+         |    ${graft.functions.Hashing.duckMd5Bucket("o_custkey", 2)} AS arm
+         |  FROM cust),
+         |hist AS (SELECT t,
+         |    CAST(sum(CASE WHEN churn AND arm = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN churn AND arm = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS leave1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS leave0
+         |  FROM lt GROUP BY 1),
+         |grid AS (SELECT d1, d0 + d1 AS dd, tot0, tot1, n1, n0, n1 + n0 AS n
+         |  FROM (SELECT *,
+         |      sum(leave1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |        AND UNBOUNDED FOLLOWING) AS n1,
+         |      sum(leave0) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |        AND UNBOUNDED FOLLOWING) AS n0,
+         |      sum(leave1) OVER () AS tot1,
+         |      sum(leave0) OVER () AS tot0
+         |    FROM hist)
+         |  WHERE d0 + d1 > 0),
+         |terms AS (SELECT d1, dd, tot0, tot1,
+         |    (CAST(dd AS HUGEINT) * n1 * 1000000) // n AS e_term,
+         |    (CAST(dd AS HUGEINT)
+         |      * ((CAST(n1 AS HUGEINT) * 1000000) // n)
+         |      * ((CAST(n0 AS HUGEINT) * 1000000) // n)
+         |      * (CASE WHEN n > 1
+         |          THEN ((CAST(n - dd AS HUGEINT) * 1000000) // (n - 1))
+         |          ELSE 0 END))
+         |      // 1000000000000 AS v_term
+         |  FROM grid),
+         |agg AS (SELECT
+         |    COALESCE(max(tot0), 0) AS n_control,
+         |    COALESCE(max(tot1), 0) AS n_treat,
+         |    CAST(COALESCE(sum(d1), 0) AS BIGINT) AS o1,
+         |    CAST(COALESCE(sum(dd), 0) AS BIGINT) AS n_events,
+         |    COALESCE(sum(e_term), CAST(0 AS HUGEINT)) AS e1m,
+         |    COALESCE(sum(v_term), CAST(0 AS HUGEINT)) AS vm
+         |  FROM terms)
+         |SELECT CAST(n_control AS BIGINT) AS n_control,
+         |  CAST(n_treat AS BIGINT) AS n_treat, o1, n_events,
+         |  CAST(e1m AS BIGINT) AS e1_micro,
+         |  CAST(vm AS BIGINT) AS v_micro,
+         |  CAST(CASE WHEN vm <= 0 THEN -1
+         |    ELSE ((CAST(o1 AS HUGEINT) * 1000000 - e1m)
+         |      * (CAST(o1 AS HUGEINT) * 1000000 - e1m)) // vm
+         |    END AS BIGINT) AS chi2_micro,
+         |  (vm > 0 AND (CASE WHEN vm <= 0 THEN -1
+         |    ELSE ((CAST(o1 AS HUGEINT) * 1000000 - e1m)
+         |      * (CAST(o1 AS HUGEINT) * 1000000 - e1m)) // vm END)
+         |    > $chiCritMicro) AS significant
+         |FROM agg""".stripMargin,
     "q267_kaplan_meier" ->
       s"""WITH RECURSIVE cust AS (SELECT o_custkey,
          |    min(CAST(o_orderdate AS DATE)) AS f,

@@ -2187,6 +2187,312 @@ class AnalyticsSpec extends SparkSpec {
     assert(graft.operators.Stats.isqrt(BigInt(16)) === BigInt(4))
   }
 
+  test("q329 Mann-Whitney: planted arm distributions reproduce the hand-computed doubled ranks, tie-corrected z, and verdicts exactly") {
+    import spark.implicits._
+    // fixture plumbing shared with q322's spec: derive md5 arms, plant
+    // per-user POST-period purchase counts (views on day 0 and 29 anchor
+    // the midpoint split at day 15; purchases land on day 20)
+    val armOf = (1L to 200L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fixture(vals0: Seq[Long], vals1: Seq[Long], tag: String): String = {
+      val arm0 = (1L to 200L).filter(armOf(_) == 0L).take(vals0.size)
+      val arm1 = (1L to 200L).filter(armOf(_) == 1L).take(vals1.size)
+      assert(arm0.size == vals0.size && arm1.size == vals1.size)
+      val dayNs = 86400L * 1000000000L
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      (arm0 ++ arm1).foreach { u =>
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+      }
+      (arm0.zip(vals0) ++ arm1.zip(vals1)).foreach { case (u, y) =>
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q329_mann_whitney")(spark, dir).head()
+    // complete separation, 10v10 with four 5-way tie groups:
+    // pooled ranks avg 3/8/13/18 → R₁ = 5·13+5·18 = 155, 2U₁ = 310−110
+    // = 200 (every arm1 value beats every arm0 value: U₁ = n₀n₁ = 100);
+    // T = 4·(125−5) = 480, tcorr = 480e6//380 = 1263157,
+    // var12 = 100·(21e6−1263157) = 1973684300, isqrt = 44426,
+    // z = 100·1732050807//44426 = 3898732 > 1959964 → significant
+    val sep = run(fixture(Seq.fill(5)(1L) ++ Seq.fill(5)(3L),
+      Seq.fill(5)(6L) ++ Seq.fill(5)(8L), "graftmwu1"))
+    assert(sep.getAs[Long]("n_control") === 10L, sep.toString)
+    assert(sep.getAs[Long]("n_treat") === 10L, sep.toString)
+    assert(sep.getAs[Long]("u1_x2") === 200L, sep.toString)
+    assert(sep.getAs[Long]("mu_x2") === 100L, sep.toString)
+    assert(sep.getAs[Long]("z_micro") === 3898732L, sep.toString)
+    assert(sep.getAs[Boolean]("significant"), sep.toString)
+    // interleaved: arm1 {2×5, 6×5} vs arm0 {1×5, 3×5} → R₁ = 5·8+5·18
+    // = 130, 2U₁ = 150, z = 50·1732050807//44426 = 1949366 — just UNDER
+    // the 1959964 critical: the tie-corrected borderline verdict
+    val mid = run(fixture(Seq.fill(5)(1L) ++ Seq.fill(5)(3L),
+      Seq.fill(5)(2L) ++ Seq.fill(5)(6L), "graftmwu2"))
+    assert(mid.getAs[Long]("u1_x2") === 150L, mid.toString)
+    assert(mid.getAs[Long]("z_micro") === 1949366L, mid.toString)
+    assert(!mid.getAs[Boolean]("significant"), mid.toString)
+    // identical distributions: 2U₁ lands exactly on 2μ_U and z = 0
+    val same = run(fixture(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(1L, 2L, 3L, 4L, 5L), "graftmwu3"))
+    assert(same.getAs[Long]("u1_x2") === same.getAs[Long]("mu_x2"),
+      same.toString)
+    assert(same.getAs[Long]("z_micro") === 0L, same.toString)
+    assert(!same.getAs[Boolean]("significant"), same.toString)
+  }
+
+  test("q331 SRM: a day with broken bucketing flags while the balanced lifetime ALL row stays green — hand-computed chi-squares exactly") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = (1L to 400L).filter(armOf(_) == 0L)
+    val a1 = (1L to 400L).filter(armOf(_) == 1L)
+    val dayNs = 86400L * 1000000000L
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    def seen(u: Long, day: Long): Unit = {
+      eid += 1; rows += ((eid, day * dayNs, u, "view", 1.0, "{}"))
+    }
+    // day 0: 5 control + 12 treat; day 1: 8 control + 1 treat
+    a0.take(5).foreach(seen(_, 0L)); a1.take(12).foreach(seen(_, 0L))
+    a0.slice(5, 13).foreach(seen(_, 1L)); a1.slice(12, 13).foreach(seen(_, 1L))
+    // later repeat events must NOT move anyone's assignment day
+    a0.take(3).foreach(seen(_, 5L)); a1.take(3).foreach(seen(_, 5L))
+    val dir = java.nio.file.Files.createTempDirectory("graftsrm").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q331_srm_audit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // day 0: (5−12)²·1e6/17 = 2882352 < crit → green
+    // day 1: (8−1)²·1e6/9 = 5444444 > crit → SRM (the broken deploy day)
+    // ALL: 13 vs 13 → 0 — the lifetime total hides the breakage
+    assert(got.length === 3, got.mkString(";"))
+    assert(got(0)._1.endsWith("-01") || got(0)._1 < got(1)._1)
+    assert(got(0) === ((got(0)._1, 5L, 12L, 2882352L, false)), got(0).toString)
+    assert(got(1)._2 === 8L && got(1)._3 === 1L &&
+      got(1)._4 === 5444444L && got(1)._5, got(1).toString)
+    assert(got(2) === (("ALL", 13L, 13L, 0L, false)), got(2).toString)
+  }
+
+  test("q332 delta-method ratio: planted per-user frames give exact ppm ratios/SEs, the zero-variance sentinel, and a borderline z verdict") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-user (clicks, purchases) per arm
+    def fixture(u0: Seq[(Long, Long)], u1: Seq[(Long, Long)],
+        tag: String): String = {
+      val a0 = (1L to 400L).filter(armOf(_) == 0L).take(u0.size)
+      val a1 = (1L to 400L).filter(armOf(_) == 1L).take(u1.size)
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      (a0.zip(u0) ++ a1.zip(u1)).foreach { case (u, (cl, pu)) =>
+        (1L to cl).foreach { _ =>
+          eid += 1; rows += ((eid, 0L, u, "click", 1.0, "{}"))
+        }
+        (1L to pu).foreach { _ =>
+          eid += 1; rows += ((eid, 86400L * 1000000000L, u, "purchase",
+            1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q332_delta_ratio")(spark, dir).head()
+    // identical users in both arms: every central moment is 0 → SE 0,
+    // pooled variance 0 → the z sentinel (-1), never a division
+    val const = run(fixture(Seq.fill(4)((2L, 1L)), Seq.fill(4)((2L, 2L)),
+      "graftdr1"))
+    assert(const.getAs[Long]("ratio_control_ppm") === 500000L, const.toString)
+    assert(const.getAs[Long]("ratio_treat_ppm") === 1000000L, const.toString)
+    assert(const.getAs[Long]("se_control_ppm") === 0L, const.toString)
+    assert(const.getAs[Long]("se_treat_ppm") === 0L, const.toString)
+    assert(const.getAs[Long]("z_micro") === -1L, const.toString)
+    assert(!const.getAs[Boolean]("significant"), const.toString)
+    // treat arm (1,2)×2 + (3,2)×2: Sx=8 Sy=8 → ratio 1e6; only σ²_x is
+    // nonzero (1e6 micro), so var·1e12 = (r²σ²_x/1e12)·1e18/(n·µ²_x)
+    // = 1e6·1e18/(4·4e12) = 6.25e10 → SE = 250000 ppm exactly; control
+    // (2,1)×4 → ratio 500000, SE 0. diff 500000, z = 500000·1e6/250000
+    // = 2000000 — just past 1959964 → significant
+    val sep = run(fixture(Seq.fill(4)((2L, 1L)),
+      Seq((1L, 2L), (1L, 2L), (3L, 2L), (3L, 2L)), "graftdr2"))
+    assert(sep.getAs[Long]("n_control") === 4L, sep.toString)
+    assert(sep.getAs[Long]("n_treat") === 4L, sep.toString)
+    assert(sep.getAs[Long]("ratio_control_ppm") === 500000L, sep.toString)
+    assert(sep.getAs[Long]("ratio_treat_ppm") === 1000000L, sep.toString)
+    assert(sep.getAs[Long]("se_control_ppm") === 0L, sep.toString)
+    assert(sep.getAs[Long]("se_treat_ppm") === 250000L, sep.toString)
+    assert(sep.getAs[Long]("diff_ppm") === 500000L, sep.toString)
+    assert(sep.getAs[Long]("z_micro") === 2000000L, sep.toString)
+    assert(sep.getAs[Boolean]("significant"), sep.toString)
+  }
+
+  test("q333 BH-FDR: the step-up property rejects a rank that fails its own threshold when a later rank passes") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = (1L to 400L).filter(armOf(_) == 0L).take(40)
+    val a1 = (1L to 400L).filter(armOf(_) == 1L).take(40)
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    def conv(users: Seq[Long], t: String): Unit = users.foreach { u =>
+      eid += 1; rows += ((eid, 0L, u, t, 1.0, "{}"))
+    }
+    // every user views (zero-margin χ² guard → 0); per-type (treat,
+    // control) conversions: click (35,5) χ² 45000000, error (30,11)
+    // 18061288, purchase = signup (20,11) 4265964 — BETWEEN crit₄
+    // 4217885 and crit₃ 4709292, so rank 3 fails its own threshold but
+    // rank 4 passes → k = 4: BH's step-up rejects rank 3 anyway
+    conv(a0 ++ a1, "view")
+    conv(a1.take(35) ++ a0.take(5), "click")
+    conv(a1.take(30) ++ a0.take(11), "error")
+    conv(a1.take(20) ++ a0.take(11), "purchase")
+    conv(a1.take(20) ++ a0.take(11), "signup")
+    val dir = java.nio.file.Files.createTempDirectory("graftbh").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q333_bh_fdr")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("chi2_micro"),
+        r.getAs[Int]("rank"), r.getAs[Long]("crit_micro"),
+        r.getAs[Boolean]("rejected")))
+    assert(got.toList === List(
+      ("click", 45000000L, 1, 6634897L, true),
+      ("error", 18061288L, 2, 5411894L, true),
+      ("purchase", 4265964L, 3, 4709292L, true), // the step-up rescue
+      ("signup", 4265964L, 4, 4217885L, true),
+      ("view", 0L, 5, 3841459L, false)), got.mkString("\n"))
+  }
+
+  test("q335 winsorized mean: the pooled p99 cap neutralizes a planted whale; an uncapped spread fixture gives the exact hand-computed z") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fixture(vals0: Seq[Long], vals1: Seq[Long], tag: String): String = {
+      val a0 = (1L to 400L).filter(armOf(_) == 0L).take(vals0.size)
+      val a1 = (1L to 400L).filter(armOf(_) == 1L).take(vals1.size)
+      assert(a0.size == vals0.size && a1.size == vals1.size)
+      val dayNs = 86400L * 1000000000L
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      (a0.zip(vals0) ++ a1.zip(vals1)).foreach { case (u, y) =>
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q335_winsorized_mean")(spark, dir).head()
+    // whale: 50×1 control vs 49×1 + one y=1000 treat. N=100 → nearest
+    // rank 99 → cap = 1: the whale caps to 1, both capped means are
+    // EXACTLY 10⁶, capped variance 0 → the z sentinel; the capped-share
+    // row exposes the whale (1/50 = 20000 ppm)
+    val whale = run(fixture(Seq.fill(50)(1L),
+      Seq.fill(49)(1L) :+ 1000L, "graftwin1"))
+    assert(whale.getAs[Long]("cap_value") === 1L, whale.toString)
+    assert(whale.getAs[Long]("mean_control_micro") === 1000000L, whale.toString)
+    assert(whale.getAs[Long]("mean_treat_micro") === 1000000L, whale.toString)
+    assert(whale.getAs[Long]("capped_control_ppm") === 0L, whale.toString)
+    assert(whale.getAs[Long]("capped_treat_ppm") === 20000L, whale.toString)
+    assert(whale.getAs[Long]("z_micro") === -1L, whale.toString)
+    assert(!whale.getAs[Boolean]("significant"), whale.toString)
+    // spread: control 25×1 + 25×3 (µ=2, σ²=1), treat 25×2 + 25×6 (µ=4,
+    // σ²=4); cap = p99 = 6 caps nothing. vm = σ²·10¹²/50 → vsum 10¹¹,
+    // isqrt 316227, z = 2·10¹²//316227 = 6324570 → significant
+    val spread = run(fixture(
+      Seq.fill(25)(1L) ++ Seq.fill(25)(3L),
+      Seq.fill(25)(2L) ++ Seq.fill(25)(6L), "graftwin2"))
+    assert(spread.getAs[Long]("cap_value") === 6L, spread.toString)
+    assert(spread.getAs[Long]("mean_control_micro") === 2000000L, spread.toString)
+    assert(spread.getAs[Long]("mean_treat_micro") === 4000000L, spread.toString)
+    assert(spread.getAs[Long]("capped_control_ppm") === 0L, spread.toString)
+    assert(spread.getAs[Long]("capped_treat_ppm") === 0L, spread.toString)
+    assert(spread.getAs[Long]("z_micro") === 6324570L, spread.toString)
+    assert(spread.getAs[Boolean]("significant"), spread.toString)
+  }
+
+  test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {
+    import spark.implicits._
+    val armOf = (1L to 200L).toDF("c")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("c"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (duration, churn) per customer: churners' last order predates the
+    // censored anchors' 2020-06-01 horizon by > 90 days
+    def fixture(spec: Seq[(Long, Long, Boolean)], tag: String): String = {
+      // spec: (arm, duration t, churn?) — censored rows span to 06-01
+      var used0 = (1L to 200L).filter(armOf(_) == 0L).iterator
+      var used1 = (1L to 200L).filter(armOf(_) == 1L).iterator
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      spec.foreach { case (arm, t, churn) =>
+        val u = if (arm == 0L) used0.next() else used1.next()
+        rows += ((u, "2020-01-01"))
+        val last = if (churn) java.time.LocalDate.parse("2020-01-01")
+          .plusDays(t).toString else "2020-06-01"
+        rows += ((u, last))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("o_custkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def run(dir: String) = SparkEntry.queries("q330_log_rank")(spark, dir).head()
+    // separation: five arm-1 churns at t=5, five arm-0 churns at t=10,
+    // one censored arm-0 anchor (t=152). Hand replay of the term algebra:
+    //  t=5:  n₁=5, n₀=6, n=11, d=5 → e=5·5e6//11=2272727
+    //        a=454545 b=545454 c=(6·1e6)//10=600000
+    //        v=5·454545·545454·600000//1e12=743800... (summed below)
+    //  t=10: n₁=0 → e-term 0, v-term 0 (one-sided risk set)
+    //  O₁=5, E₁=2272727, V=743800 → χ²_micro = (5e6−2272727)²//743800
+    //  = 10000024 > 3841459 → significant
+    val sep = run(fixture(
+      (1 to 5).map(_ => (1L, 5L, true)) ++
+        (1 to 5).map(_ => (0L, 10L, true)) :+ ((0L, 152L, false)),
+      "graftlr1"))
+    assert(sep.getAs[Long]("n_control") === 6L, sep.toString)
+    assert(sep.getAs[Long]("n_treat") === 5L, sep.toString)
+    assert(sep.getAs[Long]("o1") === 5L, sep.toString)
+    assert(sep.getAs[Long]("n_events") === 10L, sep.toString)
+    assert(sep.getAs[Long]("e1_micro") === 2272727L, sep.toString)
+    assert(sep.getAs[Long]("v_micro") === 743800L, sep.toString)
+    assert(sep.getAs[Long]("chi2_micro") === 10000024L, sep.toString)
+    assert(sep.getAs[Boolean]("significant"), sep.toString)
+    // identical per-arm lifetimes: equal risk sets and equal events at
+    // every time → O₁ = E₁ exactly, χ² = 0
+    val same = run(fixture(Seq(
+      (1L, 5L, true), (0L, 5L, true),
+      (1L, 10L, true), (0L, 10L, true),
+      (1L, 152L, false), (0L, 152L, false)), "graftlr2"))
+    assert(same.getAs[Long]("o1") === 2L, same.toString)
+    assert(same.getAs[Long]("e1_micro") === 2000000L, same.toString)
+    assert(same.getAs[Long]("chi2_micro") === 0L, same.toString)
+    assert(!same.getAs[Boolean]("significant"), same.toString)
+  }
+
   test("q308 CUPED: fixture arms partition users; a planted linear covariate gives exact theta and 100% variance kill") {
     val r = q("q308_cuped").collect()
     assert(r.length === 2)

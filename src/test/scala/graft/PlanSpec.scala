@@ -606,6 +606,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q329 Mann-Whitney: corpus work is the shared memoized cuped leaf reduced to a 1-row sync — local relation, no events scan, no join") {
+    val p = plan("q329_mann_whitney")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q330 log-rank: corpus work is the shared staged survival leaf; risk sets ride ONE calendar-bounded window sort — no orders scan, no join") {
+    val p = plan("q330_log_rank")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window") >= 1, p)
+  }
+
+  test("q331 SRM: one rollup over the shared staged leaf — no events scan, no join") {
+    val p = plan("q331_srm_audit")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Expand") || p.contains("rollup") ||
+      count(p, "HashAggregate") >= 1, p)
+  }
+
+  test("q332 delta ratio: corpus work is the shared leaf reduced to a 2-row driver sync — local relation, no events scan, no join") {
+    val p = plan("q332_delta_ratio")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q333 BH-FDR: one distinct-pair pass; the only cross is the 1-row totals broadcast; BH runs on taxonomy-bounded windows") {
+    val p = plan("q333_bh_fdr")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1, p)
+    assert(count(p, "Window") >= 1, p)
+  }
+
+  test("q334 MMR: the greedy ran on the constant-M pool collected driver-side — the final plan is a local relation, no embeddings scan, no join") {
+    val p = plan("q334_mmr_select")
+    assert(!p.contains("embeddings"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q335 winsorized mean: corpus work is the shared leaf reduced through value-bounded windows to a 1-row sync — local relation, no events scan") {
+    val p = plan("q335_winsorized_mean")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {
     val p = plan("q309_sprt")
     assert(!p.contains("CartesianProduct"), p)

@@ -487,4 +487,40 @@ class SimilaritySpec extends SparkSpec {
     // non-vacuous: the fixture gives most samples a real own-cell mean
     assert(rows.count(_.getAs[Long]("a_msd") >= 0L) >= rows.length / 2)
   }
+
+  test("q334 MMR: the exact duplicate of pick 1 is demoted below the diverse sibling; every score is the integer 7·rel − 3·maxsim") {
+    import spark.implicits._
+    // probe v0 = x-axis; v1 and its EXACT copy v2 tie v3 on relevance
+    // (same 9-dp cosine to the probe); v3 mirrors v1 across the axis so
+    // sim(v1, v3) ≈ 0.98 < sim(v1, v2) = 1; v4 is mid-relevance diverse,
+    // v5 near-orthogonal filler. Pure relevance ranks (v1, v2, v3, …) —
+    // MMR must rank (v1, v3, v2, v4, v5): the copy loses exactly the
+    // diversity term
+    val dir = java.nio.file.Files.createTempDirectory("graftmmr").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.99f, -0.1f, 0.0f), 0),
+      (4L, Array(0.5f, 0.0f, 0.866f), 0),
+      (5L, Array(0.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q334_mmr_select")(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toList === List(1, 2, 3, 4, 5))
+    assert(rows.map(_.getAs[Long]("vec_id")).toList ===
+      List(1L, 3L, 2L, 4L, 5L), rows.mkString("\n"))
+    // rank 1 has no diversity term; every row's score is the exact
+    // integer combination of its own emitted components
+    assert(rows.head.getAs[Long]("max_sim_nano") === 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mmr_e10") ===
+        7L * r.getAs[Long]("rel_nano") - 3L * r.getAs[Long]("max_sim_nano"),
+        r.toString)
+    }
+    // the copy pair carries identical relevance and a full 1.0 sim edge
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("rel_nano") === byId(2L).getAs[Long]("rel_nano"))
+    assert(byId(2L).getAs[Long]("max_sim_nano") === 1000000000L)
+  }
 }
