@@ -784,7 +784,7 @@ object Stats extends QueryModule {
   }
 
   /** χ²(df=1) critical value at α=0.05 in µ-units (q169): 3.841459. */
-  private val chiCritMicro = 3841459L
+  private[graft] val chiCritMicro = 3841459L
 
   /** q169 — A/B EXPERIMENT READOUT as a 2×2 chi-square test: users
     * deterministically hash-assigned to two arms (md5 bucket — the
@@ -1233,6 +1233,247 @@ object Stats extends QueryModule {
       .toDF("n_control", "n_treat", "ratio_control_ppm", "ratio_treat_ppm",
         "se_control_ppm", "se_treat_ppm", "diff_ppm", "z_micro",
         "significant")
+  }
+
+  /** q336 jackknife bucket count: users hash into 32 md5 buckets per arm
+    * — enough resamples for a stable SE, few enough that the rollup is
+    * metadata-sized at any corpus scale. */
+  private[graft] val jackBuckets = 32
+
+  /** q336 — DELETE-ONE-BUCKET JACKKNIFE SE FOR RATIO METRICS (Quenouille
+    * 1956 / Tukey 1958; deployed as the "streaming jackknife" — the
+    * resampling cross-check platforms run NEXT TO q332's delta method,
+    * because the jackknife needs no Taylor expansion and catches the
+    * cases where the linearization is off): users hash into
+    * [[jackBuckets]] md5 buckets per arm; θ₍₋ᵦ₎ = (ΣY−ΣY_b)/(ΣX−ΣX_b)
+    * is the ratio with bucket b deleted, and
+    * SE² = (B−1)/B · Σ_b (θ₍₋ᵦ₎ − θ̄)². Exact fixed point: each θ₍₋ᵦ₎
+    * truncates ONCE to ppm, θ̄ truncates once, deviations and their
+    * squares are exact, SE² = ((B−1)·Σdev²) div B is one more division,
+    * and SE = [[isqrt]] (oracle: corrected double floor-sqrt — Σdev² is
+    * ppm²-scaled, far inside the exact range). A deleted bucket that
+    * zeroes the denominator is SKIPPED (B counts only usable buckets,
+    * emitted for audit); an arm with ΣX = 0, a missing arm, or fewer
+    * than 2 usable buckets reports −1 sentinels. The two-arm z pools
+    * the per-arm jackknife variances exactly like q332's delta z — the
+    * two queries' (z, verdict) pairs are directly comparable, which is
+    * the point.
+    *
+    * Scale: ONE corpus pass — the shared memoized [[cupedLeaf]] — into
+    * a ≤ 2·[[jackBuckets]]-row rollup collected driver-side (the q322
+    * bounded-sync convention).
+    */
+  val jackknifeRatio: Q = (s, d) => {
+    import s.implicits._
+    val rows = cupedLeaf(s, d)
+      .select(col("arm"),
+        graft.functions.Hashing.md5Bucket(col("user_id"), jackBuckets)
+          .as("bucket"),
+        col("cl").as("xv"), (col("x") + col("y")).as("yv"))
+      .groupBy("arm", "bucket")
+      .agg(count(lit(1)).as("n"), sum("xv").as("sx"), sum("yv").as("sy"))
+      .collect() // bucket-bounded: ≤ 2·B rows at any corpus scale
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // (n, ratio_ppm, var_e12 as Σdev²-scaled ppm² SE², usable buckets)
+    def read(arm: Long): (Long, Long, Option[BigInt], Long) = {
+      val bs = rows.filter(_._1 == arm)
+      if (bs.isEmpty) (0L, -1L, None, 0L)
+      else {
+        val n = bs.map(_._3).sum
+        val sx = bs.map(_._4).sum
+        val sy = bs.map(_._5).sum
+        if (sx <= 0) (n, -1L, None, 0L)
+        else {
+          val r = BigInt(sy) * 1000000L / sx
+          val thetas = bs.flatMap { case (_, _, _, bx, by) =>
+            val dx = sx - bx
+            if (dx <= 0) None
+            else Some(BigInt(sy - by) * 1000000L / dx)
+          }
+          val b = thetas.size
+          if (b < 2) (n, r.toLong, None, b.toLong)
+          else {
+            val mean = thetas.sum / b
+            val dev2 = thetas.map(t => (t - mean) * (t - mean)).sum
+            (n, r.toLong, Some(BigInt(b - 1) * dev2 / b), b.toLong)
+          }
+        }
+      }
+    }
+    val (n0, r0, v0, b0) = read(0L)
+    val (n1, r1, v1, b1) = read(1L)
+    def se(v: Option[BigInt]): Long = v.map(isqrt(_).toLong).getOrElse(-1L)
+    val (z, sig) = (v0, v1) match {
+      case (Some(va), Some(vb)) if va + vb > 0 =>
+        val zm = (BigInt((r1 - r0).abs) * 1000000L / isqrt(va + vb)).toLong
+        (zm, zm > zAlphaHalfMicro)
+      case _ => (-1L, false)
+    }
+    Seq((n0, n1, b0, b1, r0, r1, se(v0), se(v1), z, sig))
+      .toDF("n_control", "n_treat", "buckets_control", "buckets_treat",
+        "ratio_control_ppm", "ratio_treat_ppm", "jk_se_control_ppm",
+        "jk_se_treat_ppm", "z_micro", "significant")
+  }
+
+  /** q337 look count and O'Brien–Fleming boundaries in micro:
+    * z_k = C·√(K/k) with C = 2.04 (Jennison & Turnbull, Table 2.3,
+    * K = 5, α = 0.05 two-sided). Plan-time transcendentals rounded
+    * half-up and embedded IDENTICALLY in the oracle (the q309/q322
+    * constant discipline). */
+  private[graft] val obfLooks = 5
+  private[graft] val obfBoundsMicro =
+    Seq(4561579L, 3225523L, 2633629L, 2280789L, 2040000L)
+
+  /** q337 — GROUP-SEQUENTIAL INTERIM ANALYSIS, O'BRIEN–FLEMING
+    * BOUNDARIES (O'Brien & Fleming 1979; Pocock 1977 framed the
+    * problem): the industry-standard middle ground between q322's
+    * fixed-horizon test and q309's fully-sequential SPRT — the
+    * experiment is peeked at K = [[obfLooks]] calendar looks, each
+    * two-sample z compared against a boundary so steep early that the
+    * overall type-I error stays 0.05 (OBF spends almost no α at look 1
+    * — boundary 4.56 — and reaches 2.04 at the final look). Look k's
+    * population is the users ENROLLED by its cutoff (first-seen day ≤
+    * cut_k, the q331 assignment-day rule) and its metric is each such
+    * user's purchases THROUGH the cutoff — both grow with k, exactly
+    * the interim-information model. Cutoffs split the observation
+    * span into K equal calendar blocks (cut_k = d0 + (k·span div K) −
+    * 1, so look K is the full window). z in the q322/q335 exact micro
+    * pipeline: per-(look, arm) moments ride DECIMAL(38,0), one
+    * truncation per variance term, z_micro = |Δmean|·10⁶ div
+    * isqrt(vm₀+vm₁) (oracle: corrected double floor-sqrt), −1 sentinel
+    * where a look has an empty arm or zero pooled variance. `stopped`
+    * marks the FIRST boundary crossing — the look where this
+    * experiment would have ended.
+    *
+    * Scale: ONE corpus pass (per-user first-seen day + K cumulative
+    * conditional sums against the broadcast cutoffs), a 5×-amplified
+    * user-frame explode into a (look, arm)-bounded rollup (≤ 2K rows)
+    * collected driver-side (the q322 convention).
+    */
+  val obfSequential: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val bounds = ev.agg(min("day").as("d0"),
+      (datediff(max("day"), min("day")) + 1).cast("long").as("span"))
+    val cuts = (1 to obfLooks).map { k =>
+      expr(s"date_add(d0, CAST($k * span div $obfLooks AS INT) - 1)")
+        .as(s"cut$k")
+    }
+    // enrollment by look k (first-seen day ≤ cut_k ⟺ ANY event ≤ cut_k)
+    // rides the SAME aggregate as the cumulative metric — the cutoff
+    // frame is broadcast-crossed exactly once (plans are trees)
+    val aggs = (1 to obfLooks).map(k =>
+      sum(when(col("day") <= col(s"cut$k"), col("p")).otherwise(0L))
+        .as(s"y$k")) ++
+      (1 to obfLooks).map(k =>
+        max(when(col("day") <= col(s"cut$k"), 1L).otherwise(0L))
+          .as(s"e$k"))
+    val perUser = ev.crossJoin(broadcast(bounds.select(cuts: _*)))
+      .groupBy("user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("arm",
+        graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+    val looks = perUser.select(col("arm"),
+      posexplode(array((1 to obfLooks).map(k =>
+        when(col(s"e$k") === 1L, col(s"y$k"))): _*)))
+      .select((col("pos") + 1).as("look"), col("arm"), col("col").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy("look", "arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .collect() // (look, arm)-bounded: ≤ 2K rows at any corpus scale
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), BigInt(r.getDecimal(4).toBigInteger)))
+      .toMap
+    def z(k: Int): (Long, Long, Long) = {
+      val (n0, s0, q0) = looks.getOrElse((k, 0L), (0L, 0L, BigInt(0)))
+      val (n1, s1, q1) = looks.getOrElse((k, 1L), (0L, 0L, BigInt(0)))
+      def vm(n: Long, sv: Long, qv: BigInt): BigInt =
+        if (n <= 0) BigInt(0)
+        else (BigInt(n) * qv - BigInt(sv) * sv) * BigInt(1000000000000L) /
+          (BigInt(n) * n * n)
+      val vsum = vm(n0, s0, q0) + vm(n1, s1, q1)
+      val zm = if (n0 <= 0 || n1 <= 0 || vsum <= 0) -1L
+        else ((BigInt(s1) * 1000000L / n1 - BigInt(s0) * 1000000L / n0).abs
+          * 1000000L / isqrt(vsum)).toLong
+      (n0, n1, zm)
+    }
+    val rows = (1 to obfLooks).map { k =>
+      val (n0, n1, zm) = z(k)
+      (k, n0, n1, zm, obfBoundsMicro(k - 1), zm >= obfBoundsMicro(k - 1))
+    }
+    val firstCross = rows.find(_._6).map(_._1).getOrElse(-1)
+    rows.map { case (k, n0, n1, zm, b, c) =>
+      (k, n0, n1, zm, b, c, k == firstCross)
+    }.toDF("look", "n_control", "n_treat", "z_micro", "bound_micro",
+      "crossed", "stopped")
+  }
+
+  /** q339 total sample budget to apportion across strata. */
+  private[graft] val neymanBudget = 1000L
+
+  /** q339 — NEYMAN OPTIMAL ALLOCATION (Neyman 1934; Cochran's survey
+    * sampling standard — and the answer a data-curation pipeline needs
+    * when it can afford to human-label or eval-run only n documents:
+    * sample each stratum ∝ N_h·σ_h, so volatile strata get the budget
+    * and near-constant strata are barely touched; proportional
+    * allocation wastes budget on big uniform strata). Strata are the
+    * document languages; the measure is `n_chars`. Exact integers
+    * throughout: N_h·σ_h = √(N_h·Σx² − (Σx)²) — the variance NUMERATOR
+    * is N_h²σ²_h, so ONE [[isqrt]] per stratum gives the weight with no
+    * division (oracle: corrected double floor-sqrt, radicand ≲ 10²⁸ at
+    * 10⁹ docs — inside the exact range); the [[neymanBudget]] is
+    * apportioned by LARGEST-REMAINDER (q318's ledger discipline —
+    * allocations sum to the budget EXACTLY, ties broken by lang), with
+    * the documented all-constant fallback (ΣW = 0 → proportional to
+    * N_h). `over_allocated` flags strata whose optimum exceeds their
+    * population (the signal to cap-and-redistribute in a second pass —
+    * emitted, not silently applied).
+    *
+    * Scale: ONE corpus aggregate to a taxonomy-bounded stratum table;
+    * the sqrt/apportionment run on ≤ |langs| rows collected driver-side
+    * (the q298 metadata rule).
+    */
+  val neymanAllocation: Q = (s, d) => {
+    import s.implicits._
+    val st = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("nh"), sum("n_chars").as("sx"),
+        sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("sxx"))
+      .collect() // taxonomy-bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .sortBy(_._1)
+    val weights = st.map { case (lang, nh, sx, sxx) =>
+      (lang, nh, isqrt(BigInt(nh) * sxx - BigInt(sx) * sx))
+    }
+    val wSum = weights.map(_._3).sum
+    // the documented all-constant fallback substitutes N_h for the
+    // APPORTIONMENT only — the emitted weight stays the raw N_h·σ_h
+    val eff = if (wSum == 0)
+      weights.map { case (lang, nh, w) => (lang, nh, w, BigInt(nh)) }
+      else weights.map { case (lang, nh, w) => (lang, nh, w, w) }
+    val effSum = eff.map(_._4).sum
+    val based = eff.map { case (lang, nh, w, wgt) =>
+      val base = if (effSum == 0) BigInt(0)
+        else neymanBudget * wgt / effSum
+      val rem = if (effSum == 0) BigInt(0)
+        else neymanBudget * wgt % effSum
+      (lang, nh, w, base, rem)
+    }
+    val deficit =
+      (if (effSum == 0) 0L else neymanBudget - based.map(_._4).sum.toLong)
+        .toInt
+    val bump = based.sortBy { case (lang, _, _, _, rem) => (-rem, lang) }
+      .take(deficit).map(_._1).toSet
+    based.map { case (lang, nh, w, base, _) =>
+      val alloc = base.toLong + (if (bump(lang)) 1L else 0L)
+      (lang, nh, w.toLong, alloc, alloc > nh)
+    }.toSeq
+      .toDF("lang", "n_docs", "weight", "alloc", "over_allocated")
+      .orderBy("lang")
   }
 
   /** q333 χ²₁ criticals in micro at the five BH thresholds α·i/m for
@@ -3409,6 +3650,9 @@ object Stats extends QueryModule {
     "q332_delta_ratio" -> deltaRatio,
     "q333_bh_fdr" -> bhFdr,
     "q335_winsorized_mean" -> winsorizedMean,
+    "q336_jackknife_ratio" -> jackknifeRatio,
+    "q337_obf_sequential" -> obfSequential,
+    "q339_neyman_allocation" -> neymanAllocation,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -4740,6 +4984,202 @@ object Stats extends QueryModule {
          |  CASE WHEN se_control_ppm >= 0 AND se_treat_ppm >= 0
          |    THEN ratio_treat_ppm - ratio_control_ppm ELSE -1 END
          |    AS diff_ppm,
+         |  CAST(COALESCE(zm, -1) AS BIGINT) AS z_micro,
+         |  COALESCE(zm > $zAlphaHalfMicro, false) AS significant
+         |FROM z4""".stripMargin,
+    // the same stratum moments, one corrected floor-sqrt per stratum,
+    // the identical largest-remainder apportionment with the (rem DESC,
+    // lang) tie-break, and the same all-constant proportional fallback
+    "q339_neyman_allocation" ->
+      s"""WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(n_chars) AS HUGEINT) AS sx,
+         |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+         |  FROM documents GROUP BY lang),
+         |w0 AS (SELECT *, nh * sxx - sx * sx AS s2 FROM st),
+         |w1 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS HUGEINT) AS r0
+         |  FROM w0),
+         |w2 AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= s2
+         |    THEN 1 ELSE 0 END) AS r1 FROM w1),
+         |w3 AS (SELECT *,
+         |    r1 - (CASE WHEN r1 * r1 > s2 THEN 1 ELSE 0 END) AS w
+         |  FROM w2),
+         |tt AS (SELECT COALESCE(sum(w), 0) AS ws FROM w3),
+         |ef AS (SELECT lang, nh, w,
+         |    CASE WHEN (SELECT ws FROM tt) = 0 THEN CAST(nh AS HUGEINT)
+         |      ELSE w END AS wgt FROM w3),
+         |t2 AS (SELECT COALESCE(sum(wgt), 0) AS es FROM ef),
+         |ba AS (SELECT *,
+         |    CASE WHEN (SELECT es FROM t2) = 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ($neymanBudget * wgt) // (SELECT es FROM t2) END
+         |      AS base,
+         |    CASE WHEN (SELECT es FROM t2) = 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ($neymanBudget * wgt) % (SELECT es FROM t2) END
+         |      AS rem
+         |  FROM ef),
+         |df AS (SELECT CASE WHEN (SELECT es FROM t2) = 0 THEN 0
+         |    ELSE $neymanBudget - CAST(sum(base) AS BIGINT) END AS deficit
+         |  FROM ba),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang)
+         |    AS rnk FROM ba)
+         |SELECT lang, nh AS n_docs, CAST(w AS BIGINT) AS weight,
+         |  CAST(base + (CASE WHEN rnk <= (SELECT deficit FROM df)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS alloc,
+         |  base + (CASE WHEN rnk <= (SELECT deficit FROM df)
+         |    THEN 1 ELSE 0 END) > nh AS over_allocated
+         |FROM rk ORDER BY lang""".stripMargin,
+    // the same equal-calendar cutoffs, enrollment-by-any-event rule,
+    // per-(look, arm) exact moments, the identical OBF boundary
+    // literals, and the corrected double floor-sqrt per look
+    "q337_obf_sequential" -> {
+      val boundCase = obfBoundsMicro.zipWithIndex.map { case (bd, i) =>
+        s"WHEN ${i + 1} THEN $bd" }.mkString(" ")
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0,
+         |    CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+         |      AS span FROM ev),
+         |ks AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5)) t(k)),
+         |cut AS (SELECT k,
+         |    d0 + CAST((k * span) // $obfLooks - 1 AS INT) AS cutd
+         |  FROM ks, b),
+         |pu AS MATERIALIZED (SELECT e.user_id, c.k,
+         |    CAST(sum(CASE WHEN e.day <= c.cutd THEN e.p ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    max(CASE WHEN e.day <= c.cutd THEN 1 ELSE 0 END) AS enr,
+         |    ${graft.functions.Hashing.duckMd5Bucket("e.user_id", 2)}
+         |      AS arm
+         |  FROM ev e CROSS JOIN cut c GROUP BY e.user_id, c.k),
+         |ag AS (SELECT k AS look, arm, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM pu WHERE enr = 1 GROUP BY k, arm),
+         |j AS (SELECT l.k AS look,
+         |    COALESCE(a0.n, 0) AS n0, COALESCE(a1.n, 0) AS n1,
+         |    a0.sy AS s0, a0.syy AS q0, a1.sy AS s1, a1.syy AS q1
+         |  FROM ks l
+         |  LEFT JOIN ag a0 ON a0.look = l.k AND a0.arm = 0
+         |  LEFT JOIN ag a1 ON a1.look = l.k AND a1.arm = 1),
+         |v AS (SELECT *,
+         |    (CASE WHEN n0 <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ((n0 * q0 - s0 * s0) * 1000000000000)
+         |        // (CAST(n0 AS HUGEINT) * n0 * n0) END)
+         |    + (CASE WHEN n1 <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ((n1 * q1 - s1 * s1) * 1000000000000)
+         |        // (CAST(n1 AS HUGEINT) * n1 * n1) END) AS vsum
+         |  FROM j),
+         |v2 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(vsum AS DOUBLE))) AS HUGEINT) AS r0
+         |  FROM v),
+         |v3 AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= vsum
+         |    THEN 1 ELSE 0 END) AS r1 FROM v2),
+         |v4 AS (SELECT *,
+         |    r1 - (CASE WHEN r1 * r1 > vsum THEN 1 ELSE 0 END) AS sq
+         |  FROM v3),
+         |zz AS (SELECT look, n0, n1,
+         |    CASE WHEN n0 <= 0 OR n1 <= 0 OR vsum <= 0 THEN -1
+         |      ELSE (abs((s1 * 1000000) // n1 - (s0 * 1000000) // n0)
+         |        * 1000000) // sq END AS z
+         |  FROM v4),
+         |bd AS (SELECT look, n0, n1, CAST(z AS BIGINT) AS z,
+         |    CAST(CASE look $boundCase END AS BIGINT) AS bound
+         |  FROM zz),
+         |fc AS (SELECT COALESCE(min(look), -1) AS fl FROM bd
+         |  WHERE z >= bound)
+         |SELECT CAST(look AS INT) AS look, n0 AS n_control,
+         |  n1 AS n_treat, z AS z_micro, bound AS bound_micro,
+         |  z >= bound AS crossed,
+         |  look = (SELECT fl FROM fc) AS stopped
+         |FROM bd ORDER BY look""".stripMargin
+    },
+    // the per-user frame replayed flat with BOTH md5 keys (arm and the
+    // 32-way jackknife bucket), the identical delete-one ratio ppm
+    // truncations, the same usable-bucket skip rule, and corrected
+    // double floor-sqrts for both SEs and the pooled z
+    "q336_jackknife_ratio" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(p) AS BIGINT) AS yv, CAST(sum(c) AS BIGINT) AS xv,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id",
+                jackBuckets)} AS bucket
+         |  FROM ev GROUP BY user_id),
+         |bk AS (SELECT arm, bucket, count(*) AS n,
+         |    CAST(sum(xv) AS HUGEINT) AS sx, CAST(sum(yv) AS HUGEINT) AS sy
+         |  FROM per GROUP BY arm, bucket),
+         |at AS (SELECT arm, CAST(sum(n) AS BIGINT) AS n, sum(sx) AS tx,
+         |    sum(sy) AS ty FROM bk GROUP BY arm),
+         |th AS (SELECT b.arm,
+         |    CASE WHEN a.tx - b.sx <= 0 THEN NULL
+         |      ELSE ((a.ty - b.sy) * 1000000) // (a.tx - b.sx) END AS theta
+         |  FROM bk b JOIN at a ON a.arm = b.arm WHERE a.tx > 0),
+         |ag AS (SELECT arm, count(theta) AS bb,
+         |    sum(theta) AS st FROM th GROUP BY arm),
+         |mn AS (SELECT arm, bb,
+         |    CASE WHEN bb >= 2 THEN st // bb ELSE NULL END AS mean
+         |  FROM ag),
+         |dv AS (SELECT t.arm, m.bb,
+         |    sum((t.theta - m.mean) * (t.theta - m.mean)) AS d2
+         |  FROM th t JOIN mn m ON m.arm = t.arm
+         |  WHERE m.mean IS NOT NULL AND t.theta IS NOT NULL
+         |  GROUP BY t.arm, m.bb),
+         |vr AS (SELECT arm, bb, ((bb - 1) * d2) // bb AS var FROM dv),
+         |rp AS (SELECT arm, n,
+         |    CASE WHEN tx <= 0 THEN NULL ELSE (ty * 1000000) // tx END
+         |      AS rppm FROM at),
+         |fin AS (SELECT
+         |    COALESCE((SELECT n FROM rp WHERE arm = 0), 0) AS n_control,
+         |    COALESCE((SELECT n FROM rp WHERE arm = 1), 0) AS n_treat,
+         |    COALESCE((SELECT bb FROM ag WHERE arm = 0), 0)
+         |      AS buckets_control,
+         |    COALESCE((SELECT bb FROM ag WHERE arm = 1), 0)
+         |      AS buckets_treat,
+         |    COALESCE((SELECT CAST(rppm AS BIGINT) FROM rp WHERE arm = 0),
+         |      -1) AS ratio_control_ppm,
+         |    COALESCE((SELECT CAST(rppm AS BIGINT) FROM rp WHERE arm = 1),
+         |      -1) AS ratio_treat_ppm,
+         |    (SELECT var FROM vr WHERE arm = 0) AS v0,
+         |    (SELECT var FROM vr WHERE arm = 1) AS v1),
+         |s0 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(v0 AS DOUBLE))) AS HUGEINT) AS a0
+         |  FROM fin),
+         |s1 AS (SELECT *, a0 + (CASE WHEN (a0 + 1) * (a0 + 1) <= v0
+         |    THEN 1 ELSE 0 END) AS a1 FROM s0),
+         |s2 AS (SELECT *, CASE WHEN v0 IS NULL THEN NULL
+         |    ELSE a1 - (CASE WHEN a1 * a1 > v0 THEN 1 ELSE 0 END) END
+         |      AS se0 FROM s1),
+         |t0 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(v1 AS DOUBLE))) AS HUGEINT) AS c0
+         |  FROM s2),
+         |t1 AS (SELECT *, c0 + (CASE WHEN (c0 + 1) * (c0 + 1) <= v1
+         |    THEN 1 ELSE 0 END) AS c1 FROM t0),
+         |t2 AS (SELECT *, CASE WHEN v1 IS NULL THEN NULL
+         |    ELSE c1 - (CASE WHEN c1 * c1 > v1 THEN 1 ELSE 0 END) END
+         |      AS se1 FROM t1),
+         |zc AS (SELECT *,
+         |    CASE WHEN v0 IS NULL OR v1 IS NULL OR v0 + v1 <= 0 THEN NULL
+         |      ELSE v0 + v1 END AS vp FROM t2),
+         |z1 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(vp AS DOUBLE))) AS HUGEINT) AS w0
+         |  FROM zc),
+         |z2 AS (SELECT *, w0 + (CASE WHEN (w0 + 1) * (w0 + 1) <= vp
+         |    THEN 1 ELSE 0 END) AS w1 FROM z1),
+         |z3 AS (SELECT *, CASE WHEN vp IS NULL THEN NULL
+         |    ELSE w1 - (CASE WHEN w1 * w1 > vp THEN 1 ELSE 0 END) END
+         |      AS sep FROM z2),
+         |z4 AS (SELECT *, CASE WHEN vp IS NULL THEN NULL
+         |    ELSE (CAST(abs(ratio_treat_ppm - ratio_control_ppm)
+         |      AS HUGEINT) * 1000000) // sep END AS zm FROM z3)
+         |SELECT n_control, n_treat,
+         |  CAST(buckets_control AS BIGINT) AS buckets_control,
+         |  CAST(buckets_treat AS BIGINT) AS buckets_treat,
+         |  ratio_control_ppm, ratio_treat_ppm,
+         |  CAST(COALESCE(se0, -1) AS BIGINT) AS jk_se_control_ppm,
+         |  CAST(COALESCE(se1, -1) AS BIGINT) AS jk_se_treat_ppm,
          |  CAST(COALESCE(zm, -1) AS BIGINT) AS z_micro,
          |  COALESCE(zm > $zAlphaHalfMicro, false) AS significant
          |FROM z4""".stripMargin,

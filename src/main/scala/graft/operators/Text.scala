@@ -458,6 +458,60 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q338 Gopher stop-word set (Rae et al. 2021, Appendix A): a document
+    * must contain at least two DISTINCT members. */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q338 — GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A — the rule set that, with q73's C4 rules, is the
+    * de-facto standard heuristic filter pair in open-source pretraining
+    * pipelines; they keep DIFFERENT documents, which is why pipelines
+    * run both and audit the disagreement): per document, in fixed audit
+    * order — word count ∈ [50, 100000]; mean word length ∈ [3, 10];
+    * symbol-to-word ratio (# and …) ≤ 0.1; ≤ 10% of lines bullet-led
+    * ([-*], the ASCII subset); ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    * words containing an alphabetic character; ≥ 2 distinct
+    * [[gopherStops]]. EVERY threshold is a cross-multiplied integer
+    * comparison (3·n_words ≤ Σlen ≤ 10·n_words, 10·symbols ≤ n_words,
+    * 5·alpha_words ≥ 4·n_words, …) — no division, no float, so the
+    * verdict is bit-identical cross-engine. The first failing rule is
+    * the audit reason (the q73 convention).
+    *
+    * Scale: a stateless codegen'd projection — one pass, no shuffle, no
+    * state; exactly the operator class a cleaning pipeline runs first.
+    */
+  val gopherRules: Q = (s, d) => {
+    val words = filter(toks, t => length(t) > 0)
+    val nw = size(words).cast("long")
+    val chars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nsym = (size(regexp_extract_all(col("text"), lit("#"), lit(0)))
+      + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0))))
+      .cast("long")
+    val lines = split(col("text"), "\n")
+    val nlines = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^\\s*[-*]")))
+      .cast("long")
+    val ells = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+      .cast("long")
+    val alphaW = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stops = size(array_intersect(array_distinct(words),
+      array(gopherStops.map(lit): _*))).cast("long")
+    val reason = when(nw < 50 || nw > 100000, "word_count")
+      .when(chars < nw * 3L || chars > nw * 10L, "mean_word_length")
+      .when(nsym * 10L > nw, "symbol_ratio")
+      .when(bullets * 10L > nlines, "bullet_lines")
+      .when(ells * 10L > nlines * 3L, "ellipsis_lines")
+      .when(alphaW * 5L < nw * 4L, "alpha_ratio")
+      .when(stops < 2L, "stopwords")
+      .otherwise("ok")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nw.as("n_words"), reason.as("reason"),
+        (reason === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q74 — decontamination: flag corpus documents sharing any 8-token
     * shingle with the benchmark set (here: doc_id < 10 stands in for an
     * eval benchmark). Shingles are md5-hashed map-side, the collision
@@ -2353,6 +2407,7 @@ object Text extends QueryModule {
     "q230_skipgram_lift" -> skipgramLift,
     "q231_source_kl" -> sourceKl,
     "q73_quality_filter" -> qualityFilter,
+    "q338_gopher_rules" -> gopherRules,
     "q74_decontaminate" -> decontaminate,
     "q99_bloom_filter" -> bloomFilter,
     "q75_hash_split" -> hashSplit,
@@ -3166,6 +3221,45 @@ object Text extends QueryModule {
          |  FROM documents)
          |SELECT doc_id, reason, (reason = 'ok') AS keep FROM v
          |ORDER BY doc_id""".stripMargin,
+    // the identical fixed-order rule cascade, every threshold the same
+    // cross-multiplied integer comparison, the same ASCII bullet subset
+    "q338_gopher_rules" -> {
+      val stopsIn = gopherStops.map(s => s"'$s'").mkString(", ")
+      raw"""WITH v AS (SELECT doc_id,
+         |    list_filter($duckToks, t -> len(t) > 0) AS w,
+         |    string_split(text, chr(10)) AS ln,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS nsym
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS nw,
+         |    CAST(COALESCE(list_sum(list_transform(w, t -> len(t))), 0)
+         |      AS BIGINT) AS chars,
+         |    nsym,
+         |    CAST(len(ln) AS BIGINT) AS nlines,
+         |    CAST(len(list_filter(ln,
+         |      l -> regexp_matches(l, '^\s*[-*]'))) AS BIGINT) AS bullets,
+         |    CAST(len(list_filter(ln,
+         |      l -> regexp_matches(l, '\.\.\.\s*$$'))) AS BIGINT) AS ells,
+         |    CAST(len(list_filter(w,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alphaw,
+         |    CAST(len(list_filter(list_distinct(w),
+         |      t -> t IN ($stopsIn))) AS BIGINT) AS stops
+         |  FROM v),
+         |r AS (SELECT doc_id, nw,
+         |    CASE WHEN nw < 50 OR nw > 100000 THEN 'word_count'
+         |      WHEN chars < 3 * nw OR chars > 10 * nw
+         |        THEN 'mean_word_length'
+         |      WHEN nsym * 10 > nw THEN 'symbol_ratio'
+         |      WHEN bullets * 10 > nlines THEN 'bullet_lines'
+         |      WHEN ells * 10 > 3 * nlines THEN 'ellipsis_lines'
+         |      WHEN alphaw * 5 < 4 * nw THEN 'alpha_ratio'
+         |      WHEN stops < 2 THEN 'stopwords'
+         |      ELSE 'ok' END AS reason
+         |  FROM m)
+         |SELECT doc_id, nw AS n_words, reason, (reason = 'ok') AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "q74_decontaminate" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter($duckToks, t -> len(t) > 0) AS tk FROM documents),

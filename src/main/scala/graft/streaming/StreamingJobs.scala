@@ -1190,6 +1190,81 @@ object StreamingJobs extends QueryModule {
 
   val streamSprt: Q = (s, d) => streamSprtRun(s, d)._1
 
+  /** q340 — STREAMING SAMPLE-RATIO-MISMATCH GUARDRAIL: q331's
+    * per-assignment-day SRM audit run AS a stream — where the guardrail
+    * actually lives in production, because a broken bucketing deploy
+    * must page someone TODAY, not at the post-experiment readout. The
+    * stateful core is first-sight user dedup (flatMapGroupsWithState
+    * keyed by user, one Boolean per user — the q50 dedup-state class;
+    * a watermark would bound it in a true 24/7 deployment): the staged
+    * oldest-first event-time source (q285/q294/q312's ranges, within a
+    * micro-batch the min-(t, event_id) pick) makes the first arrival
+    * the user's true min-day, so each user emits exactly ONE
+    * (user, first-day) row. The report is then q331's rollup verbatim
+    * — per-day χ² + the ALL row — and shares q331's DuckDB oracle
+    * (the q282/q285/q299 stream ≡ batch discipline), so the tri-scale
+    * hash match proves the streaming dedup reconstructs the batch
+    * min() exactly; StreamingSpec pins ≥ 4 genuine micro-batches and
+    * state carry.
+    */
+  private[graft] def streamSrmRun(s: SparkSession, d: String)
+      : (DataFrame, Long) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val root = graft.Scratch.dir("graft_stream_srm")
+    val src = stageEventRanges(s, d)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val firsts = stream
+      .select(col("user_id"), col("t"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(e => (e._2, e._3))
+            state.update(true)
+            Iterator((u, first._2))
+          }
+      }
+    val name = s"stream_srm_${runId.incrementAndGet()}"
+    var batches = 0L
+    graft.withShufflePartitions(s, statePartitions) {
+      val q = firsts.toDF("user_id", "t_first")
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt_${runId.get()}")
+        .format("memory").queryName(name).start()
+      try q.awaitTermination()
+      finally { batches = q.recentProgress.count(_.numInputRows > 0); q.stop() }
+    }
+    val res = s.table(name)
+      .select(
+        graft.functions.Hashing.md5Bucket(col("user_id"), 2).as("arm"),
+        expr("to_date(timestamp_micros(t_first))").as("d0"))
+      .rollup("d0")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"))
+      .select(coalesce(col("d0").cast("string"), lit("ALL")).as("day"),
+        col("n_control"), col("n_treat"),
+        expr("""CAST((CAST(n_control - n_treat AS DECIMAL(38,0))
+                * (n_control - n_treat) * 1000000)
+                div (n_control + n_treat) AS BIGINT)""").as("chi2_micro"))
+      .withColumn("srm",
+        col("chi2_micro") > graft.operators.Stats.chiCritMicro)
+      .orderBy("day")
+    val rows = java.util.Arrays.asList(res.collect(): _*)
+    val out = s.createDataFrame(rows, res.schema)
+    s.catalog.dropTempView(name)
+    (out, batches)
+  }
+
+  val streamSrm: Q = (s, d) => streamSrmRun(s, d)._1
+
   /** q299 — STREAMING MERKLE MAINTENANCE via foreachBatch: q295's
     * delta-update run as a CDC consumer — the q281/q295 change set
     * arrives as 4 ordered delta files (3 keys per micro-batch), and
@@ -1286,6 +1361,7 @@ object StreamingJobs extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q294_stream_attribution" -> streamAttribution,
     "q312_stream_sprt" -> streamSprt,
+    "q340_stream_srm" -> streamSrm,
     "q299_stream_merkle" -> streamMerkle,
     "q285_stream_funnel" -> streamFunnel,
     "q275_stream_scd2_enrich" -> streamScd2Enrich,
@@ -1312,6 +1388,8 @@ object StreamingJobs extends QueryModule {
       graft.operators.Events.oracles("q292_multi_touch"),
     "q312_stream_sprt" ->
       graft.operators.Stats.oracles("q309_sprt"),
+    "q340_stream_srm" ->
+      graft.operators.Stats.oracles("q331_srm_audit"),
     "q299_stream_merkle" ->
       graft.operators.Storage.oracles("q295_merkle_maintain"),
     // the plain batch temporal join: q109's version chain + the identical

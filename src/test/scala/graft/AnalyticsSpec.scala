@@ -2436,6 +2436,170 @@ class AnalyticsSpec extends SparkSpec {
     assert(spread.getAs[Boolean]("significant"), spread.toString)
   }
 
+  test("q336 jackknife ratio: identical users give zero SE and the z sentinel; a mixed fixture matches an independent delete-one replay exactly") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketOf = (1L to 400L).toDF("user_id")
+      .withColumn("b", graft.functions.Hashing.md5Bucket(col("user_id"), 32))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fixture(u0: Seq[(Long, Long)], u1: Seq[(Long, Long)], tag: String)
+        : (String, Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) = {
+      val a0 = (1L to 400L).filter(armOf(_) == 0L).take(u0.size)
+      val a1 = (1L to 400L).filter(armOf(_) == 1L).take(u1.size)
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      def emit(u: Long, cl: Long, pu: Long): Unit = {
+        (1L to cl).foreach { _ =>
+          eid += 1; rows += ((eid, 0L, u, "click", 1.0, "{}"))
+        }
+        (1L to pu).foreach { _ =>
+          eid += 1; rows += ((eid, 0L, u, "purchase", 1.0, "{}"))
+        }
+      }
+      a0.zip(u0).foreach { case (u, (c, p)) => emit(u, c, p) }
+      a1.zip(u1).foreach { case (u, (c, p)) => emit(u, c, p) }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      (dir,
+        a0.zip(u0).map { case (u, (c, p)) => (bucketOf(u), c, p) },
+        a1.zip(u1).map { case (u, (c, p)) => (bucketOf(u), c, p) })
+    }
+    // independent replay of the delete-one algebra from the raw plants
+    def replay(users: Seq[(Long, Long, Long)]): (Long, Long, Option[BigInt]) = {
+      val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+      val byB = users.groupBy(_._1).view.mapValues(us =>
+        (us.map(_._2).sum, us.map(_._3).sum)).toMap
+      val r = BigInt(sy) * 1000000L / sx
+      val th = byB.values.toSeq.flatMap { case (bx, by) =>
+        if (sx - bx <= 0) None else Some(BigInt(sy - by) * 1000000L / (sx - bx))
+      }
+      if (th.size < 2) (users.size.toLong, r.toLong, None)
+      else {
+        val m = th.sum / th.size
+        val d2 = th.map(t => (t - m) * (t - m)).sum
+        (users.size.toLong, r.toLong, Some(BigInt(th.size - 1) * d2 / th.size))
+      }
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q336_jackknife_ratio")(spark, dir).head()
+    // identical users: every delete-one ratio equals the full ratio
+    val (d1, _, _) = fixture(Seq.fill(12)((2L, 1L)), Seq.fill(12)((2L, 2L)),
+      "graftjk1")
+    val const = run(d1)
+    assert(const.getAs[Long]("ratio_control_ppm") === 500000L, const.toString)
+    assert(const.getAs[Long]("ratio_treat_ppm") === 1000000L, const.toString)
+    assert(const.getAs[Long]("jk_se_control_ppm") === 0L, const.toString)
+    assert(const.getAs[Long]("jk_se_treat_ppm") === 0L, const.toString)
+    assert(const.getAs[Long]("z_micro") === -1L, const.toString)
+    assert(!const.getAs[Boolean]("significant"), const.toString)
+    // mixed fixture: every output column must equal the replay
+    val (d2, p0, p1) = fixture(Seq.fill(12)((2L, 1L)),
+      (1 to 6).map(_ => (1L, 2L)) ++ (1 to 6).map(_ => (3L, 2L)), "graftjk2")
+    val got = run(d2)
+    val (n0, r0, v0) = replay(p0)
+    val (n1, r1, v1) = replay(p1)
+    assert(got.getAs[Long]("n_control") === n0)
+    assert(got.getAs[Long]("n_treat") === n1)
+    assert(got.getAs[Long]("ratio_control_ppm") === r0, got.toString)
+    assert(got.getAs[Long]("ratio_treat_ppm") === r1, got.toString)
+    assert(got.getAs[Long]("jk_se_control_ppm") ===
+      v0.map(graft.operators.Stats.isqrt(_).toLong).getOrElse(-1L))
+    assert(got.getAs[Long]("jk_se_treat_ppm") ===
+      v1.map(graft.operators.Stats.isqrt(_).toLong).getOrElse(-1L))
+    val expZ = (for { a <- v0; b <- v1 if a + b > 0 } yield
+      (BigInt((r1 - r0).abs) * 1000000L /
+        graft.operators.Stats.isqrt(a + b)).toLong).getOrElse(-1L)
+    assert(got.getAs[Long]("z_micro") === expZ, got.toString)
+  }
+
+  test("q337 OBF sequential: a late-breaking effect passes the early steep boundaries untouched and stops exactly at the final look") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dayNs = 86400L * 1000000000L
+    def fixture(vals0: Seq[Long], vals1: Seq[Long], pday: Long,
+        tag: String): String = {
+      val a0 = (1L to 400L).filter(armOf(_) == 0L).take(vals0.size)
+      val a1 = (1L to 400L).filter(armOf(_) == 1L).take(vals1.size)
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      (a0.zip(vals0) ++ a1.zip(vals1)).foreach { case (u, y) =>
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 49L * dayNs, u, "view", 1.0, "{}"))
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, pday * dayNs, u, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // purchases on day 45 — the last calendar block of the 50-day span
+    // (cuts at days 9/19/29/39/49): looks 1–4 see all-zero metrics
+    // (variance 0 → the −1 sentinel), look 5 sees the q322 moments
+    // (µ 2 vs 4, σ² 1 vs 4, n 10/arm) → z = 2828430 ≥ 2040000: the
+    // experiment stops exactly at the final look
+    val late = SparkEntry.queries("q337_obf_sequential")(spark,
+      fixture(Seq.fill(5)(1L) ++ Seq.fill(5)(3L),
+        Seq.fill(5)(2L) ++ Seq.fill(5)(6L), 45L, "graftobf1")).collect()
+      .map(r => (r.getAs[Int]("look"), r.getAs[Long]("z_micro"),
+        r.getAs[Boolean]("crossed"), r.getAs[Boolean]("stopped")))
+    assert(late.toList === List(
+      (1, -1L, false, false), (2, -1L, false, false),
+      (3, -1L, false, false), (4, -1L, false, false),
+      (5, 2828430L, true, true)), late.mkString("\n"))
+    // purchases on day 5 — a huge effect visible from look 1: every look
+    // crosses (the cumulative metric never changes after block 1), but
+    // `stopped` marks ONLY the first crossing
+    val early = SparkEntry.queries("q337_obf_sequential")(spark,
+      fixture(Seq.fill(5)(0L) ++ Seq.fill(5)(2L),
+        Seq.fill(5)(10L) ++ Seq.fill(5)(30L), 5L, "graftobf2")).collect()
+      .map(r => (r.getAs[Int]("look"), r.getAs[Long]("z_micro"),
+        r.getAs[Boolean]("crossed"), r.getAs[Boolean]("stopped")))
+    assert(early.toList === List(
+      (1, 5978510L, true, true), (2, 5978510L, true, false),
+      (3, 5978510L, true, false), (4, 5978510L, true, false),
+      (5, 5978510L, true, false)), early.mkString("\n"))
+  }
+
+  test("q339 Neyman allocation: budget flows to the volatile stratum; the all-constant corpus falls back to exact proportional shares") {
+    import spark.implicits._
+    def fixture(rows: Seq[(String, Long)], tag: String): String = {
+      val docs = rows.zipWithIndex.map { case ((lang, nc), i) =>
+        (i.toLong, "x", lang, "t", nc)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q339_neyman_allocation")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toMap
+    // stratum a is constant (σ = 0 → weight 0); stratum b alternates
+    // 100/300: N·σ = √(10·5·10⁵ − (2000)²) = √10⁶ = 1000 EXACTLY →
+    // the whole budget lands on b, flagged over-allocated (1000 > 10)
+    val neyman = run(fixture(
+      (1 to 10).map(_ => ("aa", 100L)) ++
+        (1 to 5).flatMap(_ => Seq(("bb", 100L), ("bb", 300L))), "graftny1"))
+    assert(neyman("aa") === ((10L, 0L, 0L, false)), neyman.toString)
+    assert(neyman("bb") === ((10L, 1000L, 1000L, true)), neyman.toString)
+    // both strata constant → ΣW = 0 → the documented proportional
+    // fallback: 1000·10/40 = 250 and 1000·30/40 = 750, summing exactly
+    val flat = run(fixture(
+      (1 to 10).map(_ => ("aa", 100L)) ++ (1 to 30).map(_ => ("bb", 200L)),
+      "graftny2"))
+    assert(flat("aa") === ((10L, 0L, 250L, true)), flat.toString)
+    assert(flat("bb") === ((30L, 0L, 750L, true)), flat.toString)
+  }
+
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {
     import spark.implicits._
     val armOf = (1L to 200L).toDF("c")

@@ -653,6 +653,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q336 jackknife: corpus work is the shared leaf reduced to a bucket-bounded sync — local relation, no events scan, no join") {
+    val p = plan("q336_jackknife_ratio")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q337 OBF looks: one corpus aggregate against the broadcast cutoffs, synced as a look-bounded rollup — local relation, no events scan in the final plan") {
+    val p = plan("q337_obf_sequential")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q338 Gopher rules: a stateless projection — one scan, no shuffle beyond the output sort, no join, no aggregate") {
+    val p = plan("q338_gopher_rules")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange") <= 1, p) // the ORDER BY only
+    assert(!p.contains("HashAggregate"), p) // row-local rules, no state
+    assert(count(p, "FileScan") === 1, p)
+  }
+
+  test("q339 Neyman: one stratum aggregate synced taxonomy-bounded — local relation, no documents scan, no join") {
+    val p = plan("q339_neyman_allocation")
+    assert(!p.contains("documents"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {
     val p = plan("q309_sprt")
     assert(!p.contains("CartesianProduct"), p)

@@ -364,6 +364,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q340 streaming SRM ≡ q331 batch audit across genuine micro-batches; the first-sight dedup reconstructs the batch min-day") {
+    // oldest-first arrival makes a user's first sighting their true
+    // assignment day, so the streaming per-user Boolean dedup must
+    // reproduce q331's per-day rollup row for row — including the ALL
+    // rollup and every χ²
+    val (out, batches) = streaming.StreamingJobs.streamSrmRun(spark, sf)
+    val got = out.collect().map(_.toSeq).toList
+    val want = SparkEntry.queries("q331_srm_audit")(spark, sf)
+      .collect().map(_.toSeq).toList
+    assert(got === want, s"stream ≡ batch identity broke: $got vs $want")
+    assert(batches >= 4L, s"only $batches micro-batches — state carry untested")
+    // non-vacuous: the ALL row is present and user totals are positive
+    val all = got.find(_.head == "ALL").get
+    assert(all(1).asInstanceOf[Long] + all(2).asInstanceOf[Long] > 0L)
+  }
+
   test("q299 streaming Merkle maintenance ≡ q295 batch incremental update across genuine micro-batches") {
     // the mod-p digest's additivity: four partial CDC folds must
     // compose to exactly the one-shot delta update

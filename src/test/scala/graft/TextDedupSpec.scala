@@ -134,6 +134,44 @@ class TextDedupSpec extends SparkSpec {
     assert(out(34L) === (("too_much_punct", false)))
   }
 
+  test("q338 Gopher rules flag each planted defect with the right first-failing reason, in cascade order") {
+    // every doc below passes all rules EARLIER in the cascade than the
+    // one it plants, so each reason is the first failure by construction
+    val okWords = (1 to 58).map(i => s"word$i").mkString(" ") + " the of"
+    val shortDoc = "just a few words here"                       // 5 words
+    val thinDoc = ("a " * 60).trim                               // mean len 1
+    val symDoc = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " " + (1 to 10).map(_ => "#").mkString(" ")                // 10 # / 70 w
+    val bulletDoc = (1 to 10).map { l =>
+      val line = (1 to 6).map(i => s"w${l}x$i").mkString(" ")
+      if (l <= 2) s"- $line" else line
+    }.mkString("\n")                                             // 2/10 bullets
+    val ellDoc = (1 to 10).map { l =>
+      val line = (1 to 6).map(i => s"w${l}x$i").mkString(" ")
+      if (l <= 4) s"$line..." else line
+    }.mkString("\n")                                             // 4/10 ellipsis
+    val numDoc = ((1 to 40).map(i => s"word$i") ++
+      (1 to 20).map(i => s"${i}000")).mkString(" ")              // 20/60 numeric
+    val noStop = (1 to 60).map(i => s"zz$i").mkString(" ")       // 0 stops
+    val docs = Seq(
+      (1L, shortDoc), (2L, thinDoc), (3L, symDoc), (4L, bulletDoc),
+      (5L, ellDoc), (6L, numDoc), (7L, noStop), (8L, okWords))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftgo").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q338_gopher_rules")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) === (("word_count", false)))
+    assert(out(2L) === (("mean_word_length", false)))
+    assert(out(3L) === (("symbol_ratio", false)))
+    assert(out(4L) === (("bullet_lines", false)))
+    assert(out(5L) === (("ellipsis_lines", false)))
+    assert(out(6L) === (("alpha_ratio", false)))
+    assert(out(7L) === (("stopwords", false)))
+    assert(out(8L) === (("ok", true)))
+  }
+
   test("q74 decontamination flags only docs sharing an 8-token shingle with the benchmark") {
     val run = (1 to 12).map(i => s"bench$i").mkString(" ") // 12 tokens
     val docs = Seq(
