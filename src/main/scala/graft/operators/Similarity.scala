@@ -1502,7 +1502,95 @@ object Similarity extends QueryModule {
     out.toSeq.toDF("rank", "vec_id", "rel_nano", "max_sim_nano", "mmr_e10")
   }
 
+  /** q343 fixed power-iteration rounds — enough for the fixture spectra
+    * and deterministic in BOTH engines regardless of convergence (the
+    * recurrence, not a tolerance, defines the output). */
+  private[graft] val pcaRounds = 12
+
+  /** q343 — PCA TOP COMPONENT VIA POWER ITERATION (Hotelling 1933;
+    * von Mises & Pollaczek-Geiringer 1929 for the iteration): the first
+    * principal axis of the embedding cloud plus its explained-variance
+    * share — the read behind embedding whitening, anisotropy audits
+    * ("is the space collapsing to one direction?"), and
+    * Matryoshka-style truncation decisions (q274's companion). All
+    * EXACT integer fixed point: components integerize ONCE to micro
+    * (round(x·10⁶) — the q334 device), the covariance NUMERATOR
+    * C = n·Σvv' − (Σv)(Σv)' is exact DECIMAL/HUGEINT, and
+    * [[pcaRounds]] rounds of b ← C·b re-scale by MAX-ABS (b'ᵢ =
+    * yᵢ·10⁶ div max|y| — sign-safe, division-only, NO per-round sqrt,
+    * so no per-round floor-sqrt drift to reason about); the final
+    * loadings L2-normalize once via [[graft.operators.Stats.isqrt]]
+    * (Σb² ≤ 64·10¹² — tiny), and λ = b'Cb/b'b with the
+    * explained-variance share λ·10⁶ div trace(C) cross-multiplied.
+    * Start b = all-ones: deterministic, and its projection on the top
+    * eigenvector is nonzero for any covariance with a nonnegative
+    * dominant loading pattern (the fixture and corpus case; a
+    * pathological exactly-orthogonal start would converge to the
+    * second axis IDENTICALLY in both engines — the output is defined
+    * by the recurrence, not by convergence claims). Headroom: b'Cb
+    * rides ~n²·v²·10¹²·64, inside HUGEINT to ~3·10⁶ vectors for the
+    * ORACLE; the engine's BigInt driver math is exact at any scale
+    * (the q342 convention — the oracle is the binding constraint).
+    *
+    * Scale: ONE corpus pass — each row flattens to its 64×64 products
+    * plus linear/count sentinels, map-side-combined into a ≤ 64²+65-row
+    * frame collected driver-side (the q298 metadata rule). O(n·d²) is
+    * the inherent covariance cost; d is the knob (real deployments
+    * subsample rows first — compose with q341).
+    */
+  val pcaPower: Q = (s, d) => {
+    import s.implicits._
+    val dims = 64
+    val rows = Tables.fanOut(Tables.embeddings(s, d), "vec_id")
+      .select(expr(
+        """transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("v"))
+      .select(posexplode(expr(
+        """concat(
+          |  flatten(transform(v, (x, i) -> transform(v, (y, j) ->
+          |    struct(i AS i, j AS j, x * y AS p)))),
+          |  transform(v, (x, i) -> struct(i AS i, -1 AS j, x AS p)),
+          |  array(struct(-1 AS i, -1 AS j, CAST(1 AS BIGINT) AS p)))"""
+          .stripMargin)))
+      .select(col("col.i"), col("col.j"),
+        expr("CAST(col.p AS DECIMAL(38,0))").as("p"))
+      .groupBy("i", "j")
+      .agg(sum("p").as("sp"))
+      .collect() // ≤ 64² + 64 + 1 rows at any corpus scale
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val n = rows((-1, -1))
+    val lin = Array.tabulate(dims)(i => rows.getOrElse((i, -1), BigInt(0)))
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      n * rows.getOrElse((i, j), BigInt(0)) - lin(i) * lin(j))
+    var b = Array.fill(dims)(BigInt(1000000L))
+    (1 to pcaRounds).foreach { _ =>
+      val y = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * b(j)).sum)
+      val m = y.map(_.abs).max
+      b = if (m == 0) b else y.map(v => v * 1000000L / m)
+    }
+    val norm = graft.operators.Stats.isqrt(b.map(v => v * v).sum)
+    val loadings =
+      if (norm == 0) Array.fill(dims)(0L)
+      else b.map(v => (v * 1000000L / norm).toLong)
+    val bcb = (0 until dims).map(i =>
+      (0 until dims).map(j => b(i) * cov(i)(j) * b(j)).sum).sum
+    val bb = b.map(v => v * v).sum
+    val trace = (0 until dims).map(i => cov(i)(i)).sum
+    // λ/trace = b'Cb / (b'b · trace) — one cross-multiplied truncation
+    val evRatio =
+      if (trace <= 0 || bb == 0) -1L
+      else (bcb * 1000000L / (bb * trace)).toLong
+    loadings.zipWithIndex
+      .map { case (l, i) => (i + 1, l, evRatio) }.toSeq
+      .toDF("dim", "loading_ppm", "ev_ratio_ppm")
+      .orderBy("dim")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q343_pca_power" -> pcaPower,
     "q334_mmr_select" -> mmrSelect,
     "q287_silhouette_sampled" -> silhouetteSampled,
     "q286_triplet_mining" -> tripletMining,
@@ -1570,6 +1658,71 @@ object Similarity extends QueryModule {
   }
 
   def oracles: Map[String, String] = restOracles ++ Map(
+    // the identical micro integerization, the same exact covariance
+    // numerator, the same 12 max-abs-rescaled rounds as a recursive CTE
+    // over a flat 64²-list (single-scanned — the q334 duckdb rule), the
+    // same final corrected floor-sqrt L2 normalization and
+    // cross-multiplied λ/trace
+    "q343_pca_power" -> {
+      // duckdb 1.0 rejects correlation reaching two derived-table levels
+      // into a scalar subquery, so the recursive step inlines y and
+      // max|y| textually (evaluated a few times per round — 64²-list
+      // work, trivial) over a FROM it, cm cross join (the q319 shape)
+      val yE = "list_transform(range(1, 65), i -> " +
+        "list_sum(list_transform(range(1, 65), j -> " +
+        "cm.m[(i - 1) * 64 + j] * it.b[j])))"
+      val mxE = s"list_max(list_transform($yE, v -> abs(v)))"
+      val bcbE = "list_sum(list_transform(range(1, 65), i -> " +
+        "n3.b[i] * list_sum(list_transform(range(1, 65), j -> " +
+        "cm.m[(i - 1) * 64 + j] * n3.b[j]))))"
+      s"""WITH RECURSIVE e AS (SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS v FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+         |lin AS (SELECT i, CAST(sum(COALESCE(v[i], 0)) AS HUGEINT) AS s
+         |  FROM e, range(1, 65) t(i) GROUP BY i),
+         |sq AS (SELECT i, j, sum(CAST(COALESCE(v[i], 0) AS HUGEINT)
+         |      * COALESCE(v[j], 0)) AS sp
+         |  FROM e, range(1, 65) t1(i), range(1, 65) t2(j) GROUP BY i, j),
+         |cv AS MATERIALIZED (SELECT q.i, q.j,
+         |    (SELECT n FROM cnt) * q.sp - li.s * lj.s AS c
+         |  FROM sq q JOIN lin li ON li.i = q.i JOIN lin lj ON lj.i = q.j),
+         |cm AS MATERIALIZED (SELECT list(c ORDER BY i, j) AS m FROM cv),
+         |it(step, b) AS (
+         |  SELECT 0, list_transform(range(1, 65),
+         |    x -> CAST(1000000 AS HUGEINT))
+         |  UNION ALL
+         |  SELECT it.step + 1,
+         |    CASE WHEN $mxE = 0 THEN $yE
+         |      ELSE list_transform($yE, v -> CASE WHEN v >= 0
+         |        THEN (v * 1000000) // $mxE
+         |        ELSE -(((-v) * 1000000) // $mxE) END) END
+         |  FROM it, cm WHERE it.step < $pcaRounds),
+         |fb AS (SELECT b FROM it WHERE step = $pcaRounds),
+         |n0 AS (SELECT b, list_sum(list_transform(b, v -> v * v)) AS s2
+         |  FROM fb),
+         |n1 AS (SELECT *, CAST(floor(sqrt(CAST(s2 AS DOUBLE)))
+         |    AS HUGEINT) AS r0 FROM n0),
+         |n2 AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= s2
+         |    THEN 1 ELSE 0 END) AS r1 FROM n1),
+         |n3 AS (SELECT *, r1 - (CASE WHEN r1 * r1 > s2 THEN 1 ELSE 0
+         |    END) AS nr FROM n2),
+         |lam AS (SELECT n3.b AS b, n3.s2 AS s2, n3.nr AS nr,
+         |    $bcbE AS bcb,
+         |    (SELECT sum(c) FROM cv WHERE i = j) AS tr
+         |  FROM n3, cm),
+         |dims AS (SELECT unnest(range(1, 65)) AS dim, b, s2, nr, bcb, tr
+         |  FROM lam)
+         |SELECT CAST(dim AS INT) AS dim,
+         |  CAST(CASE WHEN nr = 0 THEN 0
+         |    WHEN b[dim] >= 0 THEN (b[dim] * 1000000) // nr
+         |    ELSE -(((-b[dim]) * 1000000) // nr) END AS BIGINT)
+         |    AS loading_ppm,
+         |  CAST(CASE WHEN tr <= 0 OR s2 = 0 THEN -1
+         |    ELSE (bcb * 1000000) // (s2 * tr) END AS BIGINT)
+         |    AS ev_ratio_ppm
+         |FROM dims ORDER BY dim""".stripMargin
+    },
     // the identical nano integerization of the 9-dp cosine, the same
     // constant-M pool, and the greedy replayed as a recursive CTE whose
     // per-step argmax uses the same (7·rel − 3·maxsim DESC, vec_id ASC)

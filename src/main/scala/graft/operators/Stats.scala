@@ -1476,6 +1476,299 @@ object Stats extends QueryModule {
       .orderBy("lang")
   }
 
+  /** q341 sample size (k); the threshold is the (k+1)-th priority. */
+  private[graft] val prioritySampleK = 100
+
+  /** q341 — PRIORITY SAMPLING FOR SUBSET-SUM ESTIMATION (Duffield, Lund
+    * & Thorup, JACM 2007 — the weighted-sampling scheme built for
+    * exactly the 100 TB problem: keep k rows out of billions such that
+    * ANY downstream subset-sum query over the sample is unbiased with
+    * near-optimal variance): each order draws priority q = w/u (w =
+    * price in cents, u the md5 uniform in (0, 2⁶⁰]/2⁶⁰ — deterministic,
+    * replayable, the q75/q328 hash-parity discipline), the top-k
+    * priorities are the sample, the (k+1)-th is the threshold τ, and
+    * each kept row's estimator weight is max(w, τ) — Σ max(w, τ) over
+    * any sampled subset estimates that subset's true weight sum
+    * unbiasedly. Cross-engine parity: u and w are exact integers; q is
+    * ONE IEEE double division chain evaluated identically in both
+    * engines (no libm transcendental — the reason priority sampling is
+    * used here rather than the exponential-key Efraimidis–Spirakis
+    * variant, whose ln(u) would hang cross-engine exactness on libm);
+    * ties break on the order key; τ floors to integer cents. A corpus
+    * with ≤ k rows keeps everything with τ = 0 → est = w exactly.
+    *
+    * Scale: the corpus pass is ONE scan feeding top-(k+1) —
+    * TakeOrderedAndProject, per-partition heaps, never a global sort;
+    * everything after runs on k+1 rows.
+    */
+  val prioritySample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = prioritySampleK
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("w"),
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+        16, 10).cast("long") + 1L).as("u"))
+      .withColumn("q", col("w").cast("double") /
+        (col("u").cast("double") / lit(1152921504606846976.0)))
+    val top = base.orderBy(col("q").desc, col("o_orderkey")).limit(k + 1)
+    val wRn = Window.orderBy(col("q").desc, col("o_orderkey"))
+    val wAll = Window.orderBy(col("q").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top.withColumn("rn", row_number().over(wRn))
+      .withColumn("tau",
+        max(when(col("rn") === k + 1, col("q"))).over(wAll))
+      .filter(col("rn") <= k)
+      .select(col("rn").as("rank"), col("o_orderkey"),
+        col("w").as("weight_cents"),
+        greatest(col("w"),
+          coalesce(floor(col("tau")).cast("long"), lit(0L)))
+          .as("est_weight_cents"))
+      .orderBy("rank")
+  }
+
+  /** q344 — DIFFERENTIAL-PRIVACY BUDGET ADVISOR (Dwork, McSherry, Nissim
+    * & Smith 2006; the calibration pass a platform runs BEFORE releasing
+    * user-level aggregates — the noise itself is random, but everything
+    * that SIZES the noise is deterministic and auditable): per event
+    * type, user-level sensitivity of the count release under
+    * contribution clipping. The clip c is the p99 of per-user
+    * contributions (the q335 nearest-rank discipline, per type — the
+    * standard bound-the-whales move), so the advisor reports, per type:
+    * the clip, the event mass the clip discards (the bias side), the
+    * Laplace scale b = c/ε at ε = 1 in micro (the variance side), and
+    * the expected-|noise|-to-total ratio err_ppm = c·10⁶ div total —
+    * the release is useful when that ratio is small. All exact integer;
+    * no noise is drawn (drawing it would be untestable and is the
+    * consumer's one line).
+    *
+    * Scale: ONE corpus pass (per-(user, type) counts) into per-type
+    * VALUE-BOUNDED contribution histograms; the p99 windows and the
+    * advisor rollup run on metadata-sized state (the q209/q335
+    * discipline), output taxonomy-bounded.
+    */
+  val dpBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val contrib = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist = contrib.groupBy("event_type", "cnt")
+      .agg(count(lit(1)).as("t"))
+    val wCum = Window.partitionBy("event_type").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withCap = hist
+      .withColumn("cum", sum("t").over(wCum))
+      .withColumn("nn", sum("t").over(wAll))
+      .withColumn("atCap",
+        col("cum") * 1000000L >= col("nn") * winsorPctPpm)
+      .withColumn("cap",
+        min(when(col("atCap"), col("cnt"))).over(
+          Window.partitionBy("event_type")
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+    withCap.groupBy("event_type")
+      .agg(max("nn").as("n_users"),
+        sum(expr("cnt * t")).as("total_events"),
+        max("cap").as("clip_at"),
+        sum(expr("CASE WHEN cnt > cap THEN (cnt - cap) * t ELSE 0 END"))
+          .as("clipped_events"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        col("clip_at"),
+        col("clipped_events"),
+        expr("""CAST((CAST(clipped_events AS DECIMAL(38,0)) * 1000000)
+                div total_events AS BIGINT)""").as("clipped_ppm"),
+        (col("clip_at") * 1000000L).as("scale_eps1_micro"),
+        expr("""CAST((CAST(clip_at AS DECIMAL(38,0)) * 1000000)
+                div total_events AS BIGINT)""").as("err_eps1_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** q345 — QUANTILE TREATMENT EFFECTS (Doksum 1974; Firpo 2007 for the
+    * estimator): the DISTRIBUTIONAL read the mean-based family
+    * (q322/q335) cannot give — "the mean moved +2%" hides whether the
+    * whole distribution shifted or only the tail; QTE reports the
+    * treatment−control difference at each decile. Exact nearest-rank
+    * order statistics per arm off the pooled value histogram (cum·10 ≥
+    * d·n — integer cum makes the ceiling free, the q209/q335
+    * discipline); −1 sentinels for an empty arm. Ties across arms cost
+    * nothing: each arm's cumulative rides its own conditional sum on
+    * the ONE ordered histogram.
+    *
+    * Scale: the corpus work is the shared memoized [[cupedLeaf]]; the
+    * histogram, its two cumulative windows, the 9-decile explode, and
+    * the final 9-row rollup are VALUE-bounded.
+    */
+  val quantileEffects: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = cupedLeaf(s, d).groupBy("y")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val wCum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum0", sum("c0").over(wCum))
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("n0", sum("c0").over(wAll))
+      .withColumn("n1", sum("c1").over(wAll))
+      .select(col("y"), col("cum0"), col("cum1"), col("n0"), col("n1"),
+        explode(expr("sequence(1, 9)")).as("decile"))
+      .groupBy("decile")
+      .agg(
+        coalesce(min(when(col("n0") > 0 &&
+          col("cum0") * 10L >= col("decile") * col("n0"), col("y"))),
+          lit(-1L)).as("q_control"),
+        coalesce(min(when(col("n1") > 0 &&
+          col("cum1") * 10L >= col("decile") * col("n1"), col("y"))),
+          lit(-1L)).as("q_treat"))
+      .select(col("decile").cast("int").as("decile"), col("q_control"),
+        col("q_treat"),
+        when(col("q_control") >= 0 && col("q_treat") >= 0,
+          col("q_treat") - col("q_control")).otherwise(lit(null))
+          .cast("long").as("qte"))
+      .orderBy("decile")
+  }
+
+  /** q346 — COVARIATE BALANCE AUDIT VIA STANDARDIZED MEAN DIFFERENCE
+    * (the "Table 1" check — Austin 2009 for the SMD convention): before
+    * believing ANY effect read, verify the md5 split balanced the
+    * PRE-experiment covariates; |SMD| < 0.1 is the conventional bar.
+    * SMD = |µ₁−µ₀| / √((σ₀²+σ₁²)/2) per covariate (pre-period
+    * purchases, clicks), in exact fixed point: means in micro, per-arm
+    * variance·10¹² with one truncation, the pooled half by integer
+    * div, sd via [[isqrt]] (oracle: corrected double floor-sqrt), and
+    * smd_milli = Δ_micro·1000 div sd_micro. A zero pooled sd is the 0
+    * verdict when the means agree and the −1 sentinel otherwise.
+    *
+    * Scale: ONE wide moment aggregate over the shared [[cupedLeaf]],
+    * collected as a 1-row sync (the q322 convention).
+    */
+  val covariateBalance: Q = (s, d) => {
+    import s.implicits._
+    val m = cupedLeaf(s, d).agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("arm") === 0,
+        expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(lit(0))
+        .cast("decimal(38,0)")).as("qx0"),
+      sum(when(col("arm") === 1,
+        expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(lit(0))
+        .cast("decimal(38,0)")).as("qx1"),
+      sum(when(col("arm") === 0, col("cl")).otherwise(0L)).as("sc0"),
+      sum(when(col("arm") === 1, col("cl")).otherwise(0L)).as("sc1"),
+      sum(when(col("arm") === 0,
+        expr("CAST(cl AS DECIMAL(38,0)) * cl")).otherwise(lit(0))
+        .cast("decimal(38,0)")).as("qc0"),
+      sum(when(col("arm") === 1,
+        expr("CAST(cl AS DECIMAL(38,0)) * cl")).otherwise(lit(0))
+        .cast("decimal(38,0)")).as("qc1"))
+      .head() // 1-row moment sync
+    val (n0, n1) = (m.getLong(0), m.getLong(1))
+    def covRow(name: String, s0: Long, s1: Long, q0: java.math.BigDecimal,
+        q1: java.math.BigDecimal): (String, Long, Long, Long, Boolean) = {
+      if (n0 <= 0 || n1 <= 0) (name, -1L, -1L, -1L, false)
+      else {
+        val (m0, m1) = (BigInt(s0) * 1000000L / n0,
+          BigInt(s1) * 1000000L / n1)
+        def ve12(n: Long, sv: Long, qv: java.math.BigDecimal): BigInt =
+          (BigInt(n) * BigInt(qv.toBigInteger) - BigInt(sv) * sv) *
+            BigInt(1000000000000L) / (BigInt(n) * n)
+        val pooled = (ve12(n0, s0, q0) + ve12(n1, s1, q1)) / 2
+        val dlt = (m1 - m0).abs
+        if (pooled <= 0) {
+          if (dlt == 0) (name, m0.toLong, m1.toLong, 0L, true)
+          else (name, m0.toLong, m1.toLong, -1L, false)
+        } else {
+          val smd = (dlt * 1000L / isqrt(pooled)).toLong
+          (name, m0.toLong, m1.toLong, smd, smd < 100L)
+        }
+      }
+    }
+    Seq(covRow("clicks", m.getLong(6), m.getLong(7),
+        m.getDecimal(8), m.getDecimal(9)),
+      covRow("pre_purchases", m.getLong(2), m.getLong(3),
+        m.getDecimal(4), m.getDecimal(5)))
+      .toDF("covariate", "mean_control_micro", "mean_treat_micro",
+        "smd_milli", "balanced")
+      .orderBy("covariate")
+  }
+
+  /** q342 — MULTIPLE LINEAR REGRESSION VIA NORMAL EQUATIONS + CRAMER
+    * (Gauss 1809 / Legendre 1805; the closed form every BI "trend with
+    * covariates" read uses): y = β₀ + β₁·x₁ + β₂·x₂ fitted EXACTLY —
+    * per-user post-period purchases on (pre-period purchases, clicks),
+    * the incrementality read "does pre-period behavior explain the
+    * post-period, and do clicks add anything?". Unlike the seeded ML
+    * fits (q40–q42, test-only), the normal-equation solution is pure
+    * moment algebra, so it gets a full hash-exact oracle: X'X and X'y
+    * are ONE map-side-combinable aggregate; the 3×3 system solves by
+    * Cramer's rule with EXACT integer determinants (BigInt); each
+    * β_ppm is one sign-safe truncation det_i·10⁶ div det; R² re-uses
+    * the truncated β (one more documented truncation — the exact
+    * rational form would need det² headroom) as
+    * (Σβ_ppm·X'y − 10⁶·Sy²/n)·10⁶ div (10⁶·(Syy − Sy²/n)). Degenerate
+    * design (det = 0 — collinear or constant features) reports −1
+    * sentinels, never dividing. Headroom: determinants are 3-products
+    * of moments (~n·x²), inside DECIMAL(38)/HUGEINT to ~10⁶ users with
+    * x ~ 10² for the ORACLE (HUGEINT 1.7e38); the engine's BigInt side
+    * is exact at any scale — past that the oracle, not the engine, is
+    * the binding constraint (documented, the q308 convention).
+    *
+    * Scale: ONE corpus pass — the shared memoized [[cupedLeaf]] — into
+    * a 1-row moment sync (the q322 convention).
+    */
+  val olsCramer: Q = (s, d) => {
+    import s.implicits._
+    val m = cupedLeaf(s, d)
+      .select(col("x").as("x1"), col("cl").as("x2"), col("y"))
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+        sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("s1y"),
+        sum(expr("CAST(x2 AS DECIMAL(38,0)) * y")).as("s2y"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .head() // 1-row moment sync
+    val n = m.getLong(0)
+    def big(i: Int): BigInt = BigInt(m.getDecimal(i).toBigInteger)
+    val (s1, s2, sy) = (BigInt(m.getLong(1)), BigInt(m.getLong(2)),
+      BigInt(m.getLong(3)))
+    val (s11, s12, s22) = (big(4), big(5), big(6))
+    val (s1y, s2y, syy) = (big(7), big(8), big(9))
+    // | n   s1   s2  |       | sy  |
+    // | s1  s11  s12 | · β = | s1y |
+    // | s2  s12  s22 |       | s2y |
+    def det3(a: BigInt, b: BigInt, c: BigInt, dd: BigInt, e: BigInt,
+        f: BigInt, g: BigInt, h: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+    val dA = det3(BigInt(n), s1, s2, s1, s11, s12, s2, s12, s22)
+    if (n == 0 || dA == 0)
+      Seq((n, -1L, -1L, -1L, -1L, false))
+        .toDF("n_users", "b0_ppm", "b1_ppm", "b2_ppm", "r2_ppm",
+          "fit_ok")
+    else {
+      val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+      val d1 = det3(BigInt(n), sy, s2, s1, s1y, s12, s2, s2y, s22)
+      val d2 = det3(BigInt(n), s1, sy, s1, s11, s1y, s2, s12, s2y)
+      def bppm(di: BigInt): Long = tdiv(di * 1000000L, dA).toLong
+      val (b0, b1, b2) = (bppm(d0), bppm(d1), bppm(d2))
+      // R² from the truncated β (documented second truncation):
+      // SSR·n·1e6 = Σβ_ppm·(X'y components)·n − 1e6·Sy²
+      val fitN = BigInt(b0) * sy + BigInt(b1) * s1y + BigInt(b2) * s2y
+      val ssrN = fitN * n - BigInt(1000000L) * sy * sy
+      val sstN = BigInt(1000000L) * (syy * n - sy * sy)
+      val r2 = if (sstN == 0) -1L else tdiv(ssrN * 1000000L, sstN).toLong
+      Seq((n, b0, b1, b2, r2, true))
+        .toDF("n_users", "b0_ppm", "b1_ppm", "b2_ppm", "r2_ppm",
+          "fit_ok")
+    }
+  }
+
   /** q333 χ²₁ criticals in micro at the five BH thresholds α·i/m for
     * α = 0.05, m = 5 (the event-type taxonomy size): i = 1 → p 0.01,
     * …, i = 5 → p 0.05 = q169's [[chiCritMicro]]. Plan-time
@@ -3653,6 +3946,11 @@ object Stats extends QueryModule {
     "q336_jackknife_ratio" -> jackknifeRatio,
     "q337_obf_sequential" -> obfSequential,
     "q339_neyman_allocation" -> neymanAllocation,
+    "q341_priority_sample" -> prioritySample,
+    "q342_ols_cramer" -> olsCramer,
+    "q344_dp_budget" -> dpBudget,
+    "q345_quantile_effects" -> quantileEffects,
+    "q346_covariate_balance" -> covariateBalance,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -4987,6 +5285,252 @@ object Stats extends QueryModule {
          |  CAST(COALESCE(zm, -1) AS BIGINT) AS z_micro,
          |  COALESCE(zm > $zAlphaHalfMicro, false) AS significant
          |FROM z4""".stripMargin,
+    // the same per-(user, type) reduce, per-type nearest-rank clip on
+    // the contribution histogram, and the same integer advisor algebra
+    "q344_dp_budget" ->
+      s"""WITH contrib AS (SELECT event_type, user_id,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY event_type, user_id),
+         |h AS (SELECT event_type, cnt, count(*) AS t
+         |  FROM contrib GROUP BY event_type, cnt),
+         |cw AS (SELECT *,
+         |    sum(t) OVER (PARTITION BY event_type ORDER BY cnt) AS cum,
+         |    sum(t) OVER (PARTITION BY event_type) AS nn FROM h),
+         |cap AS (SELECT event_type,
+         |    min(CASE WHEN cum * 1000000 >= nn * $winsorPctPpm
+         |      THEN cnt END) AS cap
+         |  FROM cw GROUP BY event_type),
+         |agg AS (SELECT w.event_type, max(w.nn) AS n_users,
+         |    CAST(sum(w.cnt * w.t) AS BIGINT) AS total_events,
+         |    max(c.cap) AS clip_at,
+         |    CAST(sum(CASE WHEN w.cnt > c.cap
+         |      THEN (w.cnt - c.cap) * w.t ELSE 0 END) AS BIGINT)
+         |      AS clipped_events
+         |  FROM cw w JOIN cap c ON c.event_type = w.event_type
+         |  GROUP BY w.event_type)
+         |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+         |  total_events, clip_at, clipped_events,
+         |  CAST((CAST(clipped_events AS HUGEINT) * 1000000)
+         |    // total_events AS BIGINT) AS clipped_ppm,
+         |  clip_at * 1000000 AS scale_eps1_micro,
+         |  CAST((CAST(clip_at AS HUGEINT) * 1000000) // total_events
+         |    AS BIGINT) AS err_eps1_ppm
+         |FROM agg ORDER BY event_type""".stripMargin,
+    // the same per-arm conditional cumulatives on the one ordered
+    // histogram and the identical nearest-rank inequality per decile
+    "q345_quantile_effects" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT y,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM per GROUP BY y),
+         |cw AS (SELECT *,
+         |    sum(c0) OVER (ORDER BY y) AS cum0,
+         |    sum(c1) OVER (ORDER BY y) AS cum1,
+         |    sum(c0) OVER () AS n0, sum(c1) OVER () AS n1 FROM h),
+         |x AS (SELECT *, unnest(range(1, 10)) AS decile FROM cw)
+         |SELECT CAST(decile AS INT) AS decile,
+         |  COALESCE(min(CASE WHEN n0 > 0 AND cum0 * 10 >= decile * n0
+         |    THEN y END), -1) AS q_control,
+         |  COALESCE(min(CASE WHEN n1 > 0 AND cum1 * 10 >= decile * n1
+         |    THEN y END), -1) AS q_treat,
+         |  CASE WHEN COALESCE(min(CASE WHEN n0 > 0
+         |        AND cum0 * 10 >= decile * n0 THEN y END), -1) >= 0
+         |      AND COALESCE(min(CASE WHEN n1 > 0
+         |        AND cum1 * 10 >= decile * n1 THEN y END), -1) >= 0
+         |    THEN COALESCE(min(CASE WHEN n1 > 0
+         |        AND cum1 * 10 >= decile * n1 THEN y END), -1)
+         |      - COALESCE(min(CASE WHEN n0 > 0
+         |        AND cum0 * 10 >= decile * n0 THEN y END), -1)
+         |    ELSE NULL END AS qte
+         |FROM x GROUP BY decile ORDER BY decile""".stripMargin,
+    // the same 1-row wide moment pass, per-arm variance truncations,
+    // pooled half, corrected floor-sqrt sd, and milli SMD
+    "q346_covariate_balance" -> {
+      def side(v: String, cl: String) =
+        s"""SELECT '$v' AS covariate,
+           |  CASE WHEN n0 <= 0 OR n1 <= 0 THEN -1
+           |    ELSE (CAST(s0 AS HUGEINT) * 1000000) // n0 END AS m0,
+           |  CASE WHEN n0 <= 0 OR n1 <= 0 THEN -1
+           |    ELSE (CAST(s1 AS HUGEINT) * 1000000) // n1 END AS m1,
+           |  CASE WHEN n0 <= 0 OR n1 <= 0 THEN CAST(NULL AS HUGEINT)
+           |    ELSE ((CAST(n0 AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * s0)
+           |        * 1000000000000 // (CAST(n0 AS HUGEINT) * n0)
+           |      + (CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+           |        * 1000000000000 // (CAST(n1 AS HUGEINT) * n1)) // 2
+           |    END AS pooled,
+           |  n0, n1
+           |FROM (SELECT n0, n1, s${cl}0 AS s0, s${cl}1 AS s1,
+           |    q${cl}0 AS q0, q${cl}1 AS q1 FROM mom)""".stripMargin
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(c) AS BIGINT) AS cl,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |mom AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sx0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sx1,
+         |    sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x
+         |      ELSE 0 END) AS qx0,
+         |    sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x
+         |      ELSE 0 END) AS qx1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN cl ELSE 0 END) AS BIGINT)
+         |      AS sc0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN cl ELSE 0 END) AS BIGINT)
+         |      AS sc1,
+         |    sum(CASE WHEN arm = 0 THEN CAST(cl AS HUGEINT) * cl
+         |      ELSE 0 END) AS qc0,
+         |    sum(CASE WHEN arm = 1 THEN CAST(cl AS HUGEINT) * cl
+         |      ELSE 0 END) AS qc1
+         |  FROM per),
+         |sides AS (${side("clicks", "c")}
+         |  UNION ALL
+         |  ${side("pre_purchases", "x")}),
+         |sq0 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(pooled AS DOUBLE))) AS HUGEINT) AS r0
+         |  FROM sides),
+         |sq1 AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= pooled
+         |    THEN 1 ELSE 0 END) AS r1 FROM sq0),
+         |sq2 AS (SELECT *, CASE WHEN pooled IS NULL THEN NULL
+         |    ELSE r1 - (CASE WHEN r1 * r1 > pooled THEN 1 ELSE 0 END)
+         |    END AS sd FROM sq1)
+         |SELECT covariate,
+         |  CAST(m0 AS BIGINT) AS mean_control_micro,
+         |  CAST(m1 AS BIGINT) AS mean_treat_micro,
+         |  CAST(CASE WHEN pooled IS NULL THEN -1
+         |    WHEN pooled <= 0 AND m1 = m0 THEN 0
+         |    WHEN pooled <= 0 THEN -1
+         |    ELSE (abs(m1 - m0) * 1000) // sd END AS BIGINT) AS smd_milli,
+         |  CASE WHEN pooled IS NULL THEN false
+         |    WHEN pooled <= 0 AND m1 = m0 THEN true
+         |    WHEN pooled <= 0 THEN false
+         |    ELSE (abs(m1 - m0) * 1000) // sd < 100 END AS balanced
+         |FROM sq2 ORDER BY covariate""".stripMargin
+    },
+    // the identical integer (w, u) pair, the same single IEEE double
+    // division chain for the priority (bit-identical cross-engine), the
+    // same (q DESC, key) tie-break, and the same floored threshold
+    "q341_priority_sample" ->
+      s"""WITH b AS (SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS w,
+         |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+         |      ::BIGINT + 1 AS u
+         |  FROM orders),
+         |qq AS (SELECT *, CAST(w AS DOUBLE)
+         |    / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS pq
+         |  FROM b),
+         |top AS (SELECT * FROM qq
+         |  ORDER BY pq DESC, o_orderkey LIMIT ${prioritySampleK + 1}),
+         |r AS (SELECT *, row_number() OVER (ORDER BY pq DESC, o_orderkey)
+         |    AS rn FROM top),
+         |tau AS (SELECT COALESCE(max(CASE WHEN rn = ${prioritySampleK + 1}
+         |    THEN pq END), 0) AS t FROM r)
+         |SELECT CAST(rn AS INT) AS rank, o_orderkey, w AS weight_cents,
+         |  greatest(w, CAST(floor((SELECT t FROM tau)) AS BIGINT))
+         |    AS est_weight_cents
+         |FROM r WHERE rn <= $prioritySampleK ORDER BY rank""".stripMargin,
+    // the same single moment pass, the same EXACT 3×3 Cramer
+    // determinants in HUGEINT, the same sign-safe ppm truncations, and
+    // the same truncated-β R² — every determinant must agree digit for
+    // digit for the hash to match
+    "q342_ols_cramer" -> {
+      def det3(a: String, b: String, c: String, d: String, e: String,
+          f: String, g: String, h: String, i: String): String =
+        s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+          s" + $c * ($d * $h - $e * $g))"
+      val dA = det3("nn", "s1", "s2", "s1", "s11", "s12", "s2", "s12",
+        "s22")
+      val d0 = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12",
+        "s22")
+      val d1 = det3("nn", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y",
+        "s22")
+      val d2 = det3("nn", "s1", "sy", "s1", "s11", "s1y", "s2", "s12",
+        "s2y")
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x1,
+         |    CAST(sum(c) AS BIGINT) AS x2,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y
+         |  FROM ev GROUP BY user_id),
+         |mom AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+         |    CAST(sum(x1) AS HUGEINT) AS s1,
+         |    CAST(sum(x2) AS HUGEINT) AS s2,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM per),
+         |dets AS (SELECT *, $dA AS da, $d0 AS dd0, $d1 AS dd1,
+         |    $d2 AS dd2 FROM mom),
+         |bs AS (SELECT *,
+         |    CASE WHEN dd0 >= 0 AND da > 0 THEN (dd0 * 1000000) // da
+         |      WHEN dd0 >= 0 THEN -((dd0 * 1000000) // (-da))
+         |      WHEN da > 0 THEN -(((-dd0) * 1000000) // da)
+         |      ELSE ((-dd0) * 1000000) // (-da) END AS b0,
+         |    CASE WHEN dd1 >= 0 AND da > 0 THEN (dd1 * 1000000) // da
+         |      WHEN dd1 >= 0 THEN -((dd1 * 1000000) // (-da))
+         |      WHEN da > 0 THEN -(((-dd1) * 1000000) // da)
+         |      ELSE ((-dd1) * 1000000) // (-da) END AS b1,
+         |    CASE WHEN dd2 >= 0 AND da > 0 THEN (dd2 * 1000000) // da
+         |      WHEN dd2 >= 0 THEN -((dd2 * 1000000) // (-da))
+         |      WHEN da > 0 THEN -(((-dd2) * 1000000) // da)
+         |      ELSE ((-dd2) * 1000000) // (-da) END AS b2
+         |  FROM dets WHERE da <> 0 AND nn > 0),
+         |r2c AS (SELECT *,
+         |    (b0 * sy + b1 * s1y + b2 * s2y) * nn
+         |      - 1000000 * sy * sy AS ssrn,
+         |    1000000 * (syy * nn - sy * sy) AS sstn
+         |  FROM bs)
+         |SELECT CAST(nn AS BIGINT) AS n_users,
+         |  CAST(b0 AS BIGINT) AS b0_ppm, CAST(b1 AS BIGINT) AS b1_ppm,
+         |  CAST(b2 AS BIGINT) AS b2_ppm,
+         |  CAST(CASE WHEN sstn = 0 THEN -1
+         |    WHEN ssrn >= 0 THEN (ssrn * 1000000) // sstn
+         |    ELSE -(((-ssrn) * 1000000) // sstn) END AS BIGINT) AS r2_ppm,
+         |  true AS fit_ok
+         |FROM r2c
+         |UNION ALL
+         |SELECT CAST(nn AS BIGINT), -1, -1, -1, -1, false
+         |FROM dets WHERE da = 0 OR nn = 0""".stripMargin
+    },
     // the same stratum moments, one corrected floor-sqrt per stratum,
     // the identical largest-remainder apportionment with the (rem DESC,
     // lang) tie-break, and the same all-constant proportional fallback

@@ -2600,6 +2600,202 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat("bb") === ((30L, 0L, 750L, true)), flat.toString)
   }
 
+  test("q341 priority sample: a sub-k corpus is kept whole with exact weights; the sf sample's subset-sum estimate lands in a deterministic band") {
+    import spark.implicits._
+    // 10 orders, k = 100: everything sampled, τ = 0, est = w exactly —
+    // the estimator degenerates to the exact total
+    val small = (1L to 10L).map(i => (i, "2020-01-01", i * 11.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftps").toString
+    small.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val all = SparkEntry.queries("q341_priority_sample")(spark, dir).collect()
+    assert(all.length === 10)
+    all.foreach { r =>
+      assert(r.getAs[Long]("est_weight_cents") ===
+        r.getAs[Long]("weight_cents"), r.toString)
+    }
+    assert(all.map(_.getAs[Long]("weight_cents")).sum === (1L to 10L)
+      .map(_ * 1100L).sum)
+    // on the sf corpus: exactly k rows, ranks 1..k, est ≥ w everywhere,
+    // and the Duffield–Lund–Thorup subset-sum estimate of the WHOLE
+    // corpus lands within a deterministic band of the true total (the
+    // draws are md5-deterministic, so this can never flake once green)
+    val sample = q("q341_priority_sample").collect()
+    assert(sample.length === 100)
+    assert(sample.map(_.getAs[Int]("rank")).toList === (1 to 100).toList)
+    sample.foreach(r => assert(r.getAs[Long]("est_weight_cents") >=
+      r.getAs[Long]("weight_cents")))
+    val est = sample.map(_.getAs[Long]("est_weight_cents")).sum.toDouble
+    val truth = graft.sources.Tables.orders(spark, sf)
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .head().getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.35,
+      s"est=$est truth=$truth rel=${math.abs(est - truth) / truth}")
+  }
+
+  test("q342 OLS Cramer: a planted exact linear law recovers beta and R2 = 1e6 exactly; collinear features report the det-0 sentinels") {
+    import spark.implicits._
+    // per-user (pre purchases x1, clicks x2, post purchases y) with
+    // y = 2 + 3·x1 + 1·x2 EXACTLY — Cramer must return
+    // (2e6, 3e6, 1e6) and a perfect R²
+    val dayNs = 86400L * 1000000000L
+    def fixture(users: Seq[(Long, Long, Long)], tag: String): String = {
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      users.zipWithIndex.foreach { case ((x1, x2, y), i) =>
+        val u = i.toLong + 1L
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+        (1L to x1).foreach { _ =>
+          eid += 1; rows += ((eid, 1L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+        (1L to x2).foreach { _ =>
+          eid += 1; rows += ((eid, 2L * dayNs, u, "click", 1.0, "{}"))
+        }
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val xs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L),
+      (2L, 3L), (3L, 2L), (0L, 2L))
+    val exact = SparkEntry.queries("q342_ols_cramer")(spark,
+      fixture(xs.map { case (a, b) => (a, b, 2L + 3L * a + b) },
+        "graftols1")).head()
+    assert(exact.getAs[Long]("n_users") === 8L, exact.toString)
+    assert(exact.getAs[Long]("b0_ppm") === 2000000L, exact.toString)
+    assert(exact.getAs[Long]("b1_ppm") === 3000000L, exact.toString)
+    assert(exact.getAs[Long]("b2_ppm") === 1000000L, exact.toString)
+    assert(exact.getAs[Long]("r2_ppm") === 1000000L, exact.toString)
+    assert(exact.getAs[Boolean]("fit_ok"), exact.toString)
+    // x2 ≡ x1 → X'X singular → det 0 → sentinels, never a division
+    val col0 = SparkEntry.queries("q342_ols_cramer")(spark,
+      fixture(Seq((1L, 1L, 5L), (2L, 2L, 8L), (3L, 3L, 11L),
+        (4L, 4L, 14L)), "graftols2")).head()
+    assert(!col0.getAs[Boolean]("fit_ok"), col0.toString)
+    assert(col0.getAs[Long]("b1_ppm") === -1L, col0.toString)
+    assert(col0.getAs[Long]("r2_ppm") === -1L, col0.toString)
+  }
+
+  test("q344 DP budget: the p99 clip neutralizes a planted whale with hand-exact clipped mass, scale, and error ratio") {
+    import spark.implicits._
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    def emit(u: Long, t: String, k: Long): Unit = (1L to k).foreach { _ =>
+      eid += 1; rows += ((eid, 0L, u, t, 1.0, "{}"))
+    }
+    // click: 99 users contribute 1, one whale contributes 100 —
+    // p99 of 100 contributions is the 99th = 1, so clip = 1,
+    // clipped = 99, total = 199, clipped_ppm = 99e6//199 = 497487,
+    // scale(ε=1) = 1e6, err = 1e6//199 = 5025
+    (1L to 99L).foreach(emit(_, "click", 1L))
+    emit(100L, "click", 100L)
+    // view: 50 uniform users — the clip bites nothing
+    (1L to 50L).foreach(emit(_, "view", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graftdp").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q344_dp_budget")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(got("click") === ((100L, 199L, 1L, 99L, 497487L, 1000000L,
+      5025L)), got("click").toString)
+    assert(got("view") === ((50L, 50L, 1L, 0L, 0L, 1000000L, 20000L)),
+      got("view").toString)
+  }
+
+  test("q345 quantile effects: a planted uniform shift reports the exact constant QTE at every decile") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = (1L to 400L).filter(armOf(_) == 0L).take(10)
+    val a1 = (1L to 400L).filter(armOf(_) == 1L).take(10)
+    val dayNs = 86400L * 1000000000L
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    def plant(u: Long, y: Long): Unit = {
+      eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+      eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+      (1L to y).foreach { _ =>
+        eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+      }
+    }
+    // control y = 1..10, treat y = 11..20: nearest-rank decile d of 10
+    // values is the d-th smallest, so QTE is EXACTLY 10 at every decile
+    a0.zipWithIndex.foreach { case (u, i) => plant(u, i + 1L) }
+    a1.zipWithIndex.foreach { case (u, i) => plant(u, i + 11L) }
+    val dir = java.nio.file.Files.createTempDirectory("graftqte").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q345_quantile_effects")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toList === (1 to 9).map(d =>
+      (d, d.toLong, d + 10L, 10L)).toList, got.mkString("\n"))
+  }
+
+  test("q346 covariate balance: a balanced covariate scores 0, a planted imbalance the exact milli SMD, and a zero-variance shift the sentinel") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = (1L to 400L).filter(armOf(_) == 0L).take(10)
+    val a1 = (1L to 400L).filter(armOf(_) == 1L).take(10)
+    val dayNs = 86400L * 1000000000L
+    def fixture(cl1: Seq[Long], tag: String): String = {
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      def plant(u: Long, pre: Long, clicks: Long): Unit = {
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+        (1L to pre).foreach { _ =>
+          eid += 1; rows += ((eid, 1L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+        (1L to clicks).foreach { _ =>
+          eid += 1; rows += ((eid, 2L * dayNs, u, "click", 1.0, "{}"))
+        }
+      }
+      // pre purchases {1×5, 3×5} in BOTH arms — exactly balanced
+      a0.zipWithIndex.foreach { case (u, i) =>
+        plant(u, if (i % 2 == 0) 1L else 3L, 2L)
+      }
+      a1.zipWithIndex.foreach { case (u, i) =>
+        plant(u, if (i % 2 == 0) 1L else 3L, cl1(i))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q346_covariate_balance")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toMap
+    // treat clicks {2×5, 6×5}: µ 2 vs 4, pooled var (0+4)/2 = 2 →
+    // sd_micro = isqrt(2e12) = 1414213, smd = 2e6·1000//1414213 = 1414
+    val graded = run(fixture((0 until 10).map(i =>
+      if (i % 2 == 0) 2L else 6L), "graftbal1"))
+    assert(graded("pre_purchases") === ((2000000L, 2000000L, 0L, true)),
+      graded.toString)
+    assert(graded("clicks") === ((2000000L, 4000000L, 1414L, false)),
+      graded.toString)
+    // treat clicks all 4: both arms CONSTANT but different — zero pooled
+    // variance with a real shift is the −1 sentinel, never a division
+    val const = run(fixture(Seq.fill(10)(4L), "graftbal2"))
+    assert(const("clicks") === ((2000000L, 4000000L, -1L, false)),
+      const.toString)
+  }
+
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {
     import spark.implicits._
     val armOf = (1L to 200L).toDF("c")

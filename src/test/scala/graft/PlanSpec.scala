@@ -679,6 +679,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q341 priority sample: the corpus pass is top-(k+1) via TakeOrderedAndProject — no global sort, no join; everything after runs on k+1 rows") {
+    val p = plan("q341_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q342 OLS Cramer: one moment pass over the shared leaf to a 1-row sync — local relation, no events scan, no join") {
+    val p = plan("q342_ols_cramer")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q343 PCA: one flatten-explode covariance pass synced 64²-bounded — local relation, no embeddings scan, no join in the final plan") {
+    val p = plan("q343_pca_power")
+    assert(!p.contains("embeddings"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q344 DP budget: one per-(user, type) reduce into value-bounded histograms — no join beyond none, windows partitioned by type") {
+    val p = plan("q344_dp_budget")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window") >= 1, p)
+    assert(count(p, "FileScan") === 1, p)
+  }
+
+  test("q345 quantile effects: shared leaf → one ordered histogram carrying both arms' cumulatives — no events scan, no join") {
+    val p = plan("q345_quantile_effects")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Window") >= 1, p)
+  }
+
+  test("q346 covariate balance: one wide moment pass over the shared leaf to a 1-row sync — local relation, no events scan, no join") {
+    val p = plan("q346_covariate_balance")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {
     val p = plan("q309_sprt")
     assert(!p.contains("CartesianProduct"), p)

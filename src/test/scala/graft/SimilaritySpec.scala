@@ -488,6 +488,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("a_msd") >= 0L) >= rows.length / 2)
   }
 
+  test("q343 PCA power iteration: a one-axis cloud loads (1e6, 0...) with ev share exactly 1e6; a rank-1 diagonal cloud recovers the exact (2,1)/√5 loadings") {
+    import spark.implicits._
+    def run(vs: Seq[Array[Float]], tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("q343_pca_power")(spark, dir).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    // all variance on axis 1: the component is e₁ exactly and the
+    // explained share is exactly 10⁶ (rank-1 algebra, no rounding room)
+    val one = run(Seq(Array(1.0f), Array(2.0f), Array(3.0f)), "graftpca1")
+    assert(one(1) === ((1000000L, 1000000L)), one(1).toString)
+    (2 to 64).foreach(d => assert(one(d) === ((0L, 1000000L)), s"dim $d"))
+    // v ∝ (2, 1): C is rank-1 along (2,1)/√5 — after max-abs rescaling
+    // b = (1e6, 5e5), norm = isqrt(1.25e12) = 1118033, loadings
+    // (894427, 447213) by exact truncating division; ev share exactly 1e6
+    val diag = run(Seq(Array(2.0f, 1.0f), Array(-2.0f, -1.0f)),
+      "graftpca2")
+    assert(diag(1) === ((894427L, 1000000L)), diag(1).toString)
+    assert(diag(2) === ((447213L, 1000000L)), diag(2).toString)
+    (3 to 64).foreach(d => assert(diag(d)._1 === 0L, s"dim $d"))
+  }
+
   test("q334 MMR: the exact duplicate of pick 1 is demoted below the diverse sibling; every score is the integer 7·rel − 3·maxsim") {
     import spark.implicits._
     // probe v0 = x-axis; v1 and its EXACT copy v2 tie v3 on relevance
