@@ -1175,6 +1175,9 @@ object Stats extends QueryModule {
     * push the (Cauchy–Schwarz ≥ 0) quadratic form to −1 micro; it is
     * clamped at 0 in both engines. Sentinels (−1 ratio/se/z, false
     * flag) when an arm has no clicks or is missing — never a division.
+    * Caveat a reader must know: diff_ppm = −1 is the SENTINEL only when
+    * either se is −1 — a genuine −1 ppm difference is distinguishable
+    * by its non-negative ses (both engines agree on the convention).
     * Headroom: the central-moment numerators ride HUGEINT/DECIMAL(38)
     * to ~10⁸ users (the q308 family ceiling).
     *
@@ -1496,6 +1499,11 @@ object Stats extends QueryModule {
     * variant, whose ln(u) would hang cross-engine exactness on libm);
     * ties break on the order key; τ floors to integer cents. A corpus
     * with ≤ k rows keeps everything with τ = 0 → est = w exactly.
+    * Headroom: τ is the (k+1)-th largest w/u, concentrated near
+    * Σw/k — the long cast is safe past 10¹² orders at these weights
+    * (a pathological τ ≥ 2⁶³ cents would need the k+1 smallest
+    * uniforms to all land below ~k/2⁶³, probability astronomically
+    * small AND deterministic here; documented, not guarded).
     *
     * Scale: the corpus pass is ONE scan feeding top-(k+1) —
     * TakeOrderedAndProject, per-partition heaps, never a global sort;
@@ -1525,6 +1533,177 @@ object Stats extends QueryModule {
           coalesce(floor(col("tau")).cast("long"), lit(0L)))
           .as("est_weight_cents"))
       .orderBy("rank")
+  }
+
+  /** q347 — DIFFERENCE-IN-DIFFERENCES (Ashenfelter & Card 1985 for the
+    * modern form; the workhorse quasi-experimental read when the split
+    * was NOT randomized — compare each arm's own pre→post change, so
+    * any time-invariant arm difference cancels): with the shared
+    * per-user (pre x, post y) frame, the estimator is the mean of
+    * per-user diffs d = y − x per arm and DiD = d̄₁ − d̄₀; the SE is the
+    * two-sample z on d (q322's exact machinery — per-user differencing
+    * also kills the within-user covariance term a naive four-means
+    * variance would need). Parallel-trends is the identifying
+    * ASSUMPTION, not a computation — documented, as in practice.
+    * Exact: integer d, means in micro (one truncation each),
+    * variance·10¹² per arm, z = |DiD|·10⁶ div isqrt(vm₀+vm₁) with the
+    * corrected-floor-sqrt oracle; −1 sentinel on an empty arm or zero
+    * pooled variance.
+    *
+    * Scale: ONE corpus pass — the shared memoized [[cupedLeaf]] — to a
+    * 2-row arm rollup collected driver-side (the q322 convention).
+    */
+  val diffInDiff: Q = (s, d) => {
+    import s.implicits._
+    val arms = cupedLeaf(s, d)
+      .select(col("arm"), col("x"), col("y"), (col("y") - col("x")).as("dd"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum("dd").as("sd"),
+        sum(expr("CAST(dd AS DECIMAL(38,0)) * dd")).as("sdd"))
+      .collect() // arm-bounded: ≤ 2 rows
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), BigInt(r.getDecimal(5).toBigInteger))).toMap
+    def arm(a: Long) = arms.getOrElse(a, (0L, 0L, 0L, 0L, BigInt(0)))
+    val (n0, sx0, sy0, sd0, q0) = arm(0L)
+    val (n1, sx1, sy1, sd1, q1) = arm(1L)
+    def mMicro(sv: Long, n: Long): Long =
+      if (n <= 0) -1L else tdiv(BigInt(sv) * 1000000L, BigInt(n)).toLong
+    def vm(n: Long, sv: Long, qv: BigInt): BigInt =
+      if (n <= 0) BigInt(0)
+      else (BigInt(n) * qv - BigInt(sv) * sv) * BigInt(1000000000000L) /
+        (BigInt(n) * n * n)
+    val (d0m, d1m) = (mMicro(sd0, n0), mMicro(sd1, n1))
+    val did = if (n0 <= 0 || n1 <= 0) -1L else d1m - d0m
+    val vsum = vm(n0, sd0, q0) + vm(n1, sd1, q1)
+    val z = if (n0 <= 0 || n1 <= 0 || vsum <= 0) -1L
+      else (BigInt((d1m - d0m).abs) * 1000000L / isqrt(vsum)).toLong
+    Seq((n0, n1, mMicro(sx0, n0), mMicro(sy0, n0), mMicro(sx1, n1),
+      mMicro(sy1, n1), did, z, z > zAlphaHalfMicro))
+      .toDF("n_control", "n_treat", "pre_control_micro",
+        "post_control_micro", "pre_treat_micro", "post_treat_micro",
+        "did_micro", "z_micro", "significant")
+  }
+
+  /** q348 regression-discontinuity bandwidth (cents of account balance
+    * either side of the 0 cutoff). */
+  private[graft] val rddBandCents = 500000L
+
+  /** q348 — REGRESSION DISCONTINUITY (Thistlethwaite & Campbell 1960;
+    * Imbens & Lemieux 2008 for the local-linear standard): when
+    * treatment switches at a deterministic CUTOFF of a running variable
+    * — here "does a negative account balance change ordering
+    * behavior?", cutoff 0 on `c_acctbal`, outcome = the customer's
+    * order count — the causal read is the JUMP between two local linear
+    * fits at the cutoff. Each side fits y = a + b·r exactly within the
+    * ±[[rddBandCents]] bandwidth via 2×2 Cramer (det = n·Σr² − (Σr)²,
+    * a = (Σy·Σr² − Σr·Σry)·10⁶ div det, slope·10¹² likewise), all
+    * BigInt/HUGEINT with sign-safe truncation (r is NEGATIVE below the
+    * cutoff — the algebra never assumes otherwise); the effect is
+    * a₊ − a₋, both intercepts evaluated AT the cutoff. det-0 sides
+    * (degenerate design) report −1 sentinels. Bandwidth sensitivity is
+    * the analyst's knob, exposed as the plan-time constant.
+    *
+    * Scale: one broadcast-dim join (orders counts per customer), one
+    * filtered moment aggregate per plan — a single corpus pass ending
+    * in a 2-row side rollup collected driver-side.
+    */
+  val regDiscontinuity: Q = (s, d) => {
+    import s.implicits._
+    val cnt = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("y"))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("r"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("r"), coalesce(col("y"), lit(0L)).as("y"))
+      .filter(col("r") >= -rddBandCents && col("r") <= rddBandCents)
+      .withColumn("side", when(col("r") >= 0, 1L).otherwise(0L))
+    val m = base.groupBy("side")
+      .agg(count(lit(1)).as("n"), sum("r").as("sr"), sum("y").as("sy"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("srr"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * y")).as("sry"))
+      .collect() // 2-row side rollup
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        BigInt(x.getDecimal(4).toBigInteger),
+        BigInt(x.getDecimal(5).toBigInteger))).toMap
+    // (n, a_ppm, slope_e12) with −1 sentinels on a degenerate side
+    def fit(side: Long): (Long, Long, Long, Boolean) =
+      m.get(side) match {
+        case None => (0L, -1L, -1L, false)
+        case Some((n, sr, sy, srr, sry)) =>
+          val det = BigInt(n) * srr - BigInt(sr) * sr
+          if (det == 0) (n, -1L, -1L, false)
+          else {
+            val aN = BigInt(sy) * srr - BigInt(sr) * sry
+            val bN = BigInt(n) * sry - BigInt(sr) * sy
+            (n, tdiv(aN * 1000000L, det).toLong,
+              tdiv(bN * BigInt(1000000000000L), det).toLong, true)
+          }
+      }
+    val (nB, aB, bB, okB) = fit(0L)
+    val (nA, aA, bA, okA) = fit(1L)
+    Seq((nB, nA, aB, bB, aA, bA,
+      if (okB && okA) aA - aB else -1L, okB && okA))
+      .toDF("n_below", "n_above", "a_below_ppm", "slope_below_e12",
+        "a_above_ppm", "slope_above_e12", "effect_ppm", "fit_ok")
+  }
+
+  /** q349 — INSTRUMENTAL-VARIABLE / WALD ESTIMATOR (Wald 1940; Angrist,
+    * Imbens & Rubin 1996 for the LATE reading): the encouragement-design
+    * read — the md5 arm is the INSTRUMENT (randomly assigned), clicking
+    * is the endogenous TAKE-UP, post-period purchases the outcome, and
+    * LATE = reduced form / first stage = (ȳ₁−ȳ₀)/(x̄₁−x̄₀), the effect
+    * on compliers. The first stage's own two-sample z gates the weak-
+    * instrument flag (the Stock–Yogo concern reduced to its simplest
+    * honest form): a LATE quoted off a first stage indistinguishable
+    * from zero is noise, so the −1 sentinel also fires when the first
+    * stage is not significant. Exact: binary take-up (clicked ≥ 1),
+    * means micro, LATE_ppm = Δy_micro·10⁶ div Δx_micro sign-safe, the
+    * first-stage z on the q322 machinery.
+    *
+    * Scale: ONE corpus pass — the shared memoized [[cupedLeaf]] — to a
+    * 2-row arm rollup collected driver-side.
+    */
+  val ivWald: Q = (s, d) => {
+    import s.implicits._
+    val arms = cupedLeaf(s, d)
+      .select(col("arm"),
+        when(col("cl") > 0, 1L).otherwise(0L).as("t"), col("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("y").as("sy"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def arm(a: Long) = arms.getOrElse(a, (0L, 0L, 0L))
+    val (n0, st0, sy0) = arm(0L)
+    val (n1, st1, sy1) = arm(1L)
+    if (n0 <= 0 || n1 <= 0)
+      Seq((n0, n1, -1L, -1L, -1L, -1L, -1L, false))
+        .toDF("n_control", "n_treat", "takeup_control_ppm",
+          "takeup_treat_ppm", "reduced_form_micro", "first_stage_micro",
+          "late_ppm", "weak_instrument")
+    else {
+      def mMicro(sv: Long, n: Long) = BigInt(sv) * 1000000L / n
+      val (t0, t1) = (mMicro(st0, n0), mMicro(st1, n1))
+      val (y0, y1) = (mMicro(sy0, n0), mMicro(sy1, n1))
+      val (fs, rf) = ((t1 - t0).toLong, (y1 - y0).toLong)
+      // binary take-up variance: p(1−p) per arm, the exact moments form
+      def vmT(n: Long, st: Long): BigInt =
+        (BigInt(n) * st - BigInt(st) * st) * BigInt(1000000000000L) /
+          (BigInt(n) * n * n)
+      val vsum = vmT(n0, st0) + vmT(n1, st1)
+      val zFs = if (vsum <= 0) -1L
+        else (BigInt(fs).abs * 1000000L / isqrt(vsum)).toLong
+      val weak = zFs <= zAlphaHalfMicro
+      val late = if (fs == 0 || weak) -1L
+        else tdiv(BigInt(rf) * 1000000L, BigInt(fs)).toLong
+      Seq((n0, n1, t0.toLong, t1.toLong, rf, fs, late, weak))
+        .toDF("n_control", "n_treat", "takeup_control_ppm",
+          "takeup_treat_ppm", "reduced_form_micro", "first_stage_micro",
+          "late_ppm", "weak_instrument")
+    }
   }
 
   /** q344 — DIFFERENTIAL-PRIVACY BUDGET ADVISOR (Dwork, McSherry, Nissim
@@ -3951,6 +4130,9 @@ object Stats extends QueryModule {
     "q344_dp_budget" -> dpBudget,
     "q345_quantile_effects" -> quantileEffects,
     "q346_covariate_balance" -> covariateBalance,
+    "q347_diff_in_diff" -> diffInDiff,
+    "q348_reg_discontinuity" -> regDiscontinuity,
+    "q349_iv_wald" -> ivWald,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -5285,6 +5467,195 @@ object Stats extends QueryModule {
          |  CAST(COALESCE(zm, -1) AS BIGINT) AS z_micro,
          |  COALESCE(zm > $zAlphaHalfMicro, false) AS significant
          |FROM z4""".stripMargin,
+    // the same per-user diffs, arm moments, micro means, and corrected
+    // floor-sqrt z — per-user differencing in BOTH engines
+    "q347_diff_in_diff" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(y - x) AS BIGINT) AS sd,
+         |    sum(CAST(y - x AS HUGEINT) * (y - x)) AS sdd
+         |  FROM per GROUP BY arm),
+         |j AS (SELECT
+         |    COALESCE((SELECT n FROM pa WHERE arm = 0), 0) AS n0,
+         |    COALESCE((SELECT n FROM pa WHERE arm = 1), 0) AS n1,
+         |    (SELECT sx FROM pa WHERE arm = 0) AS sx0,
+         |    (SELECT sy FROM pa WHERE arm = 0) AS sy0,
+         |    (SELECT sd FROM pa WHERE arm = 0) AS sd0,
+         |    (SELECT sdd FROM pa WHERE arm = 0) AS q0,
+         |    (SELECT sx FROM pa WHERE arm = 1) AS sx1,
+         |    (SELECT sy FROM pa WHERE arm = 1) AS sy1,
+         |    (SELECT sd FROM pa WHERE arm = 1) AS sd1,
+         |    (SELECT sdd FROM pa WHERE arm = 1) AS q1),
+         |mm AS (SELECT *,
+         |    CASE WHEN n0 <= 0 THEN -1 WHEN sd0 >= 0
+         |      THEN (CAST(sd0 AS HUGEINT) * 1000000) // n0
+         |      ELSE -((CAST(-sd0 AS HUGEINT) * 1000000) // n0) END AS d0m,
+         |    CASE WHEN n1 <= 0 THEN -1 WHEN sd1 >= 0
+         |      THEN (CAST(sd1 AS HUGEINT) * 1000000) // n1
+         |      ELSE -((CAST(-sd1 AS HUGEINT) * 1000000) // n1) END AS d1m,
+         |    (CASE WHEN n0 <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ((n0 * q0 - CAST(sd0 AS HUGEINT) * sd0)
+         |        * 1000000000000) // (CAST(n0 AS HUGEINT) * n0 * n0) END)
+         |    + (CASE WHEN n1 <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE ((n1 * q1 - CAST(sd1 AS HUGEINT) * sd1)
+         |        * 1000000000000) // (CAST(n1 AS HUGEINT) * n1 * n1) END)
+         |      AS vsum
+         |  FROM j),
+         |s0_ AS (SELECT *, CAST(floor(sqrt(CAST(vsum AS DOUBLE)))
+         |    AS HUGEINT) AS r0 FROM mm),
+         |s1_ AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= vsum
+         |    THEN 1 ELSE 0 END) AS r1 FROM s0_),
+         |s2_ AS (SELECT *, r1 - (CASE WHEN r1 * r1 > vsum THEN 1 ELSE 0
+         |    END) AS sq FROM s1_),
+         |zz AS (SELECT *,
+         |    CASE WHEN n0 <= 0 OR n1 <= 0 OR vsum <= 0 THEN -1
+         |      ELSE (abs(d1m - d0m) * 1000000) // sq END AS z FROM s2_)
+         |SELECT n0 AS n_control, n1 AS n_treat,
+         |  CAST(CASE WHEN n0 <= 0 THEN -1
+         |    ELSE (CAST(sx0 AS HUGEINT) * 1000000) // n0 END AS BIGINT)
+         |    AS pre_control_micro,
+         |  CAST(CASE WHEN n0 <= 0 THEN -1
+         |    ELSE (CAST(sy0 AS HUGEINT) * 1000000) // n0 END AS BIGINT)
+         |    AS post_control_micro,
+         |  CAST(CASE WHEN n1 <= 0 THEN -1
+         |    ELSE (CAST(sx1 AS HUGEINT) * 1000000) // n1 END AS BIGINT)
+         |    AS pre_treat_micro,
+         |  CAST(CASE WHEN n1 <= 0 THEN -1
+         |    ELSE (CAST(sy1 AS HUGEINT) * 1000000) // n1 END AS BIGINT)
+         |    AS post_treat_micro,
+         |  CAST(CASE WHEN n0 <= 0 OR n1 <= 0 THEN -1 ELSE d1m - d0m END
+         |    AS BIGINT) AS did_micro,
+         |  CAST(z AS BIGINT) AS z_micro,
+         |  z > $zAlphaHalfMicro AS significant
+         |FROM zz""".stripMargin,
+    // the same banded base, per-side exact 2×2 Cramer with sign-safe
+    // truncations — r is negative below the cutoff in both engines
+    "q348_reg_discontinuity" ->
+      s"""WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+         |  FROM orders GROUP BY o_custkey),
+         |base AS (SELECT
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS r,
+         |    COALESCE(t.y, 0) AS y,
+         |    CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) >= 0 THEN 1 ELSE 0 END AS side
+         |  FROM customer c LEFT JOIN cnt t ON c.c_custkey = t.o_custkey
+         |  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    BETWEEN -$rddBandCents AND $rddBandCents),
+         |m AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(r) AS HUGEINT) AS sr, CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(r AS HUGEINT) * r) AS srr,
+         |    sum(CAST(r AS HUGEINT) * y) AS sry
+         |  FROM base GROUP BY side),
+         |f AS (SELECT side, n,
+         |    n * srr - sr * sr AS det,
+         |    sy * srr - sr * sry AS an,
+         |    n * sry - sr * sy AS bn
+         |  FROM m),
+         |g AS (SELECT side, n,
+         |    CASE WHEN det = 0 THEN NULL
+         |      WHEN an >= 0 AND det > 0 THEN (an * 1000000) // det
+         |      WHEN an >= 0 THEN -((an * 1000000) // (-det))
+         |      WHEN det > 0 THEN -(((-an) * 1000000) // det)
+         |      ELSE ((-an) * 1000000) // (-det) END AS a_ppm,
+         |    CASE WHEN det = 0 THEN NULL
+         |      WHEN bn >= 0 AND det > 0 THEN (bn * 1000000000000) // det
+         |      WHEN bn >= 0 THEN -((bn * 1000000000000) // (-det))
+         |      WHEN det > 0 THEN -(((-bn) * 1000000000000) // det)
+         |      ELSE ((-bn) * 1000000000000) // (-det) END AS b_e12
+         |  FROM f)
+         |SELECT
+         |  COALESCE((SELECT n FROM g WHERE side = 0), 0) AS n_below,
+         |  COALESCE((SELECT n FROM g WHERE side = 1), 0) AS n_above,
+         |  CAST(COALESCE((SELECT a_ppm FROM g WHERE side = 0), -1)
+         |    AS BIGINT) AS a_below_ppm,
+         |  CAST(COALESCE((SELECT b_e12 FROM g WHERE side = 0), -1)
+         |    AS BIGINT) AS slope_below_e12,
+         |  CAST(COALESCE((SELECT a_ppm FROM g WHERE side = 1), -1)
+         |    AS BIGINT) AS a_above_ppm,
+         |  CAST(COALESCE((SELECT b_e12 FROM g WHERE side = 1), -1)
+         |    AS BIGINT) AS slope_above_e12,
+         |  CAST(CASE WHEN (SELECT a_ppm FROM g WHERE side = 0) IS NULL
+         |      OR (SELECT a_ppm FROM g WHERE side = 1) IS NULL THEN -1
+         |    ELSE (SELECT a_ppm FROM g WHERE side = 1)
+         |      - (SELECT a_ppm FROM g WHERE side = 0) END AS BIGINT)
+         |    AS effect_ppm,
+         |  (SELECT a_ppm FROM g WHERE side = 0) IS NOT NULL
+         |    AND (SELECT a_ppm FROM g WHERE side = 1) IS NOT NULL
+         |    AS fit_ok""".stripMargin,
+    // the same binary take-up, micro means, p(1−p) first-stage z, and
+    // the weak-instrument gate on the LATE
+    "q349_iv_wald" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS t,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)} AS arm
+         |  FROM ev GROUP BY user_id),
+         |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy
+         |  FROM per GROUP BY arm),
+         |j AS (SELECT
+         |    COALESCE((SELECT n FROM pa WHERE arm = 0), 0) AS n0,
+         |    COALESCE((SELECT n FROM pa WHERE arm = 1), 0) AS n1,
+         |    (SELECT st FROM pa WHERE arm = 0) AS st0,
+         |    (SELECT sy FROM pa WHERE arm = 0) AS sy0,
+         |    (SELECT st FROM pa WHERE arm = 1) AS st1,
+         |    (SELECT sy FROM pa WHERE arm = 1) AS sy1),
+         |mm AS (SELECT *,
+         |    (CAST(st0 AS HUGEINT) * 1000000) // n0 AS t0,
+         |    (CAST(st1 AS HUGEINT) * 1000000) // n1 AS t1,
+         |    (CAST(sy0 AS HUGEINT) * 1000000) // n0 AS y0,
+         |    (CAST(sy1 AS HUGEINT) * 1000000) // n1 AS y1,
+         |    ((n0 * CAST(st0 AS HUGEINT) - CAST(st0 AS HUGEINT) * st0)
+         |      * 1000000000000) // (CAST(n0 AS HUGEINT) * n0 * n0)
+         |    + ((n1 * CAST(st1 AS HUGEINT) - CAST(st1 AS HUGEINT) * st1)
+         |      * 1000000000000) // (CAST(n1 AS HUGEINT) * n1 * n1)
+         |      AS vsum
+         |  FROM j WHERE n0 > 0 AND n1 > 0),
+         |s0_ AS (SELECT *, CAST(floor(sqrt(CAST(vsum AS DOUBLE)))
+         |    AS HUGEINT) AS r0 FROM mm),
+         |s1_ AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= vsum
+         |    THEN 1 ELSE 0 END) AS r1 FROM s0_),
+         |s2_ AS (SELECT *, r1 - (CASE WHEN r1 * r1 > vsum THEN 1 ELSE 0
+         |    END) AS sq FROM s1_),
+         |zz AS (SELECT *,
+         |    CASE WHEN vsum <= 0 THEN -1
+         |      ELSE (abs(t1 - t0) * 1000000) // sq END AS zfs FROM s2_)
+         |SELECT n0 AS n_control, n1 AS n_treat,
+         |  CAST(t0 AS BIGINT) AS takeup_control_ppm,
+         |  CAST(t1 AS BIGINT) AS takeup_treat_ppm,
+         |  CAST(y1 - y0 AS BIGINT) AS reduced_form_micro,
+         |  CAST(t1 - t0 AS BIGINT) AS first_stage_micro,
+         |  CAST(CASE WHEN t1 - t0 = 0 OR zfs <= $zAlphaHalfMicro THEN -1
+         |    WHEN (y1 - y0 >= 0) = (t1 - t0 >= 0)
+         |      THEN (abs(y1 - y0) * 1000000) // abs(t1 - t0)
+         |    ELSE -((abs(y1 - y0) * 1000000) // abs(t1 - t0)) END
+         |    AS BIGINT) AS late_ppm,
+         |  zfs <= $zAlphaHalfMicro AS weak_instrument
+         |FROM zz
+         |UNION ALL
+         |SELECT n0, n1, -1, -1, -1, -1, -1, false FROM j
+         |WHERE n0 <= 0 OR n1 <= 0""".stripMargin,
     // the same per-(user, type) reduce, per-type nearest-rank clip on
     // the contribution histogram, and the same integer advisor algebra
     "q344_dp_budget" ->

@@ -2796,6 +2796,134 @@ class AnalyticsSpec extends SparkSpec {
       const.toString)
   }
 
+  test("q347 DiD: a planted treatment lift on top of a common trend reports the exact effect; a pure parallel shift reports zero and the sentinel") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dayNs = 86400L * 1000000000L
+    def fixture(u0: Seq[(Long, Long)], u1: Seq[(Long, Long)],
+        tag: String): String = {
+      val a0 = (1L to 400L).filter(armOf(_) == 0L).take(u0.size)
+      val a1 = (1L to 400L).filter(armOf(_) == 1L).take(u1.size)
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      (a0.zip(u0) ++ a1.zip(u1)).foreach { case (u, (pre, post)) =>
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+        (1L to pre).foreach { _ =>
+          eid += 1; rows += ((eid, 1L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+        (1L to post).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q347_diff_in_diff")(spark, dir).head()
+    // control +1 for everyone; treat diffs {4×5, 0×5} (mean +2):
+    // DiD = 1e6 exactly; vsum = var(d₁)·1e12/10 = 4e11, isqrt 632455,
+    // z = 1e12//632455 = 1581140 < crit → not significant (n = 10)
+    val lift = run(fixture(Seq.fill(10)((2L, 3L)),
+      (1 to 5).map(_ => (2L, 6L)) ++ (1 to 5).map(_ => (2L, 2L)),
+      "graftdid1"))
+    assert(lift.getAs[Long]("pre_control_micro") === 2000000L, lift.toString)
+    assert(lift.getAs[Long]("post_control_micro") === 3000000L, lift.toString)
+    assert(lift.getAs[Long]("did_micro") === 1000000L, lift.toString)
+    assert(lift.getAs[Long]("z_micro") === 1581140L, lift.toString)
+    assert(!lift.getAs[Boolean]("significant"), lift.toString)
+    // identical +2 shift in both arms: any time-invariant arm difference
+    // cancels — DiD exactly 0, zero pooled diff variance → z sentinel
+    val par = run(fixture(Seq.fill(10)((1L, 3L)), Seq.fill(10)((4L, 6L)),
+      "graftdid2"))
+    assert(par.getAs[Long]("did_micro") === 0L, par.toString)
+    assert(par.getAs[Long]("z_micro") === -1L, par.toString)
+    assert(!par.getAs[Boolean]("significant"), par.toString)
+  }
+
+  test("q348 RDD: a planted level jump at the cutoff reports the exact intercept difference; out-of-band rows are ignored") {
+    import spark.implicits._
+    // below side: flat y = 1 at r ∈ {−2000, −1000}; above side: flat
+    // y = 3 at r ∈ {1000, 2000} → intercepts 1e6 / 3e6, effect 2e6;
+    // customer 99 sits OUTSIDE the ±5000-dollar band with y = 50 and
+    // must not perturb anything
+    val cust = Seq(
+      (1L, -20.0), (2L, -10.0), (3L, 10.0), (4L, 20.0), (99L, 6000.0))
+      .toDF("c_custkey", "c_acctbal")
+    var oid = 0L
+    val orders = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def buy(c: Long, k: Long): Unit = (1L to k).foreach { _ =>
+      oid += 1; orders += ((oid, c, "2020-01-01"))
+    }
+    buy(1L, 1L); buy(2L, 1L); buy(3L, 3L); buy(4L, 3L); buy(99L, 50L)
+    val dir = java.nio.file.Files.createTempDirectory("graftrdd").toString
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    orders.toSeq.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q348_reg_discontinuity")(spark, dir).head()
+    assert(r.getAs[Long]("n_below") === 2L, r.toString)
+    assert(r.getAs[Long]("n_above") === 2L, r.toString)
+    assert(r.getAs[Long]("a_below_ppm") === 1000000L, r.toString)
+    assert(r.getAs[Long]("slope_below_e12") === 0L, r.toString)
+    assert(r.getAs[Long]("a_above_ppm") === 3000000L, r.toString)
+    assert(r.getAs[Long]("slope_above_e12") === 0L, r.toString)
+    assert(r.getAs[Long]("effect_ppm") === 2000000L, r.toString)
+    assert(r.getAs[Boolean]("fit_ok"), r.toString)
+  }
+
+  test("q349 IV/Wald: a textbook encouragement fixture recovers the exact complier effect; a zero first stage reports the weak-instrument sentinel") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dayNs = 86400L * 1000000000L
+    def fixture(take0: Int, take1: Int, tag: String): String = {
+      val a0 = (1L to 400L).filter(armOf(_) == 0L).take(10)
+      val a1 = (1L to 400L).filter(armOf(_) == 1L).take(10)
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      def plant(u: Long, takes: Boolean): Unit = {
+        eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, u, "view", 1.0, "{}"))
+        if (takes) { eid += 1; rows += ((eid, 2L * dayNs, u, "click", 1.0, "{}")) }
+        val y = if (takes) 5L else 1L
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, u, "purchase", 1.0, "{}"))
+        }
+      }
+      a0.zipWithIndex.foreach { case (u, i) => plant(u, i < take0) }
+      a1.zipWithIndex.foreach { case (u, i) => plant(u, i < take1) }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // encouragement moved take-up 20% → 80%; takers buy 5, others 1:
+    // reduced form 2.4, first stage 0.6, LATE = 4e6 ppm — exactly the
+    // planted complier effect (5 − 1); first-stage z = 3354110 → strong
+    val strong = SparkEntry.queries("q349_iv_wald")(spark,
+      fixture(2, 8, "graftiv1")).head()
+    assert(strong.getAs[Long]("takeup_control_ppm") === 200000L, strong.toString)
+    assert(strong.getAs[Long]("takeup_treat_ppm") === 800000L, strong.toString)
+    assert(strong.getAs[Long]("reduced_form_micro") === 2400000L, strong.toString)
+    assert(strong.getAs[Long]("first_stage_micro") === 600000L, strong.toString)
+    assert(strong.getAs[Long]("late_ppm") === 4000000L, strong.toString)
+    assert(!strong.getAs[Boolean]("weak_instrument"), strong.toString)
+    // identical take-up in both arms: first stage 0 → the LATE is NOT
+    // quoted (−1) and the weak flag fires
+    val weak = SparkEntry.queries("q349_iv_wald")(spark,
+      fixture(5, 5, "graftiv2")).head()
+    assert(weak.getAs[Long]("first_stage_micro") === 0L, weak.toString)
+    assert(weak.getAs[Long]("late_ppm") === -1L, weak.toString)
+    assert(weak.getAs[Boolean]("weak_instrument"), weak.toString)
+  }
+
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {
     import spark.implicits._
     val armOf = (1L to 200L).toDF("c")

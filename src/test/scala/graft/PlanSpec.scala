@@ -717,6 +717,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q347 DiD: shared leaf to a 2-row arm sync — local relation, no events scan, no join") {
+    val p = plan("q347_diff_in_diff")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q348 RDD: one banded scan with the per-customer counts joined once, synced 2-row — local relation, no scans or joins in the final plan") {
+    val p = plan("q348_reg_discontinuity")
+    assert(!p.contains("customer"), p)
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q349 IV/Wald: shared leaf to a 2-row arm sync — local relation, no events scan, no join") {
+    val p = plan("q349_iv_wald")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {
     val p = plan("q309_sprt")
     assert(!p.contains("CartesianProduct"), p)
