@@ -1693,7 +1693,11 @@ object Similarity extends QueryModule {
          |    x -> CAST(1000000 AS HUGEINT))
          |  UNION ALL
          |  SELECT it.step + 1,
-         |    CASE WHEN $mxE = 0 THEN $yE
+         |    -- mx = 0 (zero covariance: single-row or all-identical
+         |    -- corpus) keeps the PREVIOUS b, exactly the engine's
+         |    -- `if (m == 0) b` branch — returning the all-zero y here
+         |    -- would collapse the loadings to 0 and diverge cross-engine
+         |    CASE WHEN $mxE = 0 THEN it.b
          |      ELSE list_transform($yE, v -> CASE WHEN v >= 0
          |        THEN (v * 1000000) // $mxE
          |        ELSE -(((-v) * 1000000) // $mxE) END) END

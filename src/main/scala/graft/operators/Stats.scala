@@ -1991,9 +1991,8 @@ object Stats extends QueryModule {
       .crossJoin(broadcast(tot))
       .select(col("event_type"), col("a").as("conv_treat"),
         col("c").as("conv_control"),
-        expr("""CAST(CASE WHEN a = 0 OR n1 - a = 0 OR c = 0 OR n0 - c = 0
-                  THEN 0
-                WHEN a + c = 0 OR (n1 - a) + (n0 - c) = 0 THEN 0
+        expr("""CAST(CASE WHEN a + c = 0 OR (n1 - a) + (n0 - c) = 0
+                  OR n1 = 0 OR n0 = 0 THEN 0
                 ELSE (CAST(n0 + n1 AS DECIMAL(38,0))
                   * (CAST(a AS DECIMAL(38,0)) * (n0 - c)
                     - CAST(n1 - a AS DECIMAL(38,0)) * c)
@@ -6123,9 +6122,8 @@ object Stats extends QueryModule {
          |      THEN 1 ELSE 0 END) AS BIGINT) AS c
          |  FROM pairs GROUP BY event_type),
          |chi AS (SELECT event_type, a AS conv_treat, c AS conv_control,
-         |    CAST(CASE WHEN a = 0 OR n1 - a = 0 OR c = 0 OR n0 - c = 0
-         |        THEN 0
-         |      WHEN a + c = 0 OR (n1 - a) + (n0 - c) = 0 THEN 0
+         |    CAST(CASE WHEN a + c = 0 OR (n1 - a) + (n0 - c) = 0
+         |        OR n1 = 0 OR n0 = 0 THEN 0
          |      ELSE (CAST(n0 + n1 AS HUGEINT)
          |        * (CAST(a AS HUGEINT) * (n0 - c)
          |          - CAST(n1 - a AS HUGEINT) * c)

@@ -470,8 +470,10 @@ object Text extends QueryModule {
     * pipelines; they keep DIFFERENT documents, which is why pipelines
     * run both and audit the disagreement): per document, in fixed audit
     * order — word count ∈ [50, 100000]; mean word length ∈ [3, 10];
-    * symbol-to-word ratio (# and …) ≤ 0.1; ≤ 10% of lines bullet-led
-    * ([-*], the ASCII subset); ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    * symbol-to-word ratio (# and …) ≤ 0.1; ≤ 90% of lines bullet-led
+    * ([-*], the ASCII subset — the paper removes only when MORE than
+    * 90% of lines open with a bullet, so list-bearing documents are
+    * kept); ≤ 30% of lines ellipsis-ended; ≥ 80% of
     * words containing an alphabetic character; ≥ 2 distinct
     * [[gopherStops]]. EVERY threshold is a cross-multiplied integer
     * comparison (3·n_words ≤ Σlen ≤ 10·n_words, 10·symbols ≤ n_words,
@@ -501,7 +503,7 @@ object Text extends QueryModule {
     val reason = when(nw < 50 || nw > 100000, "word_count")
       .when(chars < nw * 3L || chars > nw * 10L, "mean_word_length")
       .when(nsym * 10L > nw, "symbol_ratio")
-      .when(bullets * 10L > nlines, "bullet_lines")
+      .when(bullets * 10L > nlines * 9L, "bullet_lines")
       .when(ells * 10L > nlines * 3L, "ellipsis_lines")
       .when(alphaW * 5L < nw * 4L, "alpha_ratio")
       .when(stops < 2L, "stopwords")
@@ -3251,7 +3253,7 @@ object Text extends QueryModule {
          |      WHEN chars < 3 * nw OR chars > 10 * nw
          |        THEN 'mean_word_length'
          |      WHEN nsym * 10 > nw THEN 'symbol_ratio'
-         |      WHEN bullets * 10 > nlines THEN 'bullet_lines'
+         |      WHEN bullets * 10 > 9 * nlines THEN 'bullet_lines'
          |      WHEN ells * 10 > 3 * nlines THEN 'ellipsis_lines'
          |      WHEN alphaw * 5 < 4 * nw THEN 'alpha_ratio'
          |      WHEN stops < 2 THEN 'stopwords'

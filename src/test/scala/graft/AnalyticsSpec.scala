@@ -2381,6 +2381,42 @@ class AnalyticsSpec extends SparkSpec {
       ("view", 0L, 5, 3841459L, false)), got.mkString("\n"))
   }
 
+  test("q333 BH-FDR: complete separation (zero control conversions, all margins nonzero) computes the χ² and rejects — only zero MARGINS guard to 0") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = (1L to 400L).filter(armOf(_) == 0L).take(40)
+    val a1 = (1L to 400L).filter(armOf(_) == 1L).take(40)
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    def conv(users: Seq[Long], t: String): Unit = users.foreach { u =>
+      eid += 1; rows += ((eid, 0L, u, t, 1.0, "{}"))
+    }
+    // every user views (the arm-total denominator); click converts in
+    // TREATMENT ONLY — the strongest possible 2×2 signal; the old
+    // any-zero-CELL guard zeroed it and never rejected
+    conv(a0 ++ a1, "view")
+    conv(a1.take(30), "click")
+    val dir = java.nio.file.Files.createTempDirectory("graftbhs").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q333_bh_fdr")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("chi2_micro"), r.getAs[Int]("rank"),
+          r.getAs[Boolean]("rejected"))).toMap
+    // exact replay of the margin-guarded integer χ²: n1 = n0 = 40,
+    // a = 30, c = 0 → 80·(30·40)²·10⁶ div (40·40·30·50)
+    val (n1, n0, a, c) = (40L, 40L, 30L, 0L)
+    val det = BigInt(a) * (n0 - c) - BigInt(n1 - a) * c
+    val expect = (BigInt(n0 + n1) * det * det * 1000000L /
+      (BigInt(n1) * n0 * (a + c) * ((n1 - a) + (n0 - c)))).toLong
+    assert(expect === 48000000L)
+    assert(got("click") === ((expect, 1, true)), got.toString)
+    assert(got("view")._1 === 0L, "all-converter view: zero margin → 0")
+  }
+
   test("q335 winsorized mean: the pooled p99 cap neutralizes a planted whale; an uncapped spread fixture gives the exact hand-computed z") {
     import spark.implicits._
     val armOf = (1L to 400L).toDF("user_id")

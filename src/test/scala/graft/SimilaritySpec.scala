@@ -511,6 +511,14 @@ class SimilaritySpec extends SparkSpec {
     assert(diag(1) === ((894427L, 1000000L)), diag(1).toString)
     assert(diag(2) === ((447213L, 1000000L)), diag(2).toString)
     (3 to 64).foreach(d => assert(diag(d)._1 === 0L, s"dim $d"))
+    // degenerate zero-covariance corpus (all-identical embeddings):
+    // max|y| = 0 every round, so b KEEPS the all-ones start (the
+    // oracle's mx = 0 branch returns it.b identically) — loadings are
+    // the normalized start 10⁶·10⁶ div isqrt(64·10¹²) = 125000 on every
+    // dim and the zero trace emits the −1 ev sentinel, never a division
+    val flat = run(Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f)), "graftpca3")
+    (1 to 64).foreach(d =>
+      assert(flat(d) === ((125000L, -1L)), s"dim $d: ${flat(d)}"))
   }
 
   test("q334 MMR: the exact duplicate of pick 1 is demoted below the diverse sibling; every score is the integer 7·rel − 3·maxsim") {

@@ -142,10 +142,12 @@ class TextDedupSpec extends SparkSpec {
     val thinDoc = ("a " * 60).trim                               // mean len 1
     val symDoc = (1 to 60).map(i => s"word$i").mkString(" ") +
       " " + (1 to 10).map(_ => "#").mkString(" ")                // 10 # / 70 w
+    // the paper's rule fires only past 90% bullet-led lines, so the
+    // planted defect is ALL lines bulleted (10/10 > 9/10)
     val bulletDoc = (1 to 10).map { l =>
       val line = (1 to 6).map(i => s"w${l}x$i").mkString(" ")
-      if (l <= 2) s"- $line" else line
-    }.mkString("\n")                                             // 2/10 bullets
+      s"- $line"
+    }.mkString("\n")                                             // 10/10 bullets
     val ellDoc = (1 to 10).map { l =>
       val line = (1 to 6).map(i => s"w${l}x$i").mkString(" ")
       if (l <= 4) s"$line..." else line
@@ -153,9 +155,17 @@ class TextDedupSpec extends SparkSpec {
     val numDoc = ((1 to 40).map(i => s"word$i") ++
       (1 to 20).map(i => s"${i}000")).mkString(" ")              // 20/60 numeric
     val noStop = (1 to 60).map(i => s"zz$i").mkString(" ")       // 0 stops
+    // a half-bulleted list document the real Gopher filter KEEPS
+    // (5/10 ≤ 90%) — the case the over-tight 10% reading would drop
+    val listDoc = (1 to 10).map { l =>
+      val line = (1 to 6).map(i => s"w${l}x$i").mkString(" ") +
+        (if (l == 10) " the of" else "")
+      if (l <= 5) s"- $line" else line
+    }.mkString("\n")                                             // 5/10 bullets
     val docs = Seq(
       (1L, shortDoc), (2L, thinDoc), (3L, symDoc), (4L, bulletDoc),
-      (5L, ellDoc), (6L, numDoc), (7L, noStop), (8L, okWords))
+      (5L, ellDoc), (6L, numDoc), (7L, noStop), (8L, okWords),
+      (9L, listDoc))
       .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("graftgo").toString
@@ -170,6 +180,7 @@ class TextDedupSpec extends SparkSpec {
     assert(out(6L) === (("alpha_ratio", false)))
     assert(out(7L) === (("stopwords", false)))
     assert(out(8L) === (("ok", true)))
+    assert(out(9L) === (("ok", true)), "half-bulleted lists are kept")
   }
 
   test("q74 decontamination flags only docs sharing an 8-token shingle with the benchmark") {
