@@ -1706,6 +1706,117 @@ object Stats extends QueryModule {
     }
   }
 
+  /** q350 stratum width (pre-period purchases per stratum) and cap:
+    * stratum = least(x div [[propStratWidth]], [[propStratCap]]) — at
+    * most [[propStratCap]]+1 strata at any corpus scale. */
+  private[graft] val propStratWidth = 3L
+  private[graft] val propStratCap = 3L
+
+  /** q350 — PROPENSITY STRATIFICATION / IPW CAUSAL ESTIMATOR (Cochran
+    * 1968 for subclassification; Horvitz & Thompson 1952 + Rosenbaum &
+    * Rubin 1983 for inverse-propensity weighting): the OBSERVATIONAL
+    * read the quasi-experimental family was missing — q346 audits
+    * balance, q347–q349 identify under special designs (pre-period,
+    * cutoff, instrument), but the single most common real-world ask is
+    * "estimate the effect of a SELF-SELECTED exposure from observed
+    * covariates alone". Exposure here is heavy clicking (cl above the
+    * pooled nearest-rank median — self-selected, so activity confounds
+    * it), outcome is post-period purchases y, and the observed
+    * confounder is pre-period activity x, discretized into the strata
+    * ([[propStratWidth]]/[[propStratCap]]). Within a stratum the
+    * propensity e(s) = n₁ₛ/nₛ is an EXACT integer count ratio — no
+    * fitted logistic, so the whole estimator is pure counting with a
+    * hash-exact oracle. Three reads per run:
+    *   naive     = ȳ_treated − ȳ_control over ALL users (the biased
+    *               benchmark every dashboard shows);
+    *   stratified (Cochran) = Σₛ (nₛ/N_used)·(ȳ₁ₛ − ȳ₀ₛ) over strata
+    *               satisfying POSITIVITY (both cells nonempty);
+    *   IPW (Horvitz–Thompson) = (Σₛ sy₁ₛ·w₁ₛ − sy₀ₛ·w₀ₛ) / N_used with
+    *               w₁ₛ = 10¹² div e_ppm, w₀ₛ = 10¹² div (10⁶ − e_ppm).
+    * With exact stratum propensities the two estimands coincide in
+    * rational arithmetic; they differ only by the weights' ppm
+    * truncation — emitting both makes that reconciliation auditable.
+    * Strata violating positivity are flagged, EXCLUDED from both
+    * causal estimands (never a division), and counted in n_dropped;
+    * the naive read keeps them — that is what makes it naive. −1
+    * sentinels when an arm or every stratum is empty. Exact fixed
+    * point: means/deltas in micro (one truncation each, the q347
+    * convention), ate_strat = Σ nₛ·δₛ div N_used (one more documented
+    * truncation), all signed divisions truncate toward zero in both
+    * engines (the q264 precedent). Headroom: sy·w_ppm ≲ N·y·10¹² —
+    * inside HUGEINT past 10⁹ users at y ~ 10²; the engine's BigInt is
+    * exact at any scale (the q342 convention).
+    *
+    * Scale: the corpus work is the shared memoized [[cupedLeaf]]; the
+    * exposure cut is one VALUE-BOUNDED click histogram (the q335
+    * discipline) and the estimator runs on a ≤ 2·([[propStratCap]]+1)-
+    * row cell sync — stratum-bounded at any corpus scale.
+    */
+  val propensityStrat: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val leaf = cupedLeaf(s, d)
+    val hist = leaf.groupBy("cl").agg(count(lit(1)).as("t"))
+    val wCum = Window.orderBy("cl").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("cl")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = hist.withColumn("cum", sum("t").over(wCum))
+      .withColumn("nn", sum("t").over(wAll))
+      .filter(col("cum") * 2L >= col("nn"))
+      .agg(min("cl").as("med")) // nearest-rank lower median, 1 row
+    val cells = leaf.crossJoin(broadcast(med))
+      .select(expr(s"CAST(least(x div $propStratWidth, $propStratCap)" +
+          " AS BIGINT)").as("stratum"),
+        when(col("cl") > col("med"), 1L).otherwise(0L).as("t"), col("y"))
+      .groupBy("stratum", "t")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      .collect() // stratum-bounded: ≤ 2·(propStratCap+1) rows
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val strata = cells.keys.map(_._1).toSeq.distinct.sorted
+    def cell(st: Long, t: Long) = cells.getOrElse((st, t), (0L, 0L))
+    val (nt, syt) = strata.map(cell(_, 1L))
+      .foldLeft((0L, 0L)) { case ((a, b), (c, e)) => (a + c, b + e) }
+    val (nc, syc) = strata.map(cell(_, 0L))
+      .foldLeft((0L, 0L)) { case ((a, b), (c, e)) => (a + c, b + e) }
+    val naive = if (nt <= 0 || nc <= 0) -1L
+      else (BigInt(syt) * 1000000L / nt - BigInt(syc) * 1000000L / nc)
+        .toLong
+    case class St(st: Long, ns: Long, n1: Long, n0: Long, pPpm: Long,
+      mt: Long, mc: Long, delta: Long, pos: Boolean)
+    val rows = strata.map { st =>
+      val (n1, sy1) = cell(st, 1L)
+      val (n0, sy0) = cell(st, 0L)
+      val ns = n1 + n0
+      val pPpm = (BigInt(n1) * 1000000L / ns).toLong
+      val mt = if (n1 > 0) (BigInt(sy1) * 1000000L / n1).toLong else -1L
+      val mc = if (n0 > 0) (BigInt(sy0) * 1000000L / n0).toLong else -1L
+      val pos = n1 > 0 && n0 > 0
+      St(st, ns, n1, n0, pPpm, mt, mc, if (pos) mt - mc else 0L, pos)
+    }
+    val used = rows.filter(_.pos)
+    val nUsed = used.map(_.ns).sum
+    val nDropped = (rows.size - used.size).toLong
+    val (ateStrat, ateIpw) = if (nUsed <= 0) (-1L, -1L) else {
+      val sNum = used.map(r => BigInt(r.ns) * r.delta).sum
+      val iNum = used.map { r =>
+        val (_, sy1) = cell(r.st, 1L)
+        val (_, sy0) = cell(r.st, 0L)
+        val w1 = BigInt(1000000000000L) / r.pPpm
+        val w0 = BigInt(1000000000000L) / (1000000L - r.pPpm)
+        BigInt(sy1) * w1 - BigInt(sy0) * w0
+      }.sum
+      (tdiv(sNum, BigInt(nUsed)).toLong, tdiv(iNum, BigInt(nUsed)).toLong)
+    }
+    rows.map(r => (r.st, r.ns, r.n1, r.n0, r.pPpm, r.mt, r.mc, r.delta,
+        r.pos, naive, ateStrat, ateIpw, nUsed, nDropped))
+      .toDF("stratum", "n_s", "n_treat", "n_control", "propensity_ppm",
+        "mean_treat_micro", "mean_control_micro", "delta_micro",
+        "positivity", "naive_micro", "ate_strat_micro", "ate_ipw_micro",
+        "n_used", "n_dropped")
+      .orderBy("stratum")
+  }
+
   /** q344 — DIFFERENTIAL-PRIVACY BUDGET ADVISOR (Dwork, McSherry, Nissim
     * & Smith 2006; the calibration pass a platform runs BEFORE releasing
     * user-level aggregates — the noise itself is random, but everything
@@ -3280,9 +3391,10 @@ object Stats extends QueryModule {
   }
 
   /** q306 — FORECAST BACKTEST / MODEL SELECTION: the read that closes
-    * the forecast family — which of the library's four forecasters
-    * (q319 Yule–Walker AR, q300 linear Holt, q303 additive
-    * Holt-Winters, q154's seasonal-naive baseline) actually wins on
+    * the forecast family — which of the library's five forecasters
+    * (q319 Yule–Walker AR, q351 innovations MA, q300 linear Holt,
+    * q303 additive Holt-Winters, q154's seasonal-naive baseline)
+    * actually wins on
     * THIS series, by one-step
     * mean absolute error over the shared out-of-fit window. Both
     * recurrences already produce rolling one-step forecasts at every
@@ -3329,8 +3441,14 @@ object Stats extends QueryModule {
     // window is identical across models)
     val arErrs = arPass(series)._3
       .collect { case (m, _, _, e) if m >= cut => e }
+    // the q351 estimation rung joins the panel the same way — the
+    // shared maPass, scored on the identical cut ≥ qEff window (the
+    // honesty note above applies to it equally: μ/ACF/θ̂ are
+    // full-sample, the innovations-recursion forecasts are residuals)
+    val maErrs = maPass(series)._3
+      .collect { case (m, _, _, e) if m >= cut => e }
     val models = Seq(("ar", arErrs), ("holt", holtErrs),
-      ("holt_winters", hwErrs),
+      ("holt_winters", hwErrs), ("ma", maErrs),
       ("seasonal_naive", naiveErrs)).map { case (name, errs) =>
       val n = errs.size.toLong
       val tot = errs.map(BigInt(_)).sum
@@ -3648,6 +3766,141 @@ object Stats extends QueryModule {
       Vector(("order", 0L, -1L, p.toLong, 0L)) ++
         phiP.zipWithIndex.map { case (ph, j) =>
           ("phi", (j + 1).toLong, -1L, ph, 0L)
+        } ++
+        inSample.map { case (m, a, f, e) => ("forecast", m, a, f, e) } ++
+        horizon.zipWithIndex.map { case (f, h) =>
+          ("horizon", (n + h).toLong, -1L, f, 0L)
+        }
+    rows.toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
+      .orderBy("row_kind", "m")
+  }
+
+  /** The q351 MA fit + forecasts as ONE shared pass (q306's backtest
+    * replays it — the holtPass/hwPass/arPass no-drift discipline):
+    * sample ACF in ppm (q307's integer formula), MA order selection by
+    * the ACF cutoff (max lag k with ρ_k²·n ≥ [[arBandZSq]]·10¹² — the
+    * ±2/√n band q319 applies to the PACF, applied to the ACF, which is
+    * where an MA(q) signature lives: ACF cuts off at q, PACF tails),
+    * the INNOVATIONS ALGORITHM (Brockwell & Davis 1991, prop. 5.2.2)
+    * run to depth M = the available lags, and θ̂_j = θ_{M,j} for
+    * j = 1..q (the innovations estimator reads the FITTED coefficients
+    * off a deep row, not row q — θ_{q,·} alone is badly biased; depth
+    * M is the knob and is pinned to [[acfMaxLag]]). The triangle is
+    * ppm FIXED POINT with toward-zero truncation, one per θ and one
+    * per v:
+    *   θ_{m,m−k} = (ρ_{m−k}·10¹² − Σ_{j<k} θ_{k,k−j}·θ_{m,m−j}·v_j)
+    *               div (v_k·10⁶)
+    *   v_m       = 10⁶ − (Σ_{j<m} θ_{m,m−j}²·v_j) div 10¹²,  v_0 = 10⁶
+    * mirrored pair for pair by the oracle's LINEARIZED recursive CTE
+    * (the (m, k) double loop flattened to one step counter carrying
+    * the flat triangle + v list — θ_{r,c} lives at flat position
+    * r(r−1)/2 + (r−c) + 1). The walk stops when a completed row's v
+    * hits 0 (θ beyond is undefined); the fit then reads the last
+    * completed row and qEff = min(q, rows proven) — both engines agree
+    * on degenerate series instead of diverging. Forecasts are the
+    * conditional (innovations-zero) recursion on the FITTED θ:
+    *   f_t = μ + (Σ_{j≤qEff, j≤t} θ̂_j·e_{t−j}) div 10⁶,  e_t = x_t − f_t
+    * in-sample for t ≥ qEff; the h-step horizon substitutes ZERO for
+    * future innovations, so f_{n+h} = μ + Σ_{j≥h} θ̂_j·e_{n+h−j} — an
+    * MA(q) forecast reverts to the mean after q steps BY CONSTRUCTION
+    * (no ring recursion needed, unlike AR). Returns (qEff, θ̂ ppm,
+    * in-sample rows (m, actual, forecast, absErr), horizon). All
+    * calendar-bounded driver-side (the q298 metadata rule); products
+    * ride BigInt ≡ the oracle's HUGEINT. */
+  private def maPass(series: Array[(Long, Long)])
+      : (Int, Vector[Long], Vector[(Long, Long, Long, Long)],
+         Vector[Long]) = {
+    val n = series.length
+    val c = series.map(_._2)
+    val mu = (c.map(BigInt(_)).sum / n).toLong
+    val dv = c.map(_ - mu)
+    val den = dv.map(x => BigInt(x) * x).sum
+    val rho: IndexedSeq[Long] =
+      if (den <= 0) IndexedSeq.empty
+      else (1 to math.min(acfMaxLag, n - 1)).map { k =>
+        val num = (0 until n - k).map(t => BigInt(dv(t)) * dv(t + k)).sum
+        ((num * 1000000) / den).toLong
+      }
+    val sel = (1 to rho.length).filter(k =>
+      BigInt(rho(k - 1)) * rho(k - 1) * n >= BigInt(arBandZSq) *
+        BigInt(1000000L) * 1000000L)
+    val q = if (sel.isEmpty) 0 else sel.max
+    // innovations triangle: rows(m−1)(c−1) = θ_{m,c} in ppm
+    val vs = scala.collection.mutable.ArrayBuffer(BigInt(1000000L))
+    val tri = scala.collection.mutable.ArrayBuffer.empty[Vector[BigInt]]
+    var m = 1
+    var go = rho.nonEmpty
+    while (go && m <= rho.length) {
+      val row = new Array[BigInt](m) // slot c−1 = subscript c
+      (0 until m).foreach { k =>
+        val s = (0 until k).map { j =>
+          tri(k - 1)(k - j - 1) * row(m - j - 1) * vs(j)
+        }.sum
+        row(m - k - 1) =
+          tdiv(BigInt(rho(m - k - 1)) * 1000000000000L - s,
+            vs(k) * 1000000L)
+      }
+      tri += row.toVector
+      val vm = BigInt(1000000L) -
+        tdiv((0 until m).map(j => row(m - j - 1) * row(m - j - 1) *
+          vs(j)).sum, BigInt(1000000000000L))
+      vs += vm
+      if (vm <= 0) go = false
+      m += 1
+    }
+    val qEff = math.min(q, tri.length)
+    val th: Vector[Long] =
+      if (qEff == 0) Vector.empty
+      else (1 to qEff).map(j => tri.last(j - 1).toLong).toVector
+    var es = Vector.empty[Long]
+    val all = (0 until n).map { t =>
+      val s = (1 to math.min(th.length, t))
+        .map(j => BigInt(th(j - 1)) * es(t - j)).sum
+      val f = mu + tdiv(s, BigInt(1000000L)).toLong
+      es = es :+ (c(t) - f)
+      (series(t)._1, c(t), f, (c(t) - f).abs)
+    }
+    val inSample = all.drop(qEff).toVector
+    val horizon = (1 to holtHorizon).map { h =>
+      val s = (h to th.length)
+        .map(j => BigInt(th(j - 1)) * es(n + h - 1 - j)).sum
+      mu + tdiv(s, BigInt(1000000L)).toLong
+    }.toVector
+    (qEff, th, inSample, horizon)
+  }
+
+  /** q351 — MA(q) ESTIMATION VIA THE INNOVATIONS ALGORITHM + h-STEP
+    * FORECAST (Brockwell & Davis 1991, §5.2; the other half of the
+    * Box–Jenkins estimation stage): q319 fits the AR side (PACF cuts
+    * off, ACF tails); THIS fits the MA side (ACF cuts off at q, PACF
+    * tails — the signature q307 detects that previously had no
+    * matching estimator, so q306's backtest could never select it).
+    * Everything — identification band, ppm fixed point, shared-pass
+    * no-drift discipline, long output format — mirrors q319 with the
+    * roles of ACF and PACF exchanged; see [[maPass]] for the exact
+    * recursion and its linearized oracle.
+    *
+    * Output (long format): an `order` row (value = qEff), one `theta`
+    * row per coefficient (m = lag j, value = θ̂_j ppm), `forecast`
+    * rows for t ≥ qEff, and [[holtHorizon]] `horizon` rows (actual
+    * = −1; the horizon reverts to μ past lag qEff by construction).
+    * Scale: ONE corpus aggregate — the memoized [[monthlyFrame]]
+    * leaf — then calendar-bounded driver-side recurrences (the
+    * triangle is ≤ [[acfMaxLag]]·([[acfMaxLag]]+1)/2 = 78 fixed-point
+    * steps at ANY corpus scale, the q298 metadata-sync rule).
+    */
+  val maForecast: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    require(series.nonEmpty, "q351: empty orders table")
+    require(series.last._1 == series.length - 1,
+      "q351: month grid must be gap-free (MA lags are calendar-aligned)")
+    val (q, th, inSample, horizon) = maPass(series)
+    val n = series.length
+    val rows =
+      Vector(("order", 0L, -1L, q.toLong, 0L)) ++
+        th.zipWithIndex.map { case (t, j) =>
+          ("theta", (j + 1).toLong, -1L, t, 0L)
         } ++
         inSample.map { case (m, a, f, e) => ("forecast", m, a, f, e) } ++
         horizon.zipWithIndex.map { case (f, h) =>
@@ -4105,6 +4358,7 @@ object Stats extends QueryModule {
     "q307_acf" -> acfDiagnostic,
     "q313_pacf" -> pacfDiagnostic,
     "q319_ar_forecast" -> arForecast,
+    "q351_ma_forecast" -> maForecast,
     "q323_ljung_box" -> ljungBox,
     "q324_classical_decomp" -> classicalDecomp,
     "q325_mann_kendall" -> mannKendall,
@@ -4132,6 +4386,7 @@ object Stats extends QueryModule {
     "q347_diff_in_diff" -> diffInDiff,
     "q348_reg_discontinuity" -> regDiscontinuity,
     "q349_iv_wald" -> ivWald,
+    "q350_propensity_strat" -> propensityStrat,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -4194,6 +4449,82 @@ object Stats extends QueryModule {
        |  min(CASE WHEN r = (m + 1) // 2 THEN v END) AS est_p50,
        |  min(CASE WHEN r = (m * 9 + 9) // 10 THEN v END) AS est_p90
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The q351 innovations-algorithm CTE block (mit triangle → mfin/msel/
+    * mrow/mq/mths/mthl → mfz residual recursion → mes), shared TEXTUALLY
+    * by the q351 and q306 oracles (the kcenterOracleChain precedent —
+    * the recursion cannot drift between the fit and the backtest that
+    * scores it). Parameterized by the ACF-table and stats-CTE names
+    * (`macf`/`mst` in q351, `aacf`/`ast` in q306 where the AR chain
+    * already built them); expects `monthly(m, c)` in scope and the ACF
+    * table exposing (lag, acf_ppm). Every CTE it emits is m-prefixed.
+    * The (m, k) double loop is linearized on one step counter i; the
+    * flat triangle stores θ_{r,c} at position r(r−1)/2 + (r−c) + 1;
+    * `mes` is the single downstream read of the recursive mfz (the
+    * q334 single-scan rule for recursive CTEs carrying correlated
+    * subqueries). */
+  private def maOracleChain(acf: String, st: String): String = {
+    val nm = "(CASE WHEN mit.k + 1 < mit.m THEN mit.m ELSE mit.m + 1 END)"
+    val nk = "(CASE WHEN mit.k + 1 < mit.m THEN mit.k + 1 ELSE 0 END)"
+    val mth = s"((mr.rho[$nm - $nk] * 1000000 * 1000000" +
+      s" - coalesce(list_sum(list_transform(range(0, $nk)," +
+      s" j -> mit.tri[$nk * ($nk - 1) // 2 + j + 1]" +
+      s" * mit.tri[$nm * ($nm - 1) // 2 + j + 1]" +
+      s" * mit.vs[j + 1])), 0))" +
+      s" // (mit.vs[$nk + 1] * 1000000))"
+    val vnew = s"(1000000 - coalesce(list_sum(list_transform(" +
+      s"range(0, $nm)," +
+      s" j -> (mit.tri || [$mth])[$nm * ($nm - 1) // 2 + j + 1]" +
+      s" * (mit.tri || [$mth])[$nm * ($nm - 1) // 2 + j + 1]" +
+      s" * mit.vs[j + 1])), 0) // 1000000000000)"
+    val msum = "coalesce(list_sum(list_transform(" +
+      "range(1, least(len(mthl.tl), mfz.t) + 1)," +
+      " j -> mthl.tl[j] * mfz.es[mfz.t - j + 1])), 0)"
+    s"""mr AS MATERIALIZED (SELECT
+       |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+       |    count(*) AS nl FROM $acf),
+       |mit(i, m, k, tri, vs) AS (
+       |  SELECT 1, 1, 0, [mr.rho[1]],
+       |    [CAST(1000000 AS HUGEINT),
+       |     1000000 - (mr.rho[1] * mr.rho[1]) // 1000000]
+       |  FROM mr WHERE mr.nl >= 1
+       |  UNION ALL
+       |  SELECT mit.i + 1, $nm, $nk,
+       |    mit.tri || [$mth],
+       |    CASE WHEN $nk = $nm - 1 THEN mit.vs || [$vnew]
+       |      ELSE mit.vs END
+       |  FROM mit, mr
+       |  WHERE (mit.k + 1 < mit.m)
+       |     OR (mit.m < mr.nl AND mit.vs[len(mit.vs)] > 0)),
+       |mfin AS MATERIALIZED (SELECT m AS mstar, tri FROM mit
+       |  WHERE k = m - 1 ORDER BY m DESC LIMIT 1),
+       |msel AS MATERIALIZED (SELECT coalesce(max(lag), 0) AS q
+       |  FROM $acf, $st
+       |  WHERE CAST(acf_ppm AS HUGEINT) * acf_ppm * $st.n
+       |    >= ${arBandZSq * 1000000L} * CAST(1000000 AS HUGEINT)),
+       |mrow AS MATERIALIZED (SELECT
+       |    coalesce((SELECT mstar FROM mfin), 0) AS mstar,
+       |    coalesce((SELECT tri FROM mfin), CAST([] AS HUGEINT[]))
+       |      AS tri),
+       |mq AS MATERIALIZED (SELECT least(msel.q, mrow.mstar) AS qe
+       |  FROM msel, mrow),
+       |mths AS MATERIALIZED (SELECT CAST(jj.j AS BIGINT) AS j,
+       |    mrow.tri[mrow.mstar * (mrow.mstar - 1) // 2
+       |      + (mrow.mstar - jj.j) + 1] AS th
+       |  FROM (SELECT unnest(range(1, qe + 1)) AS j FROM mq) jj, mrow),
+       |mthl AS MATERIALIZED (SELECT
+       |    coalesce(list(th ORDER BY j), CAST([] AS HUGEINT[])) AS tl
+       |  FROM mths),
+       |mfz(t, es) AS (
+       |  SELECT 0, CAST([] AS HUGEINT[])
+       |  UNION ALL
+       |  SELECT mfz.t + 1, mfz.es ||
+       |    [(SELECT CAST(c AS HUGEINT) FROM monthly WHERE m = mfz.t)
+       |     - ((SELECT mu FROM $st) + $msum // 1000000)]
+       |  FROM mfz, mthl WHERE mfz.t < (SELECT n FROM $st)),
+       |mes AS MATERIALIZED (SELECT es FROM mfz
+       |  ORDER BY t DESC LIMIT 1)""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // the oracle computes the prefix with ONE plain cumulative window (it
@@ -4341,6 +4672,9 @@ object Stats extends QueryModule {
          |        ELSE -((-coalesce(s.ss, 0)) // 1000000) END)) AS e
          |  FROM monthly x LEFT JOIN ainss s ON s.m = x.m
          |  WHERE x.m >= $cut),
+         |${maOracleChain(acf = "aacf", st = "ast")},
+         |me AS (SELECT abs(mes.es[x.m + 1]) AS e
+         |  FROM monthly x, mes WHERE x.m >= $cut),
          |ith(t, s, b, f) AS (
          |  SELECT CAST(0 AS BIGINT),
          |    CAST((SELECT c FROM monthly WHERE m = 0) AS HUGEINT),
@@ -4395,6 +4729,8 @@ object Stats extends QueryModule {
          |    CAST(sum(e) AS BIGINT) FROM he
          |  UNION ALL SELECT 'holt_winters', count(*),
          |    CAST(sum(e) AS BIGINT) FROM we
+         |  UNION ALL SELECT 'ma', count(*),
+         |    CAST(sum(e) AS BIGINT) FROM me
          |  UNION ALL SELECT 'seasonal_naive', count(*),
          |    CAST(sum(e) AS BIGINT) FROM ne),
          |fin AS MATERIALIZED (SELECT model,
@@ -4744,6 +5080,58 @@ object Stats extends QueryModule {
          |UNION ALL SELECT 'forecast', m, c, f, abs(c - f) FROM insf
          |UNION ALL SELECT 'horizon', (SELECT max(m) FROM monthly) + hz.h,
          |  -1, CAST(hz.f AS BIGINT), 0 FROM hz WHERE hz.h >= 1
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // the identical monthly rollup + ppm ACF, the ACF-cutoff order, the
+    // innovations triangle LINEARIZED ((m,k) pairs flattened to one
+    // recursive step counter carrying the flat HUGEINT triangle + v
+    // list), the same conditional-residual recursion and zero-future-
+    // innovation horizon — every truncation toward zero in both engines
+    "q351_ma_forecast" -> {
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |mst AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |mdev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM mst) AS dv FROM monthly),
+         |mden AS (SELECT sum(dv * dv) AS dn FROM mdev),
+         |macf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM mden)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM mden))
+         |      END AS BIGINT) AS acf_ppm
+         |  FROM mdev a JOIN mdev b
+         |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM mden) > 0
+         |  GROUP BY 1),
+         |${maOracleChain(acf = "macf", st = "mst")},
+         |mfc AS (SELECT x.m, x.c,
+         |    CAST(x.c AS HUGEINT) - mes.es[x.m + 1] AS f,
+         |    abs(mes.es[x.m + 1]) AS ae
+         |  FROM monthly x, mes, mq WHERE x.m >= mq.qe),
+         |mhz AS (SELECT hh.h AS h,
+         |    mst.mu + coalesce(list_sum(list_transform(
+         |      range(hh.h, len(mthl.tl) + 1),
+         |      j -> mthl.tl[j] * mes.es[mst.n + hh.h - j])),
+         |      0) // 1000000 AS f
+         |  FROM (SELECT unnest(range(1, $holtHorizon + 1)) AS h) hh,
+         |    mthl, mes, mst)
+         |SELECT 'order' AS row_kind, CAST(0 AS BIGINT) AS m,
+         |  CAST(-1 AS BIGINT) AS actual_cents,
+         |  CAST(qe AS BIGINT) AS value,
+         |  CAST(0 AS BIGINT) AS abs_err_cents FROM mq
+         |UNION ALL SELECT 'theta', j, -1, CAST(th AS BIGINT), 0 FROM mths
+         |UNION ALL SELECT 'forecast', m, c, CAST(f AS BIGINT),
+         |  CAST(ae AS BIGINT) FROM mfc
+         |UNION ALL SELECT 'horizon', (SELECT max(m) FROM monthly) + mhz.h,
+         |  -1, CAST(mhz.f AS BIGINT), 0 FROM mhz
          |ORDER BY 1, 2""".stripMargin
     },
     // the q306 AR chain (a-prefixed) through the residual frame, then
@@ -5655,6 +6043,93 @@ object Stats extends QueryModule {
          |UNION ALL
          |SELECT n0, n1, -1, -1, -1, -1, -1, false FROM j
          |WHERE n0 <= 0 OR n1 <= 0""".stripMargin,
+    // the same per-user frame, nearest-rank median exposure cut,
+    // stratum cells, exact count-ratio propensities, and the identical
+    // truncation sequence for naive / Cochran / HT-IPW; division guards
+    // are explicit (CASE branches both evaluate under vectorization)
+    "q350_propensity_strat" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(c) AS BIGINT) AS cl
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT cl, count(*) AS t FROM per GROUP BY cl),
+         |hc AS (SELECT cl, sum(t) OVER (ORDER BY cl) AS cum,
+         |    sum(t) OVER () AS nn FROM h),
+         |med AS (SELECT min(cl) AS med FROM hc WHERE cum * 2 >= nn),
+         |cells AS (SELECT
+         |    CAST(least(x // $propStratWidth, $propStratCap) AS BIGINT)
+         |      AS stratum,
+         |    CASE WHEN cl > (SELECT med FROM med) THEN 1 ELSE 0 END AS t,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+         |  FROM per GROUP BY 1, 2),
+         |st AS (SELECT stratum, CAST(sum(n) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN t = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN t = 1 THEN sy ELSE 0 END) AS BIGINT)
+         |      AS sy1,
+         |    CAST(sum(CASE WHEN t = 0 THEN sy ELSE 0 END) AS BIGINT)
+         |      AS sy0
+         |  FROM cells GROUP BY stratum),
+         |sr AS (SELECT *,
+         |    (CAST(n1 AS HUGEINT) * 1000000) // ns AS p_ppm,
+         |    CASE WHEN n1 > 0
+         |      THEN (CAST(sy1 AS HUGEINT) * 1000000) // n1 ELSE -1 END
+         |      AS mt,
+         |    CASE WHEN n0 > 0
+         |      THEN (CAST(sy0 AS HUGEINT) * 1000000) // n0 ELSE -1 END
+         |      AS mc,
+         |    (n1 > 0 AND n0 > 0) AS pos
+         |  FROM st),
+         |sd AS (SELECT *, CASE WHEN pos THEN mt - mc ELSE 0 END AS delta
+         |  FROM sr),
+         |g AS (SELECT
+         |    CAST(sum(n1) AS HUGEINT) AS nt,
+         |    CAST(sum(n0) AS HUGEINT) AS nc,
+         |    CAST(sum(sy1) AS HUGEINT) AS syt,
+         |    CAST(sum(sy0) AS HUGEINT) AS syc,
+         |    CAST(sum(CASE WHEN pos THEN ns ELSE 0 END) AS HUGEINT)
+         |      AS n_used,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_dropped,
+         |    sum(CASE WHEN pos THEN CAST(ns AS HUGEINT) * delta
+         |      ELSE 0 END) AS snum,
+         |    sum(CASE WHEN pos THEN CAST(sy1 AS HUGEINT)
+         |        * (1000000000000 //
+         |           (CASE WHEN n1 > 0 THEN p_ppm ELSE 1 END))
+         |      - CAST(sy0 AS HUGEINT)
+         |        * (1000000000000 //
+         |           (CASE WHEN n0 > 0 THEN 1000000 - p_ppm ELSE 1 END))
+         |      ELSE 0 END) AS inum
+         |  FROM sd),
+         |gg AS (SELECT *,
+         |    CASE WHEN nt <= 0 OR nc <= 0 THEN -1
+         |      ELSE (syt * 1000000) // nt - (syc * 1000000) // nc END
+         |      AS naive,
+         |    CASE WHEN n_used <= 0 THEN -1 ELSE snum // n_used END
+         |      AS ate_s,
+         |    CASE WHEN n_used <= 0 THEN -1 ELSE inum // n_used END
+         |      AS ate_i
+         |  FROM g)
+         |SELECT stratum, ns AS n_s, n1 AS n_treat, n0 AS n_control,
+         |  CAST(p_ppm AS BIGINT) AS propensity_ppm,
+         |  CAST(mt AS BIGINT) AS mean_treat_micro,
+         |  CAST(mc AS BIGINT) AS mean_control_micro,
+         |  CAST(delta AS BIGINT) AS delta_micro, pos AS positivity,
+         |  CAST(naive AS BIGINT) AS naive_micro,
+         |  CAST(ate_s AS BIGINT) AS ate_strat_micro,
+         |  CAST(ate_i AS BIGINT) AS ate_ipw_micro,
+         |  CAST(n_used AS BIGINT) AS n_used, n_dropped
+         |FROM sd, gg ORDER BY stratum""".stripMargin,
     // the same per-(user, type) reduce, per-type nearest-rank clip on
     // the contribution histogram, and the same integer advisor algebra
     "q344_dp_budget" ->

@@ -745,13 +745,17 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))
     assert(bt.map(_._1).toList ===
-      List("ar", "holt", "holt_winters", "seasonal_naive"), bt.mkString(","))
-    val Array(ar, holt, hw, naive) = bt
+      List("ar", "holt", "holt_winters", "ma", "seasonal_naive"),
+      bt.mkString(","))
+    val Array(ar, holt, hw, ma, naive) = bt
     assert(hw === ("holt_winters", 6L, 0L, 0L, true), bt.mkString(","))
     assert(naive === ("seasonal_naive", 6L, 144L, 24L, false), bt.mkString(","))
     assert(holt._1 === "holt" && holt._2 === 6L && holt._3 > 0L && !holt._5,
       bt.mkString(","))
     assert(ar._2 === 6L && ar._3 > 0L && !ar._5, bt.mkString(","))
+    // the q351 MA member scores too — a moving average cannot model a
+    // trend+seasonal series, so it never flags best here
+    assert(ma._2 === 6L && ma._3 > 0L && !ma._5, bt.mkString(","))
   }
 
   test("q301 RFM: cells partition the customer base, quintiles deal evenly, and the segment mapping is consistent") {
@@ -1841,7 +1845,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(short.head._2 === shortAcf1, short.toString)
   }
 
-  test("q319 AR fit: a planted AR(2) selects order 2, phi matches an independent fixed-point replay exactly, and the AR column wins the q306 backtest") {
+  test("q319 AR fit: a planted AR(2) selects order 2, phi matches an independent fixed-point replay exactly, and the AR column beats every smoother in the q306 backtest") {
     import spark.implicits._
     // x_t = 1.1·x_{t−1} − 0.5·x_{t−2} + LCG shock — complex AR(2) roots
     // give a damped ~8.5-month quasi-cycle no smoother state models:
@@ -1921,14 +1925,122 @@ class AnalyticsSpec extends SparkSpec {
       === wantH.toList)
 
     // the backtest: the AR member beats every smoother out of fit on
-    // its own generating process — the estimation rung earns its seat
+    // its own generating process — the estimation rung earns its seat.
+    // The q351 MA member is the ONE allowed exception: an AR(2)'s ACF
+    // TAILS instead of cutting off, so the ACF-cutoff rule reads
+    // q̂ = 11 and the 11-parameter MA out-fits the 2-parameter AR
+    // in residual MAE (q306's documented full-sample honesty note —
+    // in-sample error rewards parameters; the PACF, which q313 reads,
+    // is how the practitioner avoids that misidentification)
     val bt = SparkEntry.queries("q306_forecast_backtest")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
       .toList
     val arMae = bt.find(_._1 == "ar").get
-    assert(arMae._3, bt.toString)
-    bt.filter(_._1 != "ar").foreach { m =>
+    bt.filter(m => m._1 != "ar" && m._1 != "ma").foreach { m =>
       assert(m._2 > arMae._2 && !m._3, bt.toString)
+    }
+  }
+
+  test("q351 MA fit: a planted MA(1) selects order 1 off the ACF cutoff, theta matches an independent fixed-point replay exactly, the horizon reverts to the mean past lag q, and the MA column wins the q306 backtest") {
+    import spark.implicits._
+    // x_t = μ + e_t + 0.6·e_{t−1}, LCG shocks — the ACF-cutoff
+    // signature (ρ₁ = θ/(1+θ²) ≈ 0.44 significant, ρ₂.. noise) that
+    // q307 detects and that, before q351, had no matching estimator
+    val A = 500000L
+    var seed = 7L
+    def lcg(): Long = {
+      seed = (seed * 1103515245L + 12345L) % (1L << 31)
+      seed % 2001L - 1000L
+    }
+    var ePrev = 0.0
+    val cents = (0 until 60).map { t =>
+      val e = lcg() * 40.0
+      val x = A + e + (if (t > 0) 0.6 * ePrev else 0.0)
+      ePrev = e
+      x.toLong
+    }
+    val orders = cents.zipWithIndex.map { case (c, t) =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", c / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftma").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // ---- independent replay: ACF → ACF-cutoff order → innovations
+    // triangle → conditional-residual forecasts, in BigInt toward-zero
+    // fixed point written from Brockwell & Davis prop. 5.2.2, not the
+    // engine code (the q319 replay discipline) ----
+    def tdiv(a: BigInt, b: BigInt): BigInt = a / b
+    val n = cents.length
+    val mu = tdiv(cents.map(BigInt(_)).sum, n).toLong
+    val dv = cents.map(_ - mu)
+    val den = dv.map(x => BigInt(x) * x).sum
+    val rho = (1 to 12).map { k =>
+      tdiv((0 until n - k).map(t => BigInt(dv(t)) * dv(t + k)).sum
+        * 1000000, den).toLong
+    }
+    val q = (1 to 12).filter(k => BigInt(rho(k - 1)) * rho(k - 1) * n
+      >= BigInt("4000000000000")).max
+    assert(q === 1, rho.toString)
+    val vs = scala.collection.mutable.ArrayBuffer(BigInt(1000000L))
+    val tri = scala.collection.mutable.ArrayBuffer.empty[Vector[BigInt]]
+    (1 to 12).foreach { m =>
+      if (vs.last > 0) {
+        val row = new Array[BigInt](m)
+        (0 until m).foreach { k =>
+          val s = (0 until k).map(j =>
+            tri(k - 1)(k - j - 1) * row(m - j - 1) * vs(j)).sum
+          row(m - k - 1) = tdiv(BigInt(rho(m - k - 1)) * 1000000000000L - s,
+            vs(k) * 1000000L)
+        }
+        tri += row.toVector
+        vs += BigInt(1000000L) - tdiv((0 until m).map(j =>
+          row(m - j - 1) * row(m - j - 1) * vs(j)).sum,
+          BigInt(1000000000000L))
+      }
+    }
+    val th = (1 to q).map(j => tri.last(j - 1).toLong)
+    // the planted 0.6 recovered to depth-12 innovations resolution —
+    // and the depth MATTERS: θ_{1,1} alone is ρ₁ ≈ 355k, badly biased
+    assert(math.abs(th(0) - 600000L) < 100000L, th.toString)
+    assert(tri.head.head.toLong === rho(0), "depth-1 row is raw ρ₁")
+
+    val got = SparkEntry.queries("q351_ma_forecast")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.collect { case ("order", _, _, qv, _) => qv }.toList
+      === List(q.toLong), got.take(3).mkString(","))
+    assert(got.collect { case ("theta", j, _, t, _) => (j, t) }.toList
+      === th.zipWithIndex.map { case (t, j) => ((j + 1).toLong, t) }.toList,
+      "theta must equal the independent replay exactly (ppm)")
+    var es = Vector.empty[Long]
+    val wantAll = (0 until n).map { t =>
+      val s = (1 to math.min(q, t)).map(j => BigInt(th(j - 1)) * es(t - j))
+        .sum
+      val f = mu + tdiv(s, 1000000L).toLong
+      es = es :+ (cents(t) - f)
+      (t.toLong, cents(t), f, math.abs(cents(t) - f))
+    }
+    assert(got.collect { case ("forecast", m, a, f, e) => (m, a, f, e) }
+      .toList === wantAll.drop(q).toList)
+    val wantH = (1 to 3).map { h =>
+      val s = (h to q).map(j => BigInt(th(j - 1)) * es(n + h - 1 - j)).sum
+      ((n + h - 1).toLong, mu + tdiv(s, 1000000L).toLong)
+    }
+    val gotH = got.collect { case ("horizon", m, _, f, _) => (m, f) }.toList
+    assert(gotH === wantH.toList)
+    // an MA(q) horizon reverts to the mean after q steps BY CONSTRUCTION
+    assert(gotH(1)._2 === mu && gotH(2)._2 === mu, gotH.toString)
+    assert(gotH(0)._2 !== mu, "h = 1 still carries θ·e_n")
+
+    // the backtest: the MA member beats every other model out of fit on
+    // its own generating process — the estimation rung earns its seat
+    val bt = SparkEntry.queries("q306_forecast_backtest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+      .toList
+    val maMae = bt.find(_._1 == "ma").get
+    assert(maMae._3, bt.toString)
+    bt.filter(_._1 != "ma").foreach { m =>
+      assert(m._2 > maMae._2 && !m._3, bt.toString)
     }
   }
 
@@ -2958,6 +3070,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(weak.getAs[Long]("first_stage_micro") === 0L, weak.toString)
     assert(weak.getAs[Long]("late_ppm") === -1L, weak.toString)
     assert(weak.getAs[Boolean]("weak_instrument"), weak.toString)
+  }
+
+  test("q350 propensity stratification: a planted confounder biases the naive read; the stratified estimator recovers the exact effect; a no-control stratum trips positivity and is excluded") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // potential outcomes y = base(stratum) + 2·t — true ATE 2.0 — but
+    // exposure (clicking) is SELF-SELECTED with propensity rising in
+    // pre-period activity x: stratum 0 (x = 0, base 1): 28 control /
+    // 2 treated; stratum 1 (x = 3, base 5): 2 control / 18 treated;
+    // stratum 2 (x = 6): 3 TREATED WHALES (y = 100), zero control —
+    // the positivity violation. Control users click once, treated ten
+    // times; the cl median over 30 controls + 23 treated is the
+    // control value, so t = cl > med splits exactly as planted.
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    var uid = 0L
+    def plant(n: Int, x: Long, y: Long, treated: Boolean): Unit =
+      (1 to n).foreach { _ =>
+        uid += 1
+        eid += 1; rows += ((eid, 0L, uid, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, uid, "view", 1.0, "{}"))
+        (1L to (if (treated) 10L else 1L)).foreach { _ =>
+          eid += 1; rows += ((eid, 2L * dayNs, uid, "click", 1.0, "{}"))
+        }
+        (1L to x).foreach { _ =>
+          eid += 1; rows += ((eid, 1L * dayNs, uid, "purchase", 1.0, "{}"))
+        }
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, uid, "purchase", 1.0, "{}"))
+        }
+      }
+    plant(28, 0L, 1L, treated = false); plant(2, 0L, 3L, treated = true)
+    plant(2, 3L, 5L, treated = false); plant(18, 3L, 7L, treated = true)
+    plant(3, 6L, 100L, treated = true)
+    val dir = java.nio.file.Files.createTempDirectory("graftps").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q350_propensity_strat")(spark, dir)
+      .collect()
+    assert(got.length === 3, got.mkString("\n"))
+    val byS = got.map(r => r.getAs[Long]("stratum") -> r).toMap
+    // per-stratum: exact count-ratio propensities and means
+    assert(byS(0L).getAs[Long]("propensity_ppm") === 66666L)
+    assert(byS(0L).getAs[Long]("delta_micro") === 2000000L)
+    assert(byS(1L).getAs[Long]("propensity_ppm") === 900000L)
+    assert(byS(1L).getAs[Long]("delta_micro") === 2000000L)
+    assert(byS(0L).getAs[Boolean]("positivity"))
+    assert(byS(1L).getAs[Boolean]("positivity"))
+    // the violating stratum: flagged, control-mean sentinel, excluded
+    assert(!byS(2L).getAs[Boolean]("positivity"))
+    assert(byS(2L).getAs[Long]("mean_control_micro") === -1L)
+    assert(byS(2L).getAs[Long]("mean_treat_micro") === 100000000L)
+    val g = byS(0L)
+    assert(g.getAs[Long]("n_used") === 50L, g.toString)
+    assert(g.getAs[Long]("n_dropped") === 1L, g.toString)
+    // naive = 432e6/23 − 38e6/30 = 17.52 — 8.8× the truth: the
+    // confounder concentrates treated users in high-base strata AND
+    // the naive read keeps the whale stratum the estimators drop
+    assert(g.getAs[Long]("naive_micro") === 17515942L, g.toString)
+    // Cochran recovers the planted 2.0 EXACTLY; HT-IPW differs only by
+    // the ppm weight truncation (w₁(s=0) = 10¹² div 66666)
+    assert(g.getAs[Long]("ate_strat_micro") === 2000000L, g.toString)
+    assert(g.getAs[Long]("ate_ipw_micro") === 2000018L, g.toString)
   }
 
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {

@@ -554,6 +554,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q351 MA fit: like q319, all corpus work is the staged month leaf; the innovations triangle is 78 driver-side fixed-point steps — local relation, no orders scan, no join") {
+    val p = plan("q351_ma_forecast")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q324 decomposition: windows and rollups run ON the staged calendar-bounded leaf — no orders scan, no cartesian, the seasonal join broadcasts") {
     val p = plan("q324_classical_decomp")
     assert(!p.contains("orders"), p)
@@ -732,6 +738,12 @@ class PlanSpec extends SparkSpec {
 
   test("q349 IV/Wald: shared leaf to a 2-row arm sync — local relation, no events scan, no join") {
     val p = plan("q349_iv_wald")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q350 propensity stratification: corpus work is the shared leaf through a value-bounded median histogram to a stratum-bounded cell sync — local relation, no events scan, no join") {
+    val p = plan("q350_propensity_strat")
     assert(!p.contains("events"), p)
     assert(!p.contains("Join"), p)
   }
