@@ -1507,6 +1507,9 @@ object Similarity extends QueryModule {
     * recurrence, not a tolerance, defines the output). */
   private[graft] val pcaRounds = 12
 
+  /** The fixture/corpus embedding width shared by the whole PCA family. */
+  private[graft] val pcaDims = 64
+
   /** q343 — PCA TOP COMPONENT VIA POWER ITERATION (Hotelling 1933;
     * von Mises & Pollaczek-Geiringer 1929 for the iteration): the first
     * principal axis of the embedding cloud plus its explained-variance
@@ -1538,9 +1541,14 @@ object Similarity extends QueryModule {
     * the inherent covariance cost; d is the knob (real deployments
     * subsample rows first — compose with q341).
     */
-  val pcaPower: Q = (s, d) => {
-    import s.implicits._
-    val dims = 64
+  /** The q343/q352 covariance-numerator sync, shared (the no-drift
+    * discipline): ONE corpus pass flattening each row to its 64×64
+    * products plus linear/count sentinels, map-side-combined and
+    * collected as a ≤ 64²+65-row frame (the q298 metadata rule);
+    * returns (n, Σv, C = n·Σvv' − (Σv)(Σv)') in exact BigInt. */
+  private def embCovSync(s: org.apache.spark.sql.SparkSession, d: String)
+      : (BigInt, Array[BigInt], Array[Array[BigInt]]) = {
+    val dims = pcaDims
     val rows = Tables.fanOut(Tables.embeddings(s, d), "vec_id")
       .select(expr(
         """transform(embedding,
@@ -1564,6 +1572,15 @@ object Similarity extends QueryModule {
     val lin = Array.tabulate(dims)(i => rows.getOrElse((i, -1), BigInt(0)))
     val cov = Array.tabulate(dims, dims)((i, j) =>
       n * rows.getOrElse((i, j), BigInt(0)) - lin(i) * lin(j))
+    (n, lin, cov)
+  }
+
+  /** The q343/q352 power iteration on a covariance numerator, shared:
+    * [[pcaRounds]] max-abs-rescaled rounds from the all-ones start,
+    * then (b, loadings, b'Cb, b'b) — every division toward zero. */
+  private def powerIterate(cov: Array[Array[BigInt]])
+      : (Array[BigInt], Array[Long], BigInt, BigInt) = {
+    val dims = pcaDims
     var b = Array.fill(dims)(BigInt(1000000L))
     (1 to pcaRounds).foreach { _ =>
       val y = Array.tabulate(dims)(i =>
@@ -1578,6 +1595,14 @@ object Similarity extends QueryModule {
     val bcb = (0 until dims).map(i =>
       (0 until dims).map(j => b(i) * cov(i)(j) * b(j)).sum).sum
     val bb = b.map(v => v * v).sum
+    (b, loadings, bcb, bb)
+  }
+
+  val pcaPower: Q = (s, d) => {
+    import s.implicits._
+    val dims = pcaDims
+    val (_, _, cov) = embCovSync(s, d)
+    val (_, loadings, bcb, bb) = powerIterate(cov)
     val trace = (0 until dims).map(i => cov(i)(i)).sum
     // λ/trace = b'Cb / (b'b · trace) — one cross-multiplied truncation
     val evRatio =
@@ -1589,8 +1614,77 @@ object Similarity extends QueryModule {
       .orderBy("dim")
   }
 
+  /** q352 component count (the spectrum read an embedding-quality audit
+    * wants: anisotropy is top-1, intrinsic-dimension needs the decay). */
+  private[graft] val pcaComponents = 3
+
+  /** q352 — MULTI-COMPONENT PCA VIA HOTELLING DEFLATION + EXPLAINED-
+    * VARIANCE SPECTRUM (Hotelling 1933, §4 for the deflation): extends
+    * q343 from the top axis to components 1..[[pcaComponents]] — the
+    * read an embedding-quality audit actually consumes (q343's
+    * anisotropy is top-1; whitening and intrinsic-dimension decisions
+    * need the λ DECAY). Each component reruns the SHARED
+    * [[powerIterate]] on the deflated covariance; deflation is the
+    * Hotelling projector in RATIONAL integer form,
+    *   C' = C − (λ·u u') div 10¹²,  λ = b'Cb div b'b,  u = ppm loadings
+    * (one toward-zero truncation per entry, mirrored entry for entry
+    * by the oracle's flat-list transform) — exact when u is the unit
+    * eigenvector, and both engines run the identical recurrence so the
+    * truncation residue cannot diverge. The λ-first order keeps the
+    * oracle's HUGEINT products at λ·u_iu_j ≲ trace·10¹², inside range
+    * to ~5·10⁵ vectors (tighter than q343's 3·10⁶ — the deflation is
+    * the binding term; the engine's BigInt is exact at any scale, the
+    * q342 convention). λ_i/trace(C₁) is the
+    * cross-multiplied b'C_ib/(b'b·trace) in ppm against the ORIGINAL
+    * trace, so the shares are comparable across components and sum to
+    * ≤ 10⁶; cum_ev_ppm accumulates them. Sentinels: a zero-trace or
+    * degenerate iterate emits −1 shares (and cum −1 from that point);
+    * a non-positive b'Cb stops deflating — C is kept (the q343
+    * mx = 0 keep-the-previous philosophy) and later components report
+    * what the recurrence yields on it, identically in both engines.
+    *
+    * Scale: the ONE corpus pass is the shared [[embCovSync]] (q343's —
+    * memoization-free but map-side combined, 64²-bounded sync); the
+    * three iterations and two deflations are driver-side 64² BigInt
+    * work (the q298 metadata rule). O(n·d²) inherent, d the knob.
+    */
+  val pcaSpectrum: Q = (s, d) => {
+    import s.implicits._
+    val dims = pcaDims
+    val (_, _, cov0) = embCovSync(s, d)
+    val trace = (0 until dims).map(i => cov0(i)(i)).sum
+    var cov = cov0
+    var cum = 0L
+    var sentinel = false
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Long, Long, Long)]
+    (1 to pcaComponents).foreach { comp =>
+      val (b, loadings, bcb, bb) = powerIterate(cov)
+      val ev =
+        if (trace <= 0 || bb == 0) -1L
+        else (bcb * 1000000L / (bb * trace)).toLong
+      if (ev < 0) sentinel = true
+      cum = if (sentinel) -1L else cum + ev
+      loadings.zipWithIndex.foreach { case (l, i) =>
+        out += ((comp, i + 1, l, if (sentinel) -1L else ev, cum))
+      }
+      if (comp < pcaComponents && bcb > 0) {
+        val lam = if (bb == 0) BigInt(0) else bcb / bb
+        val prev = cov
+        cov = Array.tabulate(dims, dims)((i, j) =>
+          prev(i)(j) -
+            lam * loadings(i) * loadings(j) / 1000000000000L)
+      }
+    }
+    out.toSeq
+      .toDF("component", "dim", "loading_ppm", "ev_ratio_ppm",
+        "cum_ev_ppm")
+      .orderBy("component", "dim")
+  }
+
   def queries: Map[String, Q] = Map(
     "q343_pca_power" -> pcaPower,
+    "q352_pca_spectrum" -> pcaSpectrum,
     "q334_mmr_select" -> mmrSelect,
     "q287_silhouette_sampled" -> silhouetteSampled,
     "q286_triplet_mining" -> tripletMining,
@@ -1726,6 +1820,104 @@ object Similarity extends QueryModule {
          |    ELSE (bcb * 1000000) // (s2 * tr) END AS BIGINT)
          |    AS ev_ratio_ppm
          |FROM dims ORDER BY dim""".stripMargin
+    },
+    // the q343 chain replayed per component (suffix-numbered CTE blocks),
+    // plus the Hotelling deflation as ONE flat-list transform —
+    // C' = C − (Cb)(Cb)' // b'Cb entry for entry, kept un-deflated when
+    // b'Cb ≤ 0 — and the sentinel chain masking every share after the
+    // first negative one, exactly the engine's rule
+    "q352_pca_spectrum" -> {
+      def yE(c: Int) = s"list_transform(range(1, 65), i -> " +
+        s"list_sum(list_transform(range(1, 65), j -> " +
+        s"cm$c.m[(i - 1) * 64 + j] * it$c.b[j])))"
+      def mxE(c: Int) = s"list_max(list_transform(${yE(c)}, v -> abs(v)))"
+      def bcbE(c: Int) = s"list_sum(list_transform(range(1, 65), i -> " +
+        s"n3$c.b[i] * list_sum(list_transform(range(1, 65), j -> " +
+        s"cm$c.m[(i - 1) * 64 + j] * n3$c.b[j]))))"
+      def compBlock(c: Int) =
+        s"""it$c(step, b) AS (
+           |  SELECT 0, list_transform(range(1, 65),
+           |    x -> CAST(1000000 AS HUGEINT))
+           |  UNION ALL
+           |  SELECT it$c.step + 1,
+           |    CASE WHEN ${mxE(c)} = 0 THEN it$c.b
+           |      ELSE list_transform(${yE(c)}, v -> CASE WHEN v >= 0
+           |        THEN (v * 1000000) // ${mxE(c)}
+           |        ELSE -(((-v) * 1000000) // ${mxE(c)}) END) END
+           |  FROM it$c, cm$c WHERE it$c.step < $pcaRounds),
+           |fb$c AS (SELECT b FROM it$c WHERE step = $pcaRounds),
+           |n0$c AS (SELECT b, list_sum(list_transform(b, v -> v * v))
+           |    AS s2 FROM fb$c),
+           |n1$c AS (SELECT *, CAST(floor(sqrt(CAST(s2 AS DOUBLE)))
+           |    AS HUGEINT) AS r0 FROM n0$c),
+           |n2$c AS (SELECT *, r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= s2
+           |    THEN 1 ELSE 0 END) AS r1 FROM n1$c),
+           |n3$c AS (SELECT *, r1 - (CASE WHEN r1 * r1 > s2 THEN 1 ELSE 0
+           |    END) AS nr FROM n2$c),
+           |lam$c AS MATERIALIZED (SELECT n3$c.b AS b, n3$c.s2 AS s2,
+           |    n3$c.nr AS nr, ${bcbE(c)} AS bcb
+           |  FROM n3$c, cm$c),
+           |ld$c AS MATERIALIZED (SELECT list_transform(range(1, 65),
+           |    i -> CASE WHEN lam$c.nr = 0 THEN CAST(0 AS HUGEINT)
+           |      WHEN lam$c.b[i] >= 0
+           |        THEN (lam$c.b[i] * 1000000) // lam$c.nr
+           |      ELSE -(((-lam$c.b[i]) * 1000000) // lam$c.nr) END) AS u,
+           |    CASE WHEN lam$c.s2 = 0 THEN CAST(0 AS HUGEINT)
+           |      ELSE lam$c.bcb // lam$c.s2 END AS lam
+           |  FROM lam$c)""".stripMargin
+      def deflate(c: Int) =
+        s"""cm${c + 1} AS MATERIALIZED (SELECT
+           |    CASE WHEN lam$c.bcb <= 0 THEN cm$c.m
+           |    ELSE list_transform(range(1, ${64 * 64 + 1}), idx ->
+           |      cm$c.m[idx] - (ld$c.lam * ld$c.u[(idx - 1) // 64 + 1]
+           |        * ld$c.u[(idx - 1) % 64 + 1]) // 1000000000000) END
+           |      AS m
+           |  FROM cm$c, ld$c, lam$c)""".stripMargin
+      def evE(c: Int) =
+        s"CASE WHEN (SELECT tr FROM trc) <= 0 OR lam$c.s2 = 0 THEN -1 " +
+          s"ELSE (lam$c.bcb * 1000000) // " +
+          s"(lam$c.s2 * (SELECT tr FROM trc)) END"
+      def compSel(c: Int) =
+        s"""SELECT $c AS component, CAST(dd.dim AS INT) AS dim,
+           |  CAST(ld$c.u[dd.dim] AS BIGINT) AS loading_ppm,
+           |  CAST(CASE WHEN fl.x$c THEN -1 ELSE fl.e$c END AS BIGINT)
+           |    AS ev_ratio_ppm,
+           |  CAST(CASE WHEN fl.x$c THEN -1
+           |    ELSE ${(1 to c).map(i => s"fl.e$i").mkString(" + ")} END
+           |    AS BIGINT) AS cum_ev_ppm
+           |FROM (SELECT unnest(range(1, 65)) AS dim) dd, ld$c, fl"""
+          .stripMargin
+      s"""WITH RECURSIVE e AS (SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |      AS v FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+         |lin AS (SELECT i, CAST(sum(COALESCE(v[i], 0)) AS HUGEINT) AS s
+         |  FROM e, range(1, 65) t(i) GROUP BY i),
+         |sq AS (SELECT i, j, sum(CAST(COALESCE(v[i], 0) AS HUGEINT)
+         |      * COALESCE(v[j], 0)) AS sp
+         |  FROM e, range(1, 65) t1(i), range(1, 65) t2(j) GROUP BY i, j),
+         |cv AS MATERIALIZED (SELECT q.i, q.j,
+         |    (SELECT n FROM cnt) * q.sp - li.s * lj.s AS c
+         |  FROM sq q JOIN lin li ON li.i = q.i JOIN lin lj ON lj.i = q.j),
+         |cm1 AS MATERIALIZED (SELECT list(c ORDER BY i, j) AS m FROM cv),
+         |trc AS MATERIALIZED (SELECT sum(c) AS tr FROM cv WHERE i = j),
+         |${compBlock(1)},
+         |${deflate(1)},
+         |${compBlock(2)},
+         |${deflate(2)},
+         |${compBlock(3)},
+         |evs AS MATERIALIZED (SELECT ${evE(1)} AS e1, ${evE(2)} AS e2,
+         |    ${evE(3)} AS e3
+         |  FROM lam1, lam2, lam3),
+         |fl AS MATERIALIZED (SELECT e1, e2, e3,
+         |    e1 < 0 AS x1, (e1 < 0 OR e2 < 0) AS x2,
+         |    (e1 < 0 OR e2 < 0 OR e3 < 0) AS x3 FROM evs)
+         |${compSel(1)}
+         |UNION ALL
+         |${compSel(2)}
+         |UNION ALL
+         |${compSel(3)}
+         |ORDER BY component, dim""".stripMargin
     },
     // the identical nano integerization of the 9-dp cosine, the same
     // constant-M pool, and the greedy replayed as a recursive CTE whose

@@ -1817,6 +1817,114 @@ object Stats extends QueryModule {
       .orderBy("stratum")
   }
 
+  /** q353 arm count (md5 user buckets) and the UCB1 log constant
+    * 2·ln 2 in micro — the bonus √(2·ln T/n) is evaluated as
+    * √(2·ln2·⌊log₂T⌋/n), with ⌊log₂T⌋ EXACT integer (bit length − 1)
+    * in both engines, so no cross-engine transcendental is ever
+    * computed (the q309/q322 plan-time-constant discipline). */
+  private[graft] val ucbArms = 4
+  private[graft] val twoLn2Micro = 1386294L
+
+  /** q353 — UCB1 ALLOCATION REPLAY (Auer, Cesa-Bianchi & Fischer 2002
+    * for the policy; Li, Chu, Langford & Wang 2011 for replay-style
+    * offline evaluation): the experimentation family covers
+    * fixed-horizon (q169/q322), group-sequential (q337), and
+    * fully-sequential (q309/q312) TESTING, but not adaptive
+    * ALLOCATION — this replays the logged event history as if a UCB1
+    * policy had been steering traffic, the audit a platform runs
+    * before turning a bandit on ("what would it have allocated, and
+    * what conversion would it have achieved vs the best fixed arm?").
+    * Arms are [[ucbArms]] md5 user buckets; the replay is DAILY-BATCH
+    * (the realistic reallocation grain — and the scale move: per-event
+    * replay would need a corpus-length sequential walk, while the
+    * daily batch reduces the corpus to calendar×arm cells in ONE
+    * distributed rollup): each observed day, UCB1 picks
+    * argmax(mean + bonus) over cumulative replay totals, then absorbs
+    * the picked arm's logged (trials, successes) for that day.
+    * Fixed-point exactness: mean_ppm = succ·10⁶ div trials; bonus_ppm
+    * = isqrt(([[twoLn2Micro]]·⌊log₂T⌋·10⁶) div trials) (ONE inner
+    * truncation; oracle: corrected double floor-sqrt); unplayed arms
+    * are forced first, smallest arm id, score sentinel −1; argmax
+    * ties break to the smallest arm (list_position-of-max ≡ maxBy on
+    * (score, −arm)). Output (long format): one `pick` row per day
+    * (arm, day's absorbed trials/successes, the winning score), one
+    * `arm` row per arm (days allocated, cumulative totals, final
+    * mean), and a `regret` row — best LOGGED fixed-arm mean minus the
+    * replay's achieved mean, the number the audit exists to produce.
+    *
+    * Scale: ONE corpus rollup to (day, arm) cells (calendar×arm-
+    * bounded at any corpus scale, the q298 metadata rule); the replay
+    * recursion is driver-side over observed days, mirrored by the
+    * oracle's recursive CTE carrying the per-arm state lists (scanned
+    * ONCE into a materialized copy — the q334 rule — with picks
+    * derived from consecutive state diffs).
+    */
+  val ucbReplay: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        graft.functions.Hashing.md5Bucket(col("user_id"), ucbArms)
+          .as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("r"))
+      .groupBy("day", "arm")
+      .agg(count(lit(1)).as("t"), sum("r").as("sr"))
+      .collect() // calendar × arm-bounded rows at any corpus scale
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val days = cells.keys.map(_._1).toSeq.distinct.sorted
+    val trials = Array.fill(ucbArms)(0L)
+    val succ = Array.fill(ucbArms)(0L)
+    val dp = Array.fill(ucbArms)(0L)
+    var tt = 0L
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long, Long)]
+    days.zipWithIndex.foreach { case (day, i) =>
+      val (pick, score) = (0 until ucbArms).find(trials(_) == 0L) match {
+        case Some(a) => (a, -1L)
+        case None =>
+          val lg = 63 - java.lang.Long.numberOfLeadingZeros(tt)
+          (0 until ucbArms).map { a =>
+            val mean = BigInt(succ(a)) * 1000000L / trials(a)
+            val bonus = isqrt(
+              BigInt(twoLn2Micro) * lg * 1000000L / trials(a))
+            (a, (mean + bonus).toLong)
+          }.maxBy { case (a, sc) => (sc, -a) }
+      }
+      val (dt, dr) = cells.getOrElse((day, pick.toLong), (0L, 0L))
+      out += (("pick", i.toLong, pick.toLong, -1L, dt, dr, score))
+      trials(pick) += dt; succ(pick) += dr; dp(pick) += 1; tt += dt
+    }
+    (0 until ucbArms).foreach { a =>
+      val mean = if (trials(a) <= 0) -1L
+        else (BigInt(succ(a)) * 1000000L / trials(a)).toLong
+      out += (("arm", -1L, a.toLong, dp(a), trials(a), succ(a), mean))
+    }
+    val logged = (0 until ucbArms).map { a =>
+      // .iterator: a Map.collect into (t, sr) PAIRS would rebuild a
+      // map keyed by t and silently dedupe equal day totals
+      val (lt, ls) = cells.iterator.collect {
+        case ((_, arm), (t, sr)) if arm == a => (t, sr)
+      }.foldLeft((0L, 0L)) { case ((x, y), (t, sr)) => (x + t, y + sr) }
+      (a, lt, ls)
+    }
+    val best = logged.filter(_._2 > 0)
+      .map { case (a, lt, ls) => (a, (BigInt(ls) * 1000000L / lt).toLong) }
+      .sortBy { case (a, m) => (-m, a) }.headOption
+    val replayMean =
+      if (tt <= 0) -1L
+      else (BigInt(succ.sum) * 1000000L / tt).toLong
+    val (bestArm, regret) = best match {
+      case Some((a, m)) if replayMean >= 0 => (a.toLong, m - replayMean)
+      case Some((a, _)) => (a.toLong, -1L)
+      case None => (-1L, -1L)
+    }
+    out += (("regret", -1L, bestArm, -1L, tt, succ.sum, regret))
+    out.toSeq
+      .toDF("row_kind", "step", "arm", "days", "trials", "successes",
+        "metric_ppm")
+      .orderBy("row_kind", "step", "arm")
+  }
+
   /** q344 — DIFFERENTIAL-PRIVACY BUDGET ADVISOR (Dwork, McSherry, Nissim
     * & Smith 2006; the calibration pass a platform runs BEFORE releasing
     * user-level aggregates — the noise itself is random, but everything
@@ -4387,6 +4495,7 @@ object Stats extends QueryModule {
     "q348_reg_discontinuity" -> regDiscontinuity,
     "q349_iv_wald" -> ivWald,
     "q350_propensity_strat" -> propensityStrat,
+    "q353_ucb_replay" -> ucbReplay,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -6130,6 +6239,114 @@ object Stats extends QueryModule {
          |  CAST(ate_i AS BIGINT) AS ate_ipw_micro,
          |  CAST(n_used AS BIGINT) AS n_used, n_dropped
          |FROM sd, gg ORDER BY stratum""".stripMargin,
+    // the same (day, arm) rollup, the identical zero-play/score/argmax
+    // rules (list_position-of-max ≡ smallest-arm tie-break, BIG constant
+    // for unplayed arms, exact integer log2 via bin length, corrected
+    // floor-sqrt bonus), state carried as HUGEINT lists and scanned ONCE
+    // into a materialized copy, picks derived from consecutive dp diffs
+    "q353_ucb_replay" -> {
+      def lg(t: String) =
+        s"(length(bin(CAST(greatest($t.tt, 1) AS BIGINT))) - 1)"
+      def x(t: String) =
+        s"(($twoLn2Micro * ${lg(t)} * 1000000) // greatest($t.tr[a], 1))"
+      def y(t: String) =
+        s"CAST(floor(sqrt(CAST(${x(t)} AS DOUBLE))) AS HUGEINT)"
+      def r1(t: String) =
+        s"(${y(t)} + (CASE WHEN (${y(t)} + 1) * (${y(t)} + 1)" +
+          s" <= ${x(t)} THEN 1 ELSE 0 END))"
+      def isq(t: String) =
+        s"(${r1(t)} - (CASE WHEN ${r1(t)} * ${r1(t)} > ${x(t)}" +
+          s" THEN 1 ELSE 0 END))"
+      def scores(t: String) =
+        s"list_transform(range(1, ${ucbArms + 1}), a -> " +
+          s"CASE WHEN $t.tr[a] = 0 THEN CAST(1000000000000000 AS HUGEINT)" +
+          s" ELSE ($t.sc[a] * 1000000) // greatest($t.tr[a], 1)" +
+          s" + ${isq(t)} END)"
+      def pick(t: String) =
+        s"(list_position(${scores(t)}, list_max(${scores(t)})))"
+      val arms1 = ucbArms + 1
+      s"""WITH RECURSIVE cells AS MATERIALIZED (SELECT
+         |    CAST(ts AS DATE) AS day,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", ucbArms)}
+         |      AS arm,
+         |    CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS sr
+         |  FROM events GROUP BY 1, 2),
+         |dl AS MATERIALIZED (SELECT day,
+         |    CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+         |  FROM (SELECT DISTINCT day FROM cells)),
+         |nd AS (SELECT count(*) AS n FROM dl),
+         |dla AS MATERIALIZED (SELECT dl.i,
+         |    list(CAST(coalesce(c.t, 0) AS HUGEINT) ORDER BY aa.a)
+         |      AS ts,
+         |    list(CAST(coalesce(c.sr, 0) AS HUGEINT) ORDER BY aa.a)
+         |      AS srs
+         |  FROM dl CROSS JOIN (SELECT unnest(range(1, $arms1)) AS a) aa
+         |  LEFT JOIN cells c ON c.day = dl.day AND c.arm = aa.a - 1
+         |  GROUP BY dl.i),
+         |rec(i, tr, sc, dp, tt) AS (
+         |  SELECT CAST(0 AS BIGINT),
+         |    list_transform(range(1, $arms1), a -> CAST(0 AS HUGEINT)),
+         |    list_transform(range(1, $arms1), a -> CAST(0 AS HUGEINT)),
+         |    list_transform(range(1, $arms1), a -> CAST(0 AS HUGEINT)),
+         |    CAST(0 AS HUGEINT)
+         |  UNION ALL
+         |  SELECT rec.i + 1,
+         |    list_transform(range(1, $arms1), a -> rec.tr[a]
+         |      + CASE WHEN a = ${pick("rec")} THEN dla.ts[a]
+         |        ELSE 0 END),
+         |    list_transform(range(1, $arms1), a -> rec.sc[a]
+         |      + CASE WHEN a = ${pick("rec")} THEN dla.srs[a]
+         |        ELSE 0 END),
+         |    list_transform(range(1, $arms1), a -> rec.dp[a]
+         |      + CASE WHEN a = ${pick("rec")} THEN 1 ELSE 0 END),
+         |    rec.tt + dla.ts[${pick("rec")}]
+         |  FROM rec, dla
+         |  WHERE dla.i = rec.i AND rec.i < (SELECT n FROM nd)),
+         |ms AS MATERIALIZED (SELECT * FROM rec),
+         |pk AS (SELECT s0.i AS step,
+         |    CAST(list_position(list_transform(range(1, $arms1),
+         |      a -> s1.dp[a] - s0.dp[a]), 1) - 1 AS BIGINT) AS arm,
+         |    CAST(s1.tt - s0.tt AS BIGINT) AS dt,
+         |    CAST(list_sum(list_transform(range(1, $arms1),
+         |      a -> s1.sc[a] - s0.sc[a])) AS BIGINT) AS dr,
+         |    CAST(CASE WHEN list_min(list_transform(range(1, $arms1),
+         |        a -> s0.tr[a])) = 0 THEN -1
+         |      ELSE list_max(${scores("s0")}) END AS BIGINT) AS score
+         |  FROM ms s1, ms s0 WHERE s1.i = s0.i + 1),
+         |fin AS MATERIALIZED (SELECT * FROM ms
+         |  WHERE i = (SELECT n FROM nd)),
+         |ar AS (SELECT CAST(aa.a - 1 AS BIGINT) AS arm,
+         |    CAST(fin.dp[aa.a] AS BIGINT) AS days,
+         |    CAST(fin.tr[aa.a] AS BIGINT) AS trials,
+         |    CAST(fin.sc[aa.a] AS BIGINT) AS succ,
+         |    CAST(CASE WHEN fin.tr[aa.a] <= 0 THEN -1
+         |      ELSE (fin.sc[aa.a] * 1000000) // fin.tr[aa.a] END
+         |      AS BIGINT) AS mean
+         |  FROM fin, (SELECT unnest(range(1, $arms1)) AS a) aa),
+         |bl AS (SELECT arm, CAST(sum(t) AS HUGEINT) AS lt,
+         |    CAST(sum(sr) AS HUGEINT) AS ls FROM cells GROUP BY arm),
+         |bst AS MATERIALIZED (SELECT arm, (ls * 1000000) // lt AS m
+         |  FROM bl WHERE lt > 0 ORDER BY m DESC, arm LIMIT 1),
+         |rp AS (SELECT CASE WHEN fin.tt <= 0 THEN -1
+         |    ELSE (list_sum(fin.sc) * 1000000) // fin.tt END AS rm,
+         |    CAST(fin.tt AS BIGINT) AS rt,
+         |    CAST(list_sum(fin.sc) AS BIGINT) AS rs
+         |  FROM fin)
+         |SELECT 'pick' AS row_kind, step, arm,
+         |  CAST(-1 AS BIGINT) AS days, dt AS trials, dr AS successes,
+         |  score AS metric_ppm FROM pk
+         |UNION ALL SELECT 'arm', -1, arm, days, trials, succ, mean
+         |  FROM ar
+         |UNION ALL SELECT 'regret', -1,
+         |  coalesce((SELECT CAST(arm AS BIGINT) FROM bst), -1), -1,
+         |  rp.rt, rp.rs,
+         |  CAST(CASE WHEN (SELECT count(*) FROM bst) = 0 OR rp.rm < 0
+         |    THEN -1 ELSE (SELECT m FROM bst) - rp.rm END AS BIGINT)
+         |  FROM rp
+         |ORDER BY row_kind, step, arm""".stripMargin
+    },
     // the same per-(user, type) reduce, per-type nearest-rank clip on
     // the contribution histogram, and the same integer advisor algebra
     "q344_dp_budget" ->

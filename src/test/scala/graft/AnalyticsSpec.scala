@@ -2044,6 +2044,95 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q353 UCB1 replay: a randomized fixture replays pick-for-pick against an independent driver-side simulation, and the bandit concentrates on the planted best arm") {
+    import spark.implicits._
+    val armOf = (1L to 200L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dayNs = 86400L * 1000000000L
+    Seq(99L, 4242L).foreach { seed0 =>
+      var seed = seed0
+      def lcg(): Long = {
+        seed = (seed * 1103515245L + 12345L) % (1L << 31); seed
+      }
+      // randomized logs: each day every user fires 1–3 events; purchase
+      // probability rises with the arm id, so arm 3 is the planted best
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      val days = 15
+      (0 until days).foreach { dday =>
+        (1L to 200L).foreach { u =>
+          val a = armOf(u)
+          (0 until (1 + (lcg() % 3L).toInt)).foreach { _ =>
+            val purch = (lcg() % 100L) < 10L + 20L * a
+            eid += 1
+            rows += ((eid, dday * dayNs, u,
+              if (purch) "purchase" else "view", 1.0, "{}"))
+          }
+        }
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graftucb$seed0").toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // ---- independent simulation from the RAW fixture rows (own
+      // integer sqrt by bisection — not the engine's isqrt) ----
+      val cells = rows.groupBy(r => (r._2 / dayNs, armOf(r._3)))
+        .map { case (k, rs) =>
+          k -> (rs.size.toLong, rs.count(_._4 == "purchase").toLong)
+        }
+      def bisqrt(x: BigInt): BigInt = {
+        var lo = BigInt(0); var hi = x + 1
+        while (lo < hi - 1) {
+          val mid = (lo + hi) / 2
+          if (mid * mid <= x) lo = mid else hi = mid
+        }
+        lo
+      }
+      val tr = Array.fill(4)(0L); val sc = Array.fill(4)(0L)
+      val dp = Array.fill(4)(0L); var tt = 0L
+      val wantPicks = (0 until days).map { dday =>
+        val pick = (0 until 4).find(tr(_) == 0L).getOrElse {
+          val lg = 63 - java.lang.Long.numberOfLeadingZeros(tt)
+          (0 until 4).maxBy { a =>
+            ((BigInt(sc(a)) * 1000000L / tr(a) +
+              bisqrt(BigInt(1386294L) * lg * 1000000L / tr(a))).toLong, -a)
+          }
+        }
+        val (dt, dr) = cells.getOrElse((dday.toLong, pick.toLong), (0L, 0L))
+        tr(pick) += dt; sc(pick) += dr; dp(pick) += 1; tt += dt
+        (dday.toLong, pick.toLong, dt, dr)
+      }
+      val got = SparkEntry.queries("q353_ucb_replay")(spark, dir).collect()
+      val gotPicks = got.filter(_.getString(0) == "pick")
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1).toList
+      assert(gotPicks === wantPicks.toList, s"seed $seed0")
+      val gotArms = got.filter(_.getString(0) == "arm")
+        .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+      (0 until 4).foreach { a =>
+        assert(gotArms(a.toLong) === ((dp(a), tr(a), sc(a))),
+          s"seed $seed0 arm $a")
+      }
+      // the planted best arm (3) gets the most days once exploration ends
+      assert(dp(3) === (0 until 4).map(dp).max, dp.toList.toString)
+      // regret row: replay totals are the pick sums; best logged arm is
+      // the planted 3; regret = logged best mean − replay mean, exact
+      val lg3 = cells.iterator.collect {
+        case ((_, 3L), (t, sr)) => (t, sr)
+      }.foldLeft((0L, 0L)) { case ((x, y), (t, sr)) => (x + t, y + sr) }
+      val reg = got.filter(_.getString(0) == "regret").head
+      assert(reg.getLong(2) === 3L, s"seed $seed0: ${reg.toString}")
+      assert(reg.getLong(4) === tr.sum && reg.getLong(5) === sc.sum)
+      val want = (BigInt(lg3._2) * 1000000L / lg3._1 -
+        BigInt(sc.sum) * 1000000L / tt).toLong
+      assert(reg.getLong(6) === want, s"seed $seed0")
+    }
+  }
+
   test("q323 Ljung-Box: the planted AR(2)'s raw series is loudly correlated, the fit's residuals pass white — the estimation stage earns its keep") {
     import spark.implicits._
     // the same LCG AR(2) fixture as the q319 spec

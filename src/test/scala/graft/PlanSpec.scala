@@ -703,6 +703,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q352 PCA spectrum: the shared covariance sync once, three iterations + two deflations driver-side — local relation, no embeddings scan, no join") {
+    val p = plan("q352_pca_spectrum")
+    assert(!p.contains("embeddings"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q344 DP budget: one per-(user, type) reduce into value-bounded histograms — no join beyond none, windows partitioned by type") {
     val p = plan("q344_dp_budget")
     assert(!p.contains("Join"), p)
@@ -744,6 +750,12 @@ class PlanSpec extends SparkSpec {
 
   test("q350 propensity stratification: corpus work is the shared leaf through a value-bounded median histogram to a stratum-bounded cell sync — local relation, no events scan, no join") {
     val p = plan("q350_propensity_strat")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q353 UCB replay: ONE (day, arm) corpus rollup synced calendar-bounded; the replay recursion is driver-side — local relation, no events scan, no join") {
+    val p = plan("q353_ucb_replay")
     assert(!p.contains("events"), p)
     assert(!p.contains("Join"), p)
   }

@@ -521,6 +521,42 @@ class SimilaritySpec extends SparkSpec {
       assert(flat(d) === ((125000L, -1L)), s"dim $d: ${flat(d)}"))
   }
 
+  test("q352 PCA spectrum: a planted rank-2 diagonal covariance recovers both axes with exact 900000/100000 shares, deflation zeroes the extracted axis, the components are orthogonal in ppm, and the exhausted third component carries zero") {
+    import spark.implicits._
+    // ±3 on axis 1, ±1 on axis 2 — zero mean, C = diag(7.2e13, 8e12),
+    // trace 8e13: shares 90%/10% EXACT, no rounding room anywhere
+    val dir = java.nio.file.Files.createTempDirectory("graftpcs").toString
+    Seq(
+      (0L, Array(3.0f, 0.0f), 0), (1L, Array(-3.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0), (3L, Array(0.0f, -1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q352_pca_spectrum")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size === 192)
+    // component 1 = e1 at 90% — and the Hotelling deflation
+    // C − λ·uu'/1e12 zeroes C11 EXACTLY (λ = 7.2e13, u1 = 1e6)
+    assert(rows((1, 1)) === ((1000000L, 900000L, 900000L)))
+    (2 to 64).foreach(d =>
+      assert(rows((1, d)) === ((0L, 900000L, 900000L)), s"c1 dim $d"))
+    // component 2 = e2 at 10%, cumulative exactly 100%
+    assert(rows((2, 2)) === ((1000000L, 100000L, 1000000L)))
+    ((1 to 64).filter(_ != 2)).foreach(d =>
+      assert(rows((2, d)) === ((0L, 100000L, 1000000L)), s"c2 dim $d"))
+    // orthogonality pinned in ppm: the extracted axes are exactly e1, e2
+    val dot = (1 to 64).map(d => rows((1, d))._1 * rows((2, d))._1).sum
+    assert(dot === 0L, s"u1·u2 = $dot")
+    // the exhausted residual: zero covariance left, so the degenerate
+    // all-ones iterate (the q343 mx = 0 rule) carries a ZERO share and
+    // the cumulative stays pinned at 100%
+    (1 to 64).foreach { d =>
+      val (l, ev, cum) = rows((3, d))
+      assert(l === 125000L && ev === 0L && cum === 1000000L, s"c3 dim $d")
+    }
+  }
+
   test("q334 MMR: the exact duplicate of pick 1 is demoted below the diverse sibling; every score is the integer 7·rel − 3·maxsim") {
     import spark.implicits._
     // probe v0 = x-axis; v1 and its EXACT copy v2 tie v3 on relevance
