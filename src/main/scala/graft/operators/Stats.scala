@@ -1752,8 +1752,12 @@ object Stats extends QueryModule {
     * discipline) and the estimator runs on a ≤ 2·([[propStratCap]]+1)-
     * row cell sync — stratum-bounded at any corpus scale.
     */
-  val propensityStrat: Q = (s, d) => {
-    import s.implicits._
+  /** The q350/q354 exposure frame, shared (the no-drift discipline —
+    * both estimators MUST see the identical stratum and treatment
+    * definitions): the memoized [[cupedLeaf]] cut by the value-bounded
+    * nearest-rank click median into (stratum, t, x, y) rows. */
+  private def exposureFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leaf = cupedLeaf(s, d)
     val hist = leaf.groupBy("cl").agg(count(lit(1)).as("t"))
@@ -1764,10 +1768,17 @@ object Stats extends QueryModule {
       .withColumn("nn", sum("t").over(wAll))
       .filter(col("cum") * 2L >= col("nn"))
       .agg(min("cl").as("med")) // nearest-rank lower median, 1 row
-    val cells = leaf.crossJoin(broadcast(med))
+    leaf.crossJoin(broadcast(med))
       .select(expr(s"CAST(least(x div $propStratWidth, $propStratCap)" +
           " AS BIGINT)").as("stratum"),
-        when(col("cl") > col("med"), 1L).otherwise(0L).as("t"), col("y"))
+        when(col("cl") > col("med"), 1L).otherwise(0L).as("t"),
+        col("x"), col("y"))
+  }
+
+  val propensityStrat: Q = (s, d) => {
+    import s.implicits._
+    val cells = exposureFrame(s, d)
+      .select(col("stratum"), col("t"), col("y"))
       .groupBy("stratum", "t")
       .agg(count(lit(1)).as("n"), sum("y").as("sy"))
       .collect() // stratum-bounded: ≤ 2·(propStratCap+1) rows
@@ -1815,6 +1826,104 @@ object Stats extends QueryModule {
         "positivity", "naive_micro", "ate_strat_micro", "ate_ipw_micro",
         "n_used", "n_dropped")
       .orderBy("stratum")
+  }
+
+  /** q354 — DOUBLY-ROBUST AIPW ESTIMATOR (Robins, Rotnitzky & Zhao
+    * 1994; Bang & Robins 2005 for the doubly-robust reading): the
+    * rung above q350 — augmented inverse-propensity weighting combines
+    * an OUTCOME MODEL (per-arm linear y ~ x by exact Cramer, q342's
+    * machinery on two coefficients) with the PROPENSITY model (q350's
+    * exact stratum count ratios), and is consistent when EITHER is
+    * right:
+    *   ATE = (1/N)·Σᵢ [ m₁(xᵢ) − m₀(xᵢ) ]
+    *       + (1/N)·Σ_s (1/e_s)·Σ_{i∈s,t=1} (yᵢ − m₁(xᵢ))
+    *       − (1/N)·Σ_s (1/(1−e_s))·Σ_{i∈s,t=0} (yᵢ − m₀(xᵢ)).
+    * Because m_t is linear and e is stratum-constant, EVERY term
+    * reduces to the (stratum, arm) moment cells (n, Σy, Σx) — the
+    * Σᵢ m-terms become n·a + b·Σx, so no per-row pass beyond the one
+    * cell rollup exists. Exact fixed point: b_ppm = (n·Σxy − Σx·Σy)
+    * ·10⁶ div (n·Σxx − (Σx)²), a_ppm = (Σy·10⁶ − b·Σx) div n (one
+    * truncation each); inverse-propensity weights in ppm (q350's);
+    * one truncation per stratum correction term; ate = Σ div N_used
+    * toward zero. Strata violating positivity are excluded from all
+    * three terms and counted (q350's rule). Sentinels: a degenerate
+    * per-arm design (empty arm or constant x → det 0) reports −1
+    * coefficients and fit_ok = false — AIPW without an outcome model
+    * is q350, which exists. The spec pins BOTH doubly-robust laws
+    * exactly: a linear-truth confounded split recovers the planted
+    * effect through the outcome model (corrections vanish), and a
+    * NONLINEAR truth with exact stratum propensities recovers it
+    * through the corrections (the m-terms cancel within strata) —
+    * each at ate = 4000000 micro exactly while the naive read is
+    * 4.7× off.
+    *
+    * Scale: the [[exposureFrame]] (shared with q350 — the identical
+    * stratum/treatment definitions by construction) rolls up to
+    * ≤ 2·([[propStratCap]]+1) moment cells; everything after is
+    * driver-side BigInt on that sync.
+    */
+  val aipwEstimator: Q = (s, d) => {
+    import s.implicits._
+    val cells = exposureFrame(s, d)
+      .groupBy("stratum", "t")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .collect() // stratum-bounded: ≤ 2·(propStratCap+1) rows
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          BigInt(r.getDecimal(5).toBigInteger),
+          BigInt(r.getDecimal(6).toBigInteger))).toMap
+    def armFit(t: Long): Option[(Long, Long)] = {
+      val vs = cells.iterator.collect {
+        case ((_, tt), v) if tt == t => v
+      }.toSeq
+      val n = vs.map(_._1).sum
+      val (sy, sx) = (vs.map(_._2).sum, vs.map(_._3).sum)
+      val (sxx, sxy) = (vs.map(_._4).sum, vs.map(_._5).sum)
+      val det = BigInt(n) * sxx - BigInt(sx) * sx
+      if (n <= 0 || det == 0) None
+      else {
+        val b = tdiv((BigInt(n) * sxy - BigInt(sx) * sy) * 1000000L,
+          det).toLong
+        val a = tdiv(BigInt(sy) * 1000000L - BigInt(b) * sx,
+          BigInt(n)).toLong
+        Some((a, b))
+      }
+    }
+    val out = (armFit(0L), armFit(1L)) match {
+      case (Some((a0, b0)), Some((a1, b1))) =>
+        val strata = cells.keys.map(_._1).toSeq.distinct.sorted
+        def cell(st: Long, t: Long) =
+          cells.getOrElse((st, t), (0L, 0L, 0L, BigInt(0), BigInt(0)))
+        var nUsed = 0L
+        var nDropped = 0L
+        var t1, t2, t3 = BigInt(0)
+        strata.foreach { st =>
+          val (n1, sy1, sx1, _, _) = cell(st, 1L)
+          val (n0, sy0, sx0, _, _) = cell(st, 0L)
+          val ns = n1 + n0
+          if (n1 == 0 || n0 == 0) nDropped += 1
+          else {
+            nUsed += ns
+            val pPpm = BigInt(n1) * 1000000L / ns
+            val w1 = BigInt(1000000000000L) / pPpm
+            val w0 = BigInt(1000000000000L) / (1000000L - pPpm)
+            t1 += BigInt(ns) * (a1 - a0) +
+              BigInt(b1 - b0) * (sx1 + sx0)
+            t2 += tdiv(w1 * (BigInt(sy1) * 1000000L -
+              (BigInt(a1) * n1 + BigInt(b1) * sx1)), BigInt(1000000L))
+            t3 += tdiv(w0 * (BigInt(sy0) * 1000000L -
+              (BigInt(a0) * n0 + BigInt(b0) * sx0)), BigInt(1000000L))
+          }
+        }
+        val ate = if (nUsed <= 0) -1L
+          else tdiv(t1 + t2 - t3, BigInt(nUsed)).toLong
+        (nUsed, nDropped, a0, b0, a1, b1, ate, nUsed > 0)
+      case _ => (0L, 0L, -1L, -1L, -1L, -1L, -1L, false)
+    }
+    Seq(out).toDF("n_used", "n_dropped", "a0_ppm", "b0_ppm", "a1_ppm",
+      "b1_ppm", "ate_dr_micro", "fit_ok")
   }
 
   /** q353 arm count (md5 user buckets) and the UCB1 log constant
@@ -4018,6 +4127,140 @@ object Stats extends QueryModule {
       .orderBy("row_kind", "m")
   }
 
+  /** q355 deviation normalization: stage-2 regressors in ±10⁴ max-abs
+    * units — see the headroom note inside [[armaForecast]]. */
+  private[graft] val armaScaleQ = 10000L
+
+  /** q355 — ARMA(1,1) VIA HANNAN–RISSANEN (Hannan & Rissanen 1982):
+    * the mixed model between q319's pure AR and q351's pure MA — the
+    * two-stage regression estimator that avoids nonlinear likelihood
+    * optimization entirely, which is what makes it EXACT-oracle
+    * expressible: STAGE 1 fits a long AR (the [[durbinLevinson]] row
+    * at the deepest proven lag — fixed depth, NOT the PACF-selected
+    * order; the long AR is only a residual-extraction device) and
+    * computes innovations ê_t = d_t − (Σ φ_j·d_{t−j}) div 10⁶; STAGE 2
+    * regresses d_t on (1, d_{t−1}, ê_{t−1}) by the EXACT 3×3 Cramer
+    * (q342's machinery) giving (c, φ, θ) in ppm. One-step in-sample
+    * forecasts f_t = μ + (c + φ·d_{t−1} + θ·ê_{t−1}) div 10⁶ for
+    * t ≥ h+1 (h = the stage-1 depth — the scored window excludes the
+    * residual-bootstrap prefix); the horizon substitutes zero future
+    * innovations: the θ term contributes at h = 1 only and the AR
+    * term recurses, so the forecast geometrically reverts at rate φ —
+    * the mixed signature neither parent model can produce. Sentinels:
+    * a degenerate stage-2 design (det 0 — constant series or collinear
+    * regressors) reports −1 coefficients and fit_ok = false, never a
+    * division.
+    *
+    * Scale: ONE corpus aggregate (the memoized [[monthlyFrame]] leaf);
+    * both stages are calendar-bounded driver-side BigInt (the q298
+    * rule), mirrored by the oracle's DL recursive CTE + lag joins +
+    * textual 3×3 determinants.
+    */
+  val armaForecast: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    require(series.nonEmpty, "q355: empty orders table")
+    require(series.last._1 == series.length - 1,
+      "q355: month grid must be gap-free (ARMA lags are calendar-aligned)")
+    val n = series.length
+    val c = series.map(_._2)
+    val mu = (c.map(BigInt(_)).sum / n).toLong
+    val dv = c.map(_ - mu)
+    val den = dv.map(x => BigInt(x) * x).sum
+    val rho: IndexedSeq[Long] =
+      if (den <= 0) IndexedSeq.empty
+      else (1 to math.min(acfMaxLag, n - 1)).map { k =>
+        val num = (0 until n - k).map(t => BigInt(dv(t)) * dv(t + k)).sum
+        ((num * 1000000) / den).toLong
+      }
+    val steps = durbinLevinson(rho)
+    if (steps.isEmpty)
+      // constant/degenerate series: no AR stage exists — the loud
+      // sentinel shape shared with the det-0 branch below
+      Seq(("order", 0L, -1L, 0L, 0L),
+        ("coef", 0L, -1L, -1L, 0L), ("coef", 1L, -1L, -1L, 0L),
+        ("coef", 2L, -1L, -1L, 0L))
+        .toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
+        .orderBy("row_kind", "m")
+    else {
+      val h = steps.length
+      val phiH = steps.last._2
+      // deviations NORMALIZED to ±10⁴ max-abs units before stage 2:
+      // cents-scale deviations (~10⁹) would push the 3×3 determinant
+      // products past the oracle's HUGEINT ceiling (three moments each
+      // ~n·d² multiply together); at ±10⁴ the worst determinant rides
+      // ~n²·10²² — centuries of months inside INT128. φ/θ are
+      // scale-invariant; the 10⁻⁴ quantization is the documented
+      // resolution of the fit (engine mirrors the oracle exactly).
+      val mx = dv.map(x => BigInt(x).abs).max
+      val ds = dv.map(x => tdiv(BigInt(x) * armaScaleQ, mx).toLong)
+      // stage-1 innovations for t ≥ h (one truncation each)
+      val eh = new Array[Long](n)
+      (h until n).foreach { t =>
+        val s1 = (1 to h).map(j => BigInt(phiH(j - 1)) * ds(t - j)).sum
+        eh(t) = ds(t) - tdiv(s1, BigInt(1000000L)).toLong
+      }
+      // stage-2 moments over t = h+1 .. n−1: y = d'_t, x1 = d'_{t−1},
+      // x2 = ê'_{t−1}
+      val ts = (h + 1) until n
+      val m = ts.size.toLong
+      def bsum(f: Int => BigInt): BigInt = ts.map(f).map(BigInt(0) + _).sum
+      val (s1v, s2v, syv) = (bsum(t => BigInt(ds(t - 1))),
+        bsum(t => BigInt(eh(t - 1))), bsum(t => BigInt(ds(t))))
+      val s11 = bsum(t => BigInt(ds(t - 1)) * ds(t - 1))
+      val s12 = bsum(t => BigInt(ds(t - 1)) * eh(t - 1))
+      val s22 = bsum(t => BigInt(eh(t - 1)) * eh(t - 1))
+      val s1y = bsum(t => BigInt(ds(t - 1)) * ds(t))
+      val s2y = bsum(t => BigInt(eh(t - 1)) * ds(t))
+      def det3(a: BigInt, b: BigInt, cc: BigInt, dd: BigInt, e: BigInt,
+          f: BigInt, g: BigInt, hh: BigInt, i: BigInt): BigInt =
+        a * (e * i - f * hh) - b * (dd * i - f * g) + cc * (dd * hh - e * g)
+      val dA = det3(BigInt(m), s1v, s2v, s1v, s11, s12, s2v, s12, s22)
+      if (m < 3 || dA == 0)
+        Seq(("order", 0L, -1L, h.toLong, 0L),
+          ("coef", 0L, -1L, -1L, 0L), ("coef", 1L, -1L, -1L, 0L),
+          ("coef", 2L, -1L, -1L, 0L))
+          .toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
+          .orderBy("row_kind", "m")
+      else {
+        val d0 = det3(syv, s1v, s2v, s1y, s11, s12, s2y, s12, s22)
+        val d1 = det3(BigInt(m), syv, s2v, s1v, s1y, s12, s2v, s2y, s22)
+        val d2 = det3(BigInt(m), s1v, syv, s1v, s11, s1y, s2v, s12, s2y)
+        val cP = tdiv(d0 * 1000000L, dA).toLong
+        val phiP = tdiv(d1 * 1000000L, dA).toLong
+        val thetaP = tdiv(d2 * 1000000L, dA).toLong
+        // prediction in normalized units, then back to cents (one
+        // truncation each — the documented two-truncation path)
+        def predN(dPrev: Long, ePrev: Long): Long =
+          tdiv(BigInt(cP) + BigInt(phiP) * dPrev +
+            BigInt(thetaP) * ePrev, BigInt(1000000L)).toLong
+        def toCents(pn: BigInt): Long =
+          mu + tdiv(pn * mx, BigInt(armaScaleQ)).toLong
+        val inSample = ts.map { t =>
+          val f = toCents(BigInt(predN(ds(t - 1), eh(t - 1))))
+          (series(t)._1, c(t), f, (c(t) - f).abs)
+        }
+        var dh = BigInt(predN(ds(n - 1), eh(n - 1)))
+        val horizon = (1 to holtHorizon).map { k =>
+          if (k > 1) // future innovations are zero: the θ term drops
+            dh = tdiv(BigInt(cP) + BigInt(phiP) * dh, BigInt(1000000L))
+          toCents(dh)
+        }
+        val rows =
+          Vector(("order", 0L, -1L, h.toLong, 0L),
+            ("coef", 0L, -1L, cP, 0L), ("coef", 1L, -1L, phiP, 0L),
+            ("coef", 2L, -1L, thetaP, 0L)) ++
+            inSample.map { case (mm, a, f, e) =>
+              ("forecast", mm, a, f, e) } ++
+            horizon.zipWithIndex.map { case (f, k) =>
+              ("horizon", (n + k).toLong, -1L, f, 0L)
+            }
+        rows.toDF("row_kind", "m", "actual_cents", "value",
+          "abs_err_cents").orderBy("row_kind", "m")
+      }
+    }
+  }
+
   /** χ² 95th percentiles for dof 1..12 in micro — plan-time constants
     * embedded identically in the q323 oracle (the q309/q322 constant
     * discipline; no cross-engine chi-square CDF is ever evaluated). */
@@ -4467,6 +4710,7 @@ object Stats extends QueryModule {
     "q313_pacf" -> pacfDiagnostic,
     "q319_ar_forecast" -> arForecast,
     "q351_ma_forecast" -> maForecast,
+    "q355_arma_forecast" -> armaForecast,
     "q323_ljung_box" -> ljungBox,
     "q324_classical_decomp" -> classicalDecomp,
     "q325_mann_kendall" -> mannKendall,
@@ -4496,6 +4740,7 @@ object Stats extends QueryModule {
     "q349_iv_wald" -> ivWald,
     "q350_propensity_strat" -> propensityStrat,
     "q353_ucb_replay" -> ucbReplay,
+    "q354_aipw_doubly_robust" -> aipwEstimator,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -5241,6 +5486,160 @@ object Stats extends QueryModule {
          |  CAST(ae AS BIGINT) FROM mfc
          |UNION ALL SELECT 'horizon', (SELECT max(m) FROM monthly) + mhz.h,
          |  -1, CAST(mhz.f AS BIGINT), 0 FROM mhz
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // the q319 chain to the DEEPEST proven Durbin–Levinson row (stage-1
+    // long AR), residuals by the same lag join, the stage-2 3×3 Cramer
+    // as textual determinants, chained horizon CTEs with zero future
+    // innovations — every truncation toward zero in both engines
+    "q355_arma_forecast" -> {
+      val pk = "((r.rho[it.k + 1] * 1000000 - list_sum(" +
+        "list_transform(range(1, it.k + 1), " +
+        "j -> it.phi[j] * r.rho[it.k + 1 - j]))) // it.v)"
+      def sqlDet3(a: String, b: String, c: String, d: String, e: String,
+          f: String, g: String, h: String, i: String) =
+        s"(($a) * (($e) * ($i) - ($f) * ($h))" +
+          s" - ($b) * (($d) * ($i) - ($f) * ($g))" +
+          s" + ($c) * (($d) * ($h) - ($e) * ($g)))"
+      val dA = sqlDet3("mm", "s1v", "s2v", "s1v", "s11", "s12",
+        "s2v", "s12", "s22")
+      val d0 = sqlDet3("syv", "s1v", "s2v", "s1y", "s11", "s12",
+        "s2y", "s12", "s22")
+      val d1 = sqlDet3("mm", "syv", "s2v", "s1v", "s1y", "s12",
+        "s2v", "s2y", "s22")
+      val d2 = sqlDet3("mm", "s1v", "syv", "s1v", "s11", "s1y",
+        "s2v", "s12", "s2y")
+      val hzChain = (2 to holtHorizon).map { k =>
+        s"""hz$k AS (SELECT (cf.c + cf.phi * hz${k - 1}.dh) // 1000000
+           |    AS dh FROM cf, hz${k - 1}),""".stripMargin
+      }.mkString("\n")
+      val hzUnion = (1 to holtHorizon).map { k =>
+        s"""UNION ALL SELECT 'horizon',
+           |  (SELECT max(m) FROM monthly) + $k, -1,
+           |  CAST((SELECT mu FROM st)
+           |    + (hz$k.dh * (SELECT mx FROM mxd)) // $armaScaleQ
+           |    AS BIGINT), 0 FROM hz$k""".stripMargin
+      }.mkString("\n")
+      s"""WITH RECURSIVE raw AS (SELECT
+         |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS c
+         |  FROM orders GROUP BY 1),
+         |monthly AS MATERIALIZED (
+         |  SELECT m - (SELECT min(m) FROM raw) AS m, c FROM raw),
+         |st AS MATERIALIZED (SELECT count(*) AS n,
+         |    CAST(sum(c) AS HUGEINT) // count(*) AS mu FROM monthly),
+         |dev AS MATERIALIZED (SELECT m,
+         |    CAST(c AS HUGEINT) - (SELECT mu FROM st) AS dv FROM monthly),
+         |den AS (SELECT sum(dv * dv) AS dn FROM dev),
+         |acf AS (SELECT CAST(b.m - a.m AS INT) AS lag,
+         |    CAST(CASE WHEN sum(a.dv * b.dv) >= 0
+         |      THEN (sum(a.dv * b.dv) * 1000000) // (SELECT dn FROM den)
+         |      ELSE -(((-sum(a.dv * b.dv)) * 1000000)
+         |        // (SELECT dn FROM den))
+         |      END AS BIGINT) AS acf_ppm
+         |  FROM dev a JOIN dev b
+         |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
+         |  WHERE (SELECT dn FROM den) > 0
+         |  GROUP BY 1),
+         |r AS MATERIALIZED (SELECT
+         |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+         |    count(*) AS nl FROM acf),
+         |it(k, phi, v) AS (
+         |  SELECT 1, [r.rho[1]],
+         |    CAST(1000000 AS HUGEINT) - (r.rho[1] * r.rho[1]) // 1000000
+         |  FROM r WHERE r.nl >= 1
+         |  UNION ALL
+         |  SELECT it.k + 1,
+         |    list_transform(range(1, it.k + 1),
+         |      j -> it.phi[j] - ($pk * it.phi[it.k + 1 - j]) // 1000000)
+         |      || [$pk],
+         |    (it.v * (1000000 - ($pk * $pk) // 1000000)) // 1000000
+         |  FROM it, r WHERE it.k < $acfMaxLag AND it.v > 0 AND it.k < r.nl),
+         |hrow AS MATERIALIZED (SELECT phi, k AS h FROM it
+         |  ORDER BY k DESC LIMIT 1),
+         |phis AS MATERIALIZED (SELECT
+         |    unnest(range(1, len(phi) + 1)) AS j, unnest(phi) AS ph
+         |  FROM hrow),
+         |mxd AS (SELECT greatest(max(abs(dv)), 1) AS mx FROM dev),
+         |dsv AS MATERIALIZED (SELECT m,
+         |    CASE WHEN dv >= 0
+         |      THEN (dv * $armaScaleQ) // (SELECT mx FROM mxd)
+         |      ELSE -(((-dv) * $armaScaleQ) // (SELECT mx FROM mxd))
+         |    END AS dv
+         |  FROM dev),
+         |inss AS (SELECT x.m AS m, sum(p2.ph * l.dv) AS ss
+         |  FROM dsv x JOIN phis p2 ON TRUE
+         |  JOIN dsv l ON l.m = x.m - p2.j GROUP BY x.m),
+         |eh AS MATERIALIZED (SELECT x.m,
+         |    x.dv - (CASE WHEN coalesce(s.ss, 0) >= 0
+         |      THEN coalesce(s.ss, 0) // 1000000
+         |      ELSE -((-coalesce(s.ss, 0)) // 1000000) END) AS e
+         |  FROM dsv x LEFT JOIN inss s ON s.m = x.m, hrow
+         |  WHERE x.m >= hrow.h),
+         |mom AS (SELECT CAST(count(*) AS HUGEINT) AS mm,
+         |    sum(l1.dv) AS s1v, sum(e1.e) AS s2v, sum(y.dv) AS syv,
+         |    sum(l1.dv * l1.dv) AS s11, sum(l1.dv * e1.e) AS s12,
+         |    sum(e1.e * e1.e) AS s22, sum(l1.dv * y.dv) AS s1y,
+         |    sum(e1.e * y.dv) AS s2y
+         |  FROM dsv y JOIN dsv l1 ON l1.m = y.m - 1
+         |  JOIN eh e1 ON e1.m = y.m - 1, hrow
+         |  WHERE y.m >= hrow.h + 1),
+         |dets AS (SELECT mm,
+         |    $dA AS da, $d0 AS dz, $d1 AS d1_, $d2 AS d2_ FROM mom),
+         |cf AS MATERIALIZED (SELECT mm, da,
+         |    (dz * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
+         |      AS c,
+         |    (d1_ * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
+         |      AS phi,
+         |    (d2_ * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
+         |      AS theta,
+         |    (mm >= 3 AND da <> 0) AS fitok
+         |  FROM dets),
+         |insf0 AS (SELECT y.m, mo.c AS actual,
+         |    (cf.c + cf.phi * l1.dv + cf.theta * e1.e) // 1000000 AS pn
+         |  FROM dsv y JOIN monthly mo ON mo.m = y.m
+         |  JOIN dsv l1 ON l1.m = y.m - 1
+         |  JOIN eh e1 ON e1.m = y.m - 1, hrow, cf
+         |  WHERE y.m >= hrow.h + 1 AND cf.fitok),
+         |insf AS (SELECT m, actual, (SELECT mu FROM st)
+         |    + (pn * (SELECT mx FROM mxd)) // $armaScaleQ AS f
+         |  FROM insf0),
+         |hz1 AS (SELECT (cf.c + cf.phi
+         |      * (SELECT dv FROM dsv WHERE m = (SELECT n - 1 FROM st))
+         |    + cf.theta
+         |      * (SELECT e FROM eh WHERE m = (SELECT n - 1 FROM st)))
+         |    // 1000000 AS dh
+         |  FROM cf WHERE cf.fitok),
+         |$hzChain
+         |-- cf is EMPTY on a constant/degenerate series (no ACF, no DL
+         |-- row, empty moments); the default row keeps the sentinel
+         |-- branch emitting exactly the engine's four rows
+         |fit AS (SELECT * FROM cf UNION ALL
+         |  SELECT CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
+         |    CAST(-1 AS HUGEINT), CAST(-1 AS HUGEINT),
+         |    CAST(-1 AS HUGEINT), false
+         |  WHERE NOT EXISTS (SELECT 1 FROM cf))
+         |SELECT 'order' AS row_kind, CAST(0 AS BIGINT) AS m,
+         |  CAST(-1 AS BIGINT) AS actual_cents,
+         |  CAST((SELECT h FROM hrow) AS BIGINT) AS value,
+         |  CAST(0 AS BIGINT) AS abs_err_cents FROM fit WHERE fit.fitok
+         |UNION ALL SELECT 'coef', 0, -1,
+         |  CAST(c AS BIGINT), 0 FROM fit WHERE fitok
+         |UNION ALL SELECT 'coef', 1, -1,
+         |  CAST(phi AS BIGINT), 0 FROM fit WHERE fitok
+         |UNION ALL SELECT 'coef', 2, -1,
+         |  CAST(theta AS BIGINT), 0 FROM fit WHERE fitok
+         |UNION ALL SELECT 'forecast', m, actual, CAST(f AS BIGINT),
+         |  CAST(abs(actual - f) AS BIGINT) FROM insf
+         |$hzUnion
+         |UNION ALL SELECT 'order', 0, -1,
+         |  CAST(coalesce((SELECT h FROM hrow), 0) AS BIGINT), 0
+         |  FROM fit WHERE NOT fitok
+         |UNION ALL SELECT 'coef', 0, -1, -1, 0 FROM fit WHERE NOT fitok
+         |UNION ALL SELECT 'coef', 1, -1, -1, 0 FROM fit WHERE NOT fitok
+         |UNION ALL SELECT 'coef', 2, -1, -1, 0 FROM fit WHERE NOT fitok
          |ORDER BY 1, 2""".stripMargin
     },
     // the q306 AR chain (a-prefixed) through the residual frame, then
@@ -6239,6 +6638,115 @@ object Stats extends QueryModule {
          |  CAST(ate_i AS BIGINT) AS ate_ipw_micro,
          |  CAST(n_used AS BIGINT) AS n_used, n_dropped
          |FROM sd, gg ORDER BY stratum""".stripMargin,
+    // the q350 frame extended with the x moments, the per-arm 2-var
+    // Cramer in the identical truncation order, and the three AIPW
+    // terms reduced to cell algebra — division guards explicit (the
+    // vectorized-CASE rule), toward-zero everywhere
+    "q354_aipw_doubly_robust" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(c) AS BIGINT) AS cl
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT cl, count(*) AS t FROM per GROUP BY cl),
+         |hc AS (SELECT cl, sum(t) OVER (ORDER BY cl) AS cum,
+         |    sum(t) OVER () AS nn FROM h),
+         |med AS (SELECT min(cl) AS med FROM hc WHERE cum * 2 >= nn),
+         |cells AS MATERIALIZED (SELECT
+         |    CAST(least(x // $propStratWidth, $propStratCap) AS BIGINT)
+         |      AS stratum,
+         |    CASE WHEN cl > (SELECT med FROM med) THEN 1 ELSE 0 END AS t,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM per GROUP BY 1, 2),
+         |am AS (SELECT t, CAST(sum(n) AS HUGEINT) AS n,
+         |    CAST(sum(sy) AS HUGEINT) AS sy,
+         |    CAST(sum(sx) AS HUGEINT) AS sx,
+         |    sum(sxx) AS sxx, sum(sxy) AS sxy
+         |  FROM cells GROUP BY t),
+         |f0 AS (SELECT
+         |    COALESCE((SELECT n FROM am WHERE t = 0), 0) AS n0,
+         |    COALESCE((SELECT sy FROM am WHERE t = 0), 0) AS sy0,
+         |    COALESCE((SELECT sx FROM am WHERE t = 0), 0) AS sx0,
+         |    COALESCE((SELECT sxx FROM am WHERE t = 0), 0) AS sxx0,
+         |    COALESCE((SELECT sxy FROM am WHERE t = 0), 0) AS sxy0,
+         |    COALESCE((SELECT n FROM am WHERE t = 1), 0) AS n1,
+         |    COALESCE((SELECT sy FROM am WHERE t = 1), 0) AS sy1,
+         |    COALESCE((SELECT sx FROM am WHERE t = 1), 0) AS sx1,
+         |    COALESCE((SELECT sxx FROM am WHERE t = 1), 0) AS sxx1,
+         |    COALESCE((SELECT sxy FROM am WHERE t = 1), 0) AS sxy1),
+         |f1 AS (SELECT *, n0 * sxx0 - sx0 * sx0 AS det0,
+         |    n1 * sxx1 - sx1 * sx1 AS det1,
+         |    (n0 > 0 AND n1 > 0 AND n0 * sxx0 - sx0 * sx0 <> 0
+         |      AND n1 * sxx1 - sx1 * sx1 <> 0) AS fitok
+         |  FROM f0),
+         |f2 AS (SELECT *,
+         |    ((n0 * sxy0 - sx0 * sy0) * 1000000)
+         |      // (CASE WHEN det0 = 0 THEN 1 ELSE det0 END) AS b0,
+         |    ((n1 * sxy1 - sx1 * sy1) * 1000000)
+         |      // (CASE WHEN det1 = 0 THEN 1 ELSE det1 END) AS b1
+         |  FROM f1),
+         |f3 AS MATERIALIZED (SELECT *,
+         |    (sy0 * 1000000 - b0 * sx0)
+         |      // (CASE WHEN n0 = 0 THEN 1 ELSE n0 END) AS a0,
+         |    (sy1 * 1000000 - b1 * sx1)
+         |      // (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) AS a1
+         |  FROM f2),
+         |st2 AS (SELECT stratum,
+         |    CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS HUGEINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN t = 0 THEN n ELSE 0 END) AS HUGEINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN t = 1 THEN sy ELSE 0 END) AS HUGEINT)
+         |      AS sy1,
+         |    CAST(sum(CASE WHEN t = 0 THEN sy ELSE 0 END) AS HUGEINT)
+         |      AS sy0,
+         |    CAST(sum(CASE WHEN t = 1 THEN sx ELSE 0 END) AS HUGEINT)
+         |      AS sx1,
+         |    CAST(sum(CASE WHEN t = 0 THEN sx ELSE 0 END) AS HUGEINT)
+         |      AS sx0
+         |  FROM cells GROUP BY stratum),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN s.n1 > 0 AND s.n0 > 0
+         |      THEN s.n1 + s.n0 ELSE 0 END) AS HUGEINT) AS n_used,
+         |    CAST(sum(CASE WHEN s.n1 > 0 AND s.n0 > 0 THEN 0 ELSE 1
+         |      END) AS BIGINT) AS n_dropped,
+         |    sum(CASE WHEN s.n1 > 0 AND s.n0 > 0
+         |      THEN (s.n1 + s.n0) * (f.a1 - f.a0)
+         |        + (f.b1 - f.b0) * (s.sx1 + s.sx0) ELSE 0 END) AS t1,
+         |    sum(CASE WHEN s.n1 > 0 AND s.n0 > 0
+         |      THEN ((1000000000000 // greatest(
+         |          (s.n1 * 1000000) // greatest(s.n1 + s.n0, 1), 1))
+         |        * (s.sy1 * 1000000 - (f.a1 * s.n1 + f.b1 * s.sx1)))
+         |        // 1000000 ELSE 0 END) AS t2,
+         |    sum(CASE WHEN s.n1 > 0 AND s.n0 > 0
+         |      THEN ((1000000000000 // greatest(1000000 -
+         |          (s.n1 * 1000000) // greatest(s.n1 + s.n0, 1), 1))
+         |        * (s.sy0 * 1000000 - (f.a0 * s.n0 + f.b0 * s.sx0)))
+         |        // 1000000 ELSE 0 END) AS t3
+         |  FROM st2 s, f3 f)
+         |SELECT CAST(g.n_used AS BIGINT) AS n_used, g.n_dropped,
+         |  CAST(f.a0 AS BIGINT) AS a0_ppm, CAST(f.b0 AS BIGINT) AS b0_ppm,
+         |  CAST(f.a1 AS BIGINT) AS a1_ppm, CAST(f.b1 AS BIGINT) AS b1_ppm,
+         |  CAST(CASE WHEN g.n_used <= 0 THEN -1
+         |    ELSE (g.t1 + g.t2 - g.t3) // g.n_used END AS BIGINT)
+         |    AS ate_dr_micro,
+         |  g.n_used > 0 AS fit_ok
+         |FROM g, f3 f WHERE f.fitok
+         |UNION ALL
+         |SELECT 0, 0, -1, -1, -1, -1, -1, false FROM f3 WHERE NOT fitok
+         |""".stripMargin,
     // the same (day, arm) rollup, the identical zero-play/score/argmax
     // rules (list_position-of-max ≡ smallest-arm tie-break, BIG constant
     // for unplayed arms, exact integer log2 via bin length, corrected

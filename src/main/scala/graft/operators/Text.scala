@@ -2313,8 +2313,13 @@ object Text extends QueryModule {
     * doc-level left join keeps them). The spec plants a
     * disjoint-vocabulary corpus that classifies perfectly.
     */
-  val naiveBayes: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
+  /** The q320/q356 per-(test-doc, class) score frame, shared (the
+    * no-drift discipline — the classifier under calibration audit is
+    * literally the classifying code): train-fold staged (class, term)
+    * leaf → Laplace-smoothed micro log scores per held-out doc and
+    * class. See [[naiveBayes]] for the full scoring notes. */
+  private def nbScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
     val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("lang"),
@@ -2356,22 +2361,101 @@ object Text extends QueryModule {
           (col("n_c") + col("v")).cast("double")) * 1e6)
           .cast("long").as("w"))
       .groupBy("doc_id", "cls").agg(sum("w").as("tok_mu"))
-    val scored = testDocs.select("doc_id", "true_lang")
+    testDocs.select("doc_id", "true_lang")
       .crossJoin(broadcast(classes.select("cls", "prior_mu")))
       .join(contrib, Seq("doc_id", "cls"), "left")
       .select(col("doc_id"), col("true_lang"), col("cls"),
         (coalesce(col("tok_mu"), lit(0L)) + col("prior_mu")).as("score"))
+  }
+
+  val naiveBayes: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("cls").asc)
-    scored.withColumn("rn", row_number().over(w))
+    nbScored(s, d).withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("true_lang"), col("cls").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** q356 margin-bucket lower edges in micro (log-likelihood-ratio
+    * thresholds e⁰, e¹, e², e⁵, e¹⁰ — plan-time constants embedded
+    * identically in the oracle). */
+  private[graft] val nbMarginEdges = Seq(0L, 1000000L, 2000000L,
+    5000000L, 10000000L)
+
+  /** q356 — CLASSIFIER MARGIN-RELIABILITY AUDIT (the calibration read
+    * above q320 — Guo et al. 2017 frame the problem; the margin form
+    * keeps it EXACT where a posterior/ECE needs a data-dependent
+    * cross-engine exp): before a trained filter's verdicts gate a
+    * corpus, the operator needs "accuracy as a function of the
+    * classifier's own confidence" to pick the keep threshold. The NB
+    * confidence is the LOG-LIKELIHOOD-RATIO margin s₁ − s₂ between the
+    * top two classes (already micro-integer — no transcendental is
+    * ever taken on data), bucketed at the FIXED [[nbMarginEdges]]
+    * thresholds (absolute LLR cuts, the production thresholding — a
+    * decile binning would need a corpus-length sort). Per bucket:
+    * docs, correct, accuracy_ppm; plus the cumulative keep-curve from
+    * the most-confident side (kept_docs/kept_acc_ppm at threshold ≥
+    * that bucket's edge — the exact table a threshold decision reads).
+    * All five buckets always emit (zeros + −1 accuracy sentinels when
+    * empty). A doc with no second class (single-class corpus) has
+    * infinite margin — top bucket, documented.
+    *
+    * Scale: the corpus work is the SHARED [[nbScored]] frame (q320's —
+    * the audit cannot drift from the classifier it audits); the top-2
+    * window is per-doc-partitioned (no global sort), the bucket rollup
+    * is 5-row bounded, and the keep-curve windows run on those 5 rows.
+    */
+  val nbReliability: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    val top2 = nbScored(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id", "true_lang")
+      .agg(max(when(col("rn") === 1, col("cls"))).as("pred"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 2, col("score"))).as("s2"))
+      .select(col("true_lang"), col("pred"),
+        when(col("s2").isNull, lit(Long.MaxValue))
+          .otherwise(col("s1") - col("s2")).as("margin"))
+    val edgeCase = nbMarginEdges.reverse.tail.foldLeft(
+      when(col("margin") >= nbMarginEdges.last, nbMarginEdges.last)) {
+      case (acc, e) => acc.when(col("margin") >= e, e)
+    }
+    val counted = top2
+      .select(edgeCase.as("bucket_lo"),
+        when(col("pred") === col("true_lang"), 1L).otherwise(0L)
+          .as("ok"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"))
+    val full = nbMarginEdges.toDF("bucket_lo")
+      .join(counted, Seq("bucket_lo"), "left")
+      .select(col("bucket_lo"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val wKeep = Window.orderBy(col("bucket_lo").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    full
+      .withColumn("kept_docs", sum("n_docs").over(wKeep))
+      .withColumn("kept_correct", sum("n_correct").over(wKeep))
+      .select(col("bucket_lo"), col("n_docs"), col("n_correct"),
+        expr("""CAST(CASE WHEN n_docs = 0 THEN -1
+                ELSE (n_correct * 1000000) div n_docs END AS BIGINT)""")
+          .as("acc_ppm"),
+        col("kept_docs"), col("kept_correct"),
+        expr("""CAST(CASE WHEN kept_docs = 0 THEN -1
+                ELSE (kept_correct * 1000000) div kept_docs END
+                AS BIGINT)""").as("kept_acc_ppm"))
+      .orderBy("bucket_lo")
+  }
+
   def queries: Map[String, Q] = Map(
     "q320_naive_bayes" -> naiveBayes,
+    "q356_nb_reliability" -> nbReliability,
     "q200_zipf_fit" -> zipfFit,
     "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
@@ -2431,52 +2515,106 @@ object Text extends QueryModule {
     }.mkString(" + ")
   }
 
+  /** The q320/q356 oracle scoring chain (docs → train leaf → class
+    * table → test contributions → per-(doc, class) scores), shared
+    * TEXTUALLY by both oracles (the maOracleChain precedent — the
+    * calibration audit cannot drift from the classifier it audits). */
+  private val nbOracleChain =
+    raw"""docs AS (SELECT doc_id, lang,
+       |    list_filter(string_split_regex(text, '\s+'),
+       |      x -> len(x) > 0) AS tk,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 AS bk
+       |  FROM documents),
+       |tr AS (SELECT lang AS cls, unnest(tk) AS term FROM docs
+       |  WHERE bk < 80),
+       |ntc AS MATERIALIZED (SELECT cls, term, count(*) AS ntc
+       |  FROM tr GROUP BY 1, 2),
+       |nc AS (SELECT cls, sum(ntc) AS n_c FROM ntc GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT term) AS v FROM ntc),
+       |pri AS (SELECT lang AS cls, count(*) AS n_docs_c FROM docs
+       |  WHERE bk < 80 GROUP BY 1),
+       |cls AS MATERIALIZED (SELECT nc.cls, nc.n_c,
+       |    (SELECT v FROM voc) AS v,
+       |    CAST(round(ln(pri.n_docs_c /
+       |      CAST((SELECT sum(n_docs_c) FROM pri) AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS prior_mu
+       |  FROM nc JOIN pri ON pri.cls = nc.cls),
+       |tt AS (SELECT doc_id, unnest(tk) AS term FROM docs
+       |  WHERE bk >= 90),
+       |contrib AS (SELECT t.doc_id, c.cls,
+       |    sum(CAST(round(ln((coalesce(n.ntc, 0) + 1) /
+       |      CAST(c.n_c + c.v AS DOUBLE)) * 1000000) AS BIGINT)) AS tok_mu
+       |  FROM tt t CROSS JOIN cls c
+       |  LEFT JOIN ntc n ON n.cls = c.cls AND n.term = t.term
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.cls,
+       |    coalesce(ct.tok_mu, 0) + c.prior_mu AS score
+       |  FROM (SELECT doc_id, lang FROM docs WHERE bk >= 90) d
+       |  CROSS JOIN cls c
+       |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id
+       |    AND ct.cls = c.cls)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // same md5 split, same tokenize, same Laplace rational inside the
     // same once-rounded ln·1e6 (exact integer-count operands, so both
     // engines round the identical double), same desc-score/asc-class
     // argmax tie-break
     "q320_naive_bayes" ->
-      raw"""WITH docs AS (SELECT doc_id, lang,
-         |    list_filter(string_split_regex(text, '\s+'),
-         |      x -> len(x) > 0) AS tk,
-         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-         |      % 100 AS bk
-         |  FROM documents),
-         |tr AS (SELECT lang AS cls, unnest(tk) AS term FROM docs
-         |  WHERE bk < 80),
-         |ntc AS MATERIALIZED (SELECT cls, term, count(*) AS ntc
-         |  FROM tr GROUP BY 1, 2),
-         |nc AS (SELECT cls, sum(ntc) AS n_c FROM ntc GROUP BY 1),
-         |voc AS (SELECT count(DISTINCT term) AS v FROM ntc),
-         |pri AS (SELECT lang AS cls, count(*) AS n_docs_c FROM docs
-         |  WHERE bk < 80 GROUP BY 1),
-         |cls AS MATERIALIZED (SELECT nc.cls, nc.n_c,
-         |    (SELECT v FROM voc) AS v,
-         |    CAST(round(ln(pri.n_docs_c /
-         |      CAST((SELECT sum(n_docs_c) FROM pri) AS DOUBLE)) * 1000000)
-         |      AS BIGINT) AS prior_mu
-         |  FROM nc JOIN pri ON pri.cls = nc.cls),
-         |tt AS (SELECT doc_id, unnest(tk) AS term FROM docs
-         |  WHERE bk >= 90),
-         |contrib AS (SELECT t.doc_id, c.cls,
-         |    sum(CAST(round(ln((coalesce(n.ntc, 0) + 1) /
-         |      CAST(c.n_c + c.v AS DOUBLE)) * 1000000) AS BIGINT)) AS tok_mu
-         |  FROM tt t CROSS JOIN cls c
-         |  LEFT JOIN ntc n ON n.cls = c.cls AND n.term = t.term
-         |  GROUP BY 1, 2),
-         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.cls,
-         |    coalesce(ct.tok_mu, 0) + c.prior_mu AS score
-         |  FROM (SELECT doc_id, lang FROM docs WHERE bk >= 90) d
-         |  CROSS JOIN cls c
-         |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id
-         |    AND ct.cls = c.cls),
+      s"""WITH $nbOracleChain,
          |pred AS (SELECT doc_id, true_lang, cls AS pred_lang,
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, cls) AS rn
          |  FROM scored)
          |SELECT true_lang, pred_lang, count(*) AS n_docs
          |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the identical shared scoring chain, per-doc top-2 window, the
+    // same fixed LLR bucket CASE, all five buckets emitted with the
+    // -1 empty sentinel, and the keep-curve as a 5-row window
+    "q356_nb_reliability" -> {
+      val edgeCase = nbMarginEdges.reverse.map(e =>
+        s"WHEN margin >= ${e}" +
+          s" THEN CAST($e AS BIGINT)").mkString(" ")
+      s"""WITH $nbOracleChain,
+         |p2 AS (SELECT doc_id, true_lang, cls, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn
+         |  FROM scored),
+         |t2 AS (SELECT doc_id, true_lang,
+         |    max(CASE WHEN rn = 1 THEN cls END) AS pred,
+         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |    max(CASE WHEN rn = 2 THEN score END) AS s2
+         |  FROM p2 WHERE rn <= 2 GROUP BY 1, 2),
+         |mg AS (SELECT true_lang, pred,
+         |    CASE WHEN s2 IS NULL THEN ${Long.MaxValue}
+         |      ELSE s1 - s2 END AS margin FROM t2),
+         |cnt AS (SELECT CASE $edgeCase END AS bucket_lo,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN pred = true_lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM mg GROUP BY 1),
+         |edges AS (SELECT unnest([${nbMarginEdges.map(e =>
+            s"CAST($e AS BIGINT)").mkString(", ")}]) AS bucket_lo),
+         |full_ AS (SELECT e.bucket_lo,
+         |    coalesce(c.n_docs, 0) AS n_docs,
+         |    coalesce(c.n_correct, 0) AS n_correct
+         |  FROM edges e LEFT JOIN cnt c ON c.bucket_lo = e.bucket_lo),
+         |keep AS (SELECT *,
+         |    CAST(sum(n_docs) OVER (ORDER BY bucket_lo DESC)
+         |      AS BIGINT) AS kept_docs,
+         |    CAST(sum(n_correct) OVER (ORDER BY bucket_lo DESC)
+         |      AS BIGINT) AS kept_correct
+         |  FROM full_)
+         |SELECT bucket_lo, n_docs, n_correct,
+         |  CAST(CASE WHEN n_docs = 0 THEN -1
+         |    ELSE (n_correct * 1000000) // n_docs END AS BIGINT)
+         |    AS acc_ppm,
+         |  kept_docs, kept_correct,
+         |  CAST(CASE WHEN kept_docs = 0 THEN -1
+         |    ELSE (kept_correct * 1000000) // kept_docs END AS BIGINT)
+         |    AS kept_acc_ppm
+         |FROM keep ORDER BY bucket_lo""".stripMargin
+    },
     "q199_containment" ->
       raw"""WITH t AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\s+'),

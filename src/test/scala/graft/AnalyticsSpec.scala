@@ -2044,6 +2044,88 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q354 AIPW: both doubly-robust laws hold exactly — a linear truth under confounding recovers via the outcome model, a nonlinear truth recovers via the exact stratum propensities, and a degenerate design reports the sentinel") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // cellSpec: (n, x, y, treated) — x pre-period purchases (also the
+    // stratum via x div 3), y post-period purchases, treated = heavy
+    // clicker (10 clicks vs 1; 19 control vs 16 treated keeps the
+    // pooled click median on the control value, so t = cl > med
+    // splits exactly as planted)
+    def fixture(cellSpec: Seq[(Int, Long, Long, Boolean)], tag: String)
+        : String = {
+      var eid = 0L; var uid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      cellSpec.foreach { case (n, x, y, treated) =>
+        (1 to n).foreach { _ =>
+          uid += 1
+          eid += 1; rows += ((eid, 0L, uid, "view", 1.0, "{}"))
+          eid += 1; rows += ((eid, 29L * dayNs, uid, "view", 1.0, "{}"))
+          (1L to (if (treated) 10L else 1L)).foreach { _ =>
+            eid += 1; rows += ((eid, 2L * dayNs, uid, "click", 1.0, "{}"))
+          }
+          (1L to x).foreach { _ =>
+            eid += 1
+            rows += ((eid, 1L * dayNs, uid, "purchase", 1.0, "{}"))
+          }
+          (1L to y).foreach { _ =>
+            eid += 1
+            rows += ((eid, 20L * dayNs, uid, "purchase", 1.0, "{}"))
+          }
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q354_aipw_doubly_robust")(spark, dir).head()
+    // LAW 1 — outcome model CORRECT (y = 2 + 3x + 4t exactly linear),
+    // allocation heavily confounded (treated mass rises with x): the
+    // per-arm fits are exact, every correction term vanishes, and the
+    // estimator recovers the planted 4.0 EXACTLY through the model
+    val linDir = fixture(Seq(
+      (12, 0L, 2L, false), (3, 0L, 6L, true),
+      (5, 3L, 11L, false), (5, 3L, 15L, true),
+      (2, 6L, 20L, false), (8, 6L, 24L, true)), "graftdr1")
+    val lin = run(linDir)
+    assert(lin.getAs[Long]("a0_ppm") === 2000000L, lin.toString)
+    assert(lin.getAs[Long]("b0_ppm") === 3000000L, lin.toString)
+    assert(lin.getAs[Long]("a1_ppm") === 6000000L, lin.toString)
+    assert(lin.getAs[Long]("b1_ppm") === 3000000L, lin.toString)
+    assert(lin.getAs[Long]("n_used") === 35L && lin.getAs[Long]("n_dropped") === 0L)
+    assert(lin.getAs[Long]("ate_dr_micro") === 4000000L, lin.toString)
+    assert(lin.getAs[Boolean]("fit_ok"), lin.toString)
+    // LAW 2 — outcome model WRONG (y = x² + 4t; the linear fit is the
+    // replayed (-1084336 + 5096385·x / -768209 + 6496688·x) — visibly
+    // not the truth), but propensities are EXACT within the
+    // single-x-value strata: the stratum corrections cancel the model
+    // error and the estimator still lands on 4.0 EXACTLY, while the
+    // naive read on the same frame (q350's output) is 18.65 — 4.7× off
+    val sqDir = fixture(Seq(
+      (12, 0L, 0L, false), (3, 0L, 4L, true),
+      (5, 3L, 9L, false), (5, 3L, 13L, true),
+      (2, 6L, 36L, false), (8, 6L, 40L, true)), "graftdr2")
+    val sq = run(sqDir)
+    assert(sq.getAs[Long]("a0_ppm") === -1084336L, sq.toString)
+    assert(sq.getAs[Long]("b0_ppm") === 5096385L, sq.toString)
+    assert(sq.getAs[Long]("a1_ppm") === -768209L, sq.toString)
+    assert(sq.getAs[Long]("b1_ppm") === 6496688L, sq.toString)
+    assert(sq.getAs[Long]("ate_dr_micro") === 4000000L, sq.toString)
+    val naive = SparkEntry.queries("q350_propensity_strat")(spark, sqDir)
+      .head().getAs[Long]("naive_micro")
+    assert(naive === 18654606L, s"naive $naive")
+    // degenerate design: constant x in an arm → det 0 → the sentinel
+    // row, never a division (AIPW without an outcome model is q350)
+    val degDir = fixture(Seq(
+      (5, 0L, 2L, false), (5, 0L, 6L, true)), "graftdr3")
+    val deg = run(degDir)
+    assert(!deg.getAs[Boolean]("fit_ok"), deg.toString)
+    assert(deg.getAs[Long]("ate_dr_micro") === -1L, deg.toString)
+  }
+
   test("q353 UCB1 replay: a randomized fixture replays pick-for-pick against an independent driver-side simulation, and the bandit concentrates on the planted best arm") {
     import spark.implicits._
     val armOf = (1L to 200L).toDF("user_id")
@@ -2131,6 +2213,126 @@ class AnalyticsSpec extends SparkSpec {
         BigInt(sc.sum) * 1000000L / tt).toLong
       assert(reg.getLong(6) === want, s"seed $seed0")
     }
+  }
+
+  test("q355 ARMA(1,1) Hannan-Rissanen: a planted mixed series matches an independent two-stage fixed-point replay exactly, recovers (phi, theta) to sample resolution, and a constant series reports the sentinel") {
+    import spark.implicits._
+    // x_t = 0.7·x_{t−1} + e_t + 0.5·e_{t−1} — the mixed signature
+    // neither q319 (pure AR) nor q351 (pure MA) models
+    val A = 500000L
+    var seed = 11L
+    def lcg(): Long = {
+      seed = (seed * 1103515245L + 12345L) % (1L << 31)
+      seed % 2001L - 1000L
+    }
+    var xP = 0.0; var eP = 0.0
+    val cents = (0 until 72).map { _ =>
+      val e = lcg() * 40.0
+      val x = 0.7 * xP + e + 0.5 * eP
+      xP = x; eP = e
+      A + x.toLong
+    }
+    val orders = cents.zipWithIndex.map { case (c, t) =>
+      (t.toLong, f"${2020 + t / 12}-${t % 12 + 1}%02d-01", c / 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graftarma").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // ---- independent replay from the Hannan–Rissanen formulas ----
+    def tdiv(a: BigInt, b: BigInt): BigInt = a / b
+    val n = cents.length
+    val mu = tdiv(cents.map(BigInt(_)).sum, n).toLong
+    val dv = cents.map(_ - mu)
+    val den = dv.map(x => BigInt(x) * x).sum
+    val rho = (1 to 12).map { k =>
+      tdiv((0 until n - k).map(t => BigInt(dv(t)) * dv(t + k)).sum
+        * 1000000, den).toLong
+    }
+    var phiR = Vector(BigInt(rho(0)))
+    var v = BigInt(1000000L) - BigInt(rho(0)) * rho(0) / 1000000L
+    var k = 1
+    while (k < rho.length && v > 0) {
+      val num = BigInt(rho(k)) * 1000000L -
+        (1 to k).map(j => phiR(j - 1) * rho(k - j)).sum
+      val pk = tdiv(num, v)
+      phiR = (1 to k).map(j => phiR(j - 1) -
+        tdiv(pk * phiR(k - j), 1000000L)).toVector :+ pk
+      v = tdiv(v * (1000000L - tdiv(pk * pk, 1000000L)), 1000000L)
+      k += 1
+    }
+    val h = k
+    assert(h === 12, s"full DL depth expected, got $h")
+    val mx = dv.map(x => BigInt(x).abs).max
+    val ds = dv.map(x => tdiv(BigInt(x) * 10000L, mx).toLong)
+    val eh = new Array[Long](n)
+    (h until n).foreach { t =>
+      eh(t) = ds(t) - tdiv((1 to h).map(j => phiR(j - 1) * ds(t - j)).sum,
+        BigInt(1000000L)).toLong
+    }
+    val ts2 = (h + 1) until n
+    val m = BigInt(ts2.size)
+    def bs(f: Int => BigInt) = ts2.map(f).sum
+    val (s1v, s2v, syv) = (bs(t => BigInt(ds(t - 1))),
+      bs(t => BigInt(eh(t - 1))), bs(t => BigInt(ds(t))))
+    val s11 = bs(t => BigInt(ds(t - 1)) * ds(t - 1))
+    val s12 = bs(t => BigInt(ds(t - 1)) * eh(t - 1))
+    val s22 = bs(t => BigInt(eh(t - 1)) * eh(t - 1))
+    val s1y = bs(t => BigInt(ds(t - 1)) * ds(t))
+    val s2y = bs(t => BigInt(eh(t - 1)) * ds(t))
+    def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt,
+        f: BigInt, g: BigInt, hh: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * hh) - b * (d * i - f * g) + c * (d * hh - e * g)
+    val dA = det3(m, s1v, s2v, s1v, s11, s12, s2v, s12, s22)
+    val cE = tdiv(det3(syv, s1v, s2v, s1y, s11, s12, s2y, s12, s22)
+      * 1000000L, dA).toLong
+    val phiE = tdiv(det3(m, syv, s2v, s1v, s1y, s12, s2v, s2y, s22)
+      * 1000000L, dA).toLong
+    val thetaE = tdiv(det3(m, s1v, syv, s1v, s11, s1y, s2v, s12, s2y)
+      * 1000000L, dA).toLong
+    // the planted (0.7, 0.5) recovered to two-stage sample resolution
+    assert(math.abs(phiE - 700000L) < 150000L, s"phi $phiE")
+    assert(math.abs(thetaE - 500000L) < 200000L, s"theta $thetaE")
+
+    val got = SparkEntry.queries("q355_arma_forecast")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.collect { case ("order", _, _, hv, _) => hv }.toList
+      === List(12L))
+    assert(got.collect { case ("coef", j, _, cv, _) => (j, cv) }.toList
+      === List((0L, cE), (1L, phiE), (2L, thetaE)),
+      "coefficients must equal the independent replay exactly (ppm)")
+    def predN(dP: Long, eP2: Long): Long =
+      tdiv(BigInt(cE) + BigInt(phiE) * dP + BigInt(thetaE) * eP2,
+        BigInt(1000000L)).toLong
+    def toC(pn: BigInt): Long = mu + tdiv(pn * mx, BigInt(10000L)).toLong
+    val wantF = ts2.map { t =>
+      val f = toC(BigInt(predN(ds(t - 1), eh(t - 1))))
+      (t.toLong, cents(t), f, math.abs(cents(t) - f))
+    }
+    assert(got.collect { case ("forecast", mm, a, f, e) => (mm, a, f, e) }
+      .toList === wantF.toList)
+    var dh = BigInt(predN(ds(n - 1), eh(n - 1)))
+    val wantH = (1 to 3).map { kk =>
+      if (kk > 1) dh = tdiv(BigInt(cE) + BigInt(phiE) * dh, BigInt(1000000L))
+      ((n + kk - 1).toLong, toC(dh))
+    }
+    val gotH = got.collect { case ("horizon", mm, _, f, _) => (mm, f) }
+    assert(gotH.toList === wantH.toList)
+    // the mixed signature: the horizon is NOT flat after one step (an
+    // MA(1) tail is) — the AR term keeps recursing
+    assert(gotH(1)._2 !== gotH(2)._2, gotH.toList.toString)
+
+    // constant series: no ACF exists — the loud 4-row sentinel
+    val flatDir = java.nio.file.Files.createTempDirectory("graftarmaf")
+      .toString
+    (0 until 12).map(t =>
+        (t.toLong, f"2020-${t + 1}%02d-01", 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$flatDir/orders.parquet")
+    val flat = SparkEntry.queries("q355_arma_forecast")(spark, flatDir)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(flat.toList === List(("coef", -1L), ("coef", -1L),
+      ("coef", -1L), ("order", 0L)), flat.toList.toString)
   }
 
   test("q323 Ljung-Box: the planted AR(2)'s raw series is loudly correlated, the fit's residuals pass white — the estimation stage earns its keep") {

@@ -560,6 +560,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q355 ARMA: like q319/q351, all corpus work is the staged month leaf; both Hannan-Rissanen stages run driver-side — local relation, no orders scan, no join") {
+    val p = plan("q355_arma_forecast")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q324 decomposition: windows and rollups run ON the staged calendar-bounded leaf — no orders scan, no cartesian, the seasonal join broadcasts") {
     val p = plan("q324_classical_decomp")
     assert(!p.contains("orders"), p)
@@ -758,6 +764,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("q353_ucb_replay")
     assert(!p.contains("events"), p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("q354 AIPW: the shared exposure frame reduced to a stratum-bounded moment-cell sync — local relation, no events scan, no join") {
+    val p = plan("q354_aipw_doubly_robust")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q356 NB reliability: the shared scored frame through a per-doc top-2 window to a 5-bucket rollup — vocabulary join keyed (never broadcast), no cartesian beyond the pinned classes cross") {
+    val p = plan("q356_nb_reliability")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+    assert(p.contains("Window"), p)
   }
 
   test("q309 SPRT: candidate days join back as an equi broadcast — no cartesian, no nested loop, bounded (arm, day) windows only") {

@@ -1128,4 +1128,47 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall { case (t, p, _) => t == p }, got.mkString(","))
     assert(got.map(_._3).sum === testN.toLong, got.mkString(","))
   }
+
+  test("q356 NB reliability: disjoint-vocab docs land in the top LLR bucket at accuracy 1.0, exactly-balanced docs land at margin 0 with coin-flip accuracy, and the keep-curve reads the threshold table") {
+    import spark.implicits._
+    // symmetric corpus: 4 'aa' + 4 'bb' train docs of 5 disjoint tokens
+    // each (so every shared count is 4, N_c = 20 each, V = 10, priors
+    // equal). Pure 8-token test docs carry margin 8·(ln5·10⁶ rounded) =
+    // 12875504 ≥ 10⁷ — the top bucket, all correct. 'a1 a2 b1 b2' test
+    // docs score IDENTICALLY under both classes (term-for-term
+    // symmetric), so margin is exactly 0, prediction falls to the
+    // alphabetical tie-break ('aa'), and the two 'bb'-labeled ones are
+    // wrong: bucket 0 reads accuracy 500000 — the planted unreliable
+    // mass the keep threshold exists to exclude.
+    val bucketOf = (1L to 500L).toDF("doc_id")
+      .withColumn("bk", graft.functions.Hashing.md5Bucket(col("doc_id"), 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (1L to 500L).filter(bucketOf(_) < 80).take(8)
+    val testIds = (1L to 500L).filter(bucketOf(_) >= 90).take(8)
+    assert(trainIds.size == 8 && testIds.size == 8)
+    val aTrain = "a1 a2 a3 a4 a5"
+    val bTrain = "b1 b2 b3 b4 b5"
+    val docs =
+      trainIds.take(4).map(id => (id, aTrain, "aa", "t", 10L)) ++
+        trainIds.drop(4).map(id => (id, bTrain, "bb", "t", 10L)) ++
+        testIds.take(2).map(id =>
+          (id, "a1 a2 a3 a4 a5 a1 a2 a3", "aa", "t", 10L)) ++
+        testIds.slice(2, 4).map(id =>
+          (id, "b1 b2 b3 b4 b5 b1 b2 b3", "bb", "t", 10L)) ++
+        testIds.slice(4, 6).map(id => (id, "a1 a2 b1 b2", "aa", "t", 10L)) ++
+        testIds.slice(6, 8).map(id => (id, "a1 a2 b1 b2", "bb", "t", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("graftnbr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q356_nb_reliability")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    assert(got === List(
+      (0L, 4L, 2L, 500000L, 8L, 6L, 750000L),
+      (1000000L, 0L, 0L, -1L, 4L, 4L, 1000000L),
+      (2000000L, 0L, 0L, -1L, 4L, 4L, 1000000L),
+      (5000000L, 0L, 0L, -1L, 4L, 4L, 1000000L),
+      (10000000L, 4L, 4L, 1000000L, 4L, 4L, 1000000L)),
+      got.mkString("\n"))
+  }
 }
