@@ -514,6 +514,121 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q357 char-fraction thresholds in percent, Rae et al. 2021 Table A1
+    * order: dup-line-char 20, dup-para-char 20, top-{2,3,4}-gram
+    * {20,18,16}, dup-{5..10}-gram {15,14,13,12,11,10}. The unit-count
+    * rules (dup lines / paragraphs) both cut at 30%. */
+  private[graft] val repCharPct =
+    Seq(20, 20, 20, 18, 16, 15, 14, 13, 12, 11, 10)
+
+  /** q357 — GOPHER REPETITION RULES (Rae et al. 2021, Appendix A Table
+    * A1 — the OTHER half of the Gopher filter next to q338's format
+    * rules, and the half this corpus actually exercises: repetitive
+    * generation/boilerplate is the dominant failure mode the paper
+    * measured): per document, in Table A1 order — duplicate LINE and
+    * PARAGRAPH fraction (> 30% of units repeated), duplicate line/
+    * paragraph CHARACTER fraction (> 20% of chars inside repeated
+    * units), TOP-{2,3,4}-gram character fraction (> {20,18,16}% of
+    * chars inside the single most frequent n-gram), and DUPLICATE-
+    * {5..10}-gram character fraction (> {15..10}% of chars inside
+    * n-grams occurring more than once). Counting conventions pinned
+    * (the paper leaves them open; these are the NeMo-Curator-style
+    * readings): a duplicated unit counts ALL its occurrences; n-gram
+    * char mass is occurrences × length of the space-joined gram, so
+    * overlapping occurrences each count; denominators are total
+    * document characters (char rules) / total units (count rules).
+    * Every verdict is a cross-multiplied integer comparison (mass·100
+    * > pct·total — no division); the ppm columns are reads, not
+    * inputs to the verdict, so their one truncation cannot flip it.
+    * First failing rule is the reason (the q73/q338 convention).
+    *
+    * Scale: lines/paragraphs shuffle on (doc, unit) and n-grams on
+    * (doc, n, gram) — the q74 shingle discipline, linear in corpus
+    * size with ONE shared n-explode (9 n-values ride one pass); the
+    * final frame is one row per document.
+    */
+  val gopherRepetition: Q = (s, d) => {
+    val base = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("c_total"),
+        filter(toks, t => length(t) > 0).as("tk"))
+    def dupUnits(delim: String, tag: String) = base
+      .select(col("doc_id"), explode(split(col("text"), delim)).as("u"))
+      .groupBy("doc_id", "u").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as(s"n_$tag"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
+          .as(s"dup_$tag"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("u")))
+          .otherwise(0L)).as(s"dupc_$tag"))
+    val lines = dupUnits("\\n", "line")
+    val paras = dupUnits("\\n\\n", "para")
+    val gramStats = base
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(sequence(2, 10), n ->
+          |  CASE WHEN size(tk) >= n THEN
+          |    transform(sequence(1, size(tk) - n + 1),
+          |      i -> struct(n AS n, concat_ws(' ', slice(tk, i, n)) AS g))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>)
+          |  END))""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("n"),
+        (col("cnt") * length(col("g"))).as("mass"), col("cnt"))
+      .groupBy("doc_id", "n").agg(
+        max("mass").as("top_mass"),
+        sum(when(col("cnt") >= 2, col("mass")).otherwise(0L))
+          .as("dup_mass"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("top_mass"))).as("top2"),
+        ((3 to 4).map(n => max(when(col("n") === n, col("top_mass")))
+          .as(s"top$n")) ++
+          (5 to 10).map(n => max(when(col("n") === n, col("dup_mass")))
+            .as(s"dup$n"))): _*)
+    val j = base.select("doc_id", "c_total")
+      .join(lines, Seq("doc_id"), "left")
+      .join(paras, Seq("doc_id"), "left")
+      .join(gramStats, Seq("doc_id"), "left")
+      .na.fill(0L)
+    val pct = repCharPct
+    val reason = when(col("dup_line") * 100L > col("n_line") * 30L,
+        "dup_line_frac")
+      .when(col("dup_para") * 100L > col("n_para") * 30L, "dup_para_frac")
+      .when(col("dupc_line") * 100L > col("c_total") * pct(0),
+        "dup_line_char_frac")
+      .when(col("dupc_para") * 100L > col("c_total") * pct(1),
+        "dup_para_char_frac")
+      .when(col("top2") * 100L > col("c_total") * pct(2), "top_2_gram")
+      .when(col("top3") * 100L > col("c_total") * pct(3), "top_3_gram")
+      .when(col("top4") * 100L > col("c_total") * pct(4), "top_4_gram")
+      .when(col("dup5") * 100L > col("c_total") * pct(5), "dup_5_gram")
+      .when(col("dup6") * 100L > col("c_total") * pct(6), "dup_6_gram")
+      .when(col("dup7") * 100L > col("c_total") * pct(7), "dup_7_gram")
+      .when(col("dup8") * 100L > col("c_total") * pct(8), "dup_8_gram")
+      .when(col("dup9") * 100L > col("c_total") * pct(9), "dup_9_gram")
+      .when(col("dup10") * 100L > col("c_total") * pct(10), "dup_10_gram")
+      .otherwise("ok")
+    def ppm(mass: String, total: String) =
+      expr(s"CAST(CASE WHEN $total <= 0 THEN 0" +
+        s" ELSE ($mass * 1000000) div $total END AS BIGINT)")
+    j.select(col("doc_id"),
+        ppm("dup_line", "n_line").as("dup_line_ppm"),
+        ppm("dup_para", "n_para").as("dup_para_ppm"),
+        ppm("dupc_line", "c_total").as("dup_line_char_ppm"),
+        ppm("dupc_para", "c_total").as("dup_para_char_ppm"),
+        ppm("top2", "c_total").as("top2_ppm"),
+        ppm("top3", "c_total").as("top3_ppm"),
+        ppm("top4", "c_total").as("top4_ppm"),
+        ppm("dup5", "c_total").as("dup5_ppm"),
+        ppm("dup6", "c_total").as("dup6_ppm"),
+        ppm("dup7", "c_total").as("dup7_ppm"),
+        ppm("dup8", "c_total").as("dup8_ppm"),
+        ppm("dup9", "c_total").as("dup9_ppm"),
+        ppm("dup10", "c_total").as("dup10_ppm"),
+        reason.as("reason"), (reason === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q74 — decontamination: flag corpus documents sharing any 8-token
     * shingle with the benchmark set (here: doc_id < 10 stands in for an
     * eval benchmark). Shingles are md5-hashed map-side, the collision
@@ -2456,6 +2571,7 @@ object Text extends QueryModule {
   def queries: Map[String, Q] = Map(
     "q320_naive_bayes" -> naiveBayes,
     "q356_nb_reliability" -> nbReliability,
+    "q357_gopher_repetition" -> gopherRepetition,
     "q200_zipf_fit" -> zipfFit,
     "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
@@ -3398,6 +3514,99 @@ object Text extends QueryModule {
          |      ELSE 'ok' END AS reason
          |  FROM m)
          |SELECT doc_id, nw AS n_words, reason, (reason = 'ok') AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // the same unit-dup and one-explode n-gram passes, the identical
+    // cross-multiplied Table-A1 thresholds and first-failing cascade,
+    // ppm columns as reads with the zero-total guard
+    "q357_gopher_repetition" -> {
+      def ppm(mass: String, total: String) =
+        s"CAST(CASE WHEN $total <= 0 THEN 0" +
+          s" ELSE ($mass * 1000000) // $total END AS BIGINT)"
+      val gpCols = ((2 to 4).map(n =>
+        s"max(CASE WHEN n = $n THEN top_mass END) AS top$n") ++
+        (5 to 10).map(n =>
+          s"max(CASE WHEN n = $n THEN dup_mass END) AS dup$n"))
+        .mkString(", ")
+      val jCols = (Seq("n_line", "dup_line", "dupc_line", "n_para",
+        "dup_para", "dupc_para").map(c => s"coalesce($c, 0) AS $c") ++
+        (2 to 4).map(n => s"coalesce(top$n, 0) AS top$n") ++
+        (5 to 10).map(n => s"coalesce(dup$n, 0) AS dup$n"))
+        .mkString(", ")
+      val charRules = Seq(
+        ("dupc_line", repCharPct(0), "dup_line_char_frac"),
+        ("dupc_para", repCharPct(1), "dup_para_char_frac"),
+        ("top2", repCharPct(2), "top_2_gram"),
+        ("top3", repCharPct(3), "top_3_gram"),
+        ("top4", repCharPct(4), "top_4_gram"),
+        ("dup5", repCharPct(5), "dup_5_gram"),
+        ("dup6", repCharPct(6), "dup_6_gram"),
+        ("dup7", repCharPct(7), "dup_7_gram"),
+        ("dup8", repCharPct(8), "dup_8_gram"),
+        ("dup9", repCharPct(9), "dup_9_gram"),
+        ("dup10", repCharPct(10), "dup_10_gram")).map {
+        case (m, p, tag) => s"WHEN $m * 100 > c_total * $p THEN '$tag'"
+      }.mkString(" ")
+      raw"""WITH t AS (SELECT doc_id, text,
+         |    CAST(length(text) AS BIGINT) AS c_total,
+         |    list_filter(string_split_regex(text, '\s+'),
+         |      x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |ln_ AS (SELECT doc_id, unnest(string_split(text, chr(10)))
+         |    AS u FROM t),
+         |la AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_line,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS dup_line,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(u)
+         |      ELSE 0 END) AS BIGINT) AS dupc_line
+         |  FROM (SELECT doc_id, u, count(*) AS cnt FROM ln_
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |pn_ AS (SELECT doc_id,
+         |    unnest(string_split(text, chr(10) || chr(10))) AS u FROM t),
+         |pa AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_para,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+         |      AS BIGINT) AS dup_para,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(u)
+         |      ELSE 0 END) AS BIGINT) AS dupc_para
+         |  FROM (SELECT doc_id, u, count(*) AS cnt FROM pn_
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |gr AS (SELECT t.doc_id, rn.n,
+         |    unnest(list_transform(
+         |      range(1, greatest(len(tk) - rn.n + 1, 0) + 1),
+         |      i -> array_to_string(tk[i:i+rn.n-1], ' '))) AS g
+         |  FROM t, range(2, 11) rn(n)),
+         |gm AS (SELECT doc_id, n,
+         |    CAST(max(cnt * length(g)) AS BIGINT) AS top_mass,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g)
+         |      ELSE 0 END) AS BIGINT) AS dup_mass
+         |  FROM (SELECT doc_id, n, g, count(*) AS cnt FROM gr
+         |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |gp AS (SELECT doc_id, $gpCols FROM gm GROUP BY 1),
+         |j AS (SELECT t.doc_id, t.c_total, $jCols
+         |  FROM t LEFT JOIN la USING (doc_id)
+         |  LEFT JOIN pa USING (doc_id)
+         |  LEFT JOIN gp USING (doc_id)),
+         |r AS (SELECT *,
+         |    CASE WHEN dup_line * 100 > n_line * 30 THEN 'dup_line_frac'
+         |      WHEN dup_para * 100 > n_para * 30 THEN 'dup_para_frac'
+         |      $charRules
+         |      ELSE 'ok' END AS reason
+         |  FROM j)
+         |SELECT doc_id,
+         |  ${ppm("dup_line", "n_line")} AS dup_line_ppm,
+         |  ${ppm("dup_para", "n_para")} AS dup_para_ppm,
+         |  ${ppm("dupc_line", "c_total")} AS dup_line_char_ppm,
+         |  ${ppm("dupc_para", "c_total")} AS dup_para_char_ppm,
+         |  ${ppm("top2", "c_total")} AS top2_ppm,
+         |  ${ppm("top3", "c_total")} AS top3_ppm,
+         |  ${ppm("top4", "c_total")} AS top4_ppm,
+         |  ${ppm("dup5", "c_total")} AS dup5_ppm,
+         |  ${ppm("dup6", "c_total")} AS dup6_ppm,
+         |  ${ppm("dup7", "c_total")} AS dup7_ppm,
+         |  ${ppm("dup8", "c_total")} AS dup8_ppm,
+         |  ${ppm("dup9", "c_total")} AS dup9_ppm,
+         |  ${ppm("dup10", "c_total")} AS dup10_ppm,
+         |  reason, reason = 'ok' AS keep
          |FROM r ORDER BY doc_id""".stripMargin
     },
     "q74_decontaminate" ->

@@ -772,6 +772,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q357 Gopher repetition: unit and n-gram passes shuffle on (doc, unit) keys — one shared 9-n explode, no cartesian, no nested loop") {
+    val p = plan("q357_gopher_repetition")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q356 NB reliability: the shared scored frame through a per-doc top-2 window to a 5-bucket rollup — vocabulary join keyed (never broadcast), no cartesian beyond the pinned classes cross") {
     val p = plan("q356_nb_reliability")
     assert(!p.contains("CartesianProduct"), p)

@@ -183,6 +183,62 @@ class TextDedupSpec extends SparkSpec {
     assert(out(9L) === (("ok", true)), "half-bulleted lists are kept")
   }
 
+  test("q357 Gopher repetition rules: each planted repetition mechanic fires its own rule in Table-A1 cascade order; a diverse doc keeps") {
+    import spark.implicits._
+    // 1 — duplicate LINE fraction: 4 identical of 10 lines = 40% > 30%
+    val dupLine = (Seq.fill(4)("dd ee") ++
+      (1 to 6).map(i => s"u$i v$i")).mkString("\n")
+    // 2 — duplicate PARAGRAPH fraction, with the line rule PASSING:
+    // the repeated para is one short line, the unique paras are 5
+    // lines each → dup lines = 2 P-lines + 4 blank separators = 6 of
+    // 21 (28.6% ≤ 30%), dup paras = 2 of 5 (40% > 30%)
+    val para = (1 to 3).map(p =>
+      (1 to 5).map(l => s"p${p}l$l q${p}l$l").mkString("\n"))
+    val dupPara = (Seq("xx yy", "xx yy") ++ para).mkString("\n\n")
+    // 3 — duplicate line CHAR fraction with the count rule passing:
+    // 2 identical ~100-char lines of 10 (20% count, ~69% chars)
+    val longLine = (1 to 20).map(i => f"w$i%03d").mkString(" ")
+    val dupLineChar = (Seq(longLine, longLine) ++
+      (1 to 8).map(i => s"s$i t$i")).mkString("\n")
+    // 4 — TOP-2-gram char fraction: 'x y' ×10 among unique fillers =
+    // 30 of 69 chars (43% > 20%); every longer gram is single-occurrence
+    val top2 = (1 to 10).map(i => s"x y f$i").mkString(" ")
+    // 5 — DUP-5-gram char fraction with the top-gram rules passing:
+    // a 5×2-char phrase repeated twice in a 50-token doc (C = 149):
+    // dup5 = 2·14 = 28 chars (18.8% > 15%) while top4 = 22 ≤ 16%·149,
+    // top3 = 16 ≤ 18%·149, top2 = 10 ≤ 20%·149
+    val phrase = "pp qq rr ss tt"
+    // 2-char unique fillers keep C = 50·2 + 49 = 149 exactly
+    def fill(i: Int) = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val dup5 = (Seq(phrase) ++ (0 until 20).map(fill) ++
+      Seq(phrase) ++ (20 until 40).map(fill)).mkString(" ")
+    // 6 — diverse doc: 30 unique tokens, every rule passes
+    val okDoc = (1 to 30).map(i => f"z$i%02d").mkString(" ")
+    val docs = Seq((1L, dupLine), (2L, dupPara), (3L, dupLineChar),
+      (4L, top2), (5L, dup5), (6L, okDoc))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graftrep").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q357_gopher_repetition")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("reason") === "dup_line_frac")
+    assert(out(1L).getAs[Long]("dup_line_ppm") === 400000L)
+    assert(out(2L).getAs[String]("reason") === "dup_para_frac")
+    assert(out(2L).getAs[Long]("dup_para_ppm") === 400000L)
+    assert(out(2L).getAs[Long]("dup_line_ppm") === 285714L,
+      "line rule passed at 6/21 before the para rule fired")
+    assert(out(3L).getAs[String]("reason") === "dup_line_char_frac")
+    assert(out(4L).getAs[String]("reason") === "top_2_gram")
+    assert(out(5L).getAs[String]("reason") === "dup_5_gram")
+    assert(out(5L).getAs[Long]("dup5_ppm") === 187919L, // 28/149
+      out(5L).toString)
+    assert(out(6L).getAs[String]("reason") === "ok")
+    assert(out(6L).getAs[Boolean]("keep"))
+    assert((1L to 5L).forall(!out(_).getAs[Boolean]("keep")))
+  }
+
   test("q74 decontamination flags only docs sharing an 8-token shingle with the benchmark") {
     val run = (1 to 12).map(i => s"bench$i").mkString(" ") // 12 tokens
     val docs = Seq(
