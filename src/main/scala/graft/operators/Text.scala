@@ -571,10 +571,15 @@ object Text extends QueryModule {
           |      i -> struct(n AS n, concat_ws(' ', slice(tk, i, n)) AS g))
           |  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>)
           |  END))""".stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("x.n").as("n"),
+        md5(col("x.g")).as("gh"), length(col("x.g")).as("len"))
+      // group on the 32-hex md5, not the gram itself — a 10-gram of
+      // replica-tagged tokens is ~90 bytes of shuffle key (the q74
+      // shingle discipline; measured 17.3 s → grouped-hash at sf1)
+      .groupBy("doc_id", "n", "gh")
+      .agg(count(lit(1)).as("cnt"), max("len").as("len"))
       .select(col("doc_id"), col("n"),
-        (col("cnt") * length(col("g"))).as("mass"), col("cnt"))
+        (col("cnt") * col("len")).as("mass"), col("cnt"))
       .groupBy("doc_id", "n").agg(
         max("mass").as("top_mass"),
         sum(when(col("cnt") >= 2, col("mass")).otherwise(0L))
@@ -3576,10 +3581,11 @@ object Text extends QueryModule {
          |      i -> array_to_string(tk[i:i+rn.n-1], ' '))) AS g
          |  FROM t, range(2, 11) rn(n)),
          |gm AS (SELECT doc_id, n,
-         |    CAST(max(cnt * length(g)) AS BIGINT) AS top_mass,
-         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g)
+         |    CAST(max(cnt * len) AS BIGINT) AS top_mass,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * len
          |      ELSE 0 END) AS BIGINT) AS dup_mass
-         |  FROM (SELECT doc_id, n, g, count(*) AS cnt FROM gr
+         |  FROM (SELECT doc_id, n, md5(g) AS gh, count(*) AS cnt,
+         |    max(length(g)) AS len FROM gr
          |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
          |gp AS (SELECT doc_id, $gpCols FROM gm GROUP BY 1),
          |j AS (SELECT t.doc_id, t.c_total, $jCols
