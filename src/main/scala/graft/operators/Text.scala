@@ -514,6 +514,81 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q358 conformal miscoverage α in percent (coverage target 90%). */
+  private[graft] val nbConfAlphaPct = 10
+
+  /** q358 — SPLIT-CONFORMAL PREDICTION SETS for the NB classifier
+    * (Vovk, Gammerman & Shafer 2005; Angelopoulos & Bates 2023 for the
+    * modern recipe): the distribution-free guarantee above q356's
+    * empirical reliability read — instead of a point label, emit the
+    * SET of classes statistically consistent with the doc, sized so
+    * that P(true class ∈ set) ≥ 1 − α regardless of how miscalibrated
+    * the classifier is. The q75 md5 split leaves bk ∈ [80, 90) unused
+    * by train (< 80) and test (≥ 90) — a calibration fold BY DESIGN.
+    * Nonconformity is integer-exact: s_i = (top score) − (true-class
+    * score) ≥ 0; q̂ is the exact ⌈(1−α)(n+1)⌉-th smallest calibration
+    * score (the q283/q317 order-statistic machinery; an under-sized
+    * fold yields the conformal-defined INFINITE threshold as
+    * Long.MaxValue — every set becomes the full taxonomy, loud not
+    * silent); the test-fold set for a doc is every class within q̂ of
+    * its top score (the argmax is always in — set size ≥ 1). Output:
+    * the taxonomy-bounded set-size histogram plus q̂, fold sizes, and
+    * the realized test coverage in ppm — the guarantee audit (≥
+    * 900000 in expectation under exchangeability; the spec pins an
+    * exchangeable fixture where it reads exactly 10⁶, an alien-test
+    * fixture where the coverage column reports the collapse to the
+    * exact miss fraction — the alarm the audit exists to ring when
+    * test drifts from calibration — and the under-sized-fold infinite
+    * threshold where every set is the full taxonomy).
+    *
+    * Scale: the corpus work is the SHARED [[nbScored]] chain over
+    * bk ≥ 80 (one scoring pass covers both folds); the calibration
+    * quantile is one exact sort of the ~10% fold — in production the
+    * fold is a bounded sample (compose with q341), documented; the
+    * histogram is taxonomy-bounded.
+    */
+  val nbConformal: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = nbScored(s, d, foldLo = 80)
+    val perDoc = scored.groupBy("doc_id", "true_lang", "bk")
+      .agg(max("score").as("s1"),
+        max(when(col("cls") === col("true_lang"), col("score")))
+          .as("st"))
+      .select(col("doc_id"), col("bk"),
+        // a calibration doc whose true class never appeared in
+        // training is infinitely nonconforming (st is null) — and
+        // Spark sorts nulls FIRST where DuckDB sorts them LAST, so
+        // the sentinel must be explicit, not a null
+        coalesce(col("s1") - col("st"), lit(Long.MaxValue)).as("nc"))
+    val cal = perDoc.filter(col("bk") < 90).select("nc")
+    val nCal = cal.count() // 1-value driver sync
+    val k = (9L * (nCal + 1) + 9) / 10
+    val qhat =
+      if (k > nCal) Long.MaxValue
+      else cal.orderBy("nc").limit(k.toInt)
+        .orderBy(col("nc").desc).limit(1).head().getLong(0)
+    val w = Window.partitionBy("doc_id")
+    val test = scored.filter(col("bk") >= 90)
+      .withColumn("s1", max("score").over(w))
+      .groupBy("doc_id", "true_lang")
+      .agg(sum(when(col("s1") - col("score") <= qhat, 1L).otherwise(0L))
+          .as("set_size"),
+        max(when(col("cls") === col("true_lang") &&
+          col("s1") - col("score") <= qhat, 1L).otherwise(0L)).as("cov"))
+    val glob = test.agg(count(lit(1)).as("n_test"),
+      sum("cov").as("n_covered"))
+    test.groupBy("set_size").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(glob))
+      .select(col("set_size"), col("n_docs"),
+        lit(nCal).as("n_cal"), lit(qhat).as("qhat_micro"),
+        col("n_test"), col("n_covered"),
+        expr("""CAST(CASE WHEN n_test = 0 THEN -1
+                ELSE (n_covered * 1000000) div n_test END AS BIGINT)""")
+          .as("coverage_ppm"))
+      .orderBy("set_size")
+  }
+
   /** q357 char-fraction thresholds in percent, Rae et al. 2021 Table A1
     * order: dup-line-char 20, dup-para-char 20, top-{2,3,4}-gram
     * {20,18,16}, dup-{5..10}-gram {15,14,13,12,11,10}. The unit-count
@@ -2439,7 +2514,7 @@ object Text extends QueryModule {
     * leaf → Laplace-smoothed micro log scores per held-out doc and
     * class. See [[naiveBayes]] for the full scoring notes. */
   private def nbScored(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, foldLo: Int = 90): org.apache.spark.sql.DataFrame = {
     val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
     val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("lang"),
@@ -2470,8 +2545,9 @@ object Text extends QueryModule {
       .toSeq
     import s.implicits._
     val classes = classesRows.toDF("cls", "n_c", "v", "prior_mu")
-    val testDocs = docs.filter(col("bk") >= 90)
-      .select(col("doc_id"), col("lang").as("true_lang"), col("tk"))
+    val testDocs = docs.filter(col("bk") >= foldLo)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("tk"),
+        col("bk"))
     val contrib = testDocs
       .select(col("doc_id"), explode(col("tk")).as("term"))
       .crossJoin(broadcast(classes))
@@ -2481,10 +2557,10 @@ object Text extends QueryModule {
           (col("n_c") + col("v")).cast("double")) * 1e6)
           .cast("long").as("w"))
       .groupBy("doc_id", "cls").agg(sum("w").as("tok_mu"))
-    testDocs.select("doc_id", "true_lang")
+    testDocs.select("doc_id", "true_lang", "bk")
       .crossJoin(broadcast(classes.select("cls", "prior_mu")))
       .join(contrib, Seq("doc_id", "cls"), "left")
-      .select(col("doc_id"), col("true_lang"), col("cls"),
+      .select(col("doc_id"), col("true_lang"), col("bk"), col("cls"),
         (coalesce(col("tok_mu"), lit(0L)) + col("prior_mu")).as("score"))
   }
 
@@ -2577,6 +2653,7 @@ object Text extends QueryModule {
     "q320_naive_bayes" -> naiveBayes,
     "q356_nb_reliability" -> nbReliability,
     "q357_gopher_repetition" -> gopherRepetition,
+    "q358_nb_conformal" -> nbConformal,
     "q200_zipf_fit" -> zipfFit,
     "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
@@ -2640,7 +2717,7 @@ object Text extends QueryModule {
     * table → test contributions → per-(doc, class) scores), shared
     * TEXTUALLY by both oracles (the maOracleChain precedent — the
     * calibration audit cannot drift from the classifier it audits). */
-  private val nbOracleChain =
+  private def nbOracleChain(foldLo: Int = 90): String =
     raw"""docs AS (SELECT doc_id, lang,
        |    list_filter(string_split_regex(text, '\s+'),
        |      x -> len(x) > 0) AS tk,
@@ -2662,16 +2739,16 @@ object Text extends QueryModule {
        |      AS BIGINT) AS prior_mu
        |  FROM nc JOIN pri ON pri.cls = nc.cls),
        |tt AS (SELECT doc_id, unnest(tk) AS term FROM docs
-       |  WHERE bk >= 90),
+       |  WHERE bk >= $foldLo),
        |contrib AS (SELECT t.doc_id, c.cls,
        |    sum(CAST(round(ln((coalesce(n.ntc, 0) + 1) /
        |      CAST(c.n_c + c.v AS DOUBLE)) * 1000000) AS BIGINT)) AS tok_mu
        |  FROM tt t CROSS JOIN cls c
        |  LEFT JOIN ntc n ON n.cls = c.cls AND n.term = t.term
        |  GROUP BY 1, 2),
-       |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.cls,
+       |scored AS (SELECT d.doc_id, d.lang AS true_lang, d.bk, c.cls,
        |    coalesce(ct.tok_mu, 0) + c.prior_mu AS score
-       |  FROM (SELECT doc_id, lang FROM docs WHERE bk >= 90) d
+       |  FROM (SELECT doc_id, lang, bk FROM docs WHERE bk >= $foldLo) d
        |  CROSS JOIN cls c
        |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id
        |    AND ct.cls = c.cls)""".stripMargin
@@ -2682,7 +2759,7 @@ object Text extends QueryModule {
     // engines round the identical double), same desc-score/asc-class
     // argmax tie-break
     "q320_naive_bayes" ->
-      s"""WITH $nbOracleChain,
+      s"""WITH ${nbOracleChain()},
          |pred AS (SELECT doc_id, true_lang, cls AS pred_lang,
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, cls) AS rn
@@ -2696,7 +2773,7 @@ object Text extends QueryModule {
       val edgeCase = nbMarginEdges.reverse.map(e =>
         s"WHEN margin >= ${e}" +
           s" THEN CAST($e AS BIGINT)").mkString(" ")
-      s"""WITH $nbOracleChain,
+      s"""WITH ${nbOracleChain()},
          |p2 AS (SELECT doc_id, true_lang, cls, score,
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, cls) AS rn
@@ -2735,6 +2812,48 @@ object Text extends QueryModule {
          |    ELSE (kept_correct * 1000000) // kept_docs END AS BIGINT)
          |    AS kept_acc_ppm
          |FROM keep ORDER BY bucket_lo""".stripMargin
+    },
+    // the shared chain over BOTH folds (bk >= 80), the identical
+    // nonconformity with the explicit unseen-class sentinel (Spark
+    // sorts nulls first, DuckDB last — never a null in the sort), the
+    // exact k-th-smallest threshold, and the same set/coverage algebra
+    "q358_nb_conformal" -> {
+      s"""WITH ${nbOracleChain(80)},
+         |pd AS MATERIALIZED (SELECT doc_id, bk,
+         |    coalesce(max(score)
+         |      - max(CASE WHEN cls = true_lang THEN score END),
+         |      ${Long.MaxValue}) AS nc
+         |  FROM scored GROUP BY doc_id, true_lang, bk),
+         |kq AS MATERIALIZED (SELECT count(*) AS n,
+         |    (9 * (count(*) + 1) + 9) // 10 AS k
+         |  FROM pd WHERE bk < 90),
+         |qh AS MATERIALIZED (SELECT
+         |    CASE WHEN kq.k > kq.n THEN ${Long.MaxValue}
+         |    ELSE (SELECT nc FROM (SELECT nc,
+         |        row_number() OVER (ORDER BY nc) AS rn
+         |      FROM pd WHERE bk < 90) WHERE rn = kq.k) END AS qhat
+         |  FROM kq),
+         |ts AS (SELECT s.doc_id, s.true_lang, s.cls, s.score,
+         |    max(s.score) OVER (PARTITION BY s.doc_id) AS s1
+         |  FROM scored s WHERE s.bk >= 90),
+         |td AS (SELECT doc_id, true_lang,
+         |    CAST(sum(CASE WHEN s1 - score <= (SELECT qhat FROM qh)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS set_size,
+         |    max(CASE WHEN cls = true_lang
+         |      AND s1 - score <= (SELECT qhat FROM qh)
+         |      THEN 1 ELSE 0 END) AS cov
+         |  FROM ts GROUP BY 1, 2),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(cov) AS BIGINT) AS n_covered FROM td)
+         |SELECT td.set_size, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(kq.n AS BIGINT) AS n_cal,
+         |  CAST(qh.qhat AS BIGINT) AS qhat_micro,
+         |  gl.n_test, gl.n_covered,
+         |  CAST(CASE WHEN gl.n_test = 0 THEN -1
+         |    ELSE (gl.n_covered * 1000000) // gl.n_test END AS BIGINT)
+         |    AS coverage_ppm
+         |FROM td, gl, kq, qh
+         |GROUP BY 1, 3, 4, 5, 6, 7 ORDER BY 1""".stripMargin
     },
     "q199_containment" ->
       raw"""WITH t AS (SELECT doc_id,

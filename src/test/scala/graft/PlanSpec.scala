@@ -772,6 +772,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q358 conformal sets: the shared scored chain over both folds, per-doc windows, taxonomy-bounded histogram — vocabulary join keyed, no cartesian beyond the pinned 1-row/classes crosses") {
+    val p = plan("q358_nb_conformal")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+  }
+
   test("q357 Gopher repetition: unit and n-gram passes shuffle on (doc, unit) keys — one shared 9-n explode, no cartesian, no nested loop") {
     val p = plan("q357_gopher_repetition")
     assert(!p.contains("CartesianProduct"), p)

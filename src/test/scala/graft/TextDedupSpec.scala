@@ -183,6 +183,56 @@ class TextDedupSpec extends SparkSpec {
     assert(out(9L) === (("ok", true)), "half-bulleted lists are kept")
   }
 
+  test("q358 conformal sets: an exchangeable fixture reads coverage exactly 1e6 at qhat 0, an alien test fold reports the exact miss fraction, and an under-sized calibration fold yields the infinite threshold and full-taxonomy sets") {
+    import spark.implicits._
+    val bucketOf = (1L to 500L).toDF("doc_id")
+      .withColumn("bk", graft.functions.Hashing.md5Bucket(col("doc_id"), 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (1L to 500L).filter(bucketOf(_) < 80).take(8)
+    val calIds = (1L to 500L)
+      .filter(id => bucketOf(id) >= 80 && bucketOf(id) < 90)
+    val testIds = (1L to 500L).filter(bucketOf(_) >= 90).take(6)
+    assert(trainIds.size == 8 && calIds.size >= 10 && testIds.size == 6)
+    val aT = "a1 a2 a3 a4 a5"; val bT = "b1 b2 b3 b4 b5"
+    def base(nCal: Int) =
+      trainIds.take(4).map(id => (id, aT, "aa", "t", 10L)) ++
+        trainIds.drop(4).map(id => (id, bT, "bb", "t", 10L)) ++
+        calIds.take(nCal).zipWithIndex.map { case (id, i) =>
+          if (i % 2 == 0) (id, aT, "aa", "t", 10L)
+          else (id, bT, "bb", "t", 10L)
+        }
+    def run(docs: Seq[(Long, String, String, String, Long)], tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("q358_nb_conformal")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    }
+    // LAW 1 — exchangeable: disjoint-vocab docs everywhere → every
+    // calibration nonconformity is 0, qhat = the 10th smallest of ten
+    // zeros = 0, every test set is the bare argmax, coverage exactly 1
+    val ex = run(base(10) ++
+      testIds.take(3).map(id => (id, aT, "aa", "t", 10L)) ++
+      testIds.drop(3).map(id => (id, bT, "bb", "t", 10L)), "graftcf1")
+    assert(ex === List((1L, 6L, 10L, 0L, 6L, 6L, 1000000L)), ex.toString)
+    // LAW 2 — test drift: two test docs carry the WRONG vocabulary for
+    // their label; at qhat 0 their sets exclude the true class and the
+    // coverage column reports the exact 4/6 miss fraction — the alarm
+    val alien = run(base(10) ++
+      testIds.take(4).map(id => (id, aT, "aa", "t", 10L)) ++
+      testIds.drop(4).map(id => (id, bT, "aa", "t", 10L)), "graftcf2")
+    assert(alien === List((1L, 6L, 10L, 0L, 6L, 4L, 666666L)),
+      alien.toString)
+    // LAW 3 — under-sized fold: 3 calibration docs cannot support the
+    // 90% quantile (k = ceil(0.9·4) = 4 > 3) → the conformal-defined
+    // INFINITE threshold, full-taxonomy sets, loud not silent
+    val inf = run(base(3) ++
+      testIds.take(2).map(id => (id, aT, "aa", "t", 10L)), "graftcf3")
+    assert(inf === List((2L, 2L, 3L, Long.MaxValue, 2L, 2L, 1000000L)),
+      inf.toString)
+  }
+
   test("q357 Gopher repetition rules: each planted repetition mechanic fires its own rule in Table-A1 cascade order; a diverse doc keeps") {
     import spark.implicits._
     // 1 — duplicate LINE fraction: 4 identical of 10 lines = 40% > 30%
