@@ -564,6 +564,12 @@ object Text extends QueryModule {
     val cal = perDoc.filter(col("bk") < 90).select("nc")
     val nCal = cal.count() // 1-value driver sync
     val k = (9L * (nCal + 1) + 9) / 10
+    // limit() takes an Int: a >2³¹-doc calibration fold must be
+    // SAMPLED first (q341), never silently truncated into a wrong
+    // quantile — loud, the documented production posture
+    require(k <= Int.MaxValue,
+      s"q358: calibration fold too large for the exact sort ($nCal " +
+        "docs); draw a bounded sample first (q341)")
     val qhat =
       if (k > nCal) Long.MaxValue
       else cal.orderBy("nc").limit(k.toInt)
