@@ -1822,10 +1822,14 @@ object Similarity extends QueryModule {
          |FROM dims ORDER BY dim""".stripMargin
     },
     // the q343 chain replayed per component (suffix-numbered CTE blocks),
-    // plus the Hotelling deflation as ONE flat-list transform —
-    // C' = C − (Cb)(Cb)' // b'Cb entry for entry, kept un-deflated when
-    // b'Cb ≤ 0 — and the sentinel chain masking every share after the
-    // first negative one, exactly the engine's rule
+    // plus the Hotelling deflation as ONE flat-list transform in the
+    // λ-FIRST rational form actually implemented (and engine-mirrored):
+    // C' = C − (λ·uu') // 10¹², with λ the Rayleigh quotient and u the
+    // ppm-normalized eigenvector — the (Cb)(Cb)' // b'Cb outer-product
+    // form was REJECTED for exceeding DuckDB's HUGEINT ceiling (see
+    // SURVEY.md). Kept un-deflated when b'Cb ≤ 0; the sentinel chain
+    // masks every share after the first negative one, exactly the
+    // engine's rule
     "q352_pca_spectrum" -> {
       def yE(c: Int) = s"list_transform(range(1, 65), i -> " +
         s"list_sum(list_transform(range(1, 65), j -> " +

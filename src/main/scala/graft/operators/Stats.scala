@@ -1813,8 +1813,12 @@ object Stats extends QueryModule {
       val iNum = used.map { r =>
         val (_, sy1) = cell(r.st, 1L)
         val (_, sy0) = cell(r.st, 0L)
-        val w1 = BigInt(1000000000000L) / r.pPpm
-        val w0 = BigInt(1000000000000L) / (1000000L - r.pPpm)
+        // greatest(·,1) clamp, mirrored in the oracle: a positivity-
+        // satisfying stratum can still floor to pPpm = 0 when the
+        // treated share is < 1 ppm (ns > n1·10⁶) — the weight then
+        // saturates at 10¹² instead of dividing by zero
+        val w1 = BigInt(1000000000000L) / r.pPpm.max(1L)
+        val w0 = BigInt(1000000000000L) / (1000000L - r.pPpm).max(1L)
         BigInt(sy1) * w1 - BigInt(sy0) * w0
       }.sum
       (tdiv(sNum, BigInt(nUsed)).toLong, tdiv(iNum, BigInt(nUsed)).toLong)
@@ -1906,9 +1910,13 @@ object Stats extends QueryModule {
           if (n1 == 0 || n0 == 0) nDropped += 1
           else {
             nUsed += ns
+            // greatest(·,1) clamp identical to q350's and to BOTH
+            // oracles: pPpm floors to 0 when treated share < 1 ppm
             val pPpm = BigInt(n1) * 1000000L / ns
-            val w1 = BigInt(1000000000000L) / pPpm
-            val w0 = BigInt(1000000000000L) / (1000000L - pPpm)
+            val w1 = BigInt(1000000000000L) / pPpm.max(BigInt(1))
+            val w0 =
+              BigInt(1000000000000L) / (BigInt(1000000L) - pPpm)
+                .max(BigInt(1))
             t1 += BigInt(ns) * (a1 - a0) +
               BigInt(b1 - b0) * (sx1 + sx0)
             t2 += tdiv(w1 * (BigInt(sy1) * 1000000L -
@@ -1953,9 +1961,13 @@ object Stats extends QueryModule {
     * Fixed-point exactness: mean_ppm = succ·10⁶ div trials; bonus_ppm
     * = isqrt(([[twoLn2Micro]]·⌊log₂T⌋·10⁶) div trials) (ONE inner
     * truncation; oracle: corrected double floor-sqrt); unplayed arms
-    * are forced first, smallest arm id, score sentinel −1; argmax
-    * ties break to the smallest arm (list_position-of-max ≡ maxBy on
-    * (score, −arm)). Output (long format): one `pick` row per day
+    * WITH logged traffic that day are forced first, smallest arm id,
+    * score sentinel −1 — the day-traffic condition is the starvation
+    * guard: a forced play always absorbs ≥ 1 trial, so an arm whose
+    * md5 bucket is empty (or whose traffic all fell on earlier days)
+    * is never picked and can never capture the whole replay; the
+    * argmax ranges over played arms only. Argmax ties break to the
+    * smallest arm (list_position-of-max ≡ maxBy on (score, −arm)). Output (long format): one `pick` row per day
     * (arm, day's absorbed trials/successes, the winning score), one
     * `arm` row per arm (days allocated, cumulative totals, final
     * mean), and a `regret` row — best LOGGED fixed-arm mean minus the
@@ -1988,11 +2000,21 @@ object Stats extends QueryModule {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long, Long, Long, Long)]
     days.zipWithIndex.foreach { case (day, i) =>
-      val (pick, score) = (0 until ucbArms).find(trials(_) == 0L) match {
+      // starvation guard: an arm is only FORCED on a day where its
+      // (day, arm) cell exists — a forced play therefore always
+      // absorbs ≥ 1 trial and can never be re-forced. An arm with
+      // zero logged traffic (or traffic only on already-passed days)
+      // is simply never picked; its `arm` row reports mean −1. The
+      // argmax correspondingly ranges over PLAYED arms only (some
+      // arm is always played: today's cells belong either to a
+      // played arm or to a forced candidate).
+      val (pick, score) = (0 until ucbArms)
+        .find(a => trials(a) == 0L &&
+          cells.contains((day, a.toLong))) match {
         case Some(a) => (a, -1L)
         case None =>
           val lg = 63 - java.lang.Long.numberOfLeadingZeros(tt)
-          (0 until ucbArms).map { a =>
+          (0 until ucbArms).filter(trials(_) > 0L).map { a =>
             val mean = BigInt(succ(a)) * 1000000L / trials(a)
             val bonus = isqrt(
               BigInt(twoLn2Micro) * lg * 1000000L / trials(a))
@@ -6612,11 +6634,9 @@ object Stats extends QueryModule {
          |    sum(CASE WHEN pos THEN CAST(ns AS HUGEINT) * delta
          |      ELSE 0 END) AS snum,
          |    sum(CASE WHEN pos THEN CAST(sy1 AS HUGEINT)
-         |        * (1000000000000 //
-         |           (CASE WHEN n1 > 0 THEN p_ppm ELSE 1 END))
+         |        * (1000000000000 // greatest(p_ppm, 1))
          |      - CAST(sy0 AS HUGEINT)
-         |        * (1000000000000 //
-         |           (CASE WHEN n0 > 0 THEN 1000000 - p_ppm ELSE 1 END))
+         |        * (1000000000000 // greatest(1000000 - p_ppm, 1))
          |      ELSE 0 END) AS inum
          |  FROM sd),
          |gg AS (SELECT *,
@@ -6765,9 +6785,16 @@ object Stats extends QueryModule {
       def isq(t: String) =
         s"(${r1(t)} - (CASE WHEN ${r1(t)} * ${r1(t)} > ${x(t)}" +
           s" THEN 1 ELSE 0 END))"
+      // starvation guard (r17): an unplayed arm is forced (+BIG) only
+      // when its cell exists TODAY (dla.ts[a] > 0); an unplayed arm
+      // with no traffic today is excluded (−BIG, never the max — some
+      // arm each day has either the +BIG or a ≥ 0 played score)
       def scores(t: String) =
         s"list_transform(range(1, ${ucbArms + 1}), a -> " +
-          s"CASE WHEN $t.tr[a] = 0 THEN CAST(1000000000000000 AS HUGEINT)" +
+          s"CASE WHEN $t.tr[a] = 0 AND dla.ts[a] > 0" +
+          s" THEN CAST(1000000000000000 AS HUGEINT)" +
+          s" WHEN $t.tr[a] = 0" +
+          s" THEN CAST(-1000000000000000 AS HUGEINT)" +
           s" ELSE ($t.sc[a] * 1000000) // greatest($t.tr[a], 1)" +
           s" + ${isq(t)} END)"
       def pick(t: String) =
@@ -6819,10 +6846,11 @@ object Stats extends QueryModule {
          |    CAST(s1.tt - s0.tt AS BIGINT) AS dt,
          |    CAST(list_sum(list_transform(range(1, $arms1),
          |      a -> s1.sc[a] - s0.sc[a])) AS BIGINT) AS dr,
-         |    CAST(CASE WHEN list_min(list_transform(range(1, $arms1),
-         |        a -> s0.tr[a])) = 0 THEN -1
+         |    CAST(CASE WHEN list_max(${scores("s0")})
+         |        = 1000000000000000 THEN -1
          |      ELSE list_max(${scores("s0")}) END AS BIGINT) AS score
-         |  FROM ms s1, ms s0 WHERE s1.i = s0.i + 1),
+         |  FROM ms s1, ms s0, dla
+         |  WHERE s1.i = s0.i + 1 AND dla.i = s0.i),
          |fin AS MATERIALIZED (SELECT * FROM ms
          |  WHERE i = (SELECT n FROM nd)),
          |ar AS (SELECT CAST(aa.a - 1 AS BIGINT) AS arm,

@@ -2215,6 +2215,66 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q353 UCB1 replay starvation guard: an md5 bucket with zero logged traffic is never picked (its arm row reports the −1 sentinel), and an arm whose only traffic precedes its forced turn cannot capture the replay") {
+    import spark.implicits._
+    val armOf = (1L to 400L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byArm = (0L to 3L).map(a =>
+      a -> (1L to 400L).filter(armOf(_) == a)).toMap
+    assert(byArm.values.forall(_.size >= 3), byArm.view.mapValues(_.size))
+    val dayNs = 86400L * 1000000000L
+    var eid = 0L
+    def ev(day: Int, u: Long, purch: Boolean) = {
+      eid += 1
+      (eid, day * dayNs, u, if (purch) "purchase" else "view", 1.0, "{}")
+    }
+    // arm 3's bucket is EMPTY (no events ever); arm 2's only traffic
+    // is day 0, where arm 0 (smaller id, also trafficked) wins the
+    // forced pick — under the pre-guard rule both would be re-forced
+    // forever, allocating every remaining day to a dt = 0 arm
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, Double, String)]
+    (0 until 10).foreach { d =>
+      byArm(0L).take(3).foreach(u => rows += ev(d, u, purch = d % 2 == 0))
+      byArm(1L).take(3).foreach(u => rows += ev(d, u, purch = true))
+    }
+    byArm(2L).take(3).foreach(u => rows += ev(0, u, purch = false))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graftucbstarve").toString
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q353_ucb_replay")(spark, dir).collect()
+    val picks = got.filter(_.getString(0) == "pick")
+      .sortBy(_.getLong(1))
+    assert(picks.length === 10)
+    // day 0 forces arm 0; day 1 forces arm 1 (arm 2 has no day-1 cell,
+    // arm 3 none ever); every later day is argmax over {0, 1} — arms 2
+    // and 3 never appear, and no pick loops on a dead arm
+    assert(picks(0).getLong(2) === 0L && picks(0).getLong(4) === 3L)
+    assert(picks(1).getLong(2) === 1L && picks(1).getLong(4) === 3L)
+    assert(picks.forall(p => p.getLong(2) <= 1L), picks.map(_.getLong(2)).toList)
+    // forced picks always absorb traffic (the guard's invariant)
+    assert(picks.filter(_.getLong(6) == -1L).forall(_.getLong(4) >= 1L))
+    val arms = got.filter(_.getString(0) == "arm")
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    assert(arms(3L) === ((0L, 0L, -1L)), arms(3L)) // empty bucket sentinel
+    assert(arms(2L) === ((0L, 0L, -1L)), arms(2L)) // missed-turn arm: never played
+    // arm 1 (always-converting) is never starved: it ties for the
+    // most allocated days (arm 0 is only ever picked on its
+    // converting even days, so both observed means sit at 10⁶ and
+    // the UCB tie-break alternates them)
+    assert(arms(1L)._1 === (0L to 3L).map(a => arms(a)._1).max)
+    // regret row: best logged arm is 1 (mean 10⁶); exact vs replay mean
+    val reg = got.filter(_.getString(0) == "regret").head
+    assert(reg.getLong(2) === 1L)
+    val tt = arms.values.map(_._2).sum
+    val ss = got.filter(_.getString(0) == "arm").map(_.getLong(5)).sum
+    assert(reg.getLong(6) ===
+      (BigInt(1000000L) - BigInt(ss) * 1000000L / tt).toLong)
+  }
+
   test("q355 ARMA(1,1) Hannan-Rissanen: a planted mixed series matches an independent two-stage fixed-point replay exactly, recovers (phi, theta) to sample resolution, and a constant series reports the sentinel") {
     import spark.implicits._
     // x_t = 0.7·x_{t−1} + e_t + 0.5·e_{t−1} — the mixed signature
