@@ -1934,6 +1934,122 @@ object Stats extends QueryModule {
       "b1_ppm", "ate_dr_micro", "fit_ok")
   }
 
+  /** q359 normal CI constant z_{0.975} = 1.959964 in micro — the only
+    * transcendental in the Neyman read, frozen plan-time (the
+    * q309/q322/q353 discipline; 1.9599639845… rounds to 1959964). */
+  private[graft] val z975Micro = 1959964L
+
+  /** q359 — EXACT NEYMAN VARIANCE + CI FOR THE STRATIFIED CAUSAL
+    * ESTIMATOR (Neyman 1923/1990 for the within-stratum variance of a
+    * difference in means; Cochran 1977 §5A for the stratified-sampling
+    * combination; Imbens & Rubin 2015 ch. 9 for the conservative
+    * reading under treatment-effect heterogeneity): q350/q354 emit
+    * POINT estimates of the observational ATE while every randomized
+    * read in the family quantifies uncertainty (q328 bootstrap, q332
+    * delta-method, q336 jackknife) — without a standard error a
+    * platform cannot tell a real stratum-adjusted effect from stratum
+    * noise. Over the IDENTICAL [[exposureFrame]] (same strata, same
+    * treatment cut — the no-drift discipline), per (stratum, arm)
+    * cell the exact integer moments (n, Σy, Σy²) give the sample
+    * variance numerator v = n·Σy² − (Σy)² ≥ 0 (Cauchy–Schwarz), and
+    * the variance OF THE CELL MEAN in micro² is
+    *   vm = v·10¹² div (n²·(n−1))        (one truncation per cell).
+    * Per stratum: se_s = isqrt(vm₁ + vm₀), a 95% interval
+    * δ_s ∓ [[z975Micro]]·se_s div 10⁶ around q350's δ_s. Combined
+    * (the stratified-sampling formula, with q350's N_used weights):
+    *   Var = Σ_{s used} n_s²·(vm₁ₛ + vm₀ₛ) div N_used²   (one more),
+    *   se = isqrt(Var), ci = ate_strat ∓ z·se div 10⁶
+    * where ate_strat is recomputed by EXACTLY q350's fixed point (the
+    * two queries must agree digit-for-digit on the point estimate).
+    * Neyman's estimator is conservative: it upper-bounds the true
+    * design variance when effects vary within strata — stated, not
+    * hidden. Sentinels: positivity-violating strata are excluded from
+    * BOTH the estimate and the variance (q350's rule, flagged rows);
+    * a SMALL stratum (positivity holds but an arm is a singleton,
+    * n < 2) has no defined sample variance — its row carries −1
+    * moments and the TOTAL row refuses the CI with −1 sentinels
+    * rather than silently dropping the stratum from a variance whose
+    * point estimate still includes it; small strata are counted in
+    * n_small on every row (0/1 per stratum, the total = the count).
+    * isqrt is the engine's exact integer sqrt, mirrored by the
+    * oracle's corrected double floor-sqrt (the q353 pattern); all
+    * divisions are nonnegative-operand or toward-zero in both engines
+    * (DuckDB `//` truncates toward zero — the q264 precedent).
+    * Headroom: n²·(n−1)·vm ≲ n·Σy²·10¹² — inside HUGEINT past 10⁹
+    * users at y ~ 10²; Σ n_s²·vm terms likewise; the engine's BigInt
+    * is exact at any scale (the q342 convention).
+    *
+    * Scale: the corpus work is the shared memoized [[cupedLeaf]] +
+    * value-bounded click histogram (identical to q350 — Catalyst
+    * reuses the exposure frame); the only addition is one more SUM
+    * aggregate (Σy²) in the same cell rollup, and the estimator runs
+    * on the same ≤ 2·([[propStratCap]]+1)-row stratum-bounded sync.
+    */
+  val neymanCi: Q = (s, d) => {
+    import s.implicits._
+    val cells = exposureFrame(s, d)
+      .select(col("stratum"), col("t"), col("y"))
+      .groupBy("stratum", "t")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .collect() // stratum-bounded: ≤ 2·(propStratCap+1) rows
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val strata = cells.keys.map(_._1).toSeq.distinct.sorted
+    def cell(st: Long, t: Long) = cells.getOrElse((st, t), (0L, 0L, 0L))
+    def vm(n: Long, sy: Long, syy: Long): Long =
+      if (n < 2) -1L
+      else ((BigInt(n) * syy - BigInt(sy) * BigInt(sy)) *
+        BigInt(1000000000000L) /
+        (BigInt(n) * BigInt(n) * BigInt(n - 1))).toLong
+    case class St(st: Long, ns: Long, n1: Long, n0: Long, pos: Boolean,
+      small: Boolean, vm1: Long, vm0: Long, delta: Long, se: Long,
+      lo: Long, hi: Long)
+    val rows = strata.map { st =>
+      val (n1, sy1, syy1) = cell(st, 1L)
+      val (n0, sy0, syy0) = cell(st, 0L)
+      val ns = n1 + n0
+      val pos = n1 > 0 && n0 > 0
+      val small = pos && (n1 < 2 || n0 < 2)
+      val delta = if (!pos) 0L
+        else ((BigInt(sy1) * 1000000L / n1) -
+          (BigInt(sy0) * 1000000L / n0)).toLong
+      val (v1, v0) =
+        if (pos && !small) (vm(n1, sy1, syy1), vm(n0, sy0, syy0))
+        else (-1L, -1L)
+      val (se, lo, hi) = if (pos && !small) {
+        val sse = isqrt(BigInt(v1) + BigInt(v0)).toLong
+        val half = (BigInt(z975Micro) * sse / 1000000L).toLong
+        (sse, delta - half, delta + half)
+      } else (-1L, -1L, -1L)
+      St(st, ns, n1, n0, pos, small, v1, v0, delta, se, lo, hi)
+    }
+    val used = rows.filter(_.pos)
+    val nUsed = used.map(_.ns).sum
+    val nSmall = used.count(_.small).toLong
+    val ate = if (nUsed <= 0) -1L
+      else tdiv(used.map(r => BigInt(r.ns) * r.delta).sum,
+        BigInt(nUsed)).toLong
+    val (seT, loT, hiT) = if (nUsed <= 0 || nSmall > 0) (-1L, -1L, -1L)
+      else {
+        val varNum = used.map(r =>
+          BigInt(r.ns) * r.ns * (BigInt(r.vm1) + BigInt(r.vm0))).sum
+        val sse = isqrt(varNum / (BigInt(nUsed) * nUsed)).toLong
+        val half = (BigInt(z975Micro) * sse / 1000000L).toLong
+        (sse, ate - half, ate + half)
+      }
+    val out = rows.map(r => ("stratum", r.st, r.ns, r.n1, r.n0, r.pos,
+        r.small, r.vm1, r.vm0, r.delta, r.se, r.lo, r.hi,
+        if (r.small) 1L else 0L)) :+
+      (("total", -1L, nUsed, used.map(_.n1).sum, used.map(_.n0).sum,
+        nUsed > 0, nSmall > 0, -1L, -1L, ate, seT, loT, hiT, nSmall))
+    out.toDF("row_kind", "stratum", "n_s", "n_treat", "n_control",
+        "positivity", "small", "varm_treat_micro2",
+        "varm_control_micro2", "est_micro", "se_micro", "ci_lo_micro",
+        "ci_hi_micro", "n_small")
+      .orderBy("row_kind", "stratum")
+  }
+
   /** q353 arm count (md5 user buckets) and the UCB1 log constant
     * 2·ln 2 in micro — the bonus √(2·ln T/n) is evaluated as
     * √(2·ln2·⌊log₂T⌋/n), with ⌊log₂T⌋ EXACT integer (bit length − 1)
@@ -4763,6 +4879,7 @@ object Stats extends QueryModule {
     "q350_propensity_strat" -> propensityStrat,
     "q353_ucb_replay" -> ucbReplay,
     "q354_aipw_doubly_robust" -> aipwEstimator,
+    "q359_neyman_ci" -> neymanCi,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
@@ -6658,6 +6775,128 @@ object Stats extends QueryModule {
          |  CAST(ate_i AS BIGINT) AS ate_ipw_micro,
          |  CAST(n_used AS BIGINT) AS n_used, n_dropped
          |FROM sd, gg ORDER BY stratum""".stripMargin,
+    // q350's chain with one more moment (Σy²) in the cell rollup; the
+    // Neyman variance-of-the-mean per cell, the per-stratum and the
+    // stratified-combined intervals, isqrt via the corrected double
+    // floor-sqrt (the q353 pattern, staged through suffix CTEs so the
+    // radicand is computed once); all divisions nonnegative-operand or
+    // toward-zero (DuckDB // truncates toward zero, matching tdiv)
+    "q359_neyman_ci" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(c) AS BIGINT) AS cl
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT cl, count(*) AS t FROM per GROUP BY cl),
+         |hc AS (SELECT cl, sum(t) OVER (ORDER BY cl) AS cum,
+         |    sum(t) OVER () AS nn FROM h),
+         |med AS (SELECT min(cl) AS med FROM hc WHERE cum * 2 >= nn),
+         |cells AS (SELECT
+         |    CAST(least(x // $propStratWidth, $propStratCap) AS BIGINT)
+         |      AS stratum,
+         |    CASE WHEN cl > (SELECT med FROM med) THEN 1 ELSE 0 END AS t,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM per GROUP BY 1, 2),
+         |st AS (SELECT stratum,
+         |    CAST(sum(n) AS HUGEINT) AS ns,
+         |    CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS HUGEINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN t = 0 THEN n ELSE 0 END) AS HUGEINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN t = 1 THEN sy ELSE 0 END) AS HUGEINT)
+         |      AS sy1,
+         |    CAST(sum(CASE WHEN t = 0 THEN sy ELSE 0 END) AS HUGEINT)
+         |      AS sy0,
+         |    CAST(sum(CASE WHEN t = 1 THEN syy ELSE 0 END) AS HUGEINT)
+         |      AS syy1,
+         |    CAST(sum(CASE WHEN t = 0 THEN syy ELSE 0 END) AS HUGEINT)
+         |      AS syy0
+         |  FROM cells GROUP BY stratum),
+         |sr AS (SELECT *, (n1 > 0 AND n0 > 0) AS pos,
+         |    (n1 > 0 AND n0 > 0 AND (n1 < 2 OR n0 < 2)) AS sml,
+         |    CASE WHEN n1 > 0 AND n0 > 0
+         |      THEN (sy1 * 1000000) // n1 - (sy0 * 1000000) // n0
+         |      ELSE 0 END AS delta,
+         |    CASE WHEN n1 >= 2 AND n0 >= 2
+         |      THEN ((n1 * syy1 - sy1 * sy1) * 1000000000000)
+         |        // (n1 * n1 * (n1 - 1)) ELSE -1 END AS vm1,
+         |    CASE WHEN n1 >= 2 AND n0 >= 2
+         |      THEN ((n0 * syy0 - sy0 * sy0) * 1000000000000)
+         |        // (n0 * n0 * (n0 - 1)) ELSE -1 END AS vm0
+         |  FROM st),
+         |s1 AS (SELECT *, CASE WHEN n1 >= 2 AND n0 >= 2
+         |    THEN vm1 + vm0 ELSE CAST(-1 AS HUGEINT) END AS xx FROM sr),
+         |s2 AS (SELECT *, CAST(floor(sqrt(CAST(greatest(xx, 0)
+         |    AS DOUBLE))) AS HUGEINT) AS y0 FROM s1),
+         |s3 AS (SELECT *, y0 + (CASE WHEN (y0 + 1) * (y0 + 1) <= xx
+         |    THEN 1 ELSE 0 END) AS y1 FROM s2),
+         |s4 AS (SELECT *, CASE WHEN xx < 0 THEN CAST(-1 AS HUGEINT)
+         |    ELSE y1 - (CASE WHEN y1 * y1 > xx THEN 1 ELSE 0 END) END
+         |    AS ses FROM s3),
+         |s5 AS (SELECT *, CASE WHEN xx < 0 THEN CAST(-1 AS HUGEINT)
+         |    ELSE ($z975Micro * ses) // 1000000 END AS halfs FROM s4),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN pos THEN ns ELSE 0 END) AS HUGEINT)
+         |      AS n_used,
+         |    CAST(sum(CASE WHEN pos THEN n1 ELSE 0 END) AS HUGEINT)
+         |      AS nt_used,
+         |    CAST(sum(CASE WHEN pos THEN n0 ELSE 0 END) AS HUGEINT)
+         |      AS nc_used,
+         |    CAST(sum(CASE WHEN sml THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nsml,
+         |    sum(CASE WHEN pos THEN ns * delta ELSE 0 END) AS snum,
+         |    sum(CASE WHEN pos AND NOT sml THEN ns * ns * (vm1 + vm0)
+         |      ELSE 0 END) AS vnum
+         |  FROM s5),
+         |g1 AS (SELECT *,
+         |    CASE WHEN n_used <= 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE snum // n_used END AS ate,
+         |    CASE WHEN n_used <= 0 OR nsml > 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE vnum // (n_used * n_used) END AS vx FROM g),
+         |g2 AS (SELECT *, CAST(floor(sqrt(CAST(greatest(vx, 0)
+         |    AS DOUBLE))) AS HUGEINT) AS ty0 FROM g1),
+         |g3 AS (SELECT *, ty0 + (CASE WHEN (ty0 + 1) * (ty0 + 1) <= vx
+         |    THEN 1 ELSE 0 END) AS ty1 FROM g2),
+         |g4 AS (SELECT *, CASE WHEN vx < 0 THEN CAST(-1 AS HUGEINT)
+         |    ELSE ty1 - (CASE WHEN ty1 * ty1 > vx THEN 1 ELSE 0 END)
+         |    END AS sett FROM g3),
+         |g5 AS (SELECT *, CASE WHEN vx < 0 THEN CAST(-1 AS HUGEINT)
+         |    ELSE ($z975Micro * sett) // 1000000 END AS halft FROM g4)
+         |SELECT 'stratum' AS row_kind, stratum,
+         |  CAST(ns AS BIGINT) AS n_s, CAST(n1 AS BIGINT) AS n_treat,
+         |  CAST(n0 AS BIGINT) AS n_control, pos AS positivity,
+         |  sml AS small, CAST(vm1 AS BIGINT) AS varm_treat_micro2,
+         |  CAST(vm0 AS BIGINT) AS varm_control_micro2,
+         |  CAST(delta AS BIGINT) AS est_micro,
+         |  CAST(ses AS BIGINT) AS se_micro,
+         |  CAST(CASE WHEN xx < 0 THEN -1 ELSE delta - halfs END
+         |    AS BIGINT) AS ci_lo_micro,
+         |  CAST(CASE WHEN xx < 0 THEN -1 ELSE delta + halfs END
+         |    AS BIGINT) AS ci_hi_micro,
+         |  CAST(CASE WHEN sml THEN 1 ELSE 0 END AS BIGINT) AS n_small
+         |FROM s5
+         |UNION ALL
+         |SELECT 'total', -1, CAST(n_used AS BIGINT),
+         |  CAST(nt_used AS BIGINT), CAST(nc_used AS BIGINT),
+         |  n_used > 0, nsml > 0, -1, -1, CAST(ate AS BIGINT),
+         |  CAST(sett AS BIGINT),
+         |  CAST(CASE WHEN vx < 0 THEN -1 ELSE ate - halft END
+         |    AS BIGINT),
+         |  CAST(CASE WHEN vx < 0 THEN -1 ELSE ate + halft END
+         |    AS BIGINT),
+         |  nsml
+         |FROM g5
+         |ORDER BY row_kind, stratum""".stripMargin,
     // the q350 frame extended with the x moments, the per-arm 2-var
     // Cramer in the identical truncation order, and the three AIPW
     // terms reduced to cell algebra — division guards explicit (the

@@ -3487,6 +3487,126 @@ class AnalyticsSpec extends SparkSpec {
     assert(g.getAs[Long]("ate_ipw_micro") === 2000018L, g.toString)
   }
 
+  test("q359 Neyman CI: a planted known-variance design matches an independent BigInt replica exactly and the interval covers the planted effect; a singleton arm trips the small-stratum sentinel on the total row") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // plantU writes one user: x pre-period purchases (day 1), y
+    // post-period purchases (day 20), clicks day 2 (1 control /
+    // 10 treated — the cl median over equal arm sizes is the control
+    // value, so t = cl > med splits exactly as planted), calendar
+    // pinned by views on days 0 and 29 (split = day 15)
+    def fixture(users: Seq[(Long, Long, Boolean)], tag: String): String = {
+      var eid = 0L; var uid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      users.foreach { case (x, y, treated) =>
+        uid += 1
+        eid += 1; rows += ((eid, 0L, uid, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, uid, "view", 1.0, "{}"))
+        (1L to (if (treated) 10L else 1L)).foreach { _ =>
+          eid += 1; rows += ((eid, 2L * dayNs, uid, "click", 1.0, "{}"))
+        }
+        (1L to x).foreach { _ =>
+          eid += 1; rows += ((eid, 1L * dayNs, uid, "purchase", 1.0, "{}"))
+        }
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, uid, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // design A — both arms vary within both strata, effect +2 in each:
+    // stratum 0 (x = 0): control y {1,1,3,3}, treated y {2,4,4,6};
+    // stratum 1 (x = 3): control y {5,7},     treated y {6,10}
+    val a = Seq[(Long, Long, Boolean)](
+      (0L, 1L, false), (0L, 1L, false), (0L, 3L, false), (0L, 3L, false),
+      (0L, 2L, true), (0L, 4L, true), (0L, 4L, true), (0L, 6L, true),
+      (3L, 5L, false), (3L, 7L, false), (3L, 6L, true), (3L, 10L, true))
+    val gotA = SparkEntry.queries("q359_neyman_ci")(spark,
+      fixture(a, "graftney1")).collect()
+    val byS = gotA.filter(_.getString(0) == "stratum")
+      .map(r => r.getAs[Long]("stratum") -> r).toMap
+    // independent BigInt replica from the raw y lists (own bisection
+    // sqrt — not the engine's isqrt)
+    def bisqrt(x: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = x + 1
+      while (lo < hi - 1) {
+        val mid = (lo + hi) / 2
+        if (mid * mid <= x) lo = mid else hi = mid
+      }
+      lo
+    }
+    def vmOf(ys: Seq[Long]): BigInt = {
+      val n = BigInt(ys.size); val sy = BigInt(ys.sum)
+      val syy = BigInt(ys.map(v => v * v).sum)
+      (n * syy - sy * sy) * BigInt("1000000000000") / (n * n * (n - 1))
+    }
+    val cells = Map(
+      0L -> (Seq(2L, 4L, 4L, 6L), Seq(1L, 1L, 3L, 3L)),
+      1L -> (Seq(6L, 10L), Seq(5L, 7L)))
+    cells.foreach { case (st, (yt, yc)) =>
+      val r = byS(st)
+      val (vm1, vm0) = (vmOf(yt), vmOf(yc))
+      val delta = BigInt(yt.sum) * 1000000L / yt.size -
+        BigInt(yc.sum) * 1000000L / yc.size
+      val se = bisqrt(vm1 + vm0)
+      val half = BigInt(1959964L) * se / 1000000L
+      assert(r.getAs[Long]("varm_treat_micro2") === vm1.toLong, r.toString)
+      assert(r.getAs[Long]("varm_control_micro2") === vm0.toLong, r.toString)
+      assert(r.getAs[Long]("est_micro") === delta.toLong, r.toString)
+      assert(r.getAs[Long]("se_micro") === se.toLong, r.toString)
+      assert(r.getAs[Long]("ci_lo_micro") === (delta - half).toLong)
+      assert(r.getAs[Long]("ci_hi_micro") === (delta + half).toLong)
+      assert(r.getAs[Boolean]("positivity") && !r.getAs[Boolean]("small"))
+      // the interval covers the planted per-stratum effect of +2
+      assert((delta - half).toLong <= 2000000L &&
+        2000000L <= (delta + half).toLong, r.toString)
+    }
+    // stratum 0's replica lands on the clean closed forms: vm sum
+    // 10¹² − 1, se 999999, half 1959962
+    assert(byS(0L).getAs[Long]("se_micro") === 999999L)
+    val tot = gotA.filter(_.getString(0) == "total").head
+    // stratified combination: ate exactly the planted 2.0; Var =
+    // (8²·(10¹²−1) + 4²·5·10¹²) div 12² = 999999999999
+    assert(tot.getAs[Long]("est_micro") === 2000000L, tot.toString)
+    assert(tot.getAs[Long]("se_micro") === 999999L, tot.toString)
+    assert(tot.getAs[Long]("ci_lo_micro") === 40038L, tot.toString)
+    assert(tot.getAs[Long]("ci_hi_micro") === 3959962L, tot.toString)
+    assert(tot.getAs[Long]("n_s") === 12L && tot.getAs[Long]("n_small") === 0L)
+    assert(tot.getAs[Long]("ci_lo_micro") <= 2000000L &&
+      2000000L <= tot.getAs[Long]("ci_hi_micro"))
+    // design B — design A plus a stratum (x = 6) whose treated arm is
+    // a SINGLETON: its sample variance is undefined, so the total row
+    // refuses the CI outright instead of silently dropping a stratum
+    // the point estimate still includes
+    val b = a ++ Seq[(Long, Long, Boolean)](
+      (6L, 1L, false), (6L, 1L, false), (6L, 9L, true))
+    val dirB = fixture(b, "graftney2")
+    val gotB = SparkEntry.queries("q359_neyman_ci")(spark, dirB).collect()
+    val sm = gotB.filter(_.getString(0) == "stratum")
+      .map(r => r.getAs[Long]("stratum") -> r).toMap
+    assert(sm(2L).getAs[Boolean]("small"), sm(2L).toString)
+    assert(sm(2L).getAs[Long]("varm_treat_micro2") === -1L)
+    assert(sm(2L).getAs[Long]("se_micro") === -1L)
+    assert(sm(2L).getAs[Long]("est_micro") === 8000000L) // 9 − 1
+    val totB = gotB.filter(_.getString(0) == "total").head
+    // ate still includes the small stratum: (8·2 + 4·2 + 3·8)·10⁶/15
+    assert(totB.getAs[Long]("est_micro") === 3200000L, totB.toString)
+    assert(totB.getAs[Long]("se_micro") === -1L, totB.toString)
+    assert(totB.getAs[Long]("ci_lo_micro") === -1L)
+    assert(totB.getAs[Long]("ci_hi_micro") === -1L)
+    assert(totB.getAs[Long]("n_small") === 1L)
+    assert(totB.getAs[Boolean]("small"))
+    // cross-query no-drift: q350's point estimate on the identical
+    // fixture digit-for-digit (same dir — the leaves are memoized)
+    val q350B = SparkEntry.queries("q350_propensity_strat")(spark, dirB)
+      .head()
+    assert(q350B.getAs[Long]("ate_strat_micro") === 3200000L)
+  }
+
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {
     import spark.implicits._
     val armOf = (1L to 200L).toDF("c")

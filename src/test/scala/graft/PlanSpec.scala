@@ -760,6 +760,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q359 Neyman CI: the identical exposure frame as q350 with one more moment in the same cell rollup, estimator on the stratum-bounded sync — local relation, no events scan, no join") {
+    val p = plan("q359_neyman_ci")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q353 UCB replay: ONE (day, arm) corpus rollup synced calendar-bounded; the replay recursion is driver-side — local relation, no events scan, no join") {
     val p = plan("q353_ucb_replay")
     assert(!p.contains("events"), p)
