@@ -3746,10 +3746,10 @@ object Stats extends QueryModule {
   }
 
   /** q306 — FORECAST BACKTEST / MODEL SELECTION: the read that closes
-    * the forecast family — which of the library's five forecasters
-    * (q319 Yule–Walker AR, q351 innovations MA, q300 linear Holt,
-    * q303 additive Holt-Winters, q154's seasonal-naive baseline)
-    * actually wins on
+    * the forecast family — which of the library's six forecasters
+    * (q319 Yule–Walker AR, q351 innovations MA, q355 Hannan–Rissanen
+    * ARMA, q300 linear Holt, q303 additive Holt-Winters, q154's
+    * seasonal-naive baseline) actually wins on
     * THIS series, by one-step
     * mean absolute error over the shared out-of-fit window. Both
     * recurrences already produce rolling one-step forecasts at every
@@ -3802,15 +3802,30 @@ object Stats extends QueryModule {
     // full-sample, the innovations-recursion forecasts are residuals)
     val maErrs = maPass(series)._3
       .collect { case (m, _, _, e) if m >= cut => e }
-    val models = Seq(("ar", arErrs), ("holt", holtErrs),
-      ("holt_winters", hwErrs), ("ma", maErrs),
-      ("seasonal_naive", naiveErrs)).map { case (name, errs) =>
-      val n = errs.size.toLong
-      val tot = errs.map(BigInt(_)).sum
-      (name, n, tot.toLong, (tot / n).toLong)
+    // the q355 estimation rung closes the loop: the shared armaPass
+    // replayed on the identical cut window (cut = 2p ≥ h + 1 for any
+    // stage-1 depth h ≤ acfMaxLag = p, so the scored window matches).
+    // A degenerate fit (det 0 — can't happen on a non-constant
+    // corpus, but the panel must be total) scores the −1 sentinel
+    // row and is excluded from the ranking, mirrored in the oracle.
+    val armaErrs: Option[Seq[Long]] = armaPass(series) match {
+      case Right((_, _, inSample, _)) =>
+        Some(inSample.collect { case (m, _, _, e) if m >= cut => e })
+      case Left(_) => None
     }
-    val best = models.map(_._4).min
-    models.map { case (nm, n, tot, mae) => (nm, n, tot, mae, mae == best) }
+    val models = Seq(("ar", Some(arErrs)), ("arma", armaErrs),
+      ("holt", Some(holtErrs)), ("holt_winters", Some(hwErrs)),
+      ("ma", Some(maErrs)), ("seasonal_naive", Some(naiveErrs)))
+      .map {
+        case (name, Some(errs)) =>
+          val n = errs.size.toLong
+          val tot = errs.map(BigInt(_)).sum
+          (name, n, tot.toLong, (tot / n).toLong)
+        case (name, None) => (name, 0L, -1L, -1L)
+      }
+    val best = models.map(_._4).filter(_ >= 0).min
+    models.map { case (nm, n, tot, mae) =>
+        (nm, n, tot, mae, mae == best) }
       .toDF("model", "n_months", "total_abs_err_cents", "mae_cents",
         "is_best")
       .orderBy("model")
@@ -4294,12 +4309,16 @@ object Stats extends QueryModule {
     * rule), mirrored by the oracle's DL recursive CTE + lag joins +
     * textual 3×3 determinants.
     */
-  val armaForecast: Q = (s, d) => {
-    import s.implicits._
-    val series = monthlySeries(s, d)
-    require(series.nonEmpty, "q355: empty orders table")
-    require(series.last._1 == series.length - 1,
-      "q355: month grid must be gap-free (ARMA lags are calendar-aligned)")
+  /** The q355 two-stage fit + forecasts as ONE shared pass (q306's
+    * backtest replays it — the holtPass/hwPass/arPass/maPass no-drift
+    * discipline): Left(h) on a degenerate design (h = 0 when no AR
+    * stage exists, the stage-1 depth when the stage-2 det is 0 —
+    * q355's two sentinel shapes, q306's −1 MAE row), Right((h,
+    * (c, φ, θ) ppm, in-sample (month, actual, forecast, |err|),
+    * horizon)) otherwise. */
+  private def armaPass(series: Array[(Long, Long)])
+      : Either[Int, (Int, (Long, Long, Long),
+         IndexedSeq[(Long, Long, Long, Long)], IndexedSeq[Long])] = {
     val n = series.length
     val c = series.map(_._2)
     val mu = (c.map(BigInt(_)).sum / n).toLong
@@ -4315,11 +4334,7 @@ object Stats extends QueryModule {
     if (steps.isEmpty)
       // constant/degenerate series: no AR stage exists — the loud
       // sentinel shape shared with the det-0 branch below
-      Seq(("order", 0L, -1L, 0L, 0L),
-        ("coef", 0L, -1L, -1L, 0L), ("coef", 1L, -1L, -1L, 0L),
-        ("coef", 2L, -1L, -1L, 0L))
-        .toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
-        .orderBy("row_kind", "m")
+      Left(0)
     else {
       val h = steps.length
       val phiH = steps.last._2
@@ -4354,12 +4369,7 @@ object Stats extends QueryModule {
           f: BigInt, g: BigInt, hh: BigInt, i: BigInt): BigInt =
         a * (e * i - f * hh) - b * (dd * i - f * g) + cc * (dd * hh - e * g)
       val dA = det3(BigInt(m), s1v, s2v, s1v, s11, s12, s2v, s12, s22)
-      if (m < 3 || dA == 0)
-        Seq(("order", 0L, -1L, h.toLong, 0L),
-          ("coef", 0L, -1L, -1L, 0L), ("coef", 1L, -1L, -1L, 0L),
-          ("coef", 2L, -1L, -1L, 0L))
-          .toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
-          .orderBy("row_kind", "m")
+      if (m < 3 || dA == 0) Left(h)
       else {
         val d0 = det3(syv, s1v, s2v, s1y, s11, s12, s2y, s12, s22)
         val d1 = det3(BigInt(m), syv, s2v, s1v, s1y, s12, s2v, s2y, s22)
@@ -4384,19 +4394,35 @@ object Stats extends QueryModule {
             dh = tdiv(BigInt(cP) + BigInt(phiP) * dh, BigInt(1000000L))
           toCents(dh)
         }
-        val rows =
-          Vector(("order", 0L, -1L, h.toLong, 0L),
-            ("coef", 0L, -1L, cP, 0L), ("coef", 1L, -1L, phiP, 0L),
-            ("coef", 2L, -1L, thetaP, 0L)) ++
-            inSample.map { case (mm, a, f, e) =>
-              ("forecast", mm, a, f, e) } ++
-            horizon.zipWithIndex.map { case (f, k) =>
-              ("horizon", (n + k).toLong, -1L, f, 0L)
-            }
-        rows.toDF("row_kind", "m", "actual_cents", "value",
-          "abs_err_cents").orderBy("row_kind", "m")
+        Right((h, (cP, phiP, thetaP), inSample, horizon))
       }
     }
+  }
+
+  val armaForecast: Q = (s, d) => {
+    import s.implicits._
+    val series = monthlySeries(s, d)
+    require(series.nonEmpty, "q355: empty orders table")
+    require(series.last._1 == series.length - 1,
+      "q355: month grid must be gap-free (ARMA lags are calendar-aligned)")
+    val n = series.length
+    val rows = armaPass(series) match {
+      case Left(h) =>
+        Vector(("order", 0L, -1L, h.toLong, 0L),
+          ("coef", 0L, -1L, -1L, 0L), ("coef", 1L, -1L, -1L, 0L),
+          ("coef", 2L, -1L, -1L, 0L))
+      case Right((h, (cP, phiP, thetaP), inSample, horizon)) =>
+        Vector(("order", 0L, -1L, h.toLong, 0L),
+          ("coef", 0L, -1L, cP, 0L), ("coef", 1L, -1L, phiP, 0L),
+          ("coef", 2L, -1L, thetaP, 0L)) ++
+          inSample.map { case (mm, a, f, e) =>
+            ("forecast", mm, a, f, e) } ++
+          horizon.zipWithIndex.map { case (f, k) =>
+            ("horizon", (n + k).toLong, -1L, f, 0L)
+          }
+    }
+    rows.toDF("row_kind", "m", "actual_cents", "value", "abs_err_cents")
+      .orderBy("row_kind", "m")
   }
 
   /** χ² 95th percentiles for dof 1..12 in micro — plan-time constants
@@ -5019,6 +5045,104 @@ object Stats extends QueryModule {
        |  ORDER BY t DESC LIMIT 1)""".stripMargin
   }
 
+  /** The q355 Hannan–Rissanen chain as ONE shared set of z-prefixed
+    * CTEs (the [[maOracleChain]] precedent: q355 and the q306 backtest
+    * splice the IDENTICAL text, so the estimator cannot drift from the
+    * backtest that scores it). Parameterized by the ACF-table,
+    * stats-CTE and deviations-CTE names (`acf`/`st`/`dev` in q355,
+    * `aacf`/`ast`/`adev` in q306 where the AR chain already built
+    * them); expects `monthly(m, c)` in scope, the stats CTE exposing
+    * (n, mu), the deviations CTE (m, dv) and the ACF table
+    * (lag, acf_ppm). Emits: zhrow (the stage-1 depth h), zcf (the
+    * stage-2 Cramer coefficients + fitok — EMPTY on a constant series,
+    * fitok = false on a det-0 design), zdsv/zeh (normalized deviations
+    * + stage-1 innovations, consumed by q355's horizon chain), and
+    * zins (m, actual, f) — the one-step in-sample forecasts in cents
+    * for t ≥ h + 1, empty unless fitok. */
+  private def armaOracleChain(acf: String, st: String,
+      dev: String): String = {
+    val pk = "((zr.rho[zit.k + 1] * 1000000 - list_sum(" +
+      "list_transform(range(1, zit.k + 1), " +
+      "j -> zit.phi[j] * zr.rho[zit.k + 1 - j]))) // zit.v)"
+    def sqlDet3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String) =
+      s"(($a) * (($e) * ($i) - ($f) * ($h))" +
+        s" - ($b) * (($d) * ($i) - ($f) * ($g))" +
+        s" + ($c) * (($d) * ($h) - ($e) * ($g)))"
+    val dA = sqlDet3("mm", "s1v", "s2v", "s1v", "s11", "s12",
+      "s2v", "s12", "s22")
+    val d0 = sqlDet3("syv", "s1v", "s2v", "s1y", "s11", "s12",
+      "s2y", "s12", "s22")
+    val d1 = sqlDet3("mm", "syv", "s2v", "s1v", "s1y", "s12",
+      "s2v", "s2y", "s22")
+    val d2 = sqlDet3("mm", "s1v", "syv", "s1v", "s11", "s1y",
+      "s2v", "s12", "s2y")
+    s"""zr AS MATERIALIZED (SELECT
+       |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
+       |    count(*) AS nl FROM $acf),
+       |zit(k, phi, v) AS (
+       |  SELECT 1, [zr.rho[1]],
+       |    CAST(1000000 AS HUGEINT) - (zr.rho[1] * zr.rho[1]) // 1000000
+       |  FROM zr WHERE zr.nl >= 1
+       |  UNION ALL
+       |  SELECT zit.k + 1,
+       |    list_transform(range(1, zit.k + 1),
+       |      j -> zit.phi[j] - ($pk * zit.phi[zit.k + 1 - j])
+       |        // 1000000) || [$pk],
+       |    (zit.v * (1000000 - ($pk * $pk) // 1000000)) // 1000000
+       |  FROM zit, zr
+       |  WHERE zit.k < $acfMaxLag AND zit.v > 0 AND zit.k < zr.nl),
+       |zhrow AS MATERIALIZED (SELECT phi, k AS h FROM zit
+       |  ORDER BY k DESC LIMIT 1),
+       |zphis AS MATERIALIZED (SELECT
+       |    unnest(range(1, len(phi) + 1)) AS j, unnest(phi) AS ph
+       |  FROM zhrow),
+       |zmxd AS (SELECT greatest(max(abs(dv)), 1) AS mx FROM $dev),
+       |zdsv AS MATERIALIZED (SELECT m,
+       |    CASE WHEN dv >= 0
+       |      THEN (dv * $armaScaleQ) // (SELECT mx FROM zmxd)
+       |      ELSE -(((-dv) * $armaScaleQ) // (SELECT mx FROM zmxd))
+       |    END AS dv
+       |  FROM $dev),
+       |zinss AS (SELECT x.m AS m, sum(p2.ph * l.dv) AS ss
+       |  FROM zdsv x JOIN zphis p2 ON TRUE
+       |  JOIN zdsv l ON l.m = x.m - p2.j GROUP BY x.m),
+       |zeh AS MATERIALIZED (SELECT x.m,
+       |    x.dv - (CASE WHEN coalesce(s.ss, 0) >= 0
+       |      THEN coalesce(s.ss, 0) // 1000000
+       |      ELSE -((-coalesce(s.ss, 0)) // 1000000) END) AS e
+       |  FROM zdsv x LEFT JOIN zinss s ON s.m = x.m, zhrow
+       |  WHERE x.m >= zhrow.h),
+       |zmom AS (SELECT CAST(count(*) AS HUGEINT) AS mm,
+       |    sum(l1.dv) AS s1v, sum(e1.e) AS s2v, sum(y.dv) AS syv,
+       |    sum(l1.dv * l1.dv) AS s11, sum(l1.dv * e1.e) AS s12,
+       |    sum(e1.e * e1.e) AS s22, sum(l1.dv * y.dv) AS s1y,
+       |    sum(e1.e * y.dv) AS s2y
+       |  FROM zdsv y JOIN zdsv l1 ON l1.m = y.m - 1
+       |  JOIN zeh e1 ON e1.m = y.m - 1, zhrow
+       |  WHERE y.m >= zhrow.h + 1),
+       |zdets AS (SELECT mm,
+       |    $dA AS da, $d0 AS dz, $d1 AS d1_, $d2 AS d2_ FROM zmom),
+       |zcf AS MATERIALIZED (SELECT mm, da,
+       |    (dz * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
+       |      AS c,
+       |    (d1_ * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
+       |      AS phi,
+       |    (d2_ * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
+       |      AS theta,
+       |    (mm >= 3 AND da <> 0) AS fitok
+       |  FROM zdets),
+       |zins0 AS (SELECT y.m, mo.c AS actual,
+       |    (zcf.c + zcf.phi * l1.dv + zcf.theta * e1.e) // 1000000 AS pn
+       |  FROM zdsv y JOIN monthly mo ON mo.m = y.m
+       |  JOIN zdsv l1 ON l1.m = y.m - 1
+       |  JOIN zeh e1 ON e1.m = y.m - 1, zhrow, zcf
+       |  WHERE y.m >= zhrow.h + 1 AND zcf.fitok),
+       |zins AS (SELECT m, actual, (SELECT mu FROM $st)
+       |    + (pn * (SELECT mx FROM zmxd)) // $armaScaleQ AS f
+       |  FROM zins0)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // the oracle computes the prefix with ONE plain cumulative window (it
     // need not scale — q196's rule); identical histogram rank algebra,
@@ -5168,6 +5292,9 @@ object Stats extends QueryModule {
          |${maOracleChain(acf = "aacf", st = "ast")},
          |me AS (SELECT abs(mes.es[x.m + 1]) AS e
          |  FROM monthly x, mes WHERE x.m >= $cut),
+         |${armaOracleChain(acf = "aacf", st = "ast", dev = "adev")},
+         |ze AS (SELECT abs(actual - f) AS e FROM zins
+         |  WHERE m >= $cut),
          |ith(t, s, b, f) AS (
          |  SELECT CAST(0 AS BIGINT),
          |    CAST((SELECT c FROM monthly WHERE m = 0) AS HUGEINT),
@@ -5218,6 +5345,11 @@ object Stats extends QueryModule {
          |agg AS (
          |  SELECT 'ar' AS model, count(*) AS n_months,
          |    CAST(sum(e) AS BIGINT) AS tot FROM ae
+         |  UNION ALL SELECT 'arma',
+         |    CASE WHEN EXISTS (SELECT 1 FROM zcf WHERE fitok)
+         |      THEN (SELECT count(*) FROM ze) ELSE 0 END,
+         |    CASE WHEN EXISTS (SELECT 1 FROM zcf WHERE fitok)
+         |      THEN CAST((SELECT sum(e) FROM ze) AS BIGINT) ELSE -1 END
          |  UNION ALL SELECT 'holt', count(*),
          |    CAST(sum(e) AS BIGINT) FROM he
          |  UNION ALL SELECT 'holt_winters', count(*),
@@ -5228,10 +5360,13 @@ object Stats extends QueryModule {
          |    CAST(sum(e) AS BIGINT) FROM ne),
          |fin AS MATERIALIZED (SELECT model,
          |    CAST(n_months AS BIGINT) AS n_months,
-         |    tot AS total_abs_err_cents, tot // n_months AS mae_cents
+         |    tot AS total_abs_err_cents,
+         |    CASE WHEN n_months = 0 THEN CAST(-1 AS BIGINT)
+         |      ELSE tot // n_months END AS mae_cents
          |  FROM agg)
          |SELECT model, n_months, total_abs_err_cents, mae_cents,
-         |  mae_cents = (SELECT min(mae_cents) FROM fin) AS is_best
+         |  mae_cents = (SELECT min(mae_cents) FROM fin
+         |    WHERE mae_cents >= 0) AS is_best
          |FROM fin ORDER BY model""".stripMargin
     },
     // the identical two-season init and triple recurrence, the 12-slot
@@ -5632,31 +5767,15 @@ object Stats extends QueryModule {
     // as textual determinants, chained horizon CTEs with zero future
     // innovations — every truncation toward zero in both engines
     "q355_arma_forecast" -> {
-      val pk = "((r.rho[it.k + 1] * 1000000 - list_sum(" +
-        "list_transform(range(1, it.k + 1), " +
-        "j -> it.phi[j] * r.rho[it.k + 1 - j]))) // it.v)"
-      def sqlDet3(a: String, b: String, c: String, d: String, e: String,
-          f: String, g: String, h: String, i: String) =
-        s"(($a) * (($e) * ($i) - ($f) * ($h))" +
-          s" - ($b) * (($d) * ($i) - ($f) * ($g))" +
-          s" + ($c) * (($d) * ($h) - ($e) * ($g)))"
-      val dA = sqlDet3("mm", "s1v", "s2v", "s1v", "s11", "s12",
-        "s2v", "s12", "s22")
-      val d0 = sqlDet3("syv", "s1v", "s2v", "s1y", "s11", "s12",
-        "s2y", "s12", "s22")
-      val d1 = sqlDet3("mm", "syv", "s2v", "s1v", "s1y", "s12",
-        "s2v", "s2y", "s22")
-      val d2 = sqlDet3("mm", "s1v", "syv", "s1v", "s11", "s1y",
-        "s2v", "s12", "s2y")
       val hzChain = (2 to holtHorizon).map { k =>
-        s"""hz$k AS (SELECT (cf.c + cf.phi * hz${k - 1}.dh) // 1000000
-           |    AS dh FROM cf, hz${k - 1}),""".stripMargin
+        s"""hz$k AS (SELECT (zcf.c + zcf.phi * hz${k - 1}.dh) // 1000000
+           |    AS dh FROM zcf, hz${k - 1}),""".stripMargin
       }.mkString("\n")
       val hzUnion = (1 to holtHorizon).map { k =>
         s"""UNION ALL SELECT 'horizon',
            |  (SELECT max(m) FROM monthly) + $k, -1,
            |  CAST((SELECT mu FROM st)
-           |    + (hz$k.dh * (SELECT mx FROM mxd)) // $armaScaleQ
+           |    + (hz$k.dh * (SELECT mx FROM zmxd)) // $armaScaleQ
            |    AS BIGINT), 0 FROM hz$k""".stripMargin
       }.mkString("\n")
       s"""WITH RECURSIVE raw AS (SELECT
@@ -5682,87 +5801,25 @@ object Stats extends QueryModule {
          |    ON b.m > a.m AND b.m <= a.m + $acfMaxLag
          |  WHERE (SELECT dn FROM den) > 0
          |  GROUP BY 1),
-         |r AS MATERIALIZED (SELECT
-         |    list(CAST(acf_ppm AS HUGEINT) ORDER BY lag) AS rho,
-         |    count(*) AS nl FROM acf),
-         |it(k, phi, v) AS (
-         |  SELECT 1, [r.rho[1]],
-         |    CAST(1000000 AS HUGEINT) - (r.rho[1] * r.rho[1]) // 1000000
-         |  FROM r WHERE r.nl >= 1
-         |  UNION ALL
-         |  SELECT it.k + 1,
-         |    list_transform(range(1, it.k + 1),
-         |      j -> it.phi[j] - ($pk * it.phi[it.k + 1 - j]) // 1000000)
-         |      || [$pk],
-         |    (it.v * (1000000 - ($pk * $pk) // 1000000)) // 1000000
-         |  FROM it, r WHERE it.k < $acfMaxLag AND it.v > 0 AND it.k < r.nl),
-         |hrow AS MATERIALIZED (SELECT phi, k AS h FROM it
-         |  ORDER BY k DESC LIMIT 1),
-         |phis AS MATERIALIZED (SELECT
-         |    unnest(range(1, len(phi) + 1)) AS j, unnest(phi) AS ph
-         |  FROM hrow),
-         |mxd AS (SELECT greatest(max(abs(dv)), 1) AS mx FROM dev),
-         |dsv AS MATERIALIZED (SELECT m,
-         |    CASE WHEN dv >= 0
-         |      THEN (dv * $armaScaleQ) // (SELECT mx FROM mxd)
-         |      ELSE -(((-dv) * $armaScaleQ) // (SELECT mx FROM mxd))
-         |    END AS dv
-         |  FROM dev),
-         |inss AS (SELECT x.m AS m, sum(p2.ph * l.dv) AS ss
-         |  FROM dsv x JOIN phis p2 ON TRUE
-         |  JOIN dsv l ON l.m = x.m - p2.j GROUP BY x.m),
-         |eh AS MATERIALIZED (SELECT x.m,
-         |    x.dv - (CASE WHEN coalesce(s.ss, 0) >= 0
-         |      THEN coalesce(s.ss, 0) // 1000000
-         |      ELSE -((-coalesce(s.ss, 0)) // 1000000) END) AS e
-         |  FROM dsv x LEFT JOIN inss s ON s.m = x.m, hrow
-         |  WHERE x.m >= hrow.h),
-         |mom AS (SELECT CAST(count(*) AS HUGEINT) AS mm,
-         |    sum(l1.dv) AS s1v, sum(e1.e) AS s2v, sum(y.dv) AS syv,
-         |    sum(l1.dv * l1.dv) AS s11, sum(l1.dv * e1.e) AS s12,
-         |    sum(e1.e * e1.e) AS s22, sum(l1.dv * y.dv) AS s1y,
-         |    sum(e1.e * y.dv) AS s2y
-         |  FROM dsv y JOIN dsv l1 ON l1.m = y.m - 1
-         |  JOIN eh e1 ON e1.m = y.m - 1, hrow
-         |  WHERE y.m >= hrow.h + 1),
-         |dets AS (SELECT mm,
-         |    $dA AS da, $d0 AS dz, $d1 AS d1_, $d2 AS d2_ FROM mom),
-         |cf AS MATERIALIZED (SELECT mm, da,
-         |    (dz * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
-         |      AS c,
-         |    (d1_ * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
-         |      AS phi,
-         |    (d2_ * 1000000) // (CASE WHEN da = 0 THEN 1 ELSE da END)
-         |      AS theta,
-         |    (mm >= 3 AND da <> 0) AS fitok
-         |  FROM dets),
-         |insf0 AS (SELECT y.m, mo.c AS actual,
-         |    (cf.c + cf.phi * l1.dv + cf.theta * e1.e) // 1000000 AS pn
-         |  FROM dsv y JOIN monthly mo ON mo.m = y.m
-         |  JOIN dsv l1 ON l1.m = y.m - 1
-         |  JOIN eh e1 ON e1.m = y.m - 1, hrow, cf
-         |  WHERE y.m >= hrow.h + 1 AND cf.fitok),
-         |insf AS (SELECT m, actual, (SELECT mu FROM st)
-         |    + (pn * (SELECT mx FROM mxd)) // $armaScaleQ AS f
-         |  FROM insf0),
-         |hz1 AS (SELECT (cf.c + cf.phi
-         |      * (SELECT dv FROM dsv WHERE m = (SELECT n - 1 FROM st))
-         |    + cf.theta
-         |      * (SELECT e FROM eh WHERE m = (SELECT n - 1 FROM st)))
+         |${armaOracleChain(acf = "acf", st = "st", dev = "dev")},
+         |hz1 AS (SELECT (zcf.c + zcf.phi
+         |      * (SELECT dv FROM zdsv WHERE m = (SELECT n - 1 FROM st))
+         |    + zcf.theta
+         |      * (SELECT e FROM zeh WHERE m = (SELECT n - 1 FROM st)))
          |    // 1000000 AS dh
-         |  FROM cf WHERE cf.fitok),
+         |  FROM zcf WHERE zcf.fitok),
          |$hzChain
-         |-- cf is EMPTY on a constant/degenerate series (no ACF, no DL
+         |-- zcf is EMPTY on a constant/degenerate series (no ACF, no DL
          |-- row, empty moments); the default row keeps the sentinel
          |-- branch emitting exactly the engine's four rows
-         |fit AS (SELECT * FROM cf UNION ALL
+         |fit AS (SELECT * FROM zcf UNION ALL
          |  SELECT CAST(0 AS HUGEINT), CAST(0 AS HUGEINT),
          |    CAST(-1 AS HUGEINT), CAST(-1 AS HUGEINT),
          |    CAST(-1 AS HUGEINT), false
-         |  WHERE NOT EXISTS (SELECT 1 FROM cf))
+         |  WHERE NOT EXISTS (SELECT 1 FROM zcf))
          |SELECT 'order' AS row_kind, CAST(0 AS BIGINT) AS m,
          |  CAST(-1 AS BIGINT) AS actual_cents,
-         |  CAST((SELECT h FROM hrow) AS BIGINT) AS value,
+         |  CAST((SELECT h FROM zhrow) AS BIGINT) AS value,
          |  CAST(0 AS BIGINT) AS abs_err_cents FROM fit WHERE fit.fitok
          |UNION ALL SELECT 'coef', 0, -1,
          |  CAST(c AS BIGINT), 0 FROM fit WHERE fitok
@@ -5771,10 +5828,10 @@ object Stats extends QueryModule {
          |UNION ALL SELECT 'coef', 2, -1,
          |  CAST(theta AS BIGINT), 0 FROM fit WHERE fitok
          |UNION ALL SELECT 'forecast', m, actual, CAST(f AS BIGINT),
-         |  CAST(abs(actual - f) AS BIGINT) FROM insf
+         |  CAST(abs(actual - f) AS BIGINT) FROM zins
          |$hzUnion
          |UNION ALL SELECT 'order', 0, -1,
-         |  CAST(coalesce((SELECT h FROM hrow), 0) AS BIGINT), 0
+         |  CAST(coalesce((SELECT h FROM zhrow), 0) AS BIGINT), 0
          |  FROM fit WHERE NOT fitok
          |UNION ALL SELECT 'coef', 0, -1, -1, 0 FROM fit WHERE NOT fitok
          |UNION ALL SELECT 'coef', 1, -1, -1, 0 FROM fit WHERE NOT fitok
