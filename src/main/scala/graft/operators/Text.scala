@@ -595,6 +595,102 @@ object Text extends QueryModule {
       .orderBy("set_size")
   }
 
+  /** q360 — MONDRIAN (CLASS-CONDITIONAL) CONFORMAL SETS (Vovk 2003
+    * taught the taxonomy-conditional form; Angelopoulos & Bates 2023
+    * §4.1 "group-balanced conformal"): q358's guarantee is MARGINAL —
+    * P(true ∈ set) ≥ 1 − α on average over all docs — so a skewed
+    * corpus can hold 90% overall while a rare language gets 0%
+    * conditional coverage (the spec plants exactly that). Mondrian
+    * calibrates PER CLASS: q̂_c is the ⌈(1−α)(n_c+1)⌉-th smallest
+    * nonconformity among calibration docs whose TRUE class is c, and
+    * a candidate class c enters a doc's set iff s₁ − score_c ≤ q̂_c —
+    * each class judged against its own threshold, giving
+    * P(true ∈ set | Y = c) ≥ 1 − α per class. A class whose
+    * calibration fold cannot support the quantile (k_c > n_c,
+    * including n_c = 0) gets the conformal-defined INFINITE threshold
+    * — it joins EVERY set (the conservative move that preserves its
+    * conditional guarantee), and an un-trained true class reads
+    * coverage 0 loudly (it can never be a candidate). Same exact
+    * integer nonconformity as q358 (s₁ − s_true, null-st sentinel
+    * explicit because Spark sorts nulls first where DuckDB sorts them
+    * last); per-class output rows: fold sizes, q̂_c, realized
+    * conditional coverage and mean set size in ppm (−1 sentinels on
+    * an empty test class). q358 and q360 share the identical
+    * [[nbScored]] chain and per-doc nonconformity frame — only the
+    * quantile's partitioning differs (the q283 Mondrian-by-segment
+    * precedent).
+    *
+    * Scale: one scoring pass covers both folds (shared chain); the
+    * per-class quantile is ONE row_number window partitioned by class
+    * — the sort parallelizes across the taxonomy instead of q358's
+    * single global sort; a > 2³¹-doc class fold refuses loudly with
+    * the documented sample-first (q341) posture; the class-threshold
+    * table is taxonomy-bounded and broadcast.
+    */
+  val nbMondrian: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = nbScored(s, d, foldLo = 80)
+    val perDoc = scored.groupBy("doc_id", "true_lang", "bk")
+      .agg(max("score").as("s1"),
+        max(when(col("cls") === col("true_lang"), col("score")))
+          .as("st"))
+      .select(col("doc_id"), col("true_lang"), col("bk"),
+        coalesce(col("s1") - col("st"), lit(Long.MaxValue)).as("nc"))
+    val cal = perDoc.filter(col("bk") < 90)
+    val counts = cal.groupBy("true_lang").agg(count(lit(1)).as("n_cal"))
+    // taxonomy-bounded sync: one row per true class — guards the
+    // Int-ranked window below (row_number is 32-bit; a larger class
+    // fold must be sampled first, q341, never silently wrapped)
+    counts.collect().foreach { r =>
+      require(r.getLong(1) <= Int.MaxValue,
+        s"q360: class '${r.getString(0)}' calibration fold too large " +
+          "for the exact per-class sort; draw a bounded sample first " +
+          "(q341)")
+    }
+    val w = Window.partitionBy("true_lang").orderBy("nc")
+    val qhats = cal.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "true_lang")
+      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("true_lang").as("class"), col("nc").as("qhat"))
+    val classes = scored.select(col("cls").as("class"))
+      .union(perDoc.select(col("true_lang").as("class"))).distinct()
+    val clsQ = classes
+      .join(counts.withColumnRenamed("true_lang", "class"),
+        Seq("class"), "left")
+      .join(qhats, Seq("class"), "left")
+      .select(col("class"), coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        // k_c > n_c (no rank-k row) or n_c = 0 → infinite threshold
+        coalesce(col("qhat"), lit(Long.MaxValue)).as("qhat"))
+    val wd = Window.partitionBy("doc_id")
+    val test = scored.filter(col("bk") >= 90)
+      .withColumn("s1", max("score").over(wd))
+      // the Mondrian move: the threshold joins on the CANDIDATE class
+      .join(broadcast(clsQ.select(col("class").as("cls"), col("qhat"))),
+        Seq("cls"))
+      .groupBy("doc_id", "true_lang")
+      .agg(sum(when(col("s1") - col("score") <= col("qhat"), 1L)
+          .otherwise(0L)).as("set_size"),
+        max(when(col("cls") === col("true_lang") &&
+          col("s1") - col("score") <= col("qhat"), 1L).otherwise(0L))
+          .as("cov"))
+    val perClass = test.groupBy(col("true_lang").as("class"))
+      .agg(count(lit(1)).as("n_test"), sum("cov").as("n_covered"),
+        sum("set_size").as("sum_set_size"))
+    clsQ.join(perClass, Seq("class"), "left")
+      .select(col("class"), col("n_cal"), col("qhat").as("qhat_micro"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("sum_set_size"), lit(0L)).as("sum_set_size"))
+      .withColumn("coverage_ppm",
+        expr("""CAST(CASE WHEN n_test = 0 THEN -1
+                ELSE (n_covered * 1000000) div n_test END AS BIGINT)"""))
+      .withColumn("avg_set_ppm",
+        expr("""CAST(CASE WHEN n_test = 0 THEN -1
+                ELSE (sum_set_size * 1000000) div n_test END AS BIGINT)"""))
+      .orderBy("class")
+  }
+
   /** q357 char-fraction thresholds in percent, Rae et al. 2021 Table A1
     * order: dup-line-char 20, dup-para-char 20, top-{2,3,4}-gram
     * {20,18,16}, dup-{5..10}-gram {15,14,13,12,11,10}. The unit-count
@@ -2660,6 +2756,7 @@ object Text extends QueryModule {
     "q356_nb_reliability" -> nbReliability,
     "q357_gopher_repetition" -> gopherRepetition,
     "q358_nb_conformal" -> nbConformal,
+    "q360_nb_mondrian" -> nbMondrian,
     "q200_zipf_fit" -> zipfFit,
     "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
@@ -2860,6 +2957,66 @@ object Text extends QueryModule {
          |    AS coverage_ppm
          |FROM td, gl, kq, qh
          |GROUP BY 1, 3, 4, 5, 6, 7 ORDER BY 1""".stripMargin
+    },
+    // q358's per-doc nonconformity frame with the quantile PARTITIONED
+    // by true class (rank value at k_c is well-defined under nc ties,
+    // so the row_number tie-break cannot drift cross-engine), the
+    // class universe as trained-taxonomy ∪ observed true classes, the
+    // threshold joined on the CANDIDATE class, and the same −1
+    // empty-test sentinels
+    "q360_nb_mondrian" -> {
+      s"""WITH ${nbOracleChain(80)},
+         |pd AS MATERIALIZED (SELECT doc_id, true_lang, bk,
+         |    coalesce(max(score)
+         |      - max(CASE WHEN cls = true_lang THEN score END),
+         |      ${Long.MaxValue}) AS nc
+         |  FROM scored GROUP BY doc_id, true_lang, bk),
+         |cnt AS MATERIALIZED (SELECT true_lang AS class,
+         |    CAST(count(*) AS BIGINT) AS n_cal
+         |  FROM pd WHERE bk < 90 GROUP BY 1),
+         |rk AS (SELECT true_lang AS class, nc,
+         |    row_number() OVER (PARTITION BY true_lang ORDER BY nc)
+         |      AS rn
+         |  FROM pd WHERE bk < 90),
+         |qh AS MATERIALIZED (SELECT rk.class, rk.nc AS qhat
+         |  FROM rk JOIN cnt ON cnt.class = rk.class
+         |  WHERE rk.rn = (9 * (cnt.n_cal + 1) + 9) // 10),
+         |classes AS MATERIALIZED (SELECT DISTINCT cls AS class
+         |    FROM scored
+         |  UNION SELECT DISTINCT true_lang FROM pd),
+         |cq AS MATERIALIZED (SELECT c.class,
+         |    coalesce(cnt.n_cal, 0) AS n_cal,
+         |    coalesce(qh.qhat, ${Long.MaxValue}) AS qhat
+         |  FROM classes c LEFT JOIN cnt ON cnt.class = c.class
+         |  LEFT JOIN qh ON qh.class = c.class),
+         |ts AS (SELECT s.doc_id, s.true_lang, s.cls, s.score,
+         |    max(s.score) OVER (PARTITION BY s.doc_id) AS s1
+         |  FROM scored s WHERE s.bk >= 90),
+         |td AS (SELECT t.doc_id, t.true_lang,
+         |    CAST(sum(CASE WHEN t.s1 - t.score <= q.qhat
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS set_size,
+         |    max(CASE WHEN t.cls = t.true_lang
+         |      AND t.s1 - t.score <= q.qhat
+         |      THEN 1 ELSE 0 END) AS cov
+         |  FROM ts t JOIN cq q ON q.class = t.cls GROUP BY 1, 2),
+         |pc AS (SELECT true_lang AS class,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(cov) AS BIGINT) AS n_covered,
+         |    CAST(sum(set_size) AS BIGINT) AS sum_set_size
+         |  FROM td GROUP BY 1)
+         |SELECT cq.class, cq.n_cal,
+         |  CAST(cq.qhat AS BIGINT) AS qhat_micro,
+         |  coalesce(pc.n_test, 0) AS n_test,
+         |  coalesce(pc.n_covered, 0) AS n_covered,
+         |  coalesce(pc.sum_set_size, 0) AS sum_set_size,
+         |  CAST(CASE WHEN coalesce(pc.n_test, 0) = 0 THEN -1
+         |    ELSE (pc.n_covered * 1000000) // pc.n_test END AS BIGINT)
+         |    AS coverage_ppm,
+         |  CAST(CASE WHEN coalesce(pc.n_test, 0) = 0 THEN -1
+         |    ELSE (pc.sum_set_size * 1000000) // pc.n_test END
+         |    AS BIGINT) AS avg_set_ppm
+         |FROM cq LEFT JOIN pc ON pc.class = cq.class
+         |ORDER BY cq.class""".stripMargin
     },
     "q199_containment" ->
       raw"""WITH t AS (SELECT doc_id,

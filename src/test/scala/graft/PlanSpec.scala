@@ -786,6 +786,14 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross")), p)
   }
 
+  test("q360 Mondrian sets: the same shared scored chain, per-class quantile as ONE class-partitioned window, taxonomy-bounded broadcast threshold table — no cartesian beyond the pinned crosses") {
+    val p = plan("q360_nb_mondrian")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+  }
+
   test("q357 Gopher repetition: unit and n-gram passes shuffle on (doc, unit) keys — one shared 9-n explode, no cartesian, no nested loop") {
     val p = plan("q357_gopher_repetition")
     assert(!p.contains("CartesianProduct"), p)

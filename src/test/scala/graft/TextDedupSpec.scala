@@ -233,6 +233,91 @@ class TextDedupSpec extends SparkSpec {
       inf.toString)
   }
 
+  test("q360 Mondrian sets: a planted skewed corpus holds the marginal 90% under q358's qhat while the rare class's conditional coverage is 0, and recovers to 100% under the per-class qhat; an uncalibratable class gets the infinite threshold and joins every set") {
+    import spark.implicits._
+    val bucketOf = (1L to 2000L).toDF("doc_id")
+      .withColumn("bk", graft.functions.Hashing.md5Bucket(col("doc_id"), 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (1L to 2000L).filter(bucketOf(_) < 80).take(8)
+    val calIds = (1L to 2000L)
+      .filter(id => bucketOf(id) >= 80 && bucketOf(id) < 90)
+    val testIds = (1L to 2000L).filter(bucketOf(_) >= 90).take(10)
+    assert(trainIds.size == 8 && calIds.size >= 100 && testIds.size == 10)
+    val aT = "a1 a2 a3 a4 a5"; val bT = "b1 b2 b3 b4 b5"
+    // the rare class's docs MIX vocabularies (3 aa tokens vs 2 bb):
+    // the NB argmax lands on aa, so their nonconformity is a positive
+    // deterministic margin v — the structural miss q358's marginal
+    // threshold never sees
+    val bM = "a1 a2 a3 b1 b2"
+    // skew: 91 common-class (nc = 0) vs 9 rare-class (nc = v)
+    // calibration docs → marginal k = ceil(0.9·101) = 91 lands on the
+    // last zero, but the rare class's own k = ceil(0.9·10) = 9 lands
+    // on v
+    val docs = (trainIds.take(4).map(id => (id, aT, "aa", "t", 10L)) ++
+      trainIds.drop(4).map(id => (id, bT, "bb", "t", 10L)) ++
+      calIds.take(91).map(id => (id, aT, "aa", "t", 10L)) ++
+      calIds.slice(91, 100).map(id => (id, bM, "bb", "t", 10L)) ++
+      testIds.take(9).map(id => (id, aT, "aa", "t", 10L)) ++
+      testIds.drop(9).map(id => (id, bM, "bb", "t", 10L)))
+    val dir = java.nio.file.Files.createTempDirectory("graftmnd").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // q358 on the same corpus: marginal qhat = 0, coverage EXACTLY
+    // 900000 ppm — the guarantee "holds" while every rare-class doc
+    // is missed
+    val marg = SparkEntry.queries("q358_nb_conformal")(spark, dir)
+      .collect()
+    assert(marg.forall(_.getLong(3) === 0L), marg.mkString(";")) // qhat
+    assert(marg.head.getLong(6) === 900000L, marg.mkString(";"))
+    val got = SparkEntry.queries("q360_nb_mondrian")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(got.keySet === Set("aa", "bb"), got.toString)
+    // common class: its own quantile is still 0 (91 zeros, k = 83),
+    // every test doc covered by the bare argmax set
+    val (aCal, aQ, aTst, aCov, aSum, aCovPpm, aAvg) = got("aa")
+    assert((aCal, aQ, aTst, aCov) === ((91L, 0L, 9L, 9L)), got.toString)
+    assert((aSum, aCovPpm, aAvg) === ((9L, 1000000L, 1000000L)))
+    // rare class: per-class qhat = the planted margin v > 0, its test
+    // doc's set now contains BOTH classes and conditional coverage
+    // recovers from 0 (under q358's qhat) to 100%
+    val (bCal, bQ, bTst, bCov, bSum, bCovPpm, bAvg) = got("bb")
+    assert(bCal === 9L && bQ > 0L && bQ < Long.MaxValue, got.toString)
+    assert((bTst, bCov, bSum, bCovPpm, bAvg)
+      === ((1L, 1L, 2L, 1000000L, 2000000L)), got.toString)
+
+    // law 2 — an uncalibratable class (1 calibration doc, k = 2 > 1):
+    // infinite threshold, it joins EVERY set (the conservative move
+    // that preserves its conditional guarantee), and an un-trained
+    // true class reads coverage 0 loudly
+    val docs2 = (trainIds.take(4).map(id => (id, aT, "aa", "t", 10L)) ++
+      trainIds.drop(4).map(id => (id, bT, "bb", "t", 10L)) ++
+      calIds.take(10).map(id => (id, aT, "aa", "t", 10L)) ++
+      calIds.slice(10, 11).map(id => (id, bT, "bb", "t", 10L)) ++
+      testIds.take(1).map(id => (id, aT, "aa", "t", 10L)) ++
+      testIds.slice(1, 2).map(id => (id, aT, "cc", "t", 10L)))
+    val dir2 = java.nio.file.Files.createTempDirectory("graftmnd2")
+      .toString
+    docs2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = SparkEntry.queries("q360_nb_mondrian")(spark, dir2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(got2.keySet === Set("aa", "bb", "cc"), got2.toString)
+    // bb joins both test docs' sets through the infinite threshold
+    assert(got2("bb") === ((1L, Long.MaxValue, 0L, 0L, 0L, -1L, -1L)),
+      got2.toString)
+    assert(got2("aa") === ((10L, 0L, 1L, 1L, 2L, 1000000L, 2000000L)),
+      got2.toString)
+    // the alien class can never be a candidate: coverage 0, loud
+    assert(got2("cc") === ((0L, Long.MaxValue, 1L, 0L, 2L, 0L,
+      2000000L)), got2.toString)
+  }
+
   test("q357 Gopher repetition rules: each planted repetition mechanic fires its own rule in Table-A1 cascade order; a diverse doc keeps") {
     import spark.implicits._
     // 1 — duplicate LINE fraction: 4 identical of 10 lines = 40% > 30%
