@@ -3385,6 +3385,80 @@ object Stats extends QueryModule {
       .orderBy("t_days")
   }
 
+  /** q361 — GREENWOOD VARIANCE + 95% CI BANDS on the Kaplan–Meier
+    * curve (Greenwood 1926; Kalbfleisch & Prentice 2002 §1.4): q267
+    * emits the point curve and q330 TESTS two curves against each
+    * other, but nothing quantified the uncertainty OF the curve — the
+    * band a retention dashboard draws around Ŝ(t), and this round's
+    * theme (q359 gave the causal family its SE; this gives the
+    * survival family its own). Greenwood's estimator:
+    *   Var(Ŝ(t)) = Ŝ(t)² · Σ_{tᵢ ≤ t} dᵢ / (nᵢ·(nᵢ − dᵢ)),
+    * accumulated exactly in 1e12 fixed point: per event time ONE
+    * truncation g += dᵢ·10¹² div (nᵢ·(nᵢ−dᵢ)); se_e12 = Ŝ_e12·isqrt(g)
+    * div 10⁶ (isqrt halves the e12 scale — the exact integer sqrt,
+    * oracle via the corrected double floor-sqrt, the q353/q359
+    * pattern); half = [[z975Micro]]·se div 10⁶; the PLAIN band
+    * clamped into [0, 10¹²] (the log-log transform would put a
+    * data-dependent cross-engine transcendental in the fixed point —
+    * plain-Greenwood is the documented choice, stated not hidden).
+    * When the last risk set is consumed entirely (n = d): Ŝ = 0 and
+    * the Greenwood term is undefined — that row carries −1 se/ci
+    * sentinels (it is necessarily the final event row: the risk set
+    * is empty afterwards). The survival column replays EXACTLY
+    * q267's fixed point — BigInt s·(n−d) div n equals the oracle's
+    * overflow-free decomposition identically (floor(s(n−d)/n) both
+    * ways), so the two queries agree digit-for-digit on Ŝ.
+    *
+    * Scale: the corpus work is the shared memoized [[survivalLeaf]]
+    * (one per-customer reduce — q267/q330/q361 all read it); the
+    * (duration → d, leave) histogram is CALENDAR-BOUNDED (≤ the
+    * date-domain span in days), so the collect is a metadata-sized
+    * sync (the q300/q306 monthly-series convention) and the driver
+    * fold is BigInt — exact at ANY corpus scale, with no n² headroom
+    * cliff at all (q267's in-SQL fold documents one at ~3·10⁹
+    * customers; the oracle's HUGEINT matches exactly to 10¹⁹). g
+    * stays below 2⁵³ for any realistic grid (each term < 10¹²,
+    * ~thousands of event times), keeping the oracle's double
+    * floor-sqrt exact after ±1 correction.
+    */
+  val kmGreenwood: Q = (s, d) => {
+    import s.implicits._
+    val hist = survivalLeaf(s, d)
+      .groupBy("t")
+      .agg(sum(when(col("churn"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+      .collect() // calendar-bounded: ≤ date-domain span rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var atRisk = hist.map(_._3).sum
+    var sE12 = BigInt(1000000000000L)
+    var g = BigInt(0)
+    var ok = true
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    hist.foreach { case (t, dd, leave) =>
+      val n = atRisk
+      if (dd > 0) {
+        sE12 = sE12 * (n - dd) / n // ≡ q267's decomposition exactly
+        if (n == dd) ok = false
+        else g += BigInt(dd) * 1000000000000L / (BigInt(n) * (n - dd))
+        val (se, lo, hi) =
+          if (!ok) (-1L, -1L, -1L)
+          else {
+            val sse = sE12 * isqrt(g) / 1000000L
+            val half = BigInt(z975Micro) * sse / 1000000L
+            (sse.toLong, (sE12 - half).max(BigInt(0)).toLong,
+              (sE12 + half).min(BigInt(1000000000000L)).toLong)
+          }
+        rows += ((t, n, dd, sE12.toLong, se, lo, hi))
+      }
+      atRisk -= leave
+    }
+    rows.toSeq.toDF("t_days", "n_at_risk", "n_events", "survival_e12",
+        "se_e12", "ci_lo_e12", "ci_hi_e12")
+      .orderBy("t_days")
+  }
+
   /** q330 — LOG-RANK TEST (Mantel 1966; Peto & Peto 1972): the two-sample
     * companion to q267's Kaplan–Meier — "did the treatment change
     * churn?" asked the way a survival analyst asks it, over the ENTIRE
@@ -4909,6 +4983,7 @@ object Stats extends QueryModule {
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
+    "q361_km_greenwood" -> kmGreenwood,
     "q195_cusum_changepoint" -> cusumChangepoint,
     "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
@@ -7804,6 +7879,62 @@ object Stats extends QueryModule {
          |  g.d AS n_events, k.s AS survival_e12
          |FROM grid g JOIN km k ON k.i = g.i
          |ORDER BY t_days""".stripMargin,
+    // q267's grid and survival recursion extended with the Greenwood
+    // accumulator in HUGEINT (one truncation per event time, exactly
+    // the engine's BigInt), the corrected double floor-sqrt staged
+    // through suffix CTEs (the q359 pattern), the n = d row poisoned
+    // with the -1 sentinels, and the plain band clamped into [0, 1e12]
+    "q361_km_greenwood" ->
+      s"""WITH RECURSIVE cust AS (SELECT o_custkey,
+         |    min(CAST(o_orderdate AS DATE)) AS f,
+         |    max(CAST(o_orderdate AS DATE)) AS l
+         |  FROM orders GROUP BY 1),
+         |hz AS (SELECT max(l) AS dmax FROM cust),
+         |lt AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         |    (l < (SELECT dmax FROM hz) - INTERVAL $kmCensorDays DAY)
+         |      AS churn
+         |  FROM cust),
+         |hist AS MATERIALIZED (SELECT t,
+         |    CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    count(*) AS leave FROM lt GROUP BY 1),
+         |grid AS MATERIALIZED (SELECT t, d, n,
+         |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+         |  FROM (SELECT t, d,
+         |      CAST((SELECT sum(leave) FROM hist) - coalesce(sum(leave)
+         |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS n
+         |    FROM hist) WHERE d > 0),
+         |km(i, s, gw, ok) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(1000000000000 AS HUGEINT),
+         |    CAST(0 AS HUGEINT), true
+         |  UNION ALL
+         |  SELECT g.i, (k.s // g.n) * (g.n - g.d)
+         |      + ((k.s % g.n) * (g.n - g.d)) // g.n,
+         |    CASE WHEN g.n = g.d THEN k.gw
+         |      ELSE k.gw + (CAST(g.d AS HUGEINT) * 1000000000000)
+         |        // (CAST(g.n AS HUGEINT) * (g.n - g.d)) END,
+         |    k.ok AND g.n > g.d
+         |  FROM km k JOIN grid g ON g.i = k.i + 1),
+         |sq AS MATERIALIZED (SELECT g.t, g.n, g.d, k.s, k.gw, k.ok
+         |  FROM grid g JOIN km k ON k.i = g.i),
+         |s2 AS (SELECT *, CAST(floor(sqrt(CAST(gw AS DOUBLE)))
+         |    AS HUGEINT) AS y0 FROM sq),
+         |s3 AS (SELECT *, y0 + (CASE WHEN (y0 + 1) * (y0 + 1) <= gw
+         |    THEN 1 ELSE 0 END) AS y1 FROM s2),
+         |s4 AS (SELECT *, y1 - (CASE WHEN y1 * y1 > gw THEN 1 ELSE 0
+         |    END) AS isq FROM s3),
+         |s5 AS (SELECT *, (s * isq) // 1000000 AS se FROM s4),
+         |s6 AS (SELECT *, ($z975Micro * se) // 1000000 AS hf FROM s5)
+         |SELECT t AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+         |  d AS n_events, CAST(s AS BIGINT) AS survival_e12,
+         |  CAST(CASE WHEN NOT ok THEN -1 ELSE se END AS BIGINT)
+         |    AS se_e12,
+         |  CAST(CASE WHEN NOT ok THEN -1
+         |    ELSE greatest(s - hf, 0) END AS BIGINT) AS ci_lo_e12,
+         |  CAST(CASE WHEN NOT ok THEN -1
+         |    ELSE least(s + hf, 1000000000000) END AS BIGINT)
+         |    AS ci_hi_e12
+         |FROM s6 ORDER BY t_days""".stripMargin,
     "q194_salt_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
         |  FROM lineitem GROUP BY 1),

@@ -3641,6 +3641,79 @@ class AnalyticsSpec extends SparkSpec {
     assert(q350B.getAs[Long]("ate_strat_micro") === 3200000L)
   }
 
+  test("q361 Greenwood bands: a planted censoring pattern matches an independent BigInt replica exactly, the survival column equals q267 digit-for-digit, and a fully-consumed risk set poisons the final row") {
+    import spark.implicits._
+    def fixture(rows: Seq[(Long, String, String)], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.flatMap { case (c, f, l) => Seq((c, f), (c, l)) }
+        .toDF("o_custkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // censoring pattern: dmax = 2020-12-31 → churn horizon 2020-10-02;
+    // three churners at t = 10, one at t = 20, one at t = 50, two
+    // censored anchors at t = 365 — risk sets 7 → 4 → 3
+    val dirA = fixture(Seq(
+      (1L, "2020-01-01", "2020-01-11"), (2L, "2020-01-01", "2020-01-11"),
+      (3L, "2020-01-01", "2020-01-11"), (4L, "2020-01-01", "2020-01-21"),
+      (5L, "2020-01-01", "2020-02-20"), (6L, "2020-01-01", "2020-12-31"),
+      (7L, "2020-01-01", "2020-12-31")), "graftgw1")
+    val got = SparkEntry.queries("q361_km_greenwood")(spark, dirA)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // independent replica: own bisection sqrt, own fold
+    def bisqrt(x: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = x + 1
+      while (lo < hi - 1) {
+        val mid = (lo + hi) / 2
+        if (mid * mid <= x) lo = mid else hi = mid
+      }
+      lo
+    }
+    val grid = Seq((10L, 7L, 3L), (20L, 4L, 1L), (50L, 3L, 1L))
+    var sR = BigInt("1000000000000"); var gR = BigInt(0)
+    val want = grid.map { case (t, n, dd) =>
+      sR = sR * (n - dd) / n
+      gR += BigInt(dd) * BigInt("1000000000000") / (BigInt(n) * (n - dd))
+      val se = sR * bisqrt(gR) / 1000000L
+      val half = BigInt(1959964L) * se / 1000000L
+      (t, n, dd, sR.toLong, se.toLong,
+        (sR - half).max(BigInt(0)).toLong,
+        (sR + half).min(BigInt("1000000000000")).toLong)
+    }
+    assert(got.toList === want.toList, got.toList.toString)
+    // hand-pinned anchors: S = 4/7, 3/7, 2/7 in truncating e12
+    assert(got.map(_._4).toList ===
+      List(571428571428L, 428571428571L, 285714285714L))
+    // every band brackets its estimate and respects the [0, 1e12] clamp
+    got.foreach { r =>
+      assert(r._6 <= r._4 && r._4 <= r._7 && r._6 >= 0L &&
+        r._7 <= 1000000000000L, r.toString)
+    }
+    // cross-query no-drift: the survival column equals q267
+    // digit-for-digit on the same memoized leaf
+    val km = SparkEntry.queries("q267_kaplan_meier")(spark, dirA)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach(r => assert(km(r._1) === r._4, r.toString))
+    // a fully-consumed final risk set (n = d): survival 0, the
+    // Greenwood term is undefined — the -1 sentinels, necessarily on
+    // the last event row
+    val dirB = fixture(Seq(
+      (1L, "2020-06-01", "2020-12-31"), // censored anchor, t = 213
+      (2L, "2020-01-01", "2020-03-01"), // churn, t = 60
+      (3L, "2019-01-01", "2019-12-31")), "graftgw2") // churn, t = 364
+    val gotB = SparkEntry.queries("q361_km_greenwood")(spark, dirB)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(gotB.map(x => (x._1, x._2, x._3)).toList ===
+      List((60L, 3L, 1L), (364L, 1L, 1L)), gotB.toList.toString)
+    assert(gotB(0)._4 === 666666666666L && gotB(0)._5 > 0L)
+    assert(gotB(1)._4 === 0L)
+    assert((gotB(1)._5, gotB(1)._6, gotB(1)._7) === ((-1L, -1L, -1L)))
+  }
+
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {
     import spark.implicits._
     val armOf = (1L to 200L).toDF("c")

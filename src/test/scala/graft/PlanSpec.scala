@@ -760,6 +760,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q361 Greenwood bands: the shared survival leaf reduced to the calendar-bounded histogram sync, fold driver-side BigInt — local relation, no orders scan, no join") {
+    val p = plan("q361_km_greenwood")
+    assert(!p.contains("orders"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q359 Neyman CI: the identical exposure frame as q350 with one more moment in the same cell rollup, estimator on the stratum-bounded sync — local relation, no events scan, no join") {
     val p = plan("q359_neyman_ci")
     assert(!p.contains("events"), p)
