@@ -837,6 +837,84 @@ object Stats extends QueryModule {
       .withColumn("significant", col("chi2_micro") > chiCritMicro)
   }
 
+  /** q364 power-z constant Φ⁻¹(0.80) = 0.841621 in micro, and the
+    * fixed relative-lift targets the advisor sizes for (plan-time
+    * constants, the q309/q322 discipline). */
+  private[graft] val z80Micro = 841621L
+  private[graft] val mdeLiftsPct = Seq(1L, 2L, 5L, 10L)
+
+  /** q364 — EXPERIMENT SIZING / MDE ADVISOR (the standard two-
+    * proportion power identity, e.g. Kohavi, Tang & Xu 2020 ch. 17;
+    * van Belle 2008 §2.5): the question q169's readout CANNOT answer —
+    * "is this experiment even big enough?" — asked before and during
+    * a test. Over exactly q169's frame (per-user conversion, md5
+    * arms), the advisor emits:
+    *   observed — the current arm sizes and the observed per-arm
+    *     conversion delta (micro);
+    *   mde — the minimum detectable absolute effect at α = 0.05
+    *     two-sided / 80% power for the CURRENT sizes:
+    *     (z₀.₉₇₅ + z₀.₈)·√(p̂(1−p̂)·(1/n₀ + 1/n₁)), p̂ pooled;
+    *   required — per-arm users n = ⌈2·p̂(1−p̂)·(z₀.₉₇₅+z₀.₈)²/δ²⌉
+    *     for each fixed relative lift in [[mdeLiftsPct]] (δ = p̂·lift).
+    * Exact fixed point: p̂ in ppm (one truncation); the variance
+    * radicand X = p̂(10⁶−p̂)·n·10¹² div (n₀·n₁) ≈ SE²·10²⁴ (one
+    * truncation), mde = (z-sum)·isqrt(X) div 10¹² (isqrt exact
+    * engine-side, corrected double floor-sqrt oracle-side); required-n
+    * by ceiling division (num + den − 1) div den with num =
+    * 2·p̂(10⁶−p̂)·zs², den = 10¹²·δ². Sentinels: an empty arm or a
+    * degenerate pooled rate (p̂ ∈ {0, 10⁶}) reports −1 — a test with
+    * no conversions cannot be sized from its own data. Both z
+    * constants are frozen plan-time in micro — no cross-engine normal
+    * quantile is ever evaluated. Headroom: X ≤ 2.5·10¹¹·n·10¹² —
+    * inside HUGEINT past 10¹⁴ users; the engine's BigInt is exact at
+    * any scale.
+    *
+    * Scale: ONE per-user hash aggregate (map-side combinable) and ONE
+    * global 4-number rollup — 100 TB of events reduces to one row
+    * before any arithmetic (exactly q169's plan), then a 1-row sync.
+    */
+  val mdeAdvisor: Q = (s, d) => {
+    import s.implicits._
+    val r = Tables.events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("cv"))
+      .withColumn("arm",
+        graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("cv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("cv")).otherwise(0L)).as("c1"))
+      .head() // 1-row sync (the q298 metadata rule)
+    val (n0, n1, c0, c1) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val n = n0 + n1
+    val pp = if (n <= 0) -1L else (BigInt(c0 + c1) * 1000000L / n).toLong
+    val zs = z975Micro + z80Micro
+    val ok = n0 > 0 && n1 > 0 && pp > 0 && pp < 1000000L
+    val mde = if (!ok) -1L else {
+      val x = BigInt(pp) * (1000000L - pp) * n *
+        BigInt(1000000000000L) / (BigInt(n0) * n1)
+      (BigInt(zs) * isqrt(x) / BigInt(1000000000000L)).toLong
+    }
+    val obs = if (n0 <= 0 || n1 <= 0) -1L
+      else (BigInt(c1) * 1000000L / n1 -
+        BigInt(c0) * 1000000L / n0).toLong
+    val targets = mdeLiftsPct.map { lift =>
+      val dm = if (pp < 0) -1L else (BigInt(pp) * lift / 100L).toLong
+      val nReq = if (!ok || dm <= 0) -1L else {
+        val num = 2L * BigInt(pp) * (1000000L - pp) * zs * zs
+        val den = BigInt(1000000000000L) * dm * dm
+        ((num + den - 1) / den).toLong
+      }
+      ("required", lift, nReq, nReq, pp, dm)
+    }
+    (Vector(("mde", -1L, n0, n1, pp, mde),
+      ("observed", -1L, n0, n1, pp, obs)) ++ targets)
+      .toDF("row_kind", "lift_pct", "n_arm0", "n_arm1", "p_ppm",
+        "value_micro")
+      .orderBy("row_kind", "lift_pct")
+  }
+
   /** q308 — CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker, WSDM
     * 2013: "Improving the Sensitivity of Online Controlled Experiments
     * by Utilizing Pre-Experiment Data"): the adjustment every large
@@ -3459,6 +3537,71 @@ object Stats extends QueryModule {
       .orderBy("t_days")
   }
 
+  /** q362 — NELSON–AALEN CUMULATIVE HAZARD + 95% BAND (Nelson 1972;
+    * Aalen 1978): the survival family's OTHER estimator — where
+    * Kaplan–Meier multiplies survival fractions, Nelson–Aalen SUMS
+    * hazard increments H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, the quantity a
+    * reliability engineer plots (slope changes = hazard-rate changes,
+    * invisible on the S-curve) and the estimator that stays
+    * well-defined where KM's Greenwood poisons (a fully-consumed risk
+    * set just adds a final increment of 1). Exact fixed point: ONE
+    * truncation per step h = dᵢ·10¹² div nᵢ (engine: the overflow-free
+    * (10¹² div n)·d + ((10¹² mod n)·d) div n decomposition, same
+    * value as the oracle's direct HUGEINT division); the variance
+    * step uses the EXACT nested-floor identity
+    * dᵢ·10¹² div nᵢ² = h div nᵢ (floor∘floor = floor of the product —
+    * no second headroom cliff); both then accumulate by PLAIN window
+    * cumsum (already-truncated integers, so the sums are exact and
+    * order-safe). se_e12 = isqrt(v)·10⁶ (the Poisson-type variance
+    * Σ dᵢ/nᵢ², Aalen 1978 — the simple form; Klein–Moeschberger's
+    * (n−d) correction is a documented alternative, not emitted);
+    * band H ∓ z·se with the lower end clamped at 0 (hazard is
+    * unbounded above — no upper clamp, unlike q361's [0, 10¹²]).
+    *
+    * Scale: FULLY distributed — the shared memoized [[survivalLeaf]],
+    * the calendar-bounded histogram, one cumulative window over it,
+    * and the corrected double floor-sqrt as a codegen'd expression in
+    * BOTH engines (v < 2⁵³ for any realistic grid keeps the double
+    * exact after ±1 correction); no driver fold at all, the single
+    * partition is the calendar, not the corpus. Headroom: the
+    * decomposition keeps every intermediate ≤ max(10¹², n·d) —
+    * inside BIGINT past 10⁹ customers (the q267 family class).
+    */
+  val nelsonAalen: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = survivalLeaf(s, d)
+      .groupBy("t")
+      .agg(sum(when(col("churn"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val total = hist.agg(sum("leave").as("tot"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = hist.crossJoin(broadcast(total))
+      .withColumn("gone", coalesce(sum("leave").over(wPrev), lit(0L)))
+      .withColumn("n", col("tot") - col("gone"))
+      .filter(col("d") > 0)
+      .withColumn("h_step", expr(
+        "(1000000000000L div n) * d + ((1000000000000L % n) * d) div n"))
+      .withColumn("v_step", expr("h_step div n"))
+      .withColumn("ch", sum("h_step").over(wCum))
+      .withColumn("cv", sum("v_step").over(wCum))
+      .withColumn("y0", expr(
+        "CAST(floor(sqrt(CAST(cv AS DOUBLE))) AS BIGINT)"))
+      .withColumn("y1", expr(
+        "y0 + IF((y0 + 1) * (y0 + 1) <= cv, 1L, 0L)"))
+      .withColumn("se", expr(
+        "(y1 - IF(y1 * y1 > cv, 1L, 0L)) * 1000000L"))
+      .withColumn("hf", expr(s"($z975Micro * se) div 1000000"))
+    grid.select(col("t").as("t_days"), col("n").as("n_at_risk"),
+        col("d").as("n_events"), col("h_step").as("hazard_step_e12"),
+        col("ch").as("cum_hazard_e12"), col("se").as("se_e12"),
+        expr("greatest(ch - hf, 0L)").as("ci_lo_e12"),
+        (col("ch") + col("hf")).as("ci_hi_e12"))
+      .orderBy("t_days")
+  }
+
   /** q330 — LOG-RANK TEST (Mantel 1966; Peto & Peto 1972): the two-sample
     * companion to q267's Kaplan–Meier — "did the treatment change
     * churn?" asked the way a survival analyst asks it, over the ENTIRE
@@ -4984,6 +5127,8 @@ object Stats extends QueryModule {
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
     "q361_km_greenwood" -> kmGreenwood,
+    "q362_nelson_aalen" -> nelsonAalen,
+    "q364_mde_advisor" -> mdeAdvisor,
     "q195_cusum_changepoint" -> cusumChangepoint,
     "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
@@ -7935,6 +8080,120 @@ object Stats extends QueryModule {
          |    ELSE least(s + hf, 1000000000000) END AS BIGINT)
          |    AS ci_hi_e12
          |FROM s6 ORDER BY t_days""".stripMargin,
+    // q267's grid with plain window cumsums — the hazard step as ONE
+    // direct HUGEINT division (equal by construction to the engine's
+    // overflow-free decomposition), the variance step via the exact
+    // nested-floor identity h // n, the same corrected double
+    // floor-sqrt, lower clamp only
+    "q362_nelson_aalen" ->
+      s"""WITH cust AS (SELECT o_custkey,
+         |    min(CAST(o_orderdate AS DATE)) AS f,
+         |    max(CAST(o_orderdate AS DATE)) AS l
+         |  FROM orders GROUP BY 1),
+         |hz AS (SELECT max(l) AS dmax FROM cust),
+         |lt AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+         |    (l < (SELECT dmax FROM hz) - INTERVAL $kmCensorDays DAY)
+         |      AS churn
+         |  FROM cust),
+         |hist AS MATERIALIZED (SELECT t,
+         |    CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    count(*) AS leave FROM lt GROUP BY 1),
+         |grid AS (SELECT t, d, n,
+         |    (CAST(d AS HUGEINT) * 1000000000000) // n AS h_step
+         |  FROM (SELECT t, d,
+         |      CAST((SELECT sum(leave) FROM hist) - coalesce(sum(leave)
+         |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS n
+         |    FROM hist) WHERE d > 0),
+         |cum AS (SELECT t, n, d, h_step,
+         |    sum(h_step) OVER (ORDER BY t) AS ch,
+         |    sum(h_step // n) OVER (ORDER BY t) AS cv
+         |  FROM grid),
+         |s2 AS (SELECT *, CAST(floor(sqrt(CAST(cv AS DOUBLE)))
+         |    AS HUGEINT) AS y0 FROM cum),
+         |s3 AS (SELECT *, y0 + (CASE WHEN (y0 + 1) * (y0 + 1) <= cv
+         |    THEN 1 ELSE 0 END) AS y1 FROM s2),
+         |s4 AS (SELECT *, (y1 - (CASE WHEN y1 * y1 > cv THEN 1 ELSE 0
+         |    END)) * 1000000 AS se FROM s3),
+         |s5 AS (SELECT *, ($z975Micro * se) // 1000000 AS hf FROM s4)
+         |SELECT t AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+         |  d AS n_events, CAST(h_step AS BIGINT) AS hazard_step_e12,
+         |  CAST(ch AS BIGINT) AS cum_hazard_e12,
+         |  CAST(se AS BIGINT) AS se_e12,
+         |  CAST(greatest(ch - hf, 0) AS BIGINT) AS ci_lo_e12,
+         |  CAST(ch + hf AS BIGINT) AS ci_hi_e12
+         |FROM s5 ORDER BY t_days""".stripMargin,
+    // exactly q169's 4-number frame, the z constants as the identical
+    // micro literals, the staged corrected floor-sqrt, and ceiling
+    // division for the per-arm sizing rows
+    "q364_mde_advisor" -> {
+      val zs = z975Micro + z80Micro
+      s"""WITH conv AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS cv
+         |  FROM events GROUP BY 1),
+         |armed AS (SELECT cv,
+         |    ${graft.functions.Hashing.duckMd5Bucket("user_id", 2)}
+         |      AS arm FROM conv),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS HUGEINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS HUGEINT)
+         |      AS c1
+         |  FROM armed),
+         |g1 AS (SELECT *, n0 + n1 AS n,
+         |    CASE WHEN n0 + n1 <= 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE ((c0 + c1) * 1000000) // (n0 + n1) END AS pp
+         |  FROM g),
+         |g2 AS (SELECT *,
+         |    (n0 > 0 AND n1 > 0 AND pp > 0 AND pp < 1000000) AS ok
+         |  FROM g1),
+         |g3 AS (SELECT *, CASE WHEN ok
+         |    THEN (pp * (1000000 - pp) * n * 1000000000000)
+         |      // (n0 * n1) ELSE CAST(0 AS HUGEINT) END AS x FROM g2),
+         |g4 AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE)))
+         |    AS HUGEINT) AS y0 FROM g3),
+         |g5 AS (SELECT *, y0 + (CASE WHEN (y0 + 1) * (y0 + 1) <= x
+         |    THEN 1 ELSE 0 END) AS y1 FROM g4),
+         |g6 AS (SELECT *, y1 - (CASE WHEN y1 * y1 > x THEN 1 ELSE 0
+         |    END) AS isq FROM g5),
+         |g7 AS (SELECT *,
+         |    CASE WHEN NOT ok THEN CAST(-1 AS HUGEINT)
+         |      ELSE ($zs * isq) // 1000000000000 END AS mde,
+         |    CASE WHEN n0 <= 0 OR n1 <= 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE (c1 * 1000000) // n1 - (c0 * 1000000) // n0 END
+         |      AS obs
+         |  FROM g6),
+         |t AS (SELECT CAST(unnest([${mdeLiftsPct.mkString(", ")}])
+         |    AS BIGINT) AS lift),
+         |tr AS (SELECT t.lift,
+         |    CASE WHEN g7.pp < 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE (g7.pp * t.lift) // 100 END AS dm
+         |  FROM t, g7),
+         |tr2 AS (SELECT tr.lift, tr.dm,
+         |    CASE WHEN NOT g7.ok OR tr.dm <= 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE (2 * g7.pp * (1000000 - g7.pp) * $zs * $zs
+         |        + 1000000000000 * tr.dm * tr.dm - 1)
+         |        // (1000000000000 * tr.dm * tr.dm) END AS nreq
+         |  FROM tr, g7)
+         |SELECT 'mde' AS row_kind, CAST(-1 AS BIGINT) AS lift_pct,
+         |  CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+         |  CAST(pp AS BIGINT) AS p_ppm, CAST(mde AS BIGINT)
+         |    AS value_micro
+         |FROM g7
+         |UNION ALL SELECT 'observed', -1, CAST(n0 AS BIGINT),
+         |  CAST(n1 AS BIGINT), CAST(pp AS BIGINT), CAST(obs AS BIGINT)
+         |FROM g7
+         |UNION ALL SELECT 'required', tr2.lift,
+         |  CAST(tr2.nreq AS BIGINT), CAST(tr2.nreq AS BIGINT),
+         |  CAST(g7.pp AS BIGINT), CAST(tr2.dm AS BIGINT)
+         |FROM tr2, g7
+         |ORDER BY 1, 2""".stripMargin
+    },
     "q194_salt_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
         |  FROM lineitem GROUP BY 1),

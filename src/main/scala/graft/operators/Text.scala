@@ -691,6 +691,57 @@ object Text extends QueryModule {
       .orderBy("class")
   }
 
+  /** q363 — ISOTONIC (PAV) CALIBRATION of the margin-reliability table
+    * (Ayer et al. 1955 for the estimator; Zadrozny & Elkan 2002 for
+    * isotonic classifier calibration; Robertson–Wright–Dykstra 1988
+    * §1.2 for the minimax identity): q356 reports RAW per-bucket
+    * accuracy, which on finite folds need not be monotone in the
+    * margin — and a keep-threshold policy quoting a non-monotone
+    * confidence is incoherent (a HIGHER-margin doc quoted a LOWER
+    * accuracy). The isotonic repair is the weighted least-squares
+    * monotone fit, computed here through the EXACT minimax identity
+    *   ĝ(k) = max_{i≤k} min_{j≥k} (Σ_{i..j} correct) / (Σ_{i..j} n)
+    * over the nonempty buckets — equivalent to pool-adjacent-
+    * violators but with no sequential merge state to mirror. Interval
+    * accuracies are compared through the floor(acc·10¹⁸) surrogate in
+    * BOTH engines (distinct pooled accuracies differ by ≥ 1/N², so
+    * the surrogate is exact inside the documented 10⁹-doc headroom —
+    * and because both engines compare the SAME surrogate, the fit
+    * cannot drift even at the boundary); the output truncation
+    * floor(surrogate/10¹²) IS floor(acc·10⁶) (nested-floor identity),
+    * so calib_ppm carries ONE truncation. Empty buckets report −1 and
+    * take no part in the pooling; `adjusted` flags buckets the repair
+    * moved.
+    *
+    * Scale: corpus work is the SHARED [[nbMarginTable]] (q356's
+    * chain); the fit runs on the [[nbMarginEdges]]-bounded sync
+    * (≤ 5 rows) — interval enumeration over ≤ 5 buckets is O(1).
+    */
+  val nbIsotonic: Q = (s, d) => {
+    import s.implicits._
+    val tbl = nbMarginTable(s, d)
+      .collect() // bucket-bounded: exactly nbMarginEdges.size rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val ne = tbl.filter(_._2 > 0)
+    val m = ne.length
+    def surr(i: Int, j: Int): BigInt = {
+      val c = ne.slice(i, j + 1).map(x => BigInt(x._3)).sum
+      val n = ne.slice(i, j + 1).map(x => BigInt(x._2)).sum
+      c * BigInt("1000000000000000000") / n
+    }
+    val calib: Map[Long, Long] = ne.indices.map { k =>
+      val v = (0 to k).map(i => (k until m).map(j => surr(i, j)).min).max
+      ne(k)._1 -> (v / 1000000000000L).toLong
+    }.toMap
+    tbl.toSeq.map { case (lo, n, c) =>
+      val acc = if (n == 0) -1L else (BigInt(c) * 1000000L / n).toLong
+      val cal = calib.getOrElse(lo, -1L)
+      (lo, n, c, acc, cal, n > 0 && cal != acc)
+    }.toDF("bucket_lo", "n_docs", "n_correct", "acc_ppm", "calib_ppm",
+      "adjusted").orderBy("bucket_lo")
+  }
+
   /** q357 char-fraction thresholds in percent, Rae et al. 2021 Table A1
     * order: dup-line-char 20, dup-para-char 20, top-{2,3,4}-gram
     * {20,18,16}, dup-{5..10}-gram {15,14,13,12,11,10}. The unit-count
@@ -2706,7 +2757,12 @@ object Text extends QueryModule {
     * window is per-doc-partitioned (no global sort), the bucket rollup
     * is 5-row bounded, and the keep-curve windows run on those 5 rows.
     */
-  val nbReliability: Q = (s, d) => {
+  /** The q356/q363 margin-bucket table (bucket_lo, n_docs, n_correct),
+    * one row per [[nbMarginEdges]] edge, shared so the calibration
+    * repair (q363) cannot drift from the reliability table it repairs
+    * (q356) — the nbScored/exposureFrame no-drift discipline. */
+  private def nbMarginTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
@@ -2730,11 +2786,16 @@ object Text extends QueryModule {
           .as("ok"))
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"))
-    val full = nbMarginEdges.toDF("bucket_lo")
+    nbMarginEdges.toDF("bucket_lo")
       .join(counted, Seq("bucket_lo"), "left")
       .select(col("bucket_lo"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+  }
+
+  val nbReliability: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val full = nbMarginTable(s, d)
     val wKeep = Window.orderBy(col("bucket_lo").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     full
@@ -2757,6 +2818,7 @@ object Text extends QueryModule {
     "q357_gopher_repetition" -> gopherRepetition,
     "q358_nb_conformal" -> nbConformal,
     "q360_nb_mondrian" -> nbMondrian,
+    "q363_nb_isotonic" -> nbIsotonic,
     "q200_zipf_fit" -> zipfFit,
     "q199_containment" -> containmentPairs,
     "q192_retrieval_metrics" -> retrievalMetrics,
@@ -2856,6 +2918,40 @@ object Text extends QueryModule {
        |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id
        |    AND ct.cls = c.cls)""".stripMargin
 
+  /** The q356/q363 margin-bucket table as shared oracle text (the
+    * [[nbMarginTable]] engine helper's mirror — chain through
+    * `full_(bucket_lo, n_docs, n_correct)`, one row per edge). */
+  private def nbMarginOracleChain: String = {
+    val edgeCase = nbMarginEdges.reverse.map(e =>
+      s"WHEN margin >= ${e}" +
+        s" THEN CAST($e AS BIGINT)").mkString(" ")
+    s"""${nbOracleChain()},
+       |p2 AS (SELECT doc_id, true_lang, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cls) AS rn
+       |  FROM scored),
+       |t2 AS (SELECT doc_id, true_lang,
+       |    max(CASE WHEN rn = 1 THEN cls END) AS pred,
+       |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+       |    max(CASE WHEN rn = 2 THEN score END) AS s2
+       |  FROM p2 WHERE rn <= 2 GROUP BY 1, 2),
+       |mg AS (SELECT true_lang, pred,
+       |    CASE WHEN s2 IS NULL THEN ${Long.MaxValue}
+       |      ELSE s1 - s2 END AS margin FROM t2),
+       |cnt AS (SELECT CASE $edgeCase END AS bucket_lo,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN pred = true_lang THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_correct
+       |  FROM mg GROUP BY 1),
+       |edges AS (SELECT unnest([${nbMarginEdges.map(e =>
+          s"CAST($e AS BIGINT)").mkString(", ")}]) AS bucket_lo),
+       |full_ AS (SELECT e.bucket_lo,
+       |    coalesce(c.n_docs, 0) AS n_docs,
+       |    coalesce(c.n_correct, 0) AS n_correct
+       |  FROM edges e LEFT JOIN cnt c ON c.bucket_lo = e.bucket_lo)"""
+      .stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // same md5 split, same tokenize, same Laplace rational inside the
     // same once-rounded ln·1e6 (exact integer-count operands, so both
@@ -2873,33 +2969,7 @@ object Text extends QueryModule {
     // same fixed LLR bucket CASE, all five buckets emitted with the
     // -1 empty sentinel, and the keep-curve as a 5-row window
     "q356_nb_reliability" -> {
-      val edgeCase = nbMarginEdges.reverse.map(e =>
-        s"WHEN margin >= ${e}" +
-          s" THEN CAST($e AS BIGINT)").mkString(" ")
-      s"""WITH ${nbOracleChain()},
-         |p2 AS (SELECT doc_id, true_lang, cls, score,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, cls) AS rn
-         |  FROM scored),
-         |t2 AS (SELECT doc_id, true_lang,
-         |    max(CASE WHEN rn = 1 THEN cls END) AS pred,
-         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
-         |    max(CASE WHEN rn = 2 THEN score END) AS s2
-         |  FROM p2 WHERE rn <= 2 GROUP BY 1, 2),
-         |mg AS (SELECT true_lang, pred,
-         |    CASE WHEN s2 IS NULL THEN ${Long.MaxValue}
-         |      ELSE s1 - s2 END AS margin FROM t2),
-         |cnt AS (SELECT CASE $edgeCase END AS bucket_lo,
-         |    CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(CASE WHEN pred = true_lang THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_correct
-         |  FROM mg GROUP BY 1),
-         |edges AS (SELECT unnest([${nbMarginEdges.map(e =>
-            s"CAST($e AS BIGINT)").mkString(", ")}]) AS bucket_lo),
-         |full_ AS (SELECT e.bucket_lo,
-         |    coalesce(c.n_docs, 0) AS n_docs,
-         |    coalesce(c.n_correct, 0) AS n_correct
-         |  FROM edges e LEFT JOIN cnt c ON c.bucket_lo = e.bucket_lo),
+      s"""WITH ${nbMarginOracleChain},
          |keep AS (SELECT *,
          |    CAST(sum(n_docs) OVER (ORDER BY bucket_lo DESC)
          |      AS BIGINT) AS kept_docs,
@@ -2915,6 +2985,40 @@ object Text extends QueryModule {
          |    ELSE (kept_correct * 1000000) // kept_docs END AS BIGINT)
          |    AS kept_acc_ppm
          |FROM keep ORDER BY bucket_lo""".stripMargin
+    },
+    // the shared margin-bucket chain, the minimax identity over the
+    // <= 5 nonempty buckets (dense-indexed; intervals by a bounded
+    // triple self-join), the SAME floor(acc*1e18) surrogate as the
+    // engine, output truncation surr // 1e12 == floor(acc*1e6)
+    "q363_nb_isotonic" -> {
+      s"""WITH ${nbMarginOracleChain},
+         |ne AS MATERIALIZED (SELECT bucket_lo, n_docs, n_correct,
+         |    CAST(row_number() OVER (ORDER BY bucket_lo) AS BIGINT)
+         |      AS ix
+         |  FROM full_ WHERE n_docs > 0),
+         |iv AS MATERIALIZED (SELECT a.ix AS i, b.ix AS j,
+         |    (CAST(sum(c.n_correct) AS HUGEINT)
+         |      * 1000000000000000000)
+         |      // CAST(sum(c.n_docs) AS HUGEINT) AS surr
+         |  FROM ne a JOIN ne b ON b.ix >= a.ix
+         |  JOIN ne c ON c.ix BETWEEN a.ix AND b.ix
+         |  GROUP BY 1, 2),
+         |mn AS (SELECT iv.i, k.ix AS k, min(iv.surr) AS m
+         |  FROM iv JOIN ne k ON iv.i <= k.ix AND iv.j >= k.ix
+         |  GROUP BY 1, 2),
+         |cal AS (SELECT mn.k, max(mn.m) AS v FROM mn GROUP BY 1),
+         |out_ AS (SELECT f.bucket_lo, f.n_docs, f.n_correct,
+         |    CASE WHEN f.n_docs = 0 THEN -1
+         |      ELSE (f.n_correct * 1000000) // f.n_docs END AS acc_ppm,
+         |    CASE WHEN f.n_docs = 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE cal.v // 1000000000000 END AS calib_ppm
+         |  FROM full_ f LEFT JOIN ne ON ne.bucket_lo = f.bucket_lo
+         |  LEFT JOIN cal ON cal.k = ne.ix)
+         |SELECT bucket_lo, n_docs, n_correct,
+         |  CAST(acc_ppm AS BIGINT) AS acc_ppm,
+         |  CAST(calib_ppm AS BIGINT) AS calib_ppm,
+         |  (n_docs > 0 AND calib_ppm <> acc_ppm) AS adjusted
+         |FROM out_ ORDER BY bucket_lo""".stripMargin
     },
     // the shared chain over BOTH folds (bk >= 80), the identical
     // nonconformity with the explicit unseen-class sentinel (Spark

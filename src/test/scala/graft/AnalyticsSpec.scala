@@ -745,9 +745,11 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))
     assert(bt.map(_._1).toList ===
-      List("ar", "holt", "holt_winters", "ma", "seasonal_naive"),
+      List("ar", "arma", "holt", "holt_winters", "ma",
+        "seasonal_naive"),
       bt.mkString(","))
-    val Array(ar, holt, hw, ma, naive) = bt
+    val Array(ar, arma, holt, hw, ma, naive) = bt
+    assert(arma._2 === 6L && arma._3 > 0L && !arma._5, bt.mkString(","))
     assert(hw === ("holt_winters", 6L, 0L, 0L, true), bt.mkString(","))
     assert(naive === ("seasonal_naive", 6L, 144L, 24L, false), bt.mkString(","))
     assert(holt._1 === "holt" && holt._2 === 6L && holt._3 > 0L && !holt._5,
@@ -3712,6 +3714,142 @@ class AnalyticsSpec extends SparkSpec {
     assert(gotB(0)._4 === 666666666666L && gotB(0)._5 > 0L)
     assert(gotB(1)._4 === 0L)
     assert((gotB(1)._5, gotB(1)._6, gotB(1)._7) === ((-1L, -1L, -1L)))
+  }
+
+  test("q364 MDE advisor: a planted two-arm conversion corpus matches the closed-form replica exactly, and a conversionless corpus reports the sizing sentinels") {
+    import spark.implicits._
+    val armOf = (1L to 200L).toDF("user_id")
+      .withColumn("arm", graft.functions.Hashing.md5Bucket(col("user_id"), 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = (1L to 200L).filter(armOf(_) == 0L).take(10)
+    val a1 = (1L to 200L).filter(armOf(_) == 1L).take(10)
+    def fixture(conv0: Int, conv1: Int, tag: String): String = {
+      var eid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      (a0.zipWithIndex.map { case (u, i) => (u, i < conv0) } ++
+        a1.zipWithIndex.map { case (u, i) => (u, i < conv1) })
+        .foreach { case (u, converts) =>
+          eid += 1; rows += ((eid, 0L, u, "view", 1.0, "{}"))
+          if (converts) {
+            eid += 1; rows += ((eid, 0L, u, "purchase", 1.0, "{}"))
+          }
+        }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props").write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      dir
+    }
+    def bisqrt(x: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = x + 1
+      while (lo < hi - 1) {
+        val mid = (lo + hi) / 2
+        if (mid * mid <= x) lo = mid else hi = mid
+      }
+      lo
+    }
+    // 2/10 vs 5/10 converting: pooled p = 350000 ppm
+    val got = SparkEntry.queries("q364_mde_advisor")(spark,
+      fixture(2, 5, "graftmde1")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val zs = BigInt(1959964L + 841621L)
+    val pp = BigInt(7) * 1000000L / 20
+    assert(pp.toLong === 350000L)
+    val x = pp * (1000000L - pp.toLong) * 20 *
+      BigInt("1000000000000") / 100
+    val mde = (zs * bisqrt(x) / BigInt("1000000000000")).toLong
+    assert(got(("mde", -1L)) === ((10L, 10L, 350000L, mde)),
+      got.toString)
+    // observed delta: 500000 − 200000
+    assert(got(("observed", -1L)) === ((10L, 10L, 350000L, 300000L)))
+    // with 10 users/arm the MDE is enormous — the advisor's point
+    assert(mde > 500000L, mde.toString)
+    Seq(1L, 2L, 5L, 10L).foreach { lift =>
+      val dm = pp * lift / 100
+      val num = 2 * pp * (1000000L - pp.toLong) * zs * zs
+      val den = BigInt("1000000000000") * dm * dm
+      val nReq = ((num + den - 1) / den).toLong
+      assert(got(("required", lift)) ===
+        ((nReq, nReq, 350000L, dm.toLong)), s"lift $lift: $got")
+    }
+    // a 1% lift on a 35% base needs ~quarter-million users per arm —
+    // sanity-anchor the magnitude class
+    assert(got(("required", 1L))._1 > 100000L)
+    assert(got(("required", 10L))._1 < got(("required", 1L))._1 / 50L)
+    // conversionless corpus: p = 0 → nothing can be sized — the mde
+    // and required-n columns carry the −1 sentinel (the target delta
+    // itself is genuinely 0)
+    val none = SparkEntry.queries("q364_mde_advisor")(spark,
+      fixture(0, 0, "graftmde2")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(none(("mde", -1L))._2 === -1L)
+    assert(none(("observed", -1L))._2 === 0L)
+    Seq(1L, 2L, 5L, 10L).foreach { l =>
+      assert(none(("required", l))._1 === -1L, none.toString)
+      assert(none(("required", l))._2 === 0L, none.toString)
+    }
+  }
+
+  test("q362 Nelson-Aalen: the planted censoring pattern matches an independent replica exactly, and the fully-consumed final risk set stays well-defined where q361's Greenwood poisons") {
+    import spark.implicits._
+    def fixture(rows: Seq[(Long, String, String)], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.flatMap { case (c, f, l) => Seq((c, f), (c, l)) }
+        .toDF("o_custkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def bisqrt(x: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = x + 1
+      while (lo < hi - 1) {
+        val mid = (lo + hi) / 2
+        if (mid * mid <= x) lo = mid else hi = mid
+      }
+      lo
+    }
+    def replica(grid: Seq[(Long, Long, Long)]) = {
+      var h = BigInt(0); var v = BigInt(0)
+      grid.map { case (t, n, dd) =>
+        val hs = BigInt(dd) * BigInt("1000000000000") / n
+        h += hs; v += hs / n
+        val se = bisqrt(v) * 1000000L
+        val half = BigInt(1959964L) * se / 1000000L
+        (t, n, dd, hs.toLong, h.toLong, se.toLong,
+          (h - half).max(BigInt(0)).toLong, (h + half).toLong)
+      }
+    }
+    val dirA = fixture(Seq(
+      (1L, "2020-01-01", "2020-01-11"), (2L, "2020-01-01", "2020-01-11"),
+      (3L, "2020-01-01", "2020-01-11"), (4L, "2020-01-01", "2020-01-21"),
+      (5L, "2020-01-01", "2020-02-20"), (6L, "2020-01-01", "2020-12-31"),
+      (7L, "2020-01-01", "2020-12-31")), "graftna1")
+    val gotA = SparkEntry.queries("q362_nelson_aalen")(spark, dirA)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(gotA.toList === replica(
+      Seq((10L, 7L, 3L), (20L, 4L, 1L), (50L, 3L, 1L))).toList,
+      gotA.toList.toString)
+    // hand anchors: H = 3/7, then +1/4, then +1/3 in truncating e12
+    assert(gotA.map(_._5).toList ===
+      List(428571428571L, 678571428571L, 1011904761904L))
+    // the n = d final risk set: the hazard just adds a full increment
+    // of 1.0 — no sentinel, the documented Nelson-Aalen advantage over
+    // q361's Greenwood poisoning on the same fixture
+    val dirB = fixture(Seq(
+      (1L, "2020-06-01", "2020-12-31"), (2L, "2020-01-01", "2020-03-01"),
+      (3L, "2019-01-01", "2019-12-31")), "graftna2")
+    val gotB = SparkEntry.queries("q362_nelson_aalen")(spark, dirB)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(gotB.toList === replica(
+      Seq((60L, 3L, 1L), (364L, 1L, 1L))).toList, gotB.toList.toString)
+    assert(gotB(1)._4 === 1000000000000L) // the final full increment
+    assert(gotB(1)._6 > 0L) // se defined where Greenwood reads -1
   }
 
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {

@@ -760,6 +760,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q363 isotonic calibration: the shared margin table reduced to the bucket-bounded sync, minimax fit driver-side — local relation, no documents scan, no join") {
+    val p = plan("q363_nb_isotonic")
+    assert(!p.contains("documents"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q364 MDE advisor: one per-user rollup to a 1-row sync, sizing arithmetic driver-side — local relation, no events scan, no join") {
+    val p = plan("q364_mde_advisor")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q362 Nelson-Aalen: fully distributed — calendar-bounded window cumsums over the shared survival leaf with a codegen'd corrected floor-sqrt, no cartesian beyond the 1-row total cross") {
+    val p = plan("q362_nelson_aalen")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), p)
+  }
+
   test("q361 Greenwood bands: the shared survival leaf reduced to the calendar-bounded histogram sync, fold driver-side BigInt — local relation, no orders scan, no join") {
     val p = plan("q361_km_greenwood")
     assert(!p.contains("orders"), p)

@@ -1362,4 +1362,73 @@ class TextDedupSpec extends SparkSpec {
       (10000000L, 4L, 4L, 1000000L, 4L, 4L, 1000000L)),
       got.mkString("\n"))
   }
+
+  test("q363 isotonic calibration: a planted non-monotone reliability table pools exactly as PAV demands (the minimax anchors hand-computed), monotone buckets pass through unadjusted, and empty buckets stay -1") {
+    import spark.implicits._
+    val bucketOf = (1L to 500L).toDF("doc_id")
+      .withColumn("bk", graft.functions.Hashing.md5Bucket(col("doc_id"), 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (1L to 500L).filter(bucketOf(_) < 80).take(8)
+    val testIds = (1L to 500L).filter(bucketOf(_) >= 90).take(10)
+    assert(trainIds.size == 8 && testIds.size == 10)
+    // q356's symmetric 4+4 training corpus: every margin is a net
+    // a-minus-b token count times (ln5 in micro) = k·1609438, so the
+    // five buckets are hit exactly: k = 0, 1, 2, 5, 8
+    val aT = "a1 a2 a3 a4 a5"; val bT = "b1 b2 b3 b4 b5"
+    val docs =
+      trainIds.take(4).map(id => (id, aT, "aa", "t", 10L)) ++
+        trainIds.drop(4).map(id => (id, bT, "bb", "t", 10L)) ++
+        // bucket 0 (margin 0): tie-break 'aa' → 1 of 2 correct
+        Seq((testIds(0), "a1 a2 b1 b2", "aa", "t", 10L),
+          (testIds(1), "a1 a2 b1 b2", "bb", "t", 10L),
+          // bucket 1e6 (k=1 → 1609438): both correct — then a DIP:
+          (testIds(2), "a1 a2 a3 b1 b2", "aa", "t", 10L),
+          (testIds(3), "a1 a2 a3 b1 b2", "aa", "t", 10L),
+          // bucket 2e6 (k=2 → 3218876): both labeled bb, pred aa → 0/2
+          (testIds(4), "a1 a2 a3 a4 b1 b2", "bb", "t", 10L),
+          (testIds(5), "a1 a2 a3 a4 b1 b2", "bb", "t", 10L),
+          // bucket 5e6 (k=5 → 8047190): both correct
+          (testIds(6), "a1 a2 a3 a4 a5 a1 b1", "aa", "t", 10L),
+          (testIds(7), "a1 a2 a3 a4 a5 a1 b1", "aa", "t", 10L),
+          // bucket 1e7 (k=8 → 12875504): both correct
+          (testIds(8), "a1 a2 a3 a4 a5 a1 a2 a3", "aa", "t", 10L),
+          (testIds(9), "a1 a2 a3 a4 a5 a1 a2 a3", "aa", "t", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("graftiso").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q363_nb_isotonic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toList
+    // raw accs (1/2, 1, 0, 1, 1): the minimax fit pools the dip with
+    // its neighbors — min over (0,2) and (1,2) intervals is 3/6 and
+    // 2/4 = 1/2, so buckets 0/1e6/2e6 all calibrate to 500000 while
+    // the top two stay 1.0 (hand-traced over all 15 intervals)
+    assert(got === List(
+      (0L, 2L, 1L, 500000L, 500000L, false),
+      (1000000L, 2L, 2L, 1000000L, 500000L, true),
+      (2000000L, 2L, 0L, 0L, 500000L, true),
+      (5000000L, 2L, 2L, 1000000L, 1000000L, false),
+      (10000000L, 2L, 2L, 1000000L, 1000000L, false)),
+      got.mkString("\n"))
+    // empty-bucket sentinel: only margin-0 and top-bucket docs
+    val docs2 =
+      trainIds.take(4).map(id => (id, aT, "aa", "t", 10L)) ++
+        trainIds.drop(4).map(id => (id, bT, "bb", "t", 10L)) ++
+        Seq((testIds(0), "a1 a2 b1 b2", "aa", "t", 10L),
+          (testIds(1), "a1 a2 b1 b2", "bb", "t", 10L),
+          (testIds(2), "a1 a2 a3 a4 a5 a1 a2 a3", "aa", "t", 10L))
+    val dir2 = java.nio.file.Files.createTempDirectory("graftiso2")
+      .toString
+    docs2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = SparkEntry.queries("q363_nb_isotonic")(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toList
+    assert(got2 === List(
+      (0L, 500000L, 500000L, false),
+      (1000000L, -1L, -1L, false),
+      (2000000L, -1L, -1L, false),
+      (5000000L, -1L, -1L, false),
+      (10000000L, 1000000L, 1000000L, false)), got2.mkString("\n"))
+  }
 }
