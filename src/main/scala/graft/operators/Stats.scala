@@ -915,6 +915,63 @@ object Stats extends QueryModule {
       .orderBy("row_kind", "lift_pct")
   }
 
+  /** q365 — WILSON SCORE INTERVALS per segment (Wilson 1927; Brown,
+    * Cai & DasGupta 2001 for why Wald is the wrong default): the
+    * interval a metrics platform should quote on every proportion
+    * tile — the Wald interval p̂ ∓ z·√(p̂(1−p̂)/n) ESCAPES [0, 1] and
+    * collapses to width 0 at p̂ ∈ {0, 1} exactly where small segments
+    * need it most, while Wilson inverts the score test and stays
+    * inside by construction. Per day-of-week segment (the q05
+    * dow-parity convention: Spark dayofweek 1=Sunday, oracle
+    * dayofweek()+1), purchase share per event with BOTH intervals —
+    * Wilson as the quote, Wald emitted UNclamped so the audit shows
+    * exactly when it breaks. Exact fixed point via the integer form
+    *   lo, hi = (2k·10¹² + z² ∓ z·√(n·(n·z² + 4k(n−k)·10¹²)) div n)
+    *            ·10⁶ div (2(n·10¹² + z²)),
+    * z in micro ([[z975Micro]], z² = 3841458881296 exact), isqrt
+    * exact engine-side / corrected double floor-sqrt oracle-side; at
+    * k = 0 the radicand is n²·z² whose isqrt is EXACTLY n·z, so the
+    * lower bound lands on 0 identically in both engines (the spec
+    * pins it). One truncation per emitted quantity. Headroom: the
+    * radicand ≈ n³·10¹² — inside HUGEINT to ~5·10⁸ events per
+    * segment (the engine's BigInt is exact at any scale); past that,
+    * sample-first (q341), documented.
+    *
+    * Scale: ONE map-side-combinable groupBy to a ≤ 7-row dow-bounded
+    * sync; the interval algebra is driver-side BigInt.
+    */
+  val wilsonIntervals: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("p"))
+      .groupBy("dow").agg(count(lit(1)).as("n"), sum("p").as("k"))
+      .collect() // dow-bounded: ≤ 7 rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val zm = BigInt(z975Micro)
+    val z2 = zm * zm
+    val e12 = BigInt(1000000000000L)
+    val rows = cells.toSeq.map { case (dow, n, k) =>
+      val rate = BigInt(k) * 1000000L / n
+      val rad = BigInt(n) * (BigInt(n) * z2 +
+        4 * BigInt(k) * (n - k) * e12)
+      val t = zm * isqrt(rad) / n
+      val den = 2 * (BigInt(n) * e12 + z2)
+      val base = 2 * BigInt(k) * e12 + z2
+      val lo = (base - t) * 1000000L / den
+      val hi = (base + t) * 1000000L / den
+      val sw = isqrt(BigInt(k) * (n - k) * e12 / n)
+      val wh = zm * sw / (BigInt(n) * 1000000L)
+      (dow, n, k, rate.toLong, lo.toLong, hi.toLong,
+        (rate - wh).toLong, (rate + wh).toLong)
+    }
+    rows.toDF("dow", "n_events", "n_purchases", "rate_ppm",
+        "wilson_lo_ppm", "wilson_hi_ppm", "wald_lo_ppm", "wald_hi_ppm")
+      .orderBy("dow")
+  }
+
   /** q308 — CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker, WSDM
     * 2013: "Improving the Sensitivity of Online Controlled Experiments
     * by Utilizing Pre-Experiment Data"): the adjustment every large
@@ -2125,6 +2182,93 @@ object Stats extends QueryModule {
         "positivity", "small", "varm_treat_micro2",
         "varm_control_micro2", "est_micro", "se_micro", "ci_lo_micro",
         "ci_hi_micro", "n_small")
+      .orderBy("row_kind", "stratum")
+  }
+
+  /** q366 — COCHRAN–MANTEL–HAENSZEL STRATIFIED 2×2 TEST (Cochran
+    * 1954; Mantel & Haenszel 1959): the TEST that completes the
+    * stratified-causal triple — q350 estimates the stratum-adjusted
+    * effect, q359 puts a CI on it, and THIS asks "is there any
+    * treatment–outcome association at all after controlling for the
+    * confounder", the categorical question a platform asks before
+    * quoting either. Over the IDENTICAL [[exposureFrame]] (no-drift:
+    * same strata, same treatment cut), outcome = converted, defined
+    * as post-period purchases y ABOVE the pooled nearest-rank median
+    * (the q335/q350 value-bounded-histogram discipline — a fixed
+    * threshold like y > 0 is degenerate on a corpus where every user
+    * purchases, which this one is); per stratum the 2×2 cell a_s =
+    * treated converters, with
+    *   E_s = n₁ₛ·m₁ₛ/nₛ,   V_s = n₁ₛ·n₀ₛ·m₁ₛ·m₀ₛ/(nₛ²(nₛ−1)),
+    * and CMH = (Σ(a_s − E_s))² / ΣV_s ~ χ²(1), no continuity
+    * correction (documented choice; Mantel–Haenszel's −½ variant is
+    * the alternative). Exact fixed point: E in micro (one truncation
+    * per stratum), V in micro via the STAGED form
+    *   ((n₁·n₀·10³ div nₛ)·(m₁·m₀·10³ div nₛ)) div (nₛ−1)
+    * — two truncations instead of one, in exchange for every
+    * intermediate ≤ nₛ²·10³/4 (inside HUGEINT past 10⁹ users per
+    * stratum where the single-division form dies at ~10⁸) — the
+    * identical staging in both engines, so truncation order cannot
+    * drift. CMH_micro = A·A div ΣV with A = Σ(a·10⁶ − E_micro); the
+    * verdict compares [[chiCritMicro]] (the q169 convention — χ² =
+    * z², so nothing is lost skipping the signed z). Sentinels:
+    * single-arm strata contribute nothing (V = 0 there, the CMH
+    * convention handles them natively — no positivity drop needed,
+    * stated because it DIFFERS from q350's exclusion rule); ΣV = 0
+    * (every stratum single-arm or nₛ < 2) reports −1, never a
+    * division.
+    *
+    * Scale: the shared memoized exposure leaf → the same
+    * ≤ 2·([[propStratCap]]+1)-row stratum-bounded cell sync; all test
+    * algebra is driver-side BigInt.
+    */
+  val cmhTest: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ef = exposureFrame(s, d)
+    val yh = ef.groupBy("y").agg(count(lit(1)).as("cnt"))
+    val wC = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    val wA = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val yMed = yh.withColumn("cum", sum("cnt").over(wC))
+      .withColumn("nn", sum("cnt").over(wA))
+      .filter(col("cum") * 2L >= col("nn"))
+      .agg(min("y").as("ymed")) // value-bounded histogram, 1 row
+    val cells = ef.crossJoin(broadcast(yMed))
+      .select(col("stratum"), col("t"),
+        when(col("y") > col("ymed"), 1L).otherwise(0L).as("cv"))
+      .groupBy("stratum", "t")
+      .agg(count(lit(1)).as("n"), sum("cv").as("m"))
+      .collect() // stratum-bounded: ≤ 2·(propStratCap+1) rows
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val strata = cells.keys.map(_._1).toSeq.distinct.sorted
+    def cell(st: Long, t: Long) = cells.getOrElse((st, t), (0L, 0L))
+    case class St(st: Long, ns: Long, n1: Long, n0: Long, a: Long,
+      eMicro: Long, vMicro: Long)
+    val rows = strata.map { st =>
+      val (n1, a) = cell(st, 1L)
+      val (n0, m0c) = cell(st, 0L)
+      val ns = n1 + n0
+      val m1 = a + m0c
+      val m0 = ns - m1
+      val e = if (ns <= 0) 0L
+        else (BigInt(n1) * m1 * 1000000L / ns).toLong
+      val v = if (ns < 2) 0L
+        else ((BigInt(n1) * n0 * 1000L / ns) *
+          (BigInt(m1) * m0 * 1000L / ns) / (ns - 1)).toLong
+      St(st, ns, n1, n0, a, e, v)
+    }
+    val aSum = rows.map(r => BigInt(r.a) * 1000000L - r.eMicro).sum
+    val vSum = rows.map(r => BigInt(r.vMicro)).sum
+    val cmh = if (vSum <= 0) -1L else (aSum * aSum / vSum).toLong
+    val out = rows.map(r => ("stratum", r.st, r.ns, r.n1, r.n0, r.a,
+        r.eMicro, r.vMicro, -1L, false)) :+
+      (("total", -1L, rows.map(_.ns).sum, rows.map(_.n1).sum,
+        rows.map(_.n0).sum, rows.map(_.a).sum, aSum.toLong,
+        vSum.toLong, cmh, cmh > chiCritMicro))
+    out.toDF("row_kind", "stratum", "n_s", "n_treat", "n_control",
+        "a_conv_treat", "e_micro", "v_micro", "cmh_micro",
+        "significant")
       .orderBy("row_kind", "stratum")
   }
 
@@ -5123,12 +5267,14 @@ object Stats extends QueryModule {
     "q353_ucb_replay" -> ucbReplay,
     "q354_aipw_doubly_robust" -> aipwEstimator,
     "q359_neyman_ci" -> neymanCi,
+    "q366_cmh_test" -> cmhTest,
     "q301_rfm_segments" -> rfmSegments,
     "q277_theil_sen" -> theilSen,
     "q267_kaplan_meier" -> kaplanMeier,
     "q361_km_greenwood" -> kmGreenwood,
     "q362_nelson_aalen" -> nelsonAalen,
     "q364_mde_advisor" -> mdeAdvisor,
+    "q365_wilson_intervals" -> wilsonIntervals,
     "q195_cusum_changepoint" -> cusumChangepoint,
     "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
@@ -7174,6 +7320,81 @@ object Stats extends QueryModule {
          |  nsml
          |FROM g5
          |ORDER BY row_kind, stratum""".stripMargin,
+    // q350's chain with the converted flag, the 2×2 cell algebra, the
+    // identical STAGED V form (two truncations, same order), signed
+    // HUGEINT A sum (DuckDB // truncates toward zero, matching tdiv)
+    "q366_cmh_test" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         |sp AS (SELECT d0 + CAST((date_diff('day', d0, d1) + 1) // 2
+         |    AS INT) AS split FROM b),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CASE WHEN day < (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= (SELECT split FROM sp)
+         |      THEN p ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(c) AS BIGINT) AS cl
+         |  FROM ev GROUP BY user_id),
+         |h AS (SELECT cl, count(*) AS t FROM per GROUP BY cl),
+         |hc AS (SELECT cl, sum(t) OVER (ORDER BY cl) AS cum,
+         |    sum(t) OVER () AS nn FROM h),
+         |med AS (SELECT min(cl) AS med FROM hc WHERE cum * 2 >= nn),
+         |yh AS (SELECT y, count(*) AS t FROM per GROUP BY y),
+         |yhc AS (SELECT y, sum(t) OVER (ORDER BY y) AS cum,
+         |    sum(t) OVER () AS nn FROM yh),
+         |ymed AS (SELECT min(y) AS ymed FROM yhc WHERE cum * 2 >= nn),
+         |cells AS (SELECT
+         |    CAST(least(x // $propStratWidth, $propStratCap) AS BIGINT)
+         |      AS stratum,
+         |    CASE WHEN cl > (SELECT med FROM med) THEN 1 ELSE 0 END AS t,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y > (SELECT ymed FROM ymed)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM per GROUP BY 1, 2),
+         |st AS (SELECT stratum,
+         |    CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS HUGEINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN t = 0 THEN n ELSE 0 END) AS HUGEINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN t = 1 THEN m ELSE 0 END) AS HUGEINT)
+         |      AS a,
+         |    CAST(sum(CASE WHEN t = 0 THEN m ELSE 0 END) AS HUGEINT)
+         |      AS m0c
+         |  FROM cells GROUP BY stratum),
+         |s2 AS (SELECT *, n1 + n0 AS ns, a + m0c AS m1,
+         |    n1 + n0 - a - m0c AS m0 FROM st),
+         |s3 AS (SELECT *,
+         |    CASE WHEN ns <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE (n1 * m1 * 1000000) // ns END AS e,
+         |    CASE WHEN ns < 2 THEN CAST(0 AS HUGEINT)
+         |      ELSE (((n1 * n0 * 1000) // ns)
+         |        * ((m1 * m0 * 1000) // ns)) // (ns - 1) END AS v
+         |  FROM s2),
+         |g AS (SELECT sum(a * 1000000 - e) AS asum,
+         |    sum(v) AS vsum,
+         |    CAST(sum(ns) AS BIGINT) AS tn,
+         |    CAST(sum(n1) AS BIGINT) AS tn1,
+         |    CAST(sum(n0) AS BIGINT) AS tn0,
+         |    CAST(sum(a) AS BIGINT) AS ta
+         |  FROM s3),
+         |g1 AS (SELECT *, CASE WHEN vsum <= 0 THEN CAST(-1 AS HUGEINT)
+         |    ELSE (asum * asum) // vsum END AS cmh FROM g)
+         |SELECT 'stratum' AS row_kind, stratum,
+         |  CAST(ns AS BIGINT) AS n_s, CAST(n1 AS BIGINT) AS n_treat,
+         |  CAST(n0 AS BIGINT) AS n_control,
+         |  CAST(a AS BIGINT) AS a_conv_treat,
+         |  CAST(e AS BIGINT) AS e_micro, CAST(v AS BIGINT) AS v_micro,
+         |  CAST(-1 AS BIGINT) AS cmh_micro, false AS significant
+         |FROM s3
+         |UNION ALL
+         |SELECT 'total', -1, tn, tn1, tn0, ta,
+         |  CAST(asum AS BIGINT), CAST(vsum AS BIGINT),
+         |  CAST(cmh AS BIGINT), cmh > $chiCritMicro
+         |FROM g1
+         |ORDER BY row_kind, stratum""".stripMargin,
     // the q350 frame extended with the x moments, the per-arm 2-var
     // Cramer in the identical truncation order, and the three AIPW
     // terms reduced to cell algebra — division guards explicit (the
@@ -8193,6 +8414,52 @@ object Stats extends QueryModule {
          |  CAST(g7.pp AS BIGINT), CAST(tr2.dm AS BIGINT)
          |FROM tr2, g7
          |ORDER BY 1, 2""".stripMargin
+    },
+    // the dow-parity convention (dayofweek()+1), the identical z² micro
+    // literal, the same integer Wilson form with the corrected double
+    // floor-sqrt staged per radicand, Wald emitted unclamped
+    "q365_wilson_intervals" -> {
+      val z2 = BigInt(z975Micro) * z975Micro
+      s"""WITH ev AS (SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         |  FROM events),
+         |cells AS (SELECT CAST(dow AS BIGINT) AS dow,
+         |    CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(p) AS HUGEINT) AS k
+         |  FROM ev GROUP BY 1),
+         |w1 AS (SELECT *, (k * 1000000) // n AS rate,
+         |    n * (n * $z2 + 4 * k * (n - k) * 1000000000000) AS rad,
+         |    2 * (n * 1000000000000 + $z2) AS den,
+         |    2 * k * 1000000000000 + $z2 AS base,
+         |    (k * (n - k) * 1000000000000) // n AS radw
+         |  FROM cells),
+         |w2 AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS HUGEINT) AS a0,
+         |    CAST(floor(sqrt(CAST(radw AS DOUBLE))) AS HUGEINT) AS b0
+         |  FROM w1),
+         |w3 AS (SELECT *,
+         |    a0 + (CASE WHEN (a0 + 1) * (a0 + 1) <= rad THEN 1 ELSE 0
+         |      END) AS a1,
+         |    b0 + (CASE WHEN (b0 + 1) * (b0 + 1) <= radw THEN 1 ELSE 0
+         |      END) AS b1
+         |  FROM w2),
+         |w4 AS (SELECT *,
+         |    a1 - (CASE WHEN a1 * a1 > rad THEN 1 ELSE 0 END) AS isq,
+         |    b1 - (CASE WHEN b1 * b1 > radw THEN 1 ELSE 0 END) AS isw
+         |  FROM w3),
+         |w5 AS (SELECT *, ($z975Micro * isq) // n AS t,
+         |    ($z975Micro * isw) // (n * 1000000) AS wh
+         |  FROM w4)
+         |SELECT dow, CAST(n AS BIGINT) AS n_events,
+         |  CAST(k AS BIGINT) AS n_purchases,
+         |  CAST(rate AS BIGINT) AS rate_ppm,
+         |  CAST(((base - t) * 1000000) // den AS BIGINT)
+         |    AS wilson_lo_ppm,
+         |  CAST(((base + t) * 1000000) // den AS BIGINT)
+         |    AS wilson_hi_ppm,
+         |  CAST(rate - wh AS BIGINT) AS wald_lo_ppm,
+         |  CAST(rate + wh AS BIGINT) AS wald_hi_ppm
+         |FROM w5 ORDER BY dow""".stripMargin
     },
     "q194_salt_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n

@@ -3793,6 +3793,70 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q365 Wilson intervals: a planted small-segment corpus matches the BigInt replica exactly, Wald escapes [0,1] where Wilson stays inside, and the k=0 lower bound lands on exactly 0") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // epoch day 0 = Thursday → Spark dayofweek 5; day 1 = Friday (6);
+    // day 2 = Saturday (7). Three planted segments:
+    //   Thu: n=4, k=1  (the Wald-escape case)
+    //   Fri: n=2, k=0  (the exact-zero lower bound)
+    //   Sat: n=3, k=3  (the p=1 edge: Wald collapses to width 0)
+    var eid = 0L
+    def ev(day: Long, purch: Boolean) = {
+      eid += 1
+      (eid, day * dayNs, eid, if (purch) "purchase" else "view", 1.0,
+        "{}")
+    }
+    val rows = Seq(ev(0, true), ev(0, false), ev(0, false),
+      ev(0, false), ev(1, false), ev(1, false), ev(2, true),
+      ev(2, true), ev(2, true))
+    val dir = java.nio.file.Files.createTempDirectory("graftwil")
+      .toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q365_wilson_intervals")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    def bisqrt(x: BigInt): BigInt = {
+      var lo = BigInt(0); var hi = x + 1
+      while (lo < hi - 1) {
+        val mid = (lo + hi) / 2
+        if (mid * mid <= x) lo = mid else hi = mid
+      }
+      lo
+    }
+    def replica(n: Long, k: Long) = {
+      val zm = BigInt(1959964L); val z2 = zm * zm
+      val e12 = BigInt("1000000000000")
+      val rate = BigInt(k) * 1000000L / n
+      val t = zm * bisqrt(BigInt(n) * (BigInt(n) * z2 +
+        4 * BigInt(k) * (n - k) * e12)) / n
+      val den = 2 * (BigInt(n) * e12 + z2)
+      val base = 2 * BigInt(k) * e12 + z2
+      val wh = zm * bisqrt(BigInt(k) * (n - k) * e12 / n) /
+        (BigInt(n) * 1000000L)
+      (n, k, rate.toLong, ((base - t) * 1000000L / den).toLong,
+        ((base + t) * 1000000L / den).toLong, (rate - wh).toLong,
+        (rate + wh).toLong)
+    }
+    assert(got(5L) === replica(4L, 1L), got.toString)
+    assert(got(6L) === replica(2L, 0L), got.toString)
+    assert(got(7L) === replica(3L, 3L), got.toString)
+    // the laws the operator exists for:
+    assert(got(5L)._6 < 0L, "Wald must escape below 0 at (n=4, k=1)")
+    assert(got(5L)._4 > 0L, "Wilson must stay inside")
+    assert(got(5L)._4 < got(5L)._3 && got(5L)._3 < got(5L)._5)
+    // k = 0: isqrt(n²z²) = n·z exactly → Wilson lo exactly 0, while
+    // Wald collapses to the useless [0, 0]
+    assert(got(6L)._4 === 0L && got(6L)._6 === 0L && got(6L)._7 === 0L)
+    assert(got(6L)._5 > 0L, "Wilson upper stays informative at k=0")
+    // k = n: Wald width 0 at rate 1e6; Wilson lower pulls inside
+    assert(got(7L)._6 === 1000000L && got(7L)._7 === 1000000L)
+    assert(got(7L)._4 < 1000000L && got(7L)._5 === 1000000L)
+  }
+
   test("q362 Nelson-Aalen: the planted censoring pattern matches an independent replica exactly, and the fully-consumed final risk set stays well-defined where q361's Greenwood poisons") {
     import spark.implicits._
     def fixture(rows: Seq[(Long, String, String)], tag: String): String = {
@@ -3850,6 +3914,80 @@ class AnalyticsSpec extends SparkSpec {
       Seq((60L, 3L, 1L), (364L, 1L, 1L))).toList, gotB.toList.toString)
     assert(gotB(1)._4 === 1000000000000L) // the final full increment
     assert(gotB(1)._6 > 0L) // se defined where Greenwood reads -1
+  }
+
+  test("q366 CMH test: a planted within-stratum effect fires the stratified chi-square against the BigInt replica exactly, while a pure-confounding design (naive gap, zero within-stratum effect) reads exactly 0") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    def fixture(users: Seq[(Long, Long, Boolean)], tag: String): String = {
+      var eid = 0L; var uid = 0L
+      val rows = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, String, Double, String)]
+      users.foreach { case (x, y, treated) =>
+        uid += 1
+        eid += 1; rows += ((eid, 0L, uid, "view", 1.0, "{}"))
+        eid += 1; rows += ((eid, 29L * dayNs, uid, "view", 1.0, "{}"))
+        (1L to (if (treated) 10L else 1L)).foreach { _ =>
+          eid += 1; rows += ((eid, 2L * dayNs, uid, "click", 1.0, "{}"))
+        }
+        (1L to x).foreach { _ =>
+          eid += 1; rows += ((eid, 1L * dayNs, uid, "purchase", 1.0, "{}"))
+        }
+        (1L to y).foreach { _ =>
+          eid += 1; rows += ((eid, 20L * dayNs, uid, "purchase", 1.0, "{}"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props").write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      dir
+    }
+    def plant(n: Int, x: Long, y: Long, treated: Boolean) =
+      Seq.fill(n)((x, y, treated))
+    // design A — a REAL within-stratum effect: in both strata every
+    // treated user clears the pooled y-median (9 > 1) and no control
+    // does; per stratum a = 10, E = 5e6, V = (5000·5000) div 19
+    val a = plant(10, 0L, 1L, treated = false) ++
+      plant(10, 0L, 9L, treated = true) ++
+      plant(10, 3L, 1L, treated = false) ++
+      plant(10, 3L, 9L, treated = true)
+    val gotA = SparkEntry.queries("q366_cmh_test")(spark,
+      fixture(a, "graftcmh1")).collect()
+    val byS = gotA.filter(_.getString(0) == "stratum")
+      .map(r => r.getLong(1) -> r).toMap
+    Seq(0L, 1L).foreach { st =>
+      assert(byS(st).getAs[Long]("a_conv_treat") === 10L)
+      assert(byS(st).getAs[Long]("e_micro") === 5000000L)
+      assert(byS(st).getAs[Long]("v_micro") === 25000000L / 19L)
+    }
+    val totA = gotA.filter(_.getString(0) == "total").head
+    val vSum = 2L * (25000000L / 19L)
+    val cmhWant = (BigInt(10000000L) * 10000000L / vSum).toLong
+    assert(totA.getAs[Long]("e_micro") === 10000000L) // A = Σ(a−E)
+    assert(totA.getAs[Long]("v_micro") === vSum)
+    assert(totA.getAs[Long]("cmh_micro") === cmhWant, totA.toString)
+    assert(cmhWant > 3841459L && totA.getAs[Boolean]("significant"))
+    // design B — PURE confounding: conversion base 25% in stratum 0 /
+    // 75% in stratum 1, treated concentrated in the high-base stratum
+    // (naive read: 62.5% vs 37.5%), but within every stratum treated
+    // and control convert at the identical rate → a = E exactly in
+    // both strata, CMH exactly 0
+    val b = plant(9, 0L, 1L, treated = false) ++
+      plant(3, 0L, 9L, treated = false) ++
+      plant(3, 0L, 1L, treated = true) ++
+      plant(1, 0L, 9L, treated = true) ++
+      plant(1, 3L, 1L, treated = false) ++
+      plant(3, 3L, 9L, treated = false) ++
+      plant(3, 3L, 1L, treated = true) ++
+      plant(9, 3L, 9L, treated = true)
+    val gotB = SparkEntry.queries("q366_cmh_test")(spark,
+      fixture(b, "graftcmh2")).collect()
+    val totB = gotB.filter(_.getString(0) == "total").head
+    assert(totB.getAs[Long]("e_micro") === 0L, totB.toString)
+    assert(totB.getAs[Long]("v_micro") > 0L, totB.toString)
+    assert(totB.getAs[Long]("cmh_micro") === 0L, totB.toString)
+    assert(!totB.getAs[Boolean]("significant"))
   }
 
   test("q330 log-rank: planted separated and identical survival fixtures reproduce the hand-computed hypergeometric terms exactly") {

@@ -772,6 +772,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q366 CMH test: the shared exposure frame cut by a value-bounded y-median histogram to the stratum-bounded 2x2 sync — local relation, no events scan, no join") {
+    val p = plan("q366_cmh_test")
+    assert(!p.contains("events"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q365 Wilson intervals: one map-side-combinable rollup to the dow-bounded sync, interval algebra driver-side — local relation, no scan, no join") {
+    val p = plan("q365_wilson_intervals")
+    // the output column n_events would false-positive a bare
+    // "events" check — pin the absence of any file scan instead
+    assert(!p.contains("parquet"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q362 Nelson-Aalen: fully distributed — calendar-bounded window cumsums over the shared survival leaf with a codegen'd corrected floor-sqrt, no cartesian beyond the 1-row total cross") {
     val p = plan("q362_nelson_aalen")
     assert(!p.contains("CartesianProduct"), p)
