@@ -972,6 +972,73 @@ object Stats extends QueryModule {
       .orderBy("dow")
   }
 
+  /** q367 — EMPIRICAL-BAYES (BETA-BINOMIAL) SHRINKAGE for per-segment
+    * rate leaderboards (Efron & Morris 1975 for the estimator family;
+    * Robinson 2017 "Introduction to Empirical Bayes" for exactly this
+    * recipe on rate tables): the fix for the oldest leaderboard bug —
+    * a 2-item supplier at rate 0% or 100% outranks every
+    * high-volume supplier on any raw-rate sort. Fit a Beta(α, β)
+    * prior to the per-supplier return-rate table by method of
+    * moments, then rank on the posterior mean (k+α)/(n+α+β), which
+    * shrinks small-n segments toward the prior mean in proportion to
+    * their evidence. Exact fixed point (each step ONE truncation,
+    * mirrored): per-supplier r = k·10⁶ div n; prior mean m = Σr div S
+    * (S = segment count); population variance v = (S·Σr² − (Σr)²)
+    * div S² in ppm²; prior strength T = m·(10⁶−m) div v − 1
+    * (the MoM identity α+β = m(1−m)/var − 1); α, β in MILLI-COUNTS
+    * (pseudo-observations ×10³): α = m·T div 10³,
+    * β = (10⁶−m)·T div 10³; posterior_ppm = (k·10³ + α)·10⁶ div
+    * (n·10³ + α + β). Sentinels: v ≤ 0 (all segments identical) or
+    * T ≤ 0 (observed variance ≥ binomial ceiling — no information to
+    * shrink with) report α = β = −1 and posterior = raw rate,
+    * loudly-not-silently unshrunk. Headroom: S·Σr² ≤ S²·10¹² —
+    * inside HUGEINT past 10¹³ segments; the engine's BigInt is exact
+    * at any scale.
+    *
+    * Scale: one map-side-combinable per-supplier rollup (the only
+    * corpus-sized pass), ONE global moment rollup to a 1-row sync,
+    * and the posterior as a broadcast-literal projection back over
+    * the supplier frame — output stays fully distributed, no
+    * supplier-count-sized driver state.
+    */
+  val ebShrinkage: Q = (s, d) => {
+    import s.implicits._
+    val seg = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("k"))
+      .withColumn("rate_ppm", expr("(k * 1000000) div n"))
+    val mom = seg.agg(count(lit(1)).as("s"), sum("rate_ppm").as("sr"),
+        sum(expr("rate_ppm * rate_ppm")).as("srr"))
+      .head() // 1-row sync (the q298 metadata rule)
+    val (sCnt, sr, srr) = (mom.getLong(0), mom.getLong(1),
+      mom.getLong(2))
+    val (alpha, beta) =
+      if (sCnt <= 0) (-1L, -1L)
+      else {
+        val m = BigInt(sr) / sCnt
+        val v = (BigInt(sCnt) * srr - BigInt(sr) * sr) /
+          (BigInt(sCnt) * sCnt)
+        if (v <= 0) (-1L, -1L)
+        else {
+          val t = m * (1000000L - m.toLong) / v - 1
+          if (t <= 0) (-1L, -1L)
+          else ((m * t / 1000L).toLong,
+            ((BigInt(1000000L) - m) * t / 1000L).toLong)
+        }
+      }
+    val post =
+      if (alpha < 0) col("rate_ppm")
+      else expr(s"((k * 1000 + $alpha) * 1000000)" +
+        s" div (n * 1000 + $alpha + $beta)")
+    seg.select(col("suppkey"), col("n"), col("k"), col("rate_ppm"),
+        lit(alpha).as("alpha_milli"), lit(beta).as("beta_milli"),
+        post.as("post_ppm"))
+      .withColumn("shrink_ppm", col("post_ppm") - col("rate_ppm"))
+      .orderBy("suppkey")
+  }
+
   /** q308 — CUPED VARIANCE REDUCTION (Deng, Xu, Kohavi & Walker, WSDM
     * 2013: "Improving the Sensitivity of Online Controlled Experiments
     * by Utilizing Pre-Experiment Data"): the adjustment every large
@@ -5275,6 +5342,7 @@ object Stats extends QueryModule {
     "q362_nelson_aalen" -> nelsonAalen,
     "q364_mde_advisor" -> mdeAdvisor,
     "q365_wilson_intervals" -> wilsonIntervals,
+    "q367_eb_shrinkage" -> ebShrinkage,
     "q195_cusum_changepoint" -> cusumChangepoint,
     "q194_salt_advisor" -> saltAdvisor,
     "q191_bitmap_rollup" -> bitmapRollup,
@@ -8461,6 +8529,49 @@ object Stats extends QueryModule {
          |  CAST(rate + wh AS BIGINT) AS wald_hi_ppm
          |FROM w5 ORDER BY dow""".stripMargin
     },
+    // the identical moment chain (each step one toward-zero division
+    // in the same order), sentinels folded through a single prior CTE,
+    // posterior as the same milli-count rational
+    "q367_eb_shrinkage" ->
+      s"""WITH seg AS MATERIALIZED (SELECT l_suppkey AS suppkey,
+         |    CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS k
+         |  FROM lineitem GROUP BY 1),
+         |sr AS (SELECT *, (k * 1000000) // n AS rate FROM seg),
+         |mom AS (SELECT CAST(count(*) AS HUGEINT) AS s,
+         |    CAST(sum(rate) AS HUGEINT) AS sumr,
+         |    CAST(sum(rate * rate) AS HUGEINT) AS sumrr FROM sr),
+         |m1 AS (SELECT *,
+         |    CASE WHEN s <= 0 THEN CAST(-1 AS HUGEINT)
+         |      ELSE sumr // s END AS m,
+         |    CASE WHEN s <= 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE (s * sumrr - sumr * sumr) // (s * s) END AS v
+         |  FROM mom),
+         |m2 AS (SELECT *, CASE WHEN s <= 0 OR v <= 0
+         |    THEN CAST(0 AS HUGEINT)
+         |    ELSE (m * (1000000 - m)) // v - 1 END AS t FROM m1),
+         |pri AS (SELECT CASE WHEN s <= 0 OR v <= 0 OR t <= 0
+         |      THEN CAST(-1 AS HUGEINT) ELSE (m * t) // 1000 END
+         |      AS alpha,
+         |    CASE WHEN s <= 0 OR v <= 0 OR t <= 0
+         |      THEN CAST(-1 AS HUGEINT)
+         |      ELSE ((1000000 - m) * t) // 1000 END AS beta
+         |  FROM m2)
+         |SELECT sr.suppkey, CAST(sr.n AS BIGINT) AS n,
+         |  CAST(sr.k AS BIGINT) AS k, CAST(sr.rate AS BIGINT)
+         |    AS rate_ppm,
+         |  CAST(pri.alpha AS BIGINT) AS alpha_milli,
+         |  CAST(pri.beta AS BIGINT) AS beta_milli,
+         |  CAST(CASE WHEN pri.alpha < 0 THEN sr.rate
+         |    ELSE ((sr.k * 1000 + pri.alpha) * 1000000)
+         |      // (sr.n * 1000 + pri.alpha + pri.beta) END AS BIGINT)
+         |    AS post_ppm,
+         |  CAST((CASE WHEN pri.alpha < 0 THEN sr.rate
+         |    ELSE ((sr.k * 1000 + pri.alpha) * 1000000)
+         |      // (sr.n * 1000 + pri.alpha + pri.beta) END) - sr.rate
+         |    AS BIGINT) AS shrink_ppm
+         |FROM sr, pri ORDER BY sr.suppkey""".stripMargin,
     "q194_salt_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
         |  FROM lineitem GROUP BY 1),

@@ -3916,6 +3916,65 @@ class AnalyticsSpec extends SparkSpec {
     assert(gotB(1)._6 > 0L) // se defined where Greenwood reads -1
   }
 
+  test("q367 EB shrinkage: a planted leaderboard matches the moment-chain replica exactly, small extreme segments shrink hardest, and a zero-variance table reports the unshrunk sentinel") {
+    import spark.implicits._
+    def fixture(segs: Seq[(Long, Int, Int)], tag: String): String = {
+      val rows = segs.flatMap { case (sk, n, k) =>
+        (1 to k).map(_ => (sk, "R")) ++ (1 to n - k).map(_ => (sk, "N"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      rows.toDF("l_suppkey", "l_returnflag")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    // two high-volume segments (10%, 30%) and two 4-item extremes
+    // (75%, 25%): m = 350000 ppm, T = 2 pseudo-observations·10³
+    val segs = Seq((1L, 1000, 100), (2L, 1000, 300), (3L, 4, 3),
+      (4L, 4, 1))
+    val got = SparkEntry.queries("q367_eb_shrinkage")(spark,
+      fixture(segs, "grafteb1")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // independent replica of the documented moment chain
+    val rates = segs.map { case (_, n, k) =>
+      BigInt(k) * 1000000L / n
+    }
+    val sCnt = rates.size
+    val m = rates.sum / sCnt
+    val v = (BigInt(sCnt) * rates.map(r => r * r).sum -
+      rates.sum * rates.sum) / (BigInt(sCnt) * sCnt)
+    val t = m * (1000000L - m.toLong) / v - 1
+    val alpha = m * t / 1000L
+    val beta = (BigInt(1000000L) - m) * t / 1000L
+    assert(m.toLong === 350000L && t.toLong === 2L)
+    segs.foreach { case (sk, n, k) =>
+      val rate = BigInt(k) * 1000000L / n
+      val post = (BigInt(k) * 1000L + alpha) * 1000000L /
+        (BigInt(n) * 1000L + alpha + beta)
+      assert(got(sk) === ((n.toLong, k.toLong, rate.toLong,
+        alpha.toLong, beta.toLong, post.toLong,
+        (post - rate).toLong)), s"supplier $sk: ${got(sk)}")
+    }
+    // the law the operator exists for: the 4-item extremes move by
+    // hundreds of thousands of ppm toward the prior mean while the
+    // 1000-item segments barely move
+    assert(math.abs(got(3L)._7) > 100000L && got(3L)._7 < 0L)
+    assert(math.abs(got(4L)._7) > 20000L && got(4L)._7 > 0L)
+    assert(math.abs(got(1L)._7) < 1000L && math.abs(got(2L)._7) < 1000L)
+    // zero-variance table: every segment at the same rate — nothing
+    // to fit, the loud unshrunk sentinel
+    val flat = SparkEntry.queries("q367_eb_shrinkage")(spark,
+      fixture(Seq((1L, 10, 5), (2L, 20, 10), (3L, 4, 2)), "grafteb2"))
+      .collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(3),
+        r.getLong(6), r.getLong(7)))
+    flat.foreach { case (al, be, rate, post, sh) =>
+      assert(al === -1L && be === -1L && post === rate && sh === 0L,
+        flat.toList.toString)
+    }
+  }
+
   test("q366 CMH test: a planted within-stratum effect fires the stratified chi-square against the BigInt replica exactly, while a pure-confounding design (naive gap, zero within-stratum effect) reads exactly 0") {
     import spark.implicits._
     val dayNs = 86400L * 1000000000L

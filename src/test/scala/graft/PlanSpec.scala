@@ -772,6 +772,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q367 EB shrinkage: one per-supplier rollup, one 1-row moment sync, posterior as a broadcast-literal projection — output distributed, no join, no cartesian") {
+    val p = plan("q367_eb_shrinkage")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q366 CMH test: the shared exposure frame cut by a value-bounded y-median histogram to the stratum-bounded 2x2 sync — local relation, no events scan, no join") {
     val p = plan("q366_cmh_test")
     assert(!p.contains("events"), p)
