@@ -164,6 +164,11 @@ object Pipelines extends QueryModule {
           .setOutputCol("features_raw"),
         new MinMaxScaler().setInputCol("features_raw").setOutputCol("features"),
         new GBTRegressor().setMaxIter(100).setMaxDepth(5).setStepSize(0.05)
+          // more tree nodes per stats-aggregation pass — fewer sequential
+          // jobs per boosting round; the split search itself is unchanged,
+          // so the model is identical (q41's maxMemoryInMB argument,
+          // verified: the sf0.01 RMSE is bit-identical before/after)
+          .setMaxMemoryInMB(1024)
           .setSeed(42).setLabelCol("label").setFeaturesCol("features")))
       val pred = pipe.fit(train).transform(test)
       val rmse = new RegressionEvaluator().setMetricName("rmse").evaluate(pred)

@@ -465,15 +465,22 @@ object Dedup extends QueryModule {
     // word-sized and every round plans at the same flat cost; the label
     // RDD blocks are reclaimed by the ContextCleaner when the previous
     // round's reference drops, exactly as before.
-    def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // The convergence certificate (Σ label) rides the SAME job that
+    // materializes the round (a long accumulator filled by the eager
+    // foreach — Spark applies action-side accumulator updates exactly
+    // once per task), so each round costs ONE driver sync, not
+    // materialize + a separate aggregate job. Label is column 1 of the
+    // (doc_id, label) schema.
+    def materialize(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Long) = {
       val rdd = df.rdd
       rdd.localCheckpoint()
-      rdd.count() // eager: materialize AND truncate lineage now
-      s.createDataFrame(rdd, df.schema)
+      val acc = s.sparkContext.longAccumulator
+      rdd.foreach(r => acc.add(r.getLong(1))) // eager: materialize + sum
+      (s.createDataFrame(rdd, df.schema), acc.value)
     }
-    var labels = materialize(
+    var (labels, prevSum) = materialize(
       nodes.select(col("doc_id"), col("doc_id").as("label")))
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
     val traj = Seq.newBuilder[Long]
     traj += prevSum
     var converged = false
@@ -500,8 +507,7 @@ object Dedup extends QueryModule {
       // round: each driver-synced round costs ~seconds of fixed stage
       // overhead regardless of data volume, so compressing harder per
       // round (4× path doubling) is nearly free and halves the rounds.
-      val next = materialize(jump(jump(stepped)))
-      val sumNow = next.agg(sum("label")).head().getLong(0)
+      val (next, sumNow) = materialize(jump(jump(stepped)))
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow

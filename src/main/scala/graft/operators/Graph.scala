@@ -37,10 +37,10 @@ object Graph extends QueryModule {
     * TakeOrderedAndProject, so output stays O(k) no matter the graph size.
     */
   val pageRank: Q = (s, d) => {
-    val raw = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("src"),
-        (col("l_partkey") + lit(partOffset)).as("dst"))
-      .distinct()
+    // distinct FK pairs off the shared staged leaf (one DISTINCT per
+    // session, not per query); both references below are leaf scans
+    val raw = s.read.parquet(purchasePairsDir(s, d))
+      .select(col("o").as("src"), (col("p") + lit(partOffset)).as("dst"))
     val withDeg = raw.join(
       raw.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
     val tmp = graft.Scratch.dir("graft_pr_edges") // reaped at JVM exit
@@ -85,10 +85,8 @@ object Graph extends QueryModule {
     */
   val pprSeedNation = 3
   val personalizedPageRank: Q = (s, d) => {
-    val raw = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("src"),
-        (col("l_partkey") + lit(partOffset)).as("dst"))
-      .distinct()
+    val raw = s.read.parquet(purchasePairsDir(s, d))
+      .select(col("o").as("src"), (col("p") + lit(partOffset)).as("dst"))
     val bi = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
     val withDeg = bi.join(
       bi.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
@@ -145,12 +143,9 @@ object Graph extends QueryModule {
     * TakeOrderedAndProject, O(k) output.
     */
   val hits: Q = (s, d) => {
-    val raw = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val tmp = graft.Scratch.dir("graft_hits_edges")
-    raw.write.mode("overwrite").parquet(tmp)
-    val edges = s.read.parquet(tmp)
+    // the shared purchase-pair leaf IS the HITS edge list — read it
+    // directly instead of re-running the distinct and re-staging a copy
+    val edges = s.read.parquet(purchasePairsDir(s, d))
     var hub = edges.select(col("o")).distinct()
       .select(col("o"), lit(initRank).as("h"))
     var auth: org.apache.spark.sql.DataFrame = null
@@ -165,11 +160,24 @@ object Graph extends QueryModule {
       s"""CASE WHEN assert_true($xmax >= $initRank,
          |  'q262 HITS renorm invariant broke: max half-round score < initRank')
          |  IS NULL THEN $x div ($xmax div $initRank) END""".stripMargin)
-    for (_ <- 1 to iters) {
-      val ar = edges.join(hub, "o").groupBy("p").agg(sum("h").as("ar"))
+    // Each half-round references its Σ-aggregate TWICE (renorm numerator
+    // + the 1-row max) and the next half-round builds on top, so the
+    // unstaged recursion grew 4× per round — a 780k-char physical plan by
+    // round 3 re-executing early rounds dozens of times. Stage each
+    // half-round's node-scale aggregate (the q106 loop lineage
+    // discipline): both references become leaf scans, the plan is linear
+    // in rounds, and the arithmetic is unchanged.
+    for (i <- 1 to iters) {
+      val arDir = graft.Scratch.dir(s"graft_hits_a$i")
+      edges.join(hub, "o").groupBy("p").agg(sum("h").as("ar"))
+        .write.mode("overwrite").parquet(arDir)
+      val ar = s.read.parquet(arDir)
       auth = ar.crossJoin(broadcast(ar.agg(max("ar").as("amax"))))
         .select(col("p"), renorm("ar", "amax").as("a"))
-      val hr = edges.join(auth, "p").groupBy("o").agg(sum("a").as("hr"))
+      val hrDir = graft.Scratch.dir(s"graft_hits_h$i")
+      edges.join(auth, "p").groupBy("o").agg(sum("a").as("hr"))
+        .write.mode("overwrite").parquet(hrDir)
+      val hr = s.read.parquet(hrDir)
       hub = hr.crossJoin(broadcast(hr.agg(max("hr").as("hmax"))))
         .select(col("o"), renorm("hr", "hmax").as("h"))
     }
@@ -204,6 +212,68 @@ object Graph extends QueryModule {
     * the two formulations is itself part of the check. cc_ppm =
     * (3·T·10⁶) div wedges, exact integer arithmetic in both engines.
     */
+  /** The distinct (order, part) purchase-pair leaf, staged ONCE per input
+    * dir per JVM (the staging-memo contract, Scratch.scala): the bipartite
+    * base every graph in this module is built from. Before round 17 each
+    * graph query re-ran the lineitem scan + DISTINCT shuffle for itself —
+    * q106/q261/q262 directly, and every co-purchase consumer inside its
+    * own self-join build; one staged leaf turns those repeated passes into
+    * leaf scans (guide §2.4: remove shuffles outright — the distinct is
+    * computed once, not once per query). */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def purchasePairsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    pairCache.computeIfAbsent(d, _ => {
+      val tmp = graft.Scratch.dir("graft_op_pairs")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
+  /** The co-purchase pair AGGREGATE — (u < v part pair, m = number of
+    * shared orders, m_base = shared orders outside q255's delta slice) —
+    * staged ONCE per input dir per JVM. This is the module's single most
+    * expensive shared build (basket self-join + hash aggregate over every
+    * order's item-pair mass), and before round 17 it was rebuilt from
+    * scratch by SEVEN independent queries (q148 kcore, q159 gnn-sample,
+    * q177 link-predict, q217 item-recs, q255 incremental-cc, q276 k-truss,
+    * and the LPA family via lpaEdgesDir): identical rows, seven
+    * self-joins. One staged leaf serves them all — the canonical edge set
+    * is the m ≥ 1 projection (q138's triArtifacts), the repeat graph is
+    * the m ≥ 2 filter, q217 reads m itself, and q255 reads m_base; parquet
+    * column pruning makes the extra columns free for consumers that only
+    * want (u, v). Carrying m_base here is sound because [[incSliceMod]] /
+    * [[incSliceRem]] are JVM constants — the leaf is a pure function of
+    * the input dir, the memo key. */
+  private val coPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def coPairsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    coPairCache.computeIfAbsent(d, _ => {
+      val items = s.read.parquet(purchasePairsDir(s, d))
+      val pm = items.alias("a").join(items.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("a.o") % incSliceMod =!= incSliceRem, 1L)
+            .otherwise(0L)).as("m_base"))
+      val tmp = graft.Scratch.dir("graft_copairs")
+      pm.write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
+  /** The REPEAT co-purchase edge list (pairs sharing ≥ 2 orders) off the
+    * shared leaf — a pruned-column leaf scan plus a cheap filter, replacing
+    * the per-query self-join rebuilds. */
+  private def repeatEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(coPairsDir(s, d)).filter(col("m") >= 2).select("u", "v")
+
   /** q138/q265 shared artifacts — (canonical co-purchase edge dir,
     * degree-ORIENTED edge dir) — staged once per input dir per JVM (the
     * hyperBallArtifacts memo contract): the global transitivity (q138)
@@ -217,11 +287,10 @@ object Graph extends QueryModule {
   private[graft] def triArtifacts(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) =
     triCache.computeIfAbsent(d, _ => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val rawEdges = items.alias("a").join(items.alias("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      // canonical (u < v) edges = the m ≥ 1 projection of the shared
+      // co-purchase leaf; staged narrow (two columns) because the loops
+      // and walks downstream scan this leaf many times
+      val rawEdges = s.read.parquet(coPairsDir(s, d)).select("u", "v")
       val tmpE = graft.Scratch.dir("graft_tri_edges")
       rawEdges.write.mode("overwrite").parquet(tmpE)
       val edges = s.read.parquet(tmpE)
@@ -442,14 +511,9 @@ object Graph extends QueryModule {
     // q148's REPEAT-co-purchase graph (pairs sharing ≥ 2 orders): the raw
     // basket graph is a dense near-clique where every edge clears any
     // small truss order (measured: zero removals at k=4) — the repeat cut
-    // keeps the organic sparse structure where peeling means something
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val rawEdges = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
+    // keeps the organic sparse structure where peeling means something.
+    // Read off the shared staged co-purchase leaf (no per-query self-join).
+    val rawEdges = repeatEdges(s, d)
     val edgeDir = graft.Scratch.dir("graft_truss_a0")
     rawEdges.write.mode("overwrite").parquet(edgeDir)
     def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
@@ -520,13 +584,7 @@ object Graph extends QueryModule {
     */
   private[graft] val ktrussDelta: Q = (s, d) => {
     import s.implicits._
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val rawEdges = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
+    val rawEdges = repeatEdges(s, d) // shared staged co-purchase leaf
     val edgeDir = graft.Scratch.dir("graft_trussd_a0")
     rawEdges.write.mode("overwrite").parquet(edgeDir)
     val alive0 = s.read.parquet(edgeDir)
@@ -632,16 +690,9 @@ object Graph extends QueryModule {
     * mathematical no-ops in both engines.
     */
   val kcorePeel: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val rawEdges = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
-    val tmpE = graft.Scratch.dir("graft_core_edges")
-    rawEdges.write.mode("overwrite").parquet(tmpE)
-    val edges = s.read.parquet(tmpE)
+    // the shared co-purchase leaf already IS a parquet leaf — the peel
+    // rounds scan it (pruned to u, v + the m filter) with no re-staging
+    val edges = repeatEdges(s, d)
     val nodes = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x"))).distinct()
     var aliveDir = graft.Scratch.dir("graft_core_alive0")
@@ -736,13 +787,7 @@ object Graph extends QueryModule {
   private def lpaEdgesDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     lpaEdgeCache.computeIfAbsent(d, _ => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e2 = items.alias("a").join(items.alias("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-        .select("u", "v")
+      val e2 = repeatEdges(s, d) // shared staged co-purchase leaf
       val tmpE = graft.Scratch.dir("graft_lpa_edges")
       e2.select("u", "v")
         .union(e2.select(col("v").as("u"), col("u").as("v")))
@@ -895,18 +940,10 @@ object Graph extends QueryModule {
     */
   val gnnSample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e2 = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
-    val tmpE = graft.Scratch.dir("graft_gnn_edges")
-    e2.select("u", "v")
-      .union(e2.select(col("v").as("u"), col("u").as("v")))
-      .write.mode("overwrite").parquet(tmpE)
-    val ed = s.read.parquet(tmpE)
+    // the both-direction m ≥ 2 adjacency is EXACTLY the LPA family's
+    // staged artifact — read it instead of rebuilding and re-staging an
+    // identical copy (same leaf the q155/q251/q253 loops scan)
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
     val deg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
     val w = Window.partitionBy("u")
       .orderBy(md5(concat(col("u").cast("string"), lit(":"),
@@ -966,22 +1003,31 @@ object Graph extends QueryModule {
     val ed = s.read.parquet(lpaEdgesDir(s, d))
     // both directions staged, so src endpoints alone cover every node
     val nodes = ed.select(col("u").as("x")).distinct()
-    var visitedDir = graft.Scratch.dir("graft_bfs_v0")
+    // Stage only each round's FRESH slice: the visited set is the union
+    // of the slice leaves (one multi-path scan), the frontier is exactly
+    // the LAST slice (a direct leaf read, no filter over the full set),
+    // and per-round write volume drops from |visited| to |fresh| — total
+    // bytes written over the loop fall from O(rounds·n) to O(n).
+    var dirs = Vector(graft.Scratch.dir("graft_bfs_v0"))
     nodes.filter(col("x") % bfsSeedMod === 0)
       .select(col("x"), lit(0).as("dist"))
-      .write.mode("overwrite").parquet(visitedDir)
+      .write.mode("overwrite").parquet(dirs.head)
     for (r <- 1 to bfsRounds) {
-      val visited = s.read.parquet(visitedDir)
+      val visited = s.read.parquet(dirs: _*)
+      // fixed-round loop: a late round CAN have an empty frontier, and a
+      // 0-row parquet dir has no footer to infer a schema from — filter
+      // the multi-path scan (schema comes from the non-empty seed slice)
+      // instead of reading dirs.last alone
       val frontier = visited.filter(col("dist") === r - 1)
       val nbrs = ed.join(frontier.select(col("x").as("u")), "u")
         .select(col("v").as("x")).distinct()
       val fresh = nbrs.join(visited, Seq("x"), "left_anti")
         .select(col("x"), lit(r).as("dist"))
       val nextDir = graft.Scratch.dir(s"graft_bfs_v$r")
-      visited.unionByName(fresh).write.mode("overwrite").parquet(nextDir)
-      visitedDir = nextDir
+      fresh.write.mode("overwrite").parquet(nextDir)
+      dirs :+= nextDir
     }
-    val visited = s.read.parquet(visitedDir)
+    val visited = s.read.parquet(dirs: _*)
     val reached = visited.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), sum("x").as("id_checksum"))
     val unreached = nodes.join(visited, Seq("x"), "left_anti")
@@ -1023,11 +1069,26 @@ object Graph extends QueryModule {
       d: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val ed = s.read.parquet(lpaEdgesDir(s, d))
     val nodes = ed.select(col("u").as("x")).distinct()
-    var visitedDir = graft.Scratch.dir("graft_bfsc_v0")
+    // Fresh-slice staging (the bfsHops discipline): only each round's new
+    // nodes are written, the visited set is one multi-path scan over the
+    // slices, the frontier is a direct read of the LAST slice (non-empty
+    // while the loop runs — frontierN > 0 is the loop condition), and the
+    // frontier count rides the staging write as an observed metric —
+    // the old form re-wrote the ENTIRE visited set every round and then
+    // re-scanned it with a second filter+count job just to drive the loop.
+    // NOTE on the sync mechanism: Dataset.observe(Observation) was tried
+    // and REVERTED — Spark 4.1's classic.SparkSession.observationManager
+    // is a non-transient lazy val, so the FIRST observe() in a session
+    // materializes a non-serializable field and every later closure that
+    // serializes the session (the spark.ml training-summary path in
+    // q40/q41) dies with NotSerializableException. The per-round count is
+    // instead a count() on the freshly written FRESH slice — parquet
+    // footer metadata only, no data scan, and the slice is small.
+    var dirs = Vector(graft.Scratch.dir("graft_bfsc_v0"))
     nodes.filter(col("x") % bfsSeedMod === 0)
       .select(col("x"), lit(0).as("dist"))
-      .write.mode("overwrite").parquet(visitedDir)
-    var frontierN = s.read.parquet(visitedDir).count()
+      .write.mode("overwrite").parquet(dirs.head)
+    var frontierN = s.read.parquet(dirs.head).count()
     val traj = Seq.newBuilder[Long]
     traj += frontierN
     var r = 0
@@ -1036,19 +1097,22 @@ object Graph extends QueryModule {
       require(r <= bfsMaxRounds,
         s"q250: BFS still expanding after $bfsMaxRounds rounds — raise " +
           "bfsMaxRounds (and the oracle unroll) together")
-      val visited = s.read.parquet(visitedDir)
-      val frontier = visited.filter(col("dist") === r - 1)
+      val visited = s.read.parquet(dirs: _*)
+      val frontier = s.read.parquet(dirs.last)
       val nbrs = ed.join(frontier.select(col("x").as("u")), "u")
         .select(col("v").as("x")).distinct()
       val fresh = nbrs.join(visited, Seq("x"), "left_anti")
         .select(col("x"), lit(r).as("dist"))
       val nextDir = graft.Scratch.dir(s"graft_bfsc_v$r")
-      visited.unionByName(fresh).write.mode("overwrite").parquet(nextDir)
-      visitedDir = nextDir
-      frontierN = s.read.parquet(nextDir).filter(col("dist") === r).count()
+      fresh.write.mode("overwrite").parquet(nextDir)
+      dirs :+= nextDir
+      // footer-only count; schema given explicitly because the FINAL
+      // slice is empty (0 part files — nothing to infer from)
+      frontierN = s.read.schema(fresh.schema).parquet(nextDir).count()
       traj += frontierN
     }
-    val visited = s.read.parquet(visitedDir)
+    // the final (empty) slice has no footer to infer from — drop it
+    val visited = s.read.parquet(dirs.init: _*)
     val reached = visited.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), sum("x").as("id_checksum"))
     val unreached = nodes.join(visited, Seq("x"), "left_anti")
@@ -1132,7 +1196,9 @@ object Graph extends QueryModule {
       require(r <= lpaMaxRounds,
         s"q251: LPA still moving after $lpaMaxRounds rounds — raise " +
           "lpaMaxRounds (and the oracle unroll) together")
-      val labels = s.read.parquet(labelsDir)
+      // select the live columns explicitly: rounds ≥ 2 read a leaf that
+      // also carries the previous round's plbl audit column
+      val labels = s.read.parquet(labelsDir).select("node", "lbl")
       val next = edp
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u").as("node"), col("lbl"))
@@ -1141,9 +1207,16 @@ object Graph extends QueryModule {
         .agg(expr("""1000000000000 - (max(cnt * 1000000000000
                + (1000000000000 - lbl)) % 1000000000000)""").as("lbl"))
       val nextDir = graft.Scratch.dir(s"graft_lpac_l$r")
-      next.write.mode("overwrite").parquet(nextDir)
+      // The previous label rides the staged round as plbl (one keyed join
+      // folded into the round's OWN write pass), so the per-round stats
+      // sync aggregates the fresh leaf alone — the old form re-joined the
+      // new and old label tables in a separate job every round. The next
+      // round's reader prunes plbl (parquet column pruning). countDistinct
+      // cannot ride an observed metric, so the 1-row stats sync itself
+      // stays (q250's contract), minus its join.
+      next.join(labels.withColumnRenamed("lbl", "plbl"), "node")
+        .write.mode("overwrite").parquet(nextDir)
       val row = s.read.parquet(nextDir)
-        .join(labels.withColumnRenamed("lbl", "plbl"), "node")
         .agg(sum(when(col("lbl") =!= col("plbl"), 1L).otherwise(0L))
             .as("n_changed"),
           countDistinct(col("lbl")).as("n_communities"),
@@ -1260,18 +1333,9 @@ object Graph extends QueryModule {
     * (size, min member, id checksum), the q155/q59 readout shape.
     */
   val incrementalCc: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pm = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m_full"),
-        sum(when(col("a.o") % incSliceMod =!= incSliceRem, 1L)
-          .otherwise(0L)).as("m_base"))
-      .filter(col("m_full") >= 2)
-    val tmpPm = graft.Scratch.dir("graft_inccc_pm")
-    pm.write.mode("overwrite").parquet(tmpPm)
-    val pmS = s.read.parquet(tmpPm)
+    // (u, v, m, m_base) all live on the shared staged co-purchase leaf —
+    // no per-query self-join, no second staging of the same rows
+    val pmS = s.read.parquet(coPairsDir(s, d)).filter(col("m") >= 2)
     val baseEdges = pmS.filter(col("m_base") >= 2)
       .select(col("u").as("d1"), col("v").as("d2"))
     val newEdges = pmS.filter(col("m_base") < 2).select("u", "v")
@@ -1433,16 +1497,24 @@ object Graph extends QueryModule {
       require(r <= hyperBallMaxRounds,
         s"q253: registers still moving after $hyperBallMaxRounds rounds — " +
           "raise hyperBallMaxRounds (and the oracle unroll) together")
-      val prev = s.read.parquet(regsDir)
-      val next = prev.unionByName(
+      val prev = s.read.parquet(regsDir).select("node", "bucket", "m")
+      // Carry the PREVIOUS value through the union-aggregate as pm (prev
+      // rows contribute pm = m, inbound rows pm = null; max ignores
+      // nulls, and the prev bank holds one row per key, so max(pm) IS
+      // the previous register value). The staged bank then answers
+      // "changed?" by itself — the old form re-joined the two full
+      // register banks (|nodes|·64 rows each) every round just to
+      // recover pm. One write + one leaf-scan stats pass per round now;
+      // q258's per-round readers prune the extra column.
+      val next = prev.withColumn("pm", col("m"))
+        .unionByName(
           ed.join(prev.withColumnRenamed("node", "v"), "v")
-            .select(col("u").as("node"), col("bucket"), col("m")))
-        .groupBy("node", "bucket").agg(max("m").as("m"))
+            .select(col("u").as("node"), col("bucket"), col("m"))
+            .withColumn("pm", lit(null).cast("long")))
+        .groupBy("node", "bucket").agg(max("m").as("m"), max("pm").as("pm"))
       val nextDir = graft.Scratch.dir(s"graft_hb_r$r")
       next.write.mode("overwrite").parquet(nextDir)
-      val nextS = s.read.parquet(nextDir)
-        .join(prev.withColumnRenamed("m", "pm"), Seq("node", "bucket"), "left")
-      val stats = roundStats(nextS,
+      val stats = roundStats(s.read.parquet(nextDir),
         when(col("pm").isNull || col("pm") =!= col("m"), 1L).otherwise(0L))
       changed = stats._1
       rows :+= ((r, stats))
@@ -1523,12 +1595,9 @@ object Graph extends QueryModule {
     */
   val itemRecs: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e2 = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+    // co-buy multiplicity m rides the shared staged co-purchase leaf
+    val e2 = s.read.parquet(coPairsDir(s, d)).filter(col("m") >= 2)
+      .select("u", "v", "m")
     val sym = e2.select(col("u"), col("v"), col("m"))
       .union(e2.select(col("v").as("u"), col("u").as("v"), col("m")))
     sym.withColumn("rank", row_number().over(
@@ -1679,8 +1748,18 @@ object Graph extends QueryModule {
       }
       (s.read.parquet(cur), s.read.parquet(prev))
     }
-    val (f, fp) = propagate(rev = false, "f")
-    val (b, bp) = propagate(rev = true, "b")
+    // The forward and backward chains are INDEPENDENT job sequences over
+    // the same staged edge leaf (guide §2.6: overlap independent jobs) —
+    // each chain's tiny per-round stages leave most cores idle, so the
+    // two chains back-fill each other. No session conf is mutated inside
+    // propagate, and job submission is thread-safe; results land in
+    // distinct Scratch dirs either way.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fF = Future(propagate(rev = false, "f"))
+    val fB = Future(propagate(rev = true, "b"))
+    val (f, fp) = Await.result(fF, scala.concurrent.duration.Duration.Inf)
+    val (b, bp) = Await.result(fB, scala.concurrent.duration.Duration.Inf)
     f.withColumnRenamed("lbl", "fl")
       .join(b.withColumnRenamed("lbl", "bl"), "node")
       .join(fp.withColumnRenamed("lbl", "flp"), "node")
@@ -1779,17 +1858,8 @@ object Graph extends QueryModule {
     * this query deliberately does not do so the oracle stays exact.
     */
   val linkPredict: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e2 = items.alias("a").join(items.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
-      .select("u", "v")
-    val tmpE = graft.Scratch.dir("graft_lp_edges")
-    e2.union(e2.select(col("v").as("u"), col("u").as("v")))
-      .write.mode("overwrite").parquet(tmpE)
-    val ed = s.read.parquet(tmpE)
+    // both-direction m ≥ 2 adjacency = the LPA family's staged artifact
+    val ed = s.read.parquet(lpaEdgesDir(s, d))
     val deg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
     val wedges = ed.alias("a").join(ed.alias("b"),
         col("a.u") === col("b.u") && col("a.v") < col("b.v"))
@@ -1927,19 +1997,26 @@ object Graph extends QueryModule {
       edDir: String, srcs: org.apache.spark.sql.DataFrame,
       tag: String): org.apache.spark.sql.DataFrame = {
     val ed = s.read.parquet(edDir)
-    var levDir = graft.Scratch.dir(s"graft_${tag}_v0")
-    srcs.select(col("s"), col("s").as("x"), lit(0).as("dist"),
-        lit(1L).as("sigma"))
-      .write.mode("overwrite").parquet(levDir)
-    var frontierN = s.read.parquet(levDir).count()
+    // Forward: fresh-slice staging (the q250 discipline) — only each
+    // round's new (s, x) rows are written, the visited set is one
+    // multi-path scan over the slices, the frontier is a direct read of
+    // the LAST slice (non-empty while the loop runs), and the frontier
+    // count rides the staging write as an observed metric. The old form
+    // re-wrote the whole visited set every round (O(rounds·reach) bytes)
+    // and re-counted it in a second job.
+    var dirs = Vector(graft.Scratch.dir(s"graft_${tag}_v0"))
+    val seeds0 = srcs.select(col("s"), col("s").as("x"), lit(0).as("dist"),
+      lit(1L).as("sigma"))
+    seeds0.write.mode("overwrite").parquet(dirs.head)
+    var frontierN = s.read.parquet(dirs.head).count() // footer-only
     var r = 0
     while (frontierN > 0) {
       r += 1
       require(r <= brandesMaxRounds,
         s"q257: BFS still expanding after $brandesMaxRounds rounds — raise " +
           "brandesMaxRounds (and the oracle unroll) together")
-      val visited = s.read.parquet(levDir)
-      val frontier = visited.filter(col("dist") === r - 1)
+      val visited = s.read.parquet(dirs: _*)
+      val frontier = s.read.parquet(dirs.last)
         .select(col("s"), col("x").as("u"), col("sigma"))
       val nbrs = ed.join(frontier, "u")
         .groupBy(col("s"), col("v").as("x"))
@@ -1948,12 +2025,14 @@ object Graph extends QueryModule {
         .join(visited.select(col("s"), col("x")), Seq("s", "x"), "left_anti")
         .select(col("s"), col("x"), lit(r).as("dist"), col("sigma"))
       val nextDir = graft.Scratch.dir(s"graft_${tag}_v$r")
-      visited.unionByName(fresh).write.mode("overwrite").parquet(nextDir)
-      levDir = nextDir
-      frontierN = s.read.parquet(nextDir).filter(col("dist") === r).count()
+      fresh.write.mode("overwrite").parquet(nextDir)
+      dirs :+= nextDir
+      // footer-only count, explicit schema (the final slice is empty —
+      // no part files to infer from); see bfsConvergedRun's sync note
+      frontierN = s.read.schema(fresh.schema).parquet(nextDir).count()
     }
     val maxDist = r - 1
-    val vis = s.read.parquet(levDir)
+    val vis = s.read.parquet(dirs.init: _*) // final slice is the empty one
     // loud overflow precondition for the backward pass's packed products
     val g = vis.groupBy("s")
       .agg(count(lit(1)).as("nreach"), max("sigma").as("msig"))
@@ -1962,30 +2041,51 @@ object Graph extends QueryModule {
         BigInt("9200000000000000000"),
       s"q257: sigma*(1e6+delta) could wrap BIGINT (max sigma ${g.getLong(0)}, " +
         s"max reach ${g.getLong(1)}) — shrink the sample or rescale ppm")
-    var deltaDir = graft.Scratch.dir(s"graft_${tag}_b$maxDist")
-    vis.withColumn("delta", lit(0L))
-      .write.mode("overwrite").parquet(deltaDir)
+    // Backward: per-LEVEL delta staging. Each (s, x) sits at exactly one
+    // distance, so its dependency δ is decided by a single level's
+    // aggregate — stage only that per-level (s, x, delta) frame (the
+    // level-d slice of the forward pass IS the wd/pu row source) instead
+    // of rewriting the entire (s, x, dist, sigma, delta) table once per
+    // level. Nodes with no level-(d+1) successors simply have no delta
+    // row — the final left join coalesces them to the same 0 the old
+    // full-table rewrite carried along. Identical arithmetic, identical
+    // rows out; write volume per level drops from |reach| to |level|.
+    var lvlDeltaDir: Option[String] = None // deltas of level d (partial)
+    val deltaDirs = Vector.newBuilder[String]
     for (d <- maxDist to 1 by -1) {
-      val cur = s.read.parquet(deltaDir)
-      val wd = cur.filter(col("dist") === d)
-        .select(col("s"), col("x").as("wx"), col("sigma").as("ws"),
-          col("delta").as("wdel"))
-      val pu = cur.filter(col("dist") === d - 1)
+      val wd0 = s.read.parquet(dirs(d))
+        .select(col("s"), col("x").as("wx"), col("sigma").as("ws"))
+      val wd = lvlDeltaDir match {
+        case None => wd0.withColumn("wdel", lit(0L)) // deepest level: δ = 0
+        case Some(dir) => wd0.join(
+            s.read.parquet(dir)
+              .select(col("s"), col("x").as("wx"), col("delta").as("wdel0")),
+            Seq("s", "wx"), "left")
+          .select(col("s"), col("wx"), col("ws"),
+            coalesce(col("wdel0"), lit(0L)).as("wdel"))
+      }
+      val pu = s.read.parquet(dirs(d - 1))
         .select(col("s"), col("x").as("u"), col("sigma").as("us"))
       val contrib = ed.join(wd, col("v") === col("wx"))
         .join(pu, Seq("s", "u"))
         .select(col("s"), col("u").as("x"),
           expr("us * (1000000 + wdel) div ws").as("c"))
-        .groupBy("s", "x").agg(sum("c").as("contrib"))
-      val next = cur.join(contrib, Seq("s", "x"), "left")
-        .select(col("s"), col("x"), col("dist"), col("sigma"),
-          when(col("dist") === d - 1, coalesce(col("contrib"), lit(0L)))
-            .otherwise(col("delta")).as("delta"))
+        .groupBy("s", "x").agg(sum("c").as("delta"))
       val nextDir = graft.Scratch.dir(s"graft_${tag}_b${d - 1}")
-      next.write.mode("overwrite").parquet(nextDir)
-      deltaDir = nextDir
+      contrib.write.mode("overwrite").parquet(nextDir)
+      deltaDirs += nextDir
+      lvlDeltaDir = Some(nextDir)
     }
-    s.read.parquet(deltaDir)
+    val allDelta =
+      if (maxDist < 1) null
+      else s.read.parquet(deltaDirs.result(): _*)
+        .select(col("s"), col("x"), col("delta"))
+    val folded =
+      if (allDelta == null) vis.withColumn("delta", lit(0L))
+      else vis.join(allDelta, Seq("s", "x"), "left")
+        .select(col("s"), col("x"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+    folded
       .filter(col("x") =!= col("s"))
       .groupBy("x")
       .agg(sum("delta").as("bc_ppm"), count(lit(1)).as("n_sources"))

@@ -604,18 +604,32 @@ object Similarity extends QueryModule {
         broadcast(corpus.filter(col("vec_id") < beamEntries)
           .select(col("vec_id").as("node"))))
       .filter(col("node") =!= col("q_id"))
-    var beam = score(routed.unionByName(floor).distinct())
+    // Each hop references the previous beam TWICE (expand + carry-over),
+    // so an unstaged recursion doubles the live subtree per hop — 2⁴
+    // copies of the entry-scoring stage by hop 4 (only partially rescued
+    // by exchange reuse; the window+rank above every copy re-executes).
+    // Stage the ≤ recallSampleN·beamWidth-row beam per hop instead (the
+    // q106/q250 loop lineage discipline): each hop is then one join +
+    // one score + one rank over a parquet leaf, linear in hops.
+    var beamDir = graft.Scratch.dir("graft_annr_b0")
+    score(routed.unionByName(floor).distinct())
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= beamWidth).select("q_id", "node", "sim9")
-    for (_ <- 1 to beamHops) {
+      .write.mode("overwrite").parquet(beamDir)
+    for (h <- 1 to beamHops) {
+      val beam = s.read.parquet(beamDir)
       val nbrs = beam.join(ed, beam("node") === ed("u"))
         .select(col("q_id"), col("v").as("node"))
         .filter(col("node") =!= col("q_id"))
       val cand = beam.select("q_id", "node").unionByName(nbrs).distinct()
-      beam = score(cand)
+      val nextDir = graft.Scratch.dir(s"graft_annr_b$h")
+      score(cand)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beamWidth).select("q_id", "node", "sim9")
+        .write.mode("overwrite").parquet(nextDir)
+      beamDir = nextDir
     }
+    val beam = s.read.parquet(beamDir)
     val top1 = beam.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("q_id"), round(col("sim9"), 4).as("graph_sim"))

@@ -2666,36 +2666,54 @@ object Text extends QueryModule {
     * literally the classifying code): train-fold staged (class, term)
     * leaf → Laplace-smoothed micro log scores per held-out doc and
     * class. See [[naiveBayes]] for the full scoring notes. */
+  /** The trained (class, term) count leaf and the |classes|-row literal
+    * table, staged/collected ONCE per input dir per JVM (the staging-memo
+    * contract, Scratch.scala): FIVE queries consume the identical trained
+    * filter (q320 confusion, q356 reliability, q358 conformal, q360
+    * Mondrian, q363 isotonic) and before round 17 each re-tokenized the
+    * train fold, re-aggregated the count leaf and re-collected the class
+    * table for itself. The train fold (bk < 80) is a JVM constant, so
+    * both artifacts are pure functions of the input dir — the memo key. */
+  private val nbNtcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nbClassesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long, Long)]]()
+
   private def nbScored(s: org.apache.spark.sql.SparkSession,
       d: String, foldLo: Int = 90): org.apache.spark.sql.DataFrame = {
     val bucket = graft.functions.Hashing.md5Bucket(col("doc_id"), 100)
     val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), col("lang"),
         filter(toks, t => length(t) > 0).as("tk"), bucket.as("bk"))
-    val tmp = graft.Scratch.dir("graft_nb")
-    docs.filter(col("bk") < 80)
-      .select(col("lang").as("cls"), explode(col("tk")).as("term"))
-      .groupBy("cls", "term").agg(count(lit(1)).as("ntc"))
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = nbNtcCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("graft_nb")
+      docs.filter(col("bk") < 80)
+        .select(col("lang").as("cls"), explode(col("tk")).as("term"))
+        .groupBy("cls", "term").agg(count(lit(1)).as("ntc"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
     val ntc = s.read.parquet(tmp)
-    val nc = ntc.groupBy("cls").agg(sum("ntc").as("n_c"))
-    val vocab = ntc.select("term").distinct().agg(count(lit(1)).as("v"))
-    val priors = docs.filter(col("bk") < 80)
-      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs_c"))
     // the class table is language-taxonomy-bounded (one row per class),
     // so it is collected ONCE (the q298 metadata-sync rule) and
     // re-broadcast as a literal — without this, the contrib and scored
     // branches would each re-run the leaf aggregates and the pruned
     // prior scan (Spark plans are trees, the recurring seam)
-    val classesRows = nc.join(priors, "cls")
-      .crossJoin(broadcast(vocab))
-      .crossJoin(broadcast(priors.agg(sum("n_docs_c").as("n_docs"))))
-      .select(col("cls"), col("n_c"), col("v"),
-        round(log(col("n_docs_c").cast("double") /
-          col("n_docs").cast("double")) * 1e6).cast("long").as("prior_mu"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq
+    val classesRows = nbClassesCache.computeIfAbsent(d, _ => {
+      val nc = ntc.groupBy("cls").agg(sum("ntc").as("n_c"))
+      val vocab = ntc.select("term").distinct().agg(count(lit(1)).as("v"))
+      val priors = docs.filter(col("bk") < 80)
+        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs_c"))
+      nc.join(priors, "cls")
+        .crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(priors.agg(sum("n_docs_c").as("n_docs"))))
+        .select(col("cls"), col("n_c"), col("v"),
+          round(log(col("n_docs_c").cast("double") /
+            col("n_docs").cast("double")) * 1e6).cast("long").as("prior_mu"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    })
     import s.implicits._
     val classes = classesRows.toDF("cls", "n_c", "v", "prior_mu")
     val testDocs = docs.filter(col("bk") >= foldLo)
