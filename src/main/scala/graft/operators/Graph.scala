@@ -1810,13 +1810,34 @@ object Graph extends QueryModule {
     * final pair). */
   private[graft] def sccConvergedRun(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, Seq[Long], Seq[Long]) = {
-    val ed = s.read.parquet(sccEdgesDir(s, d))
-    val nodes = ed.select(col("u").as("doc_id"))
-      .union(ed.select(col("v").as("doc_id"))).distinct()
-    val (f, fTraj) = Dedup.minLabelFixpoint(s, nodes,
-      ed.select(col("u").as("src"), col("v").as("dst")))
-    val (b, bTraj) = Dedup.minLabelFixpoint(s, nodes,
-      ed.select(col("v").as("src"), col("u").as("dst")))
+    val edDir = sccEdgesDir(s, d) // build the shared memo on the main session
+    // The forward and backward fixpoints are INDEPENDENT job chains over
+    // the same staged edge leaf (guide §2.6, the q210 overlap) — but
+    // minLabelFixpoint temporarily narrows spark.sql.shuffle.partitions,
+    // which is SESSION state, so each thread runs on its own
+    // newSession() clone (same SparkContext, isolated SQL conf) and
+    // hands its converged labels back as a staged parquet leaf the main
+    // session reads — frames never cross sessions.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(rev: Boolean, tag: String): (String, Seq[Long]) = {
+      val s2 = s.newSession()
+      val ed2 = s2.read.parquet(edDir)
+      val nodes2 = ed2.select(col("u").as("doc_id"))
+        .union(ed2.select(col("v").as("doc_id"))).distinct()
+      val edges = if (rev) ed2.select(col("v").as("src"), col("u").as("dst"))
+                  else ed2.select(col("u").as("src"), col("v").as("dst"))
+      val (lbl, traj) = Dedup.minLabelFixpoint(s2, nodes2, edges)
+      val dir = graft.Scratch.dir(s"graft_sccc_$tag")
+      lbl.write.mode("overwrite").parquet(dir)
+      (dir, traj)
+    }
+    val fF = Future(run(rev = false, "f"))
+    val fB = Future(run(rev = true, "b"))
+    val (fDir, fTraj) = Await.result(fF, scala.concurrent.duration.Duration.Inf)
+    val (bDir, bTraj) = Await.result(fB, scala.concurrent.duration.Duration.Inf)
+    val f = s.read.parquet(fDir)
+    val b = s.read.parquet(bDir)
     val out = f.select(col("doc_id").as("node"), col("label").as("fl"))
       .join(b.select(col("doc_id").as("node"), col("label").as("bl")), "node")
       .filter(col("fl") === col("bl"))

@@ -1851,19 +1851,31 @@ object Text extends QueryModule {
     // the full cap (its no-op rounds cost nothing by the same argument),
     // while Spark skips ~6 staged-round overheads per segmentation at
     // fixture word lengths (measured 14.5 -> ~10 s at sf0.1)
-    for (k <- 1 to dpRounds) {
-      val st = s.read.parquet(stDir)
-      val cand = st.select(col("w"), col("pos").as("i"), col("packed"))
+    // One DP round as a function, so TWO rounds can ride one staged
+    // round-trip: step(step(st)) is the exact composition of the round
+    // recurrence (same per-round min pruning the oracle unrolls — the
+    // inner step's identical agg subtrees share one exchange via
+    // ReuseExchange), while the staging write/read/job overhead — the
+    // dominant cost of these vocabulary-scale rounds — is paid
+    // ⌈dpRounds/2⌉ times instead of dpRounds times.
+    def step(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cand = base.select(col("w"), col("pos").as("i"), col("packed"))
         .join(edS, Seq("w", "i"))
         .select(col("w"), col("j").as("pos"), expr(
           s"""concat(lpad(cast(cast(substring(packed, 1, 2) AS INT) + 1 AS STRING), 2, '0'),
              | substring(packed, 3), '$m', piece)""".stripMargin.replace("\n", ""))
           .as("packed"))
-      val nextDir = graft.Scratch.dir(s"graft_uni_dp${rnd}_$k")
-      st.unionByName(cand).groupBy("w", "pos")
+      base.unionByName(cand).groupBy("w", "pos")
         .agg(min("packed").as("packed"))
-        .write.mode("overwrite").parquet(nextDir)
+    }
+    var k = 1
+    while (k <= dpRounds) {
+      val st = s.read.parquet(stDir)
+      val fused = if (k + 1 <= dpRounds) step(step(st)) else step(st)
+      val nextDir = graft.Scratch.dir(s"graft_uni_dp${rnd}_$k")
+      fused.write.mode("overwrite").parquet(nextDir)
       stDir = nextDir
+      k += (if (k + 1 <= dpRounds) 2 else 1)
     }
     val fin = s.read.parquet(stDir)
       .filter(col("pos") === length(col("w")) + 1)
